@@ -1,0 +1,254 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operator surface (SURVEY.md §2.1–§2.7).
+  *
+  * Mirrors the reference's scans / projections / filters / joins /
+  * aggregations / sorts / set-ops (`docs/querying-data.rst`,
+  * `process/processors/compiler.py`, the management commands)
+  * re-expressed as declarative Spark plans so Catalyst gets pushdown,
+  * pruning, join selection and AQE for free.
+  *
+  * Numeric policy (oracle parity at any scale): aggregations sum DECIMAL —
+  * exact and addition-order-insensitive, so the result is identical no
+  * matter how Spark partitions the data — and only the final value is cast
+  * to DOUBLE. Per-row double arithmetic (e.g. price*(1-discount)) is IEEE
+  * bit-deterministic in both Spark and DuckDB.
+  */
+object RelationalQueries {
+
+  /** Exact decimal sum of a per-row double expression, surfaced as double. */
+  private def dsum(e: Column, scale: Int): Column =
+    sum(e.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_scan_filter_project", Seq("S1", "P1", "P2"),
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_partkey", "l_quantity"),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+              WHERE l_quantity > 45
+              ORDER BY l_orderkey, l_partkey, l_quantity"""),
+      "Projection + pushed filter (reference: values_list/filter, compiler.py:42-59)"),
+
+    QueryDef(
+      "q_filter_in_range", Seq("P2", "P4"),
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderstatus").isin("F", "P") && col("o_totalprice") < 5000)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+              WHERE o_orderstatus IN ('F','P') AND o_totalprice < 5000
+              ORDER BY o_orderkey"""),
+      "Membership + range predicates (reference: filter(ocid__in=...), compiler.py:56)"),
+
+    QueryDef(
+      "q_join_fk", Seq("J1"),
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_totalprice") > 450000)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice, c_name
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_totalprice > 450000
+              ORDER BY o_orderkey"""),
+      "Fact→dim FK equi-join (reference: select_related('data'), record_compiler.py:59)"),
+
+    QueryDef(
+      "q_join_broadcast_dims", Seq("J2"),
+      (s, d) => Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"), col("r_name"))
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, s_name, n_name, r_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey
+              ORDER BY s_suppkey"""),
+      "Small-dimension broadcast joins (reference: select_related('collection'))"),
+
+    QueryDef(
+      "q_antijoin", Seq("J3", "P3"),
+      (s, d) => Tables.customer(s, d)
+        .join(
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+              ORDER BY c_custkey"""),
+      "Anti-join / unchecked-items pattern (reference: addchecks.py:38-45 LEFT JOIN IS NULL)"),
+
+    QueryDef(
+      "q_semijoin", Seq("J5"),
+      (s, d) => Tables.orders(s, d)
+        .join(
+          Tables.lineitem(s, d).filter(col("l_quantity") >= 50),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
+              ORDER BY o_orderkey"""),
+      "Semi-join (reference: wiper.py IN (SELECT ...) deletes)"),
+
+    QueryDef(
+      "q_distinct_pairs", Seq("A2"),
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+              ORDER BY l_returnflag, l_linestatus"""),
+      "DISTINCT projection (reference: values('ocid').distinct(), compiler.py:90)"),
+
+    QueryDef(
+      "q_count_distinct", Seq("A1", "A2"),
+      (s, d) => Tables.orders(s, d)
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders")),
+      Some("""SELECT count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+              FROM orders"""),
+      "Exact COUNT DISTINCT (reference: cached counts, finisher.py:100-108)"),
+
+    QueryDef(
+      "q_agg_sum_groupby", Seq("A1", "A4", "F3", "O1"),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+          (sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            / count(lit(1))).as("avg_price"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+              FROM lineitem GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus"""),
+      "SUM..GROUP BY with exact decimal accumulation (reference: querying-data.rst:64-77)"),
+
+    QueryDef(
+      "q_minmax_substr", Seq("A3", "F4", "J2"),
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"),
+          substring(min(col("c_name")), 1, 11).as("name_prefix"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+                     substr(min(c_name), 1, 11) AS name_prefix, count(*) AS n_cust
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name"""),
+      "MIN/MAX + LEFT(.,11) metadata aggregates (reference: views.py:183-199 ocid_prefix)"),
+
+    QueryDef(
+      "q_topk_revenue", Seq("A5", "O5"),
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
+        .limit(10),
+      Some("""SELECT l_partkey,
+                     CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+              FROM lineitem GROUP BY l_partkey
+              ORDER BY revenue DESC, l_partkey LIMIT 10"""),
+      "Top-k: explode→group→sort→limit plans as TakeOrderedAndProject (reference: querying-data.rst:102-121)"),
+
+    QueryDef(
+      "q_sort_limit", Seq("O3", "O4"),
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(5),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"""),
+      "ORDER BY .. LIMIT (reference: querying-data.rst:14-24,39-49)"),
+
+    QueryDef(
+      "q_union_distinct", Seq("U1"),
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+              UNION
+              SELECT s_nationkey FROM supplier
+              ORDER BY nationkey"""),
+      "UNION-dedup (reference: wiper.py:55-66 data_id union)"),
+
+    QueryDef(
+      "q_except", Seq("U3"),
+      (s, d) => Tables.lineitem(s, d).select(col("l_partkey").as("partkey"))
+        .except(
+          Tables.part(s, d).filter(col("p_size") > 25)
+            .select(col("p_partkey").as("partkey")))
+        .orderBy("partkey"),
+      Some("""SELECT DISTINCT l_partkey AS partkey FROM lineitem
+              EXCEPT
+              SELECT p_partkey AS partkey FROM part WHERE p_size > 25
+              ORDER BY partkey"""),
+      "Set-difference (reference: already_exists filter, compiler.py:42-53)"),
+
+    QueryDef(
+      "q_window_rownum", Seq("W2"),
+      (s, d) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_shipdate"), col("l_linenumber"))
+        Tables.lineitem(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber").as("first_linenumber"),
+            col("l_shipdate").cast(DateType).as("first_shipdate"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, first_linenumber, first_shipdate FROM (
+                SELECT l_orderkey, l_linenumber AS first_linenumber,
+                       CAST(l_shipdate AS DATE) AS first_shipdate,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_shipdate, l_linenumber) AS rn
+                FROM lineitem) WHERE rn = 1
+              ORDER BY l_orderkey"""),
+      "First-row-wins per key (reference: record_compiler.py:58-75 duplicate-OCID rule)"),
+
+    QueryDef(
+      "q_window_running", Seq("W1", "O1"),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .withColumn(
+            "run_total",
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+          .select(col("o_custkey"), col("o_orderkey"), col("run_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                       AS run_total
+              FROM orders ORDER BY o_custkey, o_orderkey"""),
+      "Ordered per-key accumulation (reference: ORDER BY ocid, release_date scan, compiler.py:56-58)")
+  )
+}

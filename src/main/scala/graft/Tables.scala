@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * All reads go through here so scan-level concerns live in one place:
+  *  - `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS) which
+  *    Spark rejects by default; `spark.sql.legacy.parquet.nanosAsLong=true`
+  *    reads it as LongType (nanoseconds since epoch). Queries convert to
+  *    microseconds with integer division (never double division — an
+  *    epoch-nanos value exceeds 2^53 and would lose precision).
+  *  - At cluster scale these would be partitioned tables; in this harness
+  *    each is a single parquet file, and Catalyst still gets filter
+  *    pushdown + column pruning from the declarative plans built on top.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Session-level (dynamic) conf; required before touching events, harmless
+    // for the rest. Set unconditionally so any entry point works.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** events with `ts_us`: microseconds since epoch as BIGINT.
+    * DuckDB's parquet reader truncates the same NANOS column to microsecond
+    * TIMESTAMP, so integer `ts DIV 1000` keeps the two engines bit-identical.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    load(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+  }
+}

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis + dedup operators over the `documents` table — the
+  * LLM-data-pipeline surface (builder prompt / SURVEY.md §7.1 item 10):
+  * tokenization, token stats, quality scoring, language-ID heuristic,
+  * document fingerprinting, exact dedup and n-gram Jaccard near-dup.
+  *
+  * All built from codegen'd `functions._` (split / higher-order
+  * filter / array ops) — no UDFs in the hot path, so whole-stage codegen
+  * spans the full pipeline and each operator scales linearly with
+  * documents-per-partition at 100 TB.
+  */
+object TextQueries {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Distinct sorted token set — order-canonical, so downstream md5 /
+    * set-arithmetic is deterministic regardless of partitioning. */
+  private def tokenSet(c: Column): Column = array_sort(array_distinct(tokens(c)))
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_explode_tokens", Seq("F2", "J7", "A5"),
+      (s, d) => Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20),
+      Some("""SELECT token, count(*) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+              GROUP BY token ORDER BY n DESC, token LIMIT 20"""),
+      "Lateral array explode + top-k (reference: jsonb_array_elements, querying-data.rst:98-121)"),
+
+    QueryDef(
+      "q_token_stats", Seq("F4", "F8"),
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
+            .cast(LongType).as("n_tokens"),
+          size(tokenSet(col("text"))).cast(LongType).as("n_unique"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars,
+                     CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
+              FROM documents ORDER BY doc_id"""),
+      "Token counting (whitespace) + vocabulary size per document"),
+
+    QueryDef(
+      "q_quality_score", Seq("F4"),
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast(DoubleType)
+        val nStop = size(filter(toks, t => t.isin(enStop: _*))).cast(DoubleType)
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            (nStop / nTok).as("stopword_ratio"),
+            (length(col("text")).cast(DoubleType) / size(toks)).as("avg_token_span"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+                      CAST(len(list_filter(string_split(text, ' '),
+                               t -> t IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+                        / len(string_split(text, ' ')) AS stopword_ratio,
+                      CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_span
+               FROM documents ORDER BY doc_id"""),
+      "Quality scoring: stopword ratio + length heuristics (per-row double ops — bit-deterministic)"),
+
+    QueryDef(
+      "q_langid", Seq("F4"),
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val enHits = size(filter(toks, t => t.isin(enStop: _*)))
+        Tables.documents(s, d)
+          .withColumn("en_hits", enHits.cast(LongType))
+          .withColumn(
+            "predicted_lang",
+            when(col("en_hits") >= 2, lit("en")).otherwise(lit("und")))
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted_lang")
+      },
+      Some(s"""SELECT lang, predicted_lang, count(*) AS n FROM (
+                 SELECT lang,
+                        CASE WHEN len(list_filter(string_split(text, ' '),
+                                     t -> t IN (${enStop.map("'" + _ + "'").mkString(",")}))) >= 2
+                             THEN 'en' ELSE 'und' END AS predicted_lang
+                 FROM documents)
+               GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang"""),
+      "Language-ID heuristic (stopword n-gram hits) confusion rollup vs labeled lang"),
+
+    QueryDef(
+      "q_fingerprint", Seq("S8", "F5", "F6"),
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", tokenSet(col("text")))).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                       AS fingerprint
+              FROM documents ORDER BY doc_id"""),
+      "Document fingerprint: md5 over the canonical (sorted, distinct) token set — the canonical-form hashing idea behind util.py:93-110"),
+
+    QueryDef(
+      "q_dedup_exact", Seq("S8", "F5", "A2"),
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(concat_ws(" ", tokenSet(col("text")))).as("fingerprint"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("keeper_id"))
+        .filter(col("n_members") > 1)
+        .orderBy("fingerprint"),
+      Some("""SELECT fingerprint, n_members, keeper_id FROM (
+                SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                         AS fingerprint,
+                       count(*) AS n_members, min(doc_id) AS keeper_id
+                FROM documents GROUP BY 1)
+              WHERE n_members > 1 ORDER BY fingerprint"""),
+      "Exact dedup: hash-groupBy, min-id keeper election (reference: content-addressed data table)"),
+
+    QueryDef(
+      "q_ngram_jaccard", Seq("J1", "F2"),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks"))
+        val a = docs.select(
+          col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+        val b = docs.select(
+          col("source").as("source_b"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+        val inter = size(array_intersect(col("toks_a"), col("toks_b")))
+        val uni = size(col("toks_a")) + size(col("toks_b")) - inter
+        a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
+          .withColumn("jaccard", inter.cast(DoubleType) / uni.cast(DoubleType))
+          .filter(col("jaccard") >= 0.9)
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+                                list_sort(list_distinct(string_split(text, ' '))) AS toks
+                         FROM documents)
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                       / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+                       AS jaccard
+              FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
+              ORDER BY doc_a, doc_b"""),
+      "N-gram Jaccard near-dup, blocked by source (blocking key bounds the pair join at scale)"),
+
+    QueryDef(
+      "q_multimodal_meta", Seq("S2", "F5"),
+      (s, d) => Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          octet_length(col("text")).cast(LongType).as("n_bytes"),
+          md5(col("text")).as("content_hash"),
+          ascii(substring(col("text"), 1, 1)).cast(LongType).as("magic_byte"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+                     md5(text) AS content_hash,
+                     CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS magic_byte
+              FROM documents ORDER BY doc_id"""),
+      "Opaque-blob metadata probe: byte length + content hash + magic byte — the schema/plumbing side of multimodal columns (decode itself is stubbed in graft.multimodal)")
+  )
+}
