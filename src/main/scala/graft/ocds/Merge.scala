@@ -1,0 +1,238 @@
+package graft.ocds
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+
+import scala.collection.mutable
+
+/** OCDS compile-releases merge engine (pure Scala, no Spark dependency).
+  *
+  * Re-implements the *public* OCDS merge specification (the behavior the
+  * reference drives through `ocdsmerge_rs` in
+  * `process/processors/compiler.py:135-177`; golden semantics pinned by
+  * `tests/processors/test_compiler.py:37-69`):
+  *
+  *  - releases of one `ocid` are applied in `date` order (ISO strings,
+  *    lexicographic — `compiler.py:56-58`), later fields overwrite earlier
+  *    (last-write-wins per flattened path);
+  *  - arrays of objects that carry an `id` merge item-by-item keyed on that
+  *    `id`; items never seen are appended in first-appearance order;
+  *  - arrays without item `id`s (or listed in `wholeListMerge`) are replaced
+  *    wholesale by the newest release that sets them;
+  *  - `omitWhenMerged` paths are dropped (default: `tag`, replaced by
+  *    `["compiled"]`);
+  *  - explicit `null` removes the field and its subtree;
+  *  - the compiled release gets `ocid`, `date` = max release date,
+  *    `id` = s"&#36;ocid-&#36;maxDate", `tag` = ["compiled"].
+  *
+  * Side outputs ([[MergeWarning]]) mirror the reference's collection notes:
+  * duplicate array ids within a release and repeated release dates
+  * (`process/processors/compiler.py:154-165` DuplicateIdValueWarning
+  * aggregation; RepeatedDateValueWarning).
+  *
+  * Scale note: one merge touches one ocid's releases only — the Spark job
+  * ([[graft.ocds.Compile]]) hash-partitions by ocid and streams each sorted
+  * group through this engine, so memory is bounded by the largest single
+  * contracting process, never the partition.
+  */
+object Merge {
+
+  /** Merge behavior overrides keyed by dotted schema path (array segments
+    * elided), e.g. "awards.suppliers". Defaults follow OCDS 1.1.5. */
+  final case class Rules(
+      omitWhenMerged: Set[String] = Set("tag"),
+      wholeListMerge: Set[String] = Set.empty)
+
+  val DefaultRules: Rules = Rules()
+
+  sealed trait MergeWarning { def path: String }
+  final case class DuplicateIdValue(path: String, id: String) extends MergeWarning
+  final case class RepeatedDateValue(path: String, date: String) extends MergeWarning
+  final case class NonObjectRelease(path: String) extends MergeWarning
+
+  final case class Result(compiled: ObjectNode, warnings: Seq[MergeWarning])
+
+  // A flattened path segment: an object field or an id-keyed array item.
+  private sealed trait Seg
+  private final case class F(name: String) extends Seg
+  private final case class I(id: String) extends Seg
+  private type Path = Vector[Seg]
+
+  private def dotted(p: Path): String =
+    p.collect { case F(n) => n }.mkString(".")
+
+  private val nf = JsonNodeFactory.instance
+
+  /** Merge `releases` (JSON text, pre-sorted by (date) ascending; ties keep
+    * input order) into one compiled release. */
+  def compile(ocid: String, releases: Seq[String], rules: Rules = DefaultRules): Result = {
+    val warnings = mutable.ArrayBuffer.empty[MergeWarning]
+    val acc = mutable.LinkedHashMap.empty[Path, JsonNode]
+    var maxDate = ""
+    val seenDates = mutable.Set.empty[String]
+
+    releases.foreach { text =>
+      val node = Canonical.parse(text)
+      if (!node.isObject) warnings += NonObjectRelease("")
+      else {
+        val rel = node.asInstanceOf[ObjectNode]
+        val date = Option(rel.get("date")).filter(_.isTextual).map(_.asText).getOrElse("")
+        if (date.nonEmpty && !seenDates.add(date)) warnings += RepeatedDateValue("date", date)
+        if (date > maxDate) maxDate = date
+        val flat = mutable.LinkedHashMap.empty[Path, JsonNode]
+        flatten(rel, Vector.empty, rules, flat, warnings)
+        flat.foreach { case (p, v) =>
+          if (v.isNull) { // explicit null: remove the field and its subtree
+            val doomed = acc.keys.filter(k => k == p || k.startsWith(p)).toList
+            doomed.foreach(acc.remove)
+          } else {
+            // a scalar overwriting a subtree (or vice versa) evicts the loser
+            val clash = acc.keys.filter(k => k != p && (k.startsWith(p) || p.startsWith(k))).toList
+            clash.foreach(acc.remove)
+            acc(p) = v
+          }
+        }
+      }
+    }
+
+    val compiled = unflatten(acc)
+    compiled.put("ocid", ocid)
+    if (maxDate.nonEmpty) {
+      compiled.put("date", maxDate)
+      compiled.put("id", s"$ocid-$maxDate")
+    } else compiled.put("id", ocid)
+    val tag = nf.arrayNode(1); tag.add("compiled")
+    compiled.set[JsonNode]("tag", tag)
+    Result(compiled, warnings.toSeq)
+  }
+
+  /** Depth-first flatten. Top-level ocid/id/date/tag are synthesized on the
+    * compiled release, so they are not merged as data. */
+  private def flatten(
+      n: JsonNode,
+      prefix: Path,
+      rules: Rules,
+      out: mutable.LinkedHashMap[Path, JsonNode],
+      warnings: mutable.ArrayBuffer[MergeWarning]): Unit = n match {
+    case o: ObjectNode =>
+      val it = o.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val (k, v) = (e.getKey, e.getValue)
+        val isTop = prefix.isEmpty
+        val special = isTop && (k == "ocid" || k == "id" || k == "date" || k == "tag")
+        val path = prefix :+ F(k)
+        if (!special && !rules.omitWhenMerged.contains(dotted(path))) v match {
+          case a: ArrayNode => flattenArray(a, path, rules, out, warnings)
+          case obj: ObjectNode if obj.size() > 0 => flatten(obj, path, rules, out, warnings)
+          case leaf => out(path) = leaf // scalars, null (removal), empty objects
+        }
+      }
+    case _ => ()
+  }
+
+  private def flattenArray(
+      a: ArrayNode,
+      path: Path,
+      rules: Rules,
+      out: mutable.LinkedHashMap[Path, JsonNode],
+      warnings: mutable.ArrayBuffer[MergeWarning]): Unit = {
+    val n = a.size()
+    def idOf(i: Int): Option[String] = {
+      val el = a.get(i)
+      if (el.isObject && el.has("id") && el.get("id").isValueNode)
+        Some(el.get("id").asText)
+      else None
+    }
+    val allKeyed = n > 0 && (0 until n).forall(i => idOf(i).isDefined)
+    if (!allKeyed || rules.wholeListMerge.contains(dotted(path))) {
+      out(path) = a // whole-list merge: the array is one opaque value
+    } else {
+      val seen = mutable.Set.empty[String]
+      (0 until n).foreach { i =>
+        val id = idOf(i).get
+        if (!seen.add(id)) warnings += DuplicateIdValue(dotted(path), id)
+        val itemPath = path :+ I(id)
+        // the id itself must survive into the merged item
+        out(itemPath :+ F("id")) = a.get(i).get("id")
+        flatten(a.get(i), itemPath, rules, out, warnings)
+      }
+    }
+  }
+
+  /** Rebuild the nested document; object keys and array items appear in
+    * first-write order (ids win positions on first appearance). */
+  private def unflatten(flat: mutable.LinkedHashMap[Path, JsonNode]): ObjectNode = {
+    val root = nf.objectNode()
+    flat.foreach { case (path, value) =>
+      var node: JsonNode = root
+      path.init.foreach { seg =>
+        node = seg match {
+          case F(name) =>
+            val o = node.asInstanceOf[ObjectNode]
+            if (!o.has(name) || !(o.get(name).isObject || o.get(name).isArray)) {
+              // container kind depends on the NEXT segment; decide lazily
+              o.set[JsonNode](name, nf.objectNode())
+            }
+            o.get(name)
+          case I(id) =>
+            // parent must be an array of id-keyed objects
+            val parentField = path.takeWhile(_ != seg) // path up to array
+            node match {
+              case arr: ArrayNode =>
+                findOrAppend(arr, id)
+              case o: ObjectNode =>
+                // replace the placeholder object with an array in its parent
+                throw new IllegalStateException(
+                  s"array expected at ${dotted(parentField)}")
+              case other => throw new IllegalStateException(other.getNodeType.toString)
+            }
+        }
+      }
+      // ensure array containers exist where an I segment follows an F segment
+      setLeaf(root, path, value)
+    }
+    root
+  }
+
+  /** Walk/construct containers along `path` and set the leaf value. */
+  private def setLeaf(root: ObjectNode, path: Path, value: JsonNode): Unit = {
+    var node: JsonNode = root
+    var i = 0
+    while (i < path.length - 1) {
+      val seg = path(i)
+      val nextIsId = path(i + 1).isInstanceOf[I]
+      seg match {
+        case F(name) =>
+          val o = node.asInstanceOf[ObjectNode]
+          val want: JsonNode =
+            if (nextIsId) { if (o.has(name) && o.get(name).isArray) o.get(name) else nf.arrayNode() }
+            else { if (o.has(name) && o.get(name).isObject) o.get(name) else nf.objectNode() }
+          if (o.get(name) ne want) o.set[JsonNode](name, want)
+          node = want
+        case I(id) =>
+          node = findOrAppend(node.asInstanceOf[ArrayNode], id)
+      }
+      i += 1
+    }
+    (path.last, node) match {
+      case (F(name), o: ObjectNode) => o.set[JsonNode](name, value)
+      case (I(id), arr: ArrayNode)  => () // ids are written via their "id" field
+      case (seg, other) =>
+        throw new IllegalStateException(s"cannot set $seg on ${other.getNodeType}")
+    }
+  }
+
+  private def findOrAppend(arr: ArrayNode, id: String): ObjectNode = {
+    var i = 0
+    while (i < arr.size()) {
+      val el = arr.get(i)
+      if (el.isObject && el.has("id") && el.get("id").asText == id)
+        return el.asInstanceOf[ObjectNode]
+      i += 1
+    }
+    val fresh = nf.objectNode()
+    arr.add(fresh)
+    fresh
+  }
+}
