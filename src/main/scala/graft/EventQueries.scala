@@ -88,7 +88,10 @@ object EventQueries {
             count(lit(1)).as("n_events"))
           .orderBy("user_id")
       },
-      Some(s"""SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events FROM (
+      // CAST .. AS BIGINT: DuckDB's SUM(int) is HUGEINT — same values, but
+      // the driver's hasher distinguishes int128 from int64 (r1 mismatch)
+      Some(s"""SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                      count(*) AS n_events FROM (
                  SELECT user_id,
                         SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SessionGapUs
                                  THEN 1 ELSE 0 END)

@@ -3,58 +3,131 @@ package graft.ocds
 import java.math.BigInteger
 import java.security.MessageDigest
 
-import com.fasterxml.jackson.core.JsonGenerator
 import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
-import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 /** Canonical JSON serialization + content hash.
   *
   * Replicates the reference's dedup identity (`process/util.py:98-100`):
   * `md5(json.dumps(data, separators=(",", ":"), sort_keys=True,
-  * use_decimal=True))` — compact separators, lexicographically sorted keys,
-  * and JSON numbers preserved exactly (parsed as BigDecimal, serialized as
-  * plain numbers, never floats — `file_worker.py:281,306` parses with ijson
-  * Decimals for the same reason).
+  * use_decimal=True))`. That call's observable contract, reproduced here:
   *
-  * Thread-safe: ObjectMapper is immutable after config; used from executor
-  * code via [[Canonical.mapper]] (one instance per JVM, shared across task
-  * threads — the Spark-idiomatic per-executor singleton).
+  *  - compact separators `","`/`":"`;
+  *  - keys sorted by Unicode **code point** (Python `str` comparison);
+  *  - `ensure_ascii=True` (the json-module default): every char outside
+  *    `0x20..0x7e` is emitted as a lowercase `\uXXXX` escape, astral chars
+  *    as their surrogate pair, plus the `\n \r \t \b \f \" \\` short forms;
+  *  - numbers preserved exactly: the reference parses with ijson
+  *    (`file_worker.py:281,306`), so floats are `Decimal` and `str(Decimal)`
+  *    follows the General Decimal Arithmetic to-scientific-string rules —
+  *    identical to Java `BigDecimal.toString`, so `1E+2`, `1.10`, `1E-7`
+  *    all round-trip byte-for-byte; ints are arbitrary-precision.
+  *
+  * Thread-safe: the mapper is immutable after config and the writer is
+  * allocation-local; used from executor code as a per-JVM singleton.
   */
 object Canonical {
 
-  /** Decimal-exact, order-preserving reader/writer. */
+  /** Decimal-exact reader (floats → BigDecimal, never double; exact node
+    * factory so trailing zeros survive — `1.10` must not normalize to
+    * `1.1`, or hashes diverge from the reference's Decimal-preserving
+    * serialization). */
   val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.configure(DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
-    m.configure(JsonGenerator.Feature.WRITE_BIGDECIMAL_AS_PLAIN, true)
+    m.setNodeFactory(com.fasterxml.jackson.databind.node.JsonNodeFactory.withExactBigDecimals(true))
     m
   }
 
   def parse(s: String): JsonNode = mapper.readTree(s)
 
-  /** Recursively sort object keys; arrays keep element order. */
-  def sortKeys(n: JsonNode): JsonNode = n match {
+  /** Python `str` ordering = code-point ordering (differs from Java's
+    * UTF-16 code-unit compareTo only for astral-plane characters, which
+    * sort AFTER all BMP chars here, as in Python). */
+  val codePointOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      var i = 0
+      var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+  }
+
+  private val hex = "0123456789abcdef".toCharArray
+
+  private def writeEscaped(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c >= ' ' && c <= '~' => sb.append(c)
+        case c => // ensure_ascii: \uxxxx per UTF-16 unit, lowercase hex
+          sb.append("\\u")
+            .append(hex((c >> 12) & 0xf)).append(hex((c >> 8) & 0xf))
+            .append(hex((c >> 4) & 0xf)).append(hex(c & 0xf))
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  private def write(sb: java.lang.StringBuilder, n: JsonNode): Unit = n match {
     case o: ObjectNode =>
-      val out = JsonNodeFactory.instance.objectNode()
       val names = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = o.fieldNames()
       while (it.hasNext) names += it.next()
-      names.sorted.foreach(k => out.set[JsonNode](k, sortKeys(o.get(k))))
-      out
+      sb.append('{')
+      var first = true
+      names.sorted(codePointOrdering).foreach { k =>
+        if (!first) sb.append(',')
+        first = false
+        writeEscaped(sb, k)
+        sb.append(':')
+        write(sb, o.get(k))
+      }
+      sb.append('}')
     case a: ArrayNode =>
-      val out = JsonNodeFactory.instance.arrayNode(a.size())
+      sb.append('[')
       var i = 0
-      while (i < a.size()) { out.add(sortKeys(a.get(i))); i += 1 }
-      out
-    case other => other
+      while (i < a.size()) {
+        if (i > 0) sb.append(',')
+        write(sb, a.get(i))
+        i += 1
+      }
+      sb.append(']')
+    case t if t.isTextual => writeEscaped(sb, t.textValue())
+    case d if d.isBigDecimal || d.isFloatingPointNumber =>
+      // BigDecimal.toString == str(Decimal): both implement the GDA
+      // to-scientific-string conversion, preserving scale and exponent form
+      sb.append(d.decimalValue().toString)
+    case num if num.isNumber => sb.append(num.bigIntegerValue().toString)
+    case b if b.isBoolean => sb.append(if (b.booleanValue()) "true" else "false")
+    case _ => sb.append("null") // null and anything non-standard
   }
 
-  /** Compact, key-sorted, decimal-preserving serialization. */
-  def canonicalize(json: String): String =
-    mapper.writeValueAsString(sortKeys(parse(json)))
+  /** Compact, key-sorted, ascii-escaped, decimal-preserving serialization —
+    * byte-identical to the reference's `json.dumps` call. */
+  def canonicalize(n: JsonNode): String = {
+    val sb = new java.lang.StringBuilder()
+    write(sb, n)
+    sb.toString
+  }
 
-  def canonicalize(n: JsonNode): String =
-    mapper.writeValueAsString(sortKeys(n))
+  def canonicalize(json: String): String = canonicalize(parse(json))
 
   def md5hex(s: String): String = {
     val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -10,25 +10,30 @@ import scala.collection.mutable
   * Re-implements the *public* OCDS merge specification (the behavior the
   * reference drives through `ocdsmerge_rs` in
   * `process/processors/compiler.py:135-177`; golden semantics pinned by
-  * `tests/processors/test_compiler.py:37-69`):
+  * `tests/processors/test_compiler.py:10-125` and ported to
+  * [[graft.ocds]] MergeSpec):
   *
   *  - releases of one `ocid` are applied in `date` order (ISO strings,
   *    lexicographic — `compiler.py:56-58`), later fields overwrite earlier
   *    (last-write-wins per flattened path);
   *  - arrays of objects that carry an `id` merge item-by-item keyed on that
-  *    `id`; items never seen are appended in first-appearance order;
+  *    `id` (key = the JSON value, so numeric `1` and string `"1"` stay
+  *    distinct); items never seen are appended in first-appearance order;
+  *    duplicate ids *within* one release collapse (later wins) with a
+  *    [[Merge.DuplicateIdValue]] warning;
   *  - arrays without item `id`s (or listed in `wholeListMerge`) are replaced
   *    wholesale by the newest release that sets them;
   *  - `omitWhenMerged` paths are dropped (default: `tag`, replaced by
   *    `["compiled"]`);
   *  - explicit `null` removes the field and its subtree;
   *  - the compiled release gets `ocid`, `date` = max release date,
-  *    `id` = s"&#36;ocid-&#36;maxDate", `tag` = ["compiled"].
-  *
-  * Side outputs ([[MergeWarning]]) mirror the reference's collection notes:
-  * duplicate array ids within a release and repeated release dates
-  * (`process/processors/compiler.py:154-165` DuplicateIdValueWarning
-  * aggregation; RepeatedDateValueWarning).
+  *    `id` = s"&#36;ocid-&#36;maxDate", `tag` = ["compiled"];
+  *  - a non-object release aborts the whole OCID (`compiled = None`) with a
+  *    [[Merge.NonObjectRelease]] error, mirroring the reference's
+  *    NonObjectReleaseError note (`test_compiler.py:71-93`);
+  *  - a release whose date repeats the previous release's date merges
+  *    normally but emits [[Merge.RepeatedDateValue]]
+  *    (RepeatedDateValueWarning, `test_compiler.py:54-61`).
   *
   * Scale note: one merge touches one ocid's releases only — the Spark job
   * ([[graft.ocds.Compile]]) hash-partitions by ocid and streams each sorted
@@ -45,17 +50,18 @@ object Merge {
 
   val DefaultRules: Rules = Rules()
 
-  sealed trait MergeWarning { def path: String }
+  sealed trait MergeWarning
   final case class DuplicateIdValue(path: String, id: String) extends MergeWarning
-  final case class RepeatedDateValue(path: String, date: String) extends MergeWarning
-  final case class NonObjectRelease(path: String) extends MergeWarning
+  final case class RepeatedDateValue(index: Int, date: String) extends MergeWarning
+  final case class NonObjectRelease(index: Int) extends MergeWarning
 
-  final case class Result(compiled: ObjectNode, warnings: Seq[MergeWarning])
+  final case class Result(compiled: Option[ObjectNode], warnings: Seq[MergeWarning])
 
-  // A flattened path segment: an object field or an id-keyed array item.
+  // A flattened path segment: an object field or an id-keyed array item
+  // (keyed on the canonicalized id VALUE, so 1 and "1" don't collide).
   private sealed trait Seg
   private final case class F(name: String) extends Seg
-  private final case class I(id: String) extends Seg
+  private final case class I(key: String) extends Seg
   private type Path = Vector[Seg]
 
   private def dotted(p: Path): String =
@@ -69,41 +75,50 @@ object Merge {
     val warnings = mutable.ArrayBuffer.empty[MergeWarning]
     val acc = mutable.LinkedHashMap.empty[Path, JsonNode]
     var maxDate = ""
-    val seenDates = mutable.Set.empty[String]
+    var prevDate: String = null
+    var failed = false
 
-    releases.foreach { text =>
-      val node = Canonical.parse(text)
-      if (!node.isObject) warnings += NonObjectRelease("")
-      else {
-        val rel = node.asInstanceOf[ObjectNode]
-        val date = Option(rel.get("date")).filter(_.isTextual).map(_.asText).getOrElse("")
-        if (date.nonEmpty && !seenDates.add(date)) warnings += RepeatedDateValue("date", date)
-        if (date > maxDate) maxDate = date
-        val flat = mutable.LinkedHashMap.empty[Path, JsonNode]
-        flatten(rel, Vector.empty, rules, flat, warnings)
-        flat.foreach { case (p, v) =>
-          if (v.isNull) { // explicit null: remove the field and its subtree
-            val doomed = acc.keys.filter(k => k == p || k.startsWith(p)).toList
-            doomed.foreach(acc.remove)
-          } else {
-            // a scalar overwriting a subtree (or vice versa) evicts the loser
-            val clash = acc.keys.filter(k => k != p && (k.startsWith(p) || p.startsWith(k))).toList
-            clash.foreach(acc.remove)
-            acc(p) = v
+    releases.iterator.zipWithIndex.foreach { case (text, idx) =>
+      if (!failed) {
+        val node = Canonical.parse(text)
+        if (!node.isObject) {
+          warnings += NonObjectRelease(idx)
+          failed = true
+        } else {
+          val rel = node.asInstanceOf[ObjectNode]
+          val date = Option(rel.get("date")).filter(_.isTextual).map(_.asText).getOrElse("")
+          if (date.nonEmpty && date == prevDate) warnings += RepeatedDateValue(idx, date)
+          prevDate = date
+          if (date > maxDate) maxDate = date
+          val flat = mutable.LinkedHashMap.empty[Path, JsonNode]
+          flatten(rel, Vector.empty, rules, flat, warnings)
+          flat.foreach { case (p, v) =>
+            if (v.isNull) { // explicit null: remove the field and its subtree
+              val doomed = acc.keys.filter(k => k == p || k.startsWith(p)).toList
+              doomed.foreach(acc.remove)
+            } else {
+              // a scalar overwriting a subtree (or vice versa) evicts the loser
+              val clash = acc.keys.filter(k => k != p && (k.startsWith(p) || p.startsWith(k))).toList
+              clash.foreach(acc.remove)
+              acc(p) = v
+            }
           }
         }
       }
     }
 
-    val compiled = unflatten(acc)
-    compiled.put("ocid", ocid)
-    if (maxDate.nonEmpty) {
-      compiled.put("date", maxDate)
-      compiled.put("id", s"$ocid-$maxDate")
-    } else compiled.put("id", ocid)
-    val tag = nf.arrayNode(1); tag.add("compiled")
-    compiled.set[JsonNode]("tag", tag)
-    Result(compiled, warnings.toSeq)
+    if (failed) Result(None, warnings.toSeq)
+    else {
+      val compiled = unflatten(acc)
+      compiled.put("ocid", ocid)
+      if (maxDate.nonEmpty) {
+        compiled.put("date", maxDate)
+        compiled.put("id", s"$ocid-$maxDate")
+      } else compiled.put("id", ocid)
+      val tag = nf.arrayNode(1); tag.add("compiled")
+      compiled.set[JsonNode]("tag", tag)
+      Result(Some(compiled), warnings.toSeq)
+    }
   }
 
   /** Depth-first flatten. Top-level ocid/id/date/tag are synthesized on the
@@ -138,23 +153,23 @@ object Merge {
       out: mutable.LinkedHashMap[Path, JsonNode],
       warnings: mutable.ArrayBuffer[MergeWarning]): Unit = {
     val n = a.size()
-    def idOf(i: Int): Option[String] = {
+    def idNode(i: Int): Option[JsonNode] = {
       val el = a.get(i)
-      if (el.isObject && el.has("id") && el.get("id").isValueNode)
-        Some(el.get("id").asText)
+      if (el.isObject && el.has("id") && el.get("id").isValueNode) Some(el.get("id"))
       else None
     }
-    val allKeyed = n > 0 && (0 until n).forall(i => idOf(i).isDefined)
+    val allKeyed = n > 0 && (0 until n).forall(i => idNode(i).isDefined)
     if (!allKeyed || rules.wholeListMerge.contains(dotted(path))) {
       out(path) = a // whole-list merge: the array is one opaque value
     } else {
       val seen = mutable.Set.empty[String]
       (0 until n).foreach { i =>
-        val id = idOf(i).get
-        if (!seen.add(id)) warnings += DuplicateIdValue(dotted(path), id)
-        val itemPath = path :+ I(id)
+        val id = idNode(i).get
+        val key = Canonical.canonicalize(id)
+        if (!seen.add(key)) warnings += DuplicateIdValue(dotted(path), id.asText)
+        val itemPath = path :+ I(key)
         // the id itself must survive into the merged item
-        out(itemPath :+ F("id")) = a.get(i).get("id")
+        out(itemPath :+ F("id")) = id
         flatten(a.get(i), itemPath, rules, out, warnings)
       }
     }
@@ -164,38 +179,15 @@ object Merge {
     * first-write order (ids win positions on first appearance). */
   private def unflatten(flat: mutable.LinkedHashMap[Path, JsonNode]): ObjectNode = {
     val root = nf.objectNode()
-    flat.foreach { case (path, value) =>
-      var node: JsonNode = root
-      path.init.foreach { seg =>
-        node = seg match {
-          case F(name) =>
-            val o = node.asInstanceOf[ObjectNode]
-            if (!o.has(name) || !(o.get(name).isObject || o.get(name).isArray)) {
-              // container kind depends on the NEXT segment; decide lazily
-              o.set[JsonNode](name, nf.objectNode())
-            }
-            o.get(name)
-          case I(id) =>
-            // parent must be an array of id-keyed objects
-            val parentField = path.takeWhile(_ != seg) // path up to array
-            node match {
-              case arr: ArrayNode =>
-                findOrAppend(arr, id)
-              case o: ObjectNode =>
-                // replace the placeholder object with an array in its parent
-                throw new IllegalStateException(
-                  s"array expected at ${dotted(parentField)}")
-              case other => throw new IllegalStateException(other.getNodeType.toString)
-            }
-        }
-      }
-      // ensure array containers exist where an I segment follows an F segment
-      setLeaf(root, path, value)
-    }
+    flat.foreach { case (path, value) => setLeaf(root, path, value) }
     root
   }
 
-  /** Walk/construct containers along `path` and set the leaf value. */
+  /** Walk/construct containers along `path` and set the leaf value. The
+    * container kind at each step is decided by the NEXT segment (F → object,
+    * I → array), so id-keyed arrays materialize correctly wherever they
+    * appear (the round-1 pre-walk that guessed object-first crashed on any
+    * release with parties/awards/items — ADVICE r1). */
   private def setLeaf(root: ObjectNode, path: Path, value: JsonNode): Unit = {
     var node: JsonNode = root
     var i = 0
@@ -210,24 +202,24 @@ object Merge {
             else { if (o.has(name) && o.get(name).isObject) o.get(name) else nf.objectNode() }
           if (o.get(name) ne want) o.set[JsonNode](name, want)
           node = want
-        case I(id) =>
-          node = findOrAppend(node.asInstanceOf[ArrayNode], id)
+        case I(key) =>
+          node = findOrAppend(node.asInstanceOf[ArrayNode], key)
       }
       i += 1
     }
     (path.last, node) match {
       case (F(name), o: ObjectNode) => o.set[JsonNode](name, value)
-      case (I(id), arr: ArrayNode)  => () // ids are written via their "id" field
+      case (I(_), _: ArrayNode)     => () // ids are written via their "id" field
       case (seg, other) =>
         throw new IllegalStateException(s"cannot set $seg on ${other.getNodeType}")
     }
   }
 
-  private def findOrAppend(arr: ArrayNode, id: String): ObjectNode = {
+  private def findOrAppend(arr: ArrayNode, key: String): ObjectNode = {
     var i = 0
     while (i < arr.size()) {
       val el = arr.get(i)
-      if (el.isObject && el.has("id") && el.get("id").asText == id)
+      if (el.isObject && el.has("id") && Canonical.canonicalize(el.get("id")) == key)
         return el.asInstanceOf[ObjectNode]
       i += 1
     }
