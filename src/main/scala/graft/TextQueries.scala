@@ -133,14 +133,23 @@ object TextQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks"))
+          .withColumn("nt", size(col("toks")))
         val a = docs.select(
-          col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+          col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("nt").as("nt_a"))
         val b = docs.select(
-          col("source").as("source_b"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-        val inter = size(array_intersect(col("toks_a"), col("toks_b")))
-        val uni = size(col("toks_a")) + size(col("toks_b")) - inter
-        a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b"))
-          .withColumn("jaccard", inter.cast(DoubleType) / uni.cast(DoubleType))
+          col("source").as("source_b"), col("doc_id").as("doc_b"), col("toks").as("toks_b"),
+          col("nt").as("nt_b"))
+        // Length-band prune: jaccard >= 0.9 implies min(|A|,|B|)/max >= 0.9
+        // (|∩| <= min, |∪| >= max), i.e. 10*|A| >= 9*|B| and vice versa.
+        // Cheap int compares run as the join residual, so the O(|A|+|B|)
+        // array_intersect only evaluates for same-length-band pairs — the
+        // filter that keeps the blocked pair join viable at 100 TB.
+        a.join(b, col("source") === col("source_b") && col("doc_a") < col("doc_b")
+            && col("nt_a") * 10 >= col("nt_b") * 9 && col("nt_b") * 10 >= col("nt_a") * 9)
+          .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+          .withColumn(
+            "jaccard",
+            col("inter").cast(DoubleType) / (col("nt_a") + col("nt_b") - col("inter")).cast(DoubleType))
           .filter(col("jaccard") >= 0.9)
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
           .orderBy("doc_a", "doc_b")

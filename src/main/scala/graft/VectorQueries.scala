@@ -7,31 +7,31 @@ import org.apache.spark.sql.types._
 /** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
   *
   * Numeric design: dot products / squared norms are per-element double
-  * products (IEEE-deterministic) cast to DECIMAL(38,18), exploded and
-  * SUMmed — Spark's decimal SUM keeps the scale, so accumulation is exact
-  * and addition-order-insensitive: results are identical across Spark
-  * partitionings AND identical to the DuckDB oracle. Only the final
-  * cosine = dot / (||a||·||b||) is computed in double.
+  * products (IEEE-deterministic) cast to DECIMAL(38,18) and folded with
+  * `aggregate` — decimal addition is exact and order-insensitive, so
+  * results are identical across Spark partitionings AND identical to the
+  * DuckDB oracle. Only the final cosine = dot / (||a||·||b||) is double.
   *
-  * Scale path: brute-force top-k is the correctness baseline (the query
-  * side broadcasts); the pair scan is blocked on a key (`label` here; an
-  * LSH bucket id in graft.ops) so the join never goes quadratic in the
-  * table size — the 100 TB strategy is bucket-join, not cross-join.
+  * Physical plan: the fold happens *inside the row* (one codegen'd
+  * projection), so a pair join computes its dot product with zero shuffle —
+  * the round-1 explode(64 terms)→groupBy formulation shuffled 64× the pair
+  * count into a wide-key aggregation, which is exactly the shape that dies
+  * at 100 TB. Pair generation is blocked on a key (`label` here; an LSH
+  * bucket id in the scale path) so the join never goes quadratic in the
+  * table size.
   */
 object VectorQueries {
 
   private val Dim = 64
   private val Dec = DecimalType(38, 18)
 
-  /** element-wise double products of two float vectors, as exact decimals. */
-  private def prodTerms(a: Column, b: Column): Column =
-    zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Dec))
-
-  /** (vec_id, norm_dec): exact squared L2 norm per vector. */
-  private def norms(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), explode(prodTerms(col("embedding"), col("embedding"))).as("sq"))
-      .groupBy("vec_id")
-      .agg(sum(col("sq")).as("norm_dec"))
+  /** Exact decimal dot product of two float vectors, folded in-row:
+    * sum_i cast(double(a_i)*double(b_i) as decimal(38,18)). */
+  private def dotDec(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Dec)),
+      lit(0).cast(Dec),
+      (acc, x) => acc + x)
 
   /** Final cosine. The decimal sums are exact in both engines, but
     * DECIMAL→DOUBLE conversion can differ by 1 ulp between Spark (string
@@ -46,22 +46,20 @@ object VectorQueries {
       "q_ann_bruteforce", Seq("A5", "O5", "J2"),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // query vector = embedding of vec 0, broadcast to every partition
-        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-        val sums = emb.crossJoin(broadcast(q))
+        // query vector = embedding of vec 0, broadcast to every partition;
+        // dot + norm are in-row folds, so the scan is one codegen stage
+        // feeding straight into TakeOrderedAndProject — the shape that
+        // scales to any table size with a constant-size driver result
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"), dotDec(col("embedding"), col("embedding")).as("qnorm_dec"))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
           .select(
             col("vec_id"),
-            explode(zip_with(col("embedding"), col("qe"), (x, y) => struct(
-              (x.cast(DoubleType) * y.cast(DoubleType)).cast(Dec).as("p"),
-              (x.cast(DoubleType) * x.cast(DoubleType)).cast(Dec).as("sq")))).as("t"))
-          .groupBy("vec_id")
-          .agg(sum(col("t.p")).as("dot_dec"), sum(col("t.sq")).as("norm_dec"))
-        val qn = sums.filter(col("vec_id") === 0).select(col("norm_dec").as("qnorm_dec"))
-        sums.crossJoin(broadcast(qn))
-          .filter(col("vec_id") =!= 0)
-          .select(
-            col("vec_id"),
-            cosineCol(col("dot_dec"), col("norm_dec"), col("qnorm_dec")).as("cosine"))
+            cosineCol(
+              dotDec(col("embedding"), col("qe")),
+              dotDec(col("embedding"), col("embedding")),
+              col("qnorm_dec")).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(10)
       },
@@ -81,27 +79,22 @@ object VectorQueries {
                         AS cosine
                FROM sums, qn WHERE sums.vec_id <> 0
                ORDER BY cosine DESC, vec_id LIMIT 10"""),
-      "Brute-force cosine top-k vs query vector (vec 0) — exact-decimal accumulation"),
+      "Brute-force cosine top-k vs query vector (vec 0) — exact-decimal in-row fold, no shuffle"),
 
     QueryDef(
       "q_neardup_embedding", Seq("J1", "A5"),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val n = norms(emb)
-        val withNorm = emb.join(n, "vec_id")
-        val a = withNorm.select(
+          .select(col("label"), col("vec_id"), col("embedding"),
+            dotDec(col("embedding"), col("embedding")).as("norm_dec"))
+        val a = emb.select(
           col("label"), col("vec_id").as("vec_a"),
           col("embedding").as("emb_a"), col("norm_dec").as("norm_a"))
-        val b = withNorm.select(
+        val b = emb.select(
           col("label").as("label_b"), col("vec_id").as("vec_b"),
           col("embedding").as("emb_b"), col("norm_dec").as("norm_b"))
         a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
-          .select(
-            col("label"), col("vec_a"), col("vec_b"), col("norm_a"), col("norm_b"),
-            explode(prodTerms(col("emb_a"), col("emb_b"))).as("p"))
-          .groupBy("label", "vec_a", "vec_b", "norm_a", "norm_b")
-          .agg(sum(col("p")).as("dot_dec"))
-          .withColumn("cosine", cosineCol(col("dot_dec"), col("norm_a"), col("norm_b")))
+          .withColumn("cosine", cosineCol(dotDec(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
           .filter(col("cosine") >= 0.3)
           .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
           .orderBy("label", "vec_a", "vec_b")
