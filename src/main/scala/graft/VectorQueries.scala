@@ -31,7 +31,11 @@ object VectorQueries {
     aggregate(
       zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Dec)),
       lit(0).cast(Dec),
-      (acc, x) => acc + x)
+      // Spark types DECIMAL(38,18)+DECIMAL(38,18) as DECIMAL(38,17); the
+      // re-cast keeps the accumulator at the zero's type so the lambda
+      // typechecks (round-2 DATATYPE_MISMATCH). Values are unaffected: each
+      // term is ~1e0, so 38-digit precision never saturates.
+      (acc, x) => (acc + x).cast(Dec))
 
   /** Final cosine. The decimal sums are exact in both engines, but
     * DECIMAL→DOUBLE conversion can differ by 1 ulp between Spark (string
