@@ -1,0 +1,104 @@
+package graft.ocds
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import scala.collection.mutable
+
+/** Spark job wrapping the pure [[Merge]] engine — the compile-releases
+  * flagship (SURVEY.md §2 A6/A7; reference
+  * `process/processors/compiler.py:21-114`).
+  *
+  * Physical plan, chosen for the 100 TB shape:
+  *
+  *   scan → hash `repartition($"ocid")` → `sortWithinPartitions(ocid, date,
+  *   tiebreak)` → `mapPartitions` streaming CONSECUTIVE groups
+  *
+  * i.e. exactly one shuffle keyed on ocid, then a single narrow pass per
+  * partition. The per-group iterator buffers only one contracting process's
+  * releases at a time — the same bound as the reference's `iterator() +
+  * groupby` scan ("Some OCIDs have thousands of releases",
+  * `compiler.py:61-65`) — never the whole partition, so executor memory is
+  * independent of partition size. Merge results are reduced to plain case
+  * classes INSIDE the partition, so no Jackson tree ever crosses an
+  * encoder/serialization boundary.
+  */
+object Compile {
+
+  /** One compiled contracting process, summarized into oracle-comparable
+    * scalars. */
+  final case class CompiledSummary(
+      ocid: String,
+      compiled_id: String,
+      max_date: String,
+      tender_status: String,
+      tender_amount: Double,
+      n_parties: Long,
+      n_releases: Long,
+      n_warnings: Long)
+
+  /** One merge warning, path-keyed (A7). Duplicate-id warnings carry their
+    * JSON path; repeated-date warnings are keyed "(date)". */
+  final case class WarningRow(ocid: String, path: String)
+
+  /** Streams consecutive same-key rows of a SORTED iterator as one group —
+    * memory bound = largest single group, never the partition. */
+  private def groupedByKey(it: Iterator[(String, String)]): Iterator[(String, Seq[String])] = {
+    val b = it.buffered
+    new Iterator[(String, Seq[String])] {
+      def hasNext: Boolean = b.hasNext
+      def next(): (String, Seq[String]) = {
+        val key = b.head._1
+        val buf = mutable.ArrayBuffer.empty[String]
+        while (b.hasNext && b.head._1 == key) buf += b.next()._2
+        key -> buf.toSeq
+      }
+    }
+  }
+
+  /** The shared physical plan: one ocid-keyed shuffle + sorted single-pass
+    * merge; `f` reduces each (ocid, result) to encodable rows in-partition.
+    * `releases` must have columns (ocid, date, tiebreak, release). */
+  private def perGroup[T: Encoder](releases: DataFrame, s: SparkSession)(
+      f: (String, Int, Merge.Result) => IterableOnce[T]): Dataset[T] = {
+    import s.implicits._
+    releases
+      .repartition(col("ocid"))
+      .sortWithinPartitions("ocid", "date", "tiebreak")
+      .select("ocid", "release")
+      .as[(String, String)]
+      .mapPartitions(it => groupedByKey(it).flatMap { case (ocid, rels) =>
+        f(ocid, rels.size, Merge.compile(ocid, rels))
+      })
+  }
+
+  /** Compile + extract the summary scalars the oracle can cross-check. */
+  def summaries(releases: DataFrame, s: SparkSession): Dataset[CompiledSummary] = {
+    import s.implicits._
+    perGroup(releases, s) { (ocid, nRel, res) =>
+      val c = res.compiled.getOrElse(
+        throw new IllegalStateException(s"merge failed for $ocid: ${res.warnings}"))
+      Seq(CompiledSummary(
+        ocid = ocid,
+        compiled_id = c.get("id").asText,
+        max_date = c.get("date").asText,
+        tender_status = c.get("tender").get("status").asText,
+        tender_amount = c.get("tender").get("value").get("amount").decimalValue.doubleValue,
+        n_parties = c.get("parties").size().toLong,
+        n_releases = nRel.toLong,
+        n_warnings = res.warnings.size.toLong))
+    }
+  }
+
+  /** Compile + emit the warning side-output, one row per warning (A7). */
+  def warnings(releases: DataFrame, s: SparkSession): Dataset[WarningRow] = {
+    import s.implicits._
+    perGroup(releases, s) { (ocid, _, res) =>
+      res.warnings.map {
+        case Merge.DuplicateIdValue(path, _) => WarningRow(ocid, path)
+        case Merge.RepeatedDateValue(_, _)   => WarningRow(ocid, "(date)")
+        case Merge.NonObjectRelease(_)       => WarningRow(ocid, "(non-object)")
+      }
+    }
+  }
+}
