@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ocds.Compile
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.ocds.{Canonical, Compile, RecordCompile, Upgrade}
 
 /** OCDS compile-releases wired into Spark (SURVEY.md §2 A6/A7 — the
   * reference's flagship transform, `process/processors/compiler.py:21-114`).
@@ -24,6 +27,16 @@ import graft.ocds.Compile
   * `tests/processors/test_compiler.py`.
   */
 object OcdsQueries {
+
+  /** Per-release upgrade summary (q_upgrade_parties output row). */
+  final case class UpgradeSummary(
+      event_id: Long, n_parties: Long, n_warnings: Long, buyer_id: String)
+
+  /** Per-record decision-tree summary (q_record_classify output row). */
+  final case class RecordSummary(
+      ocid: String, n_total: Long, n_dated: Long, n_undated: Long,
+      n_linked: Long, n_tagged: Long, outcome: String, compiled_id: String,
+      n_notes: Long)
 
   /** One synthetic OCDS release per event.
     * Columns: ocid, date, tiebreak, release (JSON text). */
@@ -65,6 +78,98 @@ object OcdsQueries {
               event_type, value,
               CAST(props->>'$.k' AS BIGINT) AS k
        FROM events"""
+
+  /** One synthetic OCDS **1.0** release per event (inline organizations, no
+    * parties array): buyer, procuringEntity (== buyer for even users),
+    * one tenderer, one supplier that matches the tenderer but (for k%3==0)
+    * carries an extra `details` field — the exact shape of the reference's
+    * upgrade golden (`tests/test_util.py:17-20`). */
+  private def releases10FromEvents(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val u = col("user_id")
+    val buyerName = concat(lit("Buyer-"), u % 7)
+    val peName = when(u % 2 === 0, buyerName).otherwise(concat(lit("PE-"), u % 7))
+    val tName = concat(lit("T-"), k % 5)
+    Tables.events(s, d).select(
+      col("event_id"),
+      to_json(struct(
+        struct(buyerName.as("name")).as("buyer"),
+        struct(
+          struct(peName.as("name")).as("procuringEntity"),
+          array(struct(tName.as("name"))).as("tenderers")).as("tender"),
+        array(struct(array(struct(
+          tName.as("name"),
+          when(k % 3 === 0, lit("d")).otherwise(lit(null).cast(StringType)).as("details")))
+          .as("suppliers")).as("awards")))).as("release"))
+  }
+
+  /** One synthetic record release per event, shaped to hit every branch of
+    * the record-compile decision tree: user%7==3 → all undated; user%5==1 →
+    * linked stubs (url+date only); user%11==4 → some releases tagged
+    * `compiled`; user%3==0 → the record embeds a compiledRelease. */
+  private def recordRowsFromEvents(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val u = col("user_id")
+    val ocid = concat(lit("ocds-"), u)
+    val dateStr = lpad(col("ts_us").cast(StringType), 20, "0")
+    val undated = (u % 7 === 3) || (u % 7 === 2 && k % 3 === 0)
+    val stub = u % 5 === 1
+    val nullS = lit(null).cast(StringType)
+    Tables.events(s, d).select(
+      ocid.as("ocid"),
+      col("event_id").as("tiebreak"),
+      (u % 3 === 0).as("has_cr"),
+      to_json(struct(
+        when(stub, nullS).otherwise(ocid).as("ocid"),
+        when(stub, nullS).otherwise(col("event_id").cast(StringType)).as("id"),
+        when(undated, nullS).otherwise(dateStr).as("date"),
+        when(stub, nullS).otherwise(
+          when(u % 11 === 4 && k % 2 === 0, lit("compiled")).otherwise(lit("planning"))).as("tag0"),
+        when(stub, concat(lit("http://x/"), col("event_id"))).otherwise(nullS).as("url"),
+        when(stub, lit(null).cast(StringType)).otherwise(col("event_type")).as("status")))
+        .as("release"))
+  }
+
+  /** Record-compile job: same one-shuffle sorted-group plan as
+    * [[Compile]], then the pure decision tree per record. */
+  private def recordClassify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    recordRowsFromEvents(s, d)
+      .repartition(col("ocid"))
+      .sortWithinPartitions("ocid", "tiebreak")
+      .select("ocid", "has_cr", "release")
+      .as[(String, Boolean, String)]
+      .mapPartitions { it =>
+        Compile.consecutiveGroups(it)(_._1).map { case (ocid, rows) =>
+          val record = Canonical.mapper.createObjectNode()
+          val releases = Canonical.mapper.createArrayNode()
+          rows.foreach { case (_, _, json) =>
+            // tag0 is a to_json-friendly scalar; expand to the OCDS list form
+            val r = Canonical.parse(json).asInstanceOf[ObjectNode]
+            Option(r.remove("tag0")).filter(_.isTextual).foreach { t =>
+              val tags = Canonical.mapper.createArrayNode(); tags.add(t.asText)
+              r.set[JsonNode]("tag", tags)
+            }
+            releases.add(r)
+          }
+          record.set[JsonNode]("releases", releases)
+          if (rows.head._2) {
+            val cr = Canonical.mapper.createObjectNode()
+            cr.put("id", s"$ocid-CR")
+            record.set[JsonNode]("compiledRelease", cr)
+          }
+          val dcn = RecordCompile.decide(ocid, record)
+          val c = dcn.classification
+          RecordSummary(
+            ocid, c.total.toLong, c.dated.toLong, c.undated.toLong,
+            c.linked.toLong, c.tagged.toLong, dcn.outcome,
+            dcn.compiled.flatMap(o => Option(o.get("id")).map(_.asText)).orNull,
+            dcn.notes.size.toLong)
+        }
+      }
+      .toDF()
+      .orderBy("ocid")
+  }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -110,6 +215,71 @@ object OcdsQueries {
                  UNION ALL
                  SELECT '(date)' AS path, CAST(coalesce(sum(rep), 0) AS BIGINT) AS n FROM d)
                WHERE n > 0 ORDER BY path"""),
-      "Warning aggregation by path (A7): duplicate-id + repeated-date side-outputs of the merge, grouped per JSON path (compiler.py:154-165)")
+      "Warning aggregation by path (A7): duplicate-id + repeated-date side-outputs of the merge, grouped per JSON path (compiler.py:154-165)"),
+
+    QueryDef(
+      "q_upgrade_parties", Seq("F11", "F5", "F8"),
+      (s, d) => {
+        import s.implicits._
+        releases10FromEvents(s, d)
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (eid, json) =>
+            val res = Upgrade.upgrade(Canonical.parse(json).asInstanceOf[ObjectNode])
+            UpgradeSummary(
+              eid,
+              res.release.get("parties").size().toLong,
+              res.warnings.size.toLong,
+              res.release.get("buyer").get("id").asText)
+          })
+          .toDF()
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+                     CAST(CASE WHEN user_id % 2 = 0 THEN 2 ELSE 3 END AS BIGINT) AS n_parties,
+                     CAST(CASE WHEN CAST(props->>'$.k' AS BIGINT) % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_warnings,
+                     md5('Buyer-' || CAST(user_id % 7 AS VARCHAR) || '----') AS buyer_id
+              FROM events ORDER BY event_id"""),
+      "OCDS 1.0→1.1 upgrade (F11) over synthesized 1.0 releases: parties collection, md5 id synthesis (oracle recomputes the hash), role merge, differs-warnings"),
+
+    QueryDef(
+      "q_record_classify", Seq("P5", "A9", "O2", "F12", "W2"),
+      (s, d) => recordClassify(s, d),
+      Some("""WITH r AS (
+                SELECT 'ocds-' || CAST(user_id AS VARCHAR) AS ocid,
+                       user_id AS u, event_id,
+                       CAST(props->>'$.k' AS BIGINT) AS k,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') AS d0
+                FROM events),
+              rr AS (
+                SELECT ocid, u, event_id,
+                       CASE WHEN u % 7 = 3 OR (u % 7 = 2 AND k % 3 = 0) THEN NULL ELSE d0 END AS rdate,
+                       CASE WHEN u % 5 = 1 THEN 1 ELSE 0 END AS stub,
+                       CASE WHEN u % 5 <> 1 AND u % 11 = 4 AND k % 2 = 0 THEN 1 ELSE 0 END AS tagged
+                FROM r),
+              cls AS (
+                SELECT ocid,
+                       CAST(count(*) AS BIGINT) AS n_total,
+                       CAST(count(rdate) AS BIGINT) AS n_dated,
+                       CAST(count(*) - count(rdate) AS BIGINT) AS n_undated,
+                       CAST(coalesce(sum(CASE WHEN rdate IS NOT NULL AND stub = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_linked,
+                       CAST(coalesce(sum(tagged), 0) AS BIGINT) AS n_tagged,
+                       max(rdate) AS max_rdate,
+                       min(CASE WHEN tagged = 1 THEN event_id END) AS first_tagged,
+                       (min(u) % 3 = 0) AS has_cr
+                FROM rr GROUP BY ocid)
+              SELECT ocid, n_total, n_dated, n_undated, n_linked, n_tagged,
+                     CASE WHEN n_dated > 0 AND n_linked = 0 THEN 'merged'
+                          WHEN has_cr THEN 'compiledRelease'
+                          WHEN n_tagged > 0 THEN 'tagged'
+                          ELSE 'none' END AS outcome,
+                     CASE WHEN n_dated > 0 AND n_linked = 0 THEN ocid || '-' || max_rdate
+                          WHEN has_cr THEN ocid || '-CR'
+                          WHEN n_tagged > 0 THEN CAST(first_tagged AS VARCHAR)
+                          ELSE NULL END AS compiled_id,
+                     CAST(CASE WHEN n_dated > 0 AND n_linked = 0
+                               THEN CASE WHEN n_undated > 0 THEN 1 ELSE 0 END
+                               ELSE 2 END AS BIGINT) AS n_notes
+              FROM cls ORDER BY ocid"""),
+      "Record-compile decision tree (record_compiler.py:78-143): classification counts (A9), linked-release predicate (F12), in-group date sort (O2), fallback order; oracle replays the tree relationally")
   )
 }

@@ -127,6 +127,42 @@ object Canonical {
     sb.toString
   }
 
+  /** `json.dumps(n)` with DEFAULT formatting: insertion-order keys,
+    * separators `", "` / `": "`, ensure_ascii escapes. Used where the
+    * reference embeds default-dumped JSON in human-readable warning text
+    * (e.g. the upgrade's party-differs note, `tests/test_util.py:26-30`). */
+  def pyDumps(n: JsonNode): String = {
+    val sb = new java.lang.StringBuilder()
+    def go(x: JsonNode): Unit = x match {
+      case o: ObjectNode =>
+        sb.append('{')
+        val it = o.fields()
+        var first = true
+        while (it.hasNext) {
+          val e = it.next()
+          if (!first) sb.append(", ")
+          first = false
+          writeEscaped(sb, e.getKey)
+          sb.append(": ")
+          go(e.getValue)
+        }
+        sb.append('}')
+      case a: ArrayNode =>
+        sb.append('[')
+        var i = 0
+        while (i < a.size()) {
+          if (i > 0) sb.append(", ")
+          go(a.get(i))
+          i += 1
+        }
+        sb.append(']')
+      case other =>
+        write(sb, other) // scalars format identically in both modes
+    }
+    go(n)
+    sb.toString
+  }
+
   def canonicalize(json: String): String = canonicalize(parse(json))
 
   def md5hex(s: String): String = {

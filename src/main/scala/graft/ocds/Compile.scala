@@ -42,19 +42,23 @@ object Compile {
   final case class WarningRow(ocid: String, path: String)
 
   /** Streams consecutive same-key rows of a SORTED iterator as one group —
-    * memory bound = largest single group, never the partition. */
-  private def groupedByKey(it: Iterator[(String, String)]): Iterator[(String, Seq[String])] = {
+    * memory bound = largest single group, never the partition. Shared by
+    * every per-ocid job (release compile, record compile, …). */
+  def consecutiveGroups[R](it: Iterator[R])(key: R => String): Iterator[(String, Seq[R])] = {
     val b = it.buffered
-    new Iterator[(String, Seq[String])] {
+    new Iterator[(String, Seq[R])] {
       def hasNext: Boolean = b.hasNext
-      def next(): (String, Seq[String]) = {
-        val key = b.head._1
-        val buf = mutable.ArrayBuffer.empty[String]
-        while (b.hasNext && b.head._1 == key) buf += b.next()._2
-        key -> buf.toSeq
+      def next(): (String, Seq[R]) = {
+        val k = key(b.head)
+        val buf = mutable.ArrayBuffer.empty[R]
+        while (b.hasNext && key(b.head) == k) buf += b.next()
+        k -> buf.toSeq
       }
     }
   }
+
+  private def groupedByKey(it: Iterator[(String, String)]): Iterator[(String, Seq[String])] =
+    consecutiveGroups(it)(_._1).map { case (k, rows) => k -> rows.map(_._2) }
 
   /** The shared physical plan: one ocid-keyed shuffle + sorted single-pass
     * merge; `f` reduces each (ocid, result) to encodable rows in-partition.

@@ -1,0 +1,249 @@
+package graft.ocds
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import scala.collection.mutable
+
+/** OCDS 1.0 → 1.1 upgrade (SURVEY.md §2 F11/F12; reference
+  * `process/management/commands/file_worker.py:330-335` driving ocdskit's
+  * public `upgrade_10_11`, warning capture via
+  * `process/util.py:156-169`; golden behavior pinned by
+  * `tests/test_util.py:14-37`).
+  *
+  * Re-implemented from the PUBLIC upgrade semantics (OCDS 1.1 changelog +
+  * the reference test's observable contract):
+  *
+  *  1. **Parties array**: organizations inlined at `buyer`,
+  *     `tender.procuringEntity`, `tender.tenderers[]`, `awards[].suppliers[]`
+  *     move into a top-level `parties` array and are replaced in place by
+  *     OrganizationReferences `{id, name}`. An organization without an `id`
+  *     gets a deterministic synthesized id:
+  *     `md5(name "-" identifier.scheme "-" identifier.id "-"
+  *     identifier.legalName "-" identifier.uri)` with absent fields as empty
+  *     strings — verified against the reference golden
+  *     (`3c9756cf8983b14066a034079aa7aae4` for
+  *     `{"name": "Acme Inc.", "identifier": {"id": 1}}`,
+  *     `tests/test_util.py:27`).
+  *  2. **Role merge + differs-warning**: the same party id seen in several
+  *     roles accumulates `roles`; if the organization *content* differs
+  *     between occurrences, a warning is emitted with the exact reference
+  *     text: `party in "X" role differs from party in [roles] roles:` +
+  *     the two default-format JSON dumps (`tests/test_util.py:24-30`). The
+  *     first-seen organization wins; later roles are appended.
+  *  3. **Amendments**: singular `amendment` on `tender` / `awards[]` /
+  *     `contracts[]` becomes `amendments: [amendment]`.
+  *  4. **Transactions**: in `contracts[].implementation.transactions[]`,
+  *     `amount` → `value`, and the 1.0 Identifier objects
+  *     `providerOrganization`/`receiverOrganization` become `payer`/`payee`
+  *     OrganizationReferences (the organization, named by its `legalName`,
+  *     joins `parties` with the corresponding role).
+  *
+  * Party identity keys on the canonicalized `id` JSON value, so numeric `1`
+  * and string `"1"` stay distinct (same rule as [[Merge]] array-item keys).
+  *
+  * Pure JVM engine (no Spark types) — driven per-row from the ingest path
+  * ([[graft.ingest.Ingest]]) exactly like [[Merge]] is from [[Compile]].
+  */
+object Upgrade {
+
+  /** Upgraded release + captured warnings (the reference stores these as
+    * WARNING-level collection notes). */
+  final case class Result(release: ObjectNode, warnings: Seq[String])
+
+  private def textOrEmpty(n: JsonNode): String =
+    if (n == null || n.isNull || n.isMissingNode) "" else n.asText
+
+  /** Deterministic party id for organizations without one (golden-pinned). */
+  def partyId(org: ObjectNode): String = {
+    val ident = org.get("identifier") match {
+      case o: ObjectNode => o
+      case _             => null
+    }
+    def identField(f: String): String =
+      if (ident == null) "" else textOrEmpty(ident.get(f))
+    val parts = Seq(
+      textOrEmpty(org.get("name")),
+      identField("scheme"),
+      identField("id"),
+      identField("legalName"),
+      identField("uri"))
+    Canonical.md5hex(parts.mkString("-"))
+  }
+
+  /** ocdskit's public `is_linked_release` (F12): a stub that links to the
+    * full release elsewhere — has a `url`, no more than `maximumProperties`
+    * total properties, and no `tag`. */
+  def isLinkedRelease(release: JsonNode, maximumProperties: Int = 3): Boolean =
+    release.isObject && release.has("url") && release.size() <= maximumProperties &&
+      !release.has("tag")
+
+  def upgrade(release: ObjectNode): Result = {
+    val out = release.deepCopy[ObjectNode]()
+    val warnings = mutable.ArrayBuffer.empty[String]
+    // insertion-ordered party registry keyed by canonicalized id value
+    val parties = mutable.LinkedHashMap.empty[String, ObjectNode]
+
+    // seed with any pre-existing parties (idempotent re-upgrade)
+    out.get("parties") match {
+      case a: ArrayNode =>
+        a.forEach { p =>
+          p match {
+            case o: ObjectNode if o.has("id") =>
+              parties.put(Canonical.canonicalize(o.get("id")), o.deepCopy[ObjectNode]())
+            case _ => ()
+          }
+        }
+      case _ => ()
+    }
+
+    /** Register `org` under `role`; return the OrganizationReference. */
+    def addParty(orgIn: ObjectNode, field: String, role: String): ObjectNode = {
+      val org: ObjectNode =
+        if (orgIn.has("id")) orgIn.deepCopy[ObjectNode]()
+        else {
+          // synthesized id goes FIRST (the reference's dumps show id-first)
+          val withId = Canonical.mapper.createObjectNode()
+          withId.put("id", partyId(orgIn))
+          orgIn.fields().forEachRemaining(e => withId.set[JsonNode](e.getKey, e.getValue.deepCopy[JsonNode]()))
+          withId
+        }
+      val idNode = org.get("id")
+      val key = Canonical.canonicalize(idNode)
+
+      parties.get(key) match {
+        case None =>
+          val stored = org.deepCopy[ObjectNode]()
+          val roles = Canonical.mapper.createArrayNode()
+          roles.add(role)
+          stored.set[JsonNode]("roles", roles)
+          parties.put(key, stored)
+        case Some(existing) =>
+          val existingRoles = existing.get("roles") match {
+            case a: ArrayNode => a
+            case _ =>
+              val a = Canonical.mapper.createArrayNode(); existing.set[JsonNode]("roles", a); a
+          }
+          val existingNoRoles = existing.deepCopy[ObjectNode]()
+          existingNoRoles.remove("roles")
+          if (existingNoRoles != org)
+            warnings += s"""party in "$field" role differs from party in ${Canonical
+                .pyDumps(existingRoles)} roles:\n${Canonical.pyDumps(org)}\n${Canonical.pyDumps(existingNoRoles)}\n"""
+          var present = false
+          existingRoles.forEach(r => if (r.asText == role) present = true)
+          if (!present) existingRoles.add(role)
+      }
+
+      val ref = Canonical.mapper.createObjectNode()
+      ref.set[JsonNode]("id", idNode.deepCopy[JsonNode]())
+      if (org.has("name")) ref.set[JsonNode]("name", org.get("name").deepCopy[JsonNode]())
+      ref
+    }
+
+    def asObj(n: JsonNode): Option[ObjectNode] = n match {
+      case o: ObjectNode => Some(o)
+      case _             => None
+    }
+
+    // 1. buyer / procuringEntity / tenderers / suppliers
+    asObj(out.get("buyer")).foreach(b => out.set[JsonNode]("buyer", addParty(b, "buyer", "buyer")))
+    asObj(out.get("tender")).foreach { tender =>
+      asObj(tender.get("procuringEntity")).foreach(pe =>
+        tender.set[JsonNode]("procuringEntity", addParty(pe, "procuringEntity", "procuringEntity")))
+      tender.get("tenderers") match {
+        case a: ArrayNode =>
+          val replaced = Canonical.mapper.createArrayNode()
+          a.forEach {
+            case o: ObjectNode => replaced.add(addParty(o, "tenderer", "tenderer"))
+            case other         => replaced.add(other.deepCopy[JsonNode]())
+          }
+          tender.set[JsonNode]("tenderers", replaced)
+        case _ => ()
+      }
+    }
+    out.get("awards") match {
+      case awards: ArrayNode =>
+        awards.forEach {
+          case award: ObjectNode =>
+            award.get("suppliers") match {
+              case a: ArrayNode =>
+                val replaced = Canonical.mapper.createArrayNode()
+                a.forEach {
+                  case o: ObjectNode => replaced.add(addParty(o, "supplier", "supplier"))
+                  case other         => replaced.add(other.deepCopy[JsonNode]())
+                }
+                award.set[JsonNode]("suppliers", replaced)
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+
+    // 2. transactions: amount→value, provider/receiver → payer/payee
+    out.get("contracts") match {
+      case contracts: ArrayNode =>
+        contracts.forEach {
+          case contract: ObjectNode =>
+            asObj(contract.get("implementation")).foreach { impl =>
+              impl.get("transactions") match {
+                case txs: ArrayNode =>
+                  txs.forEach {
+                    case tx: ObjectNode =>
+                      if (tx.has("amount") && !tx.has("value")) {
+                        tx.set[JsonNode]("value", tx.remove("amount"))
+                      }
+                      for ((old, role) <- Seq("providerOrganization" -> "payer", "receiverOrganization" -> "payee"))
+                        asObj(tx.get(old)).foreach { identifier =>
+                          // 1.0 stores an Identifier; wrap it as an
+                          // organization named by its legalName
+                          val org = Canonical.mapper.createObjectNode()
+                          if (identifier.has("legalName"))
+                            org.set[JsonNode]("name", identifier.get("legalName").deepCopy[JsonNode]())
+                          org.set[JsonNode]("identifier", identifier.deepCopy[JsonNode]())
+                          tx.remove(old)
+                          tx.set[JsonNode](role, addParty(org, role, role))
+                        }
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+
+    // 3. amendment → amendments
+    def upgradeAmendment(o: ObjectNode): Unit =
+      if (o.has("amendment") && !o.has("amendments")) {
+        val arr = Canonical.mapper.createArrayNode()
+        arr.add(o.remove("amendment"))
+        o.set[JsonNode]("amendments", arr)
+      }
+    asObj(out.get("tender")).foreach(upgradeAmendment)
+    for (f <- Seq("awards", "contracts")) out.get(f) match {
+      case a: ArrayNode => a.forEach { case o: ObjectNode => upgradeAmendment(o); case _ => () }
+      case _            => ()
+    }
+
+    // 4. materialize parties (in first-seen order)
+    if (parties.nonEmpty) {
+      val arr = Canonical.mapper.createArrayNode()
+      parties.values.foreach(arr.add)
+      out.set[JsonNode]("parties", arr)
+    }
+
+    Result(out, warnings.toSeq)
+  }
+
+  /** String-in/string-out convenience for row-level use on executors. */
+  def upgradeJson(json: String): (String, Seq[String]) = {
+    Canonical.parse(json) match {
+      case o: ObjectNode =>
+        val r = upgrade(o)
+        (Canonical.canonicalize(r.release), r.warnings)
+      case other => (Canonical.canonicalize(other), Nil)
+    }
+  }
+}
