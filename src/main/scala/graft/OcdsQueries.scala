@@ -100,7 +100,7 @@ object OcdsQueries {
         array(struct(array(struct(
           tName.as("name"),
           when(k % 3 === 0, lit("d")).otherwise(lit(null).cast(StringType)).as("details")))
-          .as("suppliers")).as("awards")))).as("release"))
+          .as("suppliers"))).as("awards"))).as("release"))
   }
 
   /** One synthetic record release per event, shaped to hit every branch of
