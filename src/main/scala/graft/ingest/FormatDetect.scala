@@ -95,7 +95,8 @@ object FormatDetect {
       throw new UnknownFormatError("top-level JSON value is a non-OCDS object")
 
     // one pass over the FIRST object's root fields
-    var hasRecords, hasReleases, hasOcid, hasTag, tagCompiled, hasEnvelope = false
+    var hasRecords, hasReleases, hasOcid, hasTag, tagCompiled = false
+    var hasEnvelope, hasNonEnvelope = false
     var depth = 1
     var tok = p.nextToken()
     while (tok != null && depth > 0) {
@@ -117,7 +118,7 @@ object FormatDetect {
               }
             } else if (v == JsonToken.START_OBJECT) depth += 1 // malformed tag; keep bookkeeping
           case k if PackageEnvelopeKeys.contains(k) => hasEnvelope = true
-          case _ => ()
+          case _ => hasNonEnvelope = true
         }
       }
       tok match {
@@ -135,7 +136,10 @@ object FormatDetect {
       else if (tagCompiled) Format.CompiledRelease
       else if (hasTag) Format.Release
       else if (hasOcid) Format.VersionedRelease
-      else if (hasEnvelope) Format.EmptyPackage
+      // empty package requires EVERY root key to be package metadata — an
+      // envelope key next to an unrecognized key is an unknown format, like
+      // ocdskit's all-keys-are-prefixes rule (ADVICE r3)
+      else if (hasEnvelope && !hasNonEnvelope) Format.EmptyPackage
       else throw new UnknownFormatError("top-level JSON value is a non-OCDS object")
 
     // concatenated = more top-level values follow the first one

@@ -76,13 +76,16 @@ object Compile {
       })
   }
 
-  /** Compile + extract the summary scalars the oracle can cross-check. */
+  /** Compile + extract the summary scalars the oracle can cross-check.
+    * A group whose merge fails (all releases non-object) yields NO summary
+    * row instead of killing the job — the reference records an ERROR
+    * CollectionNote for that ocid and keeps compiling the rest
+    * (`compile_releases` error path, `processors/compiler.py:75-84`); here
+    * the failure surfaces as a `(non-object)` row in [[warnings]]. */
   def summaries(releases: DataFrame, s: SparkSession): Dataset[CompiledSummary] = {
     import s.implicits._
     perGroup(releases, s) { (ocid, nRel, res) =>
-      val c = res.compiled.getOrElse(
-        throw new IllegalStateException(s"merge failed for $ocid: ${res.warnings}"))
-      Seq(CompiledSummary(
+      res.compiled.toSeq.map(c => CompiledSummary(
         ocid = ocid,
         compiled_id = c.get("id").asText,
         max_date = c.get("date").asText,
