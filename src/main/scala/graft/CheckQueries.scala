@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.check.Checker
+
+/** Structural-check query surface (SURVEY.md §2 V1; reference checker.py).
+  *
+  * The driver's tables carry no OCDS documents, so release packages are
+  * SYNTHESIZED from `events` with five deterministically-injected defect
+  * classes, one per row at most (if/else on k mods, so each class's count is
+  * a pure predicate count the DuckDB oracle re-derives relationally):
+  * k%5=0 drops the required `date`; else k%7=0 types `date` as a number;
+  * else k%11=0 uses a non-codelist `initiationType`; else k%13=0 blanks
+  * `ocid` (minLength); else k%17=0 sends a date-only string where date-time
+  * is required (format). A green hash checks the whole V1 path: repackaging
+  * into the envelope, schema compile/cache, recursive validation, error
+  * paths, and the aggregation over the exploded error rows.
+  */
+object CheckQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_check_releases", Seq("V1", "A1", "P3"),
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast(LongType)
+        val isReq = k % 5 === 0
+        val isType = !isReq && (k % 7 === 0)
+        val isEnum = !isReq && !isType && (k % 11 === 0)
+        val isMinLen = !isReq && !isType && !isEnum && (k % 13 === 0)
+        val isFmt = !isReq && !isType && !isEnum && !isMinLen && (k % 17 === 0)
+        val ocidStr = when(isMinLen, lit("")).otherwise(concat(lit("ocds-"), col("user_id")))
+        val dateFrag = when(isReq, lit(""))
+          .when(isType, lit("\"date\":123,"))
+          .when(isFmt, lit("\"date\":\"2020-01-02\","))
+          .otherwise(lit("\"date\":\"2020-01-02T03:04:05Z\","))
+        val initType = when(isEnum, lit("direct")).otherwise(lit("tender"))
+        val rows = Tables.events(s, d).select(
+          col("event_id").as("id"),
+          concat(
+            lit("{\"ocid\":\""), ocidStr,
+            lit("\",\"id\":\""), col("event_id").cast(StringType), lit("\","),
+            dateFrag,
+            lit("\"tag\":[\"planning\"],\"initiationType\":\""), initType, lit("\"}")
+          ).as("data"),
+          concat(
+            lit("{\"uri\":\"http://example.org/"), col("event_id").cast(StringType),
+            lit("\",\"publishedDate\":\"2020-01-01T00:00:00Z\","),
+            lit("\"publisher\":{\"name\":\"P\"},\"version\":\"1.1\"}")
+          ).as("package_data"))
+        Checker.checkErrors(rows, "release", s)
+          .toDF()
+          .groupBy(col("path"), col("kind"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("path", "kind")
+      },
+      Some("""WITH c AS (
+                SELECT CASE WHEN k % 5 = 0 THEN 'required'
+                            WHEN k % 7 = 0 THEN 'type'
+                            WHEN k % 11 = 0 THEN 'enum'
+                            WHEN k % 13 = 0 THEN 'minLength'
+                            WHEN k % 17 = 0 THEN 'format'
+                            ELSE 'ok' END AS kind
+                FROM (SELECT CAST(props->>'$.k' AS BIGINT) AS k FROM events))
+              SELECT CASE kind WHEN 'minLength' THEN 'releases/0/ocid'
+                               WHEN 'enum' THEN 'releases/0/initiationType'
+                               ELSE 'releases/0/date' END AS path,
+                     kind, count(*) AS n
+              FROM c WHERE kind <> 'ok'
+              GROUP BY 1, 2 ORDER BY path, kind"""),
+      "Structural checks (V1): repackage each stored release into its envelope, validate " +
+        "against the OCDS schema subset, aggregate exploded validation errors by path+kind; " +
+        "oracle re-derives each defect class as a predicate count")
+  )
+}

@@ -1,0 +1,99 @@
+package graft.check
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.ocds.Canonical
+
+/** Structural check job (SURVEY.md §2 V1; reference
+  * `process/management/commands/checker.py:80-131`).
+  *
+  * Per item: re-wrap the stored release/record into its package envelope
+  * (the reference rebuilds `{**package_data, releases: [data]}`,
+  * `checker.py:101-108`), validate the package against the structural
+  * schema, and emit a `cove_output`-shaped JSON summary — here the
+  * validation-errors list plus counters, the analogue of the reference's
+  * lib-cove output minus its aggregate sections (which the reference also
+  * disables: `skip_aggregates`, `checker.py:23-30`).
+  *
+  * Spark shape: a narrow `mapPartitions` over (id, data, package_data) —
+  * no shuffle, schema compiled once per executor ([[OcdsSchemas]]), scales
+  * linearly with the fact table. The check table (release_check /
+  * record_check) is the result Dataset; J3's left-anti join over it selects
+  * unchecked items for incremental runs.
+  */
+object Checker {
+
+  /** One check-table row (reference `process/models.py:383-407`). */
+  final case class CheckRow(id: Long, ok: Boolean, n_errors: Long, cove_output: String)
+
+  /** One validation error, exploded (for aggregation queries). */
+  final case class CheckErrorRow(id: Long, path: String, kind: String, expected: String)
+
+  /** Rebuild the package envelope around one stored item
+    * (`checker.py:101-108`): package metadata minus the items array, plus
+    * `itemsField: [item]`. A missing/blank package_data yields a bare
+    * `{itemsField: [item]}` envelope, which then fails the envelope's
+    * required checks — same behavior as checking a metadata-less package. */
+  def repackage(itemJson: String, packageJson: String, itemsField: String): ObjectNode = {
+    val pkg: ObjectNode =
+      if (packageJson == null || packageJson.isEmpty) Canonical.mapper.createObjectNode()
+      else Canonical.parse(packageJson) match {
+        case o: ObjectNode => o.deepCopy()
+        case _             => Canonical.mapper.createObjectNode()
+      }
+    val items: ArrayNode = Canonical.mapper.createArrayNode()
+    items.add(Canonical.parse(itemJson))
+    pkg.set[JsonNode](itemsField, items)
+    pkg
+  }
+
+  /** The `cove_output` analogue: canonical JSON with the error list. */
+  def coveOutput(errors: Seq[JsonSchema.CheckError]): String = {
+    val root = Canonical.mapper.createObjectNode()
+    val arr = Canonical.mapper.createArrayNode()
+    errors.foreach { e =>
+      val o = Canonical.mapper.createObjectNode()
+      o.put("path", e.path); o.put("kind", e.kind)
+      if (e.expected.nonEmpty) o.put("expected", e.expected)
+      arr.add(o)
+    }
+    root.set[JsonNode]("validation_errors", arr)
+    root.put("validation_errors_count", errors.size)
+    Canonical.canonicalize(root)
+  }
+
+  private def schemaFor(kind: String): (JsonSchema.Compiled, String) = kind match {
+    case "record" => (OcdsSchemas.recordPackage, "records")
+    case _        => (OcdsSchemas.releasePackage, "releases")
+  }
+
+  /** Check every (id, data, package_data) row; `kind` ∈ {release, record}.
+    * One check row per item, like the reference's release_check table. */
+  def checkItems(rows: DataFrame, kind: String, s: SparkSession): Dataset[CheckRow] = {
+    import s.implicits._
+    rows.select("id", "data", "package_data").as[(Long, String, String)]
+      .mapPartitions { it =>
+        val (schema, itemsField) = schemaFor(kind)
+        it.map { case (id, data, pkg) =>
+          val errs = JsonSchema.validate(schema, repackage(data, pkg, itemsField))
+          CheckRow(id, errs.isEmpty, errs.size.toLong, coveOutput(errs))
+        }
+      }
+  }
+
+  /** Same check, one row PER ERROR — the aggregation-friendly side output. */
+  def checkErrors(rows: DataFrame, kind: String, s: SparkSession): Dataset[CheckErrorRow] = {
+    import s.implicits._
+    rows.select("id", "data", "package_data").as[(Long, String, String)]
+      .mapPartitions { it =>
+        val (schema, itemsField) = schemaFor(kind)
+        it.flatMap { case (id, data, pkg) =>
+          JsonSchema.validate(schema, repackage(data, pkg, itemsField))
+            .map(e => CheckErrorRow(id, e.path, e.kind, e.expected))
+        }
+      }
+  }
+}
