@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ingest.{FormatDetect, Ingest}
+
+/** Driver-checked coverage for the ingest family (SURVEY.md §2 S3/S5/S8
+  * item side; VERDICT r3 noted S2-S5 had only ScalaTest goldens).
+  *
+  * Release packages are SYNTHESIZED as JSON text from `events` — each row
+  * becomes a single-file package whose first release is written in
+  * CANONICAL form (sorted keys, string values only) with an embedded
+  * literal backslash-u0000 escape, and whose second release carries no
+  * ocid. Extraction must: stream items out of the package, scrub the
+  * escape (S5), skip the ocid-less release (`file_worker.py:346-348`), and
+  * take the content hash over the canonical text (S8). The DuckDB oracle
+  * reconstructs the expected post-scrub canonical string per event and
+  * hashes it — a green hash pins the entire reader+scrub+hash path.
+  */
+object IngestQueries {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_ingest_items", Seq("S3", "S5", "S8", "F5", "P5"),
+      (s, d) => {
+        val eid = col("event_id").cast(StringType)
+        val u = col("user_id").cast(StringType)
+        val dstr = lpad(col("ts_us").cast(StringType), 20, "0")
+        val nul = "\\" + "u0000" // the literal 6-char escape, built so the
+        // compiler never sees a \u sequence
+        val r1 = concat(
+          lit("{\"date\":\""), dstr,
+          lit("\",\"id\":\""), eid,
+          lit("\",\"note\":\"ab" + nul + "cd\",\"ocid\":\"ocds-"), u, lit("\"}"))
+        val texts = Tables.events(s, d).select(
+          eid.as("filename"),
+          concat(
+            lit("{\"publisher\":{\"name\":\"P\"},\"releases\":["), r1,
+            lit(",{\"id\":\"x\"}],\"uri\":\"u"), eid, lit("\"}")).as("text"))
+        val dt = FormatDetect.DataType(
+          FormatDetect.Format.ReleasePackage, concatenated = false, array = false)
+        Ingest.itemsFromText(texts, dt, s)
+          .toDF()
+          .select("filename", "ocid", "release_id", "release_date", "hash_md5")
+          .orderBy("filename")
+      },
+      Some("""SELECT CAST(event_id AS VARCHAR) AS filename,
+                     'ocds-' || CAST(user_id AS VARCHAR) AS ocid,
+                     CAST(event_id AS VARCHAR) AS release_id,
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') AS release_date,
+                     md5('{"date":"' || lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                          || '","id":"' || CAST(event_id AS VARCHAR)
+                          || '","note":"abcd","ocid":"ocds-'
+                          || CAST(user_id AS VARCHAR) || '"}') AS hash_md5
+              FROM events ORDER BY filename"""),
+      "Streaming item extraction (S3) + control-code scrub (S5) + content hash (S8): " +
+        "one synthesized single-release package per event; the ocid-less second release " +
+        "is skipped; oracle reconstructs the post-scrub canonical text and re-hashes")
+  )
+}

@@ -25,7 +25,8 @@ final case class QueryDef(
 object Queries {
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
-      VectorQueries.defs ++ OcdsQueries.defs ++ CheckQueries.defs
+      VectorQueries.defs ++ OcdsQueries.defs ++ CheckQueries.defs ++
+      IngestQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

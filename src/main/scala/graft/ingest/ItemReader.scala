@@ -1,5 +1,8 @@
 package graft.ingest
 
+import java.io.{BufferedReader, InputStream, InputStreamReader, Reader, StringReader}
+import java.nio.charset.StandardCharsets
+
 import com.fasterxml.jackson.core.JsonToken
 import com.fasterxml.jackson.databind.JsonNode
 import com.fasterxml.jackson.databind.node.ObjectNode
@@ -9,27 +12,38 @@ import graft.ocds.Canonical
 /** Streaming JSON item + package-metadata readers (SURVEY.md §2 S3/S4/S5;
   * reference `process/management/commands/file_worker.py:245-319`).
   *
-  * One Jackson token stream per file; each release/record/compiled-release
-  * under the format's data key is materialized ONE AT A TIME as a decimal-
-  * exact tree (`Canonical.mapper`: BigDecimal floats, exact trailing zeros)
-  * and handed to the caller — the file itself is never materialized, so a
-  * multi-GB package streams in O(largest single item) memory, the same
-  * bound as the reference's ijson loop.
-  *
-  * The ` ` scrub (S5, `ControlCodesFilter`) removes the ` ` escape
-  * sequence from the RAW text before parsing — PostgreSQL JSONB rejects it;
-  * we keep parity so content hashes match the reference's store.
+  * One Jackson token stream per file, fed from an open `Reader`/`InputStream`
+  * through the [[ScrubReader]] control-code filter; each release/record/
+  * compiled-release under the format's data key is materialized ONE AT A
+  * TIME as a decimal-exact tree (`Canonical.mapper`: BigDecimal floats,
+  * exact trailing zeros) and handed to the caller — neither the file nor
+  * any package is ever materialized, so a multi-GB package streams in
+  * O(largest single item) memory, the same bound as the reference's ijson
+  * loop. (The String overloads exist for in-memory texts and tests; they
+  * wrap a StringReader over the same streaming path.)
   */
 object ItemReader {
 
-  /** S5: strip literal ` ` escape sequences from raw JSON text. */
+  /** S5: strip literal backslash-u0000 escape sequences from raw JSON text
+    * (string form; the streaming form is [[ScrubReader]]). */
   def scrub(raw: String): String = raw.replace("\\u0000", "")
+
+  private def scrubbed(in: Reader): Reader = new ScrubReader(in)
+
+  /** S3 over an open stream (UTF-8, like the reference's open(..., "rb") +
+    * ijson). The parser closes the stream when it is exhausted. */
+  def items(in: InputStream, dt: FormatDetect.DataType): Iterator[ObjectNode] =
+    items(new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8)), dt)
+
+  /** S3 over an in-memory document. */
+  def items(raw: String, dt: FormatDetect.DataType): Iterator[ObjectNode] =
+    items(new StringReader(raw): Reader, dt)
 
   /** S3: lazily iterate the releases/records/compiled-releases of one file.
     * Handles all six physical shapes: {single, array-of, concatenated} ×
     * {package, bare compiled release}. */
-  def items(raw: String, dt: FormatDetect.DataType): Iterator[ObjectNode] = {
-    val p = Canonical.mapper.createParser(scrub(raw))
+  def items(in: Reader, dt: FormatDetect.DataType): Iterator[ObjectNode] = {
+    val p = Canonical.mapper.createParser(scrubbed(in))
     val itemsField: Option[String] = dt.format match {
       case FormatDetect.Format.RecordPackage  => Some("records")
       case FormatDetect.Format.ReleasePackage => Some("releases")
@@ -86,30 +100,44 @@ object ItemReader {
     }
   }
 
+  /** S4 over an open stream. */
+  def packageMetadata(in: InputStream, dt: FormatDetect.DataType): Option[ObjectNode] =
+    packageMetadata(new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8)), dt)
+
+  /** S4 over an in-memory document. */
+  def packageMetadata(raw: String, dt: FormatDetect.DataType): Option[ObjectNode] =
+    packageMetadata(new StringReader(raw): Reader, dt)
+
   /** S4: the first package's envelope minus its `releases`/`records` array
     * (`file_worker.py:270-296`; arrays of packages keep only the FIRST
     * package's metadata, `docs/cli.rst` load note). None for compiled
-    * releases (no envelope). */
-  def packageMetadata(raw: String, dt: FormatDetect.DataType): Option[ObjectNode] = {
+    * releases (no envelope).
+    *
+    * The items array is SKIPPED at the token level, never parsed — package
+    * metadata of a multi-GB package costs O(metadata), exactly like the
+    * reference's ijson `kvitems` envelope scan. */
+  def packageMetadata(in: Reader, dt: FormatDetect.DataType): Option[ObjectNode] = {
     val itemsField = dt.format match {
       case FormatDetect.Format.RecordPackage  => "records"
       case FormatDetect.Format.ReleasePackage => "releases"
       case _                                  => return None
     }
-    val node = firstPackage(raw)
-    node.foreach(_.remove(itemsField))
-    node
-  }
-
-  private def firstPackage(raw: String): Option[ObjectNode] = {
-    val p = Canonical.mapper.createParser(scrub(raw))
+    val p = Canonical.mapper.createParser(scrubbed(in))
     try {
       var tok = p.nextToken()
       if (tok == JsonToken.START_ARRAY) tok = p.nextToken()
-      if (tok == JsonToken.START_OBJECT) {
-        val n = p.readValueAsTree[JsonNode]()
-        if (n != null && n.isObject) Some(n.asInstanceOf[ObjectNode]) else None
-      } else None
+      if (tok != JsonToken.START_OBJECT) return None
+      val node = Canonical.mapper.createObjectNode()
+      tok = p.nextToken()
+      while (tok != null && tok != JsonToken.END_OBJECT) {
+        // invariant: tok is a FIELD_NAME at the package root
+        val name = p.currentName()
+        p.nextToken()
+        if (name == itemsField) p.skipChildren() // never materialized
+        else node.set[JsonNode](name, p.readValueAsTree[JsonNode]())
+        tok = p.nextToken()
+      }
+      Some(node)
     } finally p.close()
   }
 }

@@ -145,4 +145,60 @@ class IngestSpec extends AnyFunSuite {
     val dt = FormatDetect.detect(compiledConcat)
     assert(ItemReader.packageMetadata(compiledConcat, dt).isEmpty)
   }
+
+  // ---- streaming scrub (S5 as a Reader; VERDICT r3 wholetext fix) --------
+
+  private def scrubAll(s: String): String = {
+    val r = new ScrubReader(new java.io.StringReader(s))
+    val sb = new StringBuilder
+    var c = r.read()
+    while (c >= 0) { sb.append(c.toChar); c = r.read() }
+    sb.toString
+  }
+
+  private val nul = "\\" + "u0000" // literal 6-char escape
+
+  test("ScrubReader strips the escape, matching the string scrub") {
+    for (s <- Seq(
+        s"ab${nul}cd", s"$nul", s"$nul$nul", s"a$nul$nul$nul", "",
+        "no escapes", "trailing backslash \\", s"\\$nul", "\\u000", "\\u00001",
+        s"{'note':'x${nul}y'}"))
+      assert(scrubAll(s) === ItemReader.scrub(s), s"input <$s>")
+  }
+
+  test("ScrubReader array-read path agrees with char-read path") {
+    val s = s"start$nul middle \\ $nul${nul}end"
+    val r = new ScrubReader(new java.io.StringReader(s))
+    val buf = new Array[Char](7) // force many partial reads
+    val sb = new StringBuilder
+    var n = r.read(buf, 0, buf.length)
+    while (n > 0) { sb.appendAll(buf, 0, n); n = r.read(buf, 0, buf.length) }
+    assert(sb.toString === ItemReader.scrub(s))
+  }
+
+  test("items/packageMetadata stream from a Reader identically to the String form") {
+    val dt = FormatDetect.detect(releasePackageArray)
+    val viaReader = ItemReader
+      .items(new java.io.StringReader(releasePackageArray): java.io.Reader, dt)
+      .map(graft.ocds.Canonical.canonicalize).toSeq
+    val viaString = ItemReader.items(releasePackageArray, dt)
+      .map(graft.ocds.Canonical.canonicalize).toSeq
+    assert(viaReader === viaString)
+    val m1 = ItemReader.packageMetadata(
+      new java.io.StringReader(releasePackageArray): java.io.Reader, dt)
+    assert(m1.map(graft.ocds.Canonical.canonicalize) ===
+      ItemReader.packageMetadata(releasePackageArray, dt).map(graft.ocds.Canonical.canonicalize))
+  }
+
+  test("packageMetadata keeps envelope order-independence: fields after the items array survive") {
+    // the token-level skip must resume the envelope scan after `releases`
+    val pkg =
+      """{"uri": "http://x", "releases": [{"ocid": "a"}, {"ocid": "b"}],
+        | "version": "1.1", "publisher": {"name": "after-items"}}""".stripMargin
+    val dt = DataType(Format.ReleasePackage, concatenated = false, array = false)
+    val meta = ItemReader.packageMetadata(pkg, dt).get
+    assert(!meta.has("releases"))
+    assert(meta.get("version").asText === "1.1")
+    assert(meta.get("publisher").get("name").asText === "after-items")
+  }
 }
