@@ -1,7 +1,6 @@
 package graft.ingest
 
 import java.io.InputStream
-import java.nio.file.{Files, Paths}
 
 import com.fasterxml.jackson.core.{JsonFactory, JsonParser, JsonToken}
 
@@ -75,8 +74,11 @@ object FormatDetect {
     finally p.close()
   }
 
+  /** Probe a file by path or URI (any Hadoop-visible filesystem). Reads
+    * only as many tokens as the decision needs. */
   def detectFile(path: String): DataType = {
-    val in: InputStream = Files.newInputStream(Paths.get(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in: InputStream = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
     try {
       val p = factory.createParser(in)
       try detectParsed(p)

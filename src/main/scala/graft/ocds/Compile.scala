@@ -85,15 +85,24 @@ object Compile {
   def summaries(releases: DataFrame, s: SparkSession): Dataset[CompiledSummary] = {
     import s.implicits._
     perGroup(releases, s) { (ocid, nRel, res) =>
-      res.compiled.toSeq.map(c => CompiledSummary(
-        ocid = ocid,
-        compiled_id = c.get("id").asText,
-        max_date = c.get("date").asText,
-        tender_status = c.get("tender").get("status").asText,
-        tender_amount = c.get("tender").get("value").get("amount").decimalValue.doubleValue,
-        n_parties = c.get("parties").size().toLong,
-        n_releases = nRel.toLong,
-        n_warnings = res.warnings.size.toLong))
+      res.compiled.toSeq.map { c =>
+        // generic OCDS data may omit any of these paths — absent fields
+        // summarize as null/0, they must never kill the job
+        def at(path: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
+          path.foldLeft(Option[com.fasterxml.jackson.databind.JsonNode](c)) {
+            (n, f) => n.flatMap(x => Option(x.get(f)))
+          }
+        CompiledSummary(
+          ocid = ocid,
+          compiled_id = at("id").map(_.asText).orNull,
+          max_date = at("date").map(_.asText).orNull,
+          tender_status = at("tender", "status").map(_.asText).orNull,
+          tender_amount = at("tender", "value", "amount")
+            .map(_.decimalValue.doubleValue).getOrElse(0.0),
+          n_parties = at("parties").map(_.size.toLong).getOrElse(0L),
+          n_releases = nRel.toLong,
+          n_warnings = res.warnings.size.toLong)
+      }
     }
   }
 
