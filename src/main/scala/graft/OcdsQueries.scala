@@ -218,6 +218,45 @@ object OcdsQueries {
       "Warning aggregation by path (A7): duplicate-id + repeated-date side-outputs of the merge, grouped per JSON path (compiler.py:154-165)"),
 
     QueryDef(
+      "q_compile_extensions", Seq("A8", "F13", "A6"),
+      (s, d) => {
+        // releases with parties + per-row package extension sets: rows with
+        // even k carry a registry extension that flips `parties` to
+        // wholeListMerge; rows with k%3==0 carry the lots extension, whose
+        // dependency rule pulls in submissionTerms (util.py:180-182). The
+        // group-level UNION decides the rules for the whole ocid.
+        val k = get_json_object(col("props"), "$.k").cast(LongType)
+        val emptyArr = array().cast("array<string>")
+        val wl = when(k % 2 === 0, array(lit("urn:graft:wholeListParties"))).otherwise(emptyArr)
+        val lots = when(k % 3 === 0,
+          array(lit(graft.ocds.Extensions.extensionUrl("lots")))).otherwise(emptyArr)
+        val releases = Tables.events(s, d).select(
+          concat(lit("ocds-"), col("user_id")).as("ocid"),
+          lpad(col("ts_us").cast(StringType), 20, "0").as("date"),
+          col("event_id").as("tiebreak"),
+          to_json(struct(
+            lpad(col("ts_us").cast(StringType), 20, "0").as("date"),
+            col("event_id").cast(StringType).as("id"),
+            array(struct((k % 5).as("id"), concat(lit("P"), k % 5).as("name")))
+              .as("parties"))).as("release"),
+          concat(wl, lots).as("extensions"))
+        Compile.summariesWithExtensions(releases, s).toDF().orderBy("ocid")
+      },
+      Some(s"""WITH r AS ($OracleRel),
+               g AS (SELECT ocid,
+                            max(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS wl,
+                            max(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS lots,
+                            count(DISTINCT k % 5) AS dp
+                     FROM r GROUP BY ocid)
+               SELECT ocid,
+                      CAST(CASE WHEN wl = 1 THEN 1 ELSE dp END AS BIGINT) AS n_parties,
+                      CAST(wl + 2 * lots AS BIGINT) AS n_extensions
+               FROM g ORDER BY ocid"""),
+      "Extension-driven merge rules (A8/F13): per-ocid union of package extension sets; " +
+        "a registry extension flips parties to wholeListMerge (last array wins, size 1) " +
+        "vs id-merge (distinct ids); lots pulls in submissionTerms via the dependency rule"),
+
+    QueryDef(
       "q_upgrade_parties", Seq("F11", "F5", "F8"),
       (s, d) => {
         import s.implicits._

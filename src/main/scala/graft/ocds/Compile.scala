@@ -106,6 +106,38 @@ object Compile {
     }
   }
 
+  /** One extension-ruled compiled process (A8 output row). */
+  final case class ExtSummary(ocid: String, n_parties: Long, n_extensions: Long)
+
+  /** A8/F13: the same one-shuffle plan, but each group unions its rows'
+    * package extension sets (the reference collects them during the group
+    * scan, `processors/compiler.py:68-72`) and derives the merge rules from
+    * the union via [[Extensions]]; rules are cached per distinct set within
+    * the partition, mirroring the reference's `lru_cache`d merger
+    * (`compiler.py:170-177`). `releases` needs columns
+    * (ocid, date, tiebreak, release, extensions: array<string>). */
+  def summariesWithExtensions(
+      releases: DataFrame, s: SparkSession,
+      registry: Map[String, Extensions.RuleDelta] = Extensions.defaultRegistry): Dataset[ExtSummary] = {
+    import s.implicits._
+    releases
+      .repartition(col("ocid"))
+      .sortWithinPartitions("ocid", "date", "tiebreak")
+      .select("ocid", "release", "extensions")
+      .as[(String, String, Seq[String])]
+      .mapPartitions { it =>
+        val rulesCache = mutable.Map.empty[Set[String], Merge.Rules]
+        consecutiveGroups(it)(_._1).map { case (ocid, rows) =>
+          val exts = Extensions.applyDependencies(rows.iterator.flatMap(_._3).toSet)
+          val rules = rulesCache.getOrElseUpdate(exts, Extensions.rulesFor(exts, registry))
+          val res = Merge.compile(ocid, rows.map(_._2), rules)
+          val nParties = res.compiled.flatMap(c => Option(c.get("parties")))
+            .map(_.size.toLong).getOrElse(0L)
+          ExtSummary(ocid, nParties, exts.size.toLong)
+        }
+      }
+  }
+
   /** Compile + emit the warning side-output, one row per warning (A7). */
   def warnings(releases: DataFrame, s: SparkSession): Dataset[WarningRow] = {
     import s.implicits._
