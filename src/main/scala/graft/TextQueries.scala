@@ -200,6 +200,44 @@ object TextQueries {
                      md5(text) AS content_hash,
                      CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS magic_byte
               FROM documents ORDER BY doc_id"""),
-      "Opaque-blob metadata probe: byte length + content hash + magic byte — the schema/plumbing side of multimodal columns (decode itself is stubbed in graft.multimodal)")
+      "Opaque-blob metadata probe: byte length + content hash + magic byte — the schema/plumbing side of multimodal columns (decode itself is stubbed in graft.multimodal)"),
+
+    QueryDef(
+      "q_multimodal_features", Seq("S2", "F5"),
+      (s, d) => {
+        // payloads become opaque binary; decode/frame-sample/resize run in
+        // graft.multimodal's executor-side batch loop. The oracle recomputes
+        // the deterministic stub relationally (the documents are ASCII, so
+        // char positions == byte positions on both engines).
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+        graft.multimodal.Multimodal.features(docs, s).toDF().orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, text,
+                       ascii(substr(text, 1, 1)) AS b0,
+                       ascii(substr(text, length(text), 1)) AS bn,
+                       length(text) AS n
+                FROM documents),
+              m AS (
+                SELECT doc_id,
+                       CASE b0 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       CAST(16 + b0 % 64 AS BIGINT) AS width,
+                       CAST(16 + bn % 64 AS BIGINT) AS height,
+                       CAST((n + 255) // 256 AS BIGINT) AS n_frames,
+                       md5(substr(text, 1, 256)) AS frame0_hash
+                FROM d)
+              SELECT doc_id, kind, width, height, n_frames, frame0_hash,
+                     CAST(CASE WHEN GREATEST(width, height) > 32
+                               THEN (width * 32) // GREATEST(width, height)
+                               ELSE width END AS BIGINT) AS thumb_w,
+                     CAST(CASE WHEN GREATEST(width, height) > 32
+                               THEN (height * 32) // GREATEST(width, height)
+                               ELSE height END AS BIGINT) AS thumb_h
+              FROM m ORDER BY doc_id"""),
+      "Multimodal feature extraction: binary payload -> stubbed decode (kind/dims), " +
+        "256-byte frame sampling, md5 frame hash, integer thumbnail resize — all in one " +
+        "executor-side batch pass (the mapInPandas shape on the JVM)")
   )
 }

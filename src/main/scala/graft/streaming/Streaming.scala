@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
+
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.ocds.{Canonical, RecordCompile}
+
+/** Structured-Streaming side of the engine (SURVEY.md §2 T1/T2/T4/T9;
+  * reference: the always-on RabbitMQ dataflow of the
+  * `process/management/commands` workers).
+  *
+  * Two reference semantics matter here:
+  *
+  *  - **Record packages compile per-file immediately, while the collection
+  *    is still loading** (`compiler.py:146-148`): rendered as a file-source
+  *    stream over a landing directory with `foreachBatch` — every
+  *    micro-batch's records are decision-treed and persisted as they
+  *    arrive, no end-of-collection barrier. Exactly-once comes from the
+  *    checkpoint + idempotent (append-only, re-runnable) sink, replacing
+  *    the reference's at-least-once queue + dedup errback (T1/T2).
+  *  - **Last-write-wins key state** (the core of compile, W2) as live
+  *    state: `mapGroupsWithState` keeps one latest-value state per key —
+  *    the streaming form of the batch `row_number() = 1` compaction.
+  *
+  * The landing format is concatenated JSON (one record per line) — one of
+  * the reference's physical shapes (S3) — so each streamed value costs
+  * O(item) memory, consistent with the batch ingest bound.
+  */
+object Streaming {
+
+  /** One streamed record's compile outcome. */
+  final case class RecordOutcome(
+      ocid: String, outcome: String, compiled_id: String, batch_id: Long)
+
+  /** T4 record-package path: compile each micro-batch of landed records
+    * immediately and append the outcomes to `outDir` (parquet). The
+    * checkpoint makes restarts resume from the last committed batch. */
+  def recordCompileStream(
+      spark: SparkSession, landingDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream
+      .format("text")
+      .load(landingDir)
+      .as[String]
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[String], batchId: Long) =>
+        val outcomes = batch.mapPartitions { it =>
+          it.flatMap { line =>
+            val node = Canonical.parse(line)
+            if (!node.isObject) None
+            else {
+              val rec = node.asInstanceOf[ObjectNode]
+              val ocid = Option(rec.get("ocid")).filter(_.isTextual)
+                .map(_.asText).getOrElse("")
+              val d = RecordCompile.decide(ocid, rec)
+              Some(RecordOutcome(
+                ocid, d.outcome,
+                d.compiled.flatMap(c => Option(c.get("id")).map(_.asText)).orNull,
+                batchId))
+            }
+          }
+        }
+        outcomes.write.mode("append").parquet(outDir)
+        () // Unit-returning VoidFunction2 overload
+      }
+      .start()
+  }
+
+  /** An event for the stateful compaction. */
+  final case class KeyedEvent(key: String, seq: Long, value: String)
+
+  /** The latest value per key (the streaming W2 state row). */
+  final case class Latest(key: String, seq: Long, value: String, n_seen: Long)
+
+  /** W2/T9 as live state: one `Latest` per key, updated as events arrive;
+    * later `seq` wins, ties keep the earlier arrival. Emits the key's new
+    * state each time it changes (use outputMode "update"). */
+  def lastWriteWins(events: Dataset[KeyedEvent]): Dataset[Latest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[KeyedEvent], state: GroupState[Latest]) =>
+          val prev = state.getOption
+          var latest = prev
+          var seen = prev.map(_.n_seen).getOrElse(0L)
+          rows.foreach { e =>
+            seen += 1
+            if (latest.forall(_.seq < e.seq))
+              latest = Some(Latest(key, e.seq, e.value, seen))
+          }
+          val out = latest.map(_.copy(n_seen = seen))
+            .getOrElse(Latest(key, Long.MinValue, null, seen))
+          state.update(out)
+          out
+      }
+  }
+}
