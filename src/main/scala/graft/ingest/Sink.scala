@@ -1,0 +1,63 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence layout (SURVEY.md §2 S7, §1.4's 100 TB layout; reference
+  * `file_worker.py:322-386` bulk_create + `core/settings.py:262-263`
+  * batch size).
+  *
+  * Lake layout:
+  *  - fact tables partitioned by `collection_id` — collection wipes become
+  *    partition drops (S9) and every per-collection job prunes at the scan;
+  *  - rows hash-clustered by `ocid` within each collection partition
+  *    (repartition before write), so the compile job's shuffle reads
+  *    ocid-clustered files; on a warehouse with bucketed tables this
+  *    becomes `bucketBy(ocid)` and the compile shuffle disappears;
+  *  - the content-addressed store partitioned by a 2-hex-char prefix of
+  *    `hash_md5` (256 buckets) — the dedup anti-join (S8) prunes to one
+  *    bucket per hash, and inserts spread uniformly.
+  *
+  * The serving copy mirrors the reference's PostgreSQL sink over JDBC with
+  * its batch size of 1000 (`settings.py:262-263`); no database runs in this
+  * harness, so that writer is contract-only.
+  */
+object Sink {
+
+  /** S7: append fact rows into the partitioned lake layout. */
+  def writeFacts(facts: DataFrame, path: String, mode: String = "append"): Unit =
+    facts
+      .repartition(col("collection_id"), col("ocid"))
+      .write
+      .partitionBy("collection_id")
+      .mode(mode)
+      .parquet(path)
+
+  /** Read back with partition pruning available on `collection_id`. */
+  def readFacts(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S8 store: one row per content hash, partitioned by hash prefix. */
+  def writeDedupStore(data: DataFrame, path: String, mode: String = "append"): Unit =
+    data
+      .withColumn("hash_bucket", substring(col("hash_md5"), 1, 2))
+      .repartition(col("hash_bucket"))
+      .write
+      .partitionBy("hash_bucket")
+      .mode(mode)
+      .parquet(path)
+
+  def readDedupStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The serving-copy writer (reference: PostgreSQL bulk_create in batches
+    * of 1000). Contract-only here — no database in the harness. */
+  def writeJdbc(df: DataFrame, url: String, table: String, batchSize: Int = 1000): Unit =
+    df.write
+      .format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("batchsize", batchSize)
+      .mode("append")
+      .save()
+}

@@ -1,0 +1,66 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.ocds.Compile
+
+/** S7 round-trip: load → write the partitioned layout → read back pruned →
+  * compile over the written layout, matching the direct compile. */
+class SinkSpec extends AnyFunSuite {
+
+  private lazy val s = SparkSuite.spark
+
+  private def facts = {
+    import s.implicits._
+    Seq(
+      (1L, "ocds-a", "2020-01-01", "r1", """{"date":"2020-01-01","v":"old"}"""),
+      (1L, "ocds-a", "2020-01-02", "r2", """{"date":"2020-01-02","v":"new"}"""),
+      (1L, "ocds-b", "2020-01-03", "r3", """{"date":"2020-01-03","v":"only"}"""),
+      (2L, "ocds-c", "2020-01-04", "r4", """{"date":"2020-01-04","v":"other"}""")
+    ).toDF("collection_id", "ocid", "date", "tiebreak", "release")
+  }
+
+  test("writeFacts produces collection_id partitions; reads prune to one") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    Sink.writeFacts(facts, dir)
+    val parts = new java.io.File(dir).list().filter(_.startsWith("collection_id=")).sorted
+    assert(parts === Array("collection_id=1", "collection_id=2"))
+    val pruned = Sink.readFacts(s, dir).filter(org.apache.spark.sql.functions.col("collection_id") === 1L)
+    assert(pruned.count() === 3)
+    // partition pruning visible in the physical plan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("collection_id"))
+  }
+
+  test("compile over the written layout equals the direct compile") {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-sink").toString
+    Sink.writeFacts(facts, dir)
+    val readBack = Sink.readFacts(s, dir)
+      .filter(org.apache.spark.sql.functions.col("collection_id") === 1L)
+      .select("ocid", "date", "tiebreak", "release")
+    val fromLake = Compile.summaries(readBack, s).collect().sortBy(_.ocid)
+    val direct = Compile.summaries(
+      facts.filter($"collection_id" === 1L).select("ocid", "date", "tiebreak", "release"), s)
+      .collect().sortBy(_.ocid)
+    assert(fromLake.toSeq === direct.toSeq)
+    assert(fromLake.map(_.ocid).toSeq === Seq("ocds-a", "ocds-b"))
+  }
+
+  test("dedup store partitions by hash prefix and supports the anti-join") {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-store").toString
+    val data = Seq(
+      ("aa11", "{\"x\":1}"), ("ab22", "{\"x\":2}"), ("aa33", "{\"x\":3}")
+    ).toDF("hash_md5", "data")
+    Sink.writeDedupStore(data, dir)
+    val parts = new java.io.File(dir).list().filter(_.startsWith("hash_bucket=")).sorted
+    assert(parts === Array("hash_bucket=aa", "hash_bucket=ab"))
+    val incoming = Seq(("aa11", "dup"), ("cc44", "new")).toDF("hash_md5", "data")
+    val fresh = Ingest.dedupData(incoming, Some(Sink.readDedupStore(s, dir)))
+    assert(fresh.select("hash_md5").as[String].collect().toSeq === Seq("cc44"))
+  }
+}
