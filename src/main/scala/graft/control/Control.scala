@@ -156,6 +156,22 @@ object Control {
       cachedCompiledReleasesCount = Some(compiledReleases)))))
   }
 
+  /** S6: register an externally-announced file (the API loader,
+    * `api_loader.py:28-50`): unknown or deleted collections ack-and-skip;
+    * a replayed announcement is idempotent (the at-least-once dedup, T1);
+    * otherwise the file row + its LOAD step are recorded together (the
+    * reference's `create_collection_file` transaction). */
+  def registerFile(p: Plane, collectionId: Long, filename: String): Plane =
+    p.collections.get(collectionId) match {
+      case None => p // unknown collection: ack and skip
+      case Some(c) if c.deletedAt.nonEmpty => p // deleted: ack and skip
+      case Some(_) if p.files.exists(f =>
+          f.collectionId == collectionId && f.filename == filename) => p // duplicate message
+      case Some(_) => p.copy(
+        files = p.files :+ CollectionFile(collectionId, filename),
+        steps = p.steps :+ Step(StepName.Load, collectionId, Some(filename)))
+    }
+
   /** S11: logical delete/cancel — workers then ack-and-skip
     * (`cancelcollection.py:23-26`). */
   def cancel(p: Plane, id: Long, now: String): Plane = {

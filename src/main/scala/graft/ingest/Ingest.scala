@@ -68,6 +68,20 @@ object Ingest {
     roots.flatMap(r => expand(new Path(r))).sorted
   }
 
+  /** F9: `data_version` = the minimum modification time of the input files,
+    * formatted `YYYY-MM-DD HH:MM:SS` UTC (reference `load.py:89-100`).
+    * Driver-side, like the walker. */
+  def dataVersion(spark: SparkSession, paths: Seq[String]): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val minMtime = paths.map { p0 =>
+      val p = new Path(p0)
+      p.getFileSystem(conf).getFileStatus(p).getModificationTime
+    }.min
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(minMtime))
+  }
+
   /** Sniff the collection's data_type from its first file, enforcing the
     * reference's supported-format gate (S2). Driver-side, like the
     * reference's set_data_type; reads only as many tokens as the decision

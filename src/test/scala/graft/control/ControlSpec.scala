@@ -143,6 +143,22 @@ class ControlSpec extends AnyFunSuite {
     assert(Control.cancel(plane, 2, "now").collection(2).deletedAt.contains("now"))
   }
 
+  // ---- API file registration (S6, api_loader.py:28-50) -------------------
+
+  test("registerFile records the file + LOAD step together") {
+    val p = registerFile(plane, 1, "api/f9.json")
+    assert(p.filesOf(1).exists(_.filename == "api/f9.json"))
+    assert(p.stepsOf(1).exists(s => s.name == StepName.Load && s.filename.contains("api/f9.json")))
+  }
+
+  test("registerFile acks-and-skips unknown/deleted collections; replays are idempotent") {
+    assert(registerFile(plane, 99, "x.json") === plane) // unknown
+    val deleted = withC(plane, original.copy(deletedAt = Some("now")))
+    assert(registerFile(deleted, 1, "x.json") === deleted) // deleted
+    val once = registerFile(plane, 1, "x.json")
+    assert(registerFile(once, 1, "x.json") === once) // duplicate message (T1)
+  }
+
   // ---- transform-transition validation (V2, models.py:109-152) -----------
 
   test("validateNew: parent and transform must be paired") {

@@ -47,6 +47,15 @@ class IngestJobSpec extends AnyFunSuite {
     assert(items.head.data.contains(""""amount":1.50""")) // decimal-exact through the stream
   }
 
+  test("dataVersion is the min file mtime as YYYY-MM-DD HH:MM:SS (load.py:89-100)") {
+    val dir = tmpTree()
+    val paths = Ingest.walk(s, Seq(dir.toString))
+    val a = dir.resolve("a.json").toFile
+    a.setLastModified(1577934245000L) // 2020-01-02 03:04:05 UTC
+    val version = Ingest.dataVersion(s, paths)
+    assert(version === "2020-01-02 03:04:05")
+  }
+
   test("loadPackageData keeps the envelope minus releases, one row per file") {
     val dir = tmpTree()
     val paths = Ingest.walk(s, Seq(dir.toString))
