@@ -188,6 +188,84 @@ object TextQueries {
       "Near-dup via MinHash LSH banding (candidates from (band_id, band_hash) join) + exact-Jaccard verify; oracle stays brute-force"),
 
     QueryDef(
+      "q_simhash_neardup", Seq("J1", "F5", "S8"),
+      (s, d) => {
+        // SimHash near-dup (the third dedup family next to MinHash-LSH and
+        // embedding-cosine): 60-bit signature = sign of per-bit ±1 sums over
+        // the distinct tokens' 60-bit md5-derived hashes; banded 4×15 bits
+        // for candidates (blocked by source like the MinHash path — this
+        // synthetic corpus is near-dup-dense ACROSS sources, and unblocked
+        // output would be ~85k pairs at sf0.1); hamming-distance verify on
+        // collisions. Everything is md5/bit arithmetic both engines share,
+        // so the DuckDB oracle rebuilds identical signatures and buckets.
+        val Bits = 60
+        val Bands = 4
+        val BandBits = Bits / Bands
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks"))
+          .withColumn("hashes",
+            expr("transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"))
+          .withColumn("simhash", expr(
+            s"""aggregate(
+                  zip_with(
+                    aggregate(hashes, array_repeat(0L, $Bits),
+                      (acc, h) -> zip_with(acc, sequence(0, ${Bits - 1}),
+                                           (a, b) -> a + (shiftright(h, b) & 1) * 2 - 1)),
+                    sequence(0, ${Bits - 1}),
+                    (s, b) -> CASE WHEN s >= 0 THEN shiftleft(1L, b) ELSE 0L END),
+                  0L, (x, y) -> x + y)"""))
+          .select(col("source"), col("doc_id"), col("simhash"))
+        val sig = docs.select(col("source"), col("doc_id"), col("simhash"),
+          posexplode(expr(
+            s"transform(sequence(0, ${Bands - 1}), i -> shiftright(simhash, $BandBits * i) & ${(1 << BandBits) - 1})"))
+            .as(Seq("band_id", "band_val")))
+        val cand = sig.alias("x")
+          .join(sig.alias("y"),
+            col("x.source") === col("y.source")
+              && col("x.band_id") === col("y.band_id") && col("x.band_val") === col("y.band_val")
+              && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+          .distinct()
+        cand
+          .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+          .filter(col("hamming") <= 4)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                FROM documents),
+              h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS th FROM toks),
+              bits AS (
+                SELECT doc_id, b.b AS b, SUM(((th >> b.b) & 1) * 2 - 1) AS s
+                FROM h, generate_series(0, 59) b(b)
+                GROUP BY doc_id, b.b),
+              sh AS (
+                SELECT d.source, d.doc_id,
+                       CAST(SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                         AS simhash
+                FROM bits JOIN documents d ON d.doc_id = bits.doc_id
+                GROUP BY d.source, d.doc_id),
+              bands AS (
+                SELECT source, doc_id, simhash, g.i AS band_id,
+                       (simhash >> (15 * g.i)) & 32767 AS band_val
+                FROM sh, generate_series(0, 3) g(i)),
+              cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.simhash AS sim_a, b.simhash AS sim_b
+                FROM bands a JOIN bands b
+                  ON a.source = b.source
+                     AND a.band_id = b.band_id AND a.band_val = b.band_val
+                     AND a.doc_id < b.doc_id)
+              SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+              FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 4
+              ORDER BY doc_a, doc_b"""),
+      "SimHash near-dup: 60-bit token-weighted signatures (md5-derived, engine-shared), " +
+        "4x15-bit band buckets for candidates, hamming-distance verify — LSH-shaped like " +
+        "the MinHash path, so candidates track near-dup density at scale"),
+
+    QueryDef(
       "q_multimodal_meta", Seq("S2", "F5"),
       (s, d) => Tables.documents(s, d)
         .select(

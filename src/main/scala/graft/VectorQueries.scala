@@ -145,6 +145,75 @@ object VectorQueries {
       "Brute-force cosine top-k vs query vector (vec 0) — exact-decimal in-row fold, no shuffle"),
 
     QueryDef(
+      "q_ann_ivf", Seq("A5", "O5", "J2"),
+      (s, d) => {
+        // IVF-shaped ANN (the similarity-search scale path next to the
+        // brute-force baseline): the coarse quantizer is the first 4
+        // deterministic hyperplane sign bits → 16 cells; the query probes
+        // ONLY its own cell (single-probe), then exact-scores the cell's
+        // members. At 100 TB the cell id is the partition key — a probe
+        // reads 1/16th of the table instead of all of it; the oracle
+        // rebuilds identical cells, so the approximation is hash-checked.
+        val cellCol = (0 until 4).map(p => sigBit(p) * lit(1 << p)).reduce(_ + _)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), cellCol.as("cell"),
+            dotDec(col("embedding"), col("embedding")).as("norm_dec"))
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"), col("cell").as("qcell"),
+            col("norm_dec").as("qnorm_dec"))
+        emb.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("cell") === col("qcell"))
+          .select(
+            col("vec_id"),
+            cosineCol(
+              dotDec(col("embedding"), col("qe")),
+              col("norm_dec"),
+              col("qnorm_dec")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH proj AS (
+                 SELECT e.vec_id, p.p,
+                        SUM(CAST((${planeWeightSql("p.p", "t.i")})
+                                 * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS dot_dec
+                 FROM embeddings e,
+                      generate_series(0, 3) p(p),
+                      generate_series(1, $Dim) t(i)
+                 GROUP BY e.vec_id, p.p),
+               cells AS (
+                 SELECT vec_id,
+                        CAST(SUM(CASE WHEN dot_dec >= 0 THEN 1 ELSE 0 END
+                                 * (1 << p)) AS BIGINT) AS cell
+                 FROM proj GROUP BY vec_id),
+               n AS (
+                 SELECT e.vec_id, e.embedding,
+                        SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                                 AS DECIMAL(38,18))) AS norm_dec
+                 FROM embeddings e, generate_series(1, $Dim) t(i)
+                 GROUP BY e.vec_id, e.embedding),
+               q AS (
+                 SELECT n.embedding AS qe, n.norm_dec AS qnorm_dec, c.cell AS qcell
+                 FROM n JOIN cells c ON c.vec_id = n.vec_id WHERE n.vec_id = 0),
+               scored AS (
+                 SELECT n.vec_id,
+                        round(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
+                                            * CAST(q.qe[i] AS DOUBLE)
+                                            AS DECIMAL(38,18))) AS DOUBLE)
+                          / (sqrt(CAST(n.norm_dec AS DOUBLE)) * sqrt(CAST(q.qnorm_dec AS DOUBLE))), 9)
+                          AS cosine
+                 FROM n
+                 JOIN cells c ON c.vec_id = n.vec_id
+                 JOIN q ON c.cell = q.qcell,
+                      generate_series(1, $Dim) t(i)
+                 WHERE n.vec_id <> 0
+                 GROUP BY n.vec_id, n.norm_dec, q.qnorm_dec)
+               SELECT vec_id, cosine FROM scored
+               ORDER BY cosine DESC, vec_id LIMIT 10"""),
+      "IVF-shaped ANN: 16-cell hyperplane coarse quantizer, single-probe of the query's " +
+        "cell, exact decimal scoring inside it — probes 1/16th of the table; oracle " +
+        "rebuilds identical cells"),
+
+    QueryDef(
       "q_neardup_embedding", Seq("J1", "A5"),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
