@@ -145,22 +145,34 @@ object TextQueries {
         val docs = Tables.documents(s, d)
           .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks"))
           .withColumn("nt", size(col("toks")))
-        // minhash_i = min over tokens of xxhash64(token, i); all codegen'd
-        val minhashes = transform(
-          sequence(lit(0), lit(NumHashes - 1)),
-          i => array_min(transform(col("toks"), t => xxhash64(t, i))))
-        val bandHashes = transform(
-          sequence(lit(0), lit(Bands - 1)),
-          j => xxhash64(slice(col("mh"), j * RowsPerBand + 1, lit(RowsPerBand))))
+        // minhash_i = min over tokens of xxhash64(token, i) — computed as 64
+        // codegen'd MIN aggregates over the exploded token stream (r4: the
+        // previous per-row nested `transform` lambdas ran interpreted, and
+        // the sig self-join evaluated them twice; this shape is one pass,
+        // fully codegen'd, one shuffle on (source, doc_id))
+        val mins = (0 until NumHashes).map(i => min(xxhash64(col("tok"), lit(i))).as(s"mh$i"))
+        val bandHashes = (0 until Bands).map { j =>
+          xxhash64((j * RowsPerBand until (j + 1) * RowsPerBand).map(i => col(s"mh$i")): _*)
+        }
         val sig = docs
-          .withColumn("mh", minhashes)
-          .select(col("source"), col("doc_id"), posexplode(bandHashes).as(Seq("band_id", "band_hash")))
-        val cand = sig.alias("x")
-          .join(sig.alias("y"),
-            col("x.source") === col("y.source") && col("x.band_id") === col("y.band_id")
-              && col("x.band_hash") === col("y.band_hash")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .select(col("source"), col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy(col("source"), col("doc_id"))
+          .agg(mins.head, mins.tail: _*)
+          .select(col("source"), col("doc_id"),
+            posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))
+        // pair generation is bucket-local: collect each LSH bucket's ids and
+        // emit its pairs directly — no sig self-join, so the signature
+        // pipeline runs once. Bucket size is bounded by near-dup cluster
+        // density (the LSH premise), so the collect_set stays small.
+        val cand = sig
+          .groupBy(col("source"), col("band_id"), col("band_hash"))
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ids, (a, i) ->
+                 transform(slice(ids, i + 2, size(ids)),
+                           b -> struct(a AS doc_a, b AS doc_b))))""")).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
           .distinct()
         // exact-Jaccard verification of the (small) candidate set
         val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("nt").as("nt_a"))
@@ -201,31 +213,39 @@ object TextQueries {
         val Bits = 60
         val Bands = 4
         val BandBits = Bits / Bands
-        val docs = Tables.documents(s, d)
-          .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks"))
-          .withColumn("hashes",
-            expr("transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"))
-          .withColumn("simhash", expr(
-            s"""aggregate(
-                  zip_with(
-                    aggregate(hashes, array_repeat(0L, $Bits),
-                      (acc, h) -> zip_with(acc, sequence(0, ${Bits - 1}),
-                                           (a, b) -> a + (shiftright(h, b) & 1) * 2 - 1)),
-                    sequence(0, ${Bits - 1}),
-                    (s, b) -> CASE WHEN s >= 0 THEN shiftleft(1L, b) ELSE 0L END),
-                  0L, (x, y) -> x + y)"""))
-          .select(col("source"), col("doc_id"), col("simhash"))
-        val sig = docs.select(col("source"), col("doc_id"), col("simhash"),
-          posexplode(expr(
-            s"transform(sequence(0, ${Bands - 1}), i -> shiftright(simhash, $BandBits * i) & ${(1 << BandBits) - 1})"))
-            .as(Seq("band_id", "band_val")))
-        val cand = sig.alias("x")
-          .join(sig.alias("y"),
-            col("x.source") === col("y.source")
-              && col("x.band_id") === col("y.band_id") && col("x.band_val") === col("y.band_val")
-              && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+        // per-bit ±1 sums as 60 codegen'd SUM aggregates over the exploded
+        // token stream (one md5 per token, then flat shift/mask columns —
+        // the same one-pass shape as q_ngram_jaccard's minhash; the first
+        // cut's nested per-row lambdas ran interpreted and twice)
+        val bitSums = (0 until Bits).map(b =>
+          sum(shiftright(col("th"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+        val simhashCol = (0 until Bits)
+          .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val sh = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            explode(tokenSet(col("text"))).as("tok"))
+          .withColumn("th",
+            conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
+          .groupBy(col("source"), col("doc_id"))
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("source"), col("doc_id"), simhashCol.as("simhash"))
+        val bandVals = (0 until Bands).map(i =>
+          shiftright(col("simhash"), BandBits * i).bitwiseAND(lit((1L << BandBits) - 1)))
+        val sig = sh.select(col("source"), col("doc_id"), col("simhash"),
+          posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+        // bucket-local pair generation, signatures carried in-row — the
+        // signature pipeline runs once and no sig self-join exists
+        val cand = sig
+          .groupBy(col("source"), col("band_id"), col("band_val"))
+          .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ids, (a, i) ->
+                 transform(slice(ids, i + 2, size(ids)),
+                           b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                       a.simhash AS sim_a, b.simhash AS sim_b))))""")).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"), col("p.sim_a"), col("p.sim_b"))
           .distinct()
         cand
           .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) AS BIGINT)"))

@@ -35,23 +35,29 @@ object VectorQueries {
   private val Dec = DecimalType(38, 18)
 
   /** Exact decimal dot product of two float vectors, folded in-row:
-    * sum_i cast(double(a_i)*double(b_i) as decimal(38,18)). */
+    * sum_i cast(double(a_i)*double(b_i) as decimal(38,18)).
+    *
+    * Stays a higher-order `aggregate(zip_with(...))` fold on purpose: the
+    * r4 flat-expression experiment (64 getItem terms + per-step casts)
+    * BLEW UP decimal codegen — 2-6× slower across every vector query —
+    * while the HOF fold's interpreted lambda is cheap next to BigDecimal
+    * arithmetic itself. (The primitive-double prune below is the opposite
+    * case and is flat.) The re-cast keeps the accumulator at the zero's
+    * DECIMAL(38,18) type (Spark types dec+dec as (38,17)); values are
+    * unaffected: each term is ~1e0, so 38 digits never saturate. */
   private def dotDec(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast(DoubleType) * y.cast(DoubleType)).cast(Dec)),
       lit(0).cast(Dec),
-      // Spark types DECIMAL(38,18)+DECIMAL(38,18) as DECIMAL(38,17); the
-      // re-cast keeps the accumulator at the zero's type so the lambda
-      // typechecks (round-2 DATATYPE_MISMATCH). Values are unaffected: each
-      // term is ~1e0, so 38-digit precision never saturates.
       (acc, x) => (acc + x).cast(Dec))
 
   /** Cheap double dot product for pruning (NOT for output: double addition
-    * is order-sensitive, so this is never compared across engines). */
+    * is order-sensitive, so this is never compared across engines). Flat
+    * codegen'd sum, left-associative like the decimal fold. */
   private def dotDouble(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    (0 until Dim)
+      .map(i => a.getItem(i).cast(DoubleType) * b.getItem(i).cast(DoubleType))
+      .reduce(_ + _)
 
   /** Final cosine. The decimal sums are exact in both engines, but
     * DECIMAL→DOUBLE conversion can differ by 1 ulp between Spark (string
@@ -95,14 +101,6 @@ object VectorQueries {
     val w = array((0 until Dim).map(i => lit(planeWeight(p, i))): _*)
     when(dotDec(col("embedding"), w) >= 0, 1).otherwise(0)
   }
-
-  /** (band_id, band_val) pairs for one row, banded BandBits bits each. */
-  private def bandCols: Column = array((0 until Bands).map { b =>
-    val v = (0 until BandBits)
-      .map(r => sigBit(b * BandBits + r) * lit(1 << r))
-      .reduce(_ + _)
-    struct(lit(b).as("band_id"), v.as("band_val"))
-  }: _*)
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -264,25 +262,48 @@ object VectorQueries {
       "q_neardup_lsh", Seq("J1", "A5", "A2"),
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // 1. per-row signatures: 16 exact-decimal hyperplane sign bits,
-        //    banded 4×4 → explode to (band_id, band_val) bucket keys
-        val sig = emb
-          .select(col("vec_id"), explode(bandCols).as("band"))
+        // 1. per-row signatures: 16 exact-decimal hyperplane projections +
+        //    the norm, all as codegen'd SUM aggregates over the exploded
+        //    (index, value) stream — the LCG weight is inline arithmetic on
+        //    the index, so no weight array and no interpreted HOF fold (r4:
+        //    the per-row fold ran interpreted, twice via the sig self-join)
+        val projAggs = (0 until Planes).map { p =>
+          val w = when(
+            ((col("i") + lit(p.toLong * Dim)) * lit(1103515245L) + lit(12345L))
+              % lit(2147483648L) < lit(1073741824L), lit(1.0)).otherwise(lit(-1.0))
+          sum((w * col("x").cast(DoubleType)).cast(Dec)).as(s"proj$p")
+        } :+ sum((col("x").cast(DoubleType) * col("x").cast(DoubleType)).cast(Dec)).as("norm_dec")
+        val agg = emb
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .groupBy(col("vec_id"))
+          .agg(projAggs.head, projAggs.tail: _*)
+        val bandStructs = (0 until Bands).map { b =>
+          val v = (0 until BandBits)
+            .map(r => when(col(s"proj${b * BandBits + r}") >= 0, 1 << r).otherwise(0))
+            .reduce(_ + _)
+          struct(lit(b).as("band_id"), v.as("band_val"))
+        }
+        val sig = agg.select(col("vec_id"),
+          posexplode(array(bandStructs: _*)).as(Seq("_", "band")))
           .select(col("vec_id"), col("band.band_id"), col("band.band_val"))
-        // 2. candidates: self-join on the bucket key; a pair colliding in
-        //    several bands is deduped on the (small) id-pair, BEFORE any
-        //    vector is carried through a shuffle — candidate volume scales
-        //    with similar-pair density, not with n²/|blocking key|
-        val cand = sig.select(col("band_id"), col("band_val"), col("vec_id").as("vec_a"))
-          .join(
-            sig.select(col("band_id"), col("band_val"), col("vec_id").as("vec_b")),
-            Seq("band_id", "band_val"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select("vec_a", "vec_b")
+        // 2. candidates are bucket-local: collect each bucket's ids and emit
+        //    its pairs directly (one signature pass, no sig self-join); a
+        //    pair colliding in several bands dedups on the small id-pair,
+        //    BEFORE any vector is carried through a shuffle — candidate
+        //    volume scales with similar-pair density, not n²/|blocking key|
+        val cand = sig
+          .groupBy(col("band_id"), col("band_val"))
+          .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ids, (a, i) ->
+                 transform(slice(ids, i + 2, size(ids)),
+                           b -> struct(a AS vec_a, b AS vec_b))))""")).as("p"))
+          .select(col("p.vec_a"), col("p.vec_b"))
           .dropDuplicates("vec_a", "vec_b")
         // 3. fetch vectors by id, double-prune, exact-decimal verify
-        val n = emb.select(col("vec_id"), col("embedding"),
-          dotDec(col("embedding"), col("embedding")).as("norm_dec"))
+        val n = emb.select(col("vec_id"), col("embedding"))
+          .join(agg.select(col("vec_id"), col("norm_dec")), Seq("vec_id"))
         cand
           .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
             col("norm_dec").as("norm_a")), Seq("vec_a"))
