@@ -172,6 +172,23 @@ object Control {
         steps = p.steps :+ Step(StepName.Load, collectionId, Some(filename)))
     }
 
+  /** T2: delete a finished processing step — the reference removes the
+    * step row in the same transaction as the work it tracks
+    * (`deleting_step`, `process/util.py:123-153`). */
+  def completeStep(
+      p: Plane, collectionId: Long, name: String, filename: Option[String]): Plane =
+    p.copy(steps = p.steps.filterNot(s =>
+      s.collectionId == collectionId && s.name == name && s.filename == filename))
+
+  /** Close a collection: record how many files to expect and that loading
+    * has ended — the latch the compile/completion gates wait on (the
+    * close_collection endpoint, `process/views.py:111-147`). */
+  def closeCollection(p: Plane, id: Long, now: String, expectedFiles: Int): Plane = {
+    val c = p.collections(id)
+    p.copy(collections = p.collections.updated(id, c.copy(
+      storeEndAt = Some(now), expectedFilesCount = Some(expectedFiles))))
+  }
+
   /** S11: logical delete/cancel — workers then ack-and-skip
     * (`cancelcollection.py:23-26`). */
   def cancel(p: Plane, id: Long, now: String): Plane = {
