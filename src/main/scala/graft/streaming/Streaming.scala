@@ -71,6 +71,28 @@ object Streaming {
       .start()
   }
 
+  /** A timestamped event for windowed aggregation. */
+  final case class TimedEvent(key: String, ts: java.sql.Timestamp)
+
+  /** T9 extension (SURVEY §2.10: "if we add streaming windows they're
+    * built-ins"): watermarked tumbling-window counts per key. The
+    * watermark bounds state — windows older than (max event time −
+    * `watermark`) finalize, emit (in append mode) and drop their state,
+    * so the query runs forever in bounded memory. The reference has no
+    * analogue (it buffers everything until an explicit close); this is
+    * the monitoring-rollup (q_hourly_rollup) as a live query. */
+  def windowedCounts(
+      events: Dataset[TimedEvent],
+      window: String = "1 hour",
+      watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(F.window(F.col("ts"), window), F.col("key"))
+      .count()
+      .select(F.col("window.start").as("window_start"), F.col("key"), F.col("count").as("n"))
+  }
+
   /** An event for the stateful compaction. */
   final case class KeyedEvent(key: String, seq: Long, value: String)
 

@@ -51,6 +51,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.length === 2)
   }
 
+  test("windowedCounts finalizes watermark-expired windows in bounded state (T9)") {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ev(key: String, minute: Int) =
+      Streaming.TimedEvent(key, java.sql.Timestamp.valueOf(f"2020-01-01 10:$minute%02d:00"))
+    val input = MemoryStream[Streaming.TimedEvent]
+    val q = Streaming.windowedCounts(input.toDS(), window = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("wc").start()
+
+    input.addData(ev("a", 1), ev("a", 4), ev("b", 7))
+    q.processAllAvailable() // nothing finalized: watermark at 10:02
+    assert(s.table("wc").count() === 0)
+
+    // an event at 10:31 moves the watermark to 10:26 → both earlier
+    // 10-minute windows close and emit; their state is dropped
+    input.addData(ev("a", 31))
+    q.processAllAvailable()
+    val rows = s.table("wc")
+      .select("window_start", "key", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map { case (w, k, n) => (w.toString, k, n) }.sortBy(r => (r._1, r._2))
+    assert(rows.toSeq === Seq(
+      ("2020-01-01 10:00:00.0", "a", 2L),
+      ("2020-01-01 10:00:00.0", "b", 1L)))
+    q.stop()
+  }
+
   test("lastWriteWins keeps latest per key across batches; late data never regresses (T9)") {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
