@@ -35,6 +35,10 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // optional args restrict the run to named queries (local iteration);
     // the driver passes none and always measures the full surface
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} (a silent no-op here " +
+        "would read as a passing run)")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap

@@ -67,14 +67,24 @@ object Pipeline {
     // step 3: register each file with its LOAD step (the api_loader path)
     plane = paths.foldLeft(plane)(Control.registerFile(_, collectionId, _))
 
-    // step 4: detect once, stream-load on the executors, dedup, persist
-    val dt = Ingest.detectDataType(paths.head)
+    // step 4: detect once, stream-load on the executors, dedup, persist.
+    // This batch entry point handles release packages (the load --compile
+    // case); record packages compile incrementally per file instead —
+    // that's graft.streaming.Streaming.recordCompileStream (T4).
+    val dt = Ingest.detectDataType(spark, paths.head)
+    require(dt.format == graft.ingest.FormatDetect.Format.ReleasePackage,
+      s"loadAndCompile handles release packages; got '${dt.format}' " +
+        "(record packages: use streaming.recordCompileStream)")
     plane = plane.copy(collections = plane.collections.updated(collectionId,
       plane.collection(collectionId).copy(dataTypeFormat = Some(dt.format))))
+    // persisted: the fact write and the dedup-store write both consume it —
+    // without the persist each would re-open and re-parse every input file
     val items = Ingest.loadItems(spark, paths, dt).toDF()
       .withColumn("collection_id", lit(collectionId))
+      .persist()
     Sink.writeFacts(items, s"$lakeDir/release")
     Sink.writeDedupStore(Ingest.dedupData(items), s"$lakeDir/data")
+    items.unpersist()
     val pkgs = Ingest.loadPackageData(spark, paths, dt).toDF()
     plane = paths.foldLeft(plane)((p, f) =>
       Control.completeStep(p, collectionId, Control.StepName.Load, Some(f)))

@@ -115,7 +115,10 @@ object Control {
       // compile steps are created after compilation_started flips; without
       // this check "no steps remaining" below would false-positive
       if (!c.compilationStarted) return false
-      val parent = c.parent.map(p.collection).getOrElse(return false)
+      // a parent missing from the plane (partial control table, parent
+      // already wiped) gates false — never throws, the CAS contract of
+      // complete() depends on it
+      val parent = c.parent.flatMap(p.collections.get).getOrElse(return false)
       if (parent.storeEndAt.isEmpty) return false
       parent.dataTypeFormat match {
         case Some(Format.RecordPackage) =>

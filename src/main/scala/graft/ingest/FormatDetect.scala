@@ -75,10 +75,15 @@ object FormatDetect {
   }
 
   /** Probe a file by path or URI (any Hadoop-visible filesystem). Reads
-    * only as many tokens as the decision needs. */
-  def detectFile(path: String): DataType = {
+    * only as many tokens as the decision needs. Pass the session's Hadoop
+    * configuration so credentials/scheme settings apply; the no-conf form
+    * is for plain local paths. */
+  def detectFile(path: String): DataType =
+    detectFile(path, new org.apache.hadoop.conf.Configuration())
+
+  def detectFile(path: String, conf: org.apache.hadoop.conf.Configuration): DataType = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val in: InputStream = p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+    val in: InputStream = p.getFileSystem(conf).open(p)
     try {
       val p = factory.createParser(in)
       try detectParsed(p)

@@ -85,9 +85,11 @@ object Ingest {
   /** Sniff the collection's data_type from its first file, enforcing the
     * reference's supported-format gate (S2). Driver-side, like the
     * reference's set_data_type; reads only as many tokens as the decision
-    * needs. */
-  def detectDataType(firstFile: String): FormatDetect.DataType =
-    FormatDetect.requireSupported(FormatDetect.detectFile(firstFile), firstFile)
+    * needs. Pass the SparkSession so the probe opens the file with the
+    * session's Hadoop configuration (spark.hadoop.* credentials etc.). */
+  def detectDataType(spark: SparkSession, firstFile: String): FormatDetect.DataType =
+    FormatDetect.requireSupported(
+      FormatDetect.detectFile(firstFile, spark.sparkContext.hadoopConfiguration), firstFile)
 
   /** The shared extraction core: one open file → fact rows. Items without
     * an ocid are skipped (`file_worker.py:346-348`). */
@@ -106,16 +108,24 @@ object Ingest {
       }
     }
 
-  /** Distribute paths and apply `f` to each open file on the executors. */
+  /** Distribute paths and apply `f` to each open file on the executors.
+    * The session's Hadoop configuration ships to the tasks as plain
+    * key→value entries (Configuration itself is not serializable), so
+    * spark.hadoop.* settings — object-store credentials, custom schemes —
+    * apply where the files are actually opened. */
   private def perFile[T: org.apache.spark.sql.Encoder](
       spark: SparkSession, paths: Seq[String])(
       f: (String, Reader, Configuration) => Iterator[T]): Dataset[T] = {
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val confEntries: Seq[(String, String)] =
+      spark.sparkContext.hadoopConfiguration.iterator.asScala
+        .map(e => e.getKey -> e.getValue).toSeq
     val nParts = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(paths).repartition(nParts)
       .mapPartitions { it =>
-        // executor-local: build the FS config where the files are opened
-        val conf = new Configuration()
+        val conf = new Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         it.flatMap { pathStr =>
           val p = new Path(pathStr)
           val reader = new java.io.BufferedReader(new java.io.InputStreamReader(

@@ -41,7 +41,9 @@ object ItemReader {
 
   /** S3: lazily iterate the releases/records/compiled-releases of one file.
     * Handles all six physical shapes: {single, array-of, concatenated} ×
-    * {package, bare compiled release}. */
+    * {package, bare compiled release}. The stream is closed on exhaustion
+    * and on parse failure; a caller that abandons the iterator mid-file
+    * owns closing the stream it supplied. */
   def items(in: Reader, dt: FormatDetect.DataType): Iterator[ObjectNode] = {
     val p = Canonical.mapper.createParser(scrubbed(in))
     val itemsField: Option[String] = dt.format match {
@@ -64,7 +66,7 @@ object ItemReader {
         if (n != null && n.isObject) Some(n.asInstanceOf[ObjectNode]) else None
       }
 
-      private def advance(): Unit = {
+      private def advance(): Unit = try {
         while (nextItem == null && !done) {
           val tok = p.nextToken()
           if (tok == null) { done = true; p.close() }
@@ -90,6 +92,14 @@ object ItemReader {
             }
           }
         }
+      } catch {
+        // malformed JSON mid-file: close the (possibly remote) stream
+        // before propagating, so a bad file can't leak its handle across
+        // task retries (the parser owns the stream; close() releases it)
+        case t: Throwable =>
+          done = true
+          try p.close() catch { case _: Throwable => () }
+          throw t
       }
 
       def hasNext: Boolean = { if (nextItem == null && !done) advance(); nextItem != null }

@@ -59,22 +59,26 @@ object Multimodal {
   }
 
   def md5hex(bytes: Array[Byte]): String =
-    MessageDigest.getInstance("MD5").digest(bytes)
-      .map(b => f"${b & 0xff}%02x").mkString
+    hex(MessageDigest.getInstance("MD5").digest(bytes))
+
+  private def hex(digest: Array[Byte]): String =
+    digest.map(b => f"${b & 0xff}%02x").mkString
 
   /** The feature-extraction job: (doc_id, content: binary) → features.
     * Executor-side batch loop; decoder state (here: the MessageDigest) is
-    * set up once per partition. */
+    * set up once per partition and reused across the batch (digest()
+    * resets the instance). */
   def features(docs: DataFrame, s: SparkSession): Dataset[FeatureRow] = {
     import s.implicits._
     docs.select("doc_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           val d = decode(bytes)
           val (tw, th) = resize(d.width, d.height, ThumbMax)
           FeatureRow(
             id, d.kind, d.width, d.height,
-            d.frames.size.toLong, md5hex(d.frames.head), tw, th)
+            d.frames.size.toLong, hex(md.digest(d.frames.head)), tw, th)
         }
       }
   }

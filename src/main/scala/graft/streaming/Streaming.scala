@@ -18,8 +18,9 @@ import graft.ocds.{Canonical, RecordCompile}
   *    stream over a landing directory with `foreachBatch` — every
   *    micro-batch's records are decision-treed and persisted as they
   *    arrive, no end-of-collection barrier. Exactly-once comes from the
-  *    checkpoint + idempotent (append-only, re-runnable) sink, replacing
-  *    the reference's at-least-once queue + dedup errback (T1/T2).
+  *    checkpoint + an idempotent sink (each batch owns and overwrites its
+  *    own output partition on replay), replacing the reference's
+  *    at-least-once queue + dedup errback (T1/T2).
   *  - **Last-write-wins key state** (the core of compile, W2) as live
   *    state: `mapGroupsWithState` keeps one latest-value state per key —
   *    the streaming form of the batch `row_number() = 1` compaction.
@@ -35,8 +36,14 @@ object Streaming {
       ocid: String, outcome: String, compiled_id: String, batch_id: Long)
 
   /** T4 record-package path: compile each micro-batch of landed records
-    * immediately and append the outcomes to `outDir` (parquet). The
-    * checkpoint makes restarts resume from the last committed batch. */
+    * immediately and persist the outcomes under `outDir`, partitioned by
+    * batch id. The write is IDEMPOTENT — a replayed batch (crash between
+    * the sink write and the checkpoint commit) dynamically overwrites its
+    * own `batch_id=` partition instead of appending duplicates, which is
+    * what upgrades the checkpoint's at-least-once replay to effective
+    * exactly-once. A malformed landed line (truncated file, blank line)
+    * yields a `malformed` outcome row rather than poisoning the batch
+    * forever — the reference marks the file failed and continues. */
   def recordCompileStream(
       spark: SparkSession, landingDir: String, outDir: String,
       checkpointDir: String): StreamingQuery = {
@@ -51,21 +58,31 @@ object Streaming {
       .foreachBatch { (batch: Dataset[String], batchId: Long) =>
         val outcomes = batch.mapPartitions { it =>
           it.flatMap { line =>
-            val node = Canonical.parse(line)
-            if (!node.isObject) None
-            else {
-              val rec = node.asInstanceOf[ObjectNode]
-              val ocid = Option(rec.get("ocid")).filter(_.isTextual)
-                .map(_.asText).getOrElse("")
-              val d = RecordCompile.decide(ocid, rec)
-              Some(RecordOutcome(
-                ocid, d.outcome,
-                d.compiled.flatMap(c => Option(c.get("id")).map(_.asText)).orNull,
-                batchId))
+            val parsed =
+              try Some(Canonical.parse(line))
+              catch { case _: Exception => None }
+            parsed match {
+              case None if line.trim.isEmpty => None // blank separator lines
+              case None =>
+                Some(RecordOutcome("", "malformed", null, batchId))
+              case Some(node) if !node.isObject => None
+              case Some(node) =>
+                val rec = node.asInstanceOf[ObjectNode]
+                val ocid = Option(rec.get("ocid")).filter(_.isTextual)
+                  .map(_.asText).getOrElse("")
+                val d = RecordCompile.decide(ocid, rec)
+                Some(RecordOutcome(
+                  ocid, d.outcome,
+                  d.compiled.flatMap(c => Option(c.get("id")).map(_.asText)).orNull,
+                  batchId))
             }
           }
         }
-        outcomes.write.mode("append").parquet(outDir)
+        outcomes.write
+          .partitionBy("batch_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(outDir)
         () // Unit-returning VoidFunction2 overload
       }
       .start()

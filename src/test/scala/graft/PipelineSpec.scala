@@ -71,6 +71,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors.count() === 0)
   }
 
+  test("record-package input is rejected toward the streaming path") {
+    val dir = Files.createTempDirectory("graft-rec")
+    Files.writeString(dir.resolve("r.json"),
+      """{"uri": "http://x/r", "version": "1.1", "publisher": {"name": "R"},
+        | "records": [{"ocid": "ocds-r", "releases": []}]}""".stripMargin)
+    val lake = Files.createTempDirectory("graft-lake3").toString
+    val e = intercept[IllegalArgumentException](
+      Pipeline.loadAndCompile(s, dir.toString, lake))
+    assert(e.getMessage.contains("recordCompileStream"))
+  }
+
   test("a second run on the same ids is rejected by the run-once gates") {
     val lake = Files.createTempDirectory("graft-lake2").toString
     val dir = inputTree().toString

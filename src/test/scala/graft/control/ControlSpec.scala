@@ -100,6 +100,11 @@ class ControlSpec extends AnyFunSuite {
     assert(!completable(plane, compiled))
   }
 
+  test("completable: a parent missing from the plane gates false, never throws") {
+    val orphanChild = compiled.copy(parent = Some(77), compilationStarted = true)
+    assert(!completable(withC(plane, orphanChild), orphanChild))
+  }
+
   test("completable: record packages wait for per-file compilation_started") {
     // parent (upgraded) is a record-package collection with two files —
     // the upgrade-chain shape of test_completable_record_packages.py:54-103

@@ -39,7 +39,7 @@ class IngestJobSpec extends AnyFunSuite {
     val dir = tmpTree()
     val paths = Ingest.walk(s, Seq(dir.toString))
     assert(paths.size === 2) // dot-file skipped (util.py:30-38)
-    val dt = Ingest.detectDataType(paths.head)
+    val dt = Ingest.detectDataType(s, paths.head)
     assert(dt.format === FormatDetect.Format.ReleasePackage)
     val items = Ingest.loadItems(s, paths, dt).collect().sortBy(_.release_id)
     assert(items.map(_.release_id).toSeq === Seq("a1", "a2", "b1")) // ocid-less skipped
@@ -56,10 +56,26 @@ class IngestJobSpec extends AnyFunSuite {
     assert(version === "2020-01-02 03:04:05")
   }
 
+  test("a truncated file fails the job loudly; items parsed before the damage still stream") {
+    val dir = Files.createTempDirectory("graft-bad")
+    Files.writeString(dir.resolve("bad.json"),
+      """{"releases": [{"ocid": "ocds-x", "id": "r1"}, {"oc""") // truncated
+    val dt = FormatDetect.DataType(
+      FormatDetect.Format.ReleasePackage, concatenated = false, array = false)
+    // Spark path: the task fails (loud), the close-on-error path in
+    // ItemReader releases the stream before the exception propagates
+    intercept[org.apache.spark.SparkException](
+      Ingest.loadItems(s, Seq(dir.resolve("bad.json").toString), dt).collect())
+    // direct path: the first (intact) item is yielded before the failure
+    val it = ItemReader.items(Files.readString(dir.resolve("bad.json")), dt)
+    assert(it.next().get("ocid").asText === "ocds-x")
+    intercept[Exception](it.hasNext)
+  }
+
   test("loadPackageData keeps the envelope minus releases, one row per file") {
     val dir = tmpTree()
     val paths = Ingest.walk(s, Seq(dir.toString))
-    val dt = Ingest.detectDataType(paths.head)
+    val dt = Ingest.detectDataType(s, paths.head)
     val pkgs = Ingest.loadPackageData(s, paths, dt).collect().sortBy(_.filename)
     assert(pkgs.length === 2)
     assert(pkgs.forall(!_.package_data.contains("releases")))
@@ -70,7 +86,7 @@ class IngestJobSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val dir = tmpTree()
     val paths = Ingest.walk(s, Seq(dir.toString))
-    val dt = Ingest.detectDataType(paths.head)
+    val dt = Ingest.detectDataType(s, paths.head)
     val releases = Ingest.loadItems(s, paths, dt).toDF()
       .select(col("ocid"), col("release_date").as("date"),
         col("release_id").as("tiebreak"), col("data").as("release"))

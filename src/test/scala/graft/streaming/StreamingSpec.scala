@@ -35,13 +35,19 @@ class StreamingSpec extends AnyFunSuite {
     val after1 = s.read.parquet(out)
     assert(after1.count() === 2) // compiled BEFORE the collection is closed
 
-    Files.writeString(landing.resolve("f2.jsonl"), record("ocds-3", "2020-01-03") + "\n")
+    // a malformed line must not poison the batch (the reference marks the
+    // file failed and continues); it surfaces as a `malformed` outcome row
+    Files.writeString(landing.resolve("f2.jsonl"),
+      record("ocds-3", "2020-01-03") + "\n{\"truncat\n")
     runOnce()
 
     import s.implicits._
-    val rows = s.read.parquet(out)
+    val all = s.read.parquet(out)
       .select("ocid", "outcome", "compiled_id", "batch_id")
-      .as[(String, String, String, Long)].collect().sortBy(_._1)
+      .as[(String, String, String, Long)].collect()
+    val bad = all.filter(_._2 == "malformed")
+    assert(bad.length === 1 && bad.head._1 === "") // surfaced, not fatal
+    val rows = all.filterNot(_._2 == "malformed").sortBy(_._1)
     assert(rows.map(_._1).toSeq === Seq("ocds-1", "ocds-2", "ocds-3"))
     assert(rows.forall(_._2 == "merged"))
     assert(rows.map(_._3).toSeq === Seq(
