@@ -46,13 +46,20 @@ object TextQueries {
           col("n_chars"),
           (length(col("text")) - length(replace(col("text"), lit(" "), lit(""))) + 1)
             .cast(LongType).as("n_tokens"),
+          // BPE-ish pre-tokenizer count: letter runs / digit runs /
+          // punctuation singletons (the GPT-2-style split, simplified) —
+          // the LLM-pipeline "how many subword-ish units" estimate
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+            .cast(LongType).as("n_bpe_tokens"),
           size(tokenSet(col("text"))).cast(LongType).as("n_unique"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, n_chars,
                      CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                          AS BIGINT) AS n_bpe_tokens,
                      CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
               FROM documents ORDER BY doc_id"""),
-      "Token counting (whitespace) + vocabulary size per document"),
+      "Token counting (whitespace + BPE-ish regex pre-tokenizer) + vocabulary size per document"),
 
     QueryDef(
       "q_quality_score", Seq("F4"),
