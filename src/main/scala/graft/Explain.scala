@@ -16,6 +16,7 @@ object Explain {
       case rest                           => ("/root/testdata/sf0.001", rest)
     }
     val spark = SparkSession.builder()
+      .withExtensions(graft.functions.GraftExtensions.install)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -56,6 +56,33 @@ object IngestQueries {
               FROM events ORDER BY filename"""),
       "Streaming item extraction (S3) + control-code scrub (S5) + content hash (S8): " +
         "one synthesized single-release package per event; the ocid-less second release " +
-        "is skipped; oracle reconstructs the post-scrub canonical text and re-hashes")
+        "is skipped; oracle reconstructs the post-scrub canonical text and re-hashes"),
+
+    QueryDef(
+      "q_canonical_hash", Seq("F5", "F6", "S8"),
+      (s, d) => {
+        // the dedup identity as a NATIVE codegen'd Catalyst expression
+        // (graft.functions.CanonicalHash): input documents are synthesized
+        // with UNSORTED keys + a nested object, so the hash is only right
+        // if the expression really canonicalizes (sorts keys recursively)
+        val k = get_json_object(col("props"), "$.k").cast(LongType)
+        val u = col("user_id").cast(StringType)
+        val raw = concat(
+          lit("{\"z\":"), k,
+          lit(",\"m\":{\"y\":1,\"x\":\"s\"},\"a\":\"u"), u, lit("\"}"))
+        Tables.events(s, d)
+          .select(col("event_id"), raw.as("raw"))
+          .selectExpr("event_id", "canonical_hash(raw) AS hash_md5")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+                     md5('{"a":"u' || CAST(user_id AS VARCHAR)
+                         || '","m":{"x":"s","y":1},"z":'
+                         || CAST(CAST(props->>'$.k' AS BIGINT) AS VARCHAR)
+                         || '}') AS hash_md5
+              FROM events ORDER BY event_id"""),
+      "Content-hash identity (F5/F6/S8) as a native codegen'd Catalyst Expression " +
+        "registered via SparkSessionExtensions; oracle md5s the recursively key-sorted " +
+        "canonical text the expression must produce")
   )
 }

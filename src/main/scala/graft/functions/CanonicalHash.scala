@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ocds.Canonical
+
+/** `canonical_hash(json_text)` — the content-addressed identity of S8
+  * (`process/util.py:93-110`: md5 over key-sorted, compact, decimal-exact
+  * JSON) as a NATIVE Catalyst expression with code generation.
+  *
+  * This is the (b) tier of the custom-operator ladder (SURVEY §7.3): a
+  * scalar that built-ins can't express (`to_json` doesn't sort keys or
+  * preserve decimal text) implemented as a codegen'd `UnaryExpression` —
+  * the generated code calls one static method, so the expression sits
+  * INSIDE the whole-stage-codegen span instead of forcing a UDF fallback
+  * boundary like `udf()` would. Registered under the name
+  * `canonical_hash` via [[GraftExtensions]].
+  *
+  * Malformed JSON hashes to NULL (the `try_`-function convention) so one
+  * bad document can't kill a scan. */
+case class CanonicalHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // AbstractDataType is private[sql]; the inferred Seq[StringType.type] conforms
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonical_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    CanonicalHashFns.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CanonicalHashFns.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CanonicalHash =
+    copy(child = newChild)
+}
+
+/** Static target for both the interpreted and the generated path (Scala
+  * object methods get static forwarders, so generated Java calls this
+  * directly). */
+object CanonicalHashFns {
+  def compute(s: UTF8String): UTF8String =
+    try UTF8String.fromString(
+      Canonical.md5hex(Canonical.canonicalize(Canonical.parse(s.toString))))
+    catch { case _: Exception => null }
+}
+
+/** Session-extension hook: `builder.withExtensions(GraftExtensions.install)`
+  * (SparkSessionExtensions is the public registration surface; all of this
+  * library's mains and test sessions install it). */
+object GraftExtensions {
+  val install: org.apache.spark.sql.SparkSessionExtensions => Unit = { e =>
+    e.injectFunction((
+      FunctionIdentifier("canonical_hash"),
+      new ExpressionInfo(classOf[CanonicalHash].getName, "canonical_hash"),
+      (children: Seq[Expression]) => CanonicalHash(children.head)))
+  }
+
+  /** True when the function is available in this session. */
+  def installed(spark: SparkSession): Boolean =
+    spark.catalog.functionExists("canonical_hash")
+}

@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
 object SparkSuite {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(graft.functions.GraftExtensions.install)
       .master("local[2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "2")
