@@ -65,6 +65,9 @@ object IngestQueries {
         // (graft.functions.CanonicalHash): input documents are synthesized
         // with UNSORTED keys + a nested object, so the hash is only right
         // if the expression really canonicalizes (sorts keys recursively)
+        // the driver may run this in ITS OWN session (no build-time
+        // extensions); registration is idempotent
+        graft.functions.GraftExtensions.ensureRegistered(s)
         val k = get_json_object(col("props"), "$.k").cast(LongType)
         val u = col("user_id").cast(StringType)
         val raw = concat(

@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, ExpectsInputTypes, UnaryExpression}
@@ -22,20 +24,27 @@ import graft.ocds.Canonical
   * `canonical_hash` via [[GraftExtensions]].
   *
   * Malformed JSON hashes to NULL (the `try_`-function convention) so one
-  * bad document can't kill a scan. */
+  * bad document can't kill a scan — in BOTH evaluation paths: the
+  * expression is `nullable` and the generated code re-checks the computed
+  * value for null (r4 review: `defineCodeGen` alone propagated the null
+  * into an NPE under whole-stage codegen). */
 case class CanonicalHash(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
   // AbstractDataType is private[sql]; the inferred Seq[StringType.type] conforms
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true // NULL input OR malformed JSON
   override def prettyName: String = "canonical_hash"
 
   override def nullSafeEval(input: Any): Any =
     CanonicalHashFns.compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.CanonicalHashFns.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.CanonicalHashFns.compute($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): CanonicalHash =
     copy(child = newChild)
@@ -46,21 +55,36 @@ case class CanonicalHash(child: Expression)
   * directly). */
 object CanonicalHashFns {
   def compute(s: UTF8String): UTF8String =
-    try UTF8String.fromString(
-      Canonical.md5hex(Canonical.canonicalize(Canonical.parse(s.toString))))
-    catch { case _: Exception => null }
+    try UTF8String.fromString(Canonical.contentHash(s.toString))
+    catch { case NonFatal(_) => null } // malformed → NULL; never swallow
+    // interrupts/fatal errors (task cancellation must propagate)
 }
 
 /** Session-extension hook: `builder.withExtensions(GraftExtensions.install)`
   * (SparkSessionExtensions is the public registration surface; all of this
-  * library's mains and test sessions install it). */
+  * library's mains and test sessions install it). Queries that need the
+  * function in a CALLER-OWNED session (the external driver builds its own)
+  * call [[ensureRegistered]] first — registration is idempotent. */
 object GraftExtensions {
-  val install: org.apache.spark.sql.SparkSessionExtensions => Unit = { e =>
-    e.injectFunction((
-      FunctionIdentifier("canonical_hash"),
-      new ExpressionInfo(classOf[CanonicalHash].getName, "canonical_hash"),
-      (children: Seq[Expression]) => CanonicalHash(children.head)))
-  }
+  private val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("canonical_hash"),
+    new ExpressionInfo(classOf[CanonicalHash].getName, "canonical_hash"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"canonical_hash expects exactly 1 argument, got ${children.size}")
+      CanonicalHash(children.head)
+    })
+
+  val install: org.apache.spark.sql.SparkSessionExtensions => Unit =
+    _.injectFunction(description)
+
+  /** Idempotently register into an already-built session (extensions only
+    * apply at build time; `getOrCreate` ignores them on an existing
+    * session). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!installed(spark))
+      spark.sessionState.functionRegistry
+        .registerFunction(description._1, description._2, description._3)
 
   /** True when the function is available in this session. */
   def installed(spark: SparkSession): Boolean =

@@ -33,6 +33,28 @@ class CanonicalHashSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(null, null))
   }
 
+  test("malformed JSON hashes to NULL through WHOLE-STAGE CODEGEN too") {
+    import s.implicits._
+    // range() is non-foldable, so this exercises the generated code path —
+    // the r4 defineCodeGen version NPE'd here (review finding)
+    val got = s.range(2)
+      .selectExpr("""canonical_hash(CASE WHEN id = 0 THEN '{bad' ELSE '{"a":1}' END) AS h""")
+      .as[String].collect()
+    assert(got(0) === null)
+    assert(got(1) === Canonical.md5hex("""{"a":1}"""))
+  }
+
+  test("wrong arity is rejected at analysis, not silently truncated") {
+    intercept[Exception](s.range(1).selectExpr("canonical_hash('{}', '{}')").collect())
+    intercept[Exception](s.range(1).selectExpr("canonical_hash()").collect())
+  }
+
+  test("ensureRegistered is idempotent and works on an already-built session") {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    assert(GraftExtensions.installed(s))
+  }
+
   test("key order does not change the hash; values do") {
     import s.implicits._
     val got = Seq("""{"a":1,"b":2}""", """{"b":2,"a":1}""", """{"a":1,"b":3}""")
