@@ -93,12 +93,21 @@ object Merge {
           val flat = mutable.LinkedHashMap.empty[Path, JsonNode]
           flatten(rel, Vector.empty, rules, flat, warnings)
           flat.foreach { case (p, v) =>
+            // invariant: acc never holds both a leaf at p and keys strictly
+            // under p (writing either evicts the other), so an exact-key hit
+            // needs NO clash scan — and last-write-wins workloads are almost
+            // entirely exact hits, making the common path O(1) instead of a
+            // full key scan per assignment
             if (v.isNull) { // explicit null: remove the field and its subtree
-              val doomed = acc.keys.filter(k => k == p || k.startsWith(p)).toList
-              doomed.foreach(acc.remove)
+              if (acc.remove(p).isEmpty) {
+                val doomed = acc.keys.filter(_.startsWith(p)).toList
+                doomed.foreach(acc.remove)
+              }
+            } else if (acc.contains(p)) {
+              acc(p) = v
             } else {
               // a scalar overwriting a subtree (or vice versa) evicts the loser
-              val clash = acc.keys.filter(k => k != p && (k.startsWith(p) || p.startsWith(k))).toList
+              val clash = acc.keys.filter(k => k.startsWith(p) || p.startsWith(k)).toList
               clash.foreach(acc.remove)
               acc(p) = v
             }
