@@ -126,11 +126,31 @@ object Ingest {
       .mapPartitions { it =>
         val conf = new Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
+        // At most one file is open at a time (iterator flatMap is lazy and
+        // sequential): close it when its item iterator is exhausted, and as
+        // a backstop on task completion/failure — long-running executors
+        // ingesting many files must not leak descriptors (VERDICT r4).
+        var current: Reader = null
+        def closeCurrent(): Unit = if (current != null) {
+          try current.close() catch { case _: java.io.IOException => () }
+          current = null
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeCurrent()))
         it.flatMap { pathStr =>
           val p = new Path(pathStr)
           val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
             p.getFileSystem(conf).open(p), java.nio.charset.StandardCharsets.UTF_8))
-          f(pathStr, reader, conf)
+          current = reader
+          val inner = f(pathStr, reader, conf)
+          new Iterator[T] {
+            def hasNext: Boolean = {
+              val h = inner.hasNext
+              if (!h && (current eq reader)) closeCurrent()
+              h
+            }
+            def next(): T = inner.next()
+          }
         }
       }
   }

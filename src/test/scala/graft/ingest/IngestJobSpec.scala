@@ -82,6 +82,35 @@ class IngestJobSpec extends AnyFunSuite {
     assert(pkgs.exists(_.package_data.contains(""""name":"A"""")))
   }
 
+  test("loadItems closes file handles even when the consumer stops early (limit)") {
+    // The exhaustion path is closed by ItemReader (the parser owns the
+    // stream); the leak risk is EARLY ABORT — a limit/failure that stops
+    // pulling mid-file leaves the reader to GC unless the task-completion
+    // backstop closes it. The file must EXCEED the parser's read-ahead
+    // buffer (a small file is fully buffered by the first fill and closed
+    // at EOF detection, masking the leak). local-mode executors share this
+    // JVM, so /proc/self/fd sees any reader left open.
+    val dir = Files.createTempDirectory("graft-fdleak")
+    val items = (1 to 50000).map(k => s"""{"ocid": "ocds-$k", "id": "r$k"}""").mkString(",")
+    Files.writeString(dir.resolve("big.json"), s"""{"releases": [$items]}""")
+    val paths = Ingest.walk(s, Seq(dir.toString))
+    val dt = FormatDetect.DataType(
+      FormatDetect.Format.ReleasePackage, concatenated = false, array = false)
+    def openFds(): Seq[String] = {
+      val fdDir = new java.io.File("/proc/self/fd")
+      if (!fdDir.exists()) Seq.empty // non-Linux: skip silently
+      else fdDir.listFiles().toSeq.flatMap { f =>
+        try Some(java.nio.file.Files.readSymbolicLink(f.toPath).toString)
+        catch { case _: Exception => None }
+      }
+    }
+    // limit(1) stops after the first of 50k items: the file iterator is
+    // never exhausted, so only the completion listener closes the reader
+    assert(Ingest.loadItems(s, paths, dt).limit(1).collect().length === 1)
+    val leaked = openFds().filter(_.startsWith(dir.toString))
+    assert(leaked.isEmpty, s"leaked descriptors: $leaked")
+  }
+
   test("loaded rows flow into the compile job; a merge-failing group is skipped, not fatal") {
     import org.apache.spark.sql.functions._
     val dir = tmpTree()
