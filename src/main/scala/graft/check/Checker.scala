@@ -37,13 +37,17 @@ object Checker {
     * `itemsField: [item]`. A missing/blank package_data yields a bare
     * `{itemsField: [item]}` envelope, which then fails the envelope's
     * required checks — same behavior as checking a metadata-less package. */
-  def repackage(itemJson: String, packageJson: String, itemsField: String): ObjectNode = {
-    val pkg: ObjectNode =
-      if (packageJson == null || packageJson.isEmpty) Canonical.mapper.createObjectNode()
-      else Canonical.parse(packageJson) match {
-        case o: ObjectNode => o.deepCopy()
-        case _             => Canonical.mapper.createObjectNode()
-      }
+  def repackage(itemJson: String, packageJson: String, itemsField: String): ObjectNode =
+    repackage(itemJson, parsePackage(packageJson), itemsField)
+
+  private def parsePackage(packageJson: String): ObjectNode =
+    if (packageJson == null || packageJson.isEmpty) Canonical.mapper.createObjectNode()
+    else Canonical.parse(packageJson) match {
+      case o: ObjectNode => o.deepCopy()
+      case _             => Canonical.mapper.createObjectNode()
+    }
+
+  private def repackage(itemJson: String, pkg: ObjectNode, itemsField: String): ObjectNode = {
     val items: ArrayNode = Canonical.mapper.createArrayNode()
     items.add(Canonical.parse(itemJson))
     pkg.set[JsonNode](itemsField, items)
@@ -65,9 +69,18 @@ object Checker {
     Canonical.canonicalize(root)
   }
 
-  private def schemaFor(kind: String): (JsonSchema.Compiled, String) = kind match {
-    case "record" => (OcdsSchemas.recordPackage, "records")
-    case _        => (OcdsSchemas.releasePackage, "releases")
+  private def itemsFieldFor(kind: String): String =
+    if (kind == "record") "records" else "releases"
+
+  /** One row's errors: parse the envelope once, read its `extensions` URL
+    * list (dependency-closed, like `get_extensions` in `checker.py:107`),
+    * fetch the (items_key, extensions)-cached extension-patched 1.1.5
+    * schema, and validate the rebuilt package. */
+  private def errorsFor(
+      data: String, pkgJson: String, itemsField: String): Seq[JsonSchema.CheckError] = {
+    val pkg = parsePackage(pkgJson)
+    val schema = OcdsSchemas.forPackage(itemsField, graft.ocds.Extensions.getExtensions(pkg))
+    JsonSchema.validate(schema, repackage(data, pkg, itemsField))
   }
 
   /** Check every (id, data, package_data) row; `kind` ∈ {release, record}.
@@ -76,9 +89,9 @@ object Checker {
     import s.implicits._
     rows.select("id", "data", "package_data").as[(Long, String, String)]
       .mapPartitions { it =>
-        val (schema, itemsField) = schemaFor(kind)
+        val itemsField = itemsFieldFor(kind)
         it.map { case (id, data, pkg) =>
-          val errs = JsonSchema.validate(schema, repackage(data, pkg, itemsField))
+          val errs = errorsFor(data, pkg, itemsField)
           CheckRow(id, errs.isEmpty, errs.size.toLong, coveOutput(errs))
         }
       }
@@ -89,9 +102,9 @@ object Checker {
     import s.implicits._
     rows.select("id", "data", "package_data").as[(Long, String, String)]
       .mapPartitions { it =>
-        val (schema, itemsField) = schemaFor(kind)
+        val itemsField = itemsFieldFor(kind)
         it.flatMap { case (id, data, pkg) =>
-          JsonSchema.validate(schema, repackage(data, pkg, itemsField))
+          errorsFor(data, pkg, itemsField)
             .map(e => CheckErrorRow(id, e.path, e.kind, e.expected))
         }
       }

@@ -1,138 +1,97 @@
 package graft.check
 
-/** Built-in structural schemas for the check step (SURVEY.md §2 V1).
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import graft.ocds.{Canonical, Extensions}
+
+/** The check step's schemas (SURVEY.md §2 V1): the OFFICIAL OCDS 1.1.5
+  * standard, vendored unmodified under `resources/graft/check/ocds-1.1.5/`
+  * (see PROVENANCE.md there), optionally merge-patched with extension
+  * schema fragments — the analogue of the reference's
+  * `SchemaOCDS("1.1", package_data, ...)` over its vendored `1__1__5.zip`
+  * (`checker.py:70-77`, `CONFIG["standard_zip"]`, `checker.py:23-24`).
   *
-  * These are an AUTHORED SUBSET of the public OCDS 1.1 release-package /
-  * record-package schemas — the fields and constraints the structural check
-  * exercises (required envelope + release identity fields, tag/initiationType
-  * codelists, date-time formats, id-carrying sub-objects). The reference
-  * validates against its vendored full standard (`1__1__5.zip`, loaded in
-  * `checker.py:70-77`); vendoring the full 4,000-line schema adds nothing to
-  * the engine demonstration, and the validator ([[JsonSchema]]) is generic —
-  * dropping in the full schema document is a data change, not a code change.
+  * Extension patching follows the reference's flow: the package's
+  * `extensions` URL list (dependency-closed, `process/util.py:172-183`)
+  * selects release-schema merge-patches (RFC 7386, the operation
+  * ProfileBuilder applies); the patched release schema is what the package
+  * schema's cross-document `$ref` resolves to. In this zero-egress engine
+  * the patches come from a LOCAL registry ([[Extensions.schemaPatches]])
+  * instead of HTTP fetches of `extension.json` — real deployments fill the
+  * registry from their profile's published extension files (a data change).
+  *
+  * Compiled schemas are cached per (items_key, extensions) exactly like the
+  * reference's `@functools.lru_cache` on `_get_schema` — one compile per
+  * executor per distinct extension set, shared by all partitions.
   */
 object OcdsSchemas {
 
-  /** OCDS release tag codelist (public standard). */
-  private val TagEnum =
-    """["planning", "planningUpdate", "tender", "tenderAmendment",
-       "tenderUpdate", "tenderCancellation", "award", "awardUpdate",
-       "awardCancellation", "contract", "contractUpdate",
-       "contractAmendment", "implementation", "implementationUpdate",
-       "contractTermination", "compiled"]"""
+  private def resource(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/graft/check/ocds-1.1.5/$name")
+    require(in != null, s"missing vendored schema resource $name")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
 
-  private val ReleaseDef = s"""
-    "Release": {
-      "type": "object",
-      "required": ["ocid", "id", "date", "tag", "initiationType"],
-      "properties": {
-        "ocid": {"type": "string", "minLength": 1},
-        "id": {"type": "string", "minLength": 1},
-        "date": {"type": "string", "format": "date-time"},
-        "tag": {"type": "array", "items": {"type": "string", "enum": $TagEnum}},
-        "initiationType": {"type": "string", "enum": ["tender"]},
-        "language": {"type": ["string", "null"]},
-        "buyer": {"$$ref": "#/definitions/OrganizationReference"},
-        "parties": {"type": "array", "items": {"$$ref": "#/definitions/Organization"}},
-        "planning": {"type": "object"},
-        "tender": {
-          "type": "object",
-          "properties": {
-            "id": {"type": "string"},
-            "status": {"type": ["string", "null"]},
-            "value": {"$$ref": "#/definitions/Value"},
-            "tenderers": {"type": "array", "items": {"$$ref": "#/definitions/OrganizationReference"}}
-          }
-        },
-        "awards": {
-          "type": "array",
-          "items": {
-            "type": "object",
-            "required": ["id"],
-            "properties": {
-              "id": {"type": ["string", "integer"]},
-              "status": {"type": ["string", "null"]},
-              "date": {"type": ["string", "null"], "format": "date-time"},
-              "value": {"$$ref": "#/definitions/Value"},
-              "suppliers": {"type": "array", "items": {"$$ref": "#/definitions/OrganizationReference"}}
-            }
-          }
-        },
-        "contracts": {
-          "type": "array",
-          "items": {
-            "type": "object",
-            "required": ["id", "awardID"],
-            "properties": {
-              "id": {"type": ["string", "integer"]},
-              "awardID": {"type": ["string", "integer"]},
-              "value": {"$$ref": "#/definitions/Value"}
-            }
-          }
-        }
-      }
-    },
-    "Organization": {
-      "type": "object",
-      "required": ["id"],
-      "properties": {
-        "id": {"type": ["string", "null"]},
-        "name": {"type": ["string", "null"]},
-        "roles": {"type": "array", "items": {"type": "string"}}
-      }
-    },
-    "OrganizationReference": {
-      "type": "object",
-      "properties": {
-        "id": {"type": ["string", "integer", "null"]},
-        "name": {"type": ["string", "null"]}
-      }
-    },
-    "Value": {
-      "type": "object",
-      "properties": {
-        "amount": {"type": ["number", "null"]},
-        "currency": {"type": ["string", "null"]}
-      }
-    }"""
+  lazy val releaseSchemaJson: String = resource("release-schema.json")
+  lazy val releasePackageJson: String = resource("release-package-schema.json")
+  lazy val recordPackageJson: String = resource("record-package-schema.json")
+  lazy val versionedReleaseJson: String = resource("versioned-release-validation-schema.json")
 
-  private def pkg(itemsField: String, itemRef: String): String = s"""{
-    "type": "object",
-    "required": ["uri", "publisher", "publishedDate", "version", "$itemsField"],
-    "properties": {
-      "uri": {"type": "string", "format": "uri"},
-      "version": {"type": "string", "enum": ["1.0", "1.1"]},
-      "publishedDate": {"type": "string", "format": "date-time"},
-      "publisher": {
-        "type": "object",
-        "required": ["name"],
-        "properties": {"name": {"type": ["string", "null"]}}
-      },
-      "license": {"type": ["string", "null"]},
-      "publicationPolicy": {"type": ["string", "null"]},
-      "extensions": {"type": "array", "items": {"type": "string"}},
-      "$itemsField": {"type": "array", "items": {"$$ref": "#/definitions/$itemRef"}}
-    },
-    "definitions": {$ReleaseDef,
-      "Record": {
-        "type": "object",
-        "required": ["ocid"],
-        "properties": {
-          "ocid": {"type": "string", "minLength": 1},
-          "releases": {"type": "array", "items": {"type": "object"}},
-          "compiledRelease": {"$$ref": "#/definitions/Release"}
-        }
+  /** RFC 7386 JSON merge-patch: objects merge recursively, `null` removes,
+    * anything else replaces. The operation extension schema fragments are
+    * defined in terms of (and what ProfileBuilder applies). */
+  def mergePatch(target: JsonNode, patch: JsonNode): JsonNode = patch match {
+    case p: ObjectNode =>
+      val base: ObjectNode = target match {
+        case o: ObjectNode => o.deepCopy()
+        case _             => Canonical.mapper.createObjectNode()
       }
+      p.properties.asScala.foreach { e =>
+        if (e.getValue.isNull) base.remove(e.getKey)
+        else base.set[JsonNode](e.getKey,
+          mergePatch(Option(base.get(e.getKey)).orNull, e.getValue))
+      }
+      base
+    case other => other.deepCopy()
+  }
+
+  /** The release schema with the given extensions' patches applied, in
+    * sorted-URL order (deterministic, like the reference's sorted
+    * frozenset key). Unknown URLs patch nothing — the reference likewise
+    * continues past unresolvable extensions. */
+  def patchedReleaseSchema(extensions: Set[String]): String = {
+    val patches = Extensions.applyDependencies(extensions).toSeq.sorted
+      .flatMap(Extensions.schemaPatches.get)
+    if (patches.isEmpty) releaseSchemaJson
+    else Canonical.canonicalize(
+      patches.foldLeft(Canonical.parse(releaseSchemaJson): JsonNode)(
+        (acc, p) => mergePatch(acc, Canonical.parse(p))))
+  }
+
+  private def docResolver(extensions: Set[String]): String => Option[String] =
+    ref => ref.split('/').lastOption.collect {
+      case "release-schema.json"                      => patchedReleaseSchema(extensions)
+      case "versioned-release-validation-schema.json" => versionedReleaseJson
     }
-  }"""
 
-  val releasePackageJson: String = pkg("releases", "Release")
-  val recordPackageJson: String = pkg("records", "Record")
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Set[String]), JsonSchema.Compiled]()
 
-  /** Compiled once per JVM (executor) — the reference caches per
-    * (items_key, extensions) with `lru_cache` (`checker.py:70-77`); our
-    * schema is static so a lazy singleton is the same cache, shared by all
-    * partitions on the executor. */
-  lazy val releasePackage: JsonSchema.Compiled = JsonSchema.compile(releasePackageJson)
-  lazy val recordPackage: JsonSchema.Compiled = JsonSchema.compile(recordPackageJson)
+  /** Compiled package schema for one (items_key, extension set) — the
+    * `_get_schema(items_key, extensions)` analogue. */
+  def forPackage(itemsKey: String, extensions: Set[String] = Set.empty): JsonSchema.Compiled = {
+    val key = (itemsKey, Extensions.applyDependencies(extensions))
+    cache.computeIfAbsent(key, { case (ik, ext) =>
+      val pkgJson = if (ik == "records") recordPackageJson else releasePackageJson
+      JsonSchema.compile(pkgJson, docResolver(ext))
+    })
+  }
+
+  /** Extension-less defaults (the common path and the spec surface). */
+  def releasePackage: JsonSchema.Compiled = forPackage("releases")
+  def recordPackage: JsonSchema.Compiled = forPackage("records")
 }

@@ -53,6 +53,51 @@ object Extensions {
       (r => r.copy(wholeListMerge = r.wholeListMerge + "parties"))
   )
 
+  /** Extension URL → release-schema merge-patch (RFC 7386), applied by the
+    * CHECK step's schema builder (`graft.check.OcdsSchemas`) before
+    * compiling — the analogue of SchemaOCDS fetching each extension's
+    * `release-schema.json` fragment and ProfileBuilder-patching the
+    * standard (`checker.py:70-77`). Zero-egress engine, so the fragments
+    * live here: the lots and submissionTerms entries are DISTILLED subsets
+    * of the public ocds_lots / ocds_submissionTerms extensions (the fields
+    * their published patches constrain most: Lot identity + the
+    * tender.lots / relatedLot wiring); a real deployment drops in the full
+    * published fragments unchanged. */
+  val schemaPatches: Map[String, String] = Map(
+    extensionUrl("lots") -> """{
+      "definitions": {
+        "Tender": {"properties": {
+          "lots": {"type": "array", "items": {"$ref": "#/definitions/Lot"}}}},
+        "Item": {"properties": {
+          "relatedLot": {"type": ["string", "integer", "null"]}}},
+        "Document": {"properties": {
+          "relatedLots": {"type": "array", "items": {"type": ["string", "integer"]}}}},
+        "Lot": {
+          "type": "object",
+          "required": ["id"],
+          "properties": {
+            "id": {"type": ["string", "integer"]},
+            "title": {"type": ["string", "null"]},
+            "description": {"type": ["string", "null"]},
+            "status": {"type": ["string", "null"]},
+            "value": {"$ref": "#/definitions/Value"}
+          }
+        }
+      }
+    }""",
+    extensionUrl("submissionTerms") -> """{
+      "definitions": {
+        "Tender": {"properties": {
+          "submissionTerms": {
+            "type": "object",
+            "properties": {
+              "electronicSubmissionPolicy": {"type": ["string", "null"]},
+              "languages": {"type": "array", "items": {"type": "string"}}
+            }
+          }}}
+      }
+    }""")
+
   /** Rules for one ocid's unioned extension set. Deterministic: deltas are
     * applied in sorted-URL order. Cache the result per distinct set at the
     * call site (the reference memoizes the merger with `lru_cache`,

@@ -82,15 +82,74 @@ class CheckSpec extends AnyFunSuite {
     assert(check(withAward) === Seq.empty)
   }
 
-  test("record package: compiledRelease validates as a Release") {
+  test("record package: compiledRelease validates as a Release; linked releases satisfy oneOf") {
+    // the full 1.1.5 record schema REQUIRES `releases` (the authored subset
+    // didn't) — give the record a linked-release list, which must also
+    // satisfy the releases oneOf's first branch
     val record =
       """{"ocid": "ocds-aaa-1",
+        | "releases": [{"url": "http://example.org/1.json#1", "date": "2020-01-02T03:04:05Z",
+        |               "tag": ["tender"]}],
         | "compiledRelease": {"ocid": "ocds-aaa-1", "id": "c", "tag": ["compiled"],
         |                     "initiationType": "tender"}}""".stripMargin
     val errs = JsonSchema.validate(
       OcdsSchemas.recordPackage,
       Checker.repackage(record, pkgMeta.replace("http://example.org/1", "http://example.org/r"), "records"))
     assert(errs === Seq(CheckError("records/0/compiledRelease/date", "required", "")))
+  }
+
+  test("record releases failing both oneOf branches → oneOf error") {
+    // linked branch needs url+date shapes; embedded branch needs full
+    // versioned releases — a bare integer list matches neither
+    val record = """{"ocid": "ocds-aaa-1", "releases": [7]}"""
+    val errs = JsonSchema.validate(
+      OcdsSchemas.recordPackage,
+      Checker.repackage(record, pkgMeta.replace("http://example.org/1", "http://example.org/r"), "records"))
+    assert(errs.exists(e => e.path == "records/0/releases" && e.kind == "oneOf"))
+  }
+
+  test("full-standard constraints the authored subset never had: version pattern, " +
+    "tag minItems, parties uniqueItems, deep milestone identity") {
+    // package version must match ^(\d+\.)(\d+)$
+    assert(check(validRelease, pkgMeta.replace(""""version": "1.1"""", """"version": "v1""""))
+      .map(e => (e.path, e.kind)) === Seq(("version", "pattern")))
+    // tag: minItems 1
+    val emptyTag = validRelease.replace("""["planning"]""", "[]")
+    assert(check(emptyTag).map(e => (e.path, e.kind)) === Seq(("releases/0/tag", "minItems")))
+    // parties: uniqueItems
+    val dupParties = validRelease.stripSuffix("}") +
+      ""","parties": [{"id": "p1", "name": "X"}, {"id": "p1", "name": "X"}]}"""
+    assert(check(dupParties).map(e => (e.path, e.kind)) === Seq(("releases/0/parties", "uniqueItems")))
+    // tender/milestones/0/id: required two levels below anything the subset modeled
+    val noMilestoneId = validRelease.stripSuffix("}") +
+      ""","tender": {"id": "t1", "milestones": [{"title": "m"}]}}"""
+    assert(check(noMilestoneId) ===
+      Seq(CheckError("releases/0/tender/milestones/0/id", "required", "")))
+  }
+
+  test("patternProperties: language-map keys validate, mistyped value is flagged") {
+    val good = validRelease.stripSuffix("}") +
+      ""","tender": {"id": "t1", "title_es": "hola"}}"""
+    assert(check(good) === Seq.empty)
+    val bad = validRelease.stripSuffix("}") +
+      ""","tender": {"id": "t1", "title_es": 7}}"""
+    assert(check(bad).map(e => (e.path, e.kind)) ===
+      Seq(("releases/0/tender/title_es", "type")))
+  }
+
+  test("extension-patched check: lot constraints apply only when the package declares the extension") {
+    import graft.ocds.Extensions
+    val withLots = validRelease.stripSuffix("}") +
+      ""","tender": {"id": "t1", "lots": [{"title": "no id"}]}}"""
+    // undeclared: the standard schema knows nothing of tender.lots → ok
+    assert(check(withLots) === Seq.empty)
+    // declared: the merge-patched schema requires Lot.id (checker.py:70-77 flow)
+    val extPkg = pkgMeta.stripSuffix("}") +
+      s""","extensions": ["${Extensions.extensionUrl("lots")}"]}"""
+    val errs = JsonSchema.validate(
+      OcdsSchemas.forPackage("releases", Extensions.getExtensions(Canonical.parse(extPkg))),
+      Checker.repackage(withLots, extPkg, "releases"))
+    assert(errs === Seq(CheckError("releases/0/tender/lots/0/id", "required", "")))
   }
 
   test("cove_output is canonical JSON with errors + count") {
