@@ -319,6 +319,104 @@ object OcdsQueries {
                                THEN CASE WHEN n_undated > 0 THEN 1 ELSE 0 END
                                ELSE 2 END AS BIGINT) AS n_notes
               FROM cls ORDER BY ocid"""),
-      "Record-compile decision tree (record_compiler.py:78-143): classification counts (A9), linked-release predicate (F12), in-group date sort (O2), fallback order; oracle replays the tree relationally")
+      "Record-compile decision tree (record_compiler.py:78-143): classification counts (A9), linked-release predicate (F12), in-group date sort (O2), fallback order; oracle replays the tree relationally"),
+
+    QueryDef(
+      "q_metadata", Seq("A3", "O2", "F1"),
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast(LongType)
+        val iso = date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        // some rows land outside the (1970-01-01, today] window on purpose
+        val rdate = when(k % 7 === 0, lit("1970-01-01"))
+          .when(k % 13 === 0, lit("2100-01-01T00:00:00Z"))
+          .otherwise(iso)
+        val compiled = Tables.events(s, d).select(
+          concat(lit("ocds-"), col("user_id")).as("ocid"), rdate.as("release_date"))
+        val pkgs = Tables.events(s, d).select(
+          concat(lit("p"), lpad(col("event_id").cast(StringType), 10, "0")).as("filename"),
+          to_json(struct(
+            concat(lit("L-"), col("user_id") % 4).as("license"),
+            concat(lit("http://pp/"), col("user_id") % 3).as("publicationPolicy")))
+            .as("package_data"))
+        graft.ocds.Metadata.metadata(compiled, pkgs, today = "2099-12-31")
+          .orderBy("ocid_prefix")
+      },
+      Some("""WITH c AS (
+                SELECT 'ocds-' || CAST(user_id AS VARCHAR) AS ocid,
+                       CASE WHEN CAST(props->>'$.k' AS BIGINT) % 7 = 0 THEN '1970-01-01'
+                            WHEN CAST(props->>'$.k' AS BIGINT) % 13 = 0 THEN '2100-01-01T00:00:00Z'
+                            ELSE strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%dT%H:%M:%SZ')
+                       END AS release_date
+                FROM events),
+              sample AS (
+                SELECT 'L-' || CAST(user_id % 4 AS VARCHAR) AS license,
+                       'http://pp/' || CAST(user_id % 3 AS VARCHAR) AS publication_policy
+                FROM events WHERE event_id = (SELECT min(event_id) FROM events))
+              SELECT substr(max(ocid), 1, 11) AS ocid_prefix,
+                     min(release_date) AS published_from,
+                     max(release_date) AS published_to,
+                     (SELECT license FROM sample) AS license,
+                     (SELECT publication_policy FROM sample) AS publication_policy
+              FROM c
+              WHERE release_date > '1970-01-01' AND release_date <= '2099-12-31'"""),
+      "The metadata read surface (views.py:157-234): ocid prefix + publication range over " +
+        "compiled facts (windowed by date), license/publicationPolicy from a deterministic " +
+        "min-filename package sample — two single-row plans joined"),
+
+    QueryDef(
+      "q_collection_notes", Seq("A7", "F11", "U2", "A1"),
+      (s, d) => {
+        import s.implicits._
+        // upgrade leg: 1.0 releases upgraded during load; differs-warnings
+        // become WARNING notes on the upgraded collection (id 2)
+        val upItems = releases10FromEvents(s, d).select(
+          concat(lit("f"), lpad(col("event_id").cast(StringType), 10, "0")).as("filename"),
+          lit("ocds-x").as("ocid"),
+          col("event_id").cast(StringType).as("release_id"),
+          lit("d").as("release_date"),
+          col("release").as("data"))
+        val upNotes = graft.control.Notes.fromUpgradeWarnings(
+          Upgrade.upgradeItems(upItems, s).toDF(), 2L)
+        // compile leg: duplicate-id releases plus one non-object poison
+        // group; warnings/failures become WARNING/ERROR notes on the
+        // compiled collection (id 3)
+        val poisoned = releasesFromEvents(s, d, dupIds = true).unionByName(
+          Seq(("ocds-zz", "0", -1L, "[1,2,3]")).toDF("ocid", "date", "tiebreak", "release"))
+        val compNotes = graft.control.Notes.fromCompileWarnings(
+          Compile.warnings(poisoned, s).toDF(), 3L)
+        // the notes read endpoint (views.py:261-281), summarized per code
+        graft.control.Notes.forTree(upNotes.unionByName(compNotes), Seq(1L, 2L, 3L))
+          .select(col("code"), size(col("notes")).cast(LongType).as("n_notes"),
+            col("notes").getItem(0).getField("note").as("first_note"))
+          .orderBy("code")
+      },
+      Some(s"""WITH r AS ($OracleRel),
+               d AS (SELECT ocid,
+                            CASE WHEN rdate = lag(rdate) OVER (PARTITION BY ocid
+                                                               ORDER BY rdate, event_id)
+                                 THEN 1 ELSE 0 END AS rep
+                     FROM r),
+               cw AS (
+                 SELECT 'OCID ' || ocid || ': merge warning at parties' AS note
+                 FROM r WHERE k % 5 = k % 3
+                 UNION ALL
+                 SELECT 'OCID ' || ocid || ': merge warning at awards'
+                 FROM r WHERE k % 7 = k % 2
+                 UNION ALL
+                 SELECT 'OCID ' || ocid || ': merge warning at (date)'
+                 FROM d WHERE rep = 1),
+               uw AS (SELECT count(*) AS n FROM r WHERE k % 3 = 0)
+               SELECT code, n_notes, first_note FROM (
+                 SELECT 'ERROR' AS code, CAST(1 AS BIGINT) AS n_notes,
+                        'OCID ocds-zz could not be compiled.' AS first_note
+                 UNION ALL
+                 SELECT 'WARNING',
+                        (SELECT count(*) FROM cw) + (SELECT n FROM uw),
+                        (SELECT min(note) FROM cw))
+               ORDER BY code"""),
+      "collection_note persistence + the notes read endpoint (util.py:113-116, " +
+        "views.py:261-281): upgrade differs-warnings and merge warnings/failures as " +
+        "INFO/WARNING/ERROR rows, grouped per code; oracle rebuilds the note strings " +
+        "('OCID…' compile notes sort before 'f…' upgrade notes, so first_note is exact)")
   )
 }

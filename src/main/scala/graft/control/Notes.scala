@@ -1,0 +1,61 @@
+package graft.control
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `collection_note` (reference `process/models.py:181-200`): per-collection
+  * INFO/WARNING/ERROR rows persisting what the workers would otherwise only
+  * log — upgrade differs-warnings (`create_logger_note`'s ocdskit capture,
+  * `process/util.py:156-169`, written during load, `file_worker.py:330-335`),
+  * merge warnings and compile failures (`processors/compiler.py:75-84`).
+  *
+  * Spark shape: notes are just another fact Dataset, partitioned by
+  * collection_id in the lake like every other fact table; the builders are
+  * narrow maps over side-outputs that already exist, so persisting notes
+  * adds no shuffle anywhere.
+  */
+object Notes {
+
+  val Info = "INFO"
+  val Warning = "WARNING"
+  val Error = "ERROR"
+
+  /** One note row (`collection_note`). `data` is auxiliary JSON (the
+    * reference defaults it to `{}`). */
+  final case class Note(collection_id: Long, code: String, note: String, data: String)
+
+  /** Merge warnings → notes. A `(non-object)` warning means the whole group
+    * failed to compile — the reference records that as an ERROR note and
+    * keeps going (`compiler.py:75-84`); value-level warnings are WARNINGs. */
+  def fromCompileWarnings(warnings: DataFrame, collectionId: Long): DataFrame =
+    warnings.select(
+      lit(collectionId).as("collection_id"),
+      when(col("path") === "(non-object)", lit(Error)).otherwise(lit(Warning)).as("code"),
+      when(col("path") === "(non-object)",
+        concat(lit("OCID "), col("ocid"), lit(" could not be compiled.")))
+        .otherwise(concat(lit("OCID "), col("ocid"), lit(": merge warning at "), col("path")))
+        .as("note"),
+      lit("{}").as("data"))
+
+  /** Upgrade differs-warnings → WARNING notes, one per warning string
+    * (the ocdskit logger-note analogue). Expects (filename,
+    * upgrade_warnings: array<string>) columns. */
+  def fromUpgradeWarnings(upgraded: DataFrame, collectionId: Long): DataFrame =
+    upgraded
+      .select(col("filename"), explode(col("upgrade_warnings")).as("w"))
+      .select(
+        lit(collectionId).as("collection_id"),
+        lit(Warning).as("code"),
+        concat(col("filename"), lit(": "), col("w")).as("note"),
+        lit("{}").as("data"))
+
+  /** The `notes` read endpoint (`views.py:261-281`): notes of the root
+    * collection AND its derived collections, filtered to `levels`, grouped
+    * per code as sorted [note, data] pairs. */
+  def forTree(notes: DataFrame, collectionIds: Seq[Long], levels: Seq[String] = Seq(Info, Warning, Error)): DataFrame =
+    notes
+      .filter(col("collection_id").isin(collectionIds: _*) && col("code").isin(levels: _*))
+      .groupBy(col("code"))
+      .agg(sort_array(collect_list(struct(col("note"), col("data")))).as("notes"))
+      .orderBy("code")
+}

@@ -50,6 +50,18 @@ object Sink {
   def readDedupStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** `collection_note` sink: same collection_id partitioning as the fact
+    * tables (wipes stay partition drops) but no ocid clustering — notes are
+    * small, coalescing per collection keeps the file count at one-ish per
+    * collection instead of one per shuffle partition. */
+  def writeNotes(notes: DataFrame, path: String, mode: String = "append"): Unit =
+    notes
+      .repartition(col("collection_id"))
+      .write
+      .partitionBy("collection_id")
+      .mode(mode)
+      .parquet(path)
+
   /** The serving-copy writer (reference: PostgreSQL bulk_create in batches
     * of 1000). Contract-only here — no database in the harness. */
   def writeJdbc(df: DataFrame, url: String, table: String, batchSize: Int = 1000): Unit =

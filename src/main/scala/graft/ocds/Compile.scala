@@ -76,6 +76,32 @@ object Compile {
       })
   }
 
+  private def summarize(ocid: String, nRel: Int, res: Merge.Result): Seq[CompiledSummary] =
+    res.compiled.toSeq.map { c =>
+      // generic OCDS data may omit any of these paths — absent fields
+      // summarize as null/0, they must never kill the job
+      def at(path: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
+        path.foldLeft(Option[com.fasterxml.jackson.databind.JsonNode](c)) {
+          (n, f) => n.flatMap(x => Option(x.get(f)))
+        }
+      CompiledSummary(
+        ocid = ocid,
+        compiled_id = at("id").map(_.asText).orNull,
+        max_date = at("date").map(_.asText).orNull,
+        tender_status = at("tender", "status").map(_.asText).orNull,
+        tender_amount = at("tender", "value", "amount")
+          .map(_.decimalValue.doubleValue).getOrElse(0.0),
+        n_parties = at("parties").map(_.size.toLong).getOrElse(0L),
+        n_releases = nRel.toLong,
+        n_warnings = res.warnings.size.toLong)
+    }
+
+  private def toWarningRow(ocid: String, w: Merge.MergeWarning): WarningRow = w match {
+    case Merge.DuplicateIdValue(path, _) => WarningRow(ocid, path)
+    case Merge.RepeatedDateValue(_, _)   => WarningRow(ocid, "(date)")
+    case Merge.NonObjectRelease(_)       => WarningRow(ocid, "(non-object)")
+  }
+
   /** Compile + extract the summary scalars the oracle can cross-check.
     * A group whose merge fails (all releases non-object) yields NO summary
     * row instead of killing the job — the reference records an ERROR
@@ -84,25 +110,22 @@ object Compile {
     * the failure surfaces as a `(non-object)` row in [[warnings]]. */
   def summaries(releases: DataFrame, s: SparkSession): Dataset[CompiledSummary] = {
     import s.implicits._
+    perGroup(releases, s)((ocid, nRel, res) => summarize(ocid, nRel, res))
+  }
+
+  /** Summary + warning rows from ONE merge pass (one shuffle) — the
+    * pipeline's shape: the reference emits compiled releases and their
+    * notes in the same group scan (`compiler.py:60-84`); running
+    * [[summaries]] and [[warnings]] separately would merge every group
+    * twice. Exactly one of the two fields is set per row; split with a
+    * filter after persisting. */
+  final case class CompileOut(summary: Option[CompiledSummary], warning: Option[WarningRow])
+
+  def summariesAndWarnings(releases: DataFrame, s: SparkSession): Dataset[CompileOut] = {
+    import s.implicits._
     perGroup(releases, s) { (ocid, nRel, res) =>
-      res.compiled.toSeq.map { c =>
-        // generic OCDS data may omit any of these paths — absent fields
-        // summarize as null/0, they must never kill the job
-        def at(path: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
-          path.foldLeft(Option[com.fasterxml.jackson.databind.JsonNode](c)) {
-            (n, f) => n.flatMap(x => Option(x.get(f)))
-          }
-        CompiledSummary(
-          ocid = ocid,
-          compiled_id = at("id").map(_.asText).orNull,
-          max_date = at("date").map(_.asText).orNull,
-          tender_status = at("tender", "status").map(_.asText).orNull,
-          tender_amount = at("tender", "value", "amount")
-            .map(_.decimalValue.doubleValue).getOrElse(0.0),
-          n_parties = at("parties").map(_.size.toLong).getOrElse(0L),
-          n_releases = nRel.toLong,
-          n_warnings = res.warnings.size.toLong)
-      }
+      summarize(ocid, nRel, res).map(x => CompileOut(Some(x), None)) ++
+        res.warnings.map(w => CompileOut(None, Some(toWarningRow(ocid, w))))
     }
   }
 
@@ -141,12 +164,6 @@ object Compile {
   /** Compile + emit the warning side-output, one row per warning (A7). */
   def warnings(releases: DataFrame, s: SparkSession): Dataset[WarningRow] = {
     import s.implicits._
-    perGroup(releases, s) { (ocid, _, res) =>
-      res.warnings.map {
-        case Merge.DuplicateIdValue(path, _) => WarningRow(ocid, path)
-        case Merge.RepeatedDateValue(_, _)   => WarningRow(ocid, "(date)")
-        case Merge.NonObjectRelease(_)       => WarningRow(ocid, "(non-object)")
-      }
-    }
+    perGroup(releases, s)((ocid, _, res) => res.warnings.map(toWarningRow(ocid, _)))
   }
 }

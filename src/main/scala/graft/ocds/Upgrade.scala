@@ -246,4 +246,32 @@ object Upgrade {
       case other => (Canonical.canonicalize(other), Nil)
     }
   }
+
+  /** One upgraded fact row: the item-row envelope with upgraded data, a
+    * recomputed content hash, and the differs-warnings ridden along. */
+  final case class UpgradedItem(
+      filename: String,
+      ocid: String,
+      release_id: String,
+      release_date: String,
+      data: String,
+      hash_md5: String,
+      upgrade_warnings: Seq[String])
+
+  /** The load-time upgrade step (reference `file_worker.py:330-335`:
+    * `upgrade_10_11` applied per item when the collection plans `upgrade`):
+    * a narrow map over the loaded items — no shuffle; the upgraded
+    * collection's rows are re-content-addressed because the upgrade changes
+    * the canonical document. Warnings become collection notes downstream
+    * (`create_logger_note`'s ocdskit capture). */
+  def upgradeItems(items: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[UpgradedItem] = {
+    import s.implicits._
+    items
+      .select("filename", "ocid", "release_id", "release_date", "data")
+      .as[(String, String, String, String, String)]
+      .mapPartitions(_.map { case (filename, ocid, rid, rdate, data) =>
+        val (upgraded, warns) = upgradeJson(data)
+        UpgradedItem(filename, ocid, rid, rdate, upgraded, Canonical.md5hex(upgraded), warns)
+      })
+  }
 }

@@ -71,6 +71,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors.count() === 0)
   }
 
+  test("upgrade=true builds original → upgraded → compiled, upgrades during load, persists notes") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-pipe-up")
+    // 1.0-shaped releases: inline orgs, no parties; the supplier repeats the
+    // tenderer with an extra field → a differs-warning (the upgrade golden)
+    Files.writeString(dir.resolve("u.json"),
+      """{"uri": "http://x/u", "version": "1.0", "publisher": {"name": "U"},
+        | "publishedDate": "2020-01-01T00:00:00Z",
+        | "releases": [
+        |   {"ocid": "ocds-u", "id": "u1", "date": "2020-01-01T00:00:00Z",
+        |    "buyer": {"name": "B"},
+        |    "tender": {"tenderers": [{"name": "T"}]},
+        |    "awards": [{"id": "a", "suppliers": [{"name": "T", "details": "d"}]}]}
+        | ]}""".stripMargin)
+    val lake = Files.createTempDirectory("graft-lake-up").toString
+    val report = Pipeline.loadAndCompile(
+      s, dir.toString, lake, now = "2020-06-01 00:00:00", upgrade = true)
+
+    assert(report.upgradedCollectionId === Some(report.collectionId + 1))
+    assert(report.compiledCollectionId === report.collectionId + 2)
+    // all three collections finalized
+    Seq(report.collectionId, report.upgradedCollectionId.get, report.compiledCollectionId)
+      .foreach(id => assert(report.plane.collection(id).completedAt.nonEmpty, s"collection $id"))
+    // the upgraded collection's facts carry the synthesized parties array
+    val upgraded = Sink.readFacts(s, s"$lake/release")
+      .filter(col("collection_id") === report.upgradedCollectionId.get)
+    assert(upgraded.count() === 1)
+    val data = upgraded.select("data").collect().head.getString(0)
+    assert(data.contains("\"parties\""))
+    // …and a different content hash than the original row
+    val origHash = Sink.readFacts(s, s"$lake/release")
+      .filter(col("collection_id") === report.collectionId)
+      .select("hash_md5").collect().head.getString(0)
+    assert(upgraded.select("hash_md5").collect().head.getString(0) !== origHash)
+    // the differs-warning was persisted as a WARNING note on the upgraded
+    // collection (create_logger_note flow)
+    val notes = Sink.readFacts(s, s"$lake/collection_note")
+    assert(report.notes >= 1)
+    assert(notes.filter(
+      col("collection_id") === report.upgradedCollectionId.get
+        && col("code") === "WARNING").count() >= 1)
+    // compile consumed the UPGRADED rows: compiled summary counts the parties
+    val compiled = Sink.readFacts(s, s"$lake/compiled_release")
+      .filter(col("collection_id") === report.compiledCollectionId)
+    assert(compiled.select("n_parties").collect().head.getLong(0) >= 2L)
+  }
+
   test("record-package input is rejected toward the streaming path") {
     val dir = Files.createTempDirectory("graft-rec")
     Files.writeString(dir.resolve("r.json"),
