@@ -20,41 +20,44 @@ import graft.check.Checker
   */
 object CheckQueries {
 
+  /** The defect-injected release rows shared by the check queries. */
+  private def defectRows(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val k = get_json_object(col("props"), "$.k").cast(LongType)
+    val isReq = k % 5 === 0
+    val isType = !isReq && (k % 7 === 0)
+    val isEnum = !isReq && !isType && (k % 11 === 0)
+    val isMinLen = !isReq && !isType && !isEnum && (k % 13 === 0)
+    val isFmt = !isReq && !isType && !isEnum && !isMinLen && (k % 17 === 0)
+    val ocidStr = when(isMinLen, lit("")).otherwise(concat(lit("ocds-"), col("user_id")))
+    val dateFrag = when(isReq, lit(""))
+      .when(isType, lit("\"date\":123,"))
+      .when(isFmt, lit("\"date\":\"2020-01-02\","))
+      .otherwise(lit("\"date\":\"2020-01-02T03:04:05Z\","))
+    val initType = when(isEnum, lit("direct")).otherwise(lit("tender"))
+    Tables.events(s, d).select(
+      col("event_id").as("id"),
+      concat(
+        lit("{\"ocid\":\""), ocidStr,
+        lit("\",\"id\":\""), col("event_id").cast(StringType), lit("\","),
+        dateFrag,
+        lit("\"tag\":[\"planning\"],\"initiationType\":\""), initType, lit("\"}")
+      ).as("data"),
+      concat(
+        lit("{\"uri\":\"http://example.org/"), col("event_id").cast(StringType),
+        lit("\",\"publishedDate\":\"2020-01-01T00:00:00Z\","),
+        lit("\"publisher\":{\"name\":\"P\"},\"version\":\"1.1\"}")
+      ).as("package_data"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_check_releases", Seq("V1", "A1", "P3"),
-      (s, d) => {
-        val k = get_json_object(col("props"), "$.k").cast(LongType)
-        val isReq = k % 5 === 0
-        val isType = !isReq && (k % 7 === 0)
-        val isEnum = !isReq && !isType && (k % 11 === 0)
-        val isMinLen = !isReq && !isType && !isEnum && (k % 13 === 0)
-        val isFmt = !isReq && !isType && !isEnum && !isMinLen && (k % 17 === 0)
-        val ocidStr = when(isMinLen, lit("")).otherwise(concat(lit("ocds-"), col("user_id")))
-        val dateFrag = when(isReq, lit(""))
-          .when(isType, lit("\"date\":123,"))
-          .when(isFmt, lit("\"date\":\"2020-01-02\","))
-          .otherwise(lit("\"date\":\"2020-01-02T03:04:05Z\","))
-        val initType = when(isEnum, lit("direct")).otherwise(lit("tender"))
-        val rows = Tables.events(s, d).select(
-          col("event_id").as("id"),
-          concat(
-            lit("{\"ocid\":\""), ocidStr,
-            lit("\",\"id\":\""), col("event_id").cast(StringType), lit("\","),
-            dateFrag,
-            lit("\"tag\":[\"planning\"],\"initiationType\":\""), initType, lit("\"}")
-          ).as("data"),
-          concat(
-            lit("{\"uri\":\"http://example.org/"), col("event_id").cast(StringType),
-            lit("\",\"publishedDate\":\"2020-01-01T00:00:00Z\","),
-            lit("\"publisher\":{\"name\":\"P\"},\"version\":\"1.1\"}")
-          ).as("package_data"))
-        Checker.checkErrors(rows, "release", s)
+      (s, d) =>
+        Checker.checkErrors(defectRows(s, d), "release", s)
           .toDF()
           .groupBy(col("path"), col("kind"))
           .agg(count(lit(1)).as("n"))
-          .orderBy("path", "kind")
-      },
+          .orderBy("path", "kind"),
       Some("""WITH c AS (
                 SELECT CASE WHEN k % 5 = 0 THEN 'required'
                             WHEN k % 7 = 0 THEN 'type'
@@ -70,7 +73,38 @@ object CheckQueries {
               FROM c WHERE kind <> 'ok'
               GROUP BY 1, 2 ORDER BY path, kind"""),
       "Structural checks (V1): repackage each stored release into its envelope, validate " +
-        "against the OCDS schema subset, aggregate exploded validation errors by path+kind; " +
-        "oracle re-derives each defect class as a predicate count")
+        "against the vendored OCDS 1.1.5 standard, aggregate exploded validation errors by " +
+        "path+kind; oracle re-derives each defect class as a predicate count"),
+
+    QueryDef(
+      "q_check_incremental", Seq("V1", "J3", "A1"),
+      (s, d) => {
+        // addchecks.py:38-45: rows with event_id % 3 == 0 are 'already
+        // checked'; the job left-anti-joins them away and validates only
+        // the remainder, summarizing to one row
+        val existing = Tables.events(s, d)
+          .filter(col("event_id") % 3 === 0)
+          .select(col("event_id").as("id"))
+        Checker.checkUnchecked(defectRows(s, d), existing, "release", s)
+          .toDF()
+          .agg(
+            count(lit(1)).as("n_checked"),
+            sum(when(col("ok"), 0L).otherwise(1L)).as("n_failed"),
+            sum(col("n_errors")).as("n_errors"))
+          .select(col("n_checked"), col("n_failed"), col("n_errors"))
+      },
+      Some("""WITH c AS (
+                SELECT CASE WHEN k % 5 = 0 THEN 1 WHEN k % 7 = 0 THEN 1
+                            WHEN k % 11 = 0 THEN 1 WHEN k % 13 = 0 THEN 1
+                            WHEN k % 17 = 0 THEN 1 ELSE 0 END AS defect
+                FROM (SELECT CAST(props->>'$.k' AS BIGINT) AS k FROM events
+                      WHERE event_id % 3 <> 0))
+              SELECT count(*) AS n_checked,
+                     CAST(sum(defect) AS BIGINT) AS n_failed,
+                     CAST(sum(defect) AS BIGINT) AS n_errors
+              FROM c"""),
+      "Incremental checks (addchecks.py:38-45): LEFT ANTI against the existing check " +
+        "table's ids, then validate only the unchecked remainder; each injected defect " +
+        "class yields exactly one error, so failures == errors")
   )
 }

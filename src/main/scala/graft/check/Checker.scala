@@ -97,6 +97,16 @@ object Checker {
       }
   }
 
+  /** The incremental check job (`addchecks.py:38-45`): the reference
+    * anti-joins items against the check table (`releasecheck__isnull`) and
+    * enqueues only the unchecked — here the same LEFT ANTI on the check
+    * table's stable id feeds straight into the check. At scale both sides
+    * hash-shuffle on `id` (or co-locate if the check table is bucketed on
+    * it); rows already checked are never re-validated. */
+  def checkUnchecked(
+      rows: DataFrame, existing: DataFrame, kind: String, s: SparkSession): Dataset[CheckRow] =
+    checkItems(rows.join(existing.select("id"), Seq("id"), "left_anti"), kind, s)
+
   /** Same check, one row PER ERROR — the aggregation-friendly side output. */
   def checkErrors(rows: DataFrame, kind: String, s: SparkSession): Dataset[CheckErrorRow] = {
     import s.implicits._
