@@ -1,0 +1,230 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.check.Checker
+import graft.control.{Control, Notes, PlaneJson, Wipe}
+import graft.ingest.Sink
+import graft.ocds.Metadata
+
+/** The reference's management-command surface (`docs/cli.rst`) as one
+  * dispatching main over the library's modules. Control state persists as
+  * one canonical-JSON document next to the lake (`_control.json`,
+  * [[PlaneJson]]), so invocations compose across processes the way the
+  * reference's commands compose over its control tables.
+  *
+  * Commands (reference command in parentheses):
+  *   load <input> <lake> [--upgrade] [--id N]   (load; file_worker+compiler+finisher inline)
+  *   collectionstatus <lake> <rootId>           (collectionstatus)
+  *   addchecks <lake> <collectionId>            (addchecks + checker)
+  *   closecollection <lake> <id> <nFiles>       (closecollection)
+  *   cancelcollection <lake> <id>               (cancelcollection)
+  *   deletecollection <lake> <rootId>           (deletecollection + wiper)
+  *   deleteorphan <lake>                        (deleteorphan)
+  *   metadata <lake> <compiledId>               (the metadata endpoint)
+  *   notes <lake> <rootId> [LEVEL...]           (the notes endpoint)
+  *
+  * The queue-worker commands (api_loader, file_worker, checker, compilers,
+  * finisher, wiper) have no standalone analogue: their work IS the Spark
+  * jobs the commands above run inline — SURVEY.md §2.10's disposition.
+  */
+object Cli {
+
+  private def planePath(lake: String) = s"$lake/_control.json"
+
+  private def loadPlane(lake: String): Control.Plane = {
+    val p = java.nio.file.Paths.get(planePath(lake))
+    if (java.nio.file.Files.exists(p))
+      PlaneJson.fromJson(java.nio.file.Files.readString(p))
+    else Control.Plane(Map.empty)
+  }
+
+  private def savePlane(lake: String, plane: Control.Plane): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(planePath(lake)), PlaneJson.toJson(plane))
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .withExtensions(graft.functions.GraftExtensions.install)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def nowUtc(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+
+  /** ids of `root` and every collection derived from it. */
+  private def treeIds(plane: Control.Plane, root: Long): Seq[Long] = {
+    val children = plane.collections.values.filter(_.parent.contains(root)).map(_.id).toSeq
+    root +: children.flatMap(treeIds(plane, _))
+  }
+
+  /** None for a missing OR fully-wiped table (a directory whose partitions
+    * were all dropped has no parquet footers to infer a schema from). */
+  private def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
+    if (!new java.io.File(path).exists()) None
+    else scala.util.Try(spark.read.parquet(path)).toOption
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "load" :: input :: lake :: rest =>
+      val upgrade = rest.contains("--upgrade")
+      val plane0 = loadPlane(lake)
+      val id = rest.dropWhile(_ != "--id").drop(1).headOption.map(_.toLong)
+        .getOrElse(plane0.collections.keys.maxOption.map(_ + 1).getOrElse(1L))
+      val report = Pipeline.loadAndCompile(
+        session(), input, lake, collectionId = id, now = nowUtc(), upgrade = upgrade)
+      // merge into any pre-existing plane document (other collections)
+      savePlane(lake, plane0.copy(
+        collections = plane0.collections ++ report.plane.collections,
+        files = plane0.files ++ report.plane.files,
+        steps = plane0.steps ++ report.plane.steps))
+      println(s"collection=${report.collectionId}" +
+        report.upgradedCollectionId.map(u => s" upgraded=$u").getOrElse("") +
+        s" compiled=${report.compiledCollectionId} files=${report.files}" +
+        s" items=${report.items} compiled_releases=${report.compiled}" +
+        s" check_failures=${report.checkFailures} notes=${report.notes}")
+
+    case "collectionstatus" :: lake :: rootId :: Nil =>
+      val plane = loadPlane(lake)
+      treeIds(plane, rootId.toLong).foreach { id =>
+        val c = plane.collection(id)
+        println(s"collection $id" + c.transformType.map(t => s" ($t)").getOrElse(""))
+        println(s"  steps:                ${c.steps.toSeq.sorted.mkString(", ")}")
+        println(s"  format:               ${c.dataTypeFormat.getOrElse("-")}")
+        println(s"  store_end_at:         ${c.storeEndAt.getOrElse("-")}")
+        println(s"  completed_at:         ${c.completedAt.getOrElse("-")}")
+        println(s"  expected_files_count: ${c.expectedFilesCount.getOrElse("-")}")
+        println(s"  collection_files:     ${plane.filesOf(id).size}")
+        println(s"  processing_steps:     ${plane.stepsOf(id).size}")
+        if (c.transformType.contains(Control.Transform.CompileReleases)) {
+          println(s"  compilation_started:  ${c.compilationStarted}")
+          println(s"  compilation_enqueued: ${c.compilationEnqueued}")
+          println(s"  completable:          ${Control.completable(plane, c)}")
+        }
+      }
+
+    case "addchecks" :: lake :: id :: Nil =>
+      val spark = session()
+      val cid = id.toLong
+      val facts = Sink.readFacts(spark, s"$lake/release")
+        .filter(col("collection_id") === cid)
+        .select("filename", "ocid", "release_id", "hash_md5", "data")
+      val pkgs = spark.read.parquet(s"$lake/package_data")
+        .filter(col("collection_id") === cid).select("filename", "package_data")
+      val rows = facts.join(pkgs, Seq("filename"), "left")
+        .select(xxhash64(col("filename"), col("ocid"), col("release_id"), col("hash_md5")).as("id"),
+          col("data"), col("package_data"))
+      val existing = readOrEmpty(spark, s"$lake/release_check")
+        .map(_.filter(col("collection_id") === cid))
+        .getOrElse(spark.emptyDataFrame.withColumn("id", lit(0L)))
+      val checks = Checker.checkUnchecked(rows, existing, "release", spark)
+        .toDF().withColumn("collection_id", lit(cid)).persist()
+      Sink.writeByCollection(checks, s"$lake/release_check")
+      println(s"checked=${checks.count()} failed=${checks.filter(!col("ok")).count()}")
+      checks.unpersist()
+
+    case "closecollection" :: lake :: id :: nFiles :: Nil =>
+      savePlane(lake, Control.closeCollection(loadPlane(lake), id.toLong, nowUtc(), nFiles.toInt))
+      println(s"closed ${id}")
+
+    case "cancelcollection" :: lake :: id :: Nil =>
+      savePlane(lake, Control.cancel(loadPlane(lake), id.toLong, nowUtc()))
+      println(s"cancelled ${id}")
+
+    case "deletecollection" :: lake :: rootId :: Nil =>
+      // S9: the lake is collection_id-partitioned, so wiping a tree is a
+      // partition-directory drop per fact table — no data rewrite
+      val plane = loadPlane(lake)
+      val ids = treeIds(plane, rootId.toLong).toSet
+      val now = nowUtc()
+      for (table <- Seq("release", "compiled_release", "collection_note",
+          "package_data", "release_check"); id <- ids) {
+        val dir = java.nio.file.Paths.get(s"$lake/$table/collection_id=$id")
+        if (java.nio.file.Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
+      }
+      savePlane(lake, ids.foldLeft(plane)((p, id) => Control.cancel(p, id, now)))
+      println(s"deleted collections ${ids.toSeq.sorted.mkString(", ")}")
+
+    case "deleteorphan" :: lake :: Nil =>
+      // S10: data rows referenced by no fact table are dropped; the store
+      // is rewritten (at warehouse scale this is a partition-wise anti-join
+      // MERGE, same plan shape)
+      val spark = session()
+      val store = Sink.readDedupStore(spark, s"$lake/data")
+      val refs = Seq(readOrEmpty(spark, s"$lake/release")).flatten
+        .map(_.select("hash_md5"))
+      val orphaned = Wipe.orphans(store, "hash_md5", refs).persist()
+      val removed = orphaned.count()
+      val live = store.join(
+        orphaned.select(col("hash_md5").as("__orphan")),
+        col("hash_md5") === col("__orphan"), "left_anti")
+      val tmp = s"$lake/data_live"
+      Sink.writeDedupStore(live.select("hash_md5", "data"), tmp, mode = "overwrite")
+      orphaned.unpersist()
+      import scala.jdk.CollectionConverters._
+      val old = java.nio.file.Paths.get(s"$lake/data")
+      java.nio.file.Files.walk(old).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), old)
+      println(s"removed $removed orphaned data rows")
+
+    case "metadata" :: lake :: compiledId :: Nil =>
+      val spark = session()
+      val plane = loadPlane(lake)
+      val c = plane.collection(compiledId.toLong)
+      require(c.transformType.contains(Control.Transform.CompileReleases),
+        "The collection must be a compiled collection")
+      val root = plane.rootParent(c)
+      val compiled = Sink.readFacts(spark, s"$lake/compiled_release")
+        .filter(col("collection_id") === c.id)
+        .select(col("ocid"), col("max_date").as("release_date"))
+      val pkgs = spark.read.parquet(s"$lake/package_data")
+        .filter(col("collection_id") === root.id)
+      val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+      Metadata.metadata(compiled, pkgs, today).collect().foreach { r =>
+        r.schema.fieldNames.foreach(f => println(s"$f: ${Option(r.getAs[Any](f)).getOrElse("-")}"))
+      }
+
+    case "notes" :: lake :: rootId :: levels =>
+      val spark = session()
+      val plane = loadPlane(lake)
+      val lv = if (levels.isEmpty) Seq(Notes.Info, Notes.Warning, Notes.Error) else levels
+      readOrEmpty(spark, s"$lake/collection_note") match {
+        case None => println("no notes")
+        case Some(notes) =>
+          Notes.forTree(notes, treeIds(plane, rootId.toLong), lv)
+            .collect().foreach { r =>
+              println(s"${r.getString(0)}:")
+              r.getSeq[org.apache.spark.sql.Row](1).foreach(n => println(s"  - ${n.getString(0)}"))
+            }
+      }
+
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage: graft.Cli <command> [args]
+           |  load <input> <lake> [--upgrade] [--id N]
+           |  collectionstatus <lake> <rootId>
+           |  addchecks <lake> <collectionId>
+           |  closecollection <lake> <id> <nFiles>
+           |  cancelcollection <lake> <id>
+           |  deletecollection <lake> <rootId>
+           |  deleteorphan <lake>
+           |  metadata <lake> <compiledId>
+           |  notes <lake> <rootId> [LEVEL...]""".stripMargin)
+      sys.exit(2)
+  }
+}

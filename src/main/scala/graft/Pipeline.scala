@@ -109,6 +109,10 @@ object Pipeline {
     Sink.writeFacts(items, s"$lakeDir/release")
     Sink.writeDedupStore(Ingest.dedupData(items), s"$lakeDir/data")
     val pkgs = Ingest.loadPackageData(spark, paths, dt).toDF()
+    // persisted so later jobs (addchecks, metadata) can rebuild envelopes
+    // without re-reading the source files
+    Sink.writeByCollection(
+      pkgs.withColumn("collection_id", lit(collectionId)), s"$lakeDir/package_data")
 
     // optional upgrade step, applied during load like `file_worker.py:
     // 330-335`: a narrow map re-content-addressing each item; the upgraded
@@ -159,7 +163,7 @@ object Pipeline {
     val compileNotes = Notes.fromCompileWarnings(
       compileOut.filter(col("warning").isNotNull).select(col("warning.*")), compiledId)
     val allNotes = upgradeNotes.fold(compileNotes)(_.unionByName(compileNotes)).persist()
-    Sink.writeNotes(allNotes, s"$lakeDir/collection_note")
+    Sink.writeByCollection(allNotes, s"$lakeDir/collection_note")
     // counted from the in-flight frame: an all-clean run writes an EMPTY
     // note table, which parquet cannot re-read (no footers to infer from)
     val nNotes = allNotes.count()

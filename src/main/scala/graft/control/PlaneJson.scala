@@ -1,0 +1,106 @@
+package graft.control
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.ocds.Canonical
+
+/** Canonical-JSON (de)serialization of the control plane — what the
+  * reference keeps in PostgreSQL control tables (`collection`,
+  * `collection_file`, `processing_step`), this engine keeps as one small
+  * JSON document next to the lake so CLI invocations compose across
+  * processes. Control state is collection-count-sized (not data-sized), so
+  * a driver-side document is the right scale; a deployment wanting
+  * concurrent writers would put the same value behind any CAS-capable
+  * store. */
+object PlaneJson {
+
+  private def putOpt(o: ObjectNode, k: String, v: Option[String]): Unit =
+    v.foreach(o.put(k, _))
+
+  def toJson(p: Control.Plane): String = {
+    val root = Canonical.mapper.createObjectNode()
+    val cols = Canonical.mapper.createArrayNode()
+    p.collections.values.toSeq.sortBy(_.id).foreach { c =>
+      val o = Canonical.mapper.createObjectNode()
+      o.put("id", c.id)
+      o.put("source_id", c.sourceId)
+      o.put("data_version", c.dataVersion)
+      c.parent.foreach(o.put("parent", _))
+      putOpt(o, "transform_type", c.transformType)
+      val steps = Canonical.mapper.createArrayNode()
+      c.steps.toSeq.sorted.foreach(steps.add)
+      o.set[JsonNode]("steps", steps)
+      putOpt(o, "data_type_format", c.dataTypeFormat)
+      putOpt(o, "store_end_at", c.storeEndAt)
+      putOpt(o, "completed_at", c.completedAt)
+      c.expectedFilesCount.foreach(o.put("expected_files_count", _))
+      o.put("compilation_started", c.compilationStarted)
+      o.put("compilation_enqueued", c.compilationEnqueued)
+      putOpt(o, "deleted_at", c.deletedAt)
+      c.cachedReleasesCount.foreach(o.put("cached_releases_count", _))
+      c.cachedRecordsCount.foreach(o.put("cached_records_count", _))
+      c.cachedCompiledReleasesCount.foreach(o.put("cached_compiled_releases_count", _))
+      cols.add(o)
+    }
+    root.set[JsonNode]("collections", cols)
+    val files = Canonical.mapper.createArrayNode()
+    p.files.foreach { f =>
+      val o = Canonical.mapper.createObjectNode()
+      o.put("collection_id", f.collectionId)
+      o.put("filename", f.filename)
+      o.put("compilation_started", f.compilationStarted)
+      files.add(o)
+    }
+    root.set[JsonNode]("files", files)
+    val steps = Canonical.mapper.createArrayNode()
+    p.steps.foreach { st =>
+      val o = Canonical.mapper.createObjectNode()
+      o.put("name", st.name)
+      o.put("collection_id", st.collectionId)
+      st.filename.foreach(o.put("filename", _))
+      steps.add(o)
+    }
+    root.set[JsonNode]("steps", steps)
+    Canonical.canonicalize(root)
+  }
+
+  private def optText(n: JsonNode, k: String): Option[String] =
+    Option(n.get(k)).filter(_.isTextual).map(_.asText)
+  private def optLong(n: JsonNode, k: String): Option[Long] =
+    Option(n.get(k)).filter(_.isNumber).map(_.asLong)
+
+  def fromJson(json: String): Control.Plane = {
+    val root = Canonical.parse(json)
+    val cols = root.get("collections").asInstanceOf[ArrayNode].elements.asScala.map { o =>
+      Control.Collection(
+        id = o.get("id").asLong,
+        sourceId = o.get("source_id").asText,
+        dataVersion = o.get("data_version").asText,
+        parent = optLong(o, "parent"),
+        transformType = optText(o, "transform_type"),
+        steps = Option(o.get("steps")).map(_.elements.asScala.map(_.asText).toSet).getOrElse(Set.empty),
+        dataTypeFormat = optText(o, "data_type_format"),
+        storeEndAt = optText(o, "store_end_at"),
+        completedAt = optText(o, "completed_at"),
+        expectedFilesCount = optLong(o, "expected_files_count").map(_.toInt),
+        compilationStarted = Option(o.get("compilation_started")).exists(_.asBoolean),
+        compilationEnqueued = Option(o.get("compilation_enqueued")).exists(_.asBoolean),
+        deletedAt = optText(o, "deleted_at"),
+        cachedReleasesCount = optLong(o, "cached_releases_count"),
+        cachedRecordsCount = optLong(o, "cached_records_count"),
+        cachedCompiledReleasesCount = optLong(o, "cached_compiled_releases_count"))
+    }.map(c => c.id -> c).toMap
+    val files = root.get("files").asInstanceOf[ArrayNode].elements.asScala.map { o =>
+      Control.CollectionFile(
+        o.get("collection_id").asLong, o.get("filename").asText,
+        Option(o.get("compilation_started")).exists(_.asBoolean))
+    }.toSeq
+    val steps = root.get("steps").asInstanceOf[ArrayNode].elements.asScala.map { o =>
+      Control.Step(o.get("name").asText, o.get("collection_id").asLong, optText(o, "filename"))
+    }.toSeq
+    Control.Plane(cols, files, steps)
+  }
+}

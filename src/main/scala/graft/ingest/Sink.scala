@@ -50,12 +50,12 @@ object Sink {
   def readDedupStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** `collection_note` sink: same collection_id partitioning as the fact
-    * tables (wipes stay partition drops) but no ocid clustering — notes are
-    * small, coalescing per collection keeps the file count at one-ish per
+  /** Sink for small per-collection tables (collection_note, package_data):
+    * same collection_id partitioning as the fact tables (wipes stay
+    * partition drops) but no ocid clustering — one coalesced file per
     * collection instead of one per shuffle partition. */
-  def writeNotes(notes: DataFrame, path: String, mode: String = "append"): Unit =
-    notes
+  def writeByCollection(rows: DataFrame, path: String, mode: String = "append"): Unit =
+    rows
       .repartition(col("collection_id"))
       .write
       .partitionBy("collection_id")

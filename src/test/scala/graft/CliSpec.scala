@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The management-command surface end-to-end: load --upgrade, status,
+  * incremental checks (idempotent), metadata, notes, orphan GC, tree
+  * delete — each invocation a separate main() call composing through the
+  * persisted _control.json, like the reference's commands compose through
+  * its control tables. */
+class CliSpec extends AnyFunSuite {
+
+  // the shared local[*] session: Cli.session()'s getOrCreate reuses it
+  private lazy val s = SparkSuite.spark
+
+  private def inputTree(): Path = {
+    val dir = Files.createTempDirectory("graft-cli")
+    Files.writeString(dir.resolve("a.json"),
+      """{"uri": "http://x/a", "version": "1.0", "publisher": {"name": "A"},
+        | "publishedDate": "2020-01-01T00:00:00Z", "license": "CC0",
+        | "releases": [
+        |   {"ocid": "ocds-a", "id": "a1", "date": "2020-01-01T00:00:00Z",
+        |    "buyer": {"name": "B"},
+        |    "tender": {"tenderers": [{"name": "T"}]},
+        |    "awards": [{"id": "w", "suppliers": [{"name": "T", "details": "d"}]}]},
+        |   {"ocid": "ocds-a", "id": "a2", "date": "2020-01-02T00:00:00Z"}
+        | ]}""".stripMargin)
+    dir
+  }
+
+  private def run(args: String*): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      Cli.main(args.toArray)
+    }
+    out.toString("UTF-8")
+  }
+
+  test("load → status → addchecks ×2 → metadata → notes → GC → delete") {
+    s.sparkContext.setLogLevel("WARN") // make sure the session exists first
+    val input = inputTree().toString
+    val lake = Files.createTempDirectory("graft-cli-lake").toString
+
+    val loadOut = run("load", input, lake, "--upgrade")
+    assert(loadOut.contains("collection=1 upgraded=2 compiled=3"))
+    assert(loadOut.contains("items=2"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$lake/_control.json")))
+
+    val status = run("collectionstatus", lake, "1")
+    assert(status.contains("collection 1"))
+    assert(status.contains("collection 2 (upgrade-1-0-to-1-1)"))
+    assert(status.contains("collection 3 (compile-releases)"))
+    assert(status.contains("compilation_started:  true"))
+
+    // first run checks everything; the second finds nothing unchecked
+    assert(run("addchecks", lake, "1").contains("checked=2"))
+    assert(run("addchecks", lake, "1").contains("checked=0"))
+
+    val md = run("metadata", lake, "3")
+    assert(md.contains("ocid_prefix: ocds-a"))
+    assert(md.contains("license: CC0"))
+
+    val notes = run("notes", lake, "1")
+    assert(notes.contains("WARNING:"))
+    assert(notes.contains("differs")) // the upgrade differs-warning
+
+    // everything referenced → GC removes nothing; after the tree delete the
+    // store rows are orphaned and the GC clears them
+    assert(run("deleteorphan", lake).contains("removed 0"))
+    assert(run("deletecollection", lake, "1").contains("deleted collections 1, 2, 3"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake/release/collection_id=1")))
+    assert(run("deleteorphan", lake).contains("removed 2"))
+  }
+}
