@@ -68,6 +68,13 @@ object Cli {
     root +: children.flatMap(treeIds(plane, _))
   }
 
+  /** Usage-error exit: 'unknown collection 7', not a Map stack trace. */
+  private def known(plane: Control.Plane, id: Long): Control.Collection =
+    plane.collections.getOrElse(id, {
+      System.err.println(s"unknown collection $id")
+      sys.exit(2)
+    })
+
   /** None for a missing OR fully-wiped table (a directory whose partitions
     * were all dropped has no parquet footers to infer a schema from). */
   private def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
@@ -78,8 +85,21 @@ object Cli {
     case "load" :: input :: lake :: rest =>
       val upgrade = rest.contains("--upgrade")
       val plane0 = loadPlane(lake)
-      val id = rest.dropWhile(_ != "--id").drop(1).headOption.map(_.toLong)
-        .getOrElse(plane0.collections.keys.maxOption.map(_ + 1).getOrElse(1L))
+      val id = rest.dropWhile(_ != "--id").drop(1).headOption
+        .filterNot(_.startsWith("--")) match {
+          case Some(n) if n.forall(_.isDigit) => n.toLong
+          case Some(bad) =>
+            System.err.println(s"--id needs a number, got '$bad'"); sys.exit(2)
+          case None => plane0.collections.keys.maxOption.map(_ + 1).getOrElse(1L)
+        }
+      // the load creates id (+1 upgraded) (+1/+2 compiled): all must be new,
+      // or the control rows would be overwritten while the lake APPENDS a
+      // second copy of every fact row under the same partitions
+      val span = id to (id + (if (upgrade) 2 else 1))
+      span.find(plane0.collections.contains).foreach { clash =>
+        System.err.println(s"collection $clash already exists; pick another --id")
+        sys.exit(2)
+      }
       val report = Pipeline.loadAndCompile(
         session(), input, lake, collectionId = id, now = nowUtc(), upgrade = upgrade)
       // merge into any pre-existing plane document (other collections)
@@ -95,6 +115,7 @@ object Cli {
 
     case "collectionstatus" :: lake :: rootId :: Nil =>
       val plane = loadPlane(lake)
+      known(plane, rootId.toLong)
       treeIds(plane, rootId.toLong).foreach { id =>
         val c = plane.collection(id)
         println(s"collection $id" + c.transformType.map(t => s" ($t)").getOrElse(""))
@@ -114,36 +135,46 @@ object Cli {
 
     case "addchecks" :: lake :: id :: Nil =>
       val spark = session()
+      val plane = loadPlane(lake)
       val cid = id.toLong
+      // package metadata is stored under the ROOT collection (the upgraded
+      // collection's rows come from the same source files)
+      val rootId = plane.rootParent(known(plane, cid)).id
       val facts = Sink.readFacts(spark, s"$lake/release")
         .filter(col("collection_id") === cid)
         .select("filename", "ocid", "release_id", "hash_md5", "data")
       val pkgs = spark.read.parquet(s"$lake/package_data")
-        .filter(col("collection_id") === cid).select("filename", "package_data")
+        .filter(col("collection_id") === rootId).select("filename", "package_data")
       val rows = facts.join(pkgs, Seq("filename"), "left")
-        .select(xxhash64(col("filename"), col("ocid"), col("release_id"), col("hash_md5")).as("id"),
-          col("data"), col("package_data"))
+        .select(Checker.checkId.as("id"), col("data"), col("package_data"))
       val existing = readOrEmpty(spark, s"$lake/release_check")
         .map(_.filter(col("collection_id") === cid))
         .getOrElse(spark.emptyDataFrame.withColumn("id", lit(0L)))
       val checks = Checker.checkUnchecked(rows, existing, "release", spark)
         .toDF().withColumn("collection_id", lit(cid)).persist()
+      // count BEFORE the append: the plan reads release_check (the
+      // anti-join side) lazily, so evaluating it after writing to the same
+      // table would anti-join the rows against themselves → checked=0
+      val (nChecked, nFailed) = (checks.count(), checks.filter(!col("ok")).count())
       Sink.writeByCollection(checks, s"$lake/release_check")
-      println(s"checked=${checks.count()} failed=${checks.filter(!col("ok")).count()}")
+      println(s"checked=$nChecked failed=$nFailed")
       checks.unpersist()
 
     case "closecollection" :: lake :: id :: nFiles :: Nil =>
-      savePlane(lake, Control.closeCollection(loadPlane(lake), id.toLong, nowUtc(), nFiles.toInt))
+      val plane = loadPlane(lake); known(plane, id.toLong)
+      savePlane(lake, Control.closeCollection(plane, id.toLong, nowUtc(), nFiles.toInt))
       println(s"closed ${id}")
 
     case "cancelcollection" :: lake :: id :: Nil =>
-      savePlane(lake, Control.cancel(loadPlane(lake), id.toLong, nowUtc()))
+      val plane = loadPlane(lake); known(plane, id.toLong)
+      savePlane(lake, Control.cancel(plane, id.toLong, nowUtc()))
       println(s"cancelled ${id}")
 
     case "deletecollection" :: lake :: rootId :: Nil =>
       // S9: the lake is collection_id-partitioned, so wiping a tree is a
       // partition-directory drop per fact table — no data rewrite
       val plane = loadPlane(lake)
+      known(plane, rootId.toLong)
       val ids = treeIds(plane, rootId.toLong).toSet
       val now = nowUtc()
       for (table <- Seq("release", "compiled_release", "collection_note",
@@ -184,7 +215,7 @@ object Cli {
     case "metadata" :: lake :: compiledId :: Nil =>
       val spark = session()
       val plane = loadPlane(lake)
-      val c = plane.collection(compiledId.toLong)
+      val c = known(plane, compiledId.toLong)
       require(c.transformType.contains(Control.Transform.CompileReleases),
         "The collection must be a compiled collection")
       val root = plane.rootParent(c)

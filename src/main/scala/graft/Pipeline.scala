@@ -118,7 +118,11 @@ object Pipeline {
     // 330-335`: a narrow map re-content-addressing each item; the upgraded
     // collection gets its own file/step lifecycle rows, and the
     // differs-warnings become WARNING notes on it
-    val upgradeNotes: Option[DataFrame] = upgradedId.map { uid =>
+    // NOTE: `up` (and therefore `items`) must stay persisted until the
+    // notes frame derived from it is materialized below — unpersisting here
+    // would silently re-run the whole load+upgrade from the source files
+    // when the collection_note write finally evaluates
+    val upgradeState: Option[(DataFrame, DataFrame)] = upgradedId.map { uid =>
       val up = Upgrade.upgradeItems(items, spark).toDF().persist()
       Sink.writeFacts(
         up.drop("upgrade_warnings").withColumn("collection_id", lit(uid)),
@@ -128,10 +132,9 @@ object Pipeline {
       plane = paths.foldLeft(plane)((p, f) =>
         Control.completeStep(p, uid, Control.StepName.Load, Some(f)))
       setFormat(uid)
-      up.unpersist()
-      notes
+      (notes, up)
     }
-    items.unpersist()
+    val upgradeNotes = upgradeState.map(_._1)
     plane = paths.foldLeft(plane)((p, f) =>
       Control.completeStep(p, collectionId, Control.StepName.Load, Some(f)))
     plane = Control.closeCollection(plane, collectionId, now, paths.size)
@@ -169,6 +172,8 @@ object Pipeline {
     val nNotes = allNotes.count()
     allNotes.unpersist()
     compileOut.unpersist()
+    upgradeState.foreach(_._2.unpersist())
+    items.unpersist()
     plane = plane.copy(collections = plane.collections.updated(compiledId,
       plane.collection(compiledId).copy(compilationEnqueued = true)))
 
@@ -183,8 +188,7 @@ object Pipeline {
     val checkFailures = Checker.checkItems(
       facts.select("filename", "ocid", "release_id", "hash_md5", "data")
         .join(pkgs.select("filename", "package_data"), Seq("filename"), "left")
-        .select(xxhash64(col("filename"), col("ocid"), col("release_id"), col("hash_md5")).as("id"),
-          col("data"), col("package_data")),
+        .select(Checker.checkId.as("id"), col("data"), col("package_data")),
       "release", spark)
       .filter(!col("ok")).count()
 

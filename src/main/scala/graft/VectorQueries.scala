@@ -117,19 +117,20 @@ object VectorQueries {
     when(dotDec(col("embedding"), w) >= 0, 1).otherwise(0)
   }
 
-  /** Per-row LSH state: `blockCols ++ (vec_id, band_id, band_val, norm_dec)`,
-    * one row per band. The 16 exact-decimal hyperplane projections and the
-    * norm are codegen'd SUM aggregates over the exploded (index, value)
-    * stream — the LCG weight is inline arithmetic on the index, so no
-    * weight array and no interpreted HOF fold (r4: the per-row fold ran
-    * interpreted, twice via the sig self-join). */
+  /** Per-row LSH state: `blockCols ++ (vec_id, band_id, band_val)`, one row
+    * per band. The 16 exact-decimal hyperplane projections are codegen'd
+    * SUM aggregates over the exploded (index, value) stream — the LCG
+    * weight is inline arithmetic on the index, so no weight array and no
+    * interpreted HOF fold (r4: the per-row fold ran interpreted, twice via
+    * the sig self-join). Norms are NOT computed here — [[verifyPairs]]
+    * folds them in-row, which is cheaper than a second aggregation pass. */
   private def signatures(emb: DataFrame, blockCols: Seq[String]): DataFrame = {
     val projAggs = (0 until Planes).map { p =>
       val w = when(
         ((col("i") + lit(p.toLong * Dim)) * lit(1103515245L) + lit(12345L))
           % lit(2147483648L) < lit(1073741824L), lit(1.0)).otherwise(lit(-1.0))
       sum((w * col("x").cast(DoubleType)).cast(Dec)).as(s"proj$p")
-    } :+ sum((col("x").cast(DoubleType) * col("x").cast(DoubleType)).cast(Dec)).as("norm_dec")
+    }
     val keys = col("vec_id") +: blockCols.map(col)
     val agg = emb
       .select(keys :+ posexplode(col("embedding")).as(Seq("i", "x")): _*)
@@ -141,8 +142,8 @@ object VectorQueries {
         .reduce(_ + _)
       struct(lit(b).as("band_id"), v.as("band_val"))
     }
-    agg.select(keys :+ col("norm_dec") :+ posexplode(array(bandStructs: _*)).as(Seq("_", "band")): _*)
-      .select(keys :+ col("norm_dec") :+ col("band.band_id") :+ col("band.band_val"): _*)
+    agg.select(keys :+ posexplode(array(bandStructs: _*)).as(Seq("_", "band")): _*)
+      .select(keys :+ col("band.band_id") :+ col("band.band_val"): _*)
   }
 
   /** Bucket-local candidate pairs: collect each (blockCols, band) bucket's

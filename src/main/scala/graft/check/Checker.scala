@@ -69,6 +69,17 @@ object Checker {
     Canonical.canonicalize(root)
   }
 
+  /** The check row's stable id: a hash of the fact row's content key —
+    * deterministic across runs/partitionings (the reference keys
+    * release_check on the release row's PK). ONE definition shared by the
+    * pipeline's inline check and the CLI's incremental addchecks: the
+    * LEFT ANTI in [[checkUnchecked]] only works if both sides computed
+    * byte-identical ids. Expects (filename, ocid, release_id, hash_md5). */
+  def checkId: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    xxhash64(col("filename"), col("ocid"), col("release_id"), col("hash_md5"))
+  }
+
   private def itemsFieldFor(kind: String): String =
     if (kind == "record") "records" else "releases"
 

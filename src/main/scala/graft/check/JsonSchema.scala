@@ -63,9 +63,17 @@ object JsonSchema {
       schemaJson: String,
       resolveDoc: String => Option[String] = _ => None): Compiled = {
     val docCache = scala.collection.mutable.Map.empty[String, JsonNode]
-    val cache = scala.collection.mutable.Map.empty[JsonNode, Compiled]
+    // One node cache PER DOCUMENT (outer map on document identity): Jackson
+    // equality is value-based, and the release and versioned-release
+    // documents contain value-identical bare {"$ref": "#/definitions/X"}
+    // nodes whose TARGET definitions differ — a single value-keyed cache
+    // would resolve the second document's refs against the first's.
+    val caches = new java.util.IdentityHashMap[JsonNode, scala.collection.mutable.Map[JsonNode, Compiled]]()
 
-    def compileNode(n: JsonNode, docRoot: JsonNode): Compiled = cache.getOrElseUpdate(n, {
+    def compileNode(n: JsonNode, docRoot: JsonNode): Compiled = {
+      val cache = caches.computeIfAbsent(docRoot,
+        _ => scala.collection.mutable.Map.empty[JsonNode, Compiled])
+      cache.getOrElseUpdate(n, {
       Option(n.get("$ref")).map(_.asText) match {
         case Some(ref) if ref.startsWith("#/definitions/") =>
           val target = Option(docRoot.get("definitions"))
@@ -108,7 +116,8 @@ object JsonSchema {
           val fmt = Option(n.get("format")).filter(_.isTextual).map(_.asText)
           new Compiled(types, req, props, patProps, items, enums, minLen, minIt, uniq, pat, oneOf, fmt)
       }
-    })
+      })
+    }
 
     val root = Canonical.parse(schemaJson)
     compileNode(root, root)

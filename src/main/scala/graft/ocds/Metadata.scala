@@ -22,7 +22,12 @@ object Metadata {
     *
     * `compiled` needs (ocid, release_date); `packageData` needs
     * (filename, package_data). Dates outside (1970-01-01, today] are
-    * excluded like the reference's WHERE clause. */
+    * excluded like the reference's WHERE clause. The comparison is
+    * LEXICOGRAPHIC on purpose: the reference's `release_date` is a TEXT
+    * column (models.py:303, the `<= today` bind is a date string), so a
+    * full ISO timestamp dated today compares greater than the date-only
+    * bound and is excluded — matching that behavior exactly, quirk
+    * included. */
   def metadata(compiled: DataFrame, packageData: DataFrame, today: String): DataFrame = {
     val dates = compiled
       .filter(col("release_date") > "1970-01-01" && col("release_date") <= today)

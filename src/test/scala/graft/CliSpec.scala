@@ -18,13 +18,15 @@ class CliSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-cli")
     Files.writeString(dir.resolve("a.json"),
       """{"uri": "http://x/a", "version": "1.0", "publisher": {"name": "A"},
-        | "publishedDate": "2020-01-01T00:00:00Z", "license": "CC0",
+        | "publishedDate": "2020-01-01T00:00:00Z", "license": "https://creativecommons.org/publicdomain/zero/1.0/",
         | "releases": [
         |   {"ocid": "ocds-a", "id": "a1", "date": "2020-01-01T00:00:00Z",
+        |    "tag": ["award"], "initiationType": "tender",
         |    "buyer": {"name": "B"},
-        |    "tender": {"tenderers": [{"name": "T"}]},
-        |    "awards": [{"id": "w", "suppliers": [{"name": "T", "details": "d"}]}]},
-        |   {"ocid": "ocds-a", "id": "a2", "date": "2020-01-02T00:00:00Z"}
+        |    "tender": {"id": "t1", "tenderers": [{"name": "T"}]},
+        |    "awards": [{"id": "w", "suppliers": [{"name": "T", "contactPoint": {"email": "t@x.org"}}]}]},
+        |   {"ocid": "ocds-a", "id": "a2", "date": "2020-01-02T00:00:00Z",
+        |    "tag": ["tenderUpdate"], "initiationType": "tender"}
         | ]}""".stripMargin)
     dir
   }
@@ -54,12 +56,16 @@ class CliSpec extends AnyFunSuite {
     assert(status.contains("compilation_started:  true"))
 
     // first run checks everything; the second finds nothing unchecked
-    assert(run("addchecks", lake, "1").contains("checked=2"))
+    assert(run("addchecks", lake, "1").contains("checked=2 failed=0"))
     assert(run("addchecks", lake, "1").contains("checked=0"))
+    // the UPGRADED collection resolves package metadata via its root parent
+    // — failed=0 proves the envelope was rebuilt (a missing package_data
+    // would fail every row on required uri/publisher/publishedDate)
+    assert(run("addchecks", lake, "2").contains("checked=2 failed=0"))
 
     val md = run("metadata", lake, "3")
     assert(md.contains("ocid_prefix: ocds-a"))
-    assert(md.contains("license: CC0"))
+    assert(md.contains("license: https://creativecommons.org/publicdomain/zero/1.0/"))
 
     val notes = run("notes", lake, "1")
     assert(notes.contains("WARNING:"))
