@@ -75,6 +75,14 @@ object Cli {
       sys.exit(2)
     })
 
+  /** Parse a collection-id argument or exit with a usage error (covers
+    * non-numeric AND beyond-Long inputs — no raw NumberFormatException). */
+  private def idArg(s: String): Long =
+    s.toLongOption.getOrElse {
+      System.err.println(s"collection id must be a number, got '$s'")
+      sys.exit(2)
+    }
+
   /** None for a missing OR fully-wiped table (a directory whose partitions
     * were all dropped has no parquet footers to infer a schema from). */
   private def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
@@ -85,13 +93,15 @@ object Cli {
     case "load" :: input :: lake :: rest =>
       val upgrade = rest.contains("--upgrade")
       val plane0 = loadPlane(lake)
-      val id = rest.dropWhile(_ != "--id").drop(1).headOption
-        .filterNot(_.startsWith("--")) match {
-          case Some(n) if n.forall(_.isDigit) => n.toLong
-          case Some(bad) =>
-            System.err.println(s"--id needs a number, got '$bad'"); sys.exit(2)
-          case None => plane0.collections.keys.maxOption.map(_ + 1).getOrElse(1L)
-        }
+      val id =
+        if (!rest.contains("--id"))
+          plane0.collections.keys.maxOption.map(_ + 1).getOrElse(1L)
+        else rest.dropWhile(_ != "--id").drop(1).headOption
+          .filterNot(_.startsWith("--")).flatMap(_.toLongOption) match {
+            case Some(n) => n
+            case None => // present but missing/flag-valued/overflowing operand
+              System.err.println("--id needs a number"); sys.exit(2)
+          }
       // the load creates id (+1 upgraded) (+1/+2 compiled): all must be new,
       // or the control rows would be overwritten while the lake APPENDS a
       // second copy of every fact row under the same partitions
@@ -115,8 +125,9 @@ object Cli {
 
     case "collectionstatus" :: lake :: rootId :: Nil =>
       val plane = loadPlane(lake)
-      known(plane, rootId.toLong)
-      treeIds(plane, rootId.toLong).foreach { id =>
+      val rid = idArg(rootId)
+      known(plane, rid)
+      treeIds(plane, rid).foreach { id =>
         val c = plane.collection(id)
         println(s"collection $id" + c.transformType.map(t => s" ($t)").getOrElse(""))
         println(s"  steps:                ${c.steps.toSeq.sorted.mkString(", ")}")
@@ -136,7 +147,7 @@ object Cli {
     case "addchecks" :: lake :: id :: Nil =>
       val spark = session()
       val plane = loadPlane(lake)
-      val cid = id.toLong
+      val cid = idArg(id)
       // package metadata is stored under the ROOT collection (the upgraded
       // collection's rows come from the same source files)
       val rootId = plane.rootParent(known(plane, cid)).id
@@ -161,21 +172,22 @@ object Cli {
       checks.unpersist()
 
     case "closecollection" :: lake :: id :: nFiles :: Nil =>
-      val plane = loadPlane(lake); known(plane, id.toLong)
-      savePlane(lake, Control.closeCollection(plane, id.toLong, nowUtc(), nFiles.toInt))
+      val plane = loadPlane(lake); val cid = idArg(id); known(plane, cid)
+      savePlane(lake, Control.closeCollection(plane, cid, nowUtc(), nFiles.toInt))
       println(s"closed ${id}")
 
     case "cancelcollection" :: lake :: id :: Nil =>
-      val plane = loadPlane(lake); known(plane, id.toLong)
-      savePlane(lake, Control.cancel(plane, id.toLong, nowUtc()))
+      val plane = loadPlane(lake); val cid = idArg(id); known(plane, cid)
+      savePlane(lake, Control.cancel(plane, cid, nowUtc()))
       println(s"cancelled ${id}")
 
     case "deletecollection" :: lake :: rootId :: Nil =>
       // S9: the lake is collection_id-partitioned, so wiping a tree is a
       // partition-directory drop per fact table — no data rewrite
       val plane = loadPlane(lake)
-      known(plane, rootId.toLong)
-      val ids = treeIds(plane, rootId.toLong).toSet
+      val rid = idArg(rootId)
+      known(plane, rid)
+      val ids = treeIds(plane, rid).toSet
       val now = nowUtc()
       for (table <- Seq("release", "compiled_release", "collection_note",
           "package_data", "release_check"); id <- ids) {
@@ -215,7 +227,7 @@ object Cli {
     case "metadata" :: lake :: compiledId :: Nil =>
       val spark = session()
       val plane = loadPlane(lake)
-      val c = known(plane, compiledId.toLong)
+      val c = known(plane, idArg(compiledId))
       require(c.transformType.contains(Control.Transform.CompileReleases),
         "The collection must be a compiled collection")
       val root = plane.rootParent(c)
@@ -232,11 +244,13 @@ object Cli {
     case "notes" :: lake :: rootId :: levels =>
       val spark = session()
       val plane = loadPlane(lake)
+      val rid = idArg(rootId)
+      known(plane, rid)
       val lv = if (levels.isEmpty) Seq(Notes.Info, Notes.Warning, Notes.Error) else levels
       readOrEmpty(spark, s"$lake/collection_note") match {
         case None => println("no notes")
         case Some(notes) =>
-          Notes.forTree(notes, treeIds(plane, rootId.toLong), lv)
+          Notes.forTree(notes, treeIds(plane, rid), lv)
             .collect().foreach { r =>
               println(s"${r.getString(0)}:")
               r.getSeq[org.apache.spark.sql.Row](1).foreach(n => println(s"  - ${n.getString(0)}"))

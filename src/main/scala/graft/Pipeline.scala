@@ -135,6 +135,9 @@ object Pipeline {
       (notes, up)
     }
     val upgradeNotes = upgradeState.map(_._1)
+    // no-upgrade path: nothing downstream reads items — release the cache
+    // before the compile shuffle competes for storage memory
+    if (upgradeState.isEmpty) items.unpersist()
     plane = paths.foldLeft(plane)((p, f) =>
       Control.completeStep(p, collectionId, Control.StepName.Load, Some(f)))
     plane = Control.closeCollection(plane, collectionId, now, paths.size)
@@ -172,8 +175,7 @@ object Pipeline {
     val nNotes = allNotes.count()
     allNotes.unpersist()
     compileOut.unpersist()
-    upgradeState.foreach(_._2.unpersist())
-    items.unpersist()
+    upgradeState.foreach { case (_, up) => up.unpersist(); items.unpersist() }
     plane = plane.copy(collections = plane.collections.updated(compiledId,
       plane.collection(compiledId).copy(compilationEnqueued = true)))
 

@@ -120,7 +120,27 @@ object JsonSchema {
     }
 
     val root = Canonical.parse(schemaJson)
-    compileNode(root, root)
+    val compiled = compileNode(root, root)
+
+    // Force EVERY deferred thunk now, to a fixpoint: after compile()
+    // returns, the memo caches are never written again, so the Compiled
+    // graph is safe to share across Spark task threads (one compiled
+    // schema per executor serves many concurrent validate() calls; a
+    // validate-time thunk that still mutated these plain HashMaps would be
+    // an unsynchronized cross-thread write).
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Compiled, java.lang.Boolean]())
+    val work = scala.collection.mutable.Stack(compiled)
+    while (work.nonEmpty) {
+      val c = work.pop()
+      if (seen.add(c)) {
+        c.properties.valuesIterator.foreach(t => work.push(t()))
+        c.patternProps.foreach { case (_, t) => work.push(t()) }
+        c.items.foreach(t => work.push(t()))
+        c.oneOf.foreach(t => work.push(t()))
+      }
+    }
+    compiled
   }
 
   private def typeName(n: JsonNode): String =
