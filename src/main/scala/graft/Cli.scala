@@ -237,6 +237,8 @@ object Cli {
       val pkgs = spark.read.parquet(s"$lake/package_data")
         .filter(col("collection_id") === root.id)
       val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+      // collect() here is the command's OUTPUT: metadata() returns exactly
+      // one row at any table size (two single-row aggregates joined)
       Metadata.metadata(compiled, pkgs, today).collect().foreach { r =>
         r.schema.fieldNames.foreach(f => println(s"$f: ${Option(r.getAs[Any](f)).getOrElse("-")}"))
       }
@@ -250,6 +252,8 @@ object Cli {
       readOrEmpty(spark, s"$lake/collection_note") match {
         case None => println("no notes")
         case Some(notes) =>
+          // collect() here is the command's OUTPUT: forTree groups to at
+          // most one row per level (≤3) for the terminal print
           Notes.forTree(notes, treeIds(plane, rid), lv)
             .collect().foreach { r =>
               println(s"${r.getString(0)}:")
