@@ -62,6 +62,19 @@ object Sink {
       .mode(mode)
       .parquet(path)
 
+  /** S7 at warehouse scale: the fact table BUCKETED by ocid — written once
+    * into the session catalog, after which every compile reads it with
+    * zero exchanges (`Compile.summariesCoLocated`): the bucketed scan's
+    * HashPartitioning(ocid) satisfies the compile's clustered-distribution
+    * requirement, replacing the per-job shuffle entirely. */
+  def writeFactsBucketed(
+      facts: DataFrame, table: String, buckets: Int = 256, mode: String = "overwrite"): Unit =
+    facts.write
+      .mode(mode)
+      .bucketBy(buckets, "ocid")
+      .format("parquet")
+      .saveAsTable(table)
+
   /** The serving-copy writer (reference: PostgreSQL bulk_create in batches
     * of 1000). Contract-only here — no database in the harness. */
   def writeJdbc(df: DataFrame, url: String, table: String, batchSize: Int = 1000): Unit =

@@ -129,6 +129,31 @@ object Compile {
     }
   }
 
+  /** [[summaries]] expressed through Catalyst's distribution framework
+    * (`groupBy(col).as[K,V].flatMapGroups`) instead of an explicit
+    * repartition: the grouping key is the `ocid` COLUMN, so a scan that
+    * already provides hash distribution on it — a lake table written with
+    * `Sink.writeFactsBucketed` — satisfies the requirement and the whole
+    * compile runs with ZERO exchanges (bucket once at write time, compile
+    * any number of times shuffle-free; the warehouse shape promised in
+    * Sink's scaladoc). On a non-bucketed input Catalyst inserts the same
+    * single ocid shuffle [[summaries]] does explicitly, so results are
+    * identical either way. Memory bound is unchanged: one group is
+    * buffered and sorted in-partition (columns must be string-typed — the
+    * lake schema — since the in-group (date, tiebreak) sort is
+    * lexicographic here). */
+  def summariesCoLocated(releases: DataFrame, s: SparkSession): Dataset[CompiledSummary] = {
+    import s.implicits._
+    releases
+      .select(col("ocid").cast("string"), col("date").cast("string"),
+        col("tiebreak").cast("string"), col("release"))
+      .groupBy(col("ocid")).as[String, (String, String, String, String)]
+      .flatMapGroups { (ocid, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        summarize(ocid, sorted.size, Merge.compile(ocid, sorted.map(_._4)))
+      }
+  }
+
   /** One extension-ruled compiled process (A8 output row). */
   final case class ExtSummary(ocid: String, n_parties: Long, n_extensions: Long)
 
