@@ -105,6 +105,64 @@ object CheckQueries {
               FROM c"""),
       "Incremental checks (addchecks.py:38-45): LEFT ANTI against the existing check " +
         "table's ids, then validate only the unchecked remainder; each injected defect " +
-        "class yields exactly one error, so failures == errors")
+        "class yields exactly one error, so failures == errors"),
+
+    QueryDef(
+      "q_check_records", Seq("V1", "A1", "P3"),
+      (s, d) => {
+        // record-package checks against the vendored 1.1.5 record schema,
+        // four deterministically-injected defect classes (if/else on k
+        // mods, one per row at most): k%5=0 drops required `releases`;
+        // else k%7=0 makes releases a bare-int list failing BOTH oneOf
+        // branches; else k%11=0 embeds a compiledRelease without its
+        // required date (exercises the cross-document ref into the full
+        // release schema); else k%13=0 breaks the package version pattern;
+        // else a valid linked-release record
+        val k = get_json_object(col("props"), "$.k").cast(LongType)
+        val isReq = k % 5 === 0
+        val isOneOf = !isReq && (k % 7 === 0)
+        val isCrDate = !isReq && !isOneOf && (k % 11 === 0)
+        val isVer = !isReq && !isOneOf && !isCrDate && (k % 13 === 0)
+        val releasesFrag = when(isReq, lit(""))
+          .when(isOneOf, lit(""""releases":[7],"""))
+          .otherwise(lit(
+            """"releases":[{"url":"http://x/r","date":"2020-01-02T03:04:05Z","tag":["tender"]}],"""))
+        val crFrag = when(isCrDate, lit(
+          """"compiledRelease":{"ocid":"ocds-r","id":"c","tag":["compiled"],"initiationType":"tender"},"""))
+          .otherwise(lit(""))
+        val rows = Tables.events(s, d).select(
+          col("event_id").as("id"),
+          concat(
+            lit("{"), releasesFrag, crFrag,
+            lit("\"ocid\":\"ocds-"), col("user_id"), lit("\"}")).as("data"),
+          concat(
+            lit("{\"uri\":\"http://example.org/"), col("event_id").cast(StringType),
+            lit("\",\"publishedDate\":\"2020-01-01T00:00:00Z\","),
+            lit("\"publisher\":{\"name\":\"P\"},\"version\":\""),
+            when(isVer, lit("v1")).otherwise(lit("1.1")), lit("\"}")).as("package_data"))
+        Checker.checkErrors(rows, "record", s)
+          .toDF()
+          .groupBy(col("path"), col("kind"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("path", "kind")
+      },
+      Some("""WITH c AS (
+                SELECT CASE WHEN k % 5 = 0 THEN 'required'
+                            WHEN k % 7 = 0 THEN 'oneOf'
+                            WHEN k % 11 = 0 THEN 'crdate'
+                            WHEN k % 13 = 0 THEN 'pattern'
+                            ELSE 'ok' END AS cls
+                FROM (SELECT CAST(props->>'$.k' AS BIGINT) AS k FROM events))
+              SELECT CASE cls WHEN 'required' THEN 'records/0/releases'
+                              WHEN 'oneOf' THEN 'records/0/releases'
+                              WHEN 'crdate' THEN 'records/0/compiledRelease/date'
+                              ELSE 'version' END AS path,
+                     CASE cls WHEN 'crdate' THEN 'required' ELSE cls END AS kind,
+                     count(*) AS n
+              FROM c WHERE cls <> 'ok'
+              GROUP BY 1, 2 ORDER BY path, kind"""),
+      "Record-package checks (V1 over the record schema): required/oneOf on the releases " +
+        "list, cross-document ref into the full release schema for compiledRelease, package " +
+        "version pattern; oracle re-derives each class as a predicate count")
   )
 }
