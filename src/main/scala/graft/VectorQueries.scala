@@ -298,6 +298,77 @@ object VectorQueries {
         "rebuilds identical cells"),
 
     QueryDef(
+      "q_ann_ivf_multiprobe", Seq("A5", "O5", "J2"),
+      (s, d) => {
+        // multi-probe IVF (the recall knob of the single-probe shape): the
+        // query probes its own cell PLUS the four hamming-1 neighbors —
+        // the cells whose quantizer differs by one sign bit, i.e. the ones
+        // a near-boundary neighbor most likely fell into. 5/16 of the
+        // table scanned instead of 1/16 single-probe or 16/16 brute-force;
+        // at 100 TB the probe list prunes the cell-partitioned table.
+        val cellCol = (0 until 4).map(p => sigBit(p) * lit(1 << p)).reduce(_ + _)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), cellCol.as("cell"),
+            dotDec(col("embedding"), col("embedding")).as("norm_dec"))
+        val probes = array(
+          col("cell") +: (0 until 4).map(b => col("cell").bitwiseXOR(lit(1 << b))): _*)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"), probes.as("probes"),
+            col("norm_dec").as("qnorm_dec"))
+        emb.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), array_contains(col("probes"), col("cell")))
+          .select(
+            col("vec_id"),
+            cosineCol(
+              dotDec(col("embedding"), col("qe")),
+              col("norm_dec"),
+              col("qnorm_dec")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH proj AS (
+                 SELECT e.vec_id, p.p,
+                        SUM(CAST((${planeWeightSql("p.p", "t.i")})
+                                 * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS dot_dec
+                 FROM embeddings e,
+                      generate_series(0, 3) p(p),
+                      generate_series(1, $Dim) t(i)
+                 GROUP BY e.vec_id, p.p),
+               cells AS (
+                 SELECT vec_id,
+                        CAST(SUM(CASE WHEN dot_dec >= 0 THEN 1 ELSE 0 END
+                                 * (1 << p)) AS BIGINT) AS cell
+                 FROM proj GROUP BY vec_id),
+               n AS (
+                 SELECT e.vec_id, e.embedding,
+                        SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                                 AS DECIMAL(38,18))) AS norm_dec
+                 FROM embeddings e, generate_series(1, $Dim) t(i)
+                 GROUP BY e.vec_id, e.embedding),
+               q AS (
+                 SELECT n.embedding AS qe, n.norm_dec AS qnorm_dec, c.cell AS qcell
+                 FROM n JOIN cells c ON c.vec_id = n.vec_id WHERE n.vec_id = 0),
+               scored AS (
+                 SELECT n.vec_id,
+                        round(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
+                                            * CAST(q.qe[i] AS DOUBLE)
+                                            AS DECIMAL(38,18))) AS DOUBLE)
+                          / (sqrt(CAST(n.norm_dec AS DOUBLE)) * sqrt(CAST(q.qnorm_dec AS DOUBLE))), 9)
+                          AS cosine
+                 FROM n
+                 JOIN cells c ON c.vec_id = n.vec_id
+                 JOIN q ON bit_count(xor(c.cell, q.qcell)) <= 1,
+                      generate_series(1, $Dim) t(i)
+                 WHERE n.vec_id <> 0
+                 GROUP BY n.vec_id, n.norm_dec, q.qnorm_dec)
+               SELECT vec_id, cosine FROM scored
+               ORDER BY cosine DESC, vec_id LIMIT 10"""),
+      "Multi-probe IVF ANN: query cell + the four hamming-1 neighbor cells (the " +
+        "near-boundary spill targets) — 5/16 of the table probed, recall between " +
+        "single-probe and brute force; oracle selects the same probe set via " +
+        "bit_count(xor(cell, qcell)) <= 1"),
+
+    QueryDef(
       "q_neardup_embedding", Seq("J1", "A5", "A2"),
       (s, d) => {
         // label-blocked LSH near-dup (the per-group production shape): the
