@@ -98,9 +98,9 @@ object Cli {
           plane0.collections.keys.maxOption.map(_ + 1).getOrElse(1L)
         else rest.dropWhile(_ != "--id").drop(1).headOption
           .filterNot(_.startsWith("--")).flatMap(_.toLongOption) match {
-            case Some(n) => n
-            case None => // present but missing/flag-valued/overflowing operand
-              System.err.println("--id needs a number"); sys.exit(2)
+            case Some(n) if n > 0 => n
+            case _ => // missing, flag-valued, overflowing, or non-positive
+              System.err.println("--id needs a positive number"); sys.exit(2)
           }
       // the load creates id (+1 upgraded) (+1/+2 compiled): all must be new,
       // or the control rows would be overwritten while the lake APPENDS a
@@ -173,7 +173,11 @@ object Cli {
 
     case "closecollection" :: lake :: id :: nFiles :: Nil =>
       val plane = loadPlane(lake); val cid = idArg(id); known(plane, cid)
-      savePlane(lake, Control.closeCollection(plane, cid, nowUtc(), nFiles.toInt))
+      val n = nFiles.toIntOption.filter(_ >= 0).getOrElse {
+        System.err.println(s"expected file count must be a non-negative number, got '$nFiles'")
+        sys.exit(2)
+      }
+      savePlane(lake, Control.closeCollection(plane, cid, nowUtc(), n))
       println(s"closed ${id}")
 
     case "cancelcollection" :: lake :: id :: Nil =>

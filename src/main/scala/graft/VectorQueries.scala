@@ -188,6 +188,75 @@ object VectorQueries {
       .filter(col("cosine") >= threshold)
   }
 
+  // ---- IVF family (q_ann_ivf, q_ann_ivf_multiprobe) ------------------------
+  // shared quantizer + scoring; the variants differ only in how the query
+  // row's probe set joins the table (equality on the cell vs the hamming-1
+  // neighborhood), so that is the only injected piece — Spark side as the
+  // join builder, oracle side as the probe predicate string.
+
+  /** 16-cell coarse quantizer (first 4 deterministic hyperplane sign bits),
+    * exact decimal scoring of the probed rows, top-10. `probeJoin` joins
+    * (non-query rows, the query row with columns embedding/cell/norm_dec)
+    * into scored candidates carrying (qe, qnorm_dec). */
+  private def ivfTopK(
+      s: SparkSession, d: String,
+      probeJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val cellCol = (0 until 4).map(p => sigBit(p) * lit(1 << p)).reduce(_ + _)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), cellCol.as("cell"),
+        dotDec(col("embedding"), col("embedding")).as("norm_dec"))
+    probeJoin(emb.filter(col("vec_id") =!= 0), emb.filter(col("vec_id") === 0))
+      .select(
+        col("vec_id"),
+        cosineCol(
+          dotDec(col("embedding"), col("qe")),
+          col("norm_dec"),
+          col("qnorm_dec")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** The IVF oracle with the probe predicate injected (`c` = candidate
+    * cells row, `q` = query row with qcell). */
+  private def ivfOracleSql(probePred: String): String =
+    s"""WITH proj AS (
+          SELECT e.vec_id, p.p,
+                 SUM(CAST((${planeWeightSql("p.p", "t.i")})
+                          * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS dot_dec
+          FROM embeddings e,
+               generate_series(0, 3) p(p),
+               generate_series(1, $Dim) t(i)
+          GROUP BY e.vec_id, p.p),
+        cells AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN dot_dec >= 0 THEN 1 ELSE 0 END
+                          * (1 << p)) AS BIGINT) AS cell
+          FROM proj GROUP BY vec_id),
+        n AS (
+          SELECT e.vec_id, e.embedding,
+                 SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                          AS DECIMAL(38,18))) AS norm_dec
+          FROM embeddings e, generate_series(1, $Dim) t(i)
+          GROUP BY e.vec_id, e.embedding),
+        q AS (
+          SELECT n.embedding AS qe, n.norm_dec AS qnorm_dec, c.cell AS qcell
+          FROM n JOIN cells c ON c.vec_id = n.vec_id WHERE n.vec_id = 0),
+        scored AS (
+          SELECT n.vec_id,
+                 round(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
+                                     * CAST(q.qe[i] AS DOUBLE)
+                                     AS DECIMAL(38,18))) AS DOUBLE)
+                   / (sqrt(CAST(n.norm_dec AS DOUBLE)) * sqrt(CAST(q.qnorm_dec AS DOUBLE))), 9)
+                   AS cosine
+          FROM n
+          JOIN cells c ON c.vec_id = n.vec_id
+          JOIN q ON $probePred,
+               generate_series(1, $Dim) t(i)
+          WHERE n.vec_id <> 0
+          GROUP BY n.vec_id, n.norm_dec, q.qnorm_dec)
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id LIMIT 10"""
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_bruteforce", Seq("A5", "O5", "J2"),
@@ -230,139 +299,41 @@ object VectorQueries {
 
     QueryDef(
       "q_ann_ivf", Seq("A5", "O5", "J2"),
-      (s, d) => {
+      (s, d) =>
         // IVF-shaped ANN (the similarity-search scale path next to the
-        // brute-force baseline): the coarse quantizer is the first 4
-        // deterministic hyperplane sign bits → 16 cells; the query probes
-        // ONLY its own cell (single-probe), then exact-scores the cell's
-        // members. At 100 TB the cell id is the partition key — a probe
-        // reads 1/16th of the table instead of all of it; the oracle
+        // brute-force baseline): the query probes ONLY its own quantizer
+        // cell (single-probe, broadcast hash join on the cell id), then
+        // exact-scores the cell's members. At 100 TB the cell id is the
+        // partition key — a probe reads 1/16th of the table; the oracle
         // rebuilds identical cells, so the approximation is hash-checked.
-        val cellCol = (0 until 4).map(p => sigBit(p) * lit(1 << p)).reduce(_ + _)
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), cellCol.as("cell"),
-            dotDec(col("embedding"), col("embedding")).as("norm_dec"))
-        val q = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qe"), col("cell").as("qcell"),
-            col("norm_dec").as("qnorm_dec"))
-        emb.filter(col("vec_id") =!= 0)
-          .join(broadcast(q), col("cell") === col("qcell"))
-          .select(
-            col("vec_id"),
-            cosineCol(
-              dotDec(col("embedding"), col("qe")),
-              col("norm_dec"),
-              col("qnorm_dec")).as("cosine"))
-          .orderBy(col("cosine").desc, col("vec_id"))
-          .limit(10)
-      },
-      Some(s"""WITH proj AS (
-                 SELECT e.vec_id, p.p,
-                        SUM(CAST((${planeWeightSql("p.p", "t.i")})
-                                 * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS dot_dec
-                 FROM embeddings e,
-                      generate_series(0, 3) p(p),
-                      generate_series(1, $Dim) t(i)
-                 GROUP BY e.vec_id, p.p),
-               cells AS (
-                 SELECT vec_id,
-                        CAST(SUM(CASE WHEN dot_dec >= 0 THEN 1 ELSE 0 END
-                                 * (1 << p)) AS BIGINT) AS cell
-                 FROM proj GROUP BY vec_id),
-               n AS (
-                 SELECT e.vec_id, e.embedding,
-                        SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS norm_dec
-                 FROM embeddings e, generate_series(1, $Dim) t(i)
-                 GROUP BY e.vec_id, e.embedding),
-               q AS (
-                 SELECT n.embedding AS qe, n.norm_dec AS qnorm_dec, c.cell AS qcell
-                 FROM n JOIN cells c ON c.vec_id = n.vec_id WHERE n.vec_id = 0),
-               scored AS (
-                 SELECT n.vec_id,
-                        round(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
-                                            * CAST(q.qe[i] AS DOUBLE)
-                                            AS DECIMAL(38,18))) AS DOUBLE)
-                          / (sqrt(CAST(n.norm_dec AS DOUBLE)) * sqrt(CAST(q.qnorm_dec AS DOUBLE))), 9)
-                          AS cosine
-                 FROM n
-                 JOIN cells c ON c.vec_id = n.vec_id
-                 JOIN q ON c.cell = q.qcell,
-                      generate_series(1, $Dim) t(i)
-                 WHERE n.vec_id <> 0
-                 GROUP BY n.vec_id, n.norm_dec, q.qnorm_dec)
-               SELECT vec_id, cosine FROM scored
-               ORDER BY cosine DESC, vec_id LIMIT 10"""),
+        ivfTopK(s, d, (e, q0) =>
+          e.join(
+            broadcast(q0.select(col("embedding").as("qe"), col("cell").as("qcell"),
+              col("norm_dec").as("qnorm_dec"))),
+            col("cell") === col("qcell"))),
+      Some(ivfOracleSql("c.cell = q.qcell")),
       "IVF-shaped ANN: 16-cell hyperplane coarse quantizer, single-probe of the query's " +
         "cell, exact decimal scoring inside it — probes 1/16th of the table; oracle " +
         "rebuilds identical cells"),
 
     QueryDef(
       "q_ann_ivf_multiprobe", Seq("A5", "O5", "J2"),
-      (s, d) => {
+      (s, d) =>
         // multi-probe IVF (the recall knob of the single-probe shape): the
-        // query probes its own cell PLUS the four hamming-1 neighbors —
-        // the cells whose quantizer differs by one sign bit, i.e. the ones
-        // a near-boundary neighbor most likely fell into. 5/16 of the
-        // table scanned instead of 1/16 single-probe or 16/16 brute-force;
-        // at 100 TB the probe list prunes the cell-partitioned table.
-        val cellCol = (0 until 4).map(p => sigBit(p) * lit(1 << p)).reduce(_ + _)
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), cellCol.as("cell"),
-            dotDec(col("embedding"), col("embedding")).as("norm_dec"))
-        val probes = array(
-          col("cell") +: (0 until 4).map(b => col("cell").bitwiseXOR(lit(1 << b))): _*)
-        val q = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qe"), probes.as("probes"),
-            col("norm_dec").as("qnorm_dec"))
-        emb.filter(col("vec_id") =!= 0)
-          .join(broadcast(q), array_contains(col("probes"), col("cell")))
-          .select(
-            col("vec_id"),
-            cosineCol(
-              dotDec(col("embedding"), col("qe")),
-              col("norm_dec"),
-              col("qnorm_dec")).as("cosine"))
-          .orderBy(col("cosine").desc, col("vec_id"))
-          .limit(10)
-      },
-      Some(s"""WITH proj AS (
-                 SELECT e.vec_id, p.p,
-                        SUM(CAST((${planeWeightSql("p.p", "t.i")})
-                                 * CAST(e.embedding[i] AS DOUBLE) AS DECIMAL(38,18))) AS dot_dec
-                 FROM embeddings e,
-                      generate_series(0, 3) p(p),
-                      generate_series(1, $Dim) t(i)
-                 GROUP BY e.vec_id, p.p),
-               cells AS (
-                 SELECT vec_id,
-                        CAST(SUM(CASE WHEN dot_dec >= 0 THEN 1 ELSE 0 END
-                                 * (1 << p)) AS BIGINT) AS cell
-                 FROM proj GROUP BY vec_id),
-               n AS (
-                 SELECT e.vec_id, e.embedding,
-                        SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS norm_dec
-                 FROM embeddings e, generate_series(1, $Dim) t(i)
-                 GROUP BY e.vec_id, e.embedding),
-               q AS (
-                 SELECT n.embedding AS qe, n.norm_dec AS qnorm_dec, c.cell AS qcell
-                 FROM n JOIN cells c ON c.vec_id = n.vec_id WHERE n.vec_id = 0),
-               scored AS (
-                 SELECT n.vec_id,
-                        round(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
-                                            * CAST(q.qe[i] AS DOUBLE)
-                                            AS DECIMAL(38,18))) AS DOUBLE)
-                          / (sqrt(CAST(n.norm_dec AS DOUBLE)) * sqrt(CAST(q.qnorm_dec AS DOUBLE))), 9)
-                          AS cosine
-                 FROM n
-                 JOIN cells c ON c.vec_id = n.vec_id
-                 JOIN q ON bit_count(xor(c.cell, q.qcell)) <= 1,
-                      generate_series(1, $Dim) t(i)
-                 WHERE n.vec_id <> 0
-                 GROUP BY n.vec_id, n.norm_dec, q.qnorm_dec)
-               SELECT vec_id, cosine FROM scored
-               ORDER BY cosine DESC, vec_id LIMIT 10"""),
+        // query also probes the four hamming-1 neighbor cells — the cells
+        // whose quantizer differs by one sign bit, where a near-boundary
+        // neighbor most likely fell. 5/16 of the table scanned instead of
+        // 1/16 single-probe or 16/16 brute-force; at 100 TB the probe list
+        // prunes the cell-partitioned table.
+        ivfTopK(s, d, { (e, q0) =>
+          val probes = array(
+            col("cell") +: (0 until 4).map(b => col("cell").bitwiseXOR(lit(1 << b))): _*)
+          e.join(
+            broadcast(q0.select(col("embedding").as("qe"), probes.as("probes"),
+              col("norm_dec").as("qnorm_dec"))),
+            array_contains(col("probes"), col("cell")))
+        }),
+      Some(ivfOracleSql("bit_count(xor(c.cell, q.qcell)) <= 1")),
       "Multi-probe IVF ANN: query cell + the four hamming-1 neighbor cells (the " +
         "near-boundary spill targets) — 5/16 of the table probed, recall between " +
         "single-probe and brute force; oracle selects the same probe set via " +

@@ -129,6 +129,28 @@ object Compile {
     }
   }
 
+  /** null-first UTF-8-byte string ordering — EXACTLY Spark's own string
+    * sort semantics (UTF8String compares bytes; nulls first ascending), so
+    * the in-memory group sort below picks the same merge order
+    * `sortWithinPartitions` would. Java's compareTo is NOT equivalent: it
+    * compares UTF-16 units, which inverts supplementary-plane characters
+    * against U+E000..U+FFFF. */
+  private val sparkStringOrdering: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int =
+      if (a eq b) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else {
+        val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(ab.length, bb.length)
+        var i = 0
+        var c = 0
+        while (i < n && c == 0) { c = (ab(i) & 0xff) - (bb(i) & 0xff); i += 1 }
+        if (c != 0) c else ab.length - bb.length
+      }
+  }
+
   /** [[summaries]] expressed through Catalyst's distribution framework
     * (`groupBy(col).as[K,V].flatMapGroups`) instead of an explicit
     * repartition: the grouping key is the `ocid` COLUMN, so a scan that
@@ -137,13 +159,14 @@ object Compile {
     * compile runs with ZERO exchanges (bucket once at write time, compile
     * any number of times shuffle-free; the warehouse shape promised in
     * Sink's scaladoc). On a non-bucketed input Catalyst inserts the same
-    * single ocid shuffle [[summaries]] does explicitly, so results are
-    * identical either way. Memory bound is unchanged: one group is
-    * buffered and sorted in-partition (columns must be string-typed — the
-    * lake schema — since the in-group (date, tiebreak) sort is
-    * lexicographic here). */
+    * single ocid shuffle [[summaries]] does explicitly, and the in-group
+    * (date, tiebreak) sort uses [[sparkStringOrdering]], so results are
+    * identical either way — including null dates/tiebreaks and non-BMP
+    * strings. Memory bound is unchanged: one group buffered in-partition. */
   def summariesCoLocated(releases: DataFrame, s: SparkSession): Dataset[CompiledSummary] = {
     import s.implicits._
+    implicit val pairOrd: Ordering[(String, String)] =
+      Ordering.Tuple2(sparkStringOrdering, sparkStringOrdering)
     releases
       .select(col("ocid").cast("string"), col("date").cast("string"),
         col("tiebreak").cast("string"), col("release"))
