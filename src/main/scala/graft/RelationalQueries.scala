@@ -249,6 +249,43 @@ object RelationalQueries {
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                        AS run_total
               FROM orders ORDER BY o_custkey, o_orderkey"""),
-      "Ordered per-key accumulation (reference: ORDER BY ocid, release_date scan, compiler.py:56-58)")
+      "Ordered per-key accumulation (reference: ORDER BY ocid, release_date scan, compiler.py:56-58)"),
+
+    QueryDef(
+      "q_join_salted", Seq("J1", "A4"),
+      (s, d) => {
+        // SKEW-SAFE salted join (the manual technique for when AQE's
+        // skew-join split can't apply — e.g. the build side must
+        // co-group, or the skew is in an aggregation feeding the join):
+        // the fact side gets a deterministic salt, the dim side is
+        // replicated once per salt value, and the join key becomes
+        // (key, salt) — a hot customer's rows spread over `Salts`
+        // partitions instead of one straggler. Semantically IDENTICAL to
+        // the plain join, which is exactly what the oracle checks.
+        val Salts = 8
+        val fact = Tables.orders(s, d)
+          .withColumn("salt", pmod(col("o_orderkey"), lit(Salts)))
+        // shuffle_hash hint: at test SF the dim fits a broadcast, which
+        // would make the salt moot (broadcast joins don't shuffle the hot
+        // key anywhere); the hint forces the shuffled plan the technique
+        // exists for, so the demonstrated physical shape is the real one
+        val dim = Tables.customer(s, d)
+          .withColumn("salt", explode(array((0 until Salts).map(lit): _*)))
+          .hint("shuffle_hash")
+        fact
+          .join(dim, col("o_custkey") === col("c_custkey") && fact("salt") === dim("salt"))
+          .groupBy(col("c_nationkey"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      "Skew-safe salted join: deterministic fact-side salt + dim replicated per salt, " +
+        "join on (key, salt) — hot keys spread across partitions; oracle is the PLAIN " +
+        "join, proving the salting is semantics-preserving")
   )
 }
