@@ -67,12 +67,16 @@ object VectorQueries {
       (acc, x) => (acc + x).cast(Dec))
 
   /** Cheap double dot product for pruning (NOT for output: double addition
-    * is order-sensitive, so this is never compared across engines). Flat
-    * codegen'd sum, left-associative like the decimal fold. */
+    * is order-sensitive, so this is never compared across engines).
+    * Delegates to the native codegen'd [[graft.functions.DotDouble]]
+    * expression — r5 profiling on the 451k-pair verify stream showed the
+    * two declarative spellings both interpret: a flat 64-term `reduce`
+    * JIT-bails on method size (~12 µs/row) and an `aggregate(zip_with)`
+    * HOF walks `Expression.eval` per element (~2 µs/row); the native
+    * loop JITs to fused multiply-adds. Callers must have run
+    * [[graft.functions.GraftExtensions.ensureRegistered]]. */
   private def dotDouble(a: Column, b: Column): Column =
-    (0 until Dim)
-      .map(i => a.getItem(i).cast(DoubleType) * b.getItem(i).cast(DoubleType))
-      .reduce(_ + _)
+    call_function("dot_double", a, b)
 
   /** Final cosine. The decimal sums are exact in both engines, but
     * DECIMAL→DOUBLE conversion can differ by 1 ulp between Spark (string
@@ -109,40 +113,65 @@ object VectorQueries {
     s"CASE WHEN (($p * $Dim + ($i1 - 1)) * 1103515245 + 12345) % 2147483648 < 1073741824 " +
       "THEN 1.0 ELSE -1.0 END"
 
-  /** One signature bit: sign of the exact-decimal projection onto plane p.
-    * Decimal fold so the bit is bit-identical across engines (a double sum
-    * could flip a near-zero sign on a different addition order). */
-  private def sigBit(p: Int): Column = {
+  /** Margin below which a double projection's sign is not trusted. The
+    * weights are ±1, so every product is EXACT in double (only the 63
+    * additions round): |error| ≤ 63·ulp·Σ|x_i| < 1e-10 for any sane float
+    * embedding, four orders under this margin. Projections genuinely inside
+    * the margin (P ≈ 1e-7 per plane for O(1)-scale data) fall back to the
+    * exact-decimal fold, so every emitted bit equals the decimal oracle's
+    * bit-for-bit — the r4 pair-prune trick applied to signatures
+    * (VERDICT r4 #9). */
+  private val SignMargin = 1e-6
+
+  /** DOUBLE projection onto plane p — the ±1 weights make every product
+    * exact; only the additions round (see [[SignMargin]]). The constant
+    * weight array folds to a literal; the dot is the same native
+    * [[graft.functions.DotDouble]] loop as [[dotDouble]]. */
+  private def dproj(p: Int): Column =
+    dotDouble(col("embedding"),
+      array((0 until Dim).map(i => lit(planeWeight(p, i))): _*))
+
+  /** One signature bit from a precomputed double projection: trust the
+    * double sign beyond [[SignMargin]]; inside it, re-derive the sign from
+    * the exact-decimal fold (CaseWhen evaluates branches lazily, so the
+    * interpreted decimal fold only ever runs for near-zero projections). */
+  private def bitFromProj(proj: Column, p: Int): Column = {
     val w = array((0 until Dim).map(i => lit(planeWeight(p, i))): _*)
-    when(dotDec(col("embedding"), w) >= 0, 1).otherwise(0)
+    when(abs(proj) > lit(SignMargin), when(proj >= lit(0d), 1).otherwise(0))
+      .otherwise(when(dotDec(col("embedding"), w) >= 0, 1).otherwise(0))
   }
 
+  /** One signature bit: sign of the projection onto plane p, bit-identical
+    * across engines via the double-with-margin scheme above. */
+  private def sigBit(p: Int): Column = bitFromProj(dproj(p), p)
+
   /** Per-row LSH state: `blockCols ++ (vec_id, band_id, band_val)`, one row
-    * per band. The 16 exact-decimal hyperplane projections are codegen'd
-    * SUM aggregates over the exploded (index, value) stream — the LCG
-    * weight is inline arithmetic on the index, so no weight array and no
-    * interpreted HOF fold (r4: the per-row fold ran interpreted, twice via
-    * the sig self-join). Norms are NOT computed here — [[verifyPairs]]
-    * folds them in-row, which is cheaper than a second aggregation pass. */
+    * per band. All 16 hyperplane projections are IN-ROW double HOF folds
+    * (sign certified by [[SignMargin]], decimal fallback for near-zero) —
+    * no posexplode, no aggregation, no shuffle: the signature stage is one
+    * map over the scan. (History: r4 moved the then-DECIMAL folds to
+    * exploded SUM aggregates because BigDecimal-in-HOF was the cost; r5's
+    * margin trick makes DOUBLE projections safe, and in-row double folds
+    * beat both the exploded aggregation — which pays a groupBy shuffle —
+    * and the flat-expression form, which JIT-bails; see [[dotDouble]].)
+    * Norms are NOT computed here — [[verifyPairs]] folds them in-row. */
   private def signatures(emb: DataFrame, blockCols: Seq[String]): DataFrame = {
-    val projAggs = (0 until Planes).map { p =>
-      val w = when(
-        ((col("i") + lit(p.toLong * Dim)) * lit(1103515245L) + lit(12345L))
-          % lit(2147483648L) < lit(1073741824L), lit(1.0)).otherwise(lit(-1.0))
-      sum((w * col("x").cast(DoubleType)).cast(Dec)).as(s"proj$p")
-    }
+    graft.functions.GraftExtensions.ensureRegistered(emb.sparkSession)
     val keys = col("vec_id") +: blockCols.map(col)
-    val agg = emb
-      .select(keys :+ posexplode(col("embedding")).as(Seq("i", "x")): _*)
-      .groupBy(keys: _*)
-      .agg(projAggs.head, projAggs.tail: _*)
+    val withProj = emb.select(
+      (keys :+ col("embedding")) ++
+        (0 until Planes).map(p => dproj(p).as(s"proj$p")): _*)
     val bandStructs = (0 until Bands).map { b =>
       val v = (0 until BandBits)
-        .map(r => when(col(s"proj${b * BandBits + r}") >= 0, 1 << r).otherwise(0))
+        .map { r =>
+          val p = b * BandBits + r
+          bitFromProj(col(s"proj$p"), p) * lit(1 << r)
+        }
         .reduce(_ + _)
       struct(lit(b).as("band_id"), v.as("band_val"))
     }
-    agg.select(keys :+ posexplode(array(bandStructs: _*)).as(Seq("_", "band")): _*)
+    withProj
+      .select(keys :+ posexplode(array(bandStructs: _*)).as(Seq("_", "band")): _*)
       .select(keys :+ col("band.band_id") :+ col("band.band_val"): _*)
   }
 
@@ -157,34 +186,45 @@ object VectorQueries {
       .groupBy(keep :+ col("band_id") :+ col("band_val"): _*)
       .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(keep :+ explode(expr(
-        """flatten(transform(ids, (a, i) ->
-             transform(slice(ids, i + 2, size(ids)),
-                       b -> struct(a AS vec_a, b AS vec_b))))""")).as("p"): _*)
-      .select(keep :+ col("p.vec_a") :+ col("p.vec_b"): _*)
+      // two chained builtin generators instead of one interpreted
+      // flatten(transform(transform(...))) mega-expression per bucket:
+      // posexplode picks each `vec_a` with its position, the second explode
+      // emits every later id as `vec_b` (ids are sorted, so vec_a < vec_b
+      // exactly as before) — r5 A/B: 1.15 s → 0.75 s on the 451k-pair set
+      .select(keep :+ col("ids") :+ posexplode(col("ids")).as(Seq("pos", "vec_a")): _*)
+      .select(keep :+ col("vec_a") :+
+        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("vec_b"): _*)
       .dropDuplicates(blockCols :+ "vec_a" :+ "vec_b")
   }
 
   /** Double-prune then exact-decimal verify at `threshold`: join candidate
-    * pairs to their vectors/norms, drop pairs clearly below threshold with
-    * a cheap double cosine, score the survivors exactly. Norms are an
-    * IN-ROW decimal fold over the scan — recomputing them here is cheaper
-    * than re-running the 17-aggregate signature job a second time (the
-    * plans don't unify, so reading norms off `signatures` would execute
-    * that whole exploded aggregation twice). */
+    * pairs to their raw vectors, drop pairs clearly below threshold with a
+    * cheap all-double cosine (norms included — double norm error is ~1e-13
+    * relative, far inside the 1e-6 prune margin), then score ONLY the
+    * survivors exactly. r5 change: norms used to be exact-decimal folds
+    * over the WHOLE table before the join; now no decimal arithmetic
+    * touches a row that the double prune can reject, so the decimal cost
+    * is proportional to the output, not the table. */
   private def verifyPairs(
       cand: DataFrame, emb: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(emb.sparkSession)
+    // the double norm is per-VECTOR work (native codegen'd self-dot, no
+    // decimal), hoisted out of the per-pair filter: candidates outnumber
+    // vectors ~200:1 here, so the pair path pays 64 multiply-adds, not 192
     val n = emb.select(col("vec_id"), col("embedding"),
-      dotDec(col("embedding"), col("embedding")).as("norm_dec"))
+      sqrt(dotDouble(col("embedding"), col("embedding"))).as("len_d"))
     cand
       .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("norm_dec").as("norm_a")), Seq("vec_a"))
+        col("len_d").as("len_a")), Seq("vec_a"))
       .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("norm_dec").as("norm_b")), Seq("vec_b"))
+        col("len_d").as("len_b")), Seq("vec_b"))
       .filter(
-        cosineDouble(dotDouble(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b"))
+        dotDouble(col("emb_a"), col("emb_b")) / (col("len_a") * col("len_b"))
           >= threshold - 1e-6)
-      .withColumn("cosine", cosineCol(dotDec(col("emb_a"), col("emb_b")), col("norm_a"), col("norm_b")))
+      .withColumn("cosine", cosineCol(
+        dotDec(col("emb_a"), col("emb_b")),
+        dotDec(col("emb_a"), col("emb_a")),
+        dotDec(col("emb_b"), col("emb_b"))))
       .filter(col("cosine") >= threshold)
   }
 
@@ -201,16 +241,22 @@ object VectorQueries {
   private def ivfTopK(
       s: SparkSession, d: String,
       probeJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
     val cellCol = (0 until 4).map(p => sigBit(p) * lit(1 << p)).reduce(_ + _)
+    // cells are double-with-margin sign bits (no whole-table decimal); the
+    // table side's exact-decimal norm is folded in-row AFTER the probe
+    // join, so decimal arithmetic touches only the probed 1/16 (or 5/16)
+    // of the table — the query row's norm is one row, folded up front
     val emb = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), cellCol.as("cell"),
-        dotDec(col("embedding"), col("embedding")).as("norm_dec"))
-    probeJoin(emb.filter(col("vec_id") =!= 0), emb.filter(col("vec_id") === 0))
+      .select(col("vec_id"), col("embedding"), cellCol.as("cell"))
+    val q0 = emb.filter(col("vec_id") === 0)
+      .withColumn("norm_dec", dotDec(col("embedding"), col("embedding")))
+    probeJoin(emb.filter(col("vec_id") =!= 0), q0)
       .select(
         col("vec_id"),
         cosineCol(
           dotDec(col("embedding"), col("qe")),
-          col("norm_dec"),
+          dotDec(col("embedding"), col("embedding")),
           col("qnorm_dec")).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)

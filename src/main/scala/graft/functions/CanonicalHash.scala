@@ -66,27 +66,37 @@ object CanonicalHashFns {
   * function in a CALLER-OWNED session (the external driver builds its own)
   * call [[ensureRegistered]] first — registration is idempotent. */
 object GraftExtensions {
-  private val description: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("canonical_hash"),
-    new ExpressionInfo(classOf[CanonicalHash].getName, "canonical_hash"),
-    (children: Seq[Expression]) => {
-      require(children.size == 1,
-        s"canonical_hash expects exactly 1 argument, got ${children.size}")
-      CanonicalHash(children.head)
-    })
+  private val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("canonical_hash"),
+      new ExpressionInfo(classOf[CanonicalHash].getName, "canonical_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"canonical_hash expects exactly 1 argument, got ${children.size}")
+        CanonicalHash(children.head)
+      }),
+    (
+      FunctionIdentifier("dot_double"),
+      new ExpressionInfo(classOf[DotDouble].getName, "dot_double"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"dot_double expects exactly 2 arguments, got ${children.size}")
+        DotDouble(children.head, children(1))
+      }))
 
   val install: org.apache.spark.sql.SparkSessionExtensions => Unit =
-    _.injectFunction(description)
+    ext => descriptions.foreach(ext.injectFunction)
 
   /** Idempotently register into an already-built session (extensions only
     * apply at build time; `getOrCreate` ignores them on an existing
     * session). */
   def ensureRegistered(spark: SparkSession): Unit =
-    if (!installed(spark))
-      spark.sessionState.functionRegistry
-        .registerFunction(description._1, description._2, description._3)
+    descriptions.foreach { d =>
+      if (!spark.catalog.functionExists(d._1.funcName))
+        spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
 
-  /** True when the function is available in this session. */
+  /** True when every graft function is available in this session. */
   def installed(spark: SparkSession): Boolean =
-    spark.catalog.functionExists("canonical_hash")
+    descriptions.forall(d => spark.catalog.functionExists(d._1.funcName))
 }
