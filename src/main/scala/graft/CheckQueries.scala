@@ -34,7 +34,9 @@ object CheckQueries {
       .when(isFmt, lit("\"date\":\"2020-01-02\","))
       .otherwise(lit("\"date\":\"2020-01-02T03:04:05Z\","))
     val initType = when(isEnum, lit("direct")).otherwise(lit("tender"))
-    Tables.events(s, d).select(
+    // fanOut below the projection: the validator costs ~10 µs/row; the
+    // single-row-group scan would otherwise check on one core
+    Tables.fanOut(Tables.events(s, d)).select(
       col("event_id").as("id"),
       concat(
         lit("{\"ocid\":\""), ocidStr,
@@ -130,7 +132,7 @@ object CheckQueries {
         val crFrag = when(isCrDate, lit(
           """"compiledRelease":{"ocid":"ocds-r","id":"c","tag":["compiled"],"initiationType":"tender"},"""))
           .otherwise(lit(""))
-        val rows = Tables.events(s, d).select(
+        val rows = Tables.fanOut(Tables.events(s, d)).select(
           col("event_id").as("id"),
           concat(
             lit("{"), releasesFrag, crFrag,

@@ -56,6 +56,9 @@ object OcdsQueries {
           struct((k % 2).as("id"), lit("active").as("status")))
       else
         array(struct((k % 7).as("id"), lit("active").as("status")))
+    // no fanOut here: every consumer immediately groups by ocid, and that
+    // shuffle already spreads the merge engine across cores — an extra
+    // repartition exchange measured as pure cost (r5 A/B)
     Tables.events(s, d).select(
       concat(lit("ocds-"), col("user_id")).as("ocid"),
       lpad(col("ts_us").cast(StringType), 20, "0").as("date"),
@@ -90,7 +93,7 @@ object OcdsQueries {
     val buyerName = concat(lit("Buyer-"), u % 7)
     val peName = when(u % 2 === 0, buyerName).otherwise(concat(lit("PE-"), u % 7))
     val tName = concat(lit("T-"), k % 5)
-    Tables.events(s, d).select(
+    Tables.fanOut(Tables.events(s, d)).select( // fanOut below the to_json build
       col("event_id"),
       to_json(struct(
         struct(buyerName.as("name")).as("buyer"),
@@ -115,6 +118,8 @@ object OcdsQueries {
     val undated = (u % 7 === 3) || (u % 7 === 2 && k % 3 === 0)
     val stub = u % 5 === 1
     val nullS = lit(null).cast(StringType)
+    // no fanOut: the record-compile consumer groups by ocid (same reasoning
+    // as releasesFromEvents above)
     Tables.events(s, d).select(
       ocid.as("ocid"),
       col("event_id").as("tiebreak"),
@@ -260,10 +265,11 @@ object OcdsQueries {
       "q_upgrade_parties", Seq("F11", "F5", "F8"),
       (s, d) => {
         import s.implicits._
-        releases10FromEvents(s, d)
+        releases10FromEvents(s, d) // already fanned out below its projection
           .as[(Long, String)]
           .mapPartitions(_.map { case (eid, json) =>
-            val res = Upgrade.upgrade(Canonical.parse(json).asInstanceOf[ObjectNode])
+            // the parsed tree is row-private: in-place avoids the deep copy
+            val res = Upgrade.upgradeInPlace(Canonical.parse(json).asInstanceOf[ObjectNode])
             UpgradeSummary(
               eid,
               res.release.get("parties").size().toLong,

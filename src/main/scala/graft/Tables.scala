@@ -36,6 +36,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Data-parallel fan-out for COMPUTE-bound stages (the JSON engines:
+    * upgrade, merge, check, canonical-hash — ~5-20 µs/row of CPU).
+    *
+    * Spark sizes scan partitions by BYTES (`maxPartitionBytes`), which is
+    * the wrong unit when per-row CPU dominates: this harness's tables are
+    * single-row-group parquet files, so every scan is ONE task and a heavy
+    * per-row engine would run on one core of 32 (r5 profiling:
+    * q_upgrade_parties spent 2.6 s of its 3.3 s single-threaded). A
+    * round-robin repartition costs one small shuffle (the rows are JSON
+    * strings, MBs at test SF) and buys full-cluster parallelism for the
+    * engine map above it. At production scale the same holds whenever
+    * row-group granularity under-splits a CPU-heavy stage; the shuffle
+    * stays proportional to input bytes while the win is proportional to
+    * per-row CPU × rows. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** events with `ts_us`: microseconds since epoch as BIGINT.
     * DuckDB's parquet reader truncates the same NANOS column to microsecond
     * TIMESTAMP, so integer `ts DIV 1000` keeps the two engines bit-identical.

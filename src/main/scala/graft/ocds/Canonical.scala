@@ -165,8 +165,13 @@ object Canonical {
 
   def canonicalize(json: String): String = canonicalize(parse(json))
 
+  // one digest per executor thread: getInstance does a provider lookup per
+  // call, measurable at engine rates (~5 md5s per upgraded release)
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   def md5hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val d = md5Local.get().digest(s.getBytes("UTF-8")) // digest() resets
     String.format("%032x", new BigInteger(1, d))
   }
 

@@ -78,8 +78,35 @@ object Upgrade {
     release.isObject && release.has("url") && release.size() <= maximumProperties &&
       !release.has("tag")
 
-  def upgrade(release: ObjectNode): Result = {
-    val out = release.deepCopy[ObjectNode]()
+  /** Non-mutating public entry: copies, then upgrades in place. */
+  def upgrade(release: ObjectNode): Result =
+    upgradeInPlace(release.deepCopy[ObjectNode]())
+
+  /** True iff `existing` minus its `roles` field deep-equals `org` — the
+    * differs-warning test without materializing the roles-stripped copy
+    * (that copy is built only in the differs branch, for the warning
+    * text). */
+  private def equalsExceptRoles(existing: ObjectNode, org: ObjectNode): Boolean = {
+    val sizeNoRoles = existing.size() - (if (existing.has("roles")) 1 else 0)
+    if (sizeNoRoles != org.size()) return false
+    val it = existing.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey != "roles") {
+        val o = org.get(e.getKey)
+        if (o == null || o != e.getValue) return false
+      }
+    }
+    true
+  }
+
+  /** In-place engine used by the per-row drivers ([[upgradeJson]] parses a
+    * private tree, so the defensive copy in [[upgrade]] would be pure
+    * overhead at 150k docs/query). MUTATES `out` and takes ownership of
+    * the organization nodes it detaches (every call site replaces them
+    * with OrganizationReferences) — callers must pass a tree they own and
+    * must not read it afterwards except through the returned Result. */
+  def upgradeInPlace(out: ObjectNode): Result = {
     val warnings = mutable.ArrayBuffer.empty[String]
     // insertion-ordered party registry keyed by canonicalized id value
     val parties = mutable.LinkedHashMap.empty[String, ObjectNode]
@@ -97,46 +124,53 @@ object Upgrade {
       case _ => ()
     }
 
-    /** Register `org` under `role`; return the OrganizationReference. */
+    /** Register `org` under `role`; return the OrganizationReference.
+      * Takes ownership of `orgIn` (the caller detaches it from the tree by
+      * replacing it with the returned reference), so the registry stores
+      * it without a defensive copy. */
     def addParty(orgIn: ObjectNode, field: String, role: String): ObjectNode = {
       val org: ObjectNode =
-        if (orgIn.has("id")) orgIn.deepCopy[ObjectNode]()
+        if (orgIn.has("id")) orgIn
         else {
-          // synthesized id goes FIRST (the reference's dumps show id-first)
+          // synthesized id goes FIRST (the reference's dumps show id-first);
+          // field values are re-parented, not copied — orgIn is discarded
           val withId = Canonical.mapper.createObjectNode()
           withId.put("id", partyId(orgIn))
-          orgIn.fields().forEachRemaining(e => withId.set[JsonNode](e.getKey, e.getValue.deepCopy[JsonNode]()))
+          orgIn.fields().forEachRemaining(e => withId.set[JsonNode](e.getKey, e.getValue))
           withId
         }
       val idNode = org.get("id")
       val key = Canonical.canonicalize(idNode)
 
+      // the reference is built BEFORE the registry adds `roles` to `org`
+      // (reads are unaffected either way; id/name scalars are copied so the
+      // in-tree reference and the registry entry stay disjoint)
+      val ref = Canonical.mapper.createObjectNode()
+      ref.set[JsonNode]("id", idNode.deepCopy[JsonNode]())
+      if (org.has("name")) ref.set[JsonNode]("name", org.get("name").deepCopy[JsonNode]())
+
       parties.get(key) match {
         case None =>
-          val stored = org.deepCopy[ObjectNode]()
           val roles = Canonical.mapper.createArrayNode()
           roles.add(role)
-          stored.set[JsonNode]("roles", roles)
-          parties.put(key, stored)
+          org.set[JsonNode]("roles", roles)
+          parties.put(key, org)
         case Some(existing) =>
           val existingRoles = existing.get("roles") match {
             case a: ArrayNode => a
             case _ =>
               val a = Canonical.mapper.createArrayNode(); existing.set[JsonNode]("roles", a); a
           }
-          val existingNoRoles = existing.deepCopy[ObjectNode]()
-          existingNoRoles.remove("roles")
-          if (existingNoRoles != org)
+          if (!equalsExceptRoles(existing, org)) {
+            val existingNoRoles = existing.deepCopy[ObjectNode]()
+            existingNoRoles.remove("roles")
             warnings += s"""party in "$field" role differs from party in ${Canonical
                 .pyDumps(existingRoles)} roles:\n${Canonical.pyDumps(org)}\n${Canonical.pyDumps(existingNoRoles)}\n"""
+          }
           var present = false
           existingRoles.forEach(r => if (r.asText == role) present = true)
           if (!present) existingRoles.add(role)
       }
-
-      val ref = Canonical.mapper.createObjectNode()
-      ref.set[JsonNode]("id", idNode.deepCopy[JsonNode]())
-      if (org.has("name")) ref.set[JsonNode]("name", org.get("name").deepCopy[JsonNode]())
       ref
     }
 
@@ -241,7 +275,8 @@ object Upgrade {
   def upgradeJson(json: String): (String, Seq[String]) = {
     Canonical.parse(json) match {
       case o: ObjectNode =>
-        val r = upgrade(o)
+        // the parsed tree is private to this call — upgrade it in place
+        val r = upgradeInPlace(o)
         (Canonical.canonicalize(r.release), r.warnings)
       case other => (Canonical.canonicalize(other), Nil)
     }
