@@ -33,7 +33,9 @@ object IngestQueries {
           lit("{\"date\":\""), dstr,
           lit("\",\"id\":\""), eid,
           lit("\",\"note\":\"ab" + nul + "cd\",\"ocid\":\"ocds-"), u, lit("\"}"))
-        val texts = Tables.events(s, d).select(
+        // fanOut below the projection: the streaming item reader + scrub +
+        // md5 is per-row engine CPU on an otherwise single-task scan
+        val texts = Tables.fanOut(Tables.events(s, d)).select(
           eid.as("filename"),
           concat(
             lit("{\"publisher\":{\"name\":\"P\"},\"releases\":["), r1,

@@ -193,8 +193,9 @@ object TextQueries {
         // perturb a count, but at ~2.4e8 token comparisons the chance is
         // ~1e-11 — and the DuckDB oracle (true string intersection) would
         // catch it as a hash mismatch.
-        val docsH = docs.withColumn("hs",
-          array_sort(transform(col("toks"), t => xxhash64(t))))
+        // no array_sort: ArrayIntersect hashes regardless of order and only
+        // size() of the result is consumed
+        val docsH = docs.withColumn("hs", transform(col("toks"), t => xxhash64(t)))
         val a = docsH.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("nt").as("nt_a"))
         val b = docsH.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("nt").as("nt_b"))
         cand.join(a, "doc_a").join(b, "doc_b")

@@ -86,10 +86,6 @@ object VectorQueries {
   private def cosineCol(dot: Column, na: Column, nb: Column): Column =
     round(dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType))), 9)
 
-  /** Double-precision cosine for the prune filter. */
-  private def cosineDouble(dot: Column, na: Column, nb: Column): Column =
-    dot / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType)))
-
   // ---- random-hyperplane LSH (q_neardup_lsh) -------------------------------
 
   // Banding selectivity is the tuning knob: random-pair collision chance is
@@ -141,9 +137,6 @@ object VectorQueries {
       .otherwise(when(dotDec(col("embedding"), w) >= 0, 1).otherwise(0))
   }
 
-  /** One signature bit: sign of the projection onto plane p, bit-identical
-    * across engines via the double-with-margin scheme above. */
-  private def sigBit(p: Int): Column = bitFromProj(dproj(p), p)
 
   /** Per-row LSH state: `blockCols ++ (vec_id, band_id, band_val)`, one row
     * per band. All 16 hyperplane projections are IN-ROW double HOF folds
@@ -242,12 +235,19 @@ object VectorQueries {
       s: SparkSession, d: String,
       probeJoin: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(s)
-    val cellCol = (0 until 4).map(p => sigBit(p) * lit(1 << p)).reduce(_ + _)
     // cells are double-with-margin sign bits (no whole-table decimal); the
+    // 4 projections are materialized as columns BELOW the bit derivation so
+    // each native dot runs once per row (bitFromProj reads its projection
+    // twice — margin predicate and sign — like signatures() does). The
     // table side's exact-decimal norm is folded in-row AFTER the probe
     // join, so decimal arithmetic touches only the probed 1/16 (or 5/16)
     // of the table — the query row's norm is one row, folded up front
+    val cellCol = (0 until 4)
+      .map(p => bitFromProj(col(s"cproj$p"), p) * lit(1 << p))
+      .reduce(_ + _)
     val emb = Tables.embeddings(s, d)
+      .select(col("vec_id") +: col("embedding") +:
+        (0 until 4).map(p => dproj(p).as(s"cproj$p")): _*)
       .select(col("vec_id"), col("embedding"), cellCol.as("cell"))
     val q0 = emb.filter(col("vec_id") === 0)
       .withColumn("norm_dec", dotDec(col("embedding"), col("embedding")))
