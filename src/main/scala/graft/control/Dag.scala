@@ -7,32 +7,37 @@ import org.apache.spark.sql.types.LongType
 /** Collection-DAG closure (SURVEY.md §2 J6/O6; reference recursive-CTE
   * `tree` endpoint, `process/views.py:288-323`).
   *
-  * The collection dimension is control-plane-sized (thousands of rows, depth
-  * ≤ 3: original → upgraded → compiled), so the closure is an iterative
-  * self-join UNION loop to fixpoint — the standard Spark rendering of a
-  * recursive CTE. The per-level `count()` driver action is deliberate and
-  * safe at this cardinality; it terminates after max-depth iterations
-  * regardless of data (cycles excluded by the parent-FK construction).
+  * The reference's collection forest is produced by its transform chain
+  * (original → upgraded → compiled, reference `process/processors`), so its depth is
+  * bounded by the number of transform kinds: ≤ 3 levels. The closure is
+  * therefore a STATICALLY UNROLLED chain of self-joins — fully declarative,
+  * zero driver actions, every join broadcast (the dimension is control-plane
+  * sized). An earlier rendering looped `count()`-per-level on the driver;
+  * the per-level job overhead dominated at toy scale (BENCH r5 regression
+  * q_wipe_survivors 1.7→3.0 s) and bought nothing: termination is already
+  * guaranteed by the model's depth bound, not by observing an empty level.
   */
 object Dag {
 
   /** All (root, id, deep) rows of the forest closure. `collections` needs
-    * (id, parent) columns; roots are rows with NULL parent. */
-  def tree(collections: DataFrame): DataFrame = {
+    * (id, parent) columns; roots are rows with NULL parent. `maxDepth` is
+    * the model's depth bound (reference transform chain: 3); levels beyond
+    * it cannot exist under the parent-FK construction, and a caller with a
+    * deeper model passes its own bound.
+    */
+  def tree(collections: DataFrame, maxDepth: Int = 3): DataFrame = {
     val base = collections.select(col("id").cast(LongType).as("id"),
       col("parent").cast(LongType).as("parent"))
-    var level = base.filter(col("parent").isNull)
+    val roots = base.filter(col("parent").isNull)
       .select(col("id").as("root"), col("id"), lit(1L).as("deep"))
-    var acc = level
-    var levelCount = level.count()
-    while (levelCount > 0) {
-      val next = base.alias("c")
-        .join(level.alias("t"), col("c.parent") === col("t.id"))
+    var level = roots
+    var acc = roots
+    for (_ <- 2 to maxDepth) {
+      level = base.alias("c")
+        .join(broadcast(level.alias("t")), col("c.parent") === col("t.id"))
         .select(col("t.root").as("root"), col("c.id").as("id"),
           (col("t.deep") + 1L).as("deep"))
-      levelCount = next.count()
-      if (levelCount > 0) acc = acc.union(next)
-      level = next
+      acc = acc.union(level)
     }
     acc
   }
