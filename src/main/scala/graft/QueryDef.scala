@@ -26,7 +26,8 @@ object Queries {
   def all: Seq[QueryDef] =
     RelationalQueries.defs ++ EventQueries.defs ++ TextQueries.defs ++
       VectorQueries.defs ++ OcdsQueries.defs ++ CheckQueries.defs ++
-      IngestQueries.defs ++ DagQueries.defs ++ WipeQueries.defs
+      IngestQueries.defs ++ DagQueries.defs ++ WipeQueries.defs ++
+      TypedQueries.defs
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

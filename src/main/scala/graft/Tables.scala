@@ -53,6 +53,34 @@ object Tables {
   def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  private lazy val matBase: String =
+    java.nio.file.Files.createTempDirectory("graft-mat").toString
+  private val matCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Materialize a deterministic synthesized frame as real multi-file
+    * parquet, once per JVM per (key, source dir).
+    *
+    * The reference's `data`/`release` tables are PERSISTENT storage; this
+    * harness synthesizes them from `events` per query, which distorts two
+    * things: the generator expression tree is re-executed (and re-pushed
+    * into every consumer plan, so a predicate pushdown lands on the
+    * synthesis instead of a scan), and the single-row-group source pins
+    * scan-side work to one task. Writing the synthesized frame with
+    * `defaultParallelism` partitions gives consumers what production would
+    * have — a many-file parquet scan with real filter pushdown and
+    * per-file parallelism — and keeps the generator's cost out of every
+    * query but the first (per JVM). */
+  def materialize(key: String, dir: String, df: => DataFrame): DataFrame = {
+    val s = SparkSession.active
+    val path = matCache.computeIfAbsent(s"$key-${dir.hashCode.toHexString}", { k =>
+      val p = s"$matBase/$k"
+      df.repartition(s.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** events with `ts_us`: microseconds since epoch as BIGINT.
     * DuckDB's parquet reader truncates the same NANOS column to microsecond
     * TIMESTAMP, so integer `ts DIV 1000` keeps the two engines bit-identical.
