@@ -53,50 +53,28 @@ object Extensions {
       (r => r.copy(wholeListMerge = r.wholeListMerge + "parties"))
   )
 
+  private def patchResource(name: String): String = {
+    val path = s"/graft/check/extensions/ocds_${name}_extension/release-schema.json"
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing vendored extension patch $path")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
   /** Extension URL → release-schema merge-patch (RFC 7386), applied by the
     * CHECK step's schema builder (`graft.check.OcdsSchemas`) before
     * compiling — the analogue of SchemaOCDS fetching each extension's
     * `release-schema.json` fragment and ProfileBuilder-patching the
-    * standard (`checker.py:70-77`). Zero-egress engine, so the fragments
-    * live here: the lots and submissionTerms entries are DISTILLED subsets
-    * of the public ocds_lots / ocds_submissionTerms extensions (the fields
-    * their published patches constrain most: Lot identity + the
-    * tender.lots / relatedLot wiring); a real deployment drops in the full
-    * published fragments unchanged. */
-  val schemaPatches: Map[String, String] = Map(
-    extensionUrl("lots") -> """{
-      "definitions": {
-        "Tender": {"properties": {
-          "lots": {"type": "array", "items": {"$ref": "#/definitions/Lot"}}}},
-        "Item": {"properties": {
-          "relatedLot": {"type": ["string", "integer", "null"]}}},
-        "Document": {"properties": {
-          "relatedLots": {"type": "array", "items": {"type": ["string", "integer"]}}}},
-        "Lot": {
-          "type": "object",
-          "required": ["id"],
-          "properties": {
-            "id": {"type": ["string", "integer"]},
-            "title": {"type": ["string", "null"]},
-            "description": {"type": ["string", "null"]},
-            "status": {"type": ["string", "null"]},
-            "value": {"$ref": "#/definitions/Value"}
-          }
-        }
-      }
-    }""",
-    extensionUrl("submissionTerms") -> """{
-      "definitions": {
-        "Tender": {"properties": {
-          "submissionTerms": {
-            "type": "object",
-            "properties": {
-              "electronicSubmissionPolicy": {"type": ["string", "null"]},
-              "languages": {"type": "array", "items": {"type": "string"}}
-            }
-          }}}
-      }
-    }""")
+    * standard (`checker.py:70-77`). The fragments are VENDORED files under
+    * `resources/graft/check/extensions/` — validation-faithful renderings
+    * of the published ocds_lots / ocds_bids / ocds_submissionTerms
+    * extension patches (see PROVENANCE.md there for exactly what that
+    * claim covers); a deployment with egress replaces the files with the
+    * published artifacts unchanged. */
+  lazy val schemaPatches: Map[String, String] = Map(
+    extensionUrl("lots") -> patchResource("lots"),
+    extensionUrl("bids") -> patchResource("bids"),
+    extensionUrl("submissionTerms") -> patchResource("submissionTerms"))
 
   /** Rules for one ocid's unioned extension set. Deterministic: deltas are
     * applied in sorted-URL order. Cache the result per distinct set at the

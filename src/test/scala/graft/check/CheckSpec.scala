@@ -152,6 +152,59 @@ class CheckSpec extends AnyFunSuite {
     assert(errs === Seq(CheckError("releases/0/tender/lots/0/id", "required", "")))
   }
 
+  test("vendored lots patch: closed-codelist enum flips the validation outcome") {
+    import graft.ocds.Extensions
+    // a lot with an id but a status outside the closed tenderStatus codelist
+    val badStatus = validRelease.stripSuffix("}") +
+      ""","tender": {"id": "t1", "lots": [{"id": "1", "status": "ongoing"}]}}"""
+    // undeclared extension: tender.lots is unknown to the standard → clean
+    assert(check(badStatus) === Seq.empty)
+    val extPkg = pkgMeta.stripSuffix("}") +
+      s""","extensions": ["${Extensions.extensionUrl("lots")}"]}"""
+    val errs = JsonSchema.validate(
+      OcdsSchemas.forPackage("releases", Extensions.getExtensions(Canonical.parse(extPkg))),
+      Checker.repackage(badStatus, extPkg, "releases"))
+    assert(errs.map(e => (e.path, e.kind)) ===
+      Seq(("releases/0/tender/lots/0/status", "enum")))
+    // a codelist value passes under the same patched schema
+    val okStatus = validRelease.stripSuffix("}") +
+      ""","tender": {"id": "t1", "lots": [{"id": "1", "status": "active"}]}}"""
+    assert(JsonSchema.validate(
+      OcdsSchemas.forPackage("releases", Extensions.getExtensions(Canonical.parse(extPkg))),
+      Checker.repackage(okStatus, extPkg, "releases")) === Seq.empty)
+  }
+
+  test("vendored bids patch: BidsStatistic required fields flip the outcome") {
+    import graft.ocds.Extensions
+    val badStat = validRelease.stripSuffix("}") +
+      ""","bids": {"statistics": [{"id": "1", "measure": "bids"}]}}"""
+    assert(check(badStat) === Seq.empty) // standard schema: bids unknown → clean
+    val extPkg = pkgMeta.stripSuffix("}") +
+      s""","extensions": ["${Extensions.extensionUrl("bids")}"]}"""
+    val errs = JsonSchema.validate(
+      OcdsSchemas.forPackage("releases", Extensions.getExtensions(Canonical.parse(extPkg))),
+      Checker.repackage(badStat, extPkg, "releases"))
+    // value is required by the published patch; measure/id are present
+    assert(errs.map(e => (e.path, e.kind)) ===
+      Seq(("releases/0/bids/statistics/0/value", "required")))
+  }
+
+  test("lots dependency pulls in the submissionTerms patch (util.py:180-182)") {
+    import graft.ocds.Extensions
+    val withTerms = validRelease.stripSuffix("}") +
+      ""","tender": {"id": "t1",
+        "submissionTerms": {"languages": ["en", 7]}}}"""
+    val extPkg = pkgMeta.stripSuffix("}") +
+      s""","extensions": ["${Extensions.extensionUrl("lots")}"]}"""
+    // submissionTerms was never declared — the lots dependency closure
+    // brings its patch in, so the mistyped language entry is caught
+    val errs = JsonSchema.validate(
+      OcdsSchemas.forPackage("releases", Extensions.getExtensions(Canonical.parse(extPkg))),
+      Checker.repackage(withTerms, extPkg, "releases"))
+    assert(errs.map(e => (e.path, e.kind)) ===
+      Seq(("releases/0/tender/submissionTerms/languages/1", "type")))
+  }
+
   test("cove_output is canonical JSON with errors + count") {
     val out = Checker.coveOutput(Seq(CheckError("releases/0/date", "required", "")))
     assert(out ===
