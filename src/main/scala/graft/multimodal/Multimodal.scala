@@ -12,19 +12,23 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * amortizes decoder setup once per partition, and never routes payloads
   * through the driver.
   *
-  * THE DECODE IS A STUB: this container has no image/audio codecs, so
-  * [[Multimodal.decode]] derives deterministic fake media properties from
-  * the bytes (magic byte → kind, first/last byte → dimensions, 256-byte
-  * blocks → frames). Swapping in a real codec changes only the body of
-  * `decode`; the schema, partitioning, batch shape and query wiring are
-  * the real, tested article.
+  * The IMAGE leg decodes for real: the JDK ships `javax.imageio` readers
+  * for PNG/GIF/BMP/JPEG, so a payload whose magic bytes announce one of
+  * those formats gets true width/height from the decoded image
+  * (MultimodalSpec round-trips generated PNG/BMP fixtures). AUDIO/VIDEO
+  * remain a deterministic stub — the JDK has no audio/video codecs and
+  * this container has no external ones — deriving fake properties from
+  * the bytes (first/last byte → dimensions, 256-byte blocks → frames).
+  * Swapping in real codecs changes only the body of `decode`; the schema,
+  * partitioning, batch shape and query wiring don't move.
   */
 object Multimodal {
 
   val FrameBytes = 256
   val ThumbMax = 32L
 
-  /** Decoded media: stubbed kind/dimensions + byte-block "frames". */
+  /** Decoded media: kind/dimensions (real for images) + byte-block
+    * "frames". */
   final case class Decoded(kind: String, width: Long, height: Long, frames: Seq[Array[Byte]])
 
   /** One document's extracted features (the query/output row). */
@@ -32,9 +36,41 @@ object Multimodal {
       doc_id: Long, kind: String, width: Long, height: Long,
       n_frames: Long, frame0_hash: String, thumb_w: Long, thumb_h: Long)
 
-  /** DECODE STUB — see the object doc. Deterministic in the bytes. */
+  /** Decode: real `javax.imageio` for image payloads, deterministic stub
+    * for everything else (see the object doc). Deterministic in the bytes
+    * either way. */
   def decode(bytes: Array[Byte]): Decoded = {
     require(bytes.nonEmpty, "empty payload")
+    decodeImage(bytes).getOrElse(fakeDecode(bytes))
+  }
+
+  /** Magic-byte sniff: PNG / GIF / BMP / JPEG — the formats the JDK's
+    * ImageIO decodes with zero external dependencies. */
+  def looksLikeImage(b: Array[Byte]): Boolean =
+    (b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b.length > 2 && b(0) == 'B' && b(1) == 'M') ||
+      (b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
+
+  /** The REAL image leg: decode via the JDK's ImageIO and report true
+    * dimensions. None when the magic bytes don't announce a decodable
+    * format or the payload is corrupt (BMP magic is two printable ASCII
+    * chars, so text can impersonate it) — the caller falls back to the
+    * stub, keeping decode total and deterministic. */
+  def decodeImage(bytes: Array[Byte]): Option[Decoded] =
+    if (!looksLikeImage(bytes)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(img => Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
+          frameSample(bytes, 1)))
+      // corrupt payloads can crash readers in arbitrary ways (not just
+      // IIOException) — at corpus scale a hostile blob must degrade to the
+      // stub, never kill the task
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  /** AUDIO/VIDEO STUB (and non-media fallback) — deterministic fake
+    * properties from the bytes. */
+  def fakeDecode(bytes: Array[Byte]): Decoded = {
     val b0 = bytes.head & 0xff
     val bn = bytes.last & 0xff
     val kind = (b0 % 3) match {

@@ -40,4 +40,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.md5hex(s.getBytes("UTF-8")) ===
       graft.ocds.Canonical.md5hex(s))
   }
+
+  // ---- the REAL image leg (JDK ImageIO) ------------------------------
+
+  private def imageBytes(format: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("decode reads a real PNG: true dimensions, kind=image") {
+    val d = Multimodal.decode(imageBytes("png", 37, 21))
+    assert(d.kind === "image")
+    assert((d.width, d.height) === (37L, 21L))
+  }
+
+  test("decode reads a real BMP: true dimensions") {
+    val d = Multimodal.decode(imageBytes("bmp", 5, 3))
+    assert((d.kind, d.width, d.height) === ("image", 5L, 3L))
+  }
+
+  test("corrupt image magic falls back to the deterministic stub") {
+    // BMP magic is printable ASCII — text can impersonate it
+    def sig(d: Multimodal.Decoded) = (d.kind, d.width, d.height, d.frames.map(_.toSeq))
+    val fake = "BM this is not a bitmap, just text".getBytes("UTF-8")
+    assert(sig(Multimodal.decode(fake)) === sig(Multimodal.fakeDecode(fake)))
+    // corrupt PNG: right magic, garbage body
+    val png = imageBytes("png", 8, 8).take(16) ++ Array.fill[Byte](64)(0x5a)
+    assert(sig(Multimodal.decode(png)) === sig(Multimodal.fakeDecode(png)))
+  }
+
+  test("features() extracts true dimensions for real image payloads") {
+    val s = graft.SparkSuite.spark
+    import s.implicits._
+    val png = imageBytes("png", 48, 40) // longer edge 48 > ThumbMax → resize
+    val docs = Seq((1L, png)).toDF("doc_id", "content")
+    val row = Multimodal.features(docs, s).collect()(0)
+    assert((row.kind, row.width, row.height) === ("image", 48L, 40L))
+    assert((row.thumb_w, row.thumb_h) === (32L, 40L * 32 / 48))
+    assert(row.frame0_hash === Multimodal.md5hex(png.take(256)))
+  }
 }
