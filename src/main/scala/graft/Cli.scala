@@ -260,8 +260,12 @@ object Cli {
           // most one row per level (≤3) for the terminal print
           Notes.forTree(notes, treeIds(plane, rid), lv)
             .collect().foreach { r =>
-              println(s"${r.getString(0)}:")
-              r.getSeq[org.apache.spark.sql.Row](1).foreach(n => println(s"  - ${n.getString(0)}"))
+              val shown = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("notes"))
+              val total = r.getAs[Long]("n_total")
+              println(s"${r.getAs[String]("code")}:")
+              shown.foreach(n => println(s"  - ${n.getString(0)}"))
+              if (total > shown.size)
+                println(s"  … ${total - shown.size} more (showing first ${shown.size})")
             }
       }
 

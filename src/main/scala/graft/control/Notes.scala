@@ -51,11 +51,33 @@ object Notes {
 
   /** The `notes` read endpoint (`views.py:261-281`): notes of the root
     * collection AND its derived collections, filtered to `levels`, grouped
-    * per code as sorted [note, data] pairs. */
-  def forTree(notes: DataFrame, collectionIds: Seq[Long], levels: Seq[String] = Seq(Info, Warning, Error)): DataFrame =
+    * per code as sorted [note, data] pairs — BOUNDED to the first
+    * `maxPerCode` pairs per code (sorted order), with the full count in
+    * `n_total`. The reference endpoint streams unboundedly via the DB
+    * cursor; a collect_list with no bound would materialize a pathological
+    * collection's millions of merge warnings in one executor row, so the
+    * limit is applied BEFORE the aggregate (window row_number, which sorts
+    * spill-safely) and the aggregation buffer holds at most `maxPerCode`
+    * structs. Both window functions and the groupBy share one hash
+    * partitioning on `code` — one shuffle total. */
+  def forTree(
+      notes: DataFrame,
+      collectionIds: Seq[Long],
+      levels: Seq[String] = Seq(Info, Warning, Error),
+      maxPerCode: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCode = Window.partitionBy("code")
+    val ordered = byCode.orderBy("note", "data")
     notes
       .filter(col("collection_id").isin(collectionIds: _*) && col("code").isin(levels: _*))
+      .select(col("code"), col("note"), col("data"),
+        row_number().over(ordered).as("rn"),
+        count(lit(1)).over(byCode).as("n_total"))
+      .filter(col("rn") <= maxPerCode)
       .groupBy(col("code"))
-      .agg(sort_array(collect_list(struct(col("note"), col("data")))).as("notes"))
+      .agg(
+        first(col("n_total")).as("n_total"),
+        sort_array(collect_list(struct(col("note"), col("data")))).as("notes"))
       .orderBy("code")
+  }
 }
