@@ -15,7 +15,9 @@ import graft.ocds.Metadata
   * reference's commands compose over its control tables.
   *
   * Commands (reference command in parentheses):
-  *   load <input> <lake> [--upgrade] [--id N]   (load; file_worker+compiler+finisher inline)
+  *   load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample]
+  *                                              (load; file_worker+compiler+finisher inline)
+  *   addfiles <lake> <id> <path...>             (addfiles; registration only — async contract)
   *   collectionstatus <lake> <rootId>           (collectionstatus)
   *   addchecks <lake> <collectionId>            (addchecks + checker)
   *   closecollection <lake> <id> <nFiles>       (closecollection)
@@ -89,9 +91,17 @@ object Cli {
     if (!new java.io.File(path).exists()) None
     else scala.util.Try(spark.read.parquet(path)).toOption
 
+  /** `--flag value` extraction; exits on a missing or flag-shaped value. */
+  private def flagValue(rest: List[String], flag: String): Option[String] =
+    if (!rest.contains(flag)) None
+    else rest.dropWhile(_ != flag).drop(1).headOption.filterNot(_.startsWith("--"))
+      .orElse { System.err.println(s"$flag needs a value"); sys.exit(2) }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "load" :: input :: lake :: rest =>
       val upgrade = rest.contains("--upgrade")
+      val sample = rest.contains("--sample")
+      val note = flagValue(rest, "--note")
       val plane0 = loadPlane(lake)
       val id =
         if (!rest.contains("--id"))
@@ -110,18 +120,60 @@ object Cli {
         System.err.println(s"collection $clash already exists; pick another --id")
         sys.exit(2)
       }
+      val spark = session()
       val report = Pipeline.loadAndCompile(
-        session(), input, lake, collectionId = id, now = nowUtc(), upgrade = upgrade)
+        spark, input, lake, collectionId = id, now = nowUtc(), upgrade = upgrade)
+      // --note: persisted like every other note — an INFO collection_note
+      // row on the root collection (load.py's required -n/--note)
+      note.foreach { text =>
+        import spark.implicits._
+        Sink.writeByCollection(
+          Seq((id, Notes.Info, text, "{}"))
+            .toDF("collection_id", "code", "note", "data"),
+          s"$lake/collection_note")
+      }
+      // --sample: recorded on the root collection (load.py --sample)
+      val loaded =
+        if (!sample) report.plane
+        else report.plane.copy(collections = report.plane.collections
+          .updatedWith(id)(_.map(_.copy(sample = true))))
       // merge into any pre-existing plane document (other collections)
       savePlane(lake, plane0.copy(
-        collections = plane0.collections ++ report.plane.collections,
-        files = plane0.files ++ report.plane.files,
-        steps = plane0.steps ++ report.plane.steps))
+        collections = plane0.collections ++ loaded.collections,
+        files = plane0.files ++ loaded.files,
+        steps = plane0.steps ++ loaded.steps))
       println(s"collection=${report.collectionId}" +
         report.upgradedCollectionId.map(u => s" upgraded=$u").getOrElse("") +
         s" compiled=${report.compiledCollectionId} files=${report.files}" +
         s" items=${report.items} compiled_releases=${report.compiled}" +
         s" check_failures=${report.checkFailures} notes=${report.notes}")
+
+    case "addfiles" :: lake :: id :: paths if paths.nonEmpty =>
+      // the reference's addfiles (docs/cli.rst:37, addfiles.py): register
+      // more files against an OPEN ROOT collection; the work is recorded
+      // (collection_file rows + LOAD steps), not performed — the async
+      // contract. A later closecollection releases the compile gate.
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      val c = known(plane, cid)
+      if (c.storeEndAt.nonEmpty) {
+        System.err.println(
+          s"Collection $cid is not an open collection. It was closed at ${c.storeEndAt.get}.")
+        sys.exit(2)
+      }
+      if (c.parent.nonEmpty) {
+        System.err.println(
+          s"Collection $cid is not a root collection. Its parent is collection ${c.parent.get}.")
+        sys.exit(2)
+      }
+      val found = graft.ingest.Ingest.walk(session(), paths)
+      if (found.isEmpty) { System.err.println("No files to load"); sys.exit(2) }
+      val updated = found.foldLeft(plane) { (p, path) =>
+        System.err.println(s"Adding $path")
+        Control.registerFile(p, cid, path)
+      }
+      savePlane(lake, updated)
+      println(s"registered ${updated.files.size - plane.files.size} files")
 
     case "collectionstatus" :: lake :: rootId :: Nil =>
       val plane = loadPlane(lake)
@@ -273,7 +325,8 @@ object Cli {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: graft.Cli <command> [args]
-           |  load <input> <lake> [--upgrade] [--id N]
+           |  load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample]
+           |  addfiles <lake> <collectionId> <path...>
            |  collectionstatus <lake> <rootId>
            |  addchecks <lake> <collectionId>
            |  closecollection <lake> <id> <nFiles>

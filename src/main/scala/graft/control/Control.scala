@@ -48,6 +48,7 @@ object Control {
       compilationStarted: Boolean = false,
       compilationEnqueued: Boolean = false,
       deletedAt: Option[String] = None,
+      sample: Boolean = false, // the files are a sample from the source (load --sample)
       cachedReleasesCount: Option[Long] = None,
       cachedRecordsCount: Option[Long] = None,
       cachedCompiledReleasesCount: Option[Long] = None)

@@ -40,6 +40,7 @@ object PlaneJson {
       o.put("compilation_started", c.compilationStarted)
       o.put("compilation_enqueued", c.compilationEnqueued)
       putOpt(o, "deleted_at", c.deletedAt)
+      if (c.sample) o.put("sample", true)
       c.cachedReleasesCount.foreach(o.put("cached_releases_count", _))
       c.cachedRecordsCount.foreach(o.put("cached_records_count", _))
       c.cachedCompiledReleasesCount.foreach(o.put("cached_compiled_releases_count", _))
@@ -89,6 +90,7 @@ object PlaneJson {
         compilationStarted = Option(o.get("compilation_started")).exists(_.asBoolean),
         compilationEnqueued = Option(o.get("compilation_enqueued")).exists(_.asBoolean),
         deletedAt = optText(o, "deleted_at"),
+        sample = Option(o.get("sample")).exists(_.asBoolean),
         cachedReleasesCount = optLong(o, "cached_releases_count"),
         cachedRecordsCount = optLong(o, "cached_records_count"),
         cachedCompiledReleasesCount = optLong(o, "cached_compiled_releases_count"))

@@ -78,4 +78,40 @@ class CliSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$lake/release/collection_id=1")))
     assert(run("deleteorphan", lake).contains("removed 2"))
   }
+
+  test("load --note/--sample persist; addfiles registers against an open root") {
+    val input = inputTree()
+    val lake = Files.createTempDirectory("graft-cli-lake2").toString
+
+    run("load", input.toString, lake, "--note", "initial import", "--sample")
+    // --note → an INFO collection_note row, readable via the notes command
+    val notes = run("notes", lake, "1", "INFO")
+    assert(notes.contains("INFO:"))
+    assert(notes.contains("initial import"))
+    // --sample survives the plane round-trip
+    val plane = graft.control.PlaneJson.fromJson(
+      Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
+    assert(plane.collections(1L).sample)
+    assert(!plane.collections(2L).sample)
+
+    // addfiles against an OPEN root: registrations are recorded as files +
+    // LOAD steps, not executed (the async contract). The closed/non-root
+    // rejections call sys.exit, so they stay out of this in-JVM test.
+    val more = Files.createTempDirectory("graft-cli-more")
+    Files.writeString(more.resolve("b.json"), """{"releases": []}""")
+
+    // an open root: create by hand in the plane (registration-only path)
+    val p2 = plane.copy(collections = plane.collections +
+      (50L -> graft.control.Control.Collection(50L, "manual", "2020-01-01 00:00:00")))
+    Files.writeString(java.nio.file.Paths.get(s"$lake/_control.json"),
+      graft.control.PlaneJson.toJson(p2))
+    val out = run("addfiles", lake, "50", more.toString)
+    assert(out.contains("registered 1 files"))
+    val after = graft.control.PlaneJson.fromJson(
+      Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
+    assert(after.files.exists(f => f.collectionId == 50L && f.filename.endsWith("b.json")))
+    assert(after.steps.exists(s => s.collectionId == 50L && s.name == "LOAD"))
+    // idempotent: replaying the same registration adds nothing (T1)
+    assert(run("addfiles", lake, "50", more.toString).contains("registered 0 files"))
+  }
 }
