@@ -54,18 +54,72 @@ object Checker {
     pkg
   }
 
-  /** The `cove_output` analogue: canonical JSON with the error list. */
-  def coveOutput(errors: Seq[JsonSchema.CheckError]): String = {
+  /** lib-cove-ocds's documented path_no_number: the JSON path with array
+    * indices dropped — the "field" a dashboard groups errors by. */
+  private[check] def fieldOf(path: String): String =
+    path.split('/').filterNot(_.forall(_.isDigit)).mkString("/")
+
+  /** Deterministic per-kind message in lib-cove's flavor (jsonschema's
+    * validator messages, `context_api_transform`'s `description`). */
+  private[check] def describe(e: JsonSchema.CheckError): String = {
+    val leaf = e.path.split('/').lastOption.getOrElse(e.path)
+    e.kind match {
+      case "required"    => s"'$leaf' is missing but required"
+      case "type"        => s"is not a '${e.expected}'"
+      case "enum"        => "Invalid code found"
+      case "format"      => s"does not match the format '${e.expected}'"
+      case "pattern"     => s"does not match the pattern '${e.expected}'"
+      case "minLength"   => "is too short"
+      case "minItems"    => "has too few items"
+      case "uniqueItems" => "has non-unique elements"
+      case "oneOf"       => "is not valid under any of the given schemas"
+      case other         => other
+    }
+  }
+
+  /** The `cove_output` column, in the lib-cove-ocds API output layout the
+    * reference documents (`docs/database.rst`: the libcoveocds format
+    * without `additional_checks` / `records_aggregates` /
+    * `releases_aggregates`, which the reference also disables —
+    * `checker.py:23-30`). Checks this engine doesn't run (deprecations,
+    * codelist scans, additional-field discovery) emit their documented
+    * empty containers, so downstream consumers read the same keys. */
+  def coveOutput(
+      errors: Seq[JsonSchema.CheckError],
+      versionUsed: String = "1.1",
+      extensions: Set[String] = Set.empty): String = {
     val root = Canonical.mapper.createObjectNode()
+    root.put("file_type", "json")
+    root.put("version_used", versionUsed)
+    val ext = Canonical.mapper.createObjectNode()
+    val urls = Canonical.mapper.createArrayNode()
+    extensions.toSeq.sorted.foreach(urls.add)
+    ext.set[JsonNode]("extensions", urls)
+    val invalid = Canonical.mapper.createObjectNode()
+    extensions.toSeq.sorted
+      .filterNot(graft.ocds.Extensions.schemaPatches.contains)
+      .foreach(invalid.put(_, "fetching failed")) // zero-egress: unknown = unfetchable
+    ext.set[JsonNode]("invalid_extension", invalid)
+    ext.put("is_extended_schema",
+      extensions.exists(graft.ocds.Extensions.schemaPatches.contains))
+    root.set[JsonNode]("extensions", ext)
     val arr = Canonical.mapper.createArrayNode()
     errors.foreach { e =>
       val o = Canonical.mapper.createObjectNode()
-      o.put("path", e.path); o.put("kind", e.kind)
-      if (e.expected.nonEmpty) o.put("expected", e.expected)
+      o.put("type", e.kind)
+      o.put("field", fieldOf(e.path))
+      o.put("description", describe(e))
+      o.put("path", e.path)
+      o.put("value", "")
       arr.add(o)
     }
     root.set[JsonNode]("validation_errors", arr)
-    root.put("validation_errors_count", errors.size)
+    root.set[JsonNode]("common_error_types", Canonical.mapper.createArrayNode())
+    root.set[JsonNode]("deprecated_fields", Canonical.mapper.createArrayNode())
+    root.set[JsonNode]("additional_closed_codelist_values", Canonical.mapper.createObjectNode())
+    root.set[JsonNode]("additional_open_codelist_values", Canonical.mapper.createObjectNode())
+    root.set[JsonNode]("additional_fields", Canonical.mapper.createArrayNode())
+    root.set[JsonNode]("all_additional_fields", Canonical.mapper.createArrayNode())
     Canonical.canonicalize(root)
   }
 
@@ -83,16 +137,26 @@ object Checker {
   private def itemsFieldFor(kind: String): String =
     if (kind == "record") "records" else "releases"
 
-  /** One row's errors: parse the envelope once, read its `extensions` URL
+  /** One row's check: parse the envelope once, read its `extensions` URL
     * list (dependency-closed, like `get_extensions` in `checker.py:107`),
     * fetch the (items_key, extensions)-cached extension-patched 1.1.5
-    * schema, and validate the rebuilt package. */
-  private def errorsFor(
-      data: String, pkgJson: String, itemsField: String): Seq[JsonSchema.CheckError] = {
+    * schema, and validate the rebuilt package. Returns the errors plus
+    * the package context cove_output reports (version, extension set). */
+  private def checkOne(
+      data: String, pkgJson: String,
+      itemsField: String): (Seq[JsonSchema.CheckError], String, Set[String]) = {
     val pkg = parsePackage(pkgJson)
-    val schema = OcdsSchemas.forPackage(itemsField, graft.ocds.Extensions.getExtensions(pkg))
-    JsonSchema.validate(schema, repackage(data, pkg, itemsField))
+    val exts = graft.ocds.Extensions.getExtensions(pkg)
+    val schema = OcdsSchemas.forPackage(itemsField, exts)
+    val errs = JsonSchema.validate(schema, repackage(data, pkg, itemsField))
+    val version = Option(pkg.get("version")).filter(_.isTextual).map(_.asText)
+      .getOrElse("1.1") // the reference's SchemaOCDS("1.1", ...) default
+    (errs, version, exts)
   }
+
+  private def errorsFor(
+      data: String, pkgJson: String, itemsField: String): Seq[JsonSchema.CheckError] =
+    checkOne(data, pkgJson, itemsField)._1
 
   /** Check every (id, data, package_data) row; `kind` ∈ {release, record}.
     * One check row per item, like the reference's release_check table. */
@@ -102,8 +166,8 @@ object Checker {
       .mapPartitions { it =>
         val itemsField = itemsFieldFor(kind)
         it.map { case (id, data, pkg) =>
-          val errs = errorsFor(data, pkg, itemsField)
-          CheckRow(id, errs.isEmpty, errs.size.toLong, coveOutput(errs))
+          val (errs, version, exts) = checkOne(data, pkg, itemsField)
+          CheckRow(id, errs.isEmpty, errs.size.toLong, coveOutput(errs, version, exts))
         }
       }
   }

@@ -1,5 +1,7 @@
 package graft.check
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.check.JsonSchema.CheckError
@@ -205,11 +207,36 @@ class CheckSpec extends AnyFunSuite {
       Seq(("releases/0/tender/submissionTerms/languages/1", "type")))
   }
 
-  test("cove_output is canonical JSON with errors + count") {
-    val out = Checker.coveOutput(Seq(CheckError("releases/0/date", "required", "")))
-    assert(out ===
-      """{"validation_errors":[{"kind":"required","path":"releases/0/date"}],"validation_errors_count":1}""")
+  test("cove_output follows the lib-cove-ocds API layout minus the disabled sections") {
+    import graft.ocds.Extensions
+    val out = Checker.coveOutput(
+      Seq(CheckError("releases/0/date", "required", "")),
+      versionUsed = "1.1",
+      extensions = Set(Extensions.extensionUrl("lots"), "http://example.com/nope"))
     val parsed = Canonical.parse(out)
-    assert(parsed.get("validation_errors_count").asInt === 1)
+    // the documented keys (database.rst: libcoveocds output without
+    // additional_checks / records_aggregates / releases_aggregates)
+    assert(parsed.fieldNames.asScala.toSet === Set(
+      "file_type", "version_used", "extensions", "validation_errors",
+      "common_error_types", "deprecated_fields",
+      "additional_closed_codelist_values", "additional_open_codelist_values",
+      "additional_fields", "all_additional_fields"))
+    assert(!out.contains("additional_checks") && !out.contains("aggregates"))
+    val err = parsed.get("validation_errors").get(0)
+    assert(err.get("type").asText === "required")
+    assert(err.get("field").asText === "releases/date") // path_no_number
+    assert(err.get("path").asText === "releases/0/date")
+    assert(err.get("description").asText === "'date' is missing but required")
+    val ext = parsed.get("extensions")
+    assert(ext.get("is_extended_schema").asBoolean)
+    assert(ext.get("extensions").size === 2)
+    assert(ext.get("invalid_extension").fieldNames.asScala.toSeq ===
+      Seq("http://example.com/nope"))
+  }
+
+  test("cove_output reports the package's declared version") {
+    val row = Checker.coveOutput(Seq.empty, versionUsed = "1.0")
+    assert(Canonical.parse(row).get("version_used").asText === "1.0")
+    assert(Canonical.parse(row).get("validation_errors").size === 0)
   }
 }
