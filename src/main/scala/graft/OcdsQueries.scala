@@ -276,6 +276,52 @@ object OcdsQueries {
         "vs id-merge (distinct ids); lots pulls in submissionTerms via the dependency rule"),
 
     QueryDef(
+      "q_compile_versioned", Seq("A6", "W1", "O1"),
+      (s, d) => {
+        import s.implicits._
+        // same one-shuffle sorted-group plan as the compiled merge, but the
+        // engine emits per-field change HISTORY (Merge.versioned — the
+        // public ocdsmerge spec's other half, beyond reference parity)
+        releasesFromEvents(s, d, dupIds = false)
+          .repartition(col("ocid"))
+          .sortWithinPartitions("ocid", "date", "tiebreak")
+          .select("ocid", "release")
+          .as[(String, String)]
+          .mapPartitions { it =>
+            Compile.consecutiveGroups(it)(_._1).map { case (ocid, rows) =>
+              val v = graft.ocds.Merge.versioned(ocid, rows.map(_._2)).versioned.get
+              val statusN = v.get("tender").get("status").size.toLong
+              val amountN = v.get("tender").get("value").get("amount").size.toLong
+              // each party's name is a function of its id here, so every
+              // item carries exactly one name entry → sum == distinct ids
+              val parties = v.get("parties")
+              val partyNames = (0 until parties.size)
+                .map(i => parties.get(i).get("name").size.toLong).sum
+              (ocid, statusN, amountN, partyNames)
+            }
+          }
+          .toDF("ocid", "n_status_versions", "n_amount_versions", "n_party_names")
+          .orderBy("ocid")
+      },
+      Some(s"""WITH r AS ($OracleRel),
+               ord AS (
+                 SELECT ocid, event_type, value, k,
+                        row_number() OVER w AS rn,
+                        lag(event_type) OVER w AS prev_status,
+                        lag(value) OVER w AS prev_amount
+                 FROM r WINDOW w AS (PARTITION BY ocid ORDER BY rdate, event_id))
+               SELECT ocid,
+                      CAST(sum(CASE WHEN rn = 1 OR event_type <> prev_status
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_status_versions,
+                      CAST(sum(CASE WHEN rn = 1 OR value <> prev_amount
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_amount_versions,
+                      CAST(count(DISTINCT k % 5) AS BIGINT) AS n_party_names
+               FROM ord GROUP BY ocid ORDER BY ocid"""),
+      "Versioned-release merge (the public ocdsmerge spec beyond the reference's compiled-" +
+        "only surface): per-field change history per ocid; the oracle replays entry counts " +
+        "as lag()-change detection and distinct party ids relationally"),
+
+    QueryDef(
       "q_upgrade_parties", Seq("F11", "F5", "F8"),
       (s, d) => {
         import s.implicits._

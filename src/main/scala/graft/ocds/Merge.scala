@@ -130,6 +130,76 @@ object Merge {
     }
   }
 
+  final case class VersionedResult(versioned: Option[ObjectNode], warnings: Seq[MergeWarning])
+
+  /** Versioned merge — the OTHER half of the public ocdsmerge spec (the
+    * reference ships only compiled merge; the standard's
+    * versioned-release-validation-schema.json is already vendored for the
+    * checker). Instead of last-write-wins, every flattened field carries its
+    * change history: an array of `{releaseID, releaseDate, releaseTag,
+    * value}` entries, appended whenever the value at that path DIFFERS from
+    * the previous release's value (canonical-JSON equality). Semantics
+    * shared with [[compile]]: date order with input-order ties, id-keyed
+    * array items merge per id (the item `id` itself stays LITERAL — it is
+    * the key, not versioned data), arrays without ids version wholesale,
+    * `omitWhenMerged` paths are dropped, top-level ocid/id/date/tag become
+    * the literal ocid + per-entry metadata, a non-object release aborts the
+    * ocid, duplicate-id/repeated-date warnings fire identically. Explicit
+    * `null` (a removal in compiled merge) appends no entry. */
+  def versioned(ocid: String, releases: Seq[String], rules: Rules = DefaultRules): VersionedResult = {
+    val warnings = mutable.ArrayBuffer.empty[MergeWarning]
+    // path → literal id leaf OR the (mutated-in-place) entries array,
+    // in first-appearance order
+    val out = mutable.LinkedHashMap.empty[Path, JsonNode]
+    val last = mutable.HashMap.empty[Path, String]
+    var prevDate: String = null
+    var failed = false
+
+    releases.iterator.zipWithIndex.foreach { case (text, idx) =>
+      if (!failed) {
+        val node = Canonical.parse(text)
+        if (!node.isObject) {
+          warnings += NonObjectRelease(idx)
+          failed = true
+        } else {
+          val rel = node.asInstanceOf[ObjectNode]
+          val date = Option(rel.get("date")).filter(_.isTextual).map(_.asText).getOrElse("")
+          if (date.nonEmpty && date == prevDate) warnings += RepeatedDateValue(idx, date)
+          prevDate = date
+          val relId: JsonNode = Option(rel.get("id")).getOrElse(nf.nullNode)
+          val relTag: JsonNode = Option(rel.get("tag")).getOrElse(nf.nullNode)
+          val flat = mutable.LinkedHashMap.empty[Path, JsonNode]
+          flatten(rel, Vector.empty, rules, flat, warnings)
+          flat.foreach { case (p, v) =>
+            val isItemId = p.length >= 2 &&
+              p.last == F("id") && p(p.length - 2).isInstanceOf[I]
+            if (isItemId) out(p) = v // the merge key: literal, not versioned
+            else if (!v.isNull) {
+              val key = Canonical.canonicalize(v)
+              if (!last.get(p).contains(key)) {
+                last(p) = key
+                val entry = nf.objectNode()
+                entry.set[JsonNode]("releaseID", relId.deepCopy())
+                entry.put("releaseDate", date)
+                entry.set[JsonNode]("releaseTag", relTag.deepCopy())
+                entry.set[JsonNode]("value", v.deepCopy())
+                out.getOrElseUpdate(p, nf.arrayNode())
+                  .asInstanceOf[ArrayNode].add(entry)
+              }
+            }
+          }
+        }
+      }
+    }
+
+    if (failed) VersionedResult(None, warnings.toSeq)
+    else {
+      val v = unflatten(out)
+      v.put("ocid", ocid)
+      VersionedResult(Some(v), warnings.toSeq)
+    }
+  }
+
   /** Depth-first flatten. Top-level ocid/id/date/tag are synthesized on the
     * compiled release, so they are not merged as data. */
   private def flatten(

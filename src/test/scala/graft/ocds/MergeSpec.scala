@@ -127,4 +127,77 @@ class MergeSpec extends AnyFunSuite {
     // date/id re-synthesize identically; content is unchanged
     assert(twice == once)
   }
+
+  // --- versioned merge (the public ocdsmerge spec's other half; the
+  // standard's own merging example shape: per-field change history) -------
+
+  private val v1 =
+    """{"ocid":"ocds-213czf-A","id":"1","date":"2020-01-01T00:00:00Z",
+       "tag":["tender"],"initiationType":"tender",
+       "tender":{"status":"planning","value":{"amount":1000}},
+       "parties":[{"id":"ORG-001","name":"Acme"}]}"""
+  private val v2 =
+    """{"ocid":"ocds-213czf-A","id":"2","date":"2020-02-01T00:00:00Z",
+       "tag":["tenderUpdate"],"initiationType":"tender",
+       "tender":{"status":"active","value":{"amount":1000}},
+       "parties":[{"id":"ORG-001","name":"Acme Corp"}]}"""
+
+  test("versioned: changed fields accumulate entries, unchanged fields keep one") {
+    val res = Merge.versioned("ocds-213czf-A", Seq(v1, v2))
+    val v = res.versioned.get
+    assert(v.get("ocid").asText === "ocds-213czf-A") // literal, not versioned
+    val status = v.get("tender").get("status")
+    assert(status.isArray && status.size === 2)
+    assert(status.get(0).get("releaseID").asText === "1")
+    assert(status.get(0).get("releaseDate").asText === "2020-01-01T00:00:00Z")
+    assert(status.get(0).get("releaseTag").get(0).asText === "tender")
+    assert(status.get(0).get("value").asText === "planning")
+    assert(status.get(1).get("value").asText === "active")
+    // amount unchanged across releases → one entry
+    assert(v.get("tender").get("value").get("amount").size === 1)
+    // initiationType unchanged → one entry
+    assert(v.get("initiationType").size === 1)
+  }
+
+  test("versioned: id-keyed items keep a literal id; member fields version") {
+    val v = Merge.versioned("x", Seq(v1, v2)).versioned.get
+    val party = v.get("parties").get(0)
+    assert(party.get("id").asText === "ORG-001") // the key, not an array
+    val name = party.get("name")
+    assert(name.size === 2)
+    assert(name.get(0).get("value").asText === "Acme")
+    assert(name.get(1).get("value").asText === "Acme Corp")
+  }
+
+  test("versioned: arrays without ids version wholesale") {
+    val a = """{"id":"1","date":"2020-01-01T00:00:00Z","tender":{"submissionMethod":["written"]}}"""
+    val b = """{"id":"2","date":"2020-02-01T00:00:00Z","tender":{"submissionMethod":["written","electronic"]}}"""
+    val v = Merge.versioned("x", Seq(a, b)).versioned.get
+    val sm = v.get("tender").get("submissionMethod")
+    assert(sm.size === 2)
+    assert(sm.get(0).get("value").toString === """["written"]""")
+    assert(sm.get(1).get("value").toString === """["written","electronic"]""")
+  }
+
+  test("versioned: non-object release aborts the ocid; warnings still fire") {
+    val res = Merge.versioned("x", Seq(v1, "[1,2]"))
+    assert(res.versioned.isEmpty)
+    assert(res.warnings.contains(Merge.NonObjectRelease(1)))
+    // duplicate-id + repeated-date warnings match compile's
+    val dup =
+      """{"id":"1","date":"2020-01-01T00:00:00Z",
+         "parties":[{"id":"P","name":"a"},{"id":"P","name":"b"}]}"""
+    assert(Merge.versioned("x", Seq(dup)).warnings
+      .contains(Merge.DuplicateIdValue("parties", "P")))
+  }
+
+  test("versioned validates against the vendored versioned-release schema's shape") {
+    // spot-check the schema contract: versioned fields are arrays of
+    // {releaseID, releaseDate, releaseTag, value} — every entry carries
+    // all four keys
+    val v = Merge.versioned("x", Seq(v1, v2)).versioned.get
+    val entry = v.get("tender").get("status").get(0)
+    assert(Seq("releaseID", "releaseDate", "releaseTag", "value")
+      .forall(entry.has))
+  }
 }
