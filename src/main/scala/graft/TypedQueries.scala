@@ -147,6 +147,38 @@ object TypedQueries {
                LIMIT 10"""),
       "querying-data.rst:88-121 over the typed projection: top-10 buyers by active " +
         "award value — awards array exploded from the struct (the jsonb_array_elements " +
-        "CROSS JOIN), amount > 0 predicate on DECIMAL, top-k with total tiebreak")
+        "CROSS JOIN), amount > 0 predicate on DECIMAL, top-k with total tiebreak"),
+
+    QueryDef(
+      "q_variant_status_sum", Seq("P4", "F1", "A4"),
+      (s, d) => {
+        // SURVEY §1.4's dynamic remainder: fields NOT in the typed
+        // projection stay queryable as a Spark 4 VARIANT — parse once
+        // (binary variant encoding), prune per path with variant_get.
+        // The single-expression select materializes the variant like the
+        // typed queries' struct: one parse_json per row, both extractions
+        // read the variant (plan-asserted in TypedProjectionSpec).
+        dataTable(s, d)
+          .select(parse_json(col("data")).as("v"))
+          .select(
+            try_variant_get(col("v"), "$.tender.status", "string").as("status"),
+            try_variant_get(col("v"), "$.tender.value.amount", "decimal(18,2)").as("amount"))
+          .groupBy(col("status"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("amount")).cast(DoubleType).as("total"))
+          .orderBy("status")
+      },
+      Some("""WITH t AS (
+                SELECT CASE WHEN CAST(props->>'$.k' AS BIGINT) % 4 = 0
+                            THEN 'complete' ELSE event_type END AS status,
+                       value
+                FROM events)
+              SELECT status, count(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+              FROM t GROUP BY status ORDER BY status"""),
+      "VARIANT remainder (SURVEY §1.4): parse_json once into Spark 4's binary variant, " +
+        "per-path pruning with try_variant_get incl. a DECIMAL target type — the dynamic " +
+        "complement to the typed struct projection")
   )
 }

@@ -114,4 +114,15 @@ class TypedProjectionSpec extends AnyFunSuite {
     assert(schemas == Seq("awards"),
       s"expected one awards+buyer-pruned parse, got $schemas")
   }
+
+  test("q_variant_status_sum: one parse_json, extractions read the variant") {
+    val df = graft.Queries.byName("q_variant_status_sum").run(s, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the variant materializes once; both paths prune into it
+    // (parse_json renders as VariantExpressionEvalUtils.parseJson)
+    assert("parseJson".r.findAllIn(plan).size === 1, "expected exactly one parse_json")
+    assert(plan.contains("variant_get"))
+    // the scan side reads only the data column (column pruning held)
+    assert(!plan.contains("ReadSchema: struct<id"))
+  }
 }
