@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.check.Checker
-import graft.control.{Control, Notes, PlaneJson, Wipe}
+import graft.control.{Control, Notes, PlaneStore, Wipe}
 import graft.ingest.Sink
 import graft.ocds.Metadata
 
@@ -33,18 +33,10 @@ import graft.ocds.Metadata
   */
 object Cli {
 
-  private def planePath(lake: String) = s"$lake/_control.json"
-
-  private def loadPlane(lake: String): Control.Plane = {
-    val p = java.nio.file.Paths.get(planePath(lake))
-    if (java.nio.file.Files.exists(p))
-      PlaneJson.fromJson(java.nio.file.Files.readString(p))
-    else Control.Plane(Map.empty)
-  }
+  private def loadPlane(lake: String): Control.Plane = PlaneStore.load(lake)
 
   private def savePlane(lake: String, plane: Control.Plane): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(planePath(lake)), PlaneJson.toJson(plane))
+    PlaneStore.save(lake, plane)
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -245,15 +237,7 @@ object Cli {
       known(plane, rid)
       val ids = treeIds(plane, rid).toSet
       val now = nowUtc()
-      for (table <- Seq("release", "compiled_release", "collection_note",
-          "package_data", "release_check"); id <- ids) {
-        val dir = java.nio.file.Paths.get(s"$lake/$table/collection_id=$id")
-        if (java.nio.file.Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.delete)
-        }
-      }
+      Wipe.dropTreePartitions(lake, ids)
       savePlane(lake, ids.foldLeft(plane)((p, id) => Control.cancel(p, id, now)))
       println(s"deleted collections ${ids.toSeq.sorted.mkString(", ")}")
 
@@ -321,6 +305,15 @@ object Cli {
             }
       }
 
+    case "api" :: lake :: rest =>
+      // the reference's REST surface (`process/urls.py`) — serve the lake's
+      // control plane over HTTP until interrupted
+      val port = flagValue(rest, "--port").flatMap(_.toIntOption).getOrElse(8000)
+      val api = new graft.api.Api(session(), lake, port)
+      api.start()
+      println(s"serving http://127.0.0.1:${api.boundPort}/api/collections/ (ctrl-c to stop)")
+      Thread.currentThread.join()
+
     case other =>
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
@@ -334,7 +327,8 @@ object Cli {
            |  deletecollection <lake> <rootId>
            |  deleteorphan <lake>
            |  metadata <lake> <compiledId>
-           |  notes <lake> <rootId> [LEVEL...]""".stripMargin)
+           |  notes <lake> <rootId> [LEVEL...]
+           |  api <lake> [--port N]""".stripMargin)
       sys.exit(2)
   }
 }

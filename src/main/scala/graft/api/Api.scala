@@ -1,0 +1,356 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.control.{Control, Notes, PlaneStore, Wipe}
+import graft.ingest.Sink
+import graft.ocds.{Canonical, Metadata}
+
+/** The reference's REST surface (`process/urls.py:7-15`,
+  * `process/views.py:67-330` `CollectionViewSet`) over this engine's
+  * persisted control plane and lake — the same document the CLI composes
+  * through, so API requests and CLI invocations interleave safely within
+  * one writer process (plane mutations are serialized on an internal lock;
+  * multi-process concurrent writers would put the plane behind a
+  * CAS-capable store, PlaneJson's documented contract).
+  *
+  * Routes (DRF `SimpleRouter` layout):
+  *   POST   /api/collections/                create root [+upgraded] [+compiled]
+  *   POST   /api/collections/{id}/close/     latch store_end_at + expected files
+  *   DELETE /api/collections/{id}/           wipe the tree (inline; the
+  *                                           reference publishes to its wiper
+  *                                           queue — same 202 contract)
+  *   GET    /api/collections/{id}/metadata/  compiled collection's metadata
+  *   GET    /api/collections/{id}/notes/     notes grouped by level (?level=…)
+  *   GET    /api/collections/{id}/tree/      the collection DAG, depth-ordered
+  *
+  * Implementation is the JDK's built-in `com.sun.net.httpserver` — zero new
+  * dependencies; the handlers are thin adapters over Control/Notes/
+  * Metadata/Wipe, exactly as the reference's views are thin adapters over
+  * its processors. Error shapes follow DRF: 404 `{"detail": "Not found."}`,
+  * 400 field errors `{"field": ["This field is required."]}`, 400 guard
+  * failures as a bare JSON string.
+  */
+final class Api(spark: SparkSession, lake: String, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val lock = new Object
+
+  server.createContext("/api/collections", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(null) // current-thread dispatch; Spark does the real work
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  def boundPort: Int = server.getAddress.getPort
+
+  // --- dispatch -----------------------------------------------------------
+
+  private val Detail = "^/api/collections/([0-9]+)/$".r
+  private val Action = "^/api/collections/([0-9]+)/([a-z]+)/$".r
+
+  private def handle(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath match {
+      case p if p.endsWith("/") => p
+      case p => p + "/" // DRF redirects the slashless form; serve it directly
+    }
+    val method = ex.getRequestMethod
+    try {
+      (method, path) match {
+        case ("POST", "/api/collections/") => create(ex)
+        case ("POST", Action(id, "close")) => close(ex, id.toLong)
+        case ("DELETE", Detail(id)) => destroy(ex, id.toLong)
+        case ("GET", Action(id, "metadata")) => metadata(ex, id.toLong)
+        case ("GET", Action(id, "notes")) => notes(ex, id.toLong)
+        case ("GET", Action(id, "tree")) => tree(ex, id.toLong)
+        case _ => notFound(ex)
+      }
+    } catch {
+      case e: Exception => // a handler bug must not wedge the socket
+        respond(ex, 500, obj(o => o.put("detail", String.valueOf(e.getMessage))))
+    }
+  }
+
+  // --- handlers -----------------------------------------------------------
+
+  /** `create` (`views.py:67-112` + `processors/loader.py:41-105`): the root
+    * collection and its planned derived collections, with the note saved on
+    * each. Ids are allocated sequentially past the current maximum, like
+    * the reference's serial PKs. */
+  private def create(ex: HttpExchange): Unit = lock.synchronized {
+    val body = readJson(ex)
+    val missing = Seq("source_id", "data_version")
+      .filter(k => !body.hasNonNull(k) || body.get(k).asText.isEmpty)
+    if (missing.nonEmpty) {
+      respond(ex, 400, obj { o =>
+        missing.foreach { k =>
+          val a = o.putArray(k); a.add("This field is required."); ()
+        }
+      })
+      return
+    }
+    val sourceId = body.get("source_id").asText
+    val dataVersion = body.get("data_version").asText
+    val sample = bool(body, "sample")
+    val upgrade = bool(body, "upgrade")
+    val compile = bool(body, "compile")
+    val check = bool(body, "check")
+    val note = Option(body.get("note")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
+
+    var plane = PlaneStore.load(lake)
+    val rootId = plane.collections.keys.maxOption.map(_ + 1).getOrElse(1L)
+    // steps exactly as loader.py:79-85: check + (upgrade | compile)
+    val rootSteps = (if (check) Set("check") else Set.empty[String]) ++
+      (if (upgrade) Set("upgrade") else if (compile) Set("compile") else Set.empty[String])
+    var created = List(Control.Collection(
+      rootId, sourceId, dataVersion, steps = rootSteps, sample = sample))
+    if (upgrade) created :+= Control.Collection(
+      rootId + 1, sourceId, dataVersion, parent = Some(rootId),
+      transformType = Some(Control.Transform.Upgrade1011),
+      steps = if (compile) Set("compile") else Set.empty, sample = sample)
+    if (compile) created :+= Control.Collection(
+      rootId + created.size, sourceId, dataVersion,
+      parent = Some(created.last.id),
+      transformType = Some(Control.Transform.CompileReleases), sample = sample)
+
+    for (c <- created) {
+      val errs = Control.validateNew(plane, c)
+      if (errs.nonEmpty) {
+        respond(ex, 400, obj { o =>
+          val a = o.putArray("non_field_errors"); errs.foreach(a.add); ()
+        })
+        return
+      }
+      plane = plane.copy(collections = plane.collections.updated(c.id, c))
+    }
+    PlaneStore.save(lake, plane)
+    note.foreach { text => // loader.py saves the note on every created collection
+      import spark.implicits._
+      Sink.writeByCollection(
+        created.map(c => (c.id, Notes.Info, text, "{}"))
+          .toDF("collection_id", "code", "note", "data"),
+        s"$lake/collection_note")
+    }
+    respond(ex, 200, obj { o =>
+      o.put("collection_id", rootId)
+      created.find(_.transformType.contains(Control.Transform.Upgrade1011))
+        .foreach(c => o.put("upgraded_collection_id", c.id))
+      created.find(_.transformType.contains(Control.Transform.CompileReleases))
+        .foreach(c => o.put("compiled_collection_id", c.id))
+    })
+  }
+
+  /** `close` (`views.py:111-147`): latch store_end_at + expected files on
+    * the root and its upgraded child; persist reason/stats as INFO notes. */
+  private def close(ex: HttpExchange, id: Long): Unit = lock.synchronized {
+    var plane = PlaneStore.load(lake)
+    val c = plane.collections.getOrElse(id, { notFound(ex); return })
+    val body = readJson(ex)
+    val stats = Option(body.get("stats")).filter(_.isObject)
+    val expected = stats.flatMap(s =>
+      Option(s.get("kingfisher_process_expected_files_count")).filter(_.isNumber)
+        .map(_.asInt)).getOrElse(0)
+    val now = nowUtc()
+    plane = Control.closeCollection(plane, id, now, expected)
+    plane.collections.values
+      .find(k => k.parent.contains(id) &&
+        k.transformType.contains(Control.Transform.Upgrade1011))
+      .foreach(u => plane = Control.closeCollection(plane, u.id, now, expected))
+    PlaneStore.save(lake, plane)
+
+    val noteRows =
+      Option(body.get("reason")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
+        .map(r => (c.id, Notes.Info, s"Spider close reason: $r", "{}")).toSeq ++
+        stats.map(s => (c.id, Notes.Info, "Spider stats", Canonical.canonicalize(s)))
+    if (noteRows.nonEmpty) {
+      import spark.implicits._
+      Sink.writeByCollection(
+        noteRows.toDF("collection_id", "code", "note", "data"),
+        s"$lake/collection_note")
+    }
+    respond(ex, 202, null)
+  }
+
+  /** `destroy` (`views.py:150-156` → `wiper.py`): wipe the tree rooted at
+    * id — partition drops on the collection_id-partitioned lake plus
+    * logical deletes on the plane. The reference acks 202 and wipes
+    * asynchronously; this engine's wipe IS the fast path (no row scan), so
+    * it runs inline under the same 202 contract. */
+  private def destroy(ex: HttpExchange, id: Long): Unit = lock.synchronized {
+    var plane = PlaneStore.load(lake)
+    if (!plane.collections.contains(id)) { notFound(ex); return }
+    val ids = treeIds(plane, id).toSet
+    Wipe.dropTreePartitions(lake, ids)
+    val now = nowUtc()
+    ids.foreach(i => plane = Control.cancel(plane, i, now))
+    PlaneStore.save(lake, plane)
+    respond(ex, 202, null)
+  }
+
+  /** `metadata` (`views.py:158-234`): one-row summary of the compiled
+    * collection — ocid prefix + publication range from compiled facts,
+    * license/policy from a sample package of the root collection. */
+  private def metadata(ex: HttpExchange, id: Long): Unit = {
+    val plane = PlaneStore.load(lake)
+    val c = plane.collections.getOrElse(id, { notFound(ex); return })
+    if (!c.transformType.contains(Control.Transform.CompileReleases)) {
+      respond(ex, 400, Canonical.mapper.getNodeFactory
+        .textNode("The collection must be a compiled collection"))
+      return
+    }
+    val root = plane.rootParent(c)
+    val compiled = readOrEmpty(s"$lake/compiled_release")
+      .map(_.filter(col("collection_id") === c.id)
+        .select(col("ocid"), col("max_date").as("release_date")))
+    val pkgs = readOrEmpty(s"$lake/package_data")
+      .map(_.filter(col("collection_id") === root.id))
+    val out = obj { o =>
+      (compiled, pkgs) match {
+        case (Some(cr), Some(pk)) =>
+          val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+          // collect(): metadata() returns exactly one row at any table size
+          Metadata.metadata(cr, pk, today).collect().foreach { r =>
+            r.schema.fieldNames.foreach { f =>
+              Option(r.getAs[Any](f)) match {
+                case Some(v) => o.put(f, v.toString)
+                case None => o.putNull(f)
+              }
+            }
+          }
+        case _ => () // wiped/empty lake: {} like dictfetchone's empty merge
+      }
+    }
+    respond(ex, 200, out)
+  }
+
+  /** `notes` (`views.py:236-281`): the root collection's notes and its
+    * derived collections', grouped per level as [note, data] pairs,
+    * filtered by repeated ?level= params. */
+  private def notes(ex: HttpExchange, id: Long): Unit = {
+    val plane = PlaneStore.load(lake)
+    val c = plane.collections.getOrElse(id, { notFound(ex); return })
+    if (c.transformType.nonEmpty) {
+      respond(ex, 400, Canonical.mapper.getNodeFactory
+        .textNode("The collection must be a root collection"))
+      return
+    }
+    val all = Seq(Notes.Info, Notes.Warning, Notes.Error)
+    val asked = queryParams(ex, "level")
+    val levels = if (asked.isEmpty) all else all.filter(asked.contains)
+    val out = obj { o =>
+      val arrays = levels.map(l => l -> o.putArray(l)).toMap
+      readOrEmpty(s"$lake/collection_note").foreach { df =>
+        // collect(): forTree bounds to ≤ maxPerCode rows per level (≤3 levels)
+        Notes.forTree(df, treeIds(plane, id), levels).collect().foreach { r =>
+          val arr = arrays(r.getAs[String]("code"))
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("notes")).foreach { n =>
+            val pair = arr.addArray()
+            pair.add(n.getString(0))
+            pair.add(Canonical.parse(n.getString(1)))
+          }
+        }
+      }
+    }
+    respond(ex, 200, out)
+  }
+
+  /** `tree` (`views.py:283-330`): the original collection and its derived
+    * collections, depth-ordered. Like the reference's `tree.root = pk`
+    * filter, only a ROOT collection id resolves; anything else is 404. */
+  private def tree(ex: HttpExchange, id: Long): Unit = {
+    val plane = PlaneStore.load(lake)
+    val isRoot = plane.collections.get(id).exists(_.parent.isEmpty)
+    if (!isRoot) { notFound(ex); return }
+    val rows = Canonical.mapper.createArrayNode()
+    treeIds(plane, id).foreach { cid =>
+      val c = plane.collection(cid)
+      val o = rows.addObject()
+      o.put("id", c.id)
+      o.put("source_id", c.sourceId)
+      o.put("data_version", c.dataVersion)
+      c.parent match {
+        case Some(p) => o.put("transform_from_collection_id", p)
+        case None => o.putNull("transform_from_collection_id")
+      }
+      c.transformType match {
+        case Some(t) => o.put("transform_type", t)
+        case None => o.putNull("transform_type")
+      }
+      val steps = o.putArray("steps")
+      c.steps.toSeq.sorted.foreach(steps.add)
+      o.put("sample", c.sample)
+      putOptText(o, "data_type_format", c.dataTypeFormat)
+      putOptText(o, "store_end_at", c.storeEndAt)
+      putOptText(o, "completed_at", c.completedAt)
+      c.expectedFilesCount match {
+        case Some(n) => o.put("expected_files_count", n)
+        case None => o.putNull("expected_files_count")
+      }
+      putOptText(o, "deleted_at", c.deletedAt)
+    }
+    respond(ex, 200, rows)
+  }
+
+  // --- plumbing -----------------------------------------------------------
+
+  /** Depth-first ids of `root` and every collection derived from it. */
+  private def treeIds(plane: Control.Plane, root: Long): Seq[Long] = {
+    val children = plane.collections.values
+      .filter(_.parent.contains(root)).map(_.id).toSeq.sorted
+    root +: children.flatMap(treeIds(plane, _))
+  }
+
+  private def readOrEmpty(path: String) =
+    if (!new java.io.File(path).exists()) None
+    else scala.util.Try(spark.read.parquet(path)).toOption
+
+  private def nowUtc(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+
+  private def bool(n: JsonNode, k: String): Boolean =
+    Option(n.get(k)).exists(v => v.isBoolean && v.asBoolean)
+
+  private def putOptText(o: ObjectNode, k: String, v: Option[String]): Unit =
+    v match { case Some(s) => o.put(k, s); () case None => o.putNull(k); () }
+
+  private def obj(fill: ObjectNode => Unit): ObjectNode = {
+    val o = Canonical.mapper.createObjectNode(); fill(o); o
+  }
+
+  private def readJson(ex: HttpExchange): JsonNode = {
+    val bytes = ex.getRequestBody.readAllBytes()
+    if (bytes.isEmpty) Canonical.mapper.createObjectNode()
+    else Canonical.parse(new String(bytes, StandardCharsets.UTF_8))
+  }
+
+  private def queryParams(ex: HttpExchange, name: String): Set[String] =
+    Option(ex.getRequestURI.getRawQuery).toSeq
+      .flatMap(_.split('&').toSeq)
+      .map(_.split("=", 2))
+      .collect { case Array(k, v) if k == name =>
+        java.net.URLDecoder.decode(v, StandardCharsets.UTF_8) }
+      .toSet
+
+  private def notFound(ex: HttpExchange): Unit =
+    respond(ex, 404, obj(o => o.put("detail", "Not found.")))
+
+  private def respond(ex: HttpExchange, status: Int, body: JsonNode): Unit = {
+    val bytes =
+      if (body == null) Array.empty[Byte]
+      else Canonical.mapper.writeValueAsBytes(body)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    // -1 signals "no body" to HttpServer (0 would mean chunked-unknown)
+    ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length.toLong)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}

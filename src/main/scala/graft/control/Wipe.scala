@@ -32,6 +32,26 @@ object Wipe {
       broadcast(doomed), facts("collection_id") === col("__doomed_cid"), "left_anti")
   }
 
+  /** Lake fact tables carrying a collection_id partition column — the set a
+    * tree wipe must drop directories from. */
+  val FactTables: Seq[String] = Seq(
+    "release", "compiled_release", "collection_note", "package_data", "release_check")
+
+  /** S9 physical form: the lake is collection_id-partitioned, so wiping a
+    * tree is a partition-directory drop per fact table — no data rewrite,
+    * no row scan (`wiper.py` deletes rows; the partitioned layout makes the
+    * same semantics O(directories)). Shared by the CLI's deletecollection
+    * and the API's destroy endpoint. */
+  def dropTreePartitions(lake: String, ids: Set[Long]): Unit = {
+    import scala.jdk.CollectionConverters._
+    for (table <- FactTables; id <- ids) {
+      val dir = java.nio.file.Paths.get(s"$lake/$table/collection_id=$id")
+      if (java.nio.file.Files.exists(dir))
+        java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+    }
+  }
+
   /** S10/J4: content rows referenced by NONE of the fact projections — the
     * orphan set deleted by the GC. Each `refs` entry is a single-column
     * DataFrame of referenced ids; the chained `left_anti` is the Spark form

@@ -1,0 +1,159 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+import graft.control.PlaneStore
+import graft.ingest.Sink
+import graft.ocds.Canonical
+
+/** The REST surface end-to-end over real sockets: create → tree → close →
+  * notes → metadata → destroy, plus the DRF-shaped error responses
+  * (404 detail, 400 field errors, 400 guard strings). Each request goes
+  * through java.net.http against the JDK HttpServer, and its effects are
+  * asserted on the SAME persisted plane/lake the CLI uses. */
+class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val s = SparkSuite.spark
+  private lazy val lake = Files.createTempDirectory("graft-api-lake").toString
+  private lazy val api = { val a = new Api(s, lake); a.start(); a }
+  private lazy val base = s"http://127.0.0.1:${api.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = api.stop()
+
+  private def send(method: String, path: String, body: String = ""): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(base + path))
+    val req = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case _ => b.method(method, HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json")
+    }
+    client.send(req.build(), HttpResponse.BodyHandlers.ofString())
+  }
+
+  test("create: root + upgraded + compiled, note saved on each") {
+    val r = send("POST", "/api/collections/",
+      """{"source_id": "demo", "data_version": "2020-01-01 00:00:00",
+        | "sample": true, "upgrade": true, "compile": true, "check": true,
+        | "note": "created via api"}""".stripMargin)
+    assert(r.statusCode() == 200)
+    val j = Canonical.parse(r.body())
+    assert(j.get("collection_id").asLong == 1L)
+    assert(j.get("upgraded_collection_id").asLong == 2L)
+    assert(j.get("compiled_collection_id").asLong == 3L)
+
+    val plane = PlaneStore.load(lake)
+    assert(plane.collections.keySet == Set(1L, 2L, 3L))
+    assert(plane.collection(1L).steps == Set("check", "upgrade"))
+    assert(plane.collection(2L).steps == Set("compile"))
+    assert(plane.collection(1L).sample)
+
+    val notes = s.read.parquet(s"$lake/collection_note")
+    assert(notes.count() == 3) // loader.py saves the note per created collection
+  }
+
+  test("create: missing required fields is a DRF-shaped 400") {
+    val r = send("POST", "/api/collections/", """{"source_id": "demo"}""")
+    assert(r.statusCode() == 400)
+    assert(Canonical.parse(r.body()).get("data_version").get(0).asText
+      == "This field is required.")
+  }
+
+  test("tree: depth-ordered rows for a root; 404 for a child or unknown id") {
+    val r = send("GET", "/api/collections/1/tree/")
+    assert(r.statusCode() == 200)
+    val rows = Canonical.parse(r.body())
+    assert(rows.size() == 3)
+    assert(rows.get(0).get("transform_from_collection_id").isNull)
+    assert(rows.get(1).get("transform_type").asText == "upgrade-1-0-to-1-1")
+    assert(rows.get(2).get("transform_type").asText == "compile-releases")
+    // only tree.root = pk resolves, like the reference's CTE filter
+    assert(send("GET", "/api/collections/2/tree/").statusCode() == 404)
+    assert(send("GET", "/api/collections/99/tree/").statusCode() == 404)
+  }
+
+  test("close: latches root + upgraded child, persists reason/stats notes") {
+    val r = send("POST", "/api/collections/1/close/",
+      """{"reason": "finished",
+        | "stats": {"kingfisher_process_expected_files_count": 7, "items": 12}}""".stripMargin)
+    assert(r.statusCode() == 202)
+    val plane = PlaneStore.load(lake)
+    assert(plane.collection(1L).storeEndAt.nonEmpty)
+    assert(plane.collection(1L).expectedFilesCount.contains(7))
+    assert(plane.collection(2L).storeEndAt.nonEmpty) // the upgraded child latches too
+    assert(plane.collection(3L).storeEndAt.isEmpty) // the compiled child does not
+
+    assert(send("POST", "/api/collections/99/close/", "{}").statusCode() == 404)
+  }
+
+  test("notes: grouped [note, data] pairs per level, ?level= filtered; 400 off-root") {
+    val r = send("GET", "/api/collections/1/notes/")
+    assert(r.statusCode() == 200)
+    val j = Canonical.parse(r.body())
+    val info = j.get("INFO")
+    // 3 created-notes + close reason + spider stats
+    assert(info.size() == 5)
+    val stats = (0 until info.size()).map(info.get)
+      .find(_.get(0).asText == "Spider stats").get
+    assert(stats.get(1).get("items").asInt == 12) // data round-trips as JSON
+    assert(j.get("WARNING").size() == 0)
+
+    val filtered = Canonical.parse(
+      send("GET", "/api/collections/1/notes/?level=WARNING&level=ERROR").body())
+    assert(!filtered.has("INFO") && filtered.has("WARNING") && filtered.has("ERROR"))
+
+    val off = send("GET", "/api/collections/2/notes/")
+    assert(off.statusCode() == 400)
+    assert(off.body().contains("must be a root collection"))
+  }
+
+  test("metadata: 400 off-compiled; computed row for the compiled collection") {
+    val off = send("GET", "/api/collections/1/metadata/")
+    assert(off.statusCode() == 400)
+    assert(off.body().contains("must be a compiled collection"))
+
+    import s.implicits._
+    Sink.writeByCollection(
+      Seq((3L, "ocds-x1-000001", "2020-03-04"), (3L, "ocds-x1-000002", "2020-05-06"))
+        .toDF("collection_id", "ocid", "max_date"),
+      s"$lake/compiled_release")
+    Sink.writeByCollection(
+      Seq((1L, "a.json", """{"license": "https://l", "publicationPolicy": "https://p"}"""))
+        .toDF("collection_id", "filename", "package_data"),
+      s"$lake/package_data")
+
+    val j = Canonical.parse(send("GET", "/api/collections/3/metadata/").body())
+    assert(j.get("ocid_prefix").asText == "ocds-x1-000")
+    assert(j.get("published_from").asText == "2020-03-04")
+    assert(j.get("published_to").asText == "2020-05-06")
+    assert(j.get("license").asText == "https://l")
+    assert(j.get("publication_policy").asText == "https://p")
+  }
+
+  test("destroy: 202, drops the tree's lake partitions, logically deletes") {
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$lake/compiled_release/collection_id=3")))
+    val r = send("DELETE", "/api/collections/1/")
+    assert(r.statusCode() == 202)
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$lake/compiled_release/collection_id=3")))
+    assert(!Files.exists(java.nio.file.Paths.get(
+      s"$lake/collection_note/collection_id=1")))
+    val plane = PlaneStore.load(lake)
+    assert(Seq(1L, 2L, 3L).forall(plane.collection(_).deletedAt.nonEmpty))
+
+    assert(send("DELETE", "/api/collections/99/").statusCode() == 404)
+  }
+
+  test("unroutable paths and methods are 404") {
+    assert(send("GET", "/api/collections/1/bogus/").statusCode() == 404)
+    assert(send("PUT", "/api/collections/1/", "{}").statusCode() == 404)
+  }
+}
