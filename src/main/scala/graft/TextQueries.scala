@@ -319,7 +319,7 @@ object TextQueries {
                      md5(text) AS content_hash,
                      CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS magic_byte
               FROM documents ORDER BY doc_id"""),
-      "Opaque-blob metadata probe: byte length + content hash + magic byte — the schema/plumbing side of multimodal columns (decode itself is stubbed in graft.multimodal)"),
+      "Opaque-blob metadata probe: byte length + content hash + magic byte — the schema/plumbing side of multimodal columns (graft.multimodal decodes image/audio for real via JDK codecs; video is stubbed)"),
 
     QueryDef(
       "q_multimodal_features", Seq("S2", "F5"),

@@ -15,20 +15,26 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * The IMAGE leg decodes for real: the JDK ships `javax.imageio` readers
   * for PNG/GIF/BMP/JPEG, so a payload whose magic bytes announce one of
   * those formats gets true width/height from the decoded image
-  * (MultimodalSpec round-trips generated PNG/BMP fixtures). AUDIO/VIDEO
-  * remain a deterministic stub — the JDK has no audio/video codecs and
-  * this container has no external ones — deriving fake properties from
-  * the bytes (first/last byte → dimensions, 256-byte blocks → frames).
-  * Swapping in real codecs changes only the body of `decode`; the schema,
-  * partitioning, batch shape and query wiring don't move.
+  * (MultimodalSpec round-trips generated PNG/BMP fixtures). The AUDIO leg
+  * also decodes for real: `javax.sound.sampled` parses WAV/AIFF/AU
+  * containers to PCM with zero external dependencies, so an audio payload
+  * reports its true sample-frame count and channel count, and its "frames"
+  * are blocks of the DECODED PCM stream, not the container bytes
+  * (MultimodalSpec round-trips a generated WAV). Only VIDEO remains a
+  * deterministic stub — the JDK genuinely has no video codecs and this
+  * container has no external ones — deriving fake properties from the
+  * bytes (first/last byte → dimensions, 256-byte blocks → frames).
+  * Swapping in a real video codec changes only the body of `decode`; the
+  * schema, partitioning, batch shape and query wiring don't move.
   */
 object Multimodal {
 
   val FrameBytes = 256
   val ThumbMax = 32L
 
-  /** Decoded media: kind/dimensions (real for images) + byte-block
-    * "frames". */
+  /** Decoded media: kind/dimensions + byte-block "frames". Dimensions are
+    * kind-dependent: image → pixel width/height; audio → sample-frame
+    * count/channel count (the natural "extent × depth" of a PCM stream). */
   final case class Decoded(kind: String, width: Long, height: Long, frames: Seq[Array[Byte]])
 
   /** One document's extracted features (the query/output row). */
@@ -41,7 +47,7 @@ object Multimodal {
     * either way. */
   def decode(bytes: Array[Byte]): Decoded = {
     require(bytes.nonEmpty, "empty payload")
-    decodeImage(bytes).getOrElse(fakeDecode(bytes))
+    decodeImage(bytes).orElse(decodeAudio(bytes)).getOrElse(fakeDecode(bytes))
   }
 
   /** Magic-byte sniff: PNG / GIF / BMP / JPEG — the formats the JDK's
@@ -68,7 +74,43 @@ object Multimodal {
       // stub, never kill the task
       catch { case scala.util.control.NonFatal(_) => None }
 
-  /** AUDIO/VIDEO STUB (and non-media fallback) — deterministic fake
+  /** Magic-byte sniff: WAV (RIFF/WAVE) / AIFF (FORM/AIFF) / AU (.snd) —
+    * the containers the JDK's `javax.sound.sampled` parses natively. */
+  def looksLikeAudio(b: Array[Byte]): Boolean =
+    (b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b.length > 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F') ||
+      (b.length > 4 && b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
+
+  /** The REAL audio leg: parse the container to PCM via the JDK's
+    * AudioSystem. width = sample-frame count, height = channels, and the
+    * "frames" walk the DECODED PCM bytes — so a downstream feature (e.g.
+    * frame0 hash) keys on signal content, not container headers. None on
+    * non-audio magic or a corrupt payload → stub fallback, keeping decode
+    * total (same contract as the image leg). */
+  def decodeAudio(bytes: Array[Byte]): Option[Decoded] =
+    if (!looksLikeAudio(bytes)) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val pcm = ais.readAllBytes()
+          // frame length is AudioSystem.NOT_SPECIFIED (-1) for some
+          // streamed containers — recover it from the PCM byte count
+          val frameSize = ais.getFormat.getFrameSize
+          val nFrames =
+            if (ais.getFrameLength >= 0) ais.getFrameLength
+            else if (frameSize > 0) pcm.length.toLong / frameSize
+            else pcm.length.toLong
+          if (pcm.isEmpty) None
+          else Some(Decoded("audio", nFrames,
+            ais.getFormat.getChannels.toLong, frameSample(pcm, 1)))
+        } finally ais.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** VIDEO STUB (and non-media fallback) — deterministic fake
     * properties from the bytes. */
   def fakeDecode(bytes: Array[Byte]): Decoded = {
     val b0 = bytes.head & 0xff

@@ -84,4 +84,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert((row.thumb_w, row.thumb_h) === (32L, 40L * 32 / 48))
     assert(row.frame0_hash === Multimodal.md5hex(png.take(256)))
   }
+
+  // ---- the REAL audio leg (JDK javax.sound.sampled) ------------------
+
+  /** A real 16-bit mono PCM WAV authored through the JDK's own writer. */
+  private def wavBytes(nFrames: Int, channels: Int = 1): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+    val pcm = Array.tabulate[Byte](nFrames * fmt.getFrameSize)(i => ((i * 13 + 5) % 251).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decode reads a real WAV: true frame/channel counts, PCM frames") {
+    val wav = wavBytes(1000)
+    val d = Multimodal.decode(wav)
+    assert(d.kind === "audio")
+    assert((d.width, d.height) === (1000L, 1L)) // 1000 sample frames, mono
+    // frames walk the DECODED PCM (2000 bytes → 8 blocks), not the
+    // container (2044 bytes with the RIFF header)
+    assert(d.frames.size === 8)
+    assert(d.frames.head.length === 256)
+    val stereo = Multimodal.decode(wavBytes(250, channels = 2))
+    assert((stereo.width, stereo.height) === (250L, 2L))
+  }
+
+  test("corrupt audio magic falls back to the deterministic stub") {
+    def sig(d: Multimodal.Decoded) = (d.kind, d.width, d.height, d.frames.map(_.toSeq))
+    val fake = "RIFFxxxxWAVE but not really a wave file".getBytes("UTF-8")
+    assert(sig(Multimodal.decode(fake)) === sig(Multimodal.fakeDecode(fake)))
+  }
+
+  test("features() extracts true audio properties for real WAV payloads") {
+    val s = graft.SparkSuite.spark
+    import s.implicits._
+    val wav = wavBytes(300)
+    val docs = Seq((1L, wav)).toDF("doc_id", "content")
+    val row = Multimodal.features(docs, s).collect()(0)
+    assert((row.kind, row.width, row.height) === ("audio", 300L, 1L))
+    assert(row.n_frames === 3L) // 600 PCM bytes → 3 blocks
+  }
 }
