@@ -183,10 +183,13 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
     * id — partition drops on the collection_id-partitioned lake plus
     * logical deletes on the plane. The reference acks 202 and wipes
     * asynchronously; this engine's wipe IS the fast path (no row scan), so
-    * it runs inline under the same 202 contract. */
+    * it runs inline under the same 202 contract. An unknown id is STILL
+    * 202 — the reference enqueues without an existence check
+    * (`tests/test_views.py` `test_destroy_nonexistent`) and its wiper
+    * ack-and-skips; the no-op below is that behavior collapsed inline. */
   private def destroy(ex: HttpExchange, id: Long): Unit = lock.synchronized {
     var plane = PlaneStore.load(lake)
-    if (!plane.collections.contains(id)) { notFound(ex); return }
+    if (!plane.collections.contains(id)) { respond(ex, 202, null); return }
     val ids = treeIds(plane, id).toSet
     Wipe.dropTreePartitions(lake, ids)
     val now = nowUtc()

@@ -149,7 +149,9 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plane = PlaneStore.load(lake)
     assert(Seq(1L, 2L, 3L).forall(plane.collection(_).deletedAt.nonEmpty))
 
-    assert(send("DELETE", "/api/collections/99/").statusCode() == 404)
+    // the reference enqueues the wipe without an existence check: 202
+    // (tests/test_views.py test_destroy_nonexistent)
+    assert(send("DELETE", "/api/collections/99/").statusCode() == 202)
   }
 
   test("unroutable paths and methods are 404") {
