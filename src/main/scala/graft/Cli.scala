@@ -15,9 +15,13 @@ import graft.ocds.Metadata
   * reference's commands compose over its control tables.
   *
   * Commands (reference command in parentheses):
-  *   load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample]
-  *                                              (load; file_worker+compiler+finisher inline)
-  *   addfiles <lake> <id> <path...>             (addfiles; registration only — async contract)
+  *   load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample] [--keep-open]
+  *                                              (load; file_worker+compiler+finisher inline,
+  *                                               or load-only with --keep-open)
+  *   addfiles <lake> <rootId> <path...>         (addfiles; the enqueued file_worker
+  *                                               job runs inline against the open root)
+  *   compile <lake> <rootId>                    (the compiler/checker/finisher chain,
+  *                                               once closecollection released the gate)
   *   collectionstatus <lake> <rootId>           (collectionstatus)
   *   addchecks <lake> <collectionId>            (addchecks + checker)
   *   closecollection <lake> <id> <nFiles>       (closecollection)
@@ -112,9 +116,19 @@ object Cli {
         System.err.println(s"collection $clash already exists; pick another --id")
         sys.exit(2)
       }
+      val keepOpen = rest.contains("--keep-open")
       val spark = session()
-      val report = Pipeline.loadAndCompile(
-        spark, input, lake, collectionId = id, now = nowUtc(), upgrade = upgrade)
+      val now = nowUtc()
+      val stage = Pipeline.load(
+        spark, input, lake, collectionId = id, now = now,
+        upgrade = upgrade, keepOpen = keepOpen)
+      // --keep-open (load.py:156-161): skip the close latch AND the
+      // compile/check/finalize chain it gates — addfiles batches arrive
+      // next, then closecollection + compile finish the lifecycle
+      val compileStage =
+        if (keepOpen) None
+        else Some(Pipeline.compileAndFinish(spark, lake, stage.plane, id, now))
+      val report = compileStage.map(_.plane).getOrElse(stage.plane)
       // --note: persisted like every other note — an INFO collection_note
       // row on the root collection (load.py's required -n/--note)
       note.foreach { text =>
@@ -126,25 +140,31 @@ object Cli {
       }
       // --sample: recorded on the root collection (load.py --sample)
       val loaded =
-        if (!sample) report.plane
-        else report.plane.copy(collections = report.plane.collections
+        if (!sample) report
+        else report.copy(collections = report.collections
           .updatedWith(id)(_.map(_.copy(sample = true))))
       // merge into any pre-existing plane document (other collections)
       savePlane(lake, plane0.copy(
         collections = plane0.collections ++ loaded.collections,
         files = plane0.files ++ loaded.files,
         steps = plane0.steps ++ loaded.steps))
-      println(s"collection=${report.collectionId}" +
-        report.upgradedCollectionId.map(u => s" upgraded=$u").getOrElse("") +
-        s" compiled=${report.compiledCollectionId} files=${report.files}" +
-        s" items=${report.items} compiled_releases=${report.compiled}" +
-        s" check_failures=${report.checkFailures} notes=${report.notes}")
+      println(s"collection=${stage.collectionId}" +
+        stage.upgradedCollectionId.map(u => s" upgraded=$u").getOrElse("") +
+        s" compiled=${stage.compiledCollectionId} files=${stage.files}" +
+        s" items=${stage.items}" +
+        compileStage.map(c =>
+          s" compiled_releases=${c.compiled} check_failures=${c.checkFailures}" +
+            s" notes=${stage.notes + c.notes}")
+          .getOrElse(s" notes=${stage.notes} (open)"))
 
     case "addfiles" :: lake :: id :: paths if paths.nonEmpty =>
-      // the reference's addfiles (docs/cli.rst:37, addfiles.py): register
-      // more files against an OPEN ROOT collection; the work is recorded
-      // (collection_file rows + LOAD steps), not performed — the async
-      // contract. A later closecollection releases the compile gate.
+      // the reference's addfiles (docs/cli.rst:37, addfiles.py): add more
+      // files to an OPEN ROOT collection. The reference registers the
+      // files and enqueues their loads for its workers; in a worker-less
+      // engine the command performs the file_worker's job inline
+      // (Pipeline.loadFilesInto) — register + stream-load + upgrade leg +
+      // LOAD-step completion — the same disposition as `load` itself. A
+      // later closecollection releases the compile gate.
       val plane = loadPlane(lake)
       val cid = idArg(id)
       val c = known(plane, cid)
@@ -158,14 +178,37 @@ object Cli {
           s"Collection $cid is not a root collection. Its parent is collection ${c.parent.get}.")
         sys.exit(2)
       }
-      val found = graft.ingest.Ingest.walk(session(), paths)
+      val spark = session()
+      val found = graft.ingest.Ingest.walk(spark, paths)
       if (found.isEmpty) { System.err.println("No files to load"); sys.exit(2) }
-      val updated = found.foldLeft(plane) { (p, path) =>
-        System.err.println(s"Adding $path")
-        Control.registerFile(p, cid, path)
-      }
+      found.foreach(p => System.err.println(s"Adding $p"))
+      val upgradedId = plane.collections.values
+        .find(k => k.parent.contains(cid) &&
+          k.transformType.contains(Control.Transform.Upgrade1011))
+        .map(_.id)
+      val (updated, nItems, _) =
+        Pipeline.loadFilesInto(spark, found, lake, plane, cid, upgradedId)
       savePlane(lake, updated)
-      println(s"registered ${updated.files.size - plane.files.size} files")
+      println(s"loaded ${found.size} files ($nItems items)")
+
+    case "compile" :: lake :: rootId :: Nil =>
+      // the compiler → checker → finisher worker chain, run inline once the
+      // close latch has released the gate (the keep-open/addfiles flow's
+      // final step; `compiler.py`/`finisher.py` semantics via
+      // Pipeline.compileAndFinish)
+      val plane = loadPlane(lake)
+      val rid = idArg(rootId)
+      val c = known(plane, rid)
+      if (c.parent.nonEmpty) {
+        System.err.println(
+          s"Collection $rid is not a root collection. Its parent is collection ${c.parent.get}.")
+        sys.exit(2)
+      }
+      val stage = Pipeline.compileAndFinish(session(), lake, plane, rid, nowUtc())
+      savePlane(lake, stage.plane)
+      println(s"compiled=${stage.compiledCollectionId}" +
+        s" compiled_releases=${stage.compiled}" +
+        s" check_failures=${stage.checkFailures} notes=${stage.notes}")
 
     case "collectionstatus" :: lake :: rootId :: Nil =>
       val plane = loadPlane(lake)
@@ -318,8 +361,9 @@ object Cli {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: graft.Cli <command> [args]
-           |  load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample]
-           |  addfiles <lake> <collectionId> <path...>
+           |  load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample] [--keep-open]
+           |  addfiles <lake> <rootId> <path...>
+           |  compile <lake> <rootId>
            |  collectionstatus <lake> <rootId>
            |  addchecks <lake> <collectionId>
            |  closecollection <lake> <id> <nFiles>

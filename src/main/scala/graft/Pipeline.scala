@@ -8,11 +8,11 @@ import graft.control.{Control, Notes}
 import graft.ingest.{Ingest, Sink}
 import graft.ocds.{Compile, Upgrade}
 
-/** The `manage.py load … [--upgrade] --compile` flow (SURVEY.md §3.1) as ONE
-  * batch pipeline — the entry point a user of the reference would reach for:
-  * walk → register → detect → stream-load → [upgrade] → dedup-store →
-  * persist → close → gate → compile (+notes) → check → finalize, with the
-  * control plane threaded through as an immutable value.
+/** The `manage.py load … [--upgrade] --compile` flow (SURVEY.md §3.1) as
+  * composable batch stages — the entry points a user of the reference would
+  * reach for: walk → register → detect → stream-load → [upgrade] →
+  * dedup-store → persist → close → gate → compile (+notes) → check →
+  * finalize, with the control plane threaded through as an immutable value.
   *
   * The collection DAG matches the loader's (`processors/loader.py:42-105`):
   * original → compiled, or original → upgraded → compiled when the upgrade
@@ -23,15 +23,19 @@ import graft.ocds.{Compile, Upgrade}
   * the `collection_note` lake table.
   *
   * The reference runs this as seven RabbitMQ workers against PostgreSQL;
-  * here steps 1-2 are driver control-plane transitions, the load (and
-  * optional upgrade) is one Spark job writing the partitioned lake, the
-  * compile is one job with a single shuffle on ocid emitting compiled rows
-  * AND notes from the same merge pass, and completion is a pure gate + CAS
-  * transition. The only cross-node movement is Spark shuffles.
+  * here each stage is one Spark job and the worker hand-offs are the
+  * SEAMS between [[load]] and [[compileAndFinish]]: `load(keepOpen=true)`
+  * leaves the collection open exactly like `load --keep-open`
+  * (`load.py:156-161`), more files arrive via [[loadFilesInto]] (the
+  * file_worker's job run inline, driven by the CLI's `addfiles`), a later
+  * close releases the compile gate, and [[compileAndFinish]] is the
+  * compiler+checker+finisher worker chain as one call. [[loadAndCompile]]
+  * composes the stages for the common closed-load case. The only
+  * cross-node movement is Spark shuffles.
   */
 object Pipeline {
 
-  /** What the run did, plus the final control plane. */
+  /** What a full run did, plus the final control plane. */
   final case class LoadReport(
       collectionId: Long,
       upgradedCollectionId: Option[Long],
@@ -45,18 +49,39 @@ object Pipeline {
       notes: Long,
       plane: Control.Plane)
 
-  /** Load every file under `inputDir` into collection `collectionId`,
-    * optionally upgrade 1.0→1.1 into a derived collection, compile into the
-    * final derived collection, structurally check the loaded rows, and
-    * finalize the whole tree. `now` is the caller's clock (kept pure for
-    * testability, like the control plane). */
-  def loadAndCompile(
+  /** What the load stage did. `notes` counts the upgrade differs-warnings
+    * persisted so far (compile warnings come later). */
+  final case class LoadStage(
+      collectionId: Long,
+      upgradedCollectionId: Option[Long],
+      compiledCollectionId: Long,
+      dataVersion: String,
+      files: Int,
+      items: Long,
+      notes: Long,
+      plane: Control.Plane)
+
+  /** What the compile+check+finalize stage did. */
+  final case class CompileStage(
+      compiledCollectionId: Long,
+      compiled: Long,
+      checkFailures: Long,
+      notes: Long,
+      plane: Control.Plane)
+
+  /** Stage 1 (`load.py` + `file_worker.py` inline): create the collection
+    * DAG, register and stream-load every file under `inputDir`, optionally
+    * upgrading 1.0→1.1 into a derived collection. With `keepOpen` the
+    * collection stays open for [[loadFilesInto]] additions (`load
+    * --keep-open`); otherwise it is closed with the loaded file count. */
+  def load(
       spark: SparkSession,
       inputDir: String,
       lakeDir: String,
       collectionId: Long = 1L,
       now: String = "1970-01-01 00:00:00",
-      upgrade: Boolean = false): LoadReport = {
+      upgrade: Boolean = false,
+      keepOpen: Boolean = false): LoadStage = {
 
     // §3.1 steps 1-2: create the collection DAG the loader builds
     // (`loader.py:42-105`) — original [→ upgraded] → compiled — validating
@@ -86,16 +111,45 @@ object Pipeline {
       parent = Some(upgradedId.getOrElse(collectionId)),
       transformType = Some(Control.Transform.CompileReleases)))
 
-    // step 3: register each file with its LOAD step (the api_loader path)
-    plane = paths.foldLeft(plane)(Control.registerFile(_, collectionId, _))
+    // steps 3-4: register + stream-load (+ upgrade leg)
+    val (loaded, nItems, nNotes) =
+      loadFilesInto(spark, paths, lakeDir, plane, collectionId, upgradedId)
+    plane = loaded
 
-    // step 4: detect once, stream-load on the executors, dedup, persist.
-    // This batch entry point handles release packages (the load --compile
-    // case); record packages compile incrementally per file instead —
-    // that's graft.streaming.Streaming.recordCompileStream (T4).
+    if (!keepOpen) {
+      plane = Control.closeCollection(plane, collectionId, now, paths.size)
+      upgradedId.foreach { uid =>
+        plane = Control.closeCollection(plane, uid, now, paths.size)
+      }
+    }
+    LoadStage(collectionId, upgradedId, compiledId, dataVersion, paths.size,
+      nItems, nNotes, plane)
+  }
+
+  /** The file_worker's job for a batch of `paths`, run inline against an
+    * OPEN collection tree: register each file (S6), stream-load its items
+    * into the partitioned lake + content-addressed dedup store, persist
+    * package metadata, apply the tree's upgrade leg when present, and
+    * complete the LOAD steps. The reference's `addfiles` merely enqueues
+    * this work for its workers; in a worker-less engine the command that
+    * accepts the files performs them — the same disposition as `load`
+    * itself. Returns (plane, items loaded, notes written). */
+  def loadFilesInto(
+      spark: SparkSession,
+      paths: Seq[String],
+      lakeDir: String,
+      plane0: Control.Plane,
+      collectionId: Long,
+      upgradedId: Option[Long]): (Control.Plane, Long, Long) = {
+
+    var plane = paths.foldLeft(plane0)(Control.registerFile(_, collectionId, _))
+
+    // detect once per batch; this batch entry point handles release
+    // packages (the load --compile case) — record packages compile
+    // incrementally per file instead (streaming.recordCompileStream, T4)
     val dt = Ingest.detectDataType(spark, paths.head)
     require(dt.format == graft.ingest.FormatDetect.Format.ReleasePackage,
-      s"loadAndCompile handles release packages; got '${dt.format}' " +
+      s"loadFilesInto handles release packages; got '${dt.format}' " +
         "(record packages: use streaming.recordCompileStream)")
     def setFormat(id: Long): Unit =
       plane = plane.copy(collections = plane.collections.updated(id,
@@ -109,48 +163,69 @@ object Pipeline {
     Sink.writeFacts(items, s"$lakeDir/release")
     Sink.writeDedupStore(Ingest.dedupData(items), s"$lakeDir/data")
     val pkgs = Ingest.loadPackageData(spark, paths, dt).toDF()
-    // persisted so later jobs (addchecks, metadata) can rebuild envelopes
-    // without re-reading the source files
+    // persisted so later jobs (compile checks, addchecks, metadata) can
+    // rebuild envelopes without re-reading the source files
     Sink.writeByCollection(
       pkgs.withColumn("collection_id", lit(collectionId)), s"$lakeDir/package_data")
 
-    // optional upgrade step, applied during load like `file_worker.py:
+    // optional upgrade leg, applied during load like `file_worker.py:
     // 330-335`: a narrow map re-content-addressing each item; the upgraded
     // collection gets its own file/step lifecycle rows, and the
-    // differs-warnings become WARNING notes on it
+    // differs-warnings become WARNING notes on it.
     // NOTE: `up` (and therefore `items`) must stay persisted until the
-    // notes frame derived from it is materialized below — unpersisting here
-    // would silently re-run the whole load+upgrade from the source files
-    // when the collection_note write finally evaluates
-    val upgradeState: Option[(DataFrame, DataFrame)] = upgradedId.map { uid =>
+    // notes frame derived from it is materialized below — unpersisting
+    // earlier would silently re-run the whole load+upgrade from the source
+    // files when the collection_note write finally evaluates
+    var nNotes = 0L
+    upgradedId.foreach { uid =>
       val up = Upgrade.upgradeItems(items, spark).toDF().persist()
       Sink.writeFacts(
         up.drop("upgrade_warnings").withColumn("collection_id", lit(uid)),
         s"$lakeDir/release")
-      val notes = Notes.fromUpgradeWarnings(up, uid)
+      val notes = Notes.fromUpgradeWarnings(up, uid).persist()
+      Sink.writeByCollection(notes, s"$lakeDir/collection_note")
+      nNotes += notes.count()
+      notes.unpersist()
       plane = paths.foldLeft(plane)(Control.registerFile(_, uid, _))
       plane = paths.foldLeft(plane)((p, f) =>
         Control.completeStep(p, uid, Control.StepName.Load, Some(f)))
       setFormat(uid)
-      (notes, up)
+      up.unpersist()
     }
-    val upgradeNotes = upgradeState.map(_._1)
-    // no-upgrade path: nothing downstream reads items — release the cache
-    // before the compile shuffle competes for storage memory
-    if (upgradeState.isEmpty) items.unpersist()
+    val nItems = items.count()
+    items.unpersist()
     plane = paths.foldLeft(plane)((p, f) =>
       Control.completeStep(p, collectionId, Control.StepName.Load, Some(f)))
-    plane = Control.closeCollection(plane, collectionId, now, paths.size)
-    upgradedId.foreach { uid =>
-      plane = Control.closeCollection(plane, uid, now, paths.size)
-    }
+    (plane, nItems, nNotes)
+  }
 
-    // steps 5-6: compile gate (T4) on the collection that PLANS compile
-    // (the upgraded one when present), run-once flip on the compiled
-    // collection (T5, `compiler.py:59-62`), then ONE merge pass emitting
-    // compiled rows and notes together, then the enqueued latch
-    // (`compiler.py:106-108`)
+  /** Stage 2 (the compiler → checker → finisher worker chain as one call):
+    * compile gate (T4) on the collection that PLANS compile (the upgraded
+    * one when present), run-once flip on the compiled collection (T5,
+    * `compiler.py:59-62`), ONE merge pass emitting compiled rows and notes
+    * together, the enqueued latch (`compiler.py:106-108`), V1 structural
+    * checks of the original rows, then completion gates + cached counts
+    * leaf-first under the optimistic guard. Reads everything it needs from
+    * the lake, so it composes with any load history (keep-open loads,
+    * addfiles batches) — the worker hand-off seam. */
+  def compileAndFinish(
+      spark: SparkSession,
+      lakeDir: String,
+      plane0: Control.Plane,
+      collectionId: Long,
+      now: String): CompileStage = {
+
+    var plane = plane0
+    val upgradedId = plane.collections.values
+      .find(c => c.parent.contains(collectionId) &&
+        c.transformType.contains(Control.Transform.Upgrade1011))
+      .map(_.id)
     val compileBaseId = upgradedId.getOrElse(collectionId)
+    val compiledId = plane.compiledChild(plane.collection(compileBaseId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"collection $collectionId has no compile-releases child"))
+      .id
+
     require(Control.compilable(plane, plane.collection(compileBaseId)),
       "collection failed the compile gate")
     plane = Control.startCompilation(plane, compiledId)
@@ -167,15 +242,14 @@ object Pipeline {
       .withColumn("collection_id", lit(compiledId))
     Sink.writeFacts(compiled, s"$lakeDir/compiled_release")
     val compileNotes = Notes.fromCompileWarnings(
-      compileOut.filter(col("warning").isNotNull).select(col("warning.*")), compiledId)
-    val allNotes = upgradeNotes.fold(compileNotes)(_.unionByName(compileNotes)).persist()
-    Sink.writeByCollection(allNotes, s"$lakeDir/collection_note")
+      compileOut.filter(col("warning").isNotNull).select(col("warning.*")),
+      compiledId).persist()
+    Sink.writeByCollection(compileNotes, s"$lakeDir/collection_note")
     // counted from the in-flight frame: an all-clean run writes an EMPTY
     // note table, which parquet cannot re-read (no footers to infer from)
-    val nNotes = allNotes.count()
-    allNotes.unpersist()
+    val nNotes = compileNotes.count()
+    compileNotes.unpersist()
     compileOut.unpersist()
-    upgradeState.foreach { case (_, up) => up.unpersist(); items.unpersist() }
     plane = plane.copy(collections = plane.collections.updated(compiledId,
       plane.collection(compiledId).copy(compilationEnqueued = true)))
 
@@ -187,6 +261,8 @@ object Pipeline {
     // monotonically_increasing_id.
     val facts = Sink.readFacts(spark, s"$lakeDir/release")
       .filter(col("collection_id") === collectionId)
+    val pkgs = spark.read.parquet(s"$lakeDir/package_data")
+      .filter(col("collection_id") === collectionId)
     val checkFailures = Checker.checkItems(
       facts.select("filename", "ocid", "release_id", "hash_md5", "data")
         .join(pkgs.select("filename", "package_data"), Seq("filename"), "left")
@@ -194,12 +270,11 @@ object Pipeline {
       "release", spark)
       .filter(!col("ok")).count()
 
-    // step 7: completion gates + cached counts under the optimistic guard,
-    // leaf-first: compiled → upgraded → original
+    // completion gates + cached counts, leaf-first: compiled → upgraded →
+    // original
     val nItems = facts.count()
     val nCompiled = Sink.readFacts(spark, s"$lakeDir/compiled_release")
       .filter(col("collection_id") === compiledId).count()
-    val nData = Sink.readDedupStore(spark, s"$lakeDir/data").count()
     plane = Control.complete(plane, compiledId, now, 0L, 0L, nCompiled)
       .getOrElse(throw new IllegalStateException("compiled collection not completable"))
     upgradedId.foreach { uid =>
@@ -209,7 +284,26 @@ object Pipeline {
     plane = Control.complete(plane, collectionId, now, nItems, 0L, 0L)
       .getOrElse(throw new IllegalStateException("collection not completable"))
 
-    LoadReport(collectionId, upgradedId, compiledId, dataVersion, paths.size,
-      nItems, nData, nCompiled, checkFailures, nNotes, plane)
+    CompileStage(compiledId, nCompiled, checkFailures, nNotes, plane)
+  }
+
+  /** Load every file under `inputDir` into collection `collectionId`,
+    * optionally upgrade 1.0→1.1 into a derived collection, compile into the
+    * final derived collection, structurally check the loaded rows, and
+    * finalize the whole tree. `now` is the caller's clock (kept pure for
+    * testability, like the control plane). */
+  def loadAndCompile(
+      spark: SparkSession,
+      inputDir: String,
+      lakeDir: String,
+      collectionId: Long = 1L,
+      now: String = "1970-01-01 00:00:00",
+      upgrade: Boolean = false): LoadReport = {
+    val l = load(spark, inputDir, lakeDir, collectionId, now, upgrade)
+    val c = compileAndFinish(spark, lakeDir, l.plane, collectionId, now)
+    val nData = Sink.readDedupStore(spark, s"$lakeDir/data").count()
+    LoadReport(l.collectionId, l.upgradedCollectionId, c.compiledCollectionId,
+      l.dataVersion, l.files, l.items, nData, c.compiled, c.checkFailures,
+      l.notes + c.notes, c.plane)
   }
 }

@@ -79,7 +79,7 @@ class CliSpec extends AnyFunSuite {
     assert(run("deleteorphan", lake).contains("removed 2"))
   }
 
-  test("load --note/--sample persist; addfiles registers against an open root") {
+  test("load --note/--sample persist") {
     val input = inputTree()
     val lake = Files.createTempDirectory("graft-cli-lake2").toString
 
@@ -94,24 +94,49 @@ class CliSpec extends AnyFunSuite {
     assert(plane.collections(1L).sample)
     assert(!plane.collections(2L).sample)
 
-    // addfiles against an OPEN root: registrations are recorded as files +
-    // LOAD steps, not executed (the async contract). The closed/non-root
-    // rejections call sys.exit, so they stay out of this in-JVM test.
-    val more = Files.createTempDirectory("graft-cli-more")
-    Files.writeString(more.resolve("b.json"), """{"releases": []}""")
+  }
 
-    // an open root: create by hand in the plane (registration-only path)
-    val p2 = plane.copy(collections = plane.collections +
-      (50L -> graft.control.Control.Collection(50L, "manual", "2020-01-01 00:00:00")))
-    Files.writeString(java.nio.file.Paths.get(s"$lake/_control.json"),
-      graft.control.PlaneJson.toJson(p2))
-    val out = run("addfiles", lake, "50", more.toString)
-    assert(out.contains("registered 1 files"))
-    val after = graft.control.PlaneJson.fromJson(
+  test("keep-open lifecycle: load --keep-open → addfiles → close → compile") {
+    val input = inputTree().toString
+    val lake = Files.createTempDirectory("graft-cli-lake3").toString
+
+    // --keep-open: the load happens, the close/compile chain does not
+    val loadOut = run("load", input, lake, "--keep-open")
+    assert(loadOut.contains("collection=1 compiled=2 files=1 items=2"))
+    assert(loadOut.contains("(open)"))
+    var plane = graft.control.PlaneJson.fromJson(
       Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
-    assert(after.files.exists(f => f.collectionId == 50L && f.filename.endsWith("b.json")))
-    assert(after.steps.exists(s => s.collectionId == 50L && s.name == "LOAD"))
-    // idempotent: replaying the same registration adds nothing (T1)
-    assert(run("addfiles", lake, "50", more.toString).contains("registered 0 files"))
+    assert(plane.collections(1L).storeEndAt.isEmpty)
+    assert(!plane.collections(2L).compilationStarted)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake/compiled_release")))
+
+    // addfiles: the enqueued file_worker job runs inline — the new file's
+    // items land in the lake and its LOAD step completes
+    val more = Files.createTempDirectory("graft-cli-more")
+    Files.writeString(more.resolve("b.json"),
+      """{"uri": "http://x/b", "version": "1.1", "publisher": {"name": "A"},
+        | "publishedDate": "2020-02-01T00:00:00Z",
+        | "releases": [
+        |   {"ocid": "ocds-b", "id": "b1", "date": "2020-02-01T00:00:00Z",
+        |    "tag": ["tender"], "initiationType": "tender"}
+        | ]}""".stripMargin)
+    assert(run("addfiles", lake, "1", more.toString).contains("loaded 1 files (1 items)"))
+    plane = graft.control.PlaneJson.fromJson(
+      Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
+    assert(plane.files.count(_.collectionId == 1L) == 2)
+    assert(plane.steps.isEmpty) // performed, not pending
+
+    // close releases the compile gate; compile finishes the tree
+    run("closecollection", lake, "1", "2")
+    val compileOut = run("compile", lake, "1")
+    assert(compileOut.contains("compiled=2 compiled_releases=2")) // ocds-a + ocds-b
+    assert(compileOut.contains("check_failures=0"))
+    plane = graft.control.PlaneJson.fromJson(
+      Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
+    assert(plane.collections(1L).completedAt.nonEmpty)
+    assert(plane.collections(2L).completedAt.nonEmpty)
+
+    val status = run("collectionstatus", lake, "1")
+    assert(status.contains("collection_files:     2"))
   }
 }
