@@ -88,6 +88,74 @@ object Streaming {
       .start()
   }
 
+  /** S6/T1 release-package path — the api_loader's dataflow
+    * (`api_loader.py:28-50`: Collect announces a stored file, the loader
+    * registers it and the file_worker loads it) as a Structured Streaming
+    * query over a landing directory: each micro-batch's NEW files are
+    * registered into the control plane and stream-loaded into the lake by
+    * [[graft.Pipeline.loadFilesInto]] (the same engine the batch load
+    * runs), with the plane persisted after every batch.
+    *
+    * Exactly-once is FILE-granular and needs no transactional store:
+    * a file's facts land through one Spark write job (atomic commit — a
+    * crashed job leaves nothing visible), so "this file's rows are already
+    * in the lake" is a reliable idempotence key. Each batch anti-checks
+    * arrived paths against the lake's loaded filenames before loading —
+    * a checkpoint replay (crash between sink write and checkpoint commit)
+    * re-offers the same files and skips them all. This is the reference's
+    * at-least-once queue + unique-constraint dedup errback (T1),
+    * re-expressed as lake-state dedup.
+    *
+    * The file source is `binaryFile` pruned to `path` — the stream carries
+    * file ARRIVALS, not contents (a queue source in a real deployment);
+    * the loader re-opens each file executor-side with the O(item)-memory
+    * item reader. */
+  def releaseLoadStream(
+      spark: SparkSession,
+      landingDir: String,
+      lakeDir: String,
+      collectionId: Long,
+      upgradedId: Option[Long],
+      plane: java.util.concurrent.atomic.AtomicReference[graft.control.Control.Plane],
+      checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    // the binaryFile source's fixed schema, declared explicitly (streaming
+    // sources don't infer); only `path` is ever read
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.json")
+      .load(landingDir)
+      .select($"path")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // collect(): file ARRIVALS are control-plane-sized (paths, not data)
+        val arrived = batch.select("path").as[String].collect().toSeq.sorted
+        val lakePath = new java.io.File(s"$lakeDir/release")
+        val loaded: Set[String] =
+          if (!lakePath.exists()) Set.empty
+          else spark.read.parquet(lakePath.toString)
+            .filter($"collection_id" === collectionId)
+            .select("filename").distinct().as[String].collect().toSet
+        val fresh = arrived.filterNot(loaded)
+        if (fresh.nonEmpty) {
+          val (p2, _, _) = graft.Pipeline.loadFilesInto(
+            spark, fresh, lakeDir, plane.get(), collectionId, upgradedId)
+          plane.set(p2)
+          graft.control.PlaneStore.save(lakeDir, p2)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** A timestamped event for windowed aggregation. */
   final case class TimedEvent(key: String, ts: java.sql.Timestamp)
 

@@ -57,6 +57,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.length === 2)
   }
 
+  private def releasePkg(ocid: String, rid: String): String =
+    s"""{"uri": "http://x/$rid", "version": "1.1", "publisher": {"name": "P"},
+       | "publishedDate": "2020-01-01T00:00:00Z",
+       | "releases": [{"ocid": "$ocid", "id": "$rid",
+       |   "date": "2020-01-01T00:00:00Z", "tag": ["tender"],
+       |   "initiationType": "tender"}]}""".stripMargin
+
+  test("releaseLoadStream loads landed packages incrementally, exactly once (S6/T1)") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-apiload")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val ckpt = base.resolve("ckpt").toString
+
+    val plane = new java.util.concurrent.atomic.AtomicReference(
+      graft.control.Control.Plane(Map(
+        7L -> graft.control.Control.Collection(7L, "api", "2020-01-01 00:00:00",
+          steps = Set("compile")))))
+
+    def runOnce(): Unit =
+      Streaming.releaseLoadStream(s, landing.toString, lake, 7L, None, plane, ckpt)
+        .awaitTermination()
+
+    Files.writeString(landing.resolve("a.json"), releasePkg("ocds-s1", "r1"))
+    Files.writeString(landing.resolve("b.json"), releasePkg("ocds-s2", "r2"))
+    runOnce()
+    val facts = s.read.parquet(s"$lake/release").filter($"collection_id" === 7)
+    assert(facts.count() === 2)
+    assert(plane.get().filesOf(7L).size === 2)
+    assert(plane.get().stepsOf(7L).isEmpty) // LOAD steps completed per batch
+
+    // more files land; only the new one loads
+    Files.writeString(landing.resolve("c.json"), releasePkg("ocds-s3", "r3"))
+    runOnce()
+    assert(s.read.parquet(s"$lake/release").filter($"collection_id" === 7).count() === 3)
+
+    // a lost checkpoint replays every arrival; the lake-filename dedup
+    // (file-granular idempotence key, atomic job commits) loads nothing
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    runOnce()
+    assert(s.read.parquet(s"$lake/release").filter($"collection_id" === 7).count() === 3)
+    assert(plane.get().filesOf(7L).size === 3)
+
+    // the persisted plane matches the in-memory one (the control table the
+    // api_loader registers into)
+    assert(graft.control.PlaneStore.load(lake).filesOf(7L).size === 3)
+  }
+
   test("windowedCounts finalizes watermark-expired windows in bounded state (T9)") {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
