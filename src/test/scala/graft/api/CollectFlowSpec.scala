@@ -1,0 +1,88 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Pipeline, SparkSuite}
+import graft.control.PlaneStore
+import graft.ocds.Canonical
+import graft.streaming.Streaming
+
+/** SURVEY §3.2 end-to-end — the Kingfisher-Collect ingest story with every
+  * seam crossed for real: the crawler CREATES the collection tree over
+  * HTTP, stores files into the landing directory, the STREAMING loader
+  * registers + loads each arrival (api_loader + file_worker), the crawler
+  * CLOSES over HTTP with its stats, and the compile/check/finish chain
+  * runs off the released gate — all composing through the one persisted
+  * `_control.json` plane and the lake. */
+class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val s = SparkSuite.spark
+  private lazy val lake = Files.createTempDirectory("graft-collect-lake").toString
+  private lazy val api = { val a = new Api(s, lake); a.start(); a }
+  private val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = api.stop()
+
+  private def post(path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api.boundPort}$path"))
+        .method("POST", HttpRequest.BodyPublishers.ofString(body))
+        .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def pkg(ocid: String, rid: String): String =
+    s"""{"uri": "http://x/$rid", "version": "1.1", "publisher": {"name": "P"},
+       | "publishedDate": "2020-03-01T00:00:00Z",
+       | "releases": [{"ocid": "$ocid", "id": "$rid",
+       |   "date": "2020-03-01T00:00:00Z", "tag": ["tender"],
+       |   "initiationType": "tender"}]}""".stripMargin
+
+  test("crawl lifecycle: API create → landed files stream-load → API close → compile") {
+    import s.implicits._
+    // 1. the crawler announces itself (views.py create)
+    val created = Canonical.parse(post("/api/collections/",
+      """{"source_id": "demo_spider", "data_version": "2020-03-01 00:00:00",
+        | "compile": true, "note": "crawl started"}""".stripMargin).body())
+    val rootId = created.get("collection_id").asLong
+    val compiledId = created.get("compiled_collection_id").asLong
+
+    // 2. files land; the streaming loader registers + loads each batch
+    val landing = Files.createTempDirectory("graft-collect-landing")
+    val ckpt = Files.createTempDirectory("graft-collect-ckpt").toString
+    Files.writeString(landing.resolve("f1.json"), pkg("ocds-c1", "r1"))
+    Files.writeString(landing.resolve("f2.json"), pkg("ocds-c2", "r2"))
+    val planeRef = new java.util.concurrent.atomic.AtomicReference(PlaneStore.load(lake))
+    Streaming.releaseLoadStream(s, landing.toString, lake, rootId, None, planeRef, ckpt)
+      .awaitTermination()
+    assert(s.read.parquet(s"$lake/release")
+      .filter($"collection_id" === rootId).count() === 2)
+
+    // 3. the crawler closes with its stats (views.py close) — the close
+    // latch + expected-files count release the compile gate
+    val close = post(s"/api/collections/$rootId/close/",
+      """{"reason": "finished",
+        | "stats": {"kingfisher_process_expected_files_count": 2}}""".stripMargin)
+    assert(close.statusCode() == 202)
+
+    // 4. the compiler/checker/finisher chain runs off the released gate
+    val stage = Pipeline.compileAndFinish(
+      s, lake, PlaneStore.load(lake), rootId, "2020-03-02 00:00:00")
+    PlaneStore.save(lake, stage.plane)
+    assert(stage.compiled === 2L)
+    assert(stage.checkFailures === 0L)
+    assert(stage.plane.collection(rootId).completedAt.nonEmpty)
+    assert(stage.plane.collection(compiledId).completedAt.nonEmpty)
+
+    // 5. the read surfaces see the finished crawl
+    val md = client.send(
+      HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:${api.boundPort}/api/collections/$compiledId/metadata/")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(Canonical.parse(md.body()).get("ocid_prefix").asText.startsWith("ocds-c"))
+  }
+}
