@@ -483,6 +483,57 @@ object OcdsQueries {
       "collection_note persistence + the notes read endpoint (util.py:113-116, " +
         "views.py:261-281): upgrade differs-warnings and merge warnings/failures as " +
         "INFO/WARNING/ERROR rows, grouped per code; oracle rebuilds the note strings " +
-        "('OCID…' compile notes sort before 'f…' upgrade notes, so first_note is exact)")
+        "('OCID…' compile notes sort before 'f…' upgrade notes, so first_note is exact)"),
+
+    QueryDef(
+      "q_field_counts", Seq("F1", "A4", "F5"),
+      (s, d) => {
+        // sparse synthetic releases: fields drop out on k-mod conditions
+        // (to_json omits null struct fields), so coverage genuinely varies
+        // — the field-counts surface docs/querying-data.rst:145-147 sends
+        // analysts to. Materialized once per JVM (the reference's release
+        // table is persistent storage; bench cost attributes to the walk
+        // engine, not the generator), fanOut on the READ side: the Jackson
+        // path walk is the CPU-bound stage and the path aggregation's
+        // shuffle only spreads the (tiny) reduce side.
+        def build = {
+          val k = get_json_object(col("props"), "$.k").cast(LongType)
+          def condValue = when(k % 5 =!= 0, struct(col("value").as("amount")))
+          val award1 = struct((k % 7).cast(StringType).as("id"), condValue.as("value"))
+          val award2 = struct((k % 2 + 7).cast(StringType).as("id"), condValue.as("value"))
+          Tables.events(s, d).select(to_json(struct(
+            col("event_id").cast(StringType).as("id"),
+            lpad(col("ts_us").cast(StringType), 20, "0").as("date"),
+            struct(
+              col("event_type").as("status"),
+              when(k % 3 =!= 0, struct(col("value").as("amount"))).as("value")).as("tender"),
+            when(k % 4 =!= 0, struct(concat(lit("B"), col("user_id") % 7).as("name"))).as("buyer"),
+            when(k % 2 === 1, array(award1, award2)).otherwise(array(award1)).as("awards")))
+            .as("data"))
+        }
+        val sparse = Tables.fanOut(Tables.materialize("sparse_releases", d, build))
+        graft.ocds.FieldCounts.counts(sparse, "data", s).orderBy("path")
+      },
+      Some(s"""WITH r AS (SELECT CAST(props->>'$$.k' AS BIGINT) AS k FROM events),
+               p AS (
+                 SELECT 'id' AS path, 1 AS occ FROM r
+                 UNION ALL SELECT 'date', 1 FROM r
+                 UNION ALL SELECT 'tender', 1 FROM r
+                 UNION ALL SELECT 'tender/status', 1 FROM r
+                 UNION ALL SELECT 'tender/value', 1 FROM r WHERE k % 3 <> 0
+                 UNION ALL SELECT 'tender/value/amount', 1 FROM r WHERE k % 3 <> 0
+                 UNION ALL SELECT 'buyer', 1 FROM r WHERE k % 4 <> 0
+                 UNION ALL SELECT 'buyer/name', 1 FROM r WHERE k % 4 <> 0
+                 UNION ALL SELECT 'awards', 1 FROM r
+                 UNION ALL SELECT 'awards/id', 1 + k % 2 FROM r
+                 UNION ALL SELECT 'awards/value', 1 + k % 2 FROM r WHERE k % 5 <> 0
+                 UNION ALL SELECT 'awards/value/amount', 1 + k % 2 FROM r WHERE k % 5 <> 0)
+              SELECT path, CAST(SUM(occ) AS BIGINT) AS n_total,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM p GROUP BY path ORDER BY path"""),
+      "Field-coverage counts (the summarize field_counts surface querying-data.rst " +
+        "points analysts to): per-row Jackson path walk with array-index collapse and " +
+        "per-doc pre-aggregation, then ONE hash aggregation over the schema-bounded " +
+        "path dimension")
   )
 }
