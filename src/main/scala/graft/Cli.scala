@@ -56,15 +56,10 @@ object Cli {
     spark
   }
 
-  private def nowUtc(): String =
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+  private def nowUtc(): String = PlaneStore.nowUtc()
 
-  /** ids of `root` and every collection derived from it. */
-  private def treeIds(plane: Control.Plane, root: Long): Seq[Long] = {
-    val children = plane.collections.values.filter(_.parent.contains(root)).map(_.id).toSeq
-    root +: children.flatMap(treeIds(plane, _))
-  }
+  private def treeIds(plane: Control.Plane, root: Long): Seq[Long] =
+    plane.treeIds(root)
 
   /** Usage-error exit: 'unknown collection 7', not a Map stack trace. */
   private def known(plane: Control.Plane, id: Long): Control.Collection =
@@ -81,11 +76,8 @@ object Cli {
       sys.exit(2)
     }
 
-  /** None for a missing OR fully-wiped table (a directory whose partitions
-    * were all dropped has no parquet footers to infer a schema from). */
   private def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
-    if (!new java.io.File(path).exists()) None
-    else scala.util.Try(spark.read.parquet(path)).toOption
+    Sink.readOrEmpty(spark, path)
 
   /** `--flag value` extraction; exits on a missing or flag-shaped value. */
   private def flagValue(rest: List[String], flag: String): Option[String] =
@@ -138,11 +130,13 @@ object Cli {
             .toDF("collection_id", "code", "note", "data"),
           s"$lake/collection_note")
       }
-      // --sample: recorded on the root collection (load.py --sample)
+      // --sample: recorded on EVERY created collection, like the loader's
+      // shared data dict (loader.py:73-78) and the API's create
+      val createdIds = id to (id + (if (upgrade) 2 else 1))
       val loaded =
         if (!sample) report
-        else report.copy(collections = report.collections
-          .updatedWith(id)(_.map(_.copy(sample = true))))
+        else createdIds.foldLeft(report)((p, cid) => p.copy(collections =
+          p.collections.updatedWith(cid)(_.map(_.copy(sample = true)))))
       // merge into any pre-existing plane document (other collections)
       savePlane(lake, plane0.copy(
         collections = plane0.collections ++ loaded.collections,
@@ -189,7 +183,10 @@ object Cli {
       val (updated, nItems, _) =
         Pipeline.loadFilesInto(spark, found, lake, plane, cid, upgradedId)
       savePlane(lake, updated)
-      println(s"loaded ${found.size} files ($nItems items)")
+      // loadFilesInto skips already-registered paths (replay dedup, T1) —
+      // report what actually loaded
+      val newFiles = updated.filesOf(cid).size - plane.filesOf(cid).size
+      println(s"loaded $newFiles files ($nItems items)")
 
     case "compile" :: lake :: rootId :: Nil =>
       // the compiler → checker → finisher worker chain, run inline once the
@@ -259,13 +256,31 @@ object Cli {
       checks.unpersist()
 
     case "closecollection" :: lake :: id :: nFiles :: Nil =>
-      val plane = loadPlane(lake); val cid = idArg(id); known(plane, cid)
+      // closecollection.py: ROOT collections only; the upgraded child
+      // latches in the same transaction (its compile gate waits on the
+      // same close); an already-closed collection is left untouched
+      val plane = loadPlane(lake); val cid = idArg(id)
+      val c = known(plane, cid)
+      if (c.parent.nonEmpty) {
+        System.err.println(
+          s"Collection $cid is not a root collection. Its parent is collection ${c.parent.get}.")
+        sys.exit(2)
+      }
       val n = nFiles.toIntOption.filter(_ >= 0).getOrElse {
         System.err.println(s"expected file count must be a non-negative number, got '$nFiles'")
         sys.exit(2)
       }
-      savePlane(lake, Control.closeCollection(plane, cid, nowUtc(), n))
-      println(s"closed ${id}")
+      if (c.storeEndAt.nonEmpty) println(s"already closed ${id}")
+      else {
+        val now = nowUtc()
+        var p2 = Control.closeCollection(plane, cid, now, n)
+        p2.collections.values
+          .find(k => k.parent.contains(cid) &&
+            k.transformType.contains(Control.Transform.Upgrade1011))
+          .foreach(u => p2 = Control.closeCollection(p2, u.id, now, n))
+        savePlane(lake, p2)
+        println(s"closed ${id}")
+      }
 
     case "cancelcollection" :: lake :: id :: Nil =>
       val plane = loadPlane(lake); val cid = idArg(id); known(plane, cid)
@@ -351,10 +366,17 @@ object Cli {
     case "api" :: lake :: rest =>
       // the reference's REST surface (`process/urls.py`) — serve the lake's
       // control plane over HTTP until interrupted
-      val port = flagValue(rest, "--port").flatMap(_.toIntOption).getOrElse(8000)
+      val port = flagValue(rest, "--port") match {
+        case None => 8000
+        case Some(v) => v.toIntOption.filter(p => p >= 0 && p <= 65535).getOrElse {
+          System.err.println(s"--port needs a port number, got '$v'")
+          sys.exit(2)
+        }
+      }
       val api = new graft.api.Api(session(), lake, port)
       api.start()
-      println(s"serving http://127.0.0.1:${api.boundPort}/api/collections/ (ctrl-c to stop)")
+      println(s"serving on http://127.0.0.1:${api.boundPort} — POST /api/collections/, " +
+        "{id}/close/, DELETE {id}/, GET {id}/metadata|notes|tree/ (ctrl-c to stop)")
       Thread.currentThread.join()
 
     case other =>

@@ -136,11 +136,20 @@ object Pipeline {
     * itself. Returns (plane, items loaded, notes written). */
   def loadFilesInto(
       spark: SparkSession,
-      paths: Seq[String],
+      rawPaths: Seq[String],
       lakeDir: String,
       plane0: Control.Plane,
       collectionId: Long,
       upgradedId: Option[Long]): (Control.Plane, Long, Long) = {
+
+    // file-level replay dedup (T1): a path already registered against this
+    // collection was (or is being) loaded — re-loading it would append
+    // duplicate fact rows, the exact duplication registerFile's
+    // at-least-once dedup exists to prevent. An all-duplicates batch is a
+    // clean no-op.
+    val already = plane0.filesOf(collectionId).map(_.filename).toSet
+    val paths = rawPaths.filterNot(already)
+    if (paths.isEmpty) return (plane0, 0L, 0L)
 
     var plane = paths.foldLeft(plane0)(Control.registerFile(_, collectionId, _))
 

@@ -65,19 +65,43 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
     val method = ex.getRequestMethod
     try {
       (method, path) match {
-        case ("POST", "/api/collections/") => create(ex)
-        case ("POST", Action(id, "close")) => close(ex, id.toLong)
-        case ("DELETE", Detail(id)) => destroy(ex, id.toLong)
-        case ("GET", Action(id, "metadata")) => metadata(ex, id.toLong)
-        case ("GET", Action(id, "notes")) => notes(ex, id.toLong)
-        case ("GET", Action(id, "tree")) => tree(ex, id.toLong)
-        case _ => notFound(ex)
+        case ("POST" | "PUT" | "PATCH", _) if !bodyParses(ex) =>
+          // DRF returns 400 for an unparseable body — the client's fault,
+          // not a 500
+          respond(ex, 400, obj(o =>
+            o.put("detail", "JSON parse error - request body is not valid JSON")))
+        case _ => route(method, path, ex)
       }
     } catch {
       case e: Exception => // a handler bug must not wedge the socket
         respond(ex, 500, obj(o => o.put("detail", String.valueOf(e.getMessage))))
     }
   }
+
+  /** Reads and caches the body; false when it fails to parse as JSON. */
+  private def bodyParses(ex: HttpExchange): Boolean = {
+    val bytes = ex.getRequestBody.readAllBytes()
+    parsedBody =
+      if (bytes.isEmpty) Some(Canonical.mapper.createObjectNode())
+      else
+        try Some(Canonical.parse(new String(bytes, StandardCharsets.UTF_8)))
+        catch { case _: Exception => None }
+    parsedBody.nonEmpty
+  }
+  // single-threaded executor (setExecutor(null)): one request at a time,
+  // so a per-request field is race-free
+  private var parsedBody: Option[JsonNode] = None
+
+  private def route(method: String, path: String, ex: HttpExchange): Unit =
+    (method, path) match {
+      case ("POST", "/api/collections/") => create(ex)
+      case ("POST", Action(id, "close")) => close(ex, id.toLong)
+      case ("DELETE", Detail(id)) => destroy(ex, id.toLong)
+      case ("GET", Action(id, "metadata")) => metadata(ex, id.toLong)
+      case ("GET", Action(id, "notes")) => notes(ex, id.toLong)
+      case ("GET", Action(id, "tree")) => tree(ex, id.toLong)
+      case _ => notFound(ex)
+    }
 
   // --- handlers -----------------------------------------------------------
 
@@ -86,7 +110,7 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
     * each. Ids are allocated sequentially past the current maximum, like
     * the reference's serial PKs. */
   private def create(ex: HttpExchange): Unit = lock.synchronized {
-    val body = readJson(ex)
+    val body = readJson()
     val missing = Seq("source_id", "data_version")
       .filter(k => !body.hasNonNull(k) || body.get(k).asText.isEmpty)
     if (missing.nonEmpty) {
@@ -149,11 +173,15 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
   }
 
   /** `close` (`views.py:111-147`): latch store_end_at + expected files on
-    * the root and its upgraded child; persist reason/stats as INFO notes. */
+    * the root and its upgraded child; persist reason/stats as INFO notes.
+    * A missing expected-files stat defaults to 0 ON PURPOSE — that is the
+    * reference's own behavior (`views.py:122` `.get(…, 0)`), and its
+    * compiler likewise asserts when a "closed empty" collection turns out
+    * to have files (`compiler.py:184-191`); crawlers always send the stat. */
   private def close(ex: HttpExchange, id: Long): Unit = lock.synchronized {
     var plane = PlaneStore.load(lake)
     val c = plane.collections.getOrElse(id, { notFound(ex); return })
-    val body = readJson(ex)
+    val body = readJson()
     val stats = Option(body.get("stats")).filter(_.isObject)
     val expected = stats.flatMap(s =>
       Option(s.get("kingfisher_process_expected_files_count")).filter(_.isNumber)
@@ -304,20 +332,12 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
 
   // --- plumbing -----------------------------------------------------------
 
-  /** Depth-first ids of `root` and every collection derived from it. */
-  private def treeIds(plane: Control.Plane, root: Long): Seq[Long] = {
-    val children = plane.collections.values
-      .filter(_.parent.contains(root)).map(_.id).toSeq.sorted
-    root +: children.flatMap(treeIds(plane, _))
-  }
+  private def treeIds(plane: Control.Plane, root: Long): Seq[Long] =
+    plane.treeIds(root)
 
-  private def readOrEmpty(path: String) =
-    if (!new java.io.File(path).exists()) None
-    else scala.util.Try(spark.read.parquet(path)).toOption
+  private def readOrEmpty(path: String) = Sink.readOrEmpty(spark, path)
 
-  private def nowUtc(): String =
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+  private def nowUtc(): String = PlaneStore.nowUtc()
 
   private def bool(n: JsonNode, k: String): Boolean =
     Option(n.get(k)).exists(v => v.isBoolean && v.asBoolean)
@@ -329,11 +349,8 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
     val o = Canonical.mapper.createObjectNode(); fill(o); o
   }
 
-  private def readJson(ex: HttpExchange): JsonNode = {
-    val bytes = ex.getRequestBody.readAllBytes()
-    if (bytes.isEmpty) Canonical.mapper.createObjectNode()
-    else Canonical.parse(new String(bytes, StandardCharsets.UTF_8))
-  }
+  private def readJson(): JsonNode =
+    parsedBody.getOrElse(Canonical.mapper.createObjectNode())
 
   private def queryParams(ex: HttpExchange, name: String): Set[String] =
     Option(ex.getRequestURI.getRawQuery).toSeq

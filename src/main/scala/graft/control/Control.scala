@@ -80,6 +80,14 @@ object Control {
     def compiledChild(c: Collection): Option[Collection] =
       collections.values.find(k =>
         k.parent.contains(c.id) && k.transformType.contains(Transform.CompileReleases))
+
+    /** Depth-first ids of `root` and every collection derived from it —
+      * the tree the read endpoints and wipes operate over. */
+    def treeIds(root: Long): Seq[Long] = {
+      val children = collections.values
+        .filter(_.parent.contains(root)).map(_.id).toSeq.sorted
+      root +: children.flatMap(treeIds)
+    }
   }
 
   /** `_collection_is_empty` (`compiler.py:184-191`): a closed-empty

@@ -19,4 +19,10 @@ object PlaneStore {
 
   def save(lake: String, plane: Control.Plane): Unit =
     Files.writeString(Paths.get(path(lake)), PlaneJson.toJson(plane))
+
+  /** The control plane's timestamp rendering (`YYYY-MM-DD HH:MM:SS` UTC,
+    * the reference's data_version format) — shared by the CLI and API. */
+  def nowUtc(): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
 }

@@ -37,6 +37,13 @@ object Sink {
   def readFacts(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** None for a missing OR fully-wiped table (a directory whose partitions
+    * were all dropped has no parquet footers to infer a schema from) —
+    * the read guard every optional lake table goes through. */
+  def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
+    if (!new java.io.File(path).exists()) None
+    else scala.util.Try(spark.read.parquet(path)).toOption
+
   /** S8 store: one row per content hash, partitioned by hash prefix. */
   def writeDedupStore(data: DataFrame, path: String, mode: String = "append"): Unit =
     data

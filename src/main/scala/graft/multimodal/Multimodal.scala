@@ -93,9 +93,21 @@ object Multimodal {
     if (!looksLikeAudio(bytes)) None
     else
       try {
-        val ais = javax.sound.sampled.AudioSystem
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val raw = AudioSystem
           .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
         try {
+          // non-PCM containers (µ-law .au, A-law WAV) decode through the
+          // JDK's converter so the frames really ARE PCM signal bytes,
+          // keeping the "features key on signal content" contract
+          val enc = raw.getFormat.getEncoding
+          val ais =
+            if (enc == AudioFormat.Encoding.PCM_SIGNED ||
+                enc == AudioFormat.Encoding.PCM_UNSIGNED ||
+                enc == AudioFormat.Encoding.PCM_FLOAT) raw
+            else AudioSystem.getAudioInputStream(
+              new AudioFormat(raw.getFormat.getSampleRate, 16,
+                raw.getFormat.getChannels, true, false), raw)
           val pcm = ais.readAllBytes()
           // frame length is AudioSystem.NOT_SPECIFIED (-1) for some
           // streamed containers — recover it from the PCM byte count
@@ -107,7 +119,7 @@ object Multimodal {
           if (pcm.isEmpty) None
           else Some(Decoded("audio", nFrames,
             ais.getFormat.getChannels.toLong, frameSample(pcm, 1)))
-        } finally ais.close()
+        } finally raw.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
   /** VIDEO STUB (and non-media fallback) — deterministic fake

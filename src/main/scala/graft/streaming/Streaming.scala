@@ -145,11 +145,25 @@ object Streaming {
             .filter($"collection_id" === collectionId)
             .select("filename").distinct().as[String].collect().toSet
         val fresh = arrived.filterNot(loaded)
+        var p = plane.get()
         if (fresh.nonEmpty) {
           val (p2, _, _) = graft.Pipeline.loadFilesInto(
-            spark, fresh, lakeDir, plane.get(), collectionId, upgradedId)
-          plane.set(p2)
-          graft.control.PlaneStore.save(lakeDir, p2)
+            spark, fresh, lakeDir, p, collectionId, upgradedId)
+          p = p2
+        }
+        // a replayed file whose facts ARE in the lake but whose plane rows
+        // were lost (crash between the lake write and the plane save) must
+        // still be registered, or the close-time expected-files gate counts
+        // it missing forever; registerFile is idempotent, so this is a
+        // no-op for files the plane already tracks
+        for (f <- arrived.filter(loaded); cid <- collectionId +: upgradedId.toSeq) {
+          p = graft.control.Control.registerFile(p, cid, f)
+          p = graft.control.Control.completeStep(
+            p, cid, graft.control.Control.StepName.Load, Some(f))
+        }
+        if (p ne plane.get()) {
+          plane.set(p)
+          graft.control.PlaneStore.save(lakeDir, p)
         }
         ()
       }

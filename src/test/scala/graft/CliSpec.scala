@@ -88,11 +88,12 @@ class CliSpec extends AnyFunSuite {
     val notes = run("notes", lake, "1", "INFO")
     assert(notes.contains("INFO:"))
     assert(notes.contains("initial import"))
-    // --sample survives the plane round-trip
+    // --sample survives the plane round-trip, on EVERY created collection
+    // (the loader's shared data dict, loader.py:73-78)
     val plane = graft.control.PlaneJson.fromJson(
       Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
     assert(plane.collections(1L).sample)
-    assert(!plane.collections(2L).sample)
+    assert(plane.collections(2L).sample)
 
   }
 
@@ -101,13 +102,13 @@ class CliSpec extends AnyFunSuite {
     val lake = Files.createTempDirectory("graft-cli-lake3").toString
 
     // --keep-open: the load happens, the close/compile chain does not
-    val loadOut = run("load", input, lake, "--keep-open")
-    assert(loadOut.contains("collection=1 compiled=2 files=1 items=2"))
+    val loadOut = run("load", input, lake, "--upgrade", "--keep-open")
+    assert(loadOut.contains("collection=1 upgraded=2 compiled=3 files=1 items=2"))
     assert(loadOut.contains("(open)"))
     var plane = graft.control.PlaneJson.fromJson(
       Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
     assert(plane.collections(1L).storeEndAt.isEmpty)
-    assert(!plane.collections(2L).compilationStarted)
+    assert(!plane.collections(3L).compilationStarted)
     assert(!Files.exists(java.nio.file.Paths.get(s"$lake/compiled_release")))
 
     // addfiles: the enqueued file_worker job runs inline — the new file's
@@ -125,16 +126,26 @@ class CliSpec extends AnyFunSuite {
       Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
     assert(plane.files.count(_.collectionId == 1L) == 2)
     assert(plane.steps.isEmpty) // performed, not pending
+    // an operator retry of the same addfiles is a clean no-op (T1 replay
+    // dedup): no duplicate fact rows, no duplicate registrations
+    assert(run("addfiles", lake, "1", more.toString).contains("loaded 0 files (0 items)"))
+    assert(SparkSuite.spark.read.parquet(s"$lake/release")
+      .where("collection_id = 1").count() === 3)
 
-    // close releases the compile gate; compile finishes the tree
+    // close releases the compile gate (latching the upgraded child too,
+    // closecollection.py's transaction); compile finishes the tree
     run("closecollection", lake, "1", "2")
+    plane = graft.control.PlaneJson.fromJson(
+      Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
+    assert(plane.collections(2L).storeEndAt.nonEmpty) // the upgraded child
     val compileOut = run("compile", lake, "1")
-    assert(compileOut.contains("compiled=2 compiled_releases=2")) // ocds-a + ocds-b
+    assert(compileOut.contains("compiled=3 compiled_releases=2")) // ocds-a + ocds-b
     assert(compileOut.contains("check_failures=0"))
     plane = graft.control.PlaneJson.fromJson(
       Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
     assert(plane.collections(1L).completedAt.nonEmpty)
     assert(plane.collections(2L).completedAt.nonEmpty)
+    assert(plane.collections(3L).completedAt.nonEmpty)
 
     val status = run("collectionstatus", lake, "1")
     assert(status.contains("collection_files:     2"))

@@ -154,6 +154,12 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(send("DELETE", "/api/collections/99/").statusCode() == 202)
   }
 
+  test("an unparseable request body is the client's 400, not a 500") {
+    val r = send("POST", "/api/collections/", "{not json")
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("JSON parse error"))
+  }
+
   test("unroutable paths and methods are 404") {
     assert(send("GET", "/api/collections/1/bogus/").statusCode() == 404)
     assert(send("PUT", "/api/collections/1/", "{}").statusCode() == 404)

@@ -112,6 +112,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert((stereo.width, stereo.height) === (250L, 2L))
   }
 
+  test("non-PCM audio (µ-law AU) decodes through the PCM converter") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcmFmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = Array.tabulate[Byte](500 * 2)(i => ((i * 11 + 3) % 199).toByte)
+    val src = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), pcmFmt, 500L)
+    val ulaw = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false), src)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.AU, out)
+    val d = Multimodal.decode(out.toByteArray)
+    assert((d.kind, d.width, d.height) === ("audio", 500L, 1L))
+    // frames walk the CONVERTED 16-bit PCM (500 × 2 bytes), not the
+    // 1-byte-per-frame µ-law container payload
+    assert(d.frames.map(_.length).sum === 1000)
+  }
+
   test("corrupt audio magic falls back to the deterministic stub") {
     def sig(d: Multimodal.Decoded) = (d.kind, d.width, d.height, d.frames.map(_.toSeq))
     val fake = "RIFFxxxxWAVE but not really a wave file".getBytes("UTF-8")
