@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantifies the ANN family's accuracy ladder on the sf0.01 embeddings:
+  * recall@10 against the exact brute-force top-10 for the single-probe and
+  * multi-probe IVF variants (measured here: 0.3 → 0.6 → 1.0). The driver's
+  * oracle proves each variant returns exactly what its probe set promises;
+  * this spec proves the probe sets are WORTH probing — multi-probe must
+  * dominate single-probe, and both must find true neighbors.
+  *
+  * The synthetic embeddings are near-uniform — the HARD case for a sign
+  * quantizer (a cosine-θ neighbor flips each hyperplane bit w.p. θ/π, so
+  * weak neighbors scatter across cells; at sf0.001 the query's own cell
+  * holds NONE of the true top-10). Real clustered corpora concentrate
+  * neighbors far more; the thresholds below gate design regressions (a
+  * quantizer change that strands the query's neighborhood), not absolute
+  * quality. */
+class AnnRecallSpec extends AnyFunSuite {
+
+  private lazy val s = SparkSuite.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def top10(name: String): Set[Long] =
+    Queries.byName(name).run(s, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("multi-probe IVF recall@10 dominates single-probe; both find true neighbors") {
+    val exact = top10("q_ann_bruteforce")
+    assert(exact.size === 10)
+    val single = top10("q_ann_ivf")
+    val multi = top10("q_ann_ivf_multiprobe")
+    val rSingle = (exact & single).size / 10.0
+    val rMulti = (exact & multi).size / 10.0
+    info(f"recall@10 single-probe=$rSingle%.1f multi-probe=$rMulti%.1f")
+    assert(rMulti >= rSingle, "adding probes must never lose neighbors")
+    assert(rMulti >= 0.4, "multi-probe should find a usable share of the true top-10")
+    assert(rSingle >= 0.1, "the query's own cell should hold some true neighbors")
+  }
+}
