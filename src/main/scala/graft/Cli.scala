@@ -201,7 +201,16 @@ object Cli {
           s"Collection $rid is not a root collection. Its parent is collection ${c.parent.get}.")
         sys.exit(2)
       }
-      val stage = Pipeline.compileAndFinish(session(), lake, plane, rid, nowUtc())
+      // a closed gate (not yet closecollection'd, files still expected) or
+      // a replayed run (compilation already started) is a usage error, not
+      // a stack trace
+      val stage =
+        try Pipeline.compileAndFinish(session(), lake, plane, rid, nowUtc())
+        catch {
+          case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+            System.err.println(e.getMessage)
+            sys.exit(2)
+        }
       savePlane(lake, stage.plane)
       println(s"compiled=${stage.compiledCollectionId}" +
         s" compiled_releases=${stage.compiled}" +
