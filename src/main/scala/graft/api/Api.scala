@@ -46,6 +46,10 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
   private val lock = new Object
 
   server.createContext("/api/collections", (ex: HttpExchange) => handle(ex))
+  // the schema route (`urls.py:12` drf-spectacular): the reference
+  // generates its OpenAPI document from the viewset; this engine vendors
+  // the equivalent hand-authored document as a resource
+  server.createContext("/api/schema", (ex: HttpExchange) => schema(ex))
   server.setExecutor(null) // current-thread dispatch; Spark does the real work
 
   def start(): Unit = server.start()
@@ -329,6 +333,16 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
     }
     respond(ex, 200, rows)
   }
+
+  /** GET /api/schema/ — the vendored OpenAPI 3 document. */
+  private def schema(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod != "GET") notFound(ex)
+    else {
+      val in = getClass.getResourceAsStream("/graft/api/openapi.json")
+      try respond(ex, 200, Canonical.parse(
+        new String(in.readAllBytes(), StandardCharsets.UTF_8)))
+      finally in.close()
+    }
 
   // --- plumbing -----------------------------------------------------------
 

@@ -154,6 +154,16 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(send("DELETE", "/api/collections/99/").statusCode() == 202)
   }
 
+  test("GET /api/schema/ serves the OpenAPI document (test_openapi)") {
+    val r = send("GET", "/api/schema/")
+    assert(r.statusCode() == 200)
+    val doc = Canonical.parse(r.body())
+    assert(doc.get("openapi").asText.startsWith("3."))
+    // every served route is documented
+    assert(doc.get("paths").has("/api/collections/"))
+    assert(doc.get("paths").has("/api/collections/{id}/tree/"))
+  }
+
   test("an unparseable request body is the client's 400, not a 500") {
     val r = send("POST", "/api/collections/", "{not json")
     assert(r.statusCode() == 400)
