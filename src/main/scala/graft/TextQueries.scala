@@ -193,13 +193,17 @@ object TextQueries {
         // perturb a count, but at ~2.4e8 token comparisons the chance is
         // ~1e-11 — and the DuckDB oracle (true string intersection) would
         // catch it as a hash mismatch.
-        // no array_sort: ArrayIntersect hashes regardless of order and only
-        // size() of the result is consumed
-        val docsH = docs.withColumn("hs", transform(col("toks"), t => xxhash64(t)))
+        // sorted ONCE per doc so the per-PAIR intersect is the native
+        // two-pointer merge (intersect_count_sorted, codegen'd) instead of
+        // array_intersect's per-call hash set (r6 A/B: 2.6 s → 1.8 s)
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        val docsH = docs.withColumn(
+          "hs", array_sort(transform(col("toks"), t => xxhash64(t))))
         val a = docsH.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("nt").as("nt_a"))
         val b = docsH.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("nt").as("nt_b"))
         cand.join(a, "doc_a").join(b, "doc_b")
-          .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))))
+          .withColumn("inter",
+            call_function("intersect_count_sorted", col("hs_a"), col("hs_b")))
           .withColumn(
             "jaccard",
             col("inter").cast(DoubleType) / (col("nt_a") + col("nt_b") - col("inter")).cast(DoubleType))

@@ -82,6 +82,14 @@ object GraftExtensions {
         require(children.size == 2,
           s"dot_double expects exactly 2 arguments, got ${children.size}")
         DotDouble(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("intersect_count_sorted"),
+      new ExpressionInfo(classOf[IntersectCountSorted].getName, "intersect_count_sorted"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"intersect_count_sorted expects exactly 2 arguments, got ${children.size}")
+        IntersectCountSorted(children.head, children(1))
       }))
 
   val install: org.apache.spark.sql.SparkSessionExtensions => Unit =
