@@ -361,6 +361,64 @@ object TextQueries {
               FROM m ORDER BY doc_id"""),
       "Multimodal feature extraction: binary payload -> stubbed decode (kind/dims), " +
         "256-byte frame sampling, md5 frame hash, integer thumbnail resize — all in one " +
-        "executor-side batch pass (the mapInPandas shape on the JVM)")
+        "executor-side batch pass (the mapInPandas shape on the JVM)"),
+
+    QueryDef(
+      "q_cdc_chunk_dedup", Seq("F2", "W1", "A4", "A2"),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // Content-defined chunking (the sub-document dedup family next to
+        // whole-doc MinHash/SimHash): a token whose md5-derived 60-bit
+        // value ≡ 0 (mod 8) STARTS a new chunk, so boundaries move with
+        // content, not offsets — an insertion resynchronizes within ~one
+        // chunk and shared boilerplate hashes identically across documents.
+        // Spark shape: one explode, one per-doc window (partitioned by
+        // doc_id — no skew, a doc's tokens fit one partition), two hash
+        // aggregations. Everything is builtin/codegen'd; the md5-derived
+        // marker is the engine-shared hash family (verify-skill hex cast),
+        // so the DuckDB oracle rebuilds identical chunks.
+        val tokHash = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType)
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("marker", (tokHash % 8 === 0).cast(IntegerType))
+          .withColumn("chunk_id",
+            sum(col("marker")).over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        val chunks = toks
+          .groupBy(col("doc_id"), col("chunk_id"))
+          .agg(md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")))).as("chunk_md5"))
+        chunks
+          .groupBy(col("chunk_md5"))
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("n_occ").desc, col("n_docs").desc, col("chunk_md5"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(l) AS tok,
+                       unnest(range(1, len(l) + 1)) AS pos
+                FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+              chunked AS (
+                SELECT doc_id, tok, pos,
+                       SUM(CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 8 = 0
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+                FROM toks),
+              chunks AS (
+                SELECT doc_id, chunk_id,
+                       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+                FROM chunked GROUP BY doc_id, chunk_id)
+              SELECT chunk_md5, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                     CAST(COUNT(*) AS BIGINT) AS n_occ
+              FROM chunks GROUP BY chunk_md5
+              HAVING COUNT(DISTINCT doc_id) > 1
+              ORDER BY n_occ DESC, n_docs DESC, chunk_md5 LIMIT 20"""),
+      "Content-defined chunk dedup (sub-document boilerplate detection): md5-marker " +
+        "token boundaries resynchronize under insertions, per-doc window chunk ids, " +
+        "chunk-hash aggregation finds text shared ACROSS documents — the CDC dedup " +
+        "family whole-doc fingerprints can't see")
   )
 }
