@@ -61,6 +61,93 @@ object IngestQueries {
         "is skipped; oracle reconstructs the post-scrub canonical text and re-hashes"),
 
     QueryDef(
+      "q_ingest_records", Seq("S3", "S7", "A9"),
+      (s, d) => {
+        // the record-package ROUTE of the load (`file_worker.py:351-360`
+        // Record rows): one synthesized single-record package per event,
+        // extracted through the records.item data key with its in-file
+        // sequence — the deterministic order the per-ocid record compile
+        // elects its first record by
+        val eid = col("event_id").cast(StringType)
+        val u = col("user_id").cast(StringType)
+        val dstr = lpad(col("ts_us").cast(StringType), 20, "0")
+        val rel = concat(
+          lit("{\"date\":\""), dstr, lit("\",\"id\":\""), eid,
+          lit("\",\"ocid\":\"ocds-"), u, lit("\",\"tag\":[\"tender\"]}"))
+        val record = concat(
+          lit("{\"ocid\":\"ocds-"), u, lit("\",\"releases\":["), rel, lit("]}"))
+        val texts = Tables.fanOut(Tables.events(s, d)).select(
+          eid.as("filename"),
+          concat(lit("{\"publisher\":{\"name\":\"P\"},\"records\":["), record,
+            lit("],\"uri\":\"u"), eid, lit("\"}")).as("text"))
+        val dt = FormatDetect.DataType(
+          FormatDetect.Format.RecordPackage, concatenated = false, array = false)
+        Ingest.recordsFromText(texts, dt, s)
+          .toDF()
+          .select("filename", "ocid", "record_seq", "hash_md5")
+          .orderBy("filename")
+      },
+      Some("""SELECT CAST(event_id AS VARCHAR) AS filename,
+                     'ocds-' || CAST(user_id AS VARCHAR) AS ocid,
+                     CAST(0 AS BIGINT) AS record_seq,
+                     md5('{"ocid":"ocds-' || CAST(user_id AS VARCHAR)
+                         || '","releases":[{"date":"' || lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                         || '","id":"' || CAST(event_id AS VARCHAR)
+                         || '","ocid":"ocds-' || CAST(user_id AS VARCHAR)
+                         || '","tag":["tender"]}]}') AS hash_md5
+              FROM events ORDER BY filename"""),
+      "Record-package routing (S3/S7): records extracted through the records.item data " +
+        "key with per-file sequence numbers and content hashes; oracle reconstructs the " +
+        "canonical record text and re-hashes"),
+
+    QueryDef(
+      "q_load_compiled", Seq("S3", "S7", "A6"),
+      (s, d) => {
+        // the compiled-release DIRECT-LOAD route (`file_worker.py:371-380`):
+        // bare compiled releases summarized into the same row shape the
+        // merge engine emits, no merge pass
+        val eid = col("event_id").cast(StringType)
+        val u = col("user_id").cast(StringType)
+        val dstr = lpad(col("ts_us").cast(StringType), 20, "0")
+        val k = get_json_object(col("props"), "$.k").cast(LongType)
+        val doc = concat(
+          lit("{\"date\":\""), dstr,
+          lit("\",\"id\":\""), eid,
+          lit("\",\"ocid\":\"ocds-"), u,
+          lit("\",\"parties\":[{\"id\":\"p1\"},{\"id\":\"p2\"}]," +
+            "\"tag\":[\"compiled\"]," +
+            "\"tender\":{\"status\":\"complete\",\"value\":{\"amount\":"), k,
+          lit("}}}"))
+        val texts = Tables.fanOut(Tables.events(s, d))
+          .select(eid.as("filename"), doc.as("text"))
+        val dt = FormatDetect.DataType(
+          FormatDetect.Format.CompiledRelease, concatenated = false, array = false)
+        import s.implicits._
+        Ingest.itemsFromText(texts, dt, s)
+          .toDF().select("ocid", "data").as[(String, String)]
+          .mapPartitions(_.map { case (ocid, data) =>
+            graft.ocds.Compile.summarizeDoc(
+              ocid, graft.ocds.Canonical.parse(data), nReleases = 1L, nWarnings = 0L)
+          })
+          .toDF()
+          .select("ocid", "compiled_id", "max_date", "tender_status",
+            "tender_amount", "n_parties", "n_releases", "n_warnings")
+          .orderBy("compiled_id")
+      },
+      Some("""SELECT 'ocds-' || CAST(user_id AS VARCHAR) AS ocid,
+                     CAST(event_id AS VARCHAR) AS compiled_id,
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') AS max_date,
+                     'complete' AS tender_status,
+                     CAST(CAST(props->>'$.k' AS BIGINT) AS DOUBLE) AS tender_amount,
+                     CAST(2 AS BIGINT) AS n_parties,
+                     CAST(1 AS BIGINT) AS n_releases,
+                     CAST(0 AS BIGINT) AS n_warnings
+              FROM events ORDER BY compiled_id"""),
+      "Compiled-release direct load (file_worker.py:371-380): bare compiled releases " +
+        "summarized into the merge engine's row shape without a merge pass; oracle " +
+        "replays the projection"),
+
+    QueryDef(
       "q_canonical_hash", Seq("F5", "F6", "S8"),
       (s, d) => {
         // the dedup identity as a NATIVE codegen'd Catalyst expression

@@ -127,13 +127,15 @@ object Pipeline {
   }
 
   /** The file_worker's job for a batch of `paths`, run inline against an
-    * OPEN collection tree: register each file (S6), stream-load its items
-    * into the partitioned lake + content-addressed dedup store, persist
-    * package metadata, apply the tree's upgrade leg when present, and
-    * complete the LOAD steps. The reference's `addfiles` merely enqueues
-    * this work for its workers; in a worker-less engine the command that
-    * accepts the files performs them — the same disposition as `load`
-    * itself. Returns (plane, items loaded, notes written). */
+    * OPEN collection tree: register each file (S6), sniff the batch's
+    * format once, and ROUTE it like `_store_data` (`file_worker.py:
+    * 322-386`) — release packages → release facts (+ upgrade leg), record
+    * packages → record facts + per-file immediate compile
+    * (`compiler.py:146-148`), compiled releases → compiled_release facts
+    * directly — then complete the LOAD steps. The reference's `addfiles`
+    * merely enqueues this work for its workers; in a worker-less engine the
+    * command that accepts the files performs them — the same disposition as
+    * `load` itself. Returns (plane, items loaded, notes written). */
   def loadFilesInto(
       spark: SparkSession,
       rawPaths: Seq[String],
@@ -153,17 +155,53 @@ object Pipeline {
 
     var plane = paths.foldLeft(plane0)(Control.registerFile(_, collectionId, _))
 
-    // detect once per batch; this batch entry point handles release
-    // packages (the load --compile case) — record packages compile
-    // incrementally per file instead (streaming.recordCompileStream, T4)
-    val dt = Ingest.detectDataType(spark, paths.head)
-    require(dt.format == graft.ingest.FormatDetect.Format.ReleasePackage,
-      s"loadFilesInto handles release packages; got '${dt.format}' " +
-        "(record packages: use streaming.recordCompileStream)")
+    // detect once per batch (the reference sniffs once per COLLECTION,
+    // set_data_type; a collection's later batches must keep its format)
+    val dt = plane.collection(collectionId).dataTypeFormat match {
+      case Some(f) =>
+        val d = Ingest.detectDataType(spark, paths.head)
+        require(d.format == f,
+          s"collection $collectionId is '$f' but batch detected '${d.format}' " +
+            "(a collection has a single format, file_worker.py:211-214)")
+        d
+      case None => Ingest.detectDataType(spark, paths.head)
+    }
     def setFormat(id: Long): Unit =
       plane = plane.copy(collections = plane.collections.updated(id,
         plane.collection(id).copy(dataTypeFormat = Some(dt.format))))
     setFormat(collectionId)
+
+    val (p2, nItems, nNotes) = dt.format match {
+      case graft.ingest.FormatDetect.Format.RecordPackage =>
+        require(upgradedId.isEmpty,
+          "the 1.0→1.1 upgrade leg is implemented for release packages only " +
+            "(record upgrade via ocdskit semantics is a documented gap)")
+        loadRecordBatch(spark, paths, lakeDir, plane, collectionId, dt)
+      case graft.ingest.FormatDetect.Format.CompiledRelease =>
+        require(upgradedId.isEmpty,
+          "compiled releases are already 1.1; an upgrade leg does not apply")
+        loadCompiledBatch(spark, paths, lakeDir, plane, collectionId, dt)
+      case _ =>
+        loadReleaseBatch(spark, paths, lakeDir, plane, collectionId, upgradedId, dt)
+    }
+    plane = p2
+    plane = paths.foldLeft(plane)((p, f) =>
+      Control.completeStep(p, collectionId, Control.StepName.Load, Some(f)))
+    (plane, nItems, nNotes)
+  }
+
+  /** Release-package leg of [[loadFilesInto]]: stream-load items into the
+    * partitioned lake + content-addressed dedup store, persist package
+    * metadata, and apply the tree's upgrade leg when present. */
+  private def loadReleaseBatch(
+      spark: SparkSession,
+      paths: Seq[String],
+      lakeDir: String,
+      plane0: Control.Plane,
+      collectionId: Long,
+      upgradedId: Option[Long],
+      dt: graft.ingest.FormatDetect.DataType): (Control.Plane, Long, Long) = {
+    var plane = plane0
     // persisted: the fact write and the dedup-store write both consume it —
     // without the persist each would re-open and re-parse every input file
     val items = Ingest.loadItems(spark, paths, dt).toDF()
@@ -198,14 +236,103 @@ object Pipeline {
       plane = paths.foldLeft(plane)(Control.registerFile(_, uid, _))
       plane = paths.foldLeft(plane)((p, f) =>
         Control.completeStep(p, uid, Control.StepName.Load, Some(f)))
-      setFormat(uid)
+      plane = plane.copy(collections = plane.collections.updated(uid,
+        plane.collection(uid).copy(dataTypeFormat = Some(dt.format))))
       up.unpersist()
     }
     val nItems = items.count()
     items.unpersist()
-    plane = paths.foldLeft(plane)((p, f) =>
-      Control.completeStep(p, collectionId, Control.StepName.Load, Some(f)))
     (plane, nItems, nNotes)
+  }
+
+  /** Record-package leg (`file_worker.py:351-360` Record rows +
+    * `compiler.py:146-189` / `record_compiler.py`): records land in the
+    * `record` fact table and compile PER FILE IMMEDIATELY, while the
+    * collection is still open — no end-of-collection barrier. Each batch's
+    * new ocids are decision-treed ([[Compile.recordSummariesAndNotes]]);
+    * ocids compiled by an earlier batch are skipped (the AlreadyExists
+    * guard, `record_compiler.py:52-56` — their first-loaded record already
+    * won), and each file's plane row flips `compilationStarted`, the flag
+    * the completion gate requires per file (T3). */
+  private def loadRecordBatch(
+      spark: SparkSession,
+      paths: Seq[String],
+      lakeDir: String,
+      plane0: Control.Plane,
+      collectionId: Long,
+      dt: graft.ingest.FormatDetect.DataType): (Control.Plane, Long, Long) = {
+    var plane = plane0
+    val records = Ingest.loadRecords(spark, paths, dt).toDF()
+      .withColumn("collection_id", lit(collectionId))
+      .persist()
+    Sink.writeFacts(records, s"$lakeDir/record")
+    Sink.writeDedupStore(Ingest.dedupData(records), s"$lakeDir/data")
+    val pkgs = Ingest.loadPackageData(spark, paths, dt).toDF()
+    Sink.writeByCollection(
+      pkgs.withColumn("collection_id", lit(collectionId)), s"$lakeDir/package_data")
+
+    var nNotes = 0L
+    plane.compiledChild(plane.collection(collectionId)).foreach { compiledC =>
+      val compiledId = compiledC.id
+      if (!compiledC.compilationStarted)
+        plane = Control.startCompilation(plane, compiledId).getOrElse(plane)
+      // AlreadyExists guard: anti-join against ocids an earlier batch
+      // compiled (partition-pruned to this compiled collection)
+      val fresh = Sink.readOrEmpty(spark, s"$lakeDir/compiled_release") match {
+        case Some(existing) => records.join(
+          existing.filter(col("collection_id") === compiledId).select("ocid"),
+          Seq("ocid"), "left_anti")
+        case None => records
+      }
+      val out = Compile.recordSummariesAndNotes(
+        fresh.select(col("ocid"), col("filename"), col("record_seq"),
+          col("data").as("record")), spark)
+        .toDF().persist()
+      Sink.writeFacts(
+        out.filter(col("summary").isNotNull).select(col("summary.*"))
+          .withColumn("collection_id", lit(compiledId)),
+        s"$lakeDir/compiled_release")
+      val notes = out.filter(col("note").isNotNull).select(
+        lit(compiledId).as("collection_id"), col("note.code").as("code"),
+        col("note.note").as("note"), lit("{}").as("data")).persist()
+      Sink.writeByCollection(notes, s"$lakeDir/collection_note")
+      nNotes = notes.count()
+      notes.unpersist()
+      out.unpersist()
+      paths.foreach(f => plane = Control.markFileCompiled(plane, collectionId, f))
+    }
+    val nItems = records.count()
+    records.unpersist()
+    (plane, nItems, nNotes)
+  }
+
+  /** Compiled-release leg (`file_worker.py:371-380`): already-compiled
+    * releases land DIRECTLY in the loading collection's own
+    * `compiled_release` facts — no package envelope (`process_file`:
+    * package = None), no derived compile later (the compiler returns for
+    * this format, `compiler.py:81-83`). Each document is summarized into
+    * the same row shape the merge engine emits (n_releases=1: the document
+    * IS the compiled release; n_warnings=0). */
+  private def loadCompiledBatch(
+      spark: SparkSession,
+      paths: Seq[String],
+      lakeDir: String,
+      plane0: Control.Plane,
+      collectionId: Long,
+      dt: graft.ingest.FormatDetect.DataType): (Control.Plane, Long, Long) = {
+    import spark.implicits._
+    val items = Ingest.loadItems(spark, paths, dt).toDF().persist()
+    Sink.writeDedupStore(Ingest.dedupData(items), s"$lakeDir/data")
+    val summaries = items.select("ocid", "data").as[(String, String)]
+      .mapPartitions(_.map { case (ocid, data) =>
+        Compile.summarizeDoc(ocid, graft.ocds.Canonical.parse(data),
+          nReleases = 1L, nWarnings = 0L)
+      })
+      .toDF().withColumn("collection_id", lit(collectionId))
+    Sink.writeFacts(summaries, s"$lakeDir/compiled_release")
+    val nItems = items.count()
+    items.unpersist()
+    (plane0, nItems, 0L)
   }
 
   /** Stage 2 (the compiler → checker → finisher worker chain as one call):
@@ -223,6 +350,17 @@ object Pipeline {
       plane0: Control.Plane,
       collectionId: Long,
       now: String): CompileStage = {
+
+    // route on the collection's sniffed format, like the compiler worker
+    // (`compiler.py:69-83`): record packages already compiled per file
+    // during load; compiled-release collections have nothing to compile
+    plane0.collection(collectionId).dataTypeFormat match {
+      case Some(graft.ingest.FormatDetect.Format.RecordPackage) =>
+        return recordFinish(spark, lakeDir, plane0, collectionId, now)
+      case Some(graft.ingest.FormatDetect.Format.CompiledRelease) =>
+        return compiledFinish(spark, lakeDir, plane0, collectionId, now)
+      case _ => () // release package (or closed-empty): the merge path below
+    }
 
     var plane = plane0
     val upgradedId = plane.collections.values
@@ -294,6 +432,81 @@ object Pipeline {
       .getOrElse(throw new IllegalStateException("collection not completable"))
 
     CompileStage(compiledId, nCompiled, checkFailures, nNotes, plane)
+  }
+
+  /** Record-package finish: the per-ocid compiles already ran during load
+    * ([[loadRecordBatch]]); what remains is V1 structural checks of the
+    * record rows (record-package schema, envelope rebuilt per file like the
+    * release path) and the completion gates — the compiled child completes
+    * once every parent file's `compilationStarted` flag is set (T3,
+    * `finisher.py`'s record branch). */
+  private def recordFinish(
+      spark: SparkSession,
+      lakeDir: String,
+      plane0: Control.Plane,
+      collectionId: Long,
+      now: String): CompileStage = {
+    var plane = plane0
+    val compiledId = plane.compiledChild(plane.collection(collectionId))
+      .getOrElse(throw new IllegalArgumentException(
+        s"collection $collectionId has no compile-releases child")).id
+    require(Control.compilable(plane, plane.collection(collectionId)),
+      "collection failed the compile gate")
+    // normally flipped by the first record batch; a closed-empty record
+    // collection reaches here without any batch having run
+    if (!plane.collection(compiledId).compilationStarted)
+      plane = Control.startCompilation(plane, compiledId).getOrElse(plane)
+
+    val (nRecords, checkFailures) =
+      Sink.readOrEmpty(spark, s"$lakeDir/record") match {
+        case None => (0L, 0L)
+        case Some(all) =>
+          val facts = all.filter(col("collection_id") === collectionId)
+          val pkgs = spark.read.parquet(s"$lakeDir/package_data")
+            .filter(col("collection_id") === collectionId)
+          val failures = Checker.checkItems(
+            facts.select(col("filename"), col("ocid"),
+              lit("").as("release_id"), col("hash_md5"), col("data"))
+              .join(pkgs.select("filename", "package_data"), Seq("filename"), "left")
+              .select(Checker.checkId.as("id"), col("data"), col("package_data")),
+            "record", spark)
+            .filter(!col("ok")).count()
+          (facts.count(), failures)
+      }
+    val nCompiled = Sink.readOrEmpty(spark, s"$lakeDir/compiled_release")
+      .map(_.filter(col("collection_id") === compiledId).count()).getOrElse(0L)
+    plane = Control.complete(plane, compiledId, now, 0L, 0L, nCompiled)
+      .getOrElse(throw new IllegalStateException("compiled collection not completable"))
+    plane = Control.complete(plane, collectionId, now, 0L, nRecords, 0L)
+      .getOrElse(throw new IllegalStateException("collection not completable"))
+    CompileStage(compiledId, nCompiled, checkFailures, 0L, plane)
+  }
+
+  /** Compiled-release finish: the loaded rows already ARE the collection's
+    * compiled facts ([[loadCompiledBatch]]); the compiler does nothing for
+    * this format (`compiler.py:81-83`) beyond flipping the compiled child's
+    * run-once latch, so the child (created only when the user asked
+    * `--compile`) completes EMPTY and the root completes with its own
+    * compiled count. The reference's checker checks only release/record
+    * rows, so this format has no structural-check pass. */
+  private def compiledFinish(
+      spark: SparkSession,
+      lakeDir: String,
+      plane0: Control.Plane,
+      collectionId: Long,
+      now: String): CompileStage = {
+    var plane = plane0
+    val nCompiled = Sink.readOrEmpty(spark, s"$lakeDir/compiled_release")
+      .map(_.filter(col("collection_id") === collectionId).count()).getOrElse(0L)
+    plane.compiledChild(plane.collection(collectionId)).foreach { c =>
+      if (!c.compilationStarted)
+        plane = Control.startCompilation(plane, c.id).getOrElse(plane)
+      plane = Control.complete(plane, c.id, now, 0L, 0L, 0L)
+        .getOrElse(throw new IllegalStateException("compiled collection not completable"))
+    }
+    plane = Control.complete(plane, collectionId, now, 0L, 0L, nCompiled)
+      .getOrElse(throw new IllegalStateException("collection not completable"))
+    CompileStage(collectionId, nCompiled, 0L, 0L, plane)
   }
 
   /** Load every file under `inputDir` into collection `collectionId`,

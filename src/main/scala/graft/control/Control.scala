@@ -184,6 +184,17 @@ object Control {
         steps = p.steps :+ Step(StepName.Load, collectionId, Some(filename)))
     }
 
+  /** The compiler's per-file compile tracking for record packages
+    * (`compiler.py:186-189`): once a file's records have had their COMPILE
+    * work performed, `collection_file.compilation_started` flips — the flag
+    * [[completable]] requires on every file of a record-package parent.
+    * Idempotent (a replayed flip is a no-op). */
+  def markFileCompiled(p: Plane, collectionId: Long, filename: String): Plane =
+    p.copy(files = p.files.map(f =>
+      if (f.collectionId == collectionId && f.filename == filename)
+        f.copy(compilationStarted = true)
+      else f))
+
   /** T2: delete a finished processing step — the reference removes the
     * step row in the same transaction as the work it tracks
     * (`deleting_step`, `process/util.py:123-153`). */

@@ -171,6 +171,43 @@ object Ingest {
       .flatMap { case (filename, raw) => extract(filename, new java.io.StringReader(raw), dt) }
   }
 
+  /** One extracted record with its envelope columns (`process/models.py`
+    * `Record`: no release_id/release_date — records are keyed by ocid
+    * alone). `record_seq` is the record's position within its file: with
+    * `filename` it gives the deterministic load order the per-ocid record
+    * compile elects its "first record" by (the reference orders by
+    * insertion id, `record_compiler.py:62-64` — a global counter a
+    * distributed load does not have; (filename, record_seq) is the same
+    * order whenever files load in name order). */
+  final case class RecordRow(
+      filename: String, ocid: String, record_seq: Long, data: String, hash_md5: String)
+
+  private def extractRecords(
+      filename: String, in: Reader, dt: FormatDetect.DataType): Iterator[RecordRow] =
+    ItemReader.items(in, dt).zipWithIndex.flatMap { case (node, i) =>
+      Option(node.get("ocid")).filter(_.isTextual).map(_.asText).map { o =>
+        val canonical = Canonical.canonicalize(node)
+        RecordRow(filename, o, i.toLong, canonical, Canonical.md5hex(canonical))
+      }
+    }
+
+  /** S3/S7 record-package path: the records of all files as fact rows,
+    * streamed like [[loadItems]] (`file_worker.py:351-360` Record rows). */
+  def loadRecords(
+      spark: SparkSession, paths: Seq[String], dt: FormatDetect.DataType): Dataset[RecordRow] = {
+    import spark.implicits._
+    perFile(spark, paths)((path, in, _) => extractRecords(path, in, dt))
+  }
+
+  /** [[loadRecords]] over in-memory texts (API bodies, tests, harness). */
+  def recordsFromText(
+      texts: DataFrame, dt: FormatDetect.DataType, spark: SparkSession): Dataset[RecordRow] = {
+    import spark.implicits._
+    texts.select("filename", "text").as[(String, String)]
+      .flatMap { case (filename, raw) =>
+        extractRecords(filename, new java.io.StringReader(raw), dt) }
+  }
+
   /** S4: one package-metadata row per file (first package only), envelope
     * scanned at token level — the items array is skipped, not parsed. */
   def loadPackageData(spark: SparkSession, paths: Seq[String], dt: FormatDetect.DataType): Dataset[PackageRow] = {

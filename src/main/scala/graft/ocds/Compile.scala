@@ -76,25 +76,32 @@ object Compile {
       })
   }
 
+  /** Summarize one already-compiled release document into the summary row
+    * the merge engine emits — shared by the merge path and the DIRECT
+    * compiled-release loads (compiled-release format files,
+    * `file_worker.py:371-380`; record-embedded compiledRelease fallbacks).
+    * Generic OCDS data may omit any of these paths — absent fields
+    * summarize as null/0, they must never kill the job. */
+  def summarizeDoc(
+      ocid: String, c: com.fasterxml.jackson.databind.JsonNode,
+      nReleases: Long, nWarnings: Long): CompiledSummary = {
+    def at(path: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
+      path.foldLeft(Option(c)) { (n, f) => n.flatMap(x => Option(x.get(f))) }
+    CompiledSummary(
+      ocid = ocid,
+      compiled_id = at("id").map(_.asText).orNull,
+      max_date = at("date").map(_.asText).orNull,
+      tender_status = at("tender", "status").map(_.asText).orNull,
+      tender_amount = at("tender", "value", "amount")
+        .map(_.decimalValue.doubleValue).getOrElse(0.0),
+      n_parties = at("parties").map(_.size.toLong).getOrElse(0L),
+      n_releases = nReleases,
+      n_warnings = nWarnings)
+  }
+
   private def summarize(ocid: String, nRel: Int, res: Merge.Result): Seq[CompiledSummary] =
-    res.compiled.toSeq.map { c =>
-      // generic OCDS data may omit any of these paths — absent fields
-      // summarize as null/0, they must never kill the job
-      def at(path: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
-        path.foldLeft(Option[com.fasterxml.jackson.databind.JsonNode](c)) {
-          (n, f) => n.flatMap(x => Option(x.get(f)))
-        }
-      CompiledSummary(
-        ocid = ocid,
-        compiled_id = at("id").map(_.asText).orNull,
-        max_date = at("date").map(_.asText).orNull,
-        tender_status = at("tender", "status").map(_.asText).orNull,
-        tender_amount = at("tender", "value", "amount")
-          .map(_.decimalValue.doubleValue).getOrElse(0.0),
-        n_parties = at("parties").map(_.size.toLong).getOrElse(0L),
-        n_releases = nRel.toLong,
-        n_warnings = res.warnings.size.toLong)
-    }
+    res.compiled.toSeq.map(c =>
+      summarizeDoc(ocid, c, nRel.toLong, res.warnings.size.toLong))
 
   private def toWarningRow(ocid: String, w: Merge.MergeWarning): WarningRow = w match {
     case Merge.DuplicateIdValue(path, _) => WarningRow(ocid, path)
@@ -207,6 +214,44 @@ object Compile {
           ExtSummary(ocid, nParties, exts.size.toLong)
         }
       }
+  }
+
+  /** One record-compile note (code ∈ INFO/WARNING/ERROR). */
+  final case class RecordNote(code: String, note: String)
+
+  /** One record-compile output row; exactly one field is set. */
+  final case class RecordOut(summary: Option[CompiledSummary], note: Option[RecordNote])
+
+  /** The record_compiler's per-ocid job (`record_compiler.py:51-160`) as
+    * the same one-shuffle sorted-group plan as [[summaries]]: group records
+    * by ocid, elect the FIRST record in (filename, record_seq) order — the
+    * reference's order-by-insertion-id pick (`record_compiler.py:58-76`)
+    * made deterministic for a distributed load — warn when the ocid occurs
+    * more than once (`"OCID … occurs N times."`), and run the pure
+    * [[RecordCompile]] decision tree on the elected record. `records`
+    * needs columns (ocid, filename, record_seq, record). */
+  def recordSummariesAndNotes(records: DataFrame, s: SparkSession): Dataset[RecordOut] = {
+    import s.implicits._
+    records
+      .repartition(col("ocid"))
+      .sortWithinPartitions("ocid", "filename", "record_seq")
+      .select("ocid", "record")
+      .as[(String, String)]
+      .mapPartitions(it => consecutiveGroups(it)(_._1).flatMap { case (ocid, rows) =>
+        val out = mutable.ArrayBuffer.empty[RecordOut]
+        if (rows.size > 1)
+          out += RecordOut(None, Some(RecordNote("WARNING", s"OCID $ocid occurs ${rows.size} times.")))
+        Canonical.parse(rows.head._2) match {
+          case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+            val d = RecordCompile.decide(ocid, o)
+            d.notes.foreach(n => out += RecordOut(None, Some(RecordNote(n.level, n.text))))
+            d.compiled.foreach(c => out += RecordOut(
+              Some(summarizeDoc(ocid, c, d.classification.total.toLong, d.notes.size.toLong)), None))
+          case _ => () // a non-object record cannot be compiled; decide()'s
+            // callers never see it (extraction already yields objects only)
+        }
+        out
+      })
   }
 
   /** Compile + emit the warning side-output, one row per warning (A7). */

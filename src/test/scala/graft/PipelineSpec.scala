@@ -118,15 +118,124 @@ class PipelineSpec extends AnyFunSuite {
     assert(compiled.select("n_parties").collect().head.getLong(0) >= 2L)
   }
 
-  test("record-package input is rejected toward the streaming path") {
+  test("record packages load into record facts and compile per file during load") {
+    import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-rec")
+    // r1: two dated releases, no linked → merged; r2: one dated LINKED
+    // release + embedded compiledRelease → the INFO fallback branch
     Files.writeString(dir.resolve("r.json"),
       """{"uri": "http://x/r", "version": "1.1", "publisher": {"name": "R"},
-        | "records": [{"ocid": "ocds-r", "releases": []}]}""".stripMargin)
+        | "publishedDate": "2020-01-01T00:00:00Z",
+        | "records": [
+        |  {"ocid": "ocds-r1", "releases": [
+        |    {"ocid": "ocds-r1", "id": "r1a", "date": "2020-01-01T00:00:00Z",
+        |     "tag": ["planning"], "initiationType": "tender"},
+        |    {"ocid": "ocds-r1", "id": "r1b", "date": "2020-01-02T00:00:00Z",
+        |     "tag": ["tender"], "initiationType": "tender"}]},
+        |  {"ocid": "ocds-r2",
+        |   "releases": [{"ocid": "ocds-r2", "url": "http://x/lr",
+        |                 "date": "2020-01-01T00:00:00Z"}],
+        |   "compiledRelease": {"ocid": "ocds-r2", "id": "r2c",
+        |     "date": "2020-01-03T00:00:00Z", "tag": ["compiled"],
+        |     "initiationType": "tender"}}
+        | ]}""".stripMargin)
     val lake = Files.createTempDirectory("graft-lake3").toString
-    val e = intercept[IllegalArgumentException](
-      Pipeline.loadAndCompile(s, dir.toString, lake))
-    assert(e.getMessage.contains("recordCompileStream"))
+    val report = Pipeline.loadAndCompile(s, dir.toString, lake, now = "2020-06-01 00:00:00")
+
+    assert(report.items === 2) // 2 records
+    assert(report.compiled === 2) // r1 merged; r2 via its compiledRelease
+    // records landed in the record fact table, keyed by ocid only
+    val recs = Sink.readFacts(s, s"$lake/record")
+      .filter(col("collection_id") === report.collectionId)
+    assert(recs.count() === 2)
+    // compiled facts carry the expected provenance: r1 merged from 2
+    // releases, r2's fallback took the embedded compiledRelease id
+    val compiled = Sink.readFacts(s, s"$lake/compiled_release")
+      .filter(col("collection_id") === report.compiledCollectionId)
+    assert(compiled.filter(col("ocid") === "ocds-r1")
+      .select("n_releases").collect().head.getLong(0) === 2L)
+    assert(compiled.filter(col("ocid") === "ocds-r2")
+      .select("compiled_id").collect().head.getString(0) === "r2c")
+    // the INFO fallback notes were persisted on the compiled collection
+    val notes = Sink.readFacts(s, s"$lake/collection_note")
+      .filter(col("collection_id") === report.compiledCollectionId)
+    assert(notes.filter(col("code") === "INFO").count() === 2)
+    // completion: per-file compile tracking released the gates (T3)
+    val orig = report.plane.collection(report.collectionId)
+    assert(orig.completedAt.nonEmpty && orig.cachedRecordsCount.contains(2L))
+    assert(report.plane.filesOf(report.collectionId).forall(_.compilationStarted))
+    assert(report.plane.collection(report.compiledCollectionId).completedAt.nonEmpty)
+  }
+
+  test("later record batches skip already-compiled ocids (AlreadyExists guard)") {
+    import org.apache.spark.sql.functions.col
+    def pkgOf(records: String): String =
+      s"""{"uri": "http://x", "version": "1.1", "publisher": {"name": "R"},
+         | "publishedDate": "2020-01-01T00:00:00Z", "records": [$records]}""".stripMargin
+    def rec(ocid: String, rid: String, date: String): String =
+      s"""{"ocid": "$ocid", "releases": [
+         |  {"ocid": "$ocid", "id": "$rid", "date": "$date",
+         |   "tag": ["tender"], "initiationType": "tender"}]}""".stripMargin
+    val dir = Files.createTempDirectory("graft-rec2")
+    Files.writeString(dir.resolve("a.json"), pkgOf(rec("ocds-k", "k1", "2020-01-01T00:00:00Z")))
+    val lake = Files.createTempDirectory("graft-lake4").toString
+    val stage = Pipeline.load(s, dir.toString, lake, keepOpen = true)
+    var plane = stage.plane
+    // a later batch re-offers ocds-k (different release) plus a new ocid
+    val f2 = dir.resolve("b.json")
+    Files.writeString(f2, pkgOf(
+      rec("ocds-k", "k2", "2020-02-01T00:00:00Z") + "," +
+        rec("ocds-m", "m1", "2020-01-05T00:00:00Z")))
+    val (p2, n2, _) = Pipeline.loadFilesInto(
+      s, Seq(f2.toString), lake, plane, stage.collectionId, None)
+    plane = p2
+    assert(n2 === 2)
+    val compiled = Sink.readFacts(s, s"$lake/compiled_release")
+      .filter(col("collection_id") === stage.compiledCollectionId)
+    // ocds-k kept its FIRST batch's compile (max date 2020-01-01 — the
+    // merged id is ocid-maxDate; batch 2's k2 would have made it
+    // 2020-02-01); ocds-m compiled fresh
+    assert(compiled.count() === 2)
+    assert(compiled.filter(col("ocid") === "ocds-k")
+      .select("compiled_id").collect().head.getString(0)
+      === "ocds-k-2020-01-01T00:00:00Z")
+    // close + finish completes the whole tree
+    plane = Control.closeCollection(plane, stage.collectionId, "2020-06-01 00:00:00", 2)
+    val fin = Pipeline.compileAndFinish(s, lake, plane, stage.collectionId, "2020-06-01 00:00:00")
+    assert(fin.compiled === 2)
+    assert(fin.plane.collection(stage.collectionId).cachedRecordsCount.contains(3L))
+  }
+
+  test("compiled-release files land directly in the collection's compiled facts") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cr")
+    // concatenated compiled releases — one of the reference's physical
+    // shapes for this format (tests/fixtures/compiled_release.json)
+    Files.writeString(dir.resolve("c.json"),
+      """{"ocid": "ocds-c1", "id": "c1", "date": "2020-01-01T00:00:00Z",
+        | "tag": ["compiled"], "initiationType": "tender",
+        | "tender": {"status": "complete", "value": {"amount": 10}}}
+        |{"ocid": "ocds-c2", "id": "c2", "date": "2020-01-02T00:00:00Z",
+        | "tag": ["compiled"], "initiationType": "tender"}""".stripMargin)
+    val lake = Files.createTempDirectory("graft-lake5").toString
+    val report = Pipeline.loadAndCompile(s, dir.toString, lake, now = "2020-06-01 00:00:00")
+
+    assert(report.items === 2)
+    assert(report.compiled === 2)
+    assert(report.compiledCollectionId === report.collectionId) // rows live on the ROOT
+    val compiled = Sink.readFacts(s, s"$lake/compiled_release")
+      .filter(col("collection_id") === report.collectionId)
+    assert(compiled.count() === 2)
+    assert(compiled.filter(col("ocid") === "ocds-c1")
+      .select("tender_amount").collect().head.getDouble(0) === 10.0)
+    // the --compile child completed EMPTY (compiler.py:81-83's no-op)
+    val child = report.plane.collections.values
+      .find(_.parent.contains(report.collectionId)).get
+    assert(child.completedAt.nonEmpty
+      && child.cachedCompiledReleasesCount.contains(0L))
+    val root = report.plane.collection(report.collectionId)
+    assert(root.completedAt.nonEmpty
+      && root.cachedCompiledReleasesCount.contains(2L))
   }
 
   test("a second run on the same ids is rejected by the run-once gates") {
