@@ -35,7 +35,8 @@ object Wipe {
   /** Lake fact tables carrying a collection_id partition column — the set a
     * tree wipe must drop directories from. */
   val FactTables: Seq[String] = Seq(
-    "release", "compiled_release", "collection_note", "package_data", "release_check")
+    "release", "record", "compiled_release", "collection_note", "package_data",
+    "release_check")
 
   /** S9 physical form: the lake is collection_id-partitioned, so wiping a
     * tree is a partition-directory drop per fact table — no data rewrite,

@@ -46,16 +46,37 @@ object Streaming {
     * forever — the reference marks the file failed and continues. */
   def recordCompileStream(
       spark: SparkSession, landingDir: String, outDir: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String): StreamingQuery =
+    recordCompileStream(spark, landingDir, outDir, checkpointDir, None)
+
+  /** [[recordCompileStream]] with the control plane threaded through
+    * (VERDICT r6 wrong #2): each micro-batch registers its files'
+    * collection_file + LOAD step rows, completes the LOAD steps, flips the
+    * per-file `compilationStarted` flag the record-package completion gate
+    * requires (T2/T3, the compiler's `collection_file.compilation_started`
+    * write, `compiler.py:186-189`), latches the collection's data_type
+    * format, and persists the plane — so a streamed record collection
+    * passes `completable` once closed, exactly like a batch-loaded one.
+    * `plane` carries (shared plane ref, collection id, lake dir for the
+    * plane save). */
+  def recordCompileStream(
+      spark: SparkSession, landingDir: String, outDir: String,
+      checkpointDir: String,
+      plane: Option[(java.util.concurrent.atomic.AtomicReference[graft.control.Control.Plane],
+        Long, String)]): StreamingQuery = {
     import spark.implicits._
     spark.readStream
       .format("text")
       .load(landingDir)
-      .as[String]
+      .select($"value", $"_metadata.file_path".as("path"))
+      .as[(String, String)]
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[String], batchId: Long) =>
+      .foreachBatch { (withPath: Dataset[(String, String)], batchId: Long) =>
+        // collect(): distinct file paths are control-plane-sized
+        val files = withPath.select($"path").distinct().as[String].collect().sorted
+        val batch = withPath.map(_._1)
         val outcomes = batch.mapPartitions { it =>
           it.flatMap { line =>
             val parsed =
@@ -83,6 +104,27 @@ object Streaming {
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .parquet(outDir)
+        // plane bookkeeping AFTER the outcome write commits (same ordering
+        // contract as releaseLoadStream: a registered file is a done file);
+        // registerFile/markFileCompiled are idempotent under replay
+        plane.foreach { case (ref, cid, lakeDir) =>
+          var p = ref.get()
+          if (!p.collection(cid).dataTypeFormat.contains(
+              graft.control.Control.Format.RecordPackage))
+            p = p.copy(collections = p.collections.updated(cid,
+              p.collection(cid).copy(dataTypeFormat =
+                Some(graft.control.Control.Format.RecordPackage))))
+          for (f <- files) {
+            p = graft.control.Control.registerFile(p, cid, f)
+            p = graft.control.Control.completeStep(
+              p, cid, graft.control.Control.StepName.Load, Some(f))
+            p = graft.control.Control.markFileCompiled(p, cid, f)
+          }
+          if (p ne ref.get()) {
+            ref.set(p)
+            graft.control.PlaneStore.save(lakeDir, p)
+          }
+        }
         () // Unit-returning VoidFunction2 overload
       }
       .start()
@@ -96,15 +138,25 @@ object Streaming {
     * [[graft.Pipeline.loadFilesInto]] (the same engine the batch load
     * runs), with the plane persisted after every batch.
     *
-    * Exactly-once is FILE-granular and needs no transactional store:
-    * a file's facts land through one Spark write job (atomic commit — a
-    * crashed job leaves nothing visible), so "this file's rows are already
-    * in the lake" is a reliable idempotence key. Each batch anti-checks
-    * arrived paths against the lake's loaded filenames before loading —
-    * a checkpoint replay (crash between sink write and checkpoint commit)
-    * re-offers the same files and skips them all. This is the reference's
-    * at-least-once queue + unique-constraint dedup errback (T1),
-    * re-expressed as lake-state dedup.
+    * Exactly-once is FILE-granular, keyed on the CONTROL PLANE, not the
+    * lake: a batch's plane save runs strictly after all of its lake writes
+    * commit, so "this file is registered in the saved plane" means "every
+    * one of its legs (facts, dedup store, package metadata, upgrade leg,
+    * notes) is in the lake". The per-batch idempotence check is therefore a
+    * driver-side set lookup — NO lake scan per micro-batch (the r6 design
+    * re-read the open collection's partition every batch, which at 100 TB
+    * collects millions of filenames per trigger). A checkpoint replay
+    * (crash between plane save and checkpoint commit) re-offers registered
+    * files and skips them all.
+    *
+    * The remaining window — a crash partway through a batch's SEVERAL
+    * write jobs, leaving some legs of a file in the lake with no plane row
+    * — is repaired ONCE at stream start by [[recoverPartialLoads]]: files
+    * found in any filename-keyed lake table but absent from the plane have
+    * their partial rows purged (a rewrite of just the open collection's
+    * partition, on the rare recovery path only) and are reloaded whole.
+    * This replaces the reference's at-least-once queue + unique-constraint
+    * dedup errback (T1) without its per-row conflict handling.
     *
     * The file source is `binaryFile` pruned to `path` — the stream carries
     * file ARRIVALS, not contents (a queue source in a real deployment);
@@ -119,6 +171,7 @@ object Streaming {
       plane: java.util.concurrent.atomic.AtomicReference[graft.control.Control.Plane],
       checkpointDir: String): StreamingQuery = {
     import spark.implicits._
+    recoverPartialLoads(spark, lakeDir, collectionId, upgradedId, plane)
     // the binaryFile source's fixed schema, declared explicitly (streaming
     // sources don't infer); only `path` is ever read
     val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -138,28 +191,18 @@ object Streaming {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         // collect(): file ARRIVALS are control-plane-sized (paths, not data)
         val arrived = batch.select("path").as[String].collect().toSeq.sorted
-        val lakePath = new java.io.File(s"$lakeDir/release")
-        val loaded: Set[String] =
-          if (!lakePath.exists()) Set.empty
-          else spark.read.parquet(lakePath.toString)
-            .filter($"collection_id" === collectionId)
-            .select("filename").distinct().as[String].collect().toSet
-        val fresh = arrived.filterNot(loaded)
         var p = plane.get()
+        // idempotence set = the plane's registered files: driver memory,
+        // no lake IO (loadFilesInto applies the same filter internally —
+        // this guard just skips the call for all-replay batches).
+        // Compared scheme-insensitively: the binaryFile source reports
+        // "file:/…" URIs while CLI/batch loads register plain paths
+        val registered = p.filesOf(collectionId).map(f => pathKey(f.filename)).toSet
+        val fresh = arrived.filterNot(a => registered(pathKey(a)))
         if (fresh.nonEmpty) {
           val (p2, _, _) = graft.Pipeline.loadFilesInto(
             spark, fresh, lakeDir, p, collectionId, upgradedId)
           p = p2
-        }
-        // a replayed file whose facts ARE in the lake but whose plane rows
-        // were lost (crash between the lake write and the plane save) must
-        // still be registered, or the close-time expected-files gate counts
-        // it missing forever; registerFile is idempotent, so this is a
-        // no-op for files the plane already tracks
-        for (f <- arrived.filter(loaded); cid <- collectionId +: upgradedId.toSeq) {
-          p = graft.control.Control.registerFile(p, cid, f)
-          p = graft.control.Control.completeStep(
-            p, cid, graft.control.Control.StepName.Load, Some(f))
         }
         if (p ne plane.get()) {
           plane.set(p)
@@ -168,6 +211,105 @@ object Streaming {
         ()
       }
       .start()
+  }
+
+  /** Crash repair for [[releaseLoadStream]]'s multi-write batches, run ONCE
+    * at stream start (never per batch). Invariant: the plane is saved only
+    * after a batch's every write job commits, so a file REGISTERED in the
+    * plane is fully loaded, and a file present in any lake table but absent
+    * from the plane belongs to a batch that died mid-write (or after its
+    * last write but before the plane save — then the purge merely redoes
+    * one file's work). Repair = purge the partial files' rows from every
+    * filename-keyed table of this collection tree, then reload the files
+    * whole through [[graft.Pipeline.loadFilesInto]]. The purge rewrites
+    * only the open collection's partitions and only when a crash actually
+    * left partials. */
+  def recoverPartialLoads(
+      spark: SparkSession,
+      lakeDir: String,
+      collectionId: Long,
+      upgradedId: Option[Long],
+      plane: java.util.concurrent.atomic.AtomicReference[graft.control.Control.Plane]): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val p0 = plane.get()
+    val registered = p0.filesOf(collectionId).map(f => pathKey(f.filename)).toSet
+    def filesIn(table: String, cid: Long): Set[String] =
+      graft.ingest.Sink.readOrEmpty(spark, s"$lakeDir/$table")
+        .map(_.filter(col("collection_id") === cid)
+          .select("filename").distinct().as[String].collect().toSet)
+        .getOrElse(Set.empty)
+    val inLake =
+      (collectionId +: upgradedId.toSeq).map(filesIn("release", _)).fold(Set.empty)(_ ++ _) ++
+        filesIn("package_data", collectionId)
+    val partial = inLake.filterNot(f => registered(pathKey(f)))
+    if (partial.isEmpty) return
+
+    val cids = collectionId +: upgradedId.toSeq
+    purgeByFilename(spark, s"$lakeDir/release", cids, partial)
+    purgeByFilename(spark, s"$lakeDir/package_data", Seq(collectionId), partial)
+    // upgrade differs-notes are keyed "<filename>: <warning>" — drop the
+    // partial files' notes the same way (the dedup store is content-
+    // addressed and append-tolerant; its rows need no purge)
+    upgradedId.foreach { uid =>
+      purgeWhere(spark, s"$lakeDir/collection_note", Seq(uid),
+        partial.foldLeft(org.apache.spark.sql.functions.lit(false))(
+          (acc, f) => acc || col("note").startsWith(f + ": ")))
+    }
+    val (p2, _, _) = graft.Pipeline.loadFilesInto(
+      spark, partial.toSeq.sorted, lakeDir, p0, collectionId, upgradedId)
+    plane.set(p2)
+    graft.control.PlaneStore.save(lakeDir, p2)
+  }
+
+  /** Scheme-insensitive file identity: "file:/x/a.json" (the binaryFile
+    * source's form) and "/x/a.json" (the CLI/batch form) are the same
+    * file. */
+  private def pathKey(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  private def purgeByFilename(
+      spark: SparkSession, path: String, cids: Seq[Long], files: Set[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    purgeWhere(spark, path, cids, col("filename").isin(files.toSeq: _*))
+  }
+
+  /** Rewrite the given collection partitions of `path` without the rows
+    * matching `doomed`. A partition left empty is dropped outright (dynamic
+    * overwrite cannot write an empty partition). No-op when nothing
+    * matches. */
+  private def purgeWhere(
+      spark: SparkSession, path: String, cids: Seq[Long],
+      doomed: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.col
+    graft.ingest.Sink.readOrEmpty(spark, path).foreach { df =>
+      val part = df.filter(col("collection_id").isin(cids: _*))
+      if (part.filter(doomed).limit(1).count() > 0) {
+        // persist OUTSIDE the table before overwriting it: a lazy plan
+        // reading `path` during its own overwrite reads truncated state
+        val keep = part.filter(!doomed).persist()
+        // cast: a partition column reads back as the narrowest inferred
+        // integral type, not necessarily LongType
+        val keepCids = keep.select(col("collection_id").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        keep
+          .repartition(col("collection_id"))
+          .write
+          .partitionBy("collection_id")
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .parquet(path)
+        keep.unpersist()
+        for (cid <- cids if !keepCids.contains(cid)) {
+          val dir = java.nio.file.Paths.get(s"$path/collection_id=$cid")
+          if (java.nio.file.Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+        }
+      }
+    }
   }
 
   /** A timestamped event for windowed aggregation. */

@@ -105,6 +105,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.control.PlaneStore.load(lake).filesOf(7L).size === 3)
   }
 
+  test("recoverPartialLoads repairs a batch that died between write jobs (T1)") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.lit
+    val base = Files.createTempDirectory("graft-recover")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val planeRef = new java.util.concurrent.atomic.AtomicReference(
+      graft.control.Control.Plane(Map(
+        9L -> graft.control.Control.Collection(9L, "api", "2020-01-01 00:00:00",
+          steps = Set("compile")))))
+    val f = landing.resolve("a.json")
+    Files.writeString(f, releasePkg("ocds-p1", "r1"))
+    // simulate a crash AFTER the root fact write but BEFORE the
+    // package_data write and the plane save: only the release leg lands
+    val dt = graft.ingest.FormatDetect.DataType(
+      graft.ingest.FormatDetect.Format.ReleasePackage,
+      concatenated = false, array = false)
+    graft.ingest.Sink.writeFacts(
+      graft.ingest.Ingest.loadItems(s, Seq(f.toString), dt).toDF()
+        .withColumn("collection_id", lit(9L)),
+      s"$lake/release")
+    assert(s.read.parquet(s"$lake/release").count() === 1)
+
+    // starting the stream runs recovery: the partial rows are purged and
+    // the file reloads WHOLE, exactly once
+    Streaming.releaseLoadStream(s, landing.toString, lake, 9L, None, planeRef, ckpt)
+      .awaitTermination()
+    assert(s.read.parquet(s"$lake/release")
+      .filter($"collection_id" === 9).count() === 1) // not duplicated
+    assert(s.read.parquet(s"$lake/package_data")
+      .filter($"collection_id" === 9).count() === 1) // the lost leg is back
+    assert(planeRef.get().filesOf(9L).size === 1)
+    assert(planeRef.get().stepsOf(9L).isEmpty)
+  }
+
+  test("streamed record collections register files and pass the completion gates (T2/T3)") {
+    val base = Files.createTempDirectory("graft-recstream")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val C = graft.control.Control
+    val planeRef = new java.util.concurrent.atomic.AtomicReference(C.Plane(Map(
+      11L -> C.Collection(11L, "src", "2020-01-01 00:00:00", steps = Set("compile")),
+      12L -> C.Collection(12L, "src", "2020-01-01 00:00:00", parent = Some(11L),
+        transformType = Some(C.Transform.CompileReleases)))))
+    Files.writeString(landing.resolve("r.jsonl"), record("ocds-z1", "2020-01-01") + "\n")
+    Streaming.recordCompileStream(
+      s, landing.toString, out, ckpt, Some((planeRef, 11L, lake)))
+      .awaitTermination()
+
+    var p = planeRef.get()
+    assert(p.filesOf(11L).size === 1)
+    assert(p.filesOf(11L).forall(_.compilationStarted)) // per-file compile tracking
+    assert(p.stepsOf(11L).isEmpty) // LOAD steps consumed
+    assert(p.collection(11L).dataTypeFormat.contains(C.Format.RecordPackage))
+    // after the close latch, both gates release — the batch contract
+    p = C.closeCollection(p, 11L, "2020-06-01 00:00:00", 1)
+    p = C.startCompilation(p, 12L).get
+    assert(C.completable(p, p.collection(12L)))
+    assert(C.completable(p, p.collection(11L)))
+    // the persisted plane matches the in-memory one
+    assert(graft.control.PlaneStore.load(lake).filesOf(11L).size === 1)
+  }
+
   test("windowedCounts finalizes watermark-expired windows in bounded state (T9)") {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
