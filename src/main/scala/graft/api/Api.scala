@@ -68,13 +68,18 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
     }
     val method = ex.getRequestMethod
     try {
-      (method, path) match {
-        case ("POST" | "PUT" | "PATCH", _) if !bodyParses(ex) =>
+      parseBody(ex) match {
+        case None if Set("POST", "PUT", "PATCH")(method) =>
           // DRF returns 400 for an unparseable body — the client's fault,
           // not a 500
           respond(ex, 400, obj(o =>
             o.put("detail", "JSON parse error - request body is not valid JSON")))
-        case _ => route(method, path, ex)
+        case parsed =>
+          // the parsed body travels as a PARAMETER, not request-scoped
+          // state — handler correctness must not depend on the executor
+          // being single-threaded (ADVICE r6)
+          val body = parsed.getOrElse(Canonical.mapper.createObjectNode())
+          route(method, path, ex, body)
       }
     } catch {
       case e: Exception => // a handler bug must not wedge the socket
@@ -82,30 +87,37 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
     }
   }
 
-  /** Reads and caches the body; false when it fails to parse as JSON. */
-  private def bodyParses(ex: HttpExchange): Boolean = {
+  /** The request body as JSON; None when present but unparseable. */
+  private def parseBody(ex: HttpExchange): Option[JsonNode] = {
     val bytes = ex.getRequestBody.readAllBytes()
-    parsedBody =
-      if (bytes.isEmpty) Some(Canonical.mapper.createObjectNode())
-      else
-        try Some(Canonical.parse(new String(bytes, StandardCharsets.UTF_8)))
-        catch { case _: Exception => None }
-    parsedBody.nonEmpty
+    if (bytes.isEmpty) Some(Canonical.mapper.createObjectNode())
+    else
+      try Some(Canonical.parse(new String(bytes, StandardCharsets.UTF_8)))
+      catch { case _: Exception => None }
   }
-  // single-threaded executor (setExecutor(null)): one request at a time,
-  // so a per-request field is race-free
-  private var parsedBody: Option[JsonNode] = None
 
-  private def route(method: String, path: String, ex: HttpExchange): Unit =
+  private def route(method: String, path: String, ex: HttpExchange, body: JsonNode): Unit = {
+    // a digit run exceeding Long is a well-formed URL that matches no
+    // resource — DRF's int converter 404s it, never a 500 (ADVICE r6)
+    def withId(idStr: String)(f: Long => Unit): Unit =
+      idStr.toLongOption match {
+        case Some(id) => f(id)
+        case None => notFound(ex)
+      }
     (method, path) match {
-      case ("POST", "/api/collections/") => create(ex)
-      case ("POST", Action(id, "close")) => close(ex, id.toLong)
-      case ("DELETE", Detail(id)) => destroy(ex, id.toLong)
-      case ("GET", Action(id, "metadata")) => metadata(ex, id.toLong)
-      case ("GET", Action(id, "notes")) => notes(ex, id.toLong)
-      case ("GET", Action(id, "tree")) => tree(ex, id.toLong)
+      case ("POST", "/api/collections/") => create(ex, body)
+      case ("POST", Action(id, "close")) => withId(id)(close(ex, _, body))
+      case ("DELETE", Detail(id)) => withId(id)(destroy(ex, _))
+      case ("GET", Action(id, "metadata")) => withId(id)(metadata(ex, _))
+      case ("GET", Action(id, "notes")) => withId(id)(notes(ex, _))
+      case ("GET", Action(id, "tree")) => withId(id)(tree(ex, _))
+      // an existing route reached with the wrong verb is DRF's 405, not 404
+      case (m, "/api/collections/" | Detail(_)
+          | Action(_, "close" | "metadata" | "notes" | "tree")) =>
+        respond(ex, 405, obj(o => o.put("detail", s"""Method "$m" not allowed.""")))
       case _ => notFound(ex)
     }
+  }
 
   // --- handlers -----------------------------------------------------------
 
@@ -113,8 +125,7 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
     * collection and its planned derived collections, with the note saved on
     * each. Ids are allocated sequentially past the current maximum, like
     * the reference's serial PKs. */
-  private def create(ex: HttpExchange): Unit = lock.synchronized {
-    val body = readJson()
+  private def create(ex: HttpExchange, body: JsonNode): Unit = lock.synchronized {
     val missing = Seq("source_id", "data_version")
       .filter(k => !body.hasNonNull(k) || body.get(k).asText.isEmpty)
     if (missing.nonEmpty) {
@@ -181,11 +192,19 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
     * A missing expected-files stat defaults to 0 ON PURPOSE — that is the
     * reference's own behavior (`views.py:122` `.get(…, 0)`), and its
     * compiler likewise asserts when a "closed empty" collection turns out
-    * to have files (`compiler.py:184-191`); crawlers always send the stat. */
-  private def close(ex: HttpExchange, id: Long): Unit = lock.synchronized {
+    * to have files (`compiler.py:184-191`); crawlers always send the stat.
+    * Non-root and already-closed guards mirror the CLI's closecollection
+    * (ADVICE r6: a replayed close must not reset expected_files_count to 0
+    * on a collection that has files — 202 without mutation instead). */
+  private def close(ex: HttpExchange, id: Long, body: JsonNode): Unit = lock.synchronized {
     var plane = PlaneStore.load(lake)
     val c = plane.collections.getOrElse(id, { notFound(ex); return })
-    val body = readJson()
+    if (c.parent.nonEmpty) {
+      respond(ex, 400, Canonical.mapper.getNodeFactory
+        .textNode("The collection must be a root collection"))
+      return
+    }
+    if (c.storeEndAt.nonEmpty) { respond(ex, 202, null); return } // already closed
     val stats = Option(body.get("stats")).filter(_.isObject)
     val expected = stats.flatMap(s =>
       Option(s.get("kingfisher_process_expected_files_count")).filter(_.isNumber)
@@ -362,9 +381,6 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
   private def obj(fill: ObjectNode => Unit): ObjectNode = {
     val o = Canonical.mapper.createObjectNode(); fill(o); o
   }
-
-  private def readJson(): JsonNode =
-    parsedBody.getOrElse(Canonical.mapper.createObjectNode())
 
   private def queryParams(ex: HttpExchange, name: String): Set[String] =
     Option(ex.getRequestURI.getRawQuery).toSeq

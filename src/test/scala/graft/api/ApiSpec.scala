@@ -91,6 +91,13 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plane.collection(3L).storeEndAt.isEmpty) // the compiled child does not
 
     assert(send("POST", "/api/collections/99/close/", "{}").statusCode() == 404)
+
+    // a replayed close (no stats) is 202 WITHOUT mutation — it must not
+    // reset expected_files_count on an already-closed collection
+    assert(send("POST", "/api/collections/1/close/", "{}").statusCode() == 202)
+    assert(PlaneStore.load(lake).collection(1L).expectedFilesCount.contains(7))
+    // closing a derived collection is the CLI's root-only guard
+    assert(send("POST", "/api/collections/2/close/", "{}").statusCode() == 400)
   }
 
   test("notes: grouped [note, data] pairs per level, ?level= filtered; 400 off-root") {
@@ -170,8 +177,17 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().contains("JSON parse error"))
   }
 
-  test("unroutable paths and methods are 404") {
+  test("unroutable paths are 404; known routes with wrong verbs are DRF's 405") {
     assert(send("GET", "/api/collections/1/bogus/").statusCode() == 404)
-    assert(send("PUT", "/api/collections/1/", "{}").statusCode() == 404)
+    // wrong verb on an existing route: 405 with DRF's detail shape
+    val put = send("PUT", "/api/collections/1/", "{}")
+    assert(put.statusCode() == 405)
+    assert(Canonical.parse(put.body()).get("detail").asText
+      == "Method \"PUT\" not allowed.")
+    assert(send("DELETE", "/api/collections/1/close/").statusCode() == 405)
+    assert(send("GET", "/api/collections/", "").statusCode() == 405) // no list action
+    // an id exceeding Long is a well-formed URL matching no resource: 404,
+    // not a 500 from the overflowing parse
+    assert(send("GET", "/api/collections/99999999999999999999/tree/").statusCode() == 404)
   }
 }
