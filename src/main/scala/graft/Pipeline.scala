@@ -377,11 +377,24 @@ object Pipeline {
       "collection failed the compile gate")
     plane = Control.startCompilation(plane, compiledId)
       .getOrElse(throw new IllegalStateException("compilation already started"))
+    // Bucket once at the compile boundary, compile with ZERO exchanges:
+    // `writeFacts` already ocid-clustered the lake files at load, so this
+    // write re-materializes that distribution WITH catalog metadata, and
+    // the co-located compile (plan-asserted in PipelineSpec/SinkSpec) then
+    // satisfies its grouping from the bucketed scan — no shuffle in the
+    // compile itself, and the bucketed artifact serves every later
+    // recompile or per-ocid analytic pass shuffle-free (S7's
+    // bucket-once-compile-many warehouse shape). Bucket count mirrors the
+    // local shuffle parallelism; a cluster deployment sizes it like
+    // spark.sql.shuffle.partitions.
     val baseFacts = Sink.readFacts(spark, s"$lakeDir/release")
       .filter(col("collection_id") === compileBaseId)
-    val compileOut = Compile.summariesAndWarnings(
+    val tbl = bucketedCompileTable(lakeDir)
+    Sink.writeFactsBucketed(
       baseFacts.select(col("ocid"), col("release_date").as("date"),
-        col("release_id").as("tiebreak"), col("data").as("release")), spark)
+        col("release_id").as("tiebreak"), col("data").as("release")),
+      tbl, buckets = 32)
+    val compileOut = Compile.summariesAndWarningsCoLocated(spark.table(tbl), spark)
       .toDF()
       .persist()
     val compiled = compileOut.filter(col("summary").isNotNull)
@@ -433,6 +446,12 @@ object Pipeline {
 
     CompileStage(compiledId, nCompiled, checkFailures, nNotes, plane)
   }
+
+  /** The session-catalog name of a lake's ocid-bucketed compile-input
+    * table — one per lake directory, rebuilt by [[compileAndFinish]] and
+    * reusable shuffle-free by any later per-ocid pass. */
+  def bucketedCompileTable(lakeDir: String): String =
+    "graft_compile_in_" + graft.ocds.Canonical.md5hex(lakeDir).take(12)
 
   /** Record-package finish: the per-ocid compiles already ran during load
     * ([[loadRecordBatch]]); what remains is V1 structural checks of the

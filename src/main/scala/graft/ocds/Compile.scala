@@ -184,6 +184,28 @@ object Compile {
       }
   }
 
+  /** [[summariesAndWarnings]] through the distribution framework, like
+    * [[summariesCoLocated]]: over a bucketed input the WHOLE one-pass
+    * compile (summaries + warning side-output together) runs with zero
+    * exchanges; over a plain input Catalyst inserts the same single ocid
+    * shuffle. In-group order and results are identical to the explicit-
+    * repartition form ([[sparkStringOrdering]]). */
+  def summariesAndWarningsCoLocated(releases: DataFrame, s: SparkSession): Dataset[CompileOut] = {
+    import s.implicits._
+    implicit val pairOrd: Ordering[(String, String)] =
+      Ordering.Tuple2(sparkStringOrdering, sparkStringOrdering)
+    releases
+      .select(col("ocid").cast("string"), col("date").cast("string"),
+        col("tiebreak").cast("string"), col("release"))
+      .groupBy(col("ocid")).as[String, (String, String, String, String)]
+      .flatMapGroups { (ocid, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        val res = Merge.compile(ocid, sorted.map(_._4))
+        summarize(ocid, sorted.size, res).map(x => CompileOut(Some(x), None)) ++
+          res.warnings.map(w => CompileOut(None, Some(toWarningRow(ocid, w))))
+      }
+  }
+
   /** One extension-ruled compiled process (A8 output row). */
   final case class ExtSummary(ocid: String, n_parties: Long, n_extensions: Long)
 

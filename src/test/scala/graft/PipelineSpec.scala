@@ -58,6 +58,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(compiled.filter(col("ocid") === "ocds-a")
       .select("n_releases").collect().head.getLong(0) === 2L)
 
+    // the compile stage ran CO-LOCATED off the ocid-bucketed compile-input
+    // table it materialized: the same plan re-built over that table shows
+    // ZERO exchanges (the shuffle-free warehouse shape, VERDICT r6 #5)
+    val tbl = Pipeline.bucketedCompileTable(lake)
+    assert(s.catalog.tableExists(tbl))
+    val compilePlan = graft.ocds.Compile
+      .summariesAndWarningsCoLocated(s.table(tbl), s)
+      .queryExecution.executedPlan.toString
+    assert(!compilePlan.contains("Exchange"), s"unexpected shuffle:\n$compilePlan")
+
     // and the wipe removes the whole tree from the written layout
     import s.implicits._
     val colls = Seq(
