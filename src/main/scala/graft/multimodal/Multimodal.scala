@@ -20,12 +20,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * containers to PCM with zero external dependencies, so an audio payload
   * reports its true sample-frame count and channel count, and its "frames"
   * are blocks of the DECODED PCM stream, not the container bytes
-  * (MultimodalSpec round-trips a generated WAV). Only VIDEO remains a
-  * deterministic stub — the JDK genuinely has no video codecs and this
-  * container has no external ones — deriving fake properties from the
-  * bytes (first/last byte → dimensions, 256-byte blocks → frames).
-  * Swapping in a real video codec changes only the body of `decode`; the
-  * schema, partitioning, batch shape and query wiring don't move.
+  * (MultimodalSpec round-trips a generated WAV). The VIDEO leg parses
+  * true CONTAINER metadata in pure JVM — MP4 `moov/trak/tkhd` dimensions
+  * and `stts` frame count, AVI `avih` dimensions and dwTotalFrames
+  * (MultimodalSpec round-trips generated MP4/AVI fixtures) — while pixel
+  * DECODE remains a deterministic stub: the JDK genuinely has no video
+  * codecs and this container has no external ones, so "frames" are byte
+  * blocks with the container's declared count carried alongside. Swapping
+  * in a real codec changes only the frame extraction; the schema,
+  * partitioning, batch shape and query wiring don't move.
   */
 object Multimodal {
 
@@ -34,8 +37,13 @@ object Multimodal {
 
   /** Decoded media: kind/dimensions + byte-block "frames". Dimensions are
     * kind-dependent: image → pixel width/height; audio → sample-frame
-    * count/channel count (the natural "extent × depth" of a PCM stream). */
-  final case class Decoded(kind: String, width: Long, height: Long, frames: Seq[Array[Byte]])
+    * count/channel count (the natural "extent × depth" of a PCM stream);
+    * video → container-declared pixel width/height. `nFrames` overrides
+    * the sampled-block count when the CONTAINER declares a true frame
+    * count (video stts/avih) that the frame sampler cannot see. */
+  final case class Decoded(
+      kind: String, width: Long, height: Long, frames: Seq[Array[Byte]],
+      nFrames: Option[Long] = None)
 
   /** One document's extracted features (the query/output row). */
   final case class FeatureRow(
@@ -47,7 +55,8 @@ object Multimodal {
     * either way. */
   def decode(bytes: Array[Byte]): Decoded = {
     require(bytes.nonEmpty, "empty payload")
-    decodeImage(bytes).orElse(decodeAudio(bytes)).getOrElse(fakeDecode(bytes))
+    decodeImage(bytes).orElse(decodeAudio(bytes)).orElse(decodeVideo(bytes))
+      .getOrElse(fakeDecode(bytes))
   }
 
   /** Magic-byte sniff: PNG / GIF / BMP / JPEG — the formats the JDK's
@@ -122,7 +131,142 @@ object Multimodal {
         } finally raw.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** VIDEO STUB (and non-media fallback) — deterministic fake
+  /** Magic-byte sniff: MP4-family ISO BMFF (an `ftyp` box at offset 4) or
+    * RIFF AVI. RIFF/WAVE is claimed by the audio sniff first, so order in
+    * [[decode]] keeps the two RIFF families apart. */
+  def looksLikeVideo(b: Array[Byte]): Boolean =
+    (b.length > 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p') ||
+      (b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' ')
+
+  /** The video METADATA leg: true container-declared properties parsed in
+    * pure JVM — MP4 `moov/trak/tkhd` 16.16-fixed width/height and the
+    * track's `stts` sample-count sum; AVI `hdrl/avih` dwWidth/dwHeight and
+    * dwTotalFrames. No JDK video CODEC exists, so pixel DECODE stays out of
+    * reach (the honest stub boundary shrinks to frame pixels only); the
+    * "frames" remain the byte-block walk, with the container's frame count
+    * carried alongside. None on non-video magic or a corrupt container →
+    * stub fallback, the same total-function contract as image/audio. */
+  def decodeVideo(bytes: Array[Byte]): Option[Decoded] =
+    if (!looksLikeVideo(bytes)) None
+    else
+      try {
+        val meta = if (bytes(0) == 'R') aviMeta(bytes) else mp4Meta(bytes)
+        meta.map { case (w, h, n) =>
+          Decoded("video", w, h, frameSample(bytes, 1), nFrames = Some(n))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def le32(b: Array[Byte], off: Int): Long =
+    ((b(off + 3) & 0xffL) << 24) | ((b(off + 2) & 0xffL) << 16) |
+      ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+
+  /** ISO BMFF box walk over `[start, end)`: yields (type, payloadStart,
+    * payloadEnd). Defensive: malformed sizes terminate the walk instead of
+    * looping or over-reading. */
+  private def mp4Boxes(b: Array[Byte], start: Int, end: Int): Iterator[(String, Int, Int)] =
+    new Iterator[(String, Int, Int)] {
+      private var pos = start
+      def hasNext: Boolean = pos + 8 <= end
+      def next(): (String, Int, Int) = {
+        val size0 = be32(b, pos)
+        val tpe = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        var payload = pos + 8
+        val boxEnd =
+          if (size0 == 0) end // "to end of file"
+          else if (size0 == 1) { // 64-bit largesize
+            if (pos + 16 > end) { pos = end; return (tpe, end, end) }
+            val hi = be32(b, pos + 8); val lo = be32(b, pos + 12)
+            payload = pos + 16
+            val sz = (hi << 32) | lo
+            if (sz < 16 || pos + sz > end) end else (pos + sz).toInt
+          } else if (size0 < 8 || pos + size0 > end) end
+          else (pos + size0).toInt
+        pos = boxEnd
+        (tpe, payload, boxEnd)
+      }
+    }
+
+  private def mp4Find(b: Array[Byte], start: Int, end: Int, tpe: String): Option[(Int, Int)] =
+    mp4Boxes(b, start, end).collectFirst { case (`tpe`, s, e) => (s, e) }
+
+  /** MP4 (width, height, frames): tkhd width/height per trak (16.16 fixed
+    * point), stts sample-count sum per trak; the first trak with a nonzero
+    * width wins (audio traks declare 0×0), else the first trak. */
+  private def mp4Meta(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    val (moovS, moovE) = mp4Find(b, 0, b.length, "moov").getOrElse(return None)
+    val traks = mp4Boxes(b, moovS, moovE).collect { case ("trak", s, e) => (s, e) }.toSeq
+    val metas = traks.flatMap { case (ts, te) =>
+      mp4Find(b, ts, te, "tkhd").flatMap { case (hs, he) =>
+        if (hs >= he) None
+        else {
+          val version = b(hs) & 0xff
+          // offset of the 16.16 width field from the tkhd payload start
+          // (version+flags included; v1 widens times/duration to 64-bit):
+          // v0 = 4+4+4+4+4+4+8+2+2+2+2+36 = 76, v1 = 4+8+8+4+4+8+8+8+36 = 88
+          val wOff = hs + (if (version == 1) 88 else 76)
+          if (wOff + 8 > he) None
+          else {
+            val w = be32(b, wOff) >> 16
+            val h = be32(b, wOff + 4) >> 16
+            val frames = (for {
+              (ms, me) <- mp4Find(b, ts, te, "mdia")
+              (ns, ne) <- mp4Find(b, ms, me, "minf")
+              (ss, se) <- mp4Find(b, ns, ne, "stbl")
+              (ps, pe) <- mp4Find(b, ss, se, "stts")
+            } yield {
+              if (ps + 8 > pe) 0L
+              else {
+                val entries = be32(b, ps + 4)
+                var sum = 0L
+                var i = 0
+                while (i < entries && ps + 8 + i * 8 + 8 <= pe) {
+                  sum += be32(b, ps + 8 + i * 8)
+                  i += 1
+                }
+                sum
+              }
+            }).getOrElse(0L)
+            Some((w, h, frames))
+          }
+        }
+      }
+    }
+    metas.find(_._1 > 0).orElse(metas.headOption)
+  }
+
+  /** AVI (width, height, frames) from the `avih` main header (all fields
+    * little-endian): dwTotalFrames at +16, dwWidth/dwHeight at +32/+36. */
+  private def aviMeta(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    // RIFF chunk walk: [fourcc][size LE][data, even-padded]; LIST chunks
+    // carry a 4-byte subtype then children
+    def findAvih(start: Int, end: Int, depth: Int): Option[Int] = {
+      if (depth > 4) return None
+      var pos = start
+      while (pos + 8 <= end) {
+        val fourcc = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(b, pos + 4)
+        if (size < 0 || pos + 8 + size > end) return None
+        if (fourcc == "avih") return Some(pos + 8)
+        if (fourcc == "LIST" && size >= 4) {
+          val found = findAvih(pos + 12, (pos + 8 + size).toInt, depth + 1)
+          if (found.nonEmpty) return found
+        }
+        pos += (8 + size + (size % 2)).toInt
+      }
+      None
+    }
+    findAvih(12, b.length, 0).flatMap { p =>
+      if (p + 40 > b.length) None
+      else Some((le32(b, p + 32), le32(b, p + 36), le32(b, p + 16)))
+    }
+  }
+
+  /** VIDEO-PIXEL STUB (and non-media fallback) — deterministic fake
     * properties from the bytes. */
   def fakeDecode(bytes: Array[Byte]): Decoded = {
     val b0 = bytes.head & 0xff
@@ -168,7 +312,8 @@ object Multimodal {
           val (tw, th) = resize(d.width, d.height, ThumbMax)
           FeatureRow(
             id, d.kind, d.width, d.height,
-            d.frames.size.toLong, hex(md.digest(d.frames.head)), tw, th)
+            d.nFrames.getOrElse(d.frames.size.toLong),
+            hex(md.digest(d.frames.head)), tw, th)
         }
       }
   }

@@ -143,4 +143,81 @@ class MultimodalSpec extends AnyFunSuite {
     assert((row.kind, row.width, row.height) === ("audio", 300L, 1L))
     assert(row.n_frames === 3L) // 600 PCM bytes → 3 blocks
   }
+
+  // --- video container fixtures ------------------------------------------
+
+  private def be(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+
+  private def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be(body.length + 8) ++ tpe.getBytes("US-ASCII") ++ body
+  }
+
+  /** A minimal but structurally true MP4: ftyp + moov(trak(tkhd v0 with
+    * 16.16 dims, mdia/minf/stbl/stts with two runs of samples)). */
+  private def mp4Bytes(w: Int, h: Int): Array[Byte] = {
+    val tkhd = {
+      val p = new Array[Byte](84) // v0 payload: width at 76, height at 80
+      System.arraycopy(be(w << 16), 0, p, 76, 4)
+      System.arraycopy(be(h << 16), 0, p, 80, 4)
+      box("tkhd", p)
+    }
+    // stts: version/flags, entry_count=2, runs of 24 + 18 samples
+    val stts = box("stts", be(0), be(2), be(24), be(1000), be(18), be(500))
+    val trak = box("trak", tkhd, box("mdia", box("minf", box("stbl", stts))))
+    box("ftyp", "isom".getBytes("US-ASCII"), be(0)) ++ box("moov", trak)
+  }
+
+  test("decode reads real MP4 container metadata: tkhd dims + stts frame count") {
+    val d = Multimodal.decode(mp4Bytes(320, 240))
+    assert((d.kind, d.width, d.height) === ("video", 320L, 240L))
+    assert(d.nFrames === Some(42L)) // 24 + 18 from the two stts runs
+  }
+
+  private def le(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  /** A minimal RIFF AVI: hdrl LIST with the avih main header (56 bytes,
+    * all little-endian). */
+  private def aviBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    val avihBody = new Array[Byte](56)
+    System.arraycopy(le(frames), 0, avihBody, 16, 4) // dwTotalFrames
+    System.arraycopy(le(w), 0, avihBody, 32, 4) // dwWidth
+    System.arraycopy(le(h), 0, avihBody, 36, 4) // dwHeight
+    val avih = "avih".getBytes("US-ASCII") ++ le(56) ++ avihBody
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le(4 + avih.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avih
+    "RIFF".getBytes("US-ASCII") ++ le(4 + hdrl.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl
+  }
+
+  test("decode reads real AVI container metadata: avih dims + total frames") {
+    val d = Multimodal.decode(aviBytes(640, 480, 99))
+    assert((d.kind, d.width, d.height) === ("video", 640L, 480L))
+    assert(d.nFrames === Some(99L))
+  }
+
+  test("corrupt video magic falls back to the deterministic stub") {
+    def sig(d: Multimodal.Decoded) = (d.kind, d.width, d.height, d.nFrames)
+    // ftyp magic but no moov box anywhere
+    val fakeMp4 = be(16) ++ "ftyp".getBytes("US-ASCII") ++ new Array[Byte](300)
+    assert(sig(Multimodal.decode(fakeMp4)) === sig(Multimodal.fakeDecode(fakeMp4)))
+    // AVI magic but truncated before any header
+    val fakeAvi = ("RIFF" + "xxxx" + "AVI " + "xtra").getBytes("ISO-8859-1")
+    assert(sig(Multimodal.decode(fakeAvi)) === sig(Multimodal.fakeDecode(fakeAvi)))
+  }
+
+  test("features() reports container frame counts for video payloads") {
+    val s = graft.SparkSuite.spark
+    import s.implicits._
+    val docs = Seq((1L, mp4Bytes(128, 96)), (2L, aviBytes(320, 200, 7)))
+      .toDF("doc_id", "content")
+    val rows = Multimodal.features(docs, s).collect().sortBy(_.doc_id)
+    assert((rows(0).kind, rows(0).width, rows(0).height, rows(0).n_frames)
+      === ("video", 128L, 96L, 42L))
+    assert((rows(1).kind, rows(1).width, rows(1).height, rows(1).n_frames)
+      === ("video", 320L, 200L, 7L))
+  }
 }
