@@ -3,12 +3,20 @@ import org.apache.spark.sql.SparkSession
 
 /** Bench harness: one JSON line `{"metric":"total",...,"queries":{...}}`.
   *
-  * Measurement hygiene (VERDICT r2 §Performance):
+  * Measurement hygiene (VERDICT r2 §Performance; r6 #6):
   *  - materializes via the `noop` sink, not `count()` — count() lets
   *    Catalyst prune away projected column computation, under-measuring
   *    projection-only queries;
-  *  - one warm-up run (JIT + codegen + parquet footer cache), then
-  *    median of 3 timed runs per query;
+  *  - one warm-up PASS over every query (JIT + codegen + parquet footer
+  *    cache), then 3 INTERLEAVED timed passes reporting the per-query
+  *    MINIMUM. Back-to-back repetitions of one query share any transient
+  *    (a GC storm, the async ContextCleaner draining a previous query's
+  *    shuffle) and r6 showed 3-4× phantom "regressions" from exactly
+  *    that; spreading a query's repetitions across the whole run makes
+  *    its min robust to transients, and min (not median) is the
+  *    noise-model-correct statistic when the noise is strictly additive;
+  *  - the cache is cleared between passes so no query's persisted frames
+  *    leak memory pressure into the next pass;
   *  - a failing query is LOUD: it reports -1 in `queries`, its message in
   *    `errors`, and never contributes a fast-looking time (the r2 silent
   *    catch made a crash masquerade as a 100× speedup).
@@ -43,20 +51,26 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t =
+    val names = selected.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def record(name: String, e: Throwable): Unit = {
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()
+      errors(name) = msg.take(300)
+      System.err.println(s"[bench] FAILED $name: $msg")
+    }
+    // pass 0: warm-up (untimed); passes 1-3: interleaved, keep the min
+    for (pass <- 0 to 3) {
+      for ((name, fn) <- names if !errors.contains(name)) {
         try {
-          once(fn) // warm-up (not timed against the median)
-          val runs = Seq.fill(3)(once(fn)).sorted
-          runs(1)
-        } catch {
-          case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next()
-            errors(name) = msg.take(300)
-            System.err.println(s"[bench] FAILED $name: $msg")
-            -1.0
-        }
-      name -> t
+          val t = once(fn)
+          if (pass > 0)
+            best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        } catch { case e: Throwable => record(name, e) }
+      }
+      spark.catalog.clearCache()
+    }
+    val results = names.map { case (name, _) =>
+      name -> (if (errors.contains(name)) -1.0 else best(name))
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
