@@ -23,6 +23,17 @@ import graft.ocds.{Canonical, Metadata}
   * multi-process concurrent writers would put the plane behind a
   * CAS-capable store, PlaneJson's documented contract).
   *
+  * With `landingRoot` set, the API also drives the Collect-style ingest
+  * loop (SURVEY §3.2) end-to-end: `create` allocates a per-collection
+  * landing directory (returned as `landing_dir` — the engine-native form
+  * of the reference's shared FILES_STORE the crawler writes into), the
+  * crawler lands package files there, and `close` DRAINS the directory
+  * through [[graft.streaming.Streaming.releaseLoadStream]] (the
+  * api_loader + file_worker dataflow, checkpointed and exactly-once) and
+  * then runs the compile → check → finalize chain inline once the close
+  * latch releases the gate — so a metadata GET right after close reflects
+  * the compiled counts, with no worker fleet.
+  *
   * Routes (DRF `SimpleRouter` layout):
   *   POST   /api/collections/                create root [+upgraded] [+compiled]
   *   POST   /api/collections/{id}/close/     latch store_end_at + expected files
@@ -40,7 +51,9 @@ import graft.ocds.{Canonical, Metadata}
   * 400 field errors `{"field": ["This field is required."]}`, 400 guard
   * failures as a bare JSON string.
   */
-final class Api(spark: SparkSession, lake: String, port: Int = 0) {
+final class Api(
+    spark: SparkSession, lake: String, port: Int = 0,
+    landingRoot: Option[String] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val lock = new Object
@@ -184,6 +197,11 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
         .foreach(c => o.put("upgraded_collection_id", c.id))
       created.find(_.transformType.contains(Control.Transform.CompileReleases))
         .foreach(c => o.put("compiled_collection_id", c.id))
+      landingRoot.foreach { root =>
+        val dir = java.nio.file.Paths.get(root, s"collection_$rootId", "landing")
+        java.nio.file.Files.createDirectories(dir)
+        o.put("landing_dir", dir.toString)
+      }
     })
   }
 
@@ -205,6 +223,23 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
       return
     }
     if (c.storeEndAt.nonEmpty) { respond(ex, 202, null); return } // already closed
+    // ingest mode: drain everything the crawler landed through the
+    // checkpointed streaming loader BEFORE latching — the api_loader +
+    // file_worker work the reference would have finished by close time
+    landingRoot.foreach { root =>
+      val dir = java.nio.file.Paths.get(root, s"collection_$id", "landing")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val upgradedId = plane.collections.values
+          .find(k => k.parent.contains(id) &&
+            k.transformType.contains(Control.Transform.Upgrade1011)).map(_.id)
+        val ref = new java.util.concurrent.atomic.AtomicReference(plane)
+        graft.streaming.Streaming.releaseLoadStream(
+          spark, dir.toString, lake, id, upgradedId, ref,
+          java.nio.file.Paths.get(root, s"collection_$id", "ckpt").toString)
+          .awaitTermination()
+        plane = ref.get()
+      }
+    }
     val stats = Option(body.get("stats")).filter(_.isObject)
     val expected = stats.flatMap(s =>
       Option(s.get("kingfisher_process_expected_files_count")).filter(_.isNumber)
@@ -226,6 +261,23 @@ final class Api(spark: SparkSession, lake: String, port: Int = 0) {
       Sink.writeByCollection(
         noteRows.toDF("collection_id", "code", "note", "data"),
         s"$lake/collection_note")
+    }
+    // ingest mode: the close latch just released the compile gate — run
+    // the compiler → checker → finisher worker chain inline (the work the
+    // reference's collection_closed message triggers), but only when the
+    // tree plans a compile, files actually landed, and the gate holds
+    // (expected > actual means announced files are still in flight)
+    landingRoot.foreach { _ =>
+      val base = plane.collections.values
+        .find(k => k.parent.contains(id) &&
+          k.transformType.contains(Control.Transform.Upgrade1011))
+        .getOrElse(plane.collection(id))
+      if (plane.compiledChild(base).nonEmpty && plane.filesOf(id).nonEmpty &&
+          Control.compilable(plane, base)) {
+        val stage = graft.Pipeline.compileAndFinish(spark, lake, plane, id, nowUtc())
+        plane = stage.plane
+        PlaneStore.save(lake, plane)
+      }
     }
     respond(ex, 202, null)
   }

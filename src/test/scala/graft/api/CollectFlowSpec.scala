@@ -85,4 +85,54 @@ class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
       HttpResponse.BodyHandlers.ofString())
     assert(Canonical.parse(md.body()).get("ocid_prefix").asText.startsWith("ocds-c"))
   }
+
+  test("ingest mode: the API itself drives create → land → close → compiled metadata") {
+    // a second Api wired with a landing root: the whole §3.2 loop runs
+    // over HTTP with the API managing the streaming loader + compile
+    val lake2 = Files.createTempDirectory("graft-ingest-lake").toString
+    val root = Files.createTempDirectory("graft-ingest-landing").toString
+    val api2 = new Api(s, lake2, landingRoot = Some(root))
+    api2.start()
+    try {
+      def post2(path: String, body: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api2.boundPort}$path"))
+            .method("POST", HttpRequest.BodyPublishers.ofString(body))
+            .header("Content-Type", "application/json").build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      val created = Canonical.parse(post2("/api/collections/",
+        """{"source_id": "ingest_spider", "data_version": "2020-03-01 00:00:00",
+          | "compile": true}""".stripMargin).body())
+      val rootId = created.get("collection_id").asLong
+      val compiledId = created.get("compiled_collection_id").asLong
+      val landing = created.get("landing_dir").asText
+      assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(landing)))
+
+      // the crawler lands its files — no further API calls needed
+      Files.writeString(java.nio.file.Paths.get(landing, "p1.json"), pkg("ocds-i1", "a1"))
+      Files.writeString(java.nio.file.Paths.get(landing, "p2.json"), pkg("ocds-i2", "a2"))
+
+      // close drains the landing dir through the streaming loader, latches,
+      // and runs compile/check/finalize off the released gate
+      val close = post2(s"/api/collections/$rootId/close/",
+        """{"reason": "finished",
+          | "stats": {"kingfisher_process_expected_files_count": 2}}""".stripMargin)
+      assert(close.statusCode() == 202)
+
+      val plane = PlaneStore.load(lake2)
+      assert(plane.filesOf(rootId).size === 2)
+      assert(plane.collection(rootId).completedAt.nonEmpty)
+      assert(plane.collection(compiledId).completedAt.nonEmpty)
+      assert(plane.collection(compiledId).cachedCompiledReleasesCount.contains(2L))
+
+      // metadata over HTTP reflects the compiled counts immediately
+      val md = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${api2.boundPort}/api/collections/$compiledId/metadata/"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(Canonical.parse(md.body()).get("ocid_prefix").asText.startsWith("ocds-i"))
+    } finally api2.stop()
+  }
 }
