@@ -262,6 +262,118 @@ object VectorQueries {
       .limit(10)
   }
 
+  // ---- trained IVF (q_ann_ivf_kmeans) --------------------------------------
+
+  /** Deterministic SPHERICAL k-means over a hash-sample of the embeddings —
+    * the trained upgrade of the sign-bit coarse quantizer. Spherical
+    * because the retrieval metric is COSINE: every vector is L2-normalized
+    * before training/assignment and every centroid is renormalized after
+    * its mean update, so nearest-centroid-by-dot partitions by direction —
+    * the geometry the query's top-k lives in (plain L2 k-means on
+    * unnormalized data splits by magnitude and strands cosine neighbors;
+    * measured recall 0.0 on this table). Design for scale AND determinism:
+    *  - TRAIN on the `vec_id % 11 == 0` sample (training cost is a few
+    *    bounded scans of ~9% of the table; assignment — the per-row work —
+    *    still covers every row via a broadcast centroid array);
+    *  - init = the k lowest-vec_id sample vectors (no RNG), `iters` FIXED
+    *    Lloyd iterations, max-dot assignment with lowest-index tie-break;
+    *  - per-cell sums accumulate in FIXED-POINT longs (value × 2^40,
+    *    rounded once per element): long addition is exact and commutative,
+    *    so the centroids — and therefore every cell assignment — are
+    *    bit-identical across partitionings and cluster sizes, where a
+    *    double accumulator would drift with partition order. Magnitudes:
+    *    normalized elements are ≤ 1, so n ≤ ~10^7 sample rows keeps sums
+    *    < 2^63 with room to spare. */
+  private[graft] def trainCentroids(
+      emb: DataFrame, s: SparkSession, k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
+    import s.implicits._
+    val sample = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    var centroids: Array[Array[Double]] = sample.orderBy("vec_id").limit(k)
+      .collect().map(r => renorm(r._2.map(_.toDouble).toArray))
+    val Scale = 1L << 40
+    for (_ <- 0 until iters) {
+      val bc = s.sparkContext.broadcast(centroids)
+      // one narrow pass: per-partition fixed-point sums per cell, k rows out
+      val partials = sample.mapPartitions { it =>
+        val cs = bc.value
+        val acc = Array.fill(cs.length)(new Array[Long](Dim + 1))
+        it.foreach { case (_, v) =>
+          val u = unit(v)
+          val c = nearestCell(cs, u)
+          var i = 0
+          while (i < Dim) {
+            acc(c)(i) += math.rint(u(i) * Scale).toLong
+            i += 1
+          }
+          acc(c)(Dim) += 1L
+        }
+        acc.iterator.zipWithIndex.map { case (a, ci) => (ci, a) }
+      }
+      val totals = partials
+        .groupByKey(_._1)
+        .reduceGroups { (x, y) =>
+          val a = x._2; val b = y._2
+          val out = new Array[Long](Dim + 1)
+          var i = 0
+          while (i <= Dim) { out(i) = a(i) + b(i); i += 1 }
+          (x._1, out)
+        }
+        .map { case (ci, (_, a)) => (ci, a) }
+        .collect()
+      val next = centroids.map(_.clone())
+      totals.foreach { case (ci, a) =>
+        val n = a(Dim)
+        if (n > 0) // an empty cell keeps its old centroid
+          next(ci) = renorm(Array.tabulate(Dim)(i => a(i).toDouble / Scale / n))
+      }
+      bc.destroy()
+      centroids = next
+    }
+    centroids
+  }
+
+  /** The vector L2-normalized (fixed summation order → deterministic);
+    * returned unscaled when the norm is 0. */
+  private def unit(v: Seq[Float]): Array[Double] = {
+    val out = new Array[Double](Dim)
+    var i = 0
+    while (i < Dim) { out(i) = v(i).toDouble; i += 1 }
+    renorm(out)
+  }
+
+  private def renorm(v: Array[Double]): Array[Double] = {
+    var n2 = 0.0
+    var i = 0
+    while (i < Dim) { n2 += v(i) * v(i); i += 1 }
+    if (n2 == 0.0) v
+    else {
+      val inv = 1.0 / math.sqrt(n2)
+      val out = new Array[Double](Dim)
+      i = 0
+      while (i < Dim) { out(i) = v(i) * inv; i += 1 }
+      out
+    }
+  }
+
+  /** Index of the max-dot (= nearest unit-sphere) centroid for a UNIT
+    * vector, lowest index on ties. Fixed in-row summation order →
+    * deterministic per (centroids, u). */
+  private[graft] def nearestCell(cs: Array[Array[Double]], u: Array[Double]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val ctr = cs(c)
+      var d = 0.0
+      var i = 0
+      while (i < Dim) { d += u(i) * ctr(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** The IVF oracle with the probe predicate injected (`c` = candidate
     * cells row, `q` = query row with qcell). */
   private def ivfOracleSql(probePred: String): String =
@@ -384,6 +496,52 @@ object VectorQueries {
         "near-boundary spill targets) — 5/16 of the table probed, recall between " +
         "single-probe and brute force; oracle selects the same probe set via " +
         "bit_count(xor(cell, qcell)) <= 1"),
+
+    QueryDef(
+      "q_ann_ivf_kmeans", Seq("A5", "O5", "J2"),
+      (s, d) => {
+        // TRAINED IVF: deterministic k-means centroids (sample-trained,
+        // fixed-point-exact sums) replace the sign-bit quantizer; probe =
+        // the query's Voronoi cell, exact decimal scoring inside it — the
+        // same single-probe contract as q_ann_ivf with a data-adapted
+        // partition. k-means training is iterative and not SQL-expressible,
+        // so this query has no DuckDB oracle (driver records the weaker
+        // rows-only check); AnnRecallSpec gates its quality instead:
+        // trained single-probe recall must dominate the deterministic
+        // quantizer's at equal probe count. At 100 TB the trained cell id
+        // is the partition key exactly like the deterministic one.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val centroids = trainCentroids(emb, s)
+        val bc = s.sparkContext.broadcast(centroids)
+        val cells = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+          .mapPartitions { it =>
+            val cs = bc.value
+            it.map { case (id, v) => (id, v, nearestCell(cs, unit(v))) }
+          }
+          .toDF("vec_id", "embedding", "cell")
+        val q0 = cells.filter(col("vec_id") === 0)
+          .withColumn("norm_dec", dotDec(col("embedding"), col("embedding")))
+        cells.filter(col("vec_id") =!= 0)
+          .join(
+            broadcast(q0.select(col("embedding").as("qe"), col("cell").as("qcell"),
+              col("norm_dec").as("qnorm_dec"))),
+            col("cell") === col("qcell"))
+          .select(
+            col("vec_id"),
+            cosineCol(
+              dotDec(col("embedding"), col("qe")),
+              dotDec(col("embedding"), col("embedding")),
+              col("qnorm_dec")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      None,
+      "Trained-IVF ANN: deterministic sample-trained k-means centroids (fixed-point-" +
+        "exact sums, no RNG), single-probe of the query's Voronoi cell, exact decimal " +
+        "scoring — not SQL-expressible (iterative training), so quality is gated by " +
+        "AnnRecallSpec's recall ladder instead of a DuckDB oracle"),
 
     QueryDef(
       "q_neardup_embedding", Seq("J1", "A5", "A2"),

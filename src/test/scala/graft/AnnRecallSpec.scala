@@ -37,4 +37,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rMulti >= 0.4, "multi-probe should find a usable share of the true top-10")
     assert(rSingle >= 0.1, "the query's own cell should hold some true neighbors")
   }
+
+  test("trained k-means IVF recall@10 dominates the deterministic quantizer at equal probes") {
+    val exact = top10("q_ann_bruteforce")
+    val detSingle = top10("q_ann_ivf")
+    val trained = top10("q_ann_ivf_kmeans")
+    val rDet = (exact & detSingle).size / 10.0
+    val rTrained = (exact & trained).size / 10.0
+    info(f"recall@10 deterministic=$rDet%.1f k-means=$rTrained%.1f (1 probe each)")
+    // the trained Voronoi partition adapts to the data where the sign
+    // quantizer cannot — at the SAME probe count (1 cell) it must never
+    // do worse, and on this table it should find a usable share outright
+    assert(rTrained >= rDet,
+      "a trained quantizer losing to sign bits at equal probes is a training bug")
+    assert(rTrained >= 0.3, "the query's Voronoi cell should hold true neighbors")
+  }
 }
