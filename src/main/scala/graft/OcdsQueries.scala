@@ -388,6 +388,87 @@ object OcdsQueries {
       "Record-compile decision tree (record_compiler.py:78-143): classification counts (A9), linked-release predicate (F12), in-group date sort (O2), fallback order; oracle replays the tree relationally"),
 
     QueryDef(
+      "q_record_elect", Seq("A9", "W2", "O2", "A7", "S7"),
+      (s, d) => {
+        // the BATCH record-compile engine of the load pipeline
+        // (Compile.recordSummariesAndNotes; file_worker record routing +
+        // record_compiler election): one record per event, several records
+        // per ocid — the engine elects the FIRST in (filename, record_seq)
+        // order, warns "OCID … occurs N times." on duplicates, and
+        // decision-trees the elected record (all dated here → merged).
+        // Oracle replays the election with a window row_number and builds
+        // the same summary + warning rows relationally.
+        val u = col("user_id")
+        val eid = col("event_id").cast(StringType)
+        val ocid = concat(lit("ocds-"), u)
+        val dstr = lpad(col("ts_us").cast(StringType), 20, "0")
+        val k = get_json_object(col("props"), "$.k").cast(LongType)
+        val recs = Tables.events(s, d).select(
+          ocid.as("ocid"),
+          eid.as("filename"),
+          lit(0L).as("record_seq"),
+          to_json(struct(
+            ocid.as("ocid"),
+            array(struct(
+              dstr.as("date"), eid.as("id"), ocid.as("ocid"),
+              array(lit("tender")).as("tag"),
+              struct(col("event_type").as("status"),
+                struct(k.as("amount")).as("value")).as("tender"))).as("releases")))
+            .as("record"))
+        val out = Compile.recordSummariesAndNotes(recs, s).toDF()
+        val sums = out.filter(col("summary").isNotNull).select(
+          lit("summary").as("kind"),
+          col("summary.ocid").as("ocid"),
+          col("summary.compiled_id").as("text"),
+          col("summary.max_date").as("max_date"),
+          col("summary.tender_status").as("tender_status"),
+          col("summary.tender_amount").as("tender_amount"),
+          col("summary.n_releases").as("n_releases"))
+        val notes = out.filter(col("note").isNotNull).select(
+          col("note.code").as("kind"),
+          lit(null).cast(StringType).as("ocid"),
+          col("note.note").as("text"),
+          lit(null).cast(StringType).as("max_date"),
+          lit(null).cast(StringType).as("tender_status"),
+          lit(null).cast(DoubleType).as("tender_amount"),
+          lit(null).cast(LongType).as("n_releases"))
+        sums.unionByName(notes).orderBy("kind", "text")
+      },
+      Some("""WITH recs AS (
+                SELECT 'ocds-' || CAST(user_id AS VARCHAR) AS ocid,
+                       CAST(event_id AS VARCHAR) AS filename,
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') AS rdate,
+                       event_type,
+                       CAST(props->>'$.k' AS BIGINT) AS k
+                FROM events),
+              e AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY ocid ORDER BY filename) AS rn,
+                       count(*) OVER (PARTITION BY ocid) AS cnt
+                FROM recs)
+              SELECT * FROM (
+                SELECT 'summary' AS kind, ocid,
+                       ocid || '-' || rdate AS text,
+                       rdate AS max_date,
+                       event_type AS tender_status,
+                       CAST(k AS DOUBLE) AS tender_amount,
+                       CAST(1 AS BIGINT) AS n_releases
+                FROM e WHERE rn = 1
+                UNION ALL
+                SELECT 'WARNING' AS kind, NULL AS ocid,
+                       'OCID ' || ocid || ' occurs ' || CAST(cnt AS VARCHAR)
+                         || ' times.' AS text,
+                       NULL AS max_date, NULL AS tender_status,
+                       CAST(NULL AS DOUBLE) AS tender_amount,
+                       CAST(NULL AS BIGINT) AS n_releases
+                FROM e WHERE rn = 1 AND cnt > 1)
+              ORDER BY kind, text"""),
+      "Batch record-compile election (record_compiler.py:58-76 as the load pipeline " +
+        "runs it): first record per ocid in (filename, record_seq) order wins, " +
+        "duplicate-ocid WARNING notes, merged summaries of the elected record; oracle " +
+        "replays election + notes with a window row_number"),
+
+    QueryDef(
       "q_metadata", Seq("A3", "O2", "F1"),
       (s, d) => {
         val k = get_json_object(col("props"), "$.k").cast(LongType)

@@ -419,6 +419,116 @@ object TextQueries {
       "Content-defined chunk dedup (sub-document boilerplate detection): md5-marker " +
         "token boundaries resynchronize under insertions, per-doc window chunk ids, " +
         "chunk-hash aggregation finds text shared ACROSS documents — the CDC dedup " +
-        "family whole-doc fingerprints can't see")
+        "family whole-doc fingerprints can't see"),
+
+    QueryDef(
+      "q_pii_redact", Seq("F4", "F8"),
+      (s, d) => {
+        // PII scrubbing (the pre-training privacy pass every corpus needs):
+        // the synthetic corpus is clean, so a deterministic email + phone
+        // are grafted onto each document first, and the operator under test
+        // is the codegen'd regexp pipeline — detect counts + in-place
+        // redaction — whose output hash the oracle reproduces. Narrow
+        // per-row regex work: no shuffle, scales linearly.
+        val phone = concat(lit("555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0"))
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com tel "), phone)
+        val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+        val phoneRe = "[0-9]{3}-[0-9]{4}"
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          regexp_count(pii, lit(emailRe)).cast(LongType).as("n_emails"),
+          regexp_count(pii, lit(phoneRe)).cast(LongType).as("n_phones"),
+          md5(regexp_replace(regexp_replace(pii, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>")).as("redacted_hash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com tel 555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS pii
+                FROM documents)
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(pii, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT)
+                       AS n_emails,
+                     CAST(len(regexp_extract_all(pii, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+                       AS n_phones,
+                     md5(regexp_replace(regexp_replace(pii, '[a-z0-9.]+@[a-z0-9.]+',
+                           '<EMAIL>', 'g'), '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+                       AS redacted_hash
+              FROM p ORDER BY doc_id"""),
+      "PII detection + redaction (emails/phones → placeholder tokens): per-row codegen'd " +
+        "regex pipeline, counts + redacted-content hash; oracle replays the same regexes " +
+        "with global replacement"),
+
+    QueryDef(
+      "q_chunk_windows", Seq("J7", "F4", "F5"),
+      (s, d) => {
+        // context-window chunking (training-example preparation): W-token
+        // windows at stride S (overlap W−S) per document, each chunk
+        // content-hashed — the explode is the only row expansion and the
+        // ORDER key is (doc_id, chunk_idx), so the op is a narrow per-doc
+        // lateral at any corpus size
+        val W = 32
+        val S = 24
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0), size(col("toks")) - 1, lit(S))).as("start"))
+          .select(
+            col("doc_id"),
+            (col("start") / S).cast(LongType).as("chunk_idx"),
+            least(lit(W), size(col("toks")) - col("start")).cast(LongType).as("n_tokens"),
+            md5(array_join(slice(col("toks"), col("start") + 1, lit(W)), " ")).as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""SELECT doc_id,
+                     CAST(u.start // 24 AS BIGINT) AS chunk_idx,
+                     CAST(least(32, len(toks) - u.start) AS BIGINT) AS n_tokens,
+                     md5(array_to_string(
+                           list_slice(toks, u.start + 1,
+                                      u.start + least(32, len(toks) - u.start)), ' '))
+                       AS chunk_hash
+              FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+                   unnest(generate_series(0, len(toks) - 1, 24)) AS u(start)
+              ORDER BY doc_id, chunk_idx"""),
+      "Context-window chunking: 32-token windows at stride 24 (8-token overlap) per " +
+        "document with per-chunk content hashes — the training-example slicing pass; " +
+        "oracle rebuilds identical windows via generate_series + list_slice"),
+
+    QueryDef(
+      "q_token_df", Seq("A4", "A1", "J2"),
+      (s, d) => {
+        // corpus-level token document frequency (boilerplate/stopword
+        // discovery, the df side of tf-idf quality filtering): per-doc
+        // DISTINCT tokens → one hash aggregation (map-side combined) →
+        // keep tokens present in ≥ half the corpus. The doc total rides in
+        // as a broadcast single-row frame, not a collected scalar.
+        val docs = Tables.documents(s, d)
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        docs.select(explode(tokenSet(col("text"))).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(total))
+          .filter(col("df") * 2 >= col("n_docs"))
+          .select(col("token"), col("df"),
+            (col("df").cast(DoubleType) / col("n_docs")).as("doc_frac"))
+          .orderBy(col("df").desc, col("token"))
+      },
+      Some("""WITH df AS (
+                SELECT token, count(*) AS df FROM (
+                  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                  FROM documents)
+                GROUP BY token),
+              n AS (SELECT count(*) AS n_docs FROM documents)
+              SELECT token, df, CAST(df AS DOUBLE) / n_docs AS doc_frac
+              FROM df, n WHERE df * 2 >= n_docs
+              ORDER BY df DESC, token"""),
+      "Token document-frequency filter (boilerplate discovery / the df of tf-idf): " +
+        "distinct-per-doc explode, one map-side-combined hash aggregation, broadcast " +
+        "corpus total — tokens in ≥50% of documents")
   )
 }
