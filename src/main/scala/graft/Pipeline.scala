@@ -173,10 +173,7 @@ object Pipeline {
 
     val (p2, nItems, nNotes) = dt.format match {
       case graft.ingest.FormatDetect.Format.RecordPackage =>
-        require(upgradedId.isEmpty,
-          "the 1.0→1.1 upgrade leg is implemented for release packages only " +
-            "(record upgrade via ocdskit semantics is a documented gap)")
-        loadRecordBatch(spark, paths, lakeDir, plane, collectionId, dt)
+        loadRecordBatch(spark, paths, lakeDir, plane, collectionId, upgradedId, dt)
       case graft.ingest.FormatDetect.Format.CompiledRelease =>
         require(upgradedId.isEmpty,
           "compiled releases are already 1.1; an upgrade leg does not apply")
@@ -260,6 +257,7 @@ object Pipeline {
       lakeDir: String,
       plane0: Control.Plane,
       collectionId: Long,
+      upgradedId: Option[Long],
       dt: graft.ingest.FormatDetect.DataType): (Control.Plane, Long, Long) = {
     var plane = plane0
     val records = Ingest.loadRecords(spark, paths, dt).toDF()
@@ -271,18 +269,43 @@ object Pipeline {
     Sink.writeByCollection(
       pkgs.withColumn("collection_id", lit(collectionId)), s"$lakeDir/package_data")
 
+    // upgrade leg (`file_worker.py:330-335` applies upgrade_10_11 to
+    // records too): each record's embedded releases upgrade in a narrow
+    // map, the upgraded collection gets its own record facts + lifecycle
+    // rows, and the per-file compile below consumes the UPGRADED records
     var nNotes = 0L
-    plane.compiledChild(plane.collection(collectionId)).foreach { compiledC =>
+    var compileSrc = records
+    upgradedId.foreach { uid =>
+      val up = Upgrade.upgradeRecords(records, spark).toDF().persist()
+      val upFacts = up.drop("upgrade_warnings").withColumn("collection_id", lit(uid))
+      Sink.writeFacts(upFacts, s"$lakeDir/record")
+      val notes = Notes.fromUpgradeWarnings(up, uid).persist()
+      Sink.writeByCollection(notes, s"$lakeDir/collection_note")
+      nNotes += notes.count()
+      notes.unpersist()
+      plane = paths.foldLeft(plane)(Control.registerFile(_, uid, _))
+      plane = paths.foldLeft(plane)((p, f) =>
+        Control.completeStep(p, uid, Control.StepName.Load, Some(f)))
+      plane = plane.copy(collections = plane.collections.updated(uid,
+        plane.collection(uid).copy(dataTypeFormat = Some(dt.format))))
+      compileSrc = upFacts.persist()
+      up.unpersist()
+    }
+
+    // per-file immediate compile off the tree's compile BASE (the upgraded
+    // collection when present, else the original)
+    val baseId = upgradedId.getOrElse(collectionId)
+    plane.compiledChild(plane.collection(baseId)).foreach { compiledC =>
       val compiledId = compiledC.id
       if (!compiledC.compilationStarted)
         plane = Control.startCompilation(plane, compiledId).getOrElse(plane)
       // AlreadyExists guard: anti-join against ocids an earlier batch
       // compiled (partition-pruned to this compiled collection)
       val fresh = Sink.readOrEmpty(spark, s"$lakeDir/compiled_release") match {
-        case Some(existing) => records.join(
+        case Some(existing) => compileSrc.join(
           existing.filter(col("collection_id") === compiledId).select("ocid"),
           Seq("ocid"), "left_anti")
-        case None => records
+        case None => compileSrc
       }
       val out = Compile.recordSummariesAndNotes(
         fresh.select(col("ocid"), col("filename"), col("record_seq"),
@@ -296,12 +319,15 @@ object Pipeline {
         lit(compiledId).as("collection_id"), col("note.code").as("code"),
         col("note.note").as("note"), lit("{}").as("data")).persist()
       Sink.writeByCollection(notes, s"$lakeDir/collection_note")
-      nNotes = notes.count()
+      nNotes += notes.count()
       notes.unpersist()
       out.unpersist()
-      paths.foreach(f => plane = Control.markFileCompiled(plane, collectionId, f))
+      // the completion gate tracks per-file compile on the compile BASE
+      // (finisher checks the compiled child's PARENT's files)
+      paths.foreach(f => plane = Control.markFileCompiled(plane, baseId, f))
     }
     val nItems = records.count()
+    if (compileSrc ne records) compileSrc.unpersist()
     records.unpersist()
     (plane, nItems, nNotes)
   }
@@ -466,10 +492,15 @@ object Pipeline {
       collectionId: Long,
       now: String): CompileStage = {
     var plane = plane0
-    val compiledId = plane.compiledChild(plane.collection(collectionId))
+    val upgradedId = plane.collections.values
+      .find(c => c.parent.contains(collectionId) &&
+        c.transformType.contains(Control.Transform.Upgrade1011))
+      .map(_.id)
+    val baseId = upgradedId.getOrElse(collectionId)
+    val compiledId = plane.compiledChild(plane.collection(baseId))
       .getOrElse(throw new IllegalArgumentException(
         s"collection $collectionId has no compile-releases child")).id
-    require(Control.compilable(plane, plane.collection(collectionId)),
+    require(Control.compilable(plane, plane.collection(baseId)),
       "collection failed the compile gate")
     // normally flipped by the first record batch; a closed-empty record
     // collection reaches here without any batch having run
@@ -496,6 +527,10 @@ object Pipeline {
       .map(_.filter(col("collection_id") === compiledId).count()).getOrElse(0L)
     plane = Control.complete(plane, compiledId, now, 0L, 0L, nCompiled)
       .getOrElse(throw new IllegalStateException("compiled collection not completable"))
+    upgradedId.foreach { uid =>
+      plane = Control.complete(plane, uid, now, 0L, nRecords, 0L)
+        .getOrElse(throw new IllegalStateException("upgraded collection not completable"))
+    }
     plane = Control.complete(plane, collectionId, now, 0L, nRecords, 0L)
       .getOrElse(throw new IllegalStateException("collection not completable"))
     CompileStage(compiledId, nCompiled, checkFailures, 0L, plane)

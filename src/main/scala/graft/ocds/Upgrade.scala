@@ -282,6 +282,38 @@ object Upgrade {
     }
   }
 
+  /** The record form of [[upgradeJson]] (`file_worker.py:330-335` applies
+    * `upgrade_10_11` to records too; ocdskit's dispatch sees the record's
+    * `releases` key and upgrades each embedded release): every OBJECT
+    * element of the record's `releases` array upgrades in place — linked
+    * stubs pass through unchanged (no 1.0 organization fields to lift) —
+    * and the record re-canonicalizes with the union of the releases'
+    * differs-warnings. Non-release fields (`compiledRelease`, `ocid`) are
+    * untouched, like the reference. */
+  def upgradeRecordJson(json: String): (String, Seq[String]) = {
+    Canonical.parse(json) match {
+      case o: ObjectNode =>
+        val warnings = Seq.newBuilder[String]
+        o.get("releases") match {
+          case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+            var i = 0
+            while (i < a.size()) {
+              a.get(i) match {
+                case r: ObjectNode =>
+                  val res = upgradeInPlace(r)
+                  a.set(i, res.release)
+                  warnings ++= res.warnings
+                case _ => ()
+              }
+              i += 1
+            }
+          case _ => ()
+        }
+        (Canonical.canonicalize(o), warnings.result())
+      case other => (Canonical.canonicalize(other), Nil)
+    }
+  }
+
   /** One upgraded fact row: the item-row envelope with upgraded data, a
     * recomputed content hash, and the differs-warnings ridden along. */
   final case class UpgradedItem(
@@ -292,6 +324,28 @@ object Upgrade {
       data: String,
       hash_md5: String,
       upgrade_warnings: Seq[String])
+
+  /** One upgraded record fact row ([[UpgradedItem]]'s record-keyed form). */
+  final case class UpgradedRecord(
+      filename: String,
+      ocid: String,
+      record_seq: Long,
+      data: String,
+      hash_md5: String,
+      upgrade_warnings: Seq[String])
+
+  /** [[upgradeItems]] for record rows: a narrow map applying
+    * [[upgradeRecordJson]] per record and re-content-addressing. */
+  def upgradeRecords(records: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Dataset[UpgradedRecord] = {
+    import s.implicits._
+    records
+      .select("filename", "ocid", "record_seq", "data")
+      .as[(String, String, Long, String)]
+      .mapPartitions(_.map { case (filename, ocid, seq, data) =>
+        val (upgraded, warns) = upgradeRecordJson(data)
+        UpgradedRecord(filename, ocid, seq, upgraded, Canonical.md5hex(upgraded), warns)
+      })
+  }
 
   /** The load-time upgrade step (reference `file_worker.py:330-335`:
     * `upgrade_10_11` applied per item when the collection plans `upgrade`):

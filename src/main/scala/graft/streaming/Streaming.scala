@@ -239,15 +239,22 @@ object Streaming {
         .map(_.filter(col("collection_id") === cid)
           .select("filename").distinct().as[String].collect().toSet)
         .getOrElse(Set.empty)
+    val cids = collectionId +: upgradedId.toSeq
     val inLake =
-      (collectionId +: upgradedId.toSeq).map(filesIn("release", _)).fold(Set.empty)(_ ++ _) ++
+      cids.map(filesIn("release", _)).fold(Set.empty)(_ ++ _) ++
+        cids.map(filesIn("record", _)).fold(Set.empty)(_ ++ _) ++
         filesIn("package_data", collectionId)
     val partial = inLake.filterNot(f => registered(pathKey(f)))
     if (partial.isEmpty) return
 
-    val cids = collectionId +: upgradedId.toSeq
     purgeByFilename(spark, s"$lakeDir/release", cids, partial)
+    purgeByFilename(spark, s"$lakeDir/record", cids, partial)
     purgeByFilename(spark, s"$lakeDir/package_data", Seq(collectionId), partial)
+    // record collections' per-file compiles are keyed by OCID, not
+    // filename, and need no purge: reloading the purged record facts
+    // re-runs the compile with its already-compiled-ocid anti-join, so
+    // compiled rows written before the crash simply keep their elected
+    // record (the AlreadyExists contract) — the state converges
     // upgrade differs-notes are keyed "<filename>: <warning>" — drop the
     // partial files' notes the same way (the dedup store is content-
     // addressed and append-tolerant; its rows need no purge)

@@ -177,6 +177,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(report.plane.collection(report.compiledCollectionId).completedAt.nonEmpty)
   }
 
+  test("record packages upgrade during load: original → upgraded → compiled chain") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-rec-up")
+    // 1.0-shaped releases inside the record: inline orgs, no parties —
+    // the upgrade leg must lift them into a parties collection per release
+    Files.writeString(dir.resolve("ru.json"),
+      """{"uri": "http://x/ru", "version": "1.0", "publisher": {"name": "R"},
+        | "publishedDate": "2020-01-01T00:00:00Z",
+        | "records": [
+        |  {"ocid": "ocds-ru1", "releases": [
+        |    {"ocid": "ocds-ru1", "id": "u1", "date": "2020-01-01T00:00:00Z",
+        |     "buyer": {"name": "B"},
+        |     "tender": {"tenderers": [{"name": "T"}]}}]}
+        | ]}""".stripMargin)
+    val lake = Files.createTempDirectory("graft-lake-ru").toString
+    val report = Pipeline.loadAndCompile(
+      s, dir.toString, lake, now = "2020-06-01 00:00:00", upgrade = true)
+
+    assert(report.upgradedCollectionId === Some(report.collectionId + 1))
+    Seq(report.collectionId, report.upgradedCollectionId.get, report.compiledCollectionId)
+      .foreach(id => assert(report.plane.collection(id).completedAt.nonEmpty, s"collection $id"))
+    // the upgraded record facts carry synthesized parties inside releases
+    val upRecs = Sink.readFacts(s, s"$lake/record")
+      .filter(col("collection_id") === report.upgradedCollectionId.get)
+    assert(upRecs.count() === 1)
+    assert(upRecs.select("data").collect().head.getString(0).contains("\"parties\""))
+    // compile consumed the UPGRADED records: the compiled summary sees them
+    val compiled = Sink.readFacts(s, s"$lake/compiled_release")
+      .filter(col("collection_id") === report.compiledCollectionId)
+    assert(compiled.count() === 1)
+    assert(compiled.select("n_parties").collect().head.getLong(0) >= 2L)
+    assert(report.plane.collection(report.collectionId).cachedRecordsCount.contains(1L))
+  }
+
   test("later record batches skip already-compiled ocids (AlreadyExists guard)") {
     import org.apache.spark.sql.functions.col
     def pkgOf(records: String): String =

@@ -105,6 +105,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.control.PlaneStore.load(lake).filesOf(7L).size === 3)
   }
 
+  test("releaseLoadStream routes landed RECORD packages: facts + per-file compile + gates") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-recload")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val C = graft.control.Control
+    val planeRef = new java.util.concurrent.atomic.AtomicReference(C.Plane(Map(
+      21L -> C.Collection(21L, "src", "2020-01-01 00:00:00", steps = Set("compile")),
+      22L -> C.Collection(22L, "src", "2020-01-01 00:00:00", parent = Some(21L),
+        transformType = Some(C.Transform.CompileReleases)))))
+    Files.writeString(landing.resolve("r.json"),
+      """{"uri": "http://x/r", "version": "1.1", "publisher": {"name": "R"},
+        | "records": [{"ocid": "ocds-st1", "releases": [
+        |   {"ocid": "ocds-st1", "id": "s1", "date": "2020-01-01T00:00:00Z",
+        |    "tag": ["tender"], "initiationType": "tender"}]}]}""".stripMargin)
+    Streaming.releaseLoadStream(s, landing.toString, lake, 21L, None, planeRef, ckpt)
+      .awaitTermination()
+
+    assert(s.read.parquet(s"$lake/record").filter($"collection_id" === 21).count() === 1)
+    assert(s.read.parquet(s"$lake/compiled_release")
+      .filter($"collection_id" === 22).count() === 1) // compiled DURING the stream
+    val p = planeRef.get()
+    assert(p.filesOf(21L).size === 1 && p.filesOf(21L).forall(_.compilationStarted))
+    assert(p.collection(21L).dataTypeFormat.contains(C.Format.RecordPackage))
+    // replay with a lost checkpoint: plane-keyed dedup loads nothing twice
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    Streaming.releaseLoadStream(s, landing.toString, lake, 21L, None, planeRef, ckpt)
+      .awaitTermination()
+    assert(s.read.parquet(s"$lake/record").filter($"collection_id" === 21).count() === 1)
+    assert(s.read.parquet(s"$lake/compiled_release")
+      .filter($"collection_id" === 22).count() === 1)
+  }
+
   test("recoverPartialLoads repairs a batch that died between write jobs (T1)") {
     import s.implicits._
     import org.apache.spark.sql.functions.lit
