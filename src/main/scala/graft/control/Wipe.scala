@@ -36,7 +36,7 @@ object Wipe {
     * tree wipe must drop directories from. */
   val FactTables: Seq[String] = Seq(
     "release", "record", "compiled_release", "collection_note", "package_data",
-    "release_check")
+    "release_check", "record_check")
 
   /** S9 physical form: the lake is collection_id-partitioned, so wiping a
     * tree is a partition-directory drop per fact table — no data rewrite,

@@ -79,6 +79,30 @@ class CliSpec extends AnyFunSuite {
     assert(run("deleteorphan", lake).contains("removed 2"))
   }
 
+  test("record-package load via the CLI: record facts, per-file compile, record checks") {
+    val dir = Files.createTempDirectory("graft-cli-rec")
+    Files.writeString(dir.resolve("r.json"),
+      """{"uri": "http://x/r", "version": "1.1", "publisher": {"name": "R"},
+        | "publishedDate": "2020-01-01T00:00:00Z",
+        | "records": [
+        |  {"ocid": "ocds-cl1", "releases": [
+        |    {"ocid": "ocds-cl1", "id": "c1", "date": "2020-01-01T00:00:00Z",
+        |     "tag": ["tender"], "initiationType": "tender"}]}
+        | ]}""".stripMargin)
+    val lake = Files.createTempDirectory("graft-cli-rec-lake").toString
+    val loadOut = run("load", dir.toString, lake)
+    assert(loadOut.contains("items=1"))
+    assert(loadOut.contains("compiled_releases=1"))
+    // addchecks routes to the RECORD schema + record_check table
+    assert(run("addchecks", lake, "1").contains("checked=1"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$lake/record_check/collection_id=1")))
+    assert(run("addchecks", lake, "1").contains("checked=0")) // incremental
+    // the wipe drops the record + record_check partitions too
+    assert(run("deletecollection", lake, "1").contains("deleted"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake/record/collection_id=1")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake/record_check/collection_id=1")))
+  }
+
   test("load --note/--sample persist") {
     val input = inputTree()
     val lake = Files.createTempDirectory("graft-cli-lake2").toString
