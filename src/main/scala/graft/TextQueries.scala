@@ -500,6 +500,41 @@ object TextQueries {
         "oracle rebuilds identical windows via generate_series + list_slice"),
 
     QueryDef(
+      "q_rep_ngrams", Seq("F4", "F8"),
+      (s, d) => {
+        // repetition quality signal (the Gopher/RefinedWeb duplicate-ngram
+        // fraction): per-document 3-gram duplication ratio, all in-row
+        // array ops — no explode, no shuffle, linear at any corpus size.
+        // Documents here are ≥10 tokens, so the gram list is never empty.
+        val toks = tokens(col("text"))
+        val grams = transform(
+          sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(grams).cast(LongType).as("n_grams"),
+          size(array_distinct(grams)).cast(LongType).as("n_distinct"),
+          (lit(1.0) - size(array_distinct(grams)).cast(DoubleType)
+            / size(grams)).as("dup_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+                SELECT doc_id,
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)] AS grams
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+              SELECT doc_id,
+                     CAST(len(grams) AS BIGINT) AS n_grams,
+                     CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+                     1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                       AS dup_frac
+              FROM g ORDER BY doc_id"""),
+      "Repetition quality signal (duplicate 3-gram fraction, the Gopher-style filter " +
+        "for degenerate/looping text): in-row gram construction + distinct ratio, " +
+        "no shuffle"),
+
+    QueryDef(
       "q_token_df", Seq("A4", "A1", "J2"),
       (s, d) => {
         // corpus-level token document frequency (boilerplate/stopword
