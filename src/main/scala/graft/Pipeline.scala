@@ -313,6 +313,7 @@ object Pipeline {
         .toDF().persist()
       Sink.writeFacts(
         out.filter(col("summary").isNotNull).select(col("summary.*"))
+          .withColumn("filename", lit(null).cast(org.apache.spark.sql.types.StringType))
           .withColumn("collection_id", lit(compiledId)),
         s"$lakeDir/compiled_release")
       val notes = out.filter(col("note").isNotNull).select(
@@ -349,12 +350,18 @@ object Pipeline {
     import spark.implicits._
     val items = Ingest.loadItems(spark, paths, dt).toDF().persist()
     Sink.writeDedupStore(Ingest.dedupData(items), s"$lakeDir/data")
-    val summaries = items.select("ocid", "data").as[(String, String)]
-      .mapPartitions(_.map { case (ocid, data) =>
-        Compile.summarizeDoc(ocid, graft.ocds.Canonical.parse(data),
-          nReleases = 1L, nWarnings = 0L)
+    // filename rides along (the reference's CompiledRelease keeps its
+    // collection_file FK): it is this format's ONLY filename-keyed trace
+    // in the lake, which the streaming loader's crash repair keys on
+    val summaries = items.select("filename", "ocid", "data")
+      .as[(String, String, String)]
+      .mapPartitions(_.map { case (filename, ocid, data) =>
+        (filename, Compile.summarizeDoc(ocid, graft.ocds.Canonical.parse(data),
+          nReleases = 1L, nWarnings = 0L))
       })
-      .toDF().withColumn("collection_id", lit(collectionId))
+      .toDF("filename", "summary")
+      .select(col("summary.*"), col("filename"))
+      .withColumn("collection_id", lit(collectionId))
     Sink.writeFacts(summaries, s"$lakeDir/compiled_release")
     val nItems = items.count()
     items.unpersist()
@@ -425,6 +432,9 @@ object Pipeline {
       .persist()
     val compiled = compileOut.filter(col("summary").isNotNull)
       .select(col("summary.*"))
+      // merge-produced rows span many source files — no single filename
+      // (the direct compiled-release load is the filename-keyed case)
+      .withColumn("filename", lit(null).cast(org.apache.spark.sql.types.StringType))
       .withColumn("collection_id", lit(compiledId))
     Sink.writeFacts(compiled, s"$lakeDir/compiled_release")
     val compileNotes = Notes.fromCompileWarnings(

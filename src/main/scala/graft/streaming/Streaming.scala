@@ -236,19 +236,25 @@ object Streaming {
     val registered = p0.filesOf(collectionId).map(f => pathKey(f.filename)).toSet
     def filesIn(table: String, cid: Long): Set[String] =
       graft.ingest.Sink.readOrEmpty(spark, s"$lakeDir/$table")
-        .map(_.filter(col("collection_id") === cid)
+        .filter(_.columns.contains("filename")) // legacy/merge-only tables
+        .map(_.filter(col("collection_id") === cid && col("filename").isNotNull)
           .select("filename").distinct().as[String].collect().toSet)
         .getOrElse(Set.empty)
     val cids = collectionId +: upgradedId.toSeq
+    // compiled_release filenames are non-null only for DIRECT compiled-
+    // release loads (the format's only filename-keyed trace); the filesIn
+    // distinct drops the merge-produced nulls via the filter below
     val inLake =
       cids.map(filesIn("release", _)).fold(Set.empty)(_ ++ _) ++
         cids.map(filesIn("record", _)).fold(Set.empty)(_ ++ _) ++
+        filesIn("compiled_release", collectionId) ++
         filesIn("package_data", collectionId)
     val partial = inLake.filterNot(f => registered(pathKey(f)))
     if (partial.isEmpty) return
 
     purgeByFilename(spark, s"$lakeDir/release", cids, partial)
     purgeByFilename(spark, s"$lakeDir/record", cids, partial)
+    purgeByFilename(spark, s"$lakeDir/compiled_release", Seq(collectionId), partial)
     purgeByFilename(spark, s"$lakeDir/package_data", Seq(collectionId), partial)
     // record collections' per-file compiles are keyed by OCID, not
     // filename, and need no purge: reloading the purged record facts
@@ -278,7 +284,10 @@ object Streaming {
   private def purgeByFilename(
       spark: SparkSession, path: String, cids: Seq[Long], files: Set[String]): Unit = {
     import org.apache.spark.sql.functions.col
-    purgeWhere(spark, path, cids, col("filename").isin(files.toSeq: _*))
+    // null-safe: merge-produced compiled rows carry a NULL filename, and a
+    // bare isin would make the keep-filter three-valued (dropping them)
+    purgeWhere(spark, path, cids,
+      col("filename").isNotNull && col("filename").isin(files.toSeq: _*))
   }
 
   /** Rewrite the given collection partitions of `path` without the rows

@@ -139,6 +139,37 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"collection_id" === 22).count() === 1)
   }
 
+  test("releaseLoadStream routes landed COMPILED releases; filename-keyed replay dedup") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-crload")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val C = graft.control.Control
+    val planeRef = new java.util.concurrent.atomic.AtomicReference(C.Plane(Map(
+      31L -> C.Collection(31L, "src", "2020-01-01 00:00:00", steps = Set("compile")))))
+    Files.writeString(landing.resolve("c.json"),
+      """{"ocid": "ocds-cr1", "id": "x1", "date": "2020-01-01T00:00:00Z",
+        | "tag": ["compiled"], "initiationType": "tender"}
+        |{"ocid": "ocds-cr2", "id": "x2", "date": "2020-01-02T00:00:00Z",
+        | "tag": ["compiled"], "initiationType": "tender"}""".stripMargin)
+    Streaming.releaseLoadStream(s, landing.toString, lake, 31L, None, planeRef, ckpt)
+      .awaitTermination()
+
+    val compiled = s.read.parquet(s"$lake/compiled_release").filter($"collection_id" === 31)
+    assert(compiled.count() === 2)
+    // the direct-load rows carry their source filename — the format's only
+    // filename-keyed lake trace, which the crash repair keys on
+    assert(compiled.filter($"filename".isNotNull).count() === 2)
+    assert(planeRef.get().filesOf(31L).size === 1)
+    // lost checkpoint: the replay loads nothing twice
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    Streaming.releaseLoadStream(s, landing.toString, lake, 31L, None, planeRef, ckpt)
+      .awaitTermination()
+    assert(s.read.parquet(s"$lake/compiled_release")
+      .filter($"collection_id" === 31).count() === 2)
+  }
+
   test("recoverPartialLoads repairs a batch that died between write jobs (T1)") {
     import s.implicits._
     import org.apache.spark.sql.functions.lit
