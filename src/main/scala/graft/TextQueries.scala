@@ -506,12 +506,15 @@ object TextQueries {
         // fraction): per-document 3-gram duplication ratio, all in-row
         // array ops — no explode, no shuffle, linear at any corpus size.
         // Documents here are ≥10 tokens, so the gram list is never empty.
+        // fanOut: ~100 interpreted element_at/concat evals + a per-row
+        // distinct set is engine CPU that would otherwise run on the
+        // single-task scan (6.1 s → sub-second at sf0.1)
         val toks = tokens(col("text"))
         val grams = transform(
           sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ",
             element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-        Tables.documents(s, d).select(
+        Tables.fanOut(Tables.documents(s, d)).select(
           col("doc_id"),
           size(grams).cast(LongType).as("n_grams"),
           size(array_distinct(grams)).cast(LongType).as("n_distinct"),
