@@ -538,6 +538,77 @@ object TextQueries {
         "no shuffle"),
 
     QueryDef(
+      "q_decontaminate", Seq("J5", "J2", "A1"),
+      (s, d) => {
+        // benchmark decontamination (the pre-training hygiene pass: drop
+        // training documents that share long n-grams with an evaluation
+        // set): the "eval set" is the doc_id % 97 hash slice, 4-token
+        // shingles are the overlap unit (production pipelines use 8-13;
+        // this synthetic small-vocab corpus only shows real overlap at 4 —
+        // the width is the one tuning knob), and the check is a BROADCAST
+        // semi-shaped join from exploded train shingles onto the distinct
+        // eval shingles — at 100 TB the eval side stays benchmark-sized
+        // (broadcastable) while the train side streams through one
+        // codegen'd explode+join+aggregate, no shuffle on the big side
+        // until the per-doc count
+        val W = 4
+        val toks = tokens(col("text"))
+        val grams = transform(
+          sequence(lit(1), size(toks) - (W - 1)),
+          i => concat_ws(" ", (0 until W).map(o => element_at(toks, i + o)): _*))
+        def shingled(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), explode(grams).as("gram"))
+        val docs = Tables.fanOut(Tables.documents(s, d))
+        val evalGrams = shingled(docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+          .select("gram").distinct()
+        shingled(docs.filter(pmod(col("doc_id"), lit(97)) =!= 0))
+          .join(broadcast(evalGrams), Seq("gram"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("gram")).as("n_shared_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+3], ' ')
+                               for i in generate_series(1, len(t) - 3)]) AS gram
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+              ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+              SELECT g.doc_id,
+                     CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+              FROM g JOIN ev USING (gram)
+              WHERE g.doc_id % 97 <> 0
+              GROUP BY g.doc_id ORDER BY g.doc_id"""),
+      "Benchmark decontamination: training docs sharing 4-token shingles with the " +
+        "eval hash-slice — exploded shingles against a broadcast benchmark-sized " +
+        "distinct set, per-doc overlap counts"),
+
+    QueryDef(
+      "q_sample_stratified", Seq("A4", "P2", "F5"),
+      (s, d) => {
+        // deterministic stratified sampling (training-mix construction):
+        // per-language keep rates decided by a content-stable md5 hash of
+        // the doc id — reproducible across runs, partitionings and
+        // engines, no RNG. One pass, one aggregation.
+        val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType) % 100
+        val rate = when(col("lang") === "en", lit(50)).otherwise(lit(25))
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(h < rate, 1L).otherwise(0L)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_total,
+                     CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                                        < (CASE WHEN lang = 'en' THEN 50 ELSE 25 END)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+              FROM documents GROUP BY lang ORDER BY lang"""),
+      "Deterministic stratified sampling (per-language keep rates from a stable md5 " +
+        "hash — the reproducible training-mix sampler, no RNG); oracle recomputes the " +
+        "same hash decision"),
+
+    QueryDef(
       "q_token_df", Seq("A4", "A1", "J2"),
       (s, d) => {
         // corpus-level token document frequency (boilerplate/stopword
