@@ -246,33 +246,41 @@ object Cli {
       val rootId = plane.rootParent(known(plane, cid)).id
       // format-aware like the reference's checker: record collections
       // check record rows against the record-package schema into
-      // record_check (models.py RecordCheck); release collections as before
-      val isRecord = known(plane, cid).dataTypeFormat
-        .contains(Control.Format.RecordPackage)
-      val (factTable, checkTable, kind) =
-        if (isRecord) ("record", "record_check", "record")
-        else ("release", "release_check", "release")
-      val facts = Sink.readFacts(spark, s"$lake/$factTable")
-        .filter(col("collection_id") === cid)
-        .select(col("filename"), col("ocid"),
-          (if (isRecord) lit("") else col("release_id")).as("release_id"),
-          col("hash_md5"), col("data"))
-      val pkgs = spark.read.parquet(s"$lake/package_data")
-        .filter(col("collection_id") === rootId).select("filename", "package_data")
-      val rows = facts.join(pkgs, Seq("filename"), "left")
-        .select(Checker.checkId.as("id"), col("data"), col("package_data"))
-      val existing = readOrEmpty(spark, s"$lake/$checkTable")
-        .map(_.filter(col("collection_id") === cid))
-        .getOrElse(spark.emptyDataFrame.withColumn("id", lit(0L)))
-      val checks = Checker.checkUnchecked(rows, existing, kind, spark)
-        .toDF().withColumn("collection_id", lit(cid)).persist()
-      // count BEFORE the append: the plan reads the check table (the
-      // anti-join side) lazily, so evaluating it after writing to the same
-      // table would anti-join the rows against themselves → checked=0
-      val (nChecked, nFailed) = (checks.count(), checks.filter(!col("ok")).count())
-      Sink.writeByCollection(checks, s"$lake/$checkTable")
-      println(s"checked=$nChecked failed=$nFailed")
-      checks.unpersist()
+      // record_check (models.py RecordCheck); release collections as
+      // before; compiled-release collections have NO check pass (the
+      // reference's checker handles only Release and Record rows) — a
+      // clean no-op beats an AnalysisException on the absent release table
+      if (known(plane, cid).dataTypeFormat
+          .contains(graft.ingest.FormatDetect.Format.CompiledRelease)) {
+        println("checked=0 failed=0 (compiled-release collections have no check pass)")
+      } else {
+        val isRecord = known(plane, cid).dataTypeFormat
+          .contains(Control.Format.RecordPackage)
+        val (factTable, checkTable, kind) =
+          if (isRecord) ("record", "record_check", "record")
+          else ("release", "release_check", "release")
+        val facts = Sink.readFacts(spark, s"$lake/$factTable")
+          .filter(col("collection_id") === cid)
+          .select(col("filename"), col("ocid"),
+            (if (isRecord) lit("") else col("release_id")).as("release_id"),
+            col("hash_md5"), col("data"))
+        val pkgs = spark.read.parquet(s"$lake/package_data")
+          .filter(col("collection_id") === rootId).select("filename", "package_data")
+        val rows = facts.join(pkgs, Seq("filename"), "left")
+          .select(Checker.checkId.as("id"), col("data"), col("package_data"))
+        val existing = readOrEmpty(spark, s"$lake/$checkTable")
+          .map(_.filter(col("collection_id") === cid))
+          .getOrElse(spark.emptyDataFrame.withColumn("id", lit(0L)))
+        val checks = Checker.checkUnchecked(rows, existing, kind, spark)
+          .toDF().withColumn("collection_id", lit(cid)).persist()
+        // count BEFORE the append: the plan reads the check table (the
+        // anti-join side) lazily, so evaluating it after writing to the
+        // same table would anti-join the rows against themselves → checked=0
+        val (nChecked, nFailed) = (checks.count(), checks.filter(!col("ok")).count())
+        Sink.writeByCollection(checks, s"$lake/$checkTable")
+        println(s"checked=$nChecked failed=$nFailed")
+        checks.unpersist()
+      }
 
     case "closecollection" :: lake :: id :: nFiles :: Nil =>
       // closecollection.py: ROOT collections only; the upgraded child

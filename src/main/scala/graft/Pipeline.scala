@@ -175,9 +175,7 @@ object Pipeline {
       case graft.ingest.FormatDetect.Format.RecordPackage =>
         loadRecordBatch(spark, paths, lakeDir, plane, collectionId, upgradedId, dt)
       case graft.ingest.FormatDetect.Format.CompiledRelease =>
-        require(upgradedId.isEmpty,
-          "compiled releases are already 1.1; an upgrade leg does not apply")
-        loadCompiledBatch(spark, paths, lakeDir, plane, collectionId, dt)
+        loadCompiledBatch(spark, paths, lakeDir, plane, collectionId, upgradedId, dt)
       case _ =>
         loadReleaseBatch(spark, paths, lakeDir, plane, collectionId, upgradedId, dt)
     }
@@ -346,26 +344,52 @@ object Pipeline {
       lakeDir: String,
       plane0: Control.Plane,
       collectionId: Long,
+      upgradedId: Option[Long],
       dt: graft.ingest.FormatDetect.DataType): (Control.Plane, Long, Long) = {
     import spark.implicits._
+    var plane = plane0
     val items = Ingest.loadItems(spark, paths, dt).toDF().persist()
     Sink.writeDedupStore(Ingest.dedupData(items), s"$lakeDir/data")
     // filename rides along (the reference's CompiledRelease keeps its
     // collection_file FK): it is this format's ONLY filename-keyed trace
     // in the lake, which the streaming loader's crash repair keys on
-    val summaries = items.select("filename", "ocid", "data")
-      .as[(String, String, String)]
-      .mapPartitions(_.map { case (filename, ocid, data) =>
-        (filename, Compile.summarizeDoc(ocid, graft.ocds.Canonical.parse(data),
-          nReleases = 1L, nWarnings = 0L))
-      })
-      .toDF("filename", "summary")
-      .select(col("summary.*"), col("filename"))
-      .withColumn("collection_id", lit(collectionId))
-    Sink.writeFacts(summaries, s"$lakeDir/compiled_release")
+    def writeSummaries(src: org.apache.spark.sql.DataFrame, cid: Long): Unit =
+      Sink.writeFacts(
+        src.select("filename", "ocid", "data")
+          .as[(String, String, String)]
+          .mapPartitions(_.map { case (filename, ocid, data) =>
+            (filename, Compile.summarizeDoc(ocid, graft.ocds.Canonical.parse(data),
+              nReleases = 1L, nWarnings = 0L))
+          })
+          .toDF("filename", "summary")
+          .select(col("summary.*"), col("filename"))
+          .withColumn("collection_id", lit(cid)),
+        s"$lakeDir/compiled_release")
+    writeSummaries(items, collectionId)
+
+    // upgrade leg: a compiled release IS a release, so `upgrade_10_11`
+    // applies exactly as for release packages (`file_worker.py:330-335`
+    // routes the upgraded collection's compiled-release rows through the
+    // same _store_data) — the upgraded collection gets its own
+    // compiled_release facts and lifecycle rows
+    var nNotes = 0L
+    upgradedId.foreach { uid =>
+      val up = Upgrade.upgradeItems(items, spark).toDF().persist()
+      writeSummaries(up, uid)
+      val notes = Notes.fromUpgradeWarnings(up, uid).persist()
+      Sink.writeByCollection(notes, s"$lakeDir/collection_note")
+      nNotes += notes.count()
+      notes.unpersist()
+      plane = paths.foldLeft(plane)(Control.registerFile(_, uid, _))
+      plane = paths.foldLeft(plane)((p, f) =>
+        Control.completeStep(p, uid, Control.StepName.Load, Some(f)))
+      plane = plane.copy(collections = plane.collections.updated(uid,
+        plane.collection(uid).copy(dataTypeFormat = Some(dt.format))))
+      up.unpersist()
+    }
     val nItems = items.count()
     items.unpersist()
-    (plane0, nItems, 0L)
+    (plane, nItems, nNotes)
   }
 
   /** Stage 2 (the compiler → checker → finisher worker chain as one call):
@@ -410,6 +434,22 @@ object Pipeline {
       "collection failed the compile gate")
     plane = Control.startCompilation(plane, compiledId)
       .getOrElse(throw new IllegalStateException("compilation already started"))
+    // closed-EMPTY tree (expected_files_count=0, trivially compilable,
+    // `compiler._collection_is_empty`): no facts were ever written for
+    // this tree — nothing to merge or check, finalize the chain with zeros
+    val treeHasFacts = Sink.readOrEmpty(spark, s"$lakeDir/release")
+      .exists(_.filter(col("collection_id") === compileBaseId).limit(1).count() > 0)
+    if (!treeHasFacts) {
+      plane = Control.complete(plane, compiledId, now, 0L, 0L, 0L)
+        .getOrElse(throw new IllegalStateException("compiled collection not completable"))
+      upgradedId.foreach { uid =>
+        plane = Control.complete(plane, uid, now, 0L, 0L, 0L)
+          .getOrElse(throw new IllegalStateException("upgraded collection not completable"))
+      }
+      plane = Control.complete(plane, collectionId, now, 0L, 0L, 0L)
+        .getOrElse(throw new IllegalStateException("collection not completable"))
+      return CompileStage(compiledId, 0L, 0L, 0L, plane)
+    }
     // Bucket once at the compile boundary, compile with ZERO exchanges:
     // `writeFacts` already ocid-clustered the lake files at load, so this
     // write re-materializes that distribution WITH catalog metadata, and
@@ -436,11 +476,18 @@ object Pipeline {
       // (the direct compiled-release load is the filename-keyed case)
       .withColumn("filename", lit(null).cast(org.apache.spark.sql.types.StringType))
       .withColumn("collection_id", lit(compiledId))
-    Sink.writeFacts(compiled, s"$lakeDir/compiled_release")
+    // dynamic partition OVERWRITE, not append: a compile retried after a
+    // mid-write crash (the run-once latch only persists on success) must
+    // replace its own partition, never duplicate it (T5's idempotence at
+    // the storage layer)
+    Sink.overwriteCollectionPartitions(compiled, s"$lakeDir/compiled_release")
     val compileNotes = Notes.fromCompileWarnings(
       compileOut.filter(col("warning").isNotNull).select(col("warning.*")),
       compiledId).persist()
-    Sink.writeByCollection(compileNotes, s"$lakeDir/collection_note")
+    // same retry-idempotence as the compiled rows: the compiled
+    // collection's note partition holds only this job's (deterministic)
+    // output, so replacing it is safe and un-duplicating
+    Sink.overwriteCollectionPartitions(compileNotes, s"$lakeDir/collection_note")
     // counted from the in-flight frame: an all-clean run writes an EMPTY
     // note table, which parquet cannot re-read (no footers to infer from)
     val nNotes = compileNotes.count()
@@ -560,14 +607,27 @@ object Pipeline {
       collectionId: Long,
       now: String): CompileStage = {
     var plane = plane0
-    val nCompiled = Sink.readOrEmpty(spark, s"$lakeDir/compiled_release")
-      .map(_.filter(col("collection_id") === collectionId).count()).getOrElse(0L)
-    plane.compiledChild(plane.collection(collectionId)).foreach { c =>
+    def compiledCount(cid: Long): Long =
+      Sink.readOrEmpty(spark, s"$lakeDir/compiled_release")
+        .map(_.filter(col("collection_id") === cid).count()).getOrElse(0L)
+    val upgradedId = plane.collections.values
+      .find(c => c.parent.contains(collectionId) &&
+        c.transformType.contains(Control.Transform.Upgrade1011))
+      .map(_.id)
+    val baseId = upgradedId.getOrElse(collectionId)
+    // the --compile child (if requested) hangs off the compile base and
+    // completes EMPTY (the compiler's no-op for this format)
+    plane.compiledChild(plane.collection(baseId)).foreach { c =>
       if (!c.compilationStarted)
         plane = Control.startCompilation(plane, c.id).getOrElse(plane)
       plane = Control.complete(plane, c.id, now, 0L, 0L, 0L)
         .getOrElse(throw new IllegalStateException("compiled collection not completable"))
     }
+    upgradedId.foreach { uid =>
+      plane = Control.complete(plane, uid, now, 0L, 0L, compiledCount(uid))
+        .getOrElse(throw new IllegalStateException("upgraded collection not completable"))
+    }
+    val nCompiled = compiledCount(collectionId)
     plane = Control.complete(plane, collectionId, now, 0L, 0L, nCompiled)
       .getOrElse(throw new IllegalStateException("collection not completable"))
     CompileStage(collectionId, nCompiled, 0L, 0L, plane)

@@ -277,21 +277,26 @@ object VectorQueries {
     *    still covers every row via a broadcast centroid array);
     *  - init = the k lowest-vec_id sample vectors (no RNG), `iters` FIXED
     *    Lloyd iterations, max-dot assignment with lowest-index tie-break;
-    *  - per-cell sums accumulate in FIXED-POINT longs (value × 2^40,
+    *  - per-cell sums accumulate in FIXED-POINT longs (value × 2^32,
     *    rounded once per element): long addition is exact and commutative,
     *    so the centroids — and therefore every cell assignment — are
     *    bit-identical across partitionings and cluster sizes, where a
-    *    double accumulator would drift with partition order. Magnitudes:
-    *    normalized elements are ≤ 1, so n ≤ ~10^7 sample rows keeps sums
-    *    < 2^63 with room to spare. */
+    *    double accumulator would drift with partition order. Bounds:
+    *    normalized elements are ≤ 1, so a cell of n rows sums to at most
+    *    n·2^32 — overflow-safe to n ≈ 2^31 rows per cell, and the 2^-32
+    *    quantization (~2e-10 per element) is noise relative to centroid
+    *    movement per iteration. */
   private[graft] def trainCentroids(
       emb: DataFrame, s: SparkSession, k: Int = 16, iters: Int = 5): Array[Array[Double]] = {
     import s.implicits._
+    // persisted: the init collect + every Lloyd iteration re-reads the
+    // sample; without the persist that is iters+1 scans of the table
     val sample = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .persist()
     var centroids: Array[Array[Double]] = sample.orderBy("vec_id").limit(k)
       .collect().map(r => renorm(r._2.map(_.toDouble).toArray))
-    val Scale = 1L << 40
+    val Scale = 1L << 32
     for (_ <- 0 until iters) {
       val bc = s.sparkContext.broadcast(centroids)
       // one narrow pass: per-partition fixed-point sums per cell, k rows out
@@ -330,6 +335,7 @@ object VectorQueries {
       bc.destroy()
       centroids = next
     }
+    sample.unpersist()
     centroids
   }
 

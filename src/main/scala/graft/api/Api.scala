@@ -222,7 +222,19 @@ final class Api(
         .textNode("The collection must be a root collection"))
       return
     }
-    if (c.storeEndAt.nonEmpty) { respond(ex, 202, null); return } // already closed
+    if (c.storeEndAt.nonEmpty) {
+      // already closed: 202 without re-latching — but in ingest mode a
+      // close whose inline compile crashed (or was interrupted between the
+      // latch save and the compile) must be re-attemptable, or the tree is
+      // stranded with no worker fleet to pick it up; the gate + run-once
+      // CAS make the retry idempotent
+      landingRoot.foreach { _ =>
+        val p2 = runPendingCompile(plane, id)
+        if (p2 ne plane) PlaneStore.save(lake, p2)
+      }
+      respond(ex, 202, null)
+      return
+    }
     // ingest mode: drain everything the crawler landed through the
     // checkpointed streaming loader BEFORE latching — the api_loader +
     // file_worker work the reference would have finished by close time
@@ -264,22 +276,28 @@ final class Api(
     }
     // ingest mode: the close latch just released the compile gate — run
     // the compiler → checker → finisher worker chain inline (the work the
-    // reference's collection_closed message triggers), but only when the
-    // tree plans a compile, files actually landed, and the gate holds
-    // (expected > actual means announced files are still in flight)
+    // reference's collection_closed message triggers)
     landingRoot.foreach { _ =>
-      val base = plane.collections.values
-        .find(k => k.parent.contains(id) &&
-          k.transformType.contains(Control.Transform.Upgrade1011))
-        .getOrElse(plane.collection(id))
-      if (plane.compiledChild(base).nonEmpty && plane.filesOf(id).nonEmpty &&
-          Control.compilable(plane, base)) {
-        val stage = graft.Pipeline.compileAndFinish(spark, lake, plane, id, nowUtc())
-        plane = stage.plane
-        PlaneStore.save(lake, plane)
-      }
+      val p2 = runPendingCompile(plane, id)
+      if (p2 ne plane) { plane = p2; PlaneStore.save(lake, plane) }
     }
     respond(ex, 202, null)
+  }
+
+  /** Ingest-mode compile: run compileAndFinish iff the tree plans a
+    * compile, the compiled child hasn't completed, and the gate holds
+    * (expected > actual means announced files are still in flight) —
+    * callable from both the first close and a replayed one. Returns the
+    * plane unchanged when there is nothing to do. */
+  private def runPendingCompile(plane: Control.Plane, id: Long): Control.Plane = {
+    val base = plane.collections.values
+      .find(k => k.parent.contains(id) &&
+        k.transformType.contains(Control.Transform.Upgrade1011))
+      .getOrElse(plane.collection(id))
+    val pending = plane.compiledChild(base).exists(_.completedAt.isEmpty)
+    if (pending && Control.compilable(plane, base))
+      graft.Pipeline.compileAndFinish(spark, lake, plane, id, nowUtc()).plane
+    else plane
   }
 
   /** `destroy` (`views.py:150-156` → `wiper.py`): wipe the tree rooted at

@@ -33,6 +33,20 @@ object Sink {
       .mode(mode)
       .parquet(path)
 
+  /** S7/T5: idempotent per-collection write — DYNAMIC partition overwrite
+    * replaces exactly the collection partitions present in `facts`,
+    * leaving every other collection untouched. The write a retryable job
+    * (the batch compile) uses so a replay after a mid-write crash lands
+    * clean instead of appending duplicates. */
+  def overwriteCollectionPartitions(facts: DataFrame, path: String): Unit =
+    facts
+      .repartition(col("collection_id"))
+      .write
+      .partitionBy("collection_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+
   /** Read back with partition pruning available on `collection_id`. */
   def readFacts(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

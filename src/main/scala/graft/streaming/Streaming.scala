@@ -260,7 +260,12 @@ object Streaming {
     // filename, and need no purge: reloading the purged record facts
     // re-runs the compile with its already-compiled-ocid anti-join, so
     // compiled rows written before the crash simply keep their elected
-    // record (the AlreadyExists contract) — the state converges
+    // record (the AlreadyExists contract) — compiled state converges.
+    // CAVEAT: a crash in the narrower window between the compiled write
+    // and the note write loses those ocids' DECISION notes (the anti-join
+    // that protects the compiled rows also skips re-emitting their notes);
+    // notes are diagnostics, and closing this would need a per-ocid note
+    // presence check — accepted
     // upgrade differs-notes are keyed "<filename>: <warning>" — drop the
     // partial files' notes the same way (the dedup store is content-
     // addressed and append-tolerant; its rows need no purge)
@@ -302,7 +307,10 @@ object Streaming {
       val part = df.filter(col("collection_id").isin(cids: _*))
       if (part.filter(doomed).limit(1).count() > 0) {
         // persist OUTSIDE the table before overwriting it: a lazy plan
-        // reading `path` during its own overwrite reads truncated state
+        // reading `path` during its own overwrite reads truncated state.
+        // The keepCids collect below is the ACTION that materializes the
+        // cache (whole-row partitions) before the write starts — do not
+        // reorder it after the write
         val keep = part.filter(!doomed).persist()
         // cast: a partition column reads back as the narrowest inferred
         // integral type, not necessarily LongType

@@ -103,6 +103,18 @@ class CliSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(s"$lake/record_check/collection_id=1")))
   }
 
+  test("addchecks on a compiled-release collection is a clean no-op") {
+    val dir = Files.createTempDirectory("graft-cli-cr")
+    Files.writeString(dir.resolve("c.json"),
+      """{"ocid": "ocds-cc1", "id": "c1", "date": "2020-01-01T00:00:00Z",
+        | "tag": ["compiled"], "initiationType": "tender"}""".stripMargin)
+    val lake = Files.createTempDirectory("graft-cli-cr-lake").toString
+    assert(run("load", dir.toString, lake).contains("compiled_releases=1"))
+    // no release/record rows exist — the reference's checker only handles
+    // those, so this must report zero, not die on the absent table
+    assert(run("addchecks", lake, "1").contains("checked=0 failed=0"))
+  }
+
   test("load --note/--sample persist") {
     val input = inputTree()
     val lake = Files.createTempDirectory("graft-cli-lake2").toString

@@ -282,6 +282,53 @@ class PipelineSpec extends AnyFunSuite {
       && root.cachedCompiledReleasesCount.contains(2L))
   }
 
+  test("compiled-release files upgrade during load into the derived collection") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cr-up")
+    // a 1.0-shaped compiled release (inline buyer, no parties): the
+    // upgrade leg lifts organizations exactly as for release packages
+    Files.writeString(dir.resolve("c.json"),
+      """{"ocid": "ocds-cu1", "id": "cu1", "date": "2020-01-01T00:00:00Z",
+        | "tag": ["compiled"], "initiationType": "tender",
+        | "buyer": {"name": "B"},
+        | "tender": {"tenderers": [{"name": "T"}]}}""".stripMargin)
+    val lake = Files.createTempDirectory("graft-lake-cru").toString
+    val report = Pipeline.loadAndCompile(
+      s, dir.toString, lake, now = "2020-06-01 00:00:00", upgrade = true)
+
+    assert(report.items === 1)
+    val uid = report.upgradedCollectionId.get
+    val compiled = Sink.readFacts(s, s"$lake/compiled_release")
+    assert(compiled.filter(col("collection_id") === report.collectionId).count() === 1)
+    // the upgraded collection got its own compiled row, with the parties
+    // the upgrade synthesized
+    val up = compiled.filter(col("collection_id") === uid)
+    assert(up.count() === 1)
+    assert(up.select("n_parties").collect().head.getLong(0) >= 2L)
+    // the whole chain finalized, upgraded child carrying its compiled count
+    Seq(report.collectionId, uid, report.collectionId + 2)
+      .foreach(id => assert(report.plane.collection(id).completedAt.nonEmpty, s"collection $id"))
+    assert(report.plane.collection(uid).cachedCompiledReleasesCount.contains(1L))
+  }
+
+  test("a closed-empty tree compiles to completion with zero counts") {
+    val lake = Files.createTempDirectory("graft-lake-empty").toString
+    // the compiler's _collection_is_empty case: closed with
+    // expected_files_count=0 before any file arrived — trivially
+    // compilable, and the whole tree must finalize without touching the
+    // (nonexistent) lake tables
+    var plane = Control.Plane(Map(
+      41L -> Control.Collection(41L, "src", "v", steps = Set("compile"),
+        storeEndAt = Some("2020-06-01 00:00:00"), expectedFilesCount = Some(0)),
+      42L -> Control.Collection(42L, "src", "v", parent = Some(41L),
+        transformType = Some(Control.Transform.CompileReleases))))
+    val stage = Pipeline.compileAndFinish(s, lake, plane, 41L, "2020-06-01 00:00:00")
+    assert(stage.compiled === 0L)
+    assert(stage.plane.collection(41L).completedAt.nonEmpty)
+    assert(stage.plane.collection(42L).completedAt.nonEmpty)
+    assert(stage.plane.collection(42L).cachedCompiledReleasesCount.contains(0L))
+  }
+
   test("a second run on the same ids is rejected by the run-once gates") {
     val lake = Files.createTempDirectory("graft-lake2").toString
     val dir = inputTree().toString

@@ -133,6 +133,22 @@ class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
           .GET().build(),
         HttpResponse.BodyHandlers.ofString())
       assert(Canonical.parse(md.body()).get("ocid_prefix").asText.startsWith("ocds-i"))
+
+      // a crawl that found NOTHING still completes its tree on close (the
+      // reference's closed-empty contract — code-review r7 finding)
+      val c2 = Canonical.parse(post2("/api/collections/",
+        """{"source_id": "empty_spider", "data_version": "2020-03-01 00:00:00",
+          | "compile": true}""".stripMargin).body())
+      val emptyRoot = c2.get("collection_id").asLong
+      val emptyCompiled = c2.get("compiled_collection_id").asLong
+      assert(post2(s"/api/collections/$emptyRoot/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 0}}""")
+        .statusCode() == 202)
+      val p2 = PlaneStore.load(lake2)
+      assert(p2.collection(emptyRoot).completedAt.nonEmpty)
+      assert(p2.collection(emptyCompiled).completedAt.nonEmpty)
+      // and a REPLAYED close on the finished tree stays a clean 202 no-op
+      assert(post2(s"/api/collections/$emptyRoot/close/", "{}").statusCode() == 202)
     } finally api2.stop()
   }
 }
