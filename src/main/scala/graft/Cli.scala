@@ -188,6 +188,29 @@ object Cli {
       val newFiles = updated.filesOf(cid).size - plane.filesOf(cid).size
       println(s"loaded $newFiles files ($nItems items)")
 
+    case "compact" :: lake :: table :: id :: Nil =>
+      // lake maintenance (no reference analogue — PostgreSQL has no
+      // small-files problem; an append-per-batch parquet lake does): one
+      // collection's partition of one fact table rewritten into freshly
+      // clustered files. Run it after a long keep-open/addfiles ingest.
+      val spark = session()
+      val cid = idArg(id)
+      require(Wipe.FactTables.contains(table),
+        s"unknown table '$table' (one of: ${Wipe.FactTables.mkString(", ")})")
+      def partFiles(): Int = {
+        val dir = java.nio.file.Paths.get(s"$lake/$table/collection_id=$cid")
+        if (!java.nio.file.Files.isDirectory(dir)) 0
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(dir).iterator.asScala
+            .count(_.toString.endsWith(".parquet"))
+        }
+      }
+      val before = partFiles()
+      val clusterByOcid = table == "release" || table == "record" || table == "compiled_release"
+      val rows = Sink.compactCollection(spark, s"$lake/$table", cid, clusterByOcid)
+      println(s"compacted $table/collection_id=$cid: $before -> ${partFiles()} files ($rows rows)")
+
     case "compile" :: lake :: rootId :: Nil =>
       // the compiler → checker → finisher worker chain, run inline once the
       // close latch has released the gate (the keep-open/addfiles flow's
@@ -413,6 +436,7 @@ object Cli {
            |  load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample] [--keep-open]
            |  addfiles <lake> <rootId> <path...>
            |  compile <lake> <rootId>
+           |  compact <lake> <table> <collectionId>
            |  collectionstatus <lake> <rootId>
            |  addchecks <lake> <collectionId>
            |  closecollection <lake> <id> <nFiles>

@@ -47,6 +47,35 @@ object Sink {
       .mode("overwrite")
       .parquet(path)
 
+  /** Lake maintenance: rewrite ONE collection's partition of `path` into
+    * freshly clustered files — the small-files compaction every
+    * append-per-batch lake needs (each keep-open `addfiles` batch lands
+    * its own files; hundreds of batches fragment the partition the
+    * compile/scan jobs read). Fact tables keep their ocid clustering;
+    * small per-collection tables coalesce to the single file
+    * [[writeByCollection]] would have produced. The partition is
+    * MATERIALIZED (cache + count) before the in-place dynamic overwrite —
+    * the same read-own-table ordering contract as the streaming purge. */
+  def compactCollection(
+      spark: SparkSession, path: String, collectionId: Long,
+      clusterByOcid: Boolean): Long = {
+    val part = spark.read.parquet(path)
+      .filter(col("collection_id") === collectionId)
+      .persist()
+    val n = part.count() // materializes the cache BEFORE the overwrite
+    val clustered =
+      if (clusterByOcid) part.repartition(col("collection_id"), col("ocid"))
+      else part.repartition(col("collection_id"))
+    clustered
+      .write
+      .partitionBy("collection_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
+    part.unpersist()
+    n
+  }
+
   /** Read back with partition pruning available on `collection_id`. */
   def readFacts(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

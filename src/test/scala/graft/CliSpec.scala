@@ -183,6 +183,22 @@ class CliSpec extends AnyFunSuite {
     assert(plane.collections(2L).completedAt.nonEmpty)
     assert(plane.collections(3L).completedAt.nonEmpty)
 
+    // each addfiles batch landed its own parquet files; compaction
+    // rewrites the fragmented partition in place, preserving every row
+    // (one clustered write replaces per-batch file sets — with hundreds of
+    // batches the reduction is ~batch-count×; here it just must not grow)
+    import scala.jdk.CollectionConverters._
+    def partFiles(): Int = java.nio.file.Files
+      .list(java.nio.file.Paths.get(s"$lake/release/collection_id=1"))
+      .iterator.asScala.count(_.toString.endsWith(".parquet"))
+    val before = partFiles()
+    assert(before >= 2) // load batch + addfiles batch
+    val compactOut = run("compact", lake, "release", "1")
+    assert(compactOut.contains("(3 rows)"))
+    assert(partFiles() <= before)
+    assert(SparkSuite.spark.read.parquet(s"$lake/release")
+      .where("collection_id = 1").count() === 3) // rows intact
+
     val status = run("collectionstatus", lake, "1")
     assert(status.contains("collection_files:     2"))
   }
