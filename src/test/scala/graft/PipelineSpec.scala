@@ -177,6 +177,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(report.plane.collection(report.compiledCollectionId).completedAt.nonEmpty)
   }
 
+  test("array-of-record-packages: first package's metadata only; compiled files none " +
+      "(test_process_file goldens)") {
+    import org.apache.spark.sql.functions.col
+    // mirrors tests/processors/test_process_file.py:142-162: an ARRAY of
+    // record packages loads every package's records but keeps only the
+    // FIRST package's envelope, records-array excluded
+    val dir = Files.createTempDirectory("graft-rec-arr")
+    Files.writeString(dir.resolve("arr.json"),
+      """[{"uri": "http://x/p1", "version": "1.1", "publisher": {"name": "P1"},
+        |  "publishedDate": "2020-01-01T00:00:00Z",
+        |  "records": [{"ocid": "ocds-x1", "releases": [
+        |    {"ocid": "ocds-x1", "id": "a", "date": "2020-01-01T00:00:00Z",
+        |     "tag": ["tender"], "initiationType": "tender"}]}]},
+        | {"uri": "http://x/p2", "version": "1.1", "publisher": {"name": "P2"},
+        |  "publishedDate": "2020-01-02T00:00:00Z",
+        |  "records": [{"ocid": "ocds-x2", "releases": [
+        |    {"ocid": "ocds-x2", "id": "b", "date": "2020-01-02T00:00:00Z",
+        |     "tag": ["tender"], "initiationType": "tender"}]}]}
+        |]""".stripMargin)
+    val lake = Files.createTempDirectory("graft-lake-ra").toString
+    val report = Pipeline.loadAndCompile(s, dir.toString, lake, now = "2020-06-01 00:00:00")
+    assert(report.items === 2)
+    assert(Sink.readFacts(s, s"$lake/record").select("ocid")
+      .collect().map(_.getString(0)).toSet === Set("ocds-x1", "ocds-x2"))
+    assert(report.distinctData === 2) // 2 Data rows
+    val pkgs = s.read.parquet(s"$lake/package_data")
+    assert(pkgs.count() === 1) // first package only
+    val pkgJson = pkgs.select("package_data").collect().head.getString(0)
+    assert(pkgJson.contains("\"P1\"") && !pkgJson.contains("\"records\""))
+
+    // …and compiled-release files store NO package metadata at all
+    // (test_process_file.py:164-177: PackageData.objects.count() == 0)
+    val dir2 = Files.createTempDirectory("graft-cr-nopkg")
+    Files.writeString(dir2.resolve("c.json"),
+      """{"ocid": "ocds-y1", "id": "y1", "date": "2020-01-01T00:00:00Z",
+        | "tag": ["compiled"], "initiationType": "tender"}""".stripMargin)
+    val lake2 = Files.createTempDirectory("graft-lake-crn").toString
+    Pipeline.loadAndCompile(s, dir2.toString, lake2, now = "2020-06-01 00:00:00")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake2/package_data")))
+  }
+
   test("record packages upgrade during load: original → upgraded → compiled chain") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-rec-up")
