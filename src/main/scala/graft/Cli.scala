@@ -15,7 +15,7 @@ import graft.ocds.Metadata
   * reference's commands compose over its control tables.
   *
   * Commands (reference command in parentheses):
-  *   load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample] [--keep-open]
+  *   load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample] [--keep-open] [--source NAME] [--time 'YYYY-MM-DD HH:MM:SS']
   *                                              (load; file_worker+compiler+finisher inline,
   *                                               or load-only with --keep-open)
   *   addfiles <lake> <rootId> <path...>         (addfiles; the enqueued file_worker
@@ -109,11 +109,24 @@ object Cli {
         sys.exit(2)
       }
       val keepOpen = rest.contains("--keep-open")
+      // -s/--source and -t/--time (load.py:43-56): the announced source
+      // name and an explicit data_version, overriding the path default /
+      // earliest file mtime
+      val sourceId = flagValue(rest, "--source")
+      val time = flagValue(rest, "--time")
+      time.foreach { t =>
+        if (!t.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}""")) {
+          System.err.println(
+            s"--time must be 'YYYY-MM-DD HH:MM:SS', got '$t'")
+          sys.exit(2)
+        }
+      }
       val spark = session()
       val now = nowUtc()
       val stage = Pipeline.load(
         spark, input, lake, collectionId = id, now = now,
-        upgrade = upgrade, keepOpen = keepOpen)
+        upgrade = upgrade, keepOpen = keepOpen,
+        sourceId = sourceId, dataVersionOverride = time)
       // --keep-open (load.py:156-161): skip the close latch AND the
       // compile/check/finalize chain it gates — addfiles batches arrive
       // next, then closecollection + compile finish the lifecycle
@@ -433,7 +446,7 @@ object Cli {
       System.err.println(
         s"""unknown command: ${other.mkString(" ")}
            |usage: graft.Cli <command> [args]
-           |  load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample] [--keep-open]
+           |  load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample] [--keep-open] [--source NAME] [--time 'YYYY-MM-DD HH:MM:SS']
            |  addfiles <lake> <rootId> <path...>
            |  compile <lake> <rootId>
            |  compact <lake> <table> <collectionId>

@@ -81,18 +81,24 @@ object Pipeline {
       collectionId: Long = 1L,
       now: String = "1970-01-01 00:00:00",
       upgrade: Boolean = false,
-      keepOpen: Boolean = false): LoadStage = {
+      keepOpen: Boolean = false,
+      sourceId: Option[String] = None,
+      dataVersionOverride: Option[String] = None): LoadStage = {
 
     // §3.1 steps 1-2: create the collection DAG the loader builds
     // (`loader.py:42-105`) — original [→ upgraded] → compiled — validating
-    // each transform transition like clean_fields (V2)
+    // each transform transition like clean_fields (V2).
+    // `sourceId` is load.py's required -s/--source (defaults to the input
+    // path when the caller has no source registry); `dataVersionOverride`
+    // is -t/--time, else the earliest file mtime (load.py:89-100)
     val paths = Ingest.walk(spark, Seq(inputDir))
     require(paths.nonEmpty, s"no input files under $inputDir")
-    val dataVersion = Ingest.dataVersion(spark, paths)
+    val dataVersion = dataVersionOverride
+      .getOrElse(Ingest.dataVersion(spark, paths))
     val upgradedId = if (upgrade) Some(collectionId + 1) else None
     val compiledId = collectionId + (if (upgrade) 2 else 1)
     val original = Control.Collection(
-      collectionId, sourceId = inputDir, dataVersion = dataVersion,
+      collectionId, sourceId = sourceId.getOrElse(inputDir), dataVersion = dataVersion,
       steps = if (upgrade) Set("upgrade") else Set("compile"))
     var plane = Control.Plane(Map(collectionId -> original))
     def addChild(c: Control.Collection): Unit = {
@@ -102,12 +108,12 @@ object Pipeline {
     }
     upgradedId.foreach { uid =>
       addChild(Control.Collection(
-        uid, sourceId = inputDir, dataVersion = dataVersion,
+        uid, sourceId = sourceId.getOrElse(inputDir), dataVersion = dataVersion,
         parent = Some(collectionId), steps = Set("compile"),
         transformType = Some(Control.Transform.Upgrade1011)))
     }
     addChild(Control.Collection(
-      compiledId, sourceId = inputDir, dataVersion = dataVersion,
+      compiledId, sourceId = sourceId.getOrElse(inputDir), dataVersion = dataVersion,
       parent = Some(upgradedId.getOrElse(collectionId)),
       transformType = Some(Control.Transform.CompileReleases)))
 

@@ -119,7 +119,8 @@ class CliSpec extends AnyFunSuite {
     val input = inputTree()
     val lake = Files.createTempDirectory("graft-cli-lake2").toString
 
-    run("load", input.toString, lake, "--note", "initial import", "--sample")
+    run("load", input.toString, lake, "--note", "initial import", "--sample",
+      "--source", "demo_local", "--time", "2019-05-05 12:00:00")
     // --note → an INFO collection_note row, readable via the notes command
     val notes = run("notes", lake, "1", "INFO")
     assert(notes.contains("INFO:"))
@@ -130,7 +131,10 @@ class CliSpec extends AnyFunSuite {
       Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
     assert(plane.collections(1L).sample)
     assert(plane.collections(2L).sample)
-
+    // --source and --time (load.py -s/-t) land on every created collection
+    assert(plane.collections(1L).sourceId === "demo_local")
+    assert(plane.collections(2L).sourceId === "demo_local")
+    assert(plane.collections(1L).dataVersion === "2019-05-05 12:00:00")
   }
 
   test("keep-open lifecycle: load --keep-open → addfiles → close → compile") {
