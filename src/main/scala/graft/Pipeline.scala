@@ -279,8 +279,13 @@ object Pipeline {
     // rows, and the per-file compile below consumes the UPGRADED records
     var nNotes = 0L
     var compileSrc = records
+    var upgradedCache: Option[DataFrame] = None
     upgradedId.foreach { uid =>
+      // `up` stays persisted until the compile below has consumed its
+      // projection — unpersisting here would silently re-run the whole
+      // upgrade when the compile plan finally evaluates
       val up = Upgrade.upgradeRecords(records, spark).toDF().persist()
+      upgradedCache = Some(up)
       val upFacts = up.drop("upgrade_warnings").withColumn("collection_id", lit(uid))
       Sink.writeFacts(upFacts, s"$lakeDir/record")
       val notes = Notes.fromUpgradeWarnings(up, uid).persist()
@@ -292,8 +297,7 @@ object Pipeline {
         Control.completeStep(p, uid, Control.StepName.Load, Some(f)))
       plane = plane.copy(collections = plane.collections.updated(uid,
         plane.collection(uid).copy(dataTypeFormat = Some(dt.format))))
-      compileSrc = upFacts.persist()
-      up.unpersist()
+      compileSrc = upFacts
     }
 
     // per-file immediate compile off the tree's compile BASE (the upgraded
@@ -332,7 +336,7 @@ object Pipeline {
       paths.foreach(f => plane = Control.markFileCompiled(plane, baseId, f))
     }
     val nItems = records.count()
-    if (compileSrc ne records) compileSrc.unpersist()
+    upgradedCache.foreach(_.unpersist())
     records.unpersist()
     (plane, nItems, nNotes)
   }
