@@ -115,10 +115,14 @@ object Cli {
       val sourceId = flagValue(rest, "--source")
       val time = flagValue(rest, "--time")
       time.foreach { t =>
-        if (!t.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}""")) {
-          System.err.println(
-            s"--time must be 'YYYY-MM-DD HH:MM:SS', got '$t'")
-          sys.exit(2)
+        // a REAL datetime parse, like load.py's -t handling — a
+        // shape-only regex would accept '2020-13-45 25:99:99'
+        try java.time.LocalDateTime.parse(
+          t, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            System.err.println(s"--time must be a valid 'YYYY-MM-DD HH:MM:SS', got '$t'")
+            sys.exit(2)
         }
       }
       val spark = session()
@@ -214,9 +218,13 @@ object Cli {
         val dir = java.nio.file.Paths.get(s"$lake/$table/collection_id=$cid")
         if (!java.nio.file.Files.isDirectory(dir)) 0
         else {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(dir).iterator.asScala
-            .count(_.toString.endsWith(".parquet"))
+          // Files.list holds an open DirectoryStream — close it, don't
+          // lean on GC (this helper may be reused from the long-lived API)
+          val stream = java.nio.file.Files.list(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            stream.iterator.asScala.count(_.toString.endsWith(".parquet"))
+          } finally stream.close()
         }
       }
       val before = partFiles()
@@ -286,23 +294,35 @@ object Cli {
       // before; compiled-release collections have NO check pass (the
       // reference's checker handles only Release and Record rows) — a
       // clean no-op beats an AnalysisException on the absent release table
+      val isRecord = known(plane, cid).dataTypeFormat
+        .contains(Control.Format.RecordPackage)
+      val (factTable, checkTable, kind) =
+        if (isRecord) ("record", "record_check", "record")
+        else ("release", "release_check", "release")
+      // compiled-release collections (explicit format OR a format-less
+      // compiled child on a lake with no release rows) have no check pass:
+      // the reference's checker handles only release/record rows — report
+      // zero, never an AnalysisException on an absent table
       if (known(plane, cid).dataTypeFormat
-          .contains(graft.ingest.FormatDetect.Format.CompiledRelease)) {
-        println("checked=0 failed=0 (compiled-release collections have no check pass)")
+          .contains(graft.ingest.FormatDetect.Format.CompiledRelease) ||
+          readOrEmpty(spark, s"$lake/$factTable").isEmpty) {
+        println("checked=0 failed=0 (no checkable rows for this collection)")
       } else {
-        val isRecord = known(plane, cid).dataTypeFormat
-          .contains(Control.Format.RecordPackage)
-        val (factTable, checkTable, kind) =
-          if (isRecord) ("record", "record_check", "record")
-          else ("release", "release_check", "release")
         val facts = Sink.readFacts(spark, s"$lake/$factTable")
           .filter(col("collection_id") === cid)
           .select(col("filename"), col("ocid"),
             (if (isRecord) lit("") else col("release_id")).as("release_id"),
             col("hash_md5"), col("data"))
-        val pkgs = spark.read.parquet(s"$lake/package_data")
-          .filter(col("collection_id") === rootId).select("filename", "package_data")
-        val rows = facts.join(pkgs, Seq("filename"), "left")
+        // package_data can be legitimately absent (crash remnants, older
+        // lakes): the checker already treats a missing envelope as null
+        val withPkg = readOrEmpty(spark, s"$lake/package_data") match {
+          case Some(p) => facts.join(
+            p.filter(col("collection_id") === rootId).select("filename", "package_data"),
+            Seq("filename"), "left")
+          case None => facts.withColumn(
+            "package_data", lit(null).cast(org.apache.spark.sql.types.StringType))
+        }
+        val rows = withPkg
           .select(Checker.checkId.as("id"), col("data"), col("package_data"))
         val existing = readOrEmpty(spark, s"$lake/$checkTable")
           .map(_.filter(col("collection_id") === cid))

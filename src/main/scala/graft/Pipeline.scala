@@ -430,10 +430,7 @@ object Pipeline {
     }
 
     var plane = plane0
-    val upgradedId = plane.collections.values
-      .find(c => c.parent.contains(collectionId) &&
-        c.transformType.contains(Control.Transform.Upgrade1011))
-      .map(_.id)
+    val upgradedId = plane.upgradedChild(collectionId).map(_.id)
     val compileBaseId = upgradedId.getOrElse(collectionId)
     val compiledId = plane.compiledChild(plane.collection(compileBaseId))
       .getOrElse(throw new IllegalArgumentException(
@@ -559,10 +556,7 @@ object Pipeline {
       collectionId: Long,
       now: String): CompileStage = {
     var plane = plane0
-    val upgradedId = plane.collections.values
-      .find(c => c.parent.contains(collectionId) &&
-        c.transformType.contains(Control.Transform.Upgrade1011))
-      .map(_.id)
+    val upgradedId = plane.upgradedChild(collectionId).map(_.id)
     val baseId = upgradedId.getOrElse(collectionId)
     val compiledId = plane.compiledChild(plane.collection(baseId))
       .getOrElse(throw new IllegalArgumentException(
@@ -620,10 +614,7 @@ object Pipeline {
     def compiledCount(cid: Long): Long =
       Sink.readOrEmpty(spark, s"$lakeDir/compiled_release")
         .map(_.filter(col("collection_id") === cid).count()).getOrElse(0L)
-    val upgradedId = plane.collections.values
-      .find(c => c.parent.contains(collectionId) &&
-        c.transformType.contains(Control.Transform.Upgrade1011))
-      .map(_.id)
+    val upgradedId = plane.upgradedChild(collectionId).map(_.id)
     val baseId = upgradedId.getOrElse(collectionId)
     // the --compile child (if requested) hangs off the compile base and
     // completes EMPTY (the compiler's no-op for this format)

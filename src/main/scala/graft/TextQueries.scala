@@ -508,13 +508,19 @@ object TextQueries {
         // Documents here are ≥10 tokens, so the gram list is never empty.
         // fanOut: ~100 interpreted element_at/concat evals + a per-row
         // distinct set is engine CPU that would otherwise run on the
-        // single-task scan (6.1 s → sub-second at sf0.1)
+        // single-task scan (6.1 s → sub-second at sf0.1).
+        // Docs shorter than one gram are FILTERED on both engines — with
+        // start > stop, Spark's sequence() counts DOWN where DuckDB's
+        // generate_series returns empty, so the guard must be explicit,
+        // not a data assumption
         val toks = tokens(col("text"))
         val grams = transform(
           sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ",
             element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
-        Tables.fanOut(Tables.documents(s, d)).select(
+        Tables.fanOut(Tables.documents(s, d))
+          .filter(size(tokens(col("text"))) >= 3)
+          .select(
           col("doc_id"),
           size(grams).cast(LongType).as("n_grams"),
           size(array_distinct(grams)).cast(LongType).as("n_distinct"),
@@ -526,7 +532,8 @@ object TextQueries {
                 SELECT doc_id,
                        [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                         for i in generate_series(1, len(t) - 2)] AS grams
-                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                      WHERE len(string_split(text, ' ')) >= 3))
               SELECT doc_id,
                      CAST(len(grams) AS BIGINT) AS n_grams,
                      CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
@@ -558,7 +565,10 @@ object TextQueries {
           i => concat_ws(" ", (0 until W).map(o => element_at(toks, i + o)): _*))
         def shingled(df: org.apache.spark.sql.DataFrame) =
           df.select(col("doc_id"), explode(grams).as("gram"))
+        // sub-shingle docs filtered on both engines (Spark's descending
+        // sequence() vs DuckDB's empty generate_series, as in q_rep_ngrams)
         val docs = Tables.fanOut(Tables.documents(s, d))
+          .filter(size(toks) >= W)
         val evalGrams = shingled(docs.filter(pmod(col("doc_id"), lit(97)) === 0))
           .select("gram").distinct()
         shingled(docs.filter(pmod(col("doc_id"), lit(97)) =!= 0))
@@ -571,7 +581,8 @@ object TextQueries {
                 SELECT doc_id,
                        unnest([array_to_string(t[i:i+3], ' ')
                                for i in generate_series(1, len(t) - 3)]) AS gram
-                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                      WHERE len(string_split(text, ' ')) >= 4)),
               ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
               SELECT g.doc_id,
                      CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams

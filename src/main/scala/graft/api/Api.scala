@@ -241,9 +241,7 @@ final class Api(
     landingRoot.foreach { root =>
       val dir = java.nio.file.Paths.get(root, s"collection_$id", "landing")
       if (java.nio.file.Files.isDirectory(dir)) {
-        val upgradedId = plane.collections.values
-          .find(k => k.parent.contains(id) &&
-            k.transformType.contains(Control.Transform.Upgrade1011)).map(_.id)
+        val upgradedId = plane.upgradedChild(id).map(_.id)
         val ref = new java.util.concurrent.atomic.AtomicReference(plane)
         graft.streaming.Streaming.releaseLoadStream(
           spark, dir.toString, lake, id, upgradedId, ref,
@@ -258,9 +256,7 @@ final class Api(
         .map(_.asInt)).getOrElse(0)
     val now = nowUtc()
     plane = Control.closeCollection(plane, id, now, expected)
-    plane.collections.values
-      .find(k => k.parent.contains(id) &&
-        k.transformType.contains(Control.Transform.Upgrade1011))
+    plane.upgradedChild(id)
       .foreach(u => plane = Control.closeCollection(plane, u.id, now, expected))
     PlaneStore.save(lake, plane)
 
@@ -288,15 +284,20 @@ final class Api(
     * compile, the compiled child hasn't completed, and the gate holds
     * (expected > actual means announced files are still in flight) —
     * callable from both the first close and a replayed one. Returns the
-    * plane unchanged when there is nothing to do. */
+    * plane unchanged when there is nothing to do, INCLUDING when the
+    * finish gates refuse (a record tree is "compilable" before all its
+    * announced files arrive, but not completable — the reference's
+    * finisher just waits; a close must stay 202, not 500). */
   private def runPendingCompile(plane: Control.Plane, id: Long): Control.Plane = {
-    val base = plane.collections.values
-      .find(k => k.parent.contains(id) &&
-        k.transformType.contains(Control.Transform.Upgrade1011))
-      .getOrElse(plane.collection(id))
+    val base = plane.upgradedChild(id).getOrElse(plane.collection(id))
     val pending = plane.compiledChild(base).exists(_.completedAt.isEmpty)
     if (pending && Control.compilable(plane, base))
-      graft.Pipeline.compileAndFinish(spark, lake, plane, id, nowUtc()).plane
+      try graft.Pipeline.compileAndFinish(spark, lake, plane, id, nowUtc()).plane
+      catch {
+        case e @ (_: IllegalStateException | _: IllegalArgumentException) =>
+          System.err.println(s"[api] compile for collection $id not ready: ${e.getMessage}")
+          plane
+      }
     else plane
   }
 

@@ -81,6 +81,12 @@ object Control {
       collections.values.find(k =>
         k.parent.contains(c.id) && k.transformType.contains(Transform.CompileReleases))
 
+    /** The 1.0→1.1 upgrade child of `parentId`, if any
+      * (`get_upgraded_collection`). */
+    def upgradedChild(parentId: Long): Option[Collection] =
+      collections.values.find(k =>
+        k.parent.contains(parentId) && k.transformType.contains(Transform.Upgrade1011))
+
     /** Depth-first ids of `root` and every collection derived from it —
       * the tree the read endpoints and wipes operate over. */
     def treeIds(root: Long): Seq[Long] = {

@@ -247,14 +247,16 @@ object Streaming {
     val inLake =
       cids.map(filesIn("release", _)).fold(Set.empty)(_ ++ _) ++
         cids.map(filesIn("record", _)).fold(Set.empty)(_ ++ _) ++
-        filesIn("compiled_release", collectionId) ++
+        cids.map(filesIn("compiled_release", _)).fold(Set.empty)(_ ++ _) ++
         filesIn("package_data", collectionId)
     val partial = inLake.filterNot(f => registered(pathKey(f)))
     if (partial.isEmpty) return
 
     purgeByFilename(spark, s"$lakeDir/release", cids, partial)
     purgeByFilename(spark, s"$lakeDir/record", cids, partial)
-    purgeByFilename(spark, s"$lakeDir/compiled_release", Seq(collectionId), partial)
+    // BOTH cids: compiled-release direct loads with an upgrade leg write
+    // filename-keyed rows under the upgraded collection too
+    purgeByFilename(spark, s"$lakeDir/compiled_release", cids, partial)
     purgeByFilename(spark, s"$lakeDir/package_data", Seq(collectionId), partial)
     // record collections' per-file compiles are keyed by OCID, not
     // filename, and need no purge: reloading the purged record facts
