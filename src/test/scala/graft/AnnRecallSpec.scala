@@ -52,4 +52,18 @@ class AnnRecallSpec extends AnyFunSuite {
       "a trained quantizer losing to sign bits at equal probes is a training bug")
     assert(rTrained >= 0.3, "the query's Voronoi cell should hold true neighbors")
   }
+
+  test("k-means training is bit-deterministic across runs and partitionings") {
+    // the fixed-point-sum claim, pinned: two independent trainings (the
+    // second over a repartitioned input, exercising different partition
+    // orders) must produce IDENTICAL centroids — the property the
+    // rows-only driver check of q_ann_ivf_kmeans leans on
+    val emb = Tables.embeddings(s, dir)
+    val c1 = VectorQueries.trainCentroids(emb, s)
+    val c2 = VectorQueries.trainCentroids(emb.repartition(7), s)
+    assert(c1.length === c2.length)
+    c1.zip(c2).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.toSeq === b.toSeq, s"centroid $i differs across partitionings")
+    }
+  }
 }
