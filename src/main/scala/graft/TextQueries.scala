@@ -549,15 +549,17 @@ object TextQueries {
       (s, d) => {
         // benchmark decontamination (the pre-training hygiene pass: drop
         // training documents that share long n-grams with an evaluation
-        // set): the "eval set" is the doc_id % 97 hash slice, 4-token
-        // shingles are the overlap unit (production pipelines use 8-13;
-        // this synthetic small-vocab corpus only shows real overlap at 4 —
-        // the width is the one tuning knob), and the check is a BROADCAST
-        // semi-shaped join from exploded train shingles onto the distinct
-        // eval shingles — at 100 TB the eval side stays benchmark-sized
-        // (broadcastable) while the train side streams through one
-        // codegen'd explode+join+aggregate, no shuffle on the big side
-        // until the per-doc count
+        // set): the "eval set" is the doc_id % 97 hash slice — a stand-in
+        // for a REAL benchmark suite, which is fixed-size (MBs of prompts)
+        // and stays broadcastable at ANY train scale; a corpus-derived
+        // slice like this demo's would not, and would switch to a shuffle
+        // join on the gram. 4-token shingles are the overlap unit
+        // (production pipelines use 8-13; this synthetic small-vocab
+        // corpus only shows real overlap at 4 — the width is the one
+        // tuning knob), and the check is a BROADCAST semi-shaped join from
+        // exploded train shingles onto the distinct eval shingles: the
+        // train side streams through one codegen'd explode+join+aggregate,
+        // no shuffle on the big side until the per-doc count
         val W = 4
         val toks = tokens(col("text"))
         val grams = transform(
