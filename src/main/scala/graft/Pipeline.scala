@@ -319,16 +319,34 @@ object Pipeline {
         fresh.select(col("ocid"), col("filename"), col("record_seq"),
           col("data").as("record")), spark)
         .toDF().persist()
+      // NOTES FIRST, deduplicated by (code, note, data) against the rows
+      // already in the compiled collection's partition: a crash between
+      // the two writes then re-emits the notes on replay and the anti-join
+      // drops the already-written ones — neither loss nor duplication,
+      // whichever side of the window the crash lands on (the r7 honest-
+      // caveat window, now closed). The ocid rides in `data` (the
+      // reference's note context JSON) so repeated follow-up TEXTS across
+      // ocids stay distinct rows.
+      val freshNotes = out.filter(col("note").isNotNull).select(
+        lit(compiledId).as("collection_id"), col("note.code").as("code"),
+        col("note.note").as("note"),
+        to_json(struct(col("note.ocid").as("ocid"))).as("data"))
+      val notes = (Sink.readOrEmpty(spark, s"$lakeDir/collection_note") match {
+        case Some(existing) => freshNotes.join(
+          existing.filter(col("collection_id") === compiledId)
+            .select("code", "note", "data"),
+          Seq("code", "note", "data"), "left_anti")
+        case None => freshNotes
+      }).persist()
+      // count (and thereby materialize the cache) BEFORE the append: the
+      // anti-join plan reads the very table being written
+      nNotes += notes.count()
+      Sink.writeByCollection(notes, s"$lakeDir/collection_note")
       Sink.writeFacts(
         out.filter(col("summary").isNotNull).select(col("summary.*"))
           .withColumn("filename", lit(null).cast(org.apache.spark.sql.types.StringType))
           .withColumn("collection_id", lit(compiledId)),
         s"$lakeDir/compiled_release")
-      val notes = out.filter(col("note").isNotNull).select(
-        lit(compiledId).as("collection_id"), col("note.code").as("code"),
-        col("note.note").as("note"), lit("{}").as("data")).persist()
-      Sink.writeByCollection(notes, s"$lakeDir/collection_note")
-      nNotes += notes.count()
       notes.unpersist()
       out.unpersist()
       // the completion gate tracks per-file compile on the compile BASE

@@ -238,8 +238,13 @@ object Compile {
       }
   }
 
-  /** One record-compile note (code ∈ INFO/WARNING/ERROR). */
-  final case class RecordNote(code: String, note: String)
+  /** One record-compile note (code ∈ INFO/WARNING/ERROR). `ocid` names the
+    * record the note describes — the reference stores the same context in
+    * the note's `data` JSON, and it is the key that makes a replayed
+    * batch's note writes deduplicable (follow-up texts like "Its
+    * compiledRelease was used." repeat VERBATIM across ocids, so text
+    * alone cannot key idempotence). */
+  final case class RecordNote(code: String, note: String, ocid: String)
 
   /** One record-compile output row; exactly one field is set. */
   final case class RecordOut(summary: Option[CompiledSummary], note: Option[RecordNote])
@@ -262,11 +267,11 @@ object Compile {
       .mapPartitions(it => consecutiveGroups(it)(_._1).flatMap { case (ocid, rows) =>
         val out = mutable.ArrayBuffer.empty[RecordOut]
         if (rows.size > 1)
-          out += RecordOut(None, Some(RecordNote("WARNING", s"OCID $ocid occurs ${rows.size} times.")))
+          out += RecordOut(None, Some(RecordNote("WARNING", s"OCID $ocid occurs ${rows.size} times.", ocid)))
         Canonical.parse(rows.head._2) match {
           case o: com.fasterxml.jackson.databind.node.ObjectNode =>
             val d = RecordCompile.decide(ocid, o)
-            d.notes.foreach(n => out += RecordOut(None, Some(RecordNote(n.level, n.text))))
+            d.notes.foreach(n => out += RecordOut(None, Some(RecordNote(n.level, n.text, ocid))))
             d.compiled.foreach(c => out += RecordOut(
               Some(summarizeDoc(ocid, c, d.classification.total.toLong, d.notes.size.toLong)), None))
           case _ => () // a non-object record cannot be compiled; decide()'s

@@ -263,11 +263,9 @@ object Streaming {
     // re-runs the compile with its already-compiled-ocid anti-join, so
     // compiled rows written before the crash simply keep their elected
     // record (the AlreadyExists contract) — compiled state converges.
-    // CAVEAT: a crash in the narrower window between the compiled write
-    // and the note write loses those ocids' DECISION notes (the anti-join
-    // that protects the compiled rows also skips re-emitting their notes);
-    // notes are diagnostics, and closing this would need a per-ocid note
-    // presence check — accepted
+    // Notes converge too: the record batch writes its (ocid-keyed,
+    // dedup-anti-joined) notes BEFORE the compiled rows, so a replay
+    // re-emits exactly the missing ones (Pipeline.loadRecordBatch)
     // upgrade differs-notes are keyed "<filename>: <warning>" — drop the
     // partial files' notes the same way (the dedup store is content-
     // addressed and append-tolerant; its rows need no purge)

@@ -139,6 +139,47 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"collection_id" === 22).count() === 1)
   }
 
+  test("record replay converges notes AND compiled rows (the crash-window contract)") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-recnotes")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val C = graft.control.Control
+    def freshPlane() = new java.util.concurrent.atomic.AtomicReference(C.Plane(Map(
+      51L -> C.Collection(51L, "src", "2020-01-01 00:00:00", steps = Set("compile")),
+      52L -> C.Collection(52L, "src", "2020-01-01 00:00:00", parent = Some(51L),
+        transformType = Some(C.Transform.CompileReleases)))))
+    // a record whose decision produces NOTES (compiledRelease fallback)
+    Files.writeString(landing.resolve("n.json"),
+      """{"uri": "http://x/n", "version": "1.1", "publisher": {"name": "N"},
+        | "records": [{"ocid": "ocds-nt1",
+        |   "releases": [{"ocid": "ocds-nt1", "url": "http://x/l",
+        |                 "date": "2020-01-01T00:00:00Z"}],
+        |   "compiledRelease": {"ocid": "ocds-nt1", "id": "n1",
+        |     "date": "2020-01-01T00:00:00Z", "tag": ["compiled"],
+        |     "initiationType": "tender"}}]}""".stripMargin)
+    val p1 = freshPlane()
+    Streaming.releaseLoadStream(
+      s, landing.toString, lake, 51L, None, p1, base.resolve("ck1").toString)
+      .awaitTermination()
+    def notes() = s.read.parquet(s"$lake/collection_note")
+      .filter($"collection_id" === 52).count()
+    def compiled() = s.read.parquet(s"$lake/compiled_release")
+      .filter($"collection_id" === 52).count()
+    assert(notes() === 2 && compiled() === 1) // INFO ×2 fallback notes
+
+    // simulate the worst crash: plane lost AND the compiled write never
+    // happened — notes exist, compiled rows don't; the replay must re-emit
+    // ONLY the compiled row, anti-joining away the already-written notes
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$lake/compiled_release/collection_id=52"))
+    Streaming.releaseLoadStream(
+      s, landing.toString, lake, 51L, None, freshPlane(), base.resolve("ck2").toString)
+      .awaitTermination()
+    assert(notes() === 2, "replayed notes must dedupe, not duplicate")
+    assert(compiled() === 1, "the lost compiled row must come back")
+  }
+
   test("releaseLoadStream routes landed COMPILED releases; filename-keyed replay dedup") {
     import s.implicits._
     val base = Files.createTempDirectory("graft-crload")
