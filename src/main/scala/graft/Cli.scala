@@ -205,6 +205,29 @@ object Cli {
       val newFiles = updated.filesOf(cid).size - plane.filesOf(cid).size
       println(s"loaded $newFiles files ($nItems items)")
 
+    case "collections" :: lake :: rest =>
+      // the analysts' first documented query (querying-data.rst:10-27):
+      // list collections, filterable by source, newest first, with the
+      // cached counts the finisher wrote — the control plane is
+      // driver-sized, so this is a pure plane read, no Spark session
+      val plane = loadPlane(lake)
+      val source = flagValue(rest, "--source")
+      val withCompiled = rest.contains("--with-compiled")
+      plane.collections.values.toSeq
+        .filter(c => source.forall(_ == c.sourceId))
+        .filter(c => !withCompiled || c.cachedCompiledReleasesCount.exists(_ > 0))
+        .sortBy(-_.id) // ids are sequential: newest first
+        .foreach { c =>
+          println(s"${c.id} source=${c.sourceId} data_version=${c.dataVersion}" +
+            c.transformType.map(t => s" transform=$t").getOrElse("") +
+            c.cachedReleasesCount.map(n => s" releases=$n").getOrElse("") +
+            c.cachedRecordsCount.filter(_ > 0).map(n => s" records=$n").getOrElse("") +
+            c.cachedCompiledReleasesCount.map(n => s" compiled_releases=$n").getOrElse("") +
+            (if (c.deletedAt.nonEmpty) " (deleted)"
+             else if (c.completedAt.nonEmpty) " (completed)"
+             else " (open)"))
+        }
+
     case "compact" :: lake :: table :: id :: Nil =>
       // lake maintenance (no reference analogue — PostgreSQL has no
       // small-files problem; an append-per-batch parquet lake does): one
@@ -470,6 +493,7 @@ object Cli {
            |  addfiles <lake> <rootId> <path...>
            |  compile <lake> <rootId>
            |  compact <lake> <table> <collectionId>
+           |  collections <lake> [--source NAME] [--with-compiled]
            |  collectionstatus <lake> <rootId>
            |  addchecks <lake> <collectionId>
            |  closecollection <lake> <id> <nFiles>

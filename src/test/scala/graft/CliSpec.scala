@@ -135,6 +135,15 @@ class CliSpec extends AnyFunSuite {
     assert(plane.collections(1L).sourceId === "demo_local")
     assert(plane.collections(2L).sourceId === "demo_local")
     assert(plane.collections(1L).dataVersion === "2019-05-05 12:00:00")
+
+    // the documented find-collections-for-a-source query
+    // (querying-data.rst:10-27): newest first, cached counts shown,
+    // source-filterable
+    val listing = run("collections", lake, "--source", "demo_local", "--with-compiled")
+    val lines = listing.linesIterator.toSeq
+    assert(lines.nonEmpty && lines.head.startsWith("2 ")) // newest first
+    assert(lines.exists(l => l.contains("compiled_releases=") && l.contains("(completed)")))
+    assert(run("collections", lake, "--source", "nope").trim.isEmpty)
   }
 
   test("keep-open lifecycle: load --keep-open → addfiles → close → compile") {
