@@ -23,6 +23,11 @@ import graft.ocds.Metadata
   *   compile <lake> <rootId>                    (the compiler/checker/finisher chain,
   *                                               once closecollection released the gate)
   *   collectionstatus <lake> <rootId>           (collectionstatus)
+  *   collections <lake> [--source NAME] [--with-compiled]
+  *                                              (the querying-data.rst
+  *                                               find-collections query)
+  *   compact <lake> <table> <collectionId>      (lake small-files maintenance;
+  *                                               no reference analogue)
   *   addchecks <lake> <collectionId>            (addchecks + checker)
   *   closecollection <lake> <id> <nFiles>       (closecollection)
   *   cancelcollection <lake> <id>               (cancelcollection)
