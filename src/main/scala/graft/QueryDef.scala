@@ -20,7 +20,20 @@ final case class QueryDef(
     survey: Seq[String],
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String = "")
+    doc: String = "",
+    /** Optional oracle-side auxiliary input: `(spark, sfDir, auxDir)` writes
+      * parquet under `auxDir` that this query's oracle SQL reads via
+      * [[OracleAux.Token]]. This is how an oracle covers an operator whose
+      * DERIVATION is not SQL-expressible but whose derived artifact is
+      * deterministic (e.g. trained k-means centroids): the artifact is
+      * materialized once, and the oracle recomputes everything downstream
+      * of it from the raw tables. Verify runs the hook and substitutes the
+      * token with the real directory when dumping `oracle_sql.json`. */
+    aux: Option[(SparkSession, String, String) => Unit] = None)
+
+/** Path token in oracle SQL that Verify replaces with the absolute aux
+  * directory it materialized [[QueryDef.aux]] outputs into. */
+object OracleAux { val Token = "__GRAFT_AUX__" }
 
 object Queries {
   def all: Seq[QueryDef] =

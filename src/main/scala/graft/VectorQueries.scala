@@ -380,6 +380,78 @@ object VectorQueries {
     best
   }
 
+  /** Oracle-side artifact for q_ann_ivf_kmeans ([[QueryDef.aux]]): the
+    * trained centroids as a 16-row parquet (cell BIGINT, c DOUBLE[]).
+    * Training is iterative — not SQL-expressible — but DETERMINISTIC and
+    * bit-stable (no RNG, fixed-point-exact sums; AnnRecallSpec asserts
+    * identity across partitionings), so materializing its output lets the
+    * DuckDB oracle recompute everything downstream — every cell
+    * assignment, the probe, and the exact-decimal top-k — from the raw
+    * embeddings table plus these 16×64 doubles. */
+  private def writeKmeansAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import s.implicits._
+    val cs = trainCentroids(Tables.embeddings(s, d), s)
+    cs.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c.toSeq) }
+      .toDF("cell", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/kmeans_centroids")
+  }
+
+  /** The trained-IVF oracle: re-derives every cell assignment from the
+    * materialized centroids with the same arithmetic as [[nearestCell]] —
+    * embeddings are unit-normalized (`x * (1/sqrt(Σx²))`, the loop's exact
+    * op sequence; zero-norm vectors pass through unscaled), assignment is
+    * max-dot with lowest-cell tie-break — then scores the query's cell
+    * with the exact-decimal machinery shared with [[ivfOracleSql]].
+    * `list_inner_product` folds in list order, matching the Scala loops'
+    * left-to-right double accumulation. */
+  private def kmeansOracleSql: String =
+    s"""WITH cent AS (
+          SELECT cell, c
+          FROM read_parquet('${OracleAux.Token}/kmeans_centroids/*.parquet')),
+        dv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+        sc AS (
+          SELECT vec_id, d, list_inner_product(d, d) AS n2,
+                 1.0 / sqrt(list_inner_product(d, d)) AS s
+          FROM dv),
+        un AS (
+          SELECT vec_id,
+                 CASE WHEN n2 = 0 THEN d
+                      ELSE list_transform(d, x -> x * s) END AS u
+          FROM sc),
+        cells AS (
+          SELECT vec_id, cell FROM (
+            SELECT un.vec_id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY un.vec_id
+                     ORDER BY list_inner_product(un.u, cent.c) DESC, cent.cell)
+                     AS rn
+            FROM un CROSS JOIN cent) ranked
+          WHERE rn = 1),
+        n AS (
+          SELECT e.vec_id, e.embedding,
+                 SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                          AS DECIMAL(38,18))) AS norm_dec
+          FROM embeddings e, generate_series(1, $Dim) t(i)
+          GROUP BY e.vec_id, e.embedding),
+        q AS (
+          SELECT n.embedding AS qe, n.norm_dec AS qnorm_dec, c.cell AS qcell
+          FROM n JOIN cells c ON c.vec_id = n.vec_id WHERE n.vec_id = 0),
+        scored AS (
+          SELECT n.vec_id,
+                 round(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
+                                     * CAST(q.qe[i] AS DOUBLE)
+                                     AS DECIMAL(38,18))) AS DOUBLE)
+                   / (sqrt(CAST(n.norm_dec AS DOUBLE)) * sqrt(CAST(q.qnorm_dec AS DOUBLE))), 9)
+                   AS cosine
+          FROM n
+          JOIN cells c ON c.vec_id = n.vec_id
+          JOIN q ON c.cell = q.qcell,
+               generate_series(1, $Dim) t(i)
+          WHERE n.vec_id <> 0
+          GROUP BY n.vec_id, n.norm_dec, q.qnorm_dec)
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id LIMIT 10"""
+
   /** The IVF oracle with the probe predicate injected (`c` = candidate
     * cells row, `q` = query row with qcell). */
   private def ivfOracleSql(probePred: String): String =
@@ -510,12 +582,14 @@ object VectorQueries {
         // fixed-point-exact sums) replace the sign-bit quantizer; probe =
         // the query's Voronoi cell, exact decimal scoring inside it — the
         // same single-probe contract as q_ann_ivf with a data-adapted
-        // partition. k-means training is iterative and not SQL-expressible,
-        // so this query has no DuckDB oracle (driver records the weaker
-        // rows-only check); AnnRecallSpec gates its quality instead:
-        // trained single-probe recall must dominate the deterministic
-        // quantizer's at equal probe count. At 100 TB the trained cell id
-        // is the partition key exactly like the deterministic one.
+        // partition. k-means TRAINING is iterative and not SQL-expressible,
+        // but its output is deterministic, so the oracle reads the
+        // materialized centroids (writeKmeansAux) and re-derives every
+        // assignment + the probe + the exact top-k itself; AnnRecallSpec
+        // additionally gates quality (trained single-probe recall must
+        // dominate the deterministic quantizer's at equal probe count).
+        // At 100 TB the trained cell id is the partition key exactly like
+        // the deterministic one.
         graft.functions.GraftExtensions.ensureRegistered(s)
         import s.implicits._
         val emb = Tables.embeddings(s, d)
@@ -543,11 +617,13 @@ object VectorQueries {
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(10)
       },
-      None,
+      Some(kmeansOracleSql),
       "Trained-IVF ANN: deterministic sample-trained k-means centroids (fixed-point-" +
         "exact sums, no RNG), single-probe of the query's Voronoi cell, exact decimal " +
-        "scoring — not SQL-expressible (iterative training), so quality is gated by " +
-        "AnnRecallSpec's recall ladder instead of a DuckDB oracle"),
+        "scoring — training is iterative (not SQL-expressible) but bit-stable, so the " +
+        "oracle reads the materialized centroids and recomputes every assignment and " +
+        "the top-k itself; AnnRecallSpec additionally gates recall",
+      aux = Some(writeKmeansAux)),
 
     QueryDef(
       "q_neardup_embedding", Seq("J1", "A5", "A2"),

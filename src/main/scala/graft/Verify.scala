@@ -31,6 +31,19 @@ object Verify {
         System.err.println(s"[verify] FAILED $name: ${e.getMessage}")
       }
     }
+    // Oracle-side auxiliary inputs (deterministic derived artifacts an
+    // oracle reads — see QueryDef.aux): materialize them under _aux, then
+    // point the dumped SQL at the real directory.
+    val auxDir = new java.io.File(s"$outDir/_aux").getAbsolutePath
+    Queries.all
+      .filter(q => (only.isEmpty || only(q.name)) && q.aux.nonEmpty)
+      .foreach { q =>
+        try q.aux.get(spark, sfDir, auxDir)
+        catch { case e: Throwable =>
+          errors(s"${q.name}#aux") = Option(e.getMessage).getOrElse(e.getClass.getName)
+          System.err.println(s"[verify] FAILED aux for ${q.name}: ${e.getMessage}")
+        }
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,7 +57,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace(OracleAux.Token, auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Loud failure record (r2 regression: a crashed query silently vanished
     // from the driver's per-query compare). errors.json + the final stderr
