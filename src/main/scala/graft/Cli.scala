@@ -159,11 +159,14 @@ object Cli {
         if (!sample) report
         else createdIds.foldLeft(report)((p, cid) => p.copy(collections =
           p.collections.updatedWith(cid)(_.map(_.copy(sample = true)))))
-      // merge into any pre-existing plane document (other collections)
+      // merge into any pre-existing plane document (other collections; the
+      // created ids are guaranteed fresh above, so the registry maps are
+      // disjoint and the load's pending journal entries carry over whole)
       savePlane(lake, plane0.copy(
         collections = plane0.collections ++ loaded.collections,
         files = plane0.files ++ loaded.files,
-        steps = plane0.steps ++ loaded.steps))
+        steps = plane0.steps ++ loaded.steps,
+        pendingFileEvents = plane0.pendingFileEvents ++ loaded.pendingFileEvents))
       println(s"collection=${stage.collectionId}" +
         stage.upgradedCollectionId.map(u => s" upgraded=$u").getOrElse("") +
         s" compiled=${stage.compiledCollectionId} files=${stage.files}" +
@@ -207,7 +210,7 @@ object Cli {
       savePlane(lake, updated)
       // loadFilesInto skips already-registered paths (replay dedup, T1) —
       // report what actually loaded
-      val newFiles = updated.filesOf(cid).size - plane.filesOf(cid).size
+      val newFiles = updated.fileCount(cid) - plane.fileCount(cid)
       println(s"loaded $newFiles files ($nItems items)")
 
     case "collections" :: lake :: rest =>
@@ -300,7 +303,7 @@ object Cli {
         println(s"  store_end_at:         ${c.storeEndAt.getOrElse("-")}")
         println(s"  completed_at:         ${c.completedAt.getOrElse("-")}")
         println(s"  expected_files_count: ${c.expectedFilesCount.getOrElse("-")}")
-        println(s"  collection_files:     ${plane.filesOf(id).size}")
+        println(s"  collection_files:     ${plane.fileCount(id)}")
         println(s"  processing_steps:     ${plane.stepsOf(id).size}")
         if (c.transformType.contains(Control.Transform.CompileReleases)) {
           println(s"  compilation_started:  ${c.compilationStarted}")

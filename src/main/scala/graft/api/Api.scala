@@ -258,7 +258,7 @@ final class Api(
     plane = Control.closeCollection(plane, id, now, expected)
     plane.upgradedChild(id)
       .foreach(u => plane = Control.closeCollection(plane, u.id, now, expected))
-    PlaneStore.save(lake, plane)
+    plane = PlaneStore.save(lake, plane)
 
     val noteRows =
       Option(body.get("reason")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
@@ -275,7 +275,7 @@ final class Api(
     // reference's collection_closed message triggers)
     landingRoot.foreach { _ =>
       val p2 = runPendingCompile(plane, id)
-      if (p2 ne plane) { plane = p2; PlaneStore.save(lake, plane) }
+      if (p2 ne plane) plane = PlaneStore.save(lake, p2)
     }
     respond(ex, 202, null)
   }

@@ -60,15 +60,46 @@ object Control {
   /** One in-flight processing step (`process/models.py:229-254`). */
   final case class Step(name: String, collectionId: Long, filename: Option[String] = None)
 
-  /** The whole control plane. */
+  /** An append-only file-registry event — the unit [[PlaneStore]] journals.
+    * The registry only ever grows ([[FileEvent.Reg]]) or flips a file's
+    * compilation flag once ([[FileEvent.Comp]]); nothing removes file rows
+    * (a deleted collection keeps them behind `deletedAt`), which is what
+    * makes an append-log the registry's exact persistent form. */
+  sealed trait FileEvent { def collectionId: Long; def filename: String }
+  object FileEvent {
+    final case class Reg(collectionId: Long, filename: String) extends FileEvent
+    final case class Comp(collectionId: Long, filename: String) extends FileEvent
+  }
+
+  /** The whole control plane.
+    *
+    * `files` is the file registry indexed by collection — per collection an
+    * INSERTION-ORDERED filename → compilation_started map, so registering a
+    * file is O(1) instead of a Seq scan (a million-file collection made the
+    * old `exists` per registration quadratic). `pendingFileEvents` is the
+    * transient journal of registry changes not yet persisted: mutators
+    * append to it and [[PlaneStore.save]] drains it to the on-disk append
+    * log, so a save serializes O(collections + steps + delta), never the
+    * whole registry. */
   final case class Plane(
       collections: Map[Long, Collection],
-      files: Seq[CollectionFile] = Seq.empty,
-      steps: Seq[Step] = Seq.empty) {
+      files: Map[Long, scala.collection.immutable.VectorMap[String, Boolean]] = Map.empty,
+      steps: Seq[Step] = Seq.empty,
+      pendingFileEvents: Vector[FileEvent] = Vector.empty) {
 
     def collection(id: Long): Collection = collections(id)
 
-    def filesOf(id: Long): Seq[CollectionFile] = files.filter(_.collectionId == id)
+    def filesOf(id: Long): Seq[CollectionFile] =
+      files.getOrElse(id, scala.collection.immutable.VectorMap.empty[String, Boolean])
+        .iterator.map { case (f, started) => CollectionFile(id, f, started) }.toSeq
+
+    /** Registered-file count for `id` — O(1). */
+    def fileCount(id: Long): Int = files.get(id).map(_.size).getOrElse(0)
+
+    /** True when `id` has a registered file whose per-file compile has not
+      * run yet (the record-package completable gate). */
+    def anyFileUncompiled(id: Long): Boolean =
+      files.get(id).exists(_.valuesIterator.contains(false))
 
     def stepsOf(id: Long): Seq[Step] = steps.filter(_.collectionId == id)
 
@@ -101,7 +132,7 @@ object Control {
   private def isEmpty(p: Plane, c: Collection): Boolean = {
     val empty = c.expectedFilesCount.contains(0)
     if (empty)
-      require(p.filesOf(c.id).isEmpty, s"empty collection ${c.id} has files")
+      require(p.fileCount(c.id) == 0, s"empty collection ${c.id} has files")
     empty
   }
 
@@ -119,8 +150,7 @@ object Control {
     if (p.compiledChild(c).exists(_.compilationStarted)) return false
     if (p.stepsOf(p.rootParent(c).id).exists(_.name == StepName.Load)) return false
     // release packages: every announced file must have arrived
-    val actual = p.filesOf(c.id).size
-    !c.expectedFilesCount.exists(_ > actual)
+    !c.expectedFilesCount.exists(_ > p.fileCount(c.id))
   }
 
   /** T3: is the collection done? (`completable`, `finisher.py:116-176`). */
@@ -138,7 +168,7 @@ object Control {
       parent.dataTypeFormat match {
         case Some(Format.RecordPackage) =>
           // a COMPILE step is created per file, as each is processed
-          if (p.filesOf(parent.id).exists(!_.compilationStarted)) return false
+          if (p.anyFileUncompiled(parent.id)) return false
         case Some(Format.ReleasePackage) =>
           // all COMPILE steps are created at once; this flag marks that done
           if (!c.compilationEnqueued) return false
@@ -146,8 +176,7 @@ object Control {
       }
     } else if (c.storeEndAt.isEmpty) return false
     if (p.stepsOf(c.id).nonEmpty) return false
-    val actual = p.filesOf(c.id).size
-    !c.expectedFilesCount.exists(e => e > 0 && e > actual)
+    !c.expectedFilesCount.exists(e => e > 0 && e > p.fileCount(c.id))
   }
 
   /** T5: optimistic "run compile exactly once"
@@ -183,11 +212,15 @@ object Control {
     p.collections.get(collectionId) match {
       case None => p // unknown collection: ack and skip
       case Some(c) if c.deletedAt.nonEmpty => p // deleted: ack and skip
-      case Some(_) if p.files.exists(f =>
-          f.collectionId == collectionId && f.filename == filename) => p // duplicate message
-      case Some(_) => p.copy(
-        files = p.files :+ CollectionFile(collectionId, filename),
-        steps = p.steps :+ Step(StepName.Load, collectionId, Some(filename)))
+      case Some(_) =>
+        val of = p.files.getOrElse(
+          collectionId, scala.collection.immutable.VectorMap.empty[String, Boolean])
+        if (of.contains(filename)) p // duplicate message
+        else p.copy(
+          files = p.files.updated(collectionId, of.updated(filename, false)),
+          steps = p.steps :+ Step(StepName.Load, collectionId, Some(filename)),
+          pendingFileEvents =
+            p.pendingFileEvents :+ FileEvent.Reg(collectionId, filename))
     }
 
   /** The compiler's per-file compile tracking for record packages
@@ -196,10 +229,13 @@ object Control {
     * [[completable]] requires on every file of a record-package parent.
     * Idempotent (a replayed flip is a no-op). */
   def markFileCompiled(p: Plane, collectionId: Long, filename: String): Plane =
-    p.copy(files = p.files.map(f =>
-      if (f.collectionId == collectionId && f.filename == filename)
-        f.copy(compilationStarted = true)
-      else f))
+    p.files.get(collectionId) match {
+      case Some(of) if of.get(filename).contains(false) => p.copy(
+        files = p.files.updated(collectionId, of.updated(filename, true)),
+        pendingFileEvents =
+          p.pendingFileEvents :+ FileEvent.Comp(collectionId, filename))
+      case _ => p // unknown file, or flag already flipped: no-op
+    }
 
   /** T2: delete a finished processing step — the reference removes the
     * step row in the same transaction as the work it tracks

@@ -47,15 +47,9 @@ object PlaneJson {
       cols.add(o)
     }
     root.set[JsonNode]("collections", cols)
-    val files = Canonical.mapper.createArrayNode()
-    p.files.foreach { f =>
-      val o = Canonical.mapper.createObjectNode()
-      o.put("collection_id", f.collectionId)
-      o.put("filename", f.filename)
-      o.put("compilation_started", f.compilationStarted)
-      files.add(o)
-    }
-    root.set[JsonNode]("files", files)
+    // the file registry is NOT in the document: it lives in the append log
+    // (PlaneStore.journalPath) so saving the plane serializes
+    // O(collections + steps), never O(total registered files)
     val steps = Canonical.mapper.createArrayNode()
     p.steps.foreach { st =>
       val o = Canonical.mapper.createObjectNode()
@@ -95,14 +89,57 @@ object PlaneJson {
         cachedRecordsCount = optLong(o, "cached_records_count"),
         cachedCompiledReleasesCount = optLong(o, "cached_compiled_releases_count"))
     }.map(c => c.id -> c).toMap
-    val files = root.get("files").asInstanceOf[ArrayNode].elements.asScala.map { o =>
-      Control.CollectionFile(
-        o.get("collection_id").asLong, o.get("filename").asText,
-        Option(o.get("compilation_started")).exists(_.asBoolean))
-    }.toSeq
+    // legacy documents (pre-append-log) embedded the file registry; read it
+    // if present so an old _control.json round-trips losslessly — the
+    // entries surface as pending events, so the next save migrates them
+    // into the journal
+    val files = Option(root.get("files")).map(_.asInstanceOf[ArrayNode]
+      .elements.asScala.map { o =>
+        Control.CollectionFile(
+          o.get("collection_id").asLong, o.get("filename").asText,
+          Option(o.get("compilation_started")).exists(_.asBoolean))
+      }.toSeq).getOrElse(Seq.empty)
     val steps = root.get("steps").asInstanceOf[ArrayNode].elements.asScala.map { o =>
       Control.Step(o.get("name").asText, o.get("collection_id").asLong, optText(o, "filename"))
     }.toSeq
-    Control.Plane(cols, files, steps)
+    val fileMap = files.foldLeft(
+      Map.empty[Long, scala.collection.immutable.VectorMap[String, Boolean]]) { (m, f) =>
+      m.updated(f.collectionId, m.getOrElse(f.collectionId,
+        scala.collection.immutable.VectorMap.empty[String, Boolean])
+        .updated(f.filename, f.compilationStarted))
+    }
+    val pending = files.toVector.flatMap { f =>
+      Control.FileEvent.Reg(f.collectionId, f.filename) +:
+        (if (f.compilationStarted)
+           Vector(Control.FileEvent.Comp(f.collectionId, f.filename))
+         else Vector.empty)
+    }
+    Control.Plane(cols, fileMap, steps, pendingFileEvents = pending)
   }
+
+  /** One [[Control.FileEvent]] as a single JSON journal line (no trailing
+    * newline — the store frames lines). */
+  def eventToJson(e: Control.FileEvent): String = {
+    val o = Canonical.mapper.createObjectNode()
+    o.put("event", e match {
+      case _: Control.FileEvent.Reg => "reg"
+      case _: Control.FileEvent.Comp => "comp"
+    })
+    o.put("collection_id", e.collectionId)
+    o.put("filename", e.filename)
+    Canonical.canonicalize(o)
+  }
+
+  /** Parse one journal line; None for an unparseable (torn) line. */
+  def eventFromJson(line: String): Option[Control.FileEvent] =
+    try {
+      val o = Canonical.parse(line)
+      val cid = o.get("collection_id").asLong
+      val f = o.get("filename").asText
+      o.get("event").asText match {
+        case "reg" => Some(Control.FileEvent.Reg(cid, f))
+        case "comp" => Some(Control.FileEvent.Comp(cid, f))
+        case _ => None
+      }
+    } catch { case _: Exception => None }
 }

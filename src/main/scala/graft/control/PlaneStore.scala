@@ -1,24 +1,99 @@
 package graft.control
 
-import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
-/** Persistence of the control plane as one canonical-JSON document next to
-  * the lake (`_control.json`) — the CLI and the HTTP API share it, so
-  * commands and requests compose across processes the way the reference's
-  * management commands and views compose over its PostgreSQL control
-  * tables. Reads of a missing document yield the empty plane. */
+/** Persistence of the control plane next to the lake — the CLI and the
+  * HTTP API share it, so commands and requests compose across processes
+  * the way the reference's management commands and views compose over its
+  * PostgreSQL control tables. Reads of a missing document yield the empty
+  * plane.
+  *
+  * Two files, two write disciplines, because the two halves of the plane
+  * scale differently:
+  *
+  *  - `_control.json` — collections + in-flight steps, collection-count-
+  *    sized. Rewritten on every save, ATOMICALLY (temp file + ATOMIC_MOVE):
+  *    the streaming loader's exactly-once story is keyed on this document,
+  *    so a torn write would break crash recovery at its root.
+  *  - `_control.files.jsonl` — the file registry as an APPEND-ONLY journal
+  *    of [[Control.FileEvent]] lines. The registry only grows (nothing
+  *    deletes file rows), so a save appends just the plane's pending
+  *    events — O(delta) IO per micro-batch where serializing the registry
+  *    into the document was O(total files) (a 100 TB collection registers
+  *    millions of files; the reference pays O(1) PostgreSQL row writes
+  *    per file, and so does this log). A crash can tear at most the final
+  *    line, which replay drops; every parseable line describes lake state
+  *    that had already committed when it was journaled.
+  */
 object PlaneStore {
 
   def path(lake: String): String = s"$lake/_control.json"
 
+  /** The file-registry append log. */
+  def journalPath(lake: String): String = s"$lake/_control.files.jsonl"
+
   def load(lake: String): Control.Plane = {
     val p = Paths.get(path(lake))
-    if (Files.exists(p)) PlaneJson.fromJson(Files.readString(p))
-    else Control.Plane(Map.empty)
+    val doc =
+      if (Files.exists(p)) PlaneJson.fromJson(Files.readString(p))
+      else Control.Plane(Map.empty)
+    replayJournal(lake, doc)
   }
 
-  def save(lake: String, plane: Control.Plane): Unit =
-    Files.writeString(Paths.get(path(lake)), PlaneJson.toJson(plane))
+  /** Apply the journal on top of the document. Events are applied directly
+    * to the registry (not via registerFile — replay must not re-journal),
+    * idempotently: a duplicate Reg or Comp is a no-op, and events for
+    * collections the document no longer knows are dropped. */
+  private def replayJournal(lake: String, doc: Control.Plane): Control.Plane = {
+    val j = Paths.get(journalPath(lake))
+    if (!Files.exists(j)) return doc
+    var files = doc.files
+    Files.readAllLines(j, StandardCharsets.UTF_8).forEach { line =>
+      if (line.nonEmpty) PlaneJson.eventFromJson(line) match {
+        case Some(e) if doc.collections.contains(e.collectionId) =>
+          val of = files.getOrElse(
+            e.collectionId, scala.collection.immutable.VectorMap.empty[String, Boolean])
+          e match {
+            case Control.FileEvent.Reg(cid, f) =>
+              if (!of.contains(f)) files = files.updated(cid, of.updated(f, false))
+            case Control.FileEvent.Comp(cid, f) =>
+              if (of.contains(f)) files = files.updated(cid, of.updated(f, true))
+          }
+        case _ => () // torn trailing line, or a collection gone from the doc
+      }
+    }
+    doc.copy(files = files)
+  }
+
+  /** Persist the plane: append its pending file events to the journal, then
+    * atomically replace the document. Returns the plane with the pending
+    * journal drained — callers that keep using the plane MUST continue from
+    * the returned value or the next save re-appends the same events (replay
+    * is idempotent, so that is waste, not corruption). */
+  def save(lake: String, plane: Control.Plane): Control.Plane = {
+    if (plane.pendingFileEvents.nonEmpty) {
+      val lines = plane.pendingFileEvents
+        .map(e => PlaneJson.eventToJson(e) + "\n").mkString
+      Files.write(Paths.get(journalPath(lake)),
+        lines.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
+    atomicWrite(Paths.get(path(lake)), PlaneJson.toJson(plane))
+    plane.copy(pendingFileEvents = Vector.empty)
+  }
+
+  /** write temp + ATOMIC_MOVE in the same directory: readers see either the
+    * old or the new document, never a truncated one. */
+  private def atomicWrite(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, content)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   /** The control plane's timestamp rendering (`YYYY-MM-DD HH:MM:SS` UTC,
     * the reference's data_version format) — shared by the CLI and API. */

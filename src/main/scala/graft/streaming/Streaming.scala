@@ -120,10 +120,8 @@ object Streaming {
               p, cid, graft.control.Control.StepName.Load, Some(f))
             p = graft.control.Control.markFileCompiled(p, cid, f)
           }
-          if (p ne ref.get()) {
-            ref.set(p)
-            graft.control.PlaneStore.save(lakeDir, p)
-          }
+          if (p ne ref.get())
+            ref.set(graft.control.PlaneStore.save(lakeDir, p))
         }
         () // Unit-returning VoidFunction2 overload
       }
@@ -204,10 +202,8 @@ object Streaming {
             spark, fresh, lakeDir, p, collectionId, upgradedId)
           p = p2
         }
-        if (p ne plane.get()) {
-          plane.set(p)
-          graft.control.PlaneStore.save(lakeDir, p)
-        }
+        if (p ne plane.get())
+          plane.set(graft.control.PlaneStore.save(lakeDir, p))
         ()
       }
       .start()
@@ -276,8 +272,7 @@ object Streaming {
     }
     val (p2, _, _) = graft.Pipeline.loadFilesInto(
       spark, partial.toSeq.sorted, lakeDir, p0, collectionId, upgradedId)
-    plane.set(p2)
-    graft.control.PlaneStore.save(lakeDir, p2)
+    plane.set(graft.control.PlaneStore.save(lakeDir, p2))
   }
 
   /** Scheme-insensitive file identity: "file:/x/a.json" (the binaryFile

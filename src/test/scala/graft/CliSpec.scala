@@ -171,9 +171,8 @@ class CliSpec extends AnyFunSuite {
         |    "tag": ["tender"], "initiationType": "tender"}
         | ]}""".stripMargin)
     assert(run("addfiles", lake, "1", more.toString).contains("loaded 1 files (1 items)"))
-    plane = graft.control.PlaneJson.fromJson(
-      Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
-    assert(plane.files.count(_.collectionId == 1L) == 2)
+    plane = graft.control.PlaneStore.load(lake)
+    assert(plane.fileCount(1L) == 2)
     assert(plane.steps.isEmpty) // performed, not pending
     // an operator retry of the same addfiles is a clean no-op (T1 replay
     // dedup): no duplicate fact rows, no duplicate registrations

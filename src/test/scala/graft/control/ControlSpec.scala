@@ -21,9 +21,18 @@ class ControlSpec extends AnyFunSuite {
   private val compiled = Collection(
     3, "portugal", "2020-01-01 00:00:00", parent = Some(2),
     transformType = Some(Transform.CompileReleases))
+  private def fileMap(fs: CollectionFile*) =
+    fs.foldLeft(Map.empty[Long, scala.collection.immutable.VectorMap[String, Boolean]]) {
+      (m, f) =>
+        m.updated(f.collectionId,
+          m.getOrElse(f.collectionId,
+            scala.collection.immutable.VectorMap.empty[String, Boolean])
+            .updated(f.filename, f.compilationStarted))
+    }
+
   private val plane = Plane(
     Map(1L -> original, 2L -> upgraded, 3L -> compiled),
-    files = Seq(CollectionFile(1, "f1.json"), CollectionFile(2, "f1.json")))
+    files = fileMap(CollectionFile(1, "f1.json"), CollectionFile(2, "f1.json")))
 
   private def withC(p: Plane, c: Collection): Plane =
     p.copy(collections = p.collections.updated(c.id, c))
@@ -110,14 +119,13 @@ class ControlSpec extends AnyFunSuite {
     // the upgrade-chain shape of test_completable_record_packages.py:54-103
     val up = upgraded.copy(dataTypeFormat = Some(Format.RecordPackage))
     val c = compiled.copy(compilationStarted = true)
-    val base = withC(withC(plane, up), c).copy(files = Seq(
+    val base = withC(withC(plane, up), c).copy(files = fileMap(
       CollectionFile(1, "original_file_1.json"),
       CollectionFile(1, "original_file_2.json"),
       CollectionFile(2, "upgraded_file_1.json", compilationStarted = true),
       CollectionFile(2, "upgraded_file_2.json")))
     assert(!completable(base, c))
-    val done = base.copy(files = base.files.map(f =>
-      if (f.collectionId == 2) f.copy(compilationStarted = true) else f))
+    val done = markFileCompiled(base, 2, "upgraded_file_2.json")
     assert(completable(done, c))
   }
 
