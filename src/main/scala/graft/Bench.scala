@@ -74,11 +74,19 @@ object Bench {
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
-    val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }.mkString("{", ",", "}")
+    // the whole line must fit the driver's 2000-char stdout TAIL window
+    // (BENCH_r07 lost its head to truncation and failed to parse): times
+    // print at millisecond precision, error messages are capped hard, and
+    // the failure fields sit at the END of the line so a truncated-anyway
+    // run still shows what failed
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"$k\":${sec(v)}" }.mkString("{", ",", "}")
+    val errJson = errors.take(5)
+      .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v.take(80))}\"" }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"n_failed":${errors.size}}""")
     spark.stop()
     // exit 0 even on per-query failure: the JSON line (with its loud
     // `errors` field) must still reach the driver's bench collector.

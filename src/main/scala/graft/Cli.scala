@@ -245,6 +245,19 @@ object Cli {
       val cid = idArg(id)
       require(Wipe.FactTables.contains(table),
         s"unknown table '$table' (one of: ${Wipe.FactTables.mkString(", ")})")
+      // only completed collections compact: the swap is atomic against
+      // READERS, but a concurrent appender (an open keep-open/addfiles or
+      // streaming load composing through _control.json from another
+      // process) could land a batch between the compaction's scan and its
+      // swap, and the swap would retire that batch's files with the old
+      // directory (ADVICE r7)
+      loadPlane(lake).collections.get(cid).foreach { c =>
+        if (c.completedAt.isEmpty && c.deletedAt.isEmpty) {
+          System.err.println(
+            s"collection $cid is still open: compact only completed collections")
+          sys.exit(2)
+        }
+      }
       def partFiles(): Int = {
         val dir = java.nio.file.Paths.get(s"$lake/$table/collection_id=$cid")
         if (!java.nio.file.Files.isDirectory(dir)) 0

@@ -154,9 +154,14 @@ object Pipeline {
     // collection was (or is being) loaded — re-loading it would append
     // duplicate fact rows, the exact duplication registerFile's
     // at-least-once dedup exists to prevent. An all-duplicates batch is a
-    // clean no-op.
-    val already = plane0.filesOf(collectionId).map(_.filename).toSet
-    val paths = rawPaths.filterNot(already)
+    // clean no-op. Compared SCHEME-INSENSITIVELY, the same identity the
+    // streaming guard uses (ADVICE r7): the binaryFile source registers
+    // "file:/x/a.json" URIs while CLI addfiles offers "/x/a.json" — an
+    // exact-string filter would let the CLI re-load a stream-loaded file.
+    def pathKey(p: String): String =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val already = plane0.filesOf(collectionId).map(f => pathKey(f.filename)).toSet
+    val paths = rawPaths.filterNot(p => already(pathKey(p)))
     if (paths.isEmpty) return (plane0, 0L, 0L)
 
     var plane = paths.foldLeft(plane0)(Control.registerFile(_, collectionId, _))
@@ -506,16 +511,28 @@ object Pipeline {
     // replace its own partition, never duplicate it (T5's idempotence at
     // the storage layer)
     Sink.overwriteCollectionPartitions(compiled, s"$lakeDir/compiled_release")
-    val compileNotes = Notes.fromCompileWarnings(
+    val freshCompileNotes = Notes.fromCompileWarnings(
       compileOut.filter(col("warning").isNotNull).select(col("warning.*")),
-      compiledId).persist()
-    // same retry-idempotence as the compiled rows: the compiled
-    // collection's note partition holds only this job's (deterministic)
-    // output, so replacing it is safe and un-duplicating
-    Sink.overwriteCollectionPartitions(compileNotes, s"$lakeDir/collection_note")
-    // counted from the in-flight frame: an all-clean run writes an EMPTY
-    // note table, which parquet cannot re-read (no footers to infer from)
+      compiledId)
+    // retry-idempotent APPEND, not a partition overwrite: the compiled
+    // child's note partition is NOT exclusively this job's output —
+    // Api.create persists the user's creation note on every created
+    // collection including the compiled one, and an overwrite would
+    // silently delete it on any compile emitting >=1 warning (ADVICE r7).
+    // Same shape as loadRecordBatch's note path: anti-join the fresh
+    // warnings on (code, note, data) against the partition's existing
+    // rows, so a retried compile re-emits only what is missing
+    val compileNotes = (Sink.readOrEmpty(spark, s"$lakeDir/collection_note") match {
+      case Some(existing) => freshCompileNotes.join(
+        existing.filter(col("collection_id") === compiledId)
+          .select("code", "note", "data"),
+        Seq("code", "note", "data"), "left_anti")
+      case None => freshCompileNotes
+    }).persist()
+    // count (and materialize the cache) BEFORE the append: the anti-join
+    // plan reads the very table being written
     val nNotes = compileNotes.count()
+    Sink.writeByCollection(compileNotes, s"$lakeDir/collection_note")
     compileNotes.unpersist()
     compileOut.unpersist()
     plane = plane.copy(collections = plane.collections.updated(compiledId,

@@ -226,9 +226,16 @@ final class Api(
       // already closed: 202 without re-latching — but in ingest mode a
       // close whose inline compile crashed (or was interrupted between the
       // latch save and the compile) must be re-attemptable, or the tree is
-      // stranded with no worker fleet to pick it up; the gate + run-once
-      // CAS make the retry idempotent
+      // stranded with no worker fleet to pick it up. The retry RE-RUNS THE
+      // LANDING-DIR DRAIN first (ADVICE r7): a file that landed mid-close,
+      // or was announced but arrived late, would otherwise never be loaded
+      // by any code path — expected_files_count stays above the registered
+      // count and compilable() gates false forever, where the reference's
+      // workers would still process the late file. The checkpointed stream
+      // makes the re-drain a no-op when nothing new landed; the gate +
+      // run-once CAS make the retried compile idempotent.
       landingRoot.foreach { _ =>
+        plane = drainLanding(plane, id)
         val p2 = runPendingCompile(plane, id)
         if (p2 ne plane) PlaneStore.save(lake, p2)
       }
@@ -238,18 +245,7 @@ final class Api(
     // ingest mode: drain everything the crawler landed through the
     // checkpointed streaming loader BEFORE latching — the api_loader +
     // file_worker work the reference would have finished by close time
-    landingRoot.foreach { root =>
-      val dir = java.nio.file.Paths.get(root, s"collection_$id", "landing")
-      if (java.nio.file.Files.isDirectory(dir)) {
-        val upgradedId = plane.upgradedChild(id).map(_.id)
-        val ref = new java.util.concurrent.atomic.AtomicReference(plane)
-        graft.streaming.Streaming.releaseLoadStream(
-          spark, dir.toString, lake, id, upgradedId, ref,
-          java.nio.file.Paths.get(root, s"collection_$id", "ckpt").toString)
-          .awaitTermination()
-        plane = ref.get()
-      }
-    }
+    landingRoot.foreach { _ => plane = drainLanding(plane, id) }
     val stats = Option(body.get("stats")).filter(_.isObject)
     val expected = stats.flatMap(s =>
       Option(s.get("kingfisher_process_expected_files_count")).filter(_.isNumber)
@@ -278,6 +274,29 @@ final class Api(
       if (p2 ne plane) plane = PlaneStore.save(lake, p2)
     }
     respond(ex, 202, null)
+  }
+
+  /** Ingest-mode landing-dir drain: run the checkpointed streaming loader
+    * over everything the crawler has landed for `id` so far — the
+    * api_loader + file_worker work the reference's fleet does continuously.
+    * Callable from the first close AND every replayed one (late-landed
+    * files load on retry); the checkpoint + plane-keyed idempotence make a
+    * nothing-new drain a no-op. */
+  private def drainLanding(plane0: Control.Plane, id: Long): Control.Plane = {
+    var plane = plane0
+    landingRoot.foreach { root =>
+      val dir = java.nio.file.Paths.get(root, s"collection_$id", "landing")
+      if (java.nio.file.Files.isDirectory(dir)) {
+        val upgradedId = plane.upgradedChild(id).map(_.id)
+        val ref = new java.util.concurrent.atomic.AtomicReference(plane)
+        graft.streaming.Streaming.releaseLoadStream(
+          spark, dir.toString, lake, id, upgradedId, ref,
+          java.nio.file.Paths.get(root, s"collection_$id", "ckpt").toString)
+          .awaitTermination()
+        plane = ref.get()
+      }
+    }
+    plane
   }
 
   /** Ingest-mode compile: run compileAndFinish iff the tree plans a

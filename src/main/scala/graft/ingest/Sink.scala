@@ -47,33 +47,75 @@ object Sink {
       .mode("overwrite")
       .parquet(path)
 
+  /** Atomically replace the `collection_id=id` partition directory of
+    * `path` with `rows` (which must contain only that collection's rows;
+    * the partition column is dropped — the directory name carries it, as
+    * in every partitionBy write). The new content lands in an
+    * underscore-prefixed temp dir inside the table (invisible to Spark
+    * readers, guaranteed same filesystem), then swaps in via two directory
+    * renames — a reader sees the old or the new partition, never a
+    * half-written one, and a writer crash leaves the original intact plus
+    * invisible debris that the next call sweeps (ADVICE r7: the previous
+    * cache-and-dynamic-overwrite-in-place silently dropped rows if a
+    * cached block was lost mid-write, because recomputation re-read the
+    * already-truncated table).
+    *
+    * `rows` MAY be a plan reading the very partition being replaced — the
+    * write consumes the OLD directory and the swap happens after, so the
+    * read-own-write hazard (and the persist it forced) is gone. Zero rows
+    * drop the partition (matching dynamic overwrite, which cannot write an
+    * empty one). Returns the new partition's row count.
+    *
+    * On an object store a production deployment would swap a manifest
+    * instead of renaming directories; the two-rename shape is the same
+    * commit protocol. */
+  def swapCollectionPartition(
+      spark: SparkSession, path: String, collectionId: Long, rows: DataFrame): Long = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val table = JP.get(path)
+    val partDir = table.resolve(s"collection_id=$collectionId")
+    val tmpDir = table.resolve(s"_swap_tmp_collection_id=$collectionId")
+    val oldDir = table.resolve(s"_swap_old_collection_id=$collectionId")
+    // crash recovery: a missing partition with a retired copy present means
+    // a previous swap died between its two renames — restore, then sweep
+    // any stale debris from writes that never reached their swap
+    if (JF.exists(oldDir) && !JF.exists(partDir)) JF.move(oldDir, partDir)
+    deleteDir(tmpDir)
+    deleteDir(oldDir)
+    rows.drop("collection_id").write.mode("overwrite").parquet(tmpDir.toString)
+    val n = spark.read.parquet(tmpDir.toString).count()
+    if (n == 0) deleteDir(tmpDir) // empty partition = dropped partition
+    if (JF.exists(partDir)) JF.move(partDir, oldDir)
+    if (n > 0) JF.move(tmpDir, partDir)
+    deleteDir(oldDir)
+    n
+  }
+
+  private def deleteDir(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+
   /** Lake maintenance: rewrite ONE collection's partition of `path` into
     * freshly clustered files — the small-files compaction every
     * append-per-batch lake needs (each keep-open `addfiles` batch lands
     * its own files; hundreds of batches fragment the partition the
     * compile/scan jobs read). Fact tables keep their ocid clustering;
     * small per-collection tables coalesce to the single file
-    * [[writeByCollection]] would have produced. The partition is
-    * MATERIALIZED (cache + count) before the in-place dynamic overwrite —
-    * the same read-own-table ordering contract as the streaming purge. */
+    * [[writeByCollection]] would have produced. The rewrite goes through
+    * [[swapCollectionPartition]] — readers never see a half-compacted
+    * partition, and a crashed compaction leaves the original whole. */
   def compactCollection(
       spark: SparkSession, path: String, collectionId: Long,
       clusterByOcid: Boolean): Long = {
     val part = spark.read.parquet(path)
       .filter(col("collection_id") === collectionId)
-      .persist()
-    val n = part.count() // materializes the cache BEFORE the overwrite
     val clustered =
-      if (clusterByOcid) part.repartition(col("collection_id"), col("ocid"))
-      else part.repartition(col("collection_id"))
-    clustered
-      .write
-      .partitionBy("collection_id")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite")
-      .parquet(path)
-    part.unpersist()
-    n
+      if (clusterByOcid) part.repartition(col("ocid"))
+      else part.repartition(1)
+    swapCollectionPartition(spark, path, collectionId, clustered)
   }
 
   /** Read back with partition pruning available on `collection_id`. */

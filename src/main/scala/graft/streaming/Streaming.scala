@@ -291,43 +291,23 @@ object Streaming {
   }
 
   /** Rewrite the given collection partitions of `path` without the rows
-    * matching `doomed`. A partition left empty is dropped outright (dynamic
-    * overwrite cannot write an empty partition). No-op when nothing
-    * matches. */
+    * matching `doomed`, one atomic partition swap per collection
+    * ([[graft.ingest.Sink.swapCollectionPartition]]) — the keep-plan reads
+    * the live directory while the replacement is written aside, so there
+    * is no cache-and-overwrite-own-source window (ADVICE r7), a reader
+    * never sees a half-purged partition, and a partition left empty is
+    * dropped. No-op when nothing matches. */
   private def purgeWhere(
       spark: SparkSession, path: String, cids: Seq[Long],
       doomed: org.apache.spark.sql.Column): Unit = {
     import org.apache.spark.sql.functions.col
     graft.ingest.Sink.readOrEmpty(spark, path).foreach { df =>
       val part = df.filter(col("collection_id").isin(cids: _*))
-      if (part.filter(doomed).limit(1).count() > 0) {
-        // persist OUTSIDE the table before overwriting it: a lazy plan
-        // reading `path` during its own overwrite reads truncated state.
-        // The keepCids collect below is the ACTION that materializes the
-        // cache (whole-row partitions) before the write starts — do not
-        // reorder it after the write
-        val keep = part.filter(!doomed).persist()
-        // cast: a partition column reads back as the narrowest inferred
-        // integral type, not necessarily LongType
-        val keepCids = keep.select(col("collection_id").cast("long")).distinct()
-          .collect().map(_.getLong(0)).toSet
-        keep
-          .repartition(col("collection_id"))
-          .write
-          .partitionBy("collection_id")
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite")
-          .parquet(path)
-        keep.unpersist()
-        for (cid <- cids if !keepCids.contains(cid)) {
-          val dir = java.nio.file.Paths.get(s"$path/collection_id=$cid")
-          if (java.nio.file.Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.delete)
-          }
-        }
-      }
+      if (part.filter(doomed).limit(1).count() > 0)
+        for (cid <- cids)
+          graft.ingest.Sink.swapCollectionPartition(spark, path, cid,
+            df.filter(col("collection_id") === cid).filter(!doomed)
+              .repartition(col("collection_id")))
     }
   }
 

@@ -352,6 +352,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(report.plane.collection(uid).cachedCompiledReleasesCount.contains(1L))
   }
 
+  test("compile warnings append to collection_note without deleting existing notes") {
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-warn")
+    // two releases, same ocid, SAME date → Merge.RepeatedDateValue warning
+    Files.writeString(dir.resolve("w.json"),
+      """{"uri": "http://x/w", "version": "1.1", "publisher": {"name": "W"},
+        | "publishedDate": "2020-01-01T00:00:00Z",
+        | "releases": [
+        |   {"ocid": "ocds-w", "id": "w1", "date": "2020-01-01T00:00:00Z",
+        |    "tag": ["planning"], "initiationType": "tender"},
+        |   {"ocid": "ocds-w", "id": "w2", "date": "2020-01-01T00:00:00Z",
+        |    "tag": ["tender"], "initiationType": "tender"}
+        | ]}""".stripMargin)
+    val lake = Files.createTempDirectory("graft-lake-warn").toString
+    val stage = Pipeline.load(s, dir.toString, lake, collectionId = 61L,
+      now = "2020-06-01 00:00:00")
+    val compiledId = stage.compiledCollectionId
+    // what Api.create does for a creation note: an INFO row on EVERY
+    // created collection, including the compiled child (ADVICE r7: the old
+    // partition overwrite deleted it whenever the compile warned)
+    Sink.writeByCollection(
+      Seq((compiledId, "INFO", "api creation note", "{}"))
+        .toDF("collection_id", "code", "note", "data"),
+      s"$lake/collection_note")
+    val fin = Pipeline.compileAndFinish(s, lake, stage.plane, 61L, "2020-06-01 00:00:00")
+    assert(fin.notes >= 1) // the repeated-date warning
+    val compiledNotes = Sink.readFacts(s, s"$lake/collection_note")
+      .filter(col("collection_id") === compiledId)
+    assert(compiledNotes.filter(col("code") === "WARNING").count() >= 1)
+    assert(compiledNotes
+      .filter(col("note") === "api creation note").count() === 1)
+  }
+
   test("a closed-empty tree compiles to completion with zero counts") {
     val lake = Files.createTempDirectory("graft-lake-empty").toString
     // the compiler's _collection_is_empty case: closed with

@@ -151,4 +151,47 @@ class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(post2(s"/api/collections/$emptyRoot/close/", "{}").statusCode() == 202)
     } finally api2.stop()
   }
+
+  test("ingest mode: a file landing after close is loaded by the replayed close") {
+    // ADVICE r7: announced-but-late files stranded the tree forever — the
+    // first close drained 1 of 2 expected files, so compilable() gated
+    // false, and no code path ever loaded the second file. A replayed
+    // close must RE-DRAIN the landing dir before retrying the compile.
+    val lake3 = Files.createTempDirectory("graft-late-lake").toString
+    val root = Files.createTempDirectory("graft-late-landing").toString
+    val api3 = new Api(s, lake3, landingRoot = Some(root))
+    api3.start()
+    try {
+      def post3(path: String, body: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${api3.boundPort}$path"))
+            .method("POST", HttpRequest.BodyPublishers.ofString(body))
+            .header("Content-Type", "application/json").build(),
+          HttpResponse.BodyHandlers.ofString())
+      val created = Canonical.parse(post3("/api/collections/",
+        """{"source_id": "late_spider", "data_version": "2020-03-01 00:00:00",
+          | "compile": true}""".stripMargin).body())
+      val rootId = created.get("collection_id").asLong
+      val compiledId = created.get("compiled_collection_id").asLong
+      val landing = created.get("landing_dir").asText
+
+      // one file lands before close; the spider announces TWO
+      Files.writeString(java.nio.file.Paths.get(landing, "l1.json"), pkg("ocds-l1", "x1"))
+      assert(post3(s"/api/collections/$rootId/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 2}}""")
+        .statusCode() == 202)
+      val stuck = PlaneStore.load(lake3)
+      assert(stuck.fileCount(rootId) === 1)
+      assert(stuck.collection(compiledId).completedAt.isEmpty) // gate held
+
+      // the late file lands; a replayed close re-drains and finishes
+      Files.writeString(java.nio.file.Paths.get(landing, "l2.json"), pkg("ocds-l2", "x2"))
+      assert(post3(s"/api/collections/$rootId/close/", "{}").statusCode() == 202)
+      val done = PlaneStore.load(lake3)
+      assert(done.fileCount(rootId) === 2)
+      assert(done.collection(rootId).completedAt.nonEmpty)
+      assert(done.collection(compiledId).completedAt.nonEmpty)
+      assert(done.collection(compiledId).cachedCompiledReleasesCount.contains(2L))
+    } finally api3.stop()
+  }
 }
