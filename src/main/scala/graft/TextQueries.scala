@@ -24,6 +24,53 @@ object TextQueries {
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** The MinHash-LSH → exact-Jaccard verified near-dup pair set
+    * (doc_a < doc_b, jaccard >= 0.9) — the shared engine behind
+    * q_ngram_jaccard (which emits the pairs) and q_dedup_clusters (which
+    * closes them into components). See q_ngram_jaccard's QueryDef for the
+    * banding/verification design notes. */
+  private def minhashJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val NumHashes = 64
+    val Bands = 16
+    val RowsPerBand = NumHashes / Bands
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks"))
+      .withColumn("nt", size(col("toks")))
+    val mins = (0 until NumHashes).map(i =>
+      min(xxhash64(col("h1"), lit(i.toLong))).as(s"mh$i"))
+    val bandHashes = (0 until Bands).map { j =>
+      xxhash64((j * RowsPerBand until (j + 1) * RowsPerBand).map(i => col(s"mh$i")): _*)
+    }
+    val sig = docs
+      .select(col("source"), col("doc_id"), explode(col("toks")).as("tok"))
+      .withColumn("h1", xxhash64(col("tok")))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("source"), col("doc_id"),
+        posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))
+    val cand = sig
+      .groupBy(col("source"), col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("doc_b"))
+      .distinct()
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val docsH = docs.withColumn(
+      "hs", array_sort(transform(col("toks"), t => xxhash64(t))))
+    val a = docsH.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("nt").as("nt_a"))
+    val b = docsH.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("nt").as("nt_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter",
+        call_function("intersect_count_sorted", col("hs_a"), col("hs_b")))
+      .withColumn(
+        "jaccard",
+        col("inter").cast(DoubleType) / (col("nt_a") + col("nt_b") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_explode_tokens", Seq("F2", "J7", "A5"),
@@ -137,80 +184,23 @@ object TextQueries {
 
     QueryDef(
       "q_ngram_jaccard", Seq("J1", "F2", "S8"),
-      (s, d) => {
-        // MinHash LSH banding (the SURVEY §7.1 item-10 scale path; replaces
-        // the r2 same-source pair join whose candidate count grew O(n²) in
-        // corpus size — VERDICT r2). k=64 min-hashes per doc, banded 16×4:
-        // the JOIN KEY is (source, band_id, band_hash), so candidate pairs
-        // are bounded by true-similar density, not group size. Recall for a
-        // jaccard-0.9 pair is 1-(1-0.9⁴)¹⁶ ≈ 1-4e-8, so the exact-Jaccard
-        // verification step below reproduces the brute-force oracle's row
-        // set; candidates that collide by chance are filtered there.
-        val NumHashes = 64
-        val Bands = 16
-        val RowsPerBand = NumHashes / Bands
-        val docs = Tables.documents(s, d)
-          .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks"))
-          .withColumn("nt", size(col("toks")))
-        // minhash_i = min over tokens of hash_i(token). Each token is
-        // string-hashed ONCE (h1 = xxhash64(tok)); the 64 per-seed hashes
-        // re-mix the 8-byte h1 with the seed (`xxhash64(h1, i)`), which is
-        // ~10× cheaper than 64 independent string hashes (r5 A/B: the
-        // signature aggregation dropped 0.82 s → 0.38 s, identical output
-        // rows). Recall math is unchanged — the family is still uniform
-        // per-seed — and false negatives are the only risk surface: the
-        // brute-force oracle hash-checks the full output row set.
-        val mins = (0 until NumHashes).map(i =>
-          min(xxhash64(col("h1"), lit(i.toLong))).as(s"mh$i"))
-        val bandHashes = (0 until Bands).map { j =>
-          xxhash64((j * RowsPerBand until (j + 1) * RowsPerBand).map(i => col(s"mh$i")): _*)
-        }
-        val sig = docs
-          .select(col("source"), col("doc_id"), explode(col("toks")).as("tok"))
-          .withColumn("h1", xxhash64(col("tok")))
-          .groupBy(col("source"), col("doc_id"))
-          .agg(mins.head, mins.tail: _*)
-          .select(col("source"), col("doc_id"),
-            posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))
-        // pair generation is bucket-local: collect each LSH bucket's ids and
-        // emit its pairs directly — no sig self-join, so the signature
-        // pipeline runs once; pairs come from two chained builtin
-        // generators (ids are sorted, so doc_a < doc_b), not an interpreted
-        // flatten(transform(transform(...))) per bucket.
-        val cand = sig
-          .groupBy(col("source"), col("band_id"), col("band_hash"))
-          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "doc_a")))
-          .select(col("doc_a"),
-            explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("doc_b"))
-          .distinct()
-        // exact-Jaccard verification of the candidate set. The intersection
-        // counts SORTED 64-BIT TOKEN HASHES, not token strings: at ~458k
-        // candidate pairs the per-pair array_intersect dominates the query,
-        // and hashing first cuts it 2× (r5 A/B: 5.4 s → 2.8 s, identical
-        // output). A cross-token 64-bit collision inside one pair could
-        // perturb a count, but at ~2.4e8 token comparisons the chance is
-        // ~1e-11 — and the DuckDB oracle (true string intersection) would
-        // catch it as a hash mismatch.
-        // sorted ONCE per doc so the per-PAIR intersect is the native
-        // two-pointer merge (intersect_count_sorted, codegen'd) instead of
-        // array_intersect's per-call hash set (r6 A/B: 2.6 s → 1.8 s)
-        graft.functions.GraftExtensions.ensureRegistered(s)
-        val docsH = docs.withColumn(
-          "hs", array_sort(transform(col("toks"), t => xxhash64(t))))
-        val a = docsH.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("nt").as("nt_a"))
-        val b = docsH.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("nt").as("nt_b"))
-        cand.join(a, "doc_a").join(b, "doc_b")
-          .withColumn("inter",
-            call_function("intersect_count_sorted", col("hs_a"), col("hs_b")))
-          .withColumn(
-            "jaccard",
-            col("inter").cast(DoubleType) / (col("nt_a") + col("nt_b") - col("inter")).cast(DoubleType))
-          .filter(col("jaccard") >= 0.9)
-          .select(col("doc_a"), col("doc_b"), col("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+      // MinHash LSH banding (the SURVEY §7.1 item-10 scale path; replaces
+      // the r2 same-source pair join whose candidate count grew O(n²) in
+      // corpus size — VERDICT r2). k=64 min-hashes per doc, banded 16×4:
+      // the JOIN KEY is (source, band_id, band_hash), so candidate pairs
+      // are bounded by true-similar density, not group size. Recall for a
+      // jaccard-0.9 pair is 1-(1-0.9⁴)¹⁶ ≈ 1-4e-8, so the exact-Jaccard
+      // verification step reproduces the brute-force oracle's row set;
+      // candidates that collide by chance are filtered there.
+      //
+      // Per-row engineering (all r5/r6 A/B-measured, see git history):
+      // each token is string-hashed ONCE (h1 = xxhash64(tok)) and the 64
+      // per-seed hashes re-mix h1 with the seed (~10× cheaper, family
+      // still uniform per-seed); pair generation is bucket-local (collect
+      // each LSH bucket's sorted ids, chained builtin generators — no sig
+      // self-join); verification intersects SORTED 64-BIT TOKEN HASHES via
+      // the native codegen'd intersect_count_sorted two-pointer merge.
+      (s, d) => minhashJaccardPairs(s, d).orderBy("doc_a", "doc_b"),
       Some("""WITH t AS (SELECT source, doc_id,
                                 list_sort(list_distinct(string_split(text, ' '))) AS toks
                          FROM documents)
@@ -223,6 +213,78 @@ object TextQueries {
                       / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.9
               ORDER BY doc_a, doc_b"""),
       "Near-dup via MinHash LSH banding (candidates from (band_id, band_hash) join) + exact-Jaccard verify; oracle stays brute-force"),
+
+    QueryDef(
+      "q_dedup_clusters", Seq("J1", "A2", "W2"),
+      (s, d) => {
+        // Connected components over the verified near-dup pairs — the step
+        // production dedup needs AFTER pair finding: near-duplication is
+        // transitive in effect (A~B, B~C ⟹ keep one of {A,B,C}), so the
+        // keeper election must run per COMPONENT, not per pair. Min-label
+        // propagation: every doc in a pair starts labeled with its own id;
+        // each round every doc takes the min label across itself and its
+        // neighbors; at fixpoint the label IS the component's min doc_id
+        // (deterministic — no ordering sensitivity anywhere).
+        //
+        // Scale shape: rounds = component diameter, and near-dup components
+        // are shallow (variants of one base document hub together), so this
+        // converges in 2-4 rounds in practice; each round is one
+        // shuffle-join + hash-agg over the EDGE set (pairs, not the
+        // corpus). The edge set is computed once and localCheckpoint'd —
+        // without it every round would re-run the whole MinHash pipeline,
+        // and the join lineage would deepen per round (at warehouse scale:
+        // checkpoint to durable storage, and switch to the large-star/
+        // small-star contraction for skewed graphs whose diameter or hub
+        // degree is unbounded).
+        val edges = minhashJaccardPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        var labels = edges
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+          .distinct()
+          .withColumn("lbl", col("doc_id"))
+          .localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val fwd = edges.join(labels, col("doc_a") === col("doc_id"))
+            .select(col("doc_b").as("doc_id"), col("lbl"))
+          val bwd = edges.join(labels, col("doc_b") === col("doc_id"))
+            .select(col("doc_a").as("doc_id"), col("lbl"))
+          val next = labels.unionByName(fwd).unionByName(bwd)
+            .groupBy("doc_id").agg(min("lbl").as("lbl"))
+            .localCheckpoint()
+          changed = next.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "doc_id")
+            .filter(col("new_lbl") =!= col("lbl")).count()
+          labels = next
+        }
+        labels
+          .select(col("doc_id"), col("lbl").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+                SELECT source, doc_id,
+                       list_sort(list_distinct(string_split(text, ' '))) AS toks
+                FROM documents),
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+                        >= 0.9),
+              edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+              reach(id, n) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.n)
+              SELECT id AS doc_id, MIN(n) AS cluster_id
+              FROM reach GROUP BY id ORDER BY doc_id"""),
+      "Near-dup CLUSTERS: connected components (min-label propagation to fixpoint) over " +
+        "the verified MinHash pair set — per-component keeper election, the step after " +
+        "pair finding in a production dedup; oracle closes the brute-force pair set with " +
+        "a recursive CTE"),
 
     QueryDef(
       "q_simhash_neardup", Seq("J1", "F5", "S8"),

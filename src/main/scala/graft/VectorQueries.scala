@@ -396,6 +396,168 @@ object VectorQueries {
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/kmeans_centroids")
   }
 
+  // ---- product quantization (q_ann_pq) -------------------------------------
+
+  private val PqM = 8 // subspaces
+  private val PqSub = Dim / PqM // dims per subspace
+  private val PqK = 16 // codewords per subspace
+
+  /** Deterministic per-subspace k-means codebooks over the unit-normalized
+    * hash-sample — the PQ upgrade of the single trained quantizer: 64 dims
+    * split 8×8, each subspace quantized to 16 codewords, so a vector
+    * compresses to 8 code bytes (64-dim float32 → 8 bytes, 32×). Same
+    * determinism recipe as [[trainCentroids]]: no RNG (init = the k lowest
+    * vec_id sample subvectors), fixed Lloyd iterations, fixed-point-exact
+    * long sums, lowest-index tie-breaks. All 8 subspaces train in the same
+    * passes (one accumulator per (subspace, codeword)). */
+  private[graft] def trainPqCodebooks(
+      emb: DataFrame, s: SparkSession, iters: Int = 5): Array[Array[Array[Double]]] = {
+    import s.implicits._
+    val sample = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .persist()
+    var cbs: Array[Array[Array[Double]]] = {
+      val rows = sample.orderBy("vec_id").limit(PqK).collect().map(r => unit(r._2))
+      Array.tabulate(PqM)(m =>
+        Array.tabulate(PqK)(j => rows(j).slice(m * PqSub, (m + 1) * PqSub)))
+    }
+    val Scale = 1L << 32
+    for (_ <- 0 until iters) {
+      val bc = s.sparkContext.broadcast(cbs)
+      val totals = sample.mapPartitions { it =>
+        val cb = bc.value
+        val hn = cb.map(halfNormsOf)
+        val acc = Array.fill(PqM, PqK)(new Array[Long](PqSub + 1))
+        it.foreach { case (_, v) =>
+          val u = unit(v)
+          var m = 0
+          while (m < PqM) {
+            val a = acc(m)(nearestCode(cb(m), hn(m), u, m * PqSub))
+            var i = 0
+            while (i < PqSub) {
+              a(i) += math.rint(u(m * PqSub + i) * Scale).toLong
+              i += 1
+            }
+            a(PqSub) += 1L
+            m += 1
+          }
+        }
+        (for { m <- 0 until PqM; j <- 0 until PqK }
+          yield (m * PqK + j, acc(m)(j))).iterator
+      }
+        .groupByKey(_._1)
+        .reduceGroups { (x, y) =>
+          val out = new Array[Long](PqSub + 1)
+          var i = 0
+          while (i <= PqSub) { out(i) = x._2(i) + y._2(i); i += 1 }
+          (x._1, out)
+        }
+        .map { case (key, (_, a)) => (key, a) }
+        .collect()
+      val next = cbs.map(_.map(_.clone()))
+      totals.foreach { case (key, a) =>
+        val n = a(PqSub)
+        if (n > 0) // an empty codeword keeps its old center
+          next(key / PqK)(key % PqK) =
+            Array.tabulate(PqSub)(i => a(i).toDouble / Scale / n)
+      }
+      bc.destroy()
+      cbs = next
+    }
+    sample.unpersist()
+    cbs
+  }
+
+  /** ||c||²/2 per codeword, fixed ascending summation — precomputed once
+    * and SHARED between assignment here and the oracle (stored in the aux
+    * parquet), so both engines subtract the identical double. */
+  private def halfNormsOf(cb: Array[Array[Double]]): Array[Double] =
+    cb.map { c =>
+      var nn = 0.0
+      var i = 0
+      while (i < PqSub) { nn += c(i) * c(i); i += 1 }
+      0.5 * nn
+    }
+
+  /** Index of the codeword minimizing L2 distance to the subvector at
+    * `off`, computed as argmax of u_m·c − ||c||²/2 (the ||u_m||² term is
+    * constant per row) — lowest index on ties, fixed in-row order. */
+  private def nearestCode(
+      cb: Array[Array[Double]], hn: Array[Double],
+      u: Array[Double], off: Int): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var j = 0
+    while (j < cb.length) {
+      val c = cb(j)
+      var ip = 0.0
+      var i = 0
+      while (i < PqSub) { ip += u(off + i) * c(i); i += 1 }
+      val sc = ip - hn(j)
+      if (sc > bestScore) { bestScore = sc; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Oracle-side artifact for q_ann_pq: the trained codebooks as a
+    * 128-row parquet (m, cell, c DOUBLE[8], half_norm). Deterministic for
+    * the same reasons as [[writeKmeansAux]]. */
+  private def writePqAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    import s.implicits._
+    val cbs = trainPqCodebooks(Tables.embeddings(s, d), s)
+    val rows = for {
+      m <- 0 until PqM
+      j <- 0 until PqK
+    } yield (m.toLong, j.toLong, cbs(m)(j).toSeq, halfNormsOf(cbs(m))(j))
+    rows.toDF("m", "cell", "c", "half_norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/pq_codebooks")
+  }
+
+  /** The PQ-ADC oracle: unit-normalize (exactly like [[kmeansOracleSql]]),
+    * slice into 8 subvectors (DuckDB list slicing is 1-based inclusive),
+    * assign each to the codeword maximizing `u_m·c − half_norm` (the
+    * STORED half-norm — both engines subtract the identical double),
+    * then score by summing the query-to-codeword dots of the assigned
+    * codes — the asymmetric-distance computation itself. */
+  private def pqOracleSql: String =
+    s"""WITH cb AS (
+          SELECT m, cell, c, half_norm
+          FROM read_parquet('${OracleAux.Token}/pq_codebooks/*.parquet')),
+        dv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+        sc AS (
+          SELECT vec_id, d, list_inner_product(d, d) AS n2,
+                 1.0 / sqrt(list_inner_product(d, d)) AS s
+          FROM dv),
+        un AS (
+          SELECT vec_id,
+                 CASE WHEN n2 = 0 THEN d
+                      ELSE list_transform(d, x -> x * s) END AS u
+          FROM sc),
+        sub AS (
+          SELECT vec_id, g.m AS m,
+                 u[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS um
+          FROM un, generate_series(0, ${PqM - 1}) g(m)),
+        codes AS (
+          SELECT vec_id, m, cell AS code FROM (
+            SELECT s.vec_id, s.m, cb.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY list_inner_product(s.um, cb.c) - cb.half_norm
+                       DESC, cb.cell) AS rn
+            FROM sub s JOIN cb ON cb.m = s.m) ranked
+          WHERE rn = 1),
+        lut AS (
+          SELECT cb.m, cb.cell, list_inner_product(q.um, cb.c) AS dot
+          FROM cb JOIN (SELECT m, um FROM sub WHERE vec_id = 0) q
+            ON q.m = cb.m),
+        adc AS (
+          SELECT c.vec_id, round(SUM(l.dot), 9) AS adc
+          FROM codes c JOIN lut l ON l.m = c.m AND l.cell = c.code
+          WHERE c.vec_id <> 0
+          GROUP BY c.vec_id)
+        SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""
+
   /** The trained-IVF oracle: re-derives every cell assignment from the
     * materialized centroids with the same arithmetic as [[nearestCell]] —
     * embeddings are unit-normalized (`x * (1/sqrt(Σx²))`, the loop's exact
@@ -624,6 +786,70 @@ object VectorQueries {
         "oracle reads the materialized centroids and recomputes every assignment and " +
         "the top-k itself; AnnRecallSpec additionally gates recall",
       aux = Some(writeKmeansAux)),
+
+    QueryDef(
+      "q_ann_pq", Seq("A5", "O5", "J2"),
+      (s, d) => {
+        // PRODUCT QUANTIZATION with asymmetric distance computation (ADC)
+        // — the memory-bound scale path of the ANN family: 64-dim float32
+        // vectors compress to 8 code bytes (one 16-codeword codebook per
+        // 8-dim subspace, 32× smaller), and scoring a row against the
+        // query is 8 LUT lookups instead of 64 multiplies. At 100 TB the
+        // codes are a stored column written at ingest (the scan here
+        // encodes on the fly because the synthetic table stores raw
+        // vectors only), the 128-float query LUT broadcasts to every
+        // executor, and the whole scan stays narrow — compose with the IVF
+        // cell as partition key for the classic IVF-PQ layout. Training is
+        // iterative (not SQL-expressible) but deterministic, so the oracle
+        // reads the materialized codebooks and re-derives every code
+        // assignment and the ADC top-k itself, exactly like
+        // q_ann_ivf_kmeans's oracle.
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val cbs = trainPqCodebooks(emb, s)
+        val hns = cbs.map(halfNormsOf)
+        val qu = unit(emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Seq[Float]].head())
+        // query LUT: dot of the query subvector with every codeword,
+        // ascending-index loops — the arithmetic the oracle's
+        // list_inner_product reproduces
+        val lut = Array.tabulate(PqM) { m =>
+          Array.tabulate(PqK) { j =>
+            var ip = 0.0
+            var i = 0
+            while (i < PqSub) { ip += qu(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
+            ip
+          }
+        }
+        val bcCb = s.sparkContext.broadcast(cbs)
+        val bcHn = s.sparkContext.broadcast(hns)
+        val bcLut = s.sparkContext.broadcast(lut)
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+          .mapPartitions { it =>
+            val cb = bcCb.value; val hn = bcHn.value; val lt = bcLut.value
+            it.map { case (id, v) =>
+              val u = unit(v)
+              var adc = 0.0
+              var m = 0
+              while (m < PqM) {
+                adc += lt(m)(nearestCode(cb(m), hn(m), u, m * PqSub))
+                m += 1
+              }
+              (id, adc)
+            }
+          }
+          .toDF("vec_id", "adc")
+          .select(col("vec_id"), round(col("adc"), 9).as("adc"))
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(pqOracleSql),
+      "Product-quantization ANN (ADC): 8×16 deterministic per-subspace codebooks " +
+        "compress each vector to 8 code bytes; scoring is 8 query-LUT lookups per row — " +
+        "the memory-bound ANN scale path next to the IVF probes; oracle re-derives " +
+        "every code from the materialized codebooks",
+      aux = Some(writePqAux)),
 
     QueryDef(
       "q_neardup_embedding", Seq("J1", "A5", "A2"),
