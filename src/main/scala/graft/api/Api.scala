@@ -281,7 +281,13 @@ final class Api(
     * api_loader + file_worker work the reference's fleet does continuously.
     * Callable from the first close AND every replayed one (late-landed
     * files load on retry); the checkpoint + plane-keyed idempotence make a
-    * nothing-new drain a no-op. */
+    * nothing-new drain a no-op. FORMAT-AGNOSTIC despite the loader's name:
+    * each batch sniffs the landed files through the same
+    * `Pipeline.loadFilesInto` routing as the batch path, so record
+    * packages load record facts and compile per file as they arrive
+    * (`file_worker.py:211-214` set_data_type + the record per-file
+    * compile), and compiled releases take the direct leg — proven
+    * end-to-end in CollectFlowSpec's record-package lifecycle case. */
   private def drainLanding(plane0: Control.Plane, id: Long): Control.Plane = {
     var plane = plane0
     landingRoot.foreach { root =>

@@ -152,6 +152,64 @@ class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally api2.stop()
   }
 
+  test("ingest mode: a record-package crawl compiles per file and finishes on close") {
+    // VERDICT r7 task 6 — the drain must not be release-only: the landed
+    // format is sniffed by the SAME loadFilesInto the batch path uses, so
+    // a record-package collection loads record facts, compiles each file
+    // as it loads (the per-file record exception, compiler.py:186-191),
+    // latches its format on the plane, and passes completable on close.
+    val lakeR = Files.createTempDirectory("graft-rec-lake").toString
+    val root = Files.createTempDirectory("graft-rec-landing").toString
+    val apiR = new Api(s, lakeR, landingRoot = Some(root))
+    apiR.start()
+    try {
+      def postR(path: String, body: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${apiR.boundPort}$path"))
+            .method("POST", HttpRequest.BodyPublishers.ofString(body))
+            .header("Content-Type", "application/json").build(),
+          HttpResponse.BodyHandlers.ofString())
+      def recPkg(ocid: String, rid: String): String =
+        s"""{"uri": "http://x/$rid", "version": "1.1", "publisher": {"name": "R"},
+           | "publishedDate": "2020-03-01T00:00:00Z",
+           | "records": [{"ocid": "$ocid", "releases": [
+           |   {"ocid": "$ocid", "id": "${rid}a", "date": "2020-03-01T00:00:00Z",
+           |    "tag": ["planning"], "initiationType": "tender"},
+           |   {"ocid": "$ocid", "id": "${rid}b", "date": "2020-03-02T00:00:00Z",
+           |    "tag": ["tender"], "initiationType": "tender"}]}]}""".stripMargin
+
+      val created = Canonical.parse(postR("/api/collections/",
+        """{"source_id": "record_spider", "data_version": "2020-03-01 00:00:00",
+          | "compile": true}""".stripMargin).body())
+      val rootId = created.get("collection_id").asLong
+      val compiledId = created.get("compiled_collection_id").asLong
+      val landing = created.get("landing_dir").asText
+      Files.writeString(java.nio.file.Paths.get(landing, "rp1.json"), recPkg("ocds-rp1", "m1"))
+      Files.writeString(java.nio.file.Paths.get(landing, "rp2.json"), recPkg("ocds-rp2", "m2"))
+
+      assert(postR(s"/api/collections/$rootId/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 2}}""")
+        .statusCode() == 202)
+
+      val plane = PlaneStore.load(lakeR)
+      assert(plane.collection(rootId).dataTypeFormat
+        .contains(graft.control.Control.Format.RecordPackage))
+      assert(plane.filesOf(rootId).size === 2)
+      assert(plane.collection(rootId).completedAt.nonEmpty)
+      assert(plane.collection(rootId).cachedRecordsCount.contains(2L))
+      assert(plane.collection(compiledId).completedAt.nonEmpty)
+      assert(plane.collection(compiledId).cachedCompiledReleasesCount.contains(2L))
+
+      // metadata over HTTP reflects the per-file-compiled records
+      val md = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${apiR.boundPort}/api/collections/$compiledId/metadata/"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(Canonical.parse(md.body()).get("ocid_prefix").asText.startsWith("ocds-rp"))
+    } finally apiR.stop()
+  }
+
   test("ingest mode: a file landing after close is loaded by the replayed close") {
     // ADVICE r7: announced-but-late files stranded the tree forever — the
     // first close drained 1 of 2 expected files, so compilable() gated
