@@ -28,6 +28,8 @@ import graft.ocds.Metadata
   *                                               find-collections query)
   *   compact <lake> <table> <collectionId>      (lake small-files maintenance;
   *                                               no reference analogue)
+  *   compact-outcomes <outDir>                  (fold a record-outcome
+  *                                               stream's batch partitions)
   *   addchecks <lake> <collectionId>            (addchecks + checker)
   *   closecollection <lake> <id> <nFiles>       (closecollection)
   *   cancelcollection <lake> <id>               (cancelcollection)
@@ -276,6 +278,29 @@ object Cli {
       val rows = Sink.compactCollection(spark, s"$lake/$table", cid, clusterByOcid)
       println(s"compacted $table/collection_id=$cid: $before -> ${partFiles()} files ($rows rows)")
 
+    case "compact-outcomes" :: outDir :: Nil =>
+      // streaming maintenance: fold a record-outcome stream's accumulated
+      // batch_id partitions (one per micro-batch) into a single clustered
+      // partition. Only run it against a TERMINATED stream — an in-flight
+      // replay of a folded batch would see the fold as data loss (the
+      // contract documented on Sink.compactOutcomes).
+      val spark = session()
+      def dirCount(): Int = {
+        val p = java.nio.file.Paths.get(outDir)
+        if (!java.nio.file.Files.isDirectory(p)) 0
+        else {
+          val stream = java.nio.file.Files.list(p)
+          try {
+            import scala.jdk.CollectionConverters._
+            stream.iterator.asScala
+              .count(_.getFileName.toString.startsWith("batch_id="))
+          } finally stream.close()
+        }
+      }
+      val beforeDirs = dirCount()
+      val rows = Sink.compactOutcomes(spark, outDir)
+      println(s"folded $beforeDirs batch partitions -> ${dirCount()} ($rows rows)")
+
     case "compile" :: lake :: rootId :: Nil =>
       // the compiler → checker → finisher worker chain, run inline once the
       // close latch has released the gate (the keep-open/addfiles flow's
@@ -514,6 +539,7 @@ object Cli {
            |  addfiles <lake> <rootId> <path...>
            |  compile <lake> <rootId>
            |  compact <lake> <table> <collectionId>
+           |  compact-outcomes <outDir>
            |  collections <lake> [--source NAME] [--with-compiled]
            |  collectionstatus <lake> <rootId>
            |  addchecks <lake> <collectionId>

@@ -118,6 +118,63 @@ object Sink {
     swapCollectionPartition(spark, path, collectionId, clustered)
   }
 
+  /** Streaming-outcome maintenance (the record-outcome analogue of
+    * [[compactCollection]]): `Streaming.recordCompileStream` lands one
+    * `batch_id=N` partition per micro-batch forever — a long-lived stream
+    * fragments its outcome table into thousands of tiny-file directories.
+    * Fold every batch partition into the single highest one, preserving
+    * the outcome rows; per-row micro-batch provenance collapses to the
+    * fold id, which is dead weight once the stream has drained (its only
+    * live role is the dynamic-partition-overwrite replay dedup while the
+    * stream runs). MUST only run against a TERMINATED stream whose final
+    * batch committed its checkpoint: to an in-flight replay of a folded
+    * batch, the fold is indistinguishable from loss (the replay would
+    * overwrite only its own, now-absent, partition).
+    *
+    * Commit protocol (same family as [[swapCollectionPartition]]): the
+    * folded rows land in an underscore-prefixed dir (invisible to Spark
+    * readers, same filesystem), a rename to `_fold_ready_batch_id=<max>`
+    * marks the write complete, and only then are the source partitions
+    * swept and the fold promoted. A crash anywhere self-heals on the next
+    * call: an unfinished write is deleted, a ready-but-unpromoted fold
+    * resumes its sweep and promotes — batches newer than the fold (a
+    * stream resumed after the crash) are left alone. Returns the folded
+    * partition's row count. */
+  def compactOutcomes(spark: SparkSession, outDir: String): Long = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import scala.jdk.CollectionConverters._
+    val table = JP.get(outDir)
+    if (!JF.isDirectory(table)) return 0L
+    val Ready = "_fold_ready_batch_id="
+    def ls(): Seq[java.nio.file.Path] = {
+      val stream = JF.list(table)
+      try stream.iterator.asScala.toSeq finally stream.close()
+    }
+    def batchDirs(): Seq[java.nio.file.Path] =
+      ls().filter(_.getFileName.toString.startsWith("batch_id="))
+    def idOf(p: java.nio.file.Path): Long =
+      p.getFileName.toString.dropWhile(_ != '=').drop(1).toLong
+    def promote(ready: java.nio.file.Path): Long = {
+      val max = ready.getFileName.toString.stripPrefix(Ready).toLong
+      batchDirs().filter(idOf(_) <= max).foreach(deleteDir)
+      val dest = table.resolve(s"batch_id=$max")
+      JF.move(ready, dest)
+      spark.read.parquet(dest.toString).count()
+    }
+    deleteDir(table.resolve("_fold_tmp"))
+    // resume a fold that crashed between its ready-mark and its promote
+    ls().find(_.getFileName.toString.startsWith(Ready)).foreach(promote)
+    val parts = batchDirs()
+    if (parts.isEmpty) return 0L
+    val max = parts.map(idOf).max
+    val tmp = table.resolve("_fold_tmp")
+    spark.read.parquet(outDir).drop("batch_id")
+      .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val ready = table.resolve(s"$Ready$max")
+    JF.move(tmp, ready)
+    promote(ready)
+  }
+
   /** Read back with partition pruning available on `collection_id`. */
   def readFacts(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

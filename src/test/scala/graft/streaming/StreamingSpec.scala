@@ -57,6 +57,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_._4).distinct.length === 2)
   }
 
+  test("compactOutcomes folds a multi-batch outcome table and self-heals a crashed fold") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-fold")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def runOnce(): Unit =
+      Streaming.recordCompileStream(s, landing.toString, out, ckpt).awaitTermination()
+    def batchDirs(): Seq[String] = {
+      val stream = Files.list(java.nio.file.Paths.get(out))
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator.asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("batch_id=")).toSeq.sorted
+      } finally stream.close()
+    }
+
+    // three drains → three batch_id partitions (the unbounded growth)
+    Files.writeString(landing.resolve("a.jsonl"), record("ocds-fa", "2020-01-01") + "\n")
+    runOnce()
+    Files.writeString(landing.resolve("b.jsonl"), record("ocds-fb", "2020-01-02") + "\n")
+    runOnce()
+    Files.writeString(landing.resolve("c.jsonl"), record("ocds-fc", "2020-01-03") + "\n")
+    runOnce()
+    assert(batchDirs().length === 3)
+    val before = s.read.parquet(out).select("ocid", "outcome", "compiled_id")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+
+    // fold: one partition, same outcome rows
+    assert(graft.ingest.Sink.compactOutcomes(s, out) === 3L)
+    assert(batchDirs() === Seq("batch_id=2"))
+    val after = s.read.parquet(out).select("ocid", "outcome", "compiled_id")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    assert(after === before)
+
+    // crash between the ready-mark and the promote: the ready dir holds
+    // the fold, the source partitions are still live. The next call must
+    // resume the sweep WITHOUT double-counting, and leave a batch NEWER
+    // than the fold (a stream resumed after the crash) alone.
+    Files.writeString(landing.resolve("d.jsonl"), record("ocds-fd", "2020-01-04") + "\n")
+    runOnce() // batch 3 lands next to the fold
+    val tableDir = java.nio.file.Paths.get(out)
+    // simulate the crashed fold of batches ≤ 2: ready copy of batch_id=2
+    s.read.parquet(s"$out/batch_id=2").write
+      .parquet(tableDir.resolve("_fold_ready_batch_id=2").toString)
+    assert(graft.ingest.Sink.compactOutcomes(s, out) === 4L)
+    assert(batchDirs() === Seq("batch_id=3"))
+    assert(s.read.parquet(out).count() === 4L)
+  }
+
   private def releasePkg(ocid: String, rid: String): String =
     s"""{"uri": "http://x/$rid", "version": "1.1", "publisher": {"name": "P"},
        | "publishedDate": "2020-01-01T00:00:00Z",
