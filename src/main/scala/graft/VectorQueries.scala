@@ -566,7 +566,12 @@ object VectorQueries {
     * with the exact-decimal machinery shared with [[ivfOracleSql]].
     * `list_inner_product` folds in list order, matching the Scala loops'
     * left-to-right double accumulation. */
-  private def kmeansOracleSql: String =
+  /** The trained-IVF oracle, parameterized by probe count: `probes` = 1 is
+    * the single-probe query (the top-1 cell by query dot IS the query's
+    * assigned Voronoi cell), `probes` = P ranks every centroid by its dot
+    * with the unit query — the identical (dot DESC, cell) order the
+    * Spark side's driver loop uses — and keeps the nearest P. */
+  private def kmeansOracleSql(probes: Int): String =
     s"""WITH cent AS (
           SELECT cell, c
           FROM read_parquet('${OracleAux.Token}/kmeans_centroids/*.parquet')),
@@ -589,6 +594,11 @@ object VectorQueries {
                      AS rn
             FROM un CROSS JOIN cent) ranked
           WHERE rn = 1),
+        qprobes AS (
+          SELECT cent.cell
+          FROM cent CROSS JOIN (SELECT u FROM un WHERE vec_id = 0) q
+          ORDER BY list_inner_product(q.u, cent.c) DESC, cent.cell
+          LIMIT $probes),
         n AS (
           SELECT e.vec_id, e.embedding,
                  SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
@@ -596,8 +606,8 @@ object VectorQueries {
           FROM embeddings e, generate_series(1, $Dim) t(i)
           GROUP BY e.vec_id, e.embedding),
         q AS (
-          SELECT n.embedding AS qe, n.norm_dec AS qnorm_dec, c.cell AS qcell
-          FROM n JOIN cells c ON c.vec_id = n.vec_id WHERE n.vec_id = 0),
+          SELECT n.embedding AS qe, n.norm_dec AS qnorm_dec
+          FROM n WHERE n.vec_id = 0),
         scored AS (
           SELECT n.vec_id,
                  round(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
@@ -607,7 +617,8 @@ object VectorQueries {
                    AS cosine
           FROM n
           JOIN cells c ON c.vec_id = n.vec_id
-          JOIN q ON c.cell = q.qcell,
+          JOIN qprobes p ON c.cell = p.cell
+          CROSS JOIN q,
                generate_series(1, $Dim) t(i)
           WHERE n.vec_id <> 0
           GROUP BY n.vec_id, n.norm_dec, q.qnorm_dec)
@@ -779,12 +790,70 @@ object VectorQueries {
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(10)
       },
-      Some(kmeansOracleSql),
+      Some(kmeansOracleSql(1)),
       "Trained-IVF ANN: deterministic sample-trained k-means centroids (fixed-point-" +
         "exact sums, no RNG), single-probe of the query's Voronoi cell, exact decimal " +
         "scoring — training is iterative (not SQL-expressible) but bit-stable, so the " +
         "oracle reads the materialized centroids and recomputes every assignment and " +
         "the top-k itself; AnnRecallSpec additionally gates recall",
+      aux = Some(writeKmeansAux)),
+
+    QueryDef(
+      "q_ann_ivf_kmeans_multiprobe", Seq("A5", "O5", "J2"),
+      (s, d) => {
+        // TRAINED multi-probe: the recall knob of the trained quantizer.
+        // Where the sign-bit quantizer's probe set is the hamming-1
+        // neighborhood (a structural guess at boundary spill), the trained
+        // probe set is the four centroids NEAREST THE QUERY — the actual
+        // regions a near-boundary neighbor falls in, ranked by the same
+        // max-dot arithmetic assignment uses (ties to the lower cell).
+        // 4/16 of the table scanned; at 100 TB the probe list prunes the
+        // cell-partitioned table exactly like the deterministic variant,
+        // and the probe ranking is k dot products on the driver. Oracle:
+        // same materialized-centroid re-derivation, probe set = LIMIT 4
+        // over the identical (dot DESC, cell) order.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val centroids = trainCentroids(emb, s)
+        val bc = s.sparkContext.broadcast(centroids)
+        val cells = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+          .mapPartitions { it =>
+            val cs = bc.value
+            it.map { case (id, v) => (id, v, nearestCell(cs, unit(v))) }
+          }
+          .toDF("vec_id", "embedding", "cell")
+        // probe ranking on the driver: k=16 dots of the unit query against
+        // the centroids, (dot desc, cell asc) — the oracle's qprobes order
+        val qu = unit(emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Seq[Float]].head())
+        val probes = centroids.zipWithIndex.map { case (c, i) =>
+          var dot = 0.0
+          var j = 0
+          while (j < Dim) { dot += qu(j) * c(j); j += 1 }
+          (dot, i)
+        }.sortBy { case (dot, i) => (-dot, i) }.take(4).map(_._2.toLong)
+        val q0 = cells.filter(col("vec_id") === 0)
+          .withColumn("norm_dec", dotDec(col("embedding"), col("embedding")))
+        cells.filter(col("vec_id") =!= 0)
+          .filter(col("cell").isin(probes: _*))
+          .crossJoin(broadcast(q0.select(col("embedding").as("qe"),
+            col("norm_dec").as("qnorm_dec"))))
+          .select(
+            col("vec_id"),
+            cosineCol(
+              dotDec(col("embedding"), col("qe")),
+              dotDec(col("embedding"), col("embedding")),
+              col("qnorm_dec")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(kmeansOracleSql(4)),
+      "Trained multi-probe IVF ANN: probe the 4 centroids nearest the query (the " +
+        "trained analogue of the hamming-1 spill set) — 4/16 of the table scanned, " +
+        "recall between trained single-probe and brute force; oracle re-derives the " +
+        "probe ranking from the materialized centroids with the identical " +
+        "(dot DESC, cell) order",
       aux = Some(writeKmeansAux)),
 
     QueryDef(

@@ -53,6 +53,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rTrained >= 0.3, "the query's Voronoi cell should hold true neighbors")
   }
 
+  test("trained multi-probe recall@10 tops the ladder: ≥ trained single AND ≥ deterministic multi") {
+    val exact = top10("q_ann_bruteforce")
+    val detMulti = top10("q_ann_ivf_multiprobe")
+    val trainedSingle = top10("q_ann_ivf_kmeans")
+    val trainedMulti = top10("q_ann_ivf_kmeans_multiprobe")
+    val rDetMulti = (exact & detMulti).size / 10.0
+    val rSingle = (exact & trainedSingle).size / 10.0
+    val rMulti = (exact & trainedMulti).size / 10.0
+    info(f"recall@10 trained-single=$rSingle%.1f trained-multi=$rMulti%.1f " +
+      f"det-multi(5 cells)=$rDetMulti%.1f (trained probes 4 cells)")
+    assert(rMulti >= rSingle, "adding trained probes must never lose neighbors")
+    // the trained probe set is the 4 centroids nearest the query — it must
+    // beat-or-match the structural hamming-1 guess even though it scans
+    // FEWER cells (4/16 vs 5/16)
+    assert(rMulti >= rDetMulti,
+      "trained query-nearest probes losing to hamming-1 probes is a probe-ranking bug")
+    assert(rMulti >= 0.5, "4 trained probes should find most of the true top-10")
+  }
+
   test("k-means training is bit-deterministic across runs and partitionings") {
     // the fixed-point-sum claim, pinned: two independent trainings (the
     // second over a repartitioned input, exercising different partition
