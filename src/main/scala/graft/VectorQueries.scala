@@ -558,6 +558,65 @@ object VectorQueries {
           GROUP BY c.vec_id)
         SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""
 
+  /** The IVF-PQ oracle: the trained-IVF cells gate WHICH rows score, the
+    * PQ codes say HOW they score. Reads BOTH materialized artifacts:
+    * cell assignments re-derive from the centroids (exactly like
+    * [[kmeansOracleSql]]'s `cells`), the probe set is the query's own
+    * cell, and the probed rows' ADC comes from the codebook re-derivation
+    * (exactly like [[pqOracleSql]]). */
+  private def ivfPqOracleSql: String =
+    s"""WITH cent AS (
+          SELECT cell, c
+          FROM read_parquet('${OracleAux.Token}/kmeans_centroids/*.parquet')),
+        cb AS (
+          SELECT m, cell, c, half_norm
+          FROM read_parquet('${OracleAux.Token}/pq_codebooks/*.parquet')),
+        dv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+        sc AS (
+          SELECT vec_id, d, list_inner_product(d, d) AS n2,
+                 1.0 / sqrt(list_inner_product(d, d)) AS s
+          FROM dv),
+        un AS (
+          SELECT vec_id,
+                 CASE WHEN n2 = 0 THEN d
+                      ELSE list_transform(d, x -> x * s) END AS u
+          FROM sc),
+        cells AS (
+          SELECT vec_id, cell FROM (
+            SELECT un.vec_id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY un.vec_id
+                     ORDER BY list_inner_product(un.u, cent.c) DESC, cent.cell)
+                     AS rn
+            FROM un CROSS JOIN cent) ranked
+          WHERE rn = 1),
+        qc AS (SELECT cell FROM cells WHERE vec_id = 0),
+        sub AS (
+          SELECT vec_id, g.m AS m,
+                 u[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS um
+          FROM un, generate_series(0, ${PqM - 1}) g(m)),
+        codes AS (
+          SELECT vec_id, m, cell AS code FROM (
+            SELECT s.vec_id, s.m, cb.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY list_inner_product(s.um, cb.c) - cb.half_norm
+                       DESC, cb.cell) AS rn
+            FROM sub s JOIN cb ON cb.m = s.m) ranked
+          WHERE rn = 1),
+        lut AS (
+          SELECT cb.m, cb.cell, list_inner_product(q.um, cb.c) AS dot
+          FROM cb JOIN (SELECT m, um FROM sub WHERE vec_id = 0) q
+            ON q.m = cb.m),
+        adc AS (
+          SELECT c.vec_id, round(SUM(l.dot), 9) AS adc
+          FROM codes c
+          JOIN lut l ON l.m = c.m AND l.cell = c.code
+          JOIN cells cl ON cl.vec_id = c.vec_id
+          JOIN qc ON cl.cell = qc.cell
+          WHERE c.vec_id <> 0
+          GROUP BY c.vec_id)
+        SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""
+
   /** The trained-IVF oracle: re-derives every cell assignment from the
     * materialized centroids with the same arithmetic as [[nearestCell]] —
     * embeddings are unit-normalized (`x * (1/sqrt(Σx²))`, the loop's exact
@@ -919,6 +978,70 @@ object VectorQueries {
         "the memory-bound ANN scale path next to the IVF probes; oracle re-derives " +
         "every code from the materialized codebooks",
       aux = Some(writePqAux)),
+
+    QueryDef(
+      "q_ann_ivf_pq", Seq("A5", "O5", "J2"),
+      (s, d) => {
+        // IVF-PQ — the classic billion-scale ANN layout, composed from the
+        // two trained pieces: the coarse quantizer (trained IVF) gates
+        // WHICH rows score, the PQ codes say HOW they score. At 100 TB
+        // the cell is the partition key (the probe prunes partitions) and
+        // the 8-byte codes are the only column the probed scan reads —
+        // memory-bound ADC over a pruned scan, the IVFADC shape from the
+        // Jégou et al. PQ paper. Both trainings are the deterministic
+        // recipes above, so the oracle re-derives cell assignments, the
+        // probe, every code, and the ADC top-k from the two materialized
+        // artifacts.
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val centroids = trainCentroids(emb, s)
+        val cbs = trainPqCodebooks(emb, s)
+        val hns = cbs.map(halfNormsOf)
+        val qu = unit(emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Seq[Float]].head())
+        val qcell = nearestCell(centroids, qu)
+        val lut = Array.tabulate(PqM) { m =>
+          Array.tabulate(PqK) { j =>
+            var ip = 0.0
+            var i = 0
+            while (i < PqSub) { ip += qu(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
+            ip
+          }
+        }
+        val bcCs = s.sparkContext.broadcast(centroids)
+        val bcCb = s.sparkContext.broadcast(cbs)
+        val bcHn = s.sparkContext.broadcast(hns)
+        val bcLut = s.sparkContext.broadcast(lut)
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+          .mapPartitions { it =>
+            val cs = bcCs.value; val cb = bcCb.value
+            val hn = bcHn.value; val lt = bcLut.value
+            it.flatMap { case (id, v) =>
+              val u = unit(v)
+              if (nearestCell(cs, u) != qcell) None
+              else {
+                var adc = 0.0
+                var m = 0
+                while (m < PqM) {
+                  adc += lt(m)(nearestCode(cb(m), hn(m), u, m * PqSub))
+                  m += 1
+                }
+                Some((id, adc))
+              }
+            }
+          }
+          .toDF("vec_id", "adc")
+          .select(col("vec_id"), round(col("adc"), 9).as("adc"))
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(ivfPqOracleSql),
+      "IVF-PQ ANN (the IVFADC layout): trained coarse cells prune the scan to the " +
+        "query's probe, PQ codes give 8-lookup ADC scoring inside it — cell = " +
+        "partition key + 32x-compressed codes at scale; oracle re-derives cells, " +
+        "probe, codes, and the ADC top-k from both materialized artifacts",
+      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) }),
 
     QueryDef(
       "q_neardup_embedding", Seq("J1", "A5", "A2"),
