@@ -568,6 +568,63 @@ object TextQueries {
         "oracle rebuilds identical windows via generate_series + list_slice"),
 
     QueryDef(
+      "q_pack_sequences", Seq("W1", "A4", "F2"),
+      (s, d) => {
+        // sequence PACKING (the training-batch preparation step after
+        // chunking): concatenate a stream's documents in a deterministic
+        // order and cut the token stream into fixed 2048-token windows —
+        // the GPT-style concat-then-chunk packing where documents straddle
+        // window boundaries, so no padding is ever wasted. A doc's window
+        // is the window of its START offset: floor((cumsum − tok)/B) via
+        // one running sum — no per-window driver state, unlike true
+        // first-fit bin packing (which is inherently sequential). At
+        // 100 TB the running sum's per-source ordering is the scale
+        // boundary: one source = one sorted partition stream, so packing
+        // parallelizes across sources exactly like the compile family
+        // across ocids (and a single over-large source pre-shards on a
+        // deterministic doc_id range before packing).
+        import org.apache.spark.sql.expressions.Window
+        val B = 2048
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("tok"))
+          .withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("window_id",
+            floor((col("cum") - col("tok")) / lit(B.toDouble)).cast(LongType))
+          .groupBy(col("source"), col("window_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tok")).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "window_id")
+      },
+      Some("""WITH t AS (
+                SELECT source, doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+                FROM documents),
+              c AS (
+                SELECT source, doc_id, tok,
+                       SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                FROM t)
+              SELECT source,
+                     CAST(FLOOR((cum - tok) / 2048.0) AS BIGINT) AS window_id,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(tok) AS BIGINT) AS n_tokens,
+                     MIN(doc_id) AS first_doc,
+                     MAX(doc_id) AS last_doc
+              FROM c
+              GROUP BY source, window_id
+              ORDER BY source, window_id"""),
+      "Sequence packing: concat-then-chunk a source's token stream into 2048-token " +
+        "training windows (docs straddle boundaries — zero padding waste) via one " +
+        "per-source running sum; per-window doc/token stats, oracle = the identical " +
+        "window arithmetic"),
+
+    QueryDef(
       "q_rep_ngrams", Seq("F4", "F8"),
       (s, d) => {
         // repetition quality signal (the Gopher/RefinedWeb duplicate-ngram
@@ -688,6 +745,89 @@ object TextQueries {
       "Deterministic stratified sampling (per-language keep rates from a stable md5 " +
         "hash — the reproducible training-mix sampler, no RNG); oracle recomputes the " +
         "same hash decision"),
+
+    QueryDef(
+      "q_corpus_select", Seq("W1", "A4", "F5", "P2"),
+      (s, d) => {
+        // the END-TO-END training-set selection funnel — the signals above
+        // composed the way a production corpus build chains them, with
+        // per-stage attrition reported per source: lang-ID gate (≥2
+        // stopword hits, q_langid's heuristic) → quality gate (token count
+        // + stopword-ratio bounds, q_quality_score's ratios) → exact-dedup
+        // keeper election AMONG SURVIVORS (min(doc_id) per fingerprint
+        // over a null-skipping conditional window — dedup runs after
+        // filtering, so a filtered-out duplicate can't displace a keeper)
+        // → deterministic hash sampling (q_sample_stratified's md5
+        // decision). One scan, one fingerprint window shuffle, one
+        // per-source aggregation — at 100 TB the fingerprint window IS the
+        // dedup shuffle the funnel needs anyway, and everything else is
+        // per-row flags folded into the final hash agg.
+        import org.apache.spark.sql.expressions.Window
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast(LongType)
+        val enHits = size(filter(toks, t => t.isin(enStop: _*)))
+        val langOk = enHits >= 2
+        val stopRatio = enHits.cast(DoubleType) / size(toks).cast(DoubleType)
+        val qualityOk = nTok >= 10 && nTok <= 5000 && stopRatio >= 0.02
+        val pass = langOk && qualityOk
+        val keepRate = when(col("lang") === "en", lit(50)).otherwise(lit(25))
+        val sampleOk =
+          conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+            .cast(LongType) % 100 < keepRate
+        val base = Tables.documents(s, d).select(
+          col("source"), col("doc_id"),
+          nTok.as("n_tok"),
+          pass.as("pass"),
+          sampleOk.as("sample_ok"),
+          md5(concat_ws(" ", tokenSet(col("text")))).as("fingerprint"))
+        val wFp = Window.partitionBy("fingerprint")
+        val flagged = base.withColumn(
+          "keeper_ok",
+          col("pass") &&
+            col("doc_id") === min(when(col("pass"), col("doc_id"))).over(wFp))
+        flagged.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+            sum(when(col("keeper_ok"), 1L).otherwise(0L)).as("n_keeper"),
+            sum(when(col("keeper_ok") && col("sample_ok"), 1L).otherwise(0L))
+              .as("n_selected"),
+            sum(when(col("keeper_ok") && col("sample_ok"), col("n_tok"))
+              .otherwise(0L)).as("tokens_selected"))
+          .orderBy("source")
+      },
+      Some(s"""WITH base AS (
+                SELECT source, doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                       (len(list_filter(string_split(text, ' '),
+                            t -> t IN (${enStop.map("'" + _ + "'").mkString(",")}))) >= 2
+                        AND len(string_split(text, ' ')) BETWEEN 10 AND 5000
+                        AND CAST(len(list_filter(string_split(text, ' '),
+                                 t -> t IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+                              / len(string_split(text, ' ')) >= 0.02) AS pass,
+                       (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                        < (CASE WHEN lang = 'en' THEN 50 ELSE 25 END)) AS sample_ok,
+                       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+                         AS fingerprint
+                FROM documents),
+              flagged AS (
+                SELECT *,
+                       (pass AND doc_id = MIN(CASE WHEN pass THEN doc_id END)
+                          OVER (PARTITION BY fingerprint)) AS keeper_ok
+                FROM base)
+              SELECT source,
+                     COUNT(*) AS n_total,
+                     CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                     CAST(SUM(CASE WHEN keeper_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_keeper,
+                     CAST(SUM(CASE WHEN keeper_ok AND sample_ok THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_selected,
+                     CAST(SUM(CASE WHEN keeper_ok AND sample_ok THEN n_tok ELSE 0 END) AS BIGINT)
+                       AS tokens_selected
+              FROM flagged GROUP BY source ORDER BY source"""),
+      "End-to-end corpus selection funnel: lang-ID gate → quality gate → exact-dedup " +
+        "keeper election among survivors (conditional min window) → deterministic " +
+        "hash sampling, with per-source attrition and selected-token totals — the " +
+        "composed training-set build the individual signal queries feed"),
 
     QueryDef(
       "q_token_df", Seq("A4", "A1", "J2"),
