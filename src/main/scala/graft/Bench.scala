@@ -79,7 +79,9 @@ object Bench {
     // print at millisecond precision, error messages are capped hard, and
     // the failure fields sit at the END of the line so a truncated-anyway
     // run still shows what failed
-    def sec(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal locale (de_DE, fr_FR) would print 6,225 — invalid JSON
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"$k\":${sec(v)}" }.mkString("{", ",", "}")
     val errJson = errors.take(5)
       .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v.take(80))}\"" }

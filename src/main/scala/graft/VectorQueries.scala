@@ -388,7 +388,16 @@ object VectorQueries {
     * DuckDB oracle recompute everything downstream — every cell
     * assignment, the probe, and the exact-decimal top-k — from the raw
     * embeddings table plus these 16×64 doubles. */
+  /** Aux hooks are shared across QueryDefs (three queries read the k-means
+    * centroids, two the PQ codebooks) and Verify runs every query's hook —
+    * without this guard the same deterministic training (5 Lloyd
+    * iterations of Spark jobs) re-runs per sharing query, rewriting
+    * byte-identical parquet. Keyed per (artifact, source dir, aux dir);
+    * per-JVM like Tables.materialize's cache. */
+  private val auxWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def writeKmeansAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    if (!auxWritten.add(s"kmeans::$d::$auxDir")) return
     import s.implicits._
     val cs = trainCentroids(Tables.embeddings(s, d), s)
     cs.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c.toSeq) }
@@ -418,8 +427,13 @@ object VectorQueries {
       .persist()
     var cbs: Array[Array[Array[Double]]] = {
       val rows = sample.orderBy("vec_id").limit(PqK).collect().map(r => unit(r._2))
+      require(rows.nonEmpty, "PQ training needs a non-empty embedding sample")
+      // a sample smaller than PqK degrades to a shorter codebook (same
+      // contract as trainCentroids); nearestCode and the oracle both
+      // iterate whatever codewords exist
+      val k = math.min(PqK, rows.length)
       Array.tabulate(PqM)(m =>
-        Array.tabulate(PqK)(j => rows(j).slice(m * PqSub, (m + 1) * PqSub)))
+        Array.tabulate(k)(j => rows(j).slice(m * PqSub, (m + 1) * PqSub)))
     }
     val Scale = 1L << 32
     for (_ <- 0 until iters) {
@@ -504,11 +518,12 @@ object VectorQueries {
     * 128-row parquet (m, cell, c DOUBLE[8], half_norm). Deterministic for
     * the same reasons as [[writeKmeansAux]]. */
   private def writePqAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    if (!auxWritten.add(s"pq::$d::$auxDir")) return
     import s.implicits._
     val cbs = trainPqCodebooks(Tables.embeddings(s, d), s)
     val rows = for {
       m <- 0 until PqM
-      j <- 0 until PqK
+      j <- cbs(m).indices
     } yield (m.toLong, j.toLong, cbs(m)(j).toSeq, halfNormsOf(cbs(m))(j))
     rows.toDF("m", "cell", "c", "half_norm")
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/pq_codebooks")
@@ -552,7 +567,8 @@ object VectorQueries {
           FROM cb JOIN (SELECT m, um FROM sub WHERE vec_id = 0) q
             ON q.m = cb.m),
         adc AS (
-          SELECT c.vec_id, round(SUM(l.dot), 9) AS adc
+          SELECT c.vec_id,
+                 round(CAST(SUM(CAST(l.dot AS DECIMAL(38,18))) AS DOUBLE), 9) AS adc
           FROM codes c JOIN lut l ON l.m = c.m AND l.cell = c.code
           WHERE c.vec_id <> 0
           GROUP BY c.vec_id)
@@ -608,7 +624,8 @@ object VectorQueries {
           FROM cb JOIN (SELECT m, um FROM sub WHERE vec_id = 0) q
             ON q.m = cb.m),
         adc AS (
-          SELECT c.vec_id, round(SUM(l.dot), 9) AS adc
+          SELECT c.vec_id,
+                 round(CAST(SUM(CAST(l.dot AS DECIMAL(38,18))) AS DOUBLE), 9) AS adc
           FROM codes c
           JOIN lut l ON l.m = c.m AND l.cell = c.code
           JOIN cells cl ON cl.vec_id = c.vec_id
@@ -956,15 +973,23 @@ object VectorQueries {
           .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
           .mapPartitions { it =>
             val cb = bcCb.value; val hn = bcHn.value; val lt = bcLut.value
+            // the 8-dot LUT values pre-rounded to DECIMAL(38,18) once —
+            // the sum is then EXACT (order-insensitive), matching the
+            // oracle's SUM(CAST(dot AS DECIMAL(38,18))) regardless of
+            // DuckDB's aggregation order (an unpinned double SUM could
+            // differ by ulps at a round-to-9 boundary)
+            val ltDec = lt.map(_.map(d =>
+              new java.math.BigDecimal(d)
+                .setScale(18, java.math.RoundingMode.HALF_UP)))
             it.map { case (id, v) =>
               val u = unit(v)
-              var adc = 0.0
+              var adc = java.math.BigDecimal.ZERO
               var m = 0
               while (m < PqM) {
-                adc += lt(m)(nearestCode(cb(m), hn(m), u, m * PqSub))
+                adc = adc.add(ltDec(m)(nearestCode(cb(m), hn(m), u, m * PqSub)))
                 m += 1
               }
-              (id, adc)
+              (id, adc.doubleValue)
             }
           }
           .toDF("vec_id", "adc")
@@ -1017,17 +1042,22 @@ object VectorQueries {
           .mapPartitions { it =>
             val cs = bcCs.value; val cb = bcCb.value
             val hn = bcHn.value; val lt = bcLut.value
+            // same DECIMAL(38,18)-pinned ADC sum as q_ann_pq (order-exact
+            // vs the oracle's SUM over the decimal-cast LUT dots)
+            val ltDec = lt.map(_.map(d =>
+              new java.math.BigDecimal(d)
+                .setScale(18, java.math.RoundingMode.HALF_UP)))
             it.flatMap { case (id, v) =>
               val u = unit(v)
               if (nearestCell(cs, u) != qcell) None
               else {
-                var adc = 0.0
+                var adc = java.math.BigDecimal.ZERO
                 var m = 0
                 while (m < PqM) {
-                  adc += lt(m)(nearestCode(cb(m), hn(m), u, m * PqSub))
+                  adc = adc.add(ltDec(m)(nearestCode(cb(m), hn(m), u, m * PqSub)))
                   m += 1
                 }
-                Some((id, adc))
+                Some((id, adc.doubleValue))
               }
             }
           }

@@ -76,10 +76,27 @@ object Sink {
     val partDir = table.resolve(s"collection_id=$collectionId")
     val tmpDir = table.resolve(s"_swap_tmp_collection_id=$collectionId")
     val oldDir = table.resolve(s"_swap_old_collection_id=$collectionId")
-    // crash recovery: a missing partition with a retired copy present means
-    // a previous swap died between its two renames — restore, then sweep
-    // any stale debris from writes that never reached their swap
-    if (JF.exists(oldDir) && !JF.exists(partDir)) JF.move(oldDir, partDir)
+    // crash recovery, disambiguated by which debris survives the crash:
+    //  - oldDir AND tmpDir: the swap died between its two renames (tmp was
+    //    never promoted). The partition may ALREADY have been recreated by
+    //    a later append (a stream batch landing before the next swap ran)
+    //    — then a wholesale restore is wrong and a plain sweep would
+    //    silently delete the retired rows' only copy; instead fold the
+    //    retired files back into the live partition (part-file names are
+    //    job-unique, so file-level moves cannot collide). The crashed
+    //    swap's tmp content is abandoned either way — its source rows are
+    //    back in the partition and the caller's rewrite runs again.
+    //  - oldDir alone: the swap died after promoting the new partition but
+    //    before its final sweep — the retired copy is stale; sweep it.
+    if (JF.exists(oldDir) && JF.exists(tmpDir) && JF.exists(partDir)) {
+      import scala.jdk.CollectionConverters._
+      val stream = JF.list(oldDir)
+      try stream.iterator.asScala.toSeq.foreach { f =>
+        val dest = partDir.resolve(f.getFileName.toString)
+        if (JF.exists(dest)) JF.delete(f) // _SUCCESS-style markers collide
+        else JF.move(f, dest)
+      } finally stream.close()
+    } else if (JF.exists(oldDir) && !JF.exists(partDir)) JF.move(oldDir, partDir)
     deleteDir(tmpDir)
     deleteDir(oldDir)
     rows.drop("collection_id").write.mode("overwrite").parquet(tmpDir.toString)
@@ -131,14 +148,22 @@ object Sink {
     * batch, the fold is indistinguishable from loss (the replay would
     * overwrite only its own, now-absent, partition).
     *
-    * Commit protocol (same family as [[swapCollectionPartition]]): the
+    * Commit protocol (same family as [[swapCollectionPartition]], tuned so
+    * a concurrent reader can see brief DUPLICATES but never loss): the
     * folded rows land in an underscore-prefixed dir (invisible to Spark
-    * readers, same filesystem), a rename to `_fold_ready_batch_id=<max>`
-    * marks the write complete, and only then are the source partitions
-    * swept and the fold promoted. A crash anywhere self-heals on the next
-    * call: an unfinished write is deleted, a ready-but-unpromoted fold
-    * resumes its sweep and promotes — batches newer than the fold (a
-    * stream resumed after the crash) are left alone. Returns the folded
+    * readers, same filesystem) and a rename to `_fold_ready_batch_id=<max>`
+    * marks them complete; promotion then replaces ONLY the `batch_id=<max>`
+    * dir with the fold (the one sliver of loss window, bounded to that
+    * single batch and healed by the fold itself) and sweeps the lower
+    * batch dirs afterwards — a reader mid-sweep double-counts the
+    * not-yet-swept batches (their rows are already in the fold) instead of
+    * losing rows. A `_fold_sweeping_batch_id=<max>` marker brackets the
+    * promote+sweep so a crash resumes the sweep on the next call rather
+    * than starting a fresh fold over the duplicated residuals (which would
+    * bake the double-counting into the new fold). A crash anywhere else
+    * self-heals too: an unfinished write is deleted, a ready-but-
+    * unpromoted fold is promoted; batches newer than the fold (a stream
+    * resumed after the crash) are left alone. Returns the folded
     * partition's row count. */
   def compactOutcomes(spark: SparkSession, outDir: String): Long = {
     import java.nio.file.{Files => JF, Paths => JP}
@@ -146,6 +171,7 @@ object Sink {
     val table = JP.get(outDir)
     if (!JF.isDirectory(table)) return 0L
     val Ready = "_fold_ready_batch_id="
+    val Sweeping = "_fold_sweeping_batch_id="
     def ls(): Seq[java.nio.file.Path] = {
       val stream = JF.list(table)
       try stream.iterator.asScala.toSeq finally stream.close()
@@ -154,16 +180,32 @@ object Sink {
       ls().filter(_.getFileName.toString.startsWith("batch_id="))
     def idOf(p: java.nio.file.Path): Long =
       p.getFileName.toString.dropWhile(_ != '=').drop(1).toLong
+    def sweepBelow(max: Long): Unit =
+      batchDirs().filter(idOf(_) < max).foreach(deleteDir)
     def promote(ready: java.nio.file.Path): Long = {
       val max = ready.getFileName.toString.stripPrefix(Ready).toLong
-      batchDirs().filter(idOf(_) <= max).foreach(deleteDir)
+      val marker = table.resolve(s"$Sweeping$max")
+      if (!JF.exists(marker)) JF.createFile(marker)
       val dest = table.resolve(s"batch_id=$max")
+      deleteDir(dest)
       JF.move(ready, dest)
+      sweepBelow(max)
+      JF.delete(marker)
       spark.read.parquet(dest.toString).count()
     }
     deleteDir(table.resolve("_fold_tmp"))
-    // resume a fold that crashed between its ready-mark and its promote
-    ls().find(_.getFileName.toString.startsWith(Ready)).foreach(promote)
+    // resume a crashed fold: a ready dir is promoted (finishing its sweep);
+    // a sweep marker without a ready dir means the fold IS live and only
+    // the sweep is unfinished — complete it before anything reads or
+    // refolds the duplicated residuals
+    ls().find(_.getFileName.toString.startsWith(Ready)) match {
+      case Some(ready) => promote(ready)
+      case None =>
+        ls().find(_.getFileName.toString.startsWith(Sweeping)).foreach { mk =>
+          sweepBelow(mk.getFileName.toString.stripPrefix(Sweeping).toLong)
+          JF.delete(mk)
+        }
+    }
     val parts = batchDirs()
     if (parts.isEmpty) return 0L
     val max = parts.map(idOf).max

@@ -105,6 +105,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ingest.Sink.compactOutcomes(s, out) === 4L)
     assert(batchDirs() === Seq("batch_id=3"))
     assert(s.read.parquet(out).count() === 4L)
+
+    // crash mid-sweep: the fold is live at batch_id=3, a lower batch dir
+    // survived holding rows ALREADY in the fold (the duplicates-not-loss
+    // window), and the sweep marker brackets it. The next call must
+    // finish the sweep instead of folding the duplicates into a new fold.
+    s.read.parquet(s"$out/batch_id=3").limit(1).write
+      .parquet(tableDir.resolve("batch_id=2").toString)
+    Files.createFile(tableDir.resolve("_fold_sweeping_batch_id=3"))
+    assert(graft.ingest.Sink.compactOutcomes(s, out) === 4L)
+    assert(batchDirs() === Seq("batch_id=3"))
+    assert(s.read.parquet(out).count() === 4L)
   }
 
   private def releasePkg(ocid: String, rid: String): String =
