@@ -436,7 +436,8 @@ object Cli {
 
     case "cancelcollection" :: lake :: id :: Nil =>
       val plane = loadPlane(lake); val cid = idArg(id); known(plane, cid)
-      savePlane(lake, Control.cancel(plane, cid, nowUtc()))
+      val cancelled = PlaneStore.save(lake, Control.cancel(plane, cid, nowUtc()))
+      PlaneStore.compactJournal(lake, cancelled)
       println(s"cancelled ${id}")
 
     case "deletecollection" :: lake :: rootId :: Nil =>
@@ -448,7 +449,12 @@ object Cli {
       val ids = treeIds(plane, rid).toSet
       val now = nowUtc()
       Wipe.dropTreePartitions(lake, ids)
-      savePlane(lake, ids.foldLeft(plane)((p, id) => Control.cancel(p, id, now)))
+      val wiped = PlaneStore.save(
+        lake, ids.foldLeft(plane)((p, id) => Control.cancel(p, id, now)))
+      // the wiped tree's file events are dead weight in the append-only
+      // journal — rewrite it to the live registry (collection_file row
+      // deletes in the reference)
+      PlaneStore.compactJournal(lake, wiped)
       println(s"deleted collections ${ids.toSeq.sorted.mkString(", ")}")
 
     case "deleteorphan" :: lake :: Nil =>

@@ -341,7 +341,10 @@ final class Api(
     Wipe.dropTreePartitions(lake, ids)
     val now = nowUtc()
     ids.foreach(i => plane = Control.cancel(plane, i, now))
-    PlaneStore.save(lake, plane)
+    val wiped = PlaneStore.save(lake, plane)
+    // drop the wiped tree's dead file events from the append-only journal
+    // (the reference's collection_file row deletes)
+    PlaneStore.compactJournal(lake, wiped)
     respond(ex, 202, null)
   }
 

@@ -44,14 +44,16 @@ object PlaneStore {
   /** Apply the journal on top of the document. Events are applied directly
     * to the registry (not via registerFile — replay must not re-journal),
     * idempotently: a duplicate Reg or Comp is a no-op, and events for
-    * collections the document no longer knows are dropped. */
+    * collections the document no longer knows — or knows as DELETED (their
+    * lake partitions are wiped; the registry rows are dead weight the
+    * reference deletes from collection_file) — are dropped. */
   private def replayJournal(lake: String, doc: Control.Plane): Control.Plane = {
     val j = Paths.get(journalPath(lake))
     if (!Files.exists(j)) return doc
     var files = doc.files
     Files.readAllLines(j, StandardCharsets.UTF_8).forEach { line =>
       if (line.nonEmpty) PlaneJson.eventFromJson(line) match {
-        case Some(e) if doc.collections.contains(e.collectionId) =>
+        case Some(e) if doc.collections.get(e.collectionId).exists(_.deletedAt.isEmpty) =>
           val of = files.getOrElse(
             e.collectionId, scala.collection.immutable.VectorMap.empty[String, Boolean])
           e match {
@@ -81,6 +83,30 @@ object PlaneStore {
     }
     atomicWrite(Paths.get(path(lake)), PlaneJson.toJson(plane))
     plane.copy(pendingFileEvents = Vector.empty)
+  }
+
+  /** Rewrite the journal down to exactly the LIVE registry — run after a
+    * wipe or orphan GC. An append-only journal never shrinks on its own,
+    * so a wiped collection's file events would otherwise be re-read (and
+    * re-dropped) by every load for the lake's remaining lifetime — O(all
+    * events ever) per CLI command / API request where the reference pays a
+    * one-time `collection_file` row delete. Derived from the post-wipe
+    * plane and swapped in atomically, so a crash leaves either the old
+    * journal (replay drops the dead events anyway) or the compacted one;
+    * call AFTER saving the plane so the document the journal is replayed
+    * onto already carries the deletions. */
+  def compactJournal(lake: String, plane: Control.Plane): Unit = {
+    val live = plane.files.toSeq
+      .filter { case (cid, _) =>
+        plane.collections.get(cid).exists(_.deletedAt.isEmpty) }
+      .sortBy(_._1)
+    val sb = new StringBuilder
+    for ((cid, of) <- live; (f, compiled) <- of) {
+      sb.append(PlaneJson.eventToJson(Control.FileEvent.Reg(cid, f))).append('\n')
+      if (compiled)
+        sb.append(PlaneJson.eventToJson(Control.FileEvent.Comp(cid, f))).append('\n')
+    }
+    atomicWrite(Paths.get(journalPath(lake)), sb.toString)
   }
 
   /** write temp + ATOMIC_MOVE in the same directory: readers see either the

@@ -96,6 +96,32 @@ class PlaneStoreSpec extends AnyFunSuite {
       Seq(CollectionFile(1, "old.json", compilationStarted = true)))
   }
 
+  test("compactJournal drops a wiped collection's events; replay skips deleted") {
+    val l = lake()
+    var p = basePlane
+    p = registerFile(p, 1, "a.json")
+    p = registerFile(p, 2, "u.json")
+    p = markFileCompiled(p, 2, "u.json")
+    p = PlaneStore.save(l, p)
+    assert(Files.readAllLines(Paths.get(PlaneStore.journalPath(l))).size === 3)
+
+    // wipe collection 2: even BEFORE compaction, replay must not resurrect
+    // its registry rows (the lake partitions are gone)
+    p = PlaneStore.save(l, Control.cancel(p, 2, "2020-02-02 00:00:00"))
+    assert(PlaneStore.load(l).fileCount(2L) === 0)
+    assert(PlaneStore.load(l).filesOf(1L).map(_.filename) === Seq("a.json"))
+
+    // compaction rewrites the journal down to the live registry — the dead
+    // events stop being re-read by every subsequent load
+    PlaneStore.compactJournal(l, p)
+    val lines = Files.readAllLines(Paths.get(PlaneStore.journalPath(l)))
+    assert(lines.size === 1)
+    assert(lines.get(0).contains("a.json"))
+    val back = PlaneStore.load(l)
+    assert(back.filesOf(1L).map(_.filename) === Seq("a.json"))
+    assert(back.fileCount(2L) === 0)
+  }
+
   test("document writes leave no temp file and replace atomically") {
     val l = lake()
     PlaneStore.save(l, basePlane)
