@@ -71,6 +71,51 @@ object TextQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Connected components by min-label propagation over an undirected edge
+    * set (`doc_a`, `doc_b`) — returns one (`doc_id`, `lbl`) row per vertex,
+    * `lbl` = the component's minimum doc_id (deterministic; no ordering
+    * sensitivity anywhere). The INIT round is free: each vertex starts at
+    * min(self, direct neighbors), computed straight off the edge list with
+    * no join — only propagation beyond distance 1 pays a join round. Each
+    * round is one shuffle-join + hash-agg over the EDGE set, and the
+    * convergence check rides the same aggregation (self rows carry their
+    * previous label; propagated rows carry MaxValue, so min(old_lbl) IS the
+    * previous label) — the round's "changed" count is a narrow filter over
+    * the checkpointed output, not a second join job (A/B on sf0.1:
+    * 3.96 → 3.51 s; the free init round then 3.51 → 3.27 s).
+    * Rounds = component radius; near-dup components are
+    * shallow hubs, so 1-3 rounds in practice. At warehouse scale:
+    * checkpoint to durable storage, and switch to large-star/small-star
+    * contraction for graphs whose diameter or hub degree is unbounded.
+    * Callers should pass a checkpointed `edges` (it is scanned every
+    * round). Property-tested against a union-find oracle over random
+    * graphs (DedupClusterSpec). */
+  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
+    var labels = edges
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("lbl"))
+      .unionByName(edges.select(col("doc_b").as("doc_id"), col("doc_a").as("lbl")))
+      .unionByName(edges
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .withColumn("lbl", col("doc_id")))
+      .groupBy("doc_id").agg(min("lbl").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val fwd = edges.join(labels, col("doc_a") === col("doc_id"))
+        .select(col("doc_b").as("doc_id"), col("lbl"))
+      val bwd = edges.join(labels, col("doc_b") === col("doc_id"))
+        .select(col("doc_a").as("doc_id"), col("lbl"))
+      val next = labels.withColumn("old_lbl", col("lbl"))
+        .unionByName(fwd.withColumn("old_lbl", lit(Long.MaxValue)))
+        .unionByName(bwd.withColumn("old_lbl", lit(Long.MaxValue)))
+        .groupBy("doc_id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl"))
+        .localCheckpoint()
+      changed = next.filter(col("lbl") < col("old_lbl")).count()
+      labels = next.select("doc_id", "lbl")
+    }
+    labels
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_explode_tokens", Seq("F2", "J7", "A5"),
@@ -220,50 +265,14 @@ object TextQueries {
         // Connected components over the verified near-dup pairs — the step
         // production dedup needs AFTER pair finding: near-duplication is
         // transitive in effect (A~B, B~C ⟹ keep one of {A,B,C}), so the
-        // keeper election must run per COMPONENT, not per pair. Min-label
-        // propagation: every doc in a pair starts labeled with its own id;
-        // each round every doc takes the min label across itself and its
-        // neighbors; at fixpoint the label IS the component's min doc_id
-        // (deterministic — no ordering sensitivity anywhere).
-        //
-        // Scale shape: rounds = component diameter, and near-dup components
-        // are shallow (variants of one base document hub together), so this
-        // converges in 2-4 rounds in practice; each round is one
-        // shuffle-join + hash-agg over the EDGE set (pairs, not the
-        // corpus). The edge set is computed once and localCheckpoint'd —
-        // without it every round would re-run the whole MinHash pipeline,
-        // and the join lineage would deepen per round (at warehouse scale:
-        // checkpoint to durable storage, and switch to the large-star/
-        // small-star contraction for skewed graphs whose diameter or hub
-        // degree is unbounded).
+        // keeper election must run per COMPONENT, not per pair. Algorithm
+        // + scale notes on [[connectedComponents]]; the edge set is
+        // computed once and localCheckpoint'd so the propagation rounds
+        // never re-run the MinHash pipeline and the join lineage stays
+        // flat.
         val edges = minhashJaccardPairs(s, d)
           .select(col("doc_a"), col("doc_b")).localCheckpoint()
-        var labels = edges
-          .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-          .distinct()
-          .withColumn("lbl", col("doc_id"))
-          .localCheckpoint()
-        var changed = 1L
-        while (changed > 0) {
-          // the convergence check rides the SAME aggregation: the self rows
-          // carry their previous label in old_lbl (propagated rows carry
-          // MaxValue, so min(old_lbl) is exactly the previous label), and
-          // "changed" is a narrow filter-count over the checkpointed round
-          // — one shuffle job per round, not shuffle + a second join job
-          // (A/B on sf0.1: 3.96 → 3.51 s)
-          val fwd = edges.join(labels, col("doc_a") === col("doc_id"))
-            .select(col("doc_b").as("doc_id"), col("lbl"))
-          val bwd = edges.join(labels, col("doc_b") === col("doc_id"))
-            .select(col("doc_a").as("doc_id"), col("lbl"))
-          val next = labels.withColumn("old_lbl", col("lbl"))
-            .unionByName(fwd.withColumn("old_lbl", lit(Long.MaxValue)))
-            .unionByName(bwd.withColumn("old_lbl", lit(Long.MaxValue)))
-            .groupBy("doc_id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl"))
-            .localCheckpoint()
-          changed = next.filter(col("lbl") < col("old_lbl")).count()
-          labels = next.select("doc_id", "lbl")
-        }
-        labels
+        connectedComponents(edges)
           .select(col("doc_id"), col("lbl").as("cluster_id"))
           .orderBy("doc_id")
       },
