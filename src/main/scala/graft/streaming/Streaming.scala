@@ -333,6 +333,25 @@ object Streaming {
       .select(F.col("window.start").as("window_start"), F.col("key"), F.col("count").as("n"))
   }
 
+  /** A fingerprinted document arrival (streaming ingest dedup input). */
+  final case class DocArrival(fingerprint: String, doc_id: Long, ts: java.sql.Timestamp)
+
+  /** S8/T9 as a live query: streaming exact-dedup of re-landed documents by
+    * content fingerprint, state BOUNDED by the watermark — the in-flight
+    * half of the content-addressed dedup story. The batch path dedups
+    * against the persistent store with an anti-join (Ingest.dedupData);
+    * unbounded in-stream dedup would grow one state row per distinct
+    * fingerprint forever, so this keeps only the watermark horizon in
+    * state (crawl re-offers and retry storms land within minutes) and
+    * leaves cross-horizon duplicates to the store anti-join downstream —
+    * the classic two-tier layout: cheap bounded in-flight suppression,
+    * exact persistent-store reconciliation behind it. */
+  def dedupArrivals(
+      docs: Dataset[DocArrival], watermark: String = "10 minutes"): Dataset[DocArrival] =
+    docs
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** An event for the stateful compaction. */
   final case class KeyedEvent(key: String, seq: Long, value: String)
 

@@ -365,6 +365,38 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("dedupArrivals suppresses in-horizon duplicates in bounded state (S8/T9)") {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def doc(fp: String, id: Long, minute: Int) =
+      Streaming.DocArrival(fp, id,
+        java.sql.Timestamp.valueOf(f"2020-01-01 10:$minute%02d:00"))
+    val input = MemoryStream[Streaming.DocArrival]
+    val q = Streaming.dedupArrivals(input.toDS(), watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+
+    // a retry storm re-lands the same content thrice within the horizon:
+    // exactly one row survives (the first arrival in batch order)
+    input.addData(doc("fpA", 1, 1), doc("fpA", 2, 2), doc("fpB", 3, 2))
+    q.processAllAvailable()
+    input.addData(doc("fpA", 4, 3)) // still within the horizon
+    q.processAllAvailable()
+    assert(s.table("dd").select("fingerprint").as[String].collect().sorted
+      === Array("fpA", "fpB"))
+
+    // past the watermark the state row is gone: the same fingerprint
+    // passes again — cross-horizon dedup belongs to the persistent
+    // store's anti-join, not to unbounded stream state
+    input.addData(doc("zz", 9, 31)) // watermark → 10:26, fpA state expires
+    q.processAllAvailable()
+    input.addData(doc("fpA", 5, 32))
+    q.processAllAvailable()
+    val fpa = s.table("dd").filter($"fingerprint" === "fpA")
+      .select("doc_id").as[Long].collect().sorted
+    assert(fpa === Array(1L, 5L))
+    q.stop()
+  }
+
   test("lastWriteWins keeps latest per key across batches; late data never regresses (T9)") {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
