@@ -1074,6 +1074,62 @@ object VectorQueries {
       aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) }),
 
     QueryDef(
+      "q_embed_quantize", Seq("F4", "A4"),
+      (s, d) => {
+        // int8 scalar quantization of the embedding column — the storage
+        // op a 100 TB vector corpus runs at ingest (float32 → 1 byte/dim,
+        // 4×; PQ above goes further to 1 byte per 8 dims): per-vector
+        // max-abs scale, symmetric round-to-nearest codes, and the
+        // per-label mean squared reconstruction error as the quality
+        // readout. Entirely per-row arithmetic (no shuffle until the
+        // label rollup); the per-row error sum folds DECIMAL(38,18)-cast
+        // terms in fixed order, so the label aggregation is exact and the
+        // oracle's unnest+SUM matches bit-for-bit. round() ties go away
+        // from zero in both engines.
+        val e = col("embedding")
+        val scale = array_max(transform(e, x => abs(x.cast(DoubleType)))) / lit(127.0)
+        val err2 = aggregate(
+          transform(e, x => {
+            val xd = x.cast(DoubleType)
+            val deq = when(col("scale") === 0.0, lit(0.0))
+              .otherwise(round(xd / col("scale")) * col("scale"))
+            pow(xd - deq, 2).cast(Dec)
+          }),
+          lit(0).cast(Dec),
+          (acc, x) => (acc + x).cast(Dec))
+        Tables.embeddings(s, d)
+          .select(col("label"), col("embedding"), scale.as("scale"))
+          .withColumn("err2", err2)
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            round(sum(col("err2")).cast(DoubleType) / (count(lit(1)) * Dim), 9)
+              .as("mse"))
+          .orderBy("label")
+      },
+      Some(s"""WITH d AS (
+                 SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings),
+               sc AS (
+                 SELECT vec_id, label, e,
+                        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+                 FROM d),
+               err AS (
+                 SELECT s.vec_id, s.label,
+                        SUM(CAST(POWER(u.x - CASE WHEN s.scale = 0 THEN 0
+                                               ELSE ROUND(u.x / s.scale) * s.scale END,
+                                       2) AS DECIMAL(38,18))) AS err2
+                 FROM sc s, unnest(s.e) AS u(x)
+                 GROUP BY s.vec_id, s.label)
+               SELECT label,
+                      COUNT(*) AS n_vecs,
+                      round(CAST(SUM(err2) AS DOUBLE) / (COUNT(*) * $Dim), 9) AS mse
+               FROM err GROUP BY label ORDER BY label"""),
+      "int8 scalar quantization (per-vector max-abs scale, 4x storage cut) with the " +
+        "per-label mean-squared reconstruction error readout — per-row arithmetic, " +
+        "DECIMAL-exact error sums; oracle re-derives scale, codes, and MSE"),
+
+    QueryDef(
       "q_neardup_embedding", Seq("J1", "A5", "A2"),
       (s, d) => {
         // label-blocked LSH near-dup (the per-group production shape): the
