@@ -76,12 +76,63 @@ object Multimodal {
     if (!looksLikeImage(bytes)) None
     else
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .map(img => Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
-          frameSample(bytes, 1)))
+        .map { img =>
+          // frames walk the DECODED RGB raster, not the container bytes —
+          // the same contract as the audio leg's PCM walk: a PNG and a BMP
+          // of identical pixels produce identical frame hashes, so
+          // downstream dedup/features key on signal content, not encoding
+          Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
+            frameSample(rgbBytes(img), 1))
+        }
       // corrupt payloads can crash readers in arbitrary ways (not just
       // IIOException) — at corpus scale a hostile blob must degrade to the
       // stub, never kill the task
       catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The decoded raster as row-major RGB bytes (3 per pixel, alpha
+    * dropped) — deterministic for a given decoded image regardless of the
+    * reader's internal raster layout (getRGB normalizes to sRGB ARGB). */
+  private[multimodal] def rgbBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        out(i) = ((p >> 16) & 0xff).toByte
+        out(i + 1) = ((p >> 8) & 0xff).toByte
+        out(i + 2) = (p & 0xff).toByte
+        x += 1; i += 3
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** A REAL pixel thumbnail: nearest-neighbor downsample of row-major RGB
+    * bytes to (tw, th) — integer source coordinates (`x*w/tw`, `y*h/th`),
+    * so the result is bit-deterministic across JVMs (no Graphics2D
+    * interpolation, whose rounding is implementation-defined). */
+  def thumbnailRgb(rgb: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && tw > 0 && th > 0 && rgb.length >= w * h * 3,
+      s"bad thumbnail geometry: ${rgb.length} bytes for ${w}x$h -> ${tw}x$th")
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    var i = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        val s = (sy * w + x * w / tw) * 3
+        out(i) = rgb(s); out(i + 1) = rgb(s + 1); out(i + 2) = rgb(s + 2)
+        x += 1; i += 3
+      }
+      y += 1
+    }
+    out
+  }
 
   /** Magic-byte sniff: WAV (RIFF/WAVE) / AIFF (FORM/AIFF) / AU (.snd) —
     * the containers the JDK's `javax.sound.sampled` parses natively. */

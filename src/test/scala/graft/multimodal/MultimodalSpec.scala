@@ -82,7 +82,32 @@ class MultimodalSpec extends AnyFunSuite {
     val row = Multimodal.features(docs, s).collect()(0)
     assert((row.kind, row.width, row.height) === ("image", 48L, 40L))
     assert((row.thumb_w, row.thumb_h) === (32L, 40L * 32 / 48))
-    assert(row.frame0_hash === Multimodal.md5hex(png.take(256)))
+    // the frame hash keys on DECODED PIXELS (audio-leg contract), not the
+    // container encoding
+    val rgb = Multimodal.rgbBytes(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
+    assert(row.frame0_hash === Multimodal.md5hex(rgb.take(256)))
+  }
+
+  test("identical pixels hash identically across container formats") {
+    // the point of the pixel-keyed contract: a PNG and a BMP of the same
+    // raster are the SAME content to dedup/features
+    val png = Multimodal.decode(imageBytes("png", 9, 7))
+    val bmp = Multimodal.decode(imageBytes("bmp", 9, 7))
+    assert(png.frames.head.toSeq === bmp.frames.head.toSeq)
+  }
+
+  test("thumbnailRgb is a deterministic nearest-neighbor downsample") {
+    // 2×2 RGB quadrants → 1×1 picks the top-left source pixel
+    val rgb = Array[Byte](
+      10, 11, 12,   20, 21, 22,
+      30, 31, 32,   40, 41, 42)
+    assert(Multimodal.thumbnailRgb(rgb, 2, 2, 1, 1).toSeq === Seq[Byte](10, 11, 12))
+    // 2×2 → 2×1 keeps the top row
+    assert(Multimodal.thumbnailRgb(rgb, 2, 2, 2, 1).toSeq
+      === Seq[Byte](10, 11, 12, 20, 21, 22))
+    // full-size is the identity
+    assert(Multimodal.thumbnailRgb(rgb, 2, 2, 2, 2).toSeq === rgb.toSeq)
   }
 
   // ---- the REAL audio leg (JDK javax.sound.sampled) ------------------
