@@ -868,6 +868,67 @@ object TextQueries {
               ORDER BY df DESC, token"""),
       "Token document-frequency filter (boilerplate discovery / the df of tf-idf): " +
         "distinct-per-doc explode, one map-side-combined hash aggregation, broadcast " +
-        "corpus total — tokens in ≥50% of documents")
+        "corpus total — tokens in ≥50% of documents"),
+
+    QueryDef(
+      "q_tfidf_topterms", Seq("J2", "W1", "A5"),
+      (s, d) => {
+        // per-document characteristic terms — tf-idf's join shape without
+        // its logarithm: score = tf × N / (len × df), monotone in tf-idf
+        // for a fixed document and PURE field arithmetic (ln() would hinge
+        // on libm rounding matching across engines; every factor here is
+        // exact integer → one double division, bit-identical). The df side
+        // is the q_token_df aggregate, BROADCAST to the per-doc term rows
+        // (df fits executor memory at any corpus size — it is vocabulary-
+        // bounded); rank-3 per doc via one window over (doc, term) rows.
+        val docs = Tables.documents(s, d)
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        val df = docs.select(explode(tokenSet(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val tf = docs
+          .select(col("doc_id"), size(split(col("text"), " ")).as("len"),
+            explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("len"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("token"))
+        tf.join(broadcast(df), "token")
+          .crossJoin(broadcast(total))
+          .withColumn("score",
+            col("tf") * col("n_docs") / (col("len") * col("df")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("token"),
+            round(col("score"), 9).as("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, text, len(string_split(text, ' ')) AS len
+                FROM documents),
+              tf AS (
+                SELECT doc_id, len, token, count(*) AS tf FROM (
+                  SELECT doc_id, len, unnest(string_split(text, ' ')) AS token
+                  FROM docs)
+                GROUP BY doc_id, len, token),
+              df AS (
+                SELECT token, count(*) AS df FROM (
+                  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                  FROM documents)
+                GROUP BY token),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              ranked AS (
+                SELECT tf.doc_id, tf.token,
+                       CAST(tf.tf * n.n_docs AS DOUBLE) / (tf.len * df.df) AS score,
+                       ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                         ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE)
+                                    / (tf.len * df.df) DESC, tf.token) AS rank
+                FROM tf JOIN df ON df.token = tf.token CROSS JOIN n)
+              SELECT doc_id, CAST(rank AS INT) AS rank, token,
+                     round(score, 9) AS score
+              FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""),
+      "Per-document characteristic terms (tf-idf's join shape, logarithm-free score " +
+        "= tf x N / (len x df) for cross-engine bit-determinism): broadcast " +
+        "vocabulary-bounded df, one per-doc rank window, top-3 terms")
   )
 }
