@@ -167,7 +167,8 @@ object Streaming {
       collectionId: Long,
       upgradedId: Option[Long],
       plane: java.util.concurrent.atomic.AtomicReference[graft.control.Control.Plane],
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
     import spark.implicits._
     recoverPartialLoads(spark, lakeDir, collectionId, upgradedId, plane)
     // the binaryFile source's fixed schema, declared explicitly (streaming
@@ -181,6 +182,12 @@ object Streaming {
       .format("binaryFile")
       .schema(binaryFileSchema)
       .option("pathGlobFilter", "*.json")
+      // bound each micro-batch: a first drain of a huge backlog (an
+      // AvailableNow over a crawl that landed for hours) must not become
+      // one enormous all-or-nothing batch — each batch's plane save is
+      // its commit point, so smaller batches mean proportionally less
+      // redone work after a crash and bounded per-batch driver state
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .load(landingDir)
       .select($"path")
       .writeStream

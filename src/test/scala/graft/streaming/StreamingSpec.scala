@@ -166,6 +166,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.control.PlaneStore.load(lake).filesOf(7L).size === 3)
   }
 
+  test("maxFilesPerTrigger bounds a backlog drain into several committed batches") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-bounded")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val ckpt = base.resolve("ckpt")
+    val plane = new java.util.concurrent.atomic.AtomicReference(
+      graft.control.Control.Plane(Map(
+        9L -> graft.control.Control.Collection(9L, "api", "2020-01-01 00:00:00"))))
+    (1 to 3).foreach(i =>
+      Files.writeString(landing.resolve(s"f$i.json"), releasePkg(s"ocds-mb$i", s"m$i")))
+    Streaming.releaseLoadStream(
+      s, landing.toString, lake, 9L, None, plane, ckpt.toString, maxFilesPerTrigger = 1)
+      .awaitTermination()
+    assert(s.read.parquet(s"$lake/release").filter($"collection_id" === 9).count() === 3)
+    assert(plane.get().filesOf(9L).size === 3)
+    // the checkpoint committed one offset per file — the backlog really
+    // drained as three bounded batches, each with its own plane save
+    val offsets = Files.list(ckpt.resolve("offsets"))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(offsets.iterator.asScala.count(!_.getFileName.toString.startsWith(".")) === 3)
+    } finally offsets.close()
+  }
+
   test("releaseLoadStream routes landed RECORD packages: facts + per-file compile + gates") {
     import s.implicits._
     val base = Files.createTempDirectory("graft-recload")
