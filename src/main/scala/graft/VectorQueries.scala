@@ -574,13 +574,73 @@ object VectorQueries {
           GROUP BY c.vec_id)
         SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""
 
+  /** Shared IVF-PQ engine (q_ann_ivf_pq single-probe, _multiprobe at 4):
+    * probe set = the `probes` centroids nearest the query (same (dot desc,
+    * cell) ranking as assignment), rows in probed cells scored by ADC with
+    * the DECIMAL(38,18)-pinned LUT sum (order-exact vs the oracle's SUM
+    * over decimal-cast dots). */
+  private def ivfPqTopK(s: SparkSession, d: String, probes: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids = trainCentroids(emb, s)
+    val cbs = trainPqCodebooks(emb, s)
+    val hns = cbs.map(halfNormsOf)
+    val qu = unit(emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Float]].head())
+    val probeSet: Set[Int] = centroids.zipWithIndex.map { case (c, i) =>
+      var dot = 0.0
+      var j = 0
+      while (j < Dim) { dot += qu(j) * c(j); j += 1 }
+      (dot, i)
+    }.sortBy { case (dot, i) => (-dot, i) }.take(probes).map(_._2).toSet
+    val lut = Array.tabulate(PqM) { m =>
+      Array.tabulate(PqK) { j =>
+        var ip = 0.0
+        var i = 0
+        while (i < PqSub) { ip += qu(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
+        ip
+      }
+    }
+    val bcCs = s.sparkContext.broadcast(centroids)
+    val bcCb = s.sparkContext.broadcast(cbs)
+    val bcHn = s.sparkContext.broadcast(hns)
+    val bcLut = s.sparkContext.broadcast(lut)
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bcCs.value; val cb = bcCb.value
+        val hn = bcHn.value; val lt = bcLut.value
+        val ltDec = lt.map(_.map(dd =>
+          new java.math.BigDecimal(dd)
+            .setScale(18, java.math.RoundingMode.HALF_UP)))
+        it.flatMap { case (id, v) =>
+          val u = unit(v)
+          if (!probeSet.contains(nearestCell(cs, u))) None
+          else {
+            var adc = java.math.BigDecimal.ZERO
+            var m = 0
+            while (m < PqM) {
+              adc = adc.add(ltDec(m)(nearestCode(cb(m), hn(m), u, m * PqSub)))
+              m += 1
+            }
+            Some((id, adc.doubleValue))
+          }
+        }
+      }
+      .toDF("vec_id", "adc")
+      .select(col("vec_id"), round(col("adc"), 9).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** The IVF-PQ oracle: the trained-IVF cells gate WHICH rows score, the
     * PQ codes say HOW they score. Reads BOTH materialized artifacts:
     * cell assignments re-derive from the centroids (exactly like
-    * [[kmeansOracleSql]]'s `cells`), the probe set is the query's own
-    * cell, and the probed rows' ADC comes from the codebook re-derivation
-    * (exactly like [[pqOracleSql]]). */
-  private def ivfPqOracleSql: String =
+    * [[kmeansOracleSql]]'s `cells`), the probe set is the `probes`
+    * centroids nearest the query (LIMIT 1 = the query's own cell), and
+    * the probed rows' ADC comes from the codebook re-derivation (exactly
+    * like [[pqOracleSql]]). */
+  private def ivfPqOracleSql(probes: Int): String =
     s"""WITH cent AS (
           SELECT cell, c
           FROM read_parquet('${OracleAux.Token}/kmeans_centroids/*.parquet')),
@@ -606,7 +666,11 @@ object VectorQueries {
                      AS rn
             FROM un CROSS JOIN cent) ranked
           WHERE rn = 1),
-        qc AS (SELECT cell FROM cells WHERE vec_id = 0),
+        qc AS (
+          SELECT cent.cell
+          FROM cent CROSS JOIN (SELECT u FROM un WHERE vec_id = 0) q
+          ORDER BY list_inner_product(q.u, cent.c) DESC, cent.cell
+          LIMIT $probes),
         sub AS (
           SELECT vec_id, g.m AS m,
                  u[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS um
@@ -1006,71 +1070,34 @@ object VectorQueries {
 
     QueryDef(
       "q_ann_ivf_pq", Seq("A5", "O5", "J2"),
-      (s, d) => {
-        // IVF-PQ — the classic billion-scale ANN layout, composed from the
-        // two trained pieces: the coarse quantizer (trained IVF) gates
-        // WHICH rows score, the PQ codes say HOW they score. At 100 TB
-        // the cell is the partition key (the probe prunes partitions) and
-        // the 8-byte codes are the only column the probed scan reads —
-        // memory-bound ADC over a pruned scan, the IVFADC shape from the
-        // Jégou et al. PQ paper. Both trainings are the deterministic
-        // recipes above, so the oracle re-derives cell assignments, the
-        // probe, every code, and the ADC top-k from the two materialized
-        // artifacts.
-        import s.implicits._
-        val emb = Tables.embeddings(s, d)
-        val centroids = trainCentroids(emb, s)
-        val cbs = trainPqCodebooks(emb, s)
-        val hns = cbs.map(halfNormsOf)
-        val qu = unit(emb.filter(col("vec_id") === 0)
-          .select(col("embedding")).as[Seq[Float]].head())
-        val qcell = nearestCell(centroids, qu)
-        val lut = Array.tabulate(PqM) { m =>
-          Array.tabulate(PqK) { j =>
-            var ip = 0.0
-            var i = 0
-            while (i < PqSub) { ip += qu(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
-            ip
-          }
-        }
-        val bcCs = s.sparkContext.broadcast(centroids)
-        val bcCb = s.sparkContext.broadcast(cbs)
-        val bcHn = s.sparkContext.broadcast(hns)
-        val bcLut = s.sparkContext.broadcast(lut)
-        emb.filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-          .mapPartitions { it =>
-            val cs = bcCs.value; val cb = bcCb.value
-            val hn = bcHn.value; val lt = bcLut.value
-            // same DECIMAL(38,18)-pinned ADC sum as q_ann_pq (order-exact
-            // vs the oracle's SUM over the decimal-cast LUT dots)
-            val ltDec = lt.map(_.map(d =>
-              new java.math.BigDecimal(d)
-                .setScale(18, java.math.RoundingMode.HALF_UP)))
-            it.flatMap { case (id, v) =>
-              val u = unit(v)
-              if (nearestCell(cs, u) != qcell) None
-              else {
-                var adc = java.math.BigDecimal.ZERO
-                var m = 0
-                while (m < PqM) {
-                  adc = adc.add(ltDec(m)(nearestCode(cb(m), hn(m), u, m * PqSub)))
-                  m += 1
-                }
-                Some((id, adc.doubleValue))
-              }
-            }
-          }
-          .toDF("vec_id", "adc")
-          .select(col("vec_id"), round(col("adc"), 9).as("adc"))
-          .orderBy(col("adc").desc, col("vec_id"))
-          .limit(10)
-      },
-      Some(ivfPqOracleSql),
+      // IVF-PQ — the classic billion-scale ANN layout, composed from the
+      // two trained pieces: the coarse quantizer (trained IVF) gates
+      // WHICH rows score, the PQ codes say HOW they score. At 100 TB
+      // the cell is the partition key (the probe prunes partitions) and
+      // the 8-byte codes are the only column the probed scan reads —
+      // memory-bound ADC over a pruned scan, the IVFADC shape from the
+      // Jégou et al. PQ paper. Both trainings are the deterministic
+      // recipes above, so the oracle re-derives cell assignments, the
+      // probe, every code, and the ADC top-k from the two materialized
+      // artifacts.
+      (s, d) => ivfPqTopK(s, d, probes = 1),
+      Some(ivfPqOracleSql(1)),
       "IVF-PQ ANN (the IVFADC layout): trained coarse cells prune the scan to the " +
         "query's probe, PQ codes give 8-lookup ADC scoring inside it — cell = " +
         "partition key + 32x-compressed codes at scale; oracle re-derives cells, " +
         "probe, codes, and the ADC top-k from both materialized artifacts",
+      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) }),
+
+    QueryDef(
+      "q_ann_ivf_pq_multiprobe", Seq("A5", "O5", "J2"),
+      // the full production ANN stack: multi-probe recall knob on top of
+      // the IVFADC layout — probe the 4 query-nearest trained cells, ADC
+      // inside them. 4/16 of the table scanned at 8 LUT lookups per row.
+      (s, d) => ivfPqTopK(s, d, probes = 4),
+      Some(ivfPqOracleSql(4)),
+      "Multi-probe IVF-PQ: the 4 query-nearest trained cells pruned, 8-lookup ADC " +
+        "scoring inside them — the recall knob composed onto the IVFADC layout; " +
+        "same dual-artifact oracle re-derivation",
       aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) }),
 
     QueryDef(

@@ -72,6 +72,19 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rMulti >= 0.5, "4 trained probes should find most of the true top-10")
   }
 
+  test("IVF-PQ: multi-probe ADC finds at least the single-probe share of true neighbors") {
+    val exact = top10("q_ann_bruteforce")
+    val single = top10("q_ann_ivf_pq")
+    val multi = top10("q_ann_ivf_pq_multiprobe")
+    val rSingle = (exact & single).size / 10.0
+    val rMulti = (exact & multi).size / 10.0
+    info(f"recall@10 ivfpq-single=$rSingle%.1f ivfpq-multi=$rMulti%.1f (ADC scoring)")
+    // ADC is an approximation of cosine, so more probes can in principle
+    // admit a wrong candidate that out-scores a true one — on this
+    // deterministic table the wider probe set must still not lose ground
+    assert(rMulti >= rSingle, "wider IVF-PQ probing lost true neighbors")
+  }
+
   test("k-means training is bit-deterministic across runs and partitionings") {
     // the fixed-point-sum claim, pinned: two independent trainings (the
     // second over a repartitioned input, exercising different partition
