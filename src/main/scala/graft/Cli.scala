@@ -435,9 +435,10 @@ object Cli {
       }
 
     case "cancelcollection" :: lake :: id :: Nil =>
+      // logical delete ONLY: the lake rows stay, so the file registry
+      // stays too (Control's documented invariant) — no journal compaction
       val plane = loadPlane(lake); val cid = idArg(id); known(plane, cid)
-      val cancelled = PlaneStore.save(lake, Control.cancel(plane, cid, nowUtc()))
-      PlaneStore.compactJournal(lake, cancelled)
+      savePlane(lake, Control.cancel(plane, cid, nowUtc()))
       println(s"cancelled ${id}")
 
     case "deletecollection" :: lake :: rootId :: Nil =>
@@ -449,12 +450,11 @@ object Cli {
       val ids = treeIds(plane, rid).toSet
       val now = nowUtc()
       Wipe.dropTreePartitions(lake, ids)
-      val wiped = PlaneStore.save(
-        lake, ids.foldLeft(plane)((p, id) => Control.cancel(p, id, now)))
+      savePlane(lake, ids.foldLeft(plane)((p, id) => Control.cancel(p, id, now)))
       // the wiped tree's file events are dead weight in the append-only
-      // journal — rewrite it to the live registry (collection_file row
-      // deletes in the reference)
-      PlaneStore.compactJournal(lake, wiped)
+      // journal — filter them out (collection_file row deletes in the
+      // reference); concurrent appends survive via the journal lock
+      PlaneStore.compactJournal(lake, ids)
       println(s"deleted collections ${ids.toSeq.sorted.mkString(", ")}")
 
     case "deleteorphan" :: lake :: Nil =>

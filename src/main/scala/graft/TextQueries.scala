@@ -101,9 +101,14 @@ object TextQueries {
       .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val fwd = edges.join(labels, col("doc_a") === col("doc_id"))
+      // SHUFFLE_HASH pinned: these per-round joins run behind the
+      // checkpoint boundary (PlanAuditSpec can't see them), and at scale
+      // both sides are big — the default SMJ would pay a per-round sort
+      // of the edge set that a hash join skips; labels (one narrow row
+      // per vertex) is the build side
+      val fwd = edges.join(labels.hint("shuffle_hash"), col("doc_a") === col("doc_id"))
         .select(col("doc_b").as("doc_id"), col("lbl"))
-      val bwd = edges.join(labels, col("doc_b") === col("doc_id"))
+      val bwd = edges.join(labels.hint("shuffle_hash"), col("doc_b") === col("doc_id"))
         .select(col("doc_a").as("doc_id"), col("lbl"))
       val next = labels.withColumn("old_lbl", col("lbl"))
         .unionByName(fwd.withColumn("old_lbl", lit(Long.MaxValue)))
@@ -434,7 +439,8 @@ object TextQueries {
                                ELSE width END AS BIGINT) AS thumb_w,
                      CAST(CASE WHEN GREATEST(width, height) > 32
                                THEN (height * 32) // GREATEST(width, height)
-                               ELSE height END AS BIGINT) AS thumb_h
+                               ELSE height END AS BIGINT) AS thumb_h,
+                     CAST(NULL AS VARCHAR) AS thumb_hash
               FROM m ORDER BY doc_id"""),
       "Multimodal feature extraction: binary payload -> stubbed decode (kind/dims), " +
         "256-byte frame sampling, md5 frame hash, integer thumbnail resize — all in one " +

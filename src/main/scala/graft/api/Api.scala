@@ -341,10 +341,10 @@ final class Api(
     Wipe.dropTreePartitions(lake, ids)
     val now = nowUtc()
     ids.foreach(i => plane = Control.cancel(plane, i, now))
-    val wiped = PlaneStore.save(lake, plane)
+    PlaneStore.save(lake, plane)
     // drop the wiped tree's dead file events from the append-only journal
     // (the reference's collection_file row deletes)
-    PlaneStore.compactJournal(lake, wiped)
+    PlaneStore.compactJournal(lake, ids)
     respond(ex, 202, null)
   }
 

@@ -44,16 +44,17 @@ object PlaneStore {
   /** Apply the journal on top of the document. Events are applied directly
     * to the registry (not via registerFile — replay must not re-journal),
     * idempotently: a duplicate Reg or Comp is a no-op, and events for
-    * collections the document no longer knows — or knows as DELETED (their
-    * lake partitions are wiped; the registry rows are dead weight the
-    * reference deletes from collection_file) — are dropped. */
+    * collections the document no longer knows are dropped. A LOGICALLY
+    * deleted collection (cancel) keeps its rows — the reference's
+    * documented invariant (Control.scala): only a WIPE deletes
+    * collection_file rows, via [[compactJournal]]'s explicit id set. */
   private def replayJournal(lake: String, doc: Control.Plane): Control.Plane = {
     val j = Paths.get(journalPath(lake))
     if (!Files.exists(j)) return doc
     var files = doc.files
     Files.readAllLines(j, StandardCharsets.UTF_8).forEach { line =>
       if (line.nonEmpty) PlaneJson.eventFromJson(line) match {
-        case Some(e) if doc.collections.get(e.collectionId).exists(_.deletedAt.isEmpty) =>
+        case Some(e) if doc.collections.contains(e.collectionId) =>
           val of = files.getOrElse(
             e.collectionId, scala.collection.immutable.VectorMap.empty[String, Boolean])
           e match {
@@ -77,37 +78,64 @@ object PlaneStore {
     if (plane.pendingFileEvents.nonEmpty) {
       val lines = plane.pendingFileEvents
         .map(e => PlaneJson.eventToJson(e) + "\n").mkString
-      Files.write(Paths.get(journalPath(lake)),
-        lines.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      withJournalLock(lake) {
+        Files.write(Paths.get(journalPath(lake)),
+          lines.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      }
     }
     atomicWrite(Paths.get(path(lake)), PlaneJson.toJson(plane))
     plane.copy(pendingFileEvents = Vector.empty)
   }
 
-  /** Rewrite the journal down to exactly the LIVE registry — run after a
-    * wipe or orphan GC. An append-only journal never shrinks on its own,
-    * so a wiped collection's file events would otherwise be re-read (and
-    * re-dropped) by every load for the lake's remaining lifetime — O(all
-    * events ever) per CLI command / API request where the reference pays a
-    * one-time `collection_file` row delete. Derived from the post-wipe
-    * plane and swapped in atomically, so a crash leaves either the old
-    * journal (replay drops the dead events anyway) or the compacted one;
-    * call AFTER saving the plane so the document the journal is replayed
-    * onto already carries the deletions. */
-  def compactJournal(lake: String, plane: Control.Plane): Unit = {
-    val live = plane.files.toSeq
-      .filter { case (cid, _) =>
-        plane.collections.get(cid).exists(_.deletedAt.isEmpty) }
-      .sortBy(_._1)
-    val sb = new StringBuilder
-    for ((cid, of) <- live; (f, compiled) <- of) {
-      sb.append(PlaneJson.eventToJson(Control.FileEvent.Reg(cid, f))).append('\n')
-      if (compiled)
-        sb.append(PlaneJson.eventToJson(Control.FileEvent.Comp(cid, f))).append('\n')
+  /** Drop a WIPED tree's file events from the journal — run after
+    * deletecollection / API destroy, with the wiped tree's ids. An
+    * append-only journal never shrinks on its own, so a wiped collection's
+    * events would otherwise be re-read by every load for the lake's
+    * remaining lifetime — O(all events ever) per CLI command / API request
+    * where the reference pays a one-time `collection_file` row delete.
+    * NOT called on cancel: a logical delete keeps its registry (the
+    * reference's invariant — the lake rows still exist).
+    *
+    * Concurrency-correct against the cross-process composition the module
+    * header promises: the journal is RE-READ under the shared journal
+    * lock and only the dead lines are filtered out, so events appended by
+    * a concurrently running load (another process's micro-batches) are
+    * carried into the rewrite instead of being clobbered by a stale
+    * in-memory snapshot; the swap itself is the same atomic move as the
+    * document write. */
+  def compactJournal(lake: String, wipedIds: Set[Long]): Unit =
+    withJournalLock(lake) {
+      val j = Paths.get(journalPath(lake))
+      if (Files.exists(j)) {
+        val kept = new StringBuilder
+        Files.readAllLines(j, StandardCharsets.UTF_8).forEach { line =>
+          if (line.nonEmpty) PlaneJson.eventFromJson(line) match {
+            case Some(e) if wipedIds.contains(e.collectionId) => ()
+            case Some(_) => kept.append(line).append('\n')
+            case None => () // torn trailing line: drop, replay would too
+          }
+        }
+        atomicWrite(j, kept.toString)
+      }
     }
-    atomicWrite(Paths.get(journalPath(lake)), sb.toString)
-  }
+
+  /** Serializes journal mutations (appends and compaction rewrites) across
+    * PROCESSES via an OS advisory file lock — the CLI and API compose over
+    * one lake from separate JVMs — and across threads of this JVM via the
+    * monitor (nested FileChannel locks on one file throw
+    * OverlappingFileLockException). Held for microseconds per save. */
+  private val jvmJournalLock = new Object
+  private def withJournalLock[T](lake: String)(body: => T): T =
+    jvmJournalLock.synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(s"$lake/_control.journal.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
 
   /** write temp + ATOMIC_MOVE in the same directory: readers see either the
     * old or the new document, never a truncated one. */

@@ -43,12 +43,20 @@ object Multimodal {
     * count (video stts/avih) that the frame sampler cannot see. */
   final case class Decoded(
       kind: String, width: Long, height: Long, frames: Seq[Array[Byte]],
-      nFrames: Option[Long] = None)
+      nFrames: Option[Long] = None,
+      /** the full decoded raster (row-major RGB) when the payload really
+        * decoded as an image — the input [[thumbnailRgb]] downsamples;
+        * None for stub/audio/video rows */
+      pixels: Option[Array[Byte]] = None)
 
-  /** One document's extracted features (the query/output row). */
+  /** One document's extracted features (the query/output row).
+    * `thumb_hash` is the md5 of the REAL nearest-neighbor pixel thumbnail
+    * for decodable images, null otherwise (stub/audio/video rows have no
+    * raster to downsample). */
   final case class FeatureRow(
       doc_id: Long, kind: String, width: Long, height: Long,
-      n_frames: Long, frame0_hash: String, thumb_w: Long, thumb_h: Long)
+      n_frames: Long, frame0_hash: String, thumb_w: Long, thumb_h: Long,
+      thumb_hash: String)
 
   /** Decode: real `javax.imageio` for image payloads, deterministic stub
     * for everything else (see the object doc). Deterministic in the bytes
@@ -80,9 +88,18 @@ object Multimodal {
           // frames walk the DECODED RGB raster, not the container bytes —
           // the same contract as the audio leg's PCM walk: a PNG and a BMP
           // of identical pixels produce identical frame hashes, so
-          // downstream dedup/features key on signal content, not encoding
-          Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
-            frameSample(rgbBytes(img), 1))
+          // downstream dedup/features key on signal content, not encoding.
+          // Rasters too large for one JVM array (> ~715M px: w*h*3 over
+          // Int.MaxValue) keep container-byte frames and real dims instead
+          // of degrading to the stub
+          if (3L * img.getWidth * img.getHeight > Int.MaxValue - 8)
+            Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
+              frameSample(bytes, 1))
+          else {
+            val rgb = rgbBytes(img)
+            Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
+              frameSample(rgb, 1), pixels = Some(rgb))
+          }
         }
       // corrupt payloads can crash readers in arbitrary ways (not just
       // IIOException) — at corpus scale a hostile blob must degrade to the
@@ -116,7 +133,7 @@ object Multimodal {
     * so the result is bit-deterministic across JVMs (no Graphics2D
     * interpolation, whose rounding is implementation-defined). */
   def thumbnailRgb(rgb: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
-    require(w > 0 && h > 0 && tw > 0 && th > 0 && rgb.length >= w * h * 3,
+    require(w > 0 && h > 0 && tw > 0 && th > 0 && rgb.length >= 3L * w * h,
       s"bad thumbnail geometry: ${rgb.length} bytes for ${w}x$h -> ${tw}x$th")
     val out = new Array[Byte](tw * th * 3)
     var y = 0
@@ -361,10 +378,16 @@ object Multimodal {
         it.map { case (id, bytes) =>
           val d = decode(bytes)
           val (tw, th) = resize(d.width, d.height, ThumbMax)
+          // real raster → real thumbnail: the nearest-neighbor downsample
+          // runs on decoded pixels; rows without a raster (stub, audio,
+          // video, over-limit images) report null
+          val thumbHash = d.pixels.map(p =>
+            hex(md.digest(thumbnailRgb(
+              p, d.width.toInt, d.height.toInt, tw.toInt, th.toInt)))).orNull
           FeatureRow(
             id, d.kind, d.width, d.height,
             d.nFrames.getOrElse(d.frames.size.toLong),
-            hex(md.digest(d.frames.head)), tw, th)
+            hex(md.digest(d.frames.head)), tw, th, thumbHash)
         }
       }
   }

@@ -15,7 +15,14 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   * Plans are built (not executed) over sf0.001, the same dir graft.Explain
   * audits; queries whose construction trains driver-side models still run
-  * those bounded jobs. */
+  * those bounded jobs.
+  *
+  * SCOPE: the audit sees each query's FINAL plan. Iterative engines that
+  * localCheckpoint per round (connectedComponents) execute their per-round
+  * joins during construction, behind the checkpoint boundary — those are
+  * out of this audit's sight and are pinned by explicit SHUFFLE_HASH hints
+  * at the join site instead (the intended at-scale plan there: both sides
+  * big, sort adds nothing). */
 class PlanAuditSpec extends AnyFunSuite {
 
   private lazy val s = SparkSuite.spark

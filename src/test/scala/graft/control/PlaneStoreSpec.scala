@@ -96,7 +96,7 @@ class PlaneStoreSpec extends AnyFunSuite {
       Seq(CollectionFile(1, "old.json", compilationStarted = true)))
   }
 
-  test("compactJournal drops a wiped collection's events; replay skips deleted") {
+  test("compactJournal drops only the WIPED ids; a logical cancel keeps its registry") {
     val l = lake()
     var p = basePlane
     p = registerFile(p, 1, "a.json")
@@ -105,15 +105,14 @@ class PlaneStoreSpec extends AnyFunSuite {
     p = PlaneStore.save(l, p)
     assert(Files.readAllLines(Paths.get(PlaneStore.journalPath(l))).size === 3)
 
-    // wipe collection 2: even BEFORE compaction, replay must not resurrect
-    // its registry rows (the lake partitions are gone)
-    p = PlaneStore.save(l, Control.cancel(p, 2, "2020-02-02 00:00:00"))
-    assert(PlaneStore.load(l).fileCount(2L) === 0)
+    // a logical CANCEL keeps the file registry — the lake rows still
+    // exist and the reference never deletes collection_file on cancel
+    p = PlaneStore.save(l, Control.cancel(p, 1, "2020-02-02 00:00:00"))
     assert(PlaneStore.load(l).filesOf(1L).map(_.filename) === Seq("a.json"))
 
-    // compaction rewrites the journal down to the live registry — the dead
-    // events stop being re-read by every subsequent load
-    PlaneStore.compactJournal(l, p)
+    // a WIPE compacts its tree's events out of the journal; live (and
+    // cancelled-but-not-wiped) collections' lines survive the rewrite
+    PlaneStore.compactJournal(l, Set(2L))
     val lines = Files.readAllLines(Paths.get(PlaneStore.journalPath(l)))
     assert(lines.size === 1)
     assert(lines.get(0).contains("a.json"))

@@ -87,6 +87,18 @@ class MultimodalSpec extends AnyFunSuite {
     val rgb = Multimodal.rgbBytes(
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png)))
     assert(row.frame0_hash === Multimodal.md5hex(rgb.take(256)))
+    // and the thumbnail is REAL pixels: the nearest-neighbor downsample of
+    // the decoded raster, hashed
+    assert(row.thumb_hash ===
+      Multimodal.md5hex(Multimodal.thumbnailRgb(rgb, 48, 40, 32, 26)))
+  }
+
+  test("features() reports a null thumb_hash when there is no raster") {
+    val s = graft.SparkSuite.spark
+    import s.implicits._
+    val docs = Seq((1L, "just text, stub-decoded".getBytes("UTF-8")))
+      .toDF("doc_id", "content")
+    assert(Multimodal.features(docs, s).collect()(0).thumb_hash === null)
   }
 
   test("identical pixels hash identically across container formats") {
