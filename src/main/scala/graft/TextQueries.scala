@@ -307,6 +307,63 @@ object TextQueries {
         "a recursive CTE"),
 
     QueryDef(
+      "q_dedup_payoff", Seq("J1", "A4", "A2"),
+      (s, d) => {
+        // what the near-dup pass actually BUYS: per-cluster keeper
+        // election (the component's min doc_id — deterministic, matches
+        // the exact-dedup keeper rule) rolled up per source into docs
+        // and tokens REMOVED. The cluster labels join back to the narrow
+        // (doc_id, source, tokens) projection — one broadcastable join
+        // (labels exist only for docs in some near-dup pair, a small
+        // fraction of any real corpus) and one hash agg.
+        val edges = minhashJaccardPairs(s, d)
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val clusters = connectedComponents(edges)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast(LongType).as("tok"))
+        docs.join(broadcast(clusters), "doc_id")
+          .filter(col("doc_id") =!= col("lbl")) // non-keepers = removals
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("docs_removed"),
+            sum(col("tok")).as("tokens_removed"),
+            countDistinct(col("lbl")).as("n_clusters"))
+          .orderBy("source")
+      },
+      Some("""WITH RECURSIVE t AS (
+                SELECT source, doc_id,
+                       list_sort(list_distinct(string_split(text, ' '))) AS toks
+                FROM documents),
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+                        >= 0.9),
+              edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+              reach(id, n) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.n),
+              clusters AS (
+                SELECT id AS doc_id, MIN(n) AS lbl FROM reach GROUP BY id)
+              SELECT d.source,
+                     COUNT(*) AS docs_removed,
+                     CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT)
+                       AS tokens_removed,
+                     CAST(COUNT(DISTINCT c.lbl) AS BIGINT) AS n_clusters
+              FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+              WHERE c.doc_id <> c.lbl
+              GROUP BY d.source ORDER BY d.source"""),
+      "Dedup payoff readout: per-cluster keeper election (component-min doc) rolled up " +
+        "to docs/tokens REMOVED per source — the attrition number a corpus build " +
+        "reports; labels join back broadcast (only paired docs carry one)"),
+
+    QueryDef(
       "q_simhash_neardup", Seq("J1", "F5", "S8"),
       (s, d) => {
         // SimHash near-dup (the third dedup family next to MinHash-LSH and
