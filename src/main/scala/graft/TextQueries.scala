@@ -84,12 +84,12 @@ object TextQueries {
     * the checkpointed output, not a second join job (A/B on sf0.1:
     * 3.96 → 3.51 s; the free init round then 3.51 → 3.27 s).
     * Rounds = component radius; near-dup components are
-    * shallow hubs, so 1-3 rounds in practice. At warehouse scale:
-    * checkpoint to durable storage, and switch to large-star/small-star
-    * contraction for graphs whose diameter or hub degree is unbounded.
-    * Callers should pass a checkpointed `edges` (it is scanned every
-    * round). Property-tested against a union-find oracle over random
-    * graphs (DedupClusterSpec). */
+    * shallow hubs, so 1-3 rounds in practice — for graphs whose diameter
+    * or hub degree is unbounded, use [[connectedComponentsContracted]]
+    * (large-star/small-star, O(log²) rounds, same output contract). At
+    * warehouse scale checkpoint to durable storage. Callers should pass a
+    * checkpointed `edges` (it is scanned every round). Property-tested
+    * against a union-find oracle over random graphs (DedupClusterSpec). */
   private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
     var labels = edges
       .select(col("doc_a").as("doc_id"), col("doc_b").as("lbl"))
@@ -119,6 +119,62 @@ object TextQueries {
       labels = next.select("doc_id", "lbl")
     }
     labels
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the scale path [[connectedComponents]]'s scaladoc points
+    * at for graphs whose diameter or hub degree is unbounded: label
+    * propagation pays one round per unit of component RADIUS (a
+    * 10M-vertex path graph = 10M rounds), while star contraction halves
+    * structure every round (O(log²) rounds, in practice a handful).
+    *
+    *  - large-star(x): every neighbor LARGER than x re-attaches to
+    *    m(x) = min(N(x) ∪ {x}) — hubs flatten;
+    *  - small-star(x): every neighbor ≤ x (and x) attaches to m(x) —
+    *    chains contract.
+    *
+    * Each half-round is one groupBy + join over the current edge set;
+    * edges are kept canonical (u < v, distinct) and checkpointed per
+    * round. At fixpoint the edge set IS the star forest (center = the
+    * component's min id), so labels read directly off the edges. Same
+    * (doc_id, lbl) contract as [[connectedComponents]]; equivalence to a
+    * union-find oracle AND to the propagation engine is property-tested
+    * over random graphs (DedupClusterSpec). */
+  private[graft] def connectedComponentsContracted(edges0: DataFrame): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def bidir(e: DataFrame): DataFrame =
+      e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+    // m(x) = min over N(x) ∪ {x}, computed once per half-round
+    def withM(b: DataFrame): DataFrame =
+      b.join(
+        b.groupBy("x").agg(min(col("y")).as("mn"))
+          .select(col("x"), least(col("x"), col("mn")).as("m"))
+          .hint("shuffle_hash"),
+        "x")
+    var edges = canon(edges0.select(col("doc_a").as("x"), col("doc_b").as("y")))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val ls = canon(withM(bidir(edges))
+        .filter(col("y") > col("x"))
+        .select(col("y").as("x"), col("m").as("y")))
+      val ss = canon(withM(bidir(ls))
+        .filter(col("y") <= col("x"))
+        .select(col("y").as("x"), col("m").as("y"))
+        .unionByName(withM(bidir(ls)).select(col("x"), col("m").as("y"))))
+        .localCheckpoint()
+      changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
+      edges = ss
+    }
+    // fixpoint edges are a star forest: v's label is its center u, and
+    // each center labels itself
+    edges.select(col("v").as("doc_id"), col("u").as("lbl"))
+      .unionByName(edges.select(col("u").as("doc_id"), col("u").as("lbl")))
+      .groupBy("doc_id").agg(min("lbl").as("lbl"))
   }
 
   def defs: Seq[QueryDef] = Seq(

@@ -51,6 +51,41 @@ class DedupClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("property: star contraction matches union-find and the propagation engine") {
+    import s.implicits._
+    var seed = Seed(1337L)
+    (0 until 20).foreach { _ =>
+      val edges = edgesGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      // self-loop-only inputs have no 2-node component for contraction to
+      // label; align oracles on the loop-free edge set
+      val clean = edges.filter(e => e._1 != e._2)
+      whenever2(clean.nonEmpty) {
+        val df = clean.toDF("doc_a", "doc_b").localCheckpoint()
+        val contracted = TextQueries.connectedComponentsContracted(df)
+          .as[(Long, Long)].collect().toMap
+        assert(contracted === unionFind(clean), s"edges: $clean")
+        val propagated = TextQueries.connectedComponents(df)
+          .as[(Long, Long)].collect().toMap
+        assert(contracted === propagated, s"engines disagree on: $clean")
+      }
+    }
+  }
+
+  private def whenever2(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  test("star contraction labels a path graph in O(log) rounds, not O(n)") {
+    import s.implicits._
+    // 0—1—…—16: radius 16 — the propagation engine's worst shape and the
+    // contraction's motivating case
+    val path = (0L until 16L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      .localCheckpoint()
+    val got = TextQueries.connectedComponentsContracted(path)
+      .as[(Long, Long)].collect()
+    assert(got.length === 17)
+    assert(got.forall(_._2 == 0L))
+  }
+
   test("a path graph needs propagation beyond the free init round") {
     import s.implicits._
     // 0—1—2—…—7: the neighbor-min init labels vertex 7 with 6; only
