@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the corpus-build queries that must hold at ANY
+  * scale factor — the DuckDB oracle pins exact values at sf0.01; these pin
+  * the SHAPE (conservation, monotonicity, contiguity) on a second SF so a
+  * future edit can't silently break the semantics the exact hash happens
+  * not to exercise. */
+class CorpusPipelineSpec extends AnyFunSuite {
+
+  private lazy val s = SparkSuite.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_pack_sequences conserves the token stream and numbers windows contiguously") {
+    val packed = Queries.byName("q_pack_sequences").run(s, dir)
+      .select("source", "window_id", "n_docs", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // conservation: every document's tokens land in exactly one window
+    val packedBySource = packed.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val docsBySource = docs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(packedBySource === docsBySource)
+    assert(packed.map(_._3).sum === docs.length) // ...and every doc exactly once
+    // contiguity: window ids run 0..max with no gaps (a doc STARTS in
+    // every window because windows are cut from the running stream)
+    packed.groupBy(_._1).foreach { case (src, ws) =>
+      val ids = ws.map(_._2).sorted
+      assert(ids === (0L until ids.length).toArray, s"window gap in $src")
+    }
+  }
+
+  test("q_corpus_select's funnel only narrows") {
+    val rows = Queries.byName("q_corpus_select").run(s, dir)
+      .select("n_total", "n_pass", "n_keeper", "n_selected").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, p, k, sel) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(t >= p && p >= k && k >= sel,
+        s"funnel widened: total=$t pass=$p keeper=$k selected=$sel")
+    }
+  }
+
+  test("q_dedup_payoff removals never exceed the clustered population") {
+    val payoff = Queries.byName("q_dedup_payoff").run(s, dir)
+      .select("source", "docs_removed", "n_clusters").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    payoff.foreach { case (src, removed, clusters) =>
+      assert(clusters >= 1 && removed >= clusters,
+        s"$src: $removed removals from $clusters clusters (each cluster " +
+          "must remove at least one non-keeper)")
+    }
+  }
+}
