@@ -82,6 +82,16 @@ object Bench {
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 6,225 — invalid JSON
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // one self-contained line PER QUERY before the summary (VERDICT r8
+    // Next #6: the driver's fixed-size stdout TAIL clips the summary's
+    // HEAD when 79 entries overflow it — r6 lost 7 entries, r8 lost 2).
+    // Emitted in REVERSE summary order: the summary's head entries
+    // (alphabetically first, exactly the ones a tail window clips) are
+    // the nearest preceding lines, so any window that holds the summary
+    // plus a little slack recovers every entry.
+    results.reverse.foreach { case (k, v) =>
+      println(s"""BENCHQ {"name":"$k","s":${sec(v)}}""")
+    }
     val qs = results.map { case (k, v) => s"\"$k\":${sec(v)}" }.mkString("{", ",", "}")
     val errJson = errors.take(5)
       .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v.take(80))}\"" }

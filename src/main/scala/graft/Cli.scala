@@ -253,12 +253,18 @@ object Cli {
       // process) could land a batch between the compaction's scan and its
       // swap, and the swap would retire that batch's files with the old
       // directory (ADVICE r7)
-      loadPlane(lake).collections.get(cid).foreach { c =>
-        if (c.completedAt.isEmpty && c.deletedAt.isEmpty) {
-          System.err.println(
-            s"collection $cid is still open: compact only completed collections")
+      loadPlane(lake).collections.get(cid) match {
+        case Some(c) =>
+          if (c.completedAt.isEmpty && c.deletedAt.isEmpty) {
+            System.err.println(
+              s"collection $cid is still open: compact only completed collections")
+            sys.exit(2)
+          }
+        case None =>
+          // an unknown id must NOT silently bypass the open-collection
+          // guard above (a typo'd id would compact with no check at all)
+          System.err.println(s"unknown collection $cid: nothing to compact")
           sys.exit(2)
-        }
       }
       def partFiles(): Int = {
         val dir = java.nio.file.Paths.get(s"$lake/$table/collection_id=$cid")

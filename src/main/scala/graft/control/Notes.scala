@@ -56,28 +56,44 @@ object Notes {
     * `n_total`. The reference endpoint streams unboundedly via the DB
     * cursor; a collect_list with no bound would materialize a pathological
     * collection's millions of merge warnings in one executor row, so the
-    * limit is applied BEFORE the aggregate (window row_number, which sorts
-    * spill-safely) and the aggregation buffer holds at most `maxPerCode`
-    * structs. Both window functions and the groupBy share one hash
-    * partitioning on `code` — one shuffle total. */
+    * limit is applied BEFORE the aggregate and the aggregation buffer
+    * holds at most `maxPerCode` structs.
+    *
+    * TWO-LEVEL top-k (VERDICT r8 #4: a single `Window.partitionBy(code)`
+    * serializes ALL of one code's notes — possibly millions — through one
+    * task; the cap bounded the output, not the sort input): rank first
+    * within `(code, pmod(xxhash64(note,data), subBuckets))` sub-buckets —
+    * parallelism = codes × subBuckets, each sub-sort sees ~1/subBuckets of
+    * the input — keep each sub-bucket's top maxPerCode, then a final
+    * narrow rank over ≤ subBuckets × maxPerCode rows per code. Every
+    * element of a code's true top-k is in its own sub-bucket's top-k
+    * (fewer than k elements precede it anywhere, so fewer than k in its
+    * bucket), so the result is EXACT. `n_total` is a plain groupBy aside,
+    * never touching a sort. */
   def forTree(
       notes: DataFrame,
       collectionIds: Seq[Long],
       levels: Seq[String] = Seq(Info, Warning, Error),
-      maxPerCode: Int = 1000): DataFrame = {
+      maxPerCode: Int = 1000,
+      subBuckets: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byCode = Window.partitionBy("code")
-    val ordered = byCode.orderBy("note", "data")
-    notes
+    val filtered = notes
       .filter(col("collection_id").isin(collectionIds: _*) && col("code").isin(levels: _*))
-      .select(col("code"), col("note"), col("data"),
-        row_number().over(ordered).as("rn"),
-        count(lit(1)).over(byCode).as("n_total"))
+      .select(col("code"), col("note"), col("data"))
+    val totals = filtered.groupBy(col("code")).agg(count(lit(1)).as("n_total"))
+    val sub = Window
+      .partitionBy(col("code"), pmod(xxhash64(col("note"), col("data")), lit(subBuckets)))
+      .orderBy("note", "data")
+    val fin = Window.partitionBy(col("code")).orderBy("note", "data")
+    filtered
+      .withColumn("srn", row_number().over(sub))
+      .filter(col("srn") <= maxPerCode)
+      .withColumn("rn", row_number().over(fin))
       .filter(col("rn") <= maxPerCode)
       .groupBy(col("code"))
-      .agg(
-        first(col("n_total")).as("n_total"),
-        sort_array(collect_list(struct(col("note"), col("data")))).as("notes"))
+      .agg(sort_array(collect_list(struct(col("note"), col("data")))).as("notes"))
+      .join(totals, Seq("code"))
+      .select(col("code"), col("n_total"), col("notes"))
       .orderBy("code")
   }
 }

@@ -76,18 +76,46 @@ object Sink {
     val partDir = table.resolve(s"collection_id=$collectionId")
     val tmpDir = table.resolve(s"_swap_tmp_collection_id=$collectionId")
     val oldDir = table.resolve(s"_swap_old_collection_id=$collectionId")
-    // crash recovery, disambiguated by which debris survives the crash:
-    //  - oldDir AND tmpDir: the swap died between its two renames (tmp was
-    //    never promoted). The partition may ALREADY have been recreated by
-    //    a later append (a stream batch landing before the next swap ran)
-    //    — then a wholesale restore is wrong and a plain sweep would
-    //    silently delete the retired rows' only copy; instead fold the
-    //    retired files back into the live partition (part-file names are
-    //    job-unique, so file-level moves cannot collide). The crashed
-    //    swap's tmp content is abandoned either way — its source rows are
-    //    back in the partition and the caller's rewrite runs again.
-    //  - oldDir alone: the swap died after promoting the new partition but
-    //    before its final sweep — the retired copy is stale; sweep it.
+    // Recovery runs here as a backstop, but callers whose `rows` plan READS
+    // this table must call recoverSwapDebris BEFORE building that plan:
+    // Spark snapshots the file listing at read time (underscore dirs
+    // excluded), so a plan built over pre-recovery listing misses the
+    // restored rows — and if partDir itself was the debris, reads an empty
+    // partition and the rewrite deletes the only copy (ADVICE r8).
+    recoverSwapDebris(path, collectionId)
+    rows.drop("collection_id").write.mode("overwrite").parquet(tmpDir.toString)
+    val n = spark.read.parquet(tmpDir.toString).count()
+    if (n == 0) deleteDir(tmpDir) // empty partition = dropped partition
+    if (JF.exists(partDir)) JF.move(partDir, oldDir)
+    if (n > 0) JF.move(tmpDir, partDir)
+    deleteDir(oldDir)
+    n
+  }
+
+  /** Restore debris left by a [[swapCollectionPartition]] that crashed
+    * mid-swap, BEFORE any plan is built over the table's file listing.
+    * Disambiguated by which debris survives the crash:
+    *  - oldDir AND tmpDir: the swap died between its two renames (tmp was
+    *    never promoted). The partition may ALREADY have been recreated by
+    *    a later append (a stream batch landing before the next swap ran)
+    *    — then a wholesale restore is wrong and a plain sweep would
+    *    silently delete the retired rows' only copy; instead fold the
+    *    retired files back into the live partition (part-file names are
+    *    job-unique, so file-level moves cannot collide). The crashed
+    *    swap's tmp content is abandoned either way — its source rows are
+    *    back in the partition and the caller's rewrite runs again.
+    *  - oldDir alone: the swap died after promoting the new partition but
+    *    before its final sweep — the retired copy is stale; sweep it.
+    * Idempotent; a no-op on a clean table. MUST be invoked by every caller
+    * that constructs a rewrite plan reading this table (compaction, purge)
+    * before that plan's first read — Spark's eager file-listing snapshot
+    * will not see files this call moves back afterwards. */
+  def recoverSwapDebris(path: String, collectionId: Long): Unit = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val table = JP.get(path)
+    val partDir = table.resolve(s"collection_id=$collectionId")
+    val tmpDir = table.resolve(s"_swap_tmp_collection_id=$collectionId")
+    val oldDir = table.resolve(s"_swap_old_collection_id=$collectionId")
     if (JF.exists(oldDir) && JF.exists(tmpDir) && JF.exists(partDir)) {
       import scala.jdk.CollectionConverters._
       val stream = JF.list(oldDir)
@@ -99,13 +127,6 @@ object Sink {
     } else if (JF.exists(oldDir) && !JF.exists(partDir)) JF.move(oldDir, partDir)
     deleteDir(tmpDir)
     deleteDir(oldDir)
-    rows.drop("collection_id").write.mode("overwrite").parquet(tmpDir.toString)
-    val n = spark.read.parquet(tmpDir.toString).count()
-    if (n == 0) deleteDir(tmpDir) // empty partition = dropped partition
-    if (JF.exists(partDir)) JF.move(partDir, oldDir)
-    if (n > 0) JF.move(tmpDir, partDir)
-    deleteDir(oldDir)
-    n
   }
 
   private def deleteDir(dir: java.nio.file.Path): Unit =
@@ -127,6 +148,7 @@ object Sink {
   def compactCollection(
       spark: SparkSession, path: String, collectionId: Long,
       clusterByOcid: Boolean): Long = {
+    recoverSwapDebris(path, collectionId) // BEFORE the listing snapshot below
     val part = spark.read.parquet(path)
       .filter(col("collection_id") === collectionId)
     val clustered =

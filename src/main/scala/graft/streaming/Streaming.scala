@@ -308,13 +308,22 @@ object Streaming {
       spark: SparkSession, path: String, cids: Seq[Long],
       doomed: org.apache.spark.sql.Column): Unit = {
     import org.apache.spark.sql.functions.col
+    // restore any mid-swap crash debris BEFORE readOrEmpty snapshots the
+    // file listing — a plan built first would omit the restored rows and
+    // the rewrite below would drop them (ADVICE r8)
+    cids.foreach(graft.ingest.Sink.recoverSwapDebris(path, _))
     graft.ingest.Sink.readOrEmpty(spark, path).foreach { df =>
       val part = df.filter(col("collection_id").isin(cids: _*))
-      if (part.filter(doomed).limit(1).count() > 0)
-        for (cid <- cids)
-          graft.ingest.Sink.swapCollectionPartition(spark, path, cid,
-            df.filter(col("collection_id") === cid).filter(!doomed)
-              .repartition(col("collection_id")))
+      // one aggregate finds which collections actually hold doomed rows;
+      // only those are rewritten — swapping untouched collections would be
+      // a needless full-partition rewrite AND a needless crash window each
+      // cast: partition discovery can infer collection_id as INT
+      val hit = part.filter(doomed).select(col("collection_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      for (cid <- cids if hit(cid))
+        graft.ingest.Sink.swapCollectionPartition(spark, path, cid,
+          df.filter(col("collection_id") === cid).filter(!doomed)
+            .repartition(col("collection_id")))
     }
   }
 

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -95,5 +96,70 @@ class DedupClusterSpec extends AnyFunSuite {
     val got = TextQueries.connectedComponents(path).as[(Long, Long)].collect()
     assert(got.length === 8)
     assert(got.forall(_._2 == 0L))
+  }
+
+  test("both engines produce identical labels under a DURABLE checkpoint dir") {
+    import s.implicits._
+    // cluster-scale mode (VERDICT r8 Next #9): localCheckpoint blocks die
+    // with their executor; checkpoint() into a durable dir must be a
+    // drop-in with identical fixpoints
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L), (3L, 3L), (9L, 2L))
+      .toDF("doc_a", "doc_b").localCheckpoint()
+    val localProp = TextQueries.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val durableProp = TextQueries.connectedComponents(edges, Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(durableProp === localProp)
+    val durableContr = TextQueries.connectedComponentsContracted(edges, Some(dir))
+      .as[(Long, Long)].collect().toMap
+    // contraction canonicalizes self-loops away, so the loop-only vertex 3
+    // is absent from its output; everything else must agree
+    assert(durableContr === (localProp - 3L))
+    // durable blocks actually landed on disk
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
+
+  test("adversarial template source: candidates stay bounded and the bucket stays one component") {
+    import s.implicits._
+    // 10³ docs of one boilerplate template land in ONE LSH bucket (exact
+    // dedup upstream removes identical docs, not near-identical templated
+    // ones). All-pairs would be C(1000,2) ≈ 500k candidates from one
+    // collected 1000-element array; the bounded engine must emit star
+    // pairs (n−1) and still leave the bucket connectable.
+    val n = 1000
+    val sig = (0 until n).map(i => ("web", 0, 42L, i.toLong))
+      .toDF("source", "band_id", "band_hash", "doc_id")
+    val cand = BucketPairs.pairs(
+      sig, Seq("source", "band_id", "band_hash"), "doc_id", Seq.empty,
+      maxBucket = 64)
+    val pairs = cand.select(col("a").as("doc_a"), col("b").as("doc_b"))
+      .as[(Long, Long)].collect()
+    assert(pairs.length === n - 1) // star: every member paired with the min
+    assert(pairs.forall(_._1 == 0L))
+    assert(pairs.map(_._2).sorted.toSeq === (1L until n.toLong))
+    // recall on TRUE pairs the dedup needs: the whole bucket closes into
+    // one component with the min id as keeper
+    val labels = TextQueries.connectedComponents(
+      pairs.toSeq.toDF("doc_a", "doc_b").localCheckpoint())
+      .as[(Long, Long)].collect()
+    assert(labels.length === n)
+    assert(labels.forall(_._2 == 0L))
+  }
+
+  test("buckets at or under the cap keep exact all-pairs output") {
+    import s.implicits._
+    // two buckets: {1,5,9} in band 0, {5,7} in band 1 (5 collides twice —
+    // callers dedup across bands, the engine emits per-bucket pairs)
+    val sig = Seq(
+      ("a", 0, 7L, 1L), ("a", 0, 7L, 5L), ("a", 0, 7L, 9L),
+      ("a", 1, 3L, 5L), ("a", 1, 3L, 7L),
+      ("a", 2, 9L, 2L) // singleton bucket: no pairs
+    ).toDF("source", "band_id", "band_hash", "doc_id")
+    val got = BucketPairs.pairs(
+      sig, Seq("source", "band_id", "band_hash"), "doc_id", Seq.empty,
+      maxBucket = 3)
+      .select(col("a"), col("b")).as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 5L), (1L, 9L), (5L, 7L), (5L, 9L)))
   }
 }

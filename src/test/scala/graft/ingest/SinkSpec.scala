@@ -86,6 +86,39 @@ class SinkSpec extends AnyFunSuite {
     s.sql("DROP TABLE IF EXISTS graft_bucketed_spec")
   }
 
+  test("compactCollection after a mid-swap crash keeps every row (recovery precedes the plan)") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-swapcrash").toString
+    Sink.writeFacts(facts, dir)
+    val before = Sink.readFacts(s, dir)
+      .filter(col("collection_id") === 1L)
+      .select("ocid", "tiebreak").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(before.length === 3)
+    // simulate a swap that crashed BETWEEN its two renames: the live
+    // partition was retired to _swap_old, the replacement still sits in
+    // _swap_tmp, and collection_id=1 does not exist. Before the fix the
+    // compaction built its read plan over this listing (which excludes
+    // underscore dirs AND the missing partition), saw zero rows, and
+    // deleted the restored partition — silent loss of collection 1.
+    val table = JP.get(dir)
+    val partDir = table.resolve("collection_id=1")
+    JF.move(partDir, table.resolve("_swap_old_collection_id=1"))
+    val tmp = table.resolve("_swap_tmp_collection_id=1")
+    JF.createDirectories(tmp)
+    JF.write(tmp.resolve("part-half-written.parquet"), Array[Byte](1, 2, 3))
+    assert(!JF.exists(partDir))
+    val n = Sink.compactCollection(s, dir, 1L, clusterByOcid = false)
+    assert(n === 3L)
+    val after = Sink.readFacts(s, dir)
+      .filter(col("collection_id") === 1L)
+      .select("ocid", "tiebreak").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(after.toSeq === before.toSeq)
+    // debris swept; other collection untouched
+    assert(new java.io.File(dir).list().count(_.startsWith("_swap")) === 0)
+    assert(Sink.readFacts(s, dir).filter(col("collection_id") === 2L).count() === 1)
+  }
+
   test("writeJdbc round-trips through an embedded Derby database") {
     import s.implicits._
     // the serving-copy contract (reference: PostgreSQL bulk_create in
