@@ -15,9 +15,12 @@ import graft.ocds.Metadata
   * reference's commands compose over its control tables.
   *
   * Commands (reference command in parentheses):
-  *   load <input> <lake> [--upgrade] [--id N] [--note TEXT] [--sample] [--keep-open] [--source NAME] [--time 'YYYY-MM-DD HH:MM:SS']
-  *                                              (load; file_worker+compiler+finisher inline,
-  *                                               or load-only with --keep-open)
+  *   load <input> <lake> [--upgrade] [--compile] [--check] [--id N] [--note TEXT] [--sample] [--keep-open] [--source NAME] [--time 'YYYY-MM-DD HH:MM:SS']
+  *                                              (load; steps are OPT-IN like load.py:34 —
+  *                                               --compile runs file_worker+compiler+finisher
+  *                                               inline, --check persists schema checks at
+  *                                               close, a bare load completes uncompiled;
+  *                                               --keep-open defers the whole close chain)
   *   addfiles <lake> <rootId> <path...>         (addfiles; the enqueued file_worker
   *                                               job runs inline against the open root)
   *   compile <lake> <rootId>                    (the compiler/checker/finisher chain,
@@ -31,12 +34,18 @@ import graft.ocds.Metadata
   *   compact-outcomes <outDir>                  (fold a record-outcome
   *                                               stream's batch partitions)
   *   addchecks <lake> <collectionId>            (addchecks + checker)
+  *   dedup <lake> <collectionId>                (near-dup payoff report over the
+  *                                               collection's documents; no reference
+  *                                               analogue — the LLM-corpus surface)
+  *   corpus-select <lake> <collectionId>        (corpus-selection funnel over the
+  *                                               collection's documents)
   *   closecollection <lake> <id> <nFiles>       (closecollection)
   *   cancelcollection <lake> <id>               (cancelcollection)
   *   deletecollection <lake> <rootId>           (deletecollection + wiper)
   *   deleteorphan <lake>                        (deleteorphan)
   *   metadata <lake> <compiledId>               (the metadata endpoint)
-  *   notes <lake> <rootId> [LEVEL...]           (the notes endpoint)
+  *   notes <lake> <rootId> [LEVEL...] [--limit N]  (the notes endpoint; --limit
+  *                                               bounds notes shown per level)
   *
   * The queue-worker commands (api_loader, file_worker, checker, compilers,
   * finisher, wiper) have no standalone analogue: their work IS the Spark
@@ -86,6 +95,30 @@ object Cli {
   private def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
     Sink.readOrEmpty(spark, path)
 
+  /** A loaded collection's rows as the (source, doc_id, text) document
+    * frame the corpus-pipeline engines consume: release or record facts by
+    * the collection's format (compiled-release collections carry no raw
+    * text surface → None), text = the item JSON flattened to word tokens,
+    * doc_id = xxhash64 of the content hash (deterministic under any
+    * partitioning; identical items collapse to one document, so the
+    * near-dup report reads on distinct contents). */
+  private def collectionDocs(
+      spark: SparkSession, lake: String, plane: Control.Plane,
+      cid: Long): Option[DataFrame] = {
+    val c = known(plane, cid)
+    val table = c.dataTypeFormat match {
+      case Some(graft.ingest.FormatDetect.Format.CompiledRelease) => return None
+      case Some(Control.Format.RecordPackage) => "record"
+      case _ => "release"
+    }
+    readOrEmpty(spark, s"$lake/$table").map(
+      _.filter(col("collection_id") === cid)
+        .select(lit(c.sourceId).as("source"),
+          xxhash64(col("hash_md5")).as("doc_id"),
+          regexp_replace(col("data"), "[^A-Za-z0-9]+", " ").as("text"))
+        .dropDuplicates("doc_id"))
+  }
+
   /** `--flag value` extraction; exits on a missing or flag-shaped value. */
   private def flagValue(rest: List[String], flag: String): Option[String] =
     if (!rest.contains(flag)) None
@@ -95,6 +128,12 @@ object Cli {
   def main(args: Array[String]): Unit = args.toList match {
     case "load" :: input :: lake :: rest =>
       val upgrade = rest.contains("--upgrade")
+      // step selection (load.py:34,69-73): "Additional processing is not
+      // automatically configured… To add a step, use --upgrade, --compile
+      // and/or --check." Compile is OPT-IN — a bare load yields a
+      // completed-but-uncompiled collection, exactly like the reference
+      val compile = rest.contains("--compile")
+      val check = rest.contains("--check")
       val sample = rest.contains("--sample")
       val note = flagValue(rest, "--note")
       val plane0 = loadPlane(lake)
@@ -107,10 +146,11 @@ object Cli {
             case _ => // missing, flag-valued, overflowing, or non-positive
               System.err.println("--id needs a positive number"); sys.exit(2)
           }
-      // the load creates id (+1 upgraded) (+1/+2 compiled): all must be new,
-      // or the control rows would be overwritten while the lake APPENDS a
-      // second copy of every fact row under the same partitions
-      val span = id to (id + (if (upgrade) 2 else 1))
+      // the load creates id (+1 upgraded) (+1 compiled when planned): all
+      // must be new, or the control rows would be overwritten while the
+      // lake APPENDS a second copy of every fact row under the same
+      // partitions
+      val span = id to (id + (if (upgrade) 1 else 0) + (if (compile) 1 else 0))
       span.find(plane0.collections.contains).foreach { clash =>
         System.err.println(s"collection $clash already exists; pick another --id")
         sys.exit(2)
@@ -137,14 +177,27 @@ object Cli {
       val stage = Pipeline.load(
         spark, input, lake, collectionId = id, now = now,
         upgrade = upgrade, keepOpen = keepOpen,
-        sourceId = sourceId, dataVersionOverride = time)
+        sourceId = sourceId, dataVersionOverride = time,
+        compile = compile, check = check)
       // --keep-open (load.py:156-161): skip the close latch AND the
       // compile/check/finalize chain it gates — addfiles batches arrive
-      // next, then closecollection + compile finish the lifecycle
+      // next, then closecollection + compile finish the lifecycle.
+      // Without --compile there is no compiled child: the finisher leg is
+      // just the completion gates (finishUncompiled)
       val compileStage =
         if (keepOpen) None
-        else Some(Pipeline.compileAndFinish(spark, lake, stage.plane, id, now))
-      val report = compileStage.map(_.plane).getOrElse(stage.plane)
+        else if (compile) Some(Pipeline.compileAndFinish(spark, lake, stage.plane, id, now))
+        else None
+      val finishedPlane =
+        if (keepOpen) stage.plane
+        else compileStage.map(_.plane)
+          .getOrElse(Pipeline.finishUncompiled(spark, lake, stage.plane, id, now))
+      // --check: the planned check step runs inline at close (the checker
+      // worker's disposition), persisting release_check/record_check rows
+      val checkRun =
+        if (check && !keepOpen) Pipeline.runChecks(spark, lake, finishedPlane, id)
+        else None
+      val report = finishedPlane
       // --note: persisted like every other note — an INFO collection_note
       // row on the root collection (load.py's required -n/--note)
       note.foreach { text =>
@@ -171,12 +224,14 @@ object Cli {
         pendingFileEvents = plane0.pendingFileEvents ++ loaded.pendingFileEvents))
       println(s"collection=${stage.collectionId}" +
         stage.upgradedCollectionId.map(u => s" upgraded=$u").getOrElse("") +
-        s" compiled=${stage.compiledCollectionId} files=${stage.files}" +
+        stage.compiledCollectionId.map(k => s" compiled=$k").getOrElse("") +
+        s" files=${stage.files}" +
         s" items=${stage.items}" +
         compileStage.map(c =>
           s" compiled_releases=${c.compiled} check_failures=${c.checkFailures}" +
             s" notes=${stage.notes + c.notes}")
-          .getOrElse(s" notes=${stage.notes} (open)"))
+          .getOrElse(s" notes=${stage.notes}" + (if (keepOpen) " (open)" else "")) +
+        checkRun.map { case (n, f) => s" checked=$n check_failed=$f" }.getOrElse(""))
 
     case "addfiles" :: lake :: id :: paths if paths.nonEmpty =>
       // the reference's addfiles (docs/cli.rst:37, addfiles.py): add more
@@ -331,9 +386,16 @@ object Cli {
             sys.exit(2)
         }
       savePlane(lake, stage.plane)
+      // a check step planned at load (`load --keep-open --check`) runs now,
+      // at the close of the keep-open lifecycle, persisting check rows
+      val checked =
+        if (c.steps.contains("check"))
+          Pipeline.runChecks(session(), lake, stage.plane, rid)
+        else None
       println(s"compiled=${stage.compiledCollectionId}" +
         s" compiled_releases=${stage.compiled}" +
-        s" check_failures=${stage.checkFailures} notes=${stage.notes}")
+        s" check_failures=${stage.checkFailures} notes=${stage.notes}" +
+        checked.map { case (n, f) => s" checked=$n check_failed=$f" }.getOrElse(""))
 
     case "collectionstatus" :: lake :: rootId :: Nil =>
       val plane = loadPlane(lake)
@@ -357,60 +419,68 @@ object Cli {
       }
 
     case "addchecks" :: lake :: id :: Nil =>
+      // format-aware like the reference's checker: record collections
+      // check into record_check, release collections into release_check;
+      // compiled-release collections have NO check pass (the reference's
+      // checker handles only Release and Record rows) — a clean no-op
+      // beats an AnalysisException on the absent release table. Shared
+      // engine with the load-planned --check step: Pipeline.runChecks.
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)
-      // package metadata is stored under the ROOT collection (the upgraded
-      // collection's rows come from the same source files)
-      val rootId = plane.rootParent(known(plane, cid)).id
-      // format-aware like the reference's checker: record collections
-      // check record rows against the record-package schema into
-      // record_check (models.py RecordCheck); release collections as
-      // before; compiled-release collections have NO check pass (the
-      // reference's checker handles only Release and Record rows) — a
-      // clean no-op beats an AnalysisException on the absent release table
-      val isRecord = known(plane, cid).dataTypeFormat
-        .contains(Control.Format.RecordPackage)
-      val (factTable, checkTable, kind) =
-        if (isRecord) ("record", "record_check", "record")
-        else ("release", "release_check", "release")
-      // compiled-release collections (explicit format OR a format-less
-      // compiled child on a lake with no release rows) have no check pass:
-      // the reference's checker handles only release/record rows — report
-      // zero, never an AnalysisException on an absent table
-      if (known(plane, cid).dataTypeFormat
-          .contains(graft.ingest.FormatDetect.Format.CompiledRelease) ||
-          readOrEmpty(spark, s"$lake/$factTable").isEmpty) {
-        println("checked=0 failed=0 (no checkable rows for this collection)")
-      } else {
-        val facts = Sink.readFacts(spark, s"$lake/$factTable")
-          .filter(col("collection_id") === cid)
-          .select(col("filename"), col("ocid"),
-            (if (isRecord) lit("") else col("release_id")).as("release_id"),
-            col("hash_md5"), col("data"))
-        // package_data can be legitimately absent (crash remnants, older
-        // lakes): the checker already treats a missing envelope as null
-        val withPkg = readOrEmpty(spark, s"$lake/package_data") match {
-          case Some(p) => facts.join(
-            p.filter(col("collection_id") === rootId).select("filename", "package_data"),
-            Seq("filename"), "left")
-          case None => facts.withColumn(
-            "package_data", lit(null).cast(org.apache.spark.sql.types.StringType))
-        }
-        val rows = withPkg
-          .select(Checker.checkId.as("id"), col("data"), col("package_data"))
-        val existing = readOrEmpty(spark, s"$lake/$checkTable")
-          .map(_.filter(col("collection_id") === cid))
-          .getOrElse(spark.emptyDataFrame.withColumn("id", lit(0L)))
-        val checks = Checker.checkUnchecked(rows, existing, kind, spark)
-          .toDF().withColumn("collection_id", lit(cid)).persist()
-        // count BEFORE the append: the plan reads the check table (the
-        // anti-join side) lazily, so evaluating it after writing to the
-        // same table would anti-join the rows against themselves → checked=0
-        val (nChecked, nFailed) = (checks.count(), checks.filter(!col("ok")).count())
-        Sink.writeByCollection(checks, s"$lake/$checkTable")
-        println(s"checked=$nChecked failed=$nFailed")
-        checks.unpersist()
+      known(plane, cid)
+      Pipeline.runChecks(spark, lake, plane, cid) match {
+        case Some((nChecked, nFailed)) => println(s"checked=$nChecked failed=$nFailed")
+        case None => println("checked=0 failed=0 (no checkable rows for this collection)")
+      }
+
+    case "dedup" :: lake :: id :: Nil =>
+      // the corpus-pipeline surface over a LOADED collection (VERDICT r8
+      // Next #8; reference precedent: every operator is a management
+      // command): MinHash-LSH near-dup clustering + per-cluster keeper
+      // election over the collection's raw documents, reported as the
+      // per-source dedup payoff (docs/tokens a dedup pass would remove)
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no deduplicable documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          val rows = TextQueries.dedupPayoffOf(docs).collect()
+          if (rows.isEmpty) println("no near-duplicate clusters")
+          else rows.foreach { r =>
+            println(s"source=${r.getAs[String]("source")}" +
+              s" docs_removed=${r.getAs[Long]("docs_removed")}" +
+              s" tokens_removed=${r.getAs[Long]("tokens_removed")}" +
+              s" n_clusters=${r.getAs[Long]("n_clusters")}")
+          }
+      }
+
+    case "corpus-select" :: lake :: id :: Nil =>
+      // the corpus-selection funnel (lang gate → quality gate → exact-dedup
+      // keeper election → hash sampling) over a loaded collection's raw
+      // documents — per-source attrition + selected-token totals
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no selectable documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          TextQueries.corpusSelectOf(docs.withColumn("lang", lit("en")))
+            .collect().foreach { r =>
+              println(s"source=${r.getAs[String]("source")}" +
+                s" n_total=${r.getAs[Long]("n_total")}" +
+                s" n_pass=${r.getAs[Long]("n_pass")}" +
+                s" n_keeper=${r.getAs[Long]("n_keeper")}" +
+                s" n_selected=${r.getAs[Long]("n_selected")}" +
+                s" tokens_selected=${r.getAs[Long]("tokens_selected")}")
+            }
       }
 
     case "closecollection" :: lake :: id :: nFiles :: Nil =>
@@ -505,18 +575,30 @@ object Cli {
         r.schema.fieldNames.foreach(f => println(s"$f: ${Option(r.getAs[Any](f)).getOrElse("-")}"))
       }
 
-    case "notes" :: lake :: rootId :: levels =>
+    case "notes" :: lake :: rootId :: rest =>
       val spark = session()
       val plane = loadPlane(lake)
       val rid = idArg(rootId)
       known(plane, rid)
+      // --limit N: the per-level bound, caller-visible (default 1000 —
+      // the forTree default; the reference endpoint streams unboundedly,
+      // which a collect()-and-print command must not)
+      val limit = flagValue(rest, "--limit") match {
+        case None => 1000
+        case Some(v) => v.toIntOption.filter(_ > 0).getOrElse {
+          System.err.println(s"--limit needs a positive number, got '$v'")
+          sys.exit(2)
+        }
+      }
+      val levels = rest.filterNot(_.startsWith("--"))
+        .filterNot(v => flagValue(rest, "--limit").contains(v))
       val lv = if (levels.isEmpty) Seq(Notes.Info, Notes.Warning, Notes.Error) else levels
       readOrEmpty(spark, s"$lake/collection_note") match {
         case None => println("no notes")
         case Some(notes) =>
           // collect() here is the command's OUTPUT: forTree groups to at
           // most one row per level (≤3) for the terminal print
-          Notes.forTree(notes, treeIds(plane, rid), lv)
+          Notes.forTree(notes, treeIds(plane, rid), lv, maxPerCode = limit)
             .collect().foreach { r =>
               val shown = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("notes"))
               val total = r.getAs[Long]("n_total")

@@ -50,11 +50,13 @@ object Pipeline {
       plane: Control.Plane)
 
   /** What the load stage did. `notes` counts the upgrade differs-warnings
-    * persisted so far (compile warnings come later). */
+    * persisted so far (compile warnings come later).
+    * `compiledCollectionId` is None when the load planned no compile step
+    * (`load` without `--compile`, reference load.py:34). */
   final case class LoadStage(
       collectionId: Long,
       upgradedCollectionId: Option[Long],
-      compiledCollectionId: Long,
+      compiledCollectionId: Option[Long],
       dataVersion: String,
       files: Int,
       items: Long,
@@ -73,7 +75,16 @@ object Pipeline {
     * DAG, register and stream-load every file under `inputDir`, optionally
     * upgrading 1.0→1.1 into a derived collection. With `keepOpen` the
     * collection stays open for [[loadFilesInto]] additions (`load
-    * --keep-open`); otherwise it is closed with the loaded file count. */
+    * --keep-open`); otherwise it is closed with the loaded file count.
+    *
+    * Step selection mirrors `create_collections` (loader.py:79-102):
+    * `compile` plans the compile step and creates the compiled child
+    * (parented to the upgraded collection when `upgrade`, else the root);
+    * `check` plans the schema-check step on the root. Neither is implied —
+    * the reference's "additional processing is not automatically
+    * configured" contract (load.py:34). The programmatic default keeps
+    * compile=true for the library's own compose-everything callers; the
+    * CLI passes the user's explicit flags. */
   def load(
       spark: SparkSession,
       inputDir: String,
@@ -83,11 +94,13 @@ object Pipeline {
       upgrade: Boolean = false,
       keepOpen: Boolean = false,
       sourceId: Option[String] = None,
-      dataVersionOverride: Option[String] = None): LoadStage = {
+      dataVersionOverride: Option[String] = None,
+      compile: Boolean = true,
+      check: Boolean = false): LoadStage = {
 
     // §3.1 steps 1-2: create the collection DAG the loader builds
-    // (`loader.py:42-105`) — original [→ upgraded] → compiled — validating
-    // each transform transition like clean_fields (V2).
+    // (`loader.py:42-105`) — original [→ upgraded] [→ compiled] —
+    // validating each transform transition like clean_fields (V2).
     // `sourceId` is load.py's required -s/--source (defaults to the input
     // path when the caller has no source registry); `dataVersionOverride`
     // is -t/--time, else the earliest file mtime (load.py:89-100)
@@ -96,10 +109,15 @@ object Pipeline {
     val dataVersion = dataVersionOverride
       .getOrElse(Ingest.dataVersion(spark, paths))
     val upgradedId = if (upgrade) Some(collectionId + 1) else None
-    val compiledId = collectionId + (if (upgrade) 2 else 1)
+    val compiledId =
+      if (compile) Some(collectionId + (if (upgrade) 2 else 1)) else None
+    // steps exactly as loader.py:79-85: check, then upgrade ELSE compile
+    // (an upgrading root's compile step lives on the upgraded child)
+    val rootSteps = (if (check) Set("check") else Set.empty[String]) ++
+      (if (upgrade) Set("upgrade") else if (compile) Set("compile") else Set.empty[String])
     val original = Control.Collection(
       collectionId, sourceId = sourceId.getOrElse(inputDir), dataVersion = dataVersion,
-      steps = if (upgrade) Set("upgrade") else Set("compile"))
+      steps = rootSteps)
     var plane = Control.Plane(Map(collectionId -> original))
     def addChild(c: Control.Collection): Unit = {
       val errs = Control.validateNew(plane, c)
@@ -109,13 +127,16 @@ object Pipeline {
     upgradedId.foreach { uid =>
       addChild(Control.Collection(
         uid, sourceId = sourceId.getOrElse(inputDir), dataVersion = dataVersion,
-        parent = Some(collectionId), steps = Set("compile"),
+        parent = Some(collectionId),
+        steps = if (compile) Set("compile") else Set.empty,
         transformType = Some(Control.Transform.Upgrade1011)))
     }
-    addChild(Control.Collection(
-      compiledId, sourceId = sourceId.getOrElse(inputDir), dataVersion = dataVersion,
-      parent = Some(upgradedId.getOrElse(collectionId)),
-      transformType = Some(Control.Transform.CompileReleases)))
+    compiledId.foreach { kid =>
+      addChild(Control.Collection(
+        kid, sourceId = sourceId.getOrElse(inputDir), dataVersion = dataVersion,
+        parent = Some(upgradedId.getOrElse(collectionId)),
+        transformType = Some(Control.Transform.CompileReleases)))
+    }
 
     // steps 3-4: register + stream-load (+ upgrade leg)
     val (loaded, nItems, nNotes) =
@@ -674,6 +695,93 @@ object Pipeline {
     * final derived collection, structurally check the loaded rows, and
     * finalize the whole tree. `now` is the caller's clock (kept pure for
     * testability, like the control plane). */
+  /** Finisher leg for a load that planned NO compile step (`load` without
+    * `--compile` — reference load.py:34: additional processing is opt-in):
+    * there is no compiled child and no merge to run, so the chain is just
+    * the completion gates + cached counts, upgraded child first, then the
+    * root. The collection ends completed ("closed" in reference terms) but
+    * uncompiled — `addchecks`, a later API-created compile collection, or
+    * analytics over the raw release facts are all still possible. */
+  def finishUncompiled(
+      spark: SparkSession,
+      lakeDir: String,
+      plane0: Control.Plane,
+      collectionId: Long,
+      now: String): Control.Plane = {
+    var plane = plane0
+    def counts(id: Long): (Long, Long, Long) = {
+      def n(table: String): Long = Sink.readOrEmpty(spark, s"$lakeDir/$table")
+        .map(_.filter(col("collection_id") === id).count()).getOrElse(0L)
+      // compiled_release counts too: a compiled-release-format load lands
+      // its rows directly under the loading collection
+      (n("release"), n("record"), n("compiled_release"))
+    }
+    plane.upgradedChild(collectionId).map(_.id).foreach { uid =>
+      val (rel, rec, comp) = counts(uid)
+      plane = Control.complete(plane, uid, now, rel, rec, comp)
+        .getOrElse(throw new IllegalStateException("upgraded collection not completable"))
+    }
+    val (rel, rec, comp) = counts(collectionId)
+    plane = Control.complete(plane, collectionId, now, rel, rec, comp)
+      .getOrElse(throw new IllegalStateException("collection not completable"))
+    plane
+  }
+
+  /** The checker pass (the `addchecks` command AND the load-planned
+    * `--check` step run the same code): validate every item of `cid`
+    * against the official schema, persist one check row per item into
+    * release_check / record_check (incremental — rows already checked are
+    * anti-joined away), and return Some((checked, failed)). None when the
+    * collection's format has no check pass at all (compiled releases — the
+    * reference's checker handles only Release and Record rows) or the fact
+    * table is absent. */
+  def runChecks(
+      spark: SparkSession,
+      lakeDir: String,
+      plane: Control.Plane,
+      cid: Long): Option[(Long, Long)] = {
+    // package metadata is stored under the ROOT collection (the upgraded
+    // collection's rows come from the same source files)
+    val rootId = plane.rootParent(plane.collection(cid)).id
+    val isRecord = plane.collection(cid).dataTypeFormat
+      .contains(Control.Format.RecordPackage)
+    val (factTable, checkTable, kind) =
+      if (isRecord) ("record", "record_check", "record")
+      else ("release", "release_check", "release")
+    if (plane.collection(cid).dataTypeFormat
+        .contains(graft.ingest.FormatDetect.Format.CompiledRelease) ||
+        Sink.readOrEmpty(spark, s"$lakeDir/$factTable").isEmpty)
+      return None
+    val facts = Sink.readFacts(spark, s"$lakeDir/$factTable")
+      .filter(col("collection_id") === cid)
+      .select(col("filename"), col("ocid"),
+        (if (isRecord) lit("") else col("release_id")).as("release_id"),
+        col("hash_md5"), col("data"))
+    // package_data can be legitimately absent (crash remnants, older
+    // lakes): the checker already treats a missing envelope as null
+    val withPkg = Sink.readOrEmpty(spark, s"$lakeDir/package_data") match {
+      case Some(p) => facts.join(
+        p.filter(col("collection_id") === rootId).select("filename", "package_data"),
+        Seq("filename"), "left")
+      case None => facts.withColumn(
+        "package_data", lit(null).cast(org.apache.spark.sql.types.StringType))
+    }
+    val rows = withPkg
+      .select(Checker.checkId.as("id"), col("data"), col("package_data"))
+    val existing = Sink.readOrEmpty(spark, s"$lakeDir/$checkTable")
+      .map(_.filter(col("collection_id") === cid))
+      .getOrElse(spark.emptyDataFrame.withColumn("id", lit(0L)))
+    val checks = Checker.checkUnchecked(rows, existing, kind, spark)
+      .toDF().withColumn("collection_id", lit(cid)).persist()
+    // count BEFORE the append: the plan reads the check table (the
+    // anti-join side) lazily, so evaluating it after writing to the
+    // same table would anti-join the rows against themselves → checked=0
+    val result = (checks.count(), checks.filter(!col("ok")).count())
+    Sink.writeByCollection(checks, s"$lakeDir/$checkTable")
+    checks.unpersist()
+    Some(result)
+  }
+
   def loadAndCompile(
       spark: SparkSession,
       inputDir: String,

@@ -31,11 +31,20 @@ object TextQueries {
     * banding/verification design notes. */
   private[graft] def minhashJaccardPairs(
       s: SparkSession, d: String,
+      maxBucket: Int = BucketPairs.DefaultMaxBucket): DataFrame =
+    minhashJaccardPairsOf(Tables.documents(s, d), maxBucket)
+
+  /** The same engine over ANY (source, doc_id, text) frame — the seam the
+    * CLI's `dedup` command uses to run near-dup analysis over a loaded
+    * collection's fact rows instead of the bench documents table. */
+  private[graft] def minhashJaccardPairsOf(
+      docsIn: DataFrame,
       maxBucket: Int = BucketPairs.DefaultMaxBucket): DataFrame = {
+    val s = docsIn.sparkSession
     val NumHashes = 64
     val Bands = 16
     val RowsPerBand = NumHashes / Bands
-    val docs = Tables.documents(s, d)
+    val docs = docsIn
       .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks"))
       .withColumn("nt", size(col("toks")))
     val mins = (0 until NumHashes).map(i =>
@@ -194,6 +203,71 @@ object TextQueries {
     edges.select(col("v").as("doc_id"), col("u").as("lbl"))
       .unionByName(edges.select(col("u").as("doc_id"), col("u").as("lbl")))
       .groupBy("doc_id").agg(min("lbl").as("lbl"))
+  }
+
+  /** The dedup-payoff readout over ANY (source, doc_id, text) frame:
+    * MinHash-LSH pairs → connected components → per-cluster keeper
+    * election (component-min doc_id) → per-source docs/tokens REMOVED.
+    * Shared by q_dedup_payoff (bench documents table) and the CLI's
+    * `dedup` command (a loaded collection's fact rows). */
+  private[graft] def dedupPayoffOf(
+      docsIn: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
+    val edges = minhashJaccardPairsOf(docsIn)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val clusters = connectedComponents(edges, checkpointDir)
+    val docs = docsIn
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("tok"))
+    docs.join(clusters, "doc_id")
+      .filter(col("doc_id") =!= col("lbl")) // non-keepers = removals
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_removed"),
+        sum(col("tok")).as("tokens_removed"),
+        countDistinct(col("lbl")).as("n_clusters"))
+      .orderBy("source")
+  }
+
+  /** The corpus-selection funnel over ANY (source, doc_id, lang, text)
+    * frame (q_corpus_select's engine; see that QueryDef for the design
+    * notes): lang-ID gate → quality gate → exact-dedup keeper election
+    * among survivors → deterministic hash sampling, with per-source
+    * attrition. The CLI's `corpus-select` command feeds it a loaded
+    * collection's fact rows. */
+  private[graft] def corpusSelectOf(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast(LongType)
+    val enHits = size(filter(toks, t => t.isin(enStop: _*)))
+    val langOk = enHits >= 2
+    val stopRatio = enHits.cast(DoubleType) / size(toks).cast(DoubleType)
+    val qualityOk = nTok >= 10 && nTok <= 5000 && stopRatio >= 0.02
+    val pass = langOk && qualityOk
+    val keepRate = when(col("lang") === "en", lit(50)).otherwise(lit(25))
+    val sampleOk =
+      conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+        .cast(LongType) % 100 < keepRate
+    val base = docsIn.select(
+      col("source"), col("doc_id"),
+      nTok.as("n_tok"),
+      pass.as("pass"),
+      sampleOk.as("sample_ok"),
+      md5(concat_ws(" ", tokenSet(col("text")))).as("fingerprint"))
+    val wFp = Window.partitionBy("fingerprint")
+    val flagged = base.withColumn(
+      "keeper_ok",
+      col("pass") &&
+        col("doc_id") === min(when(col("pass"), col("doc_id"))).over(wFp))
+    flagged.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("keeper_ok"), 1L).otherwise(0L)).as("n_keeper"),
+        sum(when(col("keeper_ok") && col("sample_ok"), 1L).otherwise(0L))
+          .as("n_selected"),
+        sum(when(col("keeper_ok") && col("sample_ok"), col("n_tok"))
+          .otherwise(0L)).as("tokens_selected"))
+      .orderBy("source")
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -394,20 +468,7 @@ object TextQueries {
         // rows — a mandatory broadcast would die at the broadcast ceiling
         // (VERDICT r8 #2). The frame is two narrow longs; AQE broadcasts
         // it when it is genuinely small and shuffles on doc_id otherwise.
-        val edges = minhashJaccardPairs(s, d)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
-        val clusters = connectedComponents(edges)
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            size(split(col("text"), " ")).cast(LongType).as("tok"))
-        docs.join(clusters, "doc_id")
-          .filter(col("doc_id") =!= col("lbl")) // non-keepers = removals
-          .groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("docs_removed"),
-            sum(col("tok")).as("tokens_removed"),
-            countDistinct(col("lbl")).as("n_clusters"))
-          .orderBy("source")
+        dedupPayoffOf(Tables.documents(s, d))
       },
       Some("""WITH RECURSIVE t AS (
                 SELECT source, doc_id,
@@ -909,39 +970,7 @@ object TextQueries {
         // per-source aggregation — at 100 TB the fingerprint window IS the
         // dedup shuffle the funnel needs anyway, and everything else is
         // per-row flags folded into the final hash agg.
-        import org.apache.spark.sql.expressions.Window
-        val toks = tokens(col("text"))
-        val nTok = size(toks).cast(LongType)
-        val enHits = size(filter(toks, t => t.isin(enStop: _*)))
-        val langOk = enHits >= 2
-        val stopRatio = enHits.cast(DoubleType) / size(toks).cast(DoubleType)
-        val qualityOk = nTok >= 10 && nTok <= 5000 && stopRatio >= 0.02
-        val pass = langOk && qualityOk
-        val keepRate = when(col("lang") === "en", lit(50)).otherwise(lit(25))
-        val sampleOk =
-          conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
-            .cast(LongType) % 100 < keepRate
-        val base = Tables.documents(s, d).select(
-          col("source"), col("doc_id"),
-          nTok.as("n_tok"),
-          pass.as("pass"),
-          sampleOk.as("sample_ok"),
-          md5(concat_ws(" ", tokenSet(col("text")))).as("fingerprint"))
-        val wFp = Window.partitionBy("fingerprint")
-        val flagged = base.withColumn(
-          "keeper_ok",
-          col("pass") &&
-            col("doc_id") === min(when(col("pass"), col("doc_id"))).over(wFp))
-        flagged.groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_total"),
-            sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
-            sum(when(col("keeper_ok"), 1L).otherwise(0L)).as("n_keeper"),
-            sum(when(col("keeper_ok") && col("sample_ok"), 1L).otherwise(0L))
-              .as("n_selected"),
-            sum(when(col("keeper_ok") && col("sample_ok"), col("n_tok"))
-              .otherwise(0L)).as("tokens_selected"))
-          .orderBy("source")
+        corpusSelectOf(Tables.documents(s, d))
       },
       Some(s"""WITH base AS (
                 SELECT source, doc_id,

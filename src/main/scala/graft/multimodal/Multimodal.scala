@@ -23,12 +23,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * (MultimodalSpec round-trips a generated WAV). The VIDEO leg parses
   * true CONTAINER metadata in pure JVM — MP4 `moov/trak/tkhd` dimensions
   * and `stts` frame count, AVI `avih` dimensions and dwTotalFrames
-  * (MultimodalSpec round-trips generated MP4/AVI fixtures) — while pixel
-  * DECODE remains a deterministic stub: the JDK genuinely has no video
-  * codecs and this container has no external ones, so "frames" are byte
-  * blocks with the container's declared count carried alongside. Swapping
-  * in a real codec changes only the frame extraction; the schema,
-  * partitioning, batch shape and query wiring don't move.
+  * (MultimodalSpec round-trips generated MP4/AVI fixtures) — and for
+  * MJPEG-in-AVI it decodes PIXELS for real too: every vids/MJPG movi
+  * chunk is a standalone baseline JPEG, which ImageIO decodes, so those
+  * videos get true per-frame RGB rasters and a real thumbnail
+  * (MultimodalSpec round-trips an authored MJPEG AVI). Pixel decode for
+  * OTHER video codecs remains a deterministic stub — the JDK genuinely
+  * has no H.264/VP9/… decoder and this container has no external ones, so
+  * their "frames" are byte blocks with the container's declared count
+  * carried alongside. Swapping in a real codec changes only the frame
+  * extraction; the schema, partitioning, batch shape and query wiring
+  * don't move.
   */
 object Multimodal {
 
@@ -219,11 +224,81 @@ object Multimodal {
     if (!looksLikeVideo(bytes)) None
     else
       try {
-        val meta = if (bytes(0) == 'R') aviMeta(bytes) else mp4Meta(bytes)
-        meta.map { case (w, h, n) =>
-          Decoded("video", w, h, frameSample(bytes, 1), nFrames = Some(n))
+        // MJPEG-in-AVI is the one video format the JVM CAN pixel-decode
+        // without a codec dependency: every vids/MJPG movi chunk is a
+        // standalone baseline JPEG, and ImageIO already decodes JPEG —
+        // so this path yields REAL per-frame rasters (and therefore a
+        // real thumbnail), shrinking the video stub to the formats whose
+        // codecs genuinely don't exist in the JDK
+        val mjpeg = if (bytes(0) == 'R') aviMjpgDecoded(bytes) else None
+        mjpeg.orElse {
+          val meta = if (bytes(0) == 'R') aviMeta(bytes) else mp4Meta(bytes)
+          meta.map { case (w, h, n) =>
+            Decoded("video", w, h, frameSample(bytes, 1), nFrames = Some(n))
+          }
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Walk a RIFF payload region `[start, end)`: (fourcc, dataStart,
+    * dataEnd) per chunk, even-padded; malformed sizes end the walk. */
+  private def riffChildren(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var pos = start
+    var ok = true
+    while (ok && pos + 8 <= end) {
+      val f = new String(b, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = le32(b, pos + 4)
+      if (size < 0 || pos + 8 + size > end) ok = false
+      else {
+        out += ((f, pos + 8, (pos + 8 + size).toInt))
+        pos += (8 + size + (size % 2)).toInt
+      }
+    }
+    out.result()
+  }
+
+  /** The REAL video-pixel leg: decode an AVI whose video stream is MJPEG.
+    * Streams are declared in `hdrl`'s `strl` LISTs in index order; the
+    * first `strh` with fccType `vids` and handler `MJPG` (or a `strf`
+    * BITMAPINFOHEADER declaring biCompression `MJPG`) selects the stream,
+    * and its `##dc`/`##db` chunks inside `movi` are standalone baseline
+    * JPEGs. Frames are the DECODED row-major RGB rasters (the image leg's
+    * signal-content contract, now per frame), `pixels` carries frame 0 so
+    * the feature job emits a REAL thumbnail, and nFrames is the count
+    * actually decoded. None when no MJPEG stream or no chunk decodes →
+    * the metadata leg (then the stub) takes over. */
+  private def aviMjpgDecoded(b: Array[Byte]): Option[Decoded] = {
+    def cc(off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 12 || cc(8) != "AVI ") return None
+    val top = riffChildren(b, 12, b.length)
+    def listPayload(kind: String): Option[(Int, Int)] =
+      top.collectFirst { case ("LIST", s, e) if e - s >= 4 && cc(s) == kind => (s + 4, e) }
+    val (hs, he) = listPayload("hdrl").getOrElse(return None)
+    val strls = riffChildren(b, hs, he)
+      .collect { case ("LIST", s, e) if e - s >= 4 && cc(s) == "strl" => (s + 4, e) }
+    val mjpgIdx = strls.zipWithIndex.collectFirst {
+      case ((s, e), i) if riffChildren(b, s, e).exists { c =>
+            (c._1 == "strh" && c._3 - c._2 >= 8 &&
+              cc(c._2) == "vids" && cc(c._2 + 4) == "MJPG") ||
+              (c._1 == "strf" && c._3 - c._2 >= 20 && cc(c._2 + 16) == "MJPG")
+          } => i
+    }.getOrElse(return None)
+    val (ms, me) = listPayload("movi").getOrElse(return None)
+    val prefix = f"$mjpgIdx%02d"
+    val rasters = riffChildren(b, ms, me)
+      .collect { case (f, s, e) if f == prefix + "dc" || f == prefix + "db" =>
+        java.util.Arrays.copyOfRange(b, s, e)
+      }
+      .flatMap(chunk =>
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(chunk)))
+        catch { case scala.util.control.NonFatal(_) => None })
+      .map(img => (img.getWidth, img.getHeight, rgbBytes(img)))
+    rasters.headOption.map { case (w, h, first) =>
+      Decoded("video", w.toLong, h.toLong, rasters.map(_._3),
+        nFrames = Some(rasters.size.toLong), pixels = Some(first))
+    }
+  }
 
   private def be32(b: Array[Byte], off: Int): Long =
     ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |

@@ -44,7 +44,7 @@ class CliSpec extends AnyFunSuite {
     val input = inputTree().toString
     val lake = Files.createTempDirectory("graft-cli-lake").toString
 
-    val loadOut = run("load", input, lake, "--upgrade")
+    val loadOut = run("load", input, lake, "--upgrade", "--compile")
     assert(loadOut.contains("collection=1 upgraded=2 compiled=3"))
     assert(loadOut.contains("items=2"))
     assert(Files.exists(java.nio.file.Paths.get(s"$lake/_control.json")))
@@ -70,6 +70,9 @@ class CliSpec extends AnyFunSuite {
     val notes = run("notes", lake, "1")
     assert(notes.contains("WARNING:"))
     assert(notes.contains("differs")) // the upgrade differs-warning
+    // --limit bounds the per-level page, caller-visible
+    val limited = run("notes", lake, "1", "WARNING", "--limit", "1")
+    assert(limited.linesIterator.count(_.startsWith("  - ")) === 1)
 
     // everything referenced → GC removes nothing; after the tree delete the
     // store rows are orphaned and the GC clears them
@@ -90,7 +93,7 @@ class CliSpec extends AnyFunSuite {
         |     "tag": ["tender"], "initiationType": "tender"}]}
         | ]}""".stripMargin)
     val lake = Files.createTempDirectory("graft-cli-rec-lake").toString
-    val loadOut = run("load", dir.toString, lake)
+    val loadOut = run("load", dir.toString, lake, "--compile")
     assert(loadOut.contains("items=1"))
     assert(loadOut.contains("compiled_releases=1"))
     // addchecks routes to the RECORD schema + record_check table
@@ -109,7 +112,7 @@ class CliSpec extends AnyFunSuite {
       """{"ocid": "ocds-cc1", "id": "c1", "date": "2020-01-01T00:00:00Z",
         | "tag": ["compiled"], "initiationType": "tender"}""".stripMargin)
     val lake = Files.createTempDirectory("graft-cli-cr-lake").toString
-    assert(run("load", dir.toString, lake).contains("compiled_releases=1"))
+    assert(run("load", dir.toString, lake, "--compile").contains("compiled_releases=1"))
     // no release/record rows exist — the reference's checker only handles
     // those, so this must report zero, not die on the absent table
     assert(run("addchecks", lake, "1").contains("checked=0 failed=0"))
@@ -119,7 +122,7 @@ class CliSpec extends AnyFunSuite {
     val input = inputTree()
     val lake = Files.createTempDirectory("graft-cli-lake2").toString
 
-    run("load", input.toString, lake, "--note", "initial import", "--sample",
+    run("load", input.toString, lake, "--compile", "--note", "initial import", "--sample",
       "--source", "demo_local", "--time", "2019-05-05 12:00:00")
     // --note → an INFO collection_note row, readable via the notes command
     val notes = run("notes", lake, "1", "INFO")
@@ -146,12 +149,88 @@ class CliSpec extends AnyFunSuite {
     assert(run("collections", lake, "--source", "nope").trim.isEmpty)
   }
 
+  test("load without --compile completes the collection UNCOMPILED (step opt-in, load.py:34)") {
+    val input = inputTree().toString
+    val lake = Files.createTempDirectory("graft-cli-nocompile").toString
+    val loadOut = run("load", input, lake)
+    // no compiled child was created and nothing compiled
+    assert(loadOut.contains("collection=1"))
+    assert(!loadOut.contains("compiled="))
+    assert(!loadOut.contains("compiled_releases="))
+    val plane = graft.control.PlaneStore.load(lake)
+    assert(plane.collections.keySet === Set(1L))
+    assert(plane.collections(1L).steps.isEmpty) // no compile, no check planned
+    // …but the collection is closed, completed, and its releases counted —
+    // NOT stuck open (the reference finisher completes step-less loads)
+    assert(plane.collections(1L).completedAt.nonEmpty)
+    assert(plane.collections(1L).cachedReleasesCount.contains(2L))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake/compiled_release")))
+    // the raw release facts are there for addchecks / analytics
+    assert(SparkSuite.spark.read.parquet(s"$lake/release")
+      .where("collection_id = 1").count() === 2)
+  }
+
+  test("load --check plans and runs schema checks at close (no compile involved)") {
+    val input = inputTree().toString
+    val lake = Files.createTempDirectory("graft-cli-loadcheck").toString
+    val loadOut = run("load", input, lake, "--check")
+    assert(loadOut.contains("checked=2 check_failed=0"))
+    assert(!loadOut.contains("compiled="))
+    // the check step was PLANNED on the root (loader.py:80-81) and its
+    // rows persisted into release_check, exactly like addchecks
+    val plane = graft.control.PlaneStore.load(lake)
+    assert(plane.collections(1L).steps === Set("check"))
+    assert(plane.collections(1L).completedAt.nonEmpty)
+    assert(Files.exists(java.nio.file.Paths.get(s"$lake/release_check/collection_id=1")))
+    assert(SparkSuite.spark.read.parquet(s"$lake/release_check")
+      .where("collection_id = 1").count() === 2)
+    // a follow-up addchecks finds nothing unchecked (shared incremental engine)
+    assert(run("addchecks", lake, "1").contains("checked=0"))
+  }
+
+  test("dedup / corpus-select run the corpus pipeline over a LOADED collection") {
+    val dir = Files.createTempDirectory("graft-cli-dedup")
+    // two near-identical releases (one token apart over ~35 distinct
+    // tokens → Jaccard ≈ 0.95, over the 0.9 near-dup threshold) plus one
+    // genuinely different release
+    val desc = "the quick brown fox of a kind jumps over to the lazy dog " +
+      "in every harbor and waits while seven silver ships sail"
+    def rel(id: String) =
+      s"""{"ocid": "ocds-dd1", "id": "$id", "date": "2020-01-01T00:00:00Z",
+         | "tag": ["tender"], "initiationType": "tender",
+         | "tender": {"id": "t1", "description": "$desc"}}""".stripMargin
+    val distinct =
+      """{"ocid": "ocds-dd2", "id": "zz", "date": "2021-05-05T00:00:00Z",
+        | "tag": ["award"], "initiationType": "tender",
+        | "tender": {"id": "q9", "description": "totally different content about
+        | the shipping of many a crate to ports in winter"}}""".stripMargin.replace("\n", " ")
+    Files.writeString(dir.resolve("d.json"),
+      s"""{"uri": "http://x/d", "version": "1.1", "publisher": {"name": "D"},
+         | "publishedDate": "2020-01-01T00:00:00Z",
+         | "releases": [${rel("a1")}, ${rel("a2")}, $distinct]}""".stripMargin)
+    val lake = Files.createTempDirectory("graft-cli-dedup-lake").toString
+    run("load", dir.toString, lake, "--source", "dd_local")
+    // near-dup payoff: the a1/a2 pair forms one cluster, one doc removed
+    val payoff = run("dedup", lake, "1")
+    assert(payoff.contains("source=dd_local"))
+    assert(payoff.contains("docs_removed=1"))
+    assert(payoff.contains("n_clusters=1"))
+    // funnel: all three documents hit the lang+quality gates; every
+    // distinct fingerprint keeps its keeper (the near-dup pair differs in
+    // a token, so exact dedup removes nothing here)
+    val funnel = run("corpus-select", lake, "1")
+    assert(funnel.contains("source=dd_local"))
+    assert(funnel.contains("n_total=3"))
+    assert(funnel.contains("n_pass=3"))
+    assert(funnel.contains("n_keeper=3"))
+  }
+
   test("keep-open lifecycle: load --keep-open → addfiles → close → compile") {
     val input = inputTree().toString
     val lake = Files.createTempDirectory("graft-cli-lake3").toString
 
     // --keep-open: the load happens, the close/compile chain does not
-    val loadOut = run("load", input, lake, "--upgrade", "--keep-open")
+    val loadOut = run("load", input, lake, "--upgrade", "--compile", "--check", "--keep-open")
     assert(loadOut.contains("collection=1 upgraded=2 compiled=3 files=1 items=2"))
     assert(loadOut.contains("(open)"))
     var plane = graft.control.PlaneJson.fromJson(
@@ -189,6 +268,9 @@ class CliSpec extends AnyFunSuite {
     val compileOut = run("compile", lake, "1")
     assert(compileOut.contains("compiled=3 compiled_releases=2")) // ocds-a + ocds-b
     assert(compileOut.contains("check_failures=0"))
+    // the check step planned at load ran at this close, persisting rows
+    assert(compileOut.contains("checked=3 check_failed=0"))
+    assert(Files.exists(java.nio.file.Paths.get(s"$lake/release_check/collection_id=1")))
     plane = graft.control.PlaneJson.fromJson(
       Files.readString(java.nio.file.Paths.get(s"$lake/_control.json")))
     assert(plane.collections(1L).completedAt.nonEmpty)

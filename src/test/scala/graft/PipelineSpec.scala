@@ -276,7 +276,7 @@ class PipelineSpec extends AnyFunSuite {
     plane = p2
     assert(n2 === 2)
     val compiled = Sink.readFacts(s, s"$lake/compiled_release")
-      .filter(col("collection_id") === stage.compiledCollectionId)
+      .filter(col("collection_id") === stage.compiledCollectionId.get)
     // ocds-k kept its FIRST batch's compile (max date 2020-01-01 — the
     // merged id is ocid-maxDate; batch 2's k2 would have made it
     // 2020-02-01); ocds-m compiled fresh
@@ -369,7 +369,7 @@ class PipelineSpec extends AnyFunSuite {
     val lake = Files.createTempDirectory("graft-lake-warn").toString
     val stage = Pipeline.load(s, dir.toString, lake, collectionId = 61L,
       now = "2020-06-01 00:00:00")
-    val compiledId = stage.compiledCollectionId
+    val compiledId = stage.compiledCollectionId.get
     // what Api.create does for a creation note: an INFO row on EVERY
     // created collection, including the compiled child (ADVICE r7: the old
     // partition overwrite deleted it whenever the compile warned)

@@ -119,6 +119,15 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val off = send("GET", "/api/collections/2/notes/")
     assert(off.statusCode() == 400)
     assert(off.body().contains("must be a root collection"))
+
+    // ?limit= bounds notes per level, caller-visible (the endpoint's
+    // deliberate deviation from the reference's unbounded stream)
+    val limited = Canonical.parse(
+      send("GET", "/api/collections/1/notes/?limit=2").body())
+    assert(limited.get("INFO").size() == 2)
+    val badLimit = send("GET", "/api/collections/1/notes/?limit=zero")
+    assert(badLimit.statusCode() == 400)
+    assert(badLimit.body().contains("positive integer"))
   }
 
   test("metadata: 400 off-compiled; computed row for the compiled collection") {

@@ -236,6 +236,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.nFrames === Some(99L))
   }
 
+  private def jpegBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 37 + y * 101 + seed * 7919) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** A structurally true MJPEG AVI: hdrl declares a vids/MJPG stream
+    * (strh + strf BITMAPINFOHEADER with biCompression MJPG), movi carries
+    * one `00dc` JPEG chunk per frame. */
+  private def mjpegAviBytes(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      fourcc.getBytes("US-ASCII") ++ le(body.length) ++ padded
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("US-ASCII") ++ le(4 + children.length) ++
+        kind.getBytes("US-ASCII") ++ children
+    val avihBody = new Array[Byte](56)
+    System.arraycopy(le(frames.size), 0, avihBody, 16, 4)
+    System.arraycopy(le(w), 0, avihBody, 32, 4)
+    System.arraycopy(le(h), 0, avihBody, 36, 4)
+    val strhBody = "vids".getBytes("US-ASCII") ++
+      "MJPG".getBytes("US-ASCII") ++ new Array[Byte](48)
+    val strfBody = new Array[Byte](40) // BITMAPINFOHEADER
+    System.arraycopy(le(40), 0, strfBody, 0, 4)
+    System.arraycopy(le(w), 0, strfBody, 4, 4)
+    System.arraycopy(le(h), 0, strfBody, 8, 4)
+    System.arraycopy("MJPG".getBytes("US-ASCII"), 0, strfBody, 16, 4)
+    val strl = list("strl", chunk("strh", strhBody) ++ chunk("strf", strfBody))
+    val hdrl = list("hdrl", chunk("avih", avihBody) ++ strl)
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val payload = hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le(4 + payload.length) ++
+      "AVI ".getBytes("US-ASCII") ++ payload
+  }
+
+  test("MJPEG-in-AVI decodes REAL frame pixels through the image leg") {
+    val f0 = jpegBytes(48, 32, 1)
+    val f1 = jpegBytes(48, 32, 2)
+    val d = Multimodal.decode(mjpegAviBytes(Seq(f0, f1), 48, 32))
+    assert((d.kind, d.width, d.height) === ("video", 48L, 32L))
+    assert(d.nFrames === Some(2L))
+    // golden: each frame is the same RGB raster ImageIO yields for the
+    // bare JPEG — decoded signal content, not container byte blocks
+    def raster(jpeg: Array[Byte]): Seq[Byte] = Multimodal.rgbBytes(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))).toSeq
+    assert(d.frames.map(_.toSeq) === Seq(raster(f0), raster(f1)))
+    // frame 0's raster is exposed as pixels → the feature job can build a
+    // REAL thumbnail for this one genuine video format
+    assert(d.pixels.map(_.toSeq) === Some(raster(f0)))
+  }
+
+  test("features() emits a real thumbnail hash for MJPEG video payloads") {
+    val s = graft.SparkSuite.spark
+    import s.implicits._
+    val avi = mjpegAviBytes(Seq(jpegBytes(40, 40, 3)), 40, 40)
+    val docs = Seq((1L, avi), (2L, aviBytes(320, 200, 7))).toDF("doc_id", "content")
+    val rows = Multimodal.features(docs, s).collect().sortBy(_.doc_id)
+    assert(rows(0).kind === "video")
+    assert(rows(0).n_frames === 1L)
+    assert(rows(0).thumb_hash !== null) // real pixels → real thumbnail
+    assert(rows(1).thumb_hash === null) // metadata-only AVI keeps the stub walk
+  }
+
   test("corrupt video magic falls back to the deterministic stub") {
     def sig(d: Multimodal.Decoded) = (d.kind, d.width, d.height, d.nFrames)
     // ftyp magic but no moov box anywhere
