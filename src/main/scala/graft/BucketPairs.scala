@@ -27,11 +27,27 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *    non-min members of an oversized bucket that collide in no smaller
   *    bucket — the documented recall-vs-cost contract at 100 TB.
   *
-  * Plan shape: one groupBy computes (min, count) per bucket (map-side
-  * combinable, k-row output), joined back shuffle-hash on the bucket key —
-  * the signature frame's exchange is shared between the stats aggregate
-  * and the join probe (ReusedExchange), so the bound costs no extra
-  * full shuffle. Truncation is LOUD: the star branch carries an
+  * Plan shape: ONE exchange of the signature frame on the bucket key,
+  * then window functions (`min`, `count` over the bucket partition) tag
+  * every row with its bucket's stats in place — no stats join. The two
+  * branches (all-pairs / star) hang off that single exchange, which
+  * canonicalizes identically under each, so AQE shares the shuffle
+  * stage and the signature pipeline — the expensive part: tokenize, N
+  * hash mins, band explode — computes and shuffles once. (A first cut
+  * aggregated stats separately and joined them back; the aggregate's
+  * partial-agg exchange can never canonicalize equal to the probe's
+  * raw-row exchange, so the signature frame was computed twice — a
+  * measured 1.5-1.65× on the four LSH queries. A single-subtree
+  * variant that collected ids conditionally over a second window and
+  * emitted pair suffixes row-locally measured WORSE than either: every
+  * row of a small bucket carries a copy of the bucket's id array, and
+  * that per-row array materialization dominates.) The small branch's
+  * re-aggregation needs no further exchange — the window output is
+  * already hash-partitioned by the bucket key — and its collect_set
+  * buffer is bounded by the `_cnt` filter in front of it. WindowExec
+  * buffers one bucket's rows at a time and SPILLS beyond memory, so an
+  * adversarial mega-bucket degrades to disk, never to a single giant
+  * agg buffer. Truncation is LOUD: the star branch carries an
   * `observe()` metric and a session-registered listener WARNs with the
   * star-reduced row count whenever it fires.
   */
@@ -57,11 +73,11 @@ object BucketPairs {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     ensureListener(sig.sparkSession)
     val keys = bucketKeys.map(col)
-    val stats = sig
-      .groupBy(keys: _*)
-      .agg(min(col(idCol)).as("_mn"), count(lit(1)).as("_cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val tagged = sig
+      .withColumn("_mn", min(col(idCol)).over(w))
+      .withColumn("_cnt", count(lit(1)).over(w))
       .filter(col("_cnt") > 1)
-    val tagged = sig.join(stats.hint("shuffle_hash"), bucketKeys)
     val small = tagged
       .filter(col("_cnt") <= maxBucket)
       .groupBy(keys: _*)
