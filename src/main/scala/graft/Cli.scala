@@ -34,7 +34,8 @@ import graft.ocds.Metadata
   *   compact-outcomes <outDir>                  (fold a record-outcome
   *                                               stream's batch partitions)
   *   addchecks <lake> <collectionId>            (addchecks + checker)
-  *   dedup <lake> <collectionId>                (near-dup payoff report over the
+  *   dedup <lake> <collectionId> [--checkpoint-dir DIR] [--max-bucket N]
+  *                                              (near-dup payoff report over the
   *                                               collection's documents; no reference
   *                                               analogue — the LLM-corpus surface)
   *   corpus-select <lake> <collectionId>        (corpus-selection funnel over the
@@ -124,6 +125,17 @@ object Cli {
     if (!rest.contains(flag)) None
     else rest.dropWhile(_ != flag).drop(1).headOption.filterNot(_.startsWith("--"))
       .orElse { System.err.println(s"$flag needs a value"); sys.exit(2) }
+
+  /** Removes `--flag` and its single FOLLOWING token positionally — not by
+    * value equality, which would also drop an unrelated positional arg that
+    * happens to coincide with the flag's value (ADVICE r9). */
+  private def stripFlag(rest: List[String], flag: String): List[String] =
+    rest match {
+      case `flag` :: _ :: tail => stripFlag(tail, flag)
+      case `flag` :: Nil       => Nil
+      case head :: tail        => head :: stripFlag(tail, flag)
+      case Nil                 => Nil
+    }
 
   def main(args: Array[String]): Unit = args.toList match {
     case "load" :: input :: lake :: rest =>
@@ -375,27 +387,52 @@ object Cli {
           s"Collection $rid is not a root collection. Its parent is collection ${c.parent.get}.")
         sys.exit(2)
       }
-      // a closed gate (not yet closecollection'd, files still expected) or
-      // a replayed run (compilation already started) is a usage error, not
-      // a stack trace
-      val stage =
-        try Pipeline.compileAndFinish(session(), lake, plane, rid, nowUtc())
-        catch {
-          case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
-            System.err.println(e.getMessage)
-            sys.exit(2)
-        }
-      savePlane(lake, stage.plane)
-      // a check step planned at load (`load --keep-open --check`) runs now,
-      // at the close of the keep-open lifecycle, persisting check rows
-      val checked =
-        if (c.steps.contains("check"))
-          Pipeline.runChecks(session(), lake, stage.plane, rid)
-        else None
-      println(s"compiled=${stage.compiledCollectionId}" +
-        s" compiled_releases=${stage.compiled}" +
-        s" check_failures=${stage.checkFailures} notes=${stage.notes}" +
-        checked.map { case (n, f) => s" checked=$n check_failed=$f" }.getOrElse(""))
+      // a compile-less keep-open lifecycle (`load --keep-open` without
+      // `--compile`) has no compile-releases child: its finisher leg is
+      // finishUncompiled + the planned check step, same as a bare `load`
+      // close (ADVICE r9: previously this path threw and the collection
+      // stayed open forever)
+      val compileBaseId = plane.upgradedChild(rid).map(_.id).getOrElse(rid)
+      if (plane.compiledChild(plane.collection(compileBaseId)).isEmpty) {
+        val spark = session()
+        val p2 =
+          try Pipeline.finishUncompiled(spark, lake, plane, rid, nowUtc())
+          catch {
+            case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+              System.err.println(e.getMessage)
+              sys.exit(2)
+          }
+        savePlane(lake, p2)
+        val checked =
+          if (c.steps.contains("check")) Pipeline.runChecks(spark, lake, p2, rid)
+          else None
+        println("compiled=- (no compile step planned; collection completed" +
+          " uncompiled)" +
+          checked.map { case (n, f) => s" checked=$n check_failed=$f" }.getOrElse(""))
+      } else {
+        // a closed gate (not yet closecollection'd, files still expected) or
+        // a replayed run (compilation already started) is a usage error, not
+        // a stack trace
+        val stage =
+          try Pipeline.compileAndFinish(session(), lake, plane, rid, nowUtc())
+          catch {
+            case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+              System.err.println(e.getMessage)
+              sys.exit(2)
+          }
+        savePlane(lake, stage.plane)
+        // a check step planned at load (`load --keep-open --check`) runs
+        // now, at the close of the keep-open lifecycle, persisting check
+        // rows
+        val checked =
+          if (c.steps.contains("check"))
+            Pipeline.runChecks(session(), lake, stage.plane, rid)
+          else None
+        println(s"compiled=${stage.compiledCollectionId}" +
+          s" compiled_releases=${stage.compiled}" +
+          s" check_failures=${stage.checkFailures} notes=${stage.notes}" +
+          checked.map { case (n, f) => s" checked=$n check_failed=$f" }.getOrElse(""))
+      }
 
     case "collectionstatus" :: lake :: rootId :: Nil =>
       val plane = loadPlane(lake)
@@ -434,12 +471,25 @@ object Cli {
         case None => println("checked=0 failed=0 (no checkable rows for this collection)")
       }
 
-    case "dedup" :: lake :: id :: Nil =>
+    case "dedup" :: lake :: id :: rest =>
       // the corpus-pipeline surface over a LOADED collection (VERDICT r8
       // Next #8; reference precedent: every operator is a management
       // command): MinHash-LSH near-dup clustering + per-cluster keeper
       // election over the collection's raw documents, reported as the
-      // per-source dedup payoff (docs/tokens a dedup pass would remove)
+      // per-source dedup payoff (docs/tokens a dedup pass would remove).
+      // --checkpoint-dir DIR: durable-checkpoint the edge set AND the
+      // label rounds (cluster-scale mode — survives executor death);
+      // --max-bucket N: the LSH bucket bound (BucketPairs recall/cost
+      // knob). corpus-select takes neither: its funnel is exact-dedup
+      // only — no LSH buckets, no iterative loop to checkpoint.
+      val ckptDir = flagValue(rest, "--checkpoint-dir")
+      val maxBucket = flagValue(rest, "--max-bucket") match {
+        case None => BucketPairs.DefaultMaxBucket
+        case Some(v) => v.toIntOption.filter(_ > 1).getOrElse {
+          System.err.println(s"--max-bucket needs a number > 1, got '$v'")
+          sys.exit(2)
+        }
+      }
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)
@@ -449,7 +499,7 @@ object Cli {
             s"collection $cid has no deduplicable documents (release/record rows)")
           sys.exit(2)
         case Some(docs) =>
-          val rows = TextQueries.dedupPayoffOf(docs).collect()
+          val rows = TextQueries.dedupPayoffOf(docs, ckptDir, maxBucket).collect()
           if (rows.isEmpty) println("no near-duplicate clusters")
           else rows.foreach { r =>
             println(s"source=${r.getAs[String]("source")}" +
@@ -590,8 +640,7 @@ object Cli {
           sys.exit(2)
         }
       }
-      val levels = rest.filterNot(_.startsWith("--"))
-        .filterNot(v => flagValue(rest, "--limit").contains(v))
+      val levels = stripFlag(rest, "--limit").filterNot(_.startsWith("--"))
       val lv = if (levels.isEmpty) Seq(Notes.Info, Notes.Warning, Notes.Error) else levels
       readOrEmpty(spark, s"$lake/collection_note") match {
         case None => println("no notes")
@@ -642,7 +691,9 @@ object Cli {
            |  deletecollection <lake> <rootId>
            |  deleteorphan <lake>
            |  metadata <lake> <compiledId>
-           |  notes <lake> <rootId> [LEVEL...]
+           |  notes <lake> <rootId> [LEVEL...] [--limit N]
+           |  dedup <lake> <collectionId> [--checkpoint-dir DIR] [--max-bucket N]
+           |  corpus-select <lake> <collectionId>
            |  api <lake> [--port N]""".stripMargin)
       sys.exit(2)
   }

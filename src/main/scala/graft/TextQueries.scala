@@ -113,6 +113,20 @@ object TextQueries {
     case None => df.localCheckpoint()
   }
 
+  /** The verified near-dup EDGE set ((doc_a, doc_b) MinHash-LSH pairs),
+    * materialized at a round boundary: the propagation loops scan it every
+    * round, so it must never re-run the MinHash pipeline — and in durable
+    * mode it must be a reliable `checkpoint()` like the label rounds it
+    * feeds (VERDICT r9 #2: an edge block lost to executor death under
+    * `localCheckpoint` has nothing to recompute from — the exact failure
+    * durable mode exists to survive, one hop upstream). */
+  private[graft] def neardupEdgesOf(
+      docsIn: DataFrame,
+      checkpointDir: Option[String] = None,
+      maxBucket: Int = BucketPairs.DefaultMaxBucket): DataFrame =
+    ckpt(minhashJaccardPairsOf(docsIn, maxBucket)
+      .select(col("doc_a"), col("doc_b")), checkpointDir)
+
   private[graft] def connectedComponents(
       edges: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
     var labels = ckpt(edges
@@ -211,9 +225,9 @@ object TextQueries {
     * Shared by q_dedup_payoff (bench documents table) and the CLI's
     * `dedup` command (a loaded collection's fact rows). */
   private[graft] def dedupPayoffOf(
-      docsIn: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
-    val edges = minhashJaccardPairsOf(docsIn)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      docsIn: DataFrame, checkpointDir: Option[String] = None,
+      maxBucket: Int = BucketPairs.DefaultMaxBucket): DataFrame = {
+    val edges = neardupEdgesOf(docsIn, checkpointDir, maxBucket)
     val clusters = connectedComponents(edges, checkpointDir)
     val docs = docsIn
       .select(col("doc_id"), col("source"),
@@ -421,11 +435,10 @@ object TextQueries {
         // transitive in effect (A~B, B~C ⟹ keep one of {A,B,C}), so the
         // keeper election must run per COMPONENT, not per pair. Algorithm
         // + scale notes on [[connectedComponents]]; the edge set is
-        // computed once and localCheckpoint'd so the propagation rounds
-        // never re-run the MinHash pipeline and the join lineage stays
-        // flat.
-        val edges = minhashJaccardPairs(s, d)
-          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        // computed once and round-boundary-materialized (neardupEdgesOf)
+        // so the propagation rounds never re-run the MinHash pipeline and
+        // the join lineage stays flat.
+        val edges = neardupEdgesOf(Tables.documents(s, d))
         connectedComponents(edges)
           .select(col("doc_id"), col("lbl").as("cluster_id"))
           .orderBy("doc_id")

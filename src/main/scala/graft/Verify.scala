@@ -38,7 +38,10 @@ object Verify {
     // array columns (CORRECTNESS_r08 `_aux` TypeError: unhashable
     // numpy.ndarray). The dumped oracle SQL embeds the absolute path, so
     // DuckDB reads it from anywhere.
-    val auxDir = new java.io.File(s"${outDir.stripSuffix("/")}_aux").getAbsolutePath
+    // canonicalize BEFORE appending: stripSuffix only removes one slash,
+    // so "out//" would yield "out/_aux" — back INSIDE outDir, resurrecting
+    // the driver's pandas crash on aux array columns (ADVICE r9).
+    val auxDir = new java.io.File(outDir).getCanonicalPath + "_aux"
     Queries.all
       .filter(q => (only.isEmpty || only(q.name)) && q.aux.nonEmpty)
       .foreach { q =>

@@ -264,9 +264,15 @@ object Multimodal {
     * and its `##dc`/`##db` chunks inside `movi` are standalone baseline
     * JPEGs. Frames are the DECODED row-major RGB rasters (the image leg's
     * signal-content contract, now per frame), `pixels` carries frame 0 so
-    * the feature job emits a REAL thumbnail, and nFrames is the count
-    * actually decoded. None when no MJPEG stream or no chunk decodes →
-    * the metadata leg (then the stub) takes over. */
+    * the feature job emits a REAL thumbnail, and nFrames is the CONTAINER
+    * frame-chunk count. Decoding is CAPPED (ADVICE r9): a 60 s 1080p clip
+    * is ~1800 × 6 MB ≈ 11 GB of raster if every frame is retained, which
+    * blows up a single executor row — so at most [[MaxDecodedFrames]]
+    * frames are decoded, sampled every-k-th with frame 0 always included
+    * (the frameSample access pattern). None when no MJPEG stream or no
+    * sampled chunk decodes → the metadata leg (then the stub) takes over. */
+  private[multimodal] val MaxDecodedFrames = 8
+
   private def aviMjpgDecoded(b: Array[Byte]): Option[Decoded] = {
     def cc(off: Int): String =
       new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -286,8 +292,14 @@ object Multimodal {
     }.getOrElse(return None)
     val (ms, me) = listPayload("movi").getOrElse(return None)
     val prefix = f"$mjpgIdx%02d"
-    val rasters = riffChildren(b, ms, me)
-      .collect { case (f, s, e) if f == prefix + "dc" || f == prefix + "db" =>
+    // offsets only — no bytes are copied or decoded for skipped frames
+    val chunkRanges = riffChildren(b, ms, me)
+      .collect { case (f, s, e) if f == prefix + "dc" || f == prefix + "db" => (s, e) }
+    if (chunkRanges.isEmpty) return None
+    val stride =
+      math.max(1, math.ceil(chunkRanges.size.toDouble / MaxDecodedFrames).toInt)
+    val rasters = chunkRanges.zipWithIndex
+      .collect { case ((s, e), i) if i % stride == 0 =>
         java.util.Arrays.copyOfRange(b, s, e)
       }
       .flatMap(chunk =>
@@ -296,7 +308,7 @@ object Multimodal {
       .map(img => (img.getWidth, img.getHeight, rgbBytes(img)))
     rasters.headOption.map { case (w, h, first) =>
       Decoded("video", w.toLong, h.toLong, rasters.map(_._3),
-        nFrames = Some(rasters.size.toLong), pixels = Some(first))
+        nFrames = Some(chunkRanges.size.toLong), pixels = Some(first))
     }
   }
 

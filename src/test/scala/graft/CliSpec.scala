@@ -215,6 +215,20 @@ class CliSpec extends AnyFunSuite {
     assert(payoff.contains("source=dd_local"))
     assert(payoff.contains("docs_removed=1"))
     assert(payoff.contains("n_clusters=1"))
+    // --checkpoint-dir routes the edge set + label rounds through a
+    // DURABLE checkpoint (reliable rdd-* blocks on disk), --max-bucket
+    // threads the BucketPairs bound; the payoff must be unchanged
+    val ckptDir = Files.createTempDirectory("graft-cli-dedup-ckpt").toString
+    val payoffDurable = run(
+      "dedup", lake, "1", "--checkpoint-dir", ckptDir, "--max-bucket", "64")
+    assert(payoffDurable.contains("docs_removed=1"))
+    assert(payoffDurable.contains("n_clusters=1"))
+    def rddDirs(dir: String): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .map(_.getName).filter(_.startsWith("rdd-"))
+    assert(rddDirs(ckptDir).nonEmpty)
+
     // funnel: all three documents hit the lang+quality gates; every
     // distinct fingerprint keeps its keeper (the near-dup pair differs in
     // a token, so exact dedup removes nothing here)
@@ -223,6 +237,76 @@ class CliSpec extends AnyFunSuite {
     assert(funnel.contains("n_total=3"))
     assert(funnel.contains("n_pass=3"))
     assert(funnel.contains("n_keeper=3"))
+  }
+
+  test("keep-open WITHOUT --compile: close → compile finishes uncompiled + runs planned check") {
+    // ADVICE r9: this lifecycle used to dead-end — no compiled child, so
+    // `compile` threw 'no compile-releases child' and the collection
+    // stayed open/uncompleted forever, its planned --check never running
+    val input = inputTree().toString
+    val lake = Files.createTempDirectory("graft-cli-keepopen-nc").toString
+    val loadOut = run("load", input, lake, "--check", "--keep-open")
+    assert(loadOut.contains("(open)"))
+    assert(!loadOut.contains("checked=")) // check waits for the close
+    var plane = graft.control.PlaneStore.load(lake)
+    assert(plane.collections.keySet === Set(1L)) // no compiled child planned
+    assert(plane.collections(1L).storeEndAt.isEmpty)
+    run("closecollection", lake, "1", "1")
+    val fin = run("compile", lake, "1")
+    assert(fin.contains("compiled=-"))
+    assert(fin.contains("checked=2 check_failed=0"))
+    plane = graft.control.PlaneStore.load(lake)
+    assert(plane.collections(1L).completedAt.nonEmpty)
+    assert(plane.collections(1L).cachedReleasesCount.contains(2L))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake/compiled_release")))
+    assert(SparkSuite.spark.read.parquet(s"$lake/release_check")
+      .where("collection_id = 1").count() === 2)
+    // the incremental engine sees the planned-check rows: nothing unchecked
+    assert(run("addchecks", lake, "1").contains("checked=0"))
+  }
+
+  test("load --check on a RECORD package routes to record_check end-to-end") {
+    // VERDICT r9 Next #6: the --check step on a record-package load must
+    // persist RECORD check rows (record/record_check routing), and the
+    // incremental engine must see them
+    val dir = Files.createTempDirectory("graft-cli-rec-check")
+    Files.writeString(dir.resolve("r.json"),
+      """{"uri": "http://x/rc", "version": "1.1", "publisher": {"name": "R"},
+        | "publishedDate": "2020-01-01T00:00:00Z",
+        | "records": [
+        |  {"ocid": "ocds-rc1", "releases": [
+        |    {"ocid": "ocds-rc1", "id": "c1", "date": "2020-01-01T00:00:00Z",
+        |     "tag": ["tender"], "initiationType": "tender"}]},
+        |  {"ocid": "ocds-rc2", "releases": [
+        |    {"ocid": "ocds-rc2", "id": "c2", "date": "2020-01-02T00:00:00Z",
+        |     "tag": ["award"], "initiationType": "tender"}]}
+        | ]}""".stripMargin)
+    val lake = Files.createTempDirectory("graft-cli-rec-check-lake").toString
+    val loadOut = run("load", dir.toString, lake, "--check")
+    assert(loadOut.contains("items=2"))
+    assert(loadOut.contains("checked=2 check_failed=0"))
+    val plane = graft.control.PlaneStore.load(lake)
+    assert(plane.collections(1L).steps === Set("check"))
+    assert(plane.collections(1L).completedAt.nonEmpty)
+    // rows landed in record_check (NOT release_check), one per record
+    assert(Files.exists(java.nio.file.Paths.get(s"$lake/record_check/collection_id=1")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$lake/release_check")))
+    assert(SparkSuite.spark.read.parquet(s"$lake/record_check")
+      .where("collection_id = 1").count() === 2)
+    // incremental re-run is a no-op against the planned-check rows
+    assert(run("addchecks", lake, "1").contains("checked=0"))
+  }
+
+  test("notes --limit value does not swallow a coinciding positional level") {
+    // ADVICE r9: value-equality filtering dropped EVERY positional equal
+    // to the limit string; `notes <lake> 1 7 --limit 7` must treat '7' as
+    // a level filter (matching nothing), not erase it and show all levels
+    val input = inputTree().toString
+    val lake = Files.createTempDirectory("graft-cli-notes-limit").toString
+    run("load", input, lake, "--note", "hello-note")
+    assert(run("notes", lake, "1").contains("hello-note"))
+    val out = run("notes", lake, "1", "7", "--limit", "7")
+    assert(!out.contains("hello-note"))
   }
 
   test("keep-open lifecycle: load --keep-open → addfiles → close → compile") {

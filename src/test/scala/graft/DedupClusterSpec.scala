@@ -120,6 +120,42 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
 
+  test("durable mode checkpoints the EDGE set itself, not just the label rounds") {
+    import s.implicits._
+    // VERDICT r9 #2: the edge frame feeds every propagation round — if it
+    // is only localCheckpoint'd, an executor death mid-loop loses an edge
+    // block with nothing to recompute from, one hop upstream of the
+    // failure durable mode exists to survive. neardupEdgesOf(…, Some(dir))
+    // must produce a RELIABLY-checkpointed frame (rdd-* blocks on disk).
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-edges").toString
+    // one token apart over 22 distinct tokens → Jaccard ≈ 0.92, over the
+    // 0.9 near-dup threshold; doc 3 is genuinely different
+    val base = "the quick brown fox of a kind jumps over to the lazy dog " +
+      "in every harbor and waits while seven silver ships sail"
+    val docs = Seq(
+      (1L, "s", s"$base today"),
+      (2L, "s", s"$base tonight"),
+      (3L, "s", "completely different content about winter shipping crates to ports"))
+      .toDF("doc_id", "source", "text")
+    def rddDirs(): Set[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .map(_.getName).filter(_.startsWith("rdd-")).toSet
+    assert(rddDirs().isEmpty)
+    val edges = TextQueries.neardupEdgesOf(docs, Some(dir))
+    // Dataset.checkpoint() is eager: the reliable blocks are on disk
+    // before any propagation round runs
+    assert(rddDirs().nonEmpty)
+    // and the checkpointed frame still carries the verified pair
+    assert(edges.as[(Long, Long)].collect().toSet === Set((1L, 2L)))
+    // end-to-end: the payoff readout in durable mode agrees with local
+    val durable = TextQueries.dedupPayoffOf(docs, Some(dir))
+      .collect().map(_.toSeq).toSeq
+    val local = TextQueries.dedupPayoffOf(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(durable === local)
+  }
+
   test("adversarial template source: candidates stay bounded and the bucket stays one component") {
     import s.implicits._
     // 10³ docs of one boilerplate template land in ONE LSH bucket (exact

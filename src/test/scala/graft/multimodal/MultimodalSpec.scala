@@ -292,6 +292,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.pixels.map(_.toSeq) === Some(raster(f0)))
   }
 
+  test("MJPEG decode caps retained rasters; nFrames stays the container count") {
+    // 3× the cap: decoding must SAMPLE (every k-th, frame 0 included),
+    // not retain every raster — ADVICE r9's 11 GB single-row blow-up
+    val n = Multimodal.MaxDecodedFrames * 3
+    val frames = (0 until n).map(i => jpegBytes(16, 16, i))
+    val d = Multimodal.decode(mjpegAviBytes(frames, 16, 16))
+    assert(d.kind === "video")
+    assert(d.nFrames === Some(n.toLong))
+    assert(d.frames.size === Multimodal.MaxDecodedFrames)
+    def raster(jpeg: Array[Byte]): Seq[Byte] = Multimodal.rgbBytes(
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))).toSeq
+    // frame 0 is always in the sample and feeds the thumbnail
+    assert(d.frames.head.toSeq === raster(frames.head))
+    assert(d.pixels.map(_.toSeq) === Some(raster(frames.head)))
+    // the sample is every-k-th, not the first k: the second retained
+    // raster is frame `stride`, not frame 1
+    assert(d.frames(1).toSeq === raster(frames(3)))
+  }
+
   test("features() emits a real thumbnail hash for MJPEG video payloads") {
     val s = graft.SparkSuite.spark
     import s.implicits._
