@@ -39,7 +39,6 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(src, dest, fStr) = args.take(3)
     val factor = fStr.toInt
-    require(factor >= 1, s"factor must be >= 1, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,6 +48,18 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, src, dest, factor)
+    spark.stop()
+  }
+
+  /** Build the N× replica (callable from the CI-lite scale suite, which
+    * brings its own session; `main` is the standalone CLI wrapper). */
+  def generate(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    // events.parquet is TIMESTAMP(NANOS); the mains set this at session
+    // build, but callers with their own session (the CI-lite scale suite)
+    // need it too — runtime-settable, so set it unconditionally here
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def copies(table: String)(shift: (DataFrame, Int) => DataFrame): DataFrame = {
       val base = spark.read.parquet(s"$src/$table.parquet")
@@ -83,6 +94,5 @@ object ScaleGen {
                   "orders", "lineitem")) {
       write(spark.read.parquet(s"$src/$t.parquet"), t)
     }
-    spark.stop()
   }
 }
