@@ -92,7 +92,12 @@ object Notes {
       .filter(col("rn") <= maxPerCode)
       .groupBy(col("code"))
       .agg(sort_array(collect_list(struct(col("note"), col("data")))).as("notes"))
-      .join(totals, Seq("code"))
+      // totals has ≤ |levels| rows (code is a closed INFO/WARNING/ERROR
+      // enum) — a bound that holds by CONSTRUCTION at any data scale, so
+      // the hint is safe where a data-dependent one wouldn't be: without
+      // it, the planner's size estimate of totals' lineage crosses the
+      // broadcast threshold at sf1 and degrades this join to sort-merge
+      .join(broadcast(totals), Seq("code"))
       .select(col("code"), col("n_total"), col("notes"))
       .orderBy("code")
   }
