@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The external bench collector captures the LAST 2000 chars of sbt stdout
+// and JSON-parses the summary line. Forked-run output normally passes
+// through sbt's logger, which costs 7 chars of "[info] " prefix per line,
+// and batch mode appends a ~76-char "[success] Total time..." trailer —
+// together they pushed the 79-query summary line's head out of the window
+// three rounds running. Raw stdout + no success banner returns the whole
+// window to the payload.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not a task, so the unused-key
+// lint false-positives on it.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

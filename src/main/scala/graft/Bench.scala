@@ -79,14 +79,18 @@ object Bench {
     // round (BENCH_r07/r08/r09 all lost entries this way — at 79 queries
     // the 3-decimal line measures ~2030 chars, just over). VERDICT r9 Next
     // #4: nothing printed BEFORE an oversized summary can ever survive the
-    // tail, so the only real fix is making the line itself fit. Strategy:
-    // render at millisecond precision; if the line would exceed the window
-    // (minus slack for the trailing newline), degrade per-query values to
-    // centisecond precision (~1950 chars at 79 queries; 10 ms resolution
-    // is 3% worst-case on the fastest 0.3 s query — well under the bench's
-    // own run-to-run noise). The total keeps 3 decimals either way, and
-    // the failure fields sit at the END so a truncated-anyway run still
-    // shows what failed.
+    // tail, so the only real fix is making the line itself fit. Two-part
+    // strategy, and BOTH parts matter at 79 queries:
+    //  - build.sbt reclaims the window overhead: raw forked-run stdout
+    //    (no 7-char "[info] " logger prefix) and no trailing ~76-char
+    //    "[success] Total time..." banner — without those two settings
+    //    even the 2-decimal line (~1950 chars) loses its head;
+    //  - render at millisecond precision, and if the line would exceed
+    //    the window (minus newline/flush slack) degrade per-query values
+    //    to centisecond precision (10 ms resolution is 3% worst-case on
+    //    the fastest 0.3 s query — well under run-to-run noise). The
+    //    total keeps 3 decimals either way, and the failure fields sit at
+    //    the END so a truncated-anyway run still shows what failed.
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 6,225 — invalid JSON
     def sec(v: Double, dp: Int = 3): String =
@@ -99,7 +103,7 @@ object Bench {
       val qs = results.map { case (k, v) => s"\"${esc(k)}\":${sec(v, dp)}" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"n_failed":${errors.size}}"""
     }
-    val window = 2000 - 10 // driver tail minus newline/flush slack
+    val window = 2000 - 50 // driver tail minus newline/flush slack
     val line = Seq(3, 2).map(summary).find(_.length <= window).getOrElse(summary(2))
     println(line)
     spark.stop()
