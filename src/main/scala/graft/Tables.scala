@@ -82,11 +82,26 @@ object Tables {
   }
 
   /** events with `ts_us`: microseconds since epoch as BIGINT.
-    * DuckDB's parquet reader truncates the same NANOS column to microsecond
-    * TIMESTAMP, so integer `ts DIV 1000` keeps the two engines bit-identical.
-    */
+    *
+    * The generator has shipped `ts` under two physical encodings across
+    * rounds — INT64 TIMESTAMP(NANOS) (read as LongType via `nanosAsLong`)
+    * and TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as
+    * TIMESTAMP_NTZ) — so the loader adapts to the scanned type instead of
+    * assuming one. Both normalize to the same BIGINT microseconds DuckDB's
+    * `epoch_us(ts)` produces: integer `DIV 1000` floors nanos exactly like
+    * DuckDB's nanos→micros truncation, and the NTZ leg casts through
+    * TIMESTAMP under the session's pinned UTC zone (every entry point sets
+    * `spark.sql.session.timeZone=UTC`), which is the identity mapping and
+    * matches DuckDB treating the naive value as-is. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events").withColumn("ts_us", expr("ts DIV 1000"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = load(s, d, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case LongType         => expr("ts DIV 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case _                => unix_micros(col("ts"))
+    }
+    df.withColumn("ts_us", tsUs)
   }
 }
