@@ -88,18 +88,23 @@ object Tables {
     * and TIMESTAMP(MICROS) with isAdjustedToUTC=false (read as
     * TIMESTAMP_NTZ) — so the loader adapts to the scanned type instead of
     * assuming one. Both normalize to the same BIGINT microseconds DuckDB's
-    * `epoch_us(ts)` produces: integer `DIV 1000` floors nanos exactly like
-    * DuckDB's nanos→micros truncation, and the NTZ leg casts through
-    * TIMESTAMP under the session's pinned UTC zone (every entry point sets
-    * `spark.sql.session.timeZone=UTC`), which is the identity mapping and
-    * matches DuckDB treating the naive value as-is. */
+    * `epoch_us(ts)` produces: integer `DIV 1000` truncates nanos toward
+    * zero, exactly like DuckDB's nanos→micros truncation (for a negative
+    * pre-1970 epoch this is NOT floor, but both engines truncate the same
+    * way, so the comparison stays exact either way; the generated data is
+    * all post-1970). The NTZ leg casts to the session-zoned TIMESTAMP type
+    * — via the explicit `TimestampType` object, NOT the string "timestamp",
+    * which would resolve through `spark.sql.timestampType` and become a
+    * no-op if that conf were ever NTZ — under the pinned UTC zone (every
+    * entry point sets `spark.sql.session.timeZone=UTC`), which is the
+    * identity mapping and matches DuckDB treating the naive value as-is. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = load(s, d, "events")
     val tsUs = df.schema("ts").dataType match {
       case LongType         => expr("ts DIV 1000")
-      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
       case _                => unix_micros(col("ts"))
     }
     df.withColumn("ts_us", tsUs)

@@ -1109,6 +1109,103 @@ object TextQueries {
               FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""),
       "Per-document characteristic terms (tf-idf's join shape, logarithm-free score " +
         "= tf x N / (len x df) for cross-engine bit-determinism): broadcast " +
-        "vocabulary-bounded df, one per-doc rank window, top-3 terms")
+        "vocabulary-bounded df, one per-doc rank window, top-3 terms"),
+
+    QueryDef(
+      "q_substr_dedup", Seq("J7", "J5", "A4", "W1"),
+      (s, d) => {
+        // CROSS-DOCUMENT exact-substring duplication (the ExactSubstr
+        // signal of Lee et al. 2022, "Deduplicating Training Data Makes
+        // Language Models Better"): any W-token span occurring >= 2 times
+        // ANYWHERE in the corpus (other documents or the same one — the
+        // suffix-array definition) marks its token positions as
+        // duplicated; per document, the union of marked spans yields
+        // dup_tokens / dup_frac, the removal signal span-level dedup acts
+        // on. This is the cross-doc complement of q_rep_ngrams (within-doc
+        // repetition only). W=6: on this corpus 4-token spans collide by
+        // chance (369/500 docs) while 6-token hits isolate the true clone
+        // structure (47 docs, matching the near-dup family).
+        substrDedupOf(Tables.fanOut(Tables.documents(s, d)))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                         FROM documents
+                         WHERE len(string_split(text, ' ')) >= 6),
+              sh AS (SELECT doc_id, unnest(generate_series(1, len(t) - 5)) AS pos, t
+                     FROM d),
+              sh2 AS (SELECT doc_id, pos, array_to_string(t[pos:pos+5], ' ') AS gram
+                      FROM sh),
+              dup AS (SELECT gram FROM sh2 GROUP BY gram HAVING count(*) >= 2),
+              dp AS (SELECT doc_id, pos FROM sh2 SEMI JOIN dup USING (gram)),
+              cov AS (
+                SELECT doc_id,
+                       sum(CASE WHEN prev IS NULL THEN 6
+                                ELSE least(6, pos - prev) END) AS dup_tokens
+                FROM (SELECT doc_id, pos,
+                             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                      FROM dp)
+                GROUP BY doc_id)
+              SELECT d.doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                     CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / len(t) AS dup_frac
+              FROM d LEFT JOIN cov USING (doc_id)
+              ORDER BY doc_id"""),
+      "Cross-document exact-substring duplication (ExactSubstr, Lee et al. 2022): " +
+        "6-token spans occurring >= 2x corpus-wide mark their positions; per-doc " +
+        "interval-union coverage via one lag window — dup_tokens/dup_frac removal signal")
   )
+
+  /** Per-document exact-substring duplication coverage over ANY
+    * (doc_id, text) frame — the engine behind q_substr_dedup.
+    *
+    * Scale shape (the suffix-array algorithm re-expressed as three
+    * key-bounded shuffles, no suffix array needed for fixed span width W):
+    *  1. shingle stream: |corpus tokens| rows of (doc_id, pos, gram) —
+    *     linear, generated by one codegen'd posexplode, never collected;
+    *  2. duplicated-gram set: groupBy(gram).count >= 2 — ONE shuffle on
+    *     the gram, bounded by map-side partial counts; the semi-join back
+    *     rides the SAME key, so Catalyst reuses the exchange (one physical
+    *     shuffle of the shingle stream total, AQE-coalesced);
+    *  3. coverage: equal-length sorted intervals union in one pass —
+    *     covered = W for the first hit + min(W, pos - prev) after (a lag
+    *     window per doc over ONLY the duplicated positions, typically a
+    *     few % of the corpus), then one per-doc sum and a join back to
+    *     per-doc token counts.
+    * At 100 TB the gram strings would be pre-hashed to xxhash64 BIGINTs
+    * before the shuffle (8-byte keys vs W-token strings; collision odds
+    * ~n²/2⁶⁵ corpus-wide — acceptable for a removal SIGNAL, switch the
+    * verify step to string equality when it is not). Kept as strings here
+    * for bit-exact cross-engine comparison with the DuckDB oracle. */
+  private[graft] def substrDedupOf(docsIn: DataFrame, W: Int = 6): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = transform(
+      sequence(lit(1), size(toks) - (W - 1)),
+      i => concat_ws(" ", (0 until W).map(o => element_at(toks, i + o)): _*))
+    // sub-W docs filtered on both engines (Spark's descending sequence()
+    // vs DuckDB's empty generate_series, as in q_rep_ngrams)
+    val docs = docsIn
+      .filter(size(toks) >= W)
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"),
+        grams.as("grams"))
+    val sh = docs
+      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+    val dup = sh.groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select("gram")
+    val dp = sh.join(dup, Seq("gram"), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val cov = dp
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .groupBy("doc_id")
+      .agg(sum(when(col("prev").isNull, lit(W))
+        .otherwise(least(lit(W), col("pos") - col("prev")))).as("dup_tokens"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast(LongType).as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) / col("n_tokens"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
 }

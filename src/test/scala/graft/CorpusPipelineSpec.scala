@@ -44,6 +44,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("substrDedupOf: span coverage unions overlaps, counts within-doc repeats, drops sub-W docs") {
+    import s.implicits._
+    // W=3 hand fixture. Cross-corpus gram counts: "a b c" x3 (docs 1,2,6),
+    // "b c d" x3 (docs 1,6,7), doc 3 repeats its own period-3 shingles;
+    // everything else is unique.
+    val docs = Seq(
+      (1L, "a b c d e f"),             // dup pos 1,2 -> union [1,4] = 4
+      (2L, "a b c x y z"),             // dup pos 1 -> 3
+      (3L, "p q r p q r p q r"),       // within-doc: pos 1..7 dup -> 9 (all)
+      (4L, "u v w x"),                 // no dup -> 0, but row kept
+      (5L, "s t"),                     // < W tokens -> filtered out
+      (6L, "m a b c d n o"),           // dup pos 2,3 -> union [2,5] = 4
+      (7L, "k1 b c d k2 k3")           // dup pos 2 -> 3
+    ).toDF("doc_id", "text")
+    val got = TextQueries.substrDedupOf(docs, W = 3)
+      .select("doc_id", "n_tokens", "dup_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array(
+      (1L, 6L, 4L), (2L, 6L, 3L), (3L, 9L, 9L),
+      (4L, 4L, 0L), (6L, 7L, 4L), (7L, 6L, 3L)))
+  }
+
   test("q_dedup_payoff removals never exceed the clustered population") {
     val payoff = Queries.byName("q_dedup_payoff").run(s, dir)
       .select("source", "docs_removed", "n_clusters").collect()
