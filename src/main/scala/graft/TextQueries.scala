@@ -859,11 +859,11 @@ object TextQueries {
         // start > stop, Spark's sequence() counts DOWN where DuckDB's
         // generate_series returns empty, so the guard must be explicit,
         // not a data assumption
+        // native token_grams (r11): the HOF transform form evaluated
+        // interpreted; one compiled loop builds the same strings
+        graft.functions.GraftExtensions.ensureRegistered(s)
         val toks = tokens(col("text"))
-        val grams = transform(
-          sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+        val grams = call_function("token_grams", toks, lit(3))
         Tables.fanOut(Tables.documents(s, d))
           .filter(size(tokens(col("text"))) >= 3)
           .select(
@@ -908,11 +908,16 @@ object TextQueries {
         // no shuffle on the big side until the per-doc count
         val W = 4
         val toks = tokens(col("text"))
-        val grams = transform(
-          sequence(lit(1), size(toks) - (W - 1)),
-          i => concat_ws(" ", (0 until W).map(o => element_at(toks, i + o)): _*))
+        // native token_grams + explode_OUTER, for the reasons measured on
+        // q_substr_dedup (r11): the HOF transform evaluates interpreted,
+        // and the non-outer explode's implicit size>0 filter pushes the
+        // whole gram construction below the fanOut exchange onto the
+        // single-task scan. The size(toks) >= W guard makes every gram
+        // array non-empty, so outer ≡ inner here.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        val grams = call_function("token_grams", toks, lit(W))
         def shingled(df: org.apache.spark.sql.DataFrame) =
-          df.select(col("doc_id"), explode(grams).as("gram"))
+          df.select(col("doc_id"), explode_outer(grams).as("gram"))
         // sub-shingle docs filtered on both engines (Spark's descending
         // sequence() vs DuckDB's empty generate_series, as in q_rep_ngrams)
         val docs = Tables.fanOut(Tables.documents(s, d))
@@ -1125,6 +1130,7 @@ object TextQueries {
         // repetition only). W=6: on this corpus 4-token spans collide by
         // chance (369/500 docs) while 6-token hits isolate the true clone
         // structure (47 docs, matching the near-dup family).
+        graft.functions.GraftExtensions.ensureRegistered(s)
         substrDedupOf(Tables.fanOut(Tables.documents(s, d)))
       },
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -1158,42 +1164,55 @@ object TextQueries {
   /** Per-document exact-substring duplication coverage over ANY
     * (doc_id, text) frame — the engine behind q_substr_dedup.
     *
-    * Scale shape (the suffix-array algorithm re-expressed as three
-    * key-bounded shuffles, no suffix array needed for fixed span width W):
+    * Scale shape (the suffix-array algorithm re-expressed as key-bounded
+    * shuffles, no suffix array needed for fixed span width W):
     *  1. shingle stream: |corpus tokens| rows of (doc_id, pos, gram) —
-    *     linear, generated by one codegen'd posexplode, never collected;
-    *  2. duplicated-gram set: groupBy(gram).count >= 2 — ONE shuffle on
-    *     the gram, bounded by map-side partial counts; the semi-join back
-    *     rides the SAME key, so Catalyst reuses the exchange (one physical
-    *     shuffle of the shingle stream total, AQE-coalesced);
+    *     linear, built by the NATIVE `token_grams` expression (one
+    *     compiled loop per row; the HOF `transform(sequence, ...)` form
+    *     evaluated interpreted and cost 4.3 s of this query's original
+    *     8.5 s at sf0.1) + one codegen'd posexplode, never collected;
+    *  2. duplicated positions: `count(*) over (partition by gram) >= 2` —
+    *     ONE shuffle+sort of the shingle stream (the groupBy+semi-join
+    *     alternative shuffles it twice: once narrow for the count, once
+    *     wide for the join — and its build side is corpus-derived, so it
+    *     cannot be assumed broadcastable at scale; WindowExec spills, so
+    *     a pathological mega-bucket gram degrades to disk, not OOM);
     *  3. coverage: equal-length sorted intervals union in one pass —
     *     covered = W for the first hit + min(W, pos - prev) after (a lag
     *     window per doc over ONLY the duplicated positions, typically a
     *     few % of the corpus), then one per-doc sum and a join back to
-    *     per-doc token counts.
+    *     per-doc token counts (broadcastable: one narrow row per
+    *     duplicated doc; AQE decides).
     * At 100 TB the gram strings would be pre-hashed to xxhash64 BIGINTs
     * before the shuffle (8-byte keys vs W-token strings; collision odds
     * ~n²/2⁶⁵ corpus-wide — acceptable for a removal SIGNAL, switch the
     * verify step to string equality when it is not). Kept as strings here
     * for bit-exact cross-engine comparison with the DuckDB oracle. */
   private[graft] def substrDedupOf(docsIn: DataFrame, W: Int = 6): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(docsIn.sparkSession)
     val toks = tokens(col("text"))
-    val grams = transform(
-      sequence(lit(1), size(toks) - (W - 1)),
-      i => concat_ws(" ", (0 until W).map(o => element_at(toks, i + o)): _*))
+    val grams = call_function("token_grams", toks, lit(W))
     // sub-W docs filtered on both engines (Spark's descending sequence()
     // vs DuckDB's empty generate_series, as in q_rep_ngrams)
     val docs = docsIn
       .filter(size(toks) >= W)
       .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"),
         grams.as("grams"))
+    // posexplode_OUTER, deliberately: the non-outer Generate adds implicit
+    // `size(grams) > 0 AND isnotnull(grams)` conditions that Catalyst
+    // substitutes through the Project and pushes below the fanOut exchange
+    // onto the SINGLE-TASK scan — re-evaluating the whole interpreted
+    // gram-construction transform twice per row on one core (measured
+    // 8.5 s vs 1.3 s at sf0.1). The `size(toks) >= W` guard already makes
+    // every gram array non-empty, so outer ≡ inner here and no null rows
+    // materialize.
     val sh = docs
-      .select(col("doc_id"), posexplode(col("grams")).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), posexplode_outer(col("grams")).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
-    val dup = sh.groupBy("gram").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2).select("gram")
-    val dp = sh.join(dup, Seq("gram"), "left_semi")
     import org.apache.spark.sql.expressions.Window
+    val dp = sh
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("n") >= 2).select("doc_id", "pos")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val cov = dp
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))

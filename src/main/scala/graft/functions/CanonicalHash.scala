@@ -90,6 +90,20 @@ object GraftExtensions {
         require(children.size == 2,
           s"intersect_count_sorted expects exactly 2 arguments, got ${children.size}")
         IntersectCountSorted(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("token_grams"),
+      new ExpressionInfo(classOf[TokenGrams].getName, "token_grams"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"token_grams expects exactly 2 arguments, got ${children.size}")
+        val w = children(1) match {
+          case e if e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.IntegerType.type] =>
+            e.eval().asInstanceOf[Int]
+          case other => throw new IllegalArgumentException(
+            s"token_grams width must be a foldable INT literal, got $other")
+        }
+        TokenGrams(children.head, w)
       }))
 
   val install: org.apache.spark.sql.SparkSessionExtensions => Unit =
