@@ -40,6 +40,9 @@ import graft.ocds.Metadata
   *                                               analogue — the LLM-corpus surface)
   *   corpus-select <lake> <collectionId>        (corpus-selection funnel over the
   *                                               collection's documents)
+  *   substr-dedup <lake> <collectionId> [--width N]
+  *                                              (cross-document exact-substring
+  *                                               duplication rollup, ExactSubstr)
   *   closecollection <lake> <id> <nFiles>       (closecollection)
   *   cancelcollection <lake> <id>               (cancelcollection)
   *   deletecollection <lake> <rootId>           (deletecollection + wiper)
@@ -531,6 +534,44 @@ object Cli {
                 s" n_selected=${r.getAs[Long]("n_selected")}" +
                 s" tokens_selected=${r.getAs[Long]("tokens_selected")}")
             }
+      }
+
+    case "substr-dedup" :: lake :: id :: rest =>
+      // cross-document exact-substring duplication (ExactSubstr) over a
+      // loaded collection's raw documents, rolled up to one corpus line:
+      // how many tokens a span-level dedup pass would remove. --width N
+      // sets the span width (default 6 tokens; production pipelines use
+      // ~50-token character spans — width is the one tuning knob).
+      val width = flagValue(rest, "--width") match {
+        case None => 6
+        case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--width needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          val r = TextQueries.substrDedupOf(docs, width)
+            .agg(
+              count(lit(1)).as("n_docs"),
+              sum(when(col("dup_tokens") > 0, 1L).otherwise(0L)).as("docs_hit"),
+              sum("n_tokens").as("tokens_total"),
+              sum("dup_tokens").as("tokens_dup"))
+            .collect().head
+          val total = r.getAs[Long]("tokens_total")
+          val dup = r.getAs[Long]("tokens_dup")
+          val frac = if (total == 0) 0.0 else dup.toDouble / total
+          println(s"width=$width docs=${r.getAs[Long]("n_docs")}" +
+            s" docs_hit=${r.getAs[Long]("docs_hit")}" +
+            s" tokens_total=$total tokens_dup=$dup" +
+            f" dup_frac=$frac%.4f")
       }
 
     case "closecollection" :: lake :: id :: nFiles :: Nil =>

@@ -237,6 +237,16 @@ class CliSpec extends AnyFunSuite {
     assert(funnel.contains("n_total=3"))
     assert(funnel.contains("n_pass=3"))
     assert(funnel.contains("n_keeper=3"))
+
+    // exact-substring duplication: the a1/a2 pair shares long token runs
+    // (identical but for the release id), the distinct doc's longest
+    // shared run is 4 tokens (initiationType tender tender id) — so the
+    // default width 6 hits exactly the pair, and --width 4 pulls the
+    // third document in (the knob demonstrably changes the signal)
+    val sub6 = run("substr-dedup", lake, "1")
+    assert(sub6.contains("width=6 docs=3 docs_hit=2"), sub6)
+    val sub4 = run("substr-dedup", lake, "1", "--width", "4")
+    assert(sub4.contains("width=4 docs=3 docs_hit=3"), sub4)
   }
 
   test("keep-open WITHOUT --compile: close → compile finishes uncompiled + runs planned check") {
