@@ -66,6 +66,41 @@ class CorpusPipelineSpec extends AnyFunSuite {
       (4L, 4L, 0L), (6L, 7L, 4L), (7L, 6L, 3L)))
   }
 
+  test("property: substrDedupOf matches a brute-force coverage oracle on random corpora") {
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small vocab + short docs force heavy cross-doc AND within-doc shingle
+    // collisions, the regimes the interval-union arithmetic must survive
+    val docGen = for {
+      nDocs <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    def oracle(docs: Seq[(Long, String)], w: Int): Map[Long, (Long, Long)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val shingles = toks.toSeq.flatMap { case (id, ts) =>
+        ts.sliding(w).filter(_.size == w).zipWithIndex.map { case (g, p) => (id, p, g.mkString(" ")) }
+      }
+      val counts = shingles.groupBy(_._3).view.mapValues(_.size).toMap
+      toks.collect { case (id, ts) if ts.size >= w =>
+        val dupPos = shingles.collect { case (`id`, p, g) if counts(g) >= 2 => p }
+        val covered = dupPos.flatMap(p => p until p + w).toSet.size
+        id -> (ts.size.toLong, covered.toLong)
+      }.toMap
+    }
+    var seed = Seed(7L)
+    (0 until 15).foreach { _ =>
+      val docs = docGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val w = 2
+      val got = TextQueries.substrDedupOf(docs.toDF("doc_id", "text"), w)
+        .select("doc_id", "n_tokens", "dup_tokens").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === oracle(docs, w), s"docs: $docs")
+    }
+  }
+
   test("q_dedup_payoff removals never exceed the clustered population") {
     val payoff = Queries.byName("q_dedup_payoff").run(s, dir)
       .select("source", "docs_removed", "n_clusters").collect()
