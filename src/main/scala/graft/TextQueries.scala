@@ -28,7 +28,17 @@ object TextQueries {
     * (doc_a < doc_b, jaccard >= 0.9) — the shared engine behind
     * q_ngram_jaccard (which emits the pairs) and q_dedup_clusters (which
     * closes them into components). See q_ngram_jaccard's QueryDef for the
-    * banding/verification design notes. */
+    * banding/verification design notes.
+    *
+    * Negative A/Bs, so they are not retried: (r11) replacing the verify
+    * stream's `array_sort(transform(toks, xxhash64))` with a native
+    * compiled hash+sort expression measured consistently ~15% SLOWER
+    * end-to-end on the q_ngram_jaccard/q_dedup_clusters/q_dedup_payoff
+    * trio (8.1 → 9.0-9.4 s, two runs) — unlike the gram-construction HOF
+    * (TokenGrams), this one is not the bottleneck; (r11) a fanOut on
+    * docsIn measured flat (14.1 vs 14.3 s over the family) — the per-doc
+    * signature work below the first exchange is not scan-stage-bound
+    * here. */
   private[graft] def minhashJaccardPairs(
       s: SparkSession, d: String,
       maxBucket: Int = BucketPairs.DefaultMaxBucket): DataFrame =
