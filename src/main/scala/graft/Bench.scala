@@ -87,14 +87,23 @@ object Bench {
     //    even the 2-decimal line (~1950 chars) loses its head;
     //  - render at millisecond precision, and if the line would exceed
     //    the window (minus newline/flush slack) degrade per-query values
-    //    to centisecond precision (10 ms resolution is 3% worst-case on
-    //    the fastest 0.3 s query — well under run-to-run noise). The
+    //    to centisecond then decisecond precision (at 81 queries the
+    //    2-decimal line measures 1994 chars — over the window; the
+    //    1-decimal line is 1913. 100 ms resolution is coarse on a 0.3 s
+    //    query, but an unparseable line loses EVERY per-query value, so
+    //    coarse beats absent — r7-r9 each lost entries this way). The
     //    total keeps 3 decimals either way, and the failure fields sit at
     //    the END so a truncated-anyway run still shows what failed.
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 6,225 — invalid JSON
-    def sec(v: Double, dp: Int = 3): String =
-      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    // trailing zeros stripped ("0.850" -> "0.85", "2.00" -> "2"): valid
+    // JSON either way, and the saved chars compound with the precision
+    // ladder below (~10 chars per decimal step at 81 queries)
+    def sec(v: Double, dp: Int = 3): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
     val errJson = errors.take(5)
       .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v.take(80))}\"" }
       .mkString("{", ",", "}")
@@ -104,7 +113,7 @@ object Bench {
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"n_failed":${errors.size}}"""
     }
     val window = 2000 - 50 // driver tail minus newline/flush slack
-    val line = Seq(3, 2).map(summary).find(_.length <= window).getOrElse(summary(2))
+    val line = Seq(3, 2, 1).map(summary).find(_.length <= window).getOrElse(summary(1))
     println(line)
     spark.stop()
     // exit 0 even on per-query failure: the JSON line (with its loud

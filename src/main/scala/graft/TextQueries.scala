@@ -1168,7 +1168,47 @@ object TextQueries {
               ORDER BY doc_id"""),
       "Cross-document exact-substring duplication (ExactSubstr, Lee et al. 2022): " +
         "6-token spans occurring >= 2x corpus-wide mark their positions; per-doc " +
-        "interval-union coverage via one lag window — dup_tokens/dup_frac removal signal")
+        "interval-union coverage via one lag window — dup_tokens/dup_frac removal signal"),
+
+    QueryDef(
+      "q_substr_scrub", Seq("J7", "J5", "A4", "F8"),
+      (s, d) => {
+        // the REMOVAL action on the q_substr_dedup signal: drop every
+        // token position covered by a duplicated 6-span, re-join the
+        // survivors into clean_text (whole-doc clones scrub to ''). See
+        // substrScrubOf for the scale shape.
+        substrScrubOf(Tables.fanOut(Tables.documents(s, d)))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                         FROM documents
+                         WHERE len(string_split(text, ' ')) >= 6),
+              sh AS (SELECT doc_id, unnest(generate_series(1, len(t) - 5)) AS pos, t
+                     FROM d),
+              sh2 AS (SELECT doc_id, pos, array_to_string(t[pos:pos+5], ' ') AS gram
+                      FROM sh),
+              dup AS (SELECT gram FROM sh2 GROUP BY gram HAVING count(*) >= 2),
+              dp AS (SELECT doc_id, pos FROM sh2 SEMI JOIN dup USING (gram)),
+              cov AS (SELECT DISTINCT doc_id, cpos FROM
+                        (SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS cpos
+                         FROM dp)),
+              tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS tpos, t
+                      FROM d),
+              tok2 AS (SELECT doc_id, tpos, t[tpos] AS tk FROM tok),
+              kept AS (SELECT tok2.doc_id, tok2.tpos, tok2.tk
+                       FROM tok2 ANTI JOIN cov
+                         ON tok2.doc_id = cov.doc_id AND tok2.tpos = cov.cpos),
+              k AS (SELECT doc_id, count(*) AS kept_tokens,
+                           string_agg(tk, ' ' ORDER BY tpos) AS clean_text
+                    FROM kept GROUP BY doc_id)
+              SELECT d.doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+                     coalesce(k.clean_text, '') AS clean_text
+              FROM d LEFT JOIN k USING (doc_id)
+              ORDER BY doc_id"""),
+      "Exact-substring span REMOVAL (the action on q_substr_dedup's signal): covered " +
+        "positions dropped per doc, survivors re-joined as clean_text — whole-doc " +
+        "clones scrub to empty")
   )
 
   /** Per-document exact-substring duplication coverage over ANY
@@ -1198,7 +1238,12 @@ object TextQueries {
     * ~n²/2⁶⁵ corpus-wide — acceptable for a removal SIGNAL, switch the
     * verify step to string equality when it is not). Kept as strings here
     * for bit-exact cross-engine comparison with the DuckDB oracle. */
-  private[graft] def substrDedupOf(docsIn: DataFrame, W: Int = 6): DataFrame = {
+  /** The shared front half of the ExactSubstr engines: (docs, dp) where
+    * `docs` = (doc_id, n_tokens, toks) for every input with >= W tokens
+    * and `dp` = (doc_id, pos) for every W-token span occurring >= 2 times
+    * corpus-wide. Consumed by [[substrDedupOf]] (interval-union coverage
+    * readout) and [[substrScrubOf]] (span removal). */
+  private def dupSpanPositions(docsIn: DataFrame, W: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftExtensions.ensureRegistered(docsIn.sparkSession)
     val toks = tokens(col("text"))
     val grams = call_function("token_grams", toks, lit(W))
@@ -1207,15 +1252,15 @@ object TextQueries {
     val docs = docsIn
       .filter(size(toks) >= W)
       .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"),
-        grams.as("grams"))
+        toks.as("toks"), grams.as("grams"))
     // posexplode_OUTER, deliberately: the non-outer Generate adds implicit
     // `size(grams) > 0 AND isnotnull(grams)` conditions that Catalyst
     // substitutes through the Project and pushes below the fanOut exchange
-    // onto the SINGLE-TASK scan — re-evaluating the whole interpreted
-    // gram-construction transform twice per row on one core (measured
-    // 8.5 s vs 1.3 s at sf0.1). The `size(toks) >= W` guard already makes
-    // every gram array non-empty, so outer ≡ inner here and no null rows
-    // materialize.
+    // onto the SINGLE-TASK scan — re-evaluating the whole gram
+    // construction twice per row on one core (measured 8.5 s vs 1.3 s at
+    // sf0.1 on the interpreted HOF form). The `size(toks) >= W` guard
+    // already makes every gram array non-empty, so outer ≡ inner here and
+    // no null rows materialize.
     val sh = docs
       .select(col("doc_id"), posexplode_outer(col("grams")).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
@@ -1223,6 +1268,12 @@ object TextQueries {
     val dp = sh
       .withColumn("n", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("n") >= 2).select("doc_id", "pos")
+    (docs, dp)
+  }
+
+  private[graft] def substrDedupOf(docsIn: DataFrame, W: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (docs, dp) = dupSpanPositions(docsIn, W)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val cov = dp
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
@@ -1235,6 +1286,37 @@ object TextQueries {
         coalesce(col("dup_tokens"), lit(0L)).cast(LongType).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) / col("n_tokens"))
           .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** The span-removal ACTION on top of the [[substrDedupOf]] signal:
+    * every token position covered by a duplicated W-span is dropped and
+    * the survivors re-join into `clean_text` (Lee et al. 2022 remove
+    * duplicated spans from the training corpus; this removes ALL marked
+    * occurrences — a keep-first-occurrence policy needs a global span
+    * ordering, which is a scheduling choice, not an engine one).
+    *
+    * Scale shape beyond the shared front half: covered positions explode
+    * W rows per duplicated span (bounded by W × the duplicated few % of
+    * the corpus), distinct + collect into ONE sorted per-doc array
+    * (array length <= doc length, the same per-doc bound every per-doc
+    * window here lives with), then one join back to `docs` and a per-row
+    * index filter rebuilds the text — no token-level shuffle of the full
+    * corpus, only of its duplicated slice. */
+  private[graft] def substrScrubOf(docsIn: DataFrame, W: Int = 6): DataFrame = {
+    val (docs, dp) = dupSpanPositions(docsIn, W)
+    val cov = dp
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("cpos"))
+      .distinct()
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("cpos"))).as("cov"))
+    val covered = coalesce(col("cov"), array().cast("array<int>"))
+    val kept = filter(col("toks"), (t, i) => !array_contains(covered, i + 1))
+    docs.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        size(kept).cast(LongType).as("kept_tokens"),
+        array_join(kept, " ").as("clean_text"))
       .orderBy("doc_id")
   }
 }

@@ -101,6 +101,33 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("substrScrubOf removes exactly the tokens substrDedupOf counts") {
+    import s.implicits._
+    // same fixture as the coverage test, plus the invariant that ties the
+    // two engines: kept == n_tokens - dup_tokens, and clean_text's token
+    // count is kept (empty text = 0 tokens)
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x y z"), (3L, "p q r p q r p q r"),
+      (4L, "u v w x"), (5L, "s t"), (6L, "m a b c d n o"), (7L, "k1 b c d k2 k3")
+    ).toDF("doc_id", "text")
+    val signal = TextQueries.substrDedupOf(docs, W = 3)
+      .select("doc_id", "n_tokens", "dup_tokens").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val scrub = TextQueries.substrScrubOf(docs, W = 3)
+      .select("doc_id", "kept_tokens", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(scrub.map(_._1).toSeq === signal.keys.toSeq.sorted)
+    scrub.foreach { case (id, kept, text) =>
+      val (n, dup) = signal(id)
+      assert(kept === n - dup, s"doc $id: kept $kept != $n - $dup")
+      val textToks = if (text.isEmpty) 0 else text.split(" ", -1).length
+      assert(textToks === kept, s"doc $id: clean_text has $textToks tokens, kept=$kept")
+    }
+    // the fully-duplicated doc scrubs to empty; the untouched doc survives verbatim
+    assert(scrub.find(_._1 == 3L).get._3 === "")
+    assert(scrub.find(_._1 == 4L).get._3 === "u v w x")
+  }
+
   test("q_dedup_payoff removals never exceed the clustered population") {
     val payoff = Queries.byName("q_dedup_payoff").run(s, dir)
       .select("source", "docs_removed", "n_clusters").collect()
