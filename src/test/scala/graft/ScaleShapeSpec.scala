@@ -45,7 +45,8 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_ann_pq" -> 0,
     "q_dedup_clusters" -> 2,
     "q_pack_sequences" -> 4,
-    "q_substr_dedup" -> 12)
+    "q_substr_dedup" -> 12,
+    "q_substr_scrub" -> 14)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -88,7 +89,7 @@ class ScaleShapeSpec extends AnyFunSuite {
   }
 
   for (q <- Seq("q_compile_ocds", "q_ngram_jaccard", "q_ann_ivf", "q_ann_pq",
-                "q_dedup_clusters", "q_pack_sequences", "q_substr_dedup"))
+                "q_dedup_clusters", "q_pack_sequences", "q_substr_dedup", "q_substr_scrub"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
