@@ -983,6 +983,43 @@ object TextQueries {
         "same hash decision"),
 
     QueryDef(
+      "q_corpus_split", Seq("A4", "F5", "P1"),
+      (s, d) => {
+        // deterministic train/val/test split: assignment decided by the
+        // same content-stable md5 bucket as q_sample_stratified — never
+        // rand()/mod-on-row-number, which would reassign documents on
+        // every rerun, repartition, or upstream insert and leak val/test
+        // into training. 90/5/5 on the hash bucket; per (source, split)
+        // doc and token counts are the readout a dataset build records.
+        // One scan, one map-side-combined aggregation — a pure per-row
+        // decision at any corpus size, and the same hash makes the split
+        // reproducible in ANY engine that can compute md5 (the oracle
+        // re-derives it independently).
+        val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
+          .cast(LongType) % 100
+        val split = when(h < 90, lit("train")).when(h < 95, lit("val"))
+          .otherwise(lit("test"))
+        Tables.documents(s, d)
+          .groupBy(col("source"), split.as("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+          .orderBy("source", "split")
+      },
+      Some("""SELECT source,
+                     CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+                          THEN 'train'
+                          WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95
+                          THEN 'val'
+                          ELSE 'test' END AS split,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source, split ORDER BY source, split"""),
+      "Deterministic train/val/test split (90/5/5 on the content-stable md5 bucket — " +
+        "reproducible across reruns/repartitions, no RNG, no row-number dependence); " +
+        "per (source, split) doc + token counts"),
+
+    QueryDef(
       "q_corpus_select", Seq("W1", "A4", "F5", "P2"),
       (s, d) => {
         // the END-TO-END training-set selection funnel — the signals above
