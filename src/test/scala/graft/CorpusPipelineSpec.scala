@@ -128,6 +128,22 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(scrub.find(_._1 == 4L).get._3 === "u v w x")
   }
 
+  test("q_corpus_split conserves the corpus and is stable across reruns") {
+    val rows = Queries.byName("q_corpus_split").run(s, dir)
+      .select("source", "split", "n_docs", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // conservation: every document lands in exactly one split
+    val docs = Tables.documents(s, dir)
+    assert(rows.map(_._3).sum === docs.count())
+    assert(rows.forall(r => Set("train", "val", "test")(r._2)))
+    // determinism: a rerun (fresh plan, same data) assigns identically —
+    // the content-stable hash contract, which rand() or row_number would break
+    val rerun = Queries.byName("q_corpus_split").run(s, dir)
+      .select("source", "split", "n_docs", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === rerun.toSeq)
+  }
+
   test("q_dedup_payoff removals never exceed the clustered population") {
     val payoff = Queries.byName("q_dedup_payoff").run(s, dir)
       .select("source", "docs_removed", "n_clusters").collect()
