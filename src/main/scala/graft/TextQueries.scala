@@ -1348,8 +1348,11 @@ object TextQueries {
       .distinct()
       .groupBy("doc_id")
       .agg(array_sort(collect_list(col("cpos"))).as("cov"))
+    // native two-pointer removal (see DropPositions): the HOF
+    // filter+array_contains form re-scans the position array per token —
+    // O(n×c) per doc, quadratic on a long mostly-duplicated document
     val covered = coalesce(col("cov"), array().cast("array<int>"))
-    val kept = filter(col("toks"), (t, i) => !array_contains(covered, i + 1))
+    val kept = call_function("drop_positions", col("toks"), covered)
     docs.join(cov, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         size(kept).cast(LongType).as("kept_tokens"),

@@ -104,6 +104,14 @@ object GraftExtensions {
             s"token_grams width must be a foldable INT literal, got $other")
         }
         TokenGrams(children.head, w)
+      }),
+    (
+      FunctionIdentifier("drop_positions"),
+      new ExpressionInfo(classOf[DropPositions].getName, "drop_positions"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"drop_positions expects exactly 2 arguments, got ${children.size}")
+        DropPositions(children.head, children(1))
       }))
 
   val install: org.apache.spark.sql.SparkSessionExtensions => Unit =
