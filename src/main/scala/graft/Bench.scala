@@ -87,13 +87,16 @@ object Bench {
     //    even the 2-decimal line (~1950 chars) loses its head;
     //  - render at millisecond precision, and if the line would exceed
     //    the window (minus newline/flush slack) degrade per-query values
-    //    to centisecond then decisecond precision (at 81 queries the
-    //    2-decimal line measures 1994 chars — over the window; the
-    //    1-decimal line is 1913. 100 ms resolution is coarse on a 0.3 s
-    //    query, but an unparseable line loses EVERY per-query value, so
-    //    coarse beats absent — r7-r9 each lost entries this way). The
-    //    total keeps 3 decimals either way, and the failure fields sit at
-    //    the END so a truncated-anyway run still shows what failed.
+    //    to centisecond then decisecond precision, stripping trailing
+    //    zeros at every step (at the current 82 queries a real run's
+    //    2-decimal line measures ~1980 chars — over the window; the
+    //    1-decimal line measured 1924, leaving ~26 chars ≈ 1 more query
+    //    of headroom before even dp=1 overflows — re-measure when adding
+    //    queries. 100 ms resolution is coarse on a 0.3 s query, but an
+    //    unparseable line loses EVERY per-query value, so coarse beats
+    //    absent — r7-r9 each lost entries this way). The total keeps 3
+    //    decimals either way, and the failure fields sit at the END so a
+    //    truncated-anyway run still shows what failed.
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 6,225 — invalid JSON
     // trailing zeros stripped ("0.850" -> "0.85", "2.00" -> "2"): valid
@@ -108,12 +111,29 @@ object Bench {
       .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v.take(80))}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    def summary(dp: Int): String = {
-      val qs = results.map { case (k, v) => s"\"${esc(k)}\":${sec(v, dp)}" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"n_failed":${errors.size}}"""
+    def summaryOf(rs: Seq[(String, Double)], dp: Int, omitted: Int): String = {
+      val qs = rs.map { case (k, v) => s"\"${esc(k)}\":${sec(v, dp)}" }.mkString("{", ",", "}")
+      val om = if (omitted > 0) s""","n_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"n_failed":${errors.size}$om}"""
     }
+    def summary(dp: Int): String = summaryOf(results, dp, 0)
     val window = 2000 - 50 // driver tail minus newline/flush slack
-    val line = Seq(3, 2, 1).map(summary).find(_.length <= window).getOrElse(summary(1))
+    val line = Seq(3, 2, 1).map(summary).find(_.length <= window).getOrElse {
+      // last resort when even the 1-decimal full map overflows (the next
+      // query added past the current 82 gets here): omit the FASTEST
+      // entries — the least informative values — until the line fits,
+      // and say so with an explicit n_omitted. A valid partial line beats
+      // the alternative, an unparseable full one that loses everything
+      // (r7-r9). Failed queries (-1) are never omitted.
+      val fastestFirst = results.filter(_._2 >= 0).sortBy(_._2).map(_._1)
+      Iterator.range(1, results.size)
+        .map { k =>
+          val gone = fastestFirst.take(k).toSet
+          summaryOf(results.filterNot(r => gone(r._1)), 1, k)
+        }
+        .find(_.length <= window)
+        .getOrElse(summaryOf(Seq.empty, 1, results.size))
+    }
     println(line)
     spark.stop()
     // exit 0 even on per-query failure: the JSON line (with its loud

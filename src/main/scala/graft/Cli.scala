@@ -558,20 +558,31 @@ object Cli {
             s"collection $cid has no documents (release/record rows)")
           sys.exit(2)
         case Some(docs) =>
+          // denominators over the WHOLE collection: the engine filters out
+          // sub-width docs (they cannot carry a W-span), but their tokens
+          // are part of the corpus a span-removal pass would keep — leaving
+          // them out of docs=/tokens_total= would overstate dup_frac
+          val all = docs
+            .agg(count(lit(1)).as("n_docs"),
+              sum(size(split(col("text"), " ")).cast("long")).as("tokens_total"))
+            .collect().head
           val r = TextQueries.substrDedupOf(docs, width)
             .agg(
-              count(lit(1)).as("n_docs"),
               sum(when(col("dup_tokens") > 0, 1L).otherwise(0L)).as("docs_hit"),
-              sum("n_tokens").as("tokens_total"),
               sum("dup_tokens").as("tokens_dup"))
             .collect().head
-          val total = r.getAs[Long]("tokens_total")
-          val dup = r.getAs[Long]("tokens_dup")
+          // sums are NULL when no doc reaches the width (empty engine output)
+          def longOr0(row: org.apache.spark.sql.Row, f: String): Long =
+            if (row.isNullAt(row.fieldIndex(f))) 0L else row.getAs[Long](f)
+          val total = longOr0(all, "tokens_total")
+          val dup = longOr0(r, "tokens_dup")
+          val hit = longOr0(r, "docs_hit")
           val frac = if (total == 0) 0.0 else dup.toDouble / total
-          println(s"width=$width docs=${r.getAs[Long]("n_docs")}" +
-            s" docs_hit=${r.getAs[Long]("docs_hit")}" +
-            s" tokens_total=$total tokens_dup=$dup" +
-            f" dup_frac=$frac%.4f")
+          // Locale.ROOT: a comma-decimal default locale would print 0,1234
+          // (same hazard Bench.scala pins for its JSON line)
+          println(s"width=$width docs=${all.getAs[Long]("n_docs")}" +
+            s" docs_hit=$hit tokens_total=$total tokens_dup=$dup" +
+            " dup_frac=" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(frac)))
       }
 
     case "closecollection" :: lake :: id :: nFiles :: Nil =>

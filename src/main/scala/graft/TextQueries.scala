@@ -24,6 +24,17 @@ object TextQueries {
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** The content-stable 0-99 sampling bucket of a document id: first 15
+    * hex chars of md5 as an integer, mod 100 — reproducible across runs,
+    * partitionings, and engines (every oracle re-derives it as
+    * `('0x' || substr(md5(...), 1, 15))::BIGINT % 100`). Shared by the
+    * stratified sampler, the corpus-selection funnel, and the
+    * train/val/test split so the bucket definition changes in ONE place
+    * (plus the three oracle strings, which the parity gate pins). */
+  private def md5Bucket(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType) % 100
+
   /** The MinHash-LSH → exact-Jaccard verified near-dup pair set
     * (doc_a < doc_b, jaccard >= 0.9) — the shared engine behind
     * q_ngram_jaccard (which emits the pairs) and q_dedup_clusters (which
@@ -268,9 +279,7 @@ object TextQueries {
     val qualityOk = nTok >= 10 && nTok <= 5000 && stopRatio >= 0.02
     val pass = langOk && qualityOk
     val keepRate = when(col("lang") === "en", lit(50)).otherwise(lit(25))
-    val sampleOk =
-      conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
-        .cast(LongType) % 100 < keepRate
+    val sampleOk = md5Bucket(col("doc_id")) < keepRate
     val base = docsIn.select(
       col("source"), col("doc_id"),
       nTok.as("n_tok"),
@@ -963,8 +972,7 @@ object TextQueries {
         // per-language keep rates decided by a content-stable md5 hash of
         // the doc id — reproducible across runs, partitionings and
         // engines, no RNG. One pass, one aggregation.
-        val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
-          .cast(LongType) % 100
+        val h = md5Bucket(col("doc_id"))
         val rate = when(col("lang") === "en", lit(50)).otherwise(lit(25))
         Tables.documents(s, d)
           .groupBy("lang")
@@ -995,8 +1003,7 @@ object TextQueries {
         // decision at any corpus size, and the same hash makes the split
         // reproducible in ANY engine that can compute md5 (the oracle
         // re-derives it independently).
-        val h = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15), 16, 10)
-          .cast(LongType) % 100
+        val h = md5Bucket(col("doc_id"))
         val split = when(h < 90, lit("train")).when(h < 95, lit("val"))
           .otherwise(lit("test"))
         Tables.documents(s, d)

@@ -20,12 +20,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
   * argument.
   *
   * NULL on either side → NULL (callers coalesce the no-dup case to an
-  * empty position array); token elements must be non-null (`split()`
-  * output always is). */
+  * empty position array). Kept elements pass through verbatim, so the
+  * output's containsNull mirrors the input's — declaring `false`
+  * unconditionally would let downstream codegen skip null checks on a
+  * null element this walk faithfully preserved. */
 case class DropPositions(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = left.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String = "drop_positions"
 
