@@ -72,6 +72,22 @@ object Bench {
     val results = names.map { case (name, _) =>
       name -> (if (errors.contains(name)) -1.0 else best(name))
     }
+    val line = renderSummaryLine(results, errors.toSeq, sfDir)
+    println(line)
+    spark.stop()
+    // exit 0 even on per-query failure: the JSON line (with its loud
+    // `errors` field) must still reach the driver's bench collector.
+  }
+
+  /** The driver-facing JSON line, guaranteed to fit the 2000-char stdout
+    * tail (see the sizing notes inline). Pure so BenchLineSpec can pin the
+    * precision ladder and the omission fallback without a Spark run. */
+  private[graft] def renderSummaryLine(
+      results: Seq[(String, Double)],
+      errorList: Seq[(String, String)],
+      sfDir: String,
+      window: Int = 2000 - 50): String = {
+    val errors = scala.collection.immutable.ListMap(errorList: _*)
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString }
     // The whole SUMMARY LINE must fit the driver's 2000-char stdout TAIL
@@ -117,8 +133,8 @@ object Bench {
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"n_failed":${errors.size}$om}"""
     }
     def summary(dp: Int): String = summaryOf(results, dp, 0)
-    val window = 2000 - 50 // driver tail minus newline/flush slack
-    val line = Seq(3, 2, 1).map(summary).find(_.length <= window).getOrElse {
+    // window: the driver tail minus newline/flush slack (default above)
+    Seq(3, 2, 1).map(summary).find(_.length <= window).getOrElse {
       // last resort when even the 1-decimal full map overflows (the next
       // query added past the current 82 gets here): omit the FASTEST
       // entries — the least informative values — until the line fits,
@@ -134,9 +150,5 @@ object Bench {
         .find(_.length <= window)
         .getOrElse(summaryOf(Seq.empty, 1, results.size))
     }
-    println(line)
-    spark.stop()
-    // exit 0 even on per-query failure: the JSON line (with its loud
-    // `errors` field) must still reach the driver's bench collector.
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver-facing bench summary line: always valid JSON, always within
+  * the 2000-char stdout tail window — the artifact r7-r9 each lost
+  * entries from. Pins the precision ladder, the omission fallback, and
+  * locale independence without a Spark run. */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+  private def parse(line: String) = mapper.readTree(line)
+
+  private def results(n: Int): Seq[(String, Double)] =
+    (0 until n).map(i => f"q_test_query_name_$i%03d" -> (0.1 + i * 0.037))
+
+  test("a small run renders at millisecond precision and parses") {
+    val line = Bench.renderSummaryLine(
+      Seq("q_a" -> 1.2345, "q_b" -> 0.4), Seq.empty, "/sf")
+    val j = parse(line)
+    assert(math.abs(j.get("queries").get("q_a").asDouble() - 1.2345) <= 0.002)
+    assert(j.get("n_failed").asInt() === 0)
+    assert(!j.has("n_omitted"))
+  }
+
+  test("an oversized surface degrades precision but keeps every query") {
+    // 64 long-named queries: the 3- and 2-decimal lines exceed the
+    // window (~2070/~2010 chars) while 1-decimal fits (~1880) — the
+    // ladder's last precision rung must keep the FULL map intact
+    val rs = results(64)
+    val line = Bench.renderSummaryLine(rs, Seq.empty, "/sf")
+    assert(line.length <= 1950, s"line ${line.length} chars")
+    val j = parse(line)
+    assert(j.get("queries").size() === rs.size)
+    assert(!j.has("n_omitted"))
+  }
+
+  test("when even 1-decimal overflows, fastest entries are omitted with an explicit count; failures never are") {
+    val rs = results(200) :+ ("q_failed" -> -1.0)
+    val line = Bench.renderSummaryLine(rs, Seq("q_failed" -> "boom"), "/sf")
+    assert(line.length <= 1950, s"line ${line.length} chars")
+    val j = parse(line)
+    assert(j.has("n_omitted") && j.get("n_omitted").asInt() > 0)
+    assert(j.get("queries").size() === rs.size - j.get("n_omitted").asInt())
+    // the failure survives omission and stays loud
+    assert(j.get("queries").has("q_failed"))
+    assert(j.get("queries").get("q_failed").asDouble() === -1.0)
+    assert(j.get("n_failed").asInt() === 1)
+    // the omitted entries are the FASTEST successes, so the slowest stays
+    assert(j.get("queries").has("q_test_query_name_199"))
+  }
+
+  test("the rendering is locale-independent (comma-decimal default locale)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.renderSummaryLine(Seq("q_a" -> 6.225), Seq.empty, "/sf")
+      assert(!line.contains("6,225"))
+      assert(math.abs(parse(line).get("queries").get("q_a").asDouble() - 6.225) <= 0.0005)
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+}
