@@ -148,7 +148,15 @@ object Bench {
           summaryOf(results.filterNot(r => gone(r._1)), 1, k)
         }
         .find(_.length <= window)
-        .getOrElse(summaryOf(Seq.empty, 1, results.size))
+        .getOrElse {
+          // absolute floor: even the all-failures line overflowed (many
+          // long-named failures). Keep the FIRST 5 failed entries — the
+          // loudest signal, capped the same way errJson caps — and count
+          // everything else as omitted; never emit an empty map that
+          // silently drops the -1 markers.
+          val keptFailed = results.filter(_._2 < 0).take(5)
+          summaryOf(keptFailed, 1, results.size - keptFailed.size)
+        }
     }
   }
 }

@@ -140,6 +140,16 @@ object Cli {
       case Nil                 => Nil
     }
 
+  /** Usage error on any remainder left after flag extraction — a typo'd
+    * flag (`--widht 4`) must not silently run with defaults (ADVICE r11),
+    * matching the strictness of the fixed-arity (`:: Nil`) subcommands. */
+  private def rejectStray(cmd: String, remainder: List[String]): Unit =
+    if (remainder.nonEmpty) {
+      System.err.println(
+        s"$cmd: unrecognized arguments: ${remainder.mkString(" ")}")
+      sys.exit(2)
+    }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "load" :: input :: lake :: rest =>
       val upgrade = rest.contains("--upgrade")
@@ -493,6 +503,8 @@ object Cli {
           sys.exit(2)
         }
       }
+      rejectStray("dedup",
+        stripFlag(stripFlag(rest, "--checkpoint-dir"), "--max-bucket"))
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)
@@ -549,6 +561,9 @@ object Cli {
           sys.exit(2)
         }
       }
+      // a stray/misspelled trailing token (--widht 4) must be a usage
+      // error, not a silent run at the default width (ADVICE r11)
+      rejectStray("substr-dedup", stripFlag(rest, "--width"))
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)

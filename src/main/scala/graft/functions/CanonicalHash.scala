@@ -97,11 +97,30 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2,
           s"token_grams expects exactly 2 arguments, got ${children.size}")
-        val w = children(1) match {
-          case e if e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.IntegerType.type] =>
-            e.eval().asInstanceOf[Int]
-          case other => throw new IllegalArgumentException(
-            s"token_grams width must be a foldable INT literal, got $other")
+        // accept any foldable integral literal (INT is what SQL users write,
+        // but CAST(2 AS BIGINT) / TINYINT literals are equally legitimate);
+        // non-integral, non-foldable, null, or out-of-range widths surface
+        // as AnalysisException — the error channel the sibling expressions
+        // use — not a raw IllegalArgumentException out of the builder
+        val w: Int = {
+          import org.apache.spark.sql.types._
+          def fail(why: String): Nothing =
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "INTERNAL_ERROR",
+              messageParameters = Map("message" ->
+                s"token_grams width must be $why, got ${children(1).sql}"))
+          val e = children(1)
+          if (!e.foldable) fail("a foldable integral literal")
+          val v: Long = (e.dataType, e.eval()) match {
+            case (_, null)            => fail("a non-null integral literal")
+            case (ByteType, x)        => x.asInstanceOf[Byte].toLong
+            case (ShortType, x)       => x.asInstanceOf[Short].toLong
+            case (IntegerType, x)     => x.asInstanceOf[Int].toLong
+            case (LongType, x)        => x.asInstanceOf[Long]
+            case _                    => fail("an integral literal")
+          }
+          if (v < 1 || v > Int.MaxValue) fail("an integral literal in [1, 2^31)")
+          v.toInt
         }
         TokenGrams(children.head, w)
       }),

@@ -67,10 +67,14 @@ object DropPositionsFns {
     var j = 0  // pointer into the sorted 1-based drop positions
     var k = 0  // kept count
     while (i < n) {
-      // advance past positions before i+1 (handles duplicates/out-of-range)
-      while (j < m && pos.getInt(j) < i + 1) j += 1
+      // advance past positions before i+1 (handles duplicates/out-of-range;
+      // a null position slot matches nothing)
+      while (j < m && (pos.isNullAt(j) || pos.getInt(j) < i + 1)) j += 1
       if (j < m && pos.getInt(j) == i + 1) { i += 1 } // dropped
-      else { out(k) = toks.getUTF8String(i); k += 1; i += 1 }
+      else {
+        out(k) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+        k += 1; i += 1
+      }
     }
     new GenericArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], k))
   }

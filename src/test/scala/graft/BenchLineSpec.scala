@@ -51,6 +51,22 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("queries").has("q_test_query_name_199"))
   }
 
+  test("the absolute floor keeps failed entries, not an empty map (ADVICE r11)") {
+    // hundreds of long-named FAILURES: even the all-entries 1-decimal line
+    // overflows, and the success-omission ladder can't save it (there are
+    // no successes to omit) — the floor must still carry the -1 markers
+    // for the first few failures, capped like errJson, never `{}`.
+    val rs = (0 until 300).map(i => f"q_very_long_failed_query_name_$i%03d" -> -1.0)
+    val errs = rs.take(5).map { case (k, _) => k -> "boom" }
+    val line = Bench.renderSummaryLine(rs, errs, "/sf")
+    assert(line.length <= 1950, s"line ${line.length} chars")
+    val j = parse(line)
+    assert(j.get("queries").size() === 5)
+    val it = j.get("queries").fields()
+    while (it.hasNext) assert(it.next().getValue.asDouble() === -1.0)
+    assert(j.get("n_omitted").asInt() === rs.size - 5)
+  }
+
   test("the rendering is locale-independent (comma-decimal default locale)") {
     val prev = java.util.Locale.getDefault
     try {

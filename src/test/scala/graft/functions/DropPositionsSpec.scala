@@ -31,6 +31,23 @@ class DropPositionsSpec extends AnyFunSuite {
     assert(drop("a b c", Seq(-5, 1, 7)) === Seq("b", "c"))
   }
 
+  test("null elements pass through as null, not garbage (ADVICE r11)") {
+    // split() output is containsNull=false, but drop_positions is a
+    // registered SQL function accepting ANY array<string> — a null token
+    // in a kept slot must come back null, and a null position slot must
+    // match nothing.
+    import s.implicits._
+    GraftExtensions.ensureRegistered(s)
+    val out = s.sql(
+      "SELECT drop_positions(array('a', CAST(NULL AS STRING), 'c'), array(1)) AS k")
+      .as[Seq[String]].collect().head
+    assert(out === Seq(null, "c"))
+    val out2 = s.sql(
+      "SELECT drop_positions(array('a', 'b'), array(CAST(NULL AS INT), 2)) AS k")
+      .as[Seq[String]].collect().head
+    assert(out2 === Seq("a"))
+  }
+
   test("matches the HOF filter form on a real scrub-shaped input") {
     import s.implicits._
     import org.apache.spark.sql.functions._

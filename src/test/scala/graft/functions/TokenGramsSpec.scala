@@ -45,4 +45,22 @@ class TokenGramsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("foldable"))
   }
+
+  test("foldable integral widths of any type work; bad widths are analysis errors (ADVICE r11)") {
+    import org.apache.spark.sql.AnalysisException
+    // BIGINT / TINYINT literals are legitimate widths
+    assert(s.sql("SELECT token_grams(array('a','b','c'), CAST(2 AS BIGINT)) AS g")
+      .collect().head.getSeq[String](0) === Seq("a b", "b c"))
+    assert(s.sql("SELECT token_grams(array('a','b','c'), CAST(2 AS TINYINT)) AS g")
+      .collect().head.getSeq[String](0) === Seq("a b", "b c"))
+    // null, zero, out-of-int-range, and non-integral widths all surface as
+    // AnalysisException — not a raw IllegalArgumentException
+    for (bad <- Seq("CAST(NULL AS INT)", "0", "CAST(3000000000 AS BIGINT)", "2.5")) {
+      val e = intercept[AnalysisException] {
+        s.sql(s"SELECT token_grams(array('a'), $bad)").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("token_grams width"),
+        s"width $bad: ${e.getMessage}")
+    }
+  }
 }
