@@ -91,7 +91,20 @@ object TextQueries {
       "hs", array_sort(transform(col("toks"), t => xxhash64(t))))
     val a = docsH.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"), col("nt").as("nt_a"))
     val b = docsH.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"), col("nt").as("nt_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
+    // the verify join is unbounded on BOTH sides (candidates and docs both
+    // grow with the corpus), so its strategy must not hinge on a small-SF
+    // size estimate: SHUFFLE_HASH pins a hash join that streams the pair
+    // side and builds from the per-partition docs slice — no sort of the
+    // hashed-token arrays, no estimate-driven broadcast that degrades to
+    // SortMergeJoin when the estimate crosses the threshold at scale
+    // (the q_collection_notes sf1 lesson, gated in ScaleShapeSpec's
+    // robust-join probe). Measured sf0.1 cost of giving up the small-SF
+    // broadcast (r12 A/B): q_ngram_jaccard 2.5→4.5 s, q_dedup_payoff
+    // 3.3→6.1 s, q_neardup_lsh 2.2→3.5 s — the docsH arrays now shuffle
+    // instead of broadcasting. At 100 TB the broadcast side is
+    // corpus-sized, so the broadcast plan simply does not exist there;
+    // paying the shuffle at every SF is the deterministic-strategy trade.
+    cand.join(a.hint("shuffle_hash"), "doc_a").join(b.hint("shuffle_hash"), "doc_b")
       .withColumn("inter",
         call_function("intersect_count_sorted", col("hs_a"), col("hs_b")))
       .withColumn(
@@ -253,7 +266,8 @@ object TextQueries {
     val docs = docsIn
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast(LongType).as("tok"))
-    docs.join(clusters, "doc_id")
+    // both sides are corpus-sized: pin SHUFFLE_HASH (see neardupPairsOf)
+    docs.join(clusters.hint("shuffle_hash"), "doc_id")
       .filter(col("doc_id") =!= col("lbl")) // non-keepers = removals
       .groupBy(col("source"))
       .agg(
@@ -1277,17 +1291,29 @@ object TextQueries {
     *     few % of the corpus), then one per-doc sum and a join back to
     *     per-doc token counts (broadcastable: one narrow row per
     *     duplicated doc; AQE decides).
-    * At 100 TB the gram strings would be pre-hashed to xxhash64 BIGINTs
-    * before the shuffle (8-byte keys vs W-token strings; collision odds
-    * ~n²/2⁶⁵ corpus-wide — acceptable for a removal SIGNAL, switch the
-    * verify step to string equality when it is not). Kept as strings here
-    * for bit-exact cross-engine comparison with the DuckDB oracle. */
+    * At 100 TB the gram strings are pre-hashed to xxhash64 BIGINTs
+    * before the shuffle (`hashedShuffleKeys = true`): 8-byte keys vs
+    * W-token strings, so the one wide exchange moves ~corpus×8 bytes
+    * instead of ~corpus×W-token bytes. Measured on the 10× sf1 replica
+    * (AbSubstrHashBench, W=6 short synthetic tokens — a LOWER bound on
+    * the saving; real ~50-token spans shrink far more): total shuffle
+    * bytes 0.57× for the dedup readout (98.3→55.8 MiB) and 0.69× for
+    * the scrub (138→95.7 MiB), wall time neutral at this scale because
+    * local[32] shuffles never leave the page cache — the byte ratio IS
+    * the cluster-network claim. Equal output on sf0.01 pinned by
+    * SubstrHashParitySpec. Collision odds ~n²/2⁶⁵ corpus-wide —
+    * acceptable for a removal SIGNAL; a collision can only ADD a false
+    * duplicated position, never drop a true one, and the default stays
+    * strings for bit-exact cross-engine comparison with the DuckDB
+    * oracle. */
   /** The shared front half of the ExactSubstr engines: (docs, dp) where
     * `docs` = (doc_id, n_tokens, toks) for every input with >= W tokens
     * and `dp` = (doc_id, pos) for every W-token span occurring >= 2 times
     * corpus-wide. Consumed by [[substrDedupOf]] (interval-union coverage
     * readout) and [[substrScrubOf]] (span removal). */
-  private def dupSpanPositions(docsIn: DataFrame, W: Int): (DataFrame, DataFrame) = {
+  private def dupSpanPositions(
+      docsIn: DataFrame, W: Int,
+      hashedShuffleKeys: Boolean = false): (DataFrame, DataFrame) = {
     graft.functions.GraftExtensions.ensureRegistered(docsIn.sparkSession)
     val toks = tokens(col("text"))
     val grams = call_function("token_grams", toks, lit(W))
@@ -1305,9 +1331,14 @@ object TextQueries {
     // sf0.1 on the interpreted HOF form). The `size(toks) >= W` guard
     // already makes every gram array non-empty, so outer ≡ inner here and
     // no null rows materialize.
+    // hashed mode: collapse the gram STRING to its xxhash64 BEFORE the
+    // wide exchange — the string is built and hashed map-side (narrow)
+    // and never shuffles; only (doc_id, pos, BIGINT) rows do
+    val gramKey =
+      if (hashedShuffleKeys) xxhash64(col("gram")) else col("gram")
     val sh = docs
       .select(col("doc_id"), posexplode_outer(col("grams")).as(Seq("pos0", "gram")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("gram"))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), gramKey.as("gram"))
     import org.apache.spark.sql.expressions.Window
     val dp = sh
       .withColumn("n", count(lit(1)).over(Window.partitionBy("gram")))
@@ -1315,17 +1346,22 @@ object TextQueries {
     (docs, dp)
   }
 
-  private[graft] def substrDedupOf(docsIn: DataFrame, W: Int = 6): DataFrame = {
+  private[graft] def substrDedupOf(
+      docsIn: DataFrame, W: Int = 6,
+      hashedShuffleKeys: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (docs, dp) = dupSpanPositions(docsIn, W)
+    val (docs, dp) = dupSpanPositions(docsIn, W, hashedShuffleKeys)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val cov = dp
       .withColumn("prev", lag(col("pos"), 1).over(byDoc))
       .groupBy("doc_id")
       .agg(sum(when(col("prev").isNull, lit(W))
         .otherwise(least(lit(W), col("pos") - col("prev")))).as("dup_tokens"))
+    // left-outer onto the duplicated slice: build side must be cov, and
+    // cov scales with the corpus's duplicated fraction — SHUFFLE_HASH, not
+    // an estimate-dependent broadcast (ScaleShapeSpec's robust-join gate)
     docs.select(col("doc_id"), col("n_tokens"))
-      .join(cov, Seq("doc_id"), "left")
+      .join(cov.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("dup_tokens"), lit(0L)).cast(LongType).as("dup_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast(DoubleType) / col("n_tokens"))
@@ -1347,8 +1383,10 @@ object TextQueries {
     * window here lives with), then one join back to `docs` and a per-row
     * index filter rebuilds the text — no token-level shuffle of the full
     * corpus, only of its duplicated slice. */
-  private[graft] def substrScrubOf(docsIn: DataFrame, W: Int = 6): DataFrame = {
-    val (docs, dp) = dupSpanPositions(docsIn, W)
+  private[graft] def substrScrubOf(
+      docsIn: DataFrame, W: Int = 6,
+      hashedShuffleKeys: Boolean = false): DataFrame = {
+    val (docs, dp) = dupSpanPositions(docsIn, W, hashedShuffleKeys)
     val cov = dp
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("cpos"))
@@ -1360,7 +1398,7 @@ object TextQueries {
     // O(n×c) per doc, quadratic on a long mostly-duplicated document
     val covered = coalesce(col("cov"), array().cast("array<int>"))
     val kept = call_function("drop_positions", col("toks"), covered)
-    docs.join(cov, Seq("doc_id"), "left")
+    docs.join(cov.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         size(kept).cast(LongType).as("kept_tokens"),
         array_join(kept, " ").as("clean_text"))

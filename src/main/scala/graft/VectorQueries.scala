@@ -201,11 +201,15 @@ object VectorQueries {
     // vectors ~200:1 here, so the pair path pays 64 multiply-adds, not 192
     val n = emb.select(col("vec_id"), col("embedding"),
       sqrt(dotDouble(col("embedding"), col("embedding"))).as("len_d"))
+    // candidates and vectors both grow with the corpus: SHUFFLE_HASH pins
+    // the verify join's strategy independent of size estimates (the same
+    // contract as the text-side verify joins — see neardupPairsOf and
+    // ScaleShapeSpec's robust-join gate)
     cand
       .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("len_d").as("len_a")), Seq("vec_a"))
+        col("len_d").as("len_a")).hint("shuffle_hash"), Seq("vec_a"))
       .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("len_d").as("len_b")), Seq("vec_b"))
+        col("len_d").as("len_b")).hint("shuffle_hash"), Seq("vec_b"))
       .filter(
         dotDouble(col("emb_a"), col("emb_b")) / (col("len_a") * col("len_b"))
           >= threshold - 1e-6)
