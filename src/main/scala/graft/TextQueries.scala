@@ -1266,7 +1266,54 @@ object TextQueries {
               ORDER BY doc_id"""),
       "Exact-substring span REMOVAL (the action on q_substr_dedup's signal): covered " +
         "positions dropped per doc, survivors re-joined as clean_text — whole-doc " +
-        "clones scrub to empty")
+        "clones scrub to empty"),
+
+    QueryDef(
+      "q_substr_scrub_keepfirst", Seq("J7", "J5", "A4", "W1", "F8"),
+      (s, d) => {
+        // KeepFirst policy (VERDICT r11 Next #3): each duplicated gram's
+        // global min-(doc_id, pos) occurrence is elected keeper and NOT
+        // marked — Lee et al. 2022's training-corpus semantics (clones
+        // keep one copy), the exact-dedup min-keeper idiom applied at
+        // span granularity. Same engine, one extra within-partition sort.
+        substrScrubOf(Tables.fanOut(Tables.documents(s, d)),
+          policy = ScrubPolicy.KeepFirst)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                         FROM documents
+                         WHERE len(string_split(text, ' ')) >= 6),
+              sh AS (SELECT doc_id, unnest(generate_series(1, len(t) - 5)) AS pos, t
+                     FROM d),
+              sh2 AS (SELECT doc_id, pos, array_to_string(t[pos:pos+5], ' ') AS gram
+                      FROM sh),
+              dp AS (SELECT doc_id, pos FROM
+                       (SELECT doc_id, pos,
+                               count(*) OVER (PARTITION BY gram) AS n,
+                               row_number() OVER
+                                 (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+                        FROM sh2)
+                     WHERE n >= 2 AND rn > 1),
+              cov AS (SELECT DISTINCT doc_id, cpos FROM
+                        (SELECT doc_id, unnest(generate_series(pos, pos + 5)) AS cpos
+                         FROM dp)),
+              tok AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS tpos, t
+                      FROM d),
+              tok2 AS (SELECT doc_id, tpos, t[tpos] AS tk FROM tok),
+              kept AS (SELECT tok2.doc_id, tok2.tpos, tok2.tk
+                       FROM tok2 ANTI JOIN cov
+                         ON tok2.doc_id = cov.doc_id AND tok2.tpos = cov.cpos),
+              k AS (SELECT doc_id, count(*) AS kept_tokens,
+                           string_agg(tk, ' ' ORDER BY tpos) AS clean_text
+                    FROM kept GROUP BY doc_id)
+              SELECT d.doc_id,
+                     CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+                     coalesce(k.clean_text, '') AS clean_text
+              FROM d LEFT JOIN k USING (doc_id)
+              ORDER BY doc_id"""),
+      "Exact-substring scrub, KeepFirst policy (Lee et al. 2022): per duplicated " +
+        "gram the min-(doc_id, pos) occurrence is kept, the rest removed — whole-doc " +
+        "clones keep exactly one copy; keeper election rides the same single exchange")
   )
 
   /** Per-document exact-substring duplication coverage over ANY
@@ -1306,14 +1353,36 @@ object TextQueries {
     * duplicated position, never drop a true one, and the default stays
     * strings for bit-exact cross-engine comparison with the DuckDB
     * oracle. */
+  /** Which marked occurrences [[substrScrubOf]] removes (VERDICT r11
+    * Next #3). `RemoveAll` drops every occurrence of a duplicated span —
+    * whole-doc clones scrub to empty — the right signal-readout default
+    * and the one the DuckDB oracle pins bit-exactly. `KeepFirst` elects
+    * the deterministic global min-(doc_id, pos) occurrence of each
+    * duplicated gram as keeper and removes only the rest — Lee et al.
+    * 2022's actual training-corpus semantics (a cloned document keeps
+    * exactly one copy), the same min-keeper election idiom the exact-dedup
+    * store uses. A position covered by BOTH a keeper span and a
+    * non-keeper span is still removed (the non-keeper span marks it);
+    * per document, KeepFirst's marked set is a subset of RemoveAll's, so
+    * kept_tokens(KeepFirst) >= kept_tokens(RemoveAll) row-by-row
+    * (equality exactly when the doc carries no keeper span). */
+  sealed trait ScrubPolicy
+  object ScrubPolicy {
+    case object RemoveAll extends ScrubPolicy
+    case object KeepFirst extends ScrubPolicy
+  }
+
   /** The shared front half of the ExactSubstr engines: (docs, dp) where
     * `docs` = (doc_id, n_tokens, toks) for every input with >= W tokens
     * and `dp` = (doc_id, pos) for every W-token span occurring >= 2 times
-    * corpus-wide. Consumed by [[substrDedupOf]] (interval-union coverage
-    * readout) and [[substrScrubOf]] (span removal). */
+    * corpus-wide — minus, under `KeepFirst`, each gram's elected
+    * min-(doc_id, pos) keeper occurrence. Consumed by [[substrDedupOf]]
+    * (interval-union coverage readout) and [[substrScrubOf]] (span
+    * removal). */
   private def dupSpanPositions(
       docsIn: DataFrame, W: Int,
-      hashedShuffleKeys: Boolean = false): (DataFrame, DataFrame) = {
+      hashedShuffleKeys: Boolean = false,
+      policy: ScrubPolicy = ScrubPolicy.RemoveAll): (DataFrame, DataFrame) = {
     graft.functions.GraftExtensions.ensureRegistered(docsIn.sparkSession)
     val toks = tokens(col("text"))
     val grams = call_function("token_grams", toks, lit(W))
@@ -1340,9 +1409,22 @@ object TextQueries {
       .select(col("doc_id"), posexplode_outer(col("grams")).as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), gramKey.as("gram"))
     import org.apache.spark.sql.expressions.Window
-    val dp = sh
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("gram")))
-      .filter(col("n") >= 2).select("doc_id", "pos")
+    val dp = policy match {
+      case ScrubPolicy.RemoveAll =>
+        sh.withColumn("n", count(lit(1)).over(Window.partitionBy("gram")))
+          .filter(col("n") >= 2).select("doc_id", "pos")
+      case ScrubPolicy.KeepFirst =>
+        // keeper election rides the SAME single exchange: one extra
+        // within-partition sort by (doc_id, pos) and both frames (the
+        // running row_number and the whole-partition count) evaluate in
+        // one WindowExec — no second shuffle, no join against a keeper
+        // table. rn = 1 IS the global min-(doc_id, pos) occurrence.
+        val byGram = Window.partitionBy("gram").orderBy("doc_id", "pos")
+        sh.withColumn("rn", row_number().over(byGram))
+          .withColumn("n", count(lit(1)).over(byGram.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+          .filter(col("n") >= 2 && col("rn") > 1).select("doc_id", "pos")
+    }
     (docs, dp)
   }
 
@@ -1370,11 +1452,13 @@ object TextQueries {
   }
 
   /** The span-removal ACTION on top of the [[substrDedupOf]] signal:
-    * every token position covered by a duplicated W-span is dropped and
-    * the survivors re-join into `clean_text` (Lee et al. 2022 remove
-    * duplicated spans from the training corpus; this removes ALL marked
-    * occurrences — a keep-first-occurrence policy needs a global span
-    * ordering, which is a scheduling choice, not an engine one).
+    * every token position covered by a marked duplicated W-span is
+    * dropped and the survivors re-join into `clean_text`. Which
+    * occurrences are marked is the [[ScrubPolicy]]: `RemoveAll` (default,
+    * oracle-pinned) drops every occurrence; `KeepFirst` elects each
+    * gram's global min-(doc_id, pos) occurrence as keeper — Lee et al.
+    * 2022's training-corpus semantics, where a whole-doc clone keeps
+    * exactly one copy.
     *
     * Scale shape beyond the shared front half: covered positions explode
     * W rows per duplicated span (bounded by W × the duplicated few % of
@@ -1385,8 +1469,9 @@ object TextQueries {
     * corpus, only of its duplicated slice. */
   private[graft] def substrScrubOf(
       docsIn: DataFrame, W: Int = 6,
-      hashedShuffleKeys: Boolean = false): DataFrame = {
-    val (docs, dp) = dupSpanPositions(docsIn, W, hashedShuffleKeys)
+      hashedShuffleKeys: Boolean = false,
+      policy: ScrubPolicy = ScrubPolicy.RemoveAll): DataFrame = {
+    val (docs, dp) = dupSpanPositions(docsIn, W, hashedShuffleKeys, policy)
     val cov = dp
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("cpos"))

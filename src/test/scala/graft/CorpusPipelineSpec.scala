@@ -128,6 +128,81 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(scrub.find(_._1 == 4L).get._3 === "u v w x")
   }
 
+  test("substrScrubOf KeepFirst keeps each duplicated gram's min-(doc_id, pos) occurrence") {
+    import s.implicits._
+    // same fixture as the coverage test. Keepers at W=3: "a b c" -> (1,1),
+    // "b c d" -> (1,2), "p q r" -> (3,1), "q r p" -> (3,2), "r p q" -> (3,3).
+    // So doc 1 (first holder of both cross-doc grams) survives verbatim,
+    // doc 3 (period-3 self-repeat) keeps exactly its first period, and the
+    // later holders lose only the marked spans.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c x y z"), (3L, "p q r p q r p q r"),
+      (4L, "u v w x"), (5L, "s t"), (6L, "m a b c d n o"), (7L, "k1 b c d k2 k3")
+    ).toDF("doc_id", "text")
+    val got = TextQueries.substrScrubOf(docs, W = 3,
+        policy = TextQueries.ScrubPolicy.KeepFirst)
+      .select("doc_id", "n_tokens", "kept_tokens", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 6L, 6L, "a b c d e f"),
+      (2L, 6L, 3L, "x y z"),
+      (3L, 9L, 3L, "p q r"),
+      (4L, 4L, 4L, "u v w x"),
+      (6L, 7L, 3L, "m n o"),
+      (7L, 6L, 3L, "k1 k2 k3")))
+    // conservation vs RemoveAll: KeepFirst's marked set is a subset, so
+    // kept_tokens dominates ROW-BY-ROW; strictly greater in total whenever
+    // any gram duplicates (here: every doc with a keeper span gains)
+    val removeAll = TextQueries.substrScrubOf(docs, W = 3)
+      .select("doc_id", "kept_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, _, kept, _) =>
+      assert(kept >= removeAll(id), s"doc $id: KeepFirst kept $kept < RemoveAll ${removeAll(id)}")
+    }
+    assert(got.map(_._3).sum > removeAll.values.sum)
+  }
+
+  test("property: KeepFirst scrub matches a brute-force keeper-election oracle") {
+    import s.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val docGen = for {
+      nDocs <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(nDocs, Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c")).map(_.mkString(" "))))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // brute oracle: per gram with count >= 2, keeper = min (doc_id, pos);
+    // marked = all non-keeper occurrences; kept = tokens outside the
+    // union of marked spans
+    def oracle(docs: Seq[(Long, String)], w: Int): Map[Long, (Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val shingles = toks.toSeq.flatMap { case (id, ts) =>
+        ts.sliding(w).filter(_.size == w).zipWithIndex.map { case (g, p) => (id, p, g.mkString(" ")) }
+      }
+      val byGram = shingles.groupBy(_._3).filter(_._2.size >= 2)
+      val marked = byGram.values.toSeq.flatMap { occ =>
+        val keeper = occ.map(o => (o._1, o._2)).min
+        occ.map(o => (o._1, o._2)).filterNot(_ == keeper)
+      }
+      toks.collect { case (id, ts) if ts.size >= w =>
+        val covered = marked.collect { case (`id`, p) => p }
+          .flatMap(p => p until p + w).toSet
+        val keptToks = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        id -> (keptToks.size.toLong, keptToks.mkString(" "))
+      }.toMap
+    }
+    var seed = Seed(23L)
+    (0 until 15).foreach { _ =>
+      val docs = docGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      val got = TextQueries.substrScrubOf(docs.toDF("doc_id", "text"), W = 2,
+          policy = TextQueries.ScrubPolicy.KeepFirst)
+        .select("doc_id", "kept_tokens", "clean_text").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got === oracle(docs, 2), s"docs: $docs")
+    }
+  }
+
   test("q_corpus_split conserves the corpus and is stable across reruns") {
     val rows = Queries.byName("q_corpus_split").run(s, dir)
       .select("source", "split", "n_docs", "n_tokens").collect()
