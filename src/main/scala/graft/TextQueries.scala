@@ -58,28 +58,54 @@ object TextQueries {
   /** The same engine over ANY (source, doc_id, text) frame — the seam the
     * CLI's `dedup` command uses to run near-dup analysis over a loaded
     * collection's fact rows instead of the bench documents table. */
-  private[graft] def minhashJaccardPairsOf(
-      docsIn: DataFrame,
-      maxBucket: Int = BucketPairs.DefaultMaxBucket): DataFrame = {
-    val s = docsIn.sparkSession
+  /** (source, doc_id, toks, nt) tokenized frame — the shared front of the
+    * MinHash engines (batch pair-finding AND the streaming signature
+    * store, which must produce bit-identical band hashes or a re-arrival
+    * of a stored doc would miss its own bucket). */
+  private def tokDocsOf(docsIn: DataFrame): DataFrame = docsIn
+    .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks"))
+    .withColumn("nt", size(col("toks")))
+
+  /** Banded MinHash signatures (source, doc_id, band_id, band_hash) over
+    * ANY (source, doc_id, text) frame: 64 hash mins in one aggregation,
+    * banded 16×4. One narrow groupBy per doc — the LSH bucketing frame
+    * shared by [[minhashJaccardPairsOf]] and the streaming
+    * [[graft.streaming.NeardupStore]]. */
+  private[graft] def minhashBandSigsOf(docsIn: DataFrame): DataFrame =
+    bandSigsOfTok(tokDocsOf(docsIn))
+
+  private def bandSigsOfTok(docs: DataFrame): DataFrame = {
     val NumHashes = 64
     val Bands = 16
     val RowsPerBand = NumHashes / Bands
-    val docs = docsIn
-      .select(col("source"), col("doc_id"), tokenSet(col("text")).as("toks"))
-      .withColumn("nt", size(col("toks")))
     val mins = (0 until NumHashes).map(i =>
       min(xxhash64(col("h1"), lit(i.toLong))).as(s"mh$i"))
     val bandHashes = (0 until Bands).map { j =>
       xxhash64((j * RowsPerBand until (j + 1) * RowsPerBand).map(i => col(s"mh$i")): _*)
     }
-    val sig = docs
+    docs
       .select(col("source"), col("doc_id"), explode(col("toks")).as("tok"))
       .withColumn("h1", xxhash64(col("tok")))
       .groupBy(col("source"), col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("source"), col("doc_id"),
         posexplode(array(bandHashes: _*)).as(Seq("band_id", "band_hash")))
+  }
+
+  /** (doc_id, nt, hs) verification frame: sorted 64-bit token hashes, the
+    * codegen'd sorted-intersect's input — shared by the batch verify join
+    * and the streaming store's persisted verification leg. */
+  private[graft] def tokenHashFrameOf(docsIn: DataFrame): DataFrame =
+    tokDocsOf(docsIn)
+      .withColumn("hs", array_sort(transform(col("toks"), t => xxhash64(t))))
+      .select(col("doc_id"), col("nt"), col("hs"))
+
+  private[graft] def minhashJaccardPairsOf(
+      docsIn: DataFrame,
+      maxBucket: Int = BucketPairs.DefaultMaxBucket): DataFrame = {
+    val s = docsIn.sparkSession
+    val docs = tokDocsOf(docsIn)
+    val sig = bandSigsOfTok(docs)
     // bounded bucket-local pair generation (all-pairs ≤ maxBucket members,
     // star pairs beyond — see BucketPairs for the 100 TB contract)
     val cand = BucketPairs.pairs(
@@ -139,6 +165,19 @@ object TextQueries {
     * `dir` when set — the cluster-scale mode (VERDICT r8 Next #9: an
     * executor dying mid-loop under localCheckpoint kills the job; a
     * durable checkpoint recomputes nothing). */
+  /** Durable-checkpoint opt-in for the DECLARED queries' iterative
+    * engines (VERDICT r11 Next #7): `Cli dedup` threads an explicit dir,
+    * but the QueryDefs the bench/Verify surface runs had no seam — on a
+    * real cluster an executor death mid-CC-loop under localCheckpoint
+    * kills the job with nothing to recompute from. `GRAFT_CKPT_DIR`
+    * (env; `graft.ckpt.dir` system property as the in-JVM test seam —
+    * env wins) points the round-boundary materialization at durable
+    * storage for q_dedup_clusters / q_dedup_payoff without changing the
+    * default local-mode behavior. */
+  private[graft] def envCheckpointDir: Option[String] =
+    sys.env.get("GRAFT_CKPT_DIR").orElse(sys.props.get("graft.ckpt.dir"))
+      .filter(_.nonEmpty)
+
   private def ckpt(df: DataFrame, dir: Option[String]): DataFrame = dir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
@@ -355,6 +394,32 @@ object TextQueries {
       "Token counting (whitespace + BPE-ish regex pre-tokenizer) + vocabulary size per document"),
 
     QueryDef(
+      "q_token_stats_bpe", Seq("F4", "F8"),
+      (s, d) => {
+        // the REAL subword rung under q_token_stats's regex estimate
+        // (VERDICT r11 Next #4): byte-level BPE over the vendored merges
+        // table (see graft.functions.Bpe — published GPT-2 algorithm,
+        // offline-trained table, pluggable resource). No DuckDB oracle —
+        // SQL can't BPE — so correctness is pinned by BpeSpec's goldens
+        // from an independent Python implementation of the same published
+        // algorithm, the CanonicalSpec-vs-CPython pattern; the driver
+        // records the weaker rows-only check. fanOut: per-row merge-loop
+        // CPU that would otherwise run on the single-task scan.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        val ws = size(tokens(col("text"))).cast(LongType)
+        val bpe = size(call_function("bpe_tokens", col("text"))).cast(LongType)
+        Tables.fanOut(Tables.documents(s, d))
+          .select(col("doc_id"), ws.as("n_tokens_ws"), bpe.as("n_tokens_bpe"))
+          .withColumn("bpe_per_ws",
+            round(col("n_tokens_bpe").cast(DoubleType) / col("n_tokens_ws"), 9))
+          .orderBy("doc_id")
+      },
+      None,
+      "Byte-level BPE token budget per document (vendored-merges GPT-2-style " +
+        "tokenizer as a native codegen'd expression) vs the whitespace count — " +
+        "the number a training pipeline actually budgets in"),
+
+    QueryDef(
       "q_quality_score", Seq("F4"),
       (s, d) => {
         val toks = tokens(col("text"))
@@ -471,8 +536,10 @@ object TextQueries {
         // computed once and round-boundary-materialized (neardupEdgesOf)
         // so the propagation rounds never re-run the MinHash pipeline and
         // the join lineage stays flat.
-        val edges = neardupEdgesOf(Tables.documents(s, d))
-        connectedComponents(edges)
+        // durable-mode opt-in for cluster runs of the declared query
+        // (GRAFT_CKPT_DIR; see envCheckpointDir)
+        val edges = neardupEdgesOf(Tables.documents(s, d), envCheckpointDir)
+        connectedComponents(edges, envCheckpointDir)
           .select(col("doc_id"), col("lbl").as("cluster_id"))
           .orderBy("doc_id")
       },
@@ -514,7 +581,7 @@ object TextQueries {
         // rows — a mandatory broadcast would die at the broadcast ceiling
         // (VERDICT r8 #2). The frame is two narrow longs; AQE broadcasts
         // it when it is genuinely small and shuffles on doc_id otherwise.
-        dedupPayoffOf(Tables.documents(s, d))
+        dedupPayoffOf(Tables.documents(s, d), envCheckpointDir)
       },
       Some("""WITH RECURSIVE t AS (
                 SELECT source, doc_id,
@@ -837,23 +904,7 @@ object TextQueries {
         // parallelizes across sources exactly like the compile family
         // across ocids (and a single over-large source pre-shards on a
         // deterministic doc_id range before packing).
-        import org.apache.spark.sql.expressions.Window
-        val B = 2048
-        val w = Window.partitionBy("source").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.documents(s, d)
-          .select(col("source"), col("doc_id"),
-            size(split(col("text"), " ")).cast(LongType).as("tok"))
-          .withColumn("cum", sum(col("tok")).over(w))
-          .withColumn("window_id",
-            floor((col("cum") - col("tok")) / lit(B.toDouble)).cast(LongType))
-          .groupBy(col("source"), col("window_id"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("tok")).as("n_tokens"),
-            min(col("doc_id")).as("first_doc"),
-            max(col("doc_id")).as("last_doc"))
-          .orderBy("source", "window_id")
+        packSequencesOf(Tables.documents(s, d))
       },
       Some("""WITH t AS (
                 SELECT source, doc_id,
@@ -877,6 +928,23 @@ object TextQueries {
         "training windows (docs straddle boundaries — zero padding waste) via one " +
         "per-source running sum; per-window doc/token stats, oracle = the identical " +
         "window arithmetic"),
+
+    QueryDef(
+      "q_pack_sequences_bpe", Seq("W1", "A4", "F2", "F8"),
+      (s, d) => {
+        // the packing arithmetic budgeted in REAL subword tokens
+        // (VERDICT r11 Next #4's second leg): same one-window plan, the
+        // tok column swaps whitespace counts for bpe_tokens counts. No
+        // DuckDB oracle (SQL can't BPE); BpePackSpec pins conservation +
+        // contiguity and that windows differ from the ws variant exactly
+        // when the budgets differ.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        packSequencesOf(Tables.documents(s, d), tokenizer = "bpe")
+      },
+      None,
+      "Sequence packing with the byte-level BPE budget: identical " +
+        "concat-then-chunk window arithmetic, token counts from the vendored " +
+        "subword tokenizer — what the training batch actually holds"),
 
     QueryDef(
       "q_rep_ngrams", Seq("F4", "F8"),
@@ -1353,6 +1421,45 @@ object TextQueries {
     * duplicated position, never drop a true one, and the default stays
     * strings for bit-exact cross-engine comparison with the DuckDB
     * oracle. */
+  /** The sequence-packing engine behind q_pack_sequences{,_bpe}: one
+    * per-source running sum assigns each doc the window of its START
+    * offset (floor((cumsum − tok)/B)) — concat-then-chunk packing where
+    * docs straddle boundaries, zero padding waste, no per-window driver
+    * state (true first-fit bin packing is inherently sequential). The
+    * `tokenizer` picks the budget unit: "ws" (whitespace, the
+    * oracle-checkable default) or "bpe" (the vendored byte-level BPE —
+    * what the training batch actually holds). At 100 TB the per-source
+    * ordering is the scale boundary: one source = one sorted partition
+    * stream, packing parallelizes across sources like the compile family
+    * across ocids; a single over-large source pre-shards on a
+    * deterministic doc_id range first. */
+  private[graft] def packSequencesOf(
+      docsIn: DataFrame, B: Int = 2048, tokenizer: String = "ws"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = tokenizer match {
+      case "ws" => size(split(col("text"), " ")).cast(LongType)
+      case "bpe" =>
+        graft.functions.GraftExtensions.ensureRegistered(docsIn.sparkSession)
+        size(call_function("bpe_tokens", col("text"))).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"tokenizer must be 'ws' or 'bpe', got '$other'")
+    }
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsIn
+      .select(col("source"), col("doc_id"), tok.as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("window_id",
+        floor((col("cum") - col("tok")) / lit(B.toDouble)).cast(LongType))
+      .groupBy(col("source"), col("window_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "window_id")
+  }
+
   /** Which marked occurrences [[substrScrubOf]] removes (VERDICT r11
     * Next #3). `RemoveAll` drops every occurrence of a duplicated span —
     * whole-doc clones scrub to empty — the right signal-readout default

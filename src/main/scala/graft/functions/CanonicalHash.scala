@@ -131,6 +131,14 @@ object GraftExtensions {
         require(children.size == 2,
           s"drop_positions expects exactly 2 arguments, got ${children.size}")
         DropPositions(children.head, children(1))
+      }),
+    (
+      FunctionIdentifier("bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"bpe_tokens expects exactly 1 argument, got ${children.size}")
+        BpeTokens(children.head)
       }))
 
   val install: org.apache.spark.sql.SparkSessionExtensions => Unit =
