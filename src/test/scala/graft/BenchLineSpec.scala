@@ -39,7 +39,7 @@ class BenchLineSpec extends AnyFunSuite {
   test("when even 1-decimal overflows, fastest entries are omitted with an explicit count; failures never are") {
     val rs = results(200) :+ ("q_failed" -> -1.0)
     val line = Bench.renderSummaryLine(rs, Seq("q_failed" -> "boom"), "/sf")
-    assert(line.length <= 1950, s"line ${line.length} chars")
+    assert(line.length <= 1992, s"line ${line.length} chars")
     val j = parse(line)
     assert(j.has("n_omitted") && j.get("n_omitted").asInt() > 0)
     assert(j.get("queries").size() === rs.size - j.get("n_omitted").asInt())
@@ -59,12 +59,54 @@ class BenchLineSpec extends AnyFunSuite {
     val rs = (0 until 300).map(i => f"q_very_long_failed_query_name_$i%03d" -> -1.0)
     val errs = rs.take(5).map { case (k, _) => k -> "boom" }
     val line = Bench.renderSummaryLine(rs, errs, "/sf")
-    assert(line.length <= 1950, s"line ${line.length} chars")
+    assert(line.length <= 1992, s"line ${line.length} chars")
     val j = parse(line)
     assert(j.get("queries").size() === 5)
     val it = j.get("queries").fields()
     while (it.hasNext) assert(it.next().getValue.asDouble() === -1.0)
     assert(j.get("n_omitted").asInt() === rs.size - 5)
+  }
+
+  test("sf renders as its basename, reclaiming query capacity") {
+    // r12: the full "/root/testdata/sf0.1" path cost 16 chars of the
+    // 2000-char tail window; the driver records sf in its own top-level
+    // field, so the line's copy only needs to identify the dir
+    val line = Bench.renderSummaryLine(
+      Seq("q_a" -> 1.0), Seq.empty, "/root/testdata/sf0.1")
+    assert(parse(line).get("sf").asText() === "sf0.1")
+  }
+
+  test("the REAL declared surface fits the tail window at some precision with zero omissions") {
+    // the regression gate the r11 sizing comment asked for ("re-measure
+    // when adding queries"): render the actual query-name surface with
+    // per-query values that all take dp-1's full 3 chars ("9.9" — the
+    // real line is mostly "0.X", none of the 82 ever exceeded 9.9 s) and
+    // require the FULL map to survive the ladder — a new query that tips
+    // the line into the omission fallback fails HERE, at build time, not
+    // in the driver's round artifact
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val rs = names.map(_ -> 9.87)
+    val line = Bench.renderSummaryLine(rs, Seq.empty, "/root/testdata/sf0.1")
+    val j = parse(line)
+    assert(j.get("queries").size() === names.size,
+      s"omission fallback engaged at ${names.size} queries (line would drop entries)")
+    assert(!j.has("n_omitted"))
+  }
+
+  test("BENCH_sf1.json carries a stamp whose git SHA resolves in this repo") {
+    // VERDICT r11 Next #6: scale evidence must be traceable to the plans
+    // it measured. `Bench --sf1-stamp` writes {git_sha, sf_dir, ...};
+    // this pins presence + that the sha is a real object here, so a
+    // hand-edited or stale-format artifact fails loudly.
+    val f = new java.io.File("BENCH_sf1.json")
+    assert(f.exists(), "BENCH_sf1.json missing")
+    val stamp = mapper.readTree(f).get("stamp")
+    assert(stamp != null, "no stamp field — run Bench --sf1-stamp after the scale study")
+    val sha = stamp.get("git_sha").asText()
+    assert(sha.matches("[0-9a-f]{40}"), s"bad git_sha '$sha'")
+    val p = new ProcessBuilder("git", "cat-file", "-e", sha).start()
+    assert(p.waitFor() === 0, s"git_sha $sha does not resolve in this repo")
+    assert(stamp.get("n_queries").asInt() > 0)
   }
 
   test("the rendering is locale-independent (comma-decimal default locale)") {
