@@ -156,6 +156,32 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(durable === local)
   }
 
+  test("the DECLARED q_dedup_clusters honors the GRAFT_CKPT_DIR seam") {
+    // VERDICT r11 Next #7: durable mode existed only behind `Cli dedup`'s
+    // explicit flag — a cluster run of the declared query itself had no
+    // way to opt in. envCheckpointDir reads GRAFT_CKPT_DIR (env) with a
+    // `graft.ckpt.dir` system-property fallback as the in-JVM test seam;
+    // this drives the QueryDef through the property and asserts the
+    // reliable blocks land in the given dir with an unchanged fixpoint.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-env").toString
+    def rddDirs(): Set[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten)
+        .map(_.getName).filter(_.startsWith("rdd-")).toSet
+    assert(TextQueries.envCheckpointDir.isEmpty, "test env must not preset the dir")
+    val q = Queries.byName("q_dedup_clusters")
+    sys.props("graft.ckpt.dir") = dir
+    val durable =
+      try {
+        assert(TextQueries.envCheckpointDir === Some(dir))
+        q.run(s, "/root/testdata/sf0.001").collect().map(_.toSeq).toSeq
+      } finally sys.props.remove("graft.ckpt.dir")
+    assert(rddDirs().nonEmpty, "no reliable checkpoint blocks under GRAFT_CKPT_DIR")
+    val default = q.run(s, "/root/testdata/sf0.001").collect().map(_.toSeq).toSeq
+    assert(durable === default)
+    assert(durable.nonEmpty)
+  }
+
   test("adversarial template source: candidates stay bounded and the bucket stays one component") {
     import s.implicits._
     // 10³ docs of one boilerplate template land in ONE LSH bucket (exact
