@@ -108,20 +108,8 @@ object Cli {
     * near-dup report reads on distinct contents). */
   private def collectionDocs(
       spark: SparkSession, lake: String, plane: Control.Plane,
-      cid: Long): Option[DataFrame] = {
-    val c = known(plane, cid)
-    val table = c.dataTypeFormat match {
-      case Some(graft.ingest.FormatDetect.Format.CompiledRelease) => return None
-      case Some(Control.Format.RecordPackage) => "record"
-      case _ => "release"
-    }
-    readOrEmpty(spark, s"$lake/$table").map(
-      _.filter(col("collection_id") === cid)
-        .select(lit(c.sourceId).as("source"),
-          xxhash64(col("hash_md5")).as("doc_id"),
-          regexp_replace(col("data"), "[^A-Za-z0-9]+", " ").as("text"))
-        .dropDuplicates("doc_id"))
-  }
+      cid: Long): Option[DataFrame] =
+    Pipeline.collectionDocsOf(spark, lake, known(plane, cid))
 
   /** `--flag value` extraction; exits on a missing or flag-shaped value. */
   private def flagValue(rest: List[String], flag: String): Option[String] =

@@ -782,6 +782,37 @@ object Pipeline {
     Some(result)
   }
 
+  /** A loaded collection's fact rows as the (source, doc_id, text)
+    * document frame the corpus-pipeline engines consume — the seam shared
+    * by the CLI's `dedup`/`substr-dedup` commands (whole collection) and
+    * the streaming near-dup store (`files` = one micro-batch's filename
+    * slice). doc_id = xxhash64 of the content hash (deterministic under
+    * any partitioning; identical items collapse to one document), text =
+    * the item JSON flattened to word tokens. Compiled-release collections
+    * carry no raw text surface → None. */
+  def collectionDocsOf(
+      spark: SparkSession,
+      lakeDir: String,
+      c: Control.Collection,
+      files: Option[Seq[String]] = None): Option[DataFrame] = {
+    val table = c.dataTypeFormat match {
+      case Some(graft.ingest.FormatDetect.Format.CompiledRelease) => return None
+      case Some(Control.Format.RecordPackage) => "record"
+      case _ => "release"
+    }
+    Sink.readOrEmpty(spark, s"$lakeDir/$table").map { t =>
+      val slice = files match {
+        case Some(fs) => t.filter(col("filename").isin(fs: _*))
+        case None     => t
+      }
+      slice.filter(col("collection_id") === c.id)
+        .select(lit(c.sourceId).as("source"),
+          xxhash64(col("hash_md5")).as("doc_id"),
+          regexp_replace(col("data"), "[^A-Za-z0-9]+", " ").as("text"))
+        .dropDuplicates("doc_id")
+    }
+  }
+
   def loadAndCompile(
       spark: SparkSession,
       inputDir: String,

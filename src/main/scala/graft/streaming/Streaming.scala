@@ -159,7 +159,12 @@ object Streaming {
     * The file source is `binaryFile` pruned to `path` — the stream carries
     * file ARRIVALS, not contents (a queue source in a real deployment);
     * the loader re-opens each file executor-side with the O(item)-memory
-    * item reader. */
+    * item reader.
+    *
+    * `neardupSignatures = true` additionally probes each batch's loaded
+    * docs against the persistent MinHash signature store and appends
+    * their signatures ([[NeardupStore]]) — near-identical re-arrivals the
+    * exact-hash dedup is blind to land in `<lake>/neardup_flag`. */
   def releaseLoadStream(
       spark: SparkSession,
       landingDir: String,
@@ -168,7 +173,8 @@ object Streaming {
       upgradedId: Option[Long],
       plane: java.util.concurrent.atomic.AtomicReference[graft.control.Control.Plane],
       checkpointDir: String,
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      neardupSignatures: Boolean = false): StreamingQuery = {
     import spark.implicits._
     recoverPartialLoads(spark, lakeDir, collectionId, upgradedId, plane)
     // the binaryFile source's fixed schema, declared explicitly (streaming
@@ -208,6 +214,29 @@ object Streaming {
           val (p2, _, _) = graft.Pipeline.loadFilesInto(
             spark, fresh, lakeDir, p, collectionId, upgradedId)
           p = p2
+          // incremental NEAR-dup (VERDICT r11 Next #5): the exact-hash
+          // dedup above is blind to near-identical re-arrivals; probe the
+          // batch's docs against the persistent signature store (bucket-
+          // pruned, never a full-store scan — see NeardupStore), flag the
+          // hits, then append this batch's signatures. Probe-before-append
+          // keeps a doc from matching itself; running BEFORE the plane
+          // save makes signatures at-least-once (a crash here replays the
+          // batch and re-appends; the store and the flags table are
+          // duplicate-tolerant — readers distinct) rather than silently
+          // losable. Batch-internal pairs are the batch engine's job at
+          // compile/report time, not the per-arrival probe's.
+          if (neardupSignatures) {
+            graft.Pipeline
+              .collectionDocsOf(spark, lakeDir, p.collection(collectionId), Some(fresh))
+              .foreach { docs =>
+                val flags = NeardupStore
+                  .probeBatch(spark, lakeDir, docs)
+                  .withColumn("collection_id",
+                    org.apache.spark.sql.functions.lit(collectionId))
+                flags.write.mode("append").parquet(s"$lakeDir/neardup_flag")
+                NeardupStore.append(lakeDir, docs)
+              }
+          }
         }
         if (p ne plane.get())
           plane.set(graft.control.PlaneStore.save(lakeDir, p))
