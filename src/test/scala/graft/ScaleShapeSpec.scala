@@ -62,7 +62,14 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_dedup_payoff" -> 10,
     "q_neardup_lsh" -> 16,
     "q_neardup_embedding" -> 16,
-    "q_simhash_neardup" -> 12)
+    "q_simhash_neardup" -> 12,
+    // r12 queries: KeepFirst's keeper election rides the scrub's existing
+    // gram exchange (an ordered window over the same key — no new
+    // shuffle, same budget as q_substr_scrub); the BPE pair are narrow
+    // per-row pipelines (fanOut + final sort / the pack window)
+    "q_substr_scrub_keepfirst" -> 14,
+    "q_token_stats_bpe" -> 4,
+    "q_pack_sequences_bpe" -> 4)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -135,7 +142,8 @@ class ScaleShapeSpec extends AnyFunSuite {
   for (q <- Seq("q_compile_ocds", "q_ngram_jaccard", "q_ann_ivf", "q_ann_pq",
                 "q_dedup_clusters", "q_pack_sequences", "q_substr_dedup", "q_substr_scrub",
                 "q_collection_notes", "q_dedup_payoff", "q_neardup_lsh",
-                "q_neardup_embedding", "q_simhash_neardup"))
+                "q_neardup_embedding", "q_simhash_neardup",
+                "q_substr_scrub_keepfirst", "q_token_stats_bpe", "q_pack_sequences_bpe"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
