@@ -73,6 +73,78 @@ object NeardupStore {
       .write.mode("append").partitionBy("doc_bucket").parquet(docPath(lake))
   }
 
+  /** Small-file + duplicate-row maintenance for the two store tables —
+    * the NeardupStore analogue of `Sink.compactOutcomes`: every
+    * micro-batch appends up to `touched-buckets` part files per table, so
+    * a long-lived stream fragments the store into thousands of tiny
+    * files, and the at-least-once replay window can leave exact duplicate
+    * rows (harmless to the probe, dead weight on disk). Compaction
+    * rewrites each table DISTINCT, one file per bucket partition.
+    *
+    * MUST only run against a terminated stream (same contract and reason
+    * as compactOutcomes: to an in-flight batch, a fold of its own append
+    * is indistinguishable from loss). Commit protocol per table, all
+    * renames on the same filesystem:
+    *   write distinct → `_compact_tmp` (invisible to readers) →
+    *   rename `_compact_tmp` → `_compact_ready` (completeness marker) →
+    *   rename table → `_compact_old` → rename `_compact_ready` → table →
+    *   sweep `_compact_old`.
+    * A crash anywhere self-heals on the next call: an unmarked tmp is
+    * deleted (incomplete write), a ready dir with the table still present
+    * is stale and deleted (it derived from the current table; the rewrite
+    * reruns), a ready dir with the table ABSENT is promoted (the one
+    * crash point between the two live renames), a leftover old dir with
+    * the table present is swept. Readers see the old table or the new
+    * one; the absence window is the single rename pair, as in
+    * `Sink.swapCollectionPartition`. Returns (sig rows, doc rows). */
+  def compact(spark: SparkSession, lake: String): (Long, Long) = (
+    compactTable(spark, sigPath(lake), "band_bucket"),
+    compactTable(spark, docPath(lake), "doc_bucket"))
+
+  private def compactTable(
+      spark: SparkSession, path: String, bucketCol: String): Long = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    recoverCompactDebris(path)
+    val table = JP.get(path)
+    if (!JF.isDirectory(table)) return 0L
+    val tmp = JP.get(path + "_compact_tmp")
+    val ready = JP.get(path + "_compact_ready")
+    val old = JP.get(path + "_compact_old")
+    val rows = spark.read.parquet(path).distinct()
+      .repartition(col(bucketCol))
+    rows.write.mode("overwrite").partitionBy(bucketCol).parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    JF.move(tmp, ready)
+    JF.move(table, old)
+    JF.move(ready, table)
+    deleteDir(old)
+    n
+  }
+
+  /** See [[compact]]'s crash matrix. Idempotent; a no-op on a clean
+    * store. */
+  private[streaming] def recoverCompactDebris(path: String): Unit = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val table = JP.get(path)
+    val tmp = JP.get(path + "_compact_tmp")
+    val ready = JP.get(path + "_compact_ready")
+    val old = JP.get(path + "_compact_old")
+    deleteDir(tmp) // unmarked tmp = incomplete write, always stale
+    if (JF.exists(ready)) {
+      if (JF.exists(table)) deleteDir(ready) // derived from current table
+      else JF.move(ready, table)             // died between the two renames
+    }
+    if (JF.exists(old) && JF.exists(table)) deleteDir(old) // died pre-sweep
+    else if (JF.exists(old)) JF.move(old, table) // defensive: ready already consumed
+  }
+
+  private def deleteDir(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+
   /** The bucket-pruned candidate join (batch sigs × store sigs on the
     * (source, band_id, band_hash) bucket), None when the store does not
     * exist yet. Exposed at package level so the spec can pin the scan's

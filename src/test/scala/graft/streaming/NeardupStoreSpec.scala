@@ -65,6 +65,63 @@ class NeardupStoreSpec extends AnyFunSuite {
       s"partition filter is not a static membership list:\n${scanLine.getOrElse("")}")
   }
 
+  test("compact folds per-batch files and replay duplicates; probe results unchanged") {
+    val lake = Files.createTempDirectory("graft-ndcompact").toString
+    val docs = docsDF(1L -> s"$base one", 2L -> s"$base two",
+      3L -> "completely separate content about harbors and winter shipping today")
+    // three appends, one an exact replay (the at-least-once window)
+    NeardupStore.append(lake, docs)
+    NeardupStore.append(lake, docs) // replay: duplicate rows land
+    NeardupStore.append(lake, docsDF(4L -> "more unrelated text entirely about mountains"))
+    def files(p: String): Int = {
+      val fs = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        import scala.jdk.CollectionConverters._
+        fs.iterator.asScala.count(_.toString.endsWith(".parquet"))
+      } finally fs.close()
+    }
+    val probeDoc = docsDF(9L -> s"$base nine")
+    val before = NeardupStore.probeBatch(s, lake, probeDoc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before === Set((9L, 1L), (9L, 2L)))
+    val sigFilesBefore = files(NeardupStore.sigPath(lake))
+    val (nSig, nDoc) = NeardupStore.compact(s, lake)
+    // duplicates folded: one sig row per (doc, band), one doc row per doc
+    assert(nSig === 4 * 16 && nDoc === 4)
+    assert(files(NeardupStore.sigPath(lake)) < sigFilesBefore)
+    // the probe reads the compacted store identically
+    val after = NeardupStore.probeBatch(s, lake, probeDoc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after === before)
+  }
+
+  test("a compaction crash at every protocol point self-heals without loss") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val lake = Files.createTempDirectory("graft-ndcrash").toString
+    NeardupStore.append(lake, docsDF(1L -> s"$base one", 2L -> s"$base two"))
+    val path = NeardupStore.sigPath(lake)
+    def rowCount(): Long = s.read.parquet(path).distinct().count()
+    val want = rowCount()
+    // crash 1: incomplete tmp (no marker) — swept, table untouched
+    JF.createDirectories(JP.get(path + "_compact_tmp"))
+    NeardupStore.recoverCompactDebris(path)
+    assert(!JF.exists(JP.get(path + "_compact_tmp")) && rowCount() === want)
+    // crash 2: between the two renames (ready complete, table gone) —
+    // simulate by a real rename of the table itself to the marker
+    JF.move(JP.get(path), JP.get(path + "_compact_ready"))
+    JF.createDirectories(JP.get(path + "_compact_old"))
+    NeardupStore.recoverCompactDebris(path)
+    assert(rowCount() === want)
+    assert(!JF.exists(JP.get(path + "_compact_old")))
+    // crash 3: stale ready beside a live table — the ready copy is
+    // derived state; recovery drops it, never the table
+    JF.createDirectories(JP.get(path + "_compact_ready"))
+    NeardupStore.recoverCompactDebris(path)
+    assert(!JF.exists(JP.get(path + "_compact_ready")) && rowCount() === want)
+    // and a full compact still runs clean afterwards
+    assert(NeardupStore.compact(s, lake)._1 === want)
+  }
+
   test("releaseLoadStream with neardupSignatures flags a near-identical re-arrival") {
     import s.implicits._
     val baseDir = Files.createTempDirectory("graft-ndstream")
