@@ -167,14 +167,17 @@ object Bench {
     //    the sf independently in its own top-level field, the line's copy
     //    only needs to IDENTIFY the dir — and the slack shrank 50 → 8;
     //    nothing prints after the line but its own newline, so line +
-    //    "\n" <= 2000 keeps the whole line inside the tail. Together
-    //    ~58 chars ≈ 2-3 more queries of dp=1 headroom past the current
-    //    84; re-measure when adding queries. 100 ms resolution is coarse
-    //    on a 0.3 s query, but an unparseable line loses EVERY per-query
-    //    value, so coarse beats absent — r7-r9 each lost entries this
-    //    way). The total keeps 3 decimals either way, and the failure
-    //    fields sit at the END so a truncated-anyway run still shows
-    //    what failed.
+    //    "\n" <= 2000 keeps the whole line inside the tail); past the
+    //    global ladder, a MIXED rung coarsens the largest values to whole
+    //    seconds one at a time (see `mixed` below — at 88 queries the
+    //    dp=1 line is ~70 chars over and the all-integer worst case is
+    //    ~17 under, so the mixed rung covers the surface to ~90 queries;
+    //    re-measure via BenchLineSpec when adding more). 100 ms (or 1 s)
+    //    resolution is coarse, but an unparseable line loses EVERY
+    //    per-query value, so coarse beats absent — r7-r9 each lost
+    //    entries this way. The total keeps 3 decimals either way, and
+    //    the failure fields sit at the END so a truncated-anyway run
+    //    still shows what failed.
     // Locale.ROOT: the f-interpolator uses the default locale, and a
     // comma-decimal locale (de_DE, fr_FR) would print 6,225 — invalid JSON
     // trailing zeros stripped ("0.850" -> "0.85", "2.00" -> "2"): valid
@@ -192,28 +195,43 @@ object Bench {
     // basename only ("sf0.1"): identifies the dir; the full path cost 16
     // chars of query capacity and the driver records sf itself anyway
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    def summaryOf(rs: Seq[(String, Double)], dp: Int, omitted: Int): String = {
-      val qs = rs.map { case (k, v) => s"\"${esc(k)}\":${sec(v, dp)}" }.mkString("{", ",", "}")
+    def summaryOf(rs: Seq[(String, Double)], dpOf: String => Int, omitted: Int): String = {
+      val qs = rs.map { case (k, v) => s"\"${esc(k)}\":${sec(v, dpOf(k))}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","n_omitted":$omitted""" else ""
       // `errors` appears only when non-empty (r12: its empty `{}` cost 12
       // chars of query capacity; `n_failed:0` already says "clean run")
       val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfName)}"$errField,"n_failed":${errors.size}$om}"""
     }
-    def summary(dp: Int): String = summaryOf(results, dp, 0)
+    def summary(dp: Int): String = summaryOf(results, _ => dp, 0)
+    // mixed-precision rung (r12, when query 86+ outgrew even the global
+    // 1-decimal line): keep EVERY entry, but render the k LARGEST values
+    // at integer seconds — the slowest queries lose the least RELATIVE
+    // information to a whole-second rounding (13.5→14 is 4%; rounding a
+    // 0.3 s query to "0" would be 100%), so coarsening from the top keeps
+    // the fast tail's decisecond resolution intact. Smallest k that fits
+    // wins; only if even all-integer overflows does omission start.
+    def mixed: Option[String] = {
+      val largestFirst = results.filter(_._2 >= 0).sortBy(-_._2).map(_._1)
+      Iterator.range(1, largestFirst.size + 1)
+        .map { k =>
+          val coarse = largestFirst.take(k).toSet
+          summaryOf(results, n => if (coarse(n)) 0 else 1, 0)
+        }
+        .find(_.length <= window)
+    }
     // window: the driver tail minus newline/flush slack (default above)
-    Seq(3, 2, 1).map(summary).find(_.length <= window).getOrElse {
-      // last resort when even the 1-decimal full map overflows (the next
-      // query added past the current 82 gets here): omit the FASTEST
-      // entries — the least informative values — until the line fits,
-      // and say so with an explicit n_omitted. A valid partial line beats
-      // the alternative, an unparseable full one that loses everything
-      // (r7-r9). Failed queries (-1) are never omitted.
+    Seq(3, 2, 1).map(summary).find(_.length <= window).orElse(mixed).getOrElse {
+      // last resort when even the all-integer full map overflows: omit
+      // the FASTEST entries — the least informative values — until the
+      // line fits, and say so with an explicit n_omitted. A valid partial
+      // line beats the alternative, an unparseable full one that loses
+      // everything (r7-r9). Failed queries (-1) are never omitted.
       val fastestFirst = results.filter(_._2 >= 0).sortBy(_._2).map(_._1)
       Iterator.range(1, results.size)
         .map { k =>
           val gone = fastestFirst.take(k).toSet
-          summaryOf(results.filterNot(r => gone(r._1)), 1, k)
+          summaryOf(results.filterNot(r => gone(r._1)), _ => 1, k)
         }
         .find(_.length <= window)
         .getOrElse {
@@ -223,7 +241,7 @@ object Bench {
           // everything else as omitted; never emit an empty map that
           // silently drops the -1 markers.
           val keptFailed = results.filter(_._2 < 0).take(5)
-          summaryOf(keptFailed, 1, results.size - keptFailed.size)
+          summaryOf(keptFailed, _ => 1, results.size - keptFailed.size)
         }
     }
   }

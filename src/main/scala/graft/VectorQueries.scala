@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -395,6 +396,56 @@ object VectorQueries {
     * per-JVM like Tables.materialize's cache. */
   private val auxWritten = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** (vec_id, embedding, cell) assignment frame over the trained centroids
+    * — the shared first stage of the semantic-curation queries (SemDeDup
+    * dedup, prototype/outlier scoring). Assignment is the broadcast
+    * [[nearestCell]] loop over unit vectors: one narrow pass, no shuffle. */
+  private def assignedCells(
+      s: SparkSession, emb: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(centroids)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) => (id, v, nearestCell(cs, unit(v)).toLong) }
+      }
+      .toDF("vec_id", "embedding", "cell")
+  }
+
+  /** SemDeDup removal threshold (Abbas et al. 2023 use 0.95+ on real
+    * corpora; the synthetic table's near-uniform embeddings top out around
+    * cosine 0.55, so the demo threshold sits where within-cell neighbor
+    * pairs actually exist — the CONTRACT is threshold-independent). */
+  private val SemTau = 0.4
+
+  /** The shared unit-normalize + Voronoi-assignment CTE chain of the
+    * centroid-artifact oracles (`cent` → … → `cells`), ending ready for
+    * more CTEs to be appended. */
+  private def cellsCtes: String =
+    s"""WITH cent AS (
+          SELECT cell, c
+          FROM read_parquet('${OracleAux.Token}/kmeans_centroids/*.parquet')),
+        dv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+        sc AS (
+          SELECT vec_id, d, list_inner_product(d, d) AS n2,
+                 1.0 / sqrt(list_inner_product(d, d)) AS s
+          FROM dv),
+        un AS (
+          SELECT vec_id,
+                 CASE WHEN n2 = 0 THEN d
+                      ELSE list_transform(d, x -> x * s) END AS u
+          FROM sc),
+        cells AS (
+          SELECT vec_id, cell FROM (
+            SELECT un.vec_id, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY un.vec_id
+                     ORDER BY list_inner_product(un.u, cent.c) DESC, cent.cell)
+                     AS rn
+            FROM un CROSS JOIN cent) ranked
+          WHERE rn = 1)"""
+
   private def writeKmeansAux(s: SparkSession, d: String, auxDir: String): Unit = {
     if (!auxWritten.add(s"kmeans::$d::$auxDir")) return
     import s.implicits._
@@ -573,12 +624,13 @@ object VectorQueries {
           GROUP BY c.vec_id)
         SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""
 
-  /** Shared IVF-PQ engine (q_ann_ivf_pq single-probe, _multiprobe at 4):
-    * probe set = the `probes` centroids nearest the query (same (dot desc,
-    * cell) ranking as assignment), rows in probed cells scored by ADC with
-    * the DECIMAL(38,18)-pinned LUT sum (order-exact vs the oracle's SUM
-    * over decimal-cast dots). */
-  private def ivfPqTopK(s: SparkSession, d: String, probes: Int): DataFrame = {
+  /** Shared IVF-PQ engine (q_ann_ivf_pq single-probe, _multiprobe at 4,
+    * _refine's candidate stage): probe set = the `probes` centroids nearest
+    * the query (same (dot desc, cell) ranking as assignment), rows in
+    * probed cells scored by ADC with the DECIMAL(38,18)-pinned LUT sum
+    * (order-exact vs the oracle's SUM over decimal-cast dots). Returns the
+    * UN-truncated per-row ADC frame (vec_id, adc) — callers rank/limit. */
+  private def ivfPqAdc(s: SparkSession, d: String, probes: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val centroids = trainCentroids(emb, s)
@@ -628,9 +680,17 @@ object VectorQueries {
       }
       .toDF("vec_id", "adc")
       .select(col("vec_id"), round(col("adc"), 9).as("adc"))
+  }
+
+  private def ivfPqTopK(s: SparkSession, d: String, probes: Int): DataFrame =
+    ivfPqAdc(s, d, probes)
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(10)
-  }
+
+  /** Candidates an IVFADC+refine pass re-ranks exactly (Jégou et al.'s
+    * re-ranking stage): top `RefineR` by (adc desc, vec_id) — the vec_id
+    * tie-break keeps the truncation deterministic in both engines. */
+  private val RefineR = 50
 
   /** The IVF-PQ oracle: the trained-IVF cells gate WHICH rows score, the
     * PQ codes say HOW they score. Reads BOTH materialized artifacts:
@@ -640,6 +700,12 @@ object VectorQueries {
     * the probed rows' ADC comes from the codebook re-derivation (exactly
     * like [[pqOracleSql]]). */
   private def ivfPqOracleSql(probes: Int): String =
+    s"""${ivfPqAdcCtes(probes)}
+        SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""
+
+  /** The IVFADC CTE chain shared by the plain and refine oracles: ends at
+    * `adc` (vec_id, adc) over the probed cells, query row excluded. */
+  private def ivfPqAdcCtes(probes: Int): String =
     s"""WITH cent AS (
           SELECT cell, c
           FROM read_parquet('${OracleAux.Token}/kmeans_centroids/*.parquet')),
@@ -694,8 +760,39 @@ object VectorQueries {
           JOIN cells cl ON cl.vec_id = c.vec_id
           JOIN qc ON cl.cell = qc.cell
           WHERE c.vec_id <> 0
-          GROUP BY c.vec_id)
-        SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""
+          GROUP BY c.vec_id)"""
+
+  /** The IVFADC+refine oracle: the shared CTE chain's ADC ranking is
+    * truncated to the top [[RefineR]] candidates ((adc DESC, vec_id) — the
+    * deterministic truncation order), which are then re-scored with the
+    * EXACT decimal cosine machinery of [[kmeansOracleSql]] and re-ranked.
+    * ADC decides who gets re-ranked; exact cosine decides the final order. */
+  private def ivfPqRefineOracleSql(probes: Int): String =
+    s"""${ivfPqAdcCtes(probes)},
+        cand AS (
+          SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT $RefineR),
+        n AS (
+          SELECT e.vec_id, e.embedding,
+                 SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                          AS DECIMAL(38,18))) AS norm_dec
+          FROM embeddings e, generate_series(1, $Dim) t(i)
+          GROUP BY e.vec_id, e.embedding),
+        q AS (
+          SELECT n.embedding AS qe, n.norm_dec AS qnorm_dec
+          FROM n WHERE n.vec_id = 0),
+        ref AS (
+          SELECT n.vec_id,
+                 round(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
+                                     * CAST(q.qe[i] AS DOUBLE)
+                                     AS DECIMAL(38,18))) AS DOUBLE)
+                   / (sqrt(CAST(n.norm_dec AS DOUBLE)) * sqrt(CAST(q.qnorm_dec AS DOUBLE))), 9)
+                   AS cosine
+          FROM n
+          JOIN cand c ON c.vec_id = n.vec_id
+          CROSS JOIN q,
+               generate_series(1, $Dim) t(i)
+          GROUP BY n.vec_id, n.norm_dec, q.qnorm_dec)
+        SELECT vec_id, cosine FROM ref ORDER BY cosine DESC, vec_id LIMIT 10"""
 
   /** The trained-IVF oracle: re-derives every cell assignment from the
     * materialized centroids with the same arithmetic as [[nearestCell]] —
@@ -1100,6 +1197,43 @@ object VectorQueries {
       aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) }),
 
     QueryDef(
+      "q_ann_ivf_pq_refine", Seq("A5", "O5", "J1"),
+      (s, d) => {
+        // IVFADC + exact re-ranking — the third stage of the production ANN
+        // stack (Jégou et al.): the compressed-domain ADC scan nominates a
+        // small candidate set, and ONLY those rows' raw vectors are read
+        // back and scored exactly. At 100 TB this is the accuracy/IO
+        // contract that makes PQ usable: the 8-byte-code scan covers the
+        // probed cells, while full-precision vectors are fetched for
+        // RefineR rows regardless of corpus size — the candidate list
+        // broadcasts to the raw-vector scan, so the refine join is a
+        // broadcast hash join by construction, never a shuffle.
+        val adcTop = ivfPqAdc(s, d, probes = 4)
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(RefineR)
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"),
+            dotDec(col("embedding"), col("embedding")).as("qnorm_dec"))
+        emb.join(broadcast(adcTop.select("vec_id")), Seq("vec_id"))
+          .crossJoin(broadcast(q))
+          .select(
+            col("vec_id"),
+            cosineCol(
+              dotDec(col("embedding"), col("qe")),
+              dotDec(col("embedding"), col("embedding")),
+              col("qnorm_dec")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(ivfPqRefineOracleSql(4)),
+      "IVFADC + exact re-rank: multi-probe PQ scan nominates the top-50 ADC " +
+        "candidates, whose raw vectors alone are re-scored with the exact decimal " +
+        "cosine — the constant-size refine stage that caps PQ's quantization error; " +
+        "oracle re-derives the candidate set and the exact re-ranking",
+      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) }),
+
+    QueryDef(
       "q_embed_quantize", Seq("F4", "A4"),
       (s, d) => {
         // int8 scalar quantization of the embedding column — the storage
@@ -1260,6 +1394,146 @@ object VectorQueries {
                WHERE cosine >= 0.35 ORDER BY vec_a, vec_b"""),
       "Random-hyperplane LSH near-dup (the 100 TB shape): deterministic ±1 hyperplanes " +
         "from a shared LCG, 4×4-bit band buckets as join key, id-pair dedup, then " +
-        "double-prune + exact-decimal verify; the oracle rebuilds identical buckets")
+        "double-prune + exact-decimal verify; the oracle rebuilds identical buckets"),
+
+    QueryDef(
+      "q_semantic_dedup", Seq("A5", "J1", "A2"),
+      (s, d) => {
+        // SemDeDup (Abbas et al. 2023): semantic near-dup removal where the
+        // QUADRATIC pair search is bounded by the trained k-means partition
+        // — pairwise cosine is only ever computed WITHIN a Voronoi cell.
+        // At 100 TB the knob is k: clusters are sized to a bounded member
+        // count (the paper uses ~n/1e4 clusters on LAION), so per-cell
+        // all-pairs stays constant-cost per cluster and the whole pass is
+        // one shuffle of (cell, vec_id) plus the verify joins; the shared
+        // BucketPairs engine additionally star-degrades any cell that
+        // outgrows its bound (loud, bounded — never C(n,2)). Removal is the
+        // engine's deterministic min-keeper idiom: a vector is removed iff
+        // a LOWER-id vector in its cell matches at cosine ≥ τ; `keeper`
+        // records the lowest such partner, `max_cosine` the strongest
+        // match. The oracle re-derives assignments from the materialized
+        // centroids and replays the same election in SQL.
+        val emb = Tables.embeddings(s, d)
+        val cand = BucketPairs
+          .pairs(assignedCells(s, emb, trainCentroids(emb, s))
+              .select("vec_id", "cell"),
+            Seq("cell"), "vec_id", Seq("cell"))
+          .withColumnRenamed("a", "vec_a")
+          .withColumnRenamed("b", "vec_b")
+        verifyPairs(cand, emb, SemTau)
+          .groupBy(col("cell"), col("vec_b"))
+          .agg(min(col("vec_a")).as("keeper"), max(col("cosine")).as("max_cosine"))
+          .select(col("vec_b").as("vec_id"), col("cell"),
+            col("keeper"), col("max_cosine"))
+          .orderBy("vec_id")
+      },
+      Some(s"""$cellsCtes,
+        cand AS (
+          SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        n AS (
+          SELECT e.vec_id, e.embedding,
+                 SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                          AS DECIMAL(38,18))) AS norm_dec
+          FROM embeddings e, generate_series(1, $Dim) t(i)
+          GROUP BY e.vec_id, e.embedding),
+        scored AS (
+          SELECT c.cell, c.vec_a, c.vec_b,
+                 round(CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE)
+                                     * CAST(b.embedding[i] AS DOUBLE)
+                                     AS DECIMAL(38,18))) AS DOUBLE)
+                   / (sqrt(CAST(a.norm_dec AS DOUBLE)) * sqrt(CAST(b.norm_dec AS DOUBLE))), 9)
+                   AS cosine
+          FROM cand c
+          JOIN n a ON a.vec_id = c.vec_a
+          JOIN n b ON b.vec_id = c.vec_b,
+               generate_series(1, $Dim) t(i)
+          GROUP BY c.cell, c.vec_a, c.vec_b, a.norm_dec, b.norm_dec)
+        SELECT vec_b AS vec_id, cell, MIN(vec_a) AS keeper, MAX(cosine) AS max_cosine
+        FROM scored WHERE cosine >= $SemTau
+        GROUP BY cell, vec_b ORDER BY vec_id"""),
+      "SemDeDup semantic near-dup removal: trained k-means cells bound the pair " +
+        "search (pairwise cosine only within a Voronoi cell), min-id keeper election " +
+        "marks removals — the cluster-bounded answer to quadratic embedding dedup; " +
+        "oracle re-derives cells from the materialized centroids and replays the " +
+        "election",
+      aux = Some(writeKmeansAux)),
+
+    QueryDef(
+      "q_embed_prototypes", Seq("A5", "W2", "J2"),
+      (s, d) => {
+        // Per-cluster prototype/outlier scoring — the curation signal
+        // SemDeDup/D4-style pipelines rank semantic clusters by: each
+        // vector's cosine to its OWN assigned centroid. The most
+        // prototypical members are a cluster's exemplars (D4 prunes the
+        // over-represented ones); the least prototypical are its outliers
+        // (boundary/noise candidates). One broadcast join against the k
+        // centroids, per-row decimal-exact scoring, and two row_number
+        // windows over the cell partition emit each cell's top-2 from both
+        // ends. At 100 TB: the centroid table is k rows (always broadcast),
+        // the window partitions by cell — one shuffle bounded by k
+        // partitions of corpus/k rows each.
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val centroids = trainCentroids(emb, s)
+        val cells = assignedCells(s, emb, centroids)
+        val centDf = centroids.zipWithIndex.toSeq
+          .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cell", "c")
+        val scored = cells.join(broadcast(centDf), Seq("cell"))
+          .select(col("cell"), col("vec_id"),
+            cosineCol(
+              dotDec(col("embedding"), col("c")),
+              dotDec(col("embedding"), col("embedding")),
+              dotDec(col("c"), col("c"))).as("cos_centroid"))
+        val wHi = Window.partitionBy("cell")
+          .orderBy(col("cos_centroid").desc, col("vec_id"))
+        val wLo = Window.partitionBy("cell")
+          .orderBy(col("cos_centroid").asc, col("vec_id"))
+        scored
+          .withColumn("rank_proto", row_number().over(wHi))
+          .withColumn("rank_outlier", row_number().over(wLo))
+          .filter(col("rank_proto") <= 2 || col("rank_outlier") <= 2)
+          .orderBy("cell", "vec_id")
+      },
+      Some(s"""$cellsCtes,
+        n AS (
+          SELECT e.vec_id, e.embedding,
+                 SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                          AS DECIMAL(38,18))) AS norm_dec
+          FROM embeddings e, generate_series(1, $Dim) t(i)
+          GROUP BY e.vec_id, e.embedding),
+        cn AS (
+          SELECT cell, c,
+                 SUM(CAST(c[i] * c[i] AS DECIMAL(38,18))) AS cnorm_dec
+          FROM cent, generate_series(1, $Dim) t(i)
+          GROUP BY cell, c),
+        scored AS (
+          SELECT cl.cell, n.vec_id,
+                 round(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE) * cn.c[i]
+                                     AS DECIMAL(38,18))) AS DOUBLE)
+                   / (sqrt(CAST(n.norm_dec AS DOUBLE)) * sqrt(CAST(cn.cnorm_dec AS DOUBLE))), 9)
+                   AS cos_centroid
+          FROM n
+          JOIN cells cl ON cl.vec_id = n.vec_id
+          JOIN cn ON cn.cell = cl.cell,
+               generate_series(1, $Dim) t(i)
+          GROUP BY cl.cell, n.vec_id, n.norm_dec, cn.cnorm_dec),
+        ranked AS (
+          SELECT cell, vec_id, cos_centroid,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                   ORDER BY cos_centroid DESC, vec_id) AS rank_proto,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                   ORDER BY cos_centroid ASC, vec_id) AS rank_outlier
+          FROM scored)
+        SELECT cell, vec_id, cos_centroid, rank_proto, rank_outlier
+        FROM ranked
+        WHERE rank_proto <= 2 OR rank_outlier <= 2
+        ORDER BY cell, vec_id"""),
+      "Per-cluster prototype/outlier scoring (the D4-style curation signal): cosine " +
+        "of each vector to its assigned trained centroid, top-2 exemplars and top-2 " +
+        "outliers per cell via two row_number windows — broadcast centroid join, " +
+        "decimal-exact scoring; oracle re-derives assignment and both rankings",
+      aux = Some(writeKmeansAux))
   )
 }

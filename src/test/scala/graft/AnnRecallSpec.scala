@@ -85,6 +85,20 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rMulti >= rSingle, "wider IVF-PQ probing lost true neighbors")
   }
 
+  test("IVFADC + exact refine: re-ranking never loses a true neighbor ADC found") {
+    val exact = top10("q_ann_bruteforce")
+    val adc = top10("q_ann_ivf_pq_multiprobe")
+    val refined = top10("q_ann_ivf_pq_refine")
+    val rAdc = (exact & adc).size / 10.0
+    val rRef = (exact & refined).size / 10.0
+    info(f"recall@10 ivfpq-multi(ADC)=$rAdc%.1f +refine(exact)=$rRef%.1f")
+    // structural guarantee, not a tuning outcome: ADC's top-10 is a subset
+    // of the top-50 refine candidates, and exact re-scoring ranks every
+    // true neighbor among the candidates above every non-neighbor — so
+    // refine recall can only add (quantization error removed), never lose
+    assert(rRef >= rAdc, "exact re-ranking lost a neighbor the ADC ordering had")
+  }
+
   test("k-means training is bit-deterministic across runs and partitionings") {
     // the fixed-point-sum claim, pinned: two independent trainings (the
     // second over a repartitioned input, exercising different partition

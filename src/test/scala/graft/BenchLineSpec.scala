@@ -36,6 +36,38 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!j.has("n_omitted"))
   }
 
+  test("past the global ladder, the mixed rung coarsens the largest values and keeps every entry") {
+    // 88 realistic-length (15-char) names at a uniform 9.87 s: dp=1
+    // ("9.9") overflows by ~28 chars, the partially-integer line fits —
+    // the mixed rung must keep the FULL map, rendering some values at
+    // whole seconds, with no omission
+    val rs = (0 until 88).map(i => f"q_test_name_$i%03d" -> 9.87)
+    val line = Bench.renderSummaryLine(rs, Seq.empty, "/sf")
+    assert(line.length <= 1992, s"line ${line.length} chars")
+    val j = parse(line)
+    assert(j.get("queries").size() === rs.size)
+    assert(!j.has("n_omitted"))
+    // a coarsened value rounds to the nearest whole second
+    assert(j.get("queries").get("q_test_name_000").asDouble() === 10.0)
+  }
+
+  test("the mixed rung coarsens from the LARGEST value down, keeping the fast tail's resolution") {
+    // one giant query plus 68 fast ones: the dp=1 line is ~13 chars over,
+    // so the rung must coarsen the giant FIRST (biggest value, smallest
+    // relative loss) plus a handful of the equal fast ties — never the
+    // whole map — and entries past the coarsened prefix keep deciseconds
+    val rs = ("q_slow_giant" -> 131.44) +:
+      (0 until 68).map(i => f"q_test_query_name_$i%03d" -> 0.87)
+    val line = Bench.renderSummaryLine(rs, Seq.empty, "/sf")
+    assert(line.length <= 1992, s"line ${line.length} chars")
+    val j = parse(line)
+    assert(j.get("queries").size() === rs.size)
+    assert(!j.has("n_omitted"))
+    assert(j.get("queries").get("q_slow_giant").asDouble() === 131.0)
+    // the minimal-k search stops before coarsening the whole tail
+    assert(j.get("queries").get("q_test_query_name_067").asDouble() === 0.9)
+  }
+
   test("when even 1-decimal overflows, fastest entries are omitted with an explicit count; failures never are") {
     val rs = results(200) :+ ("q_failed" -> -1.0)
     val line = Bench.renderSummaryLine(rs, Seq("q_failed" -> "boom"), "/sf")

@@ -69,7 +69,16 @@ class ScaleShapeSpec extends AnyFunSuite {
     // per-row pipelines (fanOut + final sort / the pack window)
     "q_substr_scrub_keepfirst" -> 14,
     "q_token_stats_bpe" -> 4,
-    "q_pack_sequences_bpe" -> 4)
+    "q_pack_sequences_bpe" -> 4,
+    // r12 semantic-curation family: semantic dedup = the BucketPairs
+    // window exchange on cell + the SHUFFLE_HASH verify joins + the
+    // election agg/sort; prototypes = one window exchange over cell plus
+    // the final sort (centroid join is an explicit 16-row broadcast);
+    // refine = the ADC candidate broadcast + two explicit broadcasts,
+    // no shuffle at all
+    "q_semantic_dedup" -> 14,
+    "q_embed_prototypes" -> 6,
+    "q_ann_ivf_pq_refine" -> 4)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -143,7 +152,8 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_dedup_clusters", "q_pack_sequences", "q_substr_dedup", "q_substr_scrub",
                 "q_collection_notes", "q_dedup_payoff", "q_neardup_lsh",
                 "q_neardup_embedding", "q_simhash_neardup",
-                "q_substr_scrub_keepfirst", "q_token_stats_bpe", "q_pack_sequences_bpe"))
+                "q_substr_scrub_keepfirst", "q_token_stats_bpe", "q_pack_sequences_bpe",
+                "q_semantic_dedup", "q_embed_prototypes", "q_ann_ivf_pq_refine"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
