@@ -189,14 +189,21 @@ object Bench {
       else s
     }
     val errJson = errors.take(5)
-      .map { case (k, v) => s"\"${esc(k)}\":\"${esc(v.take(80))}\"" }
+      .map { case (k, v) => s"\"${esc(k.stripPrefix("q_"))}\":\"${esc(v.take(80))}\"" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // basename only ("sf0.1"): identifies the dir; the full path cost 16
     // chars of query capacity and the driver records sf itself anyway
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // keys drop the uniform "q_" prefix (r12, when query 89-90 outgrew
+    // even the mixed rung's all-integer line): every declared query name
+    // starts with "q_", so the strip is lossless — prepend "q_" to any
+    // key to recover the SparkEntry.queries name. 180 chars of the
+    // ~1990-char window reclaimed at 90 queries; names, not values, are
+    // the dominant line cost at this surface size.
+    def key(k: String): String = k.stripPrefix("q_")
     def summaryOf(rs: Seq[(String, Double)], dpOf: String => Int, omitted: Int): String = {
-      val qs = rs.map { case (k, v) => s"\"${esc(k)}\":${sec(v, dpOf(k))}" }.mkString("{", ",", "}")
+      val qs = rs.map { case (k, v) => s"\"${esc(key(k))}\":${sec(v, dpOf(k))}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","n_omitted":$omitted""" else ""
       // `errors` appears only when non-empty (r12: its empty `{}` cost 12
       // chars of query capacity; `n_failed:0` already says "clean run")

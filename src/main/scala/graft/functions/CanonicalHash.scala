@@ -133,6 +133,36 @@ object GraftExtensions {
         DropPositions(children.head, children(1))
       }),
     (
+      FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          s"topk_pairs expects exactly 4 arguments (score, id, payload, k), got ${children.size}")
+        // same foldable-integral-literal contract (and error channel) as
+        // token_grams' width
+        val k: Int = {
+          import org.apache.spark.sql.types._
+          def fail(why: String): Nothing =
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "INTERNAL_ERROR",
+              messageParameters = Map("message" ->
+                s"topk_pairs k must be $why, got ${children(3).sql}"))
+          val e = children(3)
+          if (!e.foldable) fail("a foldable integral literal")
+          val v: Long = (e.dataType, e.eval()) match {
+            case (_, null)        => fail("a non-null integral literal")
+            case (ByteType, x)    => x.asInstanceOf[Byte].toLong
+            case (ShortType, x)   => x.asInstanceOf[Short].toLong
+            case (IntegerType, x) => x.asInstanceOf[Int].toLong
+            case (LongType, x)    => x.asInstanceOf[Long]
+            case _                => fail("an integral literal")
+          }
+          if (v < 1 || v > 1000000) fail("an integral literal in [1, 1e6]")
+          v.toInt
+        }
+        TopKPairs(children.head, children(1), children(2), k)
+      }),
+    (
       FunctionIdentifier("bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
       (children: Seq[Expression]) => {

@@ -19,7 +19,7 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderSummaryLine(
       Seq("q_a" -> 1.2345, "q_b" -> 0.4), Seq.empty, "/sf")
     val j = parse(line)
-    assert(math.abs(j.get("queries").get("q_a").asDouble() - 1.2345) <= 0.002)
+    assert(math.abs(j.get("queries").get("a").asDouble() - 1.2345) <= 0.002)
     assert(j.get("n_failed").asInt() === 0)
     assert(!j.has("n_omitted"))
   }
@@ -37,35 +37,36 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("past the global ladder, the mixed rung coarsens the largest values and keeps every entry") {
-    // 88 realistic-length (15-char) names at a uniform 9.87 s: dp=1
-    // ("9.9") overflows by ~28 chars, the partially-integer line fits —
+    // 97 realistic-length names at a uniform 9.87 s: after the key
+    // prefix-strip, dp=1 ("9.9") still overflows while the
+    // partially-integer line fits —
     // the mixed rung must keep the FULL map, rendering some values at
     // whole seconds, with no omission
-    val rs = (0 until 88).map(i => f"q_test_name_$i%03d" -> 9.87)
+    val rs = (0 until 97).map(i => f"q_test_name_$i%03d" -> 9.87)
     val line = Bench.renderSummaryLine(rs, Seq.empty, "/sf")
     assert(line.length <= 1992, s"line ${line.length} chars")
     val j = parse(line)
     assert(j.get("queries").size() === rs.size)
     assert(!j.has("n_omitted"))
     // a coarsened value rounds to the nearest whole second
-    assert(j.get("queries").get("q_test_name_000").asDouble() === 10.0)
+    assert(j.get("queries").get("test_name_000").asDouble() === 10.0)
   }
 
   test("the mixed rung coarsens from the LARGEST value down, keeping the fast tail's resolution") {
-    // one giant query plus 68 fast ones: the dp=1 line is ~13 chars over,
+    // one giant query plus 75 fast ones: the dp=1 line is ~85 chars over,
     // so the rung must coarsen the giant FIRST (biggest value, smallest
     // relative loss) plus a handful of the equal fast ties — never the
     // whole map — and entries past the coarsened prefix keep deciseconds
     val rs = ("q_slow_giant" -> 131.44) +:
-      (0 until 68).map(i => f"q_test_query_name_$i%03d" -> 0.87)
+      (0 until 75).map(i => f"q_test_query_name_$i%03d" -> 0.87)
     val line = Bench.renderSummaryLine(rs, Seq.empty, "/sf")
     assert(line.length <= 1992, s"line ${line.length} chars")
     val j = parse(line)
     assert(j.get("queries").size() === rs.size)
     assert(!j.has("n_omitted"))
-    assert(j.get("queries").get("q_slow_giant").asDouble() === 131.0)
+    assert(j.get("queries").get("slow_giant").asDouble() === 131.0)
     // the minimal-k search stops before coarsening the whole tail
-    assert(j.get("queries").get("q_test_query_name_067").asDouble() === 0.9)
+    assert(j.get("queries").get("test_query_name_067").asDouble() === 0.9)
   }
 
   test("when even 1-decimal overflows, fastest entries are omitted with an explicit count; failures never are") {
@@ -76,11 +77,11 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.has("n_omitted") && j.get("n_omitted").asInt() > 0)
     assert(j.get("queries").size() === rs.size - j.get("n_omitted").asInt())
     // the failure survives omission and stays loud
-    assert(j.get("queries").has("q_failed"))
-    assert(j.get("queries").get("q_failed").asDouble() === -1.0)
+    assert(j.get("queries").has("failed"))
+    assert(j.get("queries").get("failed").asDouble() === -1.0)
     assert(j.get("n_failed").asInt() === 1)
     // the omitted entries are the FASTEST successes, so the slowest stays
-    assert(j.get("queries").has("q_test_query_name_199"))
+    assert(j.get("queries").has("test_query_name_199"))
   }
 
   test("the absolute floor keeps failed entries, not an empty map (ADVICE r11)") {
@@ -97,6 +98,21 @@ class BenchLineSpec extends AnyFunSuite {
     val it = j.get("queries").fields()
     while (it.hasNext) assert(it.next().getValue.asDouble() === -1.0)
     assert(j.get("n_omitted").asInt() === rs.size - 5)
+  }
+
+  test("query keys drop the uniform q_ prefix losslessly (r12 capacity rework)") {
+    // every SparkEntry query name starts with "q_", so stripping it in
+    // the rendered line is invertible (prepend "q_") and reclaims ~180
+    // chars at the 90-query surface; a key WITHOUT the prefix passes
+    // through untouched
+    assert(SparkEntry.queries.keys.forall(_.startsWith("q_")),
+      "a declared query name without the q_ prefix would collide with the strip rule")
+    val line = Bench.renderSummaryLine(
+      Seq("q_agg" -> 1.0, "plain" -> 2.0), Seq("q_agg" -> "boom"), "/sf")
+    val j = parse(line)
+    assert(j.get("queries").has("agg") && !j.get("queries").has("q_agg"))
+    assert(j.get("queries").has("plain"))
+    assert(j.get("errors").has("agg"))
   }
 
   test("sf renders as its basename, reclaiming query capacity") {
@@ -147,7 +163,7 @@ class BenchLineSpec extends AnyFunSuite {
       java.util.Locale.setDefault(java.util.Locale.GERMANY)
       val line = Bench.renderSummaryLine(Seq("q_a" -> 6.225), Seq.empty, "/sf")
       assert(!line.contains("6,225"))
-      assert(math.abs(parse(line).get("queries").get("q_a").asDouble() - 6.225) <= 0.0005)
+      assert(math.abs(parse(line).get("queries").get("a").asDouble() - 6.225) <= 0.0005)
     } finally java.util.Locale.setDefault(prev)
   }
 

@@ -78,7 +78,13 @@ class ScaleShapeSpec extends AnyFunSuite {
     // no shuffle at all
     "q_semantic_dedup" -> 14,
     "q_embed_prototypes" -> 6,
-    "q_ann_ivf_pq_refine" -> 4)
+    "q_ann_ivf_pq_refine" -> 4,
+    // r12 k-NN join family: one bounded topk_pairs agg exchange + the
+    // final ordered output; broadcasts are the explicit query-set/probe
+    // frames (bounded by the probe-set contract). The window stage rides
+    // the agg's hash partitioning (WindowGroupLimit, no new exchange).
+    "q_knn_join" -> 8,
+    "q_knn_join_ivf" -> 10)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -153,7 +159,8 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_collection_notes", "q_dedup_payoff", "q_neardup_lsh",
                 "q_neardup_embedding", "q_simhash_neardup",
                 "q_substr_scrub_keepfirst", "q_token_stats_bpe", "q_pack_sequences_bpe",
-                "q_semantic_dedup", "q_embed_prototypes", "q_ann_ivf_pq_refine"))
+                "q_semantic_dedup", "q_embed_prototypes", "q_ann_ivf_pq_refine",
+                "q_knn_join", "q_knn_join_ivf"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
