@@ -1048,6 +1048,62 @@ object TextQueries {
         "distinct set, per-doc overlap counts"),
 
     QueryDef(
+      "q_decontaminate_bloom", Seq("J5", "J2", "A1"),
+      (s, d) => {
+        // q_decontaminate's scale escape hatch: when the reference-set
+        // gram dictionary outgrows broadcast (a multi-benchmark suite, or
+        // cross-corpus contamination where "eval" is another corpus), the
+        // exact verify join must shuffle BOTH sides — and shuffling every
+        // training shingle to check membership is the scale killer. The
+        // native bloom_agg compresses the eval grams to a fixed-size
+        // self-describing filter (built distributively, OR-merged
+        // map-side) that always broadcasts; the codegen'd bloom_contains
+        // prefilter then drops non-members on the scan, so the shuffled
+        // verify join sees only true hits + the FP sliver (~2^-7 here:
+        // 1M bits / 7 hashes over ~29k eval grams). False negatives are
+        // impossible (BloomSpec pins it), the verify join is EXACT, and
+        // the verify side carries a shuffle_hash pin (estimate-free, the
+        // q_collection_notes lesson) — so output is IDENTICAL to
+        // q_decontaminate and the oracle is shared verbatim.
+        val W = 4
+        val toks = tokens(col("text"))
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        val grams = call_function("token_grams", toks, lit(W))
+        def shingled(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), explode_outer(grams).as("gram"))
+        val docs = Tables.fanOut(Tables.documents(s, d))
+          .filter(size(toks) >= W)
+        val evalGrams = shingled(docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+          .select("gram").distinct()
+        val bloom = evalGrams.agg(call_function("bloom_agg",
+          xxhash64(col("gram")), lit(1 << 20), lit(7)).as("bf"))
+        shingled(docs.filter(pmod(col("doc_id"), lit(97)) =!= 0))
+          .crossJoin(broadcast(bloom))
+          .filter(call_function("bloom_contains", col("bf"), xxhash64(col("gram"))))
+          .join(evalGrams.hint("shuffle_hash"), Seq("gram"), "left_semi")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("gram")).as("n_shared_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+                SELECT doc_id,
+                       unnest([array_to_string(t[i:i+3], ' ')
+                               for i in generate_series(1, len(t) - 3)]) AS gram
+                FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                      WHERE len(string_split(text, ' ')) >= 4)),
+              ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+              SELECT g.doc_id,
+                     CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+              FROM g JOIN ev USING (gram)
+              WHERE g.doc_id % 97 <> 0
+              GROUP BY g.doc_id ORDER BY g.doc_id"""),
+      "Bloom-prefiltered decontamination — the too-big-to-broadcast reference-set " +
+        "shape: eval grams compress to a fixed-size native bloom_agg filter " +
+        "(broadcast anywhere), the codegen'd bloom_contains drops non-members on " +
+        "the scan, and the exact shuffle-hash verify semi-join sees only hits + the " +
+        "FP sliver; identical output (and oracle) to q_decontaminate"),
+
+    QueryDef(
       "q_sample_stratified", Seq("A4", "P2", "F5"),
       (s, d) => {
         // deterministic stratified sampling (training-mix construction):

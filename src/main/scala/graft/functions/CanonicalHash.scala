@@ -133,6 +133,48 @@ object GraftExtensions {
         DropPositions(children.head, children(1))
       }),
     (
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"bloom_agg expects exactly 3 arguments (hash64, m_bits, k), got ${children.size}")
+        def intLit(e: Expression, what: String): Int = {
+          import org.apache.spark.sql.types._
+          def fail(why: String): Nothing =
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "INTERNAL_ERROR",
+              messageParameters = Map("message" ->
+                s"bloom_agg $what must be $why, got ${e.sql}"))
+          if (!e.foldable) fail("a foldable integral literal")
+          val v: Long = (e.dataType, e.eval()) match {
+            case (_, null)        => fail("a non-null integral literal")
+            case (ByteType, x)    => x.asInstanceOf[Byte].toLong
+            case (ShortType, x)   => x.asInstanceOf[Short].toLong
+            case (IntegerType, x) => x.asInstanceOf[Int].toLong
+            case (LongType, x)    => x.asInstanceOf[Long]
+            case _                => fail("an integral literal")
+          }
+          if (v < 1 || v > Int.MaxValue) fail("an integral literal in [1, 2^31)")
+          v.toInt
+        }
+        val m = intLit(children(1), "m_bits")
+        val k = intLit(children(2), "k")
+        if (k > 16) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "INTERNAL_ERROR",
+          messageParameters = Map("message" ->
+            s"bloom_agg k must be in [1, 16], got $k"))
+        // round m_bits up to a whole word so the bit array packs exactly
+        BloomAgg(children.head, math.min((m + 63L) / 64L * 64L, 1L << 30).toInt, k)
+      }),
+    (
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"bloom_contains expects exactly 2 arguments, got ${children.size}")
+        BloomContains(children.head, children(1))
+      }),
+    (
       FunctionIdentifier("topk_pairs"),
       new ExpressionInfo(classOf[TopKPairs].getName, "topk_pairs"),
       (children: Seq[Expression]) => {

@@ -84,7 +84,12 @@ class ScaleShapeSpec extends AnyFunSuite {
     // frames (bounded by the probe-set contract). The window stage rides
     // the agg's hash partitioning (WindowGroupLimit, no new exchange).
     "q_knn_join" -> 8,
-    "q_knn_join_ivf" -> 10)
+    "q_knn_join_ivf" -> 10,
+    // bloom decontamination: the eval-gram distinct (+ its reuse in the
+    // bloom build) and the shuffle-hash verify pair account for the extra
+    // exchanges over plain q_decontaminate; the train-side scan itself
+    // stays shuffle-free until the verify join of bloom survivors
+    "q_decontaminate_bloom" -> 20)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -160,7 +165,7 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_neardup_embedding", "q_simhash_neardup",
                 "q_substr_scrub_keepfirst", "q_token_stats_bpe", "q_pack_sequences_bpe",
                 "q_semantic_dedup", "q_embed_prototypes", "q_ann_ivf_pq_refine",
-                "q_knn_join", "q_knn_join_ivf"))
+                "q_knn_join", "q_knn_join_ivf", "q_decontaminate_bloom"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
