@@ -81,6 +81,23 @@ object Tables {
     s.read.parquet(path)
   }
 
+  /** [[materialize]] with a Hive-style partition layout: the frame is
+    * written `partitionBy(col)` so consumers that filter on `col` read
+    * ONLY the matching directories (PartitionFilters in the scan — the
+    * physical pruning mechanism the 100 TB layouts rely on). The
+    * partition column comes back via directory-name inference, so its
+    * type may widen (e.g. LONG → INT); join/filter comparisons coerce. */
+  def materializePartitioned(
+      key: String, dir: String, partCol: String, df: => DataFrame): DataFrame = {
+    val s = SparkSession.active
+    val path = matCache.computeIfAbsent(s"$key-part-${dir.hashCode.toHexString}", { k =>
+      val p = s"$matBase/$k"
+      df.write.mode("overwrite").partitionBy(partCol).parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** events with `ts_us`: microseconds since epoch as BIGINT.
     *
     * The generator has shipped `ts` under two physical encodings across

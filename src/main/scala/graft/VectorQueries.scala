@@ -1771,6 +1771,52 @@ object VectorQueries {
         "on cell id — the FAISS IVF sharding layout as one Spark join); shared " +
         "bounded-nominate + exact re-rank tail; oracle re-derives cells, probes and " +
         "both rankings from the materialized centroids",
+      aux = Some(writeKmeansAux)),
+
+    QueryDef(
+      "q_ann_cell_layout", Seq("A5", "O5", "J2"),
+      (s, d) => {
+        // the PHYSICAL layout behind the trained-IVF family's pruning
+        // claims, made real rather than asserted: assignments materialize
+        // once as a parquet table PARTITIONED BY cell (Hive-style cell=N
+        // directories — at 100 TB, the table layout), and the probe reads
+        // it through a partition FILTER, so the scan plans PartitionFilters
+        // and touches only the 4 probed directories — 4/16 of the STORAGE,
+        // not a post-scan filter over all of it (AnnLayoutSpec pins the
+        // pruned file count from the scan's own metrics). Probe set and
+        // exact scoring are q_ann_ivf_kmeans_multiprobe's, so results and
+        // oracle are shared verbatim; the two queries differ ONLY in
+        // whether pruning happens in the engine or in the storage layout.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val centroids = trainCentroids(emb, s)
+        val layout = Tables.materializePartitioned(
+          "emb_by_cell", d, "cell", assignedCells(s, emb, centroids))
+        val qRaw = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Seq[Float]].head()
+        val probes = probeCellsOf(centroids, qRaw, 4)
+        val q0 = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qe"),
+            dotDec(col("embedding"), col("embedding")).as("qnorm_dec"))
+        layout
+          .filter(col("cell").isin(probes: _*))
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .select(
+            col("vec_id"),
+            cosineCol(
+              dotDec(col("embedding"), col("qe")),
+              dotDec(col("embedding"), col("embedding")),
+              col("qnorm_dec")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(kmeansOracleSql(4)),
+      "Cell-partitioned vector layout: the trained assignments persisted " +
+        "partitionBy(cell), probed through a partition filter so the scan reads only " +
+        "the 4 probed directories (PartitionFilters, storage-level pruning) — same " +
+        "probe set, scoring, results and oracle as q_ann_ivf_kmeans_multiprobe",
       aux = Some(writeKmeansAux))
   )
 }

@@ -89,7 +89,10 @@ class ScaleShapeSpec extends AnyFunSuite {
     // bloom build) and the shuffle-hash verify pair account for the extra
     // exchanges over plain q_decontaminate; the train-side scan itself
     // stays shuffle-free until the verify join of bloom survivors
-    "q_decontaminate_bloom" -> 20)
+    "q_decontaminate_bloom" -> 20,
+    // one broadcast of the single query row; the probed scan itself is
+    // partition-pruned storage, no shuffle until the final top-k
+    "q_ann_cell_layout" -> 2)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -165,7 +168,8 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_neardup_embedding", "q_simhash_neardup",
                 "q_substr_scrub_keepfirst", "q_token_stats_bpe", "q_pack_sequences_bpe",
                 "q_semantic_dedup", "q_embed_prototypes", "q_ann_ivf_pq_refine",
-                "q_knn_join", "q_knn_join_ivf", "q_decontaminate_bloom"))
+                "q_knn_join", "q_knn_join_ivf", "q_decontaminate_bloom",
+                "q_ann_cell_layout"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
