@@ -441,6 +441,63 @@ object TextQueries {
       "Quality scoring: stopword ratio + length heuristics (per-row double ops — bit-deterministic)"),
 
     QueryDef(
+      "q_quality_gate", Seq("W2", "A1", "A3"),
+      (s, d) => {
+        // data-driven quality gating — production pipelines don't use
+        // fixed thresholds (q_corpus_select's demo constants), they cut
+        // each source's own bottom decile so a uniformly-noisy source
+        // isn't wiped out and a uniformly-clean one still sheds its worst.
+        // The cut is RANK-based (drop rows ranked ≤ ceil(n/10) by
+        // (score ASC, doc_id)), not threshold-based — exact, tie-stable,
+        // and free of the 0.1×n floating-point trap (ceil computed as
+        // (n+9) div 10 in INTEGER arithmetic on both engines; 0.1*380
+        // in doubles is 38.000000000000004 and would ceil to 39). One
+        // shuffle by source for the per-source rank sort — the same
+        // per-key ordered-scan shape as the compile family; the emitted
+        // frame is one row per source (threshold + attrition counts),
+        // driver-bounded at any corpus size.
+        import org.apache.spark.sql.expressions.Window
+        val toks = tokens(col("text"))
+        val score = size(filter(toks, t => t.isin(enStop: _*))).cast(DoubleType) / size(toks)
+        val sc = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), score.as("score"))
+        val rk = sc
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(col("score").asc, col("doc_id").asc)))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        rk.groupBy("source").agg(
+          max(col("n")).as("n_total"),
+          max(expr("(n + 9) div 10")).as("n_cut"),
+          (max(col("n")) - max(expr("(n + 9) div 10"))).as("n_kept"),
+          round(max(when(col("rn") === expr("(n + 9) div 10"), col("score"))), 9)
+            .as("threshold_score"))
+          .orderBy("source")
+      },
+      Some(s"""WITH sc AS (
+                 SELECT source, doc_id,
+                        CAST(len(list_filter(string_split(text, ' '),
+                                 t -> t IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+                          / len(string_split(text, ' ')) AS score
+                 FROM documents),
+               rk AS (
+                 SELECT source, doc_id, score,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY score ASC, doc_id ASC) AS rn,
+                        COUNT(*) OVER (PARTITION BY source) AS n
+                 FROM sc)
+               SELECT source,
+                      max(n) AS n_total,
+                      max((n + 9) // 10) AS n_cut,
+                      max(n) - max((n + 9) // 10) AS n_kept,
+                      round(max(CASE WHEN rn = (n + 9) // 10 THEN score END), 9)
+                        AS threshold_score
+               FROM rk GROUP BY source ORDER BY source"""),
+      "Per-source quality percentile gate: each source drops its own bottom decile " +
+        "by stopword-ratio rank (exact integer-arithmetic cut, tie-broken by doc_id) " +
+        "— the data-driven threshold production gates use instead of fixed constants; " +
+        "one rank sort per source, one-row-per-source output"),
+
+    QueryDef(
       "q_langid", Seq("F4"),
       (s, d) => {
         val toks = tokens(col("text"))

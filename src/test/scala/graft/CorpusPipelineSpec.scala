@@ -229,4 +229,18 @@ class CorpusPipelineSpec extends AnyFunSuite {
           "must remove at least one non-keeper)")
     }
   }
+
+  test("q_quality_gate cuts exactly each source's bottom decile, conservation intact") {
+    val rows = Queries.byName("q_quality_gate").run(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val docCount = Tables.documents(s, dir).count()
+    assert(rows.map(_._2).sum === docCount, "per-source totals must cover the corpus")
+    rows.foreach { case (src, nTotal, nCut, nKept, thr) =>
+      assert(nCut === (nTotal + 9) / 10, s"$src: cut must be ceil(n/10)")
+      assert(nKept === nTotal - nCut, s"$src: conservation")
+      assert(nCut >= 1, s"$src: even a clean source sheds its worst row")
+      assert(thr >= 0.0 && thr <= 1.0, s"$src: stopword-ratio threshold out of range")
+    }
+  }
 }
