@@ -188,20 +188,21 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    val errJson = errors.take(5)
-      .map { case (k, v) => s"\"${esc(k.stripPrefix("q_"))}\":\"${esc(v.take(80))}\"" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // basename only ("sf0.1"): identifies the dir; the full path cost 16
-    // chars of query capacity and the driver records sf itself anyway
-    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     // keys drop the uniform "q_" prefix (r12, when query 89-90 outgrew
     // even the mixed rung's all-integer line): every declared query name
     // starts with "q_", so the strip is lossless — prepend "q_" to any
     // key to recover the SparkEntry.queries name. 180 chars of the
     // ~1990-char window reclaimed at 90 queries; names, not values, are
-    // the dominant line cost at this surface size.
+    // the dominant line cost at this surface size. ONE definition serves
+    // the queries map and the errors map, so their keys cannot diverge.
     def key(k: String): String = k.stripPrefix("q_")
+    val errJson = errors.take(5)
+      .map { case (k, v) => s"\"${esc(key(k))}\":\"${esc(v.take(80))}\"" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // basename only ("sf0.1"): identifies the dir; the full path cost 16
+    // chars of query capacity and the driver records sf itself anyway
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     def summaryOf(rs: Seq[(String, Double)], dpOf: String => Int, omitted: Int): String = {
       val qs = rs.map { case (k, v) => s"\"${esc(key(k))}\":${sec(v, dpOf(k))}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","n_omitted":$omitted""" else ""

@@ -90,7 +90,11 @@ object Tables {
   def materializePartitioned(
       key: String, dir: String, partCol: String, df: => DataFrame): DataFrame = {
     val s = SparkSession.active
-    val path = matCache.computeIfAbsent(s"$key-part-${dir.hashCode.toHexString}", { k =>
+    // partCol is part of the identity: the same (key, dir) materialized
+    // under a different partition column is a DIFFERENT layout, and a
+    // cache hit across them would silently hand a consumer a table whose
+    // partition filter can't prune (r12 review)
+    val path = matCache.computeIfAbsent(s"$key-part-$partCol-${dir.hashCode.toHexString}", { k =>
       val p = s"$matBase/$k"
       df.write.mode("overwrite").partitionBy(partCol).parquet(p)
       p

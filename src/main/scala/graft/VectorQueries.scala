@@ -919,24 +919,23 @@ object VectorQueries {
 
   /** Top-`n` probe cells for a RAW vector: [[nearestCell]]'s
     * (dot DESC, cell ASC) ranking generalized past rank 1, over the
-    * unit-normalized vector. Empty for the zero vector (which the knn
-    * guards drop). Shared by the q_knn_join_ivf probe stage and
-    * KnnJoinSpec's structural replay. */
+    * unit-normalized vector. A zero-norm vector ranks like assignment
+    * does (unit() passes it through raw, every dot is 0, ties resolve to
+    * the lowest cells) — the SAME ranking the kmeans oracles replay, so
+    * every caller of this helper agrees with every oracle on the
+    * degenerate case too (r12 review: an earlier return-empty special
+    * case silently diverged from the multiprobe query's inline loop).
+    * Shared by q_ann_ivf_kmeans_multiprobe, q_ann_cell_layout, the
+    * q_knn_join_ivf probe stage and KnnJoinSpec's structural replay. */
   private[graft] def probeCellsOf(
       cs: Array[Array[Double]], v: Seq[Float], n: Int): Seq[Long] = {
-    var n2 = 0.0
-    var i = 0
-    while (i < Dim) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
-    if (n2 == 0) Seq.empty
-    else {
-      val u = unit(v)
-      cs.indices.map { ci =>
-        var dot = 0.0
-        var j = 0
-        while (j < Dim) { dot += u(j) * cs(ci)(j); j += 1 }
-        (dot, ci)
-      }.sortBy { case (dot, ci) => (-dot, ci) }.take(n).map(_._2.toLong)
-    }
+    val u = unit(v)
+    cs.indices.map { ci =>
+      var dot = 0.0
+      var j = 0
+      while (j < Dim) { dot += u(j) * cs(ci)(j); j += 1 }
+      (dot, ci)
+    }.sortBy { case (dot, ci) => (-dot, ci) }.take(n).map(_._2.toLong)
   }
 
   /** Query-side frame: (qid, qe, qnorm_dec). Zero-norm vectors are
@@ -1166,15 +1165,10 @@ object VectorQueries {
           }
           .toDF("vec_id", "embedding", "cell")
         // probe ranking on the driver: k=16 dots of the unit query against
-        // the centroids, (dot desc, cell asc) — the oracle's qprobes order
-        val qu = unit(emb.filter(col("vec_id") === 0)
-          .select(col("embedding")).as[Seq[Float]].head())
-        val probes = centroids.zipWithIndex.map { case (c, i) =>
-          var dot = 0.0
-          var j = 0
-          while (j < Dim) { dot += qu(j) * c(j); j += 1 }
-          (dot, i)
-        }.sortBy { case (dot, i) => (-dot, i) }.take(4).map(_._2.toLong)
+        // the centroids, (dot desc, cell asc) — the oracle's qprobes
+        // order, via the shared probeCellsOf ranking
+        val probes = probeCellsOf(centroids,
+          emb.filter(col("vec_id") === 0).select(col("embedding")).as[Seq[Float]].head(), 4)
         val q0 = cells.filter(col("vec_id") === 0)
           .withColumn("norm_dec", dotDec(col("embedding"), col("embedding")))
         cells.filter(col("vec_id") =!= 0)
@@ -1655,14 +1649,15 @@ object VectorQueries {
         // buffered rows — kilobytes at any corpus size. Candidates carry
         // their embedding through the aggregation as the payload column,
         // so the exact decimal re-rank needs no second corpus scan.
-        // A/B vs the window spelling (AbKnnBench, interleaved min-of-5):
-        // topk 0.61 s vs window 0.84 s at sf0.1, 2.35 vs 2.60 s on the
-        // 10× replica — the gap is modest at toy SF because the scored
-        // stream's own dot products dominate, but the window spelling
-        // shuffles every scored row WITH its embedding payload (~n×q×280 B)
-        // where topk ships bounded partials; at 100 TB that is the
-        // difference between shuffling the cross product and shuffling
-        // q×KnnR rows per partition.
+        // A/B vs the window spelling (AbKnnBench, interleaved min-of-5,
+        // after the accept-before-copy hot-path fix): topk 0.38 s vs
+        // window 0.47 s at sf0.1, 1.80 vs 2.27 s on the 10× replica —
+        // the gap is modest at toy SF because the scored stream's own dot
+        // products dominate, but the window spelling shuffles every
+        // scored row WITH its embedding payload (~n×q×280 B) where topk
+        // ships bounded partials; at 100 TB that is the difference
+        // between shuffling the cross product and shuffling q×KnnR rows
+        // per partition.
         graft.functions.GraftExtensions.ensureRegistered(s)
         val emb = Tables.embeddings(s, d)
         val q = knnQueries(emb)

@@ -66,6 +66,32 @@ object CanonicalHashFns {
   * function in a CALLER-OWNED session (the external driver builds its own)
   * call [[ensureRegistered]] first — registration is idempotent. */
 object GraftExtensions {
+  /** Foldable integral literal in [lo, hi], surfaced through the
+    * analysis-time error channel — the ONE copy of the argument contract
+    * token_grams / bloom_agg / topk_pairs share (r12 review: three
+    * inlined copies of this block had already started drifting). */
+  private def intLit(
+      e: Expression, fn: String, what: String, lo: Long, hi: Long,
+      range: String): Int = {
+    import org.apache.spark.sql.types._
+    def fail(why: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$fn $what must be $why, got ${e.sql}"))
+    if (!e.foldable) fail("a foldable integral literal")
+    val v: Long = (e.dataType, e.eval()) match {
+      case (_, null)        => fail("a non-null integral literal")
+      case (ByteType, x)    => x.asInstanceOf[Byte].toLong
+      case (ShortType, x)   => x.asInstanceOf[Short].toLong
+      case (IntegerType, x) => x.asInstanceOf[Int].toLong
+      case (LongType, x)    => x.asInstanceOf[Long]
+      case _                => fail("an integral literal")
+    }
+    if (v < lo || v > hi) fail(s"an integral literal in $range")
+    v.toInt
+  }
+
   private val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
       FunctionIdentifier("canonical_hash"),
@@ -97,32 +123,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2,
           s"token_grams expects exactly 2 arguments, got ${children.size}")
-        // accept any foldable integral literal (INT is what SQL users write,
-        // but CAST(2 AS BIGINT) / TINYINT literals are equally legitimate);
-        // non-integral, non-foldable, null, or out-of-range widths surface
-        // as AnalysisException — the error channel the sibling expressions
-        // use — not a raw IllegalArgumentException out of the builder
-        val w: Int = {
-          import org.apache.spark.sql.types._
-          def fail(why: String): Nothing =
-            throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "INTERNAL_ERROR",
-              messageParameters = Map("message" ->
-                s"token_grams width must be $why, got ${children(1).sql}"))
-          val e = children(1)
-          if (!e.foldable) fail("a foldable integral literal")
-          val v: Long = (e.dataType, e.eval()) match {
-            case (_, null)            => fail("a non-null integral literal")
-            case (ByteType, x)        => x.asInstanceOf[Byte].toLong
-            case (ShortType, x)       => x.asInstanceOf[Short].toLong
-            case (IntegerType, x)     => x.asInstanceOf[Int].toLong
-            case (LongType, x)        => x.asInstanceOf[Long]
-            case _                    => fail("an integral literal")
-          }
-          if (v < 1 || v > Int.MaxValue) fail("an integral literal in [1, 2^31)")
-          v.toInt
-        }
-        TokenGrams(children.head, w)
+        // any foldable integral literal works (INT is what SQL users
+        // write, but CAST(2 AS BIGINT) / TINYINT literals are equally
+        // legitimate); bad widths surface as AnalysisException via the
+        // shared intLit contract
+        TokenGrams(children.head,
+          intLit(children(1), "token_grams", "width", 1, Int.MaxValue, "[1, 2^31)"))
       }),
     (
       FunctionIdentifier("drop_positions"),
@@ -138,33 +144,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 3,
           s"bloom_agg expects exactly 3 arguments (hash64, m_bits, k), got ${children.size}")
-        def intLit(e: Expression, what: String): Int = {
-          import org.apache.spark.sql.types._
-          def fail(why: String): Nothing =
-            throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "INTERNAL_ERROR",
-              messageParameters = Map("message" ->
-                s"bloom_agg $what must be $why, got ${e.sql}"))
-          if (!e.foldable) fail("a foldable integral literal")
-          val v: Long = (e.dataType, e.eval()) match {
-            case (_, null)        => fail("a non-null integral literal")
-            case (ByteType, x)    => x.asInstanceOf[Byte].toLong
-            case (ShortType, x)   => x.asInstanceOf[Short].toLong
-            case (IntegerType, x) => x.asInstanceOf[Int].toLong
-            case (LongType, x)    => x.asInstanceOf[Long]
-            case _                => fail("an integral literal")
-          }
-          if (v < 1 || v > Int.MaxValue) fail("an integral literal in [1, 2^31)")
-          v.toInt
-        }
-        val m = intLit(children(1), "m_bits")
-        val k = intLit(children(2), "k")
-        if (k > 16) throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "INTERNAL_ERROR",
-          messageParameters = Map("message" ->
-            s"bloom_agg k must be in [1, 16], got $k"))
-        // round m_bits up to a whole word so the bit array packs exactly
-        BloomAgg(children.head, math.min((m + 63L) / 64L * 64L, 1L << 30).toInt, k)
+        // m_bits capped at 2^30 (128 MiB of filter) and REJECTED loudly
+        // past it — a silent cap would build an undersized filter whose
+        // false-positive rate quietly exceeds the caller's design (r12
+        // review); rounded UP to a whole word so the bit array packs
+        val m = intLit(children(1), "bloom_agg", "m_bits", 1, 1L << 30, "[1, 2^30]")
+        val k = intLit(children(2), "bloom_agg", "k", 1, 16, "[1, 16]")
+        BloomAgg(children.head, ((m + 63L) / 64L * 64L).toInt, k)
       }),
     (
       FunctionIdentifier("bloom_contains"),
@@ -180,29 +166,8 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 4,
           s"topk_pairs expects exactly 4 arguments (score, id, payload, k), got ${children.size}")
-        // same foldable-integral-literal contract (and error channel) as
-        // token_grams' width
-        val k: Int = {
-          import org.apache.spark.sql.types._
-          def fail(why: String): Nothing =
-            throw new org.apache.spark.sql.AnalysisException(
-              errorClass = "INTERNAL_ERROR",
-              messageParameters = Map("message" ->
-                s"topk_pairs k must be $why, got ${children(3).sql}"))
-          val e = children(3)
-          if (!e.foldable) fail("a foldable integral literal")
-          val v: Long = (e.dataType, e.eval()) match {
-            case (_, null)        => fail("a non-null integral literal")
-            case (ByteType, x)    => x.asInstanceOf[Byte].toLong
-            case (ShortType, x)   => x.asInstanceOf[Short].toLong
-            case (IntegerType, x) => x.asInstanceOf[Int].toLong
-            case (LongType, x)    => x.asInstanceOf[Long]
-            case _                => fail("an integral literal")
-          }
-          if (v < 1 || v > 1000000) fail("an integral literal in [1, 1e6]")
-          v.toInt
-        }
-        TopKPairs(children.head, children(1), children(2), k)
+        TopKPairs(children.head, children(1), children(2),
+          intLit(children(3), "topk_pairs", "k", 1, 1000000, "[1, 1e6]"))
       }),
     (
       FunctionIdentifier("bpe_tokens"),

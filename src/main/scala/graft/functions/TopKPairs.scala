@@ -93,9 +93,25 @@ case class TopKPairs(
     val s = first.eval(input)
     val i = second.eval(input)
     if (s != null && i != null) {
-      val p = third.eval(input)
-      offer(buffer, s.asInstanceOf[Double], i.asInstanceOf[Long],
-        if (p == null) null else InternalRow.copyValue(p))
+      val score = s.asInstanceOf[Double]
+      val id = i.asInstanceOf[Long]
+      // acceptance test BEFORE touching the payload: on the hot path the
+      // full heap rejects almost every row (only ~k of each group's
+      // stream ever inserts), and evaluating + deep-copying a payload
+      // (e.g. a 64-float embedding) per rejected row would cost an
+      // allocation per corpus×query pair — the exact overhead this
+      // bounded aggregate exists to avoid
+      val h = buffer.heap
+      val accepts = h.size < k || {
+        val worst = h.peek()
+        val c = java.lang.Double.compare(score, worst.score)
+        c > 0 || (c == 0 && id < worst.id)
+      }
+      if (accepts) {
+        val p = third.eval(input)
+        offer(buffer, score, id,
+          if (p == null) null else InternalRow.copyValue(p))
+      }
     }
     buffer
   }
