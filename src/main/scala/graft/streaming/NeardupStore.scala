@@ -101,7 +101,7 @@ object NeardupStore {
     compactTable(spark, sigPath(lake), "band_bucket"),
     compactTable(spark, docPath(lake), "doc_bucket"))
 
-  private def compactTable(
+  private[streaming] def compactTable(
       spark: SparkSession, path: String, bucketCol: String): Long = {
     import java.nio.file.{Files => JF, Paths => JP}
     recoverCompactDebris(path)

@@ -1,7 +1,6 @@
 package graft
 
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q_ann_cell_layout — the storage-level half of the IVF pruning story.
@@ -24,16 +23,7 @@ class AnnLayoutSpec extends AnyFunSuite {
   test("the probe scan partition-prunes: PartitionFilters planned, files read < files stored") {
     val df = Queries.byName("q_ann_cell_layout").run(s, dir)
     df.collect() // drive so scan metrics populate
-    val plan = df.queryExecution.executedPlan
-    // AQE wraps subplans in LEAF nodes (AdaptiveSparkPlanExec, the query
-    // stages), so a plain collect never reaches the scans — unwrap them
-    def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
-      p.collect { case f: FileSourceScanExec => Seq(f) }.flatten ++
-        p.collect {
-          case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
-          case qs: QueryStageExec => allScans(qs.plan)
-        }.flatten
-    val scans = allScans(plan)
+    val scans = PlanWalk.fileScans(df.queryExecution.executedPlan)
     // the layout scan is the one whose relation lives under the
     // materialized cell-partitioned path (cell=N directories)
     val layoutScan = scans.find(_.relation.location.rootPaths.exists { p =>
@@ -41,7 +31,8 @@ class AnnLayoutSpec extends AnyFunSuite {
         case null  => false
         case files => files.exists(f => f.isDirectory && f.getName.startsWith("cell="))
       }
-    }).getOrElse(fail(s"no cell-partitioned scan in:\n$plan"))
+    }).getOrElse(fail(
+      s"no cell-partitioned scan in:\n${df.queryExecution.executedPlan}"))
     assert(layoutScan.partitionFilters.nonEmpty,
       s"no PartitionFilters on the layout scan:\n$layoutScan")
     assert(layoutScan.partitionFilters.mkString.contains("cell"),

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{PlanWalk, SparkSuite, Tables, VectorQueries}
+
+/** The streaming↔batch SEMANTIC-dedup composition: vectors arriving in
+  * micro-batches are probed against the persistent cell-partitioned
+  * store (the q_ann_cell_layout layout, streaming-appendable) and
+  * flagged when a stored vector in their OWN trained cell sits within
+  * cosine τ — SemDeDup's cell-bounded contract, probe-before-append so
+  * nothing matches itself, store scan partition-pruned per batch. */
+class VectorStoreSpec extends AnyFunSuite {
+
+  private lazy val s = SparkSuite.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def embAll = Tables.embeddings(s, dir).select("vec_id", "embedding")
+
+  /** A near-copy of `v`: same direction (same cell, cosine ≈ 1), scaled. */
+  private def scaled(v: Seq[Float], f: Float): Seq[Float] = v.map(_ * f)
+
+  private def vecsDF(rows: (Long, Seq[Float])*) = {
+    import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  test("probe-before-append flags a same-cell near-copy, ignores strangers") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore").toString
+    // empty store → empty probe
+    assert(VectorStore.probeBatch(s, lake, embAll.limit(1), 0.95).isEmpty)
+    val first = embAll.filter(col("vec_id") < 250)
+    VectorStore.append(s, lake, first)
+    val v7 = embAll.filter(col("vec_id") === 7)
+      .select("embedding").as[Seq[Float]].head()
+    val stranger = embAll.filter(col("vec_id") === 400)
+      .select("embedding").as[Seq[Float]].head()
+    val flags = VectorStore.probeBatch(s, lake,
+      vecsDF(9001L -> scaled(v7, 1.01f), 9002L -> stranger), 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flags.map(_._1).toSet === Set(9001L), s"got ${flags.toSeq}")
+    assert(flags.head._2 === 7L && flags.head._3 > 0.99)
+  }
+
+  test("flags only ever pair vectors assigned to the same cell (the SemDeDup bound)") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore").toString
+    VectorStore.append(s, lake, embAll.filter(col("vec_id") < 250))
+    val batch = embAll.filter(col("vec_id") >= 250)
+    // τ low enough that cross-cell cosine pairs would exist if the probe
+    // were unbounded — every emitted flag must still be within-cell
+    val flags = VectorStore.probeBatch(s, lake, batch, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flags.nonEmpty, "τ=0.3 on this table must produce within-cell pairs")
+    val cs = VectorStore.centroidsOf(s, lake, batch)
+    val byId = embAll.as[(Long, Seq[Float])].collect().toMap
+    flags.foreach { case (vid, dup) =>
+      val a = VectorQueries.probeCellsOf(cs, byId(vid), 1).head
+      val b = VectorQueries.probeCellsOf(cs, byId(dup), 1).head
+      assert(a === b, s"flag ($vid, $dup) pairs cells $a and $b")
+    }
+  }
+
+  test("the probe's store scan is partition-pruned to the batch's cells") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore").toString
+    VectorStore.append(s, lake, embAll.filter(col("vec_id") < 400))
+    val one = embAll.filter(col("vec_id") === 450)
+    val df = VectorStore.probeBatch(s, lake, one, 0.95)
+    df.collect()
+    val storeScan = PlanWalk.fileScans(df.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("/vectors")))
+      .getOrElse(fail("no store scan in the probe plan"))
+    assert(storeScan.partitionFilters.mkString.contains("cell"),
+      s"store scan not pruned by cell:\n$storeScan")
+  }
+
+  test("quantizer is trained once and reloaded, not retrained per batch") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore").toString
+    val a = VectorStore.centroidsOf(s, lake, embAll.filter(col("vec_id") < 100))
+    // a DIFFERENT training frame must not change the stored quantizer
+    val b = VectorStore.centroidsOf(s, lake, embAll.filter(col("vec_id") >= 100))
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("foreachBatch stream: probe-then-append flags a later near-arrival; compact folds replays") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore").toString
+    val v3 = embAll.filter(col("vec_id") === 3)
+      .select("embedding").as[Seq[Float]].head()
+    // seed the quantizer + store off the real table so cells are meaningful
+    VectorStore.append(s, lake, embAll.filter(col("vec_id") < 250))
+    val flagged = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[(Long, Seq[Float])](s)
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged ++= VectorStore.probeBatch(s, lake, batch, 0.95)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        VectorStore.append(s, lake, batch)
+      }
+      .start()
+    try {
+      input.addData(5001L -> scaled(v3, 1.02f)) // near-copy of stored vec 3
+      q.processAllAvailable()
+      input.addData(5002L -> scaled(v3, 0.98f)) // near-copy of BOTH now
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(flagged.contains((5001L, 3L)), s"first arrival unflagged: $flagged")
+    // second arrival matches the earliest store entry deterministically
+    assert(flagged.contains((5002L, 3L)), s"second arrival unflagged: $flagged")
+    // replay the same append (the at-least-once window), then compact:
+    // duplicates fold, the store stays probe-able
+    VectorStore.append(s, lake, vecsDF(5001L -> scaled(v3, 1.02f)))
+    val before = s.read.parquet(VectorStore.vecPath(lake)).count()
+    val after = VectorStore.compact(s, lake)
+    assert(after < before, s"compaction folded nothing ($before -> $after)")
+    val post = VectorStore.probeBatch(s, lake, vecsDF(6001L -> scaled(v3, 1.01f)), 0.95)
+    assert(post.collect().map(_.getLong(1)).contains(3L))
+  }
+}
