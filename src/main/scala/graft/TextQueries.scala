@@ -1186,6 +1186,57 @@ object TextQueries {
         "same hash decision"),
 
     QueryDef(
+      "q_source_mix", Seq("A4", "A1", "F5"),
+      (s, d) => {
+        // temperature-resampled source mixing — the training-mix weights
+        // multilingual/clustered corpora actually train with: proportional
+        // sampling drowns small sources, uniform over-trains them, so the
+        // mix interpolates with w_s ∝ n_s^α. α is pinned at 0.5 because
+        // sqrt is the one power IEEE-754 requires CORRECTLY ROUNDED —
+        // bit-identical across engines — where pow(n, 0.7) is libm-
+        // dependent and would break the oracle hash. The normalizer sums
+        // the per-source sqrt weights through DECIMAL(38,18) (exact,
+        // order-insensitive — the house rule for cross-row double sums);
+        // only the final share division is double, rounded to 9. One
+        // map-side-combined aggregation + a 1-row broadcast normalizer.
+        val Dec = DecimalType(38, 18)
+        val per = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+          .withColumn("w_dec", sqrt(col("n_tokens").cast(DoubleType)).cast(Dec))
+        val tot = per.agg(sum(col("w_dec")).cast(Dec).as("w_tot"))
+        val share = round(
+          col("w_dec").cast(DoubleType) / col("w_tot").cast(DoubleType), 9)
+        per.crossJoin(broadcast(tot))
+          .select(
+            col("source"), col("n_docs"), col("n_tokens"),
+            share.as("weight"),
+            floor(lit(100000.0) * share).cast(LongType).as("n_target"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+              w AS (
+                SELECT source, n_docs, n_tokens,
+                       CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18)) AS w_dec
+                FROM per),
+              t AS (SELECT CAST(sum(w_dec) AS DECIMAL(38,18)) AS w_tot FROM w)
+              SELECT source, n_docs, n_tokens,
+                     round(CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE), 9) AS weight,
+                     CAST(floor(100000.0 * round(CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE), 9))
+                          AS BIGINT) AS n_target
+              FROM w, t ORDER BY source"""),
+      "Temperature-resampled source mix (w ∝ n_tokens^0.5): the training-mix " +
+        "interpolation between proportional and uniform sampling — sqrt because " +
+        "IEEE requires it correctly rounded (cross-engine exact where pow is not), " +
+        "decimal-summed normalizer, per-source weights and target draws for a " +
+        "100k budget"),
+
+    QueryDef(
       "q_corpus_split", Seq("A4", "F5", "P1"),
       (s, d) => {
         // deterministic train/val/test split: assignment decided by the

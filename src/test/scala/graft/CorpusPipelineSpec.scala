@@ -243,4 +243,26 @@ class CorpusPipelineSpec extends AnyFunSuite {
       assert(thr >= 0.0 && thr <= 1.0, s"$src: stopword-ratio threshold out of range")
     }
   }
+
+  test("q_source_mix interpolates toward uniform: small sources upweighted, large damped") {
+    val rows = Queries.byName("q_source_mix").run(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.length > 1)
+    val wSum = rows.map(_._3).sum
+    assert(math.abs(wSum - 1.0) < 1e-6, s"weights must normalize, got $wSum")
+    val nSum = rows.map(_._2).sum.toDouble
+    rows.foreach { case (src, n, w, target) =>
+      val prop = n / nSum
+      // sqrt-temperature sits strictly between proportional and uniform
+      // (ties only if all sources are equal-sized, which this table isn't)
+      if (prop < 1.0 / rows.length) assert(w > prop, s"$src: small source not upweighted")
+      if (prop > 1.0 / rows.length) assert(w < prop, s"$src: large source not damped")
+      assert(target === math.floor(100000.0 * w).toLong)
+    }
+    // monotone: more tokens never means a smaller weight
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((_, _, w1, _), (_, _, w2, _)) => assert(w2 >= w1)
+      case _ =>
+    }
+  }
 }
