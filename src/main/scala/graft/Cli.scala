@@ -43,6 +43,8 @@ import graft.ocds.Metadata
   *   substr-dedup <lake> <collectionId> [--width N]
   *                                              (cross-document exact-substring
   *                                               duplication rollup, ExactSubstr)
+  *   quality-gate <lake> <collectionId>         (per-source bottom-decile cut)
+  *   source-mix <lake> <collectionId>           (sqrt-temperature mix weights)
   *   closecollection <lake> <id> <nFiles>       (closecollection)
   *   cancelcollection <lake> <id>               (cancelcollection)
   *   deletecollection <lake> <rootId>           (deletecollection + wiper)
@@ -588,6 +590,51 @@ object Cli {
             " dup_frac=" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(frac)))
       }
 
+    case "quality-gate" :: lake :: id :: Nil =>
+      // per-source bottom-decile quality gate over a loaded collection's
+      // raw documents: the data-driven threshold readout (rank-based
+      // ceil(n/10) cut by stopword-ratio, the q_quality_gate engine)
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          TextQueries.qualityGateOf(docs).collect().foreach { r =>
+            println(s"source=${r.getAs[String]("source")}" +
+              s" n_total=${r.getAs[Long]("n_total")}" +
+              s" n_cut=${r.getAs[Long]("n_cut")}" +
+              s" n_kept=${r.getAs[Long]("n_kept")}" +
+              " threshold=" + String.format(java.util.Locale.ROOT, "%.4f",
+                Double.box(r.getAs[Double]("threshold_score"))))
+          }
+      }
+
+    case "source-mix" :: lake :: id :: Nil =>
+      // temperature-resampled (sqrt) training-mix weights over a loaded
+      // collection's raw documents (the q_source_mix engine)
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          TextQueries.sourceMixOf(docs).collect().foreach { r =>
+            println(s"source=${r.getAs[String]("source")}" +
+              s" n_docs=${r.getAs[Long]("n_docs")}" +
+              s" n_tokens=${r.getAs[Long]("n_tokens")}" +
+              " weight=" + String.format(java.util.Locale.ROOT, "%.6f",
+                Double.box(r.getAs[Double]("weight"))) +
+              s" n_target=${r.getAs[Long]("n_target")}")
+          }
+      }
+
     case "closecollection" :: lake :: id :: nFiles :: Nil =>
       // closecollection.py: ROOT collections only; the upgraded child
       // latches in the same transaction (its compile gate waits on the
@@ -749,6 +796,8 @@ object Cli {
            |  notes <lake> <rootId> [LEVEL...] [--limit N]
            |  dedup <lake> <collectionId> [--checkpoint-dir DIR] [--max-bucket N]
            |  corpus-select <lake> <collectionId>
+           |  quality-gate <lake> <collectionId>
+           |  source-mix <lake> <collectionId>
            |  api <lake> [--port N]""".stripMargin)
       sys.exit(2)
   }

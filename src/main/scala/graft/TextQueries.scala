@@ -356,6 +356,69 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Per-source bottom-decile quality gate over a (source, doc_id, text)
+    * frame — the q_quality_gate engine, reused by `Cli quality-gate`.
+    * Data-driven gating: production pipelines don't use fixed thresholds
+    * (corpusSelectOf's demo constants), they cut each source's own bottom
+    * decile so a uniformly-noisy source isn't wiped out and a
+    * uniformly-clean one still sheds its worst. The cut is RANK-based
+    * (drop rows ranked ≤ ceil(n/10) by (score ASC, doc_id)), not
+    * threshold-based — exact, tie-stable, and free of the 0.1×n
+    * floating-point trap (ceil computed as (n+9) div 10 in INTEGER
+    * arithmetic on both engines; 0.1*380 in doubles is
+    * 38.000000000000004 and would ceil to 39). One shuffle by source for
+    * the per-source rank sort — the same per-key ordered-scan shape as
+    * the compile family; the emitted frame is one row per source
+    * (threshold + attrition counts), driver-bounded at any corpus size. */
+  private[graft] def qualityGateOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val score = size(filter(toks, t => t.isin(enStop: _*))).cast(DoubleType) / size(toks)
+    val sc = docs.select(col("source"), col("doc_id"), score.as("score"))
+    val rk = sc
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("score").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    rk.groupBy("source").agg(
+      max(col("n")).as("n_total"),
+      max(expr("(n + 9) div 10")).as("n_cut"),
+      (max(col("n")) - max(expr("(n + 9) div 10"))).as("n_kept"),
+      round(max(when(col("rn") === expr("(n + 9) div 10"), col("score"))), 9)
+        .as("threshold_score"))
+      .orderBy("source")
+  }
+
+  /** Temperature-resampled source mix over a (source, doc_id, text)
+    * frame — the q_source_mix engine, reused by `Cli source-mix`. The
+    * training-mix weights multilingual/clustered corpora train with:
+    * proportional sampling drowns small sources, uniform over-trains
+    * them, so the mix interpolates with w_s ∝ n_s^α. α is pinned at 0.5
+    * because sqrt is the one power IEEE-754 requires CORRECTLY ROUNDED —
+    * bit-identical across engines — where pow(n, 0.7) is libm-dependent
+    * and would break the oracle hash. The normalizer sums the per-source
+    * sqrt weights through DECIMAL(38,18) (exact, order-insensitive — the
+    * house rule for cross-row double sums); only the final share division
+    * is double, rounded to 9. One map-side-combined aggregation + a 1-row
+    * broadcast normalizer. */
+  private[graft] def sourceMixOf(docs: DataFrame): DataFrame = {
+    val Dec = DecimalType(38, 18)
+    val per = docs
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+      .withColumn("w_dec", sqrt(col("n_tokens").cast(DoubleType)).cast(Dec))
+    val tot = per.agg(sum(col("w_dec")).cast(Dec).as("w_tot"))
+    val share = round(
+      col("w_dec").cast(DoubleType) / col("w_tot").cast(DoubleType), 9)
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        share.as("weight"),
+        floor(lit(100000.0) * share).cast(LongType).as("n_target"))
+      .orderBy("source")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_explode_tokens", Seq("F2", "J7", "A5"),
@@ -442,37 +505,7 @@ object TextQueries {
 
     QueryDef(
       "q_quality_gate", Seq("W2", "A1", "A3"),
-      (s, d) => {
-        // data-driven quality gating — production pipelines don't use
-        // fixed thresholds (q_corpus_select's demo constants), they cut
-        // each source's own bottom decile so a uniformly-noisy source
-        // isn't wiped out and a uniformly-clean one still sheds its worst.
-        // The cut is RANK-based (drop rows ranked ≤ ceil(n/10) by
-        // (score ASC, doc_id)), not threshold-based — exact, tie-stable,
-        // and free of the 0.1×n floating-point trap (ceil computed as
-        // (n+9) div 10 in INTEGER arithmetic on both engines; 0.1*380
-        // in doubles is 38.000000000000004 and would ceil to 39). One
-        // shuffle by source for the per-source rank sort — the same
-        // per-key ordered-scan shape as the compile family; the emitted
-        // frame is one row per source (threshold + attrition counts),
-        // driver-bounded at any corpus size.
-        import org.apache.spark.sql.expressions.Window
-        val toks = tokens(col("text"))
-        val score = size(filter(toks, t => t.isin(enStop: _*))).cast(DoubleType) / size(toks)
-        val sc = Tables.documents(s, d)
-          .select(col("source"), col("doc_id"), score.as("score"))
-        val rk = sc
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("source").orderBy(col("score").asc, col("doc_id").asc)))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
-        rk.groupBy("source").agg(
-          max(col("n")).as("n_total"),
-          max(expr("(n + 9) div 10")).as("n_cut"),
-          (max(col("n")) - max(expr("(n + 9) div 10"))).as("n_kept"),
-          round(max(when(col("rn") === expr("(n + 9) div 10"), col("score"))), 9)
-            .as("threshold_score"))
-          .orderBy("source")
-      },
+      (s, d) => qualityGateOf(Tables.documents(s, d)),
       Some(s"""WITH sc AS (
                  SELECT source, doc_id,
                         CAST(len(list_filter(string_split(text, ' '),
@@ -1187,35 +1220,7 @@ object TextQueries {
 
     QueryDef(
       "q_source_mix", Seq("A4", "A1", "F5"),
-      (s, d) => {
-        // temperature-resampled source mixing — the training-mix weights
-        // multilingual/clustered corpora actually train with: proportional
-        // sampling drowns small sources, uniform over-trains them, so the
-        // mix interpolates with w_s ∝ n_s^α. α is pinned at 0.5 because
-        // sqrt is the one power IEEE-754 requires CORRECTLY ROUNDED —
-        // bit-identical across engines — where pow(n, 0.7) is libm-
-        // dependent and would break the oracle hash. The normalizer sums
-        // the per-source sqrt weights through DECIMAL(38,18) (exact,
-        // order-insensitive — the house rule for cross-row double sums);
-        // only the final share division is double, rounded to 9. One
-        // map-side-combined aggregation + a 1-row broadcast normalizer.
-        val Dec = DecimalType(38, 18)
-        val per = Tables.documents(s, d)
-          .groupBy("source")
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
-          .withColumn("w_dec", sqrt(col("n_tokens").cast(DoubleType)).cast(Dec))
-        val tot = per.agg(sum(col("w_dec")).cast(Dec).as("w_tot"))
-        val share = round(
-          col("w_dec").cast(DoubleType) / col("w_tot").cast(DoubleType), 9)
-        per.crossJoin(broadcast(tot))
-          .select(
-            col("source"), col("n_docs"), col("n_tokens"),
-            share.as("weight"),
-            floor(lit(100000.0) * share).cast(LongType).as("n_target"))
-          .orderBy("source")
-      },
+      (s, d) => sourceMixOf(Tables.documents(s, d)),
       Some("""WITH per AS (
                 SELECT source, count(*) AS n_docs,
                        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

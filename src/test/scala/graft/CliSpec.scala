@@ -247,6 +247,14 @@ class CliSpec extends AnyFunSuite {
     assert(sub6.contains("width=6 docs=3 docs_hit=2"), sub6)
     val sub4 = run("substr-dedup", lake, "1", "--width", "4")
     assert(sub4.contains("width=4 docs=3 docs_hit=3"), sub4)
+
+    // bottom-decile gate: 3 docs → ceil(3/10) = 1 cut, 2 kept
+    val gate = run("quality-gate", lake, "1")
+    assert(gate.contains("source=dd_local n_total=3 n_cut=1 n_kept=2"), gate)
+    // one source → its sqrt-temperature weight is the whole mix
+    val mix = run("source-mix", lake, "1")
+    assert(mix.contains("source=dd_local n_docs=3"), mix)
+    assert(mix.contains("weight=1.000000 n_target=100000"), mix)
   }
 
   test("keep-open WITHOUT --compile: close → compile finishes uncompiled + runs planned check") {
