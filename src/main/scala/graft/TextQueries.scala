@@ -1278,6 +1278,84 @@ object TextQueries {
         "per (source, split) doc + token counts"),
 
     QueryDef(
+      "q_split_leakage", Seq("J5", "A1", "F5"),
+      (s, d) => {
+        // the audit a dataset build runs BEFORE shipping q_corpus_split's
+        // output: the split hashes doc_id, so two near-identical
+        // documents (crawl re-fetches, mirrored pages) can land in
+        // different splits — and every shared span is evaluation
+        // contamination that inflates held-out metrics. The leak signal
+        // is q_decontaminate's shingle overlap pointed ACROSS the split
+        // boundary: train-side W-token shingles joined against the
+        // held-out (val ∪ test) shingle set, rolled up per source. The
+        // verify join is shuffle_hash, not broadcast — the held-out side
+        // is a fixed FRACTION of the corpus (10%), so unlike a benchmark
+        // suite it grows with the data and an estimate-based broadcast
+        // would regress at scale (the q_collection_notes lesson); at
+        // 100 TB the bloom_agg prefilter (q_decontaminate_bloom) slots in
+        // front of this join unchanged.
+        val W = 4
+        val toks = tokens(col("text"))
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        val grams = call_function("token_grams", toks, lit(W))
+        val h = md5Bucket(col("doc_id"))
+        val docs = Tables.fanOut(Tables.documents(s, d))
+          .filter(size(toks) >= W)
+          .withColumn("is_train", h < 90)
+        def shingled(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("source"), col("doc_id"), explode_outer(grams).as("gram"))
+        val holdout = shingled(docs.filter(!col("is_train")))
+          .select("gram").distinct()
+        val leaks = shingled(docs.filter(col("is_train")))
+          .join(holdout.hint("shuffle_hash"), Seq("gram"), "left_semi")
+          .groupBy("source", "doc_id")
+          .agg(countDistinct(col("gram")).as("n_shared"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_leaky_docs"), sum("n_shared").as("shared_grams"))
+        docs.filter(col("is_train"))
+          .groupBy("source").agg(count(lit(1)).as("n_train_docs"))
+          .join(leaks, Seq("source"), "left")
+          .select(col("source"), col("n_train_docs"),
+            coalesce(col("n_leaky_docs"), lit(0L)).as("n_leaky_docs"),
+            coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+                SELECT source, doc_id, string_split(text, ' ') AS tk,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+                         AS is_train
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= 4),
+              g AS (
+                SELECT source, doc_id, is_train,
+                       unnest([array_to_string(tk[i:i+3], ' ')
+                               for i in generate_series(1, len(tk) - 3)]) AS gram
+                FROM t),
+              ho AS (SELECT DISTINCT gram FROM g WHERE NOT is_train),
+              leaks AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_leaky_docs,
+                       CAST(sum(n_shared) AS BIGINT) AS shared_grams
+                FROM (
+                  SELECT g.source, g.doc_id, count(DISTINCT g.gram) AS n_shared
+                  FROM g SEMI JOIN ho ON g.gram = ho.gram
+                  WHERE g.is_train
+                  GROUP BY g.source, g.doc_id)
+                GROUP BY source)
+              SELECT t.source,
+                     CAST(count(DISTINCT t.doc_id) AS BIGINT) AS n_train_docs,
+                     COALESCE(max(leaks.n_leaky_docs), 0) AS n_leaky_docs,
+                     COALESCE(max(leaks.shared_grams), 0) AS shared_grams
+              FROM t LEFT JOIN leaks ON leaks.source = t.source
+              WHERE t.is_train
+              GROUP BY t.source ORDER BY t.source"""),
+      "Split-leakage audit over q_corpus_split's assignment: train-side shingles " +
+        "crossing into the held-out (val+test) shingle set — the doc_id-hashed split " +
+        "keeps clones apart, so near-identical docs straddling the boundary are " +
+        "evaluation contamination; shuffle_hash verify (the held-out side scales " +
+        "with the corpus, never broadcast), per-source leaky-doc + shared-gram rollup"),
+
+    QueryDef(
       "q_corpus_select", Seq("W1", "A4", "F5", "P2"),
       (s, d) => {
         // the END-TO-END training-set selection funnel — the signals above

@@ -265,4 +265,24 @@ class CorpusPipelineSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q_split_leakage: leaky docs bounded by train population, consistent with the split") {
+    val leak = Queries.byName("q_split_leakage").run(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(leak.nonEmpty)
+    leak.foreach { case (src, nTrain, nLeaky, shared) =>
+      assert(nLeaky <= nTrain, s"$src: more leaky docs than train docs")
+      assert((nLeaky == 0) == (shared == 0), s"$src: leaky docs and shared grams must co-vanish")
+    }
+    // the train populations must agree with q_corpus_split's own counts
+    // (same hash, same 90-bucket boundary — a drift here means the audit
+    // is auditing a DIFFERENT split than the one shipped); leakage filters
+    // out sub-width docs, so its population is a lower bound
+    val split = Queries.byName("q_corpus_split").run(s, dir).collect()
+      .filter(_.getString(1) == "train")
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    leak.foreach { case (src, nTrain, _, _) =>
+      assert(nTrain <= split(src), s"$src: audit train population exceeds the split's")
+    }
+  }
 }
