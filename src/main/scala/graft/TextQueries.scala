@@ -843,6 +843,44 @@ object TextQueries {
         "executor-side batch pass (the mapInPandas shape on the JVM)"),
 
     QueryDef(
+      "q_image_neardup", Seq("S2", "F5", "A1"),
+      (s, d) => {
+        // perceptual IMAGE dedup — the pixel-domain member of the near-dup
+        // family: re-encodes, mild noise and small edits change every
+        // content hash but barely move a perceptual hash. Real end-to-end:
+        // the PNGs are deterministically SYNTHESIZED (no image column in
+        // the corpus: same-source EVEN docs are tiny perturbations of a
+        // shared base raster — the near-dup class — while odd docs repaint
+        // half the image), ENCODED with the JDK encoder, then the operator
+        // really decodes them (ImageIO), aHash-es real pixels, buckets the
+        // 64-bit hash 4×16 through the shared bounded BucketPairs engine
+        // and verifies by hamming ≤ 6 — the SimHash pipeline shape in the
+        // pixel domain. No DuckDB oracle (SQL cannot decode PNG — the
+        // BPE/golden precedent); MultimodalSpec pins the aHash contracts
+        // (re-encode invariance, perturbation tolerance, inversion
+        // distance) and the pair structure.
+        import s.implicits._
+        val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+        val imgs = docs.as[(String, Long)].mapPartitions { it =>
+          it.map { case (src, id) =>
+            (id, src, graft.multimodal.Multimodal.synthPng(src, id))
+          }
+        }.toDF("id", "source", "content")
+        val pairs = graft.multimodal.Multimodal
+          .imageNeardup(imgs.select("id", "content"), s)
+        pairs
+          .join(imgs.select(col("id").as("id_a"), col("source")).hint("shuffle_hash"),
+            Seq("id_a"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"), max("hamming").as("max_hamming"))
+          .orderBy("source")
+      },
+      None,
+      "Perceptual image near-dup (aHash over REAL decoded pixels): deterministic " +
+        "synthesized PNGs → ImageIO decode → 64-bit block-mean hash → banded " +
+        "BucketPairs candidates → hamming verify; per-source pair rollup"),
+
+    QueryDef(
       "q_cdc_chunk_dedup", Seq("F2", "W1", "A4", "A2"),
       (s, d) => {
         import org.apache.spark.sql.expressions.Window

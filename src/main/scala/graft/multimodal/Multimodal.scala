@@ -478,4 +478,122 @@ object Multimodal {
         }
       }
   }
+
+  // ---- perceptual image near-dup (aHash) -----------------------------------
+
+  /** 64-bit average-hash over a decoded row-major RGB raster: the image
+    * partitions into an 8×8 block grid, each block's integer mean luma
+    * (299R+587G+114B, the BT.601 weights kept ×1000 so everything stays
+    * exact integer arithmetic) compares against the global block mean —
+    * bit set when brighter. Deterministic by construction (no float, no
+    * resampling library); robust to re-encoding, mild noise and small
+    * edits, which is exactly the near-dup class pixel-hash dedup exists
+    * to catch and content-hash dedup is blind to. Blocks degenerate to a
+    * single clamped pixel when the raster is narrower than 8 px. */
+  def aHash64(rgb: Array[Byte], w: Int, h: Int): Long = {
+    require(w > 0 && h > 0 && rgb.length >= w * h * 3, "raster shape mismatch")
+    val means = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var y0 = by * h / 8; var y1 = (by + 1) * h / 8
+        var x0 = bx * w / 8; var x1 = (bx + 1) * w / 8
+        if (y1 <= y0) { y0 = math.min(y0, h - 1); y1 = y0 + 1 }
+        if (x1 <= x0) { x0 = math.min(x0, w - 1); x1 = x0 + 1 }
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * w + x) * 3
+            sum += 299L * (rgb(i) & 0xff) + 587L * (rgb(i + 1) & 0xff) +
+              114L * (rgb(i + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        means(by * 8 + bx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        bx += 1
+      }
+      by += 1
+    }
+    val mean = means.sum / 64
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (means(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Deterministic 16×16 grayscale-ish PNG synthesized from
+    * (source, docId) — the demo corpus for [[imageNeardup]] (the test
+    * tables carry no image column). Base raster keyed by the SOURCE
+    * (md5 per row), so same-source images share a pattern; even docs
+    * perturb ≤ 3 pixels (the near-dup class a perceptual hash must
+    * catch), odd docs repaint half the raster (far). Encoded with the
+    * JDK PNG encoder so the consuming operator exercises the REAL
+    * decode path end-to-end. */
+  def synthPng(source: String, docId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val md = MessageDigest.getInstance("MD5")
+    var y = 0
+    while (y < 16) {
+      val row = md.digest(s"$source:$y".getBytes("UTF-8"))
+      var x = 0
+      while (x < 16) {
+        val v = row(x) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val k = if (docId % 2 == 0) (docId % 4).toInt else 128
+    val pd = md.digest(docId.toString.getBytes("UTF-8"))
+    var i = 0
+    while (i < k) {
+      val pos = (((pd(i % 16) & 0xff) * 31 + i * 7) & 0xff)
+      img.setRGB(pos % 16, pos / 16,
+        if (docId % 2 == 0) 0xffffff else ((i * 2) & 0xff) << 16)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual near-dup pairs over an (id BIGINT, content BINARY) image
+    * frame: decode (real ImageIO) → [[aHash64]] → 4×16-bit band buckets →
+    * the shared bounded [[graft.BucketPairs]] engine → hamming ≤
+    * `maxHamming` verify. The SimHash pipeline's shape applied to
+    * pixels: candidates track near-dup density, never all-pairs;
+    * undecodable payloads drop out (they have no raster to hash).
+    * Returns (id_a, id_b, hamming), id_a < id_b. */
+  def imageNeardup(
+      images: DataFrame, s: SparkSession, maxHamming: Int = 6): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val hashes = images.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeImage(bytes).flatMap(d =>
+            d.pixels.map(px => (id, aHash64(px, d.width.toInt, d.height.toInt))))
+        }
+      }.toDF("id", "ahash")
+    val bandVals = (0 until 4).map(b =>
+      shiftright(col("ahash"), 16 * b).bitwiseAND(lit(0xFFFFL)))
+    val sig = hashes.select(
+      struct(col("id"), col("ahash")).as("sid"),
+      posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+    graft.BucketPairs.pairs(sig, Seq("band_id", "band_val"), "sid", Seq.empty)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

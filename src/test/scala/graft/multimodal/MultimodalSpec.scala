@@ -344,4 +344,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert((rows(1).kind, rows(1).width, rows(1).height, rows(1).n_frames)
       === ("video", 320L, 200L, 7L))
   }
+
+  // ---- perceptual image near-dup -------------------------------------------
+
+  /** Deterministic test raster: 32×32 smooth gradient with a bright
+    * square — structured enough that the 8×8 block means differ. */
+  private def gradientImage(dark: Boolean = false): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val v0 = (x * 4 + y * 3) & 0xff
+      val v = if (dark) 255 - v0 else v0
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    for (y <- 4 until 12; x <- 20 until 28)
+      img.setRGB(x, y, if (dark) 0 else 0xffffff)
+    img
+  }
+
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("aHash64: re-encode invariant, perturbation tolerant, inversion far") {
+    def hashOf(bytes: Array[Byte]): Long = {
+      val d = Multimodal.decodeImage(bytes).get
+      Multimodal.aHash64(d.pixels.get, d.width.toInt, d.height.toInt)
+    }
+    val base = gradientImage()
+    // identical pixels through DIFFERENT encoders hash identically —
+    // the invariance content-hash dedup lacks
+    assert(hashOf(encode(base, "png")) === hashOf(encode(base, "bmp")))
+    // a small edit (one corner pixel) moves at most a couple of bits
+    val edited = gradientImage()
+    edited.setRGB(0, 0, 0xff0000)
+    val hm = java.lang.Long.bitCount(hashOf(encode(base, "png")) ^ hashOf(encode(edited, "png")))
+    assert(hm <= 2, s"1-pixel edit moved $hm bits")
+    // the inverted image is far (every block flips relative to the mean)
+    val far = java.lang.Long.bitCount(
+      hashOf(encode(base, "png")) ^ hashOf(encode(gradientImage(dark = true), "png")))
+    assert(far >= 20, s"inversion only $far bits away")
+  }
+
+  test("imageNeardup pairs the near-copy, skips the stranger and the corrupt blob") {
+    val s = graft.SparkSuite.spark
+    import s.implicits._
+    val edited = gradientImage()
+    edited.setRGB(0, 0, 0xff0000)
+    val imgs = Seq(
+      (1L, encode(gradientImage(), "png")),
+      (2L, encode(edited, "png")), // near-copy of 1
+      (3L, encode(gradientImage(dark = true), "png")), // far
+      (4L, "not an image at all".getBytes("UTF-8"))) // undecodable → drops out
+      .toDF("id", "content")
+    def run(parts: Int) = Multimodal.imageNeardup(imgs.repartition(parts), s)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) === Set((1L, 2L)))
+    // partitioning must not change the pair set (bounded-engine contract)
+    assert(run(5) === Set((1L, 2L)))
+  }
 }
