@@ -286,6 +286,107 @@ object RelationalQueries {
               GROUP BY c_nationkey ORDER BY c_nationkey"""),
       "Skew-safe salted join: deterministic fact-side salt + dim replicated per salt, " +
         "join on (key, salt) — hot keys spread across partitions; oracle is the PLAIN " +
-        "join, proving the salting is semantics-preserving")
+        "join, proving the salting is semantics-preserving"),
+
+    QueryDef(
+      "q_profile_orders", Seq("A1", "A2", "A3"),
+      (s, d) => {
+        // one-pass column profiling — the data-quality readout analysts
+        // run before trusting a table (the `summarize`/DESCRIBE surface,
+        // next to field_counts' JSON-path version): per column, null
+        // count, exact distinct count, numeric min/max (timestamps as
+        // epoch micros so every numeric column shares one DOUBLE slot),
+        // string min/max for text columns. ONE aggregation over one scan
+        // (the countDistincts expand the input internally — the exact
+        // per-column distinct a profiler reports; at 100 TB the same
+        // query runs with approx_count_distinct and loses the oracle,
+        // a documented swap, not a different plan shape), then a stack()
+        // unpivot of the single stats row — no shuffle beyond the agg.
+        val o = Tables.orders(s, d)
+        def numProfile(c: String, v: Column) = Seq(
+          count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_dist"),
+          min(v).cast(DoubleType).as(s"${c}_min"),
+          max(v).cast(DoubleType).as(s"${c}_max"))
+        def strProfile(c: String) = Seq(
+          count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_dist"),
+          min(col(c)).as(s"${c}_smin"),
+          max(col(c)).as(s"${c}_smax"))
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++
+          numProfile("o_orderkey", col("o_orderkey")) ++
+          numProfile("o_custkey", col("o_custkey")) ++
+          numProfile("o_totalprice", col("o_totalprice")) ++
+          // the scan yields TIMESTAMP_NTZ; the explicit TimestampType cast
+          // under the pinned UTC session is the identity mapping that makes
+          // unix_micros == DuckDB's epoch_us (the Tables.events pattern)
+          numProfile("o_orderdate",
+            unix_micros(col("o_orderdate").cast(TimestampType))) ++
+          strProfile("o_orderstatus") ++ strProfile("o_orderpriority")
+        val one = o.agg(aggs.head, aggs.tail: _*)
+        def numRow(c: String) =
+          s"'$c', ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max, " +
+            "CAST(NULL AS STRING), CAST(NULL AS STRING)"
+        def strRow(c: String) =
+          s"'$c', ${c}_nulls, ${c}_dist, CAST(NULL AS DOUBLE), " +
+            s"CAST(NULL AS DOUBLE), ${c}_smin, ${c}_smax"
+        one.select(col("n_rows"), expr(
+          s"""stack(6,
+              ${numRow("o_orderkey")},
+              ${numRow("o_custkey")},
+              ${numRow("o_totalprice")},
+              ${numRow("o_orderdate")},
+              ${strRow("o_orderstatus")},
+              ${strRow("o_orderpriority")})
+             AS (column, n_nulls, n_distinct, min_num, max_num, min_str, max_str)"""))
+          .select(col("column"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+            col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+          .orderBy("column")
+      },
+      Some("""WITH a AS (
+                SELECT count(*) AS n_rows,
+                       count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS k_nulls,
+                       count(DISTINCT o_orderkey) AS k_dist,
+                       CAST(min(o_orderkey) AS DOUBLE) AS k_min,
+                       CAST(max(o_orderkey) AS DOUBLE) AS k_max,
+                       count(CASE WHEN o_custkey IS NULL THEN 1 END) AS c_nulls,
+                       count(DISTINCT o_custkey) AS c_dist,
+                       CAST(min(o_custkey) AS DOUBLE) AS c_min,
+                       CAST(max(o_custkey) AS DOUBLE) AS c_max,
+                       count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS p_nulls,
+                       count(DISTINCT o_totalprice) AS p_dist,
+                       CAST(min(o_totalprice) AS DOUBLE) AS p_min,
+                       CAST(max(o_totalprice) AS DOUBLE) AS p_max,
+                       count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS d_nulls,
+                       count(DISTINCT o_orderdate) AS d_dist,
+                       CAST(min(epoch_us(o_orderdate)) AS DOUBLE) AS d_min,
+                       CAST(max(epoch_us(o_orderdate)) AS DOUBLE) AS d_max,
+                       count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS s_nulls,
+                       count(DISTINCT o_orderstatus) AS s_dist,
+                       min(o_orderstatus) AS s_min, max(o_orderstatus) AS s_max,
+                       count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS pr_nulls,
+                       count(DISTINCT o_orderpriority) AS pr_dist,
+                       min(o_orderpriority) AS pr_min, max(o_orderpriority) AS pr_max
+                FROM orders)
+              SELECT * FROM (
+                SELECT 'o_orderkey' AS "column", n_rows, k_nulls AS n_nulls,
+                       k_dist AS n_distinct, k_min AS min_num, k_max AS max_num,
+                       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+                FROM a
+                UNION ALL SELECT 'o_custkey', n_rows, c_nulls, c_dist, c_min, c_max,
+                       NULL, NULL FROM a
+                UNION ALL SELECT 'o_totalprice', n_rows, p_nulls, p_dist, p_min, p_max,
+                       NULL, NULL FROM a
+                UNION ALL SELECT 'o_orderdate', n_rows, d_nulls, d_dist, d_min, d_max,
+                       NULL, NULL FROM a
+                UNION ALL SELECT 'o_orderstatus', n_rows, s_nulls, s_dist,
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), s_min, s_max FROM a
+                UNION ALL SELECT 'o_orderpriority', n_rows, pr_nulls, pr_dist,
+                       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), pr_min, pr_max FROM a)
+              ORDER BY "column" """),
+      "One-pass column profiler over orders (the summarize/DESCRIBE data-quality " +
+        "readout): per-column null count, exact distinct count, numeric min/max " +
+        "(timestamps as epoch micros), string min/max — one aggregation, one " +
+        "stack() unpivot")
   )
 }
