@@ -1352,7 +1352,11 @@ object TextQueries {
           .agg(count(lit(1)).as("n_leaky_docs"), sum("n_shared").as("shared_grams"))
         docs.filter(col("is_train"))
           .groupBy("source").agg(count(lit(1)).as("n_train_docs"))
-          .join(leaks, Seq("source"), "left")
+          // both sides are per-source rollups; shuffle_hash pins the join
+          // without a size estimate OR a boundedness assumption on the
+          // source domain (the scale gate caught this one planning SMJ
+          // when estimates are unavailable)
+          .join(leaks.hint("shuffle_hash"), Seq("source"), "left")
           .select(col("source"), col("n_train_docs"),
             coalesce(col("n_leaky_docs"), lit(0L)).as("n_leaky_docs"),
             coalesce(col("shared_grams"), lit(0L)).as("shared_grams"))

@@ -92,7 +92,17 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_decontaminate_bloom" -> 20,
     // one broadcast of the single query row; the probed scan itself is
     // partition-pruned storage, no shuffle until the final top-k
-    "q_ann_cell_layout" -> 2)
+    "q_ann_cell_layout" -> 2,
+    // the session's remaining r12 queries: rank sort + rollup
+    // (quality_gate), agg + 1-row normalizer (source_mix), the
+    // decontaminate-shaped shingle join pair (split_leakage), banded
+    // BucketPairs over synthesized rasters (image_neardup), one agg +
+    // unpivot (profile_orders)
+    "q_quality_gate" -> 4,
+    "q_source_mix" -> 10,
+    "q_split_leakage" -> 20,
+    "q_image_neardup" -> 14,
+    "q_profile_orders" -> 4)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -169,7 +179,8 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_substr_scrub_keepfirst", "q_token_stats_bpe", "q_pack_sequences_bpe",
                 "q_semantic_dedup", "q_embed_prototypes", "q_ann_ivf_pq_refine",
                 "q_knn_join", "q_knn_join_ivf", "q_decontaminate_bloom",
-                "q_ann_cell_layout"))
+                "q_ann_cell_layout", "q_quality_gate", "q_source_mix",
+                "q_split_leakage", "q_image_neardup", "q_profile_orders"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
