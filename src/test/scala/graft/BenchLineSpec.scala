@@ -115,6 +115,26 @@ class BenchLineSpec extends AnyFunSuite {
     assert(j.get("errors").has("agg"))
   }
 
+  test("key abbreviation stays lossless over the real declared surface") {
+    // r12 at 100 queries: name segments compress through Bench.keyAbbrev.
+    // Lossless means INVERTIBLE — the compressed keys must stay pairwise
+    // distinct over the actual surface, or two queries would silently
+    // merge in the driver artifact. A new query whose abbreviated name
+    // collides fails here, at build time.
+    val names = SparkEntry.queries.keys.toSeq
+    def key(k: String) = k.stripPrefix("q_").split('_')
+      .map(s => Bench.keyAbbrev.getOrElse(s, s)).mkString("_")
+    val compressed = names.map(key)
+    assert(compressed.distinct.size === names.size,
+      s"abbreviated keys collide: ${compressed.diff(compressed.distinct).distinct}")
+    // spot-pin the published table through the real renderer
+    val line = Bench.renderSummaryLine(
+      Seq("q_ann_ivf_kmeans_multiprobe" -> 1.0, "q_neardup_lsh" -> 2.0),
+      Seq.empty, "/sf")
+    val q = parse(line).get("queries")
+    assert(q.has("ann_ivf_km_mp") && q.has("nd_lsh"), line)
+  }
+
   test("sf renders as its basename, reclaiming query capacity") {
     // r12: the full "/root/testdata/sf0.1" path cost 16 chars of the
     // 2000-char tail window; the driver records sf in its own top-level
