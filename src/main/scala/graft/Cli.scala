@@ -45,6 +45,10 @@ import graft.ocds.Metadata
   *                                               duplication rollup, ExactSubstr)
   *   quality-gate <lake> <collectionId>         (per-source bottom-decile cut)
   *   source-mix <lake> <collectionId>           (sqrt-temperature mix weights)
+  *   length-stats <lake> <collectionId>         (per-source token-length quantiles)
+  *   heavy-terms <lake> <collectionId> [--width N] [--min N] [--top N]
+  *                                              (heavy-hitter n-grams, bounded
+  *                                               freq_items sketch)
   *   closecollection <lake> <id> <nFiles>       (closecollection)
   *   cancelcollection <lake> <id>               (cancelcollection)
   *   deletecollection <lake> <rootId>           (deletecollection + wiper)
@@ -635,6 +639,64 @@ object Cli {
           }
       }
 
+    case "length-stats" :: lake :: id :: Nil =>
+      // per-source token-length quantiles (exact rank-based p50/p90/p99)
+      // over a loaded collection's raw documents — the
+      // q_length_quantiles engine
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          TextQueries.lengthQuantilesOf(docs).collect().foreach { r =>
+            println(s"source=${r.getAs[String]("source")}" +
+              s" n_docs=${r.getAs[Long]("n_docs")}" +
+              s" p50=${r.getAs[Long]("p50_tokens")}" +
+              s" p90=${r.getAs[Long]("p90_tokens")}" +
+              s" p99=${r.getAs[Long]("p99_tokens")}" +
+              s" max=${r.getAs[Long]("max_tokens")}")
+          }
+      }
+
+    case "heavy-terms" :: lake :: id :: rest =>
+      // corpus heavy-hitter n-grams over a loaded collection's raw
+      // documents (bounded freq_items sketch — the q_heavy_terms
+      // engine). --width N span width (default 3), --min N reporting
+      // threshold (default 5), --top N display cap (default 20).
+      def intFlag(name: String, dflt: Int, lo: Int): (Int, List[String]) = {
+        val v = flagValue(rest, name) match {
+          case None => dflt
+          case Some(s0) => s0.toIntOption.filter(_ >= lo).getOrElse {
+            System.err.println(s"$name needs a number >= $lo, got '$s0'")
+            sys.exit(2)
+          }
+        }
+        (v, stripFlag(rest, name))
+      }
+      val (width, _) = intFlag("--width", 3, 1)
+      val (minN, _) = intFlag("--min", 5, 1)
+      val (top, _) = intFlag("--top", 20, 1)
+      rejectStray("heavy-terms",
+        stripFlag(stripFlag(stripFlag(rest, "--width"), "--min"), "--top"))
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          TextQueries.heavyTermsOf(docs, width = width, minCount = minN.toLong)
+            .limit(top).collect().foreach { r =>
+              println(s"n=${r.getAs[Long]("n")} gram=${r.getAs[String]("gram")}")
+            }
+      }
+
     case "closecollection" :: lake :: id :: nFiles :: Nil =>
       // closecollection.py: ROOT collections only; the upgraded child
       // latches in the same transaction (its compile gate waits on the
@@ -798,6 +860,8 @@ object Cli {
            |  corpus-select <lake> <collectionId>
            |  quality-gate <lake> <collectionId>
            |  source-mix <lake> <collectionId>
+           |  length-stats <lake> <collectionId>
+           |  heavy-terms <lake> <collectionId> [--width N] [--min N] [--top N]
            |  api <lake> [--port N]""".stripMargin)
       sys.exit(2)
   }

@@ -388,6 +388,102 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Per-source token-length distribution readout — exact p50/p90/p99
+    * by RANK (the value at row ceil(p·n/100) of the per-source length
+    * sort), the q_length_quantiles engine. Length percentiles are the
+    * first thing a corpus build inspects (truncation budgets, packing
+    * window sizing, outlier hunting), and the house determinism rules
+    * apply: percentile targets computed as (n·p + 99) div 100 in
+    * INTEGER arithmetic (qualityGateOf's (n+9) div 10 generalised — no
+    * 0.01·p·n float trap), values read at exact ranks with doc_id
+    * tie-stable ordering, no interpolation (Spark's `percentile` and
+    * DuckDB's quantile_cont interpolate with engine-specific float
+    * arithmetic and would break the oracle hash). One shuffle by
+    * source for the rank sort; the aggregation rides the window's
+    * hash partitioning. At 100 TB the documented swap is an
+    * approx_percentile/KLL sketch per source (mergeable, bounded
+    * buffers — the freq_items/profile pattern) once per-source doc
+    * counts outgrow a per-key sort; the rank spelling stays the oracle
+    * of record. */
+  private[graft] def lengthQuantilesOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = docs.select(
+      col("source"), col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("len"))
+    val rk = lens
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("len").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    def atP(p: Int) =
+      max(when(col("rn") === expr(s"(n * $p + 99) div 100"), col("len")))
+    rk.groupBy("source").agg(
+      max(col("n")).as("n_docs"),
+      atP(50).as("p50_tokens"),
+      atP(90).as("p90_tokens"),
+      atP(99).as("p99_tokens"),
+      max(col("len")).as("max_tokens"))
+      .orderBy("source")
+  }
+
+  /** Bigram language-model fluency scoring — the statistical-LM rung of
+    * the quality ladder (production corpus filters score documents with
+    * a KenLM n-gram model and drop the high-perplexity tail — CCNet,
+    * Wenzek et al. 2020; q_quality_score's ratio heuristics and
+    * q_quality_gate's percentile cut are the rungs below). The model is
+    * the corpus's own bigram table; the per-document score is the MEAN
+    * INVERSE CONDITIONAL FREQUENCY over its bigram positions,
+    * mean(c1(prev) / c2(prev, cur)) — 1.0 when every continuation is
+    * the only one ever observed after its context, growing with
+    * surprise. This is a monotone perplexity surrogate chosen for the
+    * house bit-determinism rules: true perplexity needs log(), which is
+    * libm-dependent and would break the oracle hash (the tf-idf
+    * precedent), while c1/c2 is one IEEE double division of two exact
+    * integers, summed through DECIMAL(38,18) (exact, order-insensitive)
+    * with only the final mean emitted as a rounded double. `n_novel`
+    * (bigrams seen exactly once corpus-wide) rides along — the OOV-rate
+    * signal that needs no model at all.
+    *
+    * Scale shape: the bigram counts are CORPUS-cardinality, so they are
+    * computed as `count() OVER (PARTITION BY gram)` — ONE shuffle of
+    * the bigram stream annotates every position with its corpus count,
+    * where the groupBy-then-join spelling shuffles the same stream
+    * TWICE (aggregate build + join probe; the window-vs-groupBy+join
+    * adjudication ExactSubstr recorded, applied again — and re-measured
+    * in AbFreqBench: 7 vs 9 exchanges, and the gap grows with data,
+    * 0.94× time at sf0.1 → 0.78× time / 0.92× shuffle bytes on the 10×
+    * replica). Skewed
+    * mega-bigrams degrade to WindowExec spill, not OOM, exactly like
+    * the substr family. The context table is VOCABULARY-bounded — its
+    * aggregation's map-side partials are vocab-sized — and broadcast.
+    * At 100 TB the LM tables would be trained once and persisted (the
+    * NeardupStore/VectorStore pattern), leaving one scoring scan; the
+    * one-query spelling keeps the oracle self-contained. */
+  private[graft] def lmScoreOf(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Dec = DecimalType(38, 18)
+    val toks = tokens(col("text"))
+    val stream = docsIn
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        explode_outer(call_function("token_grams", toks, lit(2))).as("gram"))
+    val contexts = stream
+      .select(substring_index(col("gram"), " ", 1).as("prev"))
+      .groupBy("prev").agg(count(lit(1)).as("c1"))
+    stream
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy("gram")))
+      .withColumn("prev", substring_index(col("gram"), " ", 1))
+      .join(broadcast(contexts), Seq("prev"))
+      .withColumn("ratio_dec",
+        (col("c1").cast(DoubleType) / col("c2").cast(DoubleType)).cast(Dec))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2") === 1L, 1L).otherwise(0L)).as("n_novel"),
+        round(sum(col("ratio_dec")).cast(DoubleType) / count(lit(1)), 9)
+          .as("surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Temperature-resampled source mix over a (source, doc_id, text)
     * frame — the q_source_mix engine, reused by `Cli source-mix`. The
     * training-mix weights multilingual/clustered corpora train with:
@@ -417,6 +513,56 @@ object TextQueries {
         share.as("weight"),
         floor(lit(100000.0) * share).cast(LongType).as("n_target"))
       .orderBy("source")
+  }
+
+  /** Corpus heavy-hitter n-grams through the bounded mergeable
+    * `freq_items` sketch (Misra–Gries / Space-Saving with the Agarwal
+    * et al. 2012 merge — see functions/FreqItems.scala): the frequency
+    * readout q_token_df computes exactly for TOKENS (vocabulary-bounded,
+    * so an exact groupBy is safe at any scale) is NOT safe for n-grams,
+    * whose cardinality grows with the corpus — at 100 TB an exact
+    * `groupBy(gram)` shuffles billions of distinct keys. This plan's
+    * shuffle carries at most partitions × capacity counters instead: one
+    * scan, per-partition bounded sketch buffers, one bounded final merge.
+    *
+    * The `est >= minCount` filter reports only GUARANTEED-heavy grams
+    * (est is a lower bound at any scale). On this corpus capacity 2^16
+    * exceeds the distinct-gram count (~16k at sf0.01, ~27k at sf0.1), so
+    * every buffer stays exact (err = 0), the output IS the exact
+    * `HAVING count(*) >= minCount` answer, and the DuckDB oracle checks
+    * it hash-exact — the q_profile_orders pattern (exact at oracle
+    * scale, the approximation being the documented 100 TB contract),
+    * except here the approximation is per-row self-describing rather
+    * than a swap. Final merge cost is partitions × capacity entries in
+    * ONE task — at 1000 executors × 2^16 counters that is ~65M entry
+    * merges, a single-digit-seconds reducer; capacity budgets beyond
+    * that would pre-merge per executor first (documented, not needed
+    * at any tested scale).
+    *
+    * Measured (AbFreqBench, min-of-N interleaved, 32 cores): vs the
+    * exact `groupBy(gram)` spelling the sketch runs 0.6-0.7× the time
+    * at sf0.1 (cardinality 27k < capacity — the sketch's worst case,
+    * byte ratio 1.03×) and 0.71× the time at 0.34× the shuffle bytes
+    * (19 vs 57 MiB) on the 10× ScaleGen replica, where the per-copy
+    * token namespaces push gram cardinality past capacity — the byte
+    * gap that keeps growing with the corpus while the sketch side
+    * stays fixed. */
+  private[graft] def heavyTermsOf(
+      docsIn: DataFrame, width: Int = 3, capacity: Int = 1 << 16,
+      minCount: Long = 5L): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = call_function("token_grams", toks, lit(width))
+    // *_outer + explicit size guard: the non-outer explode's implicit
+    // size>0 Generate condition gets pushed below fanOut's exchange onto
+    // the single-task scan (the r11 audit's pushdown trap)
+    docsIn
+      .filter(size(toks) >= width)
+      .select(explode_outer(grams).as("gram"))
+      .agg(call_function("freq_items", col("gram"), lit(capacity)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .filter(col("e.est") >= minCount)
+      .select(col("e.item").as("gram"), col("e.est").as("n"))
+      .orderBy(col("n").desc, col("gram"))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -529,6 +675,64 @@ object TextQueries {
         "by stopword-ratio rank (exact integer-arithmetic cut, tie-broken by doc_id) " +
         "— the data-driven threshold production gates use instead of fixed constants; " +
         "one rank sort per source, one-row-per-source output"),
+
+    QueryDef(
+      "q_length_quantiles", Seq("W1", "A3", "A4"),
+      (s, d) => lengthQuantilesOf(Tables.documents(s, d)),
+      Some("""WITH l AS (
+                SELECT source, doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                FROM documents),
+              rk AS (
+                SELECT source, len,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY len ASC, doc_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM l)
+              SELECT source,
+                     max(n) AS n_docs,
+                     max(CASE WHEN rn = (n * 50 + 99) // 100 THEN len END) AS p50_tokens,
+                     max(CASE WHEN rn = (n * 90 + 99) // 100 THEN len END) AS p90_tokens,
+                     max(CASE WHEN rn = (n * 99 + 99) // 100 THEN len END) AS p99_tokens,
+                     max(len) AS max_tokens
+              FROM rk GROUP BY source ORDER BY source"""),
+      "Per-source token-length quantiles (p50/p90/p99) by exact rank — integer-" +
+        "arithmetic percentile targets, no interpolation (cross-engine exact where " +
+        "percentile_cont is not); one per-source rank sort, approx_percentile/KLL " +
+        "documented as the 100 TB swap"),
+
+    QueryDef(
+      "q_lm_score", Seq("J1", "J2", "A4"),
+      (s, d) => {
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        lmScoreOf(Tables.fanOut(Tables.documents(s, d)))
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                         FROM documents
+                         WHERE len(string_split(text, ' ')) >= 2),
+              st AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+                     FROM d, unnest(generate_series(1, len(t) - 1)) AS s(i)),
+              big AS (SELECT gram, count(*) AS c2 FROM st GROUP BY gram),
+              ctx AS (SELECT split_part(gram, ' ', 1) AS prev, count(*) AS c1
+                      FROM st GROUP BY prev),
+              j AS (SELECT st.doc_id, big.c2,
+                           CAST(CAST(ctx.c1 AS DOUBLE) / CAST(big.c2 AS DOUBLE)
+                                AS DECIMAL(38,18)) AS ratio_dec
+                    FROM st
+                    JOIN big USING (gram)
+                    JOIN ctx ON split_part(st.gram, ' ', 1) = ctx.prev)
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_novel,
+                     round(CAST(sum(ratio_dec) AS DOUBLE) / count(*), 9)
+                       AS surprisal
+              FROM j GROUP BY doc_id ORDER BY doc_id"""),
+      "Bigram-LM fluency scoring (the KenLM-perplexity quality rung, CCNet-style): " +
+        "mean inverse conditional frequency as a logarithm-free perplexity " +
+        "surrogate (bit-exact cross-engine), plus the once-seen-bigram novelty " +
+        "count; corpus-cardinality LM table shuffle-hash joined, vocabulary-" +
+        "bounded context table broadcast"),
 
     QueryDef(
       "q_langid", Seq("F4"),
@@ -1479,6 +1683,33 @@ object TextQueries {
       "Token document-frequency filter (boilerplate discovery / the df of tf-idf): " +
         "distinct-per-doc explode, one map-side-combined hash aggregation, broadcast " +
         "corpus total — tokens in ≥50% of documents"),
+
+    QueryDef(
+      "q_heavy_terms", Seq("A4", "J7", "F5"),
+      (s, d) => {
+        // heavy-hitter 3-grams via the bounded mergeable freq_items
+        // sketch — the n-gram complement of q_token_df's exact token df:
+        // gram cardinality grows with the corpus, so the exact groupBy
+        // is replaced by a capacity-bounded summary whose shuffle is
+        // partitions × capacity regardless of scale. Exact (err = 0) at
+        // oracle scale since capacity > distinct grams; guaranteed-
+        // lower-bound reporting beyond. See heavyTermsOf.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        heavyTermsOf(Tables.fanOut(Tables.documents(s, d)))
+      },
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS t
+                         FROM documents
+                         WHERE len(string_split(text, ' ')) >= 3),
+              g AS (SELECT array_to_string(t[i:i+2], ' ') AS gram
+                    FROM d, unnest(generate_series(1, len(t) - 2)) AS s(i))
+              SELECT gram, CAST(count(*) AS BIGINT) AS n
+              FROM g GROUP BY gram HAVING count(*) >= 5
+              ORDER BY n DESC, gram"""),
+      "Heavy-hitter 3-grams via the native mergeable freq_items sketch " +
+        "(Misra-Gries/Space-Saving, median batch purge, Agarwal et al. merge): " +
+        "bounded buffers make the shuffle partitions x capacity instead of " +
+        "distinct-gram cardinality; exact at oracle scale, guaranteed lower " +
+        "bounds at 100 TB"),
 
     QueryDef(
       "q_tfidf_topterms", Seq("J2", "W1", "A5"),

@@ -170,6 +170,15 @@ object GraftExtensions {
           intLit(children(3), "topk_pairs", "k", 1, 1000000, "[1, 1e6]"))
       }),
     (
+      FunctionIdentifier("freq_items"),
+      new ExpressionInfo(classOf[FreqItems].getName, "freq_items"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"freq_items expects exactly 2 arguments (item, capacity), got ${children.size}")
+        FreqItems(children.head,
+          intLit(children(1), "freq_items", "capacity", 1, 1 << 22, "[1, 2^22]"))
+      }),
+    (
       FunctionIdentifier("bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
       (children: Seq[Expression]) => {

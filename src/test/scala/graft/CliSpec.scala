@@ -255,6 +255,17 @@ class CliSpec extends AnyFunSuite {
     val mix = run("source-mix", lake, "1")
     assert(mix.contains("source=dd_local n_docs=3"), mix)
     assert(mix.contains("weight=1.000000 n_target=100000"), mix)
+
+    // length quantiles: 3 docs → ceil(3p/100) picks ranks 2/3/3; the
+    // quantile values are the sorted per-doc token counts at those ranks
+    val lstats = run("length-stats", lake, "1")
+    assert(lstats.contains("source=dd_local n_docs=3"), lstats)
+    assert(lstats.matches("(?s).*p50=\\d+ p90=\\d+ p99=\\d+ max=\\d+.*"), lstats)
+    // heavy terms: the near-identical a1/a2 pair shares its 4-token runs,
+    // so --width 4 --min 2 surfaces at least one shared gram (stray-arg
+    // rejection shares rejectStray with the sibling subcommands)
+    val hh = run("heavy-terms", lake, "1", "--width", "4", "--min", "2")
+    assert(hh.contains("n=2 gram="), hh)
   }
 
   test("keep-open WITHOUT --compile: close → compile finishes uncompiled + runs planned check") {
