@@ -667,19 +667,17 @@ object Cli {
       // documents (bounded freq_items sketch — the q_heavy_terms
       // engine). --width N span width (default 3), --min N reporting
       // threshold (default 5), --top N display cap (default 20).
-      def intFlag(name: String, dflt: Int, lo: Int): (Int, List[String]) = {
-        val v = flagValue(rest, name) match {
+      def intFlag(name: String, dflt: Int, lo: Int): Int =
+        flagValue(rest, name) match {
           case None => dflt
           case Some(s0) => s0.toIntOption.filter(_ >= lo).getOrElse {
             System.err.println(s"$name needs a number >= $lo, got '$s0'")
             sys.exit(2)
           }
         }
-        (v, stripFlag(rest, name))
-      }
-      val (width, _) = intFlag("--width", 3, 1)
-      val (minN, _) = intFlag("--min", 5, 1)
-      val (top, _) = intFlag("--top", 20, 1)
+      val width = intFlag("--width", 3, 1)
+      val minN = intFlag("--min", 5, 1)
+      val top = intFlag("--top", 20, 1)
       rejectStray("heavy-terms",
         stripFlag(stripFlag(stripFlag(rest, "--width"), "--min"), "--top"))
       val spark = session()
