@@ -176,7 +176,17 @@ object GraftExtensions {
         require(children.size == 2,
           s"freq_items expects exactly 2 arguments (item, capacity), got ${children.size}")
         FreqItems(children.head,
+          org.apache.spark.sql.catalyst.expressions.Literal(1L),
           intLit(children(1), "freq_items", "capacity", 1, 1 << 22, "[1, 2^22]"))
+      }),
+    (
+      FunctionIdentifier("freq_items_w"),
+      new ExpressionInfo(classOf[FreqItems].getName, "freq_items_w"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"freq_items_w expects exactly 3 arguments (item, weight, capacity), got ${children.size}")
+        FreqItems(children.head, children(1),
+          intLit(children(2), "freq_items_w", "capacity", 1, 1 << 22, "[1, 2^22]"))
       }),
     (
       FunctionIdentifier("bpe_tokens"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * purge: each purge a counter survives shrinks `est` by the purge value,
   * so the only sound per-item bound IS the global subtracted total — the
   * same reason the DataSketches frequent-items sketch carries one offset). */
-private[functions] final class FreqCtr(var est: Long)
+private[graft] final class FreqCtr(var est: Long)
 
 /** The aggregation buffer: at most `capacity` counters plus `dropped` — the
   * total value ever purge-subtracted from this buffer's counters. Invariants
@@ -27,6 +27,68 @@ private[functions] final class FreqCtr(var est: Long)
 final class FreqBuffer(
     val map: java.util.HashMap[UTF8String, FreqCtr],
     var dropped: Long)
+
+/** The buffer operations of the Misra–Gries summary, factored out of the
+  * Catalyst aggregate so DRIVER-side consumers (streaming/FreqStore's
+  * persistent sketch, which folds bounded per-batch sketches into a
+  * stored one between micro-batches) run the IDENTICAL math — one
+  * implementation, one set of invariants (see [[FreqBuffer]]), property-
+  * pinned once in FreqItemsSpec. */
+private[graft] object MisraGries {
+
+  /** Subtract `v` from every counter, removing those left <= 0, and
+    * account the subtraction in `dropped`. */
+  private def subtractAll(buf: FreqBuffer, v: Long): Unit = {
+    val it = buf.map.entrySet().iterator()
+    while (it.hasNext) {
+      val c = it.next().getValue
+      if (c.est <= v) it.remove() else c.est -= v
+    }
+    buf.dropped += v
+  }
+
+  /** The k-th smallest est value (0-indexed) of the buffer's counters. */
+  private def kthEst(buf: FreqBuffer, k: Int): Long = {
+    val counts = new Array[Long](buf.map.size)
+    var i = 0
+    val vs = buf.map.values.iterator()
+    while (vs.hasNext) { counts(i) = vs.next().est; i += 1 }
+    java.util.Arrays.sort(counts)
+    counts(k)
+  }
+
+  /** Add `weight` (> 0) observations of `key`. The key is cloned on
+    * first insert (callers may pass re-used UTF8String views). */
+  def add(buf: FreqBuffer, key: UTF8String, weight: Long, capacity: Int): Unit = {
+    val c = buf.map.get(key)
+    if (c != null) c.est += weight
+    else {
+      // purge by the lower median (>= 1 since every est >= 1): at
+      // least half the counters go, amortising the O(cap) walk
+      if (buf.map.size >= capacity)
+        subtractAll(buf, kthEst(buf, (buf.map.size - 1) / 2))
+      buf.map.put(key.clone(), new FreqCtr(weight))
+    }
+  }
+
+  /** Fold `other` into `buf` (the Agarwal et al. MG merge). `other`'s
+    * keys and counters are adopted — the caller must discard it. */
+  def merge(buf: FreqBuffer, other: FreqBuffer, capacity: Int): FreqBuffer = {
+    val it = other.map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = buf.map.get(e.getKey)
+      if (c != null) c.est += e.getValue.est
+      else buf.map.put(e.getKey, e.getValue)
+    }
+    buf.dropped += other.dropped
+    // over capacity → subtract the (capacity+1)-th largest est so only
+    // strictly-larger counters survive (<= capacity by construction)
+    if (buf.map.size > capacity)
+      subtractAll(buf, kthEst(buf, buf.map.size - 1 - capacity))
+    buf
+  }
+}
 
 /** `freq_items(item, capacity)` — mergeable bounded-memory heavy hitters
   * (frequent items) over a STRING stream: at most `capacity` counters per
@@ -54,8 +116,19 @@ final class FreqBuffer(
   * reporting at 100 TB with the SAME plan — the approx_count_distinct
   * pattern q_profile_orders documents, made per-row-verifiable.
   *
-  * Mechanics:
-  *  - update: tracked item → est += 1. New item with a full map → purge:
+  * The weighted form `freq_items_w(item, weight, capacity)` adds
+  * `weight` observations per row (weight 0 is a no-op, negative weight
+  * is a loud runtime error — negative mass has no MG semantics): the
+  * sketch-of-sketches surface. A stored summary's (item, est) rows
+  * re-aggregate with weight = est into a valid summary of the combined
+  * stream (plus the stored `dropped`s, added by the caller) — which is
+  * how streaming/FreqStore folds per-micro-batch sketches into a
+  * persistent one, and how per-day/per-source sketches would merge at
+  * 100 TB without ever re-touching the raw streams. Unweighted
+  * `freq_items(item, capacity)` is the same aggregate with weight 1.
+  *
+  * Mechanics (shared with driver-side consumers via [[MisraGries]]):
+  *  - update: tracked item → est += weight. New item with a full map → purge:
   *    subtract the lower MEDIAN of est values from every counter, drop
   *    counters <= 0 (at least half of them), `dropped` += median — then
   *    insert the arrival with est = 1. The median batch purge makes the
@@ -89,72 +162,38 @@ final class FreqBuffer(
   * codegen and pays buffer ser/de at the shuffle — bounded here by
   * capacity, which is the point of the exercise. */
 case class FreqItems(
-    child: Expression,
+    left: Expression,  // item
+    right: Expression, // weight (BIGINT; the unweighted form passes 1L)
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[FreqBuffer] with UnaryLike[Expression] {
+    extends TypedImperativeAggregate[FreqBuffer] with BinaryLike[Expression] {
 
   require(capacity >= 1, s"freq_items capacity must be >= 1, got $capacity")
 
   override def createAggregationBuffer(): FreqBuffer =
     new FreqBuffer(new java.util.HashMap[UTF8String, FreqCtr](), 0L)
 
-  /** Subtract `v` from every counter, removing those left <= 0, and
-    * account the subtraction in `dropped`. */
-  private def subtractAll(buf: FreqBuffer, v: Long): Unit = {
-    val it = buf.map.entrySet().iterator()
-    while (it.hasNext) {
-      val c = it.next().getValue
-      if (c.est <= v) it.remove() else c.est -= v
-    }
-    buf.dropped += v
-  }
-
-  /** The k-th smallest est value (0-indexed) of the buffer's counters. */
-  private def kthEst(buf: FreqBuffer, k: Int): Long = {
-    val counts = new Array[Long](buf.map.size)
-    var i = 0
-    val vs = buf.map.values.iterator()
-    while (vs.hasNext) { counts(i) = vs.next().est; i += 1 }
-    java.util.Arrays.sort(counts)
-    counts(k)
-  }
-
   override def update(buf: FreqBuffer, input: InternalRow): FreqBuffer = {
-    val v = child.eval(input)
+    val v = left.eval(input)
     if (v != null) {
-      val key = v.asInstanceOf[UTF8String]
-      val c = buf.map.get(key)
-      if (c != null) c.est += 1
-      else {
-        // purge by the lower median (>= 1 since every est >= 1): at
-        // least half the counters go, amortising the O(cap) walk
-        if (buf.map.size >= capacity)
-          subtractAll(buf, kthEst(buf, (buf.map.size - 1) / 2))
-        buf.map.put(key.clone(), new FreqCtr(1L))
+      val w = right.eval(input)
+      if (w != null) {
+        val weight = w.asInstanceOf[Long]
+        // negative mass has no MG semantics (it breaks est <= true);
+        // loud failure beats a silently-wrong sketch. Zero is a no-op.
+        if (weight < 0)
+          throw new IllegalArgumentException(
+            s"freq_items weight must be >= 0, got $weight")
+        if (weight > 0)
+          MisraGries.add(buf, v.asInstanceOf[UTF8String], weight, capacity)
       }
     }
     buf
   }
 
-  override def merge(buf: FreqBuffer, other: FreqBuffer): FreqBuffer = {
-    val it = other.map.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val c = buf.map.get(e.getKey)
-      if (c != null) c.est += e.getValue.est
-      // other's keys are exclusively ours after a merge (the other buffer
-      // is deserialized-fresh or discarded) — adopt without another copy
-      else buf.map.put(e.getKey, e.getValue)
-    }
-    buf.dropped += other.dropped
-    // over capacity → subtract the (capacity+1)-th largest est so only
-    // strictly-larger counters survive (<= capacity by construction)
-    if (buf.map.size > capacity)
-      subtractAll(buf, kthEst(buf, buf.map.size - 1 - capacity))
-    buf
-  }
+  override def merge(buf: FreqBuffer, other: FreqBuffer): FreqBuffer =
+    MisraGries.merge(buf, other, capacity)
 
   private object BestFirst extends java.util.Comparator[java.util.Map.Entry[UTF8String, FreqCtr]] {
     override def compare(
@@ -216,15 +255,19 @@ case class FreqItems(
   override def prettyName: String = "freq_items"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType != StringType)
+    if (left.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
-        s"freq_items item must be STRING, got ${child.dataType.sql}")
+        s"freq_items item must be STRING, got ${left.dataType.sql}")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"freq_items weight must be BIGINT, got ${right.dataType.sql}")
     else TypeCheckResult.TypeCheckSuccess
 
   override def withNewMutableAggBufferOffset(newOffset: Int): FreqItems =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): FreqItems =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): FreqItems =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FreqItems =
+    copy(left = newLeft, right = newRight)
 }

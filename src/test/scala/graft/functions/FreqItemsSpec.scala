@@ -115,6 +115,45 @@ class FreqItemsSpec extends AnyFunSuite {
     assert(got === Set(("g1", "a", 2L), ("g1", "b", 1L), ("g2", "a", 1L)))
   }
 
+  test("weighted form: exact regime equals groupBy sum(weight); zero skips; negative throws") {
+    import s.implicits._
+    GraftExtensions.ensureRegistered(s)
+    val rows = Seq(("a", 5L), ("b", 2L), ("a", 1L), ("c", 0L))
+    val got = rows.toDF("t", "w").repartition(3)
+      .selectExpr("freq_items_w(t, w, 16) AS hh")
+      .selectExpr("explode(hh) AS e").selectExpr("e.item", "e.est", "e.err")
+      .as[(String, Long, Long)].collect().toSet
+    // zero-weight c contributes nothing (and is not tracked)
+    assert(got === Set(("a", 6L, 0L), ("b", 2L, 0L)))
+    val e = intercept[Exception] {
+      Seq(("a", -1L)).toDF("t", "w")
+        .selectExpr("freq_items_w(t, w, 16)").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("sketch-of-sketches: re-aggregating (item, est) rows with weight est matches the direct sketch (exact regime)") {
+    import s.implicits._
+    GraftExtensions.ensureRegistered(s)
+    val rnd = new scala.util.Random(23)
+    val items = Seq.fill(4000)(s"t${rnd.nextInt(150)}")
+    val direct = items.toDF("t").repartition(5)
+      .selectExpr("freq_items(t, 256) AS hh")
+      .selectExpr("explode(hh) AS e").selectExpr("e.item", "e.est")
+      .as[(String, Long)].collect().toMap
+    // two half-sketches, re-aggregated weighted
+    val (h1, h2) = items.splitAt(items.size / 2)
+    def half(xs: Seq[String]) = xs.toDF("t").repartition(3)
+      .selectExpr("freq_items(t, 256) AS hh")
+      .selectExpr("explode(hh) AS e").selectExpr("e.item", "e.est")
+      .as[(String, Long)].collect().toSeq
+    val merged = (half(h1) ++ half(h2)).toDF("t", "w")
+      .selectExpr("freq_items_w(t, w, 256) AS hh")
+      .selectExpr("explode(hh) AS e").selectExpr("e.item", "e.est")
+      .as[(String, Long)].collect().toMap
+    assert(merged === direct)
+  }
+
   test("analysis-time rejection: bad item type, bad capacity") {
     import s.implicits._
     GraftExtensions.ensureRegistered(s)
