@@ -484,6 +484,57 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Trained language identification — the CLASSIFIER rung of the
+    * quality/langid ladder (q_langid is the rule-of-thumb stopword
+    * heuristic below it): a Naive-Bayes-flavoured model trained from
+    * the corpus's own labels in one pass (per-(lang, token) counts and
+    * per-lang totals — the closed-form "training" that needs no
+    * gradient loop), scored additively: a document's affinity to a
+    * language is the sum over its token positions of the MLE
+    * class-conditional frequency ctk/ct. Additive instead of
+    * multiplicative on purpose — true NB multiplies (sums logs), and
+    * log() is libm-dependent (the tf-idf/lm_score determinism rule);
+    * each ratio here is one IEEE double division of exact integers,
+    * summed through DECIMAL(38,18), argmax tie-broken lexicographically
+    * — bit-identical across engines with no rounding anywhere.
+    *
+    * Scale shape: the model is (languages × vocabulary)-bounded and
+    * BROADCAST, so the scoring scan never shuffles the corpus — the
+    * token stream joins the model map-side and pre-aggregates
+    * per (doc, candidate) with map-side combine; the per-doc argmax
+    * window partitions by doc_id over #languages rows per doc. Output
+    * is the confusion matrix against the stored labels — the readout
+    * that validates a filter model before it gates a corpus. */
+  private[graft] def langidNbOf(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Dec = DecimalType(38, 18)
+    val stream = docsIn.select(
+      col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+    val classTok = stream.groupBy(col("lang").as("cand"), col("tok"))
+      .agg(count(lit(1)).as("ctk"))
+    val classTot = stream.groupBy(col("lang").as("cand"))
+      .agg(count(lit(1)).as("ct"))
+    // classTot is one row per language — an explicit broadcast, never an
+    // estimate (the robust-join rule: estimate-based broadcasts regress
+    // to SMJ at scale)
+    val model = classTok.join(broadcast(classTot), Seq("cand"))
+      .select(col("tok"), col("cand"),
+        (col("ctk").cast(DoubleType) / col("ct").cast(DoubleType)).cast(Dec).as("p"))
+    val scored = stream
+      .join(broadcast(model), Seq("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(col("p")).as("affinity"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("affinity").desc, col("cand").asc)))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("cand"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("cand").as("predicted_lang"), col("n"))
+      .orderBy("lang", "predicted_lang")
+  }
+
   /** Temperature-resampled source mix over a (source, doc_id, text)
     * frame — the q_source_mix engine, reused by `Cli source-mix`. The
     * training-mix weights multilingual/clustered corpora train with:
@@ -756,6 +807,34 @@ object TextQueries {
                  FROM documents)
                GROUP BY lang, predicted_lang ORDER BY lang, predicted_lang"""),
       "Language-ID heuristic (stopword n-gram hits) confusion rollup vs labeled lang"),
+
+    QueryDef(
+      "q_langid_nb", Seq("J2", "A4", "W2"),
+      (s, d) => langidNbOf(Tables.documents(s, d)),
+      Some("""WITH st AS (SELECT doc_id, lang,
+                                 unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+              ctk AS (SELECT lang AS cand, tok, count(*) AS ctk
+                      FROM st GROUP BY 1, 2),
+              ct AS (SELECT lang AS cand, count(*) AS ct FROM st GROUP BY 1),
+              model AS (SELECT tok, cand,
+                               CAST(CAST(ctk AS DOUBLE) / CAST(ct AS DOUBLE)
+                                    AS DECIMAL(38,18)) AS p
+                        FROM ctk JOIN ct USING (cand)),
+              sc AS (SELECT st.doc_id, st.lang, m.cand, sum(m.p) AS affinity
+                     FROM st JOIN model m USING (tok) GROUP BY 1, 2, 3),
+              pick AS (SELECT doc_id, lang, cand,
+                              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY affinity DESC, cand ASC) AS rn
+                       FROM sc)
+              SELECT lang, cand AS predicted_lang,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM pick WHERE rn = 1
+              GROUP BY lang, cand ORDER BY lang, predicted_lang"""),
+      "Trained language-ID (Naive-Bayes-flavoured, closed-form one-pass training " +
+        "from the corpus's own labels; additive class-conditional frequencies in " +
+        "DECIMAL instead of log-products for cross-engine bit-exactness); " +
+        "vocabulary-bounded model broadcast, confusion matrix vs stored labels"),
 
     QueryDef(
       "q_fingerprint", Seq("S8", "F5", "F6"),

@@ -115,7 +115,13 @@ class ScaleShapeSpec extends AnyFunSuite {
     // adjudication, which measured 9 exchanges for the join spelling),
     // plus the vocab-bounded context agg + broadcast and the per-doc
     // rollup/sort
-    "q_lm_score" -> 14)
+    "q_lm_score" -> 14,
+    // trained langid: two vocab-bounded model aggs (map-side combined —
+    // their exchanges ship vocab x langs partials, not the stream) + the
+    // classTot and model broadcasts; the scoring scan itself never
+    // shuffles (map-side model join), then the per-(doc, cand) agg /
+    // per-doc argmax window / confusion rollup / sort
+    "q_langid_nb" -> 16)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -194,7 +200,8 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_knn_join", "q_knn_join_ivf", "q_decontaminate_bloom",
                 "q_ann_cell_layout", "q_quality_gate", "q_source_mix",
                 "q_split_leakage", "q_image_neardup", "q_profile_orders",
-                "q_heavy_terms", "q_length_quantiles", "q_lm_score"))
+                "q_heavy_terms", "q_length_quantiles", "q_lm_score",
+                "q_langid_nb"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
