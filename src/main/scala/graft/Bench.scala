@@ -79,7 +79,17 @@ object Bench {
       name -> (if (errors.contains(name)) -1.0 else best(name))
     }
     val line = renderSummaryLine(results, errors.toSeq, sfDir)
-    if (stampSf1) writeSf1Stamp("BENCH_sf1.json", sfDir, results, errors.size, cpus)
+    // both stamps refuse partial (named-query) surfaces: putObject
+    // REPLACES the section, so a single-query iteration run would wipe
+    // the committed full-surface record while re-stamping HEAD over it
+    // (r12 review — the detail stamp had this guard, the sf1 one didn't)
+    if (stampSf1) {
+      if (qArgs.isEmpty)
+        writeSf1Stamp("BENCH_sf1.json", sfDir, results, errors.size, cpus)
+      else System.err.println(
+        "[bench] REFUSING --sf1-stamp for a partial surface (named queries " +
+          "would replace the full-surface record); run without query args")
+    }
     // EVERY full-surface run additionally stamps a full-resolution local
     // artifact (r12, when the surface crossed 100 queries): the driver's
     // 2000-char tail line now renders keys through the lossless
@@ -166,6 +176,14 @@ object Bench {
     "substr" -> "sub", "collection" -> "coll", "clusters" -> "cl",
     "semantic" -> "sem", "features" -> "feat")
 
+  /** The summary line's key for a query name: q_ strip + per-segment
+    * [[keyAbbrev]]. THE one definition — the renderer and BenchLineSpec's
+    * losslessness gate both call it, so the tested mapping cannot drift
+    * from the rendered one (r12 review). */
+  private[graft] def lineKey(k: String): String =
+    k.stripPrefix("q_").split('_')
+      .map(seg => keyAbbrev.getOrElse(seg, seg)).mkString("_")
+
   /** The driver-facing JSON line, guaranteed to fit the 2000-char stdout
     * tail (see the sizing notes inline). Pure so BenchLineSpec can pin the
     * precision ladder and the omission fallback without a Spark run. */
@@ -231,9 +249,7 @@ object Bench {
     // real declared surface, so the inverse is well-defined); the
     // full-name millisecond-precision record lives in BENCH_detail.json,
     // stamped by the same run.
-    def key(k: String): String =
-      k.stripPrefix("q_").split('_')
-        .map(seg => keyAbbrev.getOrElse(seg, seg)).mkString("_")
+    def key(k: String): String = lineKey(k)
     val errJson = errors.take(5)
       .map { case (k, v) => s"\"${esc(key(k))}\":\"${esc(v.take(80))}\"" }
       .mkString("{", ",", "}")

@@ -512,8 +512,11 @@ object TextQueries {
       col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
     val classTok = stream.groupBy(col("lang").as("cand"), col("tok"))
       .agg(count(lit(1)).as("ctk"))
-    val classTot = stream.groupBy(col("lang").as("cand"))
-      .agg(count(lit(1)).as("ct"))
+    // per-language totals derive from the vocab-bounded classTok result
+    // (sum of its counts), NOT from a third corpus scan+explode — the
+    // identical one-row-per-language table at near-zero cost
+    val classTot = classTok.groupBy(col("cand"))
+      .agg(sum(col("ctk")).as("ct"))
     // classTot is one row per language — an explicit broadcast, never an
     // estimate (the robust-join rule: estimate-based broadcasts regress
     // to SMJ at scale)

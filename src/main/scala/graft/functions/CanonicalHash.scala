@@ -185,7 +185,17 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 3,
           s"freq_items_w expects exactly 3 arguments (item, weight, capacity), got ${children.size}")
-        FreqItems(children.head, children(1),
+        // widen smaller integral weights to BIGINT here (the natural SQL
+        // spelling types a literal 2 as INT); anything non-integral is
+        // left as-is for checkInputDataTypes to reject loudly
+        import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+        val weight = children(1).dataType match {
+          case ByteType | ShortType | IntegerType =>
+            org.apache.spark.sql.catalyst.expressions.Cast(
+              children(1), org.apache.spark.sql.types.LongType)
+          case _ => children(1)
+        }
+        FreqItems(children.head, weight,
           intLit(children(2), "freq_items_w", "capacity", 1, 1 << 22, "[1, 2^22]"))
       }),
     (

@@ -254,13 +254,17 @@ case class FreqItems(
   override def nullable: Boolean = false
   override def prettyName: String = "freq_items"
 
+  // STRICT item type (an implicit any→STRING cast would silently accept
+  // non-text columns); the weight is widened from smaller integral types
+  // in the SQL builder, so freq_items_w(tok, 2, …) with an INT literal
+  // works while freq_items_w(tok, 'x', …) still fails loudly
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
         s"freq_items item must be STRING, got ${left.dataType.sql}")
     else if (right.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
-        s"freq_items weight must be BIGINT, got ${right.dataType.sql}")
+        s"freq_items weight must be an integral type, got ${right.dataType.sql}")
     else TypeCheckResult.TypeCheckSuccess
 
   override def withNewMutableAggBufferOffset(newOffset: Int): FreqItems =

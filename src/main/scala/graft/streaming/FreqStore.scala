@@ -34,16 +34,24 @@ import graft.functions.{FreqBuffer, FreqCtr, GraftExtensions, MisraGries}
   *  - Exactly-once under foreachBatch replay: the stored `last_batch_id`
   *    skips re-delivered batch ids (Structured Streaming re-runs a batch
   *    with the SAME id after recovery), so counts never double.
+  *  - SINGLE-writer by design: one stream query owns a store directory
+  *    (the same ownership contract as the stream's checkpoint dir);
+  *    concurrent writers would interleave read-fold-save and lose
+  *    counts. Readers are always safe (they only ever see a fully
+  *    written document).
   *
   * Error accounting: `dropped` is the summary's total subtracted mass
   * (est <= true <= est + dropped; items with true > dropped guaranteed
   * present — see FreqItems). A batch whose own sketch purged (cardinality
   * above capacity within one batch) reports its dropped via the emitted
-  * per-row err (uniform); the fold adds it. Edge: a batch sketch whose
-  * shrink removed EVERY counter would lose its dropped (no rows to read
-  * it from) — impossible in practice at the required capacity >= 2 with
-  * non-tied counts, and the consequence is only a slightly optimistic
-  * bound, never a wrong est. */
+  * per-row err (uniform); the fold adds it. Edge (r12 review): a batch
+  * sketch whose final merge shrink removed EVERY counter (all est tied
+  * at the subtraction value — e.g. a batch of > capacity all-distinct
+  * tokens) has no row to carry its dropped; reading 0 there would
+  * UNDERSTATE the stored bound. The fold substitutes the batch's total
+  * token count instead — a sound over-bound (no item's batch mass can
+  * exceed it), so est stays a true lower bound and est + dropped a true
+  * upper bound in every case; FreqStoreSpec pins the edge. */
 object FreqStore {
 
   /** The stored summary. `items` is (term -> est), bounded by capacity. */
@@ -119,15 +127,22 @@ object FreqStore {
     if (batchId <= store.lastBatchId) return store // replayed batch: no-op
     GraftExtensions.ensureRegistered(batch.sparkSession)
     // one bounded row: array<struct<item, est, err>> + the batch dropped
+    // + the batch token total (the dropped fallback for the all-purged
+    // edge — see the class doc's error-accounting note)
     val row = batch
       .select(explode_outer(split(col(textCol), " ")).as("tok"))
-      .agg(call_function("freq_items", col("tok"), lit(capacity)).as("hh"))
+      .agg(
+        call_function("freq_items", col("tok"), lit(capacity)).as("hh"),
+        count(col("tok")).as("n_tokens"))
       .selectExpr("hh.item AS items", "hh.est AS ests",
-        "coalesce(hh.err[0], 0L) AS dropped")
+        "coalesce(hh.err[0], 0L) AS dropped", "n_tokens")
       .head()
     val items = row.getAs[scala.collection.Seq[String]]("items")
     val ests = row.getAs[scala.collection.Seq[Long]]("ests")
-    val folded = fold(store, items.toSeq.zip(ests.toSeq), row.getAs[Long]("dropped"))
+    val batchDropped =
+      if (items.isEmpty) row.getAs[Long]("n_tokens") // sound over-bound
+      else row.getAs[Long]("dropped")
+    val folded = fold(store, items.toSeq.zip(ests.toSeq), batchDropped)
       .copy(lastBatchId = batchId)
     save(dir, folded)
     folded

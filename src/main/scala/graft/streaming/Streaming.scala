@@ -164,7 +164,14 @@ object Streaming {
     * `neardupSignatures = true` additionally probes each batch's loaded
     * docs against the persistent MinHash signature store and appends
     * their signatures ([[NeardupStore]]) — near-identical re-arrivals the
-    * exact-hash dedup is blind to land in `<lake>/neardup_flag`. */
+    * exact-hash dedup is blind to land in `<lake>/neardup_flag`.
+    *
+    * `trendingTerms = true` additionally folds each batch's document
+    * token stream into the persistent `<lake>/freq_sketch` summary
+    * ([[FreqStore]]) — corpus term frequencies kept current per
+    * micro-batch, exactly-once via the sketch's stored batch id (a
+    * crash between the sketch save and the plane save replays the batch
+    * and the sketch skips it). */
   def releaseLoadStream(
       spark: SparkSession,
       landingDir: String,
@@ -174,7 +181,8 @@ object Streaming {
       plane: java.util.concurrent.atomic.AtomicReference[graft.control.Control.Plane],
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1000,
-      neardupSignatures: Boolean = false): StreamingQuery = {
+      neardupSignatures: Boolean = false,
+      trendingTerms: Boolean = false): StreamingQuery = {
     import spark.implicits._
     recoverPartialLoads(spark, lakeDir, collectionId, upgradedId, plane)
     // the binaryFile source's fixed schema, declared explicitly (streaming
@@ -199,7 +207,7 @@ object Streaming {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // collect(): file ARRIVALS are control-plane-sized (paths, not data)
         val arrived = batch.select("path").as[String].collect().toSeq.sorted
         var p = plane.get()
@@ -225,16 +233,24 @@ object Streaming {
           // duplicate-tolerant — readers distinct) rather than silently
           // losable. Batch-internal pairs are the batch engine's job at
           // compile/report time, not the per-arrival probe's.
-          if (neardupSignatures) {
+          if (neardupSignatures || trendingTerms) {
             graft.Pipeline
               .collectionDocsOf(spark, lakeDir, p.collection(collectionId), Some(fresh))
               .foreach { docs =>
-                val flags = NeardupStore
-                  .probeBatch(spark, lakeDir, docs)
-                  .withColumn("collection_id",
-                    org.apache.spark.sql.functions.lit(collectionId))
-                flags.write.mode("append").parquet(s"$lakeDir/neardup_flag")
-                NeardupStore.append(lakeDir, docs)
+                if (neardupSignatures) {
+                  val flags = NeardupStore
+                    .probeBatch(spark, lakeDir, docs)
+                    .withColumn("collection_id",
+                      org.apache.spark.sql.functions.lit(collectionId))
+                  flags.write.mode("append").parquet(s"$lakeDir/neardup_flag")
+                  NeardupStore.append(lakeDir, docs)
+                }
+                // trending terms: the distributed per-batch sketch folds
+                // into <lake>/freq_sketch; the stored batch id makes it
+                // exactly-once even though it runs before the plane save
+                if (trendingTerms)
+                  FreqStore.appendBatch(
+                    s"$lakeDir/freq_sketch", docs, "text", batchId)
               }
           }
         }

@@ -34,6 +34,8 @@ object AbFreqBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val passes = args.lift(1).flatMap(_.toIntOption).getOrElse(4)
+    require(passes >= 1,
+      s"passes must be >= 1 (pass 0 is warm-up only), got $passes")
     val spark = SparkSession.builder()
       .withExtensions(graft.functions.GraftExtensions.install)
       .master("local[32]")

@@ -122,9 +122,7 @@ class BenchLineSpec extends AnyFunSuite {
     // merge in the driver artifact. A new query whose abbreviated name
     // collides fails here, at build time.
     val names = SparkEntry.queries.keys.toSeq
-    def key(k: String) = k.stripPrefix("q_").split('_')
-      .map(s => Bench.keyAbbrev.getOrElse(s, s)).mkString("_")
-    val compressed = names.map(key)
+    val compressed = names.map(Bench.lineKey) // THE renderer's own mapping
     assert(compressed.distinct.size === names.size,
       s"abbreviated keys collide: ${compressed.diff(compressed.distinct).distinct}")
     // spot-pin the published table through the real renderer

@@ -116,12 +116,14 @@ class ScaleShapeSpec extends AnyFunSuite {
     // plus the vocab-bounded context agg + broadcast and the per-doc
     // rollup/sort
     "q_lm_score" -> 14,
-    // trained langid: two vocab-bounded model aggs (map-side combined —
-    // their exchanges ship vocab x langs partials, not the stream) + the
-    // classTot and model broadcasts; the scoring scan itself never
-    // shuffles (map-side model join), then the per-(doc, cand) agg /
-    // per-doc argmax window / confusion rollup / sort
-    "q_langid_nb" -> 16)
+    // trained langid: classTot derives from classTok (saves a third
+    // corpus scan+explode), so the vocab-bounded classTok subtree plans
+    // TWICE (its exchange ships vocab x langs partials either way, and
+    // identical exchanges dedup at runtime via AQE reuse) + the classTot
+    // and model broadcasts; the scoring scan itself never shuffles
+    // (map-side model join), then the per-(doc, cand) agg / per-doc
+    // argmax window / confusion rollup / sort
+    "q_langid_nb" -> 18)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString

@@ -125,6 +125,13 @@ class FreqItemsSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect().toSet
     // zero-weight c contributes nothing (and is not tracked)
     assert(got === Set(("a", 6L, 0L), ("b", 2L, 0L)))
+    // the natural SQL spelling with an INT literal weight works (the
+    // builder widens integral weights to BIGINT — r12 review)
+    val lit2 = Seq("x", "x").toDF("t")
+      .selectExpr("freq_items_w(t, 2, 8) AS hh")
+      .selectExpr("explode(hh) AS e").selectExpr("e.est")
+      .as[Long].collect()
+    assert(lit2 === Array(4L))
     val e = intercept[Exception] {
       Seq(("a", -1L)).toDF("t", "w")
         .selectExpr("freq_items_w(t, w, 16)").collect()

@@ -76,6 +76,26 @@ class FreqStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("all-purged batch edge: an all-distinct over-capacity batch still folds a sound bound") {
+    // > capacity distinct singleton tokens: every partial counter ties
+    // at est=1, the final merge's shrink subtracts 1 and removes ALL
+    // counters — the batch sketch is an EMPTY array whose dropped mass
+    // has no row to ride on. Reading it as 0 would understate the
+    // stored bound (r12 review); the fold substitutes the batch token
+    // total, a sound over-bound.
+    val dir = tmpDir()
+    val toks = (1 to 40).map(i => s"u$i").mkString(" ")
+    val sk = FreqStore.appendBatch(dir, docs(toks), "text", batchId = 0L, capacity = 8)
+    // whatever survived, every bound must hold vs the truth (each tok once)
+    sk.items.foreach { case (k, est) =>
+      assert(est <= 1L && 1L <= est + sk.dropped, s"$k bounds")
+    }
+    // the sound over-bound: any untracked token's true count (1) must be
+    // <= dropped, so dropped >= 1 — and with the empty-sketch fallback it
+    // is the batch token total when everything purged
+    assert(sk.dropped >= 1L, s"dropped ${sk.dropped} understates the subtracted mass")
+  }
+
   test("foreachBatch end-to-end: a MemoryStream keeps the sketch current across micro-batches") {
     import s.implicits._
     val dir = tmpDir()
@@ -96,6 +116,43 @@ class FreqStoreSpec extends AnyFunSuite {
       assert(sk.items === Map("x" -> 2L, "y" -> 2L, "z" -> 1L))
       assert(sk.lastBatchId === 1L)
     } finally q.stop()
+  }
+
+  test("releaseLoadStream with trendingTerms keeps <lake>/freq_sketch current and replay-safe") {
+    val baseDir = Files.createTempDirectory("graft-freqstream")
+    val landing = Files.createDirectories(baseDir.resolve("landing"))
+    val lake = Files.createDirectories(baseDir.resolve("lake")).toString
+    val ckpt = baseDir.resolve("ckpt").toString
+    val plane = new java.util.concurrent.atomic.AtomicReference(
+      graft.control.Control.Plane(Map(
+        71L -> graft.control.Control.Collection(71L, "api", "2020-01-01 00:00:00"))))
+    def pkg(rid: String, desc: String): String =
+      s"""{"uri": "http://x/$rid", "version": "1.1", "publisher": {"name": "P"},
+         | "publishedDate": "2020-01-01T00:00:00Z",
+         | "releases": [{"ocid": "ocds-ft1", "id": "$rid",
+         |   "date": "2020-01-01T00:00:00Z", "tag": ["tender"],
+         |   "initiationType": "tender", "description": "$desc"}]}""".stripMargin
+    def runOnce(): Unit =
+      Streaming.releaseLoadStream(s, landing.toString, lake, 71L, None, plane,
+        ckpt, trendingTerms = true).awaitTermination()
+
+    Files.writeString(landing.resolve("a.json"), pkg("r1", "alpha beta alpha"))
+    runOnce()
+    val sk1 = FreqStore.load(s"$lake/freq_sketch").get
+    // the doc text is the whole canonicalized package — pin the marker
+    // terms rather than the envelope noise
+    assert(sk1.items.get("alpha").contains(2L) && sk1.items.get("beta").contains(1L), sk1.items)
+    Files.writeString(landing.resolve("b.json"), pkg("r2", "beta gamma"))
+    runOnce()
+    val sk2 = FreqStore.load(s"$lake/freq_sketch").get
+    assert(sk2.items.get("alpha").contains(2L), sk2.items)
+    assert(sk2.items.get("beta").contains(2L), sk2.items)
+    assert(sk2.items.get("gamma").contains(1L), sk2.items)
+    // lost-checkpoint replay: files already registered → fresh is empty,
+    // the sketch must not double-count
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    runOnce()
+    assert(FreqStore.load(s"$lake/freq_sketch").get.items === sk2.items)
   }
 
   test("driver fold equals the aggregate's own merge in the exact regime") {
