@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property/edge referees for the r12 corpus-analysis additions, beyond
+  * their single-SF DuckDB oracles: rank-quantiles vs a brute-force
+  * percentile, LM-score structural invariants, separable-corpus
+  * classification, and heavy-terms vs the exact groupBy at random
+  * widths. These run on small random frames so they cover shapes the
+  * fixed testdata never produces (ties, single-token docs, disjoint
+  * vocabularies). */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val s = SparkSuite.spark
+
+  private def docsDF(rows: Seq[(Long, String, String)]): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("length quantiles match a brute-force rank percentile, ties and tiny groups included") {
+    val rnd = new scala.util.Random(31)
+    // sources with 1, 2, and ~40 docs; many tied lengths
+    val rows = (1L to 43L).map { i =>
+      val src = if (i == 1) "one" else if (i <= 3) "two" else "many"
+      val len = 1 + rnd.nextInt(6)
+      (i, src, Seq.fill(len)("w").mkString(" "))
+    }
+    val got = TextQueries.lengthQuantilesOf(docsDF(rows)).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("p50_tokens"),
+          r.getAs[Long]("p90_tokens"), r.getAs[Long]("p99_tokens"),
+          r.getAs[Long]("max_tokens"))).toMap
+    def brute(src: String): (Long, Long, Long, Long, Long) = {
+      // sort by (len, doc_id) — the engine's tie order; the value at rank
+      // ceil(p*n/100) is the rank percentile
+      val lens = rows.filter(_._2 == src).sortBy(r => (r._3.split(" ").length, r._1))
+        .map(_._3.split(" ").length.toLong)
+      val n = lens.size
+      def at(p: Int) = lens(((n * p + 99) / 100 - 1).toInt)
+      (n.toLong, at(50), at(90), at(99), lens.max)
+    }
+    Seq("one", "two", "many").foreach { src =>
+      assert(got(src) === brute(src), s"source $src")
+    }
+  }
+
+  test("lm score invariants: surprisal >= 1, all-novel doc, n_bigrams = len - 1") {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val rows = Seq(
+      (1L, "s", "a b a b a"),   // repeated bigrams
+      (2L, "s", "x y z"),       // bigrams unique corpus-wide
+      (3L, "s", "a b c"),       // shares "a b" with doc 1
+      (4L, "s", "solo"))        // single token: filtered out entirely
+    val got = TextQueries.lmScoreOf(docsDF(rows)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("surprisal"))).toMap
+    assert(!got.contains(4L)) // < 2 tokens: no bigram positions
+    assert(got(1L)._1 === 4L && got(2L)._1 === 2L && got(3L)._1 === 2L)
+    // context count >= bigram count, so every ratio and mean is >= 1
+    got.values.foreach { case (_, _, sc) => assert(sc >= 1.0) }
+    // doc 2's bigrams occur once each corpus-wide
+    assert(got(2L)._2 === 2L)
+    // doc 1: "a b" x2 (+1 in doc 3) and "b a" x2 — nothing novel
+    assert(got(1L)._2 === 0L)
+  }
+
+  test("trained langid is diagonal on a separable corpus and ties break lexicographically") {
+    import s.implicits._
+    val rows = Seq(
+      (1L, "aa", "foo bar foo"), (2L, "aa", "bar foo bar"),
+      (3L, "bb", "qux quux qux"), (4L, "bb", "quux qux quux"))
+    val got = rows.map { case (id, lang, text) => (id, lang, "src", text) }
+      .toDF("doc_id", "lang", "source", "text")
+    val confusion = TextQueries.langidNbOf(got.select("doc_id", "lang", "text"))
+      .as[(String, String, Long)].collect().toSet
+    // disjoint vocabularies: perfectly diagonal
+    assert(confusion === Set(("aa", "aa", 2L), ("bb", "bb", 2L)))
+  }
+
+  test("heavy terms equal the exact groupBy at random widths (exact regime)") {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val rnd = new scala.util.Random(41)
+    val rows = (1L to 50L).map { i =>
+      (i, "s", Seq.fill(3 + rnd.nextInt(10))(s"t${rnd.nextInt(7)}").mkString(" "))
+    }
+    for (w <- Seq(1, 2, 4)) {
+      val got = TextQueries.heavyTermsOf(docsDF(rows), width = w, minCount = 2L)
+        .collect().map(r => r.getAs[String]("gram") -> r.getAs[Long]("n")).toMap
+      val truth = rows.flatMap { case (_, _, text) =>
+        val t = text.split(" ")
+        if (t.length < w) Nil else t.sliding(w).map(_.mkString(" ")).toSeq
+      }.groupBy(identity).collect { case (g, occ) if occ.size >= 2 => g -> occ.size.toLong }
+      assert(got === truth.toMap, s"width $w")
+    }
+  }
+}
