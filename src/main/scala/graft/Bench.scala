@@ -164,10 +164,13 @@ object Bench {
     * at 100 queries): names dominate the 2000-char window — ~13.5 chars
     * average against ~1930 chars of budget — and the value ladder has no
     * headroom left at its all-integer floor. Applied per '_'-delimited
-    * segment, so the mapping is positionally unambiguous; BenchLineSpec
-    * asserts the compressed keys remain pairwise distinct over the REAL
-    * declared surface (collision = build failure, not silent merge).
-    * Reading a tail line: expand each segment below, prepend "q_". */
+    * segment; BenchLineSpec asserts BOTH that the compressed keys remain
+    * pairwise distinct over the REAL declared surface (collision = build
+    * failure, not silent merge) AND that no declared name contains a
+    * segment equal to an abbreviation OUTPUT — so naive per-segment
+    * expansion is unambiguous, which distinctness alone wouldn't give
+    * (r12 advice). Reading a tail line: expand each segment below,
+    * prepend "q_". */
   private[graft] val keyAbbrev: Map[String, String] = Map(
     "multiprobe" -> "mp", "kmeans" -> "km", "neardup" -> "nd",
     "embedding" -> "emb", "sequences" -> "seqs", "quantiles" -> "qtl",

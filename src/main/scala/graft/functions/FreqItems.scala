@@ -131,7 +131,8 @@ private[graft] object MisraGries {
   *  - update: tracked item → est += weight. New item with a full map → purge:
   *    subtract the lower MEDIAN of est values from every counter, drop
   *    counters <= 0 (at least half of them), `dropped` += median — then
-  *    insert the arrival with est = 1. The median batch purge makes the
+  *    insert the arrival with est = weight (1 in the unweighted form). The
+  *    median batch purge makes the
   *    worst case O(1) amortised map operations per row where the textbook
   *    decrement-all-by-1 is O(capacity) per miss. Bound bookkeeping: a
   *    purge lowers every surviving est by the median while raising

@@ -33,7 +33,22 @@ import graft.functions.{FreqBuffer, FreqCtr, GraftExtensions, MisraGries}
   *    leaves the previous sketch intact.
   *  - Exactly-once under foreachBatch replay: the stored `last_batch_id`
   *    skips re-delivered batch ids (Structured Streaming re-runs a batch
-  *    with the SAME id after recovery), so counts never double.
+  *    with the SAME id after recovery), so counts never double. Batch ids
+  *    are only comparable WITHIN one checkpoint lineage — they restart at
+  *    0 when a stream's checkpoint dir is deleted/recreated — so the
+  *    watermark is stored next to a `lineage` marker (the streaming
+  *    query's persisted id: stable across restarts of the same
+  *    checkpoint, new when the checkpoint is reset; see
+  *    [[Streaming.streamLineage]]). A batch arriving under a DIFFERENT
+  *    lineage resets the watermark and folds — a genuinely new file
+  *    landing as batch 0 after a checkpoint reset is counted, not
+  *    silently dropped (r12 advice). Caveat: across a lineage reset the
+  *    sketch itself is at-least-once — if the new stream re-delivers
+  *    documents the old lineage already counted, they fold again. In the
+  *    composed pipeline ([[Streaming.releaseLoadStream]]) that cannot
+  *    happen: the control plane's registered-file guard (which survives
+  *    checkpoint resets) drops already-loaded files before they reach
+  *    this store. Standalone callers own that guarantee themselves.
   *  - SINGLE-writer by design: one stream query owns a store directory
   *    (the same ownership contract as the stream's checkpoint dir);
   *    concurrent writers would interleave read-fold-save and lose
@@ -54,9 +69,12 @@ import graft.functions.{FreqBuffer, FreqCtr, GraftExtensions, MisraGries}
   * upper bound in every case; FreqStoreSpec pins the edge. */
 object FreqStore {
 
-  /** The stored summary. `items` is (term -> est), bounded by capacity. */
+  /** The stored summary. `items` is (term -> est), bounded by capacity.
+    * `lineage` scopes `lastBatchId` to one checkpoint lineage (None =
+    * legacy store written before the marker existed). */
   final case class Sketch(
-      capacity: Int, dropped: Long, lastBatchId: Long, items: Map[String, Long])
+      capacity: Int, dropped: Long, lastBatchId: Long, items: Map[String, Long],
+      lineage: Option[String] = None)
 
   private def path(dir: String): Path = Paths.get(dir, "_freq_sketch.json")
 
@@ -70,7 +88,8 @@ object FreqStore {
         .map(e => e.getKey -> e.getValue.asLong()).toMap
       Some(Sketch(
         root.get("capacity").asInt(), root.get("dropped").asLong(),
-        root.get("last_batch_id").asLong(), items))
+        root.get("last_batch_id").asLong(), items,
+        Option(root.get("lineage")).filterNot(_.isNull).map(_.asText())))
     }
   }
 
@@ -80,6 +99,7 @@ object FreqStore {
     root.put("capacity", s.capacity)
     root.put("dropped", s.dropped)
     root.put("last_batch_id", s.lastBatchId)
+    s.lineage.foreach(root.put("lineage", _))
     val items = root.putObject("items")
     // deterministic order (est desc, term asc) so the file is diffable
     s.items.toSeq.sortBy { case (k, v) => (-v, k) }
@@ -110,21 +130,34 @@ object FreqStore {
     }
     MisraGries.merge(buf, other, store.capacity)
     Sketch(store.capacity, buf.dropped, store.lastBatchId,
-      buf.map.entrySet().asScala.map(e => e.getKey.toString -> e.getValue.est).toMap)
+      buf.map.entrySet().asScala.map(e => e.getKey.toString -> e.getValue.est).toMap,
+      store.lineage)
   }
 
   /** Fold one micro-batch of documents into the stored sketch. `col` is
     * a STRING column of `batch` whose per-row value tokenizes by space
     * (the house token rule); each token counts once. Returns the updated
-    * sketch (or the stored one unchanged on a replayed batch id). */
+    * sketch (or the stored one unchanged on a replayed batch id).
+    *
+    * `lineage` scopes the replay guard: pass the stream's persisted
+    * query id ([[Streaming.streamLineage]]) so batch ids from a RESET
+    * checkpoint (which restart at 0) reset the stored watermark instead
+    * of being mistaken for replays of the old lineage's batches. A
+    * legacy store with no stored lineage keeps the plain batch-id guard
+    * until its first successful fold adopts the marker. */
   def appendBatch(
       dir: String, batch: DataFrame, textCol: String,
-      batchId: Long, capacity: Int = 1 << 16): Sketch = {
+      batchId: Long, capacity: Int = 1 << 16,
+      lineage: String = "adhoc"): Sketch = {
     val store = load(dir).getOrElse(Sketch(capacity, 0L, -1L, Map.empty))
     require(store.capacity == capacity,
       s"stored sketch capacity ${store.capacity} != requested $capacity " +
         "(a capacity change needs a new store directory)")
-    if (batchId <= store.lastBatchId) return store // replayed batch: no-op
+    // replay guard, valid only within one lineage: a stored marker that
+    // DIFFERS from the caller's means the checkpoint was reset and batch
+    // ids restarted — fold regardless of the old watermark
+    val sameLineage = store.lineage.forall(_ == lineage)
+    if (sameLineage && batchId <= store.lastBatchId) return store // replayed batch: no-op
     GraftExtensions.ensureRegistered(batch.sparkSession)
     // one bounded row: array<struct<item, est, err>> + the batch dropped
     // + the batch token total (the dropped fallback for the all-purged
@@ -143,7 +176,7 @@ object FreqStore {
       if (items.isEmpty) row.getAs[Long]("n_tokens") // sound over-bound
       else row.getAs[Long]("dropped")
     val folded = fold(store, items.toSeq.zip(ests.toSeq), batchDropped)
-      .copy(lastBatchId = batchId)
+      .copy(lastBatchId = batchId, lineage = Some(lineage))
     save(dir, folded)
     folded
   }

@@ -250,7 +250,8 @@ object Streaming {
                 // exactly-once even though it runs before the plane save
                 if (trendingTerms)
                   FreqStore.appendBatch(
-                    s"$lakeDir/freq_sketch", docs, "text", batchId)
+                    s"$lakeDir/freq_sketch", docs, "text", batchId,
+                    lineage = streamLineage(checkpointDir))
               }
           }
         }
@@ -332,6 +333,25 @@ object Streaming {
     * file. */
   private def pathKey(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** Checkpoint-lineage marker for per-batch exactly-once guards
+    * ([[FreqStore.appendBatch]]): the streaming query's persisted id from
+    * `<checkpointDir>/metadata` — stable across restarts of the SAME
+    * checkpoint (so replayed batch ids still dedupe) but NEW when the
+    * checkpoint dir is deleted/recreated (so a fresh lineage's batch 0 is
+    * not mistaken for a replay of the old lineage's). The metadata file
+    * exists by the time any foreachBatch body runs; the checkpoint path
+    * itself is the (weaker) fallback for a nonstandard layout. */
+  private[streaming] def streamLineage(checkpointDir: String): String = {
+    val meta = java.nio.file.Paths.get(
+      new org.apache.hadoop.fs.Path(checkpointDir).toUri.getPath, "metadata")
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(meta))
+      Option(root.get("id")).filterNot(_.isNull).map(_.asText())
+        .getOrElse(checkpointDir)
+    } catch { case _: java.io.IOException => checkpointDir }
+  }
 
   private def purgeByFilename(
       spark: SparkSession, path: String, cids: Seq[Long], files: Set[String]): Unit = {

@@ -125,6 +125,15 @@ class BenchLineSpec extends AnyFunSuite {
     val compressed = names.map(Bench.lineKey) // THE renderer's own mapping
     assert(compressed.distinct.size === names.size,
       s"abbreviated keys collide: ${compressed.diff(compressed.distinct).distinct}")
+    // pairwise distinctness alone doesn't make naive per-segment EXPANSION
+    // unambiguous: a declared name containing a literal segment equal to
+    // an abbreviation OUTPUT (e.g. a future "q_mm_stats") would stay
+    // distinct yet decode wrongly (r12 advice). Forbid the overlap.
+    val abbrevOutputs = Bench.keyAbbrev.values.toSet
+    val ambiguous = names.flatMap(n =>
+      n.stripPrefix("q_").split('_').filter(abbrevOutputs).map(seg => s"$n:$seg"))
+    assert(ambiguous.isEmpty,
+      s"query-name segments shadow abbreviation outputs (decode ambiguity): $ambiguous")
     // spot-pin the published table through the real renderer
     val line = Bench.renderSummaryLine(
       Seq("q_ann_ivf_kmeans_multiprobe" -> 1.0, "q_neardup_lsh" -> 2.0),

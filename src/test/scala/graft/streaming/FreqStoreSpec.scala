@@ -96,6 +96,57 @@ class FreqStoreSpec extends AnyFunSuite {
     assert(sk.dropped >= 1L, s"dropped ${sk.dropped} understates the subtracted mass")
   }
 
+  test("lineage reset: a new lineage's batch 0 folds instead of being dropped as a replay") {
+    // the r12-advice scenario in unit form: lineage "run-a" advances the
+    // watermark to 1; a checkpoint reset restarts batch ids at 0 under a
+    // NEW lineage — the old guard (batchId <= lastBatchId) would silently
+    // drop the fresh batch
+    val dir = tmpDir()
+    FreqStore.appendBatch(dir, docs("a a"), "text", batchId = 0L, capacity = 64, lineage = "run-a")
+    FreqStore.appendBatch(dir, docs("b"), "text", batchId = 1L, capacity = 64, lineage = "run-a")
+    val sk = FreqStore.appendBatch(dir, docs("c c"), "text", batchId = 0L, capacity = 64, lineage = "run-b")
+    assert(sk.items === Map("a" -> 2L, "b" -> 1L, "c" -> 2L))
+    assert(sk.lineage === Some("run-b") && sk.lastBatchId === 0L)
+    // and the guard re-arms within the NEW lineage: replaying ITS batch 0
+    // is a no-op again
+    val sk2 = FreqStore.appendBatch(dir, docs("c c"), "text", batchId = 0L, capacity = 64, lineage = "run-b")
+    assert(sk2.items === sk.items && sk2.dropped === sk.dropped)
+  }
+
+  test("checkpoint reset + genuinely new file: the stream counts it (not a silent drop)") {
+    // end-to-end form of the same advice: after sk2 the checkpoint dir is
+    // deleted AND a new file lands; the restarted stream delivers it as
+    // batch 0 — under the lineage-scoped guard its tokens must fold
+    val baseDir = Files.createTempDirectory("graft-freqlineage")
+    val landing = Files.createDirectories(baseDir.resolve("landing"))
+    val lake = Files.createDirectories(baseDir.resolve("lake")).toString
+    val ckpt = baseDir.resolve("ckpt").toString
+    val plane = new java.util.concurrent.atomic.AtomicReference(
+      graft.control.Control.Plane(Map(
+        72L -> graft.control.Control.Collection(72L, "api", "2020-01-01 00:00:00"))))
+    def pkg(rid: String, desc: String): String =
+      s"""{"uri": "http://x/$rid", "version": "1.1", "publisher": {"name": "P"},
+         | "publishedDate": "2020-01-01T00:00:00Z",
+         | "releases": [{"ocid": "ocds-ft2", "id": "$rid",
+         |   "date": "2020-01-01T00:00:00Z", "tag": ["tender"],
+         |   "initiationType": "tender", "description": "$desc"}]}""".stripMargin
+    def runOnce(): Unit =
+      Streaming.releaseLoadStream(s, landing.toString, lake, 72L, None, plane,
+        ckpt, trendingTerms = true).awaitTermination()
+
+    Files.writeString(landing.resolve("a.json"), pkg("r1", "delta delta"))
+    runOnce()
+    assert(FreqStore.load(s"$lake/freq_sketch").get.items.get("delta").contains(2L))
+    // reset the checkpoint, land a NEW file: it arrives as batch 0 again
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    Files.writeString(landing.resolve("b.json"), pkg("r2", "epsilon"))
+    runOnce()
+    val sk = FreqStore.load(s"$lake/freq_sketch").get
+    assert(sk.items.get("delta").contains(2L), sk.items)
+    assert(sk.items.get("epsilon").contains(1L),
+      s"new-lineage batch silently dropped: ${sk.items}")
+  }
+
   test("foreachBatch end-to-end: a MemoryStream keeps the sketch current across micro-batches") {
     import s.implicits._
     val dir = tmpDir()
