@@ -177,7 +177,15 @@ object Bench {
     "decontaminate" -> "decon", "multimodal" -> "mm",
     "bruteforce" -> "bf", "prototypes" -> "proto", "keepfirst" -> "kf",
     "substr" -> "sub", "collection" -> "coll", "clusters" -> "cl",
-    "semantic" -> "sem", "features" -> "feat")
+    "semantic" -> "sem", "features" -> "feat",
+    // r13, at 108 queries (the capacity gate tripped at the r13 adds):
+    "compile" -> "cmp", "distinct" -> "dst", "dedup" -> "dd",
+    "source" -> "src", "records" -> "rec", "quality" -> "qual",
+    "incremental" -> "inc", "fingerprint" -> "fp", "stratified" -> "strat",
+    "sessionize" -> "sess", "extensions" -> "ext", "divergence" -> "div",
+    "join" -> "jn", "versioned" -> "ver", "survivors" -> "sur",
+    "broadcast" -> "bc", "window" -> "win", "token" -> "tok",
+    "langid" -> "lid", "check" -> "chk", "ingest" -> "ing")
 
   /** The summary line's key for a query name: q_ strip + per-segment
     * [[keyAbbrev]]. THE one definition — the renderer and BenchLineSpec's

@@ -108,6 +108,119 @@ object EventQueries {
       "Gap-based sessionization (lag + running flag-sum) — streaming-state pattern in batch form"),
 
     QueryDef(
+      "q_asof_join", Seq("W1", "J1", "P2"),
+      (s, d) => {
+        // AS-OF join — the time-series operator Spark lacks natively
+        // (brief §custom-operators), re-expressed by COMPOSITION instead
+        // of a custom SparkPlan: each purchase attributed to the same
+        // user's most recent STRICTLY-EARLIER click. The naive spelling
+        // is an inequality join (click.ts < purchase.ts) + a per-purchase
+        // argmax — a range join Catalyst can only nested-loop, quadratic
+        // per user. The union-window spelling is the scalable one: filter
+        // both event roles in ONE scan, shuffle ONCE on user_id, sort
+        // within partition by time, and carry the last click forward with
+        // an ignoreNulls last() over rows (unbounded, -1) — the strict
+        // "-1" upper bound encodes the strictly-before contract
+        // positionally, no timestamp comparison at all ((user_id, ts) is
+        // unique in this stream; event_id breaks any future tie
+        // deterministically). Purchases with no prior click survive with
+        // NULL attribution (the LEFT as-of contract). At 100 TB: one
+        // exchange of the role-filtered stream, per-user state is one
+        // row, skew-bounded by the busiest user's events — the same
+        // shape the sessionizer runs. The oracle is DuckDB's NATIVE
+        // ASOF LEFT JOIN — an independent engine's implementation of the
+        // same semantics, not a re-spelling of this plan.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isClick = col("event_type") === "click"
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "click"))
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+          .withColumn("click_event_id",
+            last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("click_ts_us",
+            last(when(isClick, col("ts_us")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("event_id").as("purchase_id"),
+            col("user_id"),
+            col("ts_us").as("purchase_ts_us"),
+            col("click_event_id"),
+            (col("ts_us") - col("click_ts_us")).as("gap_us"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'),
+              c AS (
+                SELECT event_id AS click_event_id, user_id, ts AS cts
+                FROM events WHERE event_type = 'click')
+              SELECT p.event_id AS purchase_id, p.user_id,
+                     epoch_us(p.ts) AS purchase_ts_us,
+                     c.click_event_id,
+                     epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+              FROM p ASOF LEFT JOIN c
+                ON p.user_id = c.user_id AND p.ts > c.cts
+              ORDER BY purchase_id"""),
+      "As-of join (purchase -> most recent strictly-earlier click per user) by " +
+        "composition: one role-filtered scan, one user-keyed shuffle, an " +
+        "ignoreNulls last() over a (unbounded, -1) rows frame — never the " +
+        "quadratic inequality join; oracle = DuckDB's native ASOF LEFT JOIN"),
+
+    QueryDef(
+      "q_range_join", Seq("W1", "J1", "A1"),
+      (s, d) => {
+        // RANGE join by composition, same playbook as q_asof_join: how
+        // many same-user clicks landed in the 24 hours before each
+        // error? (the band is sized to the stream's per-user cadence —
+        // ~one event per 11 h — so the readout is non-degenerate) The join spelling (events e JOIN events c ON same user
+        // AND c.ts IN (e.ts - 5min, e.ts)) is a banded inequality join —
+        // nested-loop in Catalyst, and O(per-user²) even when bucketized.
+        // The window spelling shuffles ONCE on user_id and counts clicks
+        // in a RANGE frame over the microsecond ordering — the frame
+        // bound IS the band predicate ((-24h, -1µs] relative to the
+        // current row), evaluated in sorted order per user, O(per-user
+        // events) with a sliding two-pointer inside the Spark window
+        // operator. The conditional count skips the non-click rows that
+        // ride the same frame. Range frames need ONE numeric ordering
+        // key; ts_us is already the house integer-µs column. Output
+        // keeps only the error rows; errors with a quiet preceding
+        // window report 0 (not dropped) — the readout is exactly the
+        // "recent activity before failure" ops query.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"))
+          .rangeBetween(-86400000000L, -1L)
+        Tables.events(s, d)
+          .filter(col("event_type").isin("error", "click"))
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+          .withColumn("clicks_24h",
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).over(w))
+          .filter(col("event_type") === "error")
+          .select(
+            col("event_id").as("error_id"),
+            col("user_id"),
+            col("ts_us").as("error_ts_us"),
+            coalesce(col("clicks_24h"), lit(0L)).as("clicks_24h"))
+          .orderBy("error_id")
+      },
+      Some("""WITH f AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+                FROM events WHERE event_type IN ('error', 'click'))
+              SELECT event_id AS error_id, user_id, ts_us AS error_ts_us,
+                     CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts_us
+                             RANGE BETWEEN 86400000000 PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT) AS clicks_24h
+              FROM f QUALIFY event_type = 'error'
+              ORDER BY error_id"""),
+      "Banded range join (clicks within 24 hours before each error, per user) by " +
+        "composition: one user-keyed shuffle + a conditional count over a RANGE " +
+        "frame on integer microseconds — the frame bound is the band predicate, " +
+        "never a nested-loop inequality join"),
+
+    QueryDef(
       "q_dedup_store", Seq("S8", "F5", "A2"),
       (s, d) => Tables.events(s, d)
         .groupBy(md5(col("props")).as("hash_md5"))

@@ -731,6 +731,89 @@ object TextQueries {
         "one rank sort per source, one-row-per-source output"),
 
     QueryDef(
+      "q_gopher_rules", Seq("F4", "A1", "A4"),
+      (s, d) => {
+        // the Gopher rule-based quality filter (Rae et al. 2021, Table A1)
+        // next to q_quality_gate's data-driven percentile cut: fixed
+        // per-document rules, each a pure per-row predicate folded into ONE
+        // map-side-combined per-source aggregation — no shuffle beyond the
+        // source rollup at any corpus size. Every ratio threshold is
+        // cross-multiplied into INTEGER arithmetic (alpha/nw >= 0.8 becomes
+        // alpha*5 >= nw*4) so the flags are bit-exact cross-engine — the
+        // q_quality_gate idiom; no float compare anywhere. Rules kept from
+        // the paper (word-count bounds, mean-word-length bounds, stopword
+        // floor, symbol-ratio cap, alphabetic-word floor) plus the
+        // repetition rule in token form (unique-token fraction >= 0.5, the
+        // duplicate-line analogue for single-line documents). A rule that
+        // never fires on this synthetic corpus still verifies its
+        // arithmetic against the oracle — the rollup counts its zeroes.
+        val toks = tokens(col("text"))
+        val nw = size(toks).cast(LongType)
+        // single-space tokenization invariant (the house rule): total
+        // token characters = text length minus the nw-1 separators
+        val sumLen = (length(col("text")) - (nw - 1)).cast(LongType)
+        val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
+        val stops = size(filter(toks, t => t.isin(enStop: _*))).cast(LongType)
+        val syms = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast(LongType)
+        val uniq = size(array_distinct(toks)).cast(LongType)
+        val fWords = !(nw >= 20 && nw <= 100000)
+        val fMeanLen = !(nw * 3 <= sumLen && sumLen <= nw * 10)
+        val fAlpha = !(alpha * 5 >= nw * 4)
+        val fStop = !(stops >= 2)
+        val fSymbol = !(syms * 10 < nw)
+        val fRep = !(uniq * 2 >= nw)
+        def cnt(c: Column, name: String) =
+          sum(when(c, 1L).otherwise(0L)).as(name)
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            cnt(!fWords && !fMeanLen && !fAlpha && !fStop && !fSymbol && !fRep,
+              "n_pass"),
+            cnt(fWords, "fail_words"), cnt(fMeanLen, "fail_meanlen"),
+            cnt(fAlpha, "fail_alpha"), cnt(fStop, "fail_stop"),
+            cnt(fSymbol, "fail_symbol"), cnt(fRep, "fail_rep"))
+          .orderBy("source")
+      },
+      Some(s"""WITH m AS (
+                 SELECT source,
+                        len(string_split(text, ' ')) AS nw,
+                        length(text) - (len(string_split(text, ' ')) - 1) AS sumlen,
+                        len(list_filter(string_split(text, ' '),
+                            t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+                        len(list_filter(string_split(text, ' '),
+                            t -> t IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS stops,
+                        len(regexp_extract_all(text, '#|\\.\\.\\.')) AS syms,
+                        len(list_distinct(string_split(text, ' '))) AS uniq
+                 FROM documents),
+               f AS (
+                 SELECT source,
+                        NOT (nw BETWEEN 20 AND 100000) AS f_words,
+                        NOT (nw * 3 <= sumlen AND sumlen <= nw * 10) AS f_meanlen,
+                        NOT (alpha * 5 >= nw * 4) AS f_alpha,
+                        NOT (stops >= 2) AS f_stop,
+                        NOT (syms * 10 < nw) AS f_symbol,
+                        NOT (uniq * 2 >= nw) AS f_rep
+                 FROM m)
+               SELECT source,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN NOT (f_words OR f_meanlen OR f_alpha
+                                              OR f_stop OR f_symbol OR f_rep)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                      CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+                      CAST(sum(CASE WHEN f_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_meanlen,
+                      CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+                      CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+                      CAST(sum(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+                      CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT) AS fail_rep
+               FROM f GROUP BY source ORDER BY source"""),
+      "Gopher rule-based quality filter (Rae et al. 2021): word-count, mean-word-" +
+        "length, alphabetic-word, stopword, symbol-ratio and repetition rules as " +
+        "pure per-row integer-arithmetic predicates (ratio thresholds cross-" +
+        "multiplied — no float compares), rolled up per source in one map-side-" +
+        "combined aggregation"),
+
+    QueryDef(
       "q_length_quantiles", Seq("W1", "A3", "A4"),
       (s, d) => lengthQuantilesOf(Tables.documents(s, d)),
       Some("""WITH l AS (
@@ -1684,6 +1767,152 @@ object TextQueries {
         "with the corpus, never broadcast), per-source leaky-doc + shared-gram rollup"),
 
     QueryDef(
+      "q_source_overlap", Seq("J1", "A2", "A4"),
+      (s, d) => {
+        // pairwise inter-SOURCE shingle contamination matrix — the
+        // redundancy audit a corpus build runs when deciding source
+        // weights (two mirrors of the same crawl shouldn't both get full
+        // weight) and the cross-source complement of q_split_leakage's
+        // train/holdout direction. Per source: its DISTINCT W-token
+        // shingle set; per source pair: shared distinct shingles +
+        // Jaccard. Plan: one gram-keyed shuffle for the (source, gram)
+        // distinct, then a self-join ON GRAM — per-gram fan-out is
+        // bounded by the source domain (each gram appears once per
+        // source after the distinct), so the join emits at most
+        // |sources|²/2 rows per gram and never all-pairs of documents.
+        // Per-source gram counts join back shuffle_hash (per-source
+        // rollups carry no size estimate; the scale gate's SMJ lesson).
+        // Output rows are only pairs that actually share a shingle —
+        // zero-overlap pairs carry no signal and would be |sources|²
+        // rows of zeroes at scale.
+        val W = 3
+        val toks = tokens(col("text"))
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        val grams = call_function("token_grams", toks, lit(W))
+        val g = Tables.documents(s, d)
+          .filter(size(toks) >= W)
+          .select(col("source"), explode_outer(grams).as("gram"))
+          .distinct()
+        val sizes = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
+        // self-join spelled via two aliases on the same distinct frame —
+        // AQE reuses the one gram-keyed exchange for both sides
+        val a = g.select(col("source").as("source_a"), col("gram"))
+        val b = g.select(col("source").as("source_b"), col("gram"))
+        a.join(b.hint("shuffle_hash"), Seq("gram"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("shared_grams"))
+          .join(sizes.select(col("source").as("source_a"), col("n_grams").as("grams_a"))
+            .hint("shuffle_hash"), Seq("source_a"))
+          .join(sizes.select(col("source").as("source_b"), col("n_grams").as("grams_b"))
+            .hint("shuffle_hash"), Seq("source_b"))
+          .select(col("source_a"), col("source_b"),
+            col("grams_a"), col("grams_b"), col("shared_grams"),
+            round(col("shared_grams").cast(DoubleType)
+              / (col("grams_a") + col("grams_b") - col("shared_grams")), 9)
+              .as("jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH t AS (
+                SELECT source, string_split(text, ' ') AS tk FROM documents
+                WHERE len(string_split(text, ' ')) >= 3),
+              g AS (
+                SELECT DISTINCT source,
+                       unnest([array_to_string(tk[i:i+2], ' ')
+                               for i in generate_series(1, len(tk) - 2)]) AS gram
+                FROM t),
+              sizes AS (SELECT source, count(*) AS n_grams FROM g GROUP BY source),
+              pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       count(*) AS shared_grams
+                FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+                GROUP BY a.source, b.source)
+              SELECT p.source_a, p.source_b,
+                     sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+                     CAST(p.shared_grams AS BIGINT) AS shared_grams,
+                     round(CAST(p.shared_grams AS DOUBLE)
+                       / (sa.n_grams + sb.n_grams - p.shared_grams), 9) AS jaccard
+              FROM pairs p
+              JOIN sizes sa ON sa.source = p.source_a
+              JOIN sizes sb ON sb.source = p.source_b
+              ORDER BY source_a, source_b"""),
+      "Pairwise inter-source shingle overlap (the cross-source contamination / " +
+        "mirror-detection audit): per-source distinct 3-gram sets, gram-keyed " +
+        "self-join bounded by the source domain per gram, Jaccard per pair; " +
+        "shuffle_hash size joins, only overlapping pairs emitted"),
+
+    QueryDef(
+      "q_source_divergence", Seq("A4", "J2", "A1"),
+      (s, d) => {
+        // per-source distribution shift vs the corpus: total-variation
+        // distance between each source's unigram distribution and the
+        // whole corpus's — the training-mix diagnostic next to
+        // q_source_mix's size-based weights (a source can be large AND
+        // distributionally redundant, or small and novel). TV instead of
+        // KL: KL needs logs (engine-specific bits); TV is 0.5·Σ|p−q| and
+        // cross-multiplies into EXACT integer arithmetic —
+        // |c_st·T − c_t·T_s| summed in DECIMAL, plus the mass of tokens
+        // the source never emits (T·T_s − Σ_{t∈V_s} c_t·T_s), one double
+        // division by 2·T·T_s at the very end. Plan: one token-keyed
+        // shuffle for the (source, token) counts; the corpus table and
+        // the scalar total derive from it (vocabulary-bounded, broadcast
+        // back — the q_token_df layout); per-source rollup shuffle_hash.
+        val tc = Tables.documents(s, d)
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+          .groupBy("source", "token")
+          .agg(count(lit(1)).as("c_st"))
+        val ct = tc.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+        val ts = tc.groupBy("source").agg(
+          sum(col("c_st")).as("t_s"),
+          count(lit(1)).as("distinct_tokens"))
+        val tot = ct.agg(sum(col("c_t")).as("t_all"))
+        val dec = (c: Column) => c.cast(DecimalType(38, 0))
+        tc.join(broadcast(ct), Seq("token"))
+          .join(ts.hint("shuffle_hash"), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("source"), col("t_s"), col("distinct_tokens"), col("t_all"))
+          .agg(
+            sum(abs(dec(col("c_st")) * dec(col("t_all"))
+              - dec(col("c_t")) * dec(col("t_s")))).as("present_dev"),
+            sum(dec(col("c_t")) * dec(col("t_s"))).as("covered_mass"))
+          .select(col("source"), col("t_s").as("n_tokens"), col("distinct_tokens"),
+            round(
+              (col("present_dev") + dec(col("t_all")) * dec(col("t_s"))
+                - col("covered_mass")).cast(DoubleType)
+                / (dec(col("t_all")) * dec(col("t_s")) * 2).cast(DoubleType), 9)
+              .as("tv_dist"))
+          .orderBy("source")
+      },
+      Some("""WITH tc AS (
+                SELECT source, token, count(*) AS c_st FROM (
+                  SELECT source, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+                GROUP BY source, token),
+              ct AS (SELECT token, sum(c_st) AS c_t FROM tc GROUP BY token),
+              ts AS (SELECT source, sum(c_st) AS t_s,
+                            count(*) AS distinct_tokens
+                     FROM tc GROUP BY source),
+              tot AS (SELECT sum(c_t) AS t_all FROM ct)
+              SELECT tc.source,
+                     CAST(max(ts.t_s) AS BIGINT) AS n_tokens,
+                     CAST(max(ts.distinct_tokens) AS BIGINT) AS distinct_tokens,
+                     round(CAST(sum(abs(tc.c_st * tot.t_all - ct.c_t * ts.t_s))
+                                + max(tot.t_all) * max(ts.t_s)
+                                - sum(ct.c_t * ts.t_s) AS DOUBLE)
+                       / CAST(max(tot.t_all) * max(ts.t_s) * 2 AS DOUBLE), 9)
+                       AS tv_dist
+              FROM tc
+              JOIN ct ON ct.token = tc.token
+              JOIN ts ON ts.source = tc.source
+              CROSS JOIN tot
+              GROUP BY tc.source ORDER BY tc.source"""),
+      "Per-source total-variation distance from the corpus unigram distribution " +
+        "(the distribution-shift half of the training-mix decision): exact " +
+        "cross-multiplied integer arithmetic summed in DECIMAL — logarithm-free " +
+        "where KL is not — one token shuffle, vocabulary-bounded broadcast back, " +
+        "one final double division per source"),
+
+    QueryDef(
       "q_corpus_select", Seq("W1", "A4", "F5", "P2"),
       (s, d) => {
         // the END-TO-END training-set selection funnel — the signals above
@@ -1853,6 +2082,86 @@ object TextQueries {
       "Per-document characteristic terms (tf-idf's join shape, logarithm-free score " +
         "= tf x N / (len x df) for cross-engine bit-determinism): broadcast " +
         "vocabulary-bounded df, one per-doc rank window, top-3 terms"),
+
+    QueryDef(
+      "q_bm25_topk", Seq("A4", "J2", "O3"),
+      (s, d) => {
+        // lexical retrieval next to the ANN ladder: BM25 top-k over the
+        // documents table for a fixed query-term set — the sparse half of
+        // the retrieval stack (dense = q_knn_join / q_ann_*), and the
+        // scoring rung above q_tfidf_topterms. Exact-rational spelling of
+        // Robertson's k1 = 1.2, b = 0.75 so the score is bit-deterministic
+        // cross-engine: with T = corpus tokens, N = docs, dl = doc length,
+        //   tf-part  = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)   (all integers)
+        //   idf-part = (2N − 2df + 1) / (2df + 1)           (the BM25 idf
+        //     ratio (N − df + ½)/(df + ½) doubled through — logarithm-free,
+        //     the house q_lm_score/q_tfidf precedent: log() bits are
+        //     engine-specific, monotone ratios are not)
+        // — two exact integer expressions, ONE double division each,
+        // multiplied per row, summed in DECIMAL per doc. Plan: the explode
+        // FILTERS to the query terms before any shuffle (the token stream
+        // that aggregates is |terms|-bounded per doc); df and the scalar
+        // totals broadcast back; final order is the exact DECIMAL score.
+        // At 100 TB this is the same shape as an inverted-index probe:
+        // scan + filter + bounded agg, never a corpus-wide join.
+        val qterms = Seq("dup", "spark", "merge", "key")
+        val toks = tokens(col("text"))
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), size(toks).cast(LongType).as("dl"), toks.as("tk"))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
+          .filter(col("token").isin(qterms: _*))
+          .groupBy("doc_id", "dl", "token")
+          .agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val tot = docs.agg(
+          count(lit(1)).as("n_docs"), sum(col("dl")).as("t_all"))
+        val scoreT =
+          ((col("tf") * col("t_all") * 22).cast(DoubleType)
+            / (col("tf") * col("t_all") * 10 + col("t_all") * 3
+              + col("dl") * col("n_docs") * 9).cast(DoubleType)) *
+            ((col("n_docs") * 2 - col("df") * 2 + 1).cast(DoubleType)
+              / (col("df") * 2 + 1).cast(DoubleType))
+        tf.join(broadcast(dfT), Seq("token"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            scoreT.cast(DecimalType(38, 18)).as("score_dec"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum(col("score_dec")).as("score_dec"))
+          .orderBy(col("score_dec").desc, col("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), col("n_terms"),
+            round(col("score_dec").cast(DoubleType), 9).as("score"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                       string_split(text, ' ') AS tk
+                FROM documents),
+              tf AS (
+                SELECT doc_id, dl, token, count(*) AS tf FROM (
+                  SELECT doc_id, dl, unnest(tk) AS token FROM docs)
+                WHERE token IN ('dup', 'spark', 'merge', 'key')
+                GROUP BY doc_id, dl, token),
+              dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+              tot AS (SELECT count(*) AS n_docs, sum(dl) AS t_all FROM docs),
+              scored AS (
+                SELECT tf.doc_id,
+                       CAST((CAST(tf.tf * tot.t_all * 22 AS DOUBLE)
+                             / CAST(tf.tf * tot.t_all * 10 + tot.t_all * 3
+                                    + tf.dl * tot.n_docs * 9 AS DOUBLE))
+                            * (CAST(tot.n_docs * 2 - dft.df * 2 + 1 AS DOUBLE)
+                               / CAST(dft.df * 2 + 1 AS DOUBLE))
+                            AS DECIMAL(38,18)) AS score_dec
+                FROM tf JOIN dft ON dft.token = tf.token CROSS JOIN tot)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     round(CAST(sum(score_dec) AS DOUBLE), 9) AS score
+              FROM scored GROUP BY doc_id
+              ORDER BY sum(score_dec) DESC, doc_id LIMIT 10"""),
+      "BM25 top-k lexical retrieval (the sparse half of the retrieval stack): " +
+        "exact-rational k1=1.2/b=0.75 tf saturation + logarithm-free idf ratio, " +
+        "one double division per part, DECIMAL-summed per doc and ordered on the " +
+        "exact sum; the explode filters to the query terms before any shuffle — " +
+        "the inverted-index-probe shape, never a corpus-wide join"),
 
     QueryDef(
       "q_substr_dedup", Seq("J7", "J5", "A4", "W1"),

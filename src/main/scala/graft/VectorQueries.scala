@@ -1637,6 +1637,53 @@ object VectorQueries {
       aux = Some(writeKmeansAux)),
 
     QueryDef(
+      "q_topic_mix", Seq("J1", "A4", "W1"),
+      (s, d) => {
+        // trained-cell × source contingency — the topic-balance audit a
+        // mix design runs next to q_source_mix's size-based weights and
+        // q_source_divergence's token-level shift: the k-means cells
+        // stand in for topics (the D4/SemDeDup clustering reused a third
+        // time), and each source's distribution over them shows which
+        // sources cover which regions of embedding space. The embeddings
+        // table carries no source, so the doc join IS the operator: an
+        // id-keyed shuffle_hash join (doc_id = vec_id; at 100 TB both
+        // tables are id-bucketed and the join co-locates shuffle-free —
+        // the summariesCoLocated layout), then one (source, cell)
+        // aggregation and a window over the per-source totals for the
+        // share. The window partitions the ALREADY-AGGREGATED frame
+        // (≤ sources × k rows), not the corpus.
+        val emb = Tables.embeddings(s, d)
+        val cells = assignedCells(s, emb, trainCentroids(emb, s))
+          .select(col("vec_id"), col("cell"))
+        val byCell = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .join(cells.hint("shuffle_hash"), col("doc_id") === col("vec_id"))
+          .groupBy("source", "cell")
+          .agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("source")
+        byCell
+          .withColumn("src_total", sum(col("n_docs")).over(w))
+          .select(col("source"), col("cell"), col("n_docs"),
+            round(col("n_docs").cast(DoubleType) / col("src_total"), 9)
+              .as("share"))
+          .orderBy("source", "cell")
+      },
+      Some(s"""$cellsCtes,
+        byc AS (
+          SELECT d.source, c.cell, count(*) AS n_docs
+          FROM documents d JOIN cells c ON d.doc_id = c.vec_id
+          GROUP BY d.source, c.cell)
+        SELECT source, cell, CAST(n_docs AS BIGINT) AS n_docs,
+               round(CAST(n_docs AS DOUBLE)
+                 / sum(n_docs) OVER (PARTITION BY source), 9) AS share
+        FROM byc ORDER BY source, cell"""),
+      "Trained-cell x source topic-balance audit: k-means cells as topic proxies, " +
+        "id-keyed doc join (co-locatable at scale), one (source, cell) aggregation " +
+        "+ a window over the aggregated frame for per-source shares; oracle " +
+        "re-derives assignments from the materialized centroids",
+      aux = Some(writeKmeansAux)),
+
+    QueryDef(
       "q_knn_join", Seq("A5", "J2", "W2"),
       (s, d) => {
         // batched k-NN similarity join — the missing production shape next

@@ -1,0 +1,242 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Independent referees for the r13 analytics operators, beyond their
+  * fixed-SF DuckDB oracles: each query is replayed by a SECOND
+  * implementation (plain-Scala brute force over collected rows, or exact
+  * BigInt arithmetic) on sf0.001 — a different SF than the driver's gate —
+  * plus targeted threshold/degenerate fixtures the synthetic corpus never
+  * exercises. The DuckDB oracle proves cross-engine hash equality; these
+  * prove the SEMANTICS against an implementation that shares no code with
+  * the queries. */
+class CorpusAnalyticsSpec extends AnyFunSuite {
+
+  private lazy val s = SparkSuite.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val stop = Set("the", "a", "of", "and", "to", "in", "is")
+
+  test("q_gopher_rules matches a brute-force rule evaluation on sf0.001") {
+    val docs = Tables.documents(s, dir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    case class Flags(w: Boolean, ml: Boolean, al: Boolean, st: Boolean,
+        sy: Boolean, rep: Boolean) {
+      def pass: Boolean = !(w || ml || al || st || sy || rep)
+    }
+    def flags(text: String): Flags = {
+      val tk = text.split(" ", -1)
+      val nw = tk.length.toLong
+      val sumLen = text.length.toLong - (nw - 1)
+      val alpha = tk.count(_.exists(c => c.isLetter && c <= 'z')).toLong
+      val stops = tk.count(stop).toLong
+      val syms = "#|\\.\\.\\.".r.findAllIn(text).length.toLong
+      val uniq = tk.distinct.length.toLong
+      Flags(
+        !(nw >= 20 && nw <= 100000),
+        !(nw * 3 <= sumLen && sumLen <= nw * 10),
+        !(alpha * 5 >= nw * 4),
+        !(stops >= 2),
+        !(syms * 10 < nw),
+        !(uniq * 2 >= nw))
+    }
+    val want = docs.groupBy(_._1).view.mapValues { ds =>
+      val fs = ds.map(d => flags(d._2))
+      (ds.length.toLong, fs.count(_.pass).toLong, fs.count(_.w).toLong,
+        fs.count(_.ml).toLong, fs.count(_.al).toLong, fs.count(_.st).toLong,
+        fs.count(_.sy).toLong, fs.count(_.rep).toLong)
+    }.toMap
+    val got = Queries.byName("q_gopher_rules").run(s, dir).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("q_gopher_rules: every threshold boundary lands on the correct side") {
+    import s.implicits._
+    // one doc per rule, sitting exactly ON its boundary (pass) and one
+    // just past it (fail) — the off-by-one surface the sf corpus, where
+    // two rules never fire at all, cannot pin
+    def doc(id: Long, text: String, source: String) =
+      (id, text, "en", source, text.length.toLong)
+    val rows = Seq(
+      // words rule: nw=19 < 20 fails ONLY f_words (5-6 char tokens keep
+      // meanlen in [3,10]; the/a/of/is give the stop floor)
+      doc(1L, (1 to 15).map(i => s"word$i").mkString(" ") + " the a of is",
+        "words"),
+      // meanlen: 18 one-char 'x' + 'a a' -> 20 tokens, sumlen 20 < 3*20;
+      // 'x'/'a' are letters (alpha passes), 2 distinct of 20 fails rep too
+      doc(2L, (1 to 18).map(_ => "x").mkString(" ") + " a a", "meanlen"),
+      // symbol boundary: 2 '#' in 20 tokens -> syms*10 == nw, NOT < -> fails
+      doc(3L, ("the is of and " + (1 to 14).map(i => s"tok$i").mkString(" ")
+        + " # #"), "symbol"),
+      // stop boundary: exactly 2 stopword hits passes everything
+      doc(4L, "the is " + (1 to 18).map(i => s"word$i").mkString(" "), "stopok"),
+      // repetition boundary: uniq*2 == nw exactly (10 distinct, 20 tokens)
+      doc(5L, ((1 to 8).flatMap(i => Seq(s"tok$i", s"tok$i"))
+        ++ Seq("the", "the", "is", "is")).mkString(" "), "repok"))
+    val tmp = Files.createTempDirectory("graft-gopher").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Queries.byName("q_gopher_rules").run(s, tmp).collect().map { r =>
+      r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8), r.getLong(2))
+    }.toMap
+    // (fail_words, fail_meanlen, fail_alpha, fail_stop, fail_symbol, fail_rep, n_pass)
+    assert(got("words") === ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got("meanlen") === ((0L, 1L, 0L, 0L, 0L, 1L, 0L)))
+    assert(got("symbol") === ((0L, 0L, 0L, 0L, 1L, 0L, 0L)))
+    assert(got("stopok") === ((0L, 0L, 0L, 0L, 0L, 0L, 1L)))
+    assert(got("repok") === ((0L, 0L, 0L, 0L, 0L, 0L, 1L)))
+  }
+
+  test("q_source_overlap matches brute-force gram-set Jaccard and its bounds") {
+    val docs = Tables.documents(s, dir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val gramsBySource: Map[String, Set[String]] = docs.groupBy(_._1).view
+      .mapValues(_.flatMap { case (_, t) =>
+        val tk = t.split(" ", -1)
+        if (tk.length < 3) Seq.empty
+        else tk.sliding(3).map(_.mkString(" ")).toSeq
+      }.toSet).toMap
+    val want = (for {
+      (a, ga) <- gramsBySource; (b, gb) <- gramsBySource if a < b
+      shared = (ga & gb).size if shared > 0
+    } yield (a, b) -> (ga.size.toLong, gb.size.toLong, shared.toLong)).toMap
+    val got = Queries.byName("q_source_overlap").run(s, dir).collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, (ga, gb, sh, j)) =>
+      assert((ga, gb, sh) === want(k))
+      val exact = sh.toDouble / (ga + gb - sh)
+      assert(math.abs(j - exact) < 1e-9 && j > 0.0 && j <= 1.0, s"$k jaccard $j")
+    }
+  }
+
+  test("q_source_divergence matches exact BigInt total variation; bounds hold") {
+    val docs = Tables.documents(s, dir).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2.split(" ", -1)).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap).toMap
+    val corpus = bySource.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tAll = BigInt(corpus.values.sum)
+    val want = bySource.map { case (src, cnt) =>
+      val tS = BigInt(cnt.values.sum)
+      // .toSeq: mapping over a Map/keys-Set would DEDUPLICATE equal
+      // products and understate both sums
+      val present = cnt.toSeq.map { case (tok, c) =>
+        (BigInt(c) * tAll - BigInt(corpus(tok)) * tS).abs
+      }.sum
+      val covered = cnt.keys.toSeq.map(tok => BigInt(corpus(tok)) * tS).sum
+      val num = present + tAll * tS - covered
+      src -> (cnt.size.toLong, cnt.values.sum,
+        num.toDouble / (tAll * tS * 2).toDouble)
+    }
+    val got = Queries.byName("q_source_divergence").run(s, dir).collect().map { r =>
+      r.getString(0) -> (r.getLong(2), r.getLong(1), r.getDouble(3))
+    }.toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (src, (dt, nt, tv)) =>
+      val (wd, wn, wtv) = want(src)
+      assert((dt, nt) === ((wd, wn)))
+      assert(math.abs(tv - wtv) < 1e-9, s"$src tv $tv vs $wtv")
+      assert(tv >= 0.0 && tv < 1.0)
+    }
+  }
+
+  test("q_source_divergence: a single-source corpus has zero distance from itself") {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-tv").toString
+    Seq((1L, "a b c a", "en", "only", 7L), (2L, "b c d", "en", "only", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Queries.byName("q_source_divergence").run(s, tmp).collect()
+    assert(rows.length === 1 && rows(0).getDouble(3) === 0.0)
+  }
+
+  test("q_bm25_topk matches a brute-force BM25 ranking on sf0.001") {
+    val qterms = Set("dup", "spark", "merge", "key")
+    val docs = Tables.documents(s, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val n = docs.length.toLong
+    val tAll = docs.map(_._2.length.toLong).sum
+    val df = qterms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val scored = docs.map { case (id, tk) =>
+      val dl = tk.length.toLong
+      val sc = qterms.toSeq.map { t =>
+        val tf = tk.count(_ == t).toLong
+        if (tf == 0) BigDecimal(0)
+        else {
+          val tfPart = (22.0 * tf * tAll) / (10.0 * tf * tAll + 3.0 * tAll + 9.0 * dl * n)
+          val idf = (2.0 * n - 2.0 * df(t) + 1.0) / (2.0 * df(t) + 1.0)
+          BigDecimal(tfPart * idf).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }.sum
+      (id, sc)
+    }.filter(_._2 > 0)
+    val want = scored.sortBy { case (id, sc) => (-sc, id) }.take(10)
+      .map { case (id, sc) => (id, sc.toDouble) }
+    val got = Queries.byName("q_bm25_topk").run(s, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-6, s"score $g vs $w")
+    }
+  }
+
+  test("q_topic_mix: shares sum to 1 per source and doc counts reconcile") {
+    val rows = Queries.byName("q_topic_mix").run(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docCounts = Tables.documents(s, dir).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._3).sum === docCounts(src), s"$src doc count")
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-6, s"$src share sum")
+    }
+    assert(rows.map(_._1).toSet === docCounts.keySet)
+  }
+
+  test("q_asof_join matches a brute-force most-recent-prior-click scan") {
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val want = ev.filter(_._4 == "purchase").sortBy(_._1).map { case (id, u, ts, _) =>
+      val prior = clicksByUser.getOrElse(u, Array.empty)
+        .filter(_._3 < ts)
+      val best = if (prior.isEmpty) None
+        else Some(prior.maxBy(c => (c._3, c._1)))
+      (id, u, ts, best.map(_._1), best.map(c => ts - c._3))
+    }
+    val got = Queries.byName("q_asof_join").run(s, dir).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("q_range_join matches a brute-force banded count") {
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._2)
+    val band = 86400000000L
+    val want = ev.filter(_._4 == "error").sortBy(_._1).map { case (id, u, ts, _) =>
+      val n = clicksByUser.getOrElse(u, Array.empty)
+        .count(c => c._3 < ts && c._3 >= ts - band)
+      (id, u, ts, n.toLong)
+    }
+    val got = Queries.byName("q_range_join").run(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+  }
+}

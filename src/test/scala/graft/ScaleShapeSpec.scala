@@ -123,7 +123,32 @@ class ScaleShapeSpec extends AnyFunSuite {
     // and model broadcasts; the scoring scan itself never shuffles
     // (map-side model join), then the per-(doc, cand) agg / per-doc
     // argmax window / confusion rollup / sort
-    "q_langid_nb" -> 18)
+    "q_langid_nb" -> 18,
+    // r13 corpus-analytics family. gopher_rules: one map-side-combined
+    // source rollup (agg pair). source_overlap: per-gram collect_set
+    // spelled as a self-join on the distinct (source, gram) frame — the
+    // gram-keyed distinct subtree plans on both join sides plus the
+    // pair/size rollups (identical exchanges dedup at runtime via AQE
+    // stage reuse, the langid_nb/BucketPairs precedent). divergence: the
+    // (source, token) count subtree plans under each derived table
+    // (corpus/source/total) — same AQE-dedup story — plus the
+    // shuffle_hash per-source join pair and the final rollup. bm25: the
+    // term-filtered tf agg + its df re-agg + the 1-row totals + the
+    // per-doc rollup and ordered limit. topic_mix: the id-keyed
+    // shuffle_hash doc join pair + (source, cell) agg + the per-source
+    // window over the aggregated frame.
+    "q_gopher_rules" -> 4,
+    "q_source_overlap" -> 24,
+    "q_source_divergence" -> 24,
+    "q_bm25_topk" -> 14,
+    "q_topic_mix" -> 10,
+    // r13 time-series joins by composition: one user-keyed window
+    // exchange (the role filter pushes to the scan) + the final sort —
+    // the whole point is that NO inequality join and NO second shuffle
+    // exists; a breach here means the window spelling regressed to a
+    // join
+    "q_asof_join" -> 4,
+    "q_range_join" -> 4)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -203,7 +228,9 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_ann_cell_layout", "q_quality_gate", "q_source_mix",
                 "q_split_leakage", "q_image_neardup", "q_profile_orders",
                 "q_heavy_terms", "q_length_quantiles", "q_lm_score",
-                "q_langid_nb"))
+                "q_langid_nb", "q_gopher_rules", "q_source_overlap",
+                "q_source_divergence", "q_bm25_topk", "q_topic_mix",
+                "q_asof_join", "q_range_join"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
