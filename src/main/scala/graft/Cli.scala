@@ -44,6 +44,7 @@ import graft.ocds.Metadata
   *                                              (cross-document exact-substring
   *                                               duplication rollup, ExactSubstr)
   *   quality-gate <lake> <collectionId>         (per-source bottom-decile cut)
+  *   gopher-rules <lake> <collectionId>         (fixed rule-filter rollup)
   *   source-mix <lake> <collectionId>           (sqrt-temperature mix weights)
   *   length-stats <lake> <collectionId>         (per-source token-length quantiles)
   *   heavy-terms <lake> <collectionId> [--width N] [--min N] [--top N]
@@ -617,6 +618,33 @@ object Cli {
           }
       }
 
+    case "gopher-rules" :: lake :: id :: Nil =>
+      // Gopher rule-filter rollup over a loaded collection's raw
+      // documents: fixed per-document quality rules next to
+      // quality-gate's data-driven percentile cut (the q_gopher_rules
+      // engine)
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          TextQueries.gopherRulesOf(docs).collect().foreach { r =>
+            println(s"source=${r.getAs[String]("source")}" +
+              s" n_docs=${r.getAs[Long]("n_docs")}" +
+              s" n_pass=${r.getAs[Long]("n_pass")}" +
+              s" fail_words=${r.getAs[Long]("fail_words")}" +
+              s" fail_meanlen=${r.getAs[Long]("fail_meanlen")}" +
+              s" fail_alpha=${r.getAs[Long]("fail_alpha")}" +
+              s" fail_stop=${r.getAs[Long]("fail_stop")}" +
+              s" fail_symbol=${r.getAs[Long]("fail_symbol")}" +
+              s" fail_rep=${r.getAs[Long]("fail_rep")}")
+          }
+      }
+
     case "source-mix" :: lake :: id :: Nil =>
       // temperature-resampled (sqrt) training-mix weights over a loaded
       // collection's raw documents (the q_source_mix engine)
@@ -857,6 +885,7 @@ object Cli {
            |  dedup <lake> <collectionId> [--checkpoint-dir DIR] [--max-bucket N]
            |  corpus-select <lake> <collectionId>
            |  quality-gate <lake> <collectionId>
+           |  gopher-rules <lake> <collectionId>
            |  source-mix <lake> <collectionId>
            |  length-stats <lake> <collectionId>
            |  heavy-terms <lake> <collectionId> [--width N] [--min N] [--top N]

@@ -370,6 +370,41 @@ object TextQueries {
     * the per-source rank sort — the same per-key ordered-scan shape as
     * the compile family; the emitted frame is one row per source
     * (threshold + attrition counts), driver-bounded at any corpus size. */
+  /** Per-source Gopher rule-filter rollup (Rae et al. 2021 Table A1) —
+    * the q_gopher_rules engine, reused by `Cli gopher-rules`. Every rule
+    * is a pure per-row predicate with its ratio threshold cross-
+    * multiplied into integer arithmetic (no float compares); one
+    * map-side-combined per-source aggregation. */
+  private[graft] def gopherRulesOf(docsIn: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nw = size(toks).cast(LongType)
+    // single-space tokenization invariant (the house rule): total
+    // token characters = text length minus the nw-1 separators
+    val sumLen = (length(col("text")) - (nw - 1)).cast(LongType)
+    val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
+    val stops = size(filter(toks, t => t.isin(enStop: _*))).cast(LongType)
+    val syms = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast(LongType)
+    val uniq = size(array_distinct(toks)).cast(LongType)
+    val fWords = !(nw >= 20 && nw <= 100000)
+    val fMeanLen = !(nw * 3 <= sumLen && sumLen <= nw * 10)
+    val fAlpha = !(alpha * 5 >= nw * 4)
+    val fStop = !(stops >= 2)
+    val fSymbol = !(syms * 10 < nw)
+    val fRep = !(uniq * 2 >= nw)
+    def cnt(c: Column, name: String) =
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    docsIn
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        cnt(!fWords && !fMeanLen && !fAlpha && !fStop && !fSymbol && !fRep,
+          "n_pass"),
+        cnt(fWords, "fail_words"), cnt(fMeanLen, "fail_meanlen"),
+        cnt(fAlpha, "fail_alpha"), cnt(fStop, "fail_stop"),
+        cnt(fSymbol, "fail_symbol"), cnt(fRep, "fail_rep"))
+      .orderBy("source")
+  }
+
   private[graft] def qualityGateOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col("text"))
@@ -747,33 +782,7 @@ object TextQueries {
         // duplicate-line analogue for single-line documents). A rule that
         // never fires on this synthetic corpus still verifies its
         // arithmetic against the oracle — the rollup counts its zeroes.
-        val toks = tokens(col("text"))
-        val nw = size(toks).cast(LongType)
-        // single-space tokenization invariant (the house rule): total
-        // token characters = text length minus the nw-1 separators
-        val sumLen = (length(col("text")) - (nw - 1)).cast(LongType)
-        val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
-        val stops = size(filter(toks, t => t.isin(enStop: _*))).cast(LongType)
-        val syms = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast(LongType)
-        val uniq = size(array_distinct(toks)).cast(LongType)
-        val fWords = !(nw >= 20 && nw <= 100000)
-        val fMeanLen = !(nw * 3 <= sumLen && sumLen <= nw * 10)
-        val fAlpha = !(alpha * 5 >= nw * 4)
-        val fStop = !(stops >= 2)
-        val fSymbol = !(syms * 10 < nw)
-        val fRep = !(uniq * 2 >= nw)
-        def cnt(c: Column, name: String) =
-          sum(when(c, 1L).otherwise(0L)).as(name)
-        Tables.documents(s, d)
-          .groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            cnt(!fWords && !fMeanLen && !fAlpha && !fStop && !fSymbol && !fRep,
-              "n_pass"),
-            cnt(fWords, "fail_words"), cnt(fMeanLen, "fail_meanlen"),
-            cnt(fAlpha, "fail_alpha"), cnt(fStop, "fail_stop"),
-            cnt(fSymbol, "fail_symbol"), cnt(fRep, "fail_rep"))
-          .orderBy("source")
+        gopherRulesOf(Tables.documents(s, d))
       },
       Some(s"""WITH m AS (
                  SELECT source,
@@ -1994,6 +2003,55 @@ object TextQueries {
       "Token document-frequency filter (boilerplate discovery / the df of tf-idf): " +
         "distinct-per-doc explode, one map-side-combined hash aggregation, broadcast " +
         "corpus total — tokens in ≥50% of documents"),
+
+    QueryDef(
+      "q_distinct_sketch", Seq("A2", "A4", "F5"),
+      (s, d) => {
+        // per-source distinct-shingle cardinality through the native
+        // mergeable `distinct_sketch` aggregate — the REAL version of the
+        // swap the exact-distinct queries document for 100 TB
+        // (q_profile_orders' "approx_count_distinct at scale"): a plain
+        // COUNT(DISTINCT gram) shuffles the full per-source distinct
+        // cardinality (billions of keys corpus-wide); this plan's shuffle
+        // carries one <= 2^14-byte buffer per (partition, source). The
+        // sketch is self-describing (the freq_items discipline): at
+        // verify scale every buffer stays in the exact sparse regime
+        // (max ~1.5k distinct grams per source vs the m/4 = 4096 bound),
+        // so est IS the exact count, exact = true, and the plain
+        // COUNT(DISTINCT) DuckDB oracle hash-matches; the SAME plan past
+        // the bound degrades to the HLL estimate with exact = false
+        // (relative error ~1.04/sqrt(2^14) ~ 0.8%, referee-bounded in
+        // HllSpec — the 5x scale-CI replica's per-copy token namespaces
+        // push every source past the bound and exercise that regime).
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        val toks = tokens(col("text"))
+        val grams = call_function("token_grams", toks, lit(3))
+        Tables.documents(s, d)
+          .filter(size(toks) >= 3)
+          .select(col("source"), explode_outer(grams).as("gram"))
+          .groupBy("source")
+          .agg(call_function("distinct_sketch", col("gram"), lit(14)).as("sk"))
+          .select(col("source"), col("sk.est").as("distinct_grams"),
+            col("sk.exact").as("exact"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+                SELECT source, string_split(text, ' ') AS tk FROM documents
+                WHERE len(string_split(text, ' ')) >= 3),
+              g AS (
+                SELECT source,
+                       unnest([array_to_string(tk[i:i+2], ' ')
+                               for i in generate_series(1, len(tk) - 2)]) AS gram
+                FROM t)
+              SELECT source,
+                     CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams,
+                     TRUE AS exact
+              FROM g GROUP BY source ORDER BY source"""),
+      "Bounded-memory distinct counting (native mergeable two-regime sketch: " +
+        "exact hash set below m/4 distincts, HyperLogLog registers above — " +
+        "2^14-byte buffers, register-max combine): per-source distinct shingles " +
+        "with a self-describing exact flag; exact regime at verify scale " +
+        "hash-matches COUNT(DISTINCT), the same plan estimates at 100 TB"),
 
     QueryDef(
       "q_heavy_terms", Seq("A4", "J7", "F5"),

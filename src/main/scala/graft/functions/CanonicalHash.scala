@@ -199,6 +199,15 @@ object GraftExtensions {
           intLit(children(2), "freq_items_w", "capacity", 1, 1 << 22, "[1, 2^22]"))
       }),
     (
+      FunctionIdentifier("distinct_sketch"),
+      new ExpressionInfo(classOf[DistinctSketch].getName, "distinct_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"distinct_sketch expects exactly 2 arguments (item, precision), got ${children.size}")
+        DistinctSketch(children.head,
+          intLit(children(1), "distinct_sketch", "precision", 4, 16, "[4, 16]"))
+      }),
+    (
       FunctionIdentifier("bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
       (children: Seq[Expression]) => {

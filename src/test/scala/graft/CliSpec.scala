@@ -256,6 +256,15 @@ class CliSpec extends AnyFunSuite {
     assert(mix.contains("source=dd_local n_docs=3"), mix)
     assert(mix.contains("weight=1.000000 n_target=100000"), mix)
 
+    // gopher rules: the canonicalized package docs are token-dense JSON —
+    // word count and repetition pass, but punctuation-heavy tokens sink
+    // the alphabetic-word floor; the point here is the rollup's shape and
+    // that n_pass + per-rule failures reconcile with n_docs
+    val gopher = run("gopher-rules", lake, "1")
+    assert(gopher.contains("source=dd_local n_docs=3"), gopher)
+    assert(gopher.matches("(?s).*n_pass=\\d+ fail_words=\\d+ fail_meanlen=\\d+" +
+      " fail_alpha=\\d+ fail_stop=\\d+ fail_symbol=\\d+ fail_rep=\\d+.*"), gopher)
+
     // length quantiles: 3 docs → ceil(3p/100) picks ranks 2/3/3; the
     // quantile values are the sorted per-doc token counts at those ranks
     val lstats = run("length-stats", lake, "1")

@@ -148,7 +148,12 @@ class ScaleShapeSpec extends AnyFunSuite {
     // exists; a breach here means the window spelling regressed to a
     // join
     "q_asof_join" -> 4,
-    "q_range_join" -> 4)
+    "q_range_join" -> 4,
+    // native distinct sketch: one source-keyed agg pair whose buffers
+    // are <= 2^14 bytes — the whole point is that NO distinct-gram-
+    // cardinality exchange exists (the freq_items story for distincts);
+    // the replica's per-copy namespaces push it into the HLL regime
+    "q_distinct_sketch" -> 4)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -230,7 +235,7 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_heavy_terms", "q_length_quantiles", "q_lm_score",
                 "q_langid_nb", "q_gopher_rules", "q_source_overlap",
                 "q_source_divergence", "q_bm25_topk", "q_topic_mix",
-                "q_asof_join", "q_range_join"))
+                "q_asof_join", "q_range_join", "q_distinct_sketch"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
