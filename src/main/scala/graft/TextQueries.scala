@@ -848,6 +848,59 @@ object TextQueries {
         "documented as the 100 TB swap"),
 
     QueryDef(
+      "q_length_sketch", Seq("A3", "A4", "F5"),
+      (s, d) => {
+        // q_length_quantiles' documented 100 TB swap made REAL: the same
+        // per-source p50/p90/p99/max readout through the native mergeable
+        // `quantile_sketch` aggregate instead of the per-source rank
+        // sort. The exact query shuffles every row to its group's sort;
+        // this plan map-side-combines bounded value->count partials (the
+        // whole point — see the aggregate's scaladoc for the two-regime
+        // contract and why KLL's coin flips are unshippable here). Token
+        // lengths have a ~91-value domain, so the sketch is in the exact
+        // regime at ANY corpus size for THIS column — the reported
+        // quantiles equal the house integer-rank percentiles bit-for-bit
+        // and the oracle is q_length_quantiles' own SQL (+ n/exact).
+        // Wide-domain columns (byte sizes, latencies) ride the same plan
+        // into the gamma-bounded dense regime, QuantileSketchSpec's
+        // referee territory.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        Tables.documents(s, d)
+          .select(col("source"),
+            size(tokens(col("text"))).cast(LongType).as("len"))
+          .groupBy("source")
+          .agg(call_function("quantile_sketch", col("len"), lit(4096)).as("q"))
+          .select(col("source"), col("q.n").as("n_docs"),
+            col("q.p50").as("p50_tokens"), col("q.p90").as("p90_tokens"),
+            col("q.p99").as("p99_tokens"), col("q.max").as("max_tokens"),
+            col("q.exact").as("exact"))
+          .orderBy("source")
+      },
+      Some("""WITH l AS (
+                SELECT source, doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                FROM documents),
+              rk AS (
+                SELECT source, len,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY len ASC, doc_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM l)
+              SELECT source,
+                     max(n) AS n_docs,
+                     max(CASE WHEN rn = (n * 50 + 99) // 100 THEN len END) AS p50_tokens,
+                     max(CASE WHEN rn = (n * 90 + 99) // 100 THEN len END) AS p90_tokens,
+                     max(CASE WHEN rn = (n * 99 + 99) // 100 THEN len END) AS p99_tokens,
+                     max(len) AS max_tokens,
+                     TRUE AS exact
+              FROM rk GROUP BY source ORDER BY source"""),
+      "Bounded-memory rank quantiles (native mergeable two-regime sketch: exact " +
+        "value histogram below the capacity, deterministic ~1% geometric buckets " +
+        "above — the DDSketch contract, coin-free where KLL is not): per-source " +
+        "token-length p50/p90/p99/max with a self-describing exact flag, " +
+        "hash-matching the exact rank-percentile oracle in the exact regime"),
+
+    QueryDef(
       "q_lm_score", Seq("J1", "J2", "A4"),
       (s, d) => {
         graft.functions.GraftExtensions.ensureRegistered(s)

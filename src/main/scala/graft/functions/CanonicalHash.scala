@@ -208,6 +208,15 @@ object GraftExtensions {
           intLit(children(1), "distinct_sketch", "precision", 4, 16, "[4, 16]"))
       }),
     (
+      FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSketch].getName, "quantile_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"quantile_sketch expects exactly 2 arguments (x, capacity), got ${children.size}")
+        QuantileSketch(children.head,
+          intLit(children(1), "quantile_sketch", "capacity", 1, 1 << 22, "[1, 2^22]"))
+      }),
+    (
       FunctionIdentifier("bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
       (children: Seq[Expression]) => {

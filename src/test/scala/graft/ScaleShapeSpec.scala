@@ -153,7 +153,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // are <= 2^14 bytes — the whole point is that NO distinct-gram-
     // cardinality exchange exists (the freq_items story for distincts);
     // the replica's per-copy namespaces push it into the HLL regime
-    "q_distinct_sketch" -> 4)
+    "q_distinct_sketch" -> 4,
+    // native quantile sketch: same shape — one source-keyed agg pair of
+    // bounded value->count partials, vs the exact query's per-source
+    // rank-sort window (q_length_quantiles pins 6 for that spelling)
+    "q_length_sketch" -> 4)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -235,7 +239,8 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_heavy_terms", "q_length_quantiles", "q_lm_score",
                 "q_langid_nb", "q_gopher_rules", "q_source_overlap",
                 "q_source_divergence", "q_bm25_topk", "q_topic_mix",
-                "q_asof_join", "q_range_join", "q_distinct_sketch"))
+                "q_asof_join", "q_range_join", "q_distinct_sketch",
+                "q_length_sketch"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
