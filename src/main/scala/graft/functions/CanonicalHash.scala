@@ -208,6 +208,26 @@ object GraftExtensions {
           intLit(children(1), "distinct_sketch", "precision", 4, 16, "[4, 16]"))
       }),
     (
+      FunctionIdentifier("distinct_sketch_bin"),
+      new ExpressionInfo(classOf[DistinctSketch].getName, "distinct_sketch_bin"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"distinct_sketch_bin expects exactly 2 arguments (item, precision), got ${children.size}")
+        DistinctSketch(children.head,
+          intLit(children(1), "distinct_sketch_bin", "precision", 4, 16, "[4, 16]"),
+          emitBinary = true)
+      }),
+    (
+      FunctionIdentifier("quantile_sketch_bin"),
+      new ExpressionInfo(classOf[QuantileSketch].getName, "quantile_sketch_bin"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"quantile_sketch_bin expects exactly 2 arguments (x, capacity), got ${children.size}")
+        QuantileSketch(children.head,
+          intLit(children(1), "quantile_sketch_bin", "capacity", 1, 1 << 22, "[1, 2^22]"),
+          emitBinary = true)
+      }),
+    (
       FunctionIdentifier("quantile_sketch"),
       new ExpressionInfo(classOf[QuantileSketch].getName, "quantile_sketch"),
       (children: Seq[Expression]) => {

@@ -84,6 +84,41 @@ private[graft] object Hll {
     buf
   }
 
+  /** The PUBLIC sketch-as-bytes format (`distinct_sketch_bin` output and
+    * the persistent stats store's on-disk form — distinct from the
+    * aggregate's internal shuffle row): [mode byte 0|1][count int][sparse
+    * longs… | register bytes…]. Hand-rolled ByteBuffer so it is
+    * thread-safe and stable across Spark versions. */
+  def toBytes(buf: HllBuffer): Array[Byte] =
+    if (buf.regs == null) {
+      val bb = java.nio.ByteBuffer.allocate(5 + 8 * buf.sparse.size)
+      bb.put(0: Byte).putInt(buf.sparse.size)
+      val it = buf.sparse.iterator()
+      while (it.hasNext) bb.putLong(it.next().longValue())
+      bb.array()
+    } else {
+      val bb = java.nio.ByteBuffer.allocate(5 + buf.regs.length)
+      bb.put(1: Byte).putInt(buf.regs.length)
+      bb.put(buf.regs)
+      bb.array()
+    }
+
+  def fromBytes(bytes: Array[Byte]): HllBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val mode = bb.get()
+    val n = bb.getInt()
+    if (mode == 0) {
+      val set = new java.util.HashSet[java.lang.Long](n * 2)
+      var i = 0
+      while (i < n) { set.add(bb.getLong()); i += 1 }
+      new HllBuffer(set, null)
+    } else {
+      val regs = new Array[Byte](n)
+      bb.get(regs)
+      new HllBuffer(null, regs)
+    }
+  }
+
   /** The HLL estimate over dense registers (Flajolet et al. 2007): the
     * bias-corrected harmonic mean, with linear counting below 2.5·m when
     * empty registers remain. Fixed register-order summation → the double
@@ -146,6 +181,12 @@ private[graft] object Hll {
 case class DistinctSketch(
     child: Expression,
     precision: Int,
+    /** true = the `distinct_sketch_bin` form: eval returns the PUBLIC
+      * [[Hll.toBytes]] blob instead of the (est, exact) struct — the
+      * "sketch as a stored column" pattern, consumed by driver-side
+      * folds ([[graft.streaming.StatsStore]]) and re-mergeable later
+      * without re-touching the stream. */
+    emitBinary: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[HllBuffer] with UnaryLike[Expression] {
@@ -166,7 +207,8 @@ case class DistinctSketch(
     Hll.merge(buf, other, precision)
 
   override def eval(buf: HllBuffer): Any =
-    if (buf.regs == null) InternalRow(buf.sparse.size.toLong, true)
+    if (emitBinary) Hll.toBytes(buf)
+    else if (buf.regs == null) InternalRow(buf.sparse.size.toLong, true)
     else InternalRow(Hll.estimate(buf.regs, precision), false)
 
   // buffer rides the shuffle as one unsafe row: (array<long> | null, regs | null)
@@ -198,11 +240,14 @@ case class DistinctSketch(
     }
   }
 
-  override def dataType: DataType = StructType(Seq(
-    StructField("est", LongType, nullable = false),
-    StructField("exact", BooleanType, nullable = false)))
+  override def dataType: DataType =
+    if (emitBinary) BinaryType
+    else StructType(Seq(
+      StructField("est", LongType, nullable = false),
+      StructField("exact", BooleanType, nullable = false)))
   override def nullable: Boolean = false
-  override def prettyName: String = "distinct_sketch"
+  override def prettyName: String =
+    if (emitBinary) "distinct_sketch_bin" else "distinct_sketch"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)

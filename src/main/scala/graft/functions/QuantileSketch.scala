@@ -90,6 +90,34 @@ private[graft] object QSketch {
     buf
   }
 
+  /** The PUBLIC sketch-as-bytes format (`quantile_sketch_bin` output and
+    * the persistent stats store's on-disk form): [dense byte][count int]
+    * [key long, count long]…. Hand-rolled ByteBuffer — thread-safe,
+    * stable across Spark versions. Keys are written in ascending order
+    * so the blob itself is deterministic for a given buffer. */
+  def toBytes(buf: QBuffer): Array[Byte] = {
+    val entries = buf.counts.entrySet().toArray(
+      new Array[java.util.Map.Entry[java.lang.Long, Array[Long]]](buf.counts.size))
+    java.util.Arrays.sort(entries,
+      (a: java.util.Map.Entry[java.lang.Long, Array[Long]],
+       b: java.util.Map.Entry[java.lang.Long, Array[Long]]) =>
+        java.lang.Long.compare(a.getKey, b.getKey))
+    val bb = java.nio.ByteBuffer.allocate(5 + 16 * entries.length)
+    bb.put(if (buf.dense) 1: Byte else 0: Byte).putInt(entries.length)
+    entries.foreach(e => bb.putLong(e.getKey.longValue()).putLong(e.getValue()(0)))
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): QBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val dense = bb.get() == 1
+    val n = bb.getInt()
+    val buf = new QBuffer(new java.util.HashMap[java.lang.Long, Array[Long]](n * 2), dense)
+    var i = 0
+    while (i < n) { buf.counts.put(bb.getLong(), Array(bb.getLong())); i += 1 }
+    buf
+  }
+
   /** The house integer-arithmetic percentile rank: 1-indexed
     * ceil(n·p/100) = (n·p + 99) div 100 — the exact formula
     * q_length_quantiles pins, no interpolation. Returns the value (exact
@@ -172,6 +200,10 @@ private[graft] object QSketch {
 case class QuantileSketch(
     child: Expression,
     capacity: Int,
+    /** true = the `quantile_sketch_bin` form: eval returns the PUBLIC
+      * [[QSketch.toBytes]] blob instead of the quantile struct (the
+      * stored-sketch-column pattern; see [[DistinctSketch.emitBinary]]). */
+    emitBinary: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[QBuffer] with UnaryLike[Expression] {
@@ -196,10 +228,12 @@ case class QuantileSketch(
   override def merge(buf: QBuffer, other: QBuffer): QBuffer =
     QSketch.merge(buf, other, capacity)
 
-  override def eval(buf: QBuffer): Any = {
-    val (n, p50, p90, p99, mx) = QSketch.quantiles(buf)
-    InternalRow(n, p50, p90, p99, mx, !buf.dense)
-  }
+  override def eval(buf: QBuffer): Any =
+    if (emitBinary) QSketch.toBytes(buf)
+    else {
+      val (n, p50, p90, p99, mx) = QSketch.quantiles(buf)
+      InternalRow(n, p50, p90, p99, mx, !buf.dense)
+    }
 
   // buffer rides the shuffle as one unsafe row: (keys, counts, dense)
   @transient private lazy val bufProjection =
@@ -237,15 +271,18 @@ case class QuantileSketch(
     buf
   }
 
-  override def dataType: DataType = StructType(Seq(
-    StructField("n", LongType, nullable = false),
-    StructField("p50", LongType, nullable = false),
-    StructField("p90", LongType, nullable = false),
-    StructField("p99", LongType, nullable = false),
-    StructField("max", LongType, nullable = false),
-    StructField("exact", BooleanType, nullable = false)))
+  override def dataType: DataType =
+    if (emitBinary) org.apache.spark.sql.types.BinaryType
+    else StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("p50", LongType, nullable = false),
+      StructField("p90", LongType, nullable = false),
+      StructField("p99", LongType, nullable = false),
+      StructField("max", LongType, nullable = false),
+      StructField("exact", BooleanType, nullable = false)))
   override def nullable: Boolean = false
-  override def prettyName: String = "quantile_sketch"
+  override def prettyName: String =
+    if (emitBinary) "quantile_sketch_bin" else "quantile_sketch"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != LongType)

@@ -171,7 +171,12 @@ object Streaming {
     * ([[FreqStore]]) — corpus term frequencies kept current per
     * micro-batch, exactly-once via the sketch's stored batch id (a
     * crash between the sketch save and the plane save replays the batch
-    * and the sketch skips it). */
+    * and the sketch skips it).
+    *
+    * `corpusStats = true` likewise folds each batch into the persistent
+    * `<lake>/stats_sketch` document ([[StatsStore]]): distinct-token
+    * cardinality + token-length quantiles + doc/token totals — the live
+    * dataset-card numbers, same exactly-once contract. */
   def releaseLoadStream(
       spark: SparkSession,
       landingDir: String,
@@ -182,7 +187,8 @@ object Streaming {
       checkpointDir: String,
       maxFilesPerTrigger: Int = 1000,
       neardupSignatures: Boolean = false,
-      trendingTerms: Boolean = false): StreamingQuery = {
+      trendingTerms: Boolean = false,
+      corpusStats: Boolean = false): StreamingQuery = {
     import spark.implicits._
     recoverPartialLoads(spark, lakeDir, collectionId, upgradedId, plane)
     // the binaryFile source's fixed schema, declared explicitly (streaming
@@ -233,7 +239,7 @@ object Streaming {
           // duplicate-tolerant — readers distinct) rather than silently
           // losable. Batch-internal pairs are the batch engine's job at
           // compile/report time, not the per-arrival probe's.
-          if (neardupSignatures || trendingTerms) {
+          if (neardupSignatures || trendingTerms || corpusStats) {
             graft.Pipeline
               .collectionDocsOf(spark, lakeDir, p.collection(collectionId), Some(fresh))
               .foreach { docs =>
@@ -251,6 +257,12 @@ object Streaming {
                 if (trendingTerms)
                   FreqStore.appendBatch(
                     s"$lakeDir/freq_sketch", docs, "text", batchId,
+                    lineage = streamLineage(checkpointDir))
+                // live dataset-card stats: distinct-token cardinality +
+                // length quantiles, the same lineage-scoped exactly-once
+                if (corpusStats)
+                  StatsStore.appendBatch(
+                    s"$lakeDir/stats_sketch", docs, "text", batchId,
                     lineage = streamLineage(checkpointDir))
               }
           }

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** The persistent corpus-stats sketches (5th store): exact-regime union
+  * correctness across batches, same-lineage replay idempotence, the
+  * lineage-reset fold, param-mismatch rejection, save/load round-trip,
+  * driver-fold-vs-one-shot-aggregate parity, and a MemoryStream
+  * end-to-end. */
+class StatsStoreSpec extends AnyFunSuite {
+
+  private lazy val s = SparkSuite.spark
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-statsstore").toString
+
+  private def docs(texts: String*): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    texts.toDF("text")
+  }
+
+  test("two batches fold to exact union stats; replay is a no-op") {
+    val dir = tmpDir()
+    val s1 = StatsStore.appendBatch(dir, docs("a b c", "a a"), "text", batchId = 0L)
+    assert(s1.nDocs === 2L && s1.nTokens === 5L)
+    assert(s1.distinctTokens === ((3L, true)))
+    // lengths 2 and 3: p50 = 2nd-smallest at rank ceil(2*50/100)=1 -> 2
+    assert(s1.lengthQuantiles === ((2L, 2L, 3L, 3L, 3L)))
+    val s2 = StatsStore.appendBatch(dir, docs("c d e f g"), "text", batchId = 1L)
+    assert(s2.nDocs === 3L && s2.nTokens === 10L)
+    assert(s2.distinctTokens === ((7L, true)))
+    assert(s2.lengthQuantiles === ((3L, 3L, 5L, 5L, 5L)))
+    // replay of batch 1: nothing moves
+    val s3 = StatsStore.appendBatch(dir, docs("c d e f g"), "text", batchId = 1L)
+    assert(s3.nDocs === s2.nDocs && s3.distinctTokens === s2.distinctTokens)
+    // and the stored document round-trips
+    val loaded = StatsStore.load(dir).get
+    assert(loaded.distinctTokens === s2.distinctTokens)
+    assert(loaded.lengthQuantiles === s2.lengthQuantiles)
+    assert(loaded.nDocs === s2.nDocs && loaded.nTokens === s2.nTokens)
+  }
+
+  test("lineage reset: a new lineage's batch 0 folds instead of being dropped") {
+    val dir = tmpDir()
+    StatsStore.appendBatch(dir, docs("x y"), "text", batchId = 0L, lineage = "run-a")
+    StatsStore.appendBatch(dir, docs("z"), "text", batchId = 1L, lineage = "run-a")
+    val sk = StatsStore.appendBatch(dir, docs("w w"), "text", batchId = 0L, lineage = "run-b")
+    assert(sk.distinctTokens === ((4L, true)), "new-lineage batch dropped")
+    assert(sk.nDocs === 3L && sk.lastBatchId === 0L && sk.lineage === Some("run-b"))
+    // the guard re-arms within the new lineage
+    val sk2 = StatsStore.appendBatch(dir, docs("w w"), "text", batchId = 0L, lineage = "run-b")
+    assert(sk2.nDocs === 3L)
+  }
+
+  test("param mismatch with an existing store is rejected loudly") {
+    val dir = tmpDir()
+    StatsStore.appendBatch(dir, docs("a"), "text", batchId = 0L, precision = 12)
+    val e = intercept[IllegalArgumentException] {
+      StatsStore.appendBatch(dir, docs("b"), "text", batchId = 1L, precision = 14)
+    }
+    assert(e.getMessage.contains("param"))
+  }
+
+  test("driver fold across batches equals one aggregate over the union (both sketches)") {
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    def texts(n: Int): Seq[String] = Seq.fill(n)(
+      Seq.fill(5 + rnd.nextInt(20))(s"t${rnd.nextInt(300)}").mkString(" "))
+    val (a, b) = (texts(40), texts(40))
+    val dir = tmpDir()
+    StatsStore.appendBatch(dir, docs(a: _*), "text", batchId = 0L)
+    val folded = StatsStore.appendBatch(dir, docs(b: _*), "text", batchId = 1L)
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val union = (a ++ b).toDF("text")
+    val d = union.selectExpr("explode(split(text, ' ')) AS tok")
+      .selectExpr("distinct_sketch(tok, 14) AS sk").selectExpr("sk.est", "sk.exact").head()
+    assert(folded.distinctTokens === ((d.getLong(0), d.getBoolean(1))))
+    val q = union.selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS len")
+      .selectExpr("quantile_sketch(len, 4096) AS q")
+      .selectExpr("q.n", "q.p50", "q.p90", "q.p99", "q.max").head()
+    assert(folded.lengthQuantiles ===
+      ((q.getLong(0), q.getLong(1), q.getLong(2), q.getLong(3), q.getLong(4))))
+  }
+
+  test("foreachBatch end-to-end: a MemoryStream keeps the stats current") {
+    import s.implicits._
+    val dir = tmpDir()
+    val input = MemoryStream[String](s)
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        StatsStore.appendBatch(dir, batch.withColumnRenamed("value", "text"), "text", id)
+        ()
+      }
+      .start()
+    try {
+      input.addData("alpha beta", "alpha")
+      q.processAllAvailable()
+      assert(StatsStore.load(dir).get.distinctTokens === ((2L, true)))
+      input.addData("gamma delta epsilon")
+      q.processAllAvailable()
+      val sk = StatsStore.load(dir).get
+      assert(sk.distinctTokens === ((5L, true)))
+      assert(sk.nDocs === 3L && sk.nTokens === 6L)
+      assert(sk.lengthQuantiles === ((3L, 2L, 3L, 3L, 3L)))
+      assert(sk.lastBatchId === 1L)
+    } finally q.stop()
+  }
+
+  test("releaseLoadStream with corpusStats keeps <lake>/stats_sketch current") {
+    val baseDir = Files.createTempDirectory("graft-statsstream")
+    val landing = Files.createDirectories(baseDir.resolve("landing"))
+    val lake = Files.createDirectories(baseDir.resolve("lake")).toString
+    val ckpt = baseDir.resolve("ckpt").toString
+    val plane = new java.util.concurrent.atomic.AtomicReference(
+      graft.control.Control.Plane(Map(
+        73L -> graft.control.Control.Collection(73L, "api", "2020-01-01 00:00:00"))))
+    def pkg(rid: String, desc: String): String =
+      s"""{"uri": "http://x/$rid", "version": "1.1", "publisher": {"name": "P"},
+         | "publishedDate": "2020-01-01T00:00:00Z",
+         | "releases": [{"ocid": "ocds-st1", "id": "$rid",
+         |   "date": "2020-01-01T00:00:00Z", "tag": ["tender"],
+         |   "initiationType": "tender", "description": "$desc"}]}""".stripMargin
+    def runOnce(): Unit =
+      Streaming.releaseLoadStream(s, landing.toString, lake, 73L, None, plane,
+        ckpt, corpusStats = true).awaitTermination()
+
+    Files.writeString(landing.resolve("a.json"), pkg("r1", "zeta zeta"))
+    runOnce()
+    val sk1 = StatsStore.load(s"$lake/stats_sketch").get
+    assert(sk1.nDocs === 1L && sk1.distinctTokens._2, sk1)
+    Files.writeString(landing.resolve("b.json"), pkg("r2", "eta theta"))
+    runOnce()
+    val sk2 = StatsStore.load(s"$lake/stats_sketch").get
+    assert(sk2.nDocs === 2L)
+    assert(sk2.distinctTokens._1 > sk1.distinctTokens._1, s"$sk1 vs $sk2")
+  }
+}
