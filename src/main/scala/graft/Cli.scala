@@ -47,6 +47,7 @@ import graft.ocds.Metadata
   *   gopher-rules <lake> <collectionId>         (fixed rule-filter rollup)
   *   source-mix <lake> <collectionId>           (sqrt-temperature mix weights)
   *   length-stats <lake> <collectionId>         (per-source token-length quantiles)
+  *   corpus-stats <lake>                        (streaming stats-store readout)
   *   heavy-terms <lake> <collectionId> [--width N] [--min N] [--top N]
   *                                              (heavy-hitter n-grams, bounded
   *                                               freq_items sketch)
@@ -723,6 +724,25 @@ object Cli {
             }
       }
 
+    case "corpus-stats" :: lake :: Nil =>
+      // live dataset-card readout of the streaming stats store
+      // (<lake>/stats_sketch, populated by releaseLoadStream's
+      // corpusStats leg): distinct-token cardinality + token-length
+      // quantiles + totals, each flagged exact vs estimated
+      graft.streaming.StatsStore.load(s"$lake/stats_sketch") match {
+        case None =>
+          System.err.println(
+            s"no stats sketch at $lake/stats_sketch (stream with corpusStats = true)")
+          sys.exit(2)
+        case Some(st) =>
+          val (dt, exact) = st.distinctTokens
+          val (n, p50, p90, p99, mx) = st.lengthQuantiles
+          println(s"n_docs=${st.nDocs} n_tokens=${st.nTokens}" +
+            s" distinct_tokens=$dt exact=$exact")
+          println(s"len_n=$n len_p50=$p50 len_p90=$p90 len_p99=$p99 len_max=$mx" +
+            s" exact=${!st.lengths.dense}")
+      }
+
     case "closecollection" :: lake :: id :: nFiles :: Nil =>
       // closecollection.py: ROOT collections only; the upgraded child
       // latches in the same transaction (its compile gate waits on the
@@ -888,6 +908,7 @@ object Cli {
            |  gopher-rules <lake> <collectionId>
            |  source-mix <lake> <collectionId>
            |  length-stats <lake> <collectionId>
+           |  corpus-stats <lake>
            |  heavy-terms <lake> <collectionId> [--width N] [--min N] [--top N]
            |  api <lake> [--port N]""".stripMargin)
       sys.exit(2)

@@ -111,6 +111,19 @@ class StatsStoreSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Cli corpus-stats prints the stored readout") {
+    val lake = Files.createTempDirectory("graft-stats-cli").toString
+    StatsStore.appendBatch(s"$lake/stats_sketch",
+      docs("a b c", "a a"), "text", batchId = 0L)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.Cli.main(Array("corpus-stats", lake))
+    }
+    val text = out.toString("UTF-8")
+    assert(text.contains("n_docs=2 n_tokens=5 distinct_tokens=3 exact=true"), text)
+    assert(text.contains("len_n=2 len_p50=2 len_p90=3 len_p99=3 len_max=3"), text)
+  }
+
   test("releaseLoadStream with corpusStats keeps <lake>/stats_sketch current") {
     val baseDir = Files.createTempDirectory("graft-statsstream")
     val landing = Files.createDirectories(baseDir.resolve("landing"))
