@@ -1837,30 +1837,34 @@ object TextQueries {
         // weight) and the cross-source complement of q_split_leakage's
         // train/holdout direction. Per source: its DISTINCT W-token
         // shingle set; per source pair: shared distinct shingles +
-        // Jaccard. Plan: one gram-keyed shuffle for the (source, gram)
-        // distinct, then a self-join ON GRAM — per-gram fan-out is
-        // bounded by the source domain (each gram appears once per
-        // source after the distinct), so the join emits at most
-        // |sources|²/2 rows per gram and never all-pairs of documents.
-        // Per-source gram counts join back shuffle_hash (per-source
-        // rollups carry no size estimate; the scale gate's SMJ lesson).
-        // Output rows are only pairs that actually share a shingle —
-        // zero-overlap pairs carry no signal and would be |sources|²
-        // rows of zeroes at scale.
+        // Jaccard. Plan: the corpus shuffles ONCE — per-gram source SETS
+        // via collect_set, whose map-side partials are bounded by the
+        // source domain per gram — and everything downstream (per-source
+        // gram counts, ordered pairs) derives from that one aggregated
+        // frame by IN-ROW set expansion (≤ |sources|² rows per gram),
+        // never a second corpus scan or a document self-join. The
+        // original self-join spelling was measured in the r13 adaptive
+        // final plan: AQE reused the gram exchange across the join sides
+        // but the sizes branch re-scanned and re-shuffled the corpus —
+        // this spelling removes both. Size joins attach shuffle_hash
+        // (per-source rollups carry no size estimate; the scale gate's
+        // SMJ lesson). Output rows are only pairs that actually share a
+        // shingle — zero-overlap pairs carry no signal and would be
+        // |sources|² rows of zeroes at scale.
         val W = 3
         val toks = tokens(col("text"))
         graft.functions.GraftExtensions.ensureRegistered(s)
         val grams = call_function("token_grams", toks, lit(W))
-        val g = Tables.documents(s, d)
+        val ss = Tables.documents(s, d)
           .filter(size(toks) >= W)
           .select(col("source"), explode_outer(grams).as("gram"))
-          .distinct()
-        val sizes = g.groupBy("source").agg(count(lit(1)).as("n_grams"))
-        // self-join spelled via two aliases on the same distinct frame —
-        // AQE reuses the one gram-keyed exchange for both sides
-        val a = g.select(col("source").as("source_a"), col("gram"))
-        val b = g.select(col("source").as("source_b"), col("gram"))
-        a.join(b.hint("shuffle_hash"), Seq("gram"))
+          .groupBy("gram")
+          .agg(collect_set(col("source")).as("ss"))
+        val sizes = ss
+          .select(explode(col("ss")).as("source"))
+          .groupBy("source").agg(count(lit(1)).as("n_grams"))
+        ss.select(explode(col("ss")).as("source_a"), col("ss"))
+          .select(col("source_a"), explode(col("ss")).as("source_b"))
           .filter(col("source_a") < col("source_b"))
           .groupBy("source_a", "source_b")
           .agg(count(lit(1)).as("shared_grams"))
@@ -1915,10 +1919,17 @@ object TextQueries {
         // cross-multiplies into EXACT integer arithmetic —
         // |c_st·T − c_t·T_s| summed in DECIMAL, plus the mass of tokens
         // the source never emits (T·T_s − Σ_{t∈V_s} c_t·T_s), one double
-        // division by 2·T·T_s at the very end. Plan: one token-keyed
-        // shuffle for the (source, token) counts; the corpus table and
-        // the scalar total derive from it (vocabulary-bounded, broadcast
-        // back — the q_token_df layout); per-source rollup shuffle_hash.
+        // division by 2·T·T_s at the very end. Plan: the (source, token)
+        // count subtree plans under each derived table; the r13 adaptive
+        // FINAL plan (measured, not assumed) shows AQE reusing its
+        // exchange for the per-source branch and the token rollup's for
+        // the scalar total, leaving one extra column-pruned corpus
+        // re-scan on the corpus-count branch. Every exchange in the
+        // query ships vocabulary-bounded partials (map-side combine) —
+        // the corpus itself never shuffles — so that re-scan is the
+        // whole at-scale cost. Corpus table broadcast back
+        // (vocabulary-bounded, the q_token_df layout); per-source rollup
+        // shuffle_hash.
         val tc = Tables.documents(s, d)
           .select(col("source"), explode(tokens(col("text"))).as("token"))
           .groupBy("source", "token")

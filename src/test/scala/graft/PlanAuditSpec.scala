@@ -38,4 +38,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"SortMergeJoin in: ${offenders.mkString(", ")} — a broadcast hint " +
         "was lost or a side outgrew its designed shape")
   }
+
+  test("q_source_overlap's EXECUTED plan reuses the gram exchange (one corpus shuffle)") {
+    // The r13 collect_set rewrite's whole point: the corpus shuffles once
+    // (the gram-keyed set aggregation) and both downstream consumers
+    // (pair expansion, per-source sizes) reuse stages instead of
+    // re-scanning. Static plans can't show this — AQE stage reuse only
+    // materializes in the adaptive FINAL plan — so drive this
+    // QueryExecution and assert on its executed form: at least two
+    // ReusedExchange nodes (the gram agg + the source rollup) and
+    // exactly one documents scan outside the printed initial-plan
+    // section. A regression to the self-join-with-fresh-aliases spelling
+    // (which re-scanned the corpus for the sizes branch) fails here.
+    val df = Queries.byName("q_source_overlap").run(s, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val finalSection = plan.split("== Initial Plan ==").head
+    assert(finalSection.linesIterator.count(_.contains("ReusedExchange")) >= 2,
+      s"expected >= 2 reused stages in the final plan:\n$finalSection")
+    assert(finalSection.linesIterator.count(_.contains("FileScan parquet")) === 1,
+      s"expected exactly one corpus scan in the final plan:\n$finalSection")
+  }
 }

@@ -125,20 +125,23 @@ class ScaleShapeSpec extends AnyFunSuite {
     // argmax window / confusion rollup / sort
     "q_langid_nb" -> 18,
     // r13 corpus-analytics family. gopher_rules: one map-side-combined
-    // source rollup (agg pair). source_overlap: per-gram collect_set
-    // spelled as a self-join on the distinct (source, gram) frame — the
-    // gram-keyed distinct subtree plans on both join sides plus the
-    // pair/size rollups (identical exchanges dedup at runtime via AQE
-    // stage reuse, the langid_nb/BucketPairs precedent). divergence: the
+    // source rollup (agg pair). source_overlap: see the budget entry
+    // below (collect_set rewrite). divergence: the
     // (source, token) count subtree plans under each derived table
-    // (corpus/source/total) — same AQE-dedup story — plus the
+    // (corpus/source/total) — the measured adaptive final plan reuses
+    // two of the three branches' exchanges, and every exchange ships
+    // vocabulary-bounded partials either way — plus the
     // shuffle_hash per-source join pair and the final rollup. bm25: the
     // term-filtered tf agg + its df re-agg + the 1-row totals + the
     // per-doc rollup and ordered limit. topic_mix: the id-keyed
     // shuffle_hash doc join pair + (source, cell) agg + the per-source
     // window over the aggregated frame.
     "q_gopher_rules" -> 4,
-    "q_source_overlap" -> 24,
+    // overlap re-pinned after the r13 collect_set rewrite: the corpus
+    // shuffles once (gram-keyed set agg, runtime-reused for the pairs
+    // branch) + the source rollup (reused for the 2nd size join) + the
+    // pair agg and shuffle_hash join pairs
+    "q_source_overlap" -> 18,
     "q_source_divergence" -> 24,
     "q_bm25_topk" -> 14,
     "q_topic_mix" -> 10,
