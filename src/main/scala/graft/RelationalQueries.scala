@@ -387,6 +387,217 @@ object RelationalQueries {
       "One-pass column profiler over orders (the summarize/DESCRIBE data-quality " +
         "readout): per-column null count, exact distinct count, numeric min/max " +
         "(timestamps as epoch micros), string min/max — one aggregation, one " +
-        "stack() unpivot")
+        "stack() unpivot"),
+
+    QueryDef(
+      "q_rollup_agg", Seq("A1", "A4", "O1"),
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("returnflag"),
+          when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus"),
+      Some("""SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+                     CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+                     count(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              ORDER BY returnflag, linestatus"""),
+      "Multi-level subtotals in ONE pass (ROLLUP): detail + per-flag + grand-total " +
+        "rows from a single Expand + hash aggregation — per-level summaries without " +
+        "re-scanning per level (at 100 TB: one shuffle instead of one per level); " +
+        "rolled-out keys labeled via GROUPING so the total ORDER BY stays null-free"),
+
+    QueryDef(
+      "q_cube_agg", Seq("A1", "A4", "O1"),
+      (s, d) => Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("sum_price"),
+          grouping(col("o_orderstatus")).as("g_st"),
+          grouping(col("o_orderpriority")).as("g_pr"))
+        .select(
+          when(col("g_st") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+          when(col("g_pr") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority"),
+      Some("""SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+                     CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+                     count(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              ORDER BY status, priority"""),
+      "All 2^2 grouping combinations in ONE pass (CUBE): the status x priority " +
+        "dashboard matrix with both one-dimension margins and the grand total from " +
+        "a single Expand + hash aggregation"),
+
+    QueryDef(
+      "q_pivot_status", Seq("A4", "P1", "O1"),
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("rev"))
+        .select(
+          col("o_orderpriority"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"), col("F_rev").as("f_rev"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"), col("O_rev").as("o_rev"),
+          coalesce(col("P_n"), lit(0L)).as("p_n"), col("P_rev").as("p_rev"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                     count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS f_rev,
+                     count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS o_rev,
+                     count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS p_rev
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority"""),
+      "Long-to-wide PIVOT with a PINNED value list (never the value-discovery scan " +
+        "Spark would otherwise run first): per-priority order counts + exact " +
+        "decimal revenue per status column; absent cells 0 for counts, NULL for " +
+        "sums, matching SQL FILTER semantics on both sides"),
+
+    QueryDef(
+      "q_zorder_layout", Seq("S7", "P2", "O1"),
+      (s, d) => {
+        // Multi-dimensional data skipping via a Z-ORDER (Morton) layout —
+        // the storage-side pruning mechanism for 2-D box scans
+        // (date x customer here) that one-dimensional sorting cannot
+        // serve: sorted by date alone, a customer predicate touches
+        // EVERY file; sorted by the bit-interleaved key, every file
+        // covers a compact rectangle of (day, custkey) space, so parquet
+        // row-group min/max stats stay tight on BOTH columns and the
+        // scan's pushed filters skip every file whose rectangle misses
+        // the box (ZorderLayoutSpec measures scanner-emitted rows,
+        // z-order vs linear, same data + query). The layout is built
+        // once per JVM: one range-repartition by the key (boundaries
+        // come from Spark's sampling, so file SPLITS may vary across
+        // runs — the query result is layout-invariant, which is exactly
+        // what the raw-table oracle checks) + an in-partition sort. At
+        // 100 TB this is the write-once clustering choice of a lakehouse
+        // table: one shuffle at ingest, amortized over every box scan
+        // after it. The box itself is DATA-RELATIVE — a min/max-bounds
+        // job (parquet footer stats, 4 longs to the driver — the k-row
+        // pre-aggregated-fetch allowance, like centroid training) turns
+        // the 50-75% day x 25-50% custkey window into LITERAL predicates
+        // the reader can skip on; hardcoded day constants went stale the
+        // first time the generator's date span moved. A balanced
+        // quarter-by-quarter box is also the honest demonstration: a
+        // 1-D sort serves an extremely tight predicate on its own column
+        // better, z-order wins when BOTH dimensions select.
+        val bounds = zorderBounds(s, d)
+        val (dLo, dHi, cLo, cHi) = zorderBox(bounds)
+        val z = Tables.materializeLayout("orders_zorder", d,
+          Tables.orders(s, d)
+            .withColumn("o_us", unix_micros(col("o_orderdate").cast(TimestampType)))
+            .withColumn("day", expr("o_us DIV 86400000000"))
+            .drop("o_us")
+            .withColumn("zkey", zorderNormKey(col("day"), col("o_custkey"), bounds))
+            .repartitionByRange(64, col("zkey"))
+            .sortWithinPartitions("zkey"))
+        z.filter(col("day").between(dLo, dHi) &&
+            col("o_custkey").between(cLo, cHi))
+          .select(col("o_orderkey"), col("o_custkey"), col("day"),
+            col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH d AS (SELECT o_orderkey, o_custkey,
+                     epoch_us(o_orderdate) // 86400000000 AS day,
+                     o_totalprice
+              FROM orders),
+              b AS (SELECT min(day) AS mnd, max(day) AS mxd,
+                           min(o_custkey) AS mnc, max(o_custkey) AS mxc
+                    FROM d)
+              SELECT o_orderkey, o_custkey, day, o_totalprice
+              FROM d, b
+              WHERE day BETWEEN mnd + (mxd - mnd) * 50 // 100
+                            AND mnd + (mxd - mnd) * 75 // 100
+                AND o_custkey BETWEEN mnc + (mxc - mnc) * 25 // 100
+                                  AND mnc + (mxc - mnc) * 50 // 100
+              ORDER BY o_orderkey"""),
+      "Z-order clustered layout: bit-interleaved (day, custkey) sort key makes " +
+        "parquet min/max stats tight on BOTH dimensions, so a 2-D box scan " +
+        "row-group-skips nearly everything (measured in ZorderLayoutSpec); the " +
+        "result is layout-invariant — the oracle runs the same box on the raw " +
+        "table")
   )
+
+  /** Morton/Z-order bit-spread: the 32 low bits of `x` spread to even bit
+    * positions of a 64-bit value (the classic mask-shift ladder, 5
+    * steps). Pure codegen'd integer ops — ~6 bitwise instructions per
+    * step, composed from built-ins (the brief's option (a)): no UDF, no
+    * custom Expression, and short enough to stay far from the JIT
+    * huge-method cliff the flat 64-term dot-product chain hit (r5). */
+  private def zSpread(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0xFFFFFFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    v = (v.bitwiseOR(shiftleft(v, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    v = (v.bitwiseOR(shiftleft(v, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    v = (v.bitwiseOR(shiftleft(v, 2))).bitwiseAND(lit(0x3333333333333333L))
+    (v.bitwiseOR(shiftleft(v, 1))).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Z-order (Morton) key of two 32-bit dimensions: bits interleave
+    * (`a` on even positions, `b` on odd), so points close in BOTH
+    * dimensions are close on the key and a sort by it clusters every
+    * output file around a compact 2-D rectangle. */
+  private[graft] def zorderKey(a: Column, b: Column): Column =
+    zSpread(a).bitwiseOR(shiftleft(zSpread(b), 1))
+
+  /** (min day, max day, min custkey, max custkey) of orders — one
+    * min/max footer-stats job, 4 longs to the driver (the k-row
+    * pre-aggregated-fetch allowance, like centroid training). Feeds both
+    * the normalized z-key and the data-relative box as LITERALS. */
+  private[graft] def zorderBounds(s: SparkSession, d: String): (Long, Long, Long, Long) = {
+    val b = Tables.orders(s, d)
+      .select(
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("day"),
+        col("o_custkey"))
+      .agg(min("day"), max("day"), min("o_custkey"), max("o_custkey"))
+      .head()
+    (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+  }
+
+  /** The z-key actually laid down: each dimension first normalized to a
+    * 10-bit [0, 1024) position within its own min..max span, THEN
+    * interleaved. Raw interleaving is a trap whenever the dimensions'
+    * magnitudes differ — here day carries constant high bits (~2^13)
+    * and a ~2^11 span while custkey spans ~2^10, so the raw key's top
+    * varying bits alternate unevenly and equal-frequency file boundaries
+    * land mid-cell, inflating every file's (day, custkey) bounding box
+    * (measured: raw-key layout emitted 4237 rows on the spec's box where
+    * the normalized key emits ~1700). Normalizing makes both dimensions
+    * uniform 10-bit ranks, so the interleaved key's bit ladder splits
+    * the space into balanced alternating slabs — the same move
+    * production z-order writers make (range-partition ids per column,
+    * e.g. Delta OPTIMIZE ZORDER BY) expressed as two literal-bound
+    * affine maps (equal-width, which on near-uniform columns equals the
+    * rank map without the extra per-column sort). */
+  private[graft] def zorderNormKey(day: Column, ck: Column,
+      bounds: (Long, Long, Long, Long)): Column = {
+    val (mnd, mxd, mnc, mxc) = bounds
+    val dayN = (day - lit(mnd)) * lit(1024L) / lit(mxd - mnd + 1)
+    val ckN = (ck - lit(mnc)) * lit(1024L) / lit(mxc - mnc + 1)
+    zorderKey(dayN.cast(LongType), ckN.cast(LongType))
+  }
+
+  /** The data-relative 2-D box q_zorder_layout scans: the 50-75% window
+    * of the day span x the 25-50% window of the custkey span — balanced
+    * quarter-ish selectivity on BOTH dimensions, the regime where
+    * multi-dimensional clustering beats any 1-D sort. Pure integer
+    * arithmetic on non-negative spans, so DuckDB's `//` (floor) and JVM
+    * `/` (truncate) agree and the oracle re-derives the identical box
+    * from the same table. */
+  private[graft] def zorderBox(bounds: (Long, Long, Long, Long)): (Long, Long, Long, Long) = {
+    val (mnd, mxd, mnc, mxc) = bounds
+    (mnd + (mxd - mnd) * 50 / 100, mnd + (mxd - mnd) * 75 / 100,
+      mnc + (mxc - mnc) * 25 / 100, mnc + (mxc - mnc) * 50 / 100)
+  }
 }

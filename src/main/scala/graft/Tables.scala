@@ -81,6 +81,24 @@ object Tables {
     s.read.parquet(path)
   }
 
+  /** [[materialize]] that preserves the CALLER's partitioning and in-
+    * partition order — the seam for clustered layouts (Z-order, sorted
+    * buckets) where the whole point is the row arrangement: `materialize`
+    * would destroy it with its own round-robin repartition. The frame is
+    * written exactly as given, so each output file's parquet min/max
+    * stats reflect the caller's clustering and consumers get the
+    * row-group skipping the layout was built for (q_zorder_layout,
+    * ZorderLayoutSpec). */
+  def materializeLayout(key: String, dir: String, df: => DataFrame): DataFrame = {
+    val s = SparkSession.active
+    val path = matCache.computeIfAbsent(s"$key-layout-${dir.hashCode.toHexString}", { k =>
+      val p = s"$matBase/$k"
+      df.write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** [[materialize]] with a Hive-style partition layout: the frame is
     * written `partitionBy(col)` so consumers that filter on `col` read
     * ONLY the matching directories (PartitionFilters in the scan — the

@@ -2118,6 +2118,157 @@ object TextQueries {
         "hash-matches COUNT(DISTINCT), the same plan estimates at 100 TB"),
 
     QueryDef(
+      "q_bottomk_sample", Seq("A2", "A4", "F5"),
+      (s, d) => {
+        // per-source KMV (k-minimum-values) sketch over the 3-gram
+        // shingle stream through the native bounded `bottomk` aggregate:
+        // ONE k-long summary that both estimates distinct cardinality
+        // and carries a uniform deterministic sample of the shingle
+        // space. The window/ORDER BY spelling of "k smallest distinct
+        // hashes" shuffles each source's whole distinct stream to a
+        // sort; this plan's map-side partials cap at k longs per
+        // (partition, source), so the shuffle ships partitions x sources
+        // x 1 KB at any corpus size. Two-regime and self-describing
+        // (the freq_items/distinct_sketch discipline) — but unlike
+        // distinct_sketch's register-only dense regime, BOTH regimes
+        // here are plain SQL over the k kept values, so the DuckDB
+        // oracle hash-checks the ESTIMATE too: below k distinct hashes
+        // the array IS the distinct hash set (est exact); past it the
+        // k-th smallest hash h_k estimates (k-1)·2^60/h_k (Bar-Yossef
+        // et al. 2002; Beyer et al. 2007), one double division from
+        // integer state on both engines. At verify scale sources carry
+        // ~1.3-1.6k distinct grams >> k=128, so the driver's hash gate
+        // exercises the estimate path (measured err 0.6-7.5% vs the
+        // sigma = 1/sqrt(k-2) ~ 8.9% contract, referee-pinned in
+        // BottomKSpec). The hash is the house content-stable md5-60-bit
+        // value, so any engine re-derives every column including the
+        // sample fingerprint.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        val k = 128
+        val toks = tokens(col("text"))
+        val grams = call_function("token_grams", toks, lit(3))
+        val h = conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType)
+        Tables.documents(s, d)
+          .filter(size(toks) >= 3)
+          .select(col("source"), explode_outer(grams).as("gram"))
+          .select(col("source"), h.as("h"))
+          .groupBy("source")
+          .agg(call_function("bottomk", col("h"), lit(k)).as("mins"))
+          .select(
+            col("source"),
+            size(col("mins")).cast(LongType).as("n_sketch"),
+            element_at(col("mins"), size(col("mins"))).as("h_k"),
+            (size(col("mins")) < k).as("exact"),
+            when(size(col("mins")) < k, size(col("mins")).cast(LongType))
+              .otherwise(floor(lit((k - 1).toDouble * 1152921504606846976.0) /
+                element_at(col("mins"), size(col("mins"))).cast(DoubleType))
+                .cast(LongType))
+              .as("est_distinct"),
+            element_at(col("mins"), 1).as("sample_min"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+                SELECT source, string_split(text, ' ') AS tk FROM documents
+                WHERE len(string_split(text, ' ')) >= 3),
+              g AS (
+                SELECT DISTINCT source,
+                       ('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT AS h
+                FROM t, unnest(generate_series(1, len(tk) - 2)) AS s(i)),
+              rk AS (
+                SELECT source, h,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS nd
+                FROM g)
+              SELECT source,
+                     CAST(LEAST(nd, 128) AS BIGINT) AS n_sketch,
+                     max(CASE WHEN rn = LEAST(nd, 128) THEN h END) AS h_k,
+                     (nd < 128) AS exact,
+                     CASE WHEN nd < 128 THEN CAST(nd AS BIGINT)
+                          ELSE CAST(floor(127.0 * 1152921504606846976.0 /
+                                 CAST(max(CASE WHEN rn = LEAST(nd, 128) THEN h END) AS DOUBLE))
+                               AS BIGINT) END AS est_distinct,
+                     max(CASE WHEN rn = 1 THEN h END) AS sample_min
+              FROM rk GROUP BY source, nd ORDER BY source"""),
+      "KMV bottom-k sketch (k smallest distinct content-stable hashes, native " +
+        "bounded mergeable aggregate): one k-long summary per source that is both " +
+        "a distinct-count estimator — (k-1)*2^60/h_k past the bound, exact below " +
+        "it, self-describing flag, and the ESTIMATE itself is SQL-replayable so " +
+        "the oracle hash-checks it at verify scale — and a uniform deterministic " +
+        "sample, the RNG-free reservoir-sample replacement"),
+
+    QueryDef(
+      "q_dataset_card", Seq("A1", "A2", "A3", "A4", "F5"),
+      (s, d) => {
+        // the dataset-card readout in ONE aggregation — the batch twin
+        // of the streaming StatsStore: per source, doc/token totals,
+        // vocabulary through the native two-regime distinct_sketch, and
+        // token-length quantiles through the native two-regime
+        // quantile_sketch, all riding a single posexplode + hash
+        // aggregation (doc-grain stats gated on pos = 0 so the explode
+        // does not inflate them). The exact spelling needs one corpus
+        // shuffle per grain — a distinct per token plus a rank sort per
+        // doc; this plan ships bounded sketch buffers per (partition,
+        // source) through ONE exchange. Both sketches sit in their exact
+        // regime at verify scale (self-describing flags), so the plain
+        // COUNT(DISTINCT) + integer-rank-percentile oracle hash-matches;
+        // the SAME plan estimates past the bounds at 100 TB.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        val toks = tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("source"), size(toks).cast(LongType).as("len"),
+            posexplode_outer(toks).as(Seq("pos", "token")))
+          .groupBy("source")
+          .agg(
+            sum(when(col("pos") === 0, 1L).otherwise(0L)).as("n_docs"),
+            sum(when(col("pos") === 0, col("len")).otherwise(0L)).as("n_tokens"),
+            call_function("distinct_sketch", col("token"), lit(14)).as("dsk"),
+            call_function("quantile_sketch",
+              when(col("pos") === 0, col("len")), lit(4096)).as("qsk"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("dsk.est").as("vocab"), col("dsk.exact").as("vocab_exact"),
+            col("qsk.p50").as("p50_tokens"), col("qsk.p90").as("p90_tokens"),
+            col("qsk.max").as("max_tokens"), col("qsk.exact").as("len_exact"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+                SELECT source, doc_id, string_split(text, ' ') AS tk
+                FROM documents),
+              doc AS (
+                SELECT source, doc_id, CAST(len(tk) AS BIGINT) AS len FROM t),
+              rk AS (
+                SELECT source, len,
+                       ROW_NUMBER() OVER (PARTITION BY source
+                         ORDER BY len ASC, doc_id ASC) AS rn,
+                       COUNT(*) OVER (PARTITION BY source) AS n
+                FROM doc),
+              lens AS (
+                SELECT source,
+                       max(CASE WHEN rn = (n * 50 + 99) // 100 THEN len END) AS p50_tokens,
+                       max(CASE WHEN rn = (n * 90 + 99) // 100 THEN len END) AS p90_tokens,
+                       max(len) AS max_tokens
+                FROM rk GROUP BY source),
+              voc AS (
+                SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+                FROM (SELECT source, unnest(tk) AS tok FROM t)
+                GROUP BY source),
+              tot AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len) AS BIGINT) AS n_tokens
+                FROM doc GROUP BY source)
+              SELECT tot.source, n_docs, n_tokens,
+                     vocab, TRUE AS vocab_exact,
+                     p50_tokens, p90_tokens, max_tokens, TRUE AS len_exact
+              FROM tot JOIN voc ON tot.source = voc.source
+                       JOIN lens ON tot.source = lens.source
+              ORDER BY tot.source"""),
+      "The dataset-card readout in ONE bounded aggregation (the batch twin of the " +
+        "streaming stats store): per-source docs/tokens, vocabulary via the native " +
+        "distinct sketch, length quantiles via the native quantile sketch — one " +
+        "posexplode + one shuffle of bounded buffers where the exact spelling " +
+        "shuffles the corpus per grain; exact-regime flags make the plain-SQL " +
+        "oracle hash-match at verify scale"),
+
+    QueryDef(
       "q_heavy_terms", Seq("A4", "J7", "F5"),
       (s, d) => {
         // heavy-hitter 3-grams via the bounded mergeable freq_items

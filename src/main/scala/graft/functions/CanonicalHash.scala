@@ -237,6 +237,15 @@ object GraftExtensions {
           intLit(children(1), "quantile_sketch", "capacity", 1, 1 << 22, "[1, 2^22]"))
       }),
     (
+      FunctionIdentifier("bottomk"),
+      new ExpressionInfo(classOf[BottomK].getName, "bottomk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"bottomk expects exactly 2 arguments (hash, k), got ${children.size}")
+        BottomK(children.head,
+          intLit(children(1), "bottomk", "k", 1, 1 << 20, "[1, 2^20]"))
+      }),
+    (
       FunctionIdentifier("bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
       (children: Seq[Expression]) => {

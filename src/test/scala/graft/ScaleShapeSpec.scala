@@ -160,7 +160,29 @@ class ScaleShapeSpec extends AnyFunSuite {
     // native quantile sketch: same shape — one source-keyed agg pair of
     // bounded value->count partials, vs the exact query's per-source
     // rank-sort window (q_length_quantiles pins 6 for that spelling)
-    "q_length_sketch" -> 4)
+    "q_length_sketch" -> 4,
+    // r13 second wave. rollup/cube: ONE Expand + agg pair + the ordered
+    // output — a breach means a per-level re-aggregation appeared.
+    // pivot: one agg pair + sort (the pinned value list keeps the
+    // value-discovery scan out of the plan entirely). zorder: the box
+    // scan reads the materialized clustered layout — only the final sort
+    // exchanges; a breach means the layout read started shuffling.
+    // bottomk: one source-keyed agg pair of <= k-long buffers + sort —
+    // the whole point is that NO distinct-cardinality exchange and NO
+    // per-source rank sort of the stream exists. dataset_card: the same
+    // single agg-pair shape carrying all four sketch/total columns.
+    "q_rollup_agg" -> 4,
+    "q_cube_agg" -> 4,
+    // pivot is Spark's canonical TWO-PHASE plan: one corpus agg pair by
+    // (priority, status) — the only exchange that scales with data —
+    // then the pivot re-agg + sort over the <= 15 surviving group rows.
+    // 6 lines = 3 exchanges, two of them group-cardinality-bounded; a
+    // breach means a fourth (e.g. the value-discovery scan's own agg)
+    // appeared.
+    "q_pivot_status" -> 6,
+    "q_zorder_layout" -> 2,
+    "q_bottomk_sample" -> 4,
+    "q_dataset_card" -> 4)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -243,7 +265,9 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_langid_nb", "q_gopher_rules", "q_source_overlap",
                 "q_source_divergence", "q_bm25_topk", "q_topic_mix",
                 "q_asof_join", "q_range_join", "q_distinct_sketch",
-                "q_length_sketch"))
+                "q_length_sketch",
+                "q_rollup_agg", "q_cube_agg", "q_pivot_status",
+                "q_zorder_layout", "q_bottomk_sample", "q_dataset_card"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
