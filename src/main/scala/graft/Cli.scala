@@ -668,6 +668,47 @@ object Cli {
           }
       }
 
+    case "overlap" :: lake :: idA :: idB :: Nil =>
+      // KMV-sketch overlap estimate between TWO loaded collections (the
+      // q_kmv_overlap engine keyed by collection): how much of each
+      // other's shingle space two crawls share — the mirror-detection
+      // readout a corpus build runs before weighting sources, from one
+      // bounded-buffer pass over each collection, never a cross-
+      // collection shingle join
+      val spark = session()
+      graft.functions.GraftExtensions.ensureRegistered(spark)
+      val plane = loadPlane(lake)
+      val (ca, cb) = (idArg(idA), idArg(idB))
+      if (ca == cb) {
+        System.err.println("overlap needs two DIFFERENT collection ids")
+        sys.exit(2)
+      }
+      def labeled(cid: Long): Option[org.apache.spark.sql.DataFrame] =
+        collectionDocs(spark, lake, plane, cid).map(_.select(
+          // label key ordered by numeric id so source_a is always the
+          // lower id regardless of lexicographic accidents ("10" < "9")
+          format_string("collection %019d", lit(cid)).as("ckey"),
+          col("text")))
+      (labeled(ca), labeled(cb)) match {
+        case (Some(da), Some(db)) =>
+          val sk = TextQueries.kmvSketchOf(da.unionByName(db), key = "ckey")
+          TextQueries.kmvOverlapOf(sk).collect().foreach { r =>
+            val exact = r.getAs[Boolean]("exact")
+            println(s"collections=$ca,$cb" +
+              s" est_union=${r.getAs[Long]("est_union")}" +
+              s" est_inter=${r.getAs[Long]("est_inter")}" +
+              " jaccard=" + String.format(java.util.Locale.ROOT, "%.6f",
+                Double.box(r.getAs[Long]("jaccard_ppm") / 1e6)) +
+              s" exact=$exact")
+          }
+        case (da, db) =>
+          val missing = Seq(ca -> da, cb -> db).collect { case (id, None) => id }
+          System.err.println(s"collection${if (missing.size > 1) "s" else ""} " +
+            s"${missing.mkString(", ")} ${if (missing.size > 1) "have" else "has"} " +
+            "no documents (release/record rows)")
+          sys.exit(2)
+      }
+
     case "length-stats" :: lake :: id :: Nil =>
       // per-source token-length quantiles (exact rank-based p50/p90/p99)
       // over a loaded collection's raw documents — the
@@ -907,6 +948,7 @@ object Cli {
            |  quality-gate <lake> <collectionId>
            |  gopher-rules <lake> <collectionId>
            |  source-mix <lake> <collectionId>
+           |  overlap <lake> <collectionIdA> <collectionIdB>
            |  length-stats <lake> <collectionId>
            |  corpus-stats <lake>
            |  heavy-terms <lake> <collectionId> [--width N] [--min N] [--top N]

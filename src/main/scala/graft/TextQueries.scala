@@ -654,6 +654,84 @@ object TextQueries {
       .orderBy(col("n").desc, col("gram"))
   }
 
+  /** Per-key KMV sketch frame over the `width`-token shingle stream: one
+    * row per key holding the k smallest DISTINCT content-stable shingle
+    * hashes ascending (the native bounded `bottomk` aggregate — see
+    * [[graft.functions.BottomK]]). The seam shared by q_kmv_overlap
+    * (key = source) and `Cli overlap` (key = a collection label): ONE
+    * corpus shuffle of k-long buffers regardless of corpus size, where
+    * the exact spelling (q_source_overlap) shuffles every distinct
+    * shingle. Hash = house md5-60-bit, so any engine re-derives the
+    * sketch bit-identically. Callers must have registered
+    * GraftExtensions on the session (token_grams / bottomk). */
+  private[graft] def kmvSketchOf(
+      docs: DataFrame, key: String = "source", k: Int = 128,
+      width: Int = 3): DataFrame = {
+    val toks = tokens(col("text"))
+    val grams = call_function("token_grams", toks, lit(width))
+    val h = conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType)
+    docs
+      .filter(size(toks) >= width)
+      .select(col(key), explode_outer(grams).as("gram"))
+      .select(col(key), h.as("h"))
+      .groupBy(key)
+      .agg(call_function("bottomk", col("h"), lit(k)).as("mins"))
+  }
+
+  /** Pairwise overlap estimates from per-key KMV sketches ALONE — no
+    * second corpus pass. Sketch algebra (Beyer et al. 2007 §4: a KMV
+    * union is the bottom-k of the merged minima; the Jaccard estimator
+    * is the fraction of union minima present in both sketches):
+    * per ordered pair (a < b over the sketch frame's first column),
+    *   ku       = bottom-k of ma ∪ mb (the union's own KMV sketch)
+    *   k_both   = |{h ∈ ku : h ∈ ma ∧ h ∈ mb}|
+    *   est_union = |ku| below the bound (both sketches are then complete
+    *               distinct sets — the self-describing exact regime),
+    *               else (k-1)·2^60/h_k off the union sketch's k-th min
+    *   est_inter = k_both exactly in the exact regime, else the Jaccard
+    *               estimate k_both/|ku| times est_union
+    *   jaccard_ppm = floor(k_both·10^6/|ku|) — integer ppm in BOTH
+    *               regimes (k_both/|ku| IS the true Jaccard when exact)
+    * Every column is plain SQL over the kept integer state, so the
+    * DuckDB oracle hash-checks the ESTIMATES too (the q_bottomk_sample
+    * discipline). All pairs appear — the sketch frame is key-domain-
+    * bounded, so the inequality self-join is a broadcast of aggregate
+    * output, never a corpus join; contrast q_source_overlap, which
+    * emits only overlapping pairs because ITS pair stream is
+    * corpus-cardinality. Double arithmetic is ordered identically to
+    * the oracle's (left-assoc, one division) for bit-stable floors. */
+  private[graft] def kmvOverlapOf(sketches: DataFrame, k: Int = 128): DataFrame = {
+    val key = sketches.columns.head
+    val a = sketches.select(col(key).as("source_a"), col("mins").as("ma"))
+    val b = sketches.select(col(key).as("source_b"), col("mins").as("mb"))
+    // the inequality join is explicitly broadcast: the build side is
+    // aggregate output (key-domain-bounded, <= |keys| k-long rows), and
+    // without the hint a non-equi inner join with estimates unavailable
+    // planned a CartesianProduct (the scale gate's robust-joins probe)
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("ku", slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+      .withColumn("n_union_minima", size(col("ku")).cast(LongType))
+      .withColumn("k_both", size(filter(col("ku"),
+        x => array_contains(col("ma"), x) && array_contains(col("mb"), x)))
+        .cast(LongType))
+      .withColumn("h_k", element_at(col("ku"), size(col("ku"))))
+      .withColumn("exact", col("n_union_minima") < k)
+      .withColumn("est_union",
+        when(col("exact"), col("n_union_minima"))
+          .otherwise(floor(lit((k - 1).toDouble * 1152921504606846976.0)
+            / col("h_k").cast(DoubleType)).cast(LongType)))
+      .withColumn("est_inter",
+        when(col("exact"), col("k_both"))
+          .otherwise(floor(col("k_both").cast(DoubleType)
+            / col("n_union_minima") * col("est_union")).cast(LongType)))
+      .withColumn("jaccard_ppm",
+        floor(col("k_both").cast(DoubleType) * lit(1000000.0)
+          / col("n_union_minima")).cast(LongType))
+      .select("source_a", "source_b", "n_union_minima", "k_both", "h_k",
+        "exact", "est_union", "est_inter", "jaccard_ppm")
+      .orderBy("source_a", "source_b")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_explode_tokens", Seq("F2", "J7", "A5"),
@@ -2195,6 +2273,88 @@ object TextQueries {
         "it, self-describing flag, and the ESTIMATE itself is SQL-replayable so " +
         "the oracle hash-checks it at verify scale — and a uniform deterministic " +
         "sample, the RNG-free reservoir-sample replacement"),
+
+    QueryDef(
+      "q_kmv_overlap", Seq("A2", "A4", "J1"),
+      (s, d) => {
+        // the sketch-only twin of q_source_overlap: the same pairwise
+        // source-contamination matrix, estimated ENTIRELY from the
+        // per-source k-long KMV sketches — ONE corpus shuffle of bounded
+        // buffers, then |sources|-bounded sketch algebra, where the
+        // exact matrix shuffles every distinct shingle and expands
+        // per-gram source sets. The 100 TB shape: the exact query is
+        // the audit you run once; this one is cheap enough to run per
+        // ingest batch, and its union sketches compose (merging two
+        // sources' sketches = the union's sketch, associative), so
+        // per-source sketches persist and re-combine without touching
+        // the corpus again — the streaming StatsStore contract. Both
+        // regimes are plain SQL over kept integer state (see
+        // kmvOverlapOf), so the oracle hash-checks the estimates;
+        // KmvOverlapSpec referees them against the TRUE pairwise
+        // overlap (union within 1/sqrt(k-2), Jaccard within the
+        // binomial bound). All pairs appear, zero-overlap included —
+        // the pair stream here is source-domain-bounded, not
+        // corpus-cardinality, so the at-scale row-count concern that
+        // makes q_source_overlap drop empty pairs does not apply.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        kmvOverlapOf(kmvSketchOf(Tables.documents(s, d)))
+      },
+      Some("""WITH t AS (
+                SELECT source, string_split(text, ' ') AS tk FROM documents
+                WHERE len(string_split(text, ' ')) >= 3),
+              g AS (
+                SELECT DISTINCT source,
+                       ('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 15))::BIGINT AS h
+                FROM t, unnest(generate_series(1, len(tk) - 2)) AS s(i)),
+              rk AS (
+                SELECT source, h,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+                FROM g),
+              kept AS (SELECT source, h FROM rk WHERE rn <= 128),
+              pr AS (
+                SELECT a.source AS sa, b.source AS sb
+                FROM (SELECT DISTINCT source FROM kept) a
+                JOIN (SELECT DISTINCT source FROM kept) b ON a.source < b.source),
+              uh AS (
+                SELECT pr.sa, pr.sb, k.h FROM pr JOIN kept k ON k.source = pr.sa
+                UNION
+                SELECT pr.sa, pr.sb, k.h FROM pr JOIN kept k ON k.source = pr.sb),
+              ur AS (
+                SELECT sa, sb, h,
+                       ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+                FROM uh),
+              uk AS (SELECT sa, sb, h FROM ur WHERE rn <= 128),
+              st AS (
+                SELECT sa, sb, CAST(count(*) AS BIGINT) AS nu, max(h) AS h_k
+                FROM uk GROUP BY sa, sb),
+              bo AS (
+                SELECT u.sa, u.sb, CAST(count(*) AS BIGINT) AS k_both
+                FROM uk u
+                JOIN kept ka ON ka.source = u.sa AND ka.h = u.h
+                JOIN kept kb ON kb.source = u.sb AND kb.h = u.h
+                GROUP BY u.sa, u.sb),
+              est AS (
+                SELECT st.sa, st.sb, st.nu,
+                       COALESCE(bo.k_both, 0) AS k_both, st.h_k,
+                       (st.nu < 128) AS exact,
+                       CASE WHEN st.nu < 128 THEN st.nu
+                            ELSE CAST(floor(127.0 * 1152921504606846976.0 /
+                                   CAST(st.h_k AS DOUBLE)) AS BIGINT) END AS est_union
+                FROM st LEFT JOIN bo ON bo.sa = st.sa AND bo.sb = st.sb)
+              SELECT sa AS source_a, sb AS source_b,
+                     nu AS n_union_minima, k_both, h_k, exact, est_union,
+                     CASE WHEN exact THEN k_both
+                          ELSE CAST(floor(CAST(k_both AS DOUBLE) / nu * est_union)
+                               AS BIGINT) END AS est_inter,
+                     CAST(floor(CAST(k_both AS DOUBLE) * 1000000.0 / nu) AS BIGINT)
+                       AS jaccard_ppm
+              FROM est ORDER BY source_a, source_b"""),
+      "Pairwise source overlap from KMV sketches ALONE (Beyer et al. 2007 union/" +
+        "Jaccard estimators over the native bottomk aggregate): union, " +
+        "intersection and Jaccard estimates per source pair from one corpus " +
+        "shuffle of k-long buffers — the per-batch-affordable twin of " +
+        "q_source_overlap's exact matrix, self-describing two-regime, estimates " +
+        "themselves SQL-replayable and oracle-hash-checked"),
 
     QueryDef(
       "q_dataset_card", Seq("A1", "A2", "A3", "A4", "F5"),

@@ -277,6 +277,41 @@ class CliSpec extends AnyFunSuite {
     assert(hh.contains("n=2 gram="), hh)
   }
 
+  test("overlap estimates cross-collection shingle sharing from KMV sketches") {
+    val desc = "seven silver ships sail past the quiet harbor while the " +
+      "lazy dog waits for the quick brown fox under a winter moon"
+    def pkg(uri: String, ocid: String, d: String) =
+      s"""{"uri": "http://x/$uri", "version": "1.1", "publisher": {"name": "P"},
+         | "publishedDate": "2020-01-01T00:00:00Z",
+         | "releases": [{"ocid": "$ocid", "id": "r1",
+         |   "date": "2020-01-01T00:00:00Z", "tag": ["tender"],
+         |   "initiationType": "tender",
+         |   "tender": {"id": "t1", "description": "$d"}}]}""".stripMargin
+    val dirA = Files.createTempDirectory("graft-cli-ov-a")
+    val dirB = Files.createTempDirectory("graft-cli-ov-b")
+    // collection 2's release shares the long description with collection
+    // 1's (plenty of common 3-gram shingles) but differs in ocid/uri — a
+    // partial mirror, the case the overlap readout exists to surface
+    Files.writeString(dirA.resolve("a.json"), pkg("ov-a", "ocds-ova", desc))
+    Files.writeString(dirB.resolve("b.json"),
+      pkg("ov-b", "ocds-ovb", desc + " and then some extra words besides"))
+    val lake = Files.createTempDirectory("graft-cli-ov-lake").toString
+    run("load", dirA.toString, lake, "--source", "ov_a")
+    run("load", dirB.toString, lake, "--source", "ov_b")
+    val out = run("overlap", lake, "1", "2")
+    // tiny docs sit far below the k = 128 bound → the self-describing
+    // exact regime: the "estimates" are true distinct set algebra, so the
+    // shared description MUST surface as a non-zero intersection and the
+    // ocid/uri/extra-words delta keeps the collections short of identical
+    assert(out.contains("collections=1,2"), out)
+    assert(out.contains("exact=true"), out)
+    val m = "est_union=(\\d+) est_inter=(\\d+) jaccard=([0-9.]+)".r
+      .findFirstMatchIn(out).getOrElse(fail(s"no overlap line in: $out"))
+    assert(m.group(2).toLong > 0, s"shared description not detected: $out")
+    assert(m.group(2).toLong < m.group(1).toLong, s"collections not identical: $out")
+    assert(m.group(3).toDouble > 0.0 && m.group(3).toDouble < 1.0, out)
+  }
+
   test("keep-open WITHOUT --compile: close → compile finishes uncompiled + runs planned check") {
     // ADVICE r9: this lifecycle used to dead-end — no compiled child, so
     // `compile` threw 'no compile-releases child' and the collection

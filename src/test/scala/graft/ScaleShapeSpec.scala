@@ -182,7 +182,12 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_pivot_status" -> 6,
     "q_zorder_layout" -> 2,
     "q_bottomk_sample" -> 4,
-    "q_dataset_card" -> 4)
+    "q_dataset_card" -> 4,
+    // kmv_overlap: the bottomk agg pair (the only corpus-scaling
+    // exchange) + the broadcast of the b-side sketch frame (aggregate
+    // output, key-domain-bounded) + the final pair sort — a breach
+    // means the pairwise algebra started shuffling the corpus again
+    "q_kmv_overlap" -> 8)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -267,7 +272,8 @@ class ScaleShapeSpec extends AnyFunSuite {
                 "q_asof_join", "q_range_join", "q_distinct_sketch",
                 "q_length_sketch",
                 "q_rollup_agg", "q_cube_agg", "q_pivot_status",
-                "q_zorder_layout", "q_bottomk_sample", "q_dataset_card"))
+                "q_zorder_layout", "q_bottomk_sample", "q_dataset_card",
+                "q_kmv_overlap"))
     test(s"scale shape invariants hold for $q on a 5x replica") {
       assume(sys.env.contains("GRAFT_SCALE_CI"),
         "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
