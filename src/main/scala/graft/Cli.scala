@@ -782,6 +782,18 @@ object Cli {
             s" distinct_tokens=$dt exact=$exact")
           println(s"len_n=$n len_p50=$p50 len_p90=$p90 len_p99=$p99 len_max=$mx" +
             s" exact=${!st.lengths.dense}")
+          // cross-source shingle overlap off the stored KMV sketches
+          // alone (kmvOverlap is the driver-side twin of q_kmv_overlap)
+          if (st.kmv.nonEmpty) {
+            println(s"kmv_sources=${st.kmv.size} kmv_k=${st.kmvK}")
+            st.kmvOverlap.foreach { p =>
+              println(s"overlap a=${p.sourceA} b=${p.sourceB}" +
+                s" est_union=${p.estUnion} est_inter=${p.estInter}" +
+                " jaccard=" + String.format(java.util.Locale.ROOT, "%.6f",
+                  Double.box(p.jaccardPpm / 1e6)) +
+                s" exact=${p.exact}")
+            }
+          }
       }
 
     case "closecollection" :: lake :: id :: nFiles :: Nil =>

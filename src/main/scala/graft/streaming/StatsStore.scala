@@ -11,9 +11,11 @@ import graft.functions.{GraftExtensions, Hll, HllBuffer, QBuffer, QSketch}
 /** Persistent corpus-statistics sketches — the 5th batch↔streaming store
   * (exact-hash dedup, NeardupStore, VectorStore, FreqStore, this):
   * documents arriving in micro-batches keep the corpus's distinct-token
-  * CARDINALITY ([[Hll]] two-regime sketch) and token-length DISTRIBUTION
-  * ([[QSketch]] two-regime quantiles) current without re-scanning
-  * history — the dataset-card numbers a 100 TB ingest keeps live.
+  * CARDINALITY ([[Hll]] two-regime sketch), token-length DISTRIBUTION
+  * ([[QSketch]] two-regime quantiles) and per-source KMV shingle
+  * sketches (bottom-k minima → live cross-source overlap estimates)
+  * current without re-scanning history — the dataset-card numbers a
+  * 100 TB ingest keeps live.
   *
   * Design (the [[FreqStore]] pattern, with the sketches swapped in):
   *  - Per batch, ONE distributed aggregation compresses the batch to a
@@ -44,14 +46,56 @@ object StatsStore {
       precision: Int, qCapacity: Int, lastBatchId: Long,
       nDocs: Long, nTokens: Long,
       hll: HllBuffer, lengths: QBuffer,
-      lineage: Option[String] = None) {
+      lineage: Option[String] = None,
+      kmv: Map[String, Array[Long]] = Map.empty,
+      kmvK: Int = 128) {
     /** The readout: (distinct-token est, exact flag). */
     def distinctTokens: (Long, Boolean) =
       if (hll.regs == null) (hll.sparse.size.toLong, true)
       else (Hll.estimate(hll.regs, precision), false)
     /** The readout: (n, p50, p90, p99, max) over per-doc token counts. */
     def lengthQuantiles: (Long, Long, Long, Long, Long) = QSketch.quantiles(lengths)
+    /** Pairwise source-overlap estimates off the stored per-source KMV
+      * sketches alone — the driver-side twin of
+      * [[graft.TextQueries.kmvOverlapOf]], field-for-field and
+      * bit-for-bit (same left-assoc IEEE double order, same floors), so
+      * a spec can hold the two to EQUALITY on the same corpus. Pairs
+      * ordered (sourceA < sourceB), all pairs present. The work is
+      * |sources|²·k driver-side longs — key-domain-bounded exactly like
+      * the query's broadcast pair frame. */
+    def kmvOverlap: Seq[OverlapEst] = {
+      val keys = kmv.keys.toSeq.sorted
+      for {
+        (sa, i) <- keys.zipWithIndex
+        sb <- keys.drop(i + 1)
+        ma = kmv(sa); mb = kmv(sb)
+        if ma.nonEmpty && mb.nonEmpty
+      } yield {
+        val ku = (ma ++ mb).distinct.sorted.take(kmvK)
+        val nu = ku.length.toLong
+        val inA = ma.toSet; val inB = mb.toSet
+        val kBoth = ku.count(h => inA(h) && inB(h)).toLong
+        val hK = ku.last
+        val exact = nu < kmvK
+        val estUnion =
+          if (exact) nu
+          else math.floor((kmvK - 1).toDouble * 1152921504606846976.0
+            / hK.toDouble).toLong
+        val estInter =
+          if (exact) kBoth
+          else math.floor(kBoth.toDouble / nu * estUnion).toLong
+        val ppm = math.floor(kBoth.toDouble * 1000000.0 / nu).toLong
+        OverlapEst(sa, sb, nu, kBoth, hK, exact, estUnion, estInter, ppm)
+      }
+    }
   }
+
+  /** One pair row of [[Stats.kmvOverlap]] — the column set of
+    * q_kmv_overlap, driver-side. */
+  final case class OverlapEst(
+      sourceA: String, sourceB: String, nUnionMinima: Long, kBoth: Long,
+      hK: Long, exact: Boolean, estUnion: Long, estInter: Long,
+      jaccardPpm: Long)
 
   private def path(dir: String): Path = Paths.get(dir, "_stats_sketch.json")
 
@@ -67,8 +111,29 @@ object StatsStore {
         root.get("n_docs").asLong(), root.get("n_tokens").asLong(),
         Hll.fromBytes(Base64.getDecoder.decode(root.get("hll").asText())),
         QSketch.fromBytes(Base64.getDecoder.decode(root.get("lengths").asText())),
-        Option(root.get("lineage")).filterNot(_.isNull).map(_.asText())))
+        Option(root.get("lineage")).filterNot(_.isNull).map(_.asText()),
+        Option(root.get("kmv")).filterNot(_.isNull).map { node =>
+          val it = node.fields()
+          val b = Map.newBuilder[String, Array[Long]]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> unpackLongs(Base64.getDecoder.decode(e.getValue.asText()))
+          }
+          b.result()
+        }.getOrElse(Map.empty),
+        Option(root.get("kmv_k")).filterNot(_.isNull).map(_.asInt()).getOrElse(128)))
     }
+  }
+
+  private def packLongs(a: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * a.length)
+    a.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def unpackLongs(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
   }
 
   private def save(dir: String, s: Stats): Unit = {
@@ -82,6 +147,13 @@ object StatsStore {
     root.put("hll", Base64.getEncoder.encodeToString(Hll.toBytes(s.hll)))
     root.put("lengths", Base64.getEncoder.encodeToString(QSketch.toBytes(s.lengths)))
     s.lineage.foreach(root.put("lineage", _))
+    root.put("kmv_k", s.kmvK)
+    if (s.kmv.nonEmpty) {
+      val node = root.putObject("kmv")
+      s.kmv.toSeq.sortBy(_._1).foreach { case (src, mins) =>
+        node.put(src, Base64.getEncoder.encodeToString(packLongs(mins)))
+      }
+    }
     Files.createDirectories(Paths.get(dir))
     val target = path(dir)
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -100,15 +172,31 @@ object StatsStore {
 
   /** Fold one micro-batch of documents into the stored stats. `textCol`
     * tokenizes by space (the house rule). Returns the updated stats (or
-    * the stored ones unchanged on a same-lineage replayed batch id). */
+    * the stored ones unchanged on a same-lineage replayed batch id).
+    *
+    * `sourceCol` opts the batch into per-source KMV shingle sketches
+    * ([[graft.TextQueries.kmvSketchOf]]'s exact hashing, so the stored
+    * sketches EQUAL the batch engine's over the same corpus): per
+    * batch, one `bottomk` aggregation compresses each source's 3-gram
+    * stream to its k smallest distinct hashes — |sources| bounded rows
+    * collected, never the stream — and the driver folds them with
+    * distinct-union-bottom-k, the associative KMV merge (Beyer et al.
+    * 2007: the union's sketch IS the bottom-k of the merged minima).
+    * That makes [[Stats.kmvOverlap]] a live cross-source contamination
+    * readout that never re-touches history — the q_kmv_overlap
+    * scaladoc's "sketches persist and re-combine" contract. */
   def appendBatch(
       dir: String, batch: DataFrame, textCol: String, batchId: Long,
       precision: Int = 14, qCapacity: Int = 4096,
-      lineage: String = "adhoc"): Stats = {
+      lineage: String = "adhoc", sourceCol: Option[String] = None,
+      kmvK: Int = 128): Stats = {
     val store = load(dir).getOrElse(empty(precision, qCapacity))
     require(store.precision == precision && store.qCapacity == qCapacity,
       s"stored sketch params (p=${store.precision}, cap=${store.qCapacity}) != " +
         s"requested (p=$precision, cap=$qCapacity) — a param change needs a new store dir")
+    require(store.kmv.isEmpty || store.kmvK == kmvK,
+      s"stored sketch params (kmv_k=${store.kmvK}) != requested (kmv_k=$kmvK)" +
+        " — a param change needs a new store dir")
     val sameLineage = store.lineage.forall(_ == lineage)
     if (sameLineage && batchId <= store.lastBatchId) return store // replay: no-op
     GraftExtensions.ensureRegistered(batch.sparkSession)
@@ -130,13 +218,35 @@ object StatsStore {
       .head()
     val batchHll = Hll.fromBytes(row.getAs[Array[Byte]]("hb"))
     val batchQ = QSketch.fromBytes(lrow.getAs[Array[Byte]]("qb"))
+    // per-source KMV sketches: one more bounded aggregation (|sources|
+    // rows of k longs), folded via the associative distinct-union-
+    // bottom-k merge — identical semantics to the bottomk aggregate's
+    // own partition merge, applied across TIME
+    val kmvFolded = sourceCol.fold(store.kmv) { src =>
+      val batchSketch = graft.TextQueries
+        .kmvSketchOf(
+          batch.select(col(src).cast("string").as("kmv_src"),
+            col(textCol).as("text")),
+          key = "kmv_src", k = kmvK)
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      batchSketch.foldLeft(store.kmv) { case (acc, (s, mins)) =>
+        val merged = acc.get(s) match {
+          case Some(old) => (old ++ mins).distinct.sorted.take(kmvK)
+          case None      => mins
+        }
+        acc.updated(s, merged)
+      }
+    }
     val folded = store.copy(
       lastBatchId = batchId,
       nDocs = store.nDocs + lrow.getAs[Long]("n_docs"),
       nTokens = store.nTokens + row.getAs[Long]("n_tokens"),
       hll = Hll.merge(store.hll, batchHll, precision),
       lengths = QSketch.merge(store.lengths, batchQ, qCapacity),
-      lineage = Some(lineage))
+      lineage = Some(lineage),
+      kmv = kmvFolded,
+      kmvK = kmvK)
     save(dir, folded)
     folded
   }

@@ -259,11 +259,14 @@ object Streaming {
                     s"$lakeDir/freq_sketch", docs, "text", batchId,
                     lineage = streamLineage(checkpointDir))
                 // live dataset-card stats: distinct-token cardinality +
-                // length quantiles, the same lineage-scoped exactly-once
+                // length quantiles + per-source KMV shingle sketches
+                // (cross-source overlap), the same lineage-scoped
+                // exactly-once
                 if (corpusStats)
                   StatsStore.appendBatch(
                     s"$lakeDir/stats_sketch", docs, "text", batchId,
-                    lineage = streamLineage(checkpointDir))
+                    lineage = streamLineage(checkpointDir),
+                    sourceCol = Some("source"))
               }
           }
         }

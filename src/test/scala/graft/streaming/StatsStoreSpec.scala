@@ -111,6 +111,106 @@ class StatsStoreSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private def srcDocs(rows: (String, String)*): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    rows.toDF("source", "text")
+  }
+
+  test("per-source KMV sketches fold across batches to the one-shot batch engine's") {
+    val rnd = new scala.util.Random(7)
+    def text(ns: String, n: Int): String =
+      Seq.fill(n)(s"$ns${rnd.nextInt(40)}").mkString(" ")
+    // two sources, shingle spaces overlapping via a shared namespace;
+    // enough distinct 3-grams to cross the k = 16 bound in source "web"
+    val batchA = Seq.fill(6)("web" -> text("w", 30)) ++
+      Seq.fill(4)("books" -> text("shared", 25))
+    val batchB = Seq.fill(6)("web" -> text("shared", 30)) ++
+      Seq.fill(4)("books" -> text("b", 25))
+    val dir = tmpDir()
+    StatsStore.appendBatch(dir, srcDocs(batchA: _*), "text", batchId = 0L,
+      sourceCol = Some("source"), kmvK = 16)
+    val folded = StatsStore.appendBatch(dir, srcDocs(batchB: _*), "text",
+      batchId = 1L, sourceCol = Some("source"), kmvK = 16)
+    // the store's fold across TIME must equal the batch engine's one-shot
+    // sketch over the union — the mergeability contract that lets per-day
+    // sketches combine at 100 TB without re-touching the corpus
+    val oneShot = graft.TextQueries
+      .kmvSketchOf(srcDocs((batchA ++ batchB): _*), key = "source", k = 16)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    assert(folded.kmv.keySet === oneShot.keySet)
+    for ((src, mins) <- oneShot)
+      assert(folded.kmv(src).sameElements(mins),
+        s"$src: ${folded.kmv(src).toSeq} != ${mins.toSeq}")
+    // replay folds nothing
+    val replay = StatsStore.appendBatch(dir, srcDocs(batchB: _*), "text",
+      batchId = 1L, sourceCol = Some("source"), kmvK = 16)
+    for ((src, mins) <- folded.kmv)
+      assert(replay.kmv(src).sameElements(mins))
+    // and the estimate regime is live: "web" saw > 16 distinct shingles
+    assert(folded.kmv("web").length === 16)
+  }
+
+  test("overlap readout off the store equals the batch kmvOverlapOf rows") {
+    val rnd = new scala.util.Random(13)
+    def text(ns: String, n: Int): String =
+      Seq.fill(n)(s"$ns${rnd.nextInt(30)}").mkString(" ")
+    // web and books share 3 literal documents (guaranteed common
+    // shingles); code's namespace is disjoint from both
+    val mirrored = Seq.fill(6)(text("w", 28))
+    val rows = (Seq.fill(8)(text("w", 28)) ++ mirrored).map("web" -> _) ++
+      (Seq.fill(8)(text("b", 28)) ++ mirrored).map("books" -> _) ++
+      Seq.fill(8)("code" -> text("c", 28))
+    val dir = tmpDir()
+    val st = StatsStore.appendBatch(dir, srcDocs(rows: _*), "text",
+      batchId = 0L, sourceCol = Some("source"), kmvK = 16)
+    val expected = graft.TextQueries
+      .kmvOverlapOf(
+        graft.TextQueries.kmvSketchOf(srcDocs(rows: _*), key = "source", k = 16),
+        k = 16)
+      .collect()
+    val got = st.kmvOverlap
+    assert(got.size === expected.length && got.size === 3) // all 3 pairs
+    for ((e, g) <- expected.zip(got)) {
+      assert(g.sourceA === e.getAs[String]("source_a"))
+      assert(g.sourceB === e.getAs[String]("source_b"))
+      assert(g.nUnionMinima === e.getAs[Long]("n_union_minima"))
+      assert(g.kBoth === e.getAs[Long]("k_both"))
+      assert(g.hK === e.getAs[Long]("h_k"))
+      assert(g.exact === e.getAs[Boolean]("exact"))
+      assert(g.estUnion === e.getAs[Long]("est_union"))
+      assert(g.estInter === e.getAs[Long]("est_inter"))
+      assert(g.jaccardPpm === e.getAs[Long]("jaccard_ppm"))
+    }
+    // web/books share the "w" namespace; code shares nothing
+    val wb = got.find(p => p.sourceA == "books" && p.sourceB == "web").get
+    assert(wb.kBoth > 0L)
+    val bc = got.find(p => p.sourceA == "books" && p.sourceB == "code").get
+    assert(bc.kBoth === 0L)
+  }
+
+  test("Cli corpus-stats prints overlap lines when per-source sketches are stored") {
+    val lake = Files.createTempDirectory("graft-stats-cli-kmv").toString
+    StatsStore.appendBatch(s"$lake/stats_sketch",
+      srcDocs(
+        "web" -> "alpha beta gamma delta epsilon",
+        "books" -> "alpha beta gamma delta zeta"),
+      "text", batchId = 0L, sourceCol = Some("source"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.Cli.main(Array("corpus-stats", lake))
+    }
+    val text = out.toString("UTF-8")
+    assert(text.contains("kmv_sources=2"), text)
+    // each doc has 3 shingles, 2 shared (alpha-beta-gamma,
+    // beta-gamma-delta); tiny docs sit in the exact regime so the line
+    // is true set algebra
+    assert(text.contains("overlap a=books b=web"), text)
+    assert(text.contains("est_union=4 est_inter=2"), text)
+    assert(text.contains("exact=true"), text)
+  }
+
   test("Cli corpus-stats prints the stored readout") {
     val lake = Files.createTempDirectory("graft-stats-cli").toString
     StatsStore.appendBatch(s"$lake/stats_sketch",
@@ -151,5 +251,10 @@ class StatsStoreSpec extends AnyFunSuite {
     val sk2 = StatsStore.load(s"$lake/stats_sketch").get
     assert(sk2.nDocs === 2L)
     assert(sk2.distinctTokens._1 > sk1.distinctTokens._1, s"$sk1 vs $sk2")
+    // the per-source KMV sketch rides the same leg: one entry under the
+    // collection's source id, grown by the second batch
+    assert(sk1.kmv.keySet === Set("api"), sk1.kmv.keySet)
+    assert(sk2.kmv("api").length > sk1.kmv("api").length,
+      s"${sk1.kmv("api").length} !< ${sk2.kmv("api").length}")
   }
 }
