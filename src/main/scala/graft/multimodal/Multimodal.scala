@@ -15,7 +15,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * The IMAGE leg decodes for real: the JDK ships `javax.imageio` readers
   * for PNG/GIF/BMP/JPEG, so a payload whose magic bytes announce one of
   * those formats gets true width/height from the decoded image
-  * (MultimodalSpec round-trips generated PNG/BMP fixtures). The AUDIO leg
+  * (MultimodalSpec round-trips generated PNG/BMP fixtures). ANIMATED
+  * GIFs get real per-frame rasters too: the frames are composed onto the
+  * logical screen honoring offsets and disposal (GIF frames are deltas,
+  * not standalone images — see [[gifAnimated]]), with the container's
+  * frame count carried in nFrames. The AUDIO leg
   * also decodes for real: `javax.sound.sampled` parses WAV/AIFF/AU
   * containers to PCM with zero external dependencies, so an audio payload
   * reports its true sample-frame count and channel count, and its "frames"
@@ -85,10 +89,17 @@ object Multimodal {
     * format or the payload is corrupt (BMP magic is two printable ASCII
     * chars, so text can impersonate it) — the caller falls back to the
     * stub, keeping decode total and deterministic. */
-  def decodeImage(bytes: Array[Byte]): Option[Decoded] =
-    if (!looksLikeImage(bytes)) None
-    else
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+  def decodeImage(bytes: Array[Byte]): Option[Decoded] = {
+    if (!looksLikeImage(bytes)) return None
+    // ANIMATED GIF first: multi-frame payloads get real composed per-frame
+    // rasters (below); any failure falls through to the single-frame path
+    val animated =
+      if (bytes(0) == 'G')
+        try gifAnimated(bytes)
+        catch { case scala.util.control.NonFatal(_) => None }
+      else None
+    if (animated.isDefined) return animated
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         .map { img =>
           // frames walk the DECODED RGB raster, not the container bytes —
           // the same contract as the audio leg's PCM walk: a PNG and a BMP
@@ -110,6 +121,93 @@ object Multimodal {
       // IIOException) — at corpus scale a hostile blob must degrade to the
       // stub, never kill the task
       catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The ANIMATED-GIF leg: multi-frame GIFs composed to REAL per-frame
+    * rasters in pure JVM — GIF frames are deltas (each a sub-rectangle
+    * drawn at an offset onto the logical screen, with a per-frame
+    * disposal rule), so the reader's raw rasters are NOT the animation;
+    * this leg replays the composition: draw each frame at its
+    * ImageDescriptor offset onto a persistent ARGB canvas, snapshot the
+    * canvas as row-major RGB after each draw (transparent composites to
+    * black, deterministically), and honor disposal (restoreToBackground
+    * clears the frame rect to transparent; restoreToPrevious restores
+    * the pre-draw canvas). Decoding is CAPPED at [[MaxDecodedFrames]]
+    * like the MJPEG leg, but as a PREFIX rather than every-k-th: a delta
+    * frame needs every predecessor composed, so a strided sample would
+    * decode everything anyway — the prefix keeps the work bounded AND
+    * the composition correct. `nFrames` carries the container's total
+    * frame count; `pixels` is composed frame 0 (a real thumbnail).
+    * None for single-frame GIFs (the plain image leg owns those) and on
+    * any decode/metadata failure (caller degrades to the static path,
+    * then the stub — the total-function contract). */
+  private def gifAnimated(bytes: Array[Byte]): Option[Decoded] = {
+    import java.awt.image.BufferedImage
+    def firstElem(parent: org.w3c.dom.Element, name: String): Option[org.w3c.dom.Element] = {
+      val kids = parent.getChildNodes
+      (0 until kids.getLength).iterator.map(kids.item)
+        .collectFirst { case e: org.w3c.dom.Element if e.getNodeName == name => e }
+    }
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 1) return None
+        val screen = for {
+          sm <- Option(reader.getStreamMetadata)
+          tree = sm.getAsTree("javax_imageio_gif_stream_1.0")
+            .asInstanceOf[org.w3c.dom.Element]
+          lsd <- firstElem(tree, "LogicalScreenDescriptor")
+          w = lsd.getAttribute("logicalScreenWidth").toInt
+          h = lsd.getAttribute("logicalScreenHeight").toInt
+          if w > 0 && h > 0
+        } yield (w, h)
+        val (cw, ch) = screen.getOrElse((reader.getWidth(0), reader.getHeight(0)))
+        if (cw <= 0 || ch <= 0 || 3L * cw * ch > Int.MaxValue - 8) return None
+        val canvas = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_ARGB)
+        val g = canvas.createGraphics()
+        try {
+          val takeN = math.min(n, MaxDecodedFrames)
+          val rasters = Seq.newBuilder[Array[Byte]]
+          var i = 0
+          while (i < takeN) {
+            val frame = reader.read(i)
+            val md = reader.getImageMetadata(i)
+              .getAsTree("javax_imageio_gif_image_1.0")
+              .asInstanceOf[org.w3c.dom.Element]
+            val desc = firstElem(md, "ImageDescriptor")
+            val x = desc.map(_.getAttribute("imageLeftPosition").toInt).getOrElse(0)
+            val y = desc.map(_.getAttribute("imageTopPosition").toInt).getOrElse(0)
+            val disposal = firstElem(md, "GraphicControlExtension")
+              .map(_.getAttribute("disposalMethod")).getOrElse("none")
+            val before =
+              if (disposal == "restoreToPrevious") Some(canvas.copyData(null))
+              else None
+            g.drawImage(frame, x, y, null)
+            rasters += rgbBytes(canvas)
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                val comp = g.getComposite
+                g.setComposite(java.awt.AlphaComposite.Clear)
+                g.fillRect(x, y, frame.getWidth, frame.getHeight)
+                g.setComposite(comp)
+              case "restoreToPrevious" => before.foreach(canvas.setData)
+              case _ => ()
+            }
+            i += 1
+          }
+          val out = rasters.result()
+          Some(Decoded("image", cw.toLong, ch.toLong, out,
+            nFrames = Some(n.toLong), pixels = Some(out.head)))
+        } finally g.dispose()
+      } finally reader.dispose()
+    } finally iis.close()
+  }
 
   /** The decoded raster as row-major RGB bytes (3 per pixel, alpha
     * dropped) — deterministic for a given decoded image regardless of the

@@ -59,6 +59,119 @@ class MultimodalSpec extends AnyFunSuite {
     assert((d.width, d.height) === (37L, 21L))
   }
 
+  // ---- the ANIMATED-GIF leg (composed delta frames) ------------------
+
+  private def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+    img
+  }
+
+  /** Author an animated GIF with the JDK's sequence writer: per frame
+    * (image, left, top, disposalMethod). */
+  private def animatedGifBytes(
+      frames: Seq[(java.awt.image.BufferedImage, Int, Int, String)]): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { case (img, x, y, disposal) =>
+      val md = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      def child(name: String): IIOMetadataNode = {
+        val kids = tree.getChildNodes
+        (0 until kids.getLength).map(kids.item)
+          .collectFirst { case e: IIOMetadataNode if e.getNodeName == name => e }
+          .getOrElse {
+            val n = new IIOMetadataNode(name)
+            tree.appendChild(n); n
+          }
+      }
+      val desc = child("ImageDescriptor")
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      desc.setAttribute("imageWidth", img.getWidth.toString)
+      desc.setAttribute("imageHeight", img.getHeight.toString)
+      desc.setAttribute("interlaceFlag", "FALSE")
+      val gce = child("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** Row-major RGB raster painted from (x, y, w, h, rgb) rects applied in
+    * order over a black background — the expected composition. */
+  private def paint(w: Int, h: Int, rects: Seq[(Int, Int, Int, Int, Int)]): Seq[Byte] = {
+    val px = Array.fill(w * h)(0)
+    rects.foreach { case (rx, ry, rw, rh, rgb) =>
+      (ry until math.min(ry + rh, h)).foreach(y =>
+        (rx until math.min(rx + rw, w)).foreach(x => px(y * w + x) = rgb))
+    }
+    px.flatMap(p => Seq(((p >> 16) & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      (p & 0xff).toByte)).toSeq
+  }
+
+  test("animated GIF composes delta frames onto the logical screen") {
+    val red = 0xff0000; val blue = 0x0000ff; val green = 0x00ff00
+    // frame 0: full 12x10 red; frame 1: 4x3 blue delta at (5,2) that is
+    // DISPOSED to background after display; frame 2: 2x2 green at (0,0)
+    val bytes = animatedGifBytes(Seq(
+      (solid(12, 10, red), 0, 0, "none"),
+      (solid(4, 3, blue), 5, 2, "restoreToBackgroundColor"),
+      (solid(2, 2, green), 0, 0, "none")))
+    val d = Multimodal.decode(bytes)
+    assert((d.kind, d.width, d.height) === ("image", 12L, 10L))
+    assert(d.nFrames === Some(3L))
+    assert(d.frames.length === 3)
+    // composition, not raw rasters: frame 1 is red WITH the blue rect
+    // (a raw frame-1 raster would be 4x3 blue alone); frame 2 shows the
+    // disposed rect cleared to background (transparent -> black) plus
+    // the green delta
+    assert(d.frames(0).toSeq === paint(12, 10, Seq((0, 0, 12, 10, red))))
+    assert(d.frames(1).toSeq === paint(12, 10,
+      Seq((0, 0, 12, 10, red), (5, 2, 4, 3, blue))))
+    assert(d.frames(2).toSeq === paint(12, 10,
+      Seq((0, 0, 12, 10, red), (5, 2, 4, 3, 0x000000), (0, 0, 2, 2, green))))
+    // frame 0's composition is the pixels leg -> a real thumbnail
+    assert(d.pixels.map(_.toSeq) === Some(d.frames(0).toSeq))
+  }
+
+  test("animated GIF decode caps retained rasters as a PREFIX; nFrames stays total") {
+    val n = Multimodal.MaxDecodedFrames * 2
+    // distinct full-canvas solid colors: composition after frame i IS
+    // color i, so the retained prefix is directly observable
+    val colors = (0 until n).map(i => (i * 37 + 11) & 0xffffff)
+    val bytes = animatedGifBytes(
+      colors.map(c => (solid(8, 6, c), 0, 0, "none")))
+    val d = Multimodal.decode(bytes)
+    assert(d.nFrames === Some(n.toLong))
+    assert(d.frames.length === Multimodal.MaxDecodedFrames)
+    assert(d.frames.head.toSeq === paint(8, 6, Seq((0, 0, 8, 6, colors.head))))
+    assert(d.frames.last.toSeq === paint(8, 6,
+      Seq((0, 0, 8, 6, colors(Multimodal.MaxDecodedFrames - 1)))))
+  }
+
+  test("single-frame GIF keeps the plain image leg (no nFrames override)") {
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(solid(20, 10, 0x123456), "gif", out))
+    val d = Multimodal.decode(out.toByteArray)
+    assert((d.kind, d.width, d.height) === ("image", 20L, 10L))
+    assert(d.nFrames.isEmpty)
+  }
+
   test("decode reads a real BMP: true dimensions") {
     val d = Multimodal.decode(imageBytes("bmp", 5, 3))
     assert((d.kind, d.width, d.height) === ("image", 5L, 3L))
