@@ -783,9 +783,14 @@ object Cli {
           println(s"len_n=$n len_p50=$p50 len_p90=$p90 len_p99=$p99 len_max=$mx" +
             s" exact=${!st.lengths.dense}")
           // cross-source shingle overlap off the stored KMV sketches
-          // alone (kmvOverlap is the driver-side twin of q_kmv_overlap)
+          // alone (kmvOverlap is the driver-side twin of q_kmv_overlap).
+          // kmv_docs < n_docs means some batches were folded without a
+          // source column, so the matrix covers only part of the corpus —
+          // say so rather than presenting a partial matrix as the whole
           if (st.kmv.nonEmpty) {
-            println(s"kmv_sources=${st.kmv.size} kmv_k=${st.kmvK}")
+            println(s"kmv_sources=${st.kmv.size} kmv_k=${st.kmvK}" +
+              s" kmv_docs=${st.kmvDocs}" +
+              (if (st.kmvDocs < st.nDocs) s" PARTIAL(n_docs=${st.nDocs})" else ""))
             st.kmvOverlap.foreach { p =>
               println(s"overlap a=${p.sourceA} b=${p.sourceB}" +
                 s" est_union=${p.estUnion} est_inter=${p.estInter}" +

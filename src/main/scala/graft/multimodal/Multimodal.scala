@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * (MultimodalSpec round-trips generated PNG/BMP fixtures). ANIMATED
   * GIFs get real per-frame rasters too: the frames are composed onto the
   * logical screen honoring offsets and disposal (GIF frames are deltas,
-  * not standalone images — see [[gifAnimated]]), with the container's
+  * not standalone images — see [[gifDecoded]]), with the container's
   * frame count carried in nFrames. The AUDIO leg
   * also decodes for real: `javax.sound.sampled` parses WAV/AIFF/AU
   * containers to PCM with zero external dependencies, so an audio payload
@@ -91,37 +91,42 @@ object Multimodal {
     * stub, keeping decode total and deterministic. */
   def decodeImage(bytes: Array[Byte]): Option[Decoded] = {
     if (!looksLikeImage(bytes)) return None
-    // ANIMATED GIF first: multi-frame payloads get real composed per-frame
-    // rasters (below); any failure falls through to the single-frame path
-    val animated =
+    // GIFs route through the frame-aware reader path (composed animation
+    // frames for multi-frame payloads, the shared single-frame mapping
+    // otherwise — ONE parse either way); any failure falls through to the
+    // generic ImageIO.read below
+    val viaGif =
       if (bytes(0) == 'G')
-        try gifAnimated(bytes)
+        try gifDecoded(bytes)
         catch { case scala.util.control.NonFatal(_) => None }
       else None
-    if (animated.isDefined) return animated
+    if (viaGif.isDefined) return viaGif
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .map { img =>
-          // frames walk the DECODED RGB raster, not the container bytes —
-          // the same contract as the audio leg's PCM walk: a PNG and a BMP
-          // of identical pixels produce identical frame hashes, so
-          // downstream dedup/features key on signal content, not encoding.
-          // Rasters too large for one JVM array (> ~715M px: w*h*3 over
-          // Int.MaxValue) keep container-byte frames and real dims instead
-          // of degrading to the stub
-          if (3L * img.getWidth * img.getHeight > Int.MaxValue - 8)
-            Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
-              frameSample(bytes, 1))
-          else {
-            val rgb = rgbBytes(img)
-            Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
-              frameSample(rgb, 1), pixels = Some(rgb))
-          }
-        }
+        .map(singleImageDecoded(_, bytes))
       // corrupt payloads can crash readers in arbitrary ways (not just
       // IIOException) — at corpus scale a hostile blob must degrade to the
       // stub, never kill the task
       catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** The single-frame image mapping, shared by the generic leg and the
+    * GIF reader path. Frames walk the DECODED RGB raster, not the
+    * container bytes — the same contract as the audio leg's PCM walk: a
+    * PNG and a BMP of identical pixels produce identical frame hashes,
+    * so downstream dedup/features key on signal content, not encoding.
+    * Rasters too large for one JVM array (> ~715M px: w*h*3 over
+    * Int.MaxValue) keep container-byte frames and real dims instead of
+    * degrading to the stub. */
+  private def singleImageDecoded(
+      img: java.awt.image.BufferedImage, container: Array[Byte]): Decoded =
+    if (3L * img.getWidth * img.getHeight > Int.MaxValue - 8)
+      Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
+        frameSample(container, 1))
+    else {
+      val rgb = rgbBytes(img)
+      Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
+        frameSample(rgb, 1), pixels = Some(rgb))
+    }
 
   /** The ANIMATED-GIF leg: multi-frame GIFs composed to REAL per-frame
     * rasters in pure JVM — GIF frames are deltas (each a sub-rectangle
@@ -138,10 +143,18 @@ object Multimodal {
     * decode everything anyway — the prefix keeps the work bounded AND
     * the composition correct. `nFrames` carries the container's total
     * frame count; `pixels` is composed frame 0 (a real thumbnail).
-    * None for single-frame GIFs (the plain image leg owns those) and on
-    * any decode/metadata failure (caller degrades to the static path,
-    * then the stub — the total-function contract). */
-  private def gifAnimated(bytes: Array[Byte]): Option[Decoded] = {
+    * Retained memory is BUDGETED ([[MaxAnimationBytes]]): the canvas
+    * (plus a possible restoreToPrevious snapshot) and every kept raster
+    * are counted, and takeN shrinks to fit — a 100-byte hostile GIF
+    * declaring a huge logical screen must degrade, not OOM the executor
+    * (an Error no catch block sees), because a raster-size-only guard
+    * would let 8 retained canvas snapshots multiply it 8-fold.
+    * Single-frame GIFs return the shared [[singleImageDecoded]] mapping
+    * off the SAME reader (one parse, no nFrames override). None on any
+    * decode/metadata failure or a canvas too large for even one budgeted
+    * frame (caller degrades to the generic path, then the stub — the
+    * total-function contract). */
+  private def gifDecoded(bytes: Array[Byte]): Option[Decoded] = {
     import java.awt.image.BufferedImage
     def firstElem(parent: org.w3c.dom.Element, name: String): Option[org.w3c.dom.Element] = {
       val kids = parent.getChildNodes
@@ -157,7 +170,7 @@ object Multimodal {
       try {
         reader.setInput(iis)
         val n = reader.getNumImages(true)
-        if (n <= 1) return None
+        if (n <= 1) return Some(singleImageDecoded(reader.read(0), bytes))
         val screen = for {
           sm <- Option(reader.getStreamMetadata)
           tree = sm.getAsTree("javax_imageio_gif_stream_1.0")
@@ -169,10 +182,16 @@ object Multimodal {
         } yield (w, h)
         val (cw, ch) = screen.getOrElse((reader.getWidth(0), reader.getHeight(0)))
         if (cw <= 0 || ch <= 0 || 3L * cw * ch > Int.MaxValue - 8) return None
+        // budget: ARGB canvas + one possible snapshot (4 bytes/px each) +
+        // 3 bytes/px per retained raster; shrink takeN to fit, bail if
+        // even one frame cannot
+        val px = cw.toLong * ch
+        val fit = ((MaxAnimationBytes - 8L * px) / (3L * px)).toInt
+        if (fit < 1) return None
         val canvas = new BufferedImage(cw, ch, BufferedImage.TYPE_INT_ARGB)
         val g = canvas.createGraphics()
         try {
-          val takeN = math.min(n, MaxDecodedFrames)
+          val takeN = math.min(math.min(n, MaxDecodedFrames), fit)
           val rasters = Seq.newBuilder[Array[Byte]]
           var i = 0
           while (i < takeN) {
@@ -370,6 +389,11 @@ object Multimodal {
     * (the frameSample access pattern). None when no MJPEG stream or no
     * sampled chunk decodes → the metadata leg (then the stub) takes over. */
   private[multimodal] val MaxDecodedFrames = 8
+
+  /** Retained-byte budget for the animated-GIF composition (canvas +
+    * snapshot + kept rasters): frame retention shrinks to fit, so a
+    * declared-huge logical screen degrades instead of OOMing the task. */
+  private[multimodal] val MaxAnimationBytes: Long = 128L << 20
 
   private def aviMjpgDecoded(b: Array[Byte]): Option[Decoded] = {
     def cc(off: Int): String =

@@ -48,7 +48,15 @@ object StatsStore {
       hll: HllBuffer, lengths: QBuffer,
       lineage: Option[String] = None,
       kmv: Map[String, Array[Long]] = Map.empty,
-      kmvK: Int = 128) {
+      kmvK: Int = 128,
+      /** docs in batches folded THROUGH the KMV leg (appended with
+        * sourceCol). kmvDocs < nDocs means some batches never opted in,
+        * so the overlap readout covers only part of the corpus — readers
+        * (Cli corpus-stats) must surface that instead of presenting a
+        * partial exact=true matrix as the whole story. Null-source docs
+        * inside an opted-in batch count here but carry no sketch: they
+        * have no source identity to appear in the matrix under. */
+      kmvDocs: Long = 0L) {
     /** The readout: (distinct-token est, exact flag). */
     def distinctTokens: (Long, Boolean) =
       if (hll.regs == null) (hll.sparse.size.toLong, true)
@@ -60,11 +68,14 @@ object StatsStore {
       * [[graft.TextQueries.kmvOverlapOf]], field-for-field and
       * bit-for-bit (same left-assoc IEEE double order, same floors), so
       * a spec can hold the two to EQUALITY on the same corpus. Pairs
-      * ordered (sourceA < sourceB), all pairs present. The work is
+      * ordered (sourceA < sourceB) under UTF-8 BINARY byte order — the
+      * ordering Spark's string `<` uses — not Java's UTF-16 compareTo,
+      * which disagrees for supplementary characters (surrogates sort
+      * low in UTF-16, high in UTF-8); all pairs present. The work is
       * |sources|²·k driver-side longs — key-domain-bounded exactly like
       * the query's broadcast pair frame. */
     def kmvOverlap: Seq[OverlapEst] = {
-      val keys = kmv.keys.toSeq.sorted
+      val keys = kmv.keys.toSeq.sortWith(utf8Lt)
       for {
         (sa, i) <- keys.zipWithIndex
         sb <- keys.drop(i + 1)
@@ -88,6 +99,22 @@ object StatsStore {
         OverlapEst(sa, sb, nu, kBoth, hK, exact, estUnion, estInter, ppm)
       }
     }
+  }
+
+  /** UTF-8 binary byte order — Spark's UTF8String comparison, which the
+    * q_kmv_overlap pair join's `source_a < source_b` uses. Java's
+    * String.compareTo (UTF-16 code units) disagrees beyond the BMP. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 
   /** One pair row of [[Stats.kmvOverlap]] — the column set of
@@ -121,7 +148,8 @@ object StatsStore {
           }
           b.result()
         }.getOrElse(Map.empty),
-        Option(root.get("kmv_k")).filterNot(_.isNull).map(_.asInt()).getOrElse(128)))
+        Option(root.get("kmv_k")).filterNot(_.isNull).map(_.asInt()).getOrElse(128),
+        Option(root.get("kmv_n_docs")).filterNot(_.isNull).map(_.asLong()).getOrElse(0L)))
     }
   }
 
@@ -148,6 +176,7 @@ object StatsStore {
     root.put("lengths", Base64.getEncoder.encodeToString(QSketch.toBytes(s.lengths)))
     s.lineage.foreach(root.put("lineage", _))
     root.put("kmv_k", s.kmvK)
+    root.put("kmv_n_docs", s.kmvDocs)
     if (s.kmv.nonEmpty) {
       val node = root.putObject("kmv")
       s.kmv.toSeq.sortBy(_._1).foreach { case (src, mins) =>
@@ -194,12 +223,28 @@ object StatsStore {
     require(store.precision == precision && store.qCapacity == qCapacity,
       s"stored sketch params (p=${store.precision}, cap=${store.qCapacity}) != " +
         s"requested (p=$precision, cap=$qCapacity) — a param change needs a new store dir")
-    require(store.kmv.isEmpty || store.kmvK == kmvK,
+    // scoped to calls that actually touch KMV: a sourceCol = None append
+    // requests no KMV work, so a store built with a non-default k must
+    // stay writable for KMV-agnostic callers
+    require(sourceCol.isEmpty || store.kmv.isEmpty || store.kmvK == kmvK,
       s"stored sketch params (kmv_k=${store.kmvK}) != requested (kmv_k=$kmvK)" +
         " — a param change needs a new store dir")
     val sameLineage = store.lineage.forall(_ == lineage)
     if (sameLineage && batchId <= store.lastBatchId) return store // replay: no-op
     GraftExtensions.ensureRegistered(batch.sparkSession)
+    // the fold runs 2 aggregations (3 with KMV) over the same batch; in
+    // foreachBatch the frame is typically lake-parquet-backed and
+    // re-evaluated per action, so pin it for the fold's duration
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try appendPinned(dir, pinned, textCol, batchId, store, lineage, sourceCol, kmvK)
+    finally { pinned.unpersist(blocking = false); () }
+  }
+
+  private def appendPinned(
+      dir: String, batch: DataFrame, textCol: String, batchId: Long,
+      store: Stats, lineage: String, sourceCol: Option[String],
+      kmvK: Int): Stats = {
+    val precision = store.precision; val qCapacity = store.qCapacity
     val toks = split(col(textCol), " ")
     val row = batch
       .select(explode_outer(toks).as("tok"))
@@ -226,7 +271,11 @@ object StatsStore {
       val batchSketch = graft.TextQueries
         .kmvSketchOf(
           batch.select(col(src).cast("string").as("kmv_src"),
-            col(textCol).as("text")),
+            col(textCol).as("text"))
+            // a null source has no identity to sketch under — and a null
+            // map key would blow up the json save after the Spark jobs
+            // already ran; such docs still count in nDocs/hll/lengths
+            .filter(col("kmv_src").isNotNull),
           key = "kmv_src", k = kmvK)
         .collect()
         .map(r => r.getString(0) -> r.getSeq[Long](1).toArray)
@@ -238,15 +287,18 @@ object StatsStore {
         acc.updated(s, merged)
       }
     }
+    val batchDocs = lrow.getAs[Long]("n_docs")
     val folded = store.copy(
       lastBatchId = batchId,
-      nDocs = store.nDocs + lrow.getAs[Long]("n_docs"),
+      nDocs = store.nDocs + batchDocs,
       nTokens = store.nTokens + row.getAs[Long]("n_tokens"),
       hll = Hll.merge(store.hll, batchHll, precision),
       lengths = QSketch.merge(store.lengths, batchQ, qCapacity),
       lineage = Some(lineage),
       kmv = kmvFolded,
-      kmvK = kmvK)
+      // a sourceCol = None call must not restamp the stored k
+      kmvK = if (sourceCol.isDefined) kmvK else store.kmvK,
+      kmvDocs = store.kmvDocs + (if (sourceCol.isDefined) batchDocs else 0L))
     save(dir, folded)
     folded
   }

@@ -164,6 +164,35 @@ class MultimodalSpec extends AnyFunSuite {
       Seq((0, 0, 8, 6, colors(Multimodal.MaxDecodedFrames - 1)))))
   }
 
+  test("animated GIF retention shrinks to the byte budget, not just the frame cap") {
+    // 4000x3000 canvas: 8*px = 96 MB (canvas + snapshot) leaves room for
+    // exactly ONE 36 MB raster under the 128 MB budget — so a 3-frame
+    // animation retains 1 composed frame instead of 3, rather than
+    // allocating ~200 MB for one document
+    val px = 4000L * 3000L
+    assert((Multimodal.MaxAnimationBytes - 8L * px) / (3L * px) === 1L)
+    val bytes = animatedGifBytes((0 until 3).map(i =>
+      (solid(4000, 3000, (i * 91 + 5) & 0xffffff), 0, 0, "none")))
+    val d = Multimodal.decode(bytes)
+    assert((d.kind, d.width, d.height) === ("image", 4000L, 3000L))
+    assert(d.nFrames === Some(3L))
+    assert(d.frames.length === 1)
+  }
+
+  test("a logical screen too large for even one budgeted frame degrades, not OOMs") {
+    // 5000x3000: the canvas pair alone (120 MB) leaves < one raster of
+    // budget -> the animated leg bails and the generic single-frame path
+    // takes over (real dims, no nFrames override) — the hostile-GIF
+    // 'never kill the task' contract
+    val px = 5000L * 3000L
+    assert((Multimodal.MaxAnimationBytes - 8L * px) / (3L * px) < 1L)
+    val bytes = animatedGifBytes((0 until 2).map(i =>
+      (solid(5000, 3000, (i * 91 + 5) & 0xffffff), 0, 0, "none")))
+    val d = Multimodal.decode(bytes)
+    assert((d.kind, d.width, d.height) === ("image", 5000L, 3000L))
+    assert(d.nFrames.isEmpty)
+  }
+
   test("single-frame GIF keeps the plain image leg (no nFrames override)") {
     val out = new java.io.ByteArrayOutputStream()
     assert(javax.imageio.ImageIO.write(solid(20, 10, 0x123456), "gif", out))

@@ -190,6 +190,77 @@ class StatsStoreSpec extends AnyFunSuite {
     assert(bc.kBoth === 0L)
   }
 
+  test("null source rows fold into totals but not the KMV map; the store still saves") {
+    import s.implicits._
+    val rows = Seq(("web", "alpha beta gamma delta"),
+      (null.asInstanceOf[String], "epsilon zeta eta theta"))
+    val dir = tmpDir()
+    val st = StatsStore.appendBatch(dir, rows.toDF("source", "text"), "text",
+      batchId = 0L, sourceCol = Some("source"), kmvK = 16)
+    // a null map key would have blown up the json save AFTER the Spark
+    // jobs ran; instead the null-source doc is excluded from the sketch
+    // (no identity to appear in the matrix under) yet counted in totals
+    assert(st.kmv.keySet === Set("web"))
+    assert(st.nDocs === 2L && st.kmvDocs === 2L)
+    assert(StatsStore.load(dir).get.kmv.keySet === Set("web"))
+  }
+
+  test("a sourceCol-free append neither rejects nor restamps a non-default kmv_k") {
+    val dir = tmpDir()
+    StatsStore.appendBatch(dir, srcDocs("web" -> "a b c d"), "text",
+      batchId = 0L, sourceCol = Some("source"), kmvK = 16)
+    // the old unconditional param check threw here (requested default 128
+    // vs stored 16) even though this call requests no KMV work at all
+    val st = StatsStore.appendBatch(dir, docs("x y z"), "text", batchId = 1L)
+    assert(st.kmvK === 16 && st.kmv.keySet === Set("web"))
+    // coverage honestly recorded: 1 of 2 docs went through the KMV leg
+    assert(st.nDocs === 2L && st.kmvDocs === 1L)
+    // and a KMV call with a genuinely different k still rejects
+    val e = intercept[IllegalArgumentException] {
+      StatsStore.appendBatch(dir, srcDocs("web" -> "e f g"), "text",
+        batchId = 2L, sourceCol = Some("source"), kmvK = 32)
+    }
+    assert(e.getMessage.contains("kmv_k"))
+  }
+
+  test("overlap pair ordering matches Spark's UTF-8 binary order beyond the BMP") {
+    // U+1F600 (surrogate pair, sorts LOW in UTF-16 code units, HIGH in
+    // UTF-8 bytes) vs U+FFFD — the orderings disagree, and the store's
+    // readout must take Spark's side to stay the query's bit-exact twin
+    val hi = "😀src"
+    val lo = "�src"
+    val rows = Seq(hi -> "alpha beta gamma delta",
+      lo -> "alpha beta gamma epsilon")
+    val dir = tmpDir()
+    val st = StatsStore.appendBatch(dir, srcDocs(rows: _*), "text",
+      batchId = 0L, sourceCol = Some("source"), kmvK = 16)
+    val exp = graft.TextQueries
+      .kmvOverlapOf(
+        graft.TextQueries.kmvSketchOf(srcDocs(rows: _*), key = "source", k = 16),
+        k = 16)
+      .collect()
+    val got = st.kmvOverlap
+    assert(got.size === 1 && exp.length === 1)
+    assert(got.head.sourceA === exp.head.getAs[String]("source_a"))
+    assert(got.head.sourceB === exp.head.getAs[String]("source_b"))
+    assert(got.head.sourceA === lo, "UTF-16 ordering leaked into the readout")
+  }
+
+  test("Cli corpus-stats flags PARTIAL coverage when batches skipped the KMV leg") {
+    val lake = Files.createTempDirectory("graft-stats-cli-part").toString
+    StatsStore.appendBatch(s"$lake/stats_sketch",
+      srcDocs("web" -> "alpha beta gamma delta"), "text",
+      batchId = 0L, sourceCol = Some("source"), kmvK = 16)
+    StatsStore.appendBatch(s"$lake/stats_sketch",
+      docs("x y z"), "text", batchId = 1L)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      graft.Cli.main(Array("corpus-stats", lake))
+    }
+    val text = out.toString("UTF-8")
+    assert(text.contains("kmv_sources=1 kmv_k=16 kmv_docs=1 PARTIAL(n_docs=2)"), text)
+  }
+
   test("Cli corpus-stats prints overlap lines when per-source sketches are stored") {
     val lake = Files.createTempDirectory("graft-stats-cli-kmv").toString
     StatsStore.appendBatch(s"$lake/stats_sketch",
