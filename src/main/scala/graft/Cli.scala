@@ -692,15 +692,33 @@ object Cli {
       (labeled(ca), labeled(cb)) match {
         case (Some(da), Some(db)) =>
           val sk = TextQueries.kmvSketchOf(da.unionByName(db), key = "ckey")
-          TextQueries.kmvOverlapOf(sk).collect().foreach { r =>
-            val exact = r.getAs[Boolean]("exact")
-            println(s"collections=$ca,$cb" +
-              s" est_union=${r.getAs[Long]("est_union")}" +
-              s" est_inter=${r.getAs[Long]("est_inter")}" +
-              " jaccard=" + String.format(java.util.Locale.ROOT, "%.6f",
-                Double.box(r.getAs[Long]("jaccard_ppm") / 1e6)) +
-              s" exact=$exact")
-          }
+            .persist()
+          try {
+            // a collection whose docs are all shorter than the shingle
+            // width yields NO sketch row, and the pair join would print
+            // nothing and exit 0 — indistinguishable from zero overlap;
+            // diagnose that side explicitly instead (bounded: <= 2 rows)
+            val have = sk.select("ckey").collect().map(_.getString(0)).toSet
+            val sketchless = Seq(ca, cb)
+              .filterNot(id => have(f"collection $id%019d"))
+            if (sketchless.nonEmpty) {
+              System.err.println(s"collection${
+                if (sketchless.size > 1) "s" else ""} ${
+                sketchless.mkString(", ")} ${
+                if (sketchless.size > 1) "have" else "has"} no sketchable " +
+                "documents (every doc shorter than the 3-token shingle width)")
+              sys.exit(2)
+            }
+            TextQueries.kmvOverlapOf(sk).collect().foreach { r =>
+              val exact = r.getAs[Boolean]("exact")
+              println(s"collections=$ca,$cb" +
+                s" est_union=${r.getAs[Long]("est_union")}" +
+                s" est_inter=${r.getAs[Long]("est_inter")}" +
+                " jaccard=" + String.format(java.util.Locale.ROOT, "%.6f",
+                  Double.box(r.getAs[Long]("jaccard_ppm") / 1e6)) +
+                s" exact=$exact")
+            }
+          } finally { sk.unpersist(blocking = false); () }
         case (da, db) =>
           val missing = Seq(ca -> da, cb -> db).collect { case (id, None) => id }
           System.err.println(s"collection${if (missing.size > 1) "s" else ""} " +

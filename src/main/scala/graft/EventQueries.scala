@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -19,6 +20,66 @@ import org.apache.spark.sql.types._
 object EventQueries {
 
   private val SessionGapUs = 1800000000L // 30 min
+
+  /** AS-OF join — the time-series operator Spark lacks natively (brief
+    * §custom-operators), re-expressed by COMPOSITION instead of a custom
+    * SparkPlan: each purchase attributed to the same user's most recent
+    * STRICTLY-EARLIER click, strictness defined at MICROSECOND resolution
+    * (ts_us, the house integer-µs column — events.parquet is nanos, so
+    * distinct raw timestamps CAN collide at µs; the contract and both
+    * referees live at µs). The naive spelling is an inequality join
+    * (click.ts < purchase.ts) + a per-purchase argmax — a range join
+    * Catalyst can only nested-loop, quadratic per user. The union-window
+    * spelling is the scalable one: filter both event roles in ONE scan,
+    * shuffle ONCE on user_id, sort within partition by
+    * (ts_us, is_click, event_id), and carry the last click forward with
+    * an ignoreNulls last() over rows (unbounded, -1). The is_click key
+    * (purchases 0, clicks 1) makes the positional "-1" bound encode
+    * µs-strictness EXACTLY: a click in the same µs as a purchase sorts
+    * AFTER it and falls outside its frame — ordering by (ts_us,
+    * event_id) alone would let a same-µs click with a smaller event_id
+    * inside, attributing a click the strictly-earlier contract excludes.
+    * Among earlier clicks tied on µs, event_id asc + last() elects the
+    * max event_id — the same (ctu, event_id) argmax the oracle's
+    * per-(user, µs) dedup and the brute-force referee compute.
+    * Purchases with no prior click survive with NULL attribution (the
+    * LEFT as-of contract). At 100 TB: one exchange of the role-filtered
+    * stream, per-user state is one row, skew-bounded by the busiest
+    * user's events — the same shape the sessionizer runs. The oracle is
+    * DuckDB's NATIVE ASOF LEFT JOIN at µs over clicks pre-deduped to max
+    * event_id per (user, µs) — dedup first, because ASOF's pick among
+    * duplicate right-side keys is unspecified — an independent engine's
+    * implementation of the same semantics, not a re-spelling of this
+    * plan. A/B vs the join+argmax spelling (AbAsofBench, interleaved
+    * min-of-5, output-parity-checked): window 0.193 s vs join 0.251 s at
+    * sf0.1 (1.30x) and 0.436 vs 0.712 s on the 10x replica (1.63x) — the
+    * gap GROWS with data because the join emits one row per (purchase,
+    * every prior click) before collapsing, O(clicks × purchases) per
+    * user vs the window's O(events). Shared with AbAsofBench so the A/B
+    * always measures the spelling that ships. */
+  private[graft] def asofWindowOf(events: DataFrame): DataFrame = {
+    val isClick = col("event_type") === "click"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), when(isClick, 1).otherwise(0), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+      .withColumn("click_event_id",
+        last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts_us",
+        last(when(isClick, col("ts_us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts_us").as("purchase_ts_us"),
+        col("click_event_id"),
+        (col("ts_us") - col("click_ts_us")).as("gap_us"))
+    // no ORDER BY here: the QueryDef adds the verify-gate total order;
+    // AbAsofBench measures the core computation without it (its join
+    // comparator has no final sort either)
+  }
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
@@ -109,65 +170,21 @@ object EventQueries {
 
     QueryDef(
       "q_asof_join", Seq("W1", "J1", "P2"),
-      (s, d) => {
-        // AS-OF join — the time-series operator Spark lacks natively
-        // (brief §custom-operators), re-expressed by COMPOSITION instead
-        // of a custom SparkPlan: each purchase attributed to the same
-        // user's most recent STRICTLY-EARLIER click. The naive spelling
-        // is an inequality join (click.ts < purchase.ts) + a per-purchase
-        // argmax — a range join Catalyst can only nested-loop, quadratic
-        // per user. The union-window spelling is the scalable one: filter
-        // both event roles in ONE scan, shuffle ONCE on user_id, sort
-        // within partition by time, and carry the last click forward with
-        // an ignoreNulls last() over rows (unbounded, -1) — the strict
-        // "-1" upper bound encodes the strictly-before contract
-        // positionally, no timestamp comparison at all ((user_id, ts) is
-        // unique in this stream; event_id breaks any future tie
-        // deterministically). Purchases with no prior click survive with
-        // NULL attribution (the LEFT as-of contract). At 100 TB: one
-        // exchange of the role-filtered stream, per-user state is one
-        // row, skew-bounded by the busiest user's events — the same
-        // shape the sessionizer runs. The oracle is DuckDB's NATIVE
-        // ASOF LEFT JOIN — an independent engine's implementation of the
-        // same semantics, not a re-spelling of this plan. A/B vs the
-        // join+argmax spelling (AbAsofBench, interleaved min-of-5,
-        // output-parity-checked): window 0.193 s vs join 0.251 s at
-        // sf0.1 (1.30x) and 0.436 vs 0.712 s on the 10x replica (1.63x)
-        // — the gap GROWS with data because the join emits one row per
-        // (purchase, every prior click) before collapsing, O(clicks x
-        // purchases) per user vs the window's O(events).
-        val w = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts_us"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val isClick = col("event_type") === "click"
-        Tables.events(s, d)
-          .filter(col("event_type").isin("purchase", "click"))
-          .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
-          .withColumn("click_event_id",
-            last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
-          .withColumn("click_ts_us",
-            last(when(isClick, col("ts_us")), ignoreNulls = true).over(w))
-          .filter(col("event_type") === "purchase")
-          .select(
-            col("event_id").as("purchase_id"),
-            col("user_id"),
-            col("ts_us").as("purchase_ts_us"),
-            col("click_event_id"),
-            (col("ts_us") - col("click_ts_us")).as("gap_us"))
-          .orderBy("purchase_id")
-      },
+      (s, d) => asofWindowOf(Tables.events(s, d)).orderBy("purchase_id"),
       Some("""WITH p AS (
-                SELECT event_id, user_id, ts FROM events
+                SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
                 WHERE event_type = 'purchase'),
               c AS (
-                SELECT event_id AS click_event_id, user_id, ts AS cts
-                FROM events WHERE event_type = 'click')
+                SELECT user_id, epoch_us(ts) AS ctu,
+                       max(event_id) AS click_event_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, epoch_us(ts))
               SELECT p.event_id AS purchase_id, p.user_id,
-                     epoch_us(p.ts) AS purchase_ts_us,
+                     p.tu AS purchase_ts_us,
                      c.click_event_id,
-                     epoch_us(p.ts) - epoch_us(c.cts) AS gap_us
+                     p.tu - c.ctu AS gap_us
               FROM p ASOF LEFT JOIN c
-                ON p.user_id = c.user_id AND p.ts > c.cts
+                ON p.user_id = c.user_id AND p.tu > c.ctu
               ORDER BY purchase_id"""),
       "As-of join (purchase -> most recent strictly-earlier click per user) by " +
         "composition: one role-filtered scan, one user-keyed shuffle, an " +

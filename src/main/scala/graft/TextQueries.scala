@@ -442,7 +442,10 @@ object TextQueries {
     * of record. */
   private[graft] def lengthQuantilesOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lens = docs.select(
+    // null text → null len, which Spark sorts FIRST and DuckDB LAST —
+    // rank targets would silently diverge; the contract (shared with
+    // q_length_sketch) is that null-text docs sit outside the readout
+    val lens = docs.filter(col("text").isNotNull).select(
       col("source"), col("doc_id"),
       size(tokens(col("text"))).cast(LongType).as("len"))
     val rk = lens
@@ -683,15 +686,19 @@ object TextQueries {
     * union is the bottom-k of the merged minima; the Jaccard estimator
     * is the fraction of union minima present in both sketches):
     * per ordered pair (a < b over the sketch frame's first column),
-    *   ku       = bottom-k of ma ∪ mb (the union's own KMV sketch)
-    *   k_both   = |{h ∈ ku : h ∈ ma ∧ h ∈ mb}|
-    *   est_union = |ku| below the bound (both sketches are then complete
-    *               distinct sets — the self-describing exact regime),
-    *               else (k-1)·2^60/h_k off the union sketch's k-th min
-    *   est_inter = k_both exactly in the exact regime, else the Jaccard
-    *               estimate k_both/|ku| times est_union
-    *   jaccard_ppm = floor(k_both·10^6/|ku|) — integer ppm in BOTH
-    *               regimes (k_both/|ku| IS the true Jaccard when exact)
+    *   ku       = bottom-k of fu = distinct(ma ∪ mb) (the union's own
+    *              KMV sketch; n_union_minima/k_both/h_k describe it)
+    *   exact    = |ma| < k ∧ |mb| < k — BOTH sketches unsaturated, so
+    *              each IS its source's complete distinct set and the
+    *              pair's algebra is exact over fu even when |fu| ≥ k
+    *              (the self-describing regime gate)
+    *   est_union = |fu| when exact, else (k-1)·2^60/h_k off the union
+    *               sketch's k-th min
+    *   est_inter = |ma|+|mb|−|fu| (inclusion–exclusion, exact) when
+    *               exact, else the Jaccard estimate k_both/|ku| times
+    *               est_union
+    *   jaccard_ppm = floor(true_inter·10^6/|fu|) when exact, else
+    *               floor(k_both·10^6/|ku|) — integer ppm in BOTH regimes
     * Every column is plain SQL over the kept integer state, so the
     * DuckDB oracle hash-checks the ESTIMATES too (the q_bottomk_sample
     * discipline). All pairs appear — the sketch frame is key-domain-
@@ -709,24 +716,36 @@ object TextQueries {
     // without the hint a non-equi inner join with estimates unavailable
     // planned a CartesianProduct (the scale gate's robust-joins probe)
     a.join(broadcast(b), col("source_a") < col("source_b"))
-      .withColumn("ku", slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+      // fu = the full distinct union of the kept minima; ku = ITS bottom-k
+      // (the union's own KMV sketch). The exact regime gates on BOTH
+      // sketches being unsaturated — each is then its source's complete
+      // distinct set, so union/intersection/Jaccard are true set algebra
+      // over fu even when fu itself reaches k (review r13: the earlier
+      // |ku| < k gate needlessly discarded that exactly-computable middle
+      // zone for a ~1/sqrt(k) estimate)
+      .withColumn("fu", array_sort(array_union(col("ma"), col("mb"))))
+      .withColumn("ku", slice(col("fu"), 1, k))
       .withColumn("n_union_minima", size(col("ku")).cast(LongType))
       .withColumn("k_both", size(filter(col("ku"),
         x => array_contains(col("ma"), x) && array_contains(col("mb"), x)))
         .cast(LongType))
       .withColumn("h_k", element_at(col("ku"), size(col("ku"))))
-      .withColumn("exact", col("n_union_minima") < k)
+      .withColumn("exact", size(col("ma")) < k && size(col("mb")) < k)
+      .withColumn("n_inter_full",
+        (size(col("ma")) + size(col("mb")) - size(col("fu"))).cast(LongType))
       .withColumn("est_union",
-        when(col("exact"), col("n_union_minima"))
+        when(col("exact"), size(col("fu")).cast(LongType))
           .otherwise(floor(lit((k - 1).toDouble * 1152921504606846976.0)
             / col("h_k").cast(DoubleType)).cast(LongType)))
       .withColumn("est_inter",
-        when(col("exact"), col("k_both"))
+        when(col("exact"), col("n_inter_full"))
           .otherwise(floor(col("k_both").cast(DoubleType)
             / col("n_union_minima") * col("est_union")).cast(LongType)))
       .withColumn("jaccard_ppm",
-        floor(col("k_both").cast(DoubleType) * lit(1000000.0)
-          / col("n_union_minima")).cast(LongType))
+        when(col("exact"), floor(col("n_inter_full").cast(DoubleType)
+          * lit(1000000.0) / size(col("fu"))))
+          .otherwise(floor(col("k_both").cast(DoubleType) * lit(1000000.0)
+            / col("n_union_minima"))).cast(LongType))
       .select("source_a", "source_b", "n_union_minima", "k_both", "h_k",
         "exact", "est_union", "est_inter", "jaccard_ppm")
       .orderBy("source_a", "source_b")
@@ -906,7 +925,7 @@ object TextQueries {
       Some("""WITH l AS (
                 SELECT source, doc_id,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS len
-                FROM documents),
+                FROM documents WHERE text IS NOT NULL),
               rk AS (
                 SELECT source, len,
                        ROW_NUMBER() OVER (PARTITION BY source
@@ -944,6 +963,11 @@ object TextQueries {
         // referee territory.
         graft.functions.GraftExtensions.ensureRegistered(s)
         Tables.documents(s, d)
+          // null text ANSI-propagates to a null len, silently vanishing
+          // from the sketch's n while COUNT(*) oracles would keep the
+          // row — pin the contract explicitly on both sides: null-text
+          // docs are outside the length readout
+          .filter(col("text").isNotNull)
           .select(col("source"),
             size(tokens(col("text"))).cast(LongType).as("len"))
           .groupBy("source")
@@ -957,7 +981,7 @@ object TextQueries {
       Some("""WITH l AS (
                 SELECT source, doc_id,
                        CAST(len(string_split(text, ' ')) AS BIGINT) AS len
-                FROM documents),
+                FROM documents WHERE text IS NOT NULL),
               rk AS (
                 SELECT source, len,
                        ROW_NUMBER() OVER (PARTITION BY source
@@ -2324,6 +2348,12 @@ object TextQueries {
                        ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
                 FROM uh),
               uk AS (SELECT sa, sb, h FROM ur WHERE rn <= 128),
+              kc AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS nk
+                FROM kept GROUP BY source),
+              fu AS (
+                SELECT sa, sb, CAST(count(*) AS BIGINT) AS nf
+                FROM uh GROUP BY sa, sb),
               st AS (
                 SELECT sa, sb, CAST(count(*) AS BIGINT) AS nu, max(h) AS h_k
                 FROM uk GROUP BY sa, sb),
@@ -2336,18 +2366,26 @@ object TextQueries {
               est AS (
                 SELECT st.sa, st.sb, st.nu,
                        COALESCE(bo.k_both, 0) AS k_both, st.h_k,
-                       (st.nu < 128) AS exact,
-                       CASE WHEN st.nu < 128 THEN st.nu
+                       (ka.nk < 128 AND kb.nk < 128) AS exact,
+                       fu.nf, ka.nk + kb.nk - fu.nf AS n_inter_full,
+                       CASE WHEN ka.nk < 128 AND kb.nk < 128 THEN fu.nf
                             ELSE CAST(floor(127.0 * 1152921504606846976.0 /
                                    CAST(st.h_k AS DOUBLE)) AS BIGINT) END AS est_union
-                FROM st LEFT JOIN bo ON bo.sa = st.sa AND bo.sb = st.sb)
+                FROM st
+                JOIN fu ON fu.sa = st.sa AND fu.sb = st.sb
+                JOIN kc ka ON ka.source = st.sa
+                JOIN kc kb ON kb.source = st.sb
+                LEFT JOIN bo ON bo.sa = st.sa AND bo.sb = st.sb)
               SELECT sa AS source_a, sb AS source_b,
                      nu AS n_union_minima, k_both, h_k, exact, est_union,
-                     CASE WHEN exact THEN k_both
+                     CASE WHEN exact THEN n_inter_full
                           ELSE CAST(floor(CAST(k_both AS DOUBLE) / nu * est_union)
                                AS BIGINT) END AS est_inter,
-                     CAST(floor(CAST(k_both AS DOUBLE) * 1000000.0 / nu) AS BIGINT)
-                       AS jaccard_ppm
+                     CASE WHEN exact
+                          THEN CAST(floor(CAST(n_inter_full AS DOUBLE)
+                                 * 1000000.0 / nf) AS BIGINT)
+                          ELSE CAST(floor(CAST(k_both AS DOUBLE)
+                                 * 1000000.0 / nu) AS BIGINT) END AS jaccard_ppm
               FROM est ORDER BY source_a, source_b"""),
       "Pairwise source overlap from KMV sketches ALONE (Beyer et al. 2007 union/" +
         "Jaccard estimators over the native bottomk aggregate): union, " +
@@ -2375,6 +2413,11 @@ object TextQueries {
         graft.functions.GraftExtensions.ensureRegistered(s)
         val toks = tokens(col("text"))
         Tables.documents(s, d)
+          // null text explodes to a (null, null) row whose pos = 0 gate
+          // is null → the doc silently vanishes from n_docs while a
+          // COUNT(*) oracle keeps it; pin the shared contract (null-text
+          // docs are outside the card) explicitly on both sides
+          .filter(col("text").isNotNull)
           .select(col("source"), size(toks).cast(LongType).as("len"),
             posexplode_outer(toks).as(Seq("pos", "token")))
           .groupBy("source")
@@ -2392,7 +2435,7 @@ object TextQueries {
       },
       Some("""WITH t AS (
                 SELECT source, doc_id, string_split(text, ' ') AS tk
-                FROM documents),
+                FROM documents WHERE text IS NOT NULL),
               doc AS (
                 SELECT source, doc_id, CAST(len(tk) AS BIGINT) AS len FROM t),
               rk AS (
@@ -2549,10 +2592,19 @@ object TextQueries {
         val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
         val tot = docs.agg(
           count(lit(1)).as("n_docs"), sum(col("dl")).as("t_all"))
+        // tf·t_all cross-products go through DECIMAL(38,0) (the
+        // q_source_divergence discipline): at 100 TB t_all is ~1e13-1e14
+        // tokens, so the Long spelling overflows (ANSI throws, legacy
+        // silently wraps) — decimal keeps the products exact to 1e38.
+        // The idf leg stays Long: 2·n_docs is nowhere near the edge. The
+        // oracle keeps plain ints (DuckDB sums BIGINT into HUGEINT);
+        // both sides' values are identical at verify scale, so the
+        // double casts agree bit-for-bit.
+        val dec = (c: Column) => c.cast(DecimalType(38, 0))
         val scoreT =
-          ((col("tf") * col("t_all") * 22).cast(DoubleType)
-            / (col("tf") * col("t_all") * 10 + col("t_all") * 3
-              + col("dl") * col("n_docs") * 9).cast(DoubleType)) *
+          ((dec(col("tf")) * dec(col("t_all")) * 22).cast(DoubleType)
+            / (dec(col("tf")) * dec(col("t_all")) * 10 + dec(col("t_all")) * 3
+              + dec(col("dl")) * dec(col("n_docs")) * 9).cast(DoubleType)) *
             ((col("n_docs") * 2 - col("df") * 2 + 1).cast(DoubleType)
               / (col("df") * 2 + 1).cast(DoubleType))
         tf.join(broadcast(dfT), Seq("token"))

@@ -82,20 +82,27 @@ object StatsStore {
         ma = kmv(sa); mb = kmv(sb)
         if ma.nonEmpty && mb.nonEmpty
       } yield {
-        val ku = (ma ++ mb).distinct.sorted.take(kmvK)
+        val fu = (ma ++ mb).distinct.sorted
+        val ku = fu.take(kmvK)
         val nu = ku.length.toLong
         val inA = ma.toSet; val inB = mb.toSet
         val kBoth = ku.count(h => inA(h) && inB(h)).toLong
         val hK = ku.last
-        val exact = nu < kmvK
+        // exact regime = BOTH sketches unsaturated (each is then its
+        // source's complete distinct set) — the query's gate, not |ku|<k
+        val exact = ma.length < kmvK && mb.length < kmvK
+        val nf = fu.length.toLong
+        val interFull = ma.length.toLong + mb.length - nf
         val estUnion =
-          if (exact) nu
+          if (exact) nf
           else math.floor((kmvK - 1).toDouble * 1152921504606846976.0
             / hK.toDouble).toLong
         val estInter =
-          if (exact) kBoth
+          if (exact) interFull
           else math.floor(kBoth.toDouble / nu * estUnion).toLong
-        val ppm = math.floor(kBoth.toDouble * 1000000.0 / nu).toLong
+        val ppm =
+          if (exact) math.floor(interFull.toDouble * 1000000.0 / nf).toLong
+          else math.floor(kBoth.toDouble * 1000000.0 / nu).toLong
         OverlapEst(sa, sb, nu, kBoth, hK, exact, estUnion, estInter, ppm)
       }
     }

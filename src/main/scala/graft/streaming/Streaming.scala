@@ -213,7 +213,15 @@ object Streaming {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+      .foreachBatch {
+        // the query id is immutable for this stream's lifetime; resolve it
+        // lazily ONCE on the first batch (the checkpoint metadata exists by
+        // then) instead of re-reading + re-parsing the file per store per
+        // batch. Closure-scoped, not global: a recreated checkpoint dir in
+        // the same JVM is a NEW stream with a new closure, so the
+        // lineage-reset semantics the stores rely on stay intact.
+        lazy val lineage = streamLineage(checkpointDir)
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // collect(): file ARRIVALS are control-plane-sized (paths, not data)
         val arrived = batch.select("path").as[String].collect().toSeq.sorted
         var p = plane.get()
@@ -257,7 +265,7 @@ object Streaming {
                 if (trendingTerms)
                   FreqStore.appendBatch(
                     s"$lakeDir/freq_sketch", docs, "text", batchId,
-                    lineage = streamLineage(checkpointDir))
+                    lineage = lineage)
                 // live dataset-card stats: distinct-token cardinality +
                 // length quantiles + per-source KMV shingle sketches
                 // (cross-source overlap), the same lineage-scoped
@@ -265,7 +273,7 @@ object Streaming {
                 if (corpusStats)
                   StatsStore.appendBatch(
                     s"$lakeDir/stats_sketch", docs, "text", batchId,
-                    lineage = streamLineage(checkpointDir),
+                    lineage = lineage,
                     sourceCol = Some("source"))
               }
           }

@@ -26,19 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object AbAsofBench {
 
-  private def asofWindow(ev: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val isClick = col("event_type") === "click"
-    ev.filter(col("event_type").isin("purchase", "click"))
-      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
-      .withColumn("click_event_id",
-        last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id"),
-        col("click_event_id"))
-  }
+  // the LIVE spelling, shared with the QueryDef so the A/B always
+  // measures what ships (review r13: an inline copy here could silently
+  // drift from the engine)
+  private def asofWindow(ev: DataFrame): DataFrame =
+    EventQueries.asofWindowOf(ev)
+      .select(col("purchase_id"), col("user_id"), col("click_event_id"))
 
   private def asofJoin(ev: DataFrame): DataFrame = {
     val p = ev.filter(col("event_type") === "purchase")

@@ -224,6 +224,34 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("asof join excludes same-microsecond clicks and breaks earlier ties by max id") {
+    import s.implicits._
+    // review r13: ts is nanos, so distinct raw timestamps CAN collide at
+    // µs — the (ts_us, event_id)-ordered frame used to let a same-µs
+    // click with a smaller event_id inside the strictly-earlier contract
+    val ev = Seq(
+      // user 1: click in the SAME µs as the purchase, smaller event_id —
+      // must NOT be attributed (strictly earlier at µs resolution)
+      (1L, 1L, 100L, "click"),
+      (2L, 1L, 100L, "purchase"),
+      // user 2: two clicks tied on an earlier µs — the max event_id wins
+      (10L, 2L, 50L, "click"),
+      (11L, 2L, 50L, "click"),
+      (12L, 2L, 100L, "purchase"),
+      // user 3: the only click is later — NULL attribution survives
+      (20L, 3L, 100L, "purchase"),
+      (21L, 3L, 200L, "click"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = EventQueries.asofWindowOf(ev).orderBy("purchase_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toSeq === Seq(
+      (2L, None, None),
+      (12L, Some(11L), Some(50L)),
+      (20L, None, None)))
+  }
+
   test("q_range_join matches a brute-force banded count") {
     val ev = Tables.events(s, dir)
       .select("event_id", "user_id", "ts_us", "event_type").collect()

@@ -80,6 +80,28 @@ class KmvOverlapSpec extends AnyFunSuite {
     }
   }
 
+  test("exact regime covers the middle zone: both sketches unsaturated, union >= k") {
+    import s.implicits._
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    // 100 + 100 distinct hashes, 20 shared: both sketches are complete
+    // sets (< k = 128) while their union (180) exceeds k — review r13:
+    // the old |ku| < k gate degraded this exactly-computable zone to the
+    // ~1/sqrt(k) h_k estimator
+    val rows = (1L to 100L).map(h => ("a", h)) ++ (81L to 180L).map(h => ("b", h))
+    val sk = rows.toDF("source", "h").groupBy("source")
+      .agg(call_function("bottomk", col("h"), lit(K)).as("mins"))
+    val r = TextQueries.kmvOverlapOf(sk, k = K).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Boolean]("exact"))
+    assert(row.getAs[Long]("est_union") === 180L)
+    assert(row.getAs[Long]("est_inter") === 20L)
+    assert(row.getAs[Long]("jaccard_ppm") ===
+      math.floor(20.0 * 1000000.0 / 180).toLong)
+    // n_union_minima still describes the union SKETCH (sliced at k)
+    assert(row.getAs[Long]("n_union_minima") === K.toLong)
+  }
+
   test("exact regime: sketches below the bound reproduce set algebra exactly") {
     import s.implicits._
     graft.functions.GraftExtensions.ensureRegistered(s)
