@@ -390,9 +390,11 @@ object Multimodal {
     * sampled chunk decodes → the metadata leg (then the stub) takes over. */
   private[multimodal] val MaxDecodedFrames = 8
 
-  /** Retained-byte budget for the animated-GIF composition (canvas +
-    * snapshot + kept rasters): frame retention shrinks to fit, so a
-    * declared-huge logical screen degrades instead of OOMing the task. */
+  /** Retained-byte budget for multi-frame pixel decode — the animated-GIF
+    * composition (canvas + snapshot + kept rasters) and the MJPEG-in-AVI
+    * raster retention: frame retention shrinks to fit, so a
+    * declared-huge logical screen or frame stream degrades instead of
+    * OOMing the task (an Error no catch block sees). */
   private[multimodal] val MaxAnimationBytes: Long = 128L << 20
 
   private def aviMjpgDecoded(b: Array[Byte]): Option[Decoded] = {
@@ -420,16 +422,34 @@ object Multimodal {
     if (chunkRanges.isEmpty) return None
     val stride =
       math.max(1, math.ceil(chunkRanges.size.toDouble / MaxDecodedFrames).toInt)
-    val rasters = chunkRanges.zipWithIndex
+    // retention is BYTE-budgeted like the GIF leg ([[MaxAnimationBytes]]):
+    // the frame cap alone lets a declared-huge MJPEG retain cap × raster
+    // bytes (a hostile 8K stream would be ~8 × 100 MB from one row);
+    // decoding stops once the budget is spent, and a first frame too
+    // large for the whole budget yields no rasters → the metadata leg
+    // (then the stub) takes over instead of an executor OOM
+    var kept = 0L
+    val rasters = Seq.newBuilder[(Int, Int, Array[Byte])]
+    val it = chunkRanges.zipWithIndex.iterator
       .collect { case ((s, e), i) if i % stride == 0 =>
         java.util.Arrays.copyOfRange(b, s, e)
       }
       .flatMap(chunk =>
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(chunk)))
         catch { case scala.util.control.NonFatal(_) => None })
-      .map(img => (img.getWidth, img.getHeight, rgbBytes(img)))
-    rasters.headOption.map { case (w, h, first) =>
-      Decoded("video", w.toLong, h.toLong, rasters.map(_._3),
+    var stop = false
+    while (it.hasNext && !stop) {
+      val img = it.next()
+      val sz = 3L * img.getWidth * img.getHeight
+      if (sz > Int.MaxValue - 8 || kept + sz > MaxAnimationBytes) stop = true
+      else {
+        rasters += ((img.getWidth, img.getHeight, rgbBytes(img)))
+        kept += sz
+      }
+    }
+    val out = rasters.result()
+    out.headOption.map { case (w, h, first) =>
+      Decoded("video", w.toLong, h.toLong, out.map(_._3),
         nFrames = Some(chunkRanges.size.toLong), pixels = Some(first))
     }
   }

@@ -434,6 +434,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.pixels.map(_.toSeq) === Some(raster(f0)))
   }
 
+  test("MJPEG retention is byte-budgeted, not just frame-capped") {
+    // 4200x3600 frames are ~45.4 MB of raster each: 2 fit the 128 MB
+    // budget, the 3rd does not — retention must stop at 2 instead of
+    // holding 3 x 45 MB (the hostile-8K-stream OOM class the GIF leg
+    // already budgets)
+    val (w, h) = (4200, 3600)
+    val per = 3L * w * h
+    assert(per * 2 <= Multimodal.MaxAnimationBytes)
+    assert(per * 3 > Multimodal.MaxAnimationBytes)
+    def bigJpeg(rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", out))
+      out.toByteArray
+    }
+    val frames = Seq(bigJpeg(0x802020), bigJpeg(0x208020), bigJpeg(0x202080))
+    val d = Multimodal.decode(mjpegAviBytes(frames, w, h))
+    assert((d.kind, d.width, d.height) === ("video", w.toLong, h.toLong))
+    assert(d.nFrames === Some(3L))
+    assert(d.frames.length === 2)
+  }
+
   test("MJPEG decode caps retained rasters; nFrames stays the container count") {
     // 3× the cap: decoding must SAMPLE (every k-th, frame 0 included),
     // not retain every raster — ADVICE r9's 11 GB single-row blow-up
