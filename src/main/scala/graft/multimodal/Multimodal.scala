@@ -424,28 +424,41 @@ object Multimodal {
       math.max(1, math.ceil(chunkRanges.size.toDouble / MaxDecodedFrames).toInt)
     // retention is BYTE-budgeted like the GIF leg ([[MaxAnimationBytes]]):
     // the frame cap alone lets a declared-huge MJPEG retain cap × raster
-    // bytes (a hostile 8K stream would be ~8 × 100 MB from one row);
-    // decoding stops once the budget is spent, and a first frame too
-    // large for the whole budget yields no rasters → the metadata leg
-    // (then the stub) takes over instead of an executor OOM
+    // bytes (a hostile 8K stream would be ~8 × 100 MB from one row).
+    // Dimensions come from the JPEG HEADER (ImageReader.getWidth reads no
+    // pixel data — the GIF leg's check-before-allocate discipline), so a
+    // frame over budget is rejected BEFORE ImageIO allocates its raster;
+    // the budget trip is sticky and checked before any further chunk is
+    // touched, and a first frame too large for the whole budget yields
+    // no rasters → the metadata leg (then the stub) takes over instead
+    // of an executor OOM (an Error no catch block sees). Budget ≪ the
+    // JVM array max, so no separate Int.MaxValue guard is needed.
     var kept = 0L
     val rasters = Seq.newBuilder[(Int, Int, Array[Byte])]
-    val it = chunkRanges.zipWithIndex.iterator
-      .collect { case ((s, e), i) if i % stride == 0 =>
-        java.util.Arrays.copyOfRange(b, s, e)
-      }
-      .flatMap(chunk =>
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(chunk)))
-        catch { case scala.util.control.NonFatal(_) => None })
     var stop = false
-    while (it.hasNext && !stop) {
-      val img = it.next()
-      val sz = 3L * img.getWidth * img.getHeight
-      if (sz > Int.MaxValue - 8 || kept + sz > MaxAnimationBytes) stop = true
-      else {
-        rasters += ((img.getWidth, img.getHeight, rgbBytes(img)))
-        kept += sz
-      }
+    val chunks = chunkRanges.zipWithIndex.iterator
+      .collect { case ((s, e), i) if i % stride == 0 => (s, e) }
+    while (!stop && chunks.hasNext) {
+      val (cs, ce) = chunks.next()
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(java.util.Arrays.copyOfRange(b, cs, ce)))
+        try {
+          val rs = javax.imageio.ImageIO.getImageReaders(iis)
+          if (rs.hasNext) {
+            val r = rs.next()
+            try {
+              r.setInput(iis)
+              val sz = 3L * r.getWidth(0) * r.getHeight(0)
+              if (kept + sz > MaxAnimationBytes) stop = true
+              else Option(r.read(0)).foreach { img =>
+                rasters += ((img.getWidth, img.getHeight, rgbBytes(img)))
+                kept += sz
+              }
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => () } // corrupt chunk: skip
     }
     val out = rasters.result()
     out.headOption.map { case (w, h, first) =>
