@@ -246,6 +246,47 @@ class StatsStoreSpec extends AnyFunSuite {
     assert(got.head.sourceA === lo, "UTF-16 ordering leaked into the readout")
   }
 
+  test("driver twin equals the engine on randomized sketches across regimes") {
+    import s.implicits._
+    import graft.functions.{HllBuffer, QBuffer}
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    // 20 seeded trials of 2-4 sources whose distinct-set sizes straddle
+    // k = 8, non-ASCII names included: every trial must produce
+    // field-identical pairs from TextQueries.kmvOverlapOf and the
+    // store's driver-side Stats.kmvOverlap — the bit-for-bit twin
+    // contract, exercised over exact, estimate and mixed regimes
+    val rnd = new scala.util.Random(42)
+    val k = 8
+    val pool = (1L to 60L).map(h => h * 7919L + 13L)
+    for (trial <- 1 to 20) {
+      val names = Seq("web", "books😀", "c-source", "�src")
+      val sets = (0 until 2 + rnd.nextInt(3)).map { i =>
+        names(i) -> rnd.shuffle(pool).take(1 + rnd.nextInt(16)).toSeq
+      }.toMap
+      val mins = sets.map { case (n, v) => n -> v.sorted.take(k).toArray }
+      val engine = graft.TextQueries
+        .kmvOverlapOf(
+          mins.toSeq.map { case (n, m) => (n, m.toSeq) }.toDF("source", "mins"),
+          k = k)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5),
+            r.getLong(6), r.getLong(7), r.getLong(8)))
+        .toMap
+      val stats = StatsStore.Stats(14, 4096, 0L, 0L, 0L,
+        new HllBuffer(new java.util.HashSet[java.lang.Long](), null),
+        new QBuffer(new java.util.HashMap[java.lang.Long, Array[Long]](), false),
+        kmv = mins, kmvK = k)
+      val twin = stats.kmvOverlap
+        .map(p => (p.sourceA, p.sourceB) ->
+          (p.nUnionMinima, p.kBoth, p.hK, p.exact, p.estUnion, p.estInter,
+            p.jaccardPpm))
+        .toMap
+      assert(twin === engine, s"trial $trial diverged (sets: ${
+        sets.view.mapValues(_.size).toMap})")
+    }
+  }
+
   test("Cli corpus-stats flags PARTIAL coverage when batches skipped the KMV leg") {
     val lake = Files.createTempDirectory("graft-stats-cli-part").toString
     StatsStore.appendBatch(s"$lake/stats_sketch",
