@@ -101,12 +101,33 @@ object Multimodal {
         catch { case scala.util.control.NonFatal(_) => None }
       else None
     if (viaGif.isDefined) return viaGif
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        .map(singleImageDecoded(_, bytes))
-      // corrupt payloads can crash readers in arbitrary ways (not just
-      // IIOException) — at corpus scale a hostile blob must degrade to the
-      // stub, never kill the task
-      catch { case scala.util.control.NonFatal(_) => None }
+    // corrupt payloads can crash readers in arbitrary ways (not just
+    // IIOException) — at corpus scale a hostile blob must degrade to the
+    // stub, never kill the task. Dims are checked from the HEADER before
+    // read(): a raster too large for one JVM array takes the container-
+    // byte mapping WITHOUT decoding (getWidth reads no pixel data), so a
+    // hostile header can't force a multi-GB allocation whose
+    // OutOfMemoryError no NonFatal catch would see.
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val rs = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!rs.hasNext) None
+        else {
+          val r = rs.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0).toLong
+            val h = r.getHeight(0).toLong
+            if (w <= 0 || h <= 0) None
+            else if (3L * w * h > Int.MaxValue - 8)
+              Some(Decoded("image", w, h, frameSample(bytes, 1)))
+            else Option(r.read(0)).map(singleImageDecoded(_, bytes))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** The single-frame image mapping, shared by the generic leg and the
@@ -170,7 +191,19 @@ object Multimodal {
       try {
         reader.setInput(iis)
         val n = reader.getNumImages(true)
-        if (n <= 1) return Some(singleImageDecoded(reader.read(0), bytes))
+        // Frame dims come from the GIF ImageDescriptor HEADER (getWidth
+        // reads no pixel data) and are INDEPENDENT of the logical screen —
+        // up to 65535×65535 regardless of canvas size — so a few-hundred-
+        // byte hostile GIF passing the canvas budget can still force a
+        // multi-GB transient ARGB raster inside read(i). Check before
+        // decode, like the MJPEG leg; over budget degrades to the generic
+        // path (an OutOfMemoryError is an Error no NonFatal catch sees).
+        def frameFits(i: Int): Boolean =
+          4L * reader.getWidth(i) * reader.getHeight(i) <= MaxAnimationBytes
+        if (n <= 1) {
+          if (!frameFits(0)) return None
+          return Some(singleImageDecoded(reader.read(0), bytes))
+        }
         val screen = for {
           sm <- Option(reader.getStreamMetadata)
           tree = sm.getAsTree("javax_imageio_gif_stream_1.0")
@@ -195,6 +228,7 @@ object Multimodal {
           val rasters = Seq.newBuilder[Array[Byte]]
           var i = 0
           while (i < takeN) {
+            if (!frameFits(i)) return None
             val frame = reader.read(i)
             val md = reader.getImageMetadata(i)
               .getAsTree("javax_imageio_gif_image_1.0")

@@ -252,8 +252,16 @@ object StatsStore {
       store: Stats, lineage: String, sourceCol: Option[String],
       kmvK: Int): Stats = {
     val precision = store.precision; val qCapacity = store.qCapacity
+    // null-text docs sit OUTSIDE the readout — the batch twins
+    // (q_length_sketch/q_dataset_card) pin that contract, and without the
+    // filter the legs would diverge: size(split(null)) is null under
+    // Spark's ANSI default, so a null-text doc would be dropped from the
+    // quantile sketch (and its tokens from the HLL) yet still counted by
+    // count(lit(1)) into n_docs. One filter up front keeps n_docs, HLL,
+    // lengths, and KMV on the identical doc set.
+    val clean = batch.filter(col(textCol).isNotNull)
     val toks = split(col(textCol), " ")
-    val row = batch
+    val row = clean
       .select(explode_outer(toks).as("tok"))
       .agg(
         call_function("distinct_sketch_bin", col("tok"), lit(precision)).as("hb"),
@@ -262,7 +270,7 @@ object StatsStore {
     // lengths need per-doc rows, not the exploded stream — second bounded
     // agg over the un-exploded frame (both aggs are one job each over the
     // batch, which is micro-batch-sized by construction)
-    val lrow = batch
+    val lrow = clean
       .select(size(toks).cast("long").as("len"))
       .agg(
         call_function("quantile_sketch_bin", col("len"), lit(qCapacity)).as("qb"),
@@ -277,7 +285,7 @@ object StatsStore {
     val kmvFolded = sourceCol.fold(store.kmv) { src =>
       val batchSketch = graft.TextQueries
         .kmvSketchOf(
-          batch.select(col(src).cast("string").as("kmv_src"),
+          clean.select(col(src).cast("string").as("kmv_src"),
             col(textCol).as("text"))
             // a null source has no identity to sketch under — and a null
             // map key would blow up the json save after the Spark jobs

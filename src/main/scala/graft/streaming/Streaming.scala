@@ -366,14 +366,24 @@ object Streaming {
     * exists by the time any foreachBatch body runs; the checkpoint path
     * itself is the (weaker) fallback for a nonstandard layout. */
   private[streaming] def streamLineage(checkpointDir: String): String = {
-    val meta = java.nio.file.Paths.get(
-      new org.apache.hadoop.fs.Path(checkpointDir).toUri.getPath, "metadata")
+    // resolved through the Hadoop FileSystem API, NOT java.nio local-file
+    // reads: an HDFS/S3 checkpoint would throw on a local read and the
+    // path-string fallback is IDENTICAL before and after a delete/recreate
+    // of the same remote dir — silently re-dropping a reset checkpoint's
+    // batch 0 as a replay, the exact bug this marker exists to prevent
+    val meta = new org.apache.hadoop.fs.Path(checkpointDir, "metadata")
     try {
-      val root = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(java.nio.file.Files.readString(meta))
+      val conf = org.apache.spark.sql.SparkSession.active
+        .sessionState.newHadoopConf()
+      val fs = meta.getFileSystem(conf)
+      val in = fs.open(meta)
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
       Option(root.get("id")).filterNot(_.isNull).map(_.asText())
         .getOrElse(checkpointDir)
-    } catch { case _: java.io.IOException => checkpointDir }
+    } catch { case scala.util.control.NonFatal(_) => checkpointDir }
   }
 
   private def purgeByFilename(

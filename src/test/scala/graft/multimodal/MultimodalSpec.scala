@@ -179,6 +179,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.frames.length === 1)
   }
 
+  /** Hand-crafted GIF bytes with arbitrary per-frame ImageDescriptor
+    * dimensions — the ImageIO writer can only declare dims matching a real
+    * raster, but a hostile payload declares whatever it likes. Each
+    * frame's LZW data is a minimal clear+EOI stream (structure-valid, no
+    * pixels), which is all header-level parsing ever touches. */
+  private def rawGifBytes(screenW: Int, screenH: Int,
+      frameDims: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(screenW); u16(screenH)
+    out.write(0xf0); out.write(0); out.write(0) // 2-entry global color table
+    out.write(Array[Byte](0, 0, 0, -1, -1, -1), 0, 6)
+    frameDims.foreach { case (w, h) =>
+      out.write(0x2c) // image separator
+      u16(0); u16(0); u16(w); u16(h)
+      out.write(0x00) // no local color table
+      out.write(0x02) // LZW min code size
+      out.write(0x01); out.write(0x2c) // sub-block: clear(100b)+EOI(101b) LSB-packed
+      out.write(0x00) // block terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  test("hostile GIF frame descriptor larger than the screen degrades, not OOMs") {
+    // frame dims are INDEPENDENT of the logical screen: an 8x6 screen
+    // passes the canvas budget, but the frame's own descriptor declares
+    // 30000x30000 — read(i) would allocate a ~3.6 GB ARGB raster whose
+    // OutOfMemoryError no NonFatal catch sees. The header check must trip
+    // BEFORE decode; the generic leg then keeps header dims + container
+    // bytes without decoding either (3*w*h over the JVM array max).
+    val d = Multimodal.decode(rawGifBytes(8, 6, Seq((30000, 30000), (8, 6))))
+    assert((d.kind, d.width, d.height) === ("image", 30000L, 30000L))
+    assert(d.nFrames.isEmpty)
+    assert(d.pixels.isEmpty)
+  }
+
+  test("hostile single-frame GIF with a huge descriptor degrades, not OOMs") {
+    val d = Multimodal.decode(rawGifBytes(8, 6, Seq((30000, 30000))))
+    assert((d.kind, d.width, d.height) === ("image", 30000L, 30000L))
+    assert(d.nFrames.isEmpty)
+    assert(d.pixels.isEmpty)
+  }
+
   test("a logical screen too large for even one budgeted frame degrades, not OOMs") {
     // 5000x3000: the canvas pair alone (120 MB) leaves < one raster of
     // budget -> the animated leg bails and the generic single-frame path

@@ -45,6 +45,29 @@ class StatsStoreSpec extends AnyFunSuite {
     assert(loaded.nDocs === s2.nDocs && loaded.nTokens === s2.nTokens)
   }
 
+  test("null-text docs sit outside the readout — all legs, like the batch twins") {
+    // q_length_sketch/q_dataset_card pin that null-text docs are outside
+    // the corpus readout entirely; without one consistent filter the legs
+    // diverge (size(split(null)) is null under ANSI: the doc drops from
+    // the quantile sketch but count(lit(1)) still counts it into n_docs)
+    import s.implicits._
+    val dir = tmpDir()
+    val batch = Seq(Some("a b c"), None, Some("a a"), None).toDF("text")
+    val st = StatsStore.appendBatch(dir, batch, "text", batchId = 0L)
+    assert(st.nDocs === 2L, "null-text docs leaked into n_docs")
+    assert(st.nTokens === 5L)
+    assert(st.distinctTokens === ((3L, true)))
+    // lengths n must equal n_docs — the store==query equivalence claim
+    assert(st.lengthQuantiles === ((2L, 2L, 3L, 3L, 3L)))
+    // and the KMV doc denominator follows the same doc set
+    val dir2 = tmpDir()
+    val srcBatch = Seq((Some("a b"), "s1"), (None, "s1"))
+      .toDF("text", "src")
+    val st2 = StatsStore.appendBatch(dir2, srcBatch, "text", batchId = 0L,
+      sourceCol = Some("src"))
+    assert(st2.nDocs === 1L && st2.kmvDocs === 1L)
+  }
+
   test("lineage reset: a new lineage's batch 0 folds instead of being dropped") {
     val dir = tmpDir()
     StatsStore.appendBatch(dir, docs("x y"), "text", batchId = 0L, lineage = "run-a")
