@@ -63,7 +63,11 @@ object DagQueries {
       (s, d) => {
         val colls = collections(s, d)
         Dag.tree(colls)
-          .join(colls.select(col("id"), col("transform_type")), Seq("id"))
+          // explicit broadcast: the collection registry is control-plane-
+          // bounded (thousands of rows at any corpus size) — without the
+          // hint the join is estimate-dependent and degrades to a
+          // SortMergeJoin once small-SF size estimates are gone
+          .join(broadcast(colls.select(col("id"), col("transform_type"))), Seq("id"))
           .select(col("root"), col("id"), col("deep"), col("transform_type"))
           .orderBy("root", "deep", "id")
       },

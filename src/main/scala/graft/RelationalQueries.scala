@@ -50,8 +50,13 @@ object RelationalQueries {
 
     QueryDef(
       "q_join_fk", Seq("J1"),
+      // SHUFFLE_HASH-pinned: both sides are fact-sized at 100 TB, so the
+      // small-SF auto-broadcast is estimate-dependent and would silently
+      // degrade to a SortMergeJoin at scale (the r11 q_collection_notes
+      // class); the hash build side is the selectively-filtered orders leg
       (s, d) => Tables.orders(s, d)
         .filter(col("o_totalprice") > 450000)
+        .hint("SHUFFLE_HASH")
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
         .orderBy("o_orderkey"),
@@ -76,9 +81,12 @@ object RelationalQueries {
 
     QueryDef(
       "q_antijoin", Seq("J3", "P3"),
+      // anti-join build side = the filtered orders leg, SHUFFLE_HASH-pinned
+      // (fact-sized at scale: estimate-based broadcast would degrade to SMJ)
       (s, d) => Tables.customer(s, d)
         .join(
-          Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+            .hint("SHUFFLE_HASH"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey"),
@@ -90,9 +98,11 @@ object RelationalQueries {
 
     QueryDef(
       "q_semijoin", Seq("J5"),
+      // semi-join build side = the filtered lineitem leg, SHUFFLE_HASH-pinned
       (s, d) => Tables.orders(s, d)
         .join(
-          Tables.lineitem(s, d).filter(col("l_quantity") >= 50),
+          Tables.lineitem(s, d).filter(col("l_quantity") >= 50)
+            .hint("SHUFFLE_HASH"),
           col("o_orderkey") === col("l_orderkey"), "left_semi")
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy("o_orderkey"),
@@ -196,10 +206,17 @@ object RelationalQueries {
 
     QueryDef(
       "q_except", Seq("U3"),
+      // EXCEPT spelled as distinct + anti-join so the join strategy can be
+      // pinned (set semantics are identical: right-side distinctness is
+      // irrelevant under left_anti). The .except() operator plans the same
+      // shape but leaves the join estimate-dependent — it broadcast at
+      // small SF and degraded to SortMergeJoin once estimates were gone.
       (s, d) => Tables.lineitem(s, d).select(col("l_partkey").as("partkey"))
-        .except(
+        .distinct()
+        .join(
           Tables.part(s, d).filter(col("p_size") > 25)
-            .select(col("p_partkey").as("partkey")))
+            .select(col("p_partkey").as("partkey")).hint("SHUFFLE_HASH"),
+          Seq("partkey"), "left_anti")
         .orderBy("partkey"),
       Some("""SELECT DISTINCT l_partkey AS partkey FROM lineitem
               EXCEPT

@@ -83,7 +83,12 @@ object TypedQueries {
     * TypedProjectionSpec.) */
   private[graft] def typedCollection(s: SparkSession, d: String, paths: Seq[String]): DataFrame =
     dataTable(s, d)
-      .join(compiledRelease(s, d).filter(col("collection_id") === 1),
+      // SHUFFLE_HASH-pinned: both sides are corpus-sized at 100 TB (every
+      // data row / every compiled-release fact), so an estimate-based
+      // broadcast at small SF would silently degrade to SortMergeJoin at
+      // scale; the build side is the collection-filtered fact leg
+      .join(compiledRelease(s, d).filter(col("collection_id") === 1)
+          .hint("SHUFFLE_HASH"),
         col("id") === col("data_id"))
       .select(from_json(col("data"), TypedProjection.structFor(paths)).as("r"))
 

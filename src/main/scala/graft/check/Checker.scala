@@ -180,7 +180,11 @@ object Checker {
     * it); rows already checked are never re-validated. */
   def checkUnchecked(
       rows: DataFrame, existing: DataFrame, kind: String, s: SparkSession): Dataset[CheckRow] =
-    checkItems(rows.join(existing.select("id"), Seq("id"), "left_anti"), kind, s)
+    // SHUFFLE_HASH-pinned anti-join: the existing-check table is as big as
+    // the checked corpus at 100 TB, so an estimate-based broadcast at
+    // small SF would silently degrade to SortMergeJoin at scale
+    checkItems(rows.join(existing.select("id").hint("SHUFFLE_HASH"),
+      Seq("id"), "left_anti"), kind, s)
 
   /** Same check, one row PER ERROR — the aggregation-friendly side output. */
   def checkErrors(rows: DataFrame, kind: String, s: SparkSession): Dataset[CheckErrorRow] = {

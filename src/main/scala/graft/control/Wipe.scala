@@ -60,7 +60,11 @@ object Wipe {
   def orphans(data: DataFrame, idCol: String, refs: Seq[DataFrame]): DataFrame =
     refs.foldLeft(data) { (d, r) =>
       val refCol = r.columns.head
-      d.join(r.select(col(refCol).as("__ref")).na.drop(),
+      // SHUFFLE_HASH-pinned: each reference projection is as big as the
+      // fact table it projects at 100 TB, so an estimate-based broadcast
+      // at small SF would silently degrade all three anti-joins to
+      // SortMergeJoin at scale
+      d.join(r.select(col(refCol).as("__ref")).na.drop().hint("SHUFFLE_HASH"),
         d(idCol) === col("__ref"), "left_anti")
     }
 }

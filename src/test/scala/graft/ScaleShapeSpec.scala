@@ -9,7 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * a per-round manual ritual, so scale-killer plan regressions — a join
   * falling back to sort-merge, an extra exchange, a broadcast over an
   * unbounded frame — were only caught by the next judge. This suite runs
-  * the headline queries against a freshly GENERATED ScaleGen replica
+  * EVERY declared query (registry-driven since r14; an always-on
+  * completeness test rejects a query without a pinned budget) against a
+  * freshly GENERATED ScaleGen replica
   * (factor 5 of sf0.01, so the corpus is big enough that Catalyst's
   * size-based broadcast thresholds see real numbers but small enough for
   * a build gate) and asserts the plan SHAPE invariants the 100 TB design
@@ -187,7 +189,103 @@ class ScaleShapeSpec extends AnyFunSuite {
     // exchange) + the broadcast of the b-side sketch frame (aggregate
     // output, key-domain-bounded) + the final pair sort — a breach
     // means the pairwise algebra started shuffling the corpus again
-    "q_kmv_overlap" -> 8)
+    "q_kmv_overlap" -> 8,
+    // --- r14: the gate covers EVERY declared query (VERDICT r13 #1).
+    // Budgets below were measured on the replica at the r14 shapes after
+    // the robust-joins sweep: nine queries whose joins silently depended
+    // on small-SF auto-broadcast estimates (join_fk, antijoin, semijoin,
+    // except, check_incremental, tree, orphan_gc, typed_tender_sum,
+    // typed_awards_topk — the r11 q_collection_notes degradation class)
+    // were re-pinned with SHUFFLE_HASH hints / an explicit bounded
+    // broadcast, which ADDS an exchange pair at verify scale but cannot
+    // degrade to a sort-merge at 100 TB.
+    // narrow scans / per-row pipelines (filter+project, JSON/text/pii/
+    // multimodal per-row work, fingerprints): only the final sort
+    "q_scan_filter_project" -> 2,
+    "q_filter_in_range" -> 2,
+    "q_explode_tokens" -> 2,
+    "q_fingerprint" -> 2,
+    "q_quality_score" -> 2,
+    "q_token_stats" -> 2,
+    "q_pii_redact" -> 2,
+    "q_chunk_windows" -> 2,
+    "q_multimodal_features" -> 2,
+    "q_multimodal_meta" -> 2,
+    // global-limit top-k / union-sample: TakeOrdered or local limits only
+    "q_sort_limit" -> 0,
+    "q_topk_revenue" -> 2,
+    "q_pkg_union_samples" -> 0,
+    // single agg pair (+ sort): map-side-combined hash aggregation
+    "q_agg_sum_groupby" -> 4,
+    "q_count_distinct" -> 4,
+    "q_distinct_pairs" -> 4,
+    "q_json_extract_agg" -> 4,
+    "q_canonical_hash" -> 4,
+    "q_langid" -> 4,
+    "q_metadata" -> 4,
+    "q_union_distinct" -> 4,
+    "q_sample_stratified" -> 4,
+    "q_corpus_split" -> 4,
+    "q_sessionize" -> 4,
+    "q_cdc_chunk_dedup" -> 4,
+    "q_embed_quantize" -> 4,
+    "q_rep_ngrams" -> 4,
+    "q_window_rownum" -> 4,
+    "q_window_running" -> 4,
+    // two agg/window stages or agg + bounded-broadcast join
+    "q_minmax_substr" -> 6,
+    "q_hourly_rollup" -> 6,
+    "q_field_counts" -> 6,
+    "q_corpus_select" -> 6,
+    "q_record_elect" -> 6,
+    "q_join_broadcast_dims" -> 6,
+    // ANN ladder remainder: trained stages broadcast k pre-aggregated
+    // rows; PQ scans are shuffle-free until the final top-k
+    "q_ann_bruteforce" -> 2,
+    "q_ann_ivf_kmeans" -> 2,
+    "q_ann_ivf_kmeans_multiprobe" -> 2,
+    "q_ann_ivf_multiprobe" -> 2,
+    "q_ann_ivf_pq" -> 0,
+    "q_ann_ivf_pq_multiprobe" -> 0,
+    // ingest/compile/ocds family: the ocid/filename-keyed shuffle + sort
+    "q_ingest_items" -> 4,
+    "q_ingest_records" -> 4,
+    "q_load_compiled" -> 4,
+    "q_dedup_exact" -> 4,
+    "q_dedup_store" -> 4,
+    "q_compile_extensions" -> 4,
+    "q_compile_lastwins" -> 4,
+    "q_compile_versioned" -> 4,
+    "q_compile_warnings" -> 6,
+    "q_record_classify" -> 4,
+    "q_upgrade_parties" -> 4,
+    "q_variant_status_sum" -> 4,
+    // check family: the fan-out repartition + per-item validation + agg
+    "q_check_releases" -> 6,
+    "q_check_records" -> 6,
+    "q_check_incremental" -> 8,
+    // robust-joins sweep: SHUFFLE_HASH pairs replace the estimate-
+    // dependent broadcasts (+2 exchanges each at verify scale, by design)
+    "q_join_fk" -> 6,
+    "q_antijoin" -> 6,
+    "q_semijoin" -> 6,
+    "q_except" -> 6,
+    "q_typed_tender_sum" -> 8,
+    "q_typed_awards_topk" -> 6,
+    // tree closure: broadcast self-joins + the pinned registry broadcast;
+    // exchanges are the per-level union sort only
+    "q_tree" -> 10,
+    // orphan GC: three SHUFFLE_HASH anti-join pairs + the final sort
+    "q_orphan_gc" -> 10,
+    // wipe survivors: the journal semi-join family over the lake
+    "q_wipe_survivors" -> 12,
+    // salted join: the salt fan-out + join pair + de-salt agg, by design
+    "q_join_salted" -> 8,
+    // decontamination / tf-idf / token-df: gram-keyed agg + shuffle-hash
+    // verify joins (the bloom variant's budget is pinned above)
+    "q_decontaminate" -> 14,
+    "q_tfidf_topterms" -> 14,
+    "q_token_df" -> 8)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -226,8 +324,15 @@ class ScaleShapeSpec extends AnyFunSuite {
         s"— a new shuffle appeared:\n$plan")
     val offenders = boundedBroadcasts(df.queryExecution.sparkPlan)
     assert(offenders.isEmpty, s"$name: ${offenders.mkString("\n")}")
-    // drive THIS QueryExecution so the assertion covers the executed query
-    assert(df.queryExecution.toRdd.count() > 0, s"$name returned no rows on the replica")
+    // drive THIS QueryExecution so the assertion covers the executed query.
+    // q_token_df is the one query whose CORRECT replica answer is empty:
+    // it keeps tokens with df >= 50% of docs, and ScaleGen namespaces
+    // tokens per copy (cross-copy Jaccard = 0 by design), so on an N>1
+    // replica no token can reach half the corpus — execution is still
+    // driven; only the rows>0 claim is waived for it.
+    val rows = df.queryExecution.toRdd.count()
+    if (name != "q_token_df")
+      assert(rows > 0, s"$name returned no rows on the replica")
     checkScaleRobustJoins(name)
   }
 
@@ -257,26 +362,27 @@ class ScaleShapeSpec extends AnyFunSuite {
     } finally s.conf.set(key, prev)
   }
 
-  for (q <- Seq("q_compile_ocds", "q_ngram_jaccard", "q_ann_ivf", "q_ann_pq",
-                "q_dedup_clusters", "q_pack_sequences", "q_substr_dedup", "q_substr_scrub",
-                "q_collection_notes", "q_dedup_payoff", "q_neardup_lsh",
-                "q_neardup_embedding", "q_simhash_neardup",
-                "q_substr_scrub_keepfirst", "q_token_stats_bpe", "q_pack_sequences_bpe",
-                "q_semantic_dedup", "q_embed_prototypes", "q_ann_ivf_pq_refine",
-                "q_knn_join", "q_knn_join_ivf", "q_decontaminate_bloom",
-                "q_ann_cell_layout", "q_quality_gate", "q_source_mix",
-                "q_split_leakage", "q_image_neardup", "q_profile_orders",
-                "q_heavy_terms", "q_length_quantiles", "q_lm_score",
-                "q_langid_nb", "q_gopher_rules", "q_source_overlap",
-                "q_source_divergence", "q_bm25_topk", "q_topic_mix",
-                "q_asof_join", "q_range_join", "q_distinct_sketch",
-                "q_length_sketch",
-                "q_rollup_agg", "q_cube_agg", "q_pivot_status",
-                "q_zorder_layout", "q_bottomk_sample", "q_dataset_card",
-                "q_kmv_overlap"))
+  // REGISTRY-DRIVEN (VERDICT r13 #1): every declared query is gated, and a
+  // query added without a pinned budget fails the (cheap, always-on)
+  // completeness test below — a new operator cannot land ungated.
+  test("every declared query carries a pinned exchange budget") {
+    val missing = Queries.all.map(_.name).filterNot(exchangeBudget.contains)
+    assert(missing.isEmpty,
+      s"queries without a pinned exchange budget (run " +
+        s"`sbt \"Test/runMain graft.ScaleBudgetProbe ${missing.mkString(" ")}\"` " +
+        s"to measure, then pin): ${missing.mkString(", ")}")
+    val stale = exchangeBudget.keySet -- Queries.all.map(_.name).toSet
+    assert(stale.isEmpty, s"budget entries for undeclared queries: $stale")
+  }
+
+  // bind the opt-in to a Boolean OUTSIDE the assume: ScalaTest renders the
+  // failed assume's left operand, and `sys.env.contains(...)` would dump
+  // the entire environment map per canceled case (117 blobs per sbt test)
+  private val optIn: Boolean = sys.env.contains("GRAFT_SCALE_CI")
+
+  for (q <- Queries.all.map(_.name).sorted)
     test(s"scale shape invariants hold for $q on a 5x replica") {
-      assume(sys.env.contains("GRAFT_SCALE_CI"),
-        "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
+      assume(optIn, "opt-in: set GRAFT_SCALE_CI=1 to run the scale gate")
       checkShape(q)
     }
 }

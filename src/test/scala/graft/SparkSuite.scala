@@ -18,4 +18,14 @@ object SparkSuite {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** Run a DELIBERATE negative-path Spark action with logging silenced:
+    * a failing task logs ERROR TaskSetManager/Executor lines that read as
+    * real failures to anyone grepping the build log (VERDICT r13 #2). The
+    * level is restored even when the body throws — which it is expected
+    * to (the call sites sit inside intercept[...]). */
+  def quietly[T](body: => T): T = {
+    spark.sparkContext.setLogLevel("OFF")
+    try body finally spark.sparkContext.setLogLevel("ERROR")
+  }
 }

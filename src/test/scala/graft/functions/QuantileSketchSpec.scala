@@ -84,7 +84,8 @@ class QuantileSketchSpec extends AnyFunSuite {
     import s.implicits._
     GraftExtensions.ensureRegistered(s)
     val e = intercept[Exception] {
-      Seq(-1L).toDF("x").selectExpr("quantile_sketch(x, 16) AS q").collect()
+      graft.SparkSuite.quietly(
+        Seq(-1L).toDF("x").selectExpr("quantile_sketch(x, 16) AS q").collect())
     }
     assert(e.getMessage != null)
     val r = Seq.empty[Long].toDF("x")

@@ -64,8 +64,8 @@ class IngestJobSpec extends AnyFunSuite {
       FormatDetect.Format.ReleasePackage, concatenated = false, array = false)
     // Spark path: the task fails (loud), the close-on-error path in
     // ItemReader releases the stream before the exception propagates
-    intercept[org.apache.spark.SparkException](
-      Ingest.loadItems(s, Seq(dir.resolve("bad.json").toString), dt).collect())
+    intercept[org.apache.spark.SparkException](SparkSuite.quietly(
+      Ingest.loadItems(s, Seq(dir.resolve("bad.json").toString), dt).collect()))
     // direct path: the first (intact) item is yielded before the failure
     val it = ItemReader.items(Files.readString(dir.resolve("bad.json")), dt)
     assert(it.next().get("ocid").asText === "ocds-x")
