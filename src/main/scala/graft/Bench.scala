@@ -185,7 +185,21 @@ object Bench {
     "sessionize" -> "sess", "extensions" -> "ext", "divergence" -> "div",
     "join" -> "jn", "versioned" -> "ver", "survivors" -> "sur",
     "broadcast" -> "bc", "window" -> "win", "token" -> "tok",
-    "langid" -> "lid", "check" -> "chk", "ingest" -> "ing")
+    "langid" -> "lid", "check" -> "chk", "ingest" -> "ing",
+    // r14, at 119 queries (capacity gate tripped at the r14 adds):
+    "overlap" -> "ovl", "sketch" -> "sk", "status" -> "stat",
+    "sample" -> "smp", "rollup" -> "rl", "record" -> "rcd",
+    "length" -> "len", "layout" -> "lay", "filter" -> "flt",
+    "corpus" -> "cps", "union" -> "un", "typed" -> "typ",
+    "split" -> "spl", "scrub" -> "scb", "score" -> "scr",
+    "range" -> "rng", "embed" -> "ebd", "canonical" -> "canon",
+    "warnings" -> "warn", "topterms" -> "tt", "semijoin" -> "sjn",
+    "antijoin" -> "ajn", "schedule" -> "sched", "shuffle" -> "shf",
+    "export" -> "exp", "lastwins" -> "lw", "quantize" -> "qz",
+    "releases" -> "rls", "revenue" -> "rev", "groupby" -> "gb",
+    "bottomk" -> "bk", "simhash" -> "sh", "profile" -> "prf",
+    "upgrade" -> "upg", "parties" -> "pts", "variant" -> "var",
+    "jaccard" -> "jac", "explode" -> "xpl", "extract" -> "xtr")
 
   /** The summary line's key for a query name: q_ strip + per-segment
     * [[keyAbbrev]]. THE one definition — the renderer and BenchLineSpec's

@@ -1849,6 +1849,95 @@ object TextQueries {
         "per (source, split) doc + token counts"),
 
     QueryDef(
+      "q_shuffle_export", Seq("F5", "W1", "O1"),
+      (s, d) => {
+        // deterministic shuffled shard export — the write layout a
+        // training run reads: global example order must be (a) shuffled
+        // (SGD convergence degrades badly on source-clustered order),
+        // (b) reproducible byte-for-byte across reruns and repartitions
+        // (resume/debug/ablation all need "the same shuffle"), and
+        // (c) produced WITHOUT a driver-side permutation. Spelling:
+        // content-stable hash h(doc_id) -> shard = h mod N, within-shard
+        // sequence = rank by (h, doc_id). The window partitions by shard,
+        // so parallelism == shard count — the real knob (a 100 TB export
+        // uses O(10k) shards; 8 here keeps verify output readable). Never
+        // rand() (reassigns every run) and never a global row_number
+        // (single-partition window).
+        val nShards = 8
+        val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
+          lit(":shuffle"))), 1, 15), 16, 10).cast(LongType)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), h.as("h"))
+          .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+          .withColumn("seq", row_number().over(w).cast(LongType))
+          .select(col("shard"), col("seq"), col("doc_id"), col("source"))
+          .orderBy("shard", "seq")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 15))::BIGINT AS h
+                FROM documents)
+              SELECT h % 8 AS shard,
+                     row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS seq,
+                     doc_id, source
+              FROM h ORDER BY shard, seq"""),
+      "Deterministic shuffled shard export (training-data write layout): content-stable " +
+        "hash -> shard + within-shard rank, reproducible across reruns/repartitions with " +
+        "no RNG and no single-partition global window; shard count is the parallelism knob"),
+
+    QueryDef(
+      "q_mix_schedule", Seq("F5", "W1", "O1"),
+      (s, d) => {
+        // deterministic source-mixture interleave — stride (virtual-time)
+        // scheduling, the WFQ idea: source with weight w occupies every
+        // (L/w)-th virtual position (L = lcm of weights), so ANY prefix of
+        // the schedule realizes the target mixture ratio — unlike
+        // concatenation (ratio only at 100%) or sampling (ratio only in
+        // expectation). Weights derive from the source name (w = id%3+1)
+        // so the demo is data-independent; a real run passes its mixture
+        // table. Docs are sharded first (same content-stable hash family
+        // as q_shuffle_export), and the interleave runs PER (shard,
+        // source) window — partition count = shards x sources, so the
+        // window never bottlenecks on one giant source (the per-source
+        // global window would put 90% of a 100 TB corpus in one
+        // partition). Integer virtual time: L=6 divides every stride, so
+        // positions are exact longs, bit-deterministic in any engine.
+        val nShards = 4
+        val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
+          lit(":mix"))), 1, 15), 16, 10).cast(LongType)
+        val weight = (substring(col("source"), 4, 10).cast(LongType) % 3L) + 1L
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"), col("source"))
+          .orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), h.as("h"))
+          .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .select(col("shard"),
+            ((col("rn") - 1L) * (lit(6L) / weight).cast(LongType)).as("vpos"),
+            col("source"), col("doc_id"))
+          .orderBy("shard", "vpos", "source", "doc_id")
+      },
+      Some("""WITH h AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))::BIGINT AS h,
+                       (CAST(substr(source, 4) AS BIGINT) % 3) + 1 AS wt
+                FROM documents),
+              r AS (
+                SELECT doc_id, source, h % 4 AS shard, wt,
+                       row_number() OVER (PARTITION BY h % 4, source
+                                          ORDER BY h, doc_id) AS rn
+                FROM h)
+              SELECT shard, (rn - 1) * (6 // wt) AS vpos, source, doc_id
+              FROM r ORDER BY shard, vpos, source, doc_id"""),
+      "Deterministic source-mixture interleave (stride/virtual-time scheduling): weight-w " +
+        "sources occupy every (L/w)-th position, so every schedule prefix realizes the " +
+        "target mixture; per-(shard, source) windows keep the biggest source from " +
+        "bottlenecking one partition"),
+
+    QueryDef(
       "q_split_leakage", Seq("J5", "A1", "F5"),
       (s, d) => {
         // the audit a dataset build runs BEFORE shipping q_corpus_split's

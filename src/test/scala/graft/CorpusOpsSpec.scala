@@ -95,4 +95,42 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(got === truth.toMap, s"width $w")
     }
   }
+
+  test("shuffle export is a permutation: every doc once, shard seqs contiguous") {
+    val d = "/root/testdata/sf0.001"
+    val out = Queries.byName("q_shuffle_export").run(s, d).collect()
+    val docs = Tables.documents(s, d).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    // a shuffle must neither drop nor duplicate examples
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq === docs.toSeq)
+    // within each shard the sequence is 1..n with no gaps (a reader can
+    // range-scan a shard and trust the positions)
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+      val seqs = rows.map(_.getAs[Long]("seq")).sorted.toSeq
+      assert(seqs === (1L to rows.length.toLong), s"shard $shard")
+    }
+  }
+
+  test("mix schedule: every prefix realizes the stride-exact mixture") {
+    val d = "/root/testdata/sf0.001"
+    val out = Queries.byName("q_mix_schedule").run(s, d).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("vpos"),
+        r.getAs[String]("source")))
+    def stride(src: String): Long = 6L / ((src.drop(3).toLong % 3L) + 1L)
+    // permutation claim first
+    assert(out.length === Tables.documents(s, d).count())
+    // stride scheduling is EXACT, not statistical: within a shard, the
+    // number of weight-w source rows at vpos < V is ceil(V / stride)
+    // capped by the source's population — for every prefix V
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val bySrc = rows.groupBy(_._3)
+      val vs = rows.map(_._2).distinct.sorted.take(20) :+ (rows.map(_._2).max + 1L)
+      for (v <- vs; (src, srcRows) <- bySrc) {
+        val got = srcRows.count(_._2 < v).toLong
+        val want = math.min(srcRows.length.toLong,
+          (v + stride(src) - 1L) / stride(src))
+        assert(got === want, s"shard $shard source $src prefix vpos<$v")
+      }
+    }
+  }
 }

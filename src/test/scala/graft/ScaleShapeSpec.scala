@@ -285,7 +285,13 @@ class ScaleShapeSpec extends AnyFunSuite {
     // verify joins (the bloom variant's budget is pinned above)
     "q_decontaminate" -> 14,
     "q_tfidf_topterms" -> 14,
-    "q_token_df" -> 8)
+    "q_token_df" -> 8,
+    // r14 training-export pair: ONE window exchange (hash by shard /
+    // shard x source — shard count is the parallelism knob) + the final
+    // range sort; a breach means a global window or an extra shuffle
+    // appeared
+    "q_shuffle_export" -> 4,
+    "q_mix_schedule" -> 4)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
