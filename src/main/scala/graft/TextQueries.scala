@@ -1938,6 +1938,65 @@ object TextQueries {
         "bottlenecking one partition"),
 
     QueryDef(
+      "q_snapshot_diff", Seq("J1", "A1", "F5"),
+      (s, d) => {
+        // dataset-version diff (CDC between two corpus snapshots — the
+        // readout a training-data refresh runs before re-building: what
+        // did the new crawl add, drop, or revise per source?). Snapshots
+        // are derived deterministically from the documents table so the
+        // oracle can re-derive them: A (previous) = doc_id % 10 != 7,
+        // B (current) = doc_id % 10 != 3, with every fifth doc's text
+        // revised in B. Identity = doc_id; change detection = md5 of
+        // content, so the diff never compares full text across the join
+        // (at 100 TB the join ships 32-byte digests, not documents). The
+        // FULL OUTER join is SHUFFLE_HASH-pinned: both snapshots are
+        // corpus-sized, and Spark >= 3.1 builds full-outer shuffled-hash
+        // — an estimate-based broadcast would degrade to SortMergeJoin at
+        // scale (and broadcast cannot do full-outer anyway).
+        val docs = Tables.documents(s, d)
+        val revised = when(col("doc_id") % 5 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" v2")))
+          .otherwise(coalesce(col("text"), lit("")))
+        val a = docs.filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"), col("source").as("src_a"),
+            md5(coalesce(col("text"), lit(""))).as("h_a"))
+        val b = docs.filter(col("doc_id") % 10 =!= 3)
+          .select(col("doc_id"), col("source").as("src_b"),
+            md5(revised).as("h_b"))
+        a.join(b.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
+          .select(
+            coalesce(col("src_a"), col("src_b")).as("source"),
+            when(col("h_a").isNull, lit("added"))
+              .when(col("h_b").isNull, lit("removed"))
+              .when(col("h_a") =!= col("h_b"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .groupBy("source", "status")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("source", "status")
+      },
+      Some("""WITH a AS (
+                SELECT doc_id, source, md5(coalesce(text, '')) AS h
+                FROM documents WHERE doc_id % 10 <> 7),
+              b AS (
+                SELECT doc_id, source,
+                       md5(CASE WHEN doc_id % 5 = 0
+                                THEN coalesce(text, '') || ' v2'
+                                ELSE coalesce(text, '') END) AS h
+                FROM documents WHERE doc_id % 10 <> 3)
+              SELECT coalesce(a.source, b.source) AS source,
+                     CASE WHEN a.h IS NULL THEN 'added'
+                          WHEN b.h IS NULL THEN 'removed'
+                          WHEN a.h <> b.h THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     count(*) AS n
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+              GROUP BY 1, 2 ORDER BY source, status"""),
+      "Dataset-version diff (CDC between corpus snapshots): full-outer join on doc " +
+        "identity comparing content digests (never full text), SHUFFLE_HASH-pinned " +
+        "(both sides corpus-sized; broadcast cannot full-outer); per (source, status) " +
+        "added/removed/changed/unchanged rollup"),
+
+    QueryDef(
       "q_split_leakage", Seq("J5", "A1", "F5"),
       (s, d) => {
         // the audit a dataset build runs BEFORE shipping q_corpus_split's

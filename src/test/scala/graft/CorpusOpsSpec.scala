@@ -111,6 +111,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot diff reconciles: statuses partition both snapshots exactly") {
+    val d = "/root/testdata/sf0.001"
+    val out = Queries.byName("q_snapshot_diff").run(s, d).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n"))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val ids = Tables.documents(s, d).select("doc_id")
+      .collect().map(_.getLong(0))
+    val aN = ids.count(_ % 10 != 7).toLong
+    val bN = ids.count(_ % 10 != 3).toLong
+    def n(st: String): Long = out.getOrElse(st, 0L)
+    // every A-doc is removed/changed/unchanged; every B-doc is
+    // added/changed/unchanged — the diff must account for both exactly
+    assert(n("removed") + n("changed") + n("unchanged") === aN)
+    assert(n("added") + n("changed") + n("unchanged") === bN)
+    assert(n("added") === ids.count(_ % 10 == 7).toLong)
+    assert(n("removed") === ids.count(_ % 10 == 3).toLong)
+  }
+
   test("mix schedule: every prefix realizes the stride-exact mixture") {
     val d = "/root/testdata/sf0.001"
     val out = Queries.byName("q_mix_schedule").run(s, d).collect()

@@ -291,7 +291,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // range sort; a breach means a global window or an extra shuffle
     // appeared
     "q_shuffle_export" -> 4,
-    "q_mix_schedule" -> 4)
+    "q_mix_schedule" -> 4,
+    // snapshot diff: the full-outer SHUFFLE_HASH pair (the only corpus-
+    // scaling exchanges — 32-byte digests, never full text) + the
+    // (source, status) rollup pair + the final sort
+    "q_snapshot_diff" -> 8)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
