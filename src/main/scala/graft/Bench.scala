@@ -186,7 +186,8 @@ object Bench {
     "join" -> "jn", "versioned" -> "ver", "survivors" -> "sur",
     "broadcast" -> "bc", "window" -> "win", "token" -> "tok",
     "langid" -> "lid", "check" -> "chk", "ingest" -> "ing",
-    // r14, at 119 queries (capacity gate tripped at the r14 adds):
+    // r14, at the 120-query surface (capacity gate tripped at 119 when
+    // the first two r14 queries landed):
     "overlap" -> "ovl", "sketch" -> "sk", "status" -> "stat",
     "sample" -> "smp", "rollup" -> "rl", "record" -> "rcd",
     "length" -> "len", "layout" -> "lay", "filter" -> "flt",

@@ -207,16 +207,20 @@ object RelationalQueries {
     QueryDef(
       "q_except", Seq("U3"),
       // EXCEPT spelled as distinct + anti-join so the join strategy can be
-      // pinned (set semantics are identical: right-side distinctness is
-      // irrelevant under left_anti). The .except() operator plans the same
-      // shape but leaves the join estimate-dependent — it broadcast at
-      // small SF and degraded to SortMergeJoin once estimates were gone.
+      // pinned (right-side distinctness is irrelevant under left_anti).
+      // The join key is NULL-SAFE (<=>): EXCEPT removes a NULL left key
+      // when the right side contains NULL, which a plain '=' anti-join
+      // would keep (r14 review — moot on TPC-H's non-null partkeys, but
+      // the oracle declares EXCEPT, so the spellings must agree on any
+      // data). The .except() operator plans the same shape but leaves the
+      // join estimate-dependent — it broadcast at small SF and degraded
+      // to SortMergeJoin once estimates were gone.
       (s, d) => Tables.lineitem(s, d).select(col("l_partkey").as("partkey"))
         .distinct()
         .join(
           Tables.part(s, d).filter(col("p_size") > 25)
-            .select(col("p_partkey").as("partkey")).hint("SHUFFLE_HASH"),
-          Seq("partkey"), "left_anti")
+            .select(col("p_partkey").as("rhs_partkey")).hint("SHUFFLE_HASH"),
+          col("partkey") <=> col("rhs_partkey"), "left_anti")
         .orderBy("partkey"),
       Some("""SELECT DISTINCT l_partkey AS partkey FROM lineitem
               EXCEPT

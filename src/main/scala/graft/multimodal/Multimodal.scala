@@ -104,10 +104,12 @@ object Multimodal {
     // corrupt payloads can crash readers in arbitrary ways (not just
     // IIOException) — at corpus scale a hostile blob must degrade to the
     // stub, never kill the task. Dims are checked from the HEADER before
-    // read(): a raster too large for one JVM array takes the container-
-    // byte mapping WITHOUT decoding (getWidth reads no pixel data), so a
-    // hostile header can't force a multi-GB allocation whose
-    // OutOfMemoryError no NonFatal catch would see.
+    // read() against [[imageOverBudget]]: an over-budget raster takes the
+    // container-byte mapping WITHOUT decoding (getWidth reads no pixel
+    // data), so a hostile header can't force a multi-GB allocation whose
+    // OutOfMemoryError no NonFatal catch would see. This leg is also the
+    // backstop for a GIF the animated leg refused (its budget trips fall
+    // through to here), so the budget must hold for EVERY format.
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -121,33 +123,43 @@ object Multimodal {
             val w = r.getWidth(0).toLong
             val h = r.getHeight(0).toLong
             if (w <= 0 || h <= 0) None
-            else if (3L * w * h > Int.MaxValue - 8)
+            else if (imageOverBudget(w, h))
               Some(Decoded("image", w, h, frameSample(bytes, 1)))
-            else Option(r.read(0)).map(singleImageDecoded(_, bytes))
+            else Option(r.read(0)).map(singleImageDecoded)
           } finally r.dispose()
         }
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Single-image decode budget: read() backs the BufferedImage with up
+    * to 4 bytes/px (int ARGB) and [[rgbBytes]] retains 3 more, so the
+    * worst-case transient is ~7 bytes/px per decode — bounded here by
+    * [[MaxImageBytes]] (256 MB ≈ 38 Mpx, comfortably above an 8K photo's
+    * 33 Mpx) so 32 concurrent decode tasks stay within a normal executor
+    * heap. The old guard (3 B/px vs the JVM array max) nominally kept
+    * rgbBytes allocatable but still admitted ~5 GB transients from a
+    * few-hundred-byte hostile header (r14 review). Over-budget payloads
+    * keep the container-byte mapping with REAL header dims — never a
+    * decode attempt, never a stub. */
+  private def imageOverBudget(w: Long, h: Long): Boolean =
+    7L * w * h > MaxImageBytes
+
   /** The single-frame image mapping, shared by the generic leg and the
     * GIF reader path. Frames walk the DECODED RGB raster, not the
     * container bytes — the same contract as the audio leg's PCM walk: a
     * PNG and a BMP of identical pixels produce identical frame hashes,
     * so downstream dedup/features key on signal content, not encoding.
-    * Rasters too large for one JVM array (> ~715M px: w*h*3 over
-    * Int.MaxValue) keep container-byte frames and real dims instead of
-    * degrading to the stub. */
-  private def singleImageDecoded(
-      img: java.awt.image.BufferedImage, container: Array[Byte]): Decoded =
-    if (3L * img.getWidth * img.getHeight > Int.MaxValue - 8)
-      Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
-        frameSample(container, 1))
-    else {
-      val rgb = rgbBytes(img)
-      Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
-        frameSample(rgb, 1), pixels = Some(rgb))
-    }
+    * Both callers check dims against a pre-decode budget
+    * ([[imageOverBudget]] / the GIF leg's frameFits) BEFORE read(), so
+    * the raster here is always well under one JVM array; over-budget
+    * payloads never reach this function (the callers emit the
+    * container-byte mapping themselves). */
+  private def singleImageDecoded(img: java.awt.image.BufferedImage): Decoded = {
+    val rgb = rgbBytes(img)
+    Decoded("image", img.getWidth.toLong, img.getHeight.toLong,
+      frameSample(rgb, 1), pixels = Some(rgb))
+  }
 
   /** The ANIMATED-GIF leg: multi-frame GIFs composed to REAL per-frame
     * rasters in pure JVM — GIF frames are deltas (each a sub-rectangle
@@ -202,7 +214,7 @@ object Multimodal {
           4L * reader.getWidth(i) * reader.getHeight(i) <= MaxAnimationBytes
         if (n <= 1) {
           if (!frameFits(0)) return None
-          return Some(singleImageDecoded(reader.read(0), bytes))
+          return Some(singleImageDecoded(reader.read(0)))
         }
         val screen = for {
           sm <- Option(reader.getStreamMetadata)
@@ -430,6 +442,12 @@ object Multimodal {
     * declared-huge logical screen or frame stream degrades instead of
     * OOMing the task (an Error no catch block sees). */
   private[multimodal] val MaxAnimationBytes: Long = 128L << 20
+
+  /** Transient-byte budget for a SINGLE image decode (see
+    * [[imageOverBudget]]): ~7 bytes/px of decoder raster + retained RGB,
+    * checked from header dims BEFORE read(). 256 MB ≈ 38 Mpx — above an
+    * 8K photo (33 Mpx), far below the hostile-header multi-GB class. */
+  private[multimodal] val MaxImageBytes: Long = 256L << 20
 
   private def aviMjpgDecoded(b: Array[Byte]): Option[Decoded] = {
     def cc(off: Int): String =

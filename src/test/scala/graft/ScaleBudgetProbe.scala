@@ -19,39 +19,17 @@ object ScaleBudgetProbe {
     ScaleGen.generate(s, "/root/testdata/sf0.01", dest, 5)
     val wanted: Seq[String] =
       if (args.nonEmpty) args.toSeq else Queries.all.map(_.name)
-    val dims = Set("region", "nation", "customer", "supplier", "part")
     wanted.foreach { name =>
       val out =
         try {
+          // every classifier comes from ScaleShape — the gate's OWN
+          // definitions — so a probe measurement is a gate measurement
           val df = Queries.byName(name).run(s, dest)
-          val plan = df.queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-          def n(m: String): Int = plan.linesIterator.count(_.contains(m))
-          val unbounded = {
-            val bounding = Set("HashAggregateExec", "ObjectHashAggregateExec",
-              "SortAggregateExec", "LocalTableScanExec", "GlobalLimitExec",
-              "LocalLimitExec", "TakeOrderedAndProjectExec", "SubqueryBroadcastExec")
-            df.queryExecution.sparkPlan.collect {
-              case p if p.getClass.getSimpleName == "BroadcastExchangeExec" => p
-            }.count { b =>
-              val hasBound = b.exists(x => bounding(x.getClass.getSimpleName))
-              val factScan = b.collect {
-                case f if f.getClass.getSimpleName == "FileSourceScanExec" &&
-                  !dims.exists(d => f.toString.contains(s"$d.parquet")) => f
-              }
-              !hasBound && factScan.nonEmpty
-            }
-          }
-          val key = "spark.sql.autoBroadcastJoinThreshold"
-          val prev = s.conf.get(key)
+          def n(m: String): Int = ScaleShape.markerLines(df, m)
+          val unbounded =
+            ScaleShape.unboundedBroadcasts(df.queryExecution.sparkPlan).size
           val robustSmj =
-            try {
-              s.conf.set(key, "-1")
-              val p2 = Queries.byName(name).run(s, dest).queryExecution
-                .explainString(
-                  org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-              p2.linesIterator.count(_.contains("SortMergeJoin"))
-            } finally s.conf.set(key, prev)
+            ScaleShape.robustSmjLines(s, Queries.byName(name).run(s, dest))
           f"PROBE $name%-28s exch=${n("Exchange")}%3d smj=${n("SortMergeJoin")}%d " +
             f"cart=${n("CartesianProduct")}%d unboundedBc=$unbounded%d robustSmj=$robustSmj%d"
         } catch {

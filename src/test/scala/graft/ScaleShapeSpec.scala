@@ -2,7 +2,6 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.execution.SparkPlan
 import org.scalatest.funsuite.AnyFunSuite
 
 /** CI-lite scale gate (VERDICT r9 Next #8): the sf-replica scale study is
@@ -33,8 +32,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class ScaleShapeSpec extends AnyFunSuite {
 
   private lazy val s = SparkSuite.spark
-
-  private val dims = Set("region", "nation", "customer", "supplier", "part")
 
   /** Pinned per-query EXCHANGE budgets (formatted-plan node-line counts,
     * which list each node twice: tree + details). Measured on the replica
@@ -269,7 +266,13 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_join_fk" -> 6,
     "q_antijoin" -> 6,
     "q_semijoin" -> 6,
-    "q_except" -> 6,
+    // except carries one extra exchange pair over its siblings: the
+    // anti-join key is NULL-SAFE (<=>, EXCEPT's set membership), and the
+    // distinct's hash(partkey) partitioning does not satisfy the
+    // null-safe key's required distribution — the re-shuffle ships the
+    // already-DISTINCT key stream (key-cardinality-bounded), the price of
+    // oracle-exact EXCEPT semantics on nullable keys (r14 review)
+    "q_except" -> 8,
     "q_typed_tender_sum" -> 8,
     "q_typed_awards_topk" -> 6,
     // tree closure: broadcast self-joins + the pinned registry broadcast;
@@ -303,27 +306,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     dest
   }
 
-  private def boundedBroadcasts(plan: SparkPlan): Seq[String] = {
-    val bounding = Set("HashAggregateExec", "ObjectHashAggregateExec",
-      "SortAggregateExec", "LocalTableScanExec", "GlobalLimitExec",
-      "LocalLimitExec", "TakeOrderedAndProjectExec", "SubqueryBroadcastExec")
-    plan.collect {
-      case p if p.getClass.getSimpleName == "BroadcastExchangeExec" => p
-    }.flatMap { b =>
-      val hasBound = b.exists(n => bounding(n.getClass.getSimpleName))
-      val factScan = b.collect {
-        case f if f.getClass.getSimpleName == "FileSourceScanExec" &&
-          !dims.exists(d => f.toString.contains(s"$d.parquet")) => f
-      }
-      if (hasBound || factScan.isEmpty) Nil
-      else Seq(s"unbounded broadcast over fact scan:\n$b")
-    }
-  }
-
   private def checkShape(name: String): Unit = {
     val df = Queries.byName(name).run(s, replica)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val plan = ScaleShape.formatted(df)
     def n(marker: String): Int = plan.linesIterator.count(_.contains(marker))
     assert(n("SortMergeJoin") === 0, s"$name plans a SortMergeJoin:\n$plan")
     assert(n("CartesianProduct") === 0, s"$name plans a cartesian product:\n$plan")
@@ -332,7 +317,7 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(n("Exchange") <= budget,
       s"$name exchange count ${n("Exchange")} breached pinned budget $budget " +
         s"— a new shuffle appeared:\n$plan")
-    val offenders = boundedBroadcasts(df.queryExecution.sparkPlan)
+    val offenders = ScaleShape.unboundedBroadcasts(df.queryExecution.sparkPlan)
     assert(offenders.isEmpty, s"$name: ${offenders.mkString("\n")}")
     // drive THIS QueryExecution so the assertion covers the executed query.
     // q_token_df is the one query whose CORRECT replica answer is empty:
@@ -357,20 +342,12 @@ class ScaleShapeSpec extends AnyFunSuite {
     * ones the plan REQUESTS (hints / bounds that hold by construction) —
     * scale-independent by definition — so a join that survives here
     * cannot degrade at 100 TB the way an estimate-dependent one does. */
-  private def checkScaleRobustJoins(name: String): Unit = {
-    val key = "spark.sql.autoBroadcastJoinThreshold"
-    val prev = s.conf.get(key)
-    try {
-      s.conf.set(key, "-1")
-      val plan = Queries.byName(name).run(s, replica).queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      assert(!plan.contains("SortMergeJoin"),
-        s"$name degrades to SortMergeJoin when auto-broadcast estimates are " +
-          s"unavailable — a join's broadcast depends on a small-SF size " +
-          s"estimate and will regress at scale (pin it with an explicit " +
-          s"hint over a bounded frame):\n$plan")
-    } finally s.conf.set(key, prev)
-  }
+  private def checkScaleRobustJoins(name: String): Unit =
+    assert(ScaleShape.robustSmjLines(s, Queries.byName(name).run(s, replica)) === 0,
+      s"$name degrades to SortMergeJoin when auto-broadcast estimates are " +
+        s"unavailable — a join's broadcast depends on a small-SF size " +
+        s"estimate and will regress at scale (pin it with an explicit " +
+        s"hint over a bounded frame)")
 
   // REGISTRY-DRIVEN (VERDICT r13 #1): every declared query is gated, and a
   // query added without a pinned budget fails the (cheap, always-on)
@@ -387,7 +364,8 @@ class ScaleShapeSpec extends AnyFunSuite {
 
   // bind the opt-in to a Boolean OUTSIDE the assume: ScalaTest renders the
   // failed assume's left operand, and `sys.env.contains(...)` would dump
-  // the entire environment map per canceled case (117 blobs per sbt test)
+  // the entire environment map once per canceled case in every plain
+  // `sbt test` run
   private val optIn: Boolean = sys.env.contains("GRAFT_SCALE_CI")
 
   for (q <- Queries.all.map(_.name).sorted)

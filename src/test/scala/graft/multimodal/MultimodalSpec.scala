@@ -224,6 +224,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.pixels.isEmpty)
   }
 
+  test("the budget gap between the GIF and array-max guards is closed (r14 review)") {
+    // 25000x25000 = 625 Mpx: over the animated leg's frame budget AND
+    // over MaxImageBytes, but UNDER the old generic-leg guard (3*w*h <=
+    // Int.MaxValue) — pre-review, the GIF leg's refusal fell through to a
+    // generic read(0) that allocated ~2.5 GB for a few hundred bytes of
+    // input. Both legs must refuse before decode; header dims survive.
+    assert(3L * 25000 * 25000 <= Int.MaxValue - 8) // the gap being tested
+    val d = Multimodal.decode(rawGifBytes(8, 6, Seq((25000, 25000))))
+    assert((d.kind, d.width, d.height) === ("image", 25000L, 25000L))
+    assert(d.pixels.isEmpty)
+  }
+
+  test("hostile PNG header over the image budget degrades without decoding") {
+    // hand-built PNG: real signature + IHDR declaring 26000x27000 (702
+    // Mpx, ~4.9 GB transient at 7 B/px) and NO pixel data — getWidth
+    // parses only the header, so the budget check must refuse before any
+    // read() (which would fail loudly AFTER attempting the allocation)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val ihdr = new java.io.ByteArrayOutputStream()
+    ihdr.write("IHDR".getBytes("US-ASCII"))
+    def be32(v: Int): Unit =
+      ihdr.write(Array((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toByte))
+    be32(26000); be32(27000)
+    ihdr.write(Array[Int](8, 2, 0, 0, 0).map(_.toByte)) // depth 8, RGB
+    val body = ihdr.toByteArray
+    val crc = new java.util.zip.CRC32(); crc.update(body)
+    out.write(Array[Int](0, 0, 0, 13).map(_.toByte)) // IHDR data length
+    out.write(body)
+    val c = crc.getValue
+    out.write(Array(((c >> 24) & 0xff).toInt, ((c >> 16) & 0xff).toInt,
+      ((c >> 8) & 0xff).toInt, (c & 0xff).toInt).map(_.toByte))
+    val d = Multimodal.decode(out.toByteArray)
+    assert((d.kind, d.width, d.height) === ("image", 26000L, 27000L))
+    assert(d.pixels.isEmpty)
+  }
+
   test("a logical screen too large for even one budgeted frame degrades, not OOMs") {
     // 5000x3000: the canvas pair alone (120 MB) leaves < one raster of
     // budget -> the animated leg bails and the generic single-frame path
