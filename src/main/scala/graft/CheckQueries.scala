@@ -20,8 +20,9 @@ import graft.check.Checker
   */
 object CheckQueries {
 
-  /** The defect-injected release rows shared by the check queries. */
-  private def defectRows(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** The defect-injected release rows shared by the check queries (and
+    * AbCheckBloomBench, so the A/B measures what ships). */
+  private[graft] def defectRows(s: org.apache.spark.sql.SparkSession, d: String) = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
     val isReq = k % 5 === 0
     val isType = !isReq && (k % 7 === 0)
@@ -83,7 +84,13 @@ object CheckQueries {
       (s, d) => {
         // addchecks.py:38-45: rows with event_id % 3 == 0 are 'already
         // checked'; the job left-anti-joins them away and validates only
-        // the remainder, summarizing to one row
+        // the remainder, summarizing to one row.
+        // Negative A/B, so it is not retried (AbCheckBloomBench, r14):
+        // routing definitely-new rows past the anti-join with a bounded
+        // bloom_agg prefilter measured 6.2x WORSE at sf0.1 (0.84 -> 5.24
+        // s interleaved min-of-5) — the two-branch union recomputes the
+        // payload projection per branch and splits one codegen'd
+        // pipeline, costing far more than the payload shuffle it saves
         val existing = Tables.events(s, d)
           .filter(col("event_id") % 3 === 0)
           .select(col("event_id").as("id"))
