@@ -35,6 +35,68 @@ object TextQueries {
     conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10)
       .cast(LongType) % 100
 
+  /** The content-stable 63-bit hash behind the training-export family —
+    * the first 15 md5 hex chars of `id || tag` as a long. The tag keeps
+    * independent uses (shard assignment, mix order, sampling bucket)
+    * decorrelated: reusing one hash for both the shard and the in-shard
+    * order would sort each shard by the same value that selected it. */
+  private def exportHash(id: Column, tag: String): Column =
+    conv(substring(md5(concat(id.cast(StringType), lit(tag))), 1, 15), 16, 10)
+      .cast(LongType)
+
+  /** Deterministic shuffled shard export — the write layout a training
+    * run reads. Global example order must be (a) shuffled (SGD
+    * convergence degrades badly on source-clustered order), (b)
+    * reproducible byte-for-byte across reruns and repartitions
+    * (resume/debug/ablation all need "the same shuffle"), and (c)
+    * produced WITHOUT a driver-side permutation. Spelling:
+    * content-stable hash h(doc_id) → shard = h mod N, within-shard
+    * sequence = rank by (h, doc_id). The window partitions by shard, so
+    * parallelism == shard count — the real knob (a 100 TB export uses
+    * O(10k) shards). Never rand() (reassigns every run) and never a
+    * global row_number (single-partition window). Output: (shard, seq,
+    * doc_id, source), unordered — callers sort or write as they need. */
+  private[graft] def shuffleExportOf(docs: DataFrame, nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        exportHash(col("doc_id"), ":shuffle").as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("seq", row_number().over(w).cast(LongType))
+      .select(col("shard"), col("seq"), col("doc_id"), col("source"))
+  }
+
+  /** Deterministic source-mixture interleave — stride (virtual-time)
+    * scheduling, the WFQ idea: a source with weight w occupies every
+    * (L/w)-th virtual position (L = the weights' common multiple), so ANY
+    * prefix of a shard's schedule realizes the target mixture ratio —
+    * unlike concatenation (ratio only at 100%) or sampling (ratio only
+    * in expectation). Docs are sharded first (same content-stable hash
+    * family as [[shuffleExportOf]]), and the interleave runs PER (shard,
+    * source) window — partition count = shards × sources, so the window
+    * never bottlenecks on one giant source (a per-source global window
+    * would put 90% of a 100 TB corpus in one partition). Integer virtual
+    * time: `weightLcm` must be a multiple of every weight `weightExpr`
+    * can produce, so positions are exact longs, bit-deterministic in any
+    * engine. Output: (shard, vpos, source, doc_id), unordered — the
+    * schedule is the (vpos, source, doc_id) order within a shard. */
+  private[graft] def mixScheduleOf(
+      docs: DataFrame, weightExpr: Column, weightLcm: Long,
+      nShards: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        exportHash(col("doc_id"), ":mix").as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .select(col("shard"),
+        ((col("rn") - 1L) * (lit(weightLcm) / weightExpr).cast(LongType)).as("vpos"),
+        col("source"), col("doc_id"))
+  }
+
   /** The MinHash-LSH → exact-Jaccard verified near-dup pair set
     * (doc_a < doc_b, jaccard >= 0.9) — the shared engine behind
     * q_ngram_jaccard (which emits the pairs) and q_dedup_clusters (which
@@ -1850,31 +1912,8 @@ object TextQueries {
 
     QueryDef(
       "q_shuffle_export", Seq("F5", "W1", "O1"),
-      (s, d) => {
-        // deterministic shuffled shard export — the write layout a
-        // training run reads: global example order must be (a) shuffled
-        // (SGD convergence degrades badly on source-clustered order),
-        // (b) reproducible byte-for-byte across reruns and repartitions
-        // (resume/debug/ablation all need "the same shuffle"), and
-        // (c) produced WITHOUT a driver-side permutation. Spelling:
-        // content-stable hash h(doc_id) -> shard = h mod N, within-shard
-        // sequence = rank by (h, doc_id). The window partitions by shard,
-        // so parallelism == shard count — the real knob (a 100 TB export
-        // uses O(10k) shards; 8 here keeps verify output readable). Never
-        // rand() (reassigns every run) and never a global row_number
-        // (single-partition window).
-        val nShards = 8
-        val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
-          lit(":shuffle"))), 1, 15), 16, 10).cast(LongType)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), h.as("h"))
-          .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
-          .withColumn("seq", row_number().over(w).cast(LongType))
-          .select(col("shard"), col("seq"), col("doc_id"), col("source"))
-          .orderBy("shard", "seq")
-      },
+      (s, d) => shuffleExportOf(Tables.documents(s, d), nShards = 8)
+        .orderBy("shard", "seq"),
       Some("""WITH h AS (
                 SELECT doc_id, source,
                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle'), 1, 15))::BIGINT AS h
@@ -1889,37 +1928,13 @@ object TextQueries {
 
     QueryDef(
       "q_mix_schedule", Seq("F5", "W1", "O1"),
-      (s, d) => {
-        // deterministic source-mixture interleave — stride (virtual-time)
-        // scheduling, the WFQ idea: source with weight w occupies every
-        // (L/w)-th virtual position (L = lcm of weights), so ANY prefix of
-        // the schedule realizes the target mixture ratio — unlike
-        // concatenation (ratio only at 100%) or sampling (ratio only in
-        // expectation). Weights derive from the source name (w = id%3+1)
-        // so the demo is data-independent; a real run passes its mixture
-        // table. Docs are sharded first (same content-stable hash family
-        // as q_shuffle_export), and the interleave runs PER (shard,
-        // source) window — partition count = shards x sources, so the
-        // window never bottlenecks on one giant source (the per-source
-        // global window would put 90% of a 100 TB corpus in one
-        // partition). Integer virtual time: L=6 divides every stride, so
-        // positions are exact longs, bit-deterministic in any engine.
-        val nShards = 4
-        val h = conv(substring(md5(concat(col("doc_id").cast(StringType),
-          lit(":mix"))), 1, 15), 16, 10).cast(LongType)
-        val weight = (substring(col("source"), 4, 10).cast(LongType) % 3L) + 1L
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("shard"), col("source"))
-          .orderBy(col("h"), col("doc_id"))
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), h.as("h"))
-          .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
-          .withColumn("rn", row_number().over(w).cast(LongType))
-          .select(col("shard"),
-            ((col("rn") - 1L) * (lit(6L) / weight).cast(LongType)).as("vpos"),
-            col("source"), col("doc_id"))
-          .orderBy("shard", "vpos", "source", "doc_id")
-      },
+      // the demo derives weights from the source name (w = id%3+1) so the
+      // declared query is data-independent; a real run passes its own
+      // mixture table to mixScheduleOf
+      (s, d) => mixScheduleOf(Tables.documents(s, d),
+        weightExpr = (substring(col("source"), 4, 10).cast(LongType) % 3L) + 1L,
+        weightLcm = 6L, nShards = 4)
+        .orderBy("shard", "vpos", "source", "doc_id"),
       Some("""WITH h AS (
                 SELECT doc_id, source,
                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15))::BIGINT AS h,

@@ -111,6 +111,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mixScheduleOf holds its prefix contract on a skewed corpus with a weight table") {
+    import org.apache.spark.sql.functions._
+    // populations 200/30/5 with weights 5/2/1 (LCM 10) — shapes the fixed
+    // testdata never produces: a dominant source, a near-empty one, and
+    // weights that are NOT a permutation of the populations' order
+    val rows = (1L to 200L).map(i => (i, "a", "w")) ++
+      (201L to 230L).map(i => (i, "b", "w")) ++
+      (231L to 235L).map(i => (i, "c", "w"))
+    val weights = Map("a" -> 5L, "b" -> 2L, "c" -> 1L)
+    val wExpr = when(col("source") === "a", 5L)
+      .when(col("source") === "b", 2L).otherwise(1L)
+    val out = TextQueries.mixScheduleOf(docsDF(rows), wExpr, 10L, nShards = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("vpos"),
+        r.getAs[String]("source")))
+    assert(out.length === rows.length)
+    out.groupBy(_._1).foreach { case (shard, sh) =>
+      val bySrc = sh.groupBy(_._3)
+      val vs = sh.map(_._2).distinct.sorted.take(25) :+ (sh.map(_._2).max + 1L)
+      for (v <- vs; (src, srcRows) <- bySrc) {
+        val stride = 10L / weights(src)
+        val want = math.min(srcRows.length.toLong, (v + stride - 1L) / stride)
+        assert(srcRows.count(_._2 < v).toLong === want,
+          s"shard $shard source $src prefix vpos<$v")
+      }
+    }
+  }
+
+  test("shuffleExportOf is partitioning-invariant: same layout from a repartitioned input") {
+    val rows = (1L to 97L).map(i => (i, s"s${i % 3}", "w"))
+    def layout(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      TextQueries.shuffleExportOf(df, nShards = 4).collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq"),
+          r.getAs[Long]("doc_id"))).sortBy(t => (t._1, t._2)).toSeq
+    val base = layout(docsDF(rows))
+    val shuffled = layout(docsDF(scala.util.Random.shuffle(rows)).repartition(7))
+    assert(base === shuffled, "export layout depends on input partitioning/order")
+  }
+
   test("snapshot diff reconciles: statuses partition both snapshots exactly") {
     val d = "/root/testdata/sf0.001"
     val out = Queries.byName("q_snapshot_diff").run(s, d).collect()
