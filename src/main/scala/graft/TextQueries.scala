@@ -67,6 +67,37 @@ object TextQueries {
       .select(col("shard"), col("seq"), col("doc_id"), col("source"))
   }
 
+  /** Dataset-version diff (CDC between two corpus snapshots) — the
+    * readout a training-data refresh runs before re-building: what did
+    * the new crawl add, drop, or revise per source? Both inputs carry
+    * (doc_id, source, text). Identity = doc_id; change detection = md5
+    * of content computed BELOW the join, so the diff never compares full
+    * text across the exchange (at 100 TB the join ships 32-byte digests,
+    * not documents). The FULL OUTER join is SHUFFLE_HASH-pinned: both
+    * snapshots are corpus-sized, Spark >= 3.1 builds full-outer
+    * shuffled-hash, an estimate-based plan would degrade to
+    * SortMergeJoin at scale (and broadcast cannot do full-outer at all).
+    * Output: per (source, status) counts over
+    * added/removed/changed/unchanged, unordered. */
+  private[graft] def diffSnapshotsOf(prev: DataFrame, cur: DataFrame): DataFrame = {
+    // digests are null-total (null text == empty text): a null digest on
+    // a PRESENT row would misread as added/removed, since presence is
+    // detected through the digest columns after the full-outer join
+    val a = prev.select(col("doc_id"), col("source").as("src_a"),
+      md5(coalesce(col("text"), lit(""))).as("h_a"))
+    val b = cur.select(col("doc_id"), col("source").as("src_b"),
+      md5(coalesce(col("text"), lit(""))).as("h_b"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("h_a").isNull, lit("added"))
+          .when(col("h_b").isNull, lit("removed"))
+          .when(col("h_a") =!= col("h_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Deterministic source-mixture interleave — stride (virtual-time)
     * scheduling, the WFQ idea: a source with weight w occupies every
     * (L/w)-th virtual position (L = the weights' common multiple), so ANY
@@ -1955,38 +1986,21 @@ object TextQueries {
     QueryDef(
       "q_snapshot_diff", Seq("J1", "A1", "F5"),
       (s, d) => {
-        // dataset-version diff (CDC between two corpus snapshots — the
-        // readout a training-data refresh runs before re-building: what
-        // did the new crawl add, drop, or revise per source?). Snapshots
-        // are derived deterministically from the documents table so the
-        // oracle can re-derive them: A (previous) = doc_id % 10 != 7,
-        // B (current) = doc_id % 10 != 3, with every fifth doc's text
-        // revised in B. Identity = doc_id; change detection = md5 of
-        // content, so the diff never compares full text across the join
-        // (at 100 TB the join ships 32-byte digests, not documents). The
-        // FULL OUTER join is SHUFFLE_HASH-pinned: both snapshots are
-        // corpus-sized, and Spark >= 3.1 builds full-outer shuffled-hash
-        // — an estimate-based broadcast would degrade to SortMergeJoin at
-        // scale (and broadcast cannot do full-outer anyway).
+        // demo snapshots, derived deterministically from the documents
+        // table so the oracle can re-derive them: A (previous crawl) =
+        // doc_id % 10 != 7, B (current) = doc_id % 10 != 3, with every
+        // fifth doc's text revised in B; a real run passes its two lake
+        // snapshots to diffSnapshotsOf
         val docs = Tables.documents(s, d)
         val revised = when(col("doc_id") % 5 === 0,
           concat(coalesce(col("text"), lit("")), lit(" v2")))
           .otherwise(coalesce(col("text"), lit("")))
-        val a = docs.filter(col("doc_id") % 10 =!= 7)
-          .select(col("doc_id"), col("source").as("src_a"),
-            md5(coalesce(col("text"), lit(""))).as("h_a"))
-        val b = docs.filter(col("doc_id") % 10 =!= 3)
-          .select(col("doc_id"), col("source").as("src_b"),
-            md5(revised).as("h_b"))
-        a.join(b.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
-          .select(
-            coalesce(col("src_a"), col("src_b")).as("source"),
-            when(col("h_a").isNull, lit("added"))
-              .when(col("h_b").isNull, lit("removed"))
-              .when(col("h_a") =!= col("h_b"), lit("changed"))
-              .otherwise(lit("unchanged")).as("status"))
-          .groupBy("source", "status")
-          .agg(count(lit(1)).as("n"))
+        diffSnapshotsOf(
+          docs.filter(col("doc_id") % 10 =!= 7)
+            .select(col("doc_id"), col("source"),
+              coalesce(col("text"), lit("")).as("text")),
+          docs.filter(col("doc_id") % 10 =!= 3)
+            .select(col("doc_id"), col("source"), revised.as("text")))
           .orderBy("source", "status")
       },
       Some("""WITH a AS (
