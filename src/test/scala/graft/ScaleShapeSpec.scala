@@ -323,11 +323,14 @@ class ScaleShapeSpec extends AnyFunSuite {
     // q_token_df is the one query whose CORRECT replica answer is empty:
     // it keeps tokens with df >= 50% of docs, and ScaleGen namespaces
     // tokens per copy (cross-copy Jaccard = 0 by design), so on an N>1
-    // replica no token can reach half the corpus — execution is still
-    // driven; only the rows>0 claim is waived for it.
+    // replica no token can reach half the corpus. Pinned as an EXPECTED
+    // zero (a row appearing would mean the namespacing or the df
+    // threshold broke), not a waived check.
     val rows = df.queryExecution.toRdd.count()
-    if (name != "q_token_df")
-      assert(rows > 0, s"$name returned no rows on the replica")
+    if (name == "q_token_df")
+      assert(rows === 0L, s"$name returned rows on the namespaced replica " +
+        "— no token can legitimately reach 50% document frequency there")
+    else assert(rows > 0, s"$name returned no rows on the replica")
     checkScaleRobustJoins(name)
   }
 
