@@ -150,6 +150,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(base === shuffled, "export layout depends on input partitioning/order")
   }
 
+  test("diffSnapshotsOf null contract: null text == empty text, never a status leak") {
+    import s.implicits._
+    def snap(rows: (Long, String, Option[String])*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("doc_id", "source", "text")
+    // doc 1: null on both sides -> unchanged (a null digest on a present
+    // row would have misread as added+removed); doc 2: null vs "" ->
+    // unchanged (the null-total contract); doc 3: null vs text ->
+    // changed; doc 4: only in prev -> removed; doc 5: only in cur, null
+    // text -> added
+    val prev = snap((1L, "s", None), (2L, "s", None), (3L, "s", None), (4L, "s", Some("x")))
+    val cur = snap((1L, "s", None), (2L, "s", Some("")), (3L, "s", Some("x")), (5L, "s", None))
+    val got = TextQueries.diffSnapshotsOf(prev, cur).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    assert(got === Map("unchanged" -> 2L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+  }
+
   test("snapshot diff reconciles: statuses partition both snapshots exactly") {
     val d = "/root/testdata/sf0.001"
     val out = Queries.byName("q_snapshot_diff").run(s, d).collect()
