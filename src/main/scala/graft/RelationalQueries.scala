@@ -221,7 +221,12 @@ object RelationalQueries {
           Tables.part(s, d).filter(col("p_size") > 25)
             .select(col("p_partkey").as("rhs_partkey")).hint("SHUFFLE_HASH"),
           col("partkey") <=> col("rhs_partkey"), "left_anti")
-        .orderBy("partkey"),
+        // NULLS LAST pins the ordering contract next to the null-safe
+        // membership: Spark's default ASC is NULLS FIRST, DuckDB's is
+        // NULLS LAST, so on a nullable key the hash-ordered compare
+        // would diverge even with set membership agreeing (r14 ADVICE;
+        // moot on TPC-H's non-null partkeys, pinned for any data)
+        .orderBy(col("partkey").asc_nulls_last),
       Some("""SELECT DISTINCT l_partkey AS partkey FROM lineitem
               EXCEPT
               SELECT p_partkey AS partkey FROM part WHERE p_size > 25

@@ -71,22 +71,29 @@ object TextQueries {
     * readout a training-data refresh runs before re-building: what did
     * the new crawl add, drop, or revise per source? Both inputs carry
     * (doc_id, source, text). Identity = doc_id; change detection = md5
-    * of content computed BELOW the join, so the diff never compares full
-    * text across the exchange (at 100 TB the join ships 32-byte digests,
-    * not documents). The FULL OUTER join is SHUFFLE_HASH-pinned: both
-    * snapshots are corpus-sized, Spark >= 3.1 builds full-outer
-    * shuffled-hash, an estimate-based plan would degrade to
-    * SortMergeJoin at scale (and broadcast cannot do full-outer at all).
-    * Output: per (source, status) counts over
+    * of (source, text) computed BELOW the join, so the diff never
+    * compares full text across the exchange (at 100 TB the join ships
+    * 32-byte digests, not documents). Source is FOLDED INTO the digest
+    * (r14 ADVICE): a doc whose source moved between snapshots with
+    * identical content reports `changed` — attributed to the PREVIOUS
+    * source via the coalesce order — instead of silently reading as
+    * `unchanged` under the old source. The FULL OUTER join is
+    * SHUFFLE_HASH-pinned: both snapshots are corpus-sized, Spark >= 3.1
+    * builds full-outer shuffled-hash, an estimate-based plan would
+    * degrade to SortMergeJoin at scale (and broadcast cannot do
+    * full-outer at all). Output: per (source, status) counts over
     * added/removed/changed/unchanged, unordered. */
   private[graft] def diffSnapshotsOf(prev: DataFrame, cur: DataFrame): DataFrame = {
-    // digests are null-total (null text == empty text): a null digest on
-    // a PRESENT row would misread as added/removed, since presence is
-    // detected through the digest columns after the full-outer join
+    // digests are null-total (null source/text == empty): a null digest
+    // on a PRESENT row would misread as added/removed, since presence is
+    // detected through the digest columns after the full-outer join;
+    // the U+001F unit separator keeps ("ab","") and ("a","b") distinct.
+    def dig(src: Column, text: Column): Column =
+      md5(concat_ws("\u001F", coalesce(src, lit("")), coalesce(text, lit(""))))
     val a = prev.select(col("doc_id"), col("source").as("src_a"),
-      md5(coalesce(col("text"), lit(""))).as("h_a"))
+      dig(col("source"), col("text")).as("h_a"))
     val b = cur.select(col("doc_id"), col("source").as("src_b"),
-      md5(coalesce(col("text"), lit(""))).as("h_b"))
+      dig(col("source"), col("text")).as("h_b"))
     a.join(b.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
       .select(
         coalesce(col("src_a"), col("src_b")).as("source"),
@@ -110,11 +117,27 @@ object TextQueries {
     * would put 90% of a 100 TB corpus in one partition). Integer virtual
     * time: `weightLcm` must be a multiple of every weight `weightExpr`
     * can produce, so positions are exact longs, bit-deterministic in any
-    * engine. Output: (shard, vpos, source, doc_id), unordered — the
+    * engine — and that contract is ENFORCED, not assumed (r14 ADVICE): a
+    * weight that does not divide `weightLcm` raises per-row instead of
+    * silently truncating through the double division, and `weightLcm` is
+    * required below 2^53 so the (divisibility-checked) division is exact.
+    * Output: (shard, vpos, source, doc_id), unordered — the
     * schedule is the (vpos, source, doc_id) order within a shard. */
   private[graft] def mixScheduleOf(
       docs: DataFrame, weightExpr: Column, weightLcm: Long,
       nShards: Int): DataFrame = {
+    require(weightLcm > 0 && weightLcm <= (1L << 53),
+      s"weightLcm must be in (0, 2^53] for exact division, got $weightLcm")
+    // Spark's `/` on integral types is DOUBLE division; with divisibility
+    // asserted (and weightLcm <= 2^53) the quotient is an integer whose
+    // nearest double is itself, so the cast below is exact — a weight of
+    // 0/negative or a non-divisor fails loudly here, never truncates
+    val stride = when(
+      weightExpr > 0 && pmod(lit(weightLcm), weightExpr) === 0,
+      (lit(weightLcm) / weightExpr).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit(s"mixScheduleOf: weightLcm=$weightLcm is not divisible by weight "),
+        weightExpr.cast(StringType))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"), col("source"))
       .orderBy(col("h"), col("doc_id"))
@@ -2004,11 +2027,13 @@ object TextQueries {
           .orderBy("source", "status")
       },
       Some("""WITH a AS (
-                SELECT doc_id, source, md5(coalesce(text, '')) AS h
+                SELECT doc_id, source,
+                       md5(coalesce(source, '') || chr(31) || coalesce(text, '')) AS h
                 FROM documents WHERE doc_id % 10 <> 7),
               b AS (
                 SELECT doc_id, source,
-                       md5(CASE WHEN doc_id % 5 = 0
+                       md5(coalesce(source, '') || chr(31) ||
+                           CASE WHEN doc_id % 5 = 0
                                 THEN coalesce(text, '') || ' v2'
                                 ELSE coalesce(text, '') END) AS h
                 FROM documents WHERE doc_id % 10 <> 3)
@@ -2021,9 +2046,9 @@ object TextQueries {
               FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
               GROUP BY 1, 2 ORDER BY source, status"""),
       "Dataset-version diff (CDC between corpus snapshots): full-outer join on doc " +
-        "identity comparing content digests (never full text), SHUFFLE_HASH-pinned " +
-        "(both sides corpus-sized; broadcast cannot full-outer); per (source, status) " +
-        "added/removed/changed/unchanged rollup"),
+        "identity comparing (source, text) digests (never full text; source moves " +
+        "report as changed), SHUFFLE_HASH-pinned (both sides corpus-sized; broadcast " +
+        "cannot full-outer); per (source, status) added/removed/changed/unchanged rollup"),
 
     QueryDef(
       "q_split_leakage", Seq("J5", "A1", "F5"),

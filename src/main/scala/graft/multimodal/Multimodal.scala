@@ -213,7 +213,14 @@ object Multimodal {
         def frameFits(i: Int): Boolean =
           4L * reader.getWidth(i) * reader.getHeight(i) <= MaxAnimationBytes
         if (n <= 1) {
-          if (!frameFits(0)) return None
+          // a single-frame GIF is just an image: budget it with the
+          // generic leg's [[imageOverBudget]] (7 B/px vs MaxImageBytes),
+          // not the animation budget — otherwise a frame in the
+          // 32-36.6 Mpx band would be refused here only to be decoded by
+          // the generic fallback anyway under its looser budget (r14
+          // ADVICE: one budget per single-image decode, both legs agree)
+          if (imageOverBudget(reader.getWidth(0).toLong, reader.getHeight(0).toLong))
+            return None
           return Some(singleImageDecoded(reader.read(0)))
         }
         val screen = for {
@@ -447,7 +454,20 @@ object Multimodal {
     * [[imageOverBudget]]): ~7 bytes/px of decoder raster + retained RGB,
     * checked from header dims BEFORE read(). 256 MB ≈ 38 Mpx — above an
     * 8K photo (33 Mpx), far below the hostile-header multi-GB class. */
-  private[multimodal] val MaxImageBytes: Long = 256L << 20
+  /** Single-image decode ceiling (7 B/px worst-case transient per task —
+    * see [[imageOverBudget]]). The 256 MB default admits ~38 Mpx, above
+    * an 8K photo's 33 Mpx; LARGER legitimate images (50-100 Mpx scans,
+    * medium-format) deliberately keep their container-byte frames — real
+    * header dims, no pixel walk — so their frame hashes are
+    * encoding-dependent and pixel dedup/thumbnails don't apply to that
+    * class. Deployments whose executors carry the headroom raise the
+    * ceiling with GRAFT_MAX_IMAGE_BYTES (bytes; a 100 Mpx scan needs
+    * ~700 MB × concurrent decode tasks of heap). Read once per JVM —
+    * executors inherit the env through the cluster launcher, and a
+    * mid-run change would make frame hashes partitioning-dependent. */
+  private[multimodal] val MaxImageBytes: Long =
+    sys.env.get("GRAFT_MAX_IMAGE_BYTES").flatMap(_.toLongOption)
+      .filter(_ > 0).getOrElse(256L << 20)
 
   private def aviMjpgDecoded(b: Array[Byte]): Option[Decoded] = {
     def cc(off: Int): String =
