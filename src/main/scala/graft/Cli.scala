@@ -45,6 +45,7 @@ import graft.ocds.Metadata
   *                                               duplication rollup, ExactSubstr)
   *   quality-gate <lake> <collectionId>         (per-source bottom-decile cut)
   *   gopher-rules <lake> <collectionId>         (fixed rule-filter rollup)
+  *   c4-lines <lake> <collectionId>             (C4 line-level boilerplate rollup)
   *   source-mix <lake> <collectionId>           (sqrt-temperature mix weights)
   *   length-stats <lake> <collectionId>         (per-source token-length quantiles)
   *   corpus-stats <lake>                        (streaming stats-store readout)
@@ -646,6 +647,36 @@ object Cli {
           }
       }
 
+    case "c4-lines" :: lake :: id :: Nil =>
+      // C4 line-level boilerplate rollup over a loaded collection's raw
+      // documents (the q_c4_lines engine; collection docs are single-line
+      // token streams, so line rules see one line per doc unless the
+      // loaded payloads carry real newlines)
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          TextQueries.c4LinesOf(docs)
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_lines")).as("n_lines"),
+              sum(col("n_kept")).as("n_kept"),
+              sum(when(col("doc_lorem"), 1L).otherwise(0L)).as("n_docs_lorem"))
+            .orderBy("source")
+            .collect().foreach { r =>
+              println(s"source=${r.getAs[String]("source")}" +
+                s" n_docs=${r.getAs[Long]("n_docs")}" +
+                s" n_lines=${r.getAs[Long]("n_lines")}" +
+                s" n_kept=${r.getAs[Long]("n_kept")}" +
+                s" n_docs_lorem=${r.getAs[Long]("n_docs_lorem")}")
+            }
+      }
+
     case "source-mix" :: lake :: id :: Nil =>
       // temperature-resampled (sqrt) training-mix weights over a loaded
       // collection's raw documents (the q_source_mix engine)
@@ -982,6 +1013,7 @@ object Cli {
            |  corpus-select <lake> <collectionId>
            |  quality-gate <lake> <collectionId>
            |  gopher-rules <lake> <collectionId>
+           |  c4-lines <lake> <collectionId>
            |  source-mix <lake> <collectionId>
            |  overlap <lake> <collectionIdA> <collectionIdB>
            |  length-stats <lake> <collectionId>

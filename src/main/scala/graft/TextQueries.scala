@@ -521,6 +521,58 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** C4-style LINE-level boilerplate filter (Raffel et al. 2020 §2.2) —
+    * the production rung between [[gopherRulesOf]] (document-level
+    * verdicts) and the span-level substring scrub: real corpus builds
+    * drop BOILERPLATE LINES (nav bars, cookie banners, code fragments)
+    * from pages that are otherwise worth keeping. Per-line rules, each a
+    * pure predicate over the line:
+    *   - ends in terminal punctuation (. ! ? ");
+    *   - carries at least 3 words;
+    *   - contains no curly brace (templating/code fragments);
+    *   - does not mention "javascript" (noscript warnings);
+    *   - does not mention "cookie" (consent banners);
+    * plus the one PAGE-level rule in the list — a page containing
+    * "lorem ipsum" is dropped whole (every line removed, clean_text '').
+    * Survivors re-join as `clean_text` in original line order.
+    *
+    * Input: (source, doc_id, text) with '\n'-separated lines; null text
+    * reads as empty (the null-total house contract). Output, one row per
+    * DOC: (source, doc_id, clean_text, n_lines, n_kept, fail_punct,
+    * fail_words, fail_brace, fail_js, fail_cookie, doc_lorem) — the
+    * per-rule counts are independent (a line can fail several), and they
+    * count rule HITS even on lorem-dropped pages, so the rollup separates
+    * "dropped by the page rule" from "dropped by line rules". Everything
+    * is codegen'd higher-order functions over the split line array — one
+    * narrow per-row stage, no shuffle at any corpus size (callers
+    * aggregate or write; the q_c4_lines demo rolls up per source). */
+  private[graft] def c4LinesOf(docsIn: DataFrame): DataFrame = {
+    val lines = split(coalesce(col("text"), lit("")), "\n")
+    val punctOk = (l: Column) => l.rlike("[.!?\"]$")
+    val wordsOk = (l: Column) => size(split(l, " ")) >= 3
+    val braceOk = (l: Column) => !(contains(l, lit("{")) || contains(l, lit("}")))
+    val jsOk = (l: Column) => !contains(lower(l), lit("javascript"))
+    val cookieOk = (l: Column) => !contains(lower(l), lit("cookie"))
+    val keep = (l: Column) =>
+      punctOk(l) && wordsOk(l) && braceOk(l) && jsOk(l) && cookieOk(l)
+    val lorem = contains(lower(coalesce(col("text"), lit(""))), lit("lorem ipsum"))
+    def nFail(name: String, bad: Column => Column): Column =
+      size(filter(lines, l => bad(l))).cast(LongType).as(name)
+    docsIn.select(
+      col("source"), col("doc_id"),
+      when(lorem, lit("")).otherwise(array_join(filter(lines, keep), "\n"))
+        .as("clean_text"),
+      size(lines).cast(LongType).as("n_lines"),
+      when(lorem, lit(0L))
+        .otherwise(size(filter(lines, keep)).cast(LongType)).as("n_kept"),
+      nFail("fail_punct", l => !punctOk(l)),
+      nFail("fail_words", l => !wordsOk(l)),
+      nFail("fail_brace", l => !braceOk(l)),
+      nFail("fail_js", l => !jsOk(l)),
+      nFail("fail_cookie", l => !cookieOk(l)),
+      lorem.as("doc_lorem"))
+  }
+
   private[graft] def qualityGateOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = tokens(col("text"))
@@ -1034,6 +1086,104 @@ object TextQueries {
         "pure per-row integer-arithmetic predicates (ratio thresholds cross-" +
         "multiplied — no float compares), rolled up per source in one map-side-" +
         "combined aggregation"),
+
+    QueryDef(
+      "q_c4_lines", Seq("F4", "A1", "A4"),
+      (s, d) => {
+        // the C4 line-level boilerplate filter (see c4LinesOf) over the
+        // documents table. The synthetic corpus is single-line and
+        // punctuation-free, so the demo derives a multi-line text
+        // deterministically — the q_snapshot_diff idiom, every step
+        // re-derivable by the oracle: tokens chunk into 6-token lines,
+        // and a '.' lands on lines of even character length (~half pass
+        // the terminal-punctuation rule; a short final chunk exercises
+        // the >=3-words rule). The brace/javascript/cookie/lorem rules
+        // cannot fire on this vocabulary — the rollup counts their
+        // zeroes, verifying the arithmetic the q_gopher_rules way. A
+        // real run passes its own '\n'-separated pages to c4LinesOf.
+        val toks = split(coalesce(col("text"), lit("")), " ")
+        val mkLine = (i: Column) => array_join(slice(toks, i * 6 + 1, lit(6)), " ")
+        val withDot = (i: Column) =>
+          when(length(mkLine(i)) % 2 === 0, concat(mkLine(i), lit(".")))
+            .otherwise(mkLine(i))
+        val nLines = ((size(toks) + lit(5)) / lit(6)).cast(IntegerType)
+        val mtext = array_join(
+          transform(sequence(lit(0), nLines - 1), i => withDot(i)), "\n")
+        c4LinesOf(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"), mtext.as("text")))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_lines")).as("n_lines"),
+            sum(col("n_kept")).as("n_kept"),
+            sum(col("fail_punct")).as("fail_punct"),
+            sum(col("fail_words")).as("fail_words"),
+            sum(col("fail_brace")).as("fail_brace"),
+            sum(col("fail_js")).as("fail_js"),
+            sum(col("fail_cookie")).as("fail_cookie"),
+            sum(when(col("doc_lorem"), 1L).otherwise(0L)).as("n_docs_lorem"),
+            sum(length(col("clean_text"))).as("clean_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+                SELECT source, doc_id,
+                       string_split(coalesce(text, ''), ' ') AS toks
+                FROM documents),
+              m AS (
+                SELECT source, doc_id,
+                       array_to_string(
+                         list_transform(range((len(toks)+5)//6), i ->
+                           CASE WHEN length(array_to_string(toks[(i*6+1):(i*6+6)], ' ')) % 2 = 0
+                                THEN array_to_string(toks[(i*6+1):(i*6+6)], ' ') || '.'
+                                ELSE array_to_string(toks[(i*6+1):(i*6+6)], ' ') END),
+                         chr(10)) AS mtext
+                FROM t),
+              f AS (
+                SELECT source,
+                       string_split(mtext, chr(10)) AS ls,
+                       contains(lower(mtext), 'lorem ipsum') AS lorem
+                FROM m),
+              k AS (
+                SELECT source, lorem,
+                       len(ls) AS n_lines,
+                       len(list_filter(ls, l ->
+                         regexp_matches(l, '[.!?"]$')
+                         AND len(string_split(l, ' ')) >= 3
+                         AND NOT contains(l, '{') AND NOT contains(l, '}')
+                         AND NOT contains(lower(l), 'javascript')
+                         AND NOT contains(lower(l), 'cookie'))) AS kept,
+                       list_filter(ls, l ->
+                         regexp_matches(l, '[.!?"]$')
+                         AND len(string_split(l, ' ')) >= 3
+                         AND NOT contains(l, '{') AND NOT contains(l, '}')
+                         AND NOT contains(lower(l), 'javascript')
+                         AND NOT contains(lower(l), 'cookie')) AS kept_ls,
+                       len(list_filter(ls, l -> NOT regexp_matches(l, '[.!?"]$'))) AS f_punct,
+                       len(list_filter(ls, l -> NOT (len(string_split(l, ' ')) >= 3))) AS f_words,
+                       len(list_filter(ls, l -> contains(l, '{') OR contains(l, '}'))) AS f_brace,
+                       len(list_filter(ls, l -> contains(lower(l), 'javascript'))) AS f_js,
+                       len(list_filter(ls, l -> contains(lower(l), 'cookie'))) AS f_cookie
+                FROM f)
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_lines) AS BIGINT) AS n_lines,
+                     CAST(sum(CASE WHEN lorem THEN 0 ELSE kept END) AS BIGINT) AS n_kept,
+                     CAST(sum(f_punct) AS BIGINT) AS fail_punct,
+                     CAST(sum(f_words) AS BIGINT) AS fail_words,
+                     CAST(sum(f_brace) AS BIGINT) AS fail_brace,
+                     CAST(sum(f_js) AS BIGINT) AS fail_js,
+                     CAST(sum(f_cookie) AS BIGINT) AS fail_cookie,
+                     CAST(sum(CASE WHEN lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_lorem,
+                     CAST(sum(CASE WHEN lorem THEN 0
+                              ELSE length(array_to_string(kept_ls, chr(10))) END) AS BIGINT)
+                       AS clean_chars
+              FROM k GROUP BY source ORDER BY source"""),
+      "C4 line-level boilerplate filter (Raffel et al. 2020): terminal-punctuation, " +
+        ">=3-words, curly-brace, javascript and cookie line rules plus the " +
+        "lorem-ipsum page rule; survivors re-join as clean_text, removals roll up " +
+        "per source — the production rung between document-level Gopher rules and " +
+        "span-level substring scrub, all codegen'd per-row array functions"),
 
     QueryDef(
       "q_length_quantiles", Seq("W1", "A3", "A4"),

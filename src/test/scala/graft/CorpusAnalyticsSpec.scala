@@ -20,6 +20,86 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
 
   private val stop = Set("the", "a", "of", "and", "to", "in", "is")
 
+  test("c4LinesOf: every line rule, the lorem page rule, and clean_text order") {
+    import s.implicits._
+    // one doc exercising every rule plus order preservation; one lorem
+    // page (all lines dropped, but line-rule counters still tally); one
+    // null text (the null-total contract: one empty line, fails words)
+    val doc1 = Seq(
+      "keep me please.",          // kept
+      "good line too!",           // kept
+      "no punctuation here",      // fails punct
+      "short.",                   // fails words (1 word)
+      "bad brace { line.",        // fails brace
+      "Enable JavaScript now.",   // fails js (case-insensitive)
+      "accept our Cookie terms.", // fails cookie
+      "also keep this one?"       // kept — order check vs doc start
+    ).mkString("\n")
+    val doc2 = "fine line here.\nLorem Ipsum dolor sit amet."
+    val docs = Seq(
+      ("a", 1L, doc1), ("a", 2L, doc2), ("b", 3L, null: String))
+      .toDF("source", "doc_id", "text")
+    val got = TextQueries.c4LinesOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[String]("clean_text") ===
+      "keep me please.\ngood line too!\nalso keep this one?")
+    assert(r1.getAs[Long]("n_lines") === 8L)
+    assert(r1.getAs[Long]("n_kept") === 3L)
+    assert(r1.getAs[Long]("fail_punct") === 1L)
+    assert(r1.getAs[Long]("fail_words") === 1L)
+    assert(r1.getAs[Long]("fail_brace") === 1L)
+    assert(r1.getAs[Long]("fail_js") === 1L)
+    assert(r1.getAs[Long]("fail_cookie") === 1L)
+    assert(!r1.getAs[Boolean]("doc_lorem"))
+    val r2 = got(2L) // page rule: both lines pass the line rules, page drops
+    assert(r2.getAs[Boolean]("doc_lorem"))
+    assert(r2.getAs[String]("clean_text") === "")
+    assert(r2.getAs[Long]("n_kept") === 0L)
+    assert(r2.getAs[Long]("n_lines") === 2L)
+    assert(r2.getAs[Long]("fail_punct") === 0L)
+    val r3 = got(3L) // null text == empty: one line, fails punct + words
+    assert(r3.getAs[Long]("n_lines") === 1L)
+    assert(r3.getAs[Long]("n_kept") === 0L)
+    assert(r3.getAs[String]("clean_text") === "")
+    assert(r3.getAs[Long]("fail_words") === 1L)
+  }
+
+  test("q_c4_lines demo matches a brute-force line replay on sf0.001") {
+    val docs = Tables.documents(s, dir).select("source", "text").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))
+    def linesOf(text: String): Seq[String] =
+      text.split(" ", -1).grouped(6).map { chunk =>
+        val l = chunk.mkString(" ")
+        if (l.length % 2 == 0) l + "." else l
+      }.toSeq
+    def keep(l: String): Boolean =
+      l.matches(".*[.!?\"]$") && l.split(" ", -1).length >= 3 &&
+        !l.contains("{") && !l.contains("}") &&
+        !l.toLowerCase.contains("javascript") &&
+        !l.toLowerCase.contains("cookie")
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val ls = ds.map(d => linesOf(d._2))
+      src -> (ds.length.toLong, ls.map(_.length.toLong).sum,
+        ls.map(_.count(keep).toLong).sum,
+        ls.map(_.count(l => !l.matches(".*[.!?\"]$")).toLong).sum,
+        ls.map(_.count(_.split(" ", -1).length < 3).toLong).sum)
+    }
+    val got = Queries.byName("q_c4_lines").run(s, dir).collect()
+    assert(got.map(_.getAs[String]("source")).toSet === want.keySet)
+    got.foreach { r =>
+      val (nDocs, nLines, nKept, fPunct, fWords) = want(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      assert(r.getAs[Long]("n_lines") === nLines)
+      assert(r.getAs[Long]("n_kept") === nKept)
+      assert(r.getAs[Long]("fail_punct") === fPunct)
+      assert(r.getAs[Long]("fail_words") === fWords)
+      assert(r.getAs[Long]("fail_brace") === 0L)
+      assert(r.getAs[Long]("fail_js") === 0L)
+      assert(r.getAs[Long]("n_docs_lorem") === 0L)
+    }
+  }
+
   test("q_gopher_rules matches a brute-force rule evaluation on sf0.001") {
     val docs = Tables.documents(s, dir).select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

@@ -298,7 +298,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // snapshot diff: the full-outer SHUFFLE_HASH pair (the only corpus-
     // scaling exchanges — 32-byte digests, never full text) + the
     // (source, status) rollup pair + the final sort
-    "q_snapshot_diff" -> 8)
+    "q_snapshot_diff" -> 8,
+    // r15: C4 line filter — gopher_rules' shape exactly: per-row line
+    // predicates (codegen'd array HOFs), ONE map-side-combined source
+    // rollup + the final sort
+    "q_c4_lines" -> 4)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
