@@ -775,6 +775,65 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** The fixed demo query-term set shared by q_bm25_topk and the hybrid
+    * fusion (q_hybrid_rrf) — the "shared query set" both retrieval legs
+    * rank against. */
+  private[graft] val DefaultQueryTerms = Seq("dup", "spark", "merge", "key")
+
+  /** BM25-scored documents for a query-term set — the sparse half of the
+    * retrieval stack (dense = q_knn_join / the ANN ladder), and the
+    * scoring rung above q_tfidf_topterms. Exact-rational spelling of
+    * Robertson's k1 = 1.2, b = 0.75 so the score is bit-deterministic
+    * cross-engine: with T = corpus tokens, N = docs, dl = doc length,
+    *   tf-part  = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)   (all integers)
+    *   idf-part = (2N − 2df + 1) / (2df + 1)           (the BM25 idf
+    *     ratio (N − df + ½)/(df + ½) doubled through — logarithm-free,
+    *     the house q_lm_score/q_tfidf precedent: log() bits are
+    *     engine-specific, monotone ratios are not)
+    * — two exact integer expressions, ONE double division each,
+    * multiplied per row, summed in DECIMAL per doc. Plan: the explode
+    * FILTERS to the query terms before any shuffle (the token stream
+    * that aggregates is |terms|-bounded per doc); df and the scalar
+    * totals broadcast back. At 100 TB this is the same shape as an
+    * inverted-index probe: scan + filter + bounded agg, never a
+    * corpus-wide join.
+    *
+    * tf·t_all cross-products go through DECIMAL(38,0) (the
+    * q_source_divergence discipline): at 100 TB t_all is ~1e13-1e14
+    * tokens, so the Long spelling overflows (ANSI throws, legacy
+    * silently wraps) — decimal keeps the products exact to 1e38. The
+    * idf leg stays Long: 2·n_docs is nowhere near the edge. Oracles
+    * keep plain ints (DuckDB sums BIGINT into HUGEINT); both sides'
+    * values are identical at verify scale, so the double casts agree
+    * bit-for-bit. Output: (doc_id, n_terms, score_dec) for every doc
+    * containing at least one query term, unordered — callers rank. */
+  private[graft] def bm25ScoresOf(docsIn: DataFrame, qterms: Seq[String]): DataFrame = {
+    val toks = tokens(col("text"))
+    val docs = docsIn
+      .select(col("doc_id"), size(toks).cast(LongType).as("dl"), toks.as("tk"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
+      .filter(col("token").isin(qterms: _*))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val tot = docs.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("t_all"))
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val scoreT =
+      ((dec(col("tf")) * dec(col("t_all")) * 22).cast(DoubleType)
+        / (dec(col("tf")) * dec(col("t_all")) * 10 + dec(col("t_all")) * 3
+          + dec(col("dl")) * dec(col("n_docs")) * 9).cast(DoubleType)) *
+        ((col("n_docs") * 2 - col("df") * 2 + 1).cast(DoubleType)
+          / (col("df") * 2 + 1).cast(DoubleType))
+    tf.join(broadcast(dfT), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        scoreT.cast(DecimalType(38, 18)).as("score_dec"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_dec")).as("score_dec"))
+  }
+
   /** Corpus heavy-hitter n-grams through the bounded mergeable
     * `freq_items` sketch (Misra–Gries / Space-Saving with the Agarwal
     * et al. 2012 merge — see functions/FreqItems.scala): the frequency
@@ -2913,63 +2972,14 @@ object TextQueries {
 
     QueryDef(
       "q_bm25_topk", Seq("A4", "J2", "O3"),
-      (s, d) => {
-        // lexical retrieval next to the ANN ladder: BM25 top-k over the
-        // documents table for a fixed query-term set — the sparse half of
-        // the retrieval stack (dense = q_knn_join / q_ann_*), and the
-        // scoring rung above q_tfidf_topterms. Exact-rational spelling of
-        // Robertson's k1 = 1.2, b = 0.75 so the score is bit-deterministic
-        // cross-engine: with T = corpus tokens, N = docs, dl = doc length,
-        //   tf-part  = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)   (all integers)
-        //   idf-part = (2N − 2df + 1) / (2df + 1)           (the BM25 idf
-        //     ratio (N − df + ½)/(df + ½) doubled through — logarithm-free,
-        //     the house q_lm_score/q_tfidf precedent: log() bits are
-        //     engine-specific, monotone ratios are not)
-        // — two exact integer expressions, ONE double division each,
-        // multiplied per row, summed in DECIMAL per doc. Plan: the explode
-        // FILTERS to the query terms before any shuffle (the token stream
-        // that aggregates is |terms|-bounded per doc); df and the scalar
-        // totals broadcast back; final order is the exact DECIMAL score.
-        // At 100 TB this is the same shape as an inverted-index probe:
-        // scan + filter + bounded agg, never a corpus-wide join.
-        val qterms = Seq("dup", "spark", "merge", "key")
-        val toks = tokens(col("text"))
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), size(toks).cast(LongType).as("dl"), toks.as("tk"))
-        val tf = docs
-          .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
-          .filter(col("token").isin(qterms: _*))
-          .groupBy("doc_id", "dl", "token")
-          .agg(count(lit(1)).as("tf"))
-        val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
-        val tot = docs.agg(
-          count(lit(1)).as("n_docs"), sum(col("dl")).as("t_all"))
-        // tf·t_all cross-products go through DECIMAL(38,0) (the
-        // q_source_divergence discipline): at 100 TB t_all is ~1e13-1e14
-        // tokens, so the Long spelling overflows (ANSI throws, legacy
-        // silently wraps) — decimal keeps the products exact to 1e38.
-        // The idf leg stays Long: 2·n_docs is nowhere near the edge. The
-        // oracle keeps plain ints (DuckDB sums BIGINT into HUGEINT);
-        // both sides' values are identical at verify scale, so the
-        // double casts agree bit-for-bit.
-        val dec = (c: Column) => c.cast(DecimalType(38, 0))
-        val scoreT =
-          ((dec(col("tf")) * dec(col("t_all")) * 22).cast(DoubleType)
-            / (dec(col("tf")) * dec(col("t_all")) * 10 + dec(col("t_all")) * 3
-              + dec(col("dl")) * dec(col("n_docs")) * 9).cast(DoubleType)) *
-            ((col("n_docs") * 2 - col("df") * 2 + 1).cast(DoubleType)
-              / (col("df") * 2 + 1).cast(DoubleType))
-        tf.join(broadcast(dfT), Seq("token"))
-          .crossJoin(broadcast(tot))
-          .select(col("doc_id"),
-            scoreT.cast(DecimalType(38, 18)).as("score_dec"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_terms"), sum(col("score_dec")).as("score_dec"))
+      (s, d) =>
+        // lexical retrieval next to the ANN ladder — the [[bm25ScoresOf]]
+        // engine (design notes there), top-10 on the exact DECIMAL score
+        bm25ScoresOf(Tables.documents(s, d), DefaultQueryTerms)
           .orderBy(col("score_dec").desc, col("doc_id"))
           .limit(10)
           .select(col("doc_id"), col("n_terms"),
-            round(col("score_dec").cast(DoubleType), 9).as("score"))
-      },
+            round(col("score_dec").cast(DoubleType), 9).as("score")),
       Some("""WITH docs AS (
                 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
                        string_split(text, ' ') AS tk

@@ -87,6 +87,30 @@ object VectorQueries {
   private def cosineCol(dot: Column, na: Column, nb: Column): Column =
     round(dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType))), 9)
 
+  /** Exact-cosine scores of every vector against the demo query vector
+    * (vec 0) — the dense retrieval leg shared by q_ann_bruteforce (top-10)
+    * and the hybrid fusion (q_hybrid_rrf, top-K rank list). The query
+    * vector broadcasts to every partition; dot + norm are in-row folds, so
+    * the scan is one codegen stage feeding straight into the caller's
+    * TakeOrderedAndProject — the shape that scales to any table size with
+    * a constant-size driver result. Output: (vec_id, cosine), cosine
+    * rounded to 9 (see [[cosineCol]] — rounding is part of the ordering
+    * contract), unordered. */
+  private[graft] def bruteCosineOf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+        dotDec(col("embedding"), col("embedding")).as("qnorm_dec"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        cosineCol(
+          dotDec(col("embedding"), col("qe")),
+          dotDec(col("embedding"), col("embedding")),
+          col("qnorm_dec")).as("cosine"))
+  }
+
   // ---- random-hyperplane LSH (q_neardup_lsh) -------------------------------
 
   // Banding selectivity is the tuning knob: random-pair collision chance is
@@ -1010,25 +1034,9 @@ object VectorQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_bruteforce", Seq("A5", "O5", "J2"),
-      (s, d) => {
-        val emb = Tables.embeddings(s, d)
-        // query vector = embedding of vec 0, broadcast to every partition;
-        // dot + norm are in-row folds, so the scan is one codegen stage
-        // feeding straight into TakeOrderedAndProject — the shape that
-        // scales to any table size with a constant-size driver result
-        val q = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qe"), dotDec(col("embedding"), col("embedding")).as("qnorm_dec"))
-        emb.filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(q))
-          .select(
-            col("vec_id"),
-            cosineCol(
-              dotDec(col("embedding"), col("qe")),
-              dotDec(col("embedding"), col("embedding")),
-              col("qnorm_dec")).as("cosine"))
-          .orderBy(col("cosine").desc, col("vec_id"))
-          .limit(10)
-      },
+      (s, d) => bruteCosineOf(s, d)
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(10),
       Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
                sums AS (
                  SELECT e.vec_id,
@@ -1859,6 +1867,123 @@ object VectorQueries {
         "partitionBy(cell), probed through a partition filter so the scan reads only " +
         "the 4 probed directories (PartitionFilters, storage-level pruning) — same " +
         "probe set, scoring, results and oracle as q_ann_ivf_kmeans_multiprobe",
-      aux = Some(writeKmeansAux))
+      aux = Some(writeKmeansAux)),
+
+    QueryDef(
+      "q_hybrid_rrf", Seq("A4", "J2", "O3", "W2"),
+      (s, d) => {
+        // hybrid retrieval fusion: reciprocal-rank fusion (Cormack et al.
+        // 2009) of the sparse leg (BM25 over the shared query-term set —
+        // TextQueries.bm25ScoresOf) and the dense leg (exact cosine vs
+        // the query vector — bruteCosineOf), doc universe joined on
+        // doc_id == vec_id. Each leg reduces to its top-K FIRST
+        // (TakeOrdered — the corpus-scale step stays a bounded-result
+        // probe), then ranks within the K rows via a single-partition
+        // window (K-bounded by construction, never corpus-sized). The
+        // RRF score 1/(60+r_lex) + 1/(60+r_dense) is computed as ONE
+        // double division of exact integers — (120+a+b)/((60+a)(60+b))
+        // by cross-multiplication, the TV-distance idiom — so the fused
+        // order is bit-stable cross-engine (two separate divisions would
+        // hinge on addition order); absent legs contribute nothing
+        // (plain 1/(60+r)). The K-row full-outer join is SHUFFLE_HASH-
+        // pinned (full outer cannot broadcast; without the hint the plan
+        // is an estimate-dependent SMJ).
+        val K = 100
+        import org.apache.spark.sql.expressions.Window
+        val lex = TextQueries
+          .bm25ScoresOf(Tables.documents(s, d), TextQueries.DefaultQueryTerms)
+          .orderBy(col("score_dec").desc, col("doc_id")).limit(K)
+          .select(col("doc_id"), row_number()
+            .over(Window.orderBy(col("score_dec").desc, col("doc_id")))
+            .cast(LongType).as("rank_lex"))
+        val dns = bruteCosineOf(s, d)
+          .orderBy(col("cosine").desc, col("vec_id")).limit(K)
+          .select(col("vec_id").as("doc_id"), row_number()
+            .over(Window.orderBy(col("cosine").desc, col("vec_id")))
+            .cast(LongType).as("rank_dense"))
+        val rrf = when(col("rank_lex").isNotNull && col("rank_dense").isNotNull,
+            (lit(120L) + col("rank_lex") + col("rank_dense")).cast(DoubleType)
+              / ((lit(60L) + col("rank_lex")) * (lit(60L) + col("rank_dense")))
+                .cast(DoubleType))
+          .when(col("rank_lex").isNotNull,
+            lit(1.0) / (lit(60L) + col("rank_lex")).cast(DoubleType))
+          .otherwise(lit(1.0) / (lit(60L) + col("rank_dense")).cast(DoubleType))
+        lex.join(dns.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
+          .withColumn("rrf", rrf)
+          .select(
+            row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
+              .cast(LongType).as("rank_fused"),
+            col("doc_id"), col("rank_lex"), col("rank_dense"),
+            round(col("rrf"), 9).as("rrf_score"))
+          .orderBy("rank_fused")
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                        string_split(text, ' ') AS tk
+                 FROM documents),
+               tf AS (
+                 SELECT doc_id, dl, token, count(*) AS tf FROM (
+                   SELECT doc_id, dl, unnest(tk) AS token FROM docs)
+                 WHERE token IN (${TextQueries.DefaultQueryTerms
+                   .map("'" + _ + "'").mkString(", ")})
+                 GROUP BY doc_id, dl, token),
+               dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+               tot AS (SELECT count(*) AS n_docs, sum(dl) AS t_all FROM docs),
+               scored AS (
+                 SELECT tf.doc_id,
+                        CAST((CAST(tf.tf * tot.t_all * 22 AS DOUBLE)
+                              / CAST(tf.tf * tot.t_all * 10 + tot.t_all * 3
+                                     + tf.dl * tot.n_docs * 9 AS DOUBLE))
+                             * (CAST(tot.n_docs * 2 - dft.df * 2 + 1 AS DOUBLE)
+                                / CAST(dft.df * 2 + 1 AS DOUBLE))
+                             AS DECIMAL(38,18)) AS score_dec
+                 FROM tf JOIN dft ON dft.token = tf.token CROSS JOIN tot),
+               lex AS (
+                 SELECT doc_id, sum(score_dec) AS sd FROM scored GROUP BY doc_id),
+               lexr AS (
+                 SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY sd DESC, doc_id) AS BIGINT)
+                          AS rank_lex
+                 FROM lex QUALIFY rank_lex <= 100),
+               q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+               sums AS (
+                 SELECT e.vec_id,
+                        SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+                                 AS DECIMAL(38,18))) AS dot_dec,
+                        SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+                                 AS DECIMAL(38,18))) AS norm_dec
+                 FROM embeddings e, q, generate_series(1, $Dim) t(i)
+                 GROUP BY e.vec_id),
+               qn AS (SELECT norm_dec AS qnorm_dec FROM sums WHERE vec_id = 0),
+               cosd AS (
+                 SELECT sums.vec_id,
+                        round(CAST(dot_dec AS DOUBLE)
+                          / (sqrt(CAST(norm_dec AS DOUBLE)) * sqrt(CAST(qnorm_dec AS DOUBLE))), 9)
+                          AS cosine
+                 FROM sums, qn WHERE sums.vec_id <> 0),
+               dnsr AS (
+                 SELECT vec_id AS doc_id,
+                        CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+                          AS rank_dense
+                 FROM cosd QUALIFY rank_dense <= 100),
+               fused AS (
+                 SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                        l.rank_lex, v.rank_dense,
+                        CASE WHEN l.rank_lex IS NOT NULL AND v.rank_dense IS NOT NULL
+                             THEN CAST(120 + l.rank_lex + v.rank_dense AS DOUBLE)
+                                  / CAST((60 + l.rank_lex) * (60 + v.rank_dense) AS DOUBLE)
+                             WHEN l.rank_lex IS NOT NULL
+                             THEN 1.0 / CAST(60 + l.rank_lex AS DOUBLE)
+                             ELSE 1.0 / CAST(60 + v.rank_dense AS DOUBLE) END AS rrf
+                 FROM lexr l FULL OUTER JOIN dnsr v ON l.doc_id = v.doc_id)
+               SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                        AS rank_fused,
+                      doc_id, rank_lex, rank_dense, round(rrf, 9) AS rrf_score
+               FROM fused ORDER BY rank_fused"""),
+      "Hybrid retrieval fusion: reciprocal-rank fusion of the BM25 lexical top-K and " +
+        "the exact-cosine dense top-K over a shared query set — RRF summed as one " +
+        "double division of exact cross-multiplied integers so the fused order is " +
+        "bit-stable; each leg is a bounded TakeOrdered probe, ranks windowed within " +
+        "K rows, K-row lists fused with a SHUFFLE_HASH full-outer join")
   )
 }

@@ -272,6 +272,84 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_hybrid_rrf matches a brute-force fusion; bound rank <= a+b-1 holds") {
+    // lexical leg: the q_bm25_topk brute force above, full top-100 list
+    val qterms = Set("dup", "spark", "merge", "key")
+    val docs = Tables.documents(s, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val n = docs.length.toLong
+    val tAll = docs.map(_._2.length.toLong).sum
+    val dfm = qterms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val lexRank = docs.map { case (id, tk) =>
+      val dl = tk.length.toLong
+      val sc = qterms.toSeq.map { t =>
+        val tf = tk.count(_ == t).toLong
+        if (tf == 0) BigDecimal(0)
+        else BigDecimal(
+          ((22.0 * tf * tAll) / (10.0 * tf * tAll + 3.0 * tAll + 9.0 * dl * n)) *
+            ((2.0 * n - 2.0 * dfm(t) + 1.0) / (2.0 * dfm(t) + 1.0)))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      (id, sc)
+    }.filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // dense leg: decimal-summed cosine vs vec 0, mirroring dotDec's
+    // per-product round-to-18 then the engine's exact double expression
+    val embs = Tables.embeddings(s, dir).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dotDec(a: Array[Double], b: Array[Double]): BigDecimal =
+      a.zip(b).map { case (x, y) =>
+        BigDecimal(x * y).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    val qe = embs.find(_._1 == 0L).get._2
+    val qn = dotDec(qe, qe)
+    val denseRank = embs.filter(_._1 != 0L).map { case (id, e) =>
+      val cos = BigDecimal(dotDec(e, qe).toDouble /
+        (math.sqrt(dotDec(e, e).toDouble) * math.sqrt(qn.toDouble)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, cos)
+    }.sortBy { case (id, c) => (-c, id) }.take(100)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // exact-rational RRF fusion: compare n1*d2 vs n2*d1 (never a float)
+    val ids = (lexRank.keySet ++ denseRank.keySet).toSeq
+    def frac(id: Long): (BigInt, BigInt) = (lexRank.get(id), denseRank.get(id)) match {
+      case (Some(a), Some(b)) => (BigInt(120 + a + b), BigInt((60 + a) * (60 + b)))
+      case (Some(a), None) => (BigInt(1), BigInt(60 + a))
+      case (None, Some(b)) => (BigInt(1), BigInt(60 + b))
+      case _ => sys.error("unreachable")
+    }
+    val wantOrder = ids.sortWith { (x, y) =>
+      val ((nx, dx), (ny, dy)) = (frac(x), frac(y))
+      val cmp = (nx * dy).compare(ny * dx)
+      if (cmp != 0) cmp > 0 else x < y
+    }
+    val got = Queries.byName("q_hybrid_rrf").run(s, dir).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === wantOrder)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(Option(r.getAs[java.lang.Long]("rank_lex")).map(_.toLong) ===
+        lexRank.get(id))
+      assert(Option(r.getAs[java.lang.Long]("rank_dense")).map(_.toLong) ===
+        denseRank.get(id))
+    }
+    // the PROVABLE fusion guarantee: at most (a-1)+(b-1) docs can outscore
+    // a doc ranked (a, b) — any doc with a higher RRF sum must beat it in
+    // at least one leg — so rank_fused <= a + b - 1. (The stronger claim
+    // "never below both source ranks", i.e. <= max(a, b), is FALSE for
+    // RRF: with k=60, d=(2,2) loses to both e=(1,3) and g=(3,1) —
+    // 2/62 < 1/61 + 1/63 — putting d at fused rank 3 > max(2,2).)
+    got.filter(r => r.getAs[java.lang.Long]("rank_lex") != null &&
+        r.getAs[java.lang.Long]("rank_dense") != null)
+      .foreach { r =>
+        assert(r.getAs[Long]("rank_fused") <=
+          r.getAs[Long]("rank_lex") + r.getAs[Long]("rank_dense") - 1)
+      }
+    // and a sanity floor: the fused top doc leads at least one leg's top-2
+    val top = got.minBy(_.getAs[Long]("rank_fused"))
+    assert(Option(top.getAs[java.lang.Long]("rank_lex")).exists(_ <= 2) ||
+      Option(top.getAs[java.lang.Long]("rank_dense")).exists(_ <= 2))
+  }
+
   test("q_topic_mix: shares sum to 1 per source and doc counts reconcile") {
     val rows = Queries.byName("q_topic_mix").run(s, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -35,8 +35,9 @@ class ScaleShapeSpec extends AnyFunSuite {
 
   /** Pinned per-query EXCHANGE budgets (formatted-plan node-line counts,
     * which list each node twice: tree + details). Measured on the replica
-    * at the round-10 shapes; a breach means a new shuffle appeared —
-    * justify it and re-pin, or fix the plan. */
+    * with ScaleBudgetProbe; the gate asserts EQUALITY (r15), so any
+    * drift — a new shuffle OR a vanished one leaving slack — forces a
+    * deliberate re-pin or a plan fix. */
   private val exchangeBudget = Map(
     "q_compile_ocds" -> 4,
     // r12: the verify joins are SHUFFLE_HASH-pinned (their broadcast was
@@ -99,7 +100,7 @@ class ScaleShapeSpec extends AnyFunSuite {
     // unpivot (profile_orders)
     "q_quality_gate" -> 4,
     "q_source_mix" -> 10,
-    "q_split_leakage" -> 20,
+    "q_split_leakage" -> 18,
     "q_image_neardup" -> 14,
     "q_profile_orders" -> 4,
     // heavy hitters: fanOut + the single-group sketch merge — the whole
@@ -108,7 +109,7 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_heavy_terms" -> 4,
     // one per-source rank-sort exchange; the aggregation rides the
     // window's hash partitioning
-    "q_length_quantiles" -> 6,
+    "q_length_quantiles" -> 4,
     // LM scoring: ONE window exchange annotates the corpus-sized bigram
     // stream with its counts (the ExactSubstr window-vs-groupBy+join
     // adjudication, which measured 9 exchanges for the join spelling),
@@ -158,7 +159,7 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_distinct_sketch" -> 4,
     // native quantile sketch: same shape — one source-keyed agg pair of
     // bounded value->count partials, vs the exact query's per-source
-    // rank-sort window (q_length_quantiles pins 6 for that spelling)
+    // rank-sort window (q_length_quantiles pins 4 for that spelling)
     "q_length_sketch" -> 4,
     // r13 second wave. rollup/cube: ONE Expand + agg pair + the ordered
     // output — a breach means a per-level re-aggregation appeared.
@@ -302,7 +303,13 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r15: C4 line filter — gopher_rules' shape exactly: per-row line
     // predicates (codegen'd array HOFs), ONE map-side-combined source
     // rollup + the final sort
-    "q_c4_lines" -> 4)
+    "q_c4_lines" -> 4,
+    // hybrid RRF: the bm25 leg's exchanges (tf agg pair + df re-agg +
+    // bounded broadcasts) + each leg's K-row single-partition rank
+    // window + the SHUFFLE_HASH full-outer fusion of two K-row lists +
+    // the fused rank window/sort — every post-TakeOrdered stage is
+    // K-bounded by construction
+    "q_hybrid_rrf" -> 18)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
@@ -318,9 +325,14 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(n("CartesianProduct") === 0, s"$name plans a cartesian product:\n$plan")
     val budget = exchangeBudget(name)
     info(s"$name exchanges=${n("Exchange")} (budget $budget)")
-    assert(n("Exchange") <= budget,
-      s"$name exchange count ${n("Exchange")} breached pinned budget $budget " +
-        s"— a new shuffle appeared:\n$plan")
+    // EQUALITY, not <= (r14 review): a measured count below the pin is
+    // slack that would silently absorb the next 1-2-exchange regression;
+    // drift in EITHER direction forces a deliberate re-pin (the probe —
+    // Test/runMain graft.ScaleBudgetProbe <q...> — measures with this
+    // gate's own classifier, so re-pinning is a one-liner)
+    assert(n("Exchange") === budget,
+      s"$name exchange count ${n("Exchange")} != pinned budget $budget — " +
+        s"a shuffle appeared or disappeared; justify and re-pin:\n$plan")
     val offenders = ScaleShape.unboundedBroadcasts(df.queryExecution.sparkPlan)
     assert(offenders.isEmpty, s"$name: ${offenders.mkString("\n")}")
     // drive THIS QueryExecution so the assertion covers the executed query.
