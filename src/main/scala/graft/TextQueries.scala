@@ -147,8 +147,93 @@ object TextQueries {
       .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .select(col("shard"),
-        ((col("rn") - 1L) * (lit(weightLcm) / weightExpr).cast(LongType)).as("vpos"),
+        ((col("rn") - 1L) * stride).as("vpos"),
         col("source"), col("doc_id"))
+  }
+
+  /** Mixture EPOCH materializer — the missing half between
+    * [[sourceMixOf]] (how many examples each source contributes) and
+    * [[mixScheduleOf]] (in what order): the concrete epoch a training run
+    * consumes, with every source realized at its target count. Three
+    * deterministic stages, no RNG anywhere:
+    *
+    *  1. Targets: the sourceMixOf w ∝ sqrt(n_tokens) draw scaled to
+    *     `totalBudget` examples (floor per source — identical spelling to
+    *     q_source_mix so the two readouts agree).
+    *  2. Selection with wraparound repetition: docs of a source are
+    *     totally ordered by the content-stable (bucket, hash, doc_id) key
+    *     and the target count is filled round-robin over that order —
+    *     doc at rank r emits every epoch index k ≡ r-1 (mod n_s) below
+    *     target_s, i.e. deterministic sample-with-replacement where
+    *     repetition counts differ by at most one across a source's docs.
+    *     The per-source rank is computed DISTRIBUTED (the zipWithIndex
+    *     idiom): rank within (source, bucket) windows + broadcast prefix
+    *     offsets from a sources × buckets count frame — never one
+    *     giant per-source partition.
+    *  3. Stride interleave: each emission hashes to a shard; within
+    *     (shard, source) the i-th emission lands at virtual time
+    *     (2i-1)/(2·target_s) — the WFQ finish-time spelling — so every
+    *     shard-prefix realizes the target mixture. Weights here are
+    *     data-derived longs, so the mixScheduleOf integer-LCM contract
+    *     cannot apply; vtime is instead ONE double division of exact
+    *     integers (< 2^53), bit-deterministic cross-engine, the
+    *     q_tfidf/q_bm25 ordering precedent.
+    *
+    * Output: (shard, vtime, source, doc_id, k) — k is the epoch index of
+    * the emission within its source (k div n_s = which repetition),
+    * unordered. Per-source row count == target count exactly
+    * (conservation is pinned in CorpusPipelineSpec). */
+  private[graft] def mixEpochOf(
+      docs: DataFrame, totalBudget: Long, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Dec = DecimalType(38, 18)
+    val per = docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+      .withColumn("w_dec", sqrt(col("n_tokens").cast(DoubleType)).cast(Dec))
+    val tot = per.agg(sum(col("w_dec")).cast(Dec).as("w_tot"))
+    val share = round(
+      col("w_dec").cast(DoubleType) / col("w_tot").cast(DoubleType), 9)
+    val targets = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        floor(lit(totalBudget.toDouble) * share).cast(LongType).as("n_target"))
+    val based = docs.select(col("source"), col("doc_id"),
+        exportHash(col("doc_id"), ":epoch").as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(nShards.toLong)))
+    val wLoc = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    // prefix offsets: sources × buckets rows — driver-bounded at any
+    // corpus size, so both the window below and the broadcast are safe
+    val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = based.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("source"), col("bucket"), col("off"))
+    val emitted = based
+      .withColumn("rl", row_number().over(wLoc).cast(LongType))
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("r", col("rl") + col("off"))
+      .join(broadcast(targets), Seq("source"))
+      .withColumn("reps",
+        expr("CASE WHEN r <= n_target THEN (n_target - r) div n_docs + 1 " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .filter(col("reps") > 0)
+      .select(col("source"), col("doc_id"), col("n_docs"), col("n_target"),
+        col("r"), explode(expr("sequence(CAST(0 AS BIGINT), reps - 1)")).as("j"))
+      .withColumn("k", col("r") - 1 + col("j") * col("n_docs"))
+    val sharded = emitted.withColumn("h2",
+        exportHash(concat_ws(":", col("doc_id"), col("k")), ":epoch-shard"))
+      .withColumn("shard", pmod(col("h2"), lit(nShards.toLong)))
+    val w2 = Window.partitionBy(col("shard"), col("source"))
+      .orderBy(col("h2"), col("doc_id"), col("k"))
+    sharded
+      .withColumn("rn2", row_number().over(w2).cast(LongType))
+      .select(col("shard"),
+        ((col("rn2") * 2 - 1).cast(DoubleType)
+          / (col("n_target") * 2).cast(DoubleType)).as("vtime"),
+        col("source"), col("doc_id"), col("k"))
   }
 
   /** The MinHash-LSH → exact-Jaccard verified near-dup pair set
@@ -2214,6 +2299,65 @@ object TextQueries {
         "sources occupy every (L/w)-th position, so every schedule prefix realizes the " +
         "target mixture; per-(shard, source) windows keep the biggest source from " +
         "bottlenecking one partition"),
+
+    QueryDef(
+      "q_mix_epoch", Seq("A4", "W1", "J2", "F5"),
+      (s, d) => mixEpochOf(Tables.documents(s, d), totalBudget = 2000L, nShards = 4)
+        .orderBy(col("shard"), col("vtime"), col("source"), col("doc_id"), col("k"))
+        .select(col("shard"), round(col("vtime"), 9).as("vtime"),
+          col("source"), col("doc_id"), col("k")),
+      Some("""WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+              w AS (
+                SELECT source, n_docs,
+                       CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18)) AS w_dec
+                FROM per),
+              t AS (SELECT CAST(sum(w_dec) AS DECIMAL(38,18)) AS w_tot FROM w),
+              tg AS (
+                SELECT source, n_docs,
+                       CAST(floor(2000.0 * round(CAST(w_dec AS DOUBLE)
+                                                 / CAST(w_tot AS DOUBLE), 9)) AS BIGINT)
+                         AS n_target
+                FROM w, t),
+              hd AS (
+                SELECT source, doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 15))::BIGINT AS h
+                FROM documents),
+              rk AS (
+                SELECT source, doc_id,
+                       CAST(row_number() OVER (PARTITION BY source
+                                               ORDER BY h % 4, h, doc_id) AS BIGINT) AS r
+                FROM hd),
+              em AS (
+                SELECT rk.source, rk.doc_id, tg.n_target,
+                       rk.r - 1 + unnest(range(CASE WHEN rk.r <= tg.n_target
+                         THEN (tg.n_target - rk.r) // tg.n_docs + 1
+                         ELSE 0 END)) * tg.n_docs AS k
+                FROM rk JOIN tg ON tg.source = rk.source),
+              sh AS (
+                SELECT source, doc_id, n_target, k,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                           CAST(k AS VARCHAR) || ':epoch-shard'), 1, 15))::BIGINT AS h2
+                FROM em),
+              r2 AS (
+                SELECT source, doc_id, n_target, k, h2 % 4 AS shard,
+                       CAST(row_number() OVER (PARTITION BY h2 % 4, source
+                                               ORDER BY h2, doc_id, k) AS BIGINT) AS rn2
+                FROM sh)
+              SELECT shard,
+                     round(CAST(rn2*2 - 1 AS DOUBLE) / CAST(n_target*2 AS DOUBLE), 9) AS vtime,
+                     source, doc_id, CAST(k AS BIGINT) AS k
+              FROM r2
+              ORDER BY shard, CAST(rn2*2 - 1 AS DOUBLE) / CAST(n_target*2 AS DOUBLE),
+                       source, doc_id, k"""),
+      "Mixture epoch materializer: sourceMixOf's sqrt-temperature target draws " +
+        "realized as a concrete epoch — per-source hash-ordered selection with " +
+        "wraparound repetition (deterministic sample-with-replacement, repetition " +
+        "counts differ by at most one), then the WFQ finish-time interleave so every " +
+        "shard prefix holds the target mixture; per-source rank computed distributed " +
+        "(bucket windows + broadcast prefix offsets), no RNG, no global window"),
 
     QueryDef(
       "q_snapshot_diff", Seq("J1", "A1", "F5"),

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property/edge referees for the r12 corpus-analysis additions, beyond
@@ -182,6 +183,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(n("added") + n("changed") + n("unchanged") === bN)
     assert(n("added") === ids.count(_ % 10 == 7).toLong)
     assert(n("removed") === ids.count(_ % 10 == 3).toLong)
+  }
+
+  test("mixScheduleOf fails loudly on a weight that does not divide the lcm") {
+    import s.implicits._
+    val docs = Seq((1L, "src1", "a"), (2L, "src2", "b"))
+      .toDF("doc_id", "source", "text")
+    // weight 4 does not divide lcm 6: must raise, not truncate 6/4 -> 1
+    val bad = TextQueries.mixScheduleOf(
+      docs, weightExpr = lit(4L), weightLcm = 6L, nShards = 2)
+    val e = intercept[Exception](SparkSuite.quietly(bad.collect()))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("not divisible by weight")), e.toString)
+    // and the weightLcm domain is enforced eagerly
+    intercept[IllegalArgumentException](TextQueries.mixScheduleOf(
+      docs, weightExpr = lit(1L), weightLcm = 0L, nShards = 2))
   }
 
   test("mix schedule: every prefix realizes the stride-exact mixture") {

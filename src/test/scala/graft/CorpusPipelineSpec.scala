@@ -244,6 +244,51 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mix_epoch conserves targets: per-source emitted == n_target, reps differ by <= 1") {
+    val rows = Queries.byName("q_mix_epoch").run(s, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("k")))
+    // the targets the epoch must realize, re-derived from q_source_mix's
+    // spelling (same sqrt draw, scaled to the demo's 2000 budget)
+    val per = Tables.documents(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(size(split(col("text"), " ")).cast("long")).as("nt"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("nt")))
+    val wTot = per.map(p => BigDecimal(math.sqrt(p._3.toDouble))
+      .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum
+    val target = per.map { case (src, _, nt) =>
+      val share = BigDecimal(
+        (BigDecimal(math.sqrt(nt.toDouble)).setScale(18, BigDecimal.RoundingMode.HALF_UP)
+          / wTot).toDouble).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      src -> (share * 2000).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+    }.toMap
+    val nDocs = per.map(p => p._1 -> p._2).toMap
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.keySet === target.filter(_._2 > 0).keySet)
+    bySrc.foreach { case (src, rs) =>
+      // conservation: exactly the target count, k a permutation of 0..target-1
+      assert(rs.length.toLong === target(src), s"source $src")
+      assert(rs.map(_._3).sorted.toSeq === (0L until target(src)).toSeq)
+      // wraparound repetition: per-doc emission counts differ by <= 1,
+      // and distinct docs = min(population, target)
+      val perDoc = rs.groupBy(_._2).map(_._2.length)
+      assert(perDoc.max - perDoc.min <= 1)
+      assert(perDoc.size.toLong === math.min(nDocs(src), target(src)))
+    }
+  }
+
+  test("q_mix_epoch is partitioning-invariant (the no-RNG claim, executed)") {
+    val base = Queries.byName("q_mix_epoch").run(s, dir)
+    val a = base.collect()
+    val b = TextQueries.mixEpochOf(
+        Tables.fanOut(Tables.documents(s, dir)), totalBudget = 2000L, nShards = 4)
+      .orderBy(col("shard"), col("vtime"), col("source"), col("doc_id"), col("k"))
+      .select(col("shard"), round(col("vtime"), 9).as("vtime"),
+        col("source"), col("doc_id"), col("k"))
+      .collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("q_source_mix interpolates toward uniform: small sources upweighted, large damped") {
     val rows = Queries.byName("q_source_mix").run(s, dir).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getLong(4)))

@@ -309,7 +309,15 @@ class ScaleShapeSpec extends AnyFunSuite {
     // window + the SHUFFLE_HASH full-outer fusion of two K-row lists +
     // the fused rank window/sort — every post-TakeOrdered stage is
     // K-bounded by construction
-    "q_hybrid_rrf" -> 18)
+    "q_hybrid_rrf" -> 18,
+    // mix epoch: the targets agg pair (the `per` subtree plans twice —
+    // tot derives from it, the q_langid_nb AQE-reuse precedent) + the
+    // sources×buckets offsets agg pair (the corpus-keyed `based` subtree
+    // likewise plans under both the offsets and the rank legs) + the
+    // (source, bucket) rank window exchange + the (shard, source)
+    // interleave window exchange + the final sort; targets/offsets
+    // broadcast (both source-domain-bounded)
+    "q_mix_epoch" -> 22)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
