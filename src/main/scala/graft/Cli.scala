@@ -46,6 +46,9 @@ import graft.ocds.Metadata
   *   quality-gate <lake> <collectionId>         (per-source bottom-decile cut)
   *   gopher-rules <lake> <collectionId>         (fixed rule-filter rollup)
   *   c4-lines <lake> <collectionId>             (C4 line-level boilerplate rollup)
+  *   export <lake> <collectionId> <dir> [--shards N]
+  *                                              (training-shard export: one JSON-lines
+  *                                               file per shard, rows in shuffle order)
   *   source-mix <lake> <collectionId>           (sqrt-temperature mix weights)
   *   length-stats <lake> <collectionId>         (per-source token-length quantiles)
   *   corpus-stats <lake>                        (streaming stats-store readout)
@@ -647,6 +650,34 @@ object Cli {
           }
       }
 
+    case "export" :: lake :: id :: dir :: rest =>
+      // training-shard export of a loaded collection's documents: the
+      // q_shuffle_export layout materialized by Sink.writeShards — one
+      // JSON-lines file per shard directory, rows in seq order, text
+      // payload carried through (no second join against the corpus)
+      val nShards = flagValue(rest, "--shards") match {
+        case None => 8
+        case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--shards needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      rejectStray("export", stripFlag(rest, "--shards"))
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          Sink.writeShards(
+            TextQueries.shuffleExportOf(docs, nShards, payloadCols = Seq("text")),
+            dir)
+          println(s"exported collection $cid to $dir shards=$nShards")
+      }
+
     case "c4-lines" :: lake :: id :: Nil =>
       // C4 line-level boilerplate rollup over a loaded collection's raw
       // documents (the q_c4_lines engine; collection docs are single-line
@@ -1014,6 +1045,7 @@ object Cli {
            |  quality-gate <lake> <collectionId>
            |  gopher-rules <lake> <collectionId>
            |  c4-lines <lake> <collectionId>
+           |  export <lake> <collectionId> <dir> [--shards N]
            |  source-mix <lake> <collectionId>
            |  overlap <lake> <collectionIdA> <collectionIdB>
            |  length-stats <lake> <collectionId>

@@ -55,16 +55,22 @@ object TextQueries {
     * parallelism == shard count — the real knob (a 100 TB export uses
     * O(10k) shards). Never rand() (reassigns every run) and never a
     * global row_number (single-partition window). Output: (shard, seq,
-    * doc_id, source), unordered — callers sort or write as they need. */
-  private[graft] def shuffleExportOf(docs: DataFrame, nShards: Int): DataFrame = {
+    * doc_id, source[, payloadCols...]), unordered — callers sort or write
+    * as they need (`payloadCols` carries e.g. the text through to
+    * [[graft.ingest.Sink.writeShards]] without a second join against the
+    * corpus). */
+  private[graft] def shuffleExportOf(
+      docs: DataFrame, nShards: Int,
+      payloadCols: Seq[String] = Seq.empty): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
     docs
-      .select(col("doc_id"), col("source"),
-        exportHash(col("doc_id"), ":shuffle").as("h"))
+      .select(col("doc_id") +: col("source") +: payloadCols.map(col) :+
+        exportHash(col("doc_id"), ":shuffle").as("h"): _*)
       .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
       .withColumn("seq", row_number().over(w).cast(LongType))
-      .select(col("shard"), col("seq"), col("doc_id"), col("source"))
+      .select(col("shard") +: col("seq") +: col("doc_id") +: col("source") +:
+        payloadCols.map(col): _*)
   }
 
   /** Dataset-version diff (CDC between two corpus snapshots) — the

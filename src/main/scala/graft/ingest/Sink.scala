@@ -288,6 +288,35 @@ object Sink {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Training-shard writer — materializes a shuffled-export layout
+    * (`TextQueries.shuffleExportOf(docs, n, payloadCols)` — (shard, seq,
+    * ...) rows) as the files a training run actually reads: one
+    * JSON-lines file per shard under `dir/shard=N/`, rows in `seq` order.
+    *
+    * Layout contract, pinned by SinkSpec:
+    *  - exactly ONE file per shard: `repartition(col("shard"))` puts each
+    *    shard wholly inside one task (several shards may share a task;
+    *    the partitionBy writer still splits them into their own
+    *    directories, each receiving its rows in the task's sorted order);
+    *  - in-file order is (seq ascending) — `sortWithinPartitions` before
+    *    the projection, which is narrow and order-preserving;
+    *  - bytes are REPRODUCIBLE: content-stable layout + total in-shard
+    *    order + deterministic JSON field order means two writes from
+    *    differently-partitioned inputs produce byte-identical shard files
+    *    (file NAMES carry task/attempt ids and differ — readers list the
+    *    directory).
+    * Parallelism == shard count, the export's own knob (a 100 TB export
+    * uses O(10k) shards, so no writer task exceeds a shard's size). */
+  def writeShards(laidOut: DataFrame, dir: String): Unit = {
+    val payload = laidOut.columns.filterNot(_ == "shard")
+    laidOut
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("seq"))
+      .select(col("shard"),
+        to_json(struct(payload.map(col).toIndexedSeq: _*)).as("value"))
+      .write.partitionBy("shard").mode("overwrite").text(dir)
+  }
+
   /** The serving-copy writer (reference: PostgreSQL bulk_create in batches
     * of 1000). Contract-only here — no database in the harness. */
   def writeJdbc(df: DataFrame, url: String, table: String, batchSize: Int = 1000): Unit =

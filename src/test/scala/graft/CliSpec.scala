@@ -275,6 +275,36 @@ class CliSpec extends AnyFunSuite {
     // rejection shares rejectStray with the sibling subcommands)
     val hh = run("heavy-terms", lake, "1", "--width", "4", "--min", "2")
     assert(hh.contains("n=2 gram="), hh)
+
+    // C4 line rollup: collection docs are single-line token streams with
+    // no terminal punctuation, so every doc contributes one removed line
+    val c4 = run("c4-lines", lake, "1")
+    assert(c4.contains("source=dd_local n_docs=3 n_lines=3 n_kept=0"), c4)
+
+    // training-shard export: one JSON-lines file per shard, seqs
+    // contiguous, every doc exactly once, text payload carried
+    val expDir = Files.createTempDirectory("graft-cli-export").toString
+    val exp = run("export", lake, "1", expDir, "--shards", "2")
+    assert(exp.contains("exported collection 1"), exp)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val shardLines = Option(new java.io.File(expDir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("shard="))
+      .map { d =>
+        val parts = Option(d.listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("part-"))
+        assert(parts.length === 1, s"${d.getName}: ${parts.length} files")
+        java.nio.file.Files.readAllLines(parts.head.toPath)
+      }
+    val parsed = shardLines.flatMap(ls =>
+      scala.jdk.CollectionConverters.ListHasAsScala(ls).asScala.map(mapper.readTree))
+    assert(parsed.size === 3)
+    assert(parsed.map(_.get("doc_id").asLong).distinct.size === 3)
+    shardLines.foreach { ls =>
+      val seqs = scala.jdk.CollectionConverters.ListHasAsScala(ls).asScala
+        .map(l => mapper.readTree(l).get("seq").asLong)
+      assert(seqs.toSeq === (1L to seqs.size.toLong))
+    }
+    parsed.foreach(n => assert(n.get("text").asText.nonEmpty))
   }
 
   test("overlap estimates cross-collection shingle sharing from KMV sketches") {

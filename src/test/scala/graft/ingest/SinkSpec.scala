@@ -119,6 +119,55 @@ class SinkSpec extends AnyFunSuite {
     assert(Sink.readFacts(s, dir).filter(col("collection_id") === 2L).count() === 1)
   }
 
+  test("writeShards: one file per shard, seq order in-file, bytes reproducible") {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val rows = (1L to 157L).map(i => (i, s"s${i % 3}", s"text of $i"))
+    def write(docs: org.apache.spark.sql.DataFrame): java.nio.file.Path = {
+      val dir = Files.createTempDirectory("graft_shards")
+      Sink.writeShards(
+        graft.TextQueries.shuffleExportOf(docs, nShards = 4, payloadCols = Seq("text")),
+        dir.toString)
+      dir
+    }
+    // read back: per shard directory, the (sorted) part files' lines in order
+    def readShards(dir: java.nio.file.Path): Map[Long, (Int, Seq[String])] =
+      Files.list(dir).iterator.asScala
+        .filter(p => p.getFileName.toString.startsWith("shard="))
+        .map { shardDir =>
+          val parts = Files.list(shardDir).iterator.asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq
+            .sortBy(_.getFileName.toString)
+          val lines = parts.flatMap(p =>
+            Files.readAllLines(p).asScala.toSeq)
+          shardDir.getFileName.toString.stripPrefix("shard=").toLong ->
+            (parts.size, lines.toSeq)
+        }.toMap
+    val a = readShards(write(rows.toDF("doc_id", "source", "text")))
+    assert(a.keySet === Set(0L, 1L, 2L, 3L))
+    // exactly one file per shard (the repartition-by-shard contract)
+    a.values.foreach { case (nFiles, _) => assert(nFiles === 1) }
+    // in-file order IS seq order, seqs contiguous from 1, payload present
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    a.foreach { case (shard, (_, lines)) =>
+      val parsed = lines.map(mapper.readTree)
+      assert(parsed.map(_.get("seq").asLong).toSeq ===
+        (1L to lines.length.toLong), s"shard $shard")
+      parsed.foreach { n =>
+        assert(n.get("text").asText === s"text of ${n.get("doc_id").asLong}")
+      }
+    }
+    // the whole export is a permutation of the corpus
+    assert(a.values.flatMap(_._2).map(l => mapper.readTree(l).get("doc_id").asLong)
+      .toSeq.sorted === (1L to 157L))
+    // byte-reproducibility: a differently-partitioned, shuffled input
+    // writes IDENTICAL shard contents
+    val b = readShards(write(
+      scala.util.Random.shuffle(rows).toDF("doc_id", "source", "text").repartition(7)))
+    assert(a.view.mapValues(_._2).toMap === b.view.mapValues(_._2).toMap,
+      "shard bytes depend on input partitioning")
+  }
+
   test("writeJdbc round-trips through an embedded Derby database") {
     import s.implicits._
     // the serving-copy contract (reference: PostgreSQL bulk_create in
