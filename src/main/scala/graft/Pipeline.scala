@@ -739,7 +739,10 @@ object Pipeline {
       spark: SparkSession,
       lakeDir: String,
       plane: Control.Plane,
-      cid: Long): Option[(Long, Long)] = {
+      cid: Long,
+      // restricts the check to one micro-batch's files (the streaming
+      // checker leg); None = the whole collection (CLI addchecks)
+      files: Option[Seq[String]] = None): Option[(Long, Long)] = {
     // package metadata is stored under the ROOT collection (the upgraded
     // collection's rows come from the same source files)
     val rootId = plane.rootParent(plane.collection(cid)).id
@@ -752,8 +755,9 @@ object Pipeline {
         .contains(graft.ingest.FormatDetect.Format.CompiledRelease) ||
         Sink.readOrEmpty(spark, s"$lakeDir/$factTable").isEmpty)
       return None
-    val facts = Sink.readFacts(spark, s"$lakeDir/$factTable")
+    val allFacts = Sink.readFacts(spark, s"$lakeDir/$factTable")
       .filter(col("collection_id") === cid)
+    val facts = files.fold(allFacts)(fs => allFacts.filter(col("filename").isin(fs: _*)))
       .select(col("filename"), col("ocid"),
         (if (isRecord) lit("") else col("release_id")).as("release_id"),
         col("hash_md5"), col("data"))

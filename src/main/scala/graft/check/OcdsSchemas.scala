@@ -81,11 +81,18 @@ object OcdsSchemas {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Set[String]), JsonSchema.Compiled]()
 
+  /** Schema COMPILATIONS performed by this JVM (cache misses only) — the
+    * observable that lets specs assert "checking N rows never recompiles
+    * per row": after a check pass, the delta is bounded by the number of
+    * distinct (items_key, extension-set) keys, not by the row count. */
+  private[graft] val compileCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Compiled package schema for one (items_key, extension set) — the
     * `_get_schema(items_key, extensions)` analogue. */
   def forPackage(itemsKey: String, extensions: Set[String] = Set.empty): JsonSchema.Compiled = {
     val key = (itemsKey, Extensions.applyDependencies(extensions))
     cache.computeIfAbsent(key, { case (ik, ext) =>
+      compileCount.incrementAndGet()
       val pkgJson = if (ik == "records") recordPackageJson else releasePackageJson
       JsonSchema.compile(pkgJson, docResolver(ext))
     })

@@ -176,7 +176,14 @@ object Streaming {
     * `corpusStats = true` likewise folds each batch into the persistent
     * `<lake>/stats_sketch` document ([[StatsStore]]): distinct-token
     * cardinality + token-length quantiles + doc/token totals — the live
-    * dataset-card numbers, same exactly-once contract. */
+    * dataset-card numbers, same exactly-once contract.
+    *
+    * `checks = true` runs the V1 structural check over each batch's
+    * loaded items (the reference's continuously-running checker,
+    * `checker.py:80-131`) and appends cove_output rows to the check lake
+    * table — no batch `addchecks` needed for streamed arrivals;
+    * duplicate-tolerant under replay via the content-stable check-id
+    * anti-join. */
   def releaseLoadStream(
       spark: SparkSession,
       landingDir: String,
@@ -188,7 +195,8 @@ object Streaming {
       maxFilesPerTrigger: Int = 1000,
       neardupSignatures: Boolean = false,
       trendingTerms: Boolean = false,
-      corpusStats: Boolean = false): StreamingQuery = {
+      corpusStats: Boolean = false,
+      checks: Boolean = false): StreamingQuery = {
     import spark.implicits._
     recoverPartialLoads(spark, lakeDir, collectionId, upgradedId, plane)
     // the binaryFile source's fixed schema, declared explicitly (streaming
@@ -277,6 +285,23 @@ object Streaming {
                     sourceCol = Some("source"))
               }
           }
+          // streaming structural-check leg (the reference's checker is a
+          // CONTINUOUSLY-RUNNING consumer of the loader's output —
+          // checker.py:80-131 — not only a batch command): validate THIS
+          // batch's files against the extension-patched package schema
+          // and append their cove_output rows to the check lake table.
+          // Replay-safe like the batch job it shares (runChecks →
+          // checkUnchecked): a crash between this append and the plane
+          // save replays the batch, and the anti-join on the
+          // content-stable check id skips the rows already written — the
+          // same duplicate-tolerant at-least-once protocol as the
+          // near-dup signature leg above. Restricting to `fresh` keeps
+          // per-batch work O(batch), not O(collection); the per-JVM
+          // (items_key, extensions) schema cache means no per-row —
+          // or even per-batch — schema recompile.
+          if (checks)
+            graft.Pipeline.runChecks(
+              spark, lakeDir, p, collectionId, files = Some(fresh))
         }
         if (p ne plane.get())
           plane.set(graft.control.PlaneStore.save(lakeDir, p))

@@ -166,6 +166,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.control.PlaneStore.load(lake).filesOf(7L).size === 3)
   }
 
+  test("releaseLoadStream(checks=true): streamed arrivals get cove_output rows, no batch addchecks") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-streamcheck")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val plane = new java.util.concurrent.atomic.AtomicReference(
+      graft.control.Control.Plane(Map(
+        9L -> graft.control.Control.Collection(9L, "api", "2020-01-01 00:00:00",
+          steps = Set("check")))))
+    def runOnce(): Unit =
+      Streaming.releaseLoadStream(s, landing.toString, lake, 9L, None, plane, ckpt,
+        checks = true).awaitTermination()
+
+    // one valid release and one violating the schema (tag not an array)
+    Files.writeString(landing.resolve("ok.json"), releasePkg("ocds-c1", "r1"))
+    Files.writeString(landing.resolve("bad.json"),
+      """{"uri": "http://x/bad", "version": "1.1", "publisher": {"name": "P"},
+        | "publishedDate": "2020-01-01T00:00:00Z",
+        | "releases": [{"ocid": "ocds-c2", "id": "r2",
+        |   "date": "2020-01-01T00:00:00Z", "tag": "tender",
+        |   "initiationType": "tender"}]}""".stripMargin)
+    val before = graft.check.OcdsSchemas.compileCount.get()
+    runOnce()
+    // the stream's own batch produced the check rows — NO addchecks ran
+    val checks = s.read.parquet(s"$lake/release_check")
+      .filter($"collection_id" === 9).collect()
+    assert(checks.length === 2)
+    assert(checks.count(_.getAs[Boolean]("ok")) === 1)
+    val bad = checks.find(!_.getAs[Boolean]("ok")).get
+    assert(bad.getAs[Long]("n_errors") >= 1L)
+    assert(bad.getAs[String]("cove_output").contains("validation_errors"))
+    // per-JVM schema cache: checking a batch compiles at most the one
+    // (releases, no-extensions) schema — never per row (and 0 if an
+    // earlier suite already compiled it)
+    assert(graft.check.OcdsSchemas.compileCount.get() - before <= 1L)
+
+    // a later arrival is checked incrementally; replayed files are not
+    // re-checked (the content-stable check-id anti-join — the idempotent
+    // protocol the batch job uses)
+    Files.writeString(landing.resolve("more.json"), releasePkg("ocds-c3", "r3"))
+    runOnce()
+    assert(s.read.parquet(s"$lake/release_check")
+      .filter($"collection_id" === 9).count() === 3)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    runOnce() // full replay: loads nothing, checks nothing twice
+    assert(s.read.parquet(s"$lake/release_check")
+      .filter($"collection_id" === 9).count() === 3)
+    // the crash window between the check append and the plane save: the
+    // batch replays with the SAME files — the content-stable check-id
+    // anti-join skips every already-written row (checked=0, no dupes)
+    val replay = graft.Pipeline.runChecks(s, lake, plane.get(), 9L,
+      files = Some(s.read.parquet(s"$lake/release").filter($"collection_id" === 9)
+        .select("filename").as[String].collect().toSeq))
+    assert(replay === Some((0L, 0L)))
+    assert(s.read.parquet(s"$lake/release_check")
+      .filter($"collection_id" === 9).count() === 3)
+  }
+
   test("maxFilesPerTrigger bounds a backlog drain into several committed batches") {
     import s.implicits._
     val base = Files.createTempDirectory("graft-bounded")
