@@ -43,6 +43,9 @@ import graft.ocds.{Canonical, Metadata}
   *   GET    /api/collections/{id}/metadata/  compiled collection's metadata
   *   GET    /api/collections/{id}/notes/     notes grouped by level (?level=…)
   *   GET    /api/collections/{id}/tree/      the collection DAG, depth-ordered
+  *   GET    /api/stats/                      streaming StatsStore readout
+  *                                           (engine extension: the corpus-stats
+  *                                           dataset card + KMV overlap matrix)
   *
   * Implementation is the JDK's built-in `com.sun.net.httpserver` — zero new
   * dependencies; the handlers are thin adapters over Control/Notes/
@@ -63,6 +66,11 @@ final class Api(
   // generates its OpenAPI document from the viewset; this engine vendors
   // the equivalent hand-authored document as a resource
   server.createContext("/api/schema", (ex: HttpExchange) => schema(ex))
+  // the corpus-stats monitoring route (engine extension, no reference
+  // analogue — the REST face of `Cli corpus-stats`): the streaming
+  // StatsStore readout served from the persisted sketch document alone,
+  // no Spark job per request
+  server.createContext("/api/stats", (ex: HttpExchange) => statsRoute(ex))
   server.setExecutor(null) // current-thread dispatch; Spark does the real work
 
   def start(): Unit = server.start()
@@ -351,6 +359,60 @@ final class Api(
   /** `metadata` (`views.py:158-234`): one-row summary of the compiled
     * collection — ocid prefix + publication range from compiled facts,
     * license/policy from a sample package of the root collection. */
+  /** GET /api/stats/ — the live dataset-card numbers next to `metadata`:
+    * distinct-token cardinality, token-length quantiles, doc/token
+    * totals, and the cross-source KMV shingle-overlap matrix, each value
+    * flagged exact vs estimated. Reads the persisted `<lake>/stats_sketch`
+    * document (populated by `releaseLoadStream(corpusStats = true)`)
+    * through the SAME driver-side fold the CLI uses — [[graft.streaming
+    * .StatsStore]]'s kmvOverlap is the bit-pinned twin of q_kmv_overlap,
+    * so the endpoint, the CLI, and the declared query agree to the bit.
+    * 404 until a stats sketch exists. */
+  private def statsRoute(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath match {
+        case p if p.endsWith("/") => p
+        case p => p + "/"
+      }
+      if (path != "/api/stats/") notFound(ex)
+      else if (ex.getRequestMethod != "GET")
+        respond(ex, 405, obj(o =>
+          o.put("detail", s"""Method "${ex.getRequestMethod}" not allowed.""")))
+      else graft.streaming.StatsStore.load(s"$lake/stats_sketch") match {
+        case None => notFound(ex)
+        case Some(st) =>
+          val (dt, dtExact) = st.distinctTokens
+          val (n, p50, p90, p99, mx) = st.lengthQuantiles
+          respond(ex, 200, obj { o =>
+            o.put("n_docs", st.nDocs)
+            o.put("n_tokens", st.nTokens)
+            val d = o.putObject("distinct_tokens")
+            d.put("value", dt); d.put("exact", dtExact)
+            val q = o.putObject("length_quantiles")
+            q.put("n", n); q.put("p50", p50); q.put("p90", p90)
+            q.put("p99", p99); q.put("max", mx)
+            q.put("exact", !st.lengths.dense)
+            val k = o.putObject("kmv")
+            k.put("sources", st.kmv.size); k.put("k", st.kmvK)
+            k.put("docs", st.kmvDocs)
+            // kmvDocs < nDocs: some batches folded without a source
+            // column — the matrix covers only part of the corpus, and
+            // the payload says so (the Cli corpus-stats PARTIAL contract)
+            k.put("partial", st.kmvDocs < st.nDocs)
+            val arr = o.putArray("overlap")
+            st.kmvOverlap.foreach { p =>
+              val e = arr.addObject()
+              e.put("source_a", p.sourceA); e.put("source_b", p.sourceB)
+              e.put("est_union", p.estUnion); e.put("est_inter", p.estInter)
+              e.put("jaccard_ppm", p.jaccardPpm); e.put("exact", p.exact)
+            }
+          })
+      }
+    } catch {
+      case e: Exception =>
+        respond(ex, 500, obj(o => o.put("detail", String.valueOf(e.getMessage))))
+    }
+
   private def metadata(ex: HttpExchange, id: Long): Unit = {
     val plane = PlaneStore.load(lake)
     val c = plane.collections.getOrElse(id, { notFound(ex); return })

@@ -170,6 +170,49 @@ class ApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(send("DELETE", "/api/collections/99/").statusCode() == 202)
   }
 
+  test("GET /api/stats/: 404 before any sketch; the StatsStore readout after, bit-equal to the store") {
+    import s.implicits._
+    assert(send("GET", "/api/stats/").statusCode() === 404)
+    assert(send("POST", "/api/stats/").statusCode() === 405)
+    // fold one batch into the lake's stats sketch (what
+    // releaseLoadStream(corpusStats = true) does per micro-batch)
+    val batch = Seq(
+      ("s1", 1L, "alpha beta gamma delta"),
+      ("s1", 2L, "alpha beta"),
+      ("s2", 3L, "alpha epsilon zeta")).toDF("source", "doc_id", "text")
+    val st = graft.streaming.StatsStore.appendBatch(
+      s"$lake/stats_sketch", batch, "text", batchId = 0L,
+      lineage = "api-spec", sourceCol = Some("source"))
+    val r = send("GET", "/api/stats/")
+    assert(r.statusCode() === 200)
+    val j = Canonical.parse(r.body())
+    assert(j.get("n_docs").asLong === 3L)
+    assert(j.get("n_tokens").asLong === 9L)
+    val (dt, dtExact) = st.distinctTokens
+    assert(j.get("distinct_tokens").get("value").asLong === dt)
+    assert(j.get("distinct_tokens").get("exact").asBoolean === dtExact)
+    val (n, p50, _, _, mx) = st.lengthQuantiles
+    assert(j.get("length_quantiles").get("n").asLong === n)
+    assert(j.get("length_quantiles").get("p50").asLong === p50)
+    assert(j.get("length_quantiles").get("max").asLong === mx)
+    // the overlap matrix must be field-for-field the driver twin's rows
+    // (kmvOverlap is bit-pinned against q_kmv_overlap elsewhere)
+    val want = st.kmvOverlap
+    val got = j.get("overlap")
+    assert(got.size === want.size)
+    want.zipWithIndex.foreach { case (p, i) =>
+      val e = got.get(i)
+      assert(e.get("source_a").asText === p.sourceA)
+      assert(e.get("source_b").asText === p.sourceB)
+      assert(e.get("est_union").asLong === p.estUnion)
+      assert(e.get("est_inter").asLong === p.estInter)
+      assert(e.get("jaccard_ppm").asLong === p.jaccardPpm)
+      assert(e.get("exact").asBoolean === p.exact)
+    }
+    assert(j.get("kmv").get("sources").asInt === 2)
+    assert(j.get("kmv").get("partial").asBoolean === false)
+  }
+
   test("GET /api/schema/ serves the OpenAPI document (test_openapi)") {
     val r = send("GET", "/api/schema/")
     assert(r.statusCode() == 200)
