@@ -29,7 +29,14 @@ final case class QueryDef(
       * materialized once, and the oracle recomputes everything downstream
       * of it from the raw tables. Verify runs the hook and substitutes the
       * token with the real directory when dumping `oracle_sql.json`. */
-    aux: Option[(SparkSession, String, String) => Unit] = None)
+    aux: Option[(SparkSession, String, String) => Unit] = None,
+    /** For the oracle-less queries (oracle = None): WHAT pins correctness
+      * instead — the referee spec and its independent implementation.
+      * Verify emits these as `no_oracle_notes.json` next to
+      * `oracle_sql.json`, so the driver's correctness artifact is
+      * self-describing about rows it records as weaker rows-only checks
+      * (VERDICT r13/r14 handoff ask). */
+    pinnedBy: Option[String] = None)
 
 /** Path token in oracle SQL that Verify replaces with the absolute aux
   * directory it materialized [[QueryDef.aux]] outputs into. */

@@ -1130,7 +1130,10 @@ object TextQueries {
       None,
       "Byte-level BPE token budget per document (vendored-merges GPT-2-style " +
         "tokenizer as a native codegen'd expression) vs the whitespace count — " +
-        "the number a training pipeline actually budgets in"),
+        "the number a training pipeline actually budgets in",
+      pinnedBy = Some("SQL cannot run BPE; pinned by BpeSpec goldens from an " +
+        "independent CPython implementation of the published GPT-2 algorithm " +
+        "(adjudicated permanent no_oracle, VERDICT r12)")),
 
     QueryDef(
       "q_quality_score", Seq("F4"),
@@ -1827,7 +1830,10 @@ object TextQueries {
       None,
       "Perceptual image near-dup (aHash over REAL decoded pixels): deterministic " +
         "synthesized PNGs → ImageIO decode → 64-bit block-mean hash → banded " +
-        "BucketPairs candidates → hamming verify; per-source pair rollup"),
+        "BucketPairs candidates → hamming verify; per-source pair rollup",
+      pinnedBy = Some("SQL cannot decode PNG; pinned by MultimodalSpec (aHash " +
+        "re-encode invariance, perturbation tolerance, pair election) over real " +
+        "ImageIO decodes (adjudicated permanent no_oracle, VERDICT r12)")),
 
     QueryDef(
       "q_cdc_chunk_dedup", Seq("F2", "W1", "A4", "A2"),
@@ -2021,7 +2027,11 @@ object TextQueries {
       None,
       "Sequence packing with the byte-level BPE budget: identical " +
         "concat-then-chunk window arithmetic, token counts from the vendored " +
-        "subword tokenizer — what the training batch actually holds"),
+        "subword tokenizer — what the training batch actually holds",
+      pinnedBy = Some("SQL cannot run BPE; the packing arithmetic is oracle-" +
+        "checked via q_pack_sequences (whitespace budget) and the BPE counts by " +
+        "BpeSpec's independent-CPython goldens (adjudicated permanent no_oracle, " +
+        "VERDICT r12)")),
 
     QueryDef(
       "q_rep_ngrams", Seq("F4", "F8"),

@@ -67,6 +67,19 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace(OracleAux.Token, auxDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-describing no_oracle rows (VERDICT r13/r14 handoff): for every
+    // declared query WITHOUT an oracle, say what pins its correctness
+    // instead, so the driver artifact's rows-only checks are annotated.
+    // A FILE next to oracle_sql.json, never a subdirectory (the driver
+    // reads every outDir subdirectory as a query output).
+    val noOracle = Queries.all.filter(_.oracle.isEmpty)
+    noOracle.filter(_.pinnedBy.isEmpty).foreach(qd =>
+      System.err.println(s"[verify] WARNING ${qd.name} has no oracle AND no " +
+        "pinnedBy note — annotate it (QueryDef.pinnedBy)"))
+    Files.writeString(Paths.get(s"$outDir/no_oracle_notes.json"),
+      noOracle.map(qd =>
+          s"${q(qd.name)}: ${q(qd.pinnedBy.getOrElse("UNANNOTATED"))}")
+        .mkString("{", ",", "}"))
     // Loud failure record (r2 regression: a crashed query silently vanished
     // from the driver's per-query compare). errors.json + the final stderr
     // summary make any gap visible; tools/parity.py also FAILs on missing
