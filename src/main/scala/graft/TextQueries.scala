@@ -143,7 +143,9 @@ object TextQueries {
       (lit(weightLcm) / weightExpr).cast(LongType))
       .otherwise(raise_error(concat(
         lit(s"mixScheduleOf: weightLcm=$weightLcm is not divisible by weight "),
-        weightExpr.cast(StringType))))
+        // coalesce: a NULL weight must raise WITH the diagnostic text, not
+        // null the whole message away through concat's null propagation
+        coalesce(weightExpr.cast(StringType), lit("NULL")))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"), col("source"))
       .orderBy(col("h"), col("doc_id"))
@@ -627,8 +629,13 @@ object TextQueries {
     * "lorem ipsum" is dropped whole (every line removed, clean_text '').
     * Survivors re-join as `clean_text` in original line order.
     *
-    * Input: (source, doc_id, text) with '\n'-separated lines; null text
-    * reads as empty (the null-total house contract). Output, one row per
+    * Input: (source, doc_id, text) with '\n'-separated lines; CRLF input
+    * is normalized — a trailing '\r' is stripped from every line BEFORE
+    * the rules run (Java regex `$` matches before a final \r, RE2-family
+    * engines don't, so an unstripped \r would both diverge from the
+    * documented oracle semantics and leak into clean_text) — and
+    * clean_text re-joins with plain '\n'. Null text reads as empty (the
+    * null-total house contract). Output, one row per
     * DOC: (source, doc_id, clean_text, n_lines, n_kept, fail_punct,
     * fail_words, fail_brace, fail_js, fail_cookie, doc_lorem) — the
     * per-rule counts are independent (a line can fail several), and they
@@ -638,7 +645,9 @@ object TextQueries {
     * narrow per-row stage, no shuffle at any corpus size (callers
     * aggregate or write; the q_c4_lines demo rolls up per source). */
   private[graft] def c4LinesOf(docsIn: DataFrame): DataFrame = {
-    val lines = split(coalesce(col("text"), lit("")), "\n")
+    val lines = transform(
+      split(coalesce(col("text"), lit("")), "\n"),
+      l => regexp_replace(l, "\r$", ""))
     val punctOk = (l: Column) => l.rlike("[.!?\"]$")
     val wordsOk = (l: Column) => size(split(l, " ")) >= 3
     val braceOk = (l: Column) => !(contains(l, lit("{")) || contains(l, lit("}")))
@@ -870,6 +879,34 @@ object TextQueries {
     * fusion (q_hybrid_rrf) — the "shared query set" both retrieval legs
     * rank against. */
   private[graft] val DefaultQueryTerms = Seq("dup", "spark", "merge", "key")
+
+  /** The BM25 scoring CTEs (docs/tf/dft/tot/scored — per-(doc, term)
+    * DECIMAL scores for [[DefaultQueryTerms]]), shared VERBATIM by the
+    * q_bm25_topk oracle and the q_hybrid_rrf oracle's lexical leg: ONE
+    * spelling of the exact-rational BM25, like the Scala side's one
+    * [[bm25ScoresOf]] — a change here changes both oracles together
+    * instead of silently diverging (r15 review). */
+  private[graft] val Bm25OracleCtes: String =
+    s"""docs AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |         string_split(text, ' ') AS tk
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, token, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(tk) AS token FROM docs)
+       |  WHERE token IN (${DefaultQueryTerms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY doc_id, dl, token),
+       |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |tot AS (SELECT count(*) AS n_docs, sum(dl) AS t_all FROM docs),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         CAST((CAST(tf.tf * tot.t_all * 22 AS DOUBLE)
+       |               / CAST(tf.tf * tot.t_all * 10 + tot.t_all * 3
+       |                      + tf.dl * tot.n_docs * 9 AS DOUBLE))
+       |              * (CAST(tot.n_docs * 2 - dft.df * 2 + 1 AS DOUBLE)
+       |                 / CAST(dft.df * 2 + 1 AS DOUBLE))
+       |              AS DECIMAL(38,18)) AS score_dec
+       |  FROM tf JOIN dft ON dft.token = tf.token CROSS JOIN tot)""".stripMargin
 
   /** BM25-scored documents for a query-term set — the sparse half of the
     * retrieval stack (dense = q_knn_join / the ANN ladder), and the
@@ -3140,26 +3177,7 @@ object TextQueries {
           .limit(10)
           .select(col("doc_id"), col("n_terms"),
             round(col("score_dec").cast(DoubleType), 9).as("score")),
-      Some("""WITH docs AS (
-                SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-                       string_split(text, ' ') AS tk
-                FROM documents),
-              tf AS (
-                SELECT doc_id, dl, token, count(*) AS tf FROM (
-                  SELECT doc_id, dl, unnest(tk) AS token FROM docs)
-                WHERE token IN ('dup', 'spark', 'merge', 'key')
-                GROUP BY doc_id, dl, token),
-              dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-              tot AS (SELECT count(*) AS n_docs, sum(dl) AS t_all FROM docs),
-              scored AS (
-                SELECT tf.doc_id,
-                       CAST((CAST(tf.tf * tot.t_all * 22 AS DOUBLE)
-                             / CAST(tf.tf * tot.t_all * 10 + tot.t_all * 3
-                                    + tf.dl * tot.n_docs * 9 AS DOUBLE))
-                            * (CAST(tot.n_docs * 2 - dft.df * 2 + 1 AS DOUBLE)
-                               / CAST(dft.df * 2 + 1 AS DOUBLE))
-                            AS DECIMAL(38,18)) AS score_dec
-                FROM tf JOIN dft ON dft.token = tf.token CROSS JOIN tot)
+      Some(s"""WITH $Bm25OracleCtes
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
                      round(CAST(sum(score_dec) AS DOUBLE), 9) AS score
               FROM scored GROUP BY doc_id

@@ -87,6 +87,29 @@ object VectorQueries {
   private def cosineCol(dot: Column, na: Column, nb: Column): Column =
     round(dot.cast(DoubleType) / (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType))), 9)
 
+  /** The exact-cosine scoring CTEs (q/sums/qn/cosd — round-9 cosine of
+    * every vector vs vec 0), shared VERBATIM by the q_ann_bruteforce
+    * oracle and the q_hybrid_rrf oracle's dense leg: ONE spelling of the
+    * decimal-summed cosine, like the Scala side's one [[bruteCosineOf]] —
+    * a change here changes both oracles together (r15 review). */
+  private[graft] val CosineOracleCtes: String =
+    s"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |sums AS (
+       |  SELECT e.vec_id,
+       |         SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
+       |                  AS DECIMAL(38,18))) AS dot_dec,
+       |         SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+       |                  AS DECIMAL(38,18))) AS norm_dec
+       |  FROM embeddings e, q, generate_series(1, $Dim) t(i)
+       |  GROUP BY e.vec_id),
+       |qn AS (SELECT norm_dec AS qnorm_dec FROM sums WHERE vec_id = 0),
+       |cosd AS (
+       |  SELECT sums.vec_id,
+       |         round(CAST(dot_dec AS DOUBLE)
+       |           / (sqrt(CAST(norm_dec AS DOUBLE)) * sqrt(CAST(qnorm_dec AS DOUBLE))), 9)
+       |           AS cosine
+       |  FROM sums, qn WHERE sums.vec_id <> 0)""".stripMargin
+
   /** Exact-cosine scores of every vector against the demo query vector
     * (vec 0) — the dense retrieval leg shared by q_ann_bruteforce (top-10)
     * and the hybrid fusion (q_hybrid_rrf, top-K rank list). The query
@@ -1037,21 +1060,8 @@ object VectorQueries {
       (s, d) => bruteCosineOf(s, d)
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(10),
-      Some(s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-               sums AS (
-                 SELECT e.vec_id,
-                        SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS dot_dec,
-                        SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS norm_dec
-                 FROM embeddings e, q, generate_series(1, $Dim) t(i)
-                 GROUP BY e.vec_id),
-               qn AS (SELECT norm_dec AS qnorm_dec FROM sums WHERE vec_id = 0)
-               SELECT sums.vec_id,
-                      round(CAST(dot_dec AS DOUBLE)
-                        / (sqrt(CAST(norm_dec AS DOUBLE)) * sqrt(CAST(qnorm_dec AS DOUBLE))), 9)
-                        AS cosine
-               FROM sums, qn WHERE sums.vec_id <> 0
+      Some(s"""WITH $CosineOracleCtes
+               SELECT vec_id, cosine FROM cosd
                ORDER BY cosine DESC, vec_id LIMIT 10"""),
       "Brute-force cosine top-k vs query vector (vec 0) — exact-decimal in-row fold, no shuffle"),
 
@@ -1917,27 +1927,7 @@ object VectorQueries {
             round(col("rrf"), 9).as("rrf_score"))
           .orderBy("rank_fused")
       },
-      Some(s"""WITH docs AS (
-                 SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-                        string_split(text, ' ') AS tk
-                 FROM documents),
-               tf AS (
-                 SELECT doc_id, dl, token, count(*) AS tf FROM (
-                   SELECT doc_id, dl, unnest(tk) AS token FROM docs)
-                 WHERE token IN (${TextQueries.DefaultQueryTerms
-                   .map("'" + _ + "'").mkString(", ")})
-                 GROUP BY doc_id, dl, token),
-               dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-               tot AS (SELECT count(*) AS n_docs, sum(dl) AS t_all FROM docs),
-               scored AS (
-                 SELECT tf.doc_id,
-                        CAST((CAST(tf.tf * tot.t_all * 22 AS DOUBLE)
-                              / CAST(tf.tf * tot.t_all * 10 + tot.t_all * 3
-                                     + tf.dl * tot.n_docs * 9 AS DOUBLE))
-                             * (CAST(tot.n_docs * 2 - dft.df * 2 + 1 AS DOUBLE)
-                                / CAST(dft.df * 2 + 1 AS DOUBLE))
-                             AS DECIMAL(38,18)) AS score_dec
-                 FROM tf JOIN dft ON dft.token = tf.token CROSS JOIN tot),
+      Some(s"""WITH ${TextQueries.Bm25OracleCtes},
                lex AS (
                  SELECT doc_id, sum(score_dec) AS sd FROM scored GROUP BY doc_id),
                lexr AS (
@@ -1945,22 +1935,7 @@ object VectorQueries {
                         CAST(row_number() OVER (ORDER BY sd DESC, doc_id) AS BIGINT)
                           AS rank_lex
                  FROM lex QUALIFY rank_lex <= 100),
-               q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-               sums AS (
-                 SELECT e.vec_id,
-                        SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS dot_dec,
-                        SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
-                                 AS DECIMAL(38,18))) AS norm_dec
-                 FROM embeddings e, q, generate_series(1, $Dim) t(i)
-                 GROUP BY e.vec_id),
-               qn AS (SELECT norm_dec AS qnorm_dec FROM sums WHERE vec_id = 0),
-               cosd AS (
-                 SELECT sums.vec_id,
-                        round(CAST(dot_dec AS DOUBLE)
-                          / (sqrt(CAST(norm_dec AS DOUBLE)) * sqrt(CAST(qnorm_dec AS DOUBLE))), 9)
-                          AS cosine
-                 FROM sums, qn WHERE sums.vec_id <> 0),
+               $CosineOracleCtes,
                dnsr AS (
                  SELECT vec_id AS doc_id,
                         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)

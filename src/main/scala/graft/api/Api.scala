@@ -356,9 +356,6 @@ final class Api(
     respond(ex, 202, null)
   }
 
-  /** `metadata` (`views.py:158-234`): one-row summary of the compiled
-    * collection — ocid prefix + publication range from compiled facts,
-    * license/policy from a sample package of the root collection. */
   /** GET /api/stats/ — the live dataset-card numbers next to `metadata`:
     * distinct-token cardinality, token-length quantiles, doc/token
     * totals, and the cross-source KMV shingle-overlap matrix, each value
@@ -413,6 +410,9 @@ final class Api(
         respond(ex, 500, obj(o => o.put("detail", String.valueOf(e.getMessage))))
     }
 
+  /** `metadata` (`views.py:158-234`): one-row summary of the compiled
+    * collection — ocid prefix + publication range from compiled facts,
+    * license/policy from a sample package of the root collection. */
   private def metadata(ex: HttpExchange, id: Long): Unit = {
     val plane = PlaneStore.load(lake)
     val c = plane.collections.getOrElse(id, { notFound(ex); return })

@@ -312,8 +312,13 @@ object Sink {
     laidOut
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("seq"))
+      // ignoreNullFields=false: Spark's default DROPS null fields from
+      // to_json, which would give the export a ragged schema — a doc with
+      // null text would emit no "text" key at all and break readers that
+      // index into it; null must serialize as an explicit JSON null
       .select(col("shard"),
-        to_json(struct(payload.map(col).toIndexedSeq: _*)).as("value"))
+        to_json(struct(payload.map(col).toIndexedSeq: _*),
+          Map("ignoreNullFields" -> "false")).as("value"))
       .write.partitionBy("shard").mode("overwrite").text(dir)
   }
 

@@ -450,24 +450,29 @@ object Multimodal {
     * OOMing the task (an Error no catch block sees). */
   private[multimodal] val MaxAnimationBytes: Long = 128L << 20
 
-  /** Transient-byte budget for a SINGLE image decode (see
-    * [[imageOverBudget]]): ~7 bytes/px of decoder raster + retained RGB,
-    * checked from header dims BEFORE read(). 256 MB ≈ 38 Mpx — above an
-    * 8K photo (33 Mpx), far below the hostile-header multi-GB class. */
-  /** Single-image decode ceiling (7 B/px worst-case transient per task —
-    * see [[imageOverBudget]]). The 256 MB default admits ~38 Mpx, above
-    * an 8K photo's 33 Mpx; LARGER legitimate images (50-100 Mpx scans,
-    * medium-format) deliberately keep their container-byte frames — real
-    * header dims, no pixel walk — so their frame hashes are
+  /** Transient-byte budget for a SINGLE image decode (7 B/px worst case —
+    * see [[imageOverBudget]]: ~4 B/px decoder raster + 3 B/px retained
+    * RGB, checked from header dims BEFORE read()). The 256 MB default
+    * admits ~38 Mpx, above an 8K photo's 33 Mpx and far below the
+    * hostile-header multi-GB class; LARGER legitimate images (50-100 Mpx
+    * scans, medium-format) deliberately keep their container-byte
+    * frames — real header dims, no pixel walk — so their frame hashes are
     * encoding-dependent and pixel dedup/thumbnails don't apply to that
     * class. Deployments whose executors carry the headroom raise the
     * ceiling with GRAFT_MAX_IMAGE_BYTES (bytes; a 100 Mpx scan needs
-    * ~700 MB × concurrent decode tasks of heap). Read once per JVM —
-    * executors inherit the env through the cluster launcher, and a
-    * mid-run change would make frame hashes partitioning-dependent. */
+    * ~700 MB × concurrent decode tasks of heap). Read once per JVM and
+    * FAIL-LOUD on an unparsable value (a silent fallback to the default
+    * would make frame hashes differ between JVMs that parsed the knob and
+    * JVMs that ignored it); set it identically on driver AND executors
+    * (spark.executorEnv.*) — a split setting makes hashes for the
+    * 38-100 Mpx band partitioning-dependent. */
   private[multimodal] val MaxImageBytes: Long =
-    sys.env.get("GRAFT_MAX_IMAGE_BYTES").flatMap(_.toLongOption)
-      .filter(_ > 0).getOrElse(256L << 20)
+    sys.env.get("GRAFT_MAX_IMAGE_BYTES") match {
+      case None => 256L << 20
+      case Some(v) => v.toLongOption.filter(_ > 0).getOrElse(
+        throw new IllegalArgumentException(
+          s"GRAFT_MAX_IMAGE_BYTES must be a positive long (bytes), got '$v'"))
+    }
 
   private def aviMjpgDecoded(b: Array[Byte]): Option[Decoded] = {
     def cc(off: Int): String =

@@ -296,7 +296,11 @@ object Streaming {
           // content-stable check id skips the rows already written — the
           // same duplicate-tolerant at-least-once protocol as the
           // near-dup signature leg above. Restricting to `fresh` keeps
-          // per-batch work O(batch), not O(collection); the per-JVM
+          // the VALIDATION work O(batch) (the expensive part — schema
+          // checks per item); the idempotence anti-join still reads the
+          // collection's check table per batch, whose scale path is the
+          // id-bucketed check table checkUnchecked documents (co-located
+          // anti-join, no per-batch re-shuffle). The per-JVM
           // (items_key, extensions) schema cache means no per-row —
           // or even per-batch — schema recompile.
           if (checks)

@@ -65,6 +65,23 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("fail_words") === 1L)
   }
 
+  test("c4LinesOf normalizes CRLF: \\r never decides a rule or leaks into clean_text") {
+    import s.implicits._
+    // Windows-crawled page: CRLF separators and a final bare \r. Java
+    // regex $ matches before a trailing \r (RE2 engines don't) — without
+    // the strip, "keep me please.\r" would pass the punctuation rule in
+    // Spark only, and clean_text would carry the \r
+    val crlf = "keep me please.\r\nno punct here\r\nshort.\r"
+    val docs = Seq(("a", 1L, crlf)).toDF("source", "doc_id", "text")
+    val r = TextQueries.c4LinesOf(docs).collect().head
+    assert(r.getAs[Long]("n_lines") === 3L)
+    assert(r.getAs[String]("clean_text") === "keep me please.")
+    assert(!r.getAs[String]("clean_text").contains("\r"))
+    assert(r.getAs[Long]("n_kept") === 1L)
+    assert(r.getAs[Long]("fail_punct") === 1L) // only the unpunctuated line
+    assert(r.getAs[Long]("fail_words") === 1L) // only "short."
+  }
+
   test("q_c4_lines demo matches a brute-force line replay on sf0.001") {
     val docs = Tables.documents(s, dir).select("source", "text").collect()
       .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("")))

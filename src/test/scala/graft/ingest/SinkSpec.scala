@@ -122,7 +122,10 @@ class SinkSpec extends AnyFunSuite {
   test("writeShards: one file per shard, seq order in-file, bytes reproducible") {
     import s.implicits._
     import scala.jdk.CollectionConverters._
-    val rows = (1L to 157L).map(i => (i, s"s${i % 3}", s"text of $i"))
+    // doc 157 carries a NULL text: the export must keep the schema
+    // rectangular (explicit JSON null, never a dropped key)
+    val rows = (1L to 157L).map(i =>
+      (i, s"s${i % 3}", if (i == 157L) null else s"text of $i"))
     def write(docs: org.apache.spark.sql.DataFrame): java.nio.file.Path = {
       val dir = Files.createTempDirectory("graft_shards")
       Sink.writeShards(
@@ -154,7 +157,11 @@ class SinkSpec extends AnyFunSuite {
       assert(parsed.map(_.get("seq").asLong).toSeq ===
         (1L to lines.length.toLong), s"shard $shard")
       parsed.foreach { n =>
-        assert(n.get("text").asText === s"text of ${n.get("doc_id").asLong}")
+        assert(n.has("text"), s"text key dropped for doc ${n.get("doc_id")}")
+        if (n.get("doc_id").asLong == 157L)
+          assert(n.get("text").isNull, "null text must serialize as JSON null")
+        else
+          assert(n.get("text").asText === s"text of ${n.get("doc_id").asLong}")
       }
     }
     // the whole export is a permutation of the corpus
