@@ -190,7 +190,17 @@ object TextQueries {
     * Output: (shard, vtime, source, doc_id, k) — k is the epoch index of
     * the emission within its source (k div n_s = which repetition),
     * unordered. Per-source row count == target count exactly
-    * (conservation is pinned in CorpusPipelineSpec). */
+    * (conservation is pinned in CorpusPipelineSpec).
+    *
+    * Measured (AbEpochRankBench, interleaved min-of-5, 32 cores, the 10×
+    * replica at a 1M-row epoch): the distributed rank runs 1.22× faster
+    * than the naive one-window-per-source spelling (2.32 vs 2.83 s) even
+    * on this corpus's EVEN ten sources, where the global window still
+    * gets 10-way parallelism — the gap is structural, not just measured:
+    * with a dominant source (real mixtures are Zipfian) the global
+    * window serializes that source onto ONE task, while this spelling's
+    * parallelism stays sources × buckets regardless of skew. Parity of
+    * the two spellings is asserted in the harness before timing. */
   private[graft] def mixEpochOf(
       docs: DataFrame, totalBudget: Long, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
