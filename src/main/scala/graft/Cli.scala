@@ -46,7 +46,7 @@ import graft.ocds.Metadata
   *   quality-gate <lake> <collectionId>         (per-source bottom-decile cut)
   *   gopher-rules <lake> <collectionId>         (fixed rule-filter rollup)
   *   c4-lines <lake> <collectionId>             (C4 line-level boilerplate rollup)
-  *   export <lake> <collectionId> <dir> [--shards N]
+  *   export <lake> <collectionId> <dir> [--shards N] [--epoch N]
   *                                              (training-shard export: one JSON-lines
   *                                               file per shard, rows in shuffle order)
   *   source-mix <lake> <collectionId>           (sqrt-temperature mix weights)
@@ -662,7 +662,17 @@ object Cli {
           sys.exit(2)
         }
       }
-      rejectStray("export", stripFlag(rest, "--shards"))
+      // --epoch N switches from the single-pass shuffle layout to a
+      // MIXTURE EPOCH of N examples (sqrt-temperature targets, wraparound
+      // repetition, stride interleave — the mixEpochOf pipeline), written
+      // in schedule order
+      val epochBudget = flagValue(rest, "--epoch").map { v =>
+        v.toLongOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--epoch needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      rejectStray("export", stripFlag(stripFlag(rest, "--shards"), "--epoch"))
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)
@@ -672,10 +682,19 @@ object Cli {
             s"collection $cid has no documents (release/record rows)")
           sys.exit(2)
         case Some(docs) =>
-          Sink.writeShards(
-            TextQueries.shuffleExportOf(docs, nShards, payloadCols = Seq("text")),
-            dir)
-          println(s"exported collection $cid to $dir shards=$nShards")
+          epochBudget match {
+            case Some(b) =>
+              Sink.writeShards(
+                TextQueries.mixEpochExportOf(docs, b, nShards), dir,
+                orderCols = Seq("vtime", "source", "doc_id", "k"))
+              println(s"exported epoch (budget=$b) of collection $cid" +
+                s" to $dir shards=$nShards")
+            case None =>
+              Sink.writeShards(
+                TextQueries.shuffleExportOf(docs, nShards, payloadCols = Seq("text")),
+                dir)
+              println(s"exported collection $cid to $dir shards=$nShards")
+          }
       }
 
     case "c4-lines" :: lake :: id :: Nil =>
@@ -1045,7 +1064,7 @@ object Cli {
            |  quality-gate <lake> <collectionId>
            |  gopher-rules <lake> <collectionId>
            |  c4-lines <lake> <collectionId>
-           |  export <lake> <collectionId> <dir> [--shards N]
+           |  export <lake> <collectionId> <dir> [--shards N] [--epoch N]
            |  source-mix <lake> <collectionId>
            |  overlap <lake> <collectionIdA> <collectionIdB>
            |  length-stats <lake> <collectionId>

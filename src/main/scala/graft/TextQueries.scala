@@ -254,6 +254,24 @@ object TextQueries {
         col("source"), col("doc_id"), col("k"))
   }
 
+  /** [[mixEpochOf]] with the text payload joined back — the frame
+    * [[graft.ingest.Sink.writeShards]] materializes as epoch shard files
+    * (`Cli export --epoch N`). Text is JOINED on doc_id (SHUFFLE_HASH,
+    * both sides corpus-scaled) rather than carried through the epoch
+    * pipeline: carrying it would ship every document's full text through
+    * the rank window, the repetition explode, and the interleave window —
+    * three shuffles of payload — where the join ships it exactly once,
+    * after the layout is settled. Repeated docs (k div n_s >= 1) fan the
+    * text out per copy, which is precisely what the written epoch must
+    * contain. */
+  private[graft] def mixEpochExportOf(
+      docs: DataFrame, totalBudget: Long, nShards: Int): DataFrame =
+    mixEpochOf(docs, totalBudget, nShards)
+      .join(docs.select(col("doc_id"), col("text")).hint("SHUFFLE_HASH"),
+        Seq("doc_id"))
+      .select(col("shard"), col("vtime"), col("source"), col("doc_id"),
+        col("k"), col("text"))
+
   /** The MinHash-LSH → exact-Jaccard verified near-dup pair set
     * (doc_a < doc_b, jaccard >= 0.9) — the shared engine behind
     * q_ngram_jaccard (which emits the pairs) and q_dedup_clusters (which

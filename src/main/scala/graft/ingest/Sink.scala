@@ -288,10 +288,14 @@ object Sink {
       .format("parquet")
       .saveAsTable(table)
 
-  /** Training-shard writer — materializes a shuffled-export layout
+  /** Training-shard writer — materializes a sharded layout frame
     * (`TextQueries.shuffleExportOf(docs, n, payloadCols)` — (shard, seq,
-    * ...) rows) as the files a training run actually reads: one
-    * JSON-lines file per shard under `dir/shard=N/`, rows in `seq` order.
+    * ...) rows — or `mixEpochExportOf`'s (shard, vtime, ...) epoch via
+    * `orderCols`) as the files a training run actually reads: one
+    * JSON-lines file per shard under `dir/shard=N/`, rows in `orderCols`
+    * order. `orderCols` must be a TOTAL order within a shard (seq is; the
+    * epoch's (vtime, source, doc_id, k) is) — a tie would make the
+    * in-file order, and so the bytes, partitioning-dependent.
     *
     * Layout contract, pinned by SinkSpec:
     *  - exactly ONE file per shard: `repartition(col("shard"))` puts each
@@ -307,11 +311,13 @@ object Sink {
     *    directory).
     * Parallelism == shard count, the export's own knob (a 100 TB export
     * uses O(10k) shards, so no writer task exceeds a shard's size). */
-  def writeShards(laidOut: DataFrame, dir: String): Unit = {
+  def writeShards(
+      laidOut: DataFrame, dir: String,
+      orderCols: Seq[String] = Seq("seq")): Unit = {
     val payload = laidOut.columns.filterNot(_ == "shard")
     laidOut
       .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("seq"))
+      .sortWithinPartitions(col("shard") +: orderCols.map(col): _*)
       // ignoreNullFields=false: Spark's default DROPS null fields from
       // to_json, which would give the export a ragged schema — a doc with
       // null text would emit no "text" key at all and break readers that

@@ -305,6 +305,25 @@ class CliSpec extends AnyFunSuite {
       assert(seqs.toSeq === (1L to seqs.size.toLong))
     }
     parsed.foreach(n => assert(n.get("text").asText.nonEmpty))
+
+    // epoch export: 9 examples from 3 docs — every doc repeated 3 times
+    // (even sqrt weights on one source), text fanned out per copy,
+    // per-shard files in schedule (vtime) order
+    val epochDir = Files.createTempDirectory("graft-cli-epoch").toString
+    val eout = run("export", lake, "1", epochDir, "--shards", "2", "--epoch", "9")
+    assert(eout.contains("exported epoch (budget=9)"), eout)
+    val erows = Option(new java.io.File(epochDir).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("shard="))
+      .flatMap(d => Option(d.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("part-"))
+        .flatMap(p => scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(p.toPath)).asScala))
+      .map(mapper.readTree)
+    assert(erows.size === 9)
+    // one source -> its target is the whole budget; k is 0..8 exactly once
+    assert(erows.map(_.get("k").asLong).sorted === (0L to 8L))
+    assert(erows.map(_.get("doc_id").asLong).distinct.size === 3)
+    erows.foreach(n => assert(n.get("text").asText.nonEmpty))
   }
 
   test("overlap estimates cross-collection shingle sharing from KMV sketches") {

@@ -175,6 +175,49 @@ class SinkSpec extends AnyFunSuite {
       "shard bytes depend on input partitioning")
   }
 
+  test("writeShards --epoch layout: vtime order in-file, bytes reproducible, repetition fanned") {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    val rows = (1L to 31L).map(i => (i, s"s${i % 2}", s"text of $i"))
+    def write(docs: org.apache.spark.sql.DataFrame): java.nio.file.Path = {
+      val dir = Files.createTempDirectory("graft_epoch_shards")
+      Sink.writeShards(
+        graft.TextQueries.mixEpochExportOf(docs, totalBudget = 100L, nShards = 4),
+        dir.toString, orderCols = Seq("vtime", "source", "doc_id", "k"))
+      dir
+    }
+    def readShards(dir: java.nio.file.Path): Map[Long, Seq[String]] =
+      Files.list(dir).iterator.asScala
+        .filter(_.getFileName.toString.startsWith("shard="))
+        .map { d =>
+          val parts = Files.list(d).iterator.asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq
+            .sortBy(_.getFileName.toString)
+          assert(parts.size === 1, s"${d.getFileName}: ${parts.size} files")
+          d.getFileName.toString.stripPrefix("shard=").toLong ->
+            parts.flatMap(p => Files.readAllLines(p).asScala.toSeq).toSeq
+        }.toMap
+    val a = readShards(write(rows.toDF("doc_id", "source", "text")))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = a.values.flatten.map(mapper.readTree).toSeq
+    // budget 100 over 31 docs: repetition must appear (some doc > 1 copy),
+    // text fans out on every copy
+    assert(parsed.size > 31)
+    assert(parsed.groupBy(_.get("doc_id").asLong).values.exists(_.size > 1))
+    parsed.foreach { n =>
+      assert(n.get("text").asText === s"text of ${n.get("doc_id").asLong}")
+    }
+    // schedule order: vtime non-decreasing within each shard file
+    a.foreach { case (shard, lines) =>
+      val vs = lines.map(l => mapper.readTree(l).get("vtime").asDouble)
+      assert(vs === vs.sorted, s"shard $shard not in vtime order")
+    }
+    // byte-reproducibility from a shuffled, repartitioned input
+    val b = readShards(write(
+      scala.util.Random.shuffle(rows).toDF("doc_id", "source", "text").repartition(5)))
+    assert(a === b, "epoch shard bytes depend on input partitioning")
+  }
+
   test("writeJdbc round-trips through an embedded Derby database") {
     import s.implicits._
     // the serving-copy contract (reference: PostgreSQL bulk_create in
