@@ -65,6 +65,61 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("fail_words") === 1L)
   }
 
+  test("property: c4LinesOf matches a plain-Scala reference on random multi-line text") {
+    import s.implicits._
+    val rnd = new scala.util.Random(59)
+    val words = Seq("alpha", "beta", "gamma", "delta", "word", "Cookie",
+      "JavaScript", "x{y", "plain")
+    val enders = Seq("", ".", "!", "?", "\"", " ")
+    def randLine(): String = {
+      val n = rnd.nextInt(6) // 0..5 words (0 = empty line)
+      Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ") +
+        enders(rnd.nextInt(enders.length))
+    }
+    def randText(): String = {
+      val lines = Seq.fill(1 + rnd.nextInt(6))(randLine())
+      val sep = if (rnd.nextBoolean()) "\n" else "\r\n"
+      val base = lines.mkString(sep)
+      if (rnd.nextInt(10) == 0) base + "\nsome Lorem Ipsum filler" else base
+    }
+    val rows: Seq[(String, Long, String)] = (1L to 60L).map(i =>
+      ("s" + (i % 3), i, if (rnd.nextInt(20) == 0) null else randText()))
+    // the independent reference: plain Scala over the same rules
+    def ref(text0: String): (String, Long, Long, Long, Long, Long, Long, Long, Boolean) = {
+      val text = Option(text0).getOrElse("")
+      val lines = text.split("\n", -1).map(_.replaceAll("\r$", ""))
+      def punct(l: String) = l.matches("(?s).*[.!?\"]$")
+      def wordsOk(l: String) = l.split(" ", -1).length >= 3
+      def braceOk(l: String) = !l.contains("{") && !l.contains("}")
+      def jsOk(l: String) = !l.toLowerCase.contains("javascript")
+      def ckOk(l: String) = !l.toLowerCase.contains("cookie")
+      def keep(l: String) = punct(l) && wordsOk(l) && braceOk(l) && jsOk(l) && ckOk(l)
+      val lorem = text.toLowerCase.contains("lorem ipsum")
+      (if (lorem) "" else lines.filter(keep).mkString("\n"),
+        lines.length.toLong,
+        if (lorem) 0L else lines.count(keep).toLong,
+        lines.count(!punct(_)).toLong, lines.count(!wordsOk(_)).toLong,
+        lines.count(!braceOk(_)).toLong, lines.count(!jsOk(_)).toLong,
+        lines.count(!ckOk(_)).toLong, lorem)
+    }
+    val got = TextQueries.c4LinesOf(
+        rows.toDF("source", "doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.foreach { case (_, id, text) =>
+      val (ct, nl, nk, fp, fw, fb, fj, fc, lorem) = ref(text)
+      val r = got(id)
+      assert(r.getAs[String]("clean_text") === ct, s"doc $id clean_text")
+      assert(r.getAs[Long]("n_lines") === nl, s"doc $id n_lines")
+      assert(r.getAs[Long]("n_kept") === nk, s"doc $id n_kept")
+      assert(r.getAs[Long]("fail_punct") === fp, s"doc $id fail_punct")
+      assert(r.getAs[Long]("fail_words") === fw, s"doc $id fail_words")
+      assert(r.getAs[Long]("fail_brace") === fb, s"doc $id fail_brace")
+      assert(r.getAs[Long]("fail_js") === fj, s"doc $id fail_js")
+      assert(r.getAs[Long]("fail_cookie") === fc, s"doc $id fail_cookie")
+      assert(r.getAs[Boolean]("doc_lorem") === lorem, s"doc $id lorem")
+    }
+  }
+
   test("c4LinesOf normalizes CRLF: \\r never decides a rule or leaks into clean_text") {
     import s.implicits._
     // Windows-crawled page: CRLF separators and a final bare \r. Java

@@ -277,6 +277,54 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("property: mixEpochOf conserves targets on random corpora (skew, tiny sources, big budgets)") {
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 4) {
+      val nSources = 1 + rnd.nextInt(4)
+      val sizes = Seq.fill(nSources)(1 + rnd.nextInt(40))
+      var id = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (n, si) =>
+        Seq.fill(n) {
+          id += 1
+          (id, s"src$si", Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+        }
+      }
+      val budget = 1L + rnd.nextInt(500)
+      val out = TextQueries.mixEpochOf(
+          rows.toDF("doc_id", "source", "text"), budget, nShards = 3)
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("k")))
+      // expected targets: the sourceMixOf spelling re-derived independently
+      val perTok = rows.groupBy(_._2).view
+        .mapValues(_.map(_._3.split(" ").length.toLong).sum).toMap
+      val wTot = perTok.values.toSeq
+        .map(t => BigDecimal(math.sqrt(t.toDouble))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum
+      def target(src: String): Long = {
+        val share = BigDecimal(
+          (BigDecimal(math.sqrt(perTok(src).toDouble))
+            .setScale(18, BigDecimal.RoundingMode.HALF_UP) / wTot).toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        (share * budget).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+      }
+      val nDocs = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val bySrc = out.groupBy(_._1)
+      assert(bySrc.keySet === perTok.keySet.filter(target(_) > 0),
+        s"trial $trial sources")
+      bySrc.foreach { case (src, rs) =>
+        val t = target(src)
+        assert(rs.length.toLong === t, s"trial $trial $src count")
+        assert(rs.map(_._3).sorted.toSeq === (0L until t),
+          s"trial $trial $src k permutation")
+        val perDoc = rs.groupBy(_._2).map(_._2.length)
+        assert(perDoc.max - perDoc.min <= 1, s"trial $trial $src balance")
+        assert(perDoc.size.toLong === math.min(nDocs(src), t),
+          s"trial $trial $src distinct docs")
+      }
+    }
+  }
+
   test("q_mix_epoch is partitioning-invariant (the no-RNG claim, executed)") {
     val base = Queries.byName("q_mix_epoch").run(s, dir)
     val a = base.collect()
