@@ -651,10 +651,12 @@ object Cli {
       }
 
     case "export" :: lake :: id :: dir :: rest =>
-      // training-shard export of a loaded collection's documents: the
-      // q_shuffle_export layout materialized by Sink.writeShards — one
-      // JSON-lines file per shard directory, rows in seq order, text
-      // payload carried through (no second join against the corpus)
+      // training-shard export of a loaded collection's documents via
+      // Sink.writeShards — one JSON-lines file per shard directory.
+      // Default: the q_shuffle_export layout, rows in seq order, text
+      // carried through the layout (no second join). With --epoch N: the
+      // mixEpochOf schedule, rows in vtime order, text joined back once
+      // by doc_id after the layout settles (see mixEpochExportOf)
       val nShards = flagValue(rest, "--shards") match {
         case None => 8
         case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
@@ -681,17 +683,35 @@ object Cli {
           System.err.println(
             s"collection $cid has no documents (release/record rows)")
           sys.exit(2)
-        case Some(docs) =>
+        case Some(docs0) =>
           epochBudget match {
             case Some(b) =>
-              Sink.writeShards(
-                TextQueries.mixEpochExportOf(docs, b, nShards), dir,
-                orderCols = Seq("vtime", "source", "doc_id", "k"))
-              println(s"exported epoch (budget=$b) of collection $cid" +
-                s" to $dir shards=$nShards")
+              // persist the docs frame: the epoch plan references the
+              // collection-docs subtree in THREE branches (targets agg,
+              // rank base, text join) — pinned, the scan + full-text
+              // dropDuplicates shuffle runs once, not thrice
+              val docs = docs0.persist()
+              try {
+                val laid = TextQueries.mixEpochExportOf(docs, b, nShards).persist()
+                try {
+                  Sink.writeShards(laid, dir,
+                    orderCols = Seq("vtime", "source", "doc_id", "k"))
+                  // report the REALIZED size: per-source targets are
+                  // floored, so a tiny budget over many sources can
+                  // legitimately come up short (or empty) — that must be
+                  // visible, not silently read as a full epoch
+                  val n = laid.count()
+                  if (n < b)
+                    System.err.println(s"WARNING: epoch realized $n of $b" +
+                      " requested examples (per-source targets are floored;" +
+                      " small budgets can floor small sources to zero)")
+                  println(s"exported epoch (budget=$b, rows=$n) of" +
+                    s" collection $cid to $dir shards=$nShards")
+                } finally { laid.unpersist(); () }
+              } finally { docs.unpersist(); () }
             case None =>
               Sink.writeShards(
-                TextQueries.shuffleExportOf(docs, nShards, payloadCols = Seq("text")),
+                TextQueries.shuffleExportOf(docs0, nShards, payloadCols = Seq("text")),
                 dir)
               println(s"exported collection $cid to $dir shards=$nShards")
           }

@@ -263,7 +263,10 @@ object TextQueries {
     * three shuffles of payload — where the join ships it exactly once,
     * after the layout is settled. Repeated docs (k div n_s >= 1) fan the
     * text out per copy, which is precisely what the written epoch must
-    * contain. */
+    * contain. PRECONDITION: doc_id is unique in `docs` (the collectionDocs
+    * seam guarantees it — doc_id is a hash of content with identical items
+    * collapsed); a duplicate doc_id would fan every matching epoch row out
+    * through the join and break the written counts' conservation. */
   private[graft] def mixEpochExportOf(
       docs: DataFrame, totalBudget: Long, nShards: Int): DataFrame =
     mixEpochOf(docs, totalBudget, nShards)

@@ -302,8 +302,10 @@ object Sink {
     *    shard wholly inside one task (several shards may share a task;
     *    the partitionBy writer still splits them into their own
     *    directories, each receiving its rows in the task's sorted order);
-    *  - in-file order is (seq ascending) — `sortWithinPartitions` before
-    *    the projection, which is narrow and order-preserving;
+    *  - in-file order is (`orderCols` ascending — seq for the shuffle
+    *    layout, the epoch's schedule key for --epoch exports) —
+    *    `sortWithinPartitions` before the projection, which is narrow
+    *    and order-preserving;
     *  - bytes are REPRODUCIBLE: content-stable layout + total in-shard
     *    order + deterministic JSON field order means two writes from
     *    differently-partitioned inputs produce byte-identical shard files

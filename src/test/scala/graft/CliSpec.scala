@@ -311,7 +311,7 @@ class CliSpec extends AnyFunSuite {
     // per-shard files in schedule (vtime) order
     val epochDir = Files.createTempDirectory("graft-cli-epoch").toString
     val eout = run("export", lake, "1", epochDir, "--shards", "2", "--epoch", "9")
-    assert(eout.contains("exported epoch (budget=9)"), eout)
+    assert(eout.contains("exported epoch (budget=9, rows=9)"), eout)
     val erows = Option(new java.io.File(epochDir).listFiles()).toSeq.flatten
       .filter(_.getName.startsWith("shard="))
       .flatMap(d => Option(d.listFiles()).toSeq.flatten
