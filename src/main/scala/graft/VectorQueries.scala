@@ -110,6 +110,38 @@ object VectorQueries {
        |           AS cosine
        |  FROM sums, qn WHERE sums.vec_id <> 0)""".stripMargin
 
+  /** Reciprocal-rank fusion of two bounded rank lists — the q_hybrid_rrf
+    * engine over ANY (doc_id, rank_lex) × (doc_id, rank_dense) frames
+    * (ranks 1-based; each list at most K rows — the fusion is meant for
+    * post-TakeOrdered lists, every stage here is K-bounded). The RRF
+    * score 1/(60+r_lex) + 1/(60+r_dense) is computed as ONE double
+    * division of exact integers — (120+a+b)/((60+a)(60+b)) by
+    * cross-multiplication, the TV-distance idiom — so the fused order is
+    * bit-stable cross-engine (two separate divisions would hinge on
+    * addition order); a doc absent from one list contributes plain
+    * 1/(60+r). The K-row full-outer join is SHUFFLE_HASH-pinned (full
+    * outer cannot broadcast; without the hint the plan is an
+    * estimate-dependent SMJ). Output: (rank_fused, doc_id, rank_lex,
+    * rank_dense, rrf_score), ordered by the fusion. */
+  private[graft] def rrfFuseOf(lex: DataFrame, dns: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rrf = when(col("rank_lex").isNotNull && col("rank_dense").isNotNull,
+        (lit(120L) + col("rank_lex") + col("rank_dense")).cast(DoubleType)
+          / ((lit(60L) + col("rank_lex")) * (lit(60L) + col("rank_dense")))
+            .cast(DoubleType))
+      .when(col("rank_lex").isNotNull,
+        lit(1.0) / (lit(60L) + col("rank_lex")).cast(DoubleType))
+      .otherwise(lit(1.0) / (lit(60L) + col("rank_dense")).cast(DoubleType))
+    lex.join(dns.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .select(
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
+          .cast(LongType).as("rank_fused"),
+        col("doc_id"), col("rank_lex"), col("rank_dense"),
+        round(col("rrf"), 9).as("rrf_score"))
+      .orderBy("rank_fused")
+  }
+
   /** Exact-cosine scores of every vector against the demo query vector
     * (vec 0) — the dense retrieval leg shared by q_ann_bruteforce (top-10)
     * and the hybrid fusion (q_hybrid_rrf, top-K rank list). The query
@@ -1889,15 +1921,8 @@ object VectorQueries {
         // doc_id == vec_id. Each leg reduces to its top-K FIRST
         // (TakeOrdered — the corpus-scale step stays a bounded-result
         // probe), then ranks within the K rows via a single-partition
-        // window (K-bounded by construction, never corpus-sized). The
-        // RRF score 1/(60+r_lex) + 1/(60+r_dense) is computed as ONE
-        // double division of exact integers — (120+a+b)/((60+a)(60+b))
-        // by cross-multiplication, the TV-distance idiom — so the fused
-        // order is bit-stable cross-engine (two separate divisions would
-        // hinge on addition order); absent legs contribute nothing
-        // (plain 1/(60+r)). The K-row full-outer join is SHUFFLE_HASH-
-        // pinned (full outer cannot broadcast; without the hint the plan
-        // is an estimate-dependent SMJ).
+        // window (K-bounded by construction, never corpus-sized); the
+        // K-row lists fuse in [[rrfFuseOf]].
         val K = 100
         import org.apache.spark.sql.expressions.Window
         val lex = TextQueries
@@ -1911,21 +1936,7 @@ object VectorQueries {
           .select(col("vec_id").as("doc_id"), row_number()
             .over(Window.orderBy(col("cosine").desc, col("vec_id")))
             .cast(LongType).as("rank_dense"))
-        val rrf = when(col("rank_lex").isNotNull && col("rank_dense").isNotNull,
-            (lit(120L) + col("rank_lex") + col("rank_dense")).cast(DoubleType)
-              / ((lit(60L) + col("rank_lex")) * (lit(60L) + col("rank_dense")))
-                .cast(DoubleType))
-          .when(col("rank_lex").isNotNull,
-            lit(1.0) / (lit(60L) + col("rank_lex")).cast(DoubleType))
-          .otherwise(lit(1.0) / (lit(60L) + col("rank_dense")).cast(DoubleType))
-        lex.join(dns.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
-          .withColumn("rrf", rrf)
-          .select(
-            row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
-              .cast(LongType).as("rank_fused"),
-            col("doc_id"), col("rank_lex"), col("rank_dense"),
-            round(col("rrf"), 9).as("rrf_score"))
-          .orderBy("rank_fused")
+        rrfFuseOf(lex, dns)
       },
       Some(s"""WITH ${TextQueries.Bm25OracleCtes},
                lex AS (

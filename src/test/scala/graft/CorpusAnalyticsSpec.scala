@@ -422,6 +422,47 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
       Option(top.getAs[java.lang.Long]("rank_dense")).exists(_ <= 2))
   }
 
+  test("property: rrfFuseOf matches exact-rational fusion on random rank lists") {
+    import s.implicits._
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 5) {
+      // random universes with partial overlap, including disjoint and
+      // singleton lists — shapes the corpus demo can't produce
+      val nLex = 1 + rnd.nextInt(30)
+      val nDns = 1 + rnd.nextInt(30)
+      val ids = rnd.shuffle((1L to 60L).toList)
+      val lexIds = ids.take(nLex)
+      val dnsIds = rnd.shuffle(ids).take(nDns)
+      val lex = lexIds.zipWithIndex.map { case (id, i) => (id, i + 1L) }
+        .toDF("doc_id", "rank_lex")
+      val dns = dnsIds.zipWithIndex.map { case (id, i) => (id, i + 1L) }
+        .toDF("doc_id", "rank_dense")
+      val got = VectorQueries.rrfFuseOf(lex, dns).collect()
+      val lexR = lexIds.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      val dnsR = dnsIds.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      def frac(id: Long): (BigInt, BigInt) = (lexR.get(id), dnsR.get(id)) match {
+        case (Some(a), Some(b)) => (BigInt(120 + a + b), BigInt((60 + a) * (60 + b)))
+        case (Some(a), None) => (BigInt(1), BigInt(60 + a))
+        case (None, Some(b)) => (BigInt(1), BigInt(60 + b))
+        case _ => sys.error("unreachable")
+      }
+      val want = (lexR.keySet ++ dnsR.keySet).toSeq.sortWith { (x, y) =>
+        val ((nx, dx), (ny, dy)) = (frac(x), frac(y))
+        val cmp = (nx * dy).compare(ny * dx)
+        if (cmp != 0) cmp > 0 else x < y
+      }
+      assert(got.map(_.getAs[Long]("doc_id")).toSeq === want, s"trial $trial")
+      assert(got.map(_.getAs[Long]("rank_fused")).toSeq ===
+        (1L to want.length.toLong), s"trial $trial rank_fused")
+      // the provable bound on every both-list doc
+      got.filter(r => r.getAs[java.lang.Long]("rank_lex") != null &&
+          r.getAs[java.lang.Long]("rank_dense") != null)
+        .foreach(r => assert(r.getAs[Long]("rank_fused") <=
+          r.getAs[Long]("rank_lex") + r.getAs[Long]("rank_dense") - 1,
+          s"trial $trial bound"))
+    }
+  }
+
   test("q_topic_mix: shares sum to 1 per source and doc counts reconcile") {
     val rows = Queries.byName("q_topic_mix").run(s, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
