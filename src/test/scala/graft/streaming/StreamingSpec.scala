@@ -250,6 +250,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally offsets.close()
   }
 
+  test("streaming checks are format-aware: a landed RECORD package checks into record_check") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-reccheck")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val C = graft.control.Control
+    val planeRef = new java.util.concurrent.atomic.AtomicReference(C.Plane(Map(
+      31L -> C.Collection(31L, "src", "2020-01-01 00:00:00", steps = Set("check")))))
+    Files.writeString(landing.resolve("r.json"),
+      """{"uri": "http://x/r", "version": "1.1", "publisher": {"name": "R"},
+        | "records": [{"ocid": "ocds-sc1", "releases": [
+        |   {"ocid": "ocds-sc1", "id": "s1", "date": "2020-01-01T00:00:00Z",
+        |    "tag": ["tender"], "initiationType": "tender"}]}]}""".stripMargin)
+    Streaming.releaseLoadStream(s, landing.toString, lake, 31L, None, planeRef, ckpt,
+      checks = true).awaitTermination()
+    // the stream's check leg routed by the collection's detected format:
+    // record collections check into record_check (the reference checker's
+    // Record branch), never the release table
+    val checks = s.read.parquet(s"$lake/record_check")
+      .filter($"collection_id" === 31).collect()
+    assert(checks.length === 1)
+    assert(checks.head.getAs[String]("cove_output").nonEmpty)
+    assert(!new java.io.File(s"$lake/release_check").exists())
+  }
+
   test("releaseLoadStream routes landed RECORD packages: facts + per-file compile + gates") {
     import s.implicits._
     val base = Files.createTempDirectory("graft-recload")
