@@ -49,6 +49,9 @@ import graft.ocds.Metadata
   *   export <lake> <collectionId> <dir> [--shards N] [--epoch N]
   *                                              (training-shard export: one JSON-lines
   *                                               file per shard, rows in shuffle order)
+  *   search <lake> <collectionId> <term...> [--top N]
+  *                                              (BM25 lexical retrieval over the
+  *                                               collection, q_bm25_topk engine)
   *   source-mix <lake> <collectionId>           (sqrt-temperature mix weights)
   *   length-stats <lake> <collectionId>         (per-source token-length quantiles)
   *   corpus-stats <lake>                        (streaming stats-store readout)
@@ -747,6 +750,48 @@ object Cli {
             }
       }
 
+    case "search" :: lake :: id :: rest0 if rest0.nonEmpty =>
+      // lexical retrieval over a loaded collection (the bm25ScoresOf
+      // engine behind q_bm25_topk): rank the collection's documents for
+      // the given query terms — the user-facing face of the sparse
+      // retrieval leg, inverted-index-probe shape (the explode filters
+      // to the terms before any shuffle)
+      val top = flagValue(rest0, "--top") match {
+        case None => 10
+        case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--top needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      val terms = stripFlag(rest0, "--top")
+      if (terms.isEmpty) {
+        System.err.println("search needs at least one query term")
+        sys.exit(2)
+      }
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          val hits = TextQueries.bm25ScoresOf(docs, terms)
+            .orderBy(col("score_dec").desc, col("doc_id"))
+            .limit(top)
+            .select(col("doc_id"), col("n_terms"),
+              round(col("score_dec").cast("double"), 6).as("score"))
+            .collect()
+          if (hits.isEmpty) println("no documents match the query terms")
+          else hits.foreach { r =>
+            println(s"doc_id=${r.getAs[Long]("doc_id")}" +
+              s" n_terms=${r.getAs[Long]("n_terms")}" +
+              " score=" + String.format(java.util.Locale.ROOT, "%.6f",
+                Double.box(r.getAs[Double]("score"))))
+          }
+      }
+
     case "source-mix" :: lake :: id :: Nil =>
       // temperature-resampled (sqrt) training-mix weights over a loaded
       // collection's raw documents (the q_source_mix engine)
@@ -1085,6 +1130,7 @@ object Cli {
            |  gopher-rules <lake> <collectionId>
            |  c4-lines <lake> <collectionId>
            |  export <lake> <collectionId> <dir> [--shards N] [--epoch N]
+           |  search <lake> <collectionId> <term...> [--top N]
            |  source-mix <lake> <collectionId>
            |  overlap <lake> <collectionIdA> <collectionIdB>
            |  length-stats <lake> <collectionId>

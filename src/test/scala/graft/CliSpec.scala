@@ -276,6 +276,16 @@ class CliSpec extends AnyFunSuite {
     val hh = run("heavy-terms", lake, "1", "--width", "4", "--min", "2")
     assert(hh.contains("n=2 gram="), hh)
 
+    // BM25 search: "harbor" appears only in the near-dup pair's tender
+    // description — exactly those two docs rank; an absent term reports
+    // cleanly; --top bounds the list
+    val found = run("search", lake, "1", "harbor")
+    assert(found.linesIterator.count(_.startsWith("doc_id=")) === 2, found)
+    val top1 = run("search", lake, "1", "harbor", "--top", "1")
+    assert(top1.linesIterator.count(_.startsWith("doc_id=")) === 1, top1)
+    val none = run("search", lake, "1", "zzznotaterm")
+    assert(none.contains("no documents match"), none)
+
     // C4 line rollup: collection docs are single-line token streams with
     // no terminal punctuation, so every doc contributes one removed line
     val c4 = run("c4-lines", lake, "1")
