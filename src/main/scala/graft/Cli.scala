@@ -708,6 +708,14 @@ object Cli {
                     System.err.println(s"WARNING: epoch realized $n of $b" +
                       " requested examples (per-source targets are floored;" +
                       " small budgets can floor small sources to zero)")
+                  else if (n > b)
+                    // shares are rounded half-up to 9 decimals before the
+                    // floor, so they can sum slightly above 1 and overshoot
+                    // the budget by a few rows at ~1e9+ budgets (ADVICE
+                    // r15) — must be as visible as a shortfall
+                    System.err.println(s"WARNING: epoch realized $n of $b" +
+                      " requested examples (rounded per-source shares can" +
+                      " sum slightly above 1 at large budgets)")
                   println(s"exported epoch (budget=$b, rows=$n) of" +
                     s" collection $cid to $dir shards=$nShards")
                 } finally { laid.unpersist(); () }
@@ -764,6 +772,18 @@ object Cli {
         }
       }
       val terms = stripFlag(rest0, "--top")
+      // flag-shaped leftovers are typos (`--topp 5`), not query terms —
+      // the rejectStray strictness every other flagged subcommand applies
+      // (ADVICE r15); a literal "--"-prefixed term isn't expressible here,
+      // which the usage error states
+      terms.filter(_.startsWith("--")) match {
+        case Nil => ()
+        case bad =>
+          System.err.println(
+            s"search: unrecognized flags: ${bad.mkString(" ")}" +
+              " (query terms cannot start with --)")
+          sys.exit(2)
+      }
       if (terms.isEmpty) {
         System.err.println("search needs at least one query term")
         sys.exit(2)

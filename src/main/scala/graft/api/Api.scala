@@ -305,7 +305,13 @@ final class Api(
         val ref = new java.util.concurrent.atomic.AtomicReference(plane)
         graft.streaming.Streaming.releaseLoadStream(
           spark, dir.toString, lake, id, upgradedId, ref,
-          java.nio.file.Paths.get(root, s"collection_$id", "ckpt").toString)
+          java.nio.file.Paths.get(root, s"collection_$id", "ckpt").toString,
+          // the reference checker gates on the collection's planned steps
+          // (checker.py: `"check" in collection.steps`) — a tree that never
+          // planned checks must not accrete a check table just because its
+          // files arrived via the stream (ADVICE r15: the checks leg had
+          // no production caller and no step gate)
+          checks = plane.collection(id).steps.contains("check"))
           .awaitTermination()
         plane = ref.get()
       }

@@ -465,8 +465,13 @@ object Multimodal {
     * would make frame hashes differ between JVMs that parsed the knob and
     * JVMs that ignored it); set it identically on driver AND executors
     * (spark.executorEnv.*) — a split setting makes hashes for the
-    * 38-100 Mpx band partitioning-dependent. */
-  private[multimodal] val MaxImageBytes: Long =
+    * 38-100 Mpx band partitioning-dependent. Lazy, not eager (ADVICE
+    * r15): an eager val would surface a bad value as
+    * ExceptionInInitializerError at class init and NoClassDefFoundError
+    * on every later use — lazy evaluation delivers the
+    * IllegalArgumentException message directly to the first decode
+    * task's error instead. */
+  private[multimodal] lazy val MaxImageBytes: Long =
     sys.env.get("GRAFT_MAX_IMAGE_BYTES") match {
       case None => 256L << 20
       case Some(v) => v.toLongOption.filter(_ > 0).getOrElse(

@@ -210,6 +210,49 @@ class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally apiR.stop()
   }
 
+  test("ingest mode: the close drain runs streaming checks iff the tree planned a check step") {
+    // ADVICE r15: the streaming checker leg had no production caller and
+    // no step gate — the API drain now wires `checks` from the reference
+    // checker's own gate (`"check" in collection.steps`, checker.py)
+    val lakeC = Files.createTempDirectory("graft-chk-lake").toString
+    val root = Files.createTempDirectory("graft-chk-landing").toString
+    val apiC = new Api(s, lakeC, landingRoot = Some(root))
+    apiC.start()
+    try {
+      def postC(path: String, body: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${apiC.boundPort}$path"))
+            .method("POST", HttpRequest.BodyPublishers.ofString(body))
+            .header("Content-Type", "application/json").build(),
+          HttpResponse.BodyHandlers.ofString())
+      def mkTree(source: String, check: Boolean): Long = {
+        val created = Canonical.parse(postC("/api/collections/",
+          s"""{"source_id": "$source", "data_version": "2020-03-01 00:00:00",
+             | "check": $check}""".stripMargin).body())
+        val id = created.get("collection_id").asLong
+        val landing = created.get("landing_dir").asText
+        Files.writeString(
+          java.nio.file.Paths.get(landing, s"$source.json"), pkg(s"ocds-$source", "r1"))
+        assert(postC(s"/api/collections/$id/close/",
+          """{"stats": {"kingfisher_process_expected_files_count": 1}}""")
+          .statusCode() == 202)
+        id
+      }
+      val checked = mkTree("chk_spider", check = true)
+      val unchecked = mkTree("nochk_spider", check = false)
+      val checks = graft.ingest.Sink
+        .readOrEmpty(s, s"$lakeC/release_check")
+        .map(_.select("collection_id", "ok"))
+        .getOrElse(s.emptyDataFrame)
+      import org.apache.spark.sql.functions.col
+      // the check-planned tree's streamed arrivals were validated by the
+      // drain itself (no batch addchecks ran anywhere in this lake)...
+      assert(checks.filter(col("collection_id") === checked).count() === 1L)
+      // ...and a tree that never planned checks accreted NO check rows
+      assert(checks.filter(col("collection_id") === unchecked).count() === 0L)
+    } finally apiC.stop()
+  }
+
   test("ingest mode: a file landing after close is loaded by the replayed close") {
     // ADVICE r7: announced-but-late files stranded the tree forever — the
     // first close drained 1 of 2 expected files, so compilable() gated
