@@ -49,9 +49,14 @@ import graft.ocds.Metadata
   *   export <lake> <collectionId> <dir> [--shards N] [--epoch N]
   *                                              (training-shard export: one JSON-lines
   *                                               file per shard, rows in shuffle order)
-  *   search <lake> <collectionId> <term...> [--top N]
+  *   index <lake> <collectionId>              (build/rebuild the persisted
+  *                                               inverted-index store the
+  *                                               --indexed search probes)
+  *   search <lake> <collectionId> <term...> [--top N] [--indexed]
   *                                              (BM25 lexical retrieval over the
-  *                                               collection, q_bm25_topk engine)
+  *                                               collection, q_bm25_topk engine;
+  *                                               --indexed probes the postings
+  *                                               store instead of scanning)
   *   source-mix <lake> <collectionId>           (sqrt-temperature mix weights)
   *   length-stats <lake> <collectionId>         (per-source token-length quantiles)
   *   corpus-stats <lake>                        (streaming stats-store readout)
@@ -771,7 +776,14 @@ object Cli {
           sys.exit(2)
         }
       }
-      val terms = stripFlag(rest0, "--top")
+      // --indexed: probe the collection's persisted inverted-index store
+      // (built by `index` or maintained by the streaming loader) instead
+      // of re-scanning the corpus — byte-identical scores via the shared
+      // bm25ScoreExpr. Opt-in rather than automatic: the store reflects
+      // the docs at INDEX time, and an explicit flag makes that staleness
+      // contract the caller's choice, not a silent behavior switch.
+      val indexed = rest0.contains("--indexed")
+      val terms = stripFlag(rest0, "--top").filterNot(_ == "--indexed")
       // flag-shaped leftovers are typos (`--topp 5`), not query terms —
       // the rejectStray strictness every other flagged subcommand applies
       // (ADVICE r15); a literal "--"-prefixed term isn't expressible here,
@@ -791,13 +803,25 @@ object Cli {
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)
-      collectionDocs(spark, lake, plane, cid) match {
+      val scores: Option[org.apache.spark.sql.DataFrame] =
+        if (indexed) {
+          val store = graft.streaming.Streaming.bm25IndexPath(lake, cid)
+          if (graft.streaming.PostingsStore.loadTotals(store).isEmpty) {
+            System.err.println(s"collection $cid has no search index — " +
+              s"build one with `index $lake $cid` (or stream with the " +
+              "bm25Index leg)")
+            sys.exit(2)
+          }
+          Some(graft.streaming.PostingsStore.probe(spark, store, terms))
+        } else collectionDocs(spark, lake, plane, cid)
+          .map(docs => TextQueries.bm25ScoresOf(docs, terms))
+      scores match {
         case None =>
           System.err.println(
             s"collection $cid has no documents (release/record rows)")
           sys.exit(2)
-        case Some(docs) =>
-          val hits = TextQueries.bm25ScoresOf(docs, terms)
+        case Some(sc) =>
+          val hits = sc
             .orderBy(col("score_dec").desc, col("doc_id"))
             .limit(top)
             .select(col("doc_id"), col("n_terms"),
@@ -810,6 +834,35 @@ object Cli {
               " score=" + String.format(java.util.Locale.ROOT, "%.6f",
                 Double.box(r.getAs[Double]("score"))))
           }
+      }
+
+    case "index" :: lake :: id :: Nil =>
+      // build (or REBUILD from scratch — the one-shot batch counterpart
+      // of the streaming bm25Index leg) the collection's inverted-index
+      // store: token-bucket-partitioned postings + the totals document.
+      // Rebuild semantics: the store reflects the collection's documents
+      // at THIS moment; files added later need a re-index (or the
+      // streaming leg, which maintains it per batch).
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          val store = graft.streaming.Streaming.bm25IndexPath(lake, cid)
+          val dir = java.nio.file.Paths.get(store)
+          if (java.nio.file.Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.delete)
+          }
+          val tot = graft.streaming.PostingsStore.appendBatch(
+            store, docs.select(col("doc_id"), col("text")), batchId = 0L)
+          println(s"indexed collection $cid: n_docs=${tot.nDocs}" +
+            s" n_tokens=${tot.tAll} store=$store")
       }
 
     case "source-mix" :: lake :: id :: Nil =>
@@ -1150,7 +1203,8 @@ object Cli {
            |  gopher-rules <lake> <collectionId>
            |  c4-lines <lake> <collectionId>
            |  export <lake> <collectionId> <dir> [--shards N] [--epoch N]
-           |  search <lake> <collectionId> <term...> [--top N]
+           |  index <lake> <collectionId>
+           |  search <lake> <collectionId> <term...> [--top N] [--indexed]
            |  source-mix <lake> <collectionId>
            |  overlap <lake> <collectionIdA> <collectionIdB>
            |  length-stats <lake> <collectionId>

@@ -99,6 +99,20 @@ object Tables {
     s.read.parquet(path)
   }
 
+  /** Materialize a SIDE-EFFECT-built directory (a lake-style store, not a
+    * single frame), once per JVM per (key, source dir) — the seam for
+    * declared queries that demonstrate a persisted-store probe
+    * (q_bm25_indexed builds its postings store through the real
+    * [[graft.streaming.PostingsStore.appendBatch]] write path here).
+    * `build` receives the fresh directory path; the returned path is the
+    * built store. */
+  def materializeDir(key: String, dir: String)(build: String => Unit): String =
+    matCache.computeIfAbsent(s"$key-dir-${dir.hashCode.toHexString}", { k =>
+      val p = s"$matBase/$k"
+      build(p)
+      p
+    })
+
   /** [[materialize]] with a Hive-style partition layout: the frame is
     * written `partitionBy(col)` so consumers that filter on `col` read
     * ONLY the matching directories (PartitionFilters in the scan — the

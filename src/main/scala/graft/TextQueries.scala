@@ -978,19 +978,32 @@ object TextQueries {
     val dfT = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val tot = docs.agg(
       count(lit(1)).as("n_docs"), sum(col("dl")).as("t_all"))
-    val dec = (c: Column) => c.cast(DecimalType(38, 0))
-    val scoreT =
-      ((dec(col("tf")) * dec(col("t_all")) * 22).cast(DoubleType)
-        / (dec(col("tf")) * dec(col("t_all")) * 10 + dec(col("t_all")) * 3
-          + dec(col("dl")) * dec(col("n_docs")) * 9).cast(DoubleType)) *
-        ((col("n_docs") * 2 - col("df") * 2 + 1).cast(DoubleType)
-          / (col("df") * 2 + 1).cast(DoubleType))
     tf.join(broadcast(dfT), Seq("token"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),
-        scoreT.cast(DecimalType(38, 18)).as("score_dec"))
+        bm25ScoreExpr(col("tf"), col("dl"), col("df"),
+          col("n_docs"), col("t_all")).as("score_dec"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum(col("score_dec")).as("score_dec"))
+  }
+
+  /** The ONE spelling of the per-(doc, term) exact-rational BM25 score —
+    * shared by the full-scan engine above and the persisted-index probe
+    * ([[graft.streaming.PostingsStore.probe]]), so an indexed search is
+    * byte-identical to the scan by construction (the Bm25OracleCtes
+    * discipline applied to the Scala side: one expression, two callers).
+    * Inputs may be columns or literals; all arithmetic and casts are
+    * exactly the expression documented on [[bm25ScoresOf]]. Returns the
+    * per-part DECIMAL(38,18) score — callers DECIMAL-sum per doc. */
+  private[graft] def bm25ScoreExpr(
+      tf: Column, dl: Column, df: Column, nDocs: Column, tAll: Column): Column = {
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    (((dec(tf) * dec(tAll) * 22).cast(DoubleType)
+      / (dec(tf) * dec(tAll) * 10 + dec(tAll) * 3
+        + dec(dl) * dec(nDocs) * 9).cast(DoubleType)) *
+      ((nDocs * 2 - df * 2 + 1).cast(DoubleType)
+        / (df * 2 + 1).cast(DoubleType)))
+      .cast(DecimalType(38, 18))
   }
 
   /** Corpus heavy-hitter n-grams through the bounded mergeable
@@ -3218,6 +3231,45 @@ object TextQueries {
         "one double division per part, DECIMAL-summed per doc and ordered on the " +
         "exact sum; the explode filters to the query terms before any shuffle — " +
         "the inverted-index-probe shape, never a corpus-wide join"),
+
+    QueryDef(
+      "q_bm25_indexed", Seq("A4", "J2", "O3", "S7"),
+      (s, d) => {
+        // the SERVING shape of BM25 retrieval (VERDICT r15 Next #1):
+        // q_bm25_topk's scan recomputes tf/df/totals per query — right
+        // for a declared analytics pass, wrong for ad-hoc search at
+        // 100 TB. Here the postings store is built ONCE through the real
+        // PostingsStore write path (token-bucket-partitioned postings +
+        // the 2-long totals document) and the query is the store PROBE:
+        // a driver-side isin over the query terms' buckets statically
+        // prunes the store scan to |terms| buckets of 64, df derives
+        // inside the pruned slice (a token's postings are co-located in
+        // its bucket by construction), and the totals document supplies
+        // n_docs/t_all as literals — no corpus scan at query time. The
+        // scoring is bm25ScoreExpr — the scan engine's own expression —
+        // so this hash-matches q_bm25_topk against the SAME oracle.
+        val store = Tables.materializeDir("bm25_store", d) { p =>
+          graft.streaming.PostingsStore.appendBatch(
+            p, Tables.documents(s, d).select(col("doc_id"), col("text")),
+            batchId = 0L)
+        }
+        graft.streaming.PostingsStore.probe(s, store, DefaultQueryTerms)
+          .orderBy(col("score_dec").desc, col("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), col("n_terms"),
+            round(col("score_dec").cast(DoubleType), 9).as("score"))
+      },
+      Some(s"""WITH $Bm25OracleCtes
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     round(CAST(sum(score_dec) AS DOUBLE), 9) AS score
+              FROM scored GROUP BY doc_id
+              ORDER BY sum(score_dec) DESC, doc_id LIMIT 10"""),
+      "BM25 retrieval served from the persisted inverted-index store: the probe " +
+        "reads only the query terms' token buckets (static partition pruning via a " +
+        "driver-side isin over the 64-value bucket domain), df derives inside the " +
+        "co-located slice, corpus totals come from the store's 2-long totals " +
+        "document — byte-identical scores to q_bm25_topk's full scan via the shared " +
+        "bm25ScoreExpr, checked against the same oracle"),
 
     QueryDef(
       "q_substr_dedup", Seq("J7", "J5", "A4", "W1"),

@@ -1,0 +1,195 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Persistent inverted-index (postings) store — the SERVING shape behind
+  * BM25 retrieval (VERDICT r15 Next #1): `Cli search` and q_bm25_topk
+  * recompute tf/df/corpus totals with a full corpus scan per query, which
+  * is the right ANALYTICS spelling but the wrong shape for ad-hoc
+  * retrieval at 100 TB — there, the index is built once (or maintained
+  * per micro-batch) and each query reads ONLY its terms' slice.
+  *
+  * Layout (the NeardupStore/VectorStore lake-table pattern):
+  *  - `<store>/postings`: one row per (token, doc_id) — (token, doc_id,
+  *    tf, dl), partitioned by `token_bucket = pmod(xxhash64(token), 64)`.
+  *    ALL postings of a token live in exactly one bucket, so a probe's
+  *    driver-side isin over its terms' buckets (bounded by the 64-value
+  *    partition domain) turns the store scan into static partition
+  *    pruning — never a full-store scan per query — AND makes the
+  *    pruned slice self-sufficient for df (df = distinct postings of the
+  *    token, all co-located in its bucket).
+  *  - `<store>/_totals.json`: the corpus totals BM25 needs (n_docs,
+  *    t_all) as ONE tiny document — two longs, never a table scan at
+  *    query time — atomically replaced via temp-file + ATOMIC_MOVE (the
+  *    FreqStore/PlaneStore idiom) with the same lineage-scoped batch-id
+  *    watermark as FreqStore: totals are ADDITIVE, so a replayed batch
+  *    must fold exactly once.
+  *
+  * Exactly-once posture (the NeardupStore contract): postings append
+  * BEFORE the totals save, so the one crash window (postings committed,
+  * totals not) replays the batch into duplicate posting ROWS — which the
+  * probe folds with a bounded distinct over the matched slice and
+  * [[compact]] folds away on disk — while the totals watermark keeps the
+  * ADDITIVE side exactly-once. In the composed pipeline
+  * ([[Streaming.releaseLoadStream]]) the control plane's registered-file
+  * guard additionally drops already-loaded files before they reach this
+  * store, exactly as for the near-dup signature store.
+  *
+  * Scoring is [[graft.TextQueries.bm25ScoreExpr]] — the ONE spelling of
+  * the exact-rational BM25 shared with the full-scan engine, so an
+  * indexed search returns byte-identical scores to the scan
+  * (q_bm25_indexed hash-matches q_bm25_topk against the same oracle). */
+object PostingsStore {
+
+  /** Partition-pruning bucket domain (see [[NeardupStore.Buckets]] for the
+    * sizing rationale: coarse enough to prune, small enough that the
+    * partition listing is a metadata no-op at any corpus size). */
+  val Buckets = 64
+
+  def postingsPath(store: String): String = s"$store/postings"
+
+  private def tokenBucket(token: Column): Column =
+    pmod(xxhash64(token), lit(Buckets.toLong))
+
+  /** The additive corpus totals + the replay watermark. */
+  final case class Totals(
+      nDocs: Long, tAll: Long, lastBatchId: Long,
+      lineage: Option[String] = None)
+
+  private def totalsPath(store: String): Path = Paths.get(store, "_totals.json")
+
+  def loadTotals(store: String): Option[Totals] = {
+    val p = totalsPath(store)
+    if (!Files.exists(p)) None
+    else {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(p))
+      Some(Totals(
+        root.get("n_docs").asLong(), root.get("t_all").asLong(),
+        root.get("last_batch_id").asLong(),
+        Option(root.get("lineage")).filterNot(_.isNull).map(_.asText())))
+    }
+  }
+
+  private def saveTotals(store: String, t: Totals): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("n_docs", t.nDocs)
+    root.put("t_all", t.tAll)
+    root.put("last_batch_id", t.lastBatchId)
+    t.lineage.foreach(root.put("lineage", _))
+    Files.createDirectories(Paths.get(store))
+    val target = totalsPath(store)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.writeString(tmp, mapper.writeValueAsString(root))
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Postings rows of a (doc_id, text) frame: one row per (token, doc_id)
+    * with its term frequency and the doc length — the same space
+    * tokenization and dl definition as the full-scan engine
+    * ([[graft.TextQueries.bm25ScoresOf]]), or indexed and scanned scores
+    * would silently diverge. One corpus-wide shuffle (the groupBy) — the
+    * index BUILD cost, paid once per batch, never per query. */
+  private[streaming] def postingsOf(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), size(tk).cast(LongType).as("dl"),
+        explode(tk).as("token"))
+      .groupBy("token", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("token_bucket", tokenBucket(col("token")))
+  }
+
+  /** Append one batch of (doc_id, text) docs to the store: postings rows
+    * bucket-partitioned (one narrow shuffle; file count per batch =
+    * touched buckets, not tasks × buckets), then the totals fold under
+    * the lineage-scoped batch-id watermark. A replayed batch id within
+    * the same lineage is a full no-op; see the class doc for the one
+    * crash window and its duplicate-tolerance contract.
+    *
+    * PRECONDITION (the mixEpochExportOf discipline): doc_id is unique in
+    * `docs` and across batches — the load path's content-addressed dedup
+    * guarantees it for collection documents; a re-appended doc_id would
+    * double its dl in t_all and itself in n_docs. */
+  def appendBatch(
+      store: String, docs: DataFrame, batchId: Long,
+      lineage: String = "adhoc"): Totals = {
+    val tot = loadTotals(store).getOrElse(Totals(0L, 0L, -1L, None))
+    val sameLineage = tot.lineage.forall(_ == lineage)
+    if (sameLineage && batchId <= tot.lastBatchId) return tot // replayed: no-op
+    postingsOf(docs)
+      .repartition(col("token_bucket"))
+      .write.mode("append").partitionBy("token_bucket")
+      .parquet(postingsPath(store))
+    // batch totals: one tiny (2-long) aggregate over the batch docs
+    val r = docs
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(size(split(col("text"), " ")).cast(LongType)), lit(0L)).as("t"))
+      .head()
+    val folded = Totals(
+      tot.nDocs + r.getAs[Long]("n"), tot.tAll + r.getAs[Long]("t"),
+      batchId, Some(lineage))
+    saveTotals(store, folded)
+    folded
+  }
+
+  /** BM25-scored documents for a query-term set, served FROM THE STORE:
+    * reads only the terms' buckets (static partition pruning via the
+    * driver-side isin — the probed slice is |terms| × df rows, never the
+    * corpus), folds replay-window duplicate rows with a bounded distinct,
+    * derives df inside the slice, and scores with the shared
+    * exact-rational BM25 against the totals document's two longs — no
+    * corpus scan anywhere at query time. Output: (doc_id, n_terms,
+    * score_dec), the full-scan engine's contract, unordered — callers
+    * rank. Empty frame when the store does not exist yet. */
+  def probe(spark: SparkSession, store: String, qterms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, java.math.BigDecimal)]
+      .toDF("doc_id", "n_terms", "score_dec")
+      .select(col("doc_id"), col("n_terms"),
+        col("score_dec").cast(org.apache.spark.sql.types.DecimalType(38, 18))
+          .as("score_dec"))
+    val tot = loadTotals(store).getOrElse(return empty)
+    if (!Files.isDirectory(Paths.get(postingsPath(store)))) return empty
+    // bucket membership computed over a LOCAL relation of the query terms
+    // (bounded by the 64-value partition domain, touches no store files) —
+    // the driver-side isin is what turns the store scan into static
+    // partition pruning, the NeardupStore idiom
+    val buckets = qterms.toDF("token")
+      .select(tokenBucket(col("token")).as("b"))
+      .distinct().as[Long].collect()
+    val posts = spark.read.parquet(postingsPath(store))
+      .filter(col("token_bucket").isin(buckets: _*))
+      .filter(col("token").isin(qterms: _*))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .distinct() // fold crash-window replay duplicates (exact rows)
+    val dfT = posts.groupBy("token").agg(count(lit(1)).as("df"))
+    posts
+      .join(broadcast(dfT), Seq("token"))
+      .select(col("doc_id"),
+        graft.TextQueries.bm25ScoreExpr(
+          col("tf"), col("dl"), col("df"), lit(tot.nDocs), lit(tot.tAll))
+          .as("score_dec"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_dec")).as("score_dec"))
+  }
+
+  /** Small-file + duplicate-row maintenance — [[NeardupStore.compactTable]]
+    * verbatim over the postings table (distinct rewrite, one file per
+    * bucket partition, aside-write → ready-mark → sweep-promote commit
+    * protocol with crash self-healing). MUST only run against a
+    * terminated stream, same contract as the sibling stores. The totals
+    * document is not touched: it is additive state, not foldable rows.
+    * Returns the retained posting-row count. */
+  def compact(spark: SparkSession, store: String): Long =
+    NeardupStore.compactTable(spark, postingsPath(store), "token_bucket")
+}

@@ -31,6 +31,13 @@ import graft.ocds.{Canonical, RecordCompile}
   */
 object Streaming {
 
+  /** Where a collection's inverted-index store lives — ONE definition
+    * shared by the streaming maintenance leg, `Cli index` and
+    * `Cli search --indexed`, so the writer and the probes can never
+    * disagree on the directory. */
+  def bm25IndexPath(lakeDir: String, collectionId: Long): String =
+    s"$lakeDir/bm25_index_c$collectionId"
+
   /** One streamed record's compile outcome. */
   final case class RecordOutcome(
       ocid: String, outcome: String, compiled_id: String, batch_id: Long)
@@ -183,7 +190,16 @@ object Streaming {
     * `checker.py:80-131`) and appends cove_output rows to the check lake
     * table — no batch `addchecks` needed for streamed arrivals;
     * duplicate-tolerant under replay via the content-stable check-id
-    * anti-join. */
+    * anti-join.
+    *
+    * `bm25Index = true` additionally appends each batch's loaded docs to
+    * the collection's persistent inverted-index store
+    * (`<lake>/bm25_index_c<id>`, [[PostingsStore]]) — `Cli search
+    * --indexed` then probes the terms' token buckets instead of
+    * re-scanning the corpus per query. Postings appends ride the load
+    * path's file-granular idempotence like the near-dup signatures; the
+    * store's totals document is exactly-once via the same lineage-scoped
+    * batch-id watermark as the freq/stats sketches. */
   def releaseLoadStream(
       spark: SparkSession,
       landingDir: String,
@@ -196,7 +212,8 @@ object Streaming {
       neardupSignatures: Boolean = false,
       trendingTerms: Boolean = false,
       corpusStats: Boolean = false,
-      checks: Boolean = false): StreamingQuery = {
+      checks: Boolean = false,
+      bm25Index: Boolean = false): StreamingQuery = {
     import spark.implicits._
     recoverPartialLoads(spark, lakeDir, collectionId, upgradedId, plane)
     // the binaryFile source's fixed schema, declared explicitly (streaming
@@ -255,7 +272,7 @@ object Streaming {
           // duplicate-tolerant — readers distinct) rather than silently
           // losable. Batch-internal pairs are the batch engine's job at
           // compile/report time, not the per-arrival probe's.
-          if (neardupSignatures || trendingTerms || corpusStats) {
+          if (neardupSignatures || trendingTerms || corpusStats || bm25Index) {
             graft.Pipeline
               .collectionDocsOf(spark, lakeDir, p.collection(collectionId), Some(fresh))
               .foreach { docs =>
@@ -283,6 +300,17 @@ object Streaming {
                     s"$lakeDir/stats_sketch", docs, "text", batchId,
                     lineage = lineage,
                     sourceCol = Some("source"))
+                // inverted-index maintenance: this batch's postings land
+                // in their token buckets, the totals document folds under
+                // the lineage watermark — searches over the store never
+                // re-scan the corpus (the serving shape; see PostingsStore)
+                if (bm25Index)
+                  PostingsStore.appendBatch(
+                    Streaming.bm25IndexPath(lakeDir, collectionId),
+                    docs.select(
+                      org.apache.spark.sql.functions.col("doc_id"),
+                      org.apache.spark.sql.functions.col("text")),
+                    batchId, lineage = lineage)
               }
           }
           // streaming structural-check leg (the reference's checker is a

@@ -285,6 +285,14 @@ class CliSpec extends AnyFunSuite {
     assert(top1.linesIterator.count(_.startsWith("doc_id=")) === 1, top1)
     val none = run("search", lake, "1", "zzznotaterm")
     assert(none.contains("no documents match"), none)
+    // indexed search: `index` builds the postings store, `--indexed`
+    // probes it — scores byte-identical to the scan (shared bm25ScoreExpr)
+    val idx = run("index", lake, "1")
+    assert(idx.contains("indexed collection 1: n_docs=3"), idx)
+    val foundIdx = run("search", lake, "1", "harbor", "--indexed")
+    assert(foundIdx === found, s"indexed:\n$foundIdx\nscan:\n$found")
+    val noneIdx = run("search", lake, "1", "zzznotaterm", "--indexed")
+    assert(noneIdx.contains("no documents match"), noneIdx)
 
     // C4 line rollup: collection docs are single-line token streams with
     // no terminal punctuation, so every doc contributes one removed line

@@ -144,6 +144,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_source_overlap" -> 18,
     "q_source_divergence" -> 24,
     "q_bm25_topk" -> 14,
+    // r16: the persisted-index probe — fewer exchanges than the scan
+    // engine (tf/df/totals pre-built in the store; what remains is the
+    // pruned-slice distinct, the df agg + broadcast-back, the per-doc
+    // sum, and the TakeOrdered)
+    "q_bm25_indexed" -> 10,
     "q_topic_mix" -> 10,
     // r13 time-series joins by composition: one user-keyed window
     // exchange (the role filter pushes to the scan) + the final sort —

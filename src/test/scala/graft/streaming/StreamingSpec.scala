@@ -225,6 +225,48 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"collection_id" === 9).count() === 3)
   }
 
+  test("releaseLoadStream(bm25Index=true) maintains the postings store; indexed == scan") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-streamidx")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val plane = new java.util.concurrent.atomic.AtomicReference(
+      graft.control.Control.Plane(Map(
+        11L -> graft.control.Control.Collection(11L, "api", "2020-01-01 00:00:00"))))
+    def runOnce(): Unit =
+      Streaming.releaseLoadStream(s, landing.toString, lake, 11L, None, plane, ckpt,
+        bm25Index = true).awaitTermination()
+
+    Files.writeString(landing.resolve("a.json"), releasePkg("ocds-x1", "r1"))
+    Files.writeString(landing.resolve("b.json"), releasePkg("ocds-x2", "r2"))
+    runOnce()
+    val store = Streaming.bm25IndexPath(lake, 11L)
+    val tot1 = PostingsStore.loadTotals(store).get
+    assert(tot1.nDocs === 2L)
+    // a later arrival appends incrementally; a lost checkpoint replays
+    // every file and the plane's registered-file guard skips them all
+    Files.writeString(landing.resolve("c.json"), releasePkg("ocds-x3", "r3"))
+    runOnce()
+    assert(PostingsStore.loadTotals(store).get.nDocs === 3L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    runOnce()
+    assert(PostingsStore.loadTotals(store).get.nDocs === 3L)
+
+    // the maintained index serves the SAME scores as the full scan of the
+    // collection's documents (the shared bm25ScoreExpr contract)
+    val docs = graft.Pipeline
+      .collectionDocsOf(s, lake, plane.get().collection(11L)).get
+    val terms = Seq("ocds-x1", "tender")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_terms", $"score_dec".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val indexed = rows(PostingsStore.probe(s, store, terms))
+    assert(indexed.nonEmpty)
+    assert(indexed === rows(graft.TextQueries.bm25ScoresOf(docs, terms)))
+  }
+
   test("maxFilesPerTrigger bounds a backlog drain into several committed batches") {
     import s.implicits._
     val base = Files.createTempDirectory("graft-bounded")
