@@ -110,6 +110,23 @@ object VectorQueries {
        |           AS cosine
        |  FROM sums, qn WHERE sums.vec_id <> 0)""".stripMargin
 
+  /** The lexical rank list both hybrid fusions share: BM25 over the
+    * shared query-term set, reduced to its top-`k` FIRST (TakeOrdered —
+    * the corpus-scale step stays a bounded-result probe), then ranked
+    * within the k rows via a single-partition window (k-bounded by
+    * construction, never corpus-sized). One spelling for q_hybrid_rrf
+    * and q_hybrid_rrf_ann, mirrored oracle-side by the `lex`/`lexr`
+    * CTEs both oracles compose from [[graft.TextQueries.Bm25OracleCtes]]. */
+  private def bm25TopKRanks(s: SparkSession, d: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    TextQueries
+      .bm25ScoresOf(Tables.documents(s, d), TextQueries.DefaultQueryTerms)
+      .orderBy(col("score_dec").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score_dec").desc, col("doc_id")))
+        .cast(LongType).as("rank_lex"))
+  }
+
   /** Reciprocal-rank fusion of two bounded rank lists — the q_hybrid_rrf
     * engine over ANY (doc_id, rank_lex) × (doc_id, rank_dense) frames
     * (ranks 1-based; each list at most K rows — the fusion is meant for
@@ -766,6 +783,37 @@ object VectorQueries {
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(10)
 
+  /** IVFADC + exact re-ranking — the third stage of the production ANN
+    * stack (Jégou et al.): the compressed-domain ADC scan nominates
+    * [[RefineR]] candidates, and ONLY those rows' raw vectors are read
+    * back and scored exactly. At 100 TB this is the accuracy/IO contract
+    * that makes PQ usable: the 8-byte-code scan covers the probed cells,
+    * while full-precision vectors are fetched for RefineR rows regardless
+    * of corpus size — the candidate list broadcasts to the raw-vector
+    * scan, so the refine join is a broadcast hash join by construction,
+    * never a shuffle. Returns the RefineR-bounded exact-cosine frame
+    * (vec_id, cosine), unordered — the seam shared by q_ann_ivf_pq_refine
+    * (top-10) and the hybrid fusion's dense leg (q_hybrid_rrf_ann, the
+    * full candidate rank list). */
+  private def ivfPqRefinedCosine(
+      s: SparkSession, d: String, probes: Int): DataFrame = {
+    val adcTop = ivfPqAdc(s, d, probes)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(RefineR)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"),
+        dotDec(col("embedding"), col("embedding")).as("qnorm_dec"))
+    emb.join(broadcast(adcTop.select("vec_id")), Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        cosineCol(
+          dotDec(col("embedding"), col("qe")),
+          dotDec(col("embedding"), col("embedding")),
+          col("qnorm_dec")).as("cosine"))
+  }
+
   /** Candidates an IVFADC+refine pass re-ranks exactly (Jégou et al.'s
     * re-ranking stage): top `RefineR` by (adc desc, vec_id) — the vec_id
     * tie-break keeps the truncation deterministic in both engines. */
@@ -847,31 +895,41 @@ object VectorQueries {
     * EXACT decimal cosine machinery of [[kmeansOracleSql]] and re-ranked.
     * ADC decides who gets re-ranked; exact cosine decides the final order. */
   private def ivfPqRefineOracleSql(probes: Int): String =
+    s"""${ivfPqRefineCtes(probes)}
+        SELECT vec_id, cosine FROM ref ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+  /** The refine CTE chain shared by the q_ann_ivf_pq_refine oracle and
+    * the q_hybrid_rrf_ann oracle's dense leg (ends at `ref` (vec_id,
+    * cosine) — the exact re-scored [[RefineR]] ADC candidates): ONE
+    * spelling, mirroring the Scala-side [[ivfPqRefinedCosine]]
+    * extraction, per the shared-oracle-CTE discipline. The refine-side
+    * CTE names (refcand/refn/refq) avoid the Bm25OracleCtes namespace so
+    * the hybrid oracle can compose both chains under one WITH. */
+  private def ivfPqRefineCtes(probes: Int): String =
     s"""${ivfPqAdcCtes(probes)},
-        cand AS (
+        refcand AS (
           SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT $RefineR),
-        n AS (
+        refn AS (
           SELECT e.vec_id, e.embedding,
                  SUM(CAST(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
                           AS DECIMAL(38,18))) AS norm_dec
           FROM embeddings e, generate_series(1, $Dim) t(i)
           GROUP BY e.vec_id, e.embedding),
-        q AS (
-          SELECT n.embedding AS qe, n.norm_dec AS qnorm_dec
-          FROM n WHERE n.vec_id = 0),
+        refq AS (
+          SELECT refn.embedding AS qe, refn.norm_dec AS qnorm_dec
+          FROM refn WHERE refn.vec_id = 0),
         ref AS (
-          SELECT n.vec_id,
-                 round(CAST(SUM(CAST(CAST(n.embedding[i] AS DOUBLE)
-                                     * CAST(q.qe[i] AS DOUBLE)
+          SELECT refn.vec_id,
+                 round(CAST(SUM(CAST(CAST(refn.embedding[i] AS DOUBLE)
+                                     * CAST(refq.qe[i] AS DOUBLE)
                                      AS DECIMAL(38,18))) AS DOUBLE)
-                   / (sqrt(CAST(n.norm_dec AS DOUBLE)) * sqrt(CAST(q.qnorm_dec AS DOUBLE))), 9)
+                   / (sqrt(CAST(refn.norm_dec AS DOUBLE)) * sqrt(CAST(refq.qnorm_dec AS DOUBLE))), 9)
                    AS cosine
-          FROM n
-          JOIN cand c ON c.vec_id = n.vec_id
-          CROSS JOIN q,
+          FROM refn
+          JOIN refcand c ON c.vec_id = refn.vec_id
+          CROSS JOIN refq,
                generate_series(1, $Dim) t(i)
-          GROUP BY n.vec_id, n.norm_dec, q.qnorm_dec)
-        SELECT vec_id, cosine FROM ref ORDER BY cosine DESC, vec_id LIMIT 10"""
+          GROUP BY refn.vec_id, refn.norm_dec, refq.qnorm_dec)"""
 
   /** The trained-IVF oracle: re-derives every cell assignment from the
     * materialized centroids with the same arithmetic as [[nearestCell]] —
@@ -1348,34 +1406,10 @@ object VectorQueries {
 
     QueryDef(
       "q_ann_ivf_pq_refine", Seq("A5", "O5", "J1"),
-      (s, d) => {
-        // IVFADC + exact re-ranking — the third stage of the production ANN
-        // stack (Jégou et al.): the compressed-domain ADC scan nominates a
-        // small candidate set, and ONLY those rows' raw vectors are read
-        // back and scored exactly. At 100 TB this is the accuracy/IO
-        // contract that makes PQ usable: the 8-byte-code scan covers the
-        // probed cells, while full-precision vectors are fetched for
-        // RefineR rows regardless of corpus size — the candidate list
-        // broadcasts to the raw-vector scan, so the refine join is a
-        // broadcast hash join by construction, never a shuffle.
-        val adcTop = ivfPqAdc(s, d, probes = 4)
-          .orderBy(col("adc").desc, col("vec_id"))
-          .limit(RefineR)
-        val emb = Tables.embeddings(s, d)
-        val q = emb.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qe"),
-            dotDec(col("embedding"), col("embedding")).as("qnorm_dec"))
-        emb.join(broadcast(adcTop.select("vec_id")), Seq("vec_id"))
-          .crossJoin(broadcast(q))
-          .select(
-            col("vec_id"),
-            cosineCol(
-              dotDec(col("embedding"), col("qe")),
-              dotDec(col("embedding"), col("embedding")),
-              col("qnorm_dec")).as("cosine"))
+      (s, d) =>
+        ivfPqRefinedCosine(s, d, probes = 4)
           .orderBy(col("cosine").desc, col("vec_id"))
-          .limit(10)
-      },
+          .limit(10),
       Some(ivfPqRefineOracleSql(4)),
       "IVFADC + exact re-rank: multi-probe PQ scan nominates the top-50 ADC " +
         "candidates, whose raw vectors alone are re-scored with the exact decimal " +
@@ -1925,18 +1959,12 @@ object VectorQueries {
         // K-row lists fuse in [[rrfFuseOf]].
         val K = 100
         import org.apache.spark.sql.expressions.Window
-        val lex = TextQueries
-          .bm25ScoresOf(Tables.documents(s, d), TextQueries.DefaultQueryTerms)
-          .orderBy(col("score_dec").desc, col("doc_id")).limit(K)
-          .select(col("doc_id"), row_number()
-            .over(Window.orderBy(col("score_dec").desc, col("doc_id")))
-            .cast(LongType).as("rank_lex"))
         val dns = bruteCosineOf(s, d)
           .orderBy(col("cosine").desc, col("vec_id")).limit(K)
           .select(col("vec_id").as("doc_id"), row_number()
             .over(Window.orderBy(col("cosine").desc, col("vec_id")))
             .cast(LongType).as("rank_dense"))
-        rrfFuseOf(lex, dns)
+        rrfFuseOf(bm25TopKRanks(s, d, K), dns)
       },
       Some(s"""WITH ${TextQueries.Bm25OracleCtes},
                lex AS (
@@ -1970,6 +1998,62 @@ object VectorQueries {
         "the exact-cosine dense top-K over a shared query set — RRF summed as one " +
         "double division of exact cross-multiplied integers so the fused order is " +
         "bit-stable; each leg is a bounded TakeOrdered probe, ranks windowed within " +
-        "K rows, K-row lists fused with a SHUFFLE_HASH full-outer join")
+        "K rows, K-row lists fused with a SHUFFLE_HASH full-outer join"),
+
+    QueryDef(
+      "q_hybrid_rrf_ann", Seq("A4", "J2", "O3", "W2", "A5"),
+      (s, d) => {
+        // the PRODUCTION hybrid composition (VERDICT r15 Next #2):
+        // q_hybrid_rrf proves the fusion arithmetic against a brute-force
+        // dense leg; here the dense leg is the ANN ladder's top stage —
+        // the IVFADC multi-probe scan nominates RefineR candidates, their
+        // raw vectors alone re-score exactly (ivfPqRefinedCosine, shared
+        // with q_ann_ivf_pq_refine), and THAT bounded candidate list is
+        // ranked and fused with the BM25 top-K via the same rrfFuseOf.
+        // At 100 TB the dense leg reads 4/16 of the 8-byte-code scan +
+        // 50 raw vectors instead of every raw vector — the reason the
+        // ANN ladder exists; the fusion stays K-bounded throughout.
+        import org.apache.spark.sql.expressions.Window
+        val dns = ivfPqRefinedCosine(s, d, probes = 4)
+          .select(col("vec_id").as("doc_id"), row_number()
+            .over(Window.orderBy(col("cosine").desc, col("vec_id")))
+            .cast(LongType).as("rank_dense"))
+        rrfFuseOf(bm25TopKRanks(s, d, 100), dns)
+      },
+      Some(s"""${ivfPqRefineCtes(4)},
+               ${TextQueries.Bm25OracleCtes},
+               lex AS (
+                 SELECT doc_id, sum(score_dec) AS sd FROM scored GROUP BY doc_id),
+               lexr AS (
+                 SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY sd DESC, doc_id) AS BIGINT)
+                          AS rank_lex
+                 FROM lex QUALIFY rank_lex <= 100),
+               dnsr AS (
+                 SELECT vec_id AS doc_id,
+                        CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+                          AS rank_dense
+                 FROM ref),
+               fused AS (
+                 SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                        l.rank_lex, v.rank_dense,
+                        CASE WHEN l.rank_lex IS NOT NULL AND v.rank_dense IS NOT NULL
+                             THEN CAST(120 + l.rank_lex + v.rank_dense AS DOUBLE)
+                                  / CAST((60 + l.rank_lex) * (60 + v.rank_dense) AS DOUBLE)
+                             WHEN l.rank_lex IS NOT NULL
+                             THEN 1.0 / CAST(60 + l.rank_lex AS DOUBLE)
+                             ELSE 1.0 / CAST(60 + v.rank_dense AS DOUBLE) END AS rrf
+                 FROM lexr l FULL OUTER JOIN dnsr v ON l.doc_id = v.doc_id)
+               SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                        AS rank_fused,
+                      doc_id, rank_lex, rank_dense, round(rrf, 9) AS rrf_score
+               FROM fused ORDER BY rank_fused"""),
+      "ANN-legged hybrid fusion: the BM25 lexical top-K fused (same rrfFuseOf, same " +
+        "bit-stable RRF arithmetic) with the IVFADC+refine nomination instead of the " +
+        "brute-force cosine — the dense leg reads the probed cells' 8-byte codes plus " +
+        "50 raw vectors, never the corpus; oracle re-derives cells, codes, ADC " +
+        "candidates, exact re-ranking AND the BM25 leg from the two materialized " +
+        "artifacts and fuses them identically",
+      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) })
   )
 }

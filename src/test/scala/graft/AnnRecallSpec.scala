@@ -99,6 +99,42 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rRef >= rAdc, "exact re-ranking lost a neighbor the ADC ordering had")
   }
 
+  test("ANN-legged hybrid fusion tracks the brute-force-fused ranking (fused recall)") {
+    // q_hybrid_rrf fuses BM25 with the EXACT dense top-100 — the fused
+    // ground truth; q_hybrid_rrf_ann swaps in the IVFADC+refine
+    // nomination. The lexical leg is identical by construction, so any
+    // divergence is the dense leg's ANN error — this pins how much of the
+    // fused top-10 the production composition preserves.
+    def fusedTop10(name: String): Seq[Long] =
+      Queries.byName(name).run(s, dir)
+        .orderBy(org.apache.spark.sql.functions.col("rank_fused"))
+        .limit(10).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val truth = fusedTop10("q_hybrid_rrf")
+    val ann = fusedTop10("q_hybrid_rrf_ann")
+    val recall = (truth.toSet & ann.toSet).size / 10.0
+    info(f"fused recall@10 ann-legged vs brute-fused = $recall%.1f")
+    // measured 0.4 on these near-uniform embeddings (the sign-quantizer
+    // hard case — see the class doc): the brute-fused top-10 rewards
+    // docs with good ranks in BOTH 100-deep lists, while the ANN leg
+    // ranks only its 50 refined candidates, so fused overlap sits below
+    // the refine stack's own 0.8 recall@10. The floor gates a design
+    // regression (a probe/refine change that strands the fused head),
+    // not absolute quality — real clustered corpora concentrate far more
+    assert(recall >= 0.3,
+      "ANN-legged fusion lost most of the brute-fused top-10")
+    // the lexical leg is SHARED code — any doc ranked by both fusions
+    // must carry the identical rank_lex (a divergence means the legs
+    // silently forked)
+    def lexRanks(name: String): Map[Long, Long] =
+      Queries.byName(name).run(s, dir)
+        .filter(org.apache.spark.sql.functions.col("rank_lex").isNotNull)
+        .select("doc_id", "rank_lex").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lexTruth = lexRanks("q_hybrid_rrf")
+    val lexAnn = lexRanks("q_hybrid_rrf_ann")
+    assert(lexTruth === lexAnn, "the shared lexical leg diverged between fusions")
+  }
+
   test("k-means training is bit-deterministic across runs and partitionings") {
     // the fixed-point-sum claim, pinned: two independent trainings (the
     // second over a repartitioned input, exercising different partition

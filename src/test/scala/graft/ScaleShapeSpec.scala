@@ -315,6 +315,13 @@ class ScaleShapeSpec extends AnyFunSuite {
     // the fused rank window/sort — every post-TakeOrdered stage is
     // K-bounded by construction
     "q_hybrid_rrf" -> 18,
+    // r16 ANN-legged hybrid: the same bm25-leg + fusion exchanges as
+    // q_hybrid_rrf, with the dense leg's brute scan replaced by the
+    // IVFADC nomination (mapPartitions ADC + its TakeOrdered pair) and
+    // the broadcast refine join — the extra 8 exchanges are the ADC
+    // candidate stage's agg/sort pairs; every stage stays RefineR- or
+    // K-bounded
+    "q_hybrid_rrf_ann" -> 26,
     // mix epoch: the targets agg pair (the `per` subtree plans twice —
     // tot derives from it, the q_langid_nb AQE-reuse precedent) + the
     // sources×buckets offsets agg pair (the corpus-keyed `based` subtree
