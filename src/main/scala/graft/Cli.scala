@@ -46,7 +46,7 @@ import graft.ocds.Metadata
   *   quality-gate <lake> <collectionId>         (per-source bottom-decile cut)
   *   gopher-rules <lake> <collectionId>         (fixed rule-filter rollup)
   *   c4-lines <lake> <collectionId>             (C4 line-level boilerplate rollup)
-  *   export <lake> <collectionId> <dir> [--shards N] [--epoch N]
+  *   export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I]
   *                                              (training-shard export: one JSON-lines
   *                                               file per shard, rows in shuffle order)
   *   index <lake> <collectionId>              (build/rebuild the persisted
@@ -682,7 +682,21 @@ object Cli {
           sys.exit(2)
         }
       }
-      rejectStray("export", stripFlag(stripFlag(rest, "--shards"), "--epoch"))
+      // --epoch-idx I: WHICH epoch to materialize — deterministic but
+      // DISTINCT selection/interleave per index (the multi-epoch
+      // contract, VERDICT r15 Next #3); only meaningful with --epoch
+      val epochIdx = flagValue(rest, "--epoch-idx").map { v =>
+        v.toLongOption.filter(_ >= 0).getOrElse {
+          System.err.println(s"--epoch-idx needs a number >= 0, got '$v'")
+          sys.exit(2)
+        }
+      }.getOrElse(0L)
+      if (epochIdx != 0L && epochBudget.isEmpty) {
+        System.err.println("--epoch-idx requires --epoch N")
+        sys.exit(2)
+      }
+      rejectStray("export",
+        stripFlag(stripFlag(stripFlag(rest, "--shards"), "--epoch"), "--epoch-idx"))
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)
@@ -700,7 +714,8 @@ object Cli {
               // dropDuplicates shuffle runs once, not thrice
               val docs = docs0.persist()
               try {
-                val laid = TextQueries.mixEpochExportOf(docs, b, nShards).persist()
+                val laid =
+                  TextQueries.mixEpochExportOf(docs, b, nShards, epochIdx).persist()
                 try {
                   Sink.writeShards(laid, dir,
                     orderCols = Seq("vtime", "source", "doc_id", "k"))
@@ -1202,7 +1217,7 @@ object Cli {
            |  quality-gate <lake> <collectionId>
            |  gopher-rules <lake> <collectionId>
            |  c4-lines <lake> <collectionId>
-           |  export <lake> <collectionId> <dir> [--shards N] [--epoch N]
+           |  export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I]
            |  index <lake> <collectionId>
            |  search <lake> <collectionId> <term...> [--top N] [--indexed]
            |  source-mix <lake> <collectionId>

@@ -192,6 +192,15 @@ object TextQueries {
     * unordered. Per-source row count == target count exactly
     * (conservation is pinned in CorpusPipelineSpec).
     *
+    * `epochIdx` (r15 VERDICT Next #3) threads into BOTH hash salts
+    * (`:epoch:<i>` / `:epoch-shard:<i>`), so multi-epoch training gets
+    * deterministic-but-DISTINCT selection and interleave orders per
+    * epoch index — same conservation and balance in every epoch, same
+    * bytes for the same index, different permutation for a different
+    * one (pinned in CorpusPipelineSpec). A fixed salt would make every
+    * materialized epoch the SAME permutation, which defeats
+    * sample-with-replacement across epochs.
+    *
     * Measured (AbEpochRankBench, interleaved min-of-5, 32 cores, the 10×
     * replica at a 1M-row epoch): the distributed rank runs 1.22× faster
     * than the naive one-window-per-source spelling (2.32 vs 2.83 s) even
@@ -202,7 +211,8 @@ object TextQueries {
     * parallelism stays sources × buckets regardless of skew. Parity of
     * the two spellings is asserted in the harness before timing. */
   private[graft] def mixEpochOf(
-      docs: DataFrame, totalBudget: Long, nShards: Int): DataFrame = {
+      docs: DataFrame, totalBudget: Long, nShards: Int,
+      epochIdx: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val Dec = DecimalType(38, 18)
     val per = docs.groupBy("source")
@@ -217,7 +227,7 @@ object TextQueries {
       .select(col("source"), col("n_docs"),
         floor(lit(totalBudget.toDouble) * share).cast(LongType).as("n_target"))
     val based = docs.select(col("source"), col("doc_id"),
-        exportHash(col("doc_id"), ":epoch").as("h"))
+        exportHash(col("doc_id"), s":epoch:$epochIdx").as("h"))
       .withColumn("bucket", pmod(col("h"), lit(nShards.toLong)))
     val wLoc = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("h"), col("doc_id"))
@@ -242,7 +252,7 @@ object TextQueries {
         col("r"), explode(expr("sequence(CAST(0 AS BIGINT), reps - 1)")).as("j"))
       .withColumn("k", col("r") - 1 + col("j") * col("n_docs"))
     val sharded = emitted.withColumn("h2",
-        exportHash(concat_ws(":", col("doc_id"), col("k")), ":epoch-shard"))
+        exportHash(concat_ws(":", col("doc_id"), col("k")), s":epoch-shard:$epochIdx"))
       .withColumn("shard", pmod(col("h2"), lit(nShards.toLong)))
     val w2 = Window.partitionBy(col("shard"), col("source"))
       .orderBy(col("h2"), col("doc_id"), col("k"))
@@ -268,8 +278,9 @@ object TextQueries {
     * collapsed); a duplicate doc_id would fan every matching epoch row out
     * through the join and break the written counts' conservation. */
   private[graft] def mixEpochExportOf(
-      docs: DataFrame, totalBudget: Long, nShards: Int): DataFrame =
-    mixEpochOf(docs, totalBudget, nShards)
+      docs: DataFrame, totalBudget: Long, nShards: Int,
+      epochIdx: Long = 0L): DataFrame =
+    mixEpochOf(docs, totalBudget, nShards, epochIdx)
       .join(docs.select(col("doc_id"), col("text")).hint("SHUFFLE_HASH"),
         Seq("doc_id"))
       .select(col("shard"), col("vtime"), col("source"), col("doc_id"),
@@ -2420,7 +2431,7 @@ object TextQueries {
                 FROM w, t),
               hd AS (
                 SELECT source, doc_id,
-                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 15))::BIGINT AS h
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch:0'), 1, 15))::BIGINT AS h
                 FROM documents),
               rk AS (
                 SELECT source, doc_id,
@@ -2436,7 +2447,7 @@ object TextQueries {
               sh AS (
                 SELECT source, doc_id, n_target, k,
                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-                                           CAST(k AS VARCHAR) || ':epoch-shard'), 1, 15))::BIGINT AS h2
+                                           CAST(k AS VARCHAR) || ':epoch-shard:0'), 1, 15))::BIGINT AS h2
                 FROM em),
               r2 AS (
                 SELECT source, doc_id, n_target, k, h2 % 4 AS shard,

@@ -56,7 +56,7 @@ object AbEpochRankBench {
       .select(col("source"), col("n_docs"),
         floor(lit(budget.toDouble) * share).cast(LongType).as("n_target"))
     val based = docs.select(col("source"), col("doc_id"),
-        h(col("doc_id"), ":epoch").as("h"))
+        h(col("doc_id"), ":epoch:0").as("h"))
       .withColumn("bucket", pmod(col("h"), lit(nShards.toLong)))
     // THE variant: one window partition per source — same total order
     val wGlobal = Window.partitionBy(col("source"))
@@ -72,7 +72,7 @@ object AbEpochRankBench {
         col("r"), explode(expr("sequence(CAST(0 AS BIGINT), reps - 1)")).as("j"))
       .withColumn("k", col("r") - 1 + col("j") * col("n_docs"))
     val sharded = emitted.withColumn("h2",
-        h(concat_ws(":", col("doc_id"), col("k")), ":epoch-shard"))
+        h(concat_ws(":", col("doc_id"), col("k")), ":epoch-shard:0"))
       .withColumn("shard", pmod(col("h2"), lit(nShards.toLong)))
     val w2 = Window.partitionBy(col("shard"), col("source"))
       .orderBy(col("h2"), col("doc_id"), col("k"))

@@ -342,6 +342,22 @@ class CliSpec extends AnyFunSuite {
     assert(erows.map(_.get("k").asLong).sorted === (0L to 8L))
     assert(erows.map(_.get("doc_id").asLong).distinct.size === 3)
     erows.foreach(n => assert(n.get("text").asText.nonEmpty))
+
+    // --epoch-idx: a different index materializes a DIFFERENT (but same
+    // size, same conservation) epoch; the index defaults to 0 above
+    def epochLines(dir: String): Seq[String] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .flatMap(p => scala.jdk.CollectionConverters
+            .ListHasAsScala(java.nio.file.Files.readAllLines(p.toPath)).asScala))
+    val epochDir1 = Files.createTempDirectory("graft-cli-epoch1").toString
+    val eout1 = run("export", lake, "1", epochDir1,
+      "--shards", "2", "--epoch", "9", "--epoch-idx", "1")
+    assert(eout1.contains("exported epoch (budget=9, rows=9)"), eout1)
+    assert(epochLines(epochDir1) !== epochLines(epochDir),
+      "epoch index 1 must not replay epoch 0's permutation")
   }
 
   test("overlap estimates cross-collection shingle sharing from KMV sketches") {

@@ -325,6 +325,55 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-epoch determinism: distinct epochIdx permutes, identical epochIdx is byte-identical") {
+    import s.implicits._
+    val rows = (1L to 40L).map(i =>
+      (i, s"src${i % 3}", Seq.fill(8 + (i % 5).toInt)(s"w$i").mkString(" ")))
+    val docs = rows.toDF("doc_id", "source", "text")
+    def epoch(idx: Long) = TextQueries.mixEpochOf(docs, 60L, nShards = 3, epochIdx = idx)
+      .orderBy(col("shard"), col("vtime"), col("source"), col("doc_id"), col("k"))
+      .collect().map(_.toSeq).toSeq
+    val e0 = epoch(0L)
+    val e1 = epoch(1L)
+    val e2 = epoch(2L)
+    // same conservation in EVERY epoch: per-source counts and the k
+    // permutation are target-determined, independent of the index
+    def bySrc(e: Seq[Seq[Any]]) = e.groupBy(_(2)).view
+      .mapValues(rs => (rs.size, rs.map(_(4).asInstanceOf[Long]).sorted)).toMap
+    assert(bySrc(e0) === bySrc(e1) && bySrc(e1) === bySrc(e2))
+    // ...but the SELECTION (which docs repeat) and the interleave (who
+    // lands where) are measurably distinct permutations per index
+    assert(e0 != e1 && e1 != e2 && e0 != e2,
+      "different epoch indexes must materialize different permutations")
+    def selection(e: Seq[Seq[Any]]) = e.groupBy(_(2)).view
+      .mapValues(_.map(r => (r(3).asInstanceOf[Long], r(4).asInstanceOf[Long])).sorted).toMap
+    assert(selection(e0) != selection(e1),
+      "the doc->k assignment must differ across epoch indexes, not just the shard layout")
+    // identical epochIdx ⇒ byte-identical shard FILES through writeShards
+    def writeOnce(dir: String, idx: Long): Map[String, String] = {
+      graft.ingest.Sink.writeShards(
+        TextQueries.mixEpochExportOf(docs, 60L, 3, epochIdx = idx), dir,
+        orderCols = Seq("vtime", "source", "doc_id", "k"))
+      // one data file per shard=N directory; file NAMES carry task ids
+      // (non-deterministic), so key by shard and hash the file bytes
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+        .map { sd =>
+          val f = sd.listFiles().filter(f =>
+            f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+          assert(f.length === 1, s"${sd.getName}: expected one data file")
+          sd.getName -> java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.head.toPath))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val d1 = java.nio.file.Files.createTempDirectory("graft-epoch-a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft-epoch-b").toString
+    val d3 = java.nio.file.Files.createTempDirectory("graft-epoch-c").toString
+    val w1 = writeOnce(d1, 1L)
+    assert(w1 === writeOnce(d2, 1L))
+    assert(writeOnce(d3, 2L) != w1)
+  }
+
   test("q_mix_epoch is partitioning-invariant (the no-RNG claim, executed)") {
     val base = Queries.byName("q_mix_epoch").run(s, dir)
     val a = base.collect()
