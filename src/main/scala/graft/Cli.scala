@@ -46,7 +46,7 @@ import graft.ocds.Metadata
   *   quality-gate <lake> <collectionId>         (per-source bottom-decile cut)
   *   gopher-rules <lake> <collectionId>         (fixed rule-filter rollup)
   *   c4-lines <lake> <collectionId>             (C4 line-level boilerplate rollup)
-  *   export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I]
+  *   export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed]
   *                                              (training-shard export: one JSON-lines
   *                                               file per shard, rows in shuffle order)
   *   index <lake> <collectionId>              (build/rebuild the persisted
@@ -695,8 +695,17 @@ object Cli {
         System.err.println("--epoch-idx requires --epoch N")
         sys.exit(2)
       }
+      // --packed: emit fixed-2048-token BPE training windows instead of
+      // raw per-document text rows (the packedEpochExportOf composition);
+      // only meaningful over a mixture epoch
+      val packed = rest.contains("--packed")
+      if (packed && epochBudget.isEmpty) {
+        System.err.println("--packed requires --epoch N")
+        sys.exit(2)
+      }
       rejectStray("export",
-        stripFlag(stripFlag(stripFlag(rest, "--shards"), "--epoch"), "--epoch-idx"))
+        stripFlag(stripFlag(stripFlag(rest, "--shards"), "--epoch"), "--epoch-idx")
+          .filterNot(_ == "--packed"))
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)
@@ -714,6 +723,17 @@ object Cli {
               // dropDuplicates shuffle runs once, not thrice
               val docs = docs0.persist()
               try {
+                if (packed) {
+                  val wins = TextQueries
+                    .packedEpochExportOf(docs, b, nShards, epochIdx).persist()
+                  try {
+                    Sink.writeShards(wins, dir, orderCols = Seq("window_id"))
+                    val nWin = wins.count()
+                    val nTok = wins.agg(sum(col("n_tokens"))).head().getLong(0)
+                    println(s"exported packed epoch (budget=$b, windows=$nWin," +
+                      s" tokens=$nTok) of collection $cid to $dir shards=$nShards")
+                  } finally { wins.unpersist(); () }
+                } else {
                 val laid =
                   TextQueries.mixEpochExportOf(docs, b, nShards, epochIdx).persist()
                 try {
@@ -739,6 +759,7 @@ object Cli {
                   println(s"exported epoch (budget=$b, rows=$n) of" +
                     s" collection $cid to $dir shards=$nShards")
                 } finally { laid.unpersist(); () }
+                }
               } finally { docs.unpersist(); () }
             case None =>
               Sink.writeShards(
@@ -1217,7 +1238,7 @@ object Cli {
            |  quality-gate <lake> <collectionId>
            |  gopher-rules <lake> <collectionId>
            |  c4-lines <lake> <collectionId>
-           |  export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I]
+           |  export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed]
            |  index <lake> <collectionId>
            |  search <lake> <collectionId> <term...> [--top N] [--indexed]
            |  source-mix <lake> <collectionId>

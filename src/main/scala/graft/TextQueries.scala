@@ -286,6 +286,58 @@ object TextQueries {
       .select(col("shard"), col("vtime"), col("source"), col("doc_id"),
         col("k"), col("text"))
 
+  /** Fixed-budget TRAINING WINDOWS over a materialized mixture epoch —
+    * the artifact a training loader consumes directly (VERDICT r15 Next
+    * #4: the epoch export shipped raw text; the packed-sequence rung
+    * existed but was never composed into it). Composition:
+    * [[mixEpochExportOf]] (the epoch layout, text joined once) →
+    * `bpe_tokens` (the vendored byte-level BPE — real subword budgets,
+    * the q_pack_sequences_bpe leg) → the concat-then-chunk window
+    * arithmetic of [[packSequencesOf]] applied PER SHARD in schedule
+    * order → one row per (shard, window_id) carrying the window's actual
+    * token array.
+    *
+    * Shape notes for 100 TB: the running sum partitions by shard
+    * (parallelism = shard count, the export's own knob — the
+    * writeShards contract), and a doc fans out one SLICE row per window
+    * it straddles (≤ ntok/B + 1 rows, never per-token), so the heavy
+    * explode is bounded by window count, not token count. Window
+    * reassembly sorts each window's slices by their docs' start offsets
+    * (unique within a shard — cumsum is strictly increasing over ntok>0
+    * docs) and flattens — deterministic under any input partitioning,
+    * pinned byte-for-byte in SinkSpec. Every window holds exactly `B`
+    * tokens except each shard's final (tail) window. Empty-token docs
+    * are dropped BEFORE the cumsum (a zero-length doc occupies no window;
+    * it would also make Spark's sequence() step backwards). */
+  private[graft] def packedEpochExportOf(
+      docs: DataFrame, totalBudget: Long, nShards: Int,
+      epochIdx: Long = 0L, B: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val wSh = Window.partitionBy(col("shard"))
+      .orderBy(col("vtime"), col("source"), col("doc_id"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mixEpochExportOf(docs, totalBudget, nShards, epochIdx)
+      .withColumn("tk", call_function("bpe_tokens", col("text")))
+      .withColumn("ntok", size(col("tk")).cast(LongType))
+      .filter(col("ntok") > 0)
+      .withColumn("cum", sum(col("ntok")).over(wSh))
+      .withColumn("start", col("cum") - col("ntok"))
+      // one slice row per (doc copy, straddled window)
+      .select(col("shard"), col("start"), col("ntok"), col("tk"),
+        explode(expr(s"sequence(start div $B, (cum - 1) div $B)")).as("window_id"))
+      .withColumn("sfrom", greatest(col("window_id") * B - col("start"), lit(0L)))
+      .withColumn("sto", least((col("window_id") + 1) * B - col("start"), col("ntok")))
+      .withColumn("piece", expr("slice(tk, sfrom + 1, CAST(sto - sfrom AS INT))"))
+      .groupBy(col("shard"), col("window_id"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("start").as("s"), col("piece").as("p")))),
+          x => x.getField("p"))).as("tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("n_tokens", size(col("tokens")).cast(LongType))
+  }
+
   /** The MinHash-LSH → exact-Jaccard verified near-dup pair set
     * (doc_a < doc_b, jaccard >= 0.9) — the shared engine behind
     * q_ngram_jaccard (which emits the pairs) and q_dedup_clusters (which

@@ -358,6 +358,19 @@ class CliSpec extends AnyFunSuite {
     assert(eout1.contains("exported epoch (budget=9, rows=9)"), eout1)
     assert(epochLines(epochDir1) !== epochLines(epochDir),
       "epoch index 1 must not replay epoch 0's permutation")
+
+    // --packed: the same epoch as fixed-2048-token BPE training windows;
+    // 9 short docs fit one tail window per populated shard
+    val packedDir = Files.createTempDirectory("graft-cli-packed").toString
+    val pout = run("export", lake, "1", packedDir,
+      "--shards", "2", "--epoch", "9", "--packed")
+    assert(pout.contains("exported packed epoch (budget=9, windows="), pout)
+    val pwins = epochLines(packedDir).map(mapper.readTree)
+    assert(pwins.nonEmpty)
+    pwins.foreach { w =>
+      assert(w.get("tokens").isArray && w.get("tokens").size >= 1)
+      assert(w.get("n_tokens").asLong === w.get("tokens").size.toLong)
+    }
   }
 
   test("overlap estimates cross-collection shingle sharing from KMV sketches") {

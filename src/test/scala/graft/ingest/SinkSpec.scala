@@ -218,6 +218,71 @@ class SinkSpec extends AnyFunSuite {
     assert(a === b, "epoch shard bytes depend on input partitioning")
   }
 
+  test("packed epoch export: fixed-B windows except tails, token conservation, reproducible") {
+    import s.implicits._
+    import scala.jdk.CollectionConverters._
+    // varied doc lengths so windows straddle documents; B=7 far below doc
+    // sizes' lcm so every shard gets straddles AND a ragged tail
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 31L).map(i =>
+      (i, s"s${i % 2}", Seq.fill(1 + rnd.nextInt(9))(s"w$i").mkString(" ")))
+    val B = 7
+    def write(docs: org.apache.spark.sql.DataFrame): java.nio.file.Path = {
+      val dir = Files.createTempDirectory("graft_packed_shards")
+      Sink.writeShards(
+        graft.TextQueries.packedEpochExportOf(
+          docs, totalBudget = 60L, nShards = 3, epochIdx = 0L, B = B),
+        dir.toString, orderCols = Seq("window_id"))
+      dir
+    }
+    def readShards(dir: java.nio.file.Path): Map[Long, Seq[String]] =
+      Files.list(dir).iterator.asScala
+        .filter(_.getFileName.toString.startsWith("shard="))
+        .map { d =>
+          val parts = Files.list(d).iterator.asScala
+            .filter(_.getFileName.toString.startsWith("part-")).toSeq
+            .sortBy(_.getFileName.toString)
+          assert(parts.size === 1, s"${d.getFileName}: ${parts.size} files")
+          d.getFileName.toString.stripPrefix("shard=").toLong ->
+            parts.flatMap(p => Files.readAllLines(p).asScala.toSeq).toSeq
+        }.toMap
+    val a = readShards(write(rows.toDF("doc_id", "source", "text")))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    a.foreach { case (shard, lines) =>
+      val parsed = lines.map(mapper.readTree)
+      // windows contiguous from 0, in order (the in-file orderCols)
+      assert(parsed.map(_.get("window_id").asLong).toSeq ===
+        (0L until lines.length.toLong), s"shard $shard window ids")
+      // every window exactly B tokens except the final (tail) window
+      val sizes = parsed.map(_.get("tokens").size)
+      assert(sizes.dropRight(1).forall(_ == B),
+        s"shard $shard: non-tail window != $B tokens: $sizes")
+      assert(sizes.last <= B && sizes.last >= 1, s"shard $shard tail")
+      parsed.foreach(n =>
+        assert(n.get("n_tokens").asLong === n.get("tokens").size.toLong))
+    }
+    // token conservation vs the UNPACKED epoch: per shard, the windows'
+    // concatenated token stream == the schedule-ordered docs' BPE streams
+    import org.apache.spark.sql.functions.{call_function, col}
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val docsDf = rows.toDF("doc_id", "source", "text")
+    val laid = graft.TextQueries
+      .mixEpochExportOf(docsDf, totalBudget = 60L, nShards = 3)
+      .withColumn("tk", call_function("bpe_tokens", col("text")))
+      .orderBy(col("shard"), col("vtime"), col("source"), col("doc_id"), col("k"))
+      .select(col("shard"), col("tk")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.flatMap(_.getSeq[String](1)).toSeq).toMap
+    val unpacked = laid.filter(_._2.nonEmpty)
+    val packedStream = a.view.mapValues(_.flatMap(l =>
+      mapper.readTree(l).get("tokens").elements().asScala.map(_.asText).toSeq)).toMap
+    assert(packedStream === unpacked, "window concat != schedule-order token stream")
+    // byte-reproducibility from a shuffled, repartitioned input
+    val b = readShards(write(
+      scala.util.Random.shuffle(rows).toDF("doc_id", "source", "text").repartition(5)))
+    assert(a === b, "packed shard bytes depend on input partitioning")
+  }
+
   test("writeJdbc round-trips through an embedded Derby database") {
     import s.implicits._
     // the serving-copy contract (reference: PostgreSQL bulk_create in
