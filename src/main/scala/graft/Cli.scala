@@ -358,9 +358,11 @@ object Cli {
         val dir = java.nio.file.Paths.get(s"$lake/$table/collection_id=$cid")
         if (!java.nio.file.Files.isDirectory(dir)) 0
         else {
-          // Files.list holds an open DirectoryStream — close it, don't
-          // lean on GC (this helper may be reused from the long-lived API)
-          val stream = java.nio.file.Files.list(dir)
+          // Files.walk (not list): check tables nest check_bucket dirs
+          // under the collection partition, whose files the count must
+          // still see. Stream closed explicitly, not GC-leaned (this
+          // helper may be reused from the long-lived API).
+          val stream = java.nio.file.Files.walk(dir)
           try {
             import scala.jdk.CollectionConverters._
             stream.iterator.asScala.count(_.toString.endsWith(".parquet"))
@@ -369,7 +371,14 @@ object Cli {
       }
       val before = partFiles()
       val clusterByOcid = table == "release" || table == "record" || table == "compiled_release"
-      val rows = Sink.compactCollection(spark, s"$lake/$table", cid, clusterByOcid)
+      // check tables carry the inner check_bucket partition (the streaming
+      // checker's pruning layout) — the rewrite must preserve it or the
+      // compacted collection's flat files would conflict with the others'
+      // nested directories on the next whole-table read
+      val inner =
+        if (table == "release_check" || table == "record_check") Seq("check_bucket")
+        else Nil
+      val rows = Sink.compactCollection(spark, s"$lake/$table", cid, clusterByOcid, inner)
       println(s"compacted $table/collection_id=$cid: $before -> ${partFiles()} files ($rows rows)")
 
     case "compact-outcomes" :: outDir :: Nil =>

@@ -772,18 +772,45 @@ object Pipeline {
     }
     val rows = withPkg
       .select(Checker.checkId.as("id"), col("data"), col("package_data"))
-    val existing = Sink.readOrEmpty(spark, s"$lakeDir/$checkTable")
-      .map(_.filter(col("collection_id") === cid))
-      .getOrElse(spark.emptyDataFrame.withColumn("id", lit(0L)))
+    // whole-collection passes anti-join the full slice; a files-restricted
+    // (streaming) pass prunes it to the batch ids' buckets — O(batch
+    // share), not O(stream lifetime) (VERDICT r15 finding #1)
+    val existing = checkedSlice(spark, lakeDir, checkTable, cid,
+      if (files.isDefined) Some(rows) else None)
     val checks = Checker.checkUnchecked(rows, existing, kind, spark)
       .toDF().withColumn("collection_id", lit(cid)).persist()
     // count BEFORE the append: the plan reads the check table (the
     // anti-join side) lazily, so evaluating it after writing to the
     // same table would anti-join the rows against themselves → checked=0
     val result = (checks.count(), checks.filter(!col("ok")).count())
-    Sink.writeByCollection(checks, s"$lakeDir/$checkTable")
+    Sink.writeChecks(checks, s"$lakeDir/$checkTable")
     checks.unpersist()
     Some(result)
+  }
+
+  /** The already-checked slice a check pass anti-joins against. With
+    * `batchRows` (the streaming leg), the scan statically prunes to the
+    * batch ids' `check_bucket` partitions — the driver-side isin is
+    * bounded by the 64-value bucket domain (the NeardupStore idiom), so
+    * a micro-batch's idempotence read costs O(batch's bucket share of
+    * one collection), never the whole check history. Exposed at package
+    * level so StreamingSpec can pin the PartitionFilters. */
+  private[graft] def checkedSlice(
+      spark: SparkSession, lakeDir: String, checkTable: String, cid: Long,
+      batchRows: Option[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val all = Sink.readOrEmpty(spark, s"$lakeDir/$checkTable")
+      .map(_.filter(col("collection_id") === cid))
+      .getOrElse(return spark.emptyDataFrame.withColumn("id", lit(0L)))
+    batchRows match {
+      case None => all
+      case Some(rows) =>
+        val touched = rows
+          .select(pmod(col("id"), lit(Sink.CheckBuckets.toLong)).as("b"))
+          .distinct().as[Long].collect()
+        if (touched.isEmpty) all.limit(0)
+        else all.filter(col("check_bucket").isin(touched: _*))
+    }
   }
 
   /** A loaded collection's fact rows as the (source, doc_id, text)

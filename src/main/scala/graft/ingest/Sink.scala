@@ -70,7 +70,12 @@ object Sink {
     * instead of renaming directories; the two-rename shape is the same
     * commit protocol. */
   def swapCollectionPartition(
-      spark: SparkSession, path: String, collectionId: Long, rows: DataFrame): Long = {
+      spark: SparkSession, path: String, collectionId: Long, rows: DataFrame,
+      // inner Hive partition columns to PRESERVE through the rewrite
+      // (the check tables' check_bucket) — a flat rewrite of one
+      // collection would conflict with the other collections' nested
+      // directory structure on the next whole-table read
+      innerPartition: Seq[String] = Nil): Long = {
     import java.nio.file.{Files => JF, Paths => JP}
     val table = JP.get(path)
     val partDir = table.resolve(s"collection_id=$collectionId")
@@ -83,7 +88,9 @@ object Sink {
     // restored rows — and if partDir itself was the debris, reads an empty
     // partition and the rewrite deletes the only copy (ADVICE r8).
     recoverSwapDebris(path, collectionId)
-    rows.drop("collection_id").write.mode("overwrite").parquet(tmpDir.toString)
+    val writer = rows.drop("collection_id").write.mode("overwrite")
+    (if (innerPartition.nonEmpty) writer.partitionBy(innerPartition: _*) else writer)
+      .parquet(tmpDir.toString)
     val n = spark.read.parquet(tmpDir.toString).count()
     if (n == 0) deleteDir(tmpDir) // empty partition = dropped partition
     if (JF.exists(partDir)) JF.move(partDir, oldDir)
@@ -120,13 +127,29 @@ object Sink {
       import scala.jdk.CollectionConverters._
       val stream = JF.list(oldDir)
       try stream.iterator.asScala.toSeq.foreach { f =>
-        val dest = partDir.resolve(f.getFileName.toString)
-        if (JF.exists(dest)) JF.delete(f) // _SUCCESS-style markers collide
-        else JF.move(f, dest)
+        mergeMove(f, partDir.resolve(f.getFileName.toString))
       } finally stream.close()
     } else if (JF.exists(oldDir) && !JF.exists(partDir)) JF.move(oldDir, partDir)
     deleteDir(tmpDir)
     deleteDir(oldDir)
+  }
+
+  /** Fold `src` into `dest`, surviving nested Hive partition dirs (the
+    * check tables' collection_id=N/check_bucket=M layout): colliding
+    * DIRECTORIES merge recursively; colliding FILES delete the source —
+    * part-file names are job-unique, so a file collision can only be a
+    * _SUCCESS-style marker. Flat tables behave exactly as before. */
+  private def mergeMove(src: java.nio.file.Path, dest: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files => JF}
+    if (!JF.exists(dest)) { JF.move(src, dest); return }
+    if (JF.isDirectory(src) && JF.isDirectory(dest)) {
+      import scala.jdk.CollectionConverters._
+      val stream = JF.list(src)
+      try stream.iterator.asScala.toSeq.foreach { c =>
+        mergeMove(c, dest.resolve(c.getFileName.toString))
+      } finally stream.close()
+      JF.delete(src)
+    } else JF.delete(src)
   }
 
   private def deleteDir(dir: java.nio.file.Path): Unit =
@@ -147,14 +170,17 @@ object Sink {
     * partition, and a crashed compaction leaves the original whole. */
   def compactCollection(
       spark: SparkSession, path: String, collectionId: Long,
-      clusterByOcid: Boolean): Long = {
+      clusterByOcid: Boolean,
+      // preserved inner Hive partitions (check tables: check_bucket)
+      innerPartition: Seq[String] = Nil): Long = {
     recoverSwapDebris(path, collectionId) // BEFORE the listing snapshot below
     val part = spark.read.parquet(path)
       .filter(col("collection_id") === collectionId)
     val clustered =
       if (clusterByOcid) part.repartition(col("ocid"))
+      else if (innerPartition.nonEmpty) part.repartition(innerPartition.map(col): _*)
       else part.repartition(1)
-    swapCollectionPartition(spark, path, collectionId, clustered)
+    swapCollectionPartition(spark, path, collectionId, clustered, innerPartition)
   }
 
   /** Streaming-outcome maintenance (the record-outcome analogue of
@@ -272,6 +298,30 @@ object Sink {
       .repartition(col("collection_id"))
       .write
       .partitionBy("collection_id")
+      .mode(mode)
+      .parquet(path)
+
+  /** Bucket count for the check tables' id-pruning partitions — the same
+    * 64-dir sizing trade as the streaming stores' bucket domains. */
+  val CheckBuckets = 64
+
+  /** The check-table writer (release_check / record_check): like
+    * [[writeByCollection]] — collection_id stays the OUTER partition, so
+    * tree wipes remain O(directories) and per-collection reads prune —
+    * plus an INNER `check_bucket = pmod(id, 64)` partition, so the
+    * streaming checker's per-batch idempotence anti-join reads only the
+    * batch ids' buckets instead of the collection's whole check history
+    * (VERDICT r15 finding #1: the anti-join side grew with stream
+    * lifetime). One narrow shuffle on the partition pair keeps per-batch
+    * file counts = touched buckets. NOTE: a lake whose check tables were
+    * written by the pre-bucket layout needs a one-time rewrite (the
+    * layouts cannot mix inside one table). */
+  def writeChecks(rows: DataFrame, path: String, mode: String = "append"): Unit =
+    rows
+      .withColumn("check_bucket", pmod(col("id"), lit(CheckBuckets.toLong)))
+      .repartition(col("collection_id"), col("check_bucket"))
+      .write
+      .partitionBy("collection_id", "check_bucket")
       .mode(mode)
       .parquet(path)
 

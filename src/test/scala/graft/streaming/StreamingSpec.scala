@@ -223,6 +223,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay === Some((0L, 0L)))
     assert(s.read.parquet(s"$lake/release_check")
       .filter($"collection_id" === 9).count() === 3)
+
+    // the per-batch idempotence anti-join is BUCKET-PRUNED (r15 finding
+    // #1: it used to re-read the collection's whole check history per
+    // micro-batch): the stored-checks scan must carry a static
+    // check_bucket partition filter derived from the batch's ids
+    val stored = s.read.parquet(s"$lake/release_check")
+      .filter($"collection_id" === 9).select("id").as[Long].collect().sorted
+    assert(stored.length === 3)
+    val batchRows = Seq(stored.head).toDF("id")
+    val slice = graft.Pipeline.checkedSlice(s, lake, "release_check", 9L, Some(batchRows))
+    val plan = slice.queryExecution.sparkPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(scanLine.exists(_.contains("check_bucket")),
+      s"no check_bucket partition filter in:\n$plan")
+    // the pruned scan's FILES-READ METRIC (the AnnLayoutSpec idiom —
+    // partition pruning's observable effect, immune to the plan string's
+    // 100-char metadata truncation): one batch id touches one bucket, so
+    // with the three stored rows in >1 bucket the scan must read fewer
+    // files than the collection's whole check slice holds
+    val allBuckets = stored.map(Math.floorMod(_, 64L)).toSet
+    assert(allBuckets.size > 1, "fixture degenerate: all ids share a bucket")
+    assert(slice.collect().map(_.getAs[Long]("id")).toSet === Set(stored.head))
+    val scans = graft.PlanWalk.fileScans(slice.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("release_check")))
+    assert(scans.nonEmpty)
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val filesStored = {
+      val whole = s.read.parquet(s"$lake/release_check").filter($"collection_id" === 9)
+      whole.collect()
+      graft.PlanWalk.fileScans(whole.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    assert(filesRead < filesStored,
+      s"bucket pruning read the whole collection slice ($filesRead of $filesStored)")
   }
 
   test("releaseLoadStream(bm25Index=true) maintains the postings store; indexed == scan") {
