@@ -2054,6 +2054,142 @@ object VectorQueries {
         "50 raw vectors, never the corpus; oracle re-derives cells, codes, ADC " +
         "candidates, exact re-ranking AND the BM25 leg from the two materialized " +
         "artifacts and fuses them identically",
+      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) }),
+
+    QueryDef(
+      "q_retrieval_eval", Seq("A4", "O3", "J2"),
+      (s, d) => {
+        // retrieval-quality readout as a DECLARED query (VERDICT r15 Next
+        // #7): recall@10 and MRR of the production rankings against their
+        // exact ground truths — AnnRecallSpec measures this in tests, but
+        // a production corpus wants it as a monitored dataset-card number
+        // recomputed with every index build. Two systems:
+        //   ann_refine — the IVFADC+refine top-10 vs the exact-cosine
+        //     top-10 (the dense truth);
+        //   hybrid_ann — the ANN-legged fused top-10 vs the brute-fused
+        //     top-10 (the fused truth; the lexical leg is shared, so the
+        //     gap isolates the dense leg's ANN error).
+        // Metrics stay exact integers (hit counts, first-relevant rank)
+        // until ONE rounded double division each (recall = hits/10,
+        // MRR = 1/first_rel) — the TV-distance idiom, no float averaging.
+        // Every stage is 10-to-100-row bounded after the probes, and the
+        // truth lists broadcast into the hit joins.
+        import org.apache.spark.sql.expressions.Window
+        val K = 100
+        def rankBy(df: DataFrame, score: Column, id: Column, n: Int): DataFrame =
+          df.orderBy(score.desc, id).limit(n)
+            .select(id.as("doc_id"), row_number()
+              .over(Window.orderBy(score.desc, id)).cast(LongType).as("rank"))
+        val truthD = rankBy(bruteCosineOf(s, d), col("cosine"), col("vec_id"), 10)
+          .select("doc_id")
+        val annSys = rankBy(
+          ivfPqRefinedCosine(s, d, probes = 4), col("cosine"), col("vec_id"), 10)
+        val lex = bm25TopKRanks(s, d, K)
+        val dnsB = rankBy(bruteCosineOf(s, d), col("cosine"), col("vec_id"), K)
+          .withColumnRenamed("rank", "rank_dense")
+        val truthH = rrfFuseOf(lex, dnsB)
+          .orderBy("rank_fused").limit(10).select("doc_id")
+        val dnsA = ivfPqRefinedCosine(s, d, probes = 4)
+          .select(col("vec_id").as("doc_id"), row_number()
+            .over(Window.orderBy(col("cosine").desc, col("vec_id")))
+            .cast(LongType).as("rank_dense"))
+        val sysH = rrfFuseOf(lex, dnsA)
+          .orderBy("rank_fused").limit(10)
+          .select(col("doc_id"), col("rank_fused").as("rank"))
+        def evalOf(name: String, sys: DataFrame, truth: DataFrame): DataFrame =
+          sys.join(broadcast(truth.withColumn("rel", lit(1))), Seq("doc_id"), "left")
+            .agg(
+              count(col("rel")).as("n_hits"),
+              min(when(col("rel").isNotNull, col("rank"))).as("first_rel"))
+            .select(
+              lit(name).as("system"), lit(10L).as("k"),
+              col("n_hits"), col("first_rel"),
+              round(col("n_hits").cast(DoubleType) / lit(10.0).cast(DoubleType), 9)
+                .as("recall"),
+              round(coalesce(
+                lit(1.0).cast(DoubleType) / col("first_rel").cast(DoubleType),
+                lit(0.0)), 9).as("mrr"))
+        evalOf("ann_refine", annSys, truthD)
+          .unionAll(evalOf("hybrid_ann", sysH, truthH))
+          .orderBy("system")
+      },
+      Some(s"""${ivfPqRefineCtes(4)},
+               ${TextQueries.Bm25OracleCtes},
+               $CosineOracleCtes,
+               truthd AS (
+                 SELECT vec_id AS doc_id FROM cosd
+                 ORDER BY cosine DESC, vec_id LIMIT 10),
+               annsys AS (
+                 SELECT vec_id AS doc_id,
+                        CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+                          AS rank
+                 FROM ref QUALIFY rank <= 10),
+               lex AS (
+                 SELECT doc_id, sum(score_dec) AS sd FROM scored GROUP BY doc_id),
+               lexr AS (
+                 SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY sd DESC, doc_id) AS BIGINT)
+                          AS rank_lex
+                 FROM lex QUALIFY rank_lex <= 100),
+               bdnsr AS (
+                 SELECT vec_id AS doc_id,
+                        CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+                          AS rank_dense
+                 FROM cosd QUALIFY rank_dense <= 100),
+               adnsr AS (
+                 SELECT vec_id AS doc_id,
+                        CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
+                          AS rank_dense
+                 FROM ref),
+               bfused AS (
+                 SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                        CASE WHEN l.rank_lex IS NOT NULL AND v.rank_dense IS NOT NULL
+                             THEN CAST(120 + l.rank_lex + v.rank_dense AS DOUBLE)
+                                  / CAST((60 + l.rank_lex) * (60 + v.rank_dense) AS DOUBLE)
+                             WHEN l.rank_lex IS NOT NULL
+                             THEN 1.0 / CAST(60 + l.rank_lex AS DOUBLE)
+                             ELSE 1.0 / CAST(60 + v.rank_dense AS DOUBLE) END AS rrf
+                 FROM lexr l FULL OUTER JOIN bdnsr v ON l.doc_id = v.doc_id),
+               truthh AS (
+                 SELECT doc_id FROM bfused ORDER BY rrf DESC, doc_id LIMIT 10),
+               afused AS (
+                 SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                        CASE WHEN l.rank_lex IS NOT NULL AND v.rank_dense IS NOT NULL
+                             THEN CAST(120 + l.rank_lex + v.rank_dense AS DOUBLE)
+                                  / CAST((60 + l.rank_lex) * (60 + v.rank_dense) AS DOUBLE)
+                             WHEN l.rank_lex IS NOT NULL
+                             THEN 1.0 / CAST(60 + l.rank_lex AS DOUBLE)
+                             ELSE 1.0 / CAST(60 + v.rank_dense AS DOUBLE) END AS rrf
+                 FROM lexr l FULL OUTER JOIN adnsr v ON l.doc_id = v.doc_id),
+               sysh AS (
+                 SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+                          AS rank
+                 FROM afused QUALIFY rank <= 10),
+               aev AS (
+                 SELECT CAST(count(t.doc_id) AS BIGINT) AS n_hits,
+                        MIN(CASE WHEN t.doc_id IS NOT NULL THEN a.rank END) AS first_rel
+                 FROM annsys a LEFT JOIN truthd t ON t.doc_id = a.doc_id),
+               hev AS (
+                 SELECT CAST(count(t.doc_id) AS BIGINT) AS n_hits,
+                        MIN(CASE WHEN t.doc_id IS NOT NULL THEN h.rank END) AS first_rel
+                 FROM sysh h LEFT JOIN truthh t ON t.doc_id = h.doc_id)
+               SELECT * FROM (
+                 SELECT 'ann_refine' AS system, CAST(10 AS BIGINT) AS k, n_hits, first_rel,
+                        round(CAST(n_hits AS DOUBLE) / CAST(10 AS DOUBLE), 9) AS recall,
+                        round(coalesce(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE), 0), 9) AS mrr
+                 FROM aev
+                 UNION ALL
+                 SELECT 'hybrid_ann' AS system, CAST(10 AS BIGINT) AS k, n_hits, first_rel,
+                        round(CAST(n_hits AS DOUBLE) / CAST(10 AS DOUBLE), 9) AS recall,
+                        round(coalesce(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE), 0), 9) AS mrr
+                 FROM hev)
+               ORDER BY system"""),
+      "Retrieval-quality eval as a declared readout: recall@10 + MRR of the " +
+        "IVFADC+refine ranking vs the exact-cosine truth and of the ANN-legged " +
+        "hybrid vs the brute-fused truth — exact integer hit counts and ranks, one " +
+        "rounded double division per metric (no float averaging); oracle re-derives " +
+        "all four rankings from the materialized artifacts and scores identically",
       aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) })
   )
 }

@@ -322,6 +322,12 @@ class ScaleShapeSpec extends AnyFunSuite {
     // candidate stage's agg/sort pairs; every stage stays RefineR- or
     // K-bounded
     "q_hybrid_rrf_ann" -> 26,
+    // r16 retrieval eval: FOUR composed rankings (exact-cosine truth +
+    // ADC refine, each used twice: standalone and as a fusion leg) plus
+    // two K-bounded fusions and the two 10-row hit joins — the union of
+    // the q_ann_ivf_pq_refine and both-hybrid chains' exchanges; every
+    // post-probe stage is 10-to-100-row bounded, truths broadcast
+    "q_retrieval_eval" -> 52,
     // mix epoch: the targets agg pair (the `per` subtree plans twice —
     // tot derives from it, the q_langid_nb AQE-reuse precedent) + the
     // sources×buckets offsets agg pair (the corpus-keyed `based` subtree
