@@ -38,6 +38,8 @@ import graft.ocds.Metadata
   *                                              (near-dup payoff report over the
   *                                               collection's documents; no reference
   *                                               analogue — the LLM-corpus surface)
+  *   corpus-build <lake> <collectionId>         (full build manifest: per-stage
+  *                                               per-source attrition table)
   *   corpus-select <lake> <collectionId>        (corpus-selection funnel over the
   *                                               collection's documents)
   *   substr-dedup <lake> <collectionId> [--width N]
@@ -778,6 +780,29 @@ object Cli {
           }
       }
 
+    case "corpus-build" :: lake :: id :: Nil =>
+      // the end-to-end corpus BUILD manifest over a loaded collection's
+      // documents (the q_corpus_build engine): per-stage, per-source
+      // attrition through Gopher → C4 lines → exact dedup →
+      // decontamination → quality gate → train split → mix targets
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          TextQueries.corpusBuildOf(docs).collect().foreach { r =>
+            val tgt = if (r.isNullAt(5)) "" else s" n_target=${r.getAs[Long]("n_target")}"
+            println(s"stage=${r.getAs[Long]("stage_idx")}:${r.getAs[String]("stage")}" +
+              s" source=${r.getAs[String]("source")}" +
+              s" n_docs=${r.getAs[Long]("n_docs")}" +
+              s" n_tokens=${r.getAs[Long]("n_tokens")}$tgt")
+          }
+      }
+
     case "c4-lines" :: lake :: id :: Nil =>
       // C4 line-level boilerplate rollup over a loaded collection's raw
       // documents (the q_c4_lines engine; collection docs are single-line
@@ -1243,6 +1268,7 @@ object Cli {
            |  metadata <lake> <compiledId>
            |  notes <lake> <rootId> [LEVEL...] [--limit N]
            |  dedup <lake> <collectionId> [--checkpoint-dir DIR] [--max-bucket N]
+           |  corpus-build <lake> <collectionId>
            |  corpus-select <lake> <collectionId>
            |  quality-gate <lake> <collectionId>
            |  gopher-rules <lake> <collectionId>

@@ -659,6 +659,165 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** END-TO-END corpus build manifest over a (source, doc_id, text) frame
+    * — the q_corpus_build engine (VERDICT r15 Next #5): the now-complete
+    * curation rungs composed in their production order, each stage
+    * filtering the previous stage's survivors, with a per-stage,
+    * per-source attrition table as the output — the dataset card's "how
+    * we got here" half. Stages (all predicates are the standalone
+    * operators' own spellings, so the manifest and the per-rung queries
+    * cannot disagree — population consistency is pinned in
+    * CorpusPipelineSpec):
+    *   0 raw            — the input corpus;
+    *   1 gopher         — [[gopherRulesOf]]'s six document rules;
+    *   2 c4_lines       — the q_c4_lines page derivation; a doc survives
+    *                      iff not lorem-dropped and ≥1 line passes (the
+    *                      line filter is a TRANSFORM in production; here
+    *                      the manifest records its document attrition);
+    *   3 exact_dedup    — min-doc_id keeper election per content
+    *                      fingerprint among the survivors;
+    *   4 decontaminate  — drop the eval hash-slice itself and every doc
+    *                      sharing a 4-token shingle with it
+    *                      (q_decontaminate's broadcast-semi shape);
+    *   5 quality_gate   — [[qualityGateOf]]'s per-source bottom-decile
+    *                      rank cut among the remaining docs;
+    *   6 split_train    — keep the train 90% of the content-stable split;
+    *   7 mix_targets    — [[sourceMixOf]]'s sqrt-temperature target draw
+    *                      over the final train set (same population as 6;
+    *                      n_target non-null only here).
+    * Output: (stage_idx, stage, source, n_docs, n_tokens, n_target),
+    * ordered (stage_idx, source); a source whose docs all die at a stage
+    * simply has no row from that stage on.
+    *
+    * Shape — the 100 TB constraint that drove the spelling: every stage
+    * is a CUMULATIVE per-row flag computed in ONE pass (the
+    * corpusSelectOf idiom), so the whole manifest costs one corpus scan
+    * + the fingerprint window + the decontamination join + one
+    * source-keyed window pair + ONE per-source aggregation — NOT a
+    * per-stage re-aggregation of the survivor chain, which would replan
+    * the corpus subtree once per stage (8 scans; the first cut of this
+    * operator measured 76 exchanges vs this plan's one-scan shape). The
+    * quality-gate rank among survivors is the conditional-sum window
+    * (survivor count over (score ASC, doc_id ASC) ROWS UNBOUNDED
+    * PRECEDING — bit-identical to row_number over the filtered set since
+    * doc_id totalizes the order); the stage rows then EXPLODE from the
+    * single sources-bounded aggregate row, and the mix normalizer is a
+    * global window over that same bounded frame (never a recompute). */
+  private[graft] def corpusBuildOf(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftExtensions.ensureRegistered(docsIn.sparkSession)
+    val toks = tokens(col("text"))
+    val nw = size(toks).cast(LongType)
+    val sumLen = (length(col("text")) - (nw - 1)).cast(LongType)
+    val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
+    val stops = size(filter(toks, t => t.isin(enStop: _*))).cast(LongType)
+    val syms = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast(LongType)
+    val uniq = size(array_distinct(toks)).cast(LongType)
+    val gopherPass = (nw >= 20 && nw <= 100000) &&
+      (nw * 3 <= sumLen && sumLen <= nw * 10) &&
+      (alpha * 5 >= nw * 4) && (stops >= 2) && (syms * 10 < nw) &&
+      (uniq * 2 >= nw)
+    // the q_c4_lines page derivation (6-token lines, '.' on even-length
+    // lines) — the corpus is single-line and punctuation-free, so the
+    // line rules need derived pages to bite on; same spelling there
+    val dtoks = split(coalesce(col("text"), lit("")), " ")
+    val mkLine = (i: Column) => array_join(slice(dtoks, i * 6 + 1, lit(6)), " ")
+    val withDot = (i: Column) =>
+      when(length(mkLine(i)) % 2 === 0, concat(mkLine(i), lit(".")))
+        .otherwise(mkLine(i))
+    val nLines = ((size(dtoks) + lit(5)) / lit(6)).cast(IntegerType)
+    val mtext = array_join(
+      transform(sequence(lit(0), nLines - 1), i => withDot(i)), "\n")
+    val mlines = split(mtext, "\n")
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"]$") && size(split(l, " ")) >= 3 &&
+        !(contains(l, lit("{")) || contains(l, lit("}"))) &&
+        !contains(lower(l), lit("javascript")) &&
+        !contains(lower(l), lit("cookie"))
+    val c4Pass = !contains(lower(mtext), lit("lorem ipsum")) &&
+      size(filter(mlines, keepLine)) >= 1
+    val base = docsIn.select(
+      col("source"), col("doc_id"), nw.as("n_tok"),
+      gopherPass.as("g_ok"), c4Pass.as("c4_ok"),
+      md5(concat_ws(" ", tokenSet(col("text")))).as("fp"),
+      (pmod(col("doc_id"), lit(97)) === 0).as("is_eval"),
+      (stops.cast(DoubleType) / size(toks)).as("score"),
+      md5Bucket(col("doc_id")).as("bucket"))
+    // decontamination side input: q_decontaminate's shape — eval grams
+    // stay benchmark-sized (broadcast at any train scale)
+    val grams = call_function("token_grams", toks, lit(4))
+    val shingled = docsIn.filter(size(toks) >= 4)
+      .select(col("doc_id"), explode_outer(grams).as("gram"))
+    val evalGrams = shingled.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select("gram").distinct()
+    val contaminated = shingled.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .select("doc_id").distinct()
+    // cumulative per-row survival flags — one pass, no survivor-chain
+    // re-aggregation (see the shape note above)
+    val sv2 = col("g_ok") && col("c4_ok")
+    val keeperOk = sv2 &&
+      col("doc_id") === min(when(sv2, col("doc_id"))).over(Window.partitionBy("fp"))
+    // contaminated grows with the corpus — SHUFFLE_HASH, never an
+    // estimate-driven broadcast (the robust-joins house rule)
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("score").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSrc = Window.partitionBy("source")
+    val flagged = base
+      .withColumn("keeper_ok", keeperOk)
+      .join(contaminated.withColumn("contam", lit(true)).hint("SHUFFLE_HASH"),
+        Seq("doc_id"), "left")
+      .withColumn("decon_ok",
+        col("keeper_ok") && !col("is_eval") && col("contam").isNull)
+      .withColumn("srank",
+        sum(when(col("decon_ok"), 1L).otherwise(0L)).over(wRank))
+      .withColumn("nsurv",
+        sum(when(col("decon_ok"), 1L).otherwise(0L)).over(wSrc))
+      .withColumn("qg_ok", col("decon_ok") && col("srank") > expr("(nsurv + 9) div 10"))
+      .withColumn("train_ok", col("qg_ok") && col("bucket") < 90)
+    def cnt(c: Column, name: String) = sum(when(c, 1L).otherwise(0L)).as(name)
+    def tok(c: Column, name: String) =
+      sum(when(c, col("n_tok")).otherwise(0L)).as(name)
+    val per = flagged.groupBy(col("source")).agg(
+      count(lit(1)).as("n0"), sum(col("n_tok")).as("t0"),
+      cnt(col("g_ok"), "n1"), tok(col("g_ok"), "t1"),
+      cnt(sv2, "n2"), tok(sv2, "t2"),
+      cnt(col("keeper_ok"), "n3"), tok(col("keeper_ok"), "t3"),
+      cnt(col("decon_ok"), "n4"), tok(col("decon_ok"), "t4"),
+      cnt(col("qg_ok"), "n5"), tok(col("qg_ok"), "t5"),
+      cnt(col("train_ok"), "n6"), tok(col("train_ok"), "t6"))
+    val Dec = DecimalType(38, 18)
+    // the mix normalizer is a global window over the SOURCES-bounded
+    // aggregate frame — never a recompute of the corpus subtree
+    val share = round(
+      col("w_dec").cast(DoubleType) / col("w_tot").cast(DoubleType), 9)
+    val nullT = lit(null).cast(LongType)
+    def st(idx: Long, name: String, n: Column, t: Column, tgt: Column) =
+      struct(lit(idx).as("stage_idx"), lit(name).as("stage"),
+        n.as("n_docs"), t.as("n_tokens"), tgt.as("n_target"))
+    per
+      .withColumn("w_dec", sqrt(col("t6").cast(DoubleType)).cast(Dec))
+      .withColumn("w_tot",
+        sum(col("w_dec")).over(Window.partitionBy()).cast(Dec))
+      .withColumn("n_target",
+        floor(lit(100000.0) * share).cast(LongType))
+      .select(col("source"), explode(array(
+        st(0L, "raw", col("n0"), col("t0"), nullT),
+        st(1L, "gopher", col("n1"), col("t1"), nullT),
+        st(2L, "c4_lines", col("n2"), col("t2"), nullT),
+        st(3L, "exact_dedup", col("n3"), col("t3"), nullT),
+        st(4L, "decontaminate", col("n4"), col("t4"), nullT),
+        st(5L, "quality_gate", col("n5"), col("t5"), nullT),
+        st(6L, "split_train", col("n6"), col("t6"), nullT),
+        st(7L, "mix_targets", col("n6"), col("t6"), col("n_target")))).as("s"))
+      .filter(col("s.n_docs") > 0)
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("source"), col("s.n_docs").as("n_docs"),
+        col("s.n_tokens").as("n_tokens"), col("s.n_target").as("n_target"))
+      .orderBy("stage_idx", "source")
+  }
+
   /** Per-source bottom-decile quality gate over a (source, doc_id, text)
     * frame — the q_quality_gate engine, reused by `Cli quality-gate`.
     * Data-driven gating: production pipelines don't use fixed thresholds
@@ -2852,6 +3011,145 @@ object TextQueries {
         "keeper election among survivors (conditional min window) → deterministic " +
         "hash sampling, with per-source attrition and selected-token totals — the " +
         "composed training-set build the individual signal queries feed"),
+
+    QueryDef(
+      "q_corpus_build", Seq("W1", "A4", "F5", "J5", "P2"),
+      (s, d) => corpusBuildOf(Tables.documents(s, d)),
+      Some(s"""WITH base AS (
+                 SELECT source, doc_id, text,
+                        string_split(text, ' ') AS toks,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM documents),
+               m AS (
+                 SELECT source, doc_id, text, toks, n_tok,
+                        len(toks) AS nw,
+                        length(text) - (len(toks) - 1) AS sumlen,
+                        len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS alpha,
+                        len(list_filter(toks,
+                            t -> t IN (${enStop.map("'" + _ + "'").mkString(",")}))) AS stops,
+                        len(regexp_extract_all(text, '#|\\.\\.\\.')) AS syms,
+                        len(list_distinct(toks)) AS uniq
+                 FROM base),
+               c4m AS (
+                 SELECT source, doc_id,
+                        array_to_string(
+                          list_transform(range((len(toks)+5)//6), i ->
+                            CASE WHEN length(array_to_string(toks[(i*6+1):(i*6+6)], ' ')) % 2 = 0
+                                 THEN array_to_string(toks[(i*6+1):(i*6+6)], ' ') || '.'
+                                 ELSE array_to_string(toks[(i*6+1):(i*6+6)], ' ') END),
+                          chr(10)) AS mtext
+                 FROM base),
+               c4 AS (
+                 SELECT source, doc_id,
+                        NOT contains(lower(mtext), 'lorem ipsum')
+                        AND len(list_filter(string_split(mtext, chr(10)), l ->
+                              regexp_matches(l, '[.!?"]$$')
+                              AND len(string_split(l, ' ')) >= 3
+                              AND NOT contains(l, '{') AND NOT contains(l, '}')
+                              AND NOT contains(lower(l), 'javascript')
+                              AND NOT contains(lower(l), 'cookie'))) >= 1 AS c4_ok
+                 FROM c4m),
+               feat AS (
+                 SELECT m.source, m.doc_id, m.n_tok,
+                        (m.nw BETWEEN 20 AND 100000)
+                          AND (m.nw * 3 <= m.sumlen AND m.sumlen <= m.nw * 10)
+                          AND (m.alpha * 5 >= m.nw * 4) AND (m.stops >= 2)
+                          AND (m.syms * 10 < m.nw) AND (m.uniq * 2 >= m.nw) AS g_ok,
+                        c4.c4_ok,
+                        md5(array_to_string(list_sort(list_distinct(string_split(m.text, ' '))), ' '))
+                          AS fp,
+                        m.doc_id % 97 = 0 AS is_eval,
+                        CAST(m.stops AS DOUBLE) / m.nw AS score,
+                        ('0x' || substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+                          AS bucket
+                 FROM m JOIN c4 USING (source, doc_id)),
+               g AS (
+                 SELECT doc_id,
+                        unnest([array_to_string(t[i:i+3], ' ')
+                                for i in generate_series(1, len(t) - 3)]) AS gram
+                 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                       WHERE len(string_split(text, ' ')) >= 4)),
+               evg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+               cont AS (
+                 SELECT DISTINCT g.doc_id FROM g JOIN evg USING (gram)
+                 WHERE g.doc_id % 97 <> 0),
+               s1 AS (SELECT * FROM feat WHERE g_ok),
+               s2 AS (SELECT * FROM s1 WHERE c4_ok),
+               s3 AS (
+                 SELECT * FROM (
+                   SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM s2)
+                 WHERE doc_id = keeper),
+               s4 AS (
+                 SELECT * FROM s3
+                 WHERE NOT is_eval AND doc_id NOT IN (SELECT doc_id FROM cont)),
+               s5 AS (
+                 SELECT * FROM (
+                   SELECT *,
+                          ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY score ASC, doc_id ASC) AS rn,
+                          COUNT(*) OVER (PARTITION BY source) AS n
+                   FROM s4)
+                 WHERE rn > (n + 9) // 10),
+               s6 AS (SELECT * FROM s5 WHERE bucket < 90),
+               p6 AS (
+                 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                 FROM s6 GROUP BY source),
+               w AS (
+                 SELECT source, n_docs, n_tokens,
+                        CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18)) AS w_dec
+                 FROM p6),
+               t2 AS (SELECT CAST(sum(w_dec) AS DECIMAL(38,18)) AS w_tot FROM w),
+               st AS (
+                 SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage, source,
+                        CAST(count(*) AS BIGINT) AS n_docs,
+                        CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                        CAST(NULL AS BIGINT) AS n_target
+                 FROM feat GROUP BY source
+                 UNION ALL
+                 SELECT CAST(1 AS BIGINT), 'gopher', source,
+                        CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
+                        CAST(NULL AS BIGINT)
+                 FROM s1 GROUP BY source
+                 UNION ALL
+                 SELECT CAST(2 AS BIGINT), 'c4_lines', source,
+                        CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
+                        CAST(NULL AS BIGINT)
+                 FROM s2 GROUP BY source
+                 UNION ALL
+                 SELECT CAST(3 AS BIGINT), 'exact_dedup', source,
+                        CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
+                        CAST(NULL AS BIGINT)
+                 FROM s3 GROUP BY source
+                 UNION ALL
+                 SELECT CAST(4 AS BIGINT), 'decontaminate', source,
+                        CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
+                        CAST(NULL AS BIGINT)
+                 FROM s4 GROUP BY source
+                 UNION ALL
+                 SELECT CAST(5 AS BIGINT), 'quality_gate', source,
+                        CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
+                        CAST(NULL AS BIGINT)
+                 FROM s5 GROUP BY source
+                 UNION ALL
+                 SELECT CAST(6 AS BIGINT), 'split_train', source,
+                        CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
+                        CAST(NULL AS BIGINT)
+                 FROM s6 GROUP BY source
+                 UNION ALL
+                 SELECT CAST(7 AS BIGINT), 'mix_targets', source, n_docs, n_tokens,
+                        CAST(floor(100000.0 * round(CAST(w_dec AS DOUBLE)
+                                                    / CAST(w_tot AS DOUBLE), 9)) AS BIGINT)
+                 FROM w, t2)
+               SELECT stage_idx, stage, source, n_docs, n_tokens, n_target
+               FROM st ORDER BY stage_idx, source"""),
+      "End-to-end corpus BUILD manifest: Gopher doc rules → C4 line filter → exact " +
+        "dedup keeper election → eval-set decontamination → per-source bottom-decile " +
+        "quality gate → train split → sqrt-temperature mix targets, composed in " +
+        "production order with a per-stage per-source attrition table — every stage " +
+        "is the standalone operator's own spelling, replayed stage-by-stage by the " +
+        "oracle; population consistency vs the per-rung queries pinned in " +
+        "CorpusPipelineSpec"),
 
     QueryDef(
       "q_token_df", Seq("A4", "A1", "J2"),

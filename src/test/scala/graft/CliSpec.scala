@@ -238,6 +238,18 @@ class CliSpec extends AnyFunSuite {
     assert(funnel.contains("n_pass=3"))
     assert(funnel.contains("n_keeper=3"))
 
+    // the full build manifest over the same collection: the raw stage
+    // counts every doc, stage rows arrive in production order, and the
+    // mix stage carries its target draw
+    val build = run("corpus-build", lake, "1")
+    assert(build.contains("stage=0:raw source=dd_local n_docs=3"), build)
+    val stageNames = build.linesIterator
+      .map(_.split(" ")(0).stripPrefix("stage=")).toSeq.distinct
+    assert(stageNames.head === "0:raw" && stageNames.contains("1:gopher"), build)
+    if (build.contains("7:mix_targets"))
+      assert(build.linesIterator.filter(_.startsWith("stage=7:"))
+        .forall(_.contains("n_target=")), build)
+
     // exact-substring duplication: the a1/a2 pair shares long token runs
     // (identical but for the release id), the distinct doc's longest
     // shared run is 4 tokens (initiationType tender tender id) — so the

@@ -325,6 +325,56 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_corpus_build population-consistency: stages agree with the standalone rung queries") {
+    val rows = Queries.byName("q_corpus_build").run(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val byStage = rows.groupBy(_._2).view
+      .mapValues(_.map(t => t._3 -> t._4).toMap).toMap
+    // stage 0 counts the whole corpus — q_c4_lines' n_docs rollup (which
+    // runs over ALL docs) must see the identical per-source populations
+    val c4 = Queries.byName("q_c4_lines").run(s, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStage("raw") === c4)
+    // the gopher stage's survivors == q_gopher_rules' n_pass per source
+    val gopher = Queries.byName("q_gopher_rules").run(s, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_pass")).toMap
+    assert(byStage("gopher") === gopher.filter(_._2 > 0))
+    // attrition is monotone: each stage's per-source count never exceeds
+    // the previous stage's (mix_targets shares split_train's population)
+    val order = Seq("raw", "gopher", "c4_lines", "exact_dedup",
+      "decontaminate", "quality_gate", "split_train")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      byStage.getOrElse(b, Map.empty).foreach { case (src, n) =>
+        assert(n <= byStage(a).getOrElse(src, 0L), s"$b > $a for $src")
+      }
+    }
+    assert(byStage("mix_targets") === byStage("split_train"))
+    // the funnel genuinely sheds at the data-driven stages on this corpus
+    assert(byStage("quality_gate").values.sum < byStage("decontaminate").values.sum)
+    assert(byStage("split_train").values.sum < byStage("quality_gate").values.sum)
+    // mix targets re-derive from the final token counts (sourceMixOf's
+    // exact spelling, checked independently of the oracle)
+    val toksBySrc = rows.filter(_._2 == "split_train")
+      .map(t => t._3 -> t._4).toMap
+    val fullRows = Queries.byName("q_corpus_build").run(s, dir).collect()
+    val trainToks = fullRows.filter(_.getString(1) == "split_train")
+      .map(r => r.getString(2) -> r.getLong(4)).toMap
+    val targets = fullRows.filter(_.getString(1) == "mix_targets")
+      .map(r => r.getString(2) -> r.getLong(5)).toMap
+    val wTot = trainToks.values.toSeq.sorted
+      .map(t => BigDecimal(math.sqrt(t.toDouble))
+        .setScale(18, BigDecimal.RoundingMode.HALF_UP)).sum
+    targets.foreach { case (src, tgt) =>
+      val share = BigDecimal(
+        (BigDecimal(math.sqrt(trainToks(src).toDouble))
+          .setScale(18, BigDecimal.RoundingMode.HALF_UP) / wTot).toDouble)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      assert(tgt === (share * 100000).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong,
+        s"mix target mismatch for $src")
+    }
+    assert(toksBySrc.nonEmpty)
+  }
+
   test("multi-epoch determinism: distinct epochIdx permutes, identical epochIdx is byte-identical") {
     import s.implicits._
     val rows = (1L to 40L).map(i =>

@@ -328,6 +328,12 @@ class ScaleShapeSpec extends AnyFunSuite {
     // the q_ann_ivf_pq_refine and both-hybrid chains' exchanges; every
     // post-probe stage is 10-to-100-row bounded, truths broadcast
     "q_retrieval_eval" -> 52,
+    // r16 corpus-build manifest — the ONE-PASS cumulative-flag shape:
+    // fingerprint window + decon join (shingle explode/distinct pair +
+    // SHUFFLE_HASH) + the source rank/count window pair + one per-source
+    // aggregation + the bounded mix window + final sort. The naive
+    // stage-chain union measured 76; this is the scan-once spelling.
+    "q_corpus_build" -> 14,
     // mix epoch: the targets agg pair (the `per` subtree plans twice —
     // tot derives from it, the q_langid_nb AQE-reuse precedent) + the
     // sources×buckets offsets agg pair (the corpus-keyed `based` subtree
