@@ -740,7 +740,15 @@ object Cli {
                   try {
                     Sink.writeShards(wins, dir, orderCols = Seq("window_id"))
                     val nWin = wins.count()
-                    val nTok = wins.agg(sum(col("n_tokens"))).head().getLong(0)
+                    // coalesce: a fully-floored tiny budget yields ZERO
+                    // windows and sum() over none is null (the appendBatch
+                    // totals discipline) — report the empty export, don't NPE
+                    val nTok = wins.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+                      .head().getLong(0)
+                    if (nWin == 0)
+                      System.err.println(s"WARNING: packed epoch realized 0" +
+                        " windows (per-source targets are floored; small" +
+                        " budgets can floor every source to zero)")
                     println(s"exported packed epoch (budget=$b, windows=$nWin," +
                       s" tokens=$nTok) of collection $cid to $dir shards=$nShards")
                   } finally { wins.unpersist(); () }
@@ -922,15 +930,12 @@ object Cli {
             s"collection $cid has no documents (release/record rows)")
           sys.exit(2)
         case Some(docs) =>
+          // aside-build + swap (PostingsStore.rebuild): the previous index
+          // survives until the replacement is fully built — a failed build
+          // job leaves the old store serving, never a deleted one
           val store = graft.streaming.Streaming.bm25IndexPath(lake, cid)
-          val dir = java.nio.file.Paths.get(store)
-          if (java.nio.file.Files.exists(dir)) {
-            import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(dir).iterator.asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.delete)
-          }
-          val tot = graft.streaming.PostingsStore.appendBatch(
-            store, docs.select(col("doc_id"), col("text")), batchId = 0L)
+          val tot = graft.streaming.PostingsStore.rebuild(
+            store, docs.select(col("doc_id"), col("text")))
           println(s"indexed collection $cid: n_docs=${tot.nDocs}" +
             s" n_tokens=${tot.tAll} store=$store")
       }

@@ -770,22 +770,31 @@ object Pipeline {
       case None => facts.withColumn(
         "package_data", lit(null).cast(org.apache.spark.sql.types.StringType))
     }
-    val rows = withPkg
+    val rows0 = withPkg
       .select(Checker.checkId.as("id"), col("data"), col("package_data"))
-    // whole-collection passes anti-join the full slice; a files-restricted
-    // (streaming) pass prunes it to the batch ids' buckets — O(batch
-    // share), not O(stream lifetime) (VERDICT r15 finding #1)
-    val existing = checkedSlice(spark, lakeDir, checkTable, cid,
-      if (files.isDefined) Some(rows) else None)
-    val checks = Checker.checkUnchecked(rows, existing, kind, spark)
-      .toDF().withColumn("collection_id", lit(cid)).persist()
-    // count BEFORE the append: the plan reads the check table (the
-    // anti-join side) lazily, so evaluating it after writing to the
-    // same table would anti-join the rows against themselves → checked=0
-    val result = (checks.count(), checks.filter(!col("ok")).count())
-    Sink.writeChecks(checks, s"$lakeDir/$checkTable")
-    checks.unpersist()
-    Some(result)
+    // the streaming slice feeds rows TWICE — the driver-side touched-
+    // bucket collect and the anti-join probe; persist so the md5-heavy
+    // check-id projection and the package join run once per batch, not
+    // twice (code-review r16). Whole-collection passes read rows once.
+    val rows = if (files.isDefined) rows0.persist() else rows0
+    try {
+      // whole-collection passes anti-join the full slice; a files-restricted
+      // (streaming) pass prunes it to the batch ids' buckets — O(batch
+      // share), not O(stream lifetime) (VERDICT r15 finding #1)
+      val existing = checkedSlice(spark, lakeDir, checkTable, cid,
+        if (files.isDefined) Some(rows) else None)
+      val checks = Checker.checkUnchecked(rows, existing, kind, spark)
+        .toDF().withColumn("collection_id", lit(cid)).persist()
+      // count BEFORE the append: the plan reads the check table (the
+      // anti-join side) lazily, so evaluating it after writing to the
+      // same table would anti-join the rows against themselves → checked=0
+      val result = (checks.count(), checks.filter(!col("ok")).count())
+      Sink.writeChecks(checks, s"$lakeDir/$checkTable")
+      checks.unpersist()
+      Some(result)
+    } finally {
+      if (files.isDefined) { rows.unpersist(); () }
+    }
   }
 
   /** The already-checked slice a check pass anti-joins against. With

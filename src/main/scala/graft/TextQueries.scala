@@ -708,34 +708,14 @@ object TextQueries {
     graft.functions.GraftExtensions.ensureRegistered(docsIn.sparkSession)
     val toks = tokens(col("text"))
     val nw = size(toks).cast(LongType)
-    val sumLen = (length(col("text")) - (nw - 1)).cast(LongType)
-    val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
     val stops = size(filter(toks, t => t.isin(enStop: _*))).cast(LongType)
-    val syms = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast(LongType)
-    val uniq = size(array_distinct(toks)).cast(LongType)
-    val gopherPass = (nw >= 20 && nw <= 100000) &&
-      (nw * 3 <= sumLen && sumLen <= nw * 10) &&
-      (alpha * 5 >= nw * 4) && (stops >= 2) && (syms * 10 < nw) &&
-      (uniq * 2 >= nw)
-    // the q_c4_lines page derivation (6-token lines, '.' on even-length
-    // lines) — the corpus is single-line and punctuation-free, so the
-    // line rules need derived pages to bite on; same spelling there
-    val dtoks = split(coalesce(col("text"), lit("")), " ")
-    val mkLine = (i: Column) => array_join(slice(dtoks, i * 6 + 1, lit(6)), " ")
-    val withDot = (i: Column) =>
-      when(length(mkLine(i)) % 2 === 0, concat(mkLine(i), lit(".")))
-        .otherwise(mkLine(i))
-    val nLines = ((size(dtoks) + lit(5)) / lit(6)).cast(IntegerType)
-    val mtext = array_join(
-      transform(sequence(lit(0), nLines - 1), i => withDot(i)), "\n")
-    val mlines = split(mtext, "\n")
-    val keepLine = (l: Column) =>
-      l.rlike("[.!?\"]$") && size(split(l, " ")) >= 3 &&
-        !(contains(l, lit("{")) || contains(l, lit("}"))) &&
-        !contains(lower(l), lit("javascript")) &&
-        !contains(lower(l), lit("cookie"))
+    // the SHARED rule spellings (GopherRules / c4DerivedPage + c4LineKeep)
+    // — the manifest's stages are the standalone operators' own
+    // expressions by construction, not copies that can drift
+    val gopherPass = GopherRules.pass
+    val mtext = c4DerivedPage
     val c4Pass = !contains(lower(mtext), lit("lorem ipsum")) &&
-      size(filter(mlines, keepLine)) >= 1
+      size(filter(split(mtext, "\n"), l => c4LineKeep(l))) >= 1
     val base = docsIn.select(
       col("source"), col("doc_id"), nw.as("n_tok"),
       gopherPass.as("g_ok"), c4Pass.as("c4_ok"),
@@ -837,30 +817,39 @@ object TextQueries {
     * is a pure per-row predicate with its ratio threshold cross-
     * multiplied into integer arithmetic (no float compares); one
     * map-side-combined per-source aggregation. */
-  private[graft] def gopherRulesOf(docsIn: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nw = size(toks).cast(LongType)
+  /** The six Gopher rule fail-flags over `col("text")` — THE one spelling
+    * shared by [[gopherRulesOf]] (per-rule counts) and [[corpusBuildOf]]
+    * (the combined gate), so the manifest's gopher stage and the
+    * standalone rollup cannot drift (the bm25ScoreExpr discipline applied
+    * here — code-review r16). */
+  private object GopherRules {
+    private val toks = tokens(col("text"))
+    private val nw = size(toks).cast(LongType)
     // single-space tokenization invariant (the house rule): total
     // token characters = text length minus the nw-1 separators
-    val sumLen = (length(col("text")) - (nw - 1)).cast(LongType)
-    val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
-    val stops = size(filter(toks, t => t.isin(enStop: _*))).cast(LongType)
-    val syms = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast(LongType)
-    val uniq = size(array_distinct(toks)).cast(LongType)
-    val fWords = !(nw >= 20 && nw <= 100000)
-    val fMeanLen = !(nw * 3 <= sumLen && sumLen <= nw * 10)
-    val fAlpha = !(alpha * 5 >= nw * 4)
-    val fStop = !(stops >= 2)
-    val fSymbol = !(syms * 10 < nw)
-    val fRep = !(uniq * 2 >= nw)
+    private val sumLen = (length(col("text")) - (nw - 1)).cast(LongType)
+    private val alpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast(LongType)
+    private val stops = size(filter(toks, t => t.isin(enStop: _*))).cast(LongType)
+    private val syms = regexp_count(col("text"), lit("#|\\.\\.\\.")).cast(LongType)
+    private val uniq = size(array_distinct(toks)).cast(LongType)
+    val fWords: Column = !(nw >= 20 && nw <= 100000)
+    val fMeanLen: Column = !(nw * 3 <= sumLen && sumLen <= nw * 10)
+    val fAlpha: Column = !(alpha * 5 >= nw * 4)
+    val fStop: Column = !(stops >= 2)
+    val fSymbol: Column = !(syms * 10 < nw)
+    val fRep: Column = !(uniq * 2 >= nw)
+    val pass: Column = !fWords && !fMeanLen && !fAlpha && !fStop && !fSymbol && !fRep
+  }
+
+  private[graft] def gopherRulesOf(docsIn: DataFrame): DataFrame = {
+    import GopherRules._
     def cnt(c: Column, name: String) =
       sum(when(c, 1L).otherwise(0L)).as(name)
     docsIn
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        cnt(!fWords && !fMeanLen && !fAlpha && !fStop && !fSymbol && !fRep,
-          "n_pass"),
+        cnt(pass, "n_pass"),
         cnt(fWords, "fail_words"), cnt(fMeanLen, "fail_meanlen"),
         cnt(fAlpha, "fail_alpha"), cnt(fStop, "fail_stop"),
         cnt(fSymbol, "fail_symbol"), cnt(fRep, "fail_rep"))
@@ -897,17 +886,45 @@ object TextQueries {
     * is codegen'd higher-order functions over the split line array — one
     * narrow per-row stage, no shuffle at any corpus size (callers
     * aggregate or write; the q_c4_lines demo rolls up per source). */
+  // The five C4 line rules — ONE spelling each, shared by [[c4LinesOf]]
+  // (per-rule counts over real \r-stripped lines), the q_c4_lines demo
+  // and [[corpusBuildOf]]'s stage gate (code-review r16: the manifest
+  // previously copy-pasted them, the exact drift hazard the shared
+  // bm25ScoreExpr closes for retrieval).
+  private def c4PunctOk(l: Column): Column = l.rlike("[.!?\"]$")
+  private def c4WordsOk(l: Column): Column = size(split(l, " ")) >= 3
+  private def c4BraceOk(l: Column): Column =
+    !(contains(l, lit("{")) || contains(l, lit("}")))
+  private def c4JsOk(l: Column): Column = !contains(lower(l), lit("javascript"))
+  private def c4CookieOk(l: Column): Column = !contains(lower(l), lit("cookie"))
+  private def c4LineKeep(l: Column): Column =
+    c4PunctOk(l) && c4WordsOk(l) && c4BraceOk(l) && c4JsOk(l) && c4CookieOk(l)
+
+  /** The deterministic multi-line page derivation over `col("text")`
+    * (6-token lines, '.' appended on even character length) the
+    * single-line punctuation-free corpus needs before the C4 line rules
+    * can bite — shared by the q_c4_lines demo and [[corpusBuildOf]]'s C4
+    * stage; every step re-derivable by the oracles. */
+  private def c4DerivedPage: Column = {
+    val toks = split(coalesce(col("text"), lit("")), " ")
+    val mkLine = (i: Column) => array_join(slice(toks, i * 6 + 1, lit(6)), " ")
+    val withDot = (i: Column) =>
+      when(length(mkLine(i)) % 2 === 0, concat(mkLine(i), lit(".")))
+        .otherwise(mkLine(i))
+    val nLines = ((size(toks) + lit(5)) / lit(6)).cast(IntegerType)
+    array_join(transform(sequence(lit(0), nLines - 1), i => withDot(i)), "\n")
+  }
+
   private[graft] def c4LinesOf(docsIn: DataFrame): DataFrame = {
     val lines = transform(
       split(coalesce(col("text"), lit("")), "\n"),
       l => regexp_replace(l, "\r$", ""))
-    val punctOk = (l: Column) => l.rlike("[.!?\"]$")
-    val wordsOk = (l: Column) => size(split(l, " ")) >= 3
-    val braceOk = (l: Column) => !(contains(l, lit("{")) || contains(l, lit("}")))
-    val jsOk = (l: Column) => !contains(lower(l), lit("javascript"))
-    val cookieOk = (l: Column) => !contains(lower(l), lit("cookie"))
-    val keep = (l: Column) =>
-      punctOk(l) && wordsOk(l) && braceOk(l) && jsOk(l) && cookieOk(l)
+    val punctOk = c4PunctOk _
+    val wordsOk = c4WordsOk _
+    val braceOk = c4BraceOk _
+    val jsOk = c4JsOk _
+    val cookieOk = c4CookieOk _
+    val keep = c4LineKeep _
     val lorem = contains(lower(coalesce(col("text"), lit(""))), lit("lorem ipsum"))
     def nFail(name: String, bad: Column => Column): Column =
       size(filter(lines, l => bad(l))).cast(LongType).as(name)
@@ -1557,17 +1574,9 @@ object TextQueries {
         // cannot fire on this vocabulary — the rollup counts their
         // zeroes, verifying the arithmetic the q_gopher_rules way. A
         // real run passes its own '\n'-separated pages to c4LinesOf.
-        val toks = split(coalesce(col("text"), lit("")), " ")
-        val mkLine = (i: Column) => array_join(slice(toks, i * 6 + 1, lit(6)), " ")
-        val withDot = (i: Column) =>
-          when(length(mkLine(i)) % 2 === 0, concat(mkLine(i), lit(".")))
-            .otherwise(mkLine(i))
-        val nLines = ((size(toks) + lit(5)) / lit(6)).cast(IntegerType)
-        val mtext = array_join(
-          transform(sequence(lit(0), nLines - 1), i => withDot(i)), "\n")
         c4LinesOf(
           Tables.documents(s, d)
-            .select(col("source"), col("doc_id"), mtext.as("text")))
+            .select(col("source"), col("doc_id"), c4DerivedPage.as("text")))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),

@@ -127,6 +127,24 @@ object VectorQueries {
         .cast(LongType).as("rank_lex"))
   }
 
+  /** The RRF-fused oracle CTE over two rank CTEs (`lexCte` must expose
+    * (doc_id, rank_lex), `denseCte` (doc_id, rank_dense)) — ONE SQL
+    * spelling of [[rrfFuseOf]]'s bit-stable cross-multiplied arithmetic,
+    * composed by the q_hybrid_rrf, q_hybrid_rrf_ann and q_retrieval_eval
+    * oracles (which previously carried four verbatim copies of the CASE —
+    * code-review r16; the shared-oracle-CTE discipline). */
+  private def rrfFusedCteSql(name: String, lexCte: String, denseCte: String): String =
+    s"""$name AS (
+       |  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |         l.rank_lex, v.rank_dense,
+       |         CASE WHEN l.rank_lex IS NOT NULL AND v.rank_dense IS NOT NULL
+       |              THEN CAST(120 + l.rank_lex + v.rank_dense AS DOUBLE)
+       |                   / CAST((60 + l.rank_lex) * (60 + v.rank_dense) AS DOUBLE)
+       |              WHEN l.rank_lex IS NOT NULL
+       |              THEN 1.0 / CAST(60 + l.rank_lex AS DOUBLE)
+       |              ELSE 1.0 / CAST(60 + v.rank_dense AS DOUBLE) END AS rrf
+       |  FROM $lexCte l FULL OUTER JOIN $denseCte v ON l.doc_id = v.doc_id)""".stripMargin
+
   /** Reciprocal-rank fusion of two bounded rank lists — the q_hybrid_rrf
     * engine over ANY (doc_id, rank_lex) × (doc_id, rank_dense) frames
     * (ranks 1-based; each list at most K rows — the fusion is meant for
@@ -1980,16 +1998,7 @@ object VectorQueries {
                         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
                           AS rank_dense
                  FROM cosd QUALIFY rank_dense <= 100),
-               fused AS (
-                 SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
-                        l.rank_lex, v.rank_dense,
-                        CASE WHEN l.rank_lex IS NOT NULL AND v.rank_dense IS NOT NULL
-                             THEN CAST(120 + l.rank_lex + v.rank_dense AS DOUBLE)
-                                  / CAST((60 + l.rank_lex) * (60 + v.rank_dense) AS DOUBLE)
-                             WHEN l.rank_lex IS NOT NULL
-                             THEN 1.0 / CAST(60 + l.rank_lex AS DOUBLE)
-                             ELSE 1.0 / CAST(60 + v.rank_dense AS DOUBLE) END AS rrf
-                 FROM lexr l FULL OUTER JOIN dnsr v ON l.doc_id = v.doc_id)
+               ${rrfFusedCteSql("fused", "lexr", "dnsr")}
                SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
                         AS rank_fused,
                       doc_id, rank_lex, rank_dense, round(rrf, 9) AS rrf_score
@@ -2034,16 +2043,7 @@ object VectorQueries {
                         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
                           AS rank_dense
                  FROM ref),
-               fused AS (
-                 SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
-                        l.rank_lex, v.rank_dense,
-                        CASE WHEN l.rank_lex IS NOT NULL AND v.rank_dense IS NOT NULL
-                             THEN CAST(120 + l.rank_lex + v.rank_dense AS DOUBLE)
-                                  / CAST((60 + l.rank_lex) * (60 + v.rank_dense) AS DOUBLE)
-                             WHEN l.rank_lex IS NOT NULL
-                             THEN 1.0 / CAST(60 + l.rank_lex AS DOUBLE)
-                             ELSE 1.0 / CAST(60 + v.rank_dense AS DOUBLE) END AS rrf
-                 FROM lexr l FULL OUTER JOIN dnsr v ON l.doc_id = v.doc_id)
+               ${rrfFusedCteSql("fused", "lexr", "dnsr")}
                SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
                         AS rank_fused,
                       doc_id, rank_lex, rank_dense, round(rrf, 9) AS rrf_score
@@ -2141,26 +2141,10 @@ object VectorQueries {
                         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS BIGINT)
                           AS rank_dense
                  FROM ref),
-               bfused AS (
-                 SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
-                        CASE WHEN l.rank_lex IS NOT NULL AND v.rank_dense IS NOT NULL
-                             THEN CAST(120 + l.rank_lex + v.rank_dense AS DOUBLE)
-                                  / CAST((60 + l.rank_lex) * (60 + v.rank_dense) AS DOUBLE)
-                             WHEN l.rank_lex IS NOT NULL
-                             THEN 1.0 / CAST(60 + l.rank_lex AS DOUBLE)
-                             ELSE 1.0 / CAST(60 + v.rank_dense AS DOUBLE) END AS rrf
-                 FROM lexr l FULL OUTER JOIN bdnsr v ON l.doc_id = v.doc_id),
+               ${rrfFusedCteSql("bfused", "lexr", "bdnsr")},
                truthh AS (
                  SELECT doc_id FROM bfused ORDER BY rrf DESC, doc_id LIMIT 10),
-               afused AS (
-                 SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
-                        CASE WHEN l.rank_lex IS NOT NULL AND v.rank_dense IS NOT NULL
-                             THEN CAST(120 + l.rank_lex + v.rank_dense AS DOUBLE)
-                                  / CAST((60 + l.rank_lex) * (60 + v.rank_dense) AS DOUBLE)
-                             WHEN l.rank_lex IS NOT NULL
-                             THEN 1.0 / CAST(60 + l.rank_lex AS DOUBLE)
-                             ELSE 1.0 / CAST(60 + v.rank_dense AS DOUBLE) END AS rrf
-                 FROM lexr l FULL OUTER JOIN adnsr v ON l.doc_id = v.doc_id),
+               ${rrfFusedCteSql("afused", "lexr", "adnsr")},
                sysh AS (
                  SELECT doc_id,
                         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)

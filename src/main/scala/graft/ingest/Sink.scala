@@ -313,10 +313,14 @@ object Sink {
     * batch ids' buckets instead of the collection's whole check history
     * (VERDICT r15 finding #1: the anti-join side grew with stream
     * lifetime). One narrow shuffle on the partition pair keeps per-batch
-    * file counts = touched buckets. NOTE: a lake whose check tables were
-    * written by the pre-bucket layout needs a one-time rewrite (the
-    * layouts cannot mix inside one table). */
-  def writeChecks(rows: DataFrame, path: String, mode: String = "append"): Unit =
+    * file counts = touched buckets. A lake whose check tables were
+    * written by the pre-bucket (flat collection_id) layout needs a
+    * one-time rewrite: the layouts cannot mix inside one table, and an
+    * append would corrupt partition discovery for EVERY later read — so
+    * the writer FAILS FAST on a detected flat layout instead of
+    * corrupting (code-review r16). */
+  def writeChecks(rows: DataFrame, path: String, mode: String = "append"): Unit = {
+    requireBucketedCheckLayout(path)
     rows
       .withColumn("check_bucket", pmod(col("id"), lit(CheckBuckets.toLong)))
       .repartition(col("collection_id"), col("check_bucket"))
@@ -324,6 +328,35 @@ object Sink {
       .partitionBy("collection_id", "check_bucket")
       .mode(mode)
       .parquet(path)
+  }
+
+  /** Refuse to append the bucketed layout into a pre-bucket flat check
+    * table: a collection partition holding data FILES directly (instead
+    * of check_bucket= subdirectories) is the old layout, and mixing the
+    * two makes the whole table unreadable (conflicting directory
+    * structures) on the next scan. */
+  private def requireBucketedCheckLayout(path: String): Unit = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val table = JP.get(path)
+    if (!JF.isDirectory(table)) return
+    import scala.jdk.CollectionConverters._
+    val colls = { val s = JF.list(table)
+      try s.iterator.asScala.toSeq.filter(p =>
+        JF.isDirectory(p) && p.getFileName.toString.startsWith("collection_id="))
+      finally s.close() }
+    val flat = colls.find { c =>
+      val s = JF.list(c)
+      try s.iterator.asScala.exists(f =>
+        JF.isRegularFile(f) && f.getFileName.toString.startsWith("part-"))
+      finally s.close()
+    }
+    flat.foreach { c =>
+      throw new IllegalStateException(
+        s"$path holds the pre-bucket flat check layout (${c.getFileName} has " +
+          "bare part files); rewrite the table once (read -> writeChecks to a " +
+          "fresh directory) before appending bucketed checks")
+    }
+  }
 
   /** S7 at warehouse scale: the fact table BUCKETED by ocid — written once
     * into the session catalog, after which every compile reads it with

@@ -183,6 +183,44 @@ object PostingsStore {
       .agg(count(lit(1)).as("n_terms"), sum(col("score_dec")).as("score_dec"))
   }
 
+  /** REBUILD the store from scratch without ever destroying the previous
+    * copy before the replacement exists (code-review r16: the first cut
+    * deleted then rebuilt, so a failed build job permanently lost the
+    * index) — the aside-write → swap idiom of the sibling stores:
+    * build into `<store>_rebuild_tmp`, then rename store → `_rebuild_old`
+    * → tmp → store → sweep old. A crash anywhere self-heals on the next
+    * call (or any later rebuild): a tmp with the store present is an
+    * incomplete build and is swept; an old dir with the store ABSENT is
+    * the one crash point between the two live renames and is promoted
+    * back. Readers (`search --indexed`) see the old store or the new
+    * one; the absence window is the single rename pair, as in
+    * `Sink.swapCollectionPartition`. */
+  def rebuild(store: String, docs: DataFrame, batchId: Long = 0L): Totals = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val target = JP.get(store)
+    val tmp = JP.get(store + "_rebuild_tmp")
+    val old = JP.get(store + "_rebuild_old")
+    // crash recovery, BEFORE anything else (idempotent)
+    if (JF.exists(old)) {
+      if (JF.exists(target)) deleteDir(old) // died pre-sweep: old is stale
+      else JF.move(old, target)             // died between the two renames
+    }
+    deleteDir(tmp) // any leftover tmp is an incomplete build
+    val tot = appendBatch(tmp.toString, docs, batchId)
+    if (JF.exists(target)) JF.move(target, old)
+    JF.move(tmp, target)
+    deleteDir(old)
+    tot
+  }
+
+  private def deleteDir(dir: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator.asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+
   /** Small-file + duplicate-row maintenance — [[NeardupStore.compactTable]]
     * verbatim over the postings table (distinct rewrite, one file per
     * bucket partition, aside-write → ready-mark → sweep-promote commit

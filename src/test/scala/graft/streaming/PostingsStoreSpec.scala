@@ -130,6 +130,28 @@ class PostingsStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuild swaps aside-built stores atomically and self-heals crash debris") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val store = Files.createTempDirectory("graft-postings-rb").resolve("idx").toString
+    val docsA = corpus.take(3)
+    val docsB = corpus.drop(3) ++ Seq((9L, "fresh spark content replacing the index"))
+    PostingsStore.rebuild(store, docsDF(docsA))
+    assert(probeRows(store) === scanRows(docsA))
+    // rebuild REPLACES (not appends): the store now reflects docsB alone
+    PostingsStore.rebuild(store, docsDF(docsB))
+    assert(probeRows(store) === scanRows(docsB))
+    assert(PostingsStore.loadTotals(store).get.nDocs === docsB.size.toLong)
+    // crash between the two live renames: store gone, old present —
+    // the next rebuild promotes the old copy back before building
+    JF.move(JP.get(store), JP.get(store + "_rebuild_old"))
+    // also leave an incomplete tmp from the doomed build
+    JF.createDirectories(JP.get(store + "_rebuild_tmp", "postings"))
+    PostingsStore.rebuild(store, docsDF(docsA))
+    assert(probeRows(store) === scanRows(docsA))
+    assert(!JF.exists(JP.get(store + "_rebuild_old")))
+    assert(!JF.exists(JP.get(store + "_rebuild_tmp")))
+  }
+
   test("a missing store probes to an empty frame with the engine's schema") {
     val store = Files.createTempDirectory("graft-postings-missing").toString
     val out = PostingsStore.probe(s, store, terms)
