@@ -619,6 +619,59 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** QUALITY-AWARE keeper election over the near-dup clusters — the
+    * production variant of [[dedupPayoffOf]]'s min-doc_id rule: within
+    * each connected component the KEPT document is the highest-quality
+    * member (stopword-ratio score, the corpus's quality axis), not an
+    * arbitrary id. Min-id election is reproducible but quality-blind —
+    * when a boilerplate-mangled scrape and its clean original land in
+    * one cluster, min-id keeps whichever crawled first; real corpus
+    * builds (RefinedWeb §3.4's "keep one document per cluster" step)
+    * elect the best member. Determinism holds: the score is INTEGER
+    * ((stops·10^6) div n_tok — cross-multiplied, no float compare) and
+    * ties break on min doc_id, so the keeper is a pure function of the
+    * cluster's content.
+    *
+    * Output per source: docs/tokens REMOVED (the q_dedup_payoff columns
+    * under the new election), n_keepers, and keepers_not_minid — how
+    * many of this source's elected keepers DIFFER from the min-id rule,
+    * the readout that says what quality-aware election actually bought.
+    *
+    * Shape: labels join the narrow doc projection un-hinted (AQE; the
+    * label frame is corpus-fraction-sized at 100 TB — q_dedup_payoff's
+    * broadcast-ceiling note), then the election is the groupBy-max +
+    * co-keyed SHUFFLE_HASH join-back of [[lineDedupOf]] — cluster sizes
+    * are unbounded (a viral page's cluster has millions of members), so
+    * the max side map-side-combines and a hot cluster stays inside
+    * AQE-splittable join partitions, never a WindowExec partition. */
+  private[graft] def clusterKeepBestOf(
+      docsIn: DataFrame, checkpointDir: Option[String] = None,
+      maxBucket: Int = BucketPairs.DefaultMaxBucket): DataFrame = {
+    val edges = neardupEdgesOf(docsIn, checkpointDir, maxBucket)
+    val clusters = connectedComponents(edges, checkpointDir)
+    val toks = tokens(coalesce(col("text"), lit("")))
+    val docs = docsIn.select(
+      col("doc_id"), col("source"),
+      size(toks).cast(LongType).as("n_tok"),
+      size(filter(toks, t => t.isin(enStop: _*))).cast(LongType).as("stops"))
+    val scored = docs.join(clusters.hint("shuffle_hash"), "doc_id")
+      .withColumn("q", expr("(stops * 1000000) div n_tok"))
+      .withColumn("nd", -col("doc_id"))
+    val best = scored.groupBy(col("lbl")).agg(
+      max(struct(col("q"), col("nd"))).as("best"),
+      min(col("doc_id")).as("min_id"))
+    scored.join(best.hint("SHUFFLE_HASH"), Seq("lbl"))
+      .withColumn("keeper", struct(col("q"), col("nd")) === col("best"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(!col("keeper"), 1L).otherwise(0L)).as("docs_removed"),
+        sum(when(!col("keeper"), col("n_tok")).otherwise(0L)).as("tokens_removed"),
+        sum(when(col("keeper"), 1L).otherwise(0L)).as("n_keepers"),
+        sum(when(col("keeper") && col("doc_id") =!= col("min_id"), 1L)
+          .otherwise(0L)).as("keepers_not_minid"))
+      .orderBy("source")
+  }
+
   /** The corpus-selection funnel over ANY (source, doc_id, lang, text)
     * frame (q_corpus_select's engine; see that QueryDef for the design
     * notes): lang-ID gate → quality gate → exact-dedup keeper election
@@ -941,6 +994,77 @@ object TextQueries {
       nFail("fail_js", l => !jsOk(l)),
       nFail("fail_cookie", l => !cookieOk(l)),
       lorem.as("doc_lorem"))
+  }
+
+  /** Corpus-wide duplicate LINE removal over a (source, doc_id, text)
+    * frame — the CCNet paragraph-hash dedup (Wenzek et al. 2020 §3.1;
+    * RefinedWeb runs the same pass line-level), the granularity rung
+    * BETWEEN exact-document dedup (whole-text fingerprint, q_dedup_exact)
+    * and exact-substring scrub (token-gram spans, q_substr_scrub):
+    * boilerplate lines — nav bars, footers, cookie banners — repeat
+    * across millions of pages that are NOT near-duplicates of each
+    * other, so neither neighbour rung catches them.
+    *
+    * Semantics: each '\n'-line (CRLF-normalized like [[c4LinesOf]]) is
+    * keyed by its NORMALIZED form — lowercased, every char outside
+    * [a-z0-9 space] stripped, space runs collapsed, trimmed (CCNet's
+    * normalization, ASCII-simplified to keep both engines' regex
+    * semantics identical) — so "Click here!" and "click  here" collide.
+    * A key occurring more than once corpus-wide keeps exactly its FIRST
+    * occurrence (min (doc_id, line_idx) — keep-first, the
+    * q_substr_scrub_keepfirst election at line granularity); later
+    * occurrences drop, and survivors re-join as clean_text in original
+    * order. Lines that normalize to EMPTY (whitespace/punctuation-only)
+    * carry no content and sit OUTSIDE the dedup domain: kept verbatim,
+    * keyed by a per-occurrence singleton key so they neither elect nor
+    * pile into one degenerate hash group. Output, one row per doc:
+    * (source, doc_id, clean_text, n_lines, n_dup, chars_removed).
+    *
+    * Shape — CCNet's shard-by-hash / regroup-by-document layout as
+    * Catalyst exchanges: the line stream shuffles on the line key for
+    * the election (twice — the groupBy-min's partial-agg exchange and
+    * the join-back's stream side; they cannot be one ReuseExchange
+    * because the agg's exchange carries partial-min rows, not lines)
+    * and once on the doc for reassembly, plus whatever the caller
+    * aggregates. The election is deliberately a groupBy-min + co-keyed
+    * SHUFFLE_HASH join back, NOT a min-over-Window — one shuffle
+    * cheaper — because of what matters at 100 TB: the min side
+    * map-side-combines to one row per (partition, key) before
+    * shuffling, and a boilerplate line repeated 10^8 times lands in a
+    * JOIN partition AQE's skew handling can split, where a WindowExec
+    * partition cannot be split by design. Broadcast is structurally
+    * out: the distinct-line frame grows with the corpus. */
+  private[graft] def lineDedupOf(docsIn: DataFrame): DataFrame = {
+    val lines = docsIn.select(
+      col("source"), col("doc_id"),
+      posexplode(transform(
+        split(coalesce(col("text"), lit("")), "\n"),
+        l => regexp_replace(l, "\r$", ""))).as(Seq("line_idx", "line")))
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("line")), "[^a-z0-9 ]", ""), " +", " "))
+    val keyed = lines.withColumn("norm", norm).withColumn(
+      "lkey",
+      when(col("norm") === "",
+        concat(lit("s:"), col("doc_id"), lit(":"), col("line_idx")))
+        .otherwise(md5(col("norm"))))
+    val mins = keyed.groupBy(col("lkey"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first_occ"))
+    val flagged = keyed
+      .join(mins.hint("SHUFFLE_HASH"), Seq("lkey"))
+      .withColumn("keep",
+        struct(col("doc_id"), col("line_idx")) === col("first_occ"))
+    flagged.groupBy(col("source"), col("doc_id")).agg(
+      array_join(
+        transform(
+          filter(
+            array_sort(collect_list(struct(col("line_idx"), col("keep"), col("line")))),
+            s => s.getField("keep")),
+          s => s.getField("line")),
+        "\n").as("clean_text"),
+      count(lit(1)).as("n_lines"),
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dup"),
+      sum(when(!col("keep"), length(col("line")).cast(LongType)).otherwise(0L))
+        .as("chars_removed"))
   }
 
   private[graft] def qualityGateOf(docs: DataFrame): DataFrame = {
@@ -1651,6 +1775,92 @@ object TextQueries {
         "span-level substring scrub, all codegen'd per-row array functions"),
 
     QueryDef(
+      "q_line_dedup", Seq("S8", "W2", "A4"),
+      (s, d) => {
+        // corpus-wide duplicate-line removal (see lineDedupOf) over the
+        // documents table. The demo derives 3-token lines from the
+        // single-line corpus (the q_c4_lines idiom, chunk width chosen so
+        // the small vocabulary actually produces cross-document duplicate
+        // lines at verify scale — 6-token chunks over a 31-word
+        // vocabulary would collide ~never; ~1/3 of 3-token lines sit in
+        // duplicate classes at sf0.01), then rolls the per-doc outputs up
+        // per source. A real run passes its own '\n'-separated pages.
+        val page = {
+          val toks = tokens(coalesce(col("text"), lit("")))
+          val nLines = ((size(toks) + lit(2)) / lit(3)).cast(IntegerType)
+          array_join(
+            transform(sequence(lit(0), nLines - 1),
+              i => array_join(slice(toks, i * 3 + 1, lit(3)), " ")),
+            "\n")
+        }
+        lineDedupOf(
+          Tables.documents(s, d)
+            .select(col("source"), col("doc_id"), page.as("text")))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_lines")).as("n_lines"),
+            sum(col("n_dup")).as("n_dup_lines"),
+            sum(col("n_lines") - col("n_dup")).as("n_kept_lines"),
+            sum(col("chars_removed")).as("chars_removed"),
+            sum(when(col("n_dup") === col("n_lines"), 1L).otherwise(0L))
+              .as("docs_emptied"),
+            sum(length(col("clean_text")).cast(LongType)).as("clean_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+                SELECT source, doc_id,
+                       string_split(coalesce(text, ''), ' ') AS toks
+                FROM documents),
+              m AS (
+                SELECT source, doc_id,
+                       list_transform(range((len(toks)+2)//3), i ->
+                         array_to_string(toks[(i*3+1):(i*3+3)], ' ')) AS ls
+                FROM t),
+              l AS (
+                SELECT source, doc_id,
+                       generate_subscripts(ls, 1) - 1 AS line_idx,
+                       unnest(ls) AS line
+                FROM m),
+              n AS (
+                SELECT source, doc_id, line_idx, line,
+                       trim(regexp_replace(regexp_replace(lower(line),
+                         '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+                FROM l),
+              k AS (
+                SELECT source, doc_id, line_idx, line,
+                       CASE WHEN norm = '' THEN TRUE
+                            ELSE row_number() OVER (PARTITION BY norm
+                                   ORDER BY doc_id, line_idx) = 1
+                       END AS keep
+                FROM n),
+              d AS (
+                SELECT source, doc_id,
+                       count(*) AS n_lines,
+                       sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_dup,
+                       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+                       sum(CASE WHEN keep THEN 0 ELSE length(line) END) AS c_rm,
+                       sum(CASE WHEN keep THEN length(line) ELSE 0 END) AS c_kp
+                FROM k GROUP BY source, doc_id)
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_lines) AS BIGINT) AS n_lines,
+                     CAST(sum(n_dup) AS BIGINT) AS n_dup_lines,
+                     CAST(sum(n_kept) AS BIGINT) AS n_kept_lines,
+                     CAST(sum(c_rm) AS BIGINT) AS chars_removed,
+                     CAST(sum(CASE WHEN n_kept = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS docs_emptied,
+                     CAST(sum(CASE WHEN n_kept = 0 THEN 0
+                              ELSE c_kp + n_kept - 1 END) AS BIGINT) AS clean_chars
+              FROM d GROUP BY source ORDER BY source"""),
+      "Corpus-wide duplicate-line removal (CCNet paragraph-hash dedup, Wenzek et " +
+        "al. 2020): lines keyed by normalized content keep exactly their first " +
+        "corpus-wide occurrence, survivors re-join as clean_text — the boilerplate " +
+        "rung between document-level exact dedup and token-gram substring scrub; " +
+        "groupBy-min election + co-keyed SHUFFLE_HASH join so hot lines stay " +
+        "AQE-splittable"),
+
+    QueryDef(
       "q_length_quantiles", Seq("W1", "A3", "A4"),
       (s, d) => lengthQuantilesOf(Tables.documents(s, d)),
       Some("""WITH l AS (
@@ -1968,6 +2178,62 @@ object TextQueries {
       "Dedup payoff readout: per-cluster keeper election (component-min doc) rolled up " +
         "to docs/tokens REMOVED per source — the attrition number a corpus build " +
         "reports; label join left to AQE (labels can be a large fraction of a web corpus)"),
+
+    QueryDef(
+      "q_cluster_keep_best", Seq("J1", "A4", "W2"),
+      (s, d) => clusterKeepBestOf(Tables.documents(s, d), envCheckpointDir),
+      Some(s"""WITH RECURSIVE t AS (
+                SELECT source, doc_id,
+                       list_sort(list_distinct(string_split(text, ' '))) AS toks
+                FROM documents),
+              pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                        / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+                        >= 0.9),
+              edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM pairs),
+              reach(id, n) AS (
+                SELECT DISTINCT a, a FROM edges
+                UNION
+                SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.n),
+              clusters AS (
+                SELECT id AS doc_id, MIN(n) AS lbl FROM reach GROUP BY id),
+              q AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                         AS n_tok,
+                       (CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                          tk -> tk IN (${enStop.map("'" + _ + "'").mkString(",")})))
+                          AS BIGINT) * 1000000)
+                         // CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                         AS qs
+                FROM documents),
+              sc AS (SELECT c.lbl, q.* FROM clusters c JOIN q USING (doc_id)),
+              k AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY lbl
+                         ORDER BY qs DESC, doc_id ASC) = 1 AS keeper,
+                       min(doc_id) OVER (PARTITION BY lbl) AS min_id
+                FROM sc)
+              SELECT source,
+                     CAST(sum(CASE WHEN keeper THEN 0 ELSE 1 END) AS BIGINT)
+                       AS docs_removed,
+                     CAST(sum(CASE WHEN keeper THEN 0 ELSE n_tok END) AS BIGINT)
+                       AS tokens_removed,
+                     CAST(sum(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_keepers,
+                     CAST(sum(CASE WHEN keeper AND doc_id <> min_id
+                              THEN 1 ELSE 0 END) AS BIGINT) AS keepers_not_minid
+              FROM k GROUP BY source ORDER BY source"""),
+      "Quality-aware keeper election over near-dup clusters (RefinedWeb's keep-one-" +
+        "per-cluster with the BEST member, not min-id): integer stopword-ratio score, " +
+        "doc_id tie-break, per-source removed rollup + how many keepers differ from " +
+        "the min-id rule; election via groupBy-max + co-keyed SHUFFLE_HASH join so " +
+        "unbounded clusters stay AQE-splittable"),
 
     QueryDef(
       "q_simhash_neardup", Seq("J1", "F5", "S8"),

@@ -172,6 +172,133 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("lineDedupOf: keep-first election across docs, normalization, empty lines") {
+    import s.implicits._
+    // doc 2's first line normalizes to doc 1's ("click here") and its
+    // "shared line" repeats doc 1's — both drop, keep-first electing the
+    // (doc_id, line_idx)-min occurrence. The blank line normalizes to
+    // empty: outside the dedup domain, kept verbatim. Null text = one
+    // empty line, kept.
+    val docs = Seq(
+      ("a", 1L, "Click here!\nunique one.\n\nshared line"),
+      ("a", 2L, "click  HERE\nshared line\nunique two."),
+      ("b", 3L, null: String)).toDF("source", "doc_id", "text")
+    val got = TextQueries.lineDedupOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[String]("clean_text") ===
+      "Click here!\nunique one.\n\nshared line")
+    assert(r1.getAs[Long]("n_lines") === 4L)
+    assert(r1.getAs[Long]("n_dup") === 0L)
+    assert(r1.getAs[Long]("chars_removed") === 0L)
+    val r2 = got(2L)
+    assert(r2.getAs[String]("clean_text") === "unique two.")
+    assert(r2.getAs[Long]("n_lines") === 3L)
+    assert(r2.getAs[Long]("n_dup") === 2L)
+    assert(r2.getAs[Long]("chars_removed") ===
+      ("click  HERE".length + "shared line".length).toLong)
+    val r3 = got(3L)
+    assert(r3.getAs[String]("clean_text") === "")
+    assert(r3.getAs[Long]("n_lines") === 1L)
+    assert(r3.getAs[Long]("n_dup") === 0L)
+  }
+
+  test("property: lineDedupOf matches a plain-Scala reference on random multi-line text") {
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    // tiny vocabulary so cross-document duplicate lines are dense; case,
+    // punctuation and double spaces exercise the normalization; ~1/4
+    // empty lines sit outside the dedup domain; CRLF and null text ride
+    val words = Seq("red", "blue", "green", "Red", "BLUE", "gray")
+    val enders = Seq("", ".", "!", "  ", ", ok")
+    def randLine(): String =
+      if (rnd.nextInt(4) == 0) (if (rnd.nextBoolean()) "" else "  .. ")
+      else Seq.fill(1 + rnd.nextInt(3))(words(rnd.nextInt(words.length)))
+        .mkString(if (rnd.nextInt(5) == 0) "  " else " ") +
+        enders(rnd.nextInt(enders.length))
+    def randText(): String = {
+      val sep = if (rnd.nextInt(4) == 0) "\r\n" else "\n"
+      Seq.fill(1 + rnd.nextInt(5))(randLine()).mkString(sep)
+    }
+    val rows: Seq[(String, Long, String)] = (1L to 80L).map(i =>
+      ("s" + (i % 3), i, if (rnd.nextInt(20) == 0) null else randText()))
+    // the independent reference: same semantics in plain Scala
+    def linesOf(text0: String): Seq[(String, String)] = {
+      val text = Option(text0).getOrElse("")
+      text.split("\n", -1).toSeq.map(_.replaceAll("\r$", "")).map(l =>
+        l -> l.toLowerCase.replaceAll("[^a-z0-9 ]", "")
+          .replaceAll(" +", " ").trim)
+    }
+    val firstOcc: Map[String, (Long, Int)] = rows
+      .flatMap { case (_, id, t) =>
+        linesOf(t).zipWithIndex.collect {
+          case ((_, n), i) if n.nonEmpty => n -> (id, i)
+        }
+      }
+      .groupBy(_._1).map { case (n, occ) => n -> occ.map(_._2).min }
+    val got = TextQueries.lineDedupOf(rows.toDF("source", "doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.foreach { case (_, id, t) =>
+      val ls = linesOf(t).zipWithIndex
+      val kept = ls.collect {
+        case ((l, n), i) if n.isEmpty || firstOcc(n) == (id, i) => l
+      }
+      val dropped = ls.collect {
+        case ((l, n), i) if n.nonEmpty && firstOcc(n) != (id, i) => l
+      }
+      val r = got(id)
+      assert(r.getAs[String]("clean_text") === kept.mkString("\n"), s"doc $id clean_text")
+      assert(r.getAs[Long]("n_lines") === ls.size.toLong, s"doc $id n_lines")
+      assert(r.getAs[Long]("n_dup") === dropped.size.toLong, s"doc $id n_dup")
+      assert(r.getAs[Long]("chars_removed") === dropped.map(_.length.toLong).sum,
+        s"doc $id chars_removed")
+    }
+  }
+
+  test("q_line_dedup demo matches a brute-force replay on sf0.001") {
+    val docs = Tables.documents(s, dir)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)).getOrElse("")))
+      .sortBy(d => d._2)
+    def linesOf(text: String): Seq[String] =
+      text.split(" ", -1).grouped(3).map(_.mkString(" ")).toSeq
+    val firstOcc: Map[String, (Long, Int)] = docs
+      .flatMap { case (_, id, t) =>
+        linesOf(t).zipWithIndex.collect { case (l, i) if l.trim.nonEmpty => l -> (id, i) }
+      }
+      .groupBy(_._1).map { case (l, occ) => l -> occ.map(_._2).min }.toMap
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val per = ds.map { case (_, id, t) =>
+        val ls = linesOf(t).zipWithIndex
+        val dropped = ls.collect {
+          case (l, i) if l.trim.nonEmpty && firstOcc(l) != (id, i) => l
+        }
+        val kept = ls.collect {
+          case (l, i) if l.trim.isEmpty || firstOcc(l) == (id, i) => l
+        }
+        (ls.size.toLong, dropped.size.toLong, dropped.map(_.length.toLong).sum,
+          kept.mkString("\n").length.toLong, kept.isEmpty)
+      }
+      src -> (per.length.toLong, per.map(_._1).sum, per.map(_._2).sum,
+        per.map(_._3).sum, per.map(_._4).sum, per.count(_._5).toLong)
+    }
+    val got = Queries.byName("q_line_dedup").run(s, dir).collect()
+    assert(got.map(_.getAs[String]("source")).toSet === want.keySet)
+    got.foreach { r =>
+      val (nDocs, nLines, nDup, cRm, cKp, emptied) = want(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      assert(r.getAs[Long]("n_lines") === nLines)
+      assert(r.getAs[Long]("n_dup_lines") === nDup)
+      assert(r.getAs[Long]("n_kept_lines") === nLines - nDup)
+      assert(r.getAs[Long]("chars_removed") === cRm)
+      assert(r.getAs[Long]("clean_chars") === cKp)
+      assert(r.getAs[Long]("docs_emptied") === emptied)
+    }
+    // the 3-token derivation must actually FIRE at this scale — a
+    // zero-dup corpus would verify nothing
+    assert(got.map(_.getAs[Long]("n_dup_lines")).sum > 0L)
+  }
+
   test("q_gopher_rules matches a brute-force rule evaluation on sf0.001") {
     val docs = Tables.documents(s, dir).select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

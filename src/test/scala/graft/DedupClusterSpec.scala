@@ -259,4 +259,35 @@ class DedupClusterSpec extends AnyFunSuite {
       .select(col("a"), col("b")).as[(Long, Long)].collect().sorted.toSeq
     assert(got === Seq((1L, 5L), (1L, 9L), (5L, 7L), (5L, 9L)))
   }
+
+  test("clusterKeepBestOf elects the highest-quality member, min-id on ties") {
+    import s.implicits._
+    // cluster {1,2,3}: identical DISTINCT token sets (jaccard 1 → one
+    // LSH bucket → one component) but different stopword DENSITY — the
+    // integer score (stops·10^6 div n_tok) ranks doc 2 best, so the
+    // quality election keeps 2 where min-id would keep 1
+    // (keepers_not_minid = 1). cluster {5,6}: identical texts tie on
+    // score, the doc_id tie-break keeps 5 (keepers_not_minid = 0).
+    // doc 4 pairs with nothing and sits outside the readout.
+    val docs = Seq(
+      ("a", 1L, "red blue green the"),             // q = 250000
+      ("a", 2L, "the the red blue green the"),     // q = 500000 → keeper
+      ("a", 3L, "red blue green the the"),         // q = 400000
+      ("a", 4L, "solitary unmatched words here"),
+      ("b", 5L, "the x y z"),                      // tie → min id keeps
+      ("b", 6L, "the x y z")
+    ).toDF("source", "doc_id", "text")
+    val got = TextQueries.clusterKeepBestOf(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("docs_removed") === 2L)      // docs 1 and 3
+    assert(a.getAs[Long]("tokens_removed") === 4L + 5L)
+    assert(a.getAs[Long]("n_keepers") === 1L)
+    assert(a.getAs[Long]("keepers_not_minid") === 1L) // keeper 2, min 1
+    val b = got("b")
+    assert(b.getAs[Long]("docs_removed") === 1L)      // doc 6
+    assert(b.getAs[Long]("tokens_removed") === 4L)
+    assert(b.getAs[Long]("n_keepers") === 1L)
+    assert(b.getAs[Long]("keepers_not_minid") === 0L)
+  }
 }
