@@ -48,6 +48,7 @@ import graft.ocds.Metadata
   *   quality-gate <lake> <collectionId>         (per-source bottom-decile cut)
   *   gopher-rules <lake> <collectionId>         (fixed rule-filter rollup)
   *   c4-lines <lake> <collectionId>             (C4 line-level boilerplate rollup)
+  *   line-dedup <lake> <collectionId>           (corpus-wide duplicate-line rollup)
   *   export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed]
   *                                              (training-shard export: one JSON-lines
   *                                               file per shard, rows in shuffle order)
@@ -841,6 +842,36 @@ object Cli {
             }
       }
 
+    case "line-dedup" :: lake :: id :: Nil =>
+      // corpus-wide duplicate-line removal rollup over a loaded
+      // collection's raw documents (the q_line_dedup engine; collection
+      // docs are single-line token streams, so the pass dedups whole
+      // docs unless the loaded payloads carry real newlines)
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          TextQueries.lineDedupOf(docs)
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_lines")).as("n_lines"),
+              sum(col("n_dup")).as("n_dup"),
+              sum(col("chars_removed")).as("chars_removed"))
+            .orderBy("source")
+            .collect().foreach { r =>
+              println(s"source=${r.getAs[String]("source")}" +
+                s" n_docs=${r.getAs[Long]("n_docs")}" +
+                s" n_lines=${r.getAs[Long]("n_lines")}" +
+                s" n_dup=${r.getAs[Long]("n_dup")}" +
+                s" chars_removed=${r.getAs[Long]("chars_removed")}")
+            }
+      }
+
     case "search" :: lake :: id :: rest0 if rest0.nonEmpty =>
       // lexical retrieval over a loaded collection (the bm25ScoresOf
       // engine behind q_bm25_topk): rank the collection's documents for
@@ -1278,6 +1309,7 @@ object Cli {
            |  quality-gate <lake> <collectionId>
            |  gopher-rules <lake> <collectionId>
            |  c4-lines <lake> <collectionId>
+           |  line-dedup <lake> <collectionId>
            |  export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed]
            |  index <lake> <collectionId>
            |  search <lake> <collectionId> <term...> [--top N] [--indexed]

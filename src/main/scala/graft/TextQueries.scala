@@ -1125,6 +1125,51 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** Length-BUCKET padding-efficiency readout — the batching decision
+    * next to [[lengthQuantilesOf]]'s distribution readout: training
+    * loaders that batch by similar length (power-of-two bucketed
+    * batching, the Tensor2Tensor/fairseq practice) pad each sequence
+    * only to its BUCKET's capacity instead of the batch-max, and this
+    * query quantifies exactly what that buys. Each doc lands in the
+    * smallest power-of-two bucket ≥ its token length (docs beyond the
+    * top 2^20 bucket clamp into it — the truncation-budget semantics);
+    * per (source, bucket): doc/token counts and the padding waste
+    * n_docs·cap − n_tokens, plus the per-source waste a SINGLE
+    * max-length bucket would pay (src_docs·src_max_cap − src_tokens,
+    * repeated on each of the source's rows — the comparison the readout
+    * exists for). The bucket is pure integer arithmetic via a bounded
+    * literal-array lookup (no float log2 — a 2^k boundary through
+    * log2's double rounding is engine-specific), so the oracle
+    * hash-matches bit-for-bit.
+    *
+    * Shape: ONE map-side-combined (source, bucket) aggregation over a
+    * narrow per-row projection; the source-level comparison columns are
+    * a window over the aggregated sources×21-bounded frame, never a
+    * corpus recompute. Null-text docs sit outside the readout (the
+    * lengthQuantilesOf contract). */
+  private[graft] def lengthBucketsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = (0 to 20).map(i => lit(1L << i))
+    val len = size(tokens(col("text"))).cast(LongType)
+    val cap = coalesce(
+      array_min(filter(array(caps: _*), c => c >= col("len"))),
+      lit(1L << 20))
+    val wSrc = Window.partitionBy("source")
+    docs.filter(col("text").isNotNull)
+      .select(col("source"), len.as("len"))
+      .withColumn("bucket_cap", cap)
+      .groupBy(col("source"), col("bucket_cap"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("len")).as("n_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("bucket_cap") - col("n_tokens"))
+      .withColumn("src_waste_unbucketed",
+        sum(col("n_docs")).over(wSrc) * max(col("bucket_cap")).over(wSrc) -
+          sum(col("n_tokens")).over(wSrc))
+      .orderBy("source", "bucket_cap")
+  }
+
   /** Bigram language-model fluency scoring — the statistical-LM rung of
     * the quality ladder (production corpus filters score documents with
     * a KenLM n-gram model and drop the high-perplexity tail — CCNet,
@@ -1884,6 +1929,37 @@ object TextQueries {
         "arithmetic percentile targets, no interpolation (cross-engine exact where " +
         "percentile_cont is not); one per-source rank sort, approx_percentile/KLL " +
         "documented as the 100 TB swap"),
+
+    QueryDef(
+      "q_length_buckets", Seq("A4", "W2"),
+      (s, d) => lengthBucketsOf(Tables.documents(s, d)),
+      Some(s"""WITH l AS (
+                SELECT source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                FROM documents WHERE text IS NOT NULL),
+              b AS (
+                SELECT source, len,
+                       CAST(coalesce(list_min(list_filter(
+                         [${(0 to 20).map(1L << _).mkString(",")}],
+                         c -> c >= len)), 1048576) AS BIGINT) AS bucket_cap
+                FROM l),
+              g AS (
+                SELECT source, bucket_cap,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len) AS BIGINT) AS n_tokens
+                FROM b GROUP BY source, bucket_cap)
+              SELECT source, bucket_cap, n_docs, n_tokens,
+                     n_docs * bucket_cap - n_tokens AS padding_waste,
+                     CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+                       * CAST(max(bucket_cap) OVER (PARTITION BY source) AS BIGINT)
+                       - CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT)
+                       AS src_waste_unbucketed
+              FROM g ORDER BY source, bucket_cap"""),
+      "Power-of-two length-bucket padding readout (the bucketed-batching decision): " +
+        "per (source, bucket) doc/token counts and padding waste vs the single " +
+        "max-length bucket's waste — integer bucket lookup over a bounded literal " +
+        "array (no float log2), one map-side-combined aggregation + a window over " +
+        "the bounded aggregate frame"),
 
     QueryDef(
       "q_length_sketch", Seq("A3", "A4", "F5"),

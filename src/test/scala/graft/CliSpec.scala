@@ -311,6 +311,14 @@ class CliSpec extends AnyFunSuite {
     val c4 = run("c4-lines", lake, "1")
     assert(c4.contains("source=dd_local n_docs=3 n_lines=3 n_kept=0"), c4)
 
+    // line dedup: each doc is one line and the payloads all differ (a1/a2
+    // diverge in their release id), so nothing collides — the rollup
+    // records the no-dup baseline; collision semantics are refereed in
+    // CorpusAnalyticsSpec
+    val ldd = run("line-dedup", lake, "1")
+    assert(ldd.contains(
+      "source=dd_local n_docs=3 n_lines=3 n_dup=0 chars_removed=0"), ldd)
+
     // training-shard export: one JSON-lines file per shard, seqs
     // contiguous, every doc exactly once, text payload carried
     val expDir = Files.createTempDirectory("graft-cli-export").toString

@@ -299,6 +299,44 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_dup_lines")).sum > 0L)
   }
 
+  test("q_length_buckets matches a brute-force bucket replay, incl. boundary and clamp") {
+    import s.implicits._
+    // fixture pins the 2^k boundary (len 16 → bucket 16, len 17 →
+    // bucket 32), the floor bucket (len 1 → 1), the null-text exclusion
+    // and the top-bucket clamp semantics the synthetic corpus never
+    // reaches; then the sf0.001 corpus replays brute-force
+    val fix = Seq(
+      ("a", 1L, Seq.fill(16)("w").mkString(" ")),
+      ("a", 2L, Seq.fill(17)("w").mkString(" ")),
+      ("a", 3L, "w"),
+      ("b", 4L, null: String)).toDF("source", "doc_id", "text")
+    val fr = TextQueries.lengthBucketsOf(fix).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket_cap")) -> r).toMap
+    assert(fr.keySet === Set(("a", 1L), ("a", 16L), ("a", 32L)))
+    assert(fr(("a", 16L)).getAs[Long]("padding_waste") === 0L)
+    assert(fr(("a", 32L)).getAs[Long]("padding_waste") === 15L)
+    // single max-bucket comparison: 3 docs padded to 32 = 96 − 34 tokens
+    assert(fr(("a", 1L)).getAs[Long]("src_waste_unbucketed") === 96L - 34L)
+    val docs = Tables.documents(s, dir).select("source", "text").collect()
+      .flatMap(r => Option(r.getString(1)).map(t => (r.getString(0), t)))
+    def capOf(len: Long): Long =
+      (0 to 20).map(1L << _).find(_ >= len).getOrElse(1L << 20)
+    val want = docs
+      .map { case (src, t) => (src, capOf(t.split(" ", -1).length.toLong), t.split(" ", -1).length.toLong) }
+      .groupBy(x => (x._1, x._2))
+      .map { case (k, xs) => k -> (xs.length.toLong, xs.map(_._3).sum) }
+    val got = Queries.byName("q_length_buckets").run(s, dir).collect()
+    assert(got.map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket_cap"))).toSet
+      === want.keySet)
+    got.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Long]("bucket_cap"))
+      val (nDocs, nTok) = want(k)
+      assert(r.getAs[Long]("n_docs") === nDocs, s"$k n_docs")
+      assert(r.getAs[Long]("n_tokens") === nTok, s"$k n_tokens")
+      assert(r.getAs[Long]("padding_waste") === nDocs * k._2 - nTok, s"$k waste")
+    }
+  }
+
   test("q_gopher_rules matches a brute-force rule evaluation on sf0.001") {
     val docs = Tables.documents(s, dir).select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))

@@ -350,7 +350,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r16 quality-aware cluster election: q_dedup_payoff's chain (10)
     // with the min-id filter swapped for the groupBy-max election's agg
     // + SHUFFLE_HASH join-back (+3 exchanges = +6 plan lines)
-    "q_cluster_keep_best" -> 16)
+    "q_cluster_keep_best" -> 16,
+    // r16 length buckets: the (source, bucket) agg pair + the
+    // source-window re-shuffle of the bounded aggregate frame + final
+    // sort — the corpus is scanned once, narrow
+    "q_length_buckets" -> 6)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
