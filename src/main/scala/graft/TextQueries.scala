@@ -1034,7 +1034,15 @@ object TextQueries {
     * JOIN partition AQE's skew handling can split, where a WindowExec
     * partition cannot be split by design. Broadcast is structurally
     * out: the distinct-line frame grows with the corpus. */
-  private[graft] def lineDedupOf(docsIn: DataFrame): DataFrame = {
+  /** The ONE spelling of the line explode + CCNet normalization + key —
+    * shared by [[lineDedupOf]] (the batch pass) and
+    * [[graft.streaming.LineStore]] (the incremental registry), so batch
+    * and streaming dedup cannot disagree on what "the same line" means.
+    * Output: (source, doc_id, line_idx, line, norm, lkey), where lkey is
+    * md5(norm) for content lines and a per-occurrence singleton key for
+    * empty-normalizing lines (outside the dedup domain — they must
+    * neither elect nor pile into one degenerate hash group). */
+  private[graft] def keyedLinesOf(docsIn: DataFrame): DataFrame = {
     val lines = docsIn.select(
       col("source"), col("doc_id"),
       posexplode(transform(
@@ -1042,17 +1050,19 @@ object TextQueries {
         l => regexp_replace(l, "\r$", ""))).as(Seq("line_idx", "line")))
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("line")), "[^a-z0-9 ]", ""), " +", " "))
-    val keyed = lines.withColumn("norm", norm).withColumn(
+    lines.withColumn("norm", norm).withColumn(
       "lkey",
       when(col("norm") === "",
         concat(lit("s:"), col("doc_id"), lit(":"), col("line_idx")))
         .otherwise(md5(col("norm"))))
-    val mins = keyed.groupBy(col("lkey"))
-      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first_occ"))
-    val flagged = keyed
-      .join(mins.hint("SHUFFLE_HASH"), Seq("lkey"))
-      .withColumn("keep",
-        struct(col("doc_id"), col("line_idx")) === col("first_occ"))
+  }
+
+  /** Reassemble keep-flagged lines — (source, doc_id, line_idx, line,
+    * keep) — into the per-doc output contract (source, doc_id,
+    * clean_text, n_lines, n_dup, chars_removed); shared by the batch and
+    * streaming legs like [[keyedLinesOf]]. One doc-keyed shuffle; the
+    * collect_list is bounded by the document's own line count. */
+  private[graft] def reassembleLines(flagged: DataFrame): DataFrame =
     flagged.groupBy(col("source"), col("doc_id")).agg(
       array_join(
         transform(
@@ -1065,6 +1075,16 @@ object TextQueries {
       sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dup"),
       sum(when(!col("keep"), length(col("line")).cast(LongType)).otherwise(0L))
         .as("chars_removed"))
+
+  private[graft] def lineDedupOf(docsIn: DataFrame): DataFrame = {
+    val keyed = keyedLinesOf(docsIn)
+    val mins = keyed.groupBy(col("lkey"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first_occ"))
+    val flagged = keyed
+      .join(mins.hint("SHUFFLE_HASH"), Seq("lkey"))
+      .withColumn("keep",
+        struct(col("doc_id"), col("line_idx")) === col("first_occ"))
+    reassembleLines(flagged)
   }
 
   private[graft] def qualityGateOf(docs: DataFrame): DataFrame = {

@@ -38,6 +38,12 @@ object Streaming {
   def bm25IndexPath(lakeDir: String, collectionId: Long): String =
     s"$lakeDir/bm25_index_c$collectionId"
 
+  /** Where a collection's first-occurrence line registry lives (the
+    * incremental line-dedup state, [[LineStore]]) — one definition for
+    * the same reason as [[bm25IndexPath]]. */
+  def lineRegistryPath(lakeDir: String, collectionId: Long): String =
+    s"$lakeDir/line_registry_c$collectionId"
+
   /** One streamed record's compile outcome. */
   final case class RecordOutcome(
       ocid: String, outcome: String, compiled_id: String, batch_id: Long)
@@ -199,7 +205,16 @@ object Streaming {
     * re-scanning the corpus per query. Postings appends ride the load
     * path's file-granular idempotence like the near-dup signatures; the
     * store's totals document is exactly-once via the same lineage-scoped
-    * batch-id watermark as the freq/stats sketches. */
+    * batch-id watermark as the freq/stats sketches.
+    *
+    * `lineDedup = true` runs each batch's loaded docs through the
+    * incremental corpus-wide line dedup ([[LineStore]]): lines already
+    * registered by EARLIER batches (or by a smaller in-batch occurrence)
+    * drop, the per-doc cleaned rows append to `<lake>/clean_doc`, and
+    * the batch's new first occurrences register in
+    * `<lake>/line_registry_c<id>`. Both writes are duplicate-tolerant
+    * under replay (the store's historical-view invariance makes the
+    * replayed rows byte-identical; readers distinct). */
   def releaseLoadStream(
       spark: SparkSession,
       landingDir: String,
@@ -213,7 +228,8 @@ object Streaming {
       trendingTerms: Boolean = false,
       corpusStats: Boolean = false,
       checks: Boolean = false,
-      bm25Index: Boolean = false): StreamingQuery = {
+      bm25Index: Boolean = false,
+      lineDedup: Boolean = false): StreamingQuery = {
     import spark.implicits._
     recoverPartialLoads(spark, lakeDir, collectionId, upgradedId, plane)
     // the binaryFile source's fixed schema, declared explicitly (streaming
@@ -272,7 +288,8 @@ object Streaming {
           // duplicate-tolerant — readers distinct) rather than silently
           // losable. Batch-internal pairs are the batch engine's job at
           // compile/report time, not the per-arrival probe's.
-          if (neardupSignatures || trendingTerms || corpusStats || bm25Index) {
+          if (neardupSignatures || trendingTerms || corpusStats || bm25Index ||
+              lineDedup) {
             graft.Pipeline
               .collectionDocsOf(spark, lakeDir, p.collection(collectionId), Some(fresh))
               .foreach { docs =>
@@ -311,6 +328,20 @@ object Streaming {
                       org.apache.spark.sql.functions.col("doc_id"),
                       org.apache.spark.sql.functions.col("text")),
                     batchId, lineage = lineage)
+                // incremental corpus-wide line dedup: drop lines already
+                // registered by earlier batches, persist the cleaned
+                // docs, register this batch's first occurrences (the
+                // q_line_dedup semantics made streaming; see LineStore)
+                if (lineDedup) {
+                  val cleaned = LineStore.appendCleanBatch(
+                    spark,
+                    Streaming.lineRegistryPath(lakeDir, collectionId),
+                    docs, batchId, lineage = lineage)
+                  cleaned
+                    .withColumn("collection_id",
+                      org.apache.spark.sql.functions.lit(collectionId))
+                    .write.mode("append").parquet(s"$lakeDir/clean_doc")
+                }
               }
           }
           // streaming structural-check leg (the reference's checker is a

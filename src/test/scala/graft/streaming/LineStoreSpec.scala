@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSuite
+
+/** The incremental first-occurrence line registry behind streaming
+  * corpus-wide line dedup: cross-batch keep-first, replay idempotence by
+  * historical-view invariance, the batch-pass equivalence (one batch ==
+  * lineDedupOf), and compaction neutrality. */
+class LineStoreSpec extends AnyFunSuite {
+
+  private lazy val s = SparkSuite.spark
+
+  private def docsDF(rows: Seq[(String, Long, String)]) = {
+    import s.implicits._
+    rows.toDF("source", "doc_id", "text")
+  }
+
+  private def cleanRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_lines", "n_dup", "chars_removed")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+
+  private val b1 = Seq(
+    ("a", 1L, "click here to subscribe\nunique alpha content."),
+    ("a", 2L, "Click  HERE to subscribe!\nunique beta content."))
+  private val b2 = Seq(
+    ("a", 3L, "click here to subscribe\nunique gamma content.\n\nnew line."),
+    ("b", 4L, "unique beta content.\nfresh delta content."))
+
+  test("cross-batch keep-first: later batches drop lines earlier batches registered") {
+    val store = Files.createTempDirectory("graft-linestore").toString
+    // batch 0: doc 2's first line normalizes to doc 1's → in-batch dedup
+    val c1 = cleanRows(LineStore.appendCleanBatch(s, store, docsDF(b1), 0L))
+    assert(c1 === Seq(
+      (1L, "click here to subscribe\nunique alpha content.", 2L, 0L, 0L),
+      (2L, "unique beta content.", 2L, 1L,
+        "Click  HERE to subscribe!".length.toLong)))
+    // batch 1: doc 3 repeats the registered subscribe line, doc 4 repeats
+    // doc 2's kept line; the empty line is outside the domain (kept)
+    val c2 = cleanRows(LineStore.appendCleanBatch(s, store, docsDF(b2), 1L))
+    assert(c2 === Seq(
+      (3L, "unique gamma content.\n\nnew line.", 4L, 1L,
+        "click here to subscribe".length.toLong),
+      (4L, "fresh delta content.", 2L, 1L,
+        "unique beta content.".length.toLong)))
+    // registry: one row per content first-occurrence — 3 from batch 0
+    // (subscribe, alpha, beta), 3 new from batch 1 (gamma, "new line",
+    // delta); the empty line never registers and no singleton key leaks
+    val reg = s.read.parquet(LineStore.linesPath(store))
+    assert(reg.filter(col("lkey").startsWith("s:")).count() === 0L)
+    assert(LineStore.keyCount(s, store) === 6L)
+    assert(reg.filter(col("batch_id") === 0L).count() === 3L)
+    assert(reg.filter(col("batch_id") === 1L).count() === 3L)
+  }
+
+  test("one batch against an empty store == the batch pass (shared spellings)") {
+    val store = Files.createTempDirectory("graft-linestore-eq").toString
+    val got = cleanRows(LineStore.appendCleanBatch(s, store, docsDF(b1), 0L))
+    val want = cleanRows(graft.TextQueries.lineDedupOf(docsDF(b1)))
+    assert(got === want)
+  }
+
+  test("replay: a re-run batch yields identical output and fold-away duplicates") {
+    val store = Files.createTempDirectory("graft-linestore-replay").toString
+    cleanRows(LineStore.appendCleanBatch(s, store, docsDF(b1), 0L))
+    val first = cleanRows(LineStore.appendCleanBatch(s, store, docsDF(b2), 1L))
+    val keys = LineStore.keyCount(s, store)
+    // the crash-replay: same batch id re-runs after its append committed.
+    // The historical view excludes the remnants, so the cleaned output is
+    // byte-identical; the re-append duplicates rows, not keys
+    val replay = cleanRows(LineStore.appendCleanBatch(s, store, docsDF(b2), 1L))
+    assert(replay === first)
+    assert(LineStore.keyCount(s, store) === keys)
+    val reg = s.read.parquet(LineStore.linesPath(store))
+    assert(reg.count() > keys) // duplicate ROWS exist pre-compaction...
+    val folded = LineStore.compact(s, store)
+    assert(folded === keys) // ...and compaction folds them away
+    assert(s.read.parquet(LineStore.linesPath(store)).count() === keys)
+    // post-compaction: a third batch still sees the full history
+    val c3 = cleanRows(LineStore.appendCleanBatch(
+      s, store, docsDF(Seq(("c", 9L, "fresh delta content.\nbrand new."))), 2L))
+    assert(c3 === Seq((9L, "brand new.", 2L, 1L,
+      "fresh delta content.".length.toLong)))
+  }
+
+  test("checkpoint-reset lineage: old rows stay historical despite larger batch ids") {
+    val store = Files.createTempDirectory("graft-linestore-lineage").toString
+    cleanRows(LineStore.appendCleanBatch(s, store, docsDF(b1), 5L, lineage = "q1"))
+    // new lineage restarts batch ids at 0: the old lineage's rows must
+    // still count as history (lineage != current), or a reset checkpoint
+    // would silently re-admit every registered line
+    val c = cleanRows(LineStore.appendCleanBatch(
+      s, store,
+      docsDF(Seq(("a", 7L, "click here to subscribe\npost reset line."))),
+      0L, lineage = "q2"))
+    assert(c === Seq((7L, "post reset line.", 2L, 1L,
+      "click here to subscribe".length.toLong)))
+  }
+}

@@ -301,6 +301,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(indexed === rows(graft.TextQueries.bm25ScoresOf(docs, terms)))
   }
 
+  test("releaseLoadStream(lineDedup=true): cross-batch line dedup the exact-dedup store cannot do") {
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-streamldd")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val plane = new java.util.concurrent.atomic.AtomicReference(
+      graft.control.Control.Plane(Map(
+        12L -> graft.control.Control.Collection(12L, "api", "2020-01-01 00:00:00"))))
+    def runOnce(): Unit =
+      Streaming.releaseLoadStream(s, landing.toString, lake, 12L, None, plane, ckpt,
+        lineDedup = true).awaitTermination()
+
+    // batch 0 registers a's line; the CASE variant in a later batch has a
+    // different md5 (so content-addressed exact dedup loads it as its own
+    // doc) but the SAME normalized line key — only line-level dedup drops
+    // it. c is genuinely fresh content.
+    Files.writeString(landing.resolve("a.json"), releasePkg("ocds-y1", "r1"))
+    runOnce()
+    Files.writeString(landing.resolve("b.json"), releasePkg("OCDS-Y1", "R1"))
+    Files.writeString(landing.resolve("c.json"), releasePkg("ocds-y3", "r3"))
+    runOnce()
+    val clean = s.read.parquet(s"$lake/clean_doc")
+      .filter($"collection_id" === 12).distinct()
+    assert(clean.count() === 3L)
+    assert(clean.filter($"n_dup" === 1L && $"clean_text" === "").count() === 1L)
+    assert(clean.filter($"n_dup" === 0L && $"clean_text" =!= "").count() === 2L)
+    val store = Streaming.lineRegistryPath(lake, 12L)
+    assert(LineStore.keyCount(s, store) === 2L) // a's line + c's line
+    // lost checkpoint: the plane's registered-file guard drops every
+    // replayed file before the store legs, so nothing re-registers and
+    // the cleaned table folds to the same 3 rows
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    runOnce()
+    assert(LineStore.keyCount(s, store) === 2L)
+    assert(s.read.parquet(s"$lake/clean_doc")
+      .filter($"collection_id" === 12).distinct().count() === 3L)
+  }
+
   test("maxFilesPerTrigger bounds a backlog drain into several committed batches") {
     import s.implicits._
     val base = Files.createTempDirectory("graft-bounded")
