@@ -173,14 +173,14 @@ object Bench {
     * prepend "q_". */
   private[graft] val keyAbbrev: Map[String, String] = Map(
     "multiprobe" -> "mp", "kmeans" -> "km", "neardup" -> "nd",
-    "embedding" -> "emb", "sequences" -> "seqs", "quantiles" -> "qtl",
-    "decontaminate" -> "decon", "multimodal" -> "mm",
+    "embedding" -> "emb", "sequences" -> "sq", "quantiles" -> "qtl",
+    "decontaminate" -> "dc", "multimodal" -> "mm",
     "bruteforce" -> "bf", "prototypes" -> "proto", "keepfirst" -> "kf",
     "substr" -> "sub", "collection" -> "coll", "clusters" -> "cl",
     "semantic" -> "sem", "features" -> "feat",
     // r13, at 108 queries (the capacity gate tripped at the r13 adds):
     "compile" -> "cmp", "distinct" -> "dst", "dedup" -> "dd",
-    "source" -> "src", "records" -> "rec", "quality" -> "qual",
+    "source" -> "src", "records" -> "rec", "quality" -> "ql",
     "incremental" -> "inc", "fingerprint" -> "fp", "stratified" -> "strat",
     "sessionize" -> "sess", "extensions" -> "ext", "divergence" -> "div",
     "join" -> "jn", "versioned" -> "ver", "survivors" -> "sur",
@@ -188,7 +188,7 @@ object Bench {
     "langid" -> "lid", "check" -> "chk", "ingest" -> "ing",
     // r14, at the 120-query surface (capacity gate tripped at 119 when
     // the first two r14 queries landed):
-    "overlap" -> "ovl", "sketch" -> "sk", "status" -> "stat",
+    "overlap" -> "ovl", "sketch" -> "sk", "status" -> "sts",
     "sample" -> "smp", "rollup" -> "rl", "record" -> "rcd",
     "length" -> "len", "layout" -> "lay", "filter" -> "flt",
     "corpus" -> "cps", "union" -> "un", "typed" -> "typ",
@@ -200,7 +200,25 @@ object Bench {
     "releases" -> "rls", "revenue" -> "rev", "groupby" -> "gb",
     "bottomk" -> "bk", "simhash" -> "sh", "profile" -> "prf",
     "upgrade" -> "upg", "parties" -> "pts", "variant" -> "var",
-    "jaccard" -> "jac", "explode" -> "xpl", "extract" -> "xtr")
+    "jaccard" -> "jac", "explode" -> "xpl", "extract" -> "xtr",
+    // r16, at the 131-query surface (capacity gate tripped when the
+    // curriculum/cluster-election/length-bucket queries landed); this
+    // sweep also tightened four earlier entries (sequences/quality/
+    // status/decontaminate) and buys ~160 chars of headroom:
+    "cluster" -> "cl", "keep" -> "kp", "best" -> "bst",
+    "buckets" -> "bkt", "curriculum" -> "cur", "epoch" -> "ep",
+    "retrieval" -> "rtv", "hybrid" -> "hy", "snapshot" -> "snp",
+    "metadata" -> "md", "compiled" -> "cpd", "classify" -> "cls",
+    "windows" -> "wns", "stats" -> "st", "samples" -> "sm",
+    "running" -> "run", "project" -> "prj", "leakage" -> "lk",
+    "indexed" -> "idx", "dataset" -> "ds", "chunk" -> "chu",
+    "zorder" -> "zo", "topk" -> "tk", "tokens" -> "tks",
+    "tender" -> "tnd", "select" -> "sel", "salted" -> "slt",
+    "rownum" -> "rn", "refine" -> "rfn", "redact" -> "red",
+    "payoff" -> "pay", "orphan" -> "orp", "orders" -> "ord",
+    "ngrams" -> "ngs", "minmax" -> "mmx", "hourly" -> "hr",
+    "gopher" -> "gph", "except" -> "exc", "counts" -> "cnt",
+    "awards" -> "awd", "topic" -> "tp", "pack" -> "pk")
 
   /** The summary line's key for a query name: q_ strip + per-segment
     * [[keyAbbrev]]. THE one definition — the renderer and BenchLineSpec's

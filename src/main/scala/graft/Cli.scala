@@ -49,7 +49,7 @@ import graft.ocds.Metadata
   *   gopher-rules <lake> <collectionId>         (fixed rule-filter rollup)
   *   c4-lines <lake> <collectionId>             (C4 line-level boilerplate rollup)
   *   line-dedup <lake> <collectionId>           (corpus-wide duplicate-line rollup)
-  *   export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed]
+  *   export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed] [--curriculum]
   *                                              (training-shard export: one JSON-lines
   *                                               file per shard, rows in shuffle order)
   *   index <lake> <collectionId>              (build/rebuild the persisted
@@ -715,9 +715,17 @@ object Cli {
         System.err.println("--packed requires --epoch N")
         sys.exit(2)
       }
+      // --curriculum: quality-anneal each source's in-shard emission
+      // order (identical selection and mix; every shard's tail becomes
+      // its highest-quality slice — see mixEpochOf)
+      val curriculum = rest.contains("--curriculum")
+      if (curriculum && epochBudget.isEmpty) {
+        System.err.println("--curriculum requires --epoch N")
+        sys.exit(2)
+      }
       rejectStray("export",
         stripFlag(stripFlag(stripFlag(rest, "--shards"), "--epoch"), "--epoch-idx")
-          .filterNot(_ == "--packed"))
+          .filterNot(a => a == "--packed" || a == "--curriculum"))
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)
@@ -737,7 +745,8 @@ object Cli {
               try {
                 if (packed) {
                   val wins = TextQueries
-                    .packedEpochExportOf(docs, b, nShards, epochIdx).persist()
+                    .packedEpochExportOf(docs, b, nShards, epochIdx,
+                      curriculum = curriculum).persist()
                   try {
                     Sink.writeShards(wins, dir, orderCols = Seq("window_id"))
                     val nWin = wins.count()
@@ -755,7 +764,8 @@ object Cli {
                   } finally { wins.unpersist(); () }
                 } else {
                 val laid =
-                  TextQueries.mixEpochExportOf(docs, b, nShards, epochIdx).persist()
+                  TextQueries.mixEpochExportOf(docs, b, nShards, epochIdx,
+                    curriculum = curriculum).persist()
                 try {
                   Sink.writeShards(laid, dir,
                     orderCols = Seq("vtime", "source", "doc_id", "k"))
@@ -1310,7 +1320,7 @@ object Cli {
            |  gopher-rules <lake> <collectionId>
            |  c4-lines <lake> <collectionId>
            |  line-dedup <lake> <collectionId>
-           |  export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed]
+           |  export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed] [--curriculum]
            |  index <lake> <collectionId>
            |  search <lake> <collectionId> <term...> [--top N] [--indexed]
            |  source-mix <lake> <collectionId>

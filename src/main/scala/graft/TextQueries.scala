@@ -212,7 +212,7 @@ object TextQueries {
     * the two spellings is asserted in the harness before timing. */
   private[graft] def mixEpochOf(
       docs: DataFrame, totalBudget: Long, nShards: Int,
-      epochIdx: Long = 0L): DataFrame = {
+      epochIdx: Long = 0L, curriculum: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val Dec = DecimalType(38, 18)
     val per = docs.groupBy("source")
@@ -226,8 +226,22 @@ object TextQueries {
     val targets = per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"),
         floor(lit(totalBudget.toDouble) * share).cast(LongType).as("n_target"))
+    // curriculum = quality-ANNEALED emission order (the decay-phase
+    // upweighting practice): WHICH docs an epoch selects and HOW OFTEN
+    // never changes — only the order each source's emissions take within
+    // a shard, lowest-quality first, so every shard's tail is its
+    // highest-quality slice. q is the integer stopword-density score
+    // (the clusterKeepBestOf spelling — cross-multiplied, no float
+    // compare); the plain epoch pins q = 0, making the curriculum
+    // ordering (q, h2, doc_id, k) collapse to the hash order exactly.
+    val toksB = tokens(coalesce(col("text"), lit("")))
     val based = docs.select(col("source"), col("doc_id"),
-        exportHash(col("doc_id"), s":epoch:$epochIdx").as("h"))
+        exportHash(col("doc_id"), s":epoch:$epochIdx").as("h"),
+        size(filter(toksB, t => t.isin(enStop: _*))).cast(LongType).as("st"),
+        size(toksB).cast(LongType).as("nt"))
+      .withColumn("q",
+        if (curriculum) expr("(st * 1000000) div nt") else lit(0L))
+      .drop("st", "nt")
       .withColumn("bucket", pmod(col("h"), lit(nShards.toLong)))
     val wLoc = Window.partitionBy(col("source"), col("bucket"))
       .orderBy(col("h"), col("doc_id"))
@@ -248,14 +262,15 @@ object TextQueries {
         expr("CASE WHEN r <= n_target THEN (n_target - r) div n_docs + 1 " +
           "ELSE CAST(0 AS BIGINT) END"))
       .filter(col("reps") > 0)
-      .select(col("source"), col("doc_id"), col("n_docs"), col("n_target"),
+      .select(col("source"), col("doc_id"), col("q"), col("n_docs"),
+        col("n_target"),
         col("r"), explode(expr("sequence(CAST(0 AS BIGINT), reps - 1)")).as("j"))
       .withColumn("k", col("r") - 1 + col("j") * col("n_docs"))
     val sharded = emitted.withColumn("h2",
         exportHash(concat_ws(":", col("doc_id"), col("k")), s":epoch-shard:$epochIdx"))
       .withColumn("shard", pmod(col("h2"), lit(nShards.toLong)))
     val w2 = Window.partitionBy(col("shard"), col("source"))
-      .orderBy(col("h2"), col("doc_id"), col("k"))
+      .orderBy(col("q"), col("h2"), col("doc_id"), col("k"))
     sharded
       .withColumn("rn2", row_number().over(w2).cast(LongType))
       .select(col("shard"),
@@ -279,8 +294,8 @@ object TextQueries {
     * through the join and break the written counts' conservation. */
   private[graft] def mixEpochExportOf(
       docs: DataFrame, totalBudget: Long, nShards: Int,
-      epochIdx: Long = 0L): DataFrame =
-    mixEpochOf(docs, totalBudget, nShards, epochIdx)
+      epochIdx: Long = 0L, curriculum: Boolean = false): DataFrame =
+    mixEpochOf(docs, totalBudget, nShards, epochIdx, curriculum)
       .join(docs.select(col("doc_id"), col("text")).hint("SHUFFLE_HASH"),
         Seq("doc_id"))
       .select(col("shard"), col("vtime"), col("source"), col("doc_id"),
@@ -311,13 +326,14 @@ object TextQueries {
     * it would also make Spark's sequence() step backwards). */
   private[graft] def packedEpochExportOf(
       docs: DataFrame, totalBudget: Long, nShards: Int,
-      epochIdx: Long = 0L, B: Int = 2048): DataFrame = {
+      epochIdx: Long = 0L, B: Int = 2048,
+      curriculum: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftExtensions.ensureRegistered(docs.sparkSession)
     val wSh = Window.partitionBy(col("shard"))
       .orderBy(col("vtime"), col("source"), col("doc_id"), col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mixEpochExportOf(docs, totalBudget, nShards, epochIdx)
+    mixEpochExportOf(docs, totalBudget, nShards, epochIdx, curriculum)
       .withColumn("tk", call_function("bpe_tokens", col("text")))
       .withColumn("ntok", size(col("tk")).cast(LongType))
       .filter(col("ntok") > 0)
@@ -3048,6 +3064,70 @@ object TextQueries {
         "counts differ by at most one), then the WFQ finish-time interleave so every " +
         "shard prefix holds the target mixture; per-source rank computed distributed " +
         "(bucket windows + broadcast prefix offsets), no RNG, no global window"),
+
+    QueryDef(
+      "q_mix_epoch_curriculum", Seq("A4", "W1", "J2", "F5"),
+      (s, d) => mixEpochOf(Tables.documents(s, d), totalBudget = 2000L,
+          nShards = 4, curriculum = true)
+        .orderBy(col("shard"), col("vtime"), col("source"), col("doc_id"), col("k"))
+        .select(col("shard"), round(col("vtime"), 9).as("vtime"),
+          col("source"), col("doc_id"), col("k")),
+      Some(s"""WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+              w AS (
+                SELECT source, n_docs,
+                       CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,18)) AS w_dec
+                FROM per),
+              t AS (SELECT CAST(sum(w_dec) AS DECIMAL(38,18)) AS w_tot FROM w),
+              tg AS (
+                SELECT source, n_docs,
+                       CAST(floor(2000.0 * round(CAST(w_dec AS DOUBLE)
+                                                 / CAST(w_tot AS DOUBLE), 9)) AS BIGINT)
+                         AS n_target
+                FROM w, t),
+              hd AS (
+                SELECT source, doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch:0'), 1, 15))::BIGINT AS h,
+                       (CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                          tk -> tk IN (${enStop.map("'" + _ + "'").mkString(",")})))
+                          AS BIGINT) * 1000000)
+                         // CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                         AS q
+                FROM documents),
+              rk AS (
+                SELECT source, doc_id, q,
+                       CAST(row_number() OVER (PARTITION BY source
+                                               ORDER BY h % 4, h, doc_id) AS BIGINT) AS r
+                FROM hd),
+              em AS (
+                SELECT rk.source, rk.doc_id, rk.q, tg.n_target,
+                       rk.r - 1 + unnest(range(CASE WHEN rk.r <= tg.n_target
+                         THEN (tg.n_target - rk.r) // tg.n_docs + 1
+                         ELSE 0 END)) * tg.n_docs AS k
+                FROM rk JOIN tg ON tg.source = rk.source),
+              sh AS (
+                SELECT source, doc_id, q, n_target, k,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                           CAST(k AS VARCHAR) || ':epoch-shard:0'), 1, 15))::BIGINT AS h2
+                FROM em),
+              r2 AS (
+                SELECT source, doc_id, n_target, k, h2 % 4 AS shard,
+                       CAST(row_number() OVER (PARTITION BY h2 % 4, source
+                                               ORDER BY q ASC, h2, doc_id, k) AS BIGINT) AS rn2
+                FROM sh)
+              SELECT shard,
+                     round(CAST(rn2*2 - 1 AS DOUBLE) / CAST(n_target*2 AS DOUBLE), 9) AS vtime,
+                     source, doc_id, CAST(k AS BIGINT) AS k
+              FROM r2
+              ORDER BY shard, CAST(rn2*2 - 1 AS DOUBLE) / CAST(n_target*2 AS DOUBLE),
+                       source, doc_id, k"""),
+      "CURRICULUM epoch: the same mixture epoch (identical selection, repetition " +
+        "and per-shard mix — only the emission order changes) with each source's " +
+        "in-shard emissions quality-ANNEALED, lowest stopword-density score first, " +
+        "so every shard's tail is its highest-quality slice (the decay-phase " +
+        "upweighting practice); integer score, hash tie-breaks, fully re-derivable"),
 
     QueryDef(
       "q_snapshot_diff", Seq("J1", "A1", "F5"),

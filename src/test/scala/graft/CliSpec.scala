@@ -379,6 +379,16 @@ class CliSpec extends AnyFunSuite {
     assert(epochLines(epochDir1) !== epochLines(epochDir),
       "epoch index 1 must not replay epoch 0's permutation")
 
+    // --curriculum: same selection (doc_id/k multiset) as the plain
+    // epoch, only the in-shard emission order may change
+    val currDir = Files.createTempDirectory("graft-cli-curr").toString
+    val cout = run("export", lake, "1", currDir,
+      "--shards", "2", "--epoch", "9", "--curriculum")
+    assert(cout.contains("exported epoch (budget=9, rows=9)"), cout)
+    val crows = epochLines(currDir).map(mapper.readTree)
+    assert(crows.map(n => (n.get("doc_id").asLong, n.get("k").asLong)).sorted
+      === erows.map(n => (n.get("doc_id").asLong, n.get("k").asLong)).sorted)
+
     // --packed: the same epoch as fixed-2048-token BPE training windows;
     // 9 short docs fit one tail window per populated shard
     val packedDir = Files.createTempDirectory("graft-cli-packed").toString

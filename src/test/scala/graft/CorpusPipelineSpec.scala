@@ -424,6 +424,57 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(writeOnce(d3, 2L) != w1)
   }
 
+  test("curriculum epoch: same selection and mix, per-source quality annealed in-shard") {
+    import s.implicits._
+    // quality varies by doc: stopword density rises with doc id, so the
+    // annealed order is observable; vocab includes the stopword list
+    val rows = (1L to 40L).map { i =>
+      val stops = Seq.fill((i % 7).toInt)("the")
+      val body = Seq.fill(8)(s"w$i")
+      (i, s"src${i % 3}", (body ++ stops).mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "source", "text")
+    def run(curr: Boolean) = TextQueries
+      .mixEpochOf(docs, 60L, nShards = 3, curriculum = curr)
+      .orderBy(col("shard"), col("vtime"), col("source"), col("doc_id"), col("k"))
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Double]("vtime"),
+        r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("k")))
+      .toSeq
+    val plain = run(curr = false)
+    val curr = run(curr = true)
+    // identical SELECTION: the same (source, doc_id, k) multiset — the
+    // curriculum changes only the order each source's emissions take
+    assert(plain.map(t => (t._3, t._4, t._5)).sorted ===
+      curr.map(t => (t._3, t._4, t._5)).sorted)
+    // identical MIX: per (shard, source) the vtime sequences coincide
+    // (only which doc occupies each slot changes)
+    def slots(e: Seq[(Long, Double, String, Long, Long)]) =
+      e.groupBy(t => (t._1, t._3)).view.mapValues(_.map(_._2).sorted).toMap
+    assert(slots(plain) === slots(curr))
+    // ...and measurably NOT the same order
+    assert(plain !== curr)
+    // ANNEALING: within every (shard, source), the integer quality score
+    // is non-decreasing along vtime — each shard's tail is its
+    // highest-quality slice
+    val qOf: Map[Long, Long] = rows.map { case (id, _, text) =>
+      val toks = text.split(" ", -1)
+      val stops = toks.count(Set("the", "a", "of", "and", "to", "in", "is"))
+      id -> stops * 1000000L / toks.length
+    }.toMap
+    curr.groupBy(t => (t._1, t._3)).foreach { case (key, es) =>
+      val qs = es.sortBy(_._2).map(t => qOf(t._4))
+      assert(qs === qs.sorted, s"quality not annealed within $key: $qs")
+    }
+    // the plain epoch is NOT accidentally annealed (the fixture has
+    // enough quality spread that hash order scrambles it somewhere)
+    val scrambled = plain.groupBy(t => (t._1, t._3)).exists { case (_, es) =>
+      val qs = es.sortBy(_._2).map(t => qOf(t._4))
+      qs !== qs.sorted
+    }
+    assert(scrambled, "fixture degenerate: hash order already quality-sorted")
+  }
+
   test("q_mix_epoch is partitioning-invariant (the no-RNG claim, executed)") {
     val base = Queries.byName("q_mix_epoch").run(s, dir)
     val a = base.collect()

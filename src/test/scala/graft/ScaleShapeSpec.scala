@@ -354,7 +354,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r16 length buckets: the (source, bucket) agg pair + the
     // source-window re-shuffle of the bounded aggregate frame + final
     // sort — the corpus is scanned once, narrow
-    "q_length_buckets" -> 6)
+    "q_length_buckets" -> 6,
+    // r16 curriculum epoch: q_mix_epoch's chain exactly — the quality
+    // score is one extra per-row column through the existing exchanges,
+    // and the interleave window re-orders without adding a shuffle
+    "q_mix_epoch_curriculum" -> 22)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
