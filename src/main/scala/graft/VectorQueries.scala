@@ -1918,6 +1918,60 @@ object VectorQueries {
       aux = Some(writeKmeansAux)),
 
     QueryDef(
+      "q_hard_negatives", Seq("A5", "J2", "W2"),
+      (s, d) => {
+        // HARD-NEGATIVE MINING — the contrastive-training data op (DPR,
+        // Karpukhin et al. 2020; ANCE): for each query of the bounded
+        // probe set, the top-k most-similar corpus vectors of a DIFFERENT
+        // label (the stored class stands in for "known positives" — same
+        // label = positive, excluded BEFORE nomination so negatives can
+        // never be crowded out of the candidate list by positives). The
+        // whole chain is q_knn_join's machinery with one predicate added:
+        // the same bounded topk_pairs nomination (map-side k-entry
+        // partials — the label filter rides the scored scan, shuffles
+        // nothing extra) and the same exact decimal re-rank tail, so the
+        // mined negatives' order is bit-stable cross-engine.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
+          .filter(dotDouble(col("embedding"), col("embedding")) > 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            dotDec(col("embedding"), col("embedding")).as("qnorm_dec"),
+            col("label").as("qlabel"))
+        val scored = emb
+          .filter(pmod(col("vec_id"), lit(KnnQMod)) =!= 0)
+          .filter(dotDouble(col("embedding"), col("embedding")) > 0)
+          .crossJoin(broadcast(q))
+          .filter(col("label") =!= col("qlabel"))
+          .select(col("qid"), col("vec_id"), col("embedding"),
+            knnScore(col("embedding"), col("qe")).as("dscore"))
+        knnTopK(scored, q)
+      },
+      Some(s"""WITH dv AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+        nrm AS (SELECT vec_id, label, d, list_inner_product(d, d) AS n2 FROM dv),
+        q AS (SELECT vec_id AS qid, label AS qlabel, d AS qd FROM nrm
+              WHERE vec_id % $KnnQMod = 0 AND n2 > 0),
+        c AS (SELECT vec_id, label, d FROM nrm
+              WHERE vec_id % $KnnQMod <> 0 AND n2 > 0),
+        nom AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     list_inner_product(c.d, q.qd)
+                       / (sqrt(list_inner_product(c.d, c.d))
+                          * sqrt(list_inner_product(q.qd, q.qd)))
+                     DESC, c.vec_id) AS rn
+            FROM c CROSS JOIN q
+            WHERE c.label <> q.qlabel) r
+          WHERE rn <= $KnnR),
+        $knnRerankSql"""),
+      "Hard-negative mining for contrastive training (DPR/ANCE): each probe query's " +
+        "top-k most-similar corpus vectors of a DIFFERENT label, positives excluded " +
+        "before nomination — q_knn_join's bounded topk_pairs nomination and exact " +
+        "decimal re-rank with one label predicate riding the scored scan"),
+
+    QueryDef(
       "q_ann_cell_layout", Seq("A5", "O5", "J2"),
       (s, d) => {
         // the PHYSICAL layout behind the trained-IVF family's pruning

@@ -122,6 +122,37 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(got.toSeq === want)
   }
 
+  test("q_hard_negatives equals the label-filtered all-pairs referee; never a positive") {
+    val labels: Map[Long, Int] =
+      Tables.embeddings(s, dir).select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Queries.byName("q_hard_negatives").run(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // no mined negative may share its query's label (a positive leaking
+    // into the negatives is the failure mode that poisons a contrastive
+    // run)
+    got.foreach { case (qid, _, cid, _) =>
+      assert(labels(cid) !== labels(qid), s"positive $cid mined for query $qid")
+    }
+    // exact contract: the label-filtered all-pairs top-5 under the same
+    // decimal-cosine referee
+    val qs = all.filter { case (id, v) => id % 25 == 0 && v.exists(_ != 0f) }
+    val cs = all.filter { case (id, v) => id % 25 != 0 && v.exists(_ != 0f) }
+    val want = qs.sortBy(_._1).flatMap { case (qid, qv) =>
+      cs.filter { case (cid, _) => labels(cid) != labels(qid) }
+        .map { case (cid, cv) => (cid, cosine9(cv, qv)) }
+        .sortBy { case (cid, cos) => (-cos, cid) }.take(5)
+        .zipWithIndex.map { case ((cid, cos), i) => (qid, i + 1, cid, cos) }
+    }
+    assert(got.toSeq === want.toSeq)
+    // the filter visibly bit: some query's plain top-5 contained a
+    // same-label vector (else this query tests nothing)
+    val differs = qs.exists { case (qid, _) =>
+      exactTop5(qid).exists { case (cid, _) => labels(cid) == labels(qid) }
+    }
+    assert(differs, "fixture degenerate: no positives in any plain top-5")
+  }
+
   test("q_knn_join_ivf probes are honest and recall clears the floor") {
     val emb = Tables.embeddings(s, dir)
     val centroids = VectorQueries.trainCentroids(emb, s)

@@ -358,7 +358,10 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r16 curriculum epoch: q_mix_epoch's chain exactly — the quality
     // score is one extra per-row column through the existing exchanges,
     // and the interleave window re-orders without adding a shuffle
-    "q_mix_epoch_curriculum" -> 22)
+    "q_mix_epoch_curriculum" -> 22,
+    // r16 hard negatives: q_knn_join's chain exactly — the label
+    // predicate rides the scored scan, no new shuffle
+    "q_hard_negatives" -> 8)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
