@@ -205,7 +205,9 @@ object Bench {
     // curriculum/cluster-election/length-bucket queries landed); this
     // sweep also tightened four earlier entries (sequences/quality/
     // status/decontaminate) and buys ~160 chars of headroom:
-    "cluster" -> "cl", "keep" -> "kp", "best" -> "bst",
+    // "clu", not "cl": clusters→cl already exists and two inputs sharing
+    // one output would make the documented per-segment decode ambiguous
+    "cluster" -> "clu", "keep" -> "kp", "best" -> "bst",
     "buckets" -> "bkt", "curriculum" -> "cur", "epoch" -> "ep",
     "retrieval" -> "rtv", "hybrid" -> "hy", "snapshot" -> "snp",
     "metadata" -> "md", "compiled" -> "cpd", "classify" -> "cls",

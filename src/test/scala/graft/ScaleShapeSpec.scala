@@ -342,11 +342,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // interleave window exchange + the final sort; targets/offsets
     // broadcast (both source-domain-bounded)
     "q_mix_epoch" -> 22,
-    // r16 line dedup (CCNet paragraph-hash): the election's key-agg
-    // exchange + the SHUFFLE_HASH join-back's stream-side re-shuffle
-    // (not reusable: the agg exchange carries partial-min rows) + the
-    // doc reassembly agg + the source rollup + final sort — 5
-    "q_line_dedup" -> 10,
+    // r16 line dedup (CCNet paragraph-hash): the election's ONE
+    // min-window exchange on the line key (the join-back spelling
+    // measured 17× slower — AbLineDedupBench) + the doc reassembly agg
+    // + the source rollup + final sort — 4
+    "q_line_dedup" -> 8,
     // r16 quality-aware cluster election: q_dedup_payoff's chain (10)
     // with the min-id filter swapped for the groupBy-max election's agg
     // + SHUFFLE_HASH join-back (+3 exchanges = +6 plan lines)
