@@ -170,7 +170,11 @@ object Bench {
     * segment equal to an abbreviation OUTPUT — so naive per-segment
     * expansion is unambiguous, which distinctness alone wouldn't give
     * (r12 advice). Reading a tail line: expand each segment below,
-    * prepend "q_". */
+    * prepend "q_". Rename epochs: the r16 sweep re-tightened four
+    * pre-existing outputs (sequences seqs→sq, quality qual→ql, status
+    * stat→sts, decontaminate decon→dc), so tail lines INSIDE committed
+    * BENCH_r12..r15 artifacts decode with the pre-r16 table (git
+    * history of this map); lines from r16 on decode with this one. */
   private[graft] val keyAbbrev: Map[String, String] = Map(
     "multiprobe" -> "mp", "kmeans" -> "km", "neardup" -> "nd",
     "embedding" -> "emb", "sequences" -> "sq", "quantiles" -> "qtl",

@@ -1941,8 +1941,8 @@ object TextQueries {
         "al. 2020): lines keyed by normalized content keep exactly their first " +
         "corpus-wide occurrence, survivors re-join as clean_text — the boilerplate " +
         "rung between document-level exact dedup and token-gram substring scrub; " +
-        "groupBy-min election + co-keyed SHUFFLE_HASH join so hot lines stay " +
-        "AQE-splittable"),
+        "min-over-window election on the line key (the join-back spelling measured " +
+        "17x slower — AbLineDedupBench)"),
 
     QueryDef(
       "q_length_quantiles", Seq("W1", "A3", "A4"),

@@ -92,7 +92,12 @@ object LineStore {
     // (lineDedupOf; the groupBy-min + join-back alternative re-derives
     // the line stream for both join inputs and measured 17× slower on
     // the 10× replica) — the window's lkey partitioning is then reused
-    // as the historical lookup join's stream side
+    // as the historical lookup join's stream side. localCheckpoint
+    // (eager) materializes the flagged lines ONCE: without it the
+    // registry append and the caller's cleaned-frame write would each
+    // re-run the whole explode → normalize → md5 → window → join
+    // pipeline (code-review r16) — the replay-invariance argument only
+    // needs determinism, which the checkpoint trivially preserves.
     val flagged = keyed
       .withColumn("first_occ",
         min(struct(col("doc_id"), col("line_idx")))
@@ -102,6 +107,7 @@ object LineStore {
       .withColumn("keep",
         col("seen").isNull &&
           struct(col("doc_id"), col("line_idx")) === col("first_occ"))
+      .localCheckpoint()
     // new registrations: this batch's content-line keepers — `keep`
     // already excludes every HISTORICAL key, and the historical view is
     // deliberately the append's only store dependency: it is invariant
