@@ -1045,9 +1045,10 @@ object TextQueries {
     * AQE-splittable join partitions looked attractive for hot
     * boilerplate keys — re-derives the whole line stream for both join
     * inputs (the agg's exchange carries partial-min rows, so the two
-    * exchanges can never be one ReuseExchange) and ran 17× SLOWER on
-    * the 10× replica (20.1 s vs 1.2 s full-pipeline; an explicit
-    * shared repartition did not fix it either, 26.9 s). The window's
+    * exchanges can never be one ReuseExchange) and ran ~30× SLOWER on
+    * the 10× replica (20.8 s vs 0.7 s full-pipeline, interleaved
+    * min-of-3 — AbLineDedupBench; an explicit shared repartition did
+    * not fix it, 20.9 s). The window's
     * trade-off: one hot key's rows sit in one unsplittable WindowExec
     * partition — a line repeated 10^8 times makes that task spill and
     * run long; the escape hatch at that extreme is a salted two-level
@@ -1942,7 +1943,7 @@ object TextQueries {
         "corpus-wide occurrence, survivors re-join as clean_text — the boilerplate " +
         "rung between document-level exact dedup and token-gram substring scrub; " +
         "min-over-window election on the line key (the join-back spelling measured " +
-        "17x slower — AbLineDedupBench)"),
+        "~30x slower — AbLineDedupBench)"),
 
     QueryDef(
       "q_length_quantiles", Seq("W1", "A3", "A4"),

@@ -90,8 +90,8 @@ object LineStore {
       .select(col("lkey")).distinct()
     // in-batch election = the batch engine's min-over-Window spelling
     // (lineDedupOf; the groupBy-min + join-back alternative re-derives
-    // the line stream for both join inputs and measured 17× slower on
-    // the 10× replica) — the window's lkey partitioning is then reused
+    // the line stream for both join inputs and measured ~30× slower on
+    // the 10× replica — AbLineDedupBench) — the window's lkey partitioning is then reused
     // as the historical lookup join's stream side. localCheckpoint
     // (eager) materializes the flagged lines ONCE: without it the
     // registry append and the caller's cleaned-frame write would each

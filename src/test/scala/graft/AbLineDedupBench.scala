@@ -23,8 +23,9 @@ import org.apache.spark.sql.types._
   *            adds a third shuffle.
   *
   * Measured on the 10× replica (full pipeline through the per-source
-  * rollup, r16 session): window 1.2 s, join 20.1 s, repart 26.9 s —
-  * the 17× gap is why the engine switched spellings. Recorded here so
+  * rollup, interleaved min-of-3, r16 session): window 0.7 s, join
+  * 20.8 s, repart 20.9 s — the ~30× gap is why the engine switched
+  * spellings. Recorded here so
   * the join respelling is not retried; the hot-key escape hatch at
   * 10^8-repetition skew is a salted two-level election, not the join.
   *

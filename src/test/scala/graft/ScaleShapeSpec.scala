@@ -344,7 +344,7 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_mix_epoch" -> 22,
     // r16 line dedup (CCNet paragraph-hash): the election's ONE
     // min-window exchange on the line key (the join-back spelling
-    // measured 17× slower — AbLineDedupBench) + the doc reassembly agg
+    // measured ~30× slower — AbLineDedupBench) + the doc reassembly agg
     // + the source rollup + final sort — 4
     "q_line_dedup" -> 8,
     // r16 quality-aware cluster election: q_dedup_payoff's chain (10)
