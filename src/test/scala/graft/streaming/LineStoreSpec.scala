@@ -90,6 +90,28 @@ class LineStoreSpec extends AnyFunSuite {
       "fresh delta content.".length.toLong)))
   }
 
+  test("registry layout: bucket-partitioned directories, keys and offsets only — never line text") {
+    val store = Files.createTempDirectory("graft-linestore-layout").toString
+    LineStore.appendCleanBatch(s, store, docsDF(b1 ++ b2.map {
+      case (src, id, t) => (src, id + 10, t) }), 0L)
+    // the 100 TB claim is structural: the registry's schema carries the
+    // 32-char key + three longs + lineage — the line TEXT never persists,
+    // so the store is keys-sized, not corpus-sized
+    val reg = s.read.parquet(LineStore.linesPath(store))
+    assert(reg.columns.sorted === Array(
+      "batch_id", "doc_id", "key_bucket", "line_idx", "lineage", "lkey"))
+    // and the rows land in Hive-style key_bucket=N partition directories
+    // (the partition-pruned maintenance layout of the sibling stores)
+    val dirs = Option(new java.io.File(LineStore.linesPath(store)).listFiles())
+      .toSeq.flatten.filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("key_bucket=")), dirs)
+    // bucket values recompute from the stored key — layout and content
+    // cannot drift
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+    assert(reg.filter(
+      pmod(xxhash64(col("lkey")), lit(64L)) =!= col("key_bucket")).count() === 0L)
+  }
+
   test("checkpoint-reset lineage: old rows stay historical despite larger batch ids") {
     val store = Files.createTempDirectory("graft-linestore-lineage").toString
     cleanRows(LineStore.appendCleanBatch(s, store, docsDF(b1), 5L, lineage = "q1"))
