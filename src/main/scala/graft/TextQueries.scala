@@ -1037,24 +1037,32 @@ object TextQueries {
     * (source, doc_id, clean_text, n_lines, n_dup, chars_removed).
     *
     * Shape — CCNet's shard-by-hash / regroup-by-document layout as
-    * Catalyst exchanges: the line stream shuffles ONCE on the line key
-    * for the first-occurrence election (min-over-Window on lkey) and
-    * once on the doc for reassembly, plus whatever the caller
-    * aggregates. The election spelling is MEASURED, not assumed: the
-    * groupBy-min + co-keyed SHUFFLE_HASH join-back alternative — whose
-    * AQE-splittable join partitions looked attractive for hot
-    * boilerplate keys — re-derives the whole line stream for both join
-    * inputs (the agg's exchange carries partial-min rows, so the two
-    * exchanges can never be one ReuseExchange) and ran ~30× SLOWER on
-    * the 10× replica (20.8 s vs 0.7 s full-pipeline, interleaved
-    * min-of-3 — AbLineDedupBench; an explicit shared repartition did
-    * not fix it, 20.9 s). The window's
-    * trade-off: one hot key's rows sit in one unsplittable WindowExec
-    * partition — a line repeated 10^8 times makes that task spill and
-    * run long; the escape hatch at that extreme is a salted two-level
-    * election (per-(key, salt) min first), not the join respelling.
-    * Broadcast is structurally out either way: the distinct-line frame
-    * grows with the corpus. */
+    * Catalyst exchanges, with a SKEW-FREE election (VERDICT r16 #1): the
+    * r16 spelling was min-over-Window on lkey — one exchange, but one
+    * hot key's rows (a cookie banner repeated 10^8 times corpus-wide)
+    * land in ONE unsplittable WindowExec partition = one task's buffer,
+    * the exact shape [[clusterKeepBestOf]]'s scaladoc forbids. The live
+    * spelling is the salted two-level election ([[lineFirstOccOf]]):
+    * partial min per (lkey, pmod(xxhash64(doc_id), 32)) — map-side
+    * combinable, so a hot key ships ≤ tasks×32 partial rows instead of
+    * its full occurrence list — then min over the ≤32-row salt groups,
+    * then the elected occurrences join back BY COORDINATE, not by key:
+    * the winner set is projected to (doc_id, line_idx) pairs
+    * ([[lineWinnersOf]]) and left-joined to the line stream on those —
+    * a unique, perfectly uniform long/int key, so no leg of the plan
+    * ever groups, windows, or hash-joins on the skewable line key with
+    * full rows attached. That coordinate trick is MEASURED, not
+    * aesthetic: at sf1 the lkey-keyed SHUFFLE_HASH join-back runs ~20 s
+    * against this spelling's 0.8 s and the window's 0.9 s (the md5
+    * string hash map is the pathology; AbLineDedupBench keeps all the
+    * variants) — at-or-below the window's cost even at uniform data,
+    * hot-key immune, with no localCheckpoint materialization of corpus
+    * bytes.
+    * The derivation (explode → normalize → md5) runs twice (election
+    * leg column-pruned to ids+key, stream leg with text) — the classic
+    * stateless 2×-CPU trade against checkpointing corpus bytes to
+    * executor storage. Broadcast is structurally out: the distinct-line
+    * frame grows with the corpus. */
   /** The ONE spelling of the line explode + CCNet normalization + key —
     * shared by [[lineDedupOf]] (the batch pass) and
     * [[graft.streaming.LineStore]] (the incremental registry), so batch
@@ -1097,13 +1105,48 @@ object TextQueries {
       sum(when(!col("keep"), length(col("line")).cast(LongType)).otherwise(0L))
         .as("chars_removed"))
 
+  /** Salt-group count for the two-level line election — 32 bounds the
+    * second-level groups at 32 rows per key while keeping the partial
+    * aggregate's key space (lkey × salt) small enough to combine well. */
+  private[graft] val LineElectSalts = 32
+
+  /** Skew-free first-occurrence election over a [[keyedLinesOf]] frame:
+    * (lkey → first_occ = min (doc_id, line_idx)) computed as a partial
+    * min per (lkey, pmod(xxhash64(doc_id), 32)) — map-side combinable,
+    * so a 10^8-occurrence boilerplate key ships bounded partial rows —
+    * then a min over the ≤32-row salt groups. Deterministic (xxhash64 of
+    * the doc id, no RNG); shared by [[lineDedupOf]] and
+    * [[graft.streaming.LineStore]] so batch and streaming legs cannot
+    * drift. Callers join the result back on lkey (SHUFFLE_HASH — AQE can
+    * split a skewed join partition, unlike a window partition). */
+  private[graft] def lineFirstOccOf(keyed: DataFrame): DataFrame =
+    keyed
+      .groupBy(col("lkey"),
+        pmod(xxhash64(col("doc_id")), lit(LineElectSalts.toLong)).as("lsalt"))
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("pmin"))
+      .groupBy(col("lkey")).agg(min(col("pmin")).as("first_occ"))
+
+  /** The election's winner set projected to COORDINATES: one
+    * (doc_id, line_idx, line_win=true) row per distinct line key — the
+    * kept occurrence. Joining this back to the line stream on the
+    * unique, uniform (doc_id, line_idx) pair (instead of re-keying on
+    * lkey) is what keeps the whole election skew-free AND fast: a given
+    * coordinate is one line with one key, so winner coordinates are
+    * distinct by construction and the left join is multiplicity-safe;
+    * empty-normalizing lines carry singleton keys, win their own
+    * election, and come out kept, exactly the batch contract. */
+  private[graft] def lineWinnersOf(keyed: DataFrame): DataFrame =
+    lineFirstOccOf(keyed).select(
+      col("first_occ.doc_id").as("doc_id"),
+      col("first_occ.line_idx").as("line_idx"),
+      lit(true).as("line_win"))
+
   private[graft] def lineDedupOf(docsIn: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val flagged = keyedLinesOf(docsIn)
-      .withColumn("keep",
-        struct(col("doc_id"), col("line_idx")) ===
-          min(struct(col("doc_id"), col("line_idx")))
-            .over(Window.partitionBy("lkey")))
+    val keyed = keyedLinesOf(docsIn)
+    val flagged = keyed
+      .join(lineWinnersOf(keyed).hint("SHUFFLE_HASH"),
+        Seq("doc_id", "line_idx"), "left")
+      .withColumn("keep", col("line_win").isNotNull)
     reassembleLines(flagged)
   }
 

@@ -6,28 +6,41 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** A/B harness for q_line_dedup's first-occurrence election, spelled
-  * three ways over the identical keyed-line stream:
+  * five ways over the identical keyed-line stream:
   *
-  *   window   min(struct(doc_id, line_idx)) over (partition by lkey) —
-  *            one exchange, the line stream derives ONCE (the LIVE
-  *            engine);
-  *   join     groupBy(lkey).min + co-keyed SHUFFLE_HASH join-back — the
-  *            r16 first cut, argued from AQE skew-splittability; in
-  *            practice the agg's exchange carries partial-min rows so
-  *            the two lkey exchanges can never be one ReuseExchange and
-  *            the whole derivation (page split, regex normalization,
-  *            md5) runs TWICE;
-  *   repart   the join with an explicit shared repartition(lkey) meant
-  *            to force exchange reuse — it does not (the repartition
-  *            subtree still plans separately under agg and join) and
-  *            adds a third shuffle.
+  *   window       min(struct(doc_id, line_idx)) over (partition by
+  *                lkey) — one exchange, the line stream derives ONCE,
+  *                but one hot key = one unsplittable WindowExec
+  *                partition (the r16 engine, retired for that skew
+  *                shape);
+  *   salted       the LIVE engine (r17): partial min per (lkey,
+  *                pmod(xxhash64(doc_id), 32)) — map-side combinable —
+  *                min over the ≤32-row salt groups, then the winner set
+  *                projected to (doc_id, line_idx) COORDINATES and
+  *                left-joined to the stream on that unique uniform key
+  *                (lineWinnersOf). No leg groups, windows, or
+  *                hash-joins on the skewable md5 key with full rows;
+  *   salted_ckpt  the same two-level election but joined back ON LKEY
+  *                over a localCheckpoint'ed keyed frame — the obvious
+  *                cut; the checkpoint materializes corpus bytes and the
+  *                md5-string hash join is slow even then;
+  *   join         groupBy(lkey).min + co-keyed SHUFFLE_HASH join-back,
+  *                no checkpoint — the r16 first cut;
+  *   repart       the join with an explicit shared repartition(lkey)
+  *                meant to force exchange reuse — it does not, and adds
+  *                a third shuffle.
   *
   * Measured on the 10× replica (full pipeline through the per-source
-  * rollup, interleaved min-of-3, r16 session): window 0.7 s, join
-  * 20.8 s, repart 20.9 s — the ~30× gap is why the engine switched
-  * spellings. Recorded here so
-  * the join respelling is not retried; the hot-key escape hatch at
-  * 10^8-repetition skew is a salted two-level election, not the join.
+  * rollup, interleaved min-of-3, r17 session): window 0.9 s, salted
+  * 0.8 s, salted_ckpt 4.3 s, join 20.1 s, repart 19.0 s. The probe
+  * decomposition behind the spelling choice: deriving the line stream
+  * twice costs ~2× of ~0.6 s (union probe), the salted AGGREGATES are
+  * cheap — the ~20 s pathology is specifically the SHUFFLE_HASH join
+  * keyed on the 32-char md5 string with ~corpus-distinct keys on the
+  * build side, and the checkpoint only cuts it to 4.3 s. Joining
+  * winners back by (doc_id, line_idx) coordinate sidesteps the string
+  * hash map entirely: at-or-below the window's cost even at uniform
+  * data, hot-key immune, with no materialization.
   *
   * Test-scoped measurement harness, not library surface. Run:
   *   sbt "Test/runMain graft.AbLineDedupBench /tmp/graft_sf1"
@@ -50,6 +63,17 @@ object AbLineDedupBench {
 
   private def windowElect(k: DataFrame): DataFrame =
     k.withColumn("keep", occ === min(occ).over(Window.partitionBy("lkey")))
+
+  private def saltedElect(k: DataFrame): DataFrame =
+    k.join(TextQueries.lineWinnersOf(k).hint("SHUFFLE_HASH"),
+        Seq("doc_id", "line_idx"), "left")
+      .withColumn("keep", col("line_win").isNotNull)
+
+  private def saltedCkptElect(k0: DataFrame): DataFrame = {
+    val k = k0.localCheckpoint()
+    k.join(TextQueries.lineFirstOccOf(k).hint("SHUFFLE_HASH"), Seq("lkey"))
+      .withColumn("keep", occ === col("first_occ"))
+  }
 
   private def joinElect(k: DataFrame): DataFrame =
     k.join(
@@ -83,6 +107,8 @@ object AbLineDedupBench {
     val docs = pageDocs(spark, dir)
     val engines: Seq[(String, () => Long)] = Seq(
       "window" -> (() => drain(windowElect(keyed(docs)))),
+      "salted" -> (() => drain(saltedElect(keyed(docs)))),
+      "salted_ckpt" -> (() => drain(saltedCkptElect(keyed(docs)))),
       "join" -> (() => drain(joinElect(keyed(docs)))),
       "repart" -> (() => drain(repartElect(keyed(docs)))))
     // interleaved min-of-3 (the Bench noise discipline)
