@@ -802,8 +802,9 @@ object Cli {
     case "corpus-build" :: lake :: id :: Nil =>
       // the end-to-end corpus BUILD manifest over a loaded collection's
       // documents (the q_corpus_build engine): per-stage, per-source
-      // attrition through Gopher → C4 lines → exact dedup →
-      // decontamination → quality gate → train split → mix targets
+      // attrition through Gopher → C4 lines → corpus-wide line dedup →
+      // exact dedup → decontamination → quality gate → train split →
+      // mix targets
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)

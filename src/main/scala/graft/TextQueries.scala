@@ -743,16 +743,24 @@ object TextQueries {
     *                      iff not lorem-dropped and ≥1 line passes (the
     *                      line filter is a TRANSFORM in production; here
     *                      the manifest records its document attrition);
-    *   3 exact_dedup    — min-doc_id keeper election per content
+    *   3 line_dedup     — corpus-wide first-occurrence line dedup
+    *                      ([[lineDedupOf]]'s election, CCNet's rung
+    *                      between the C4 filter and exact dedup — VERDICT
+    *                      r16 #3) over the c4-derived page lines of the
+    *                      stage-2 survivors; a doc survives iff it owns
+    *                      ≥1 elected first-occurrence content line (its
+    *                      content does not entirely collapse into
+    *                      earlier docs' lines);
+    *   4 exact_dedup    — min-doc_id keeper election per content
     *                      fingerprint among the survivors;
-    *   4 decontaminate  — drop the eval hash-slice itself and every doc
+    *   5 decontaminate  — drop the eval hash-slice itself and every doc
     *                      sharing a 4-token shingle with it
     *                      (q_decontaminate's broadcast-semi shape);
-    *   5 quality_gate   — [[qualityGateOf]]'s per-source bottom-decile
+    *   6 quality_gate   — [[qualityGateOf]]'s per-source bottom-decile
     *                      rank cut among the remaining docs;
-    *   6 split_train    — keep the train 90% of the content-stable split;
-    *   7 mix_targets    — [[sourceMixOf]]'s sqrt-temperature target draw
-    *                      over the final train set (same population as 6;
+    *   7 split_train    — keep the train 90% of the content-stable split;
+    *   8 mix_targets    — [[sourceMixOf]]'s sqrt-temperature target draw
+    *                      over the final train set (same population as 7;
     *                      n_target non-null only here).
     * Output: (stage_idx, stage, source, n_docs, n_tokens, n_target),
     * ordered (stage_idx, source); a source whose docs all die at a stage
@@ -766,6 +774,13 @@ object TextQueries {
     * per-stage re-aggregation of the survivor chain, which would replan
     * the corpus subtree once per stage (8 scans; the first cut of this
     * operator measured 76 exchanges vs this plan's one-scan shape). The
+    * line-dedup stage is the one rung that cannot be a per-row flag (its
+    * election is corpus-keyed over the LINE domain), so it rides as a
+    * second side input next to decontamination's: the elected winner
+    * docs distinct to a doc_id set and SHUFFLE_HASH-joined into the flag
+    * pipeline ADJACENT to the contamination join, so one doc_id exchange
+    * of the corpus serves both joins — "one pass + the line election",
+    * exactly the promised growth. The
     * quality-gate rank among survivors is the conditional-sum window
     * (survivor count over (score ASC, doc_id ASC) ROWS UNBOUNDED
     * PRECEDING — bit-identical to row_number over the filtered set since
@@ -802,21 +817,40 @@ object TextQueries {
     val contaminated = shingled.filter(pmod(col("doc_id"), lit(97)) =!= 0)
       .join(broadcast(evalGrams), Seq("gram"))
       .select("doc_id").distinct()
+    // line-dedup side input (stage 3): the line election is corpus-keyed
+    // over the LINE domain, so it cannot be a per-row flag — it derives
+    // the stage-2 survivors' c4 page lines through the SHARED
+    // keyedLinesOf spelling and the salted skew-free election
+    // (lineWinnersOf), then collapses the winners to the doc_id set that
+    // still owns content; everything downstream stays in the one-pass
+    // flag pipeline
+    val ldDocs = lineWinnersOf(
+      keyedLinesOf(docsIn.filter(gopherPass && c4Pass)
+          .select(col("source"), col("doc_id"), mtext.as("text")))
+        .filter(col("norm") =!= ""))
+      .select("doc_id").distinct()
+      .withColumn("ld_has", lit(true))
     // cumulative per-row survival flags — one pass, no survivor-chain
     // re-aggregation (see the shape note above)
     val sv2 = col("g_ok") && col("c4_ok")
-    val keeperOk = sv2 &&
-      col("doc_id") === min(when(sv2, col("doc_id"))).over(Window.partitionBy("fp"))
-    // contaminated grows with the corpus — SHUFFLE_HASH, never an
-    // estimate-driven broadcast (the robust-joins house rule)
+    val ldOk = sv2 && col("ld_has").isNotNull
+    val keeperOk = col("ld_ok") &&
+      col("doc_id") ===
+        min(when(col("ld_ok"), col("doc_id"))).over(Window.partitionBy("fp"))
+    // contaminated and ldDocs grow with the corpus — SHUFFLE_HASH, never
+    // an estimate-driven broadcast (the robust-joins house rule); both
+    // join on doc_id back-to-back so one exchange of the corpus side
+    // serves both
     val wRank = Window.partitionBy("source")
       .orderBy(col("score").asc, col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wSrc = Window.partitionBy("source")
     val flagged = base
-      .withColumn("keeper_ok", keeperOk)
+      .join(ldDocs.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .join(contaminated.withColumn("contam", lit(true)).hint("SHUFFLE_HASH"),
         Seq("doc_id"), "left")
+      .withColumn("ld_ok", ldOk)
+      .withColumn("keeper_ok", keeperOk)
       .withColumn("decon_ok",
         col("keeper_ok") && !col("is_eval") && col("contam").isNull)
       .withColumn("srank",
@@ -832,10 +866,11 @@ object TextQueries {
       count(lit(1)).as("n0"), sum(col("n_tok")).as("t0"),
       cnt(col("g_ok"), "n1"), tok(col("g_ok"), "t1"),
       cnt(sv2, "n2"), tok(sv2, "t2"),
-      cnt(col("keeper_ok"), "n3"), tok(col("keeper_ok"), "t3"),
-      cnt(col("decon_ok"), "n4"), tok(col("decon_ok"), "t4"),
-      cnt(col("qg_ok"), "n5"), tok(col("qg_ok"), "t5"),
-      cnt(col("train_ok"), "n6"), tok(col("train_ok"), "t6"))
+      cnt(col("ld_ok"), "n3"), tok(col("ld_ok"), "t3"),
+      cnt(col("keeper_ok"), "n4"), tok(col("keeper_ok"), "t4"),
+      cnt(col("decon_ok"), "n5"), tok(col("decon_ok"), "t5"),
+      cnt(col("qg_ok"), "n6"), tok(col("qg_ok"), "t6"),
+      cnt(col("train_ok"), "n7"), tok(col("train_ok"), "t7"))
     val Dec = DecimalType(38, 18)
     // the mix normalizer is a global window over the SOURCES-bounded
     // aggregate frame — never a recompute of the corpus subtree
@@ -846,7 +881,7 @@ object TextQueries {
       struct(lit(idx).as("stage_idx"), lit(name).as("stage"),
         n.as("n_docs"), t.as("n_tokens"), tgt.as("n_target"))
     per
-      .withColumn("w_dec", sqrt(col("t6").cast(DoubleType)).cast(Dec))
+      .withColumn("w_dec", sqrt(col("t7").cast(DoubleType)).cast(Dec))
       .withColumn("w_tot",
         sum(col("w_dec")).over(Window.partitionBy()).cast(Dec))
       .withColumn("n_target",
@@ -855,11 +890,12 @@ object TextQueries {
         st(0L, "raw", col("n0"), col("t0"), nullT),
         st(1L, "gopher", col("n1"), col("t1"), nullT),
         st(2L, "c4_lines", col("n2"), col("t2"), nullT),
-        st(3L, "exact_dedup", col("n3"), col("t3"), nullT),
-        st(4L, "decontaminate", col("n4"), col("t4"), nullT),
-        st(5L, "quality_gate", col("n5"), col("t5"), nullT),
-        st(6L, "split_train", col("n6"), col("t6"), nullT),
-        st(7L, "mix_targets", col("n6"), col("t6"), col("n_target")))).as("s"))
+        st(3L, "line_dedup", col("n3"), col("t3"), nullT),
+        st(4L, "exact_dedup", col("n4"), col("t4"), nullT),
+        st(5L, "decontaminate", col("n5"), col("t5"), nullT),
+        st(6L, "quality_gate", col("n6"), col("t6"), nullT),
+        st(7L, "split_train", col("n7"), col("t7"), nullT),
+        st(8L, "mix_targets", col("n7"), col("t7"), col("n_target")))).as("s"))
       .filter(col("s.n_docs") > 0)
       .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
         col("source"), col("s.n_docs").as("n_docs"),
@@ -1985,8 +2021,9 @@ object TextQueries {
         "al. 2020): lines keyed by normalized content keep exactly their first " +
         "corpus-wide occurrence, survivors re-join as clean_text — the boilerplate " +
         "rung between document-level exact dedup and token-gram substring scrub; " +
-        "min-over-window election on the line key (the join-back spelling measured " +
-        "~30x slower — AbLineDedupBench)"),
+        "salted two-level election joined back by (doc_id, line_idx) coordinate, " +
+        "skew-free on every leg (window vs lkey-join vs coordinate-join A/B'd in " +
+        "AbLineDedupBench)"),
 
     QueryDef(
       "q_length_quantiles", Seq("W1", "A3", "A4"),
@@ -3573,9 +3610,32 @@ object TextQueries {
                  WHERE g.doc_id % 97 <> 0),
                s1 AS (SELECT * FROM feat WHERE g_ok),
                s2 AS (SELECT * FROM s1 WHERE c4_ok),
+               ldm AS (
+                 SELECT s2.source, s2.doc_id,
+                        string_split(c4m.mtext, chr(10)) AS ls
+                 FROM s2 JOIN c4m USING (source, doc_id)),
+               ldl AS (
+                 SELECT source, doc_id,
+                        generate_subscripts(ls, 1) - 1 AS line_idx,
+                        unnest(ls) AS line
+                 FROM ldm),
+               ldn AS (
+                 SELECT doc_id, line_idx,
+                        trim(regexp_replace(regexp_replace(lower(line),
+                          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+                 FROM ldl),
+               ldd AS (
+                 SELECT DISTINCT doc_id FROM (
+                   SELECT doc_id,
+                          row_number() OVER (PARTITION BY norm
+                            ORDER BY doc_id, line_idx) AS rn
+                   FROM ldn WHERE norm <> '')
+                 WHERE rn = 1),
+               s2d AS (
+                 SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ldd)),
                s3 AS (
                  SELECT * FROM (
-                   SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM s2)
+                   SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS keeper FROM s2d)
                  WHERE doc_id = keeper),
                s4 AS (
                  SELECT * FROM s3
@@ -3615,39 +3675,44 @@ object TextQueries {
                         CAST(NULL AS BIGINT)
                  FROM s2 GROUP BY source
                  UNION ALL
-                 SELECT CAST(3 AS BIGINT), 'exact_dedup', source,
+                 SELECT CAST(3 AS BIGINT), 'line_dedup', source,
+                        CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
+                        CAST(NULL AS BIGINT)
+                 FROM s2d GROUP BY source
+                 UNION ALL
+                 SELECT CAST(4 AS BIGINT), 'exact_dedup', source,
                         CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
                         CAST(NULL AS BIGINT)
                  FROM s3 GROUP BY source
                  UNION ALL
-                 SELECT CAST(4 AS BIGINT), 'decontaminate', source,
+                 SELECT CAST(5 AS BIGINT), 'decontaminate', source,
                         CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
                         CAST(NULL AS BIGINT)
                  FROM s4 GROUP BY source
                  UNION ALL
-                 SELECT CAST(5 AS BIGINT), 'quality_gate', source,
+                 SELECT CAST(6 AS BIGINT), 'quality_gate', source,
                         CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
                         CAST(NULL AS BIGINT)
                  FROM s5 GROUP BY source
                  UNION ALL
-                 SELECT CAST(6 AS BIGINT), 'split_train', source,
+                 SELECT CAST(7 AS BIGINT), 'split_train', source,
                         CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT),
                         CAST(NULL AS BIGINT)
                  FROM s6 GROUP BY source
                  UNION ALL
-                 SELECT CAST(7 AS BIGINT), 'mix_targets', source, n_docs, n_tokens,
+                 SELECT CAST(8 AS BIGINT), 'mix_targets', source, n_docs, n_tokens,
                         CAST(floor(100000.0 * round(CAST(w_dec AS DOUBLE)
                                                     / CAST(w_tot AS DOUBLE), 9)) AS BIGINT)
                  FROM w, t2)
                SELECT stage_idx, stage, source, n_docs, n_tokens, n_target
                FROM st ORDER BY stage_idx, source"""),
-      "End-to-end corpus BUILD manifest: Gopher doc rules → C4 line filter → exact " +
-        "dedup keeper election → eval-set decontamination → per-source bottom-decile " +
-        "quality gate → train split → sqrt-temperature mix targets, composed in " +
-        "production order with a per-stage per-source attrition table — every stage " +
-        "is the standalone operator's own spelling, replayed stage-by-stage by the " +
-        "oracle; population consistency vs the per-rung queries pinned in " +
-        "CorpusPipelineSpec"),
+      "End-to-end corpus BUILD manifest: Gopher doc rules → C4 line filter → " +
+        "corpus-wide line dedup (CCNet order) → exact dedup keeper election → " +
+        "eval-set decontamination → per-source bottom-decile quality gate → train " +
+        "split → sqrt-temperature mix targets, composed in production order with a " +
+        "per-stage per-source attrition table — every stage is the standalone " +
+        "operator's own spelling, replayed stage-by-stage by the oracle; population " +
+        "consistency vs the per-rung queries pinned in CorpusPipelineSpec"),
 
     QueryDef(
       "q_token_df", Seq("A4", "A1", "J2"),

@@ -246,8 +246,8 @@ class CliSpec extends AnyFunSuite {
     val stageNames = build.linesIterator
       .map(_.split(" ")(0).stripPrefix("stage=")).toSeq.distinct
     assert(stageNames.head === "0:raw" && stageNames.contains("1:gopher"), build)
-    if (build.contains("7:mix_targets"))
-      assert(build.linesIterator.filter(_.startsWith("stage=7:"))
+    if (build.contains("8:mix_targets"))
+      assert(build.linesIterator.filter(_.startsWith("stage=8:"))
         .forall(_.contains("n_target=")), build)
 
     // exact-substring duplication: the a1/a2 pair shares long token runs

@@ -341,7 +341,7 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(byStage("gopher") === gopher.filter(_._2 > 0))
     // attrition is monotone: each stage's per-source count never exceeds
     // the previous stage's (mix_targets shares split_train's population)
-    val order = Seq("raw", "gopher", "c4_lines", "exact_dedup",
+    val order = Seq("raw", "gopher", "c4_lines", "line_dedup", "exact_dedup",
       "decontaminate", "quality_gate", "split_train")
     order.sliding(2).foreach { case Seq(a, b) =>
       byStage.getOrElse(b, Map.empty).foreach { case (src, n) =>
@@ -350,6 +350,10 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
     assert(byStage("mix_targets") === byStage("split_train"))
     // the funnel genuinely sheds at the data-driven stages on this corpus
+    // (r17: the line-dedup rung drops docs whose content collapses into
+    // earlier docs' lines — on this fixture that absorbs the exact-dup
+    // shedding too, the expected CCNet-order interaction)
+    assert(byStage("line_dedup").values.sum < byStage("c4_lines").values.sum)
     assert(byStage("quality_gate").values.sum < byStage("decontaminate").values.sum)
     assert(byStage("split_train").values.sum < byStage("quality_gate").values.sum)
     // mix targets re-derive from the final token counts (sourceMixOf's

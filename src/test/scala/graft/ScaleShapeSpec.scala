@@ -328,12 +328,16 @@ class ScaleShapeSpec extends AnyFunSuite {
     // the q_ann_ivf_pq_refine and both-hybrid chains' exchanges; every
     // post-probe stage is 10-to-100-row bounded, truths broadcast
     "q_retrieval_eval" -> 52,
-    // r16 corpus-build manifest — the ONE-PASS cumulative-flag shape:
-    // fingerprint window + decon join (shingle explode/distinct pair +
-    // SHUFFLE_HASH) + the source rank/count window pair + one per-source
-    // aggregation + the bounded mix window + final sort. The naive
-    // stage-chain union measured 76; this is the scan-once spelling.
-    "q_corpus_build" -> 14,
+    // r17 corpus-build manifest — the ONE-PASS cumulative-flag shape plus
+    // the line-dedup side input (VERDICT r16 #3, CCNet order): the r16
+    // chain (fingerprint window + decon join's shingle explode/distinct
+    // pair + SHUFFLE_HASH + source rank/count window pair + per-source
+    // agg + bounded mix window + final sort = 14) + the line election's
+    // 3 (salt partial agg, lkey final agg, winner-doc distinct) — the
+    // winners join rides the decon join's doc_id exchange. The naive
+    // stage-chain union measured 76; this stays "one pass + the line
+    // election", 20 plan lines = 10 exchanges.
+    "q_corpus_build" -> 20,
     // mix epoch: the targets agg pair (the `per` subtree plans twice —
     // tot derives from it, the q_langid_nb AQE-reuse precedent) + the
     // sources×buckets offsets agg pair (the corpus-keyed `based` subtree
