@@ -309,25 +309,28 @@ class ScaleShapeSpec extends AnyFunSuite {
     // predicates (codegen'd array HOFs), ONE map-side-combined source
     // rollup + the final sort
     "q_c4_lines" -> 4,
-    // hybrid RRF: the bm25 leg's exchanges (tf agg pair + df re-agg +
-    // bounded broadcasts) + each leg's K-row single-partition rank
-    // window + the SHUFFLE_HASH full-outer fusion of two K-row lists +
-    // the fused rank window/sort — every post-TakeOrdered stage is
-    // K-bounded by construction
-    "q_hybrid_rrf" -> 18,
-    // r16 ANN-legged hybrid: the same bm25-leg + fusion exchanges as
+    // hybrid RRF (r17: the lexical leg now PROBES the postings store —
+    // VERDICT r16 #5 — replacing the corpus scan's tf agg pair + df
+    // re-agg with the bucket-pruned store read + in-slice df agg, -4
+    // plan lines) + each leg's K-row single-partition rank window + the
+    // SHUFFLE_HASH full-outer fusion of two K-row lists + the fused
+    // rank window/sort — every post-TakeOrdered stage is K-bounded
+    "q_hybrid_rrf" -> 14,
+    // ANN-legged hybrid: the same indexed-bm25-leg + fusion exchanges as
     // q_hybrid_rrf, with the dense leg's brute scan replaced by the
     // IVFADC nomination (mapPartitions ADC + its TakeOrdered pair) and
     // the broadcast refine join — the extra 8 exchanges are the ADC
     // candidate stage's agg/sort pairs; every stage stays RefineR- or
     // K-bounded
-    "q_hybrid_rrf_ann" -> 26,
-    // r16 retrieval eval: FOUR composed rankings (exact-cosine truth +
-    // ADC refine, each used twice: standalone and as a fusion leg) plus
-    // two K-bounded fusions and the two 10-row hit joins — the union of
-    // the q_ann_ivf_pq_refine and both-hybrid chains' exchanges; every
-    // post-probe stage is 10-to-100-row bounded, truths broadcast
-    "q_retrieval_eval" -> 52,
+    "q_hybrid_rrf_ann" -> 22,
+    // retrieval eval (r17: the ANN nomination, the exact truth scan and
+    // the indexed lexical leg each run ONCE into 50/100-row checkpoints
+    // — VERDICT r16 #4 — so the four rankings compose from
+    // materialized bounded lists instead of re-planning the ADC/brute
+    // stacks per consumer; 52 -> 18 plan lines): the one brute
+    // TakeOrdered + the one ADC chain + the store-probe leg + two
+    // K-bounded fusions + the two 10-row hit joins
+    "q_retrieval_eval" -> 18,
     // r17 corpus-build manifest — the ONE-PASS cumulative-flag shape plus
     // the line-dedup side input (VERDICT r16 #3, CCNet order): the r16
     // chain (fingerprint window + decon join's shingle explode/distinct
