@@ -163,12 +163,16 @@ final class Api(
     val upgrade = bool(body, "upgrade")
     val compile = bool(body, "compile")
     val check = bool(body, "check")
+    val lineDedup = bool(body, "line_dedup")
     val note = Option(body.get("note")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
 
     var plane = PlaneStore.load(lake)
     val rootId = plane.collections.keys.maxOption.map(_ + 1).getOrElse(1L)
-    // steps exactly as loader.py:79-85: check + (upgrade | compile)
+    // steps exactly as loader.py:79-85: check + (upgrade | compile);
+    // line_dedup is this engine's corpus-curation extension (the
+    // streaming LineStore leg), gated the same way checks are
     val rootSteps = (if (check) Set("check") else Set.empty[String]) ++
+      (if (lineDedup) Set("line_dedup") else Set.empty[String]) ++
       (if (upgrade) Set("upgrade") else if (compile) Set("compile") else Set.empty[String])
     var created = List(Control.Collection(
       rootId, sourceId, dataVersion, steps = rootSteps, sample = sample))
@@ -310,8 +314,11 @@ final class Api(
           // (checker.py: `"check" in collection.steps`) — a tree that never
           // planned checks must not accrete a check table just because its
           // files arrived via the stream (ADVICE r15: the checks leg had
-          // no production caller and no step gate)
-          checks = plane.collection(id).steps.contains("check"))
+          // no production caller and no step gate); the line-dedup leg
+          // gates identically (VERDICT r16 #6 — the registry accrues in
+          // the production ingest path iff the tree planned the step)
+          checks = plane.collection(id).steps.contains("check"),
+          lineDedup = plane.collection(id).steps.contains("line_dedup"))
           .awaitTermination()
         plane = ref.get()
       }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 
 import com.fasterxml.jackson.databind.node.ObjectNode
@@ -43,6 +43,20 @@ object Streaming {
     * the same reason as [[bm25IndexPath]]. */
   def lineRegistryPath(lakeDir: String, collectionId: Long): String =
     s"$lakeDir/line_registry_c$collectionId"
+
+  /** THE reader for the streaming line-dedup leg's cleaned-document table
+    * (`<lake>/clean_doc`, written by `releaseLoadStream(lineDedup =
+    * true)`). The table is an at-least-once raw append: a crash-replayed
+    * batch re-writes byte-identical rows (the LineStore historical-view
+    * invariance), so every consumer must fold duplicates — this helper
+    * centralizes that contract (ADVICE r16: a naive
+    * spark.read.parquet(clean_doc) double-counts after a replay), the
+    * way the sibling stores fold at read. Empty frame when no batch has
+    * ever run the leg. */
+  def cleanDocs(spark: SparkSession, lakeDir: String): DataFrame =
+    graft.ingest.Sink.readOrEmpty(spark, s"$lakeDir/clean_doc")
+      .map(_.distinct())
+      .getOrElse(spark.emptyDataFrame)
 
   /** One streamed record's compile outcome. */
   final case class RecordOutcome(

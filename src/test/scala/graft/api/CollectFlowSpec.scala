@@ -253,6 +253,65 @@ class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally apiC.stop()
   }
 
+  test("ingest mode: the close drain runs line dedup iff the tree planned a line_dedup step") {
+    // VERDICT r16 #6: the streaming line-dedup leg existed but nothing in
+    // the production ingest path enabled it — the API now plans a
+    // line_dedup step at create (the check-step pattern) and the close
+    // drain wires it through, so the registry ACCRUES ACROSS DRAINS
+    val lakeL = Files.createTempDirectory("graft-ldd-lake").toString
+    val root = Files.createTempDirectory("graft-ldd-landing").toString
+    val apiL = new Api(s, lakeL, landingRoot = Some(root))
+    apiL.start()
+    try {
+      def postL(path: String, body: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${apiL.boundPort}$path"))
+            .method("POST", HttpRequest.BodyPublishers.ofString(body))
+            .header("Content-Type", "application/json").build(),
+          HttpResponse.BodyHandlers.ofString())
+      val created = Canonical.parse(postL("/api/collections/",
+        """{"source_id": "ldd_spider", "data_version": "2020-03-01 00:00:00",
+          | "line_dedup": true}""".stripMargin).body())
+      val id = created.get("collection_id").asLong
+      val landing = created.get("landing_dir").asText
+      // batch 1: one release; its flattened text registers one line key
+      Files.writeString(java.nio.file.Paths.get(landing, "a.json"), pkg("ocds-z1", "r1"))
+      assert(postL(s"/api/collections/$id/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 3}}""")
+        .statusCode() == 202)
+      // batch 2, drained by the REPLAYED close: the case variant has a
+      // different md5 (so it loads as its own doc) but the SAME normalized
+      // line — only the cross-batch registry drops it; c is fresh content
+      Files.writeString(java.nio.file.Paths.get(landing, "b.json"), pkg("OCDS-Z1", "R1"))
+      Files.writeString(java.nio.file.Paths.get(landing, "c.json"), pkg("ocds-z3", "r3"))
+      assert(postL(s"/api/collections/$id/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 3}}""")
+        .statusCode() == 202)
+      import org.apache.spark.sql.functions.col
+      val clean = Streaming.cleanDocs(s, lakeL).filter(col("collection_id") === id)
+      assert(clean.count() === 3L)
+      // b's single line dropped against a's batch-1 registration
+      assert(clean.filter(col("n_dup") === 1L && col("clean_text") === "").count() === 1L)
+      assert(clean.filter(col("n_dup") === 0L).count() === 2L)
+      // the registry holds exactly a's and c's keys — b registered nothing
+      assert(graft.streaming.LineStore.keyCount(
+        s, Streaming.lineRegistryPath(lakeL, id)) === 2L)
+      // a tree that never planned the step accretes NO registry and no
+      // cleaned rows (the check-step gating discipline, Api drainLanding)
+      val created2 = Canonical.parse(postL("/api/collections/",
+        """{"source_id": "noldd_spider", "data_version": "2020-03-01 00:00:00"}""").body())
+      val id2 = created2.get("collection_id").asLong
+      val landing2 = created2.get("landing_dir").asText
+      Files.writeString(java.nio.file.Paths.get(landing2, "d.json"), pkg("ocds-z9", "r9"))
+      assert(postL(s"/api/collections/$id2/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 1}}""")
+        .statusCode() == 202)
+      assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(
+        graft.streaming.LineStore.linesPath(Streaming.lineRegistryPath(lakeL, id2)))))
+      assert(Streaming.cleanDocs(s, lakeL).filter(col("collection_id") === id2).count() === 0L)
+    } finally apiL.stop()
+  }
+
   test("ingest mode: a file landing after close is loaded by the replayed close") {
     // ADVICE r7: announced-but-late files stranded the tree forever — the
     // first close drained 1 of 2 expected files, so compilable() gated

@@ -323,8 +323,8 @@ class StreamingSpec extends AnyFunSuite {
     Files.writeString(landing.resolve("b.json"), releasePkg("OCDS-Y1", "R1"))
     Files.writeString(landing.resolve("c.json"), releasePkg("ocds-y3", "r3"))
     runOnce()
-    val clean = s.read.parquet(s"$lake/clean_doc")
-      .filter($"collection_id" === 12).distinct()
+    // read through the centralized duplicate-folding helper (ADVICE r16)
+    val clean = Streaming.cleanDocs(s, lake).filter($"collection_id" === 12)
     assert(clean.count() === 3L)
     assert(clean.filter($"n_dup" === 1L && $"clean_text" === "").count() === 1L)
     assert(clean.filter($"n_dup" === 0L && $"clean_text" =!= "").count() === 2L)
@@ -336,8 +336,8 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
     runOnce()
     assert(LineStore.keyCount(s, store) === 2L)
-    assert(s.read.parquet(s"$lake/clean_doc")
-      .filter($"collection_id" === 12).distinct().count() === 3L)
+    assert(Streaming.cleanDocs(s, lake)
+      .filter($"collection_id" === 12).count() === 3L)
   }
 
   test("maxFilesPerTrigger bounds a backlog drain into several committed batches") {
