@@ -170,11 +170,16 @@ object Bench {
     * segment equal to an abbreviation OUTPUT — so naive per-segment
     * expansion is unambiguous, which distinctness alone wouldn't give
     * (r12 advice). Reading a tail line: expand each segment below,
-    * prepend "q_". Rename epochs: the r16 sweep re-tightened four
-    * pre-existing outputs (sequences seqs→sq, quality qual→ql, status
-    * stat→sts, decontaminate decon→dc), so tail lines INSIDE committed
-    * BENCH_r12..r15 artifacts decode with the pre-r16 table (git
-    * history of this map); lines from r16 on decode with this one. */
+    * prepend "q_". Rename epochs (ADVICE r16 — old artifacts must be
+    * self-describing, not git-archaeology): the line carries a
+    * `"kv":[[keyAbbrevVersion]]` decode-table marker; a line with NO
+    * marker (BENCH_r12..r16 artifacts) is table version 1, whose four
+    * outputs the r16 sweep re-tightened decode via [[retiredAbbrev]]
+    * (sequences seqs→sq, quality qual→ql, status stat→sts,
+    * decontaminate decon→dc) — every other v1 output is unchanged in
+    * this table, and segments this table compresses that v1 didn't
+    * appeared raw in v1 lines, so current-inverse + retired overrides
+    * decodes any committed artifact in-band. */
   private[graft] val keyAbbrev: Map[String, String] = Map(
     "multiprobe" -> "mp", "kmeans" -> "km", "neardup" -> "nd",
     "embedding" -> "emb", "sequences" -> "sq", "quantiles" -> "qtl",
@@ -225,6 +230,22 @@ object Bench {
     "ngrams" -> "ngs", "minmax" -> "mmx", "hourly" -> "hr",
     "gopher" -> "gph", "except" -> "exc", "counts" -> "cnt",
     "awards" -> "awd", "topic" -> "tp", "pack" -> "pk")
+
+  /** Decode-table version stamped into every summary line as `"kv"`.
+    * Bump it whenever [[keyAbbrev]] RENAMES an existing output (adding
+    * new entries is backward-safe — the segment was previously raw), and
+    * record the renamed outputs' old spellings in [[retiredAbbrev]]. An
+    * artifact line without a `kv` field is version 1. */
+  private[graft] val keyAbbrevVersion = 2
+
+  /** Decode-only overrides for RETIRED table versions: for version `v`,
+    * the outputs that decode differently from the current inverse.
+    * BenchLineSpec gates each retired output against ever colliding with
+    * a current output, so the two-step decode (retired override first,
+    * then the current table) stays unambiguous. */
+  private[graft] val retiredAbbrev: Map[Int, Map[String, String]] = Map(
+    1 -> Map("seqs" -> "sequences", "qual" -> "quality",
+      "stat" -> "status", "decon" -> "decontaminate"))
 
   /** The summary line's key for a query name: q_ strip + per-segment
     * [[keyAbbrev]]. THE one definition — the renderer and BenchLineSpec's
@@ -313,7 +334,10 @@ object Bench {
       // `errors` appears only when non-empty (r12: its empty `{}` cost 12
       // chars of query capacity; `n_failed:0` already says "clean run")
       val errField = if (errors.isEmpty) "" else s""","errors":$errJson"""
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfName)}"$errField,"n_failed":${errors.size}$om}"""
+      // "kv": the abbreviation decode-table version (ADVICE r16 — a
+      // reader of an old committed artifact needs an in-band signal for
+      // which table its keys compressed under; absence = version 1)
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","kv":$keyAbbrevVersion,"queries":$qs,"sf":"${esc(sfName)}"$errField,"n_failed":${errors.size}$om}"""
     }
     def summary(dp: Int): String = summaryOf(results, _ => dp, 0)
     // mixed-precision rung (r12, when query 86+ outgrew even the global

@@ -142,6 +142,34 @@ class BenchLineSpec extends AnyFunSuite {
     assert(q.has("ann_ivf_km_mp") && q.has("nd_lsh"), line)
   }
 
+  test("the line carries the decode-table version; retired outputs stay unambiguous") {
+    // ADVICE r16: the r16 abbreviation sweep retroactively renamed four
+    // published outputs, so pre-r16 artifacts silently mis-decoded against
+    // the current table with no in-band signal. Every line now stamps the
+    // table version ("kv"; absence = version 1), and the retired outputs
+    // live in Bench.retiredAbbrev as decode-only overrides.
+    val line = Bench.renderSummaryLine(Seq("q_a" -> 1.0), Seq.empty, "/sf")
+    assert(parse(line).get("kv").asInt() === Bench.keyAbbrevVersion)
+    // the two-step decode (retired override, then current inverse) is only
+    // unambiguous if no retired output is ALSO a current output — and a
+    // retired output appearing as a raw segment of a declared name would
+    // shadow the override the same way
+    val currentOutputs = Bench.keyAbbrev.values.toSet
+    val retired = Bench.retiredAbbrev.values.flatMap(_.keys).toSet
+    assert(retired.intersect(currentOutputs).isEmpty,
+      s"retired outputs reused by the live table: ${retired.intersect(currentOutputs)}")
+    val shadowed = SparkEntry.queries.keys.toSeq.flatMap(n =>
+      n.stripPrefix("q_").split('_').filter(retired).map(seg => s"$n:$seg"))
+    assert(shadowed.isEmpty,
+      s"query-name segments shadow retired outputs (v1 decode ambiguity): $shadowed")
+    // and each retired override's target is a segment the CURRENT table
+    // also compresses (that's what made the rename a rename) — pin the
+    // recorded epoch so the override map can't silently rot
+    Bench.retiredAbbrev(1).foreach { case (oldOut, seg) =>
+      assert(Bench.keyAbbrev.contains(seg), s"$oldOut -> $seg: not in the live table")
+    }
+  }
+
   test("sf renders as its basename, reclaiming query capacity") {
     // r12: the full "/root/testdata/sf0.1" path cost 16 chars of the
     // 2000-char tail window; the driver records sf in its own top-level
