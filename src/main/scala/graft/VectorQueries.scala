@@ -598,13 +598,23 @@ object VectorQueries {
     * long sums, lowest-index tie-breaks. All 8 subspaces train in the same
     * passes (one accumulator per (subspace, codeword)). */
   private[graft] def trainPqCodebooks(
-      emb: DataFrame, s: SparkSession, iters: Int = 5): Array[Array[Array[Double]]] = {
+      emb: DataFrame, s: SparkSession, iters: Int = 5,
+      rot: Array[Array[Double]] = null,
+      init: Array[Array[Array[Double]]] = null): Array[Array[Array[Double]]] = {
     import s.implicits._
+    // `rot` trains in the ROTATED space (the OPQ alternation's codebook
+    // step — vectors pass through the fixed orthogonal rotation after
+    // unit-normalization); `init` warm-starts Lloyd from a previous
+    // alternation's codebooks instead of the lowest-id sample rows, which
+    // is what makes the OPQ error sequence monotone (a from-scratch
+    // re-init could regress past the rotation step's gain)
+    def xf(v: Seq[Float]): Array[Double] =
+      if (rot == null) unit(v) else rotate(rot, unit(v))
     val sample = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .persist()
-    var cbs: Array[Array[Array[Double]]] = {
-      val rows = sample.orderBy("vec_id").limit(PqK).collect().map(r => unit(r._2))
+    var cbs: Array[Array[Array[Double]]] = if (init != null) init else {
+      val rows = sample.orderBy("vec_id").limit(PqK).collect().map(r => xf(r._2))
       require(rows.nonEmpty, "PQ training needs a non-empty embedding sample")
       // a sample smaller than PqK degrades to a shorter codebook (same
       // contract as trainCentroids); nearestCode and the oracle both
@@ -614,14 +624,16 @@ object VectorQueries {
         Array.tabulate(k)(j => rows(j).slice(m * PqSub, (m + 1) * PqSub)))
     }
     val Scale = 1L << 32
+    val bcRot = s.sparkContext.broadcast(rot)
     for (_ <- 0 until iters) {
       val bc = s.sparkContext.broadcast(cbs)
       val totals = sample.mapPartitions { it =>
         val cb = bc.value
+        val rr = bcRot.value
         val hn = cb.map(halfNormsOf)
         val acc = Array.fill(PqM, PqK)(new Array[Long](PqSub + 1))
         it.foreach { case (_, v) =>
-          val u = unit(v)
+          val u = if (rr == null) unit(v) else rotate(rr, unit(v))
           var m = 0
           while (m < PqM) {
             val a = acc(m)(nearestCode(cb(m), hn(m), u, m * PqSub))
@@ -656,8 +668,26 @@ object VectorQueries {
       bc.destroy()
       cbs = next
     }
+    bcRot.destroy()
     sample.unpersist()
     cbs
+  }
+
+  /** Apply a Dim×Dim rotation to a unit vector — ascending-j inner loops,
+    * the summation order DuckDB's list_inner_product reproduces (the
+    * nearestCell parity discipline). */
+  private[graft] def rotate(r: Array[Array[Double]], u: Array[Double]): Array[Double] = {
+    val out = new Array[Double](r.length)
+    var i = 0
+    while (i < r.length) {
+      val ri = r(i)
+      var sum = 0.0
+      var j = 0
+      while (j < ri.length) { sum += ri(j) * u(j); j += 1 }
+      out(i) = sum
+      i += 1
+    }
+    out
   }
 
   /** ||c||²/2 per codeword, fixed ascending summation — precomputed once
@@ -732,6 +762,205 @@ object VectorQueries {
           SELECT vec_id, g.m AS m,
                  u[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS um
           FROM un, generate_series(0, ${PqM - 1}) g(m)),
+        codes AS (
+          SELECT vec_id, m, cell AS code FROM (
+            SELECT s.vec_id, s.m, cb.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY list_inner_product(s.um, cb.c) - cb.half_norm
+                       DESC, cb.cell) AS rn
+            FROM sub s JOIN cb ON cb.m = s.m) ranked
+          WHERE rn = 1),
+        lut AS (
+          SELECT cb.m, cb.cell, list_inner_product(q.um, cb.c) AS dot
+          FROM cb JOIN (SELECT m, um FROM sub WHERE vec_id = 0) q
+            ON q.m = cb.m),
+        adc AS (
+          SELECT c.vec_id,
+                 round(CAST(SUM(CAST(l.dot AS DECIMAL(38,18))) AS DOUBLE), 9) AS adc
+          FROM codes c JOIN lut l ON l.m = c.m AND l.cell = c.code
+          WHERE c.vec_id <> 0
+          GROUP BY c.vec_id)
+        SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""
+
+  // ---- optimized product quantization (q_ann_opq) ---------------------------
+
+  /** OPQ (Ge et al. 2014, non-parametric): learn one orthogonal rotation
+    * R jointly with the PQ codebooks so the 8 subspaces cut along the
+    * data's own correlation structure instead of the raw coordinate
+    * order — the published next rung of the Jégou-family ladder, same
+    * 8 code bytes per vector. Alternation, `opqIters` rounds from
+    * R = I and the plain-PQ codebooks:
+    *   (1) R-step: with codes/codebooks fixed, the error-minimizing
+    *       orthogonal R is the Procrustes solution R = V·Uᵀ from the
+    *       SVD U·S·Vᵀ of A = Σ u·yᵀ (u = unit input, y = its current
+    *       reconstruction) — A accumulates DISTRIBUTED as
+    *       fixed-point-exact longs (one 64×64 frame per partition,
+    *       integer-summed, so A is bit-identical under any
+    *       partitioning — the trainCentroids discipline), and the 64×64
+    *       SVD runs on the driver via breeze (already on Spark's own
+    *       classpath; deterministic for identical input);
+    *   (2) C-step: Lloyd re-runs in the new rotated space WARM-STARTED
+    *       from the previous codebooks ([[trainPqCodebooks]]'s `init`).
+    * Each step is an exact (or monotone) argmin given the other, so the
+    * training-sample reconstruction error never increases — from the
+    * R = I start that means OPQ ≤ plain PQ by construction, the property
+    * AnnRecallSpec pins with [[pqReconError]]. Training is iterative
+    * (not SQL-expressible) but deterministic, so the oracle reads the
+    * MATERIALIZED rotation + codebooks and re-derives every rotated
+    * vector, code assignment and the ADC top-k itself. */
+  private[graft] def trainOpq(
+      emb: DataFrame, s: SparkSession, opqIters: Int = 3)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    import s.implicits._
+    val sample = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .persist()
+    var r = Array.tabulate(Dim, Dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var cbs = trainPqCodebooks(emb, s, rot = r)
+    val Scale = 1L << 32
+    for (_ <- 0 until opqIters) {
+      val bcR = s.sparkContext.broadcast(r)
+      val bcCb = s.sparkContext.broadcast(cbs)
+      val a = sample.mapPartitions { it =>
+        val rr = bcR.value; val cb = bcCb.value
+        val hn = cb.map(halfNormsOf)
+        val acc = new Array[Long](Dim * Dim)
+        it.foreach { case (_, v) =>
+          val u = unit(v)
+          val x = rotate(rr, u)
+          val y = new Array[Double](Dim)
+          var m = 0
+          while (m < PqM) {
+            val c = cb(m)(nearestCode(cb(m), hn(m), x, m * PqSub))
+            var i = 0
+            while (i < PqSub) { y(m * PqSub + i) = c(i); i += 1 }
+            m += 1
+          }
+          var j = 0
+          while (j < Dim) {
+            val uj = u(j)
+            var k = 0
+            while (k < Dim) {
+              acc(j * Dim + k) += math.rint(uj * y(k) * Scale).toLong
+              k += 1
+            }
+            j += 1
+          }
+        }
+        Iterator.single(acc)
+      }.reduce { (x, y) =>
+        val out = new Array[Long](Dim * Dim)
+        var i = 0
+        while (i < Dim * Dim) { out(i) = x(i) + y(i); i += 1 }
+        out
+      }
+      bcR.destroy(); bcCb.destroy()
+      val aM = breeze.linalg.DenseMatrix.tabulate(Dim, Dim)(
+        (j, k) => a(j * Dim + k).toDouble / Scale)
+      val breeze.linalg.svd.SVD(uM, _, vtM) = breeze.linalg.svd(aM)
+      // R = V·Uᵀ: R(i)(j) = Σ_k V(i,k)·U(j,k) = Σ_k Vᵀ(k,i)·U(j,k)
+      r = Array.tabulate(Dim, Dim) { (i, j) =>
+        var sum = 0.0
+        var k = 0
+        while (k < Dim) { sum += vtM(k, i) * uM(j, k); k += 1 }
+        sum
+      }
+      cbs = trainPqCodebooks(emb, s, rot = r, init = cbs)
+    }
+    sample.unpersist()
+    (r, cbs)
+  }
+
+  /** Training-sample reconstruction error Σ‖rot·u − y‖² for a trained
+    * (rotation, codebooks) pair — fixed-point-exact accumulation so the
+    * AnnRecallSpec monotonicity pin (OPQ ≤ plain PQ) is bit-stable under
+    * any partitioning. `rot = null` scores plain PQ (identity rotation). */
+  private[graft] def pqReconError(
+      emb: DataFrame, s: SparkSession,
+      rot: Array[Array[Double]], cbs: Array[Array[Array[Double]]]): Double = {
+    import s.implicits._
+    val Scale = 1L << 32
+    val bcR = s.sparkContext.broadcast(rot)
+    val bcCb = s.sparkContext.broadcast(cbs)
+    val total = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val rr = bcR.value; val cb = bcCb.value
+        val hn = cb.map(halfNormsOf)
+        var acc = 0L
+        it.foreach { case (_, v) =>
+          val x = if (rr == null) unit(v) else rotate(rr, unit(v))
+          var err = 0.0
+          var m = 0
+          while (m < PqM) {
+            val c = cb(m)(nearestCode(cb(m), hn(m), x, m * PqSub))
+            var i = 0
+            while (i < PqSub) {
+              val d = x(m * PqSub + i) - c(i)
+              err += d * d
+              i += 1
+            }
+            m += 1
+          }
+          acc += math.rint(err * Scale).toLong
+        }
+        Iterator.single(acc)
+      }.reduce(_ + _)
+    bcR.destroy(); bcCb.destroy()
+    total.toDouble / Scale
+  }
+
+  /** Oracle-side artifacts for q_ann_opq: the trained rotation as a
+    * 64-row parquet (i BIGINT, r DOUBLE[64]) plus the rotated-space
+    * codebooks in the pq_codebooks layout. Deterministic for the same
+    * reasons as [[writePqAux]]. */
+  private def writeOpqAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    if (!auxWritten.add(s"opq::$d::$auxDir")) return
+    import s.implicits._
+    val (rot, cbs) = trainOpq(Tables.embeddings(s, d), s)
+    rot.zipWithIndex.toSeq.map { case (row, i) => (i.toLong, row.toSeq) }
+      .toDF("i", "r")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/opq_rotation")
+    val rows = for {
+      m <- 0 until PqM
+      j <- cbs(m).indices
+    } yield (m.toLong, j.toLong, cbs(m)(j).toSeq, halfNormsOf(cbs(m))(j))
+    rows.toDF("m", "cell", "c", "half_norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/opq_codebooks")
+  }
+
+  /** The OPQ-ADC oracle: [[pqOracleSql]]'s chain with ONE extra step —
+    * every unit vector (query included) passes through the materialized
+    * rotation before the subspace slicing (row i of the rotated vector =
+    * list_inner_product(rotation row i, u), rebuilt in i order — the
+    * same ascending-index double summation as the engine's [[rotate]]
+    * loop, the nearestCell parity discipline). */
+  private def opqOracleSql: String =
+    s"""WITH rot AS (
+          SELECT i, r
+          FROM read_parquet('${OracleAux.Token}/opq_rotation/*.parquet')),
+        cb AS (
+          SELECT m, cell, c, half_norm
+          FROM read_parquet('${OracleAux.Token}/opq_codebooks/*.parquet')),
+        dv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+        sc AS (
+          SELECT vec_id, d, list_inner_product(d, d) AS n2,
+                 1.0 / sqrt(list_inner_product(d, d)) AS s
+          FROM dv),
+        un AS (
+          SELECT vec_id,
+                 CASE WHEN n2 = 0 THEN d
+                      ELSE list_transform(d, x -> x * s) END AS u
+          FROM sc),
+        ru AS (
+          SELECT un.vec_id,
+                 list(list_inner_product(rot.r, un.u) ORDER BY rot.i) AS u
+          FROM un CROSS JOIN rot GROUP BY un.vec_id),
+        sub AS (
+          SELECT vec_id, g.m AS m,
+                 u[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS um
+          FROM ru, generate_series(0, ${PqM - 1}) g(m)),
         codes AS (
           SELECT vec_id, m, cell AS code FROM (
             SELECT s.vec_id, s.m, cb.cell,
@@ -1403,6 +1632,72 @@ object VectorQueries {
         "the memory-bound ANN scale path next to the IVF probes; oracle re-derives " +
         "every code from the materialized codebooks",
       aux = Some(writePqAux)),
+
+    QueryDef(
+      "q_ann_opq", Seq("A5", "O5", "J2"),
+      (s, d) => {
+        // OPTIMIZED product quantization (see trainOpq): q_ann_pq's exact
+        // scan shape — same 8 code bytes per vector, same LUT-ADC scoring,
+        // same narrow no-shuffle pass — with every vector (query included)
+        // passing through the jointly-trained orthogonal rotation first.
+        // The rotation is a per-row 64×64 multiply at encode time; at
+        // 100 TB it happens once at ingest next to the code assignment,
+        // and queries pay it once per query, not per row. The
+        // training-sample reconstruction error is ≤ plain PQ's by
+        // construction (AnnRecallSpec pins it); oracle re-derives rotated
+        // vectors, codes and the ADC top-k from the two artifacts.
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val (rot, cbs) = trainOpq(emb, s)
+        val hns = cbs.map(halfNormsOf)
+        val qu = rotate(rot, unit(emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Seq[Float]].head()))
+        val lut = Array.tabulate(PqM) { m =>
+          Array.tabulate(cbs(m).length) { j =>
+            var ip = 0.0
+            var i = 0
+            while (i < PqSub) { ip += qu(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
+            ip
+          }
+        }
+        val bcR = s.sparkContext.broadcast(rot)
+        val bcCb = s.sparkContext.broadcast(cbs)
+        val bcHn = s.sparkContext.broadcast(hns)
+        val bcLut = s.sparkContext.broadcast(lut)
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+          .mapPartitions { it =>
+            val rr = bcR.value; val cb = bcCb.value
+            val hn = bcHn.value; val lt = bcLut.value
+            // DECIMAL-pinned LUT sum — the q_ann_pq order-insensitivity
+            // contract
+            val ltDec = lt.map(_.map(d =>
+              new java.math.BigDecimal(d)
+                .setScale(18, java.math.RoundingMode.HALF_UP)))
+            it.map { case (id, v) =>
+              val x = rotate(rr, unit(v))
+              var adc = java.math.BigDecimal.ZERO
+              var m = 0
+              while (m < PqM) {
+                adc = adc.add(ltDec(m)(nearestCode(cb(m), hn(m), x, m * PqSub)))
+                m += 1
+              }
+              (id, adc.doubleValue)
+            }
+          }
+          .toDF("vec_id", "adc")
+          .select(col("vec_id"), round(col("adc"), 9).as("adc"))
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(opqOracleSql),
+      "Optimized product quantization (Ge et al. 2014): one jointly-trained " +
+        "orthogonal rotation ahead of the 8×16 subspace codebooks — same 8 code " +
+        "bytes, subspaces cut along the data's correlation structure, training-" +
+        "sample reconstruction error ≤ plain PQ by the alternation's monotonicity " +
+        "(pinned in AnnRecallSpec); oracle re-derives rotated vectors, codes and " +
+        "the ADC top-k from the materialized rotation + codebooks",
+      aux = Some(writeOpqAux)),
 
     QueryDef(
       "q_ann_ivf_pq", Seq("A5", "O5", "J2"),

@@ -135,6 +135,46 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(lexTruth === lexAnn, "the shared lexical leg diverged between fusions")
   }
 
+  test("OPQ: reconstruction error never exceeds plain PQ at equal bytes; training is partition-stable") {
+    // the alternation's monotonicity theorem, executed: from R = I and the
+    // plain-PQ codebooks, each R-step is the exact Procrustes argmin and
+    // each C-step warm-starts Lloyd, so the training-sample error is
+    // non-increasing — OPQ ≤ PQ by construction at the same 8 code bytes.
+    // The epsilon covers the fixed-point accumulation's 2^-32 dust only.
+    val emb = Tables.embeddings(s, dir)
+    val pqCbs = VectorQueries.trainPqCodebooks(emb, s)
+    val (rot, opqCbs) = VectorQueries.trainOpq(emb, s)
+    val pqErr = VectorQueries.pqReconError(emb, s, null, pqCbs)
+    val opqErr = VectorQueries.pqReconError(emb, s, rot, opqCbs)
+    info(f"sample reconstruction error pq=$pqErr%.6f opq=$opqErr%.6f")
+    assert(opqErr <= pqErr + 1e-6,
+      f"OPQ error $opqErr%.9f exceeds plain PQ $pqErr%.9f")
+    // the rotation is genuinely orthogonal: R·Rᵀ = I to float tolerance
+    // (the property the ADC geometry and the oracle's re-derivation rest on)
+    val n = rot.length
+    for (i <- 0 until n; j <- 0 until n) {
+      var dot = 0.0
+      var k = 0
+      while (k < n) { dot += rot(i)(k) * rot(j)(k); k += 1 }
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"R·Rᵀ[$i][$j] = $dot")
+    }
+    // bit-determinism across partitionings — the trainCentroids
+    // discipline: the Procrustes input A accumulates in fixed-point longs,
+    // so a different partition order must yield the IDENTICAL rotation
+    val (rot2, _) = VectorQueries.trainOpq(emb.repartition(7), s)
+    rot.zip(rot2).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.toSeq === b.toSeq, s"rotation row $i differs across partitionings")
+    }
+    // and the declared query actually retrieves: recall readout vs exact
+    val exact = top10("q_ann_bruteforce")
+    val rPq = (exact & top10("q_ann_pq")).size / 10.0
+    val rOpq = (exact & top10("q_ann_opq")).size / 10.0
+    info(f"recall@10 pq=$rPq%.1f opq=$rOpq%.1f (near-isotropic synthetic data — " +
+      "rotation gains show on correlated corpora; the gate is the error theorem)")
+    assert(top10("q_ann_opq").size === 10)
+  }
+
   test("k-means training is bit-deterministic across runs and partitionings") {
     // the fixed-point-sum claim, pinned: two independent trainings (the
     // second over a repartitioned input, exercising different partition

@@ -47,6 +47,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_ngram_jaccard" -> 20,
     "q_ann_ivf" -> 2,
     "q_ann_pq" -> 0,
+    // r17 OPQ: q_ann_pq's exact scan shape — mapPartitions ADC +
+    // TakeOrdered, the rotation is per-row arithmetic, no shuffle at all
+    "q_ann_opq" -> 0,
     "q_dedup_clusters" -> 2,
     "q_pack_sequences" -> 4,
     "q_substr_dedup" -> 12,
