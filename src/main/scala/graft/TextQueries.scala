@@ -1677,6 +1677,127 @@ object TextQueries {
       .orderBy("source_a", "source_b")
   }
 
+  // ---- DSIR data selection (q_dsir_select) ----------------------------------
+
+  /** DSIR feature-hash width (Xie et al. 2023 use 10k buckets for hashed
+    * unigram+bigram features; 4096 keeps the trained artifact and the
+    * oracle's weight join visibly bounded at verify scale — the CONTRACT
+    * is B-independent). */
+  private val DsirB = 4096L
+
+  /** The hashed-n-gram feature stream of DSIR (Xie et al., NeurIPS 2023
+    * §3: "hashed n-gram features" — word unigrams and bigrams hashed into
+    * B buckets): one row per feature OCCURRENCE, (doc_id, lang, bucket).
+    * Bigrams come from the native [[graft.functions.TokenGrams]] loop
+    * (empty below 2 tokens, so the concat degrades to unigrams-only on
+    * one-token docs — mirrored oracle-side by the `t[1:-2]` slice), the
+    * bucket is the house md5-60-bit hash mod B, re-derivable by any
+    * engine. One narrow pass: explode + per-row hash, no shuffle. */
+  private def dsirFeats(docsIn: DataFrame): DataFrame = {
+    val tk = tokens(col("text"))
+    val feats = concat(tk, call_function("token_grams", tk, lit(2)))
+    docsIn.select(col("doc_id"), col("lang"), explode(feats).as("f"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast(LongType),
+          lit(DsirB)).as("bucket"))
+  }
+
+  /** Trained DSIR importance weights — per-bucket log-likelihood ratios
+    * log(p_target(b) / p_raw(b)) under Laplace-smoothed hashed-feature
+    * unigram models (Xie et al. 2023 eq. 2; target = the `lang = 'en'`
+    * slice standing in for the paper's Wikipedia/books target corpus,
+    * raw = the whole table). Returned ascending by bucket, one row per
+    * bucket with at least one raw occurrence — a feature that never
+    * occurs can never be scored, so the artifact stays ≤ B rows.
+    *
+    * Determinism contract (the trainCentroids discipline applied to a
+    * log-weight model): the counts are exact integers from ONE
+    * map-side-combined B-bounded aggregation (collect is ≤ B rows,
+    * never the corpus); the only transcendental — the log itself —
+    * runs DRIVER-side through StrictMath.log (bit-exact by JVM spec,
+    * unlike Math.log) on one exactly-rounded quotient of BigInt
+    * products (no Long overflow at 100 TB token counts), rounded
+    * half-up to 9 decimals. The oracle never recomputes a log: it
+    * reads the materialized weights — the aux-artifact idiom the ANN
+    * family uses for trained centroids — so the libm-dependence that
+    * rules log() out of SCAN-side scoring (the q_langid_nb/q_tfidf
+    * rule) never reaches a distributed plan. */
+  private[graft] def dsirWeightsOf(
+      docsIn: DataFrame, s: SparkSession): Seq[(Long, Double)] = {
+    import s.implicits._
+    val counts = dsirFeats(docsIn)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .as[(Long, Long, Long)].collect()
+    val tr = BigInt(counts.map(_._2).sum)
+    val tt = BigInt(counts.map(_._3).sum)
+    counts.sortBy(_._1).toSeq.map { case (b, cr, ct) =>
+      val num = (BigInt(ct) + 1) * (tr + DsirB)
+      val den = (BigInt(cr) + 1) * (tt + DsirB)
+      val lw = StrictMath.log(num.doubleValue / den.doubleValue)
+      (b, BigDecimal(lw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  /** DSIR data selection (Xie et al., NeurIPS 2023): rank the raw corpus
+    * by estimated importance weight log(p_target(x)/p_raw(x)) — the sum
+    * of its hashed-feature occurrences' trained per-bucket log-ratios —
+    * and keep the top `k`. The paper samples via Gumbel-top-k; this
+    * spelling takes the deterministic argmax-k (temperature → 0), the
+    * same determinism trade q_sample_stratified documents for rand().
+    *
+    * Plan: feature stream → broadcast join against the ≤ B-row weight
+    * table (explicitly broadcast — model-sized, never estimate-based) →
+    * ONE per-doc aggregation (map-side combined; the round-9 weight
+    * doubles sum through DECIMAL(38,18), exact and order-insensitive) →
+    * TakeOrdered k → rank window over the k-bounded result. Two corpus
+    * passes total (count pass inside [[dsirWeightsOf]] + scoring pass);
+    * at 100 TB the weights train once and persist beside the corpus
+    * (the NeardupStore/VectorStore pattern — the trained-model store),
+    * leaving ONE scoring scan with zero corpus-keyed shuffles beyond
+    * the per-doc combine. The lang column rides through for the
+    * readout: a selection that works shows the target slice's language
+    * dominating the top ranks. */
+  private[graft] def dsirSelectOf(
+      docsIn: DataFrame, s: SparkSession, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val Dec = DecimalType(38, 18)
+    val w = dsirWeightsOf(docsIn, s).toDF("bucket", "w")
+    dsirFeats(docsIn)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w").cast(Dec)).as("lw_dec"))
+      .orderBy(col("lw_dec").desc, col("doc_id"))
+      .limit(k)
+      .select(
+        row_number().over(Window.orderBy(col("lw_dec").desc, col("doc_id")))
+          .cast(LongType).as("rank"),
+        col("doc_id"), col("lang"), col("n_feats"),
+        round(col("lw_dec").cast(DoubleType), 9).as("logw"))
+      .orderBy("rank")
+  }
+
+  private val dsirAuxWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Oracle-side artifact for q_dsir_select ([[QueryDef.aux]]): the
+    * trained per-bucket weights as a ≤ B-row parquet (bucket BIGINT,
+    * w DOUBLE). The DERIVATION holds the only log() in the operator —
+    * deterministic but not SQL-expressible bit-for-bit — so the oracle
+    * reads the weights and re-derives everything downstream (features,
+    * buckets, per-doc decimal sums, the top-k) from the raw table, the
+    * kmeans_centroids discipline. */
+  private def writeDsirAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    if (!dsirAuxWritten.add(s"dsir::$d::$auxDir")) return
+    import s.implicits._
+    dsirWeightsOf(Tables.documents(s, d), s)
+      .toDF("bucket", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/dsir_weights")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_explode_tokens", Seq("F2", "J7", "A5"),
@@ -4324,7 +4445,44 @@ object TextQueries {
               ORDER BY doc_id"""),
       "Exact-substring scrub, KeepFirst policy (Lee et al. 2022): per duplicated " +
         "gram the min-(doc_id, pos) occurrence is kept, the rest removed — whole-doc " +
-        "clones keep exactly one copy; keeper election rides the same single exchange")
+        "clones keep exactly one copy; keeper election rides the same single exchange"),
+
+    QueryDef(
+      "q_dsir_select", Seq("A4", "J2", "O3", "F5"),
+      (s, d) => dsirSelectOf(Tables.documents(s, d), s),
+      Some(s"""WITH wt AS (
+                 SELECT bucket, w
+                 FROM read_parquet('${OracleAux.Token}/dsir_weights/*.parquet')),
+               tk AS (
+                 SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+               feats AS (
+                 SELECT doc_id, lang,
+                        unnest(list_concat(t,
+                          list_transform(t[1:-2], (x, i) -> x || ' ' || t[i + 1])))
+                          AS f
+                 FROM tk),
+               fb AS (
+                 SELECT doc_id, lang,
+                        ('0x' || substr(md5(f), 1, 15))::BIGINT % $DsirB AS bucket
+                 FROM feats),
+               scored AS (
+                 SELECT fb.doc_id, fb.lang,
+                        count(*) AS n_feats,
+                        SUM(CAST(wt.w AS DECIMAL(38,18))) AS lw_dec
+                 FROM fb JOIN wt ON wt.bucket = fb.bucket
+                 GROUP BY fb.doc_id, fb.lang)
+               SELECT CAST(row_number() OVER (ORDER BY lw_dec DESC, doc_id)
+                        AS BIGINT) AS rank,
+                      doc_id, lang, n_feats,
+                      round(CAST(lw_dec AS DOUBLE), 9) AS logw
+               FROM scored ORDER BY lw_dec DESC, doc_id LIMIT 50"""),
+      "DSIR data selection (Xie et al., NeurIPS 2023): per-doc importance weight " +
+        "log(p_target/p_raw) summed over hashed unigram+bigram feature occurrences " +
+        "under Laplace-smoothed bucket models (target = the lang='en' slice), " +
+        "deterministic top-50; the trained per-bucket log-ratios are the materialized " +
+        "artifact (the kmeans_centroids idiom — the only log() runs driver-side " +
+        "through StrictMath), everything downstream re-derived by the oracle",
+      aux = Some((s, d, a) => writeDsirAux(s, d, a)))
   )
 
   /** Per-document exact-substring duplication coverage over ANY

@@ -50,6 +50,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r17 OPQ: q_ann_pq's exact scan shape — mapPartitions ADC +
     // TakeOrdered, the rotation is per-row arithmetic, no shuffle at all
     "q_ann_opq" -> 0,
+    // r17 DSIR: the weight model trains in a separate B-bounded job
+    // (driver collect, not in this plan); the scoring plan is the
+    // broadcast weight join + ONE per-doc combine exchange + the rank
+    // window's single-partition exchange over the TakeOrdered 50
+    "q_dsir_select" -> 4,
     "q_dedup_clusters" -> 2,
     "q_pack_sequences" -> 4,
     "q_substr_dedup" -> 12,
