@@ -600,16 +600,24 @@ object VectorQueries {
   private[graft] def trainPqCodebooks(
       emb: DataFrame, s: SparkSession, iters: Int = 5,
       rot: Array[Array[Double]] = null,
-      init: Array[Array[Array[Double]]] = null): Array[Array[Array[Double]]] = {
+      init: Array[Array[Array[Double]]] = null,
+      res: Array[Array[Double]] = null): Array[Array[Array[Double]]] = {
     import s.implicits._
     // `rot` trains in the ROTATED space (the OPQ alternation's codebook
     // step — vectors pass through the fixed orthogonal rotation after
     // unit-normalization); `init` warm-starts Lloyd from a previous
     // alternation's codebooks instead of the lowest-id sample rows, which
     // is what makes the OPQ error sequence monotone (a from-scratch
-    // re-init could regress past the rotation step's gain)
-    def xf(v: Seq[Float]): Array[Double] =
-      if (rot == null) unit(v) else rotate(rot, unit(v))
+    // re-init could regress past the rotation step's gain); `res` trains
+    // on COARSE RESIDUALS (the true IVFADC encoding, Jégou et al. 2011
+    // §III-C — each sample vector minus its nearest coarse centroid), so
+    // the codebooks quantize the low-energy residual space instead of
+    // the raw sphere
+    def xf(v: Seq[Float]): Array[Double] = {
+      val u = unit(v)
+      val b = if (res == null) u else residualOf(res, u)
+      if (rot == null) b else rotate(rot, b)
+    }
     val sample = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .persist()
@@ -625,15 +633,19 @@ object VectorQueries {
     }
     val Scale = 1L << 32
     val bcRot = s.sparkContext.broadcast(rot)
+    val bcRes = s.sparkContext.broadcast(res)
     for (_ <- 0 until iters) {
       val bc = s.sparkContext.broadcast(cbs)
       val totals = sample.mapPartitions { it =>
         val cb = bc.value
         val rr = bcRot.value
+        val cs = bcRes.value
         val hn = cb.map(halfNormsOf)
         val acc = Array.fill(PqM, PqK)(new Array[Long](PqSub + 1))
         it.foreach { case (_, v) =>
-          val u = if (rr == null) unit(v) else rotate(rr, unit(v))
+          val u0 = unit(v)
+          val b = if (cs == null) u0 else residualOf(cs, u0)
+          val u = if (rr == null) b else rotate(rr, b)
           var m = 0
           while (m < PqM) {
             val a = acc(m)(nearestCode(cb(m), hn(m), u, m * PqSub))
@@ -669,8 +681,25 @@ object VectorQueries {
       cbs = next
     }
     bcRot.destroy()
+    bcRes.destroy()
     sample.unpersist()
     cbs
+  }
+
+  /** Coarse residual of a UNIT vector: u minus its nearest (max-dot)
+    * centroid — the quantity the true IVFADC's product quantizer encodes
+    * (Jégou et al. 2011 §III-C). Element magnitudes stay ≤ 2 (both terms
+    * unit-bounded), so the trainer's fixed-point long sums remain
+    * overflow-safe to ~2^30 rows per codeword. Deterministic per
+    * (centroids, u): [[nearestCell]] tie-breaks by index and the
+    * subtraction is one IEEE op per element. */
+  private[graft] def residualOf(
+      cs: Array[Array[Double]], u: Array[Double]): Array[Double] = {
+    val c = cs(nearestCell(cs, u))
+    val out = new Array[Double](Dim)
+    var i = 0
+    while (i < Dim) { out(i) = u(i) - c(i); i += 1 }
+    out
   }
 
   /** Apply a Dim×Dim rotation to a unit vector — ascending-j inner loops,
@@ -1191,6 +1220,166 @@ object VectorQueries {
           CROSS JOIN refq,
                generate_series(1, $Dim) t(i)
           GROUP BY refn.vec_id, refn.norm_dec, refq.qnorm_dec)"""
+
+  // ---- residual-encoded IVFADC (q_ann_ivfadc) -------------------------------
+
+  /** The TRUE IVFADC encoding (Jégou, Douze & Schmid 2011 §III-C): the
+    * product quantizer codes the coarse RESIDUAL r(x) = u − c_cell(u)
+    * instead of the raw unit vector (the q_ann_ivf_pq family's
+    * simplification). Residuals carry far less energy than points on the
+    * sphere, so the same 8 code bytes quantize finer — the published
+    * accuracy rung between plain IVF-PQ and the refine stage. Scoring is
+    * the exact inner-product decomposition
+    *   q·x̂ = q·c_cell + Σ_m q_m·cw_m(code_m)
+    * — the per-cell constant q·c_cell is driver-computed once per
+    * centroid (k doubles) and the LUT holds the RAW query subvectors
+    * against the residual codewords, so the scan stays 8 lookups + one
+    * add per row. Same scan shape and cost as [[ivfPqAdc]]: probed-cell
+    * pruning, 8-byte codes, DECIMAL-pinned sums, zero exchanges before
+    * the TakeOrdered; at 100 TB the cell is the partition key and this
+    * is a pruned memory-bound scan. */
+  private def ivfadcTopK(s: SparkSession, d: String, probes: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids = trainCentroids(emb, s)
+    val cbs = trainPqCodebooks(emb, s, res = centroids)
+    val hns = cbs.map(halfNormsOf)
+    val qu = unit(emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Float]].head())
+    val cellDot: Array[Double] = centroids.map { c =>
+      var dot = 0.0
+      var j = 0
+      while (j < Dim) { dot += qu(j) * c(j); j += 1 }
+      dot
+    }
+    val probeSet: Set[Int] = cellDot.zipWithIndex
+      .sortBy { case (dot, i) => (-dot, i) }.take(probes).map(_._2).toSet
+    val lut = Array.tabulate(PqM) { m =>
+      Array.tabulate(cbs(m).length) { j =>
+        var ip = 0.0
+        var i = 0
+        while (i < PqSub) { ip += qu(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
+        ip
+      }
+    }
+    val bcCs = s.sparkContext.broadcast(centroids)
+    val bcCb = s.sparkContext.broadcast(cbs)
+    val bcHn = s.sparkContext.broadcast(hns)
+    val bcLut = s.sparkContext.broadcast(lut)
+    val bcCd = s.sparkContext.broadcast(cellDot)
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bcCs.value; val cb = bcCb.value
+        val hn = bcHn.value; val lt = bcLut.value
+        val ltDec = lt.map(_.map(dd =>
+          new java.math.BigDecimal(dd)
+            .setScale(18, java.math.RoundingMode.HALF_UP)))
+        val cdDec = bcCd.value.map(dd =>
+          new java.math.BigDecimal(dd)
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+        it.flatMap { case (id, v) =>
+          val u = unit(v)
+          val cell = nearestCell(cs, u)
+          if (!probeSet.contains(cell)) None
+          else {
+            val ctr = cs(cell)
+            val r = new Array[Double](Dim)
+            var i = 0
+            while (i < Dim) { r(i) = u(i) - ctr(i); i += 1 }
+            var adc = cdDec(cell)
+            var m = 0
+            while (m < PqM) {
+              adc = adc.add(ltDec(m)(nearestCode(cb(m), hn(m), r, m * PqSub)))
+              m += 1
+            }
+            Some((id, adc.doubleValue))
+          }
+        }
+      }
+      .toDF("vec_id", "adc")
+      .select(col("vec_id"), round(col("adc"), 9).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Oracle-side artifact for q_ann_ivfadc: the residual-trained PQ
+    * codebooks ([[trainPqCodebooks]] with `res` = the trained coarse
+    * centroids) in the pq_codebooks layout. The oracle reads these plus
+    * kmeans_centroids and re-derives cells, residuals, codes, the LUT,
+    * the per-cell constants and the ADC top-10 from the raw table. */
+  private def writeIvfadcAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    if (!auxWritten.add(s"ivfadc::$d::$auxDir")) return
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val cbs = trainPqCodebooks(emb, s, res = trainCentroids(emb, s))
+    val rows = for {
+      m <- 0 until PqM
+      j <- cbs(m).indices
+    } yield (m.toLong, j.toLong, cbs(m)(j).toSeq, halfNormsOf(cbs(m))(j))
+    rows.toDF("m", "cell", "c", "half_norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/pq_res_codebooks")
+  }
+
+  /** The residual-IVFADC oracle: [[cellsCtes]]' Voronoi assignment, the
+    * per-row residual re-derived with a 1-based index lambda (one IEEE
+    * subtraction per element, the Scala loop's exact op), residual codes
+    * from the materialized pq_res_codebooks (same argmax spelling as the
+    * PQ oracle), the LUT from RAW query subvectors, and the per-cell
+    * constant q·c as one `list_inner_product` — summed in DECIMAL and
+    * rounded like the Scala side's BigDecimal fold. */
+  private def ivfadcOracleSql(probes: Int): String =
+    s"""$cellsCtes,
+        rcb AS (
+          SELECT m, cell, c, half_norm
+          FROM read_parquet('${OracleAux.Token}/pq_res_codebooks/*.parquet')),
+        qp AS (
+          SELECT cent.cell
+          FROM cent CROSS JOIN (SELECT u FROM un WHERE vec_id = 0) q
+          ORDER BY list_inner_product(q.u, cent.c) DESC, cent.cell
+          LIMIT $probes),
+        res AS (
+          SELECT un.vec_id, list_transform(un.u, (x, i) -> x - cent.c[i]) AS r
+          FROM un
+          JOIN cells cl ON cl.vec_id = un.vec_id
+          JOIN cent ON cent.cell = cl.cell
+          WHERE un.vec_id <> 0),
+        sub AS (
+          SELECT vec_id, g.m AS m,
+                 r[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS rm
+          FROM res, generate_series(0, ${PqM - 1}) g(m)),
+        qsub AS (
+          SELECT g.m AS m,
+                 u[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS qm
+          FROM (SELECT u FROM un WHERE vec_id = 0),
+               generate_series(0, ${PqM - 1}) g(m)),
+        codes AS (
+          SELECT vec_id, m, cell AS code FROM (
+            SELECT s.vec_id, s.m, rcb.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY list_inner_product(s.rm, rcb.c) - rcb.half_norm
+                       DESC, rcb.cell) AS rn
+            FROM sub s JOIN rcb ON rcb.m = s.m) ranked
+          WHERE rn = 1),
+        lut AS (
+          SELECT rcb.m, rcb.cell, list_inner_product(q.qm, rcb.c) AS dot
+          FROM rcb JOIN qsub q ON q.m = rcb.m),
+        cdot AS (
+          SELECT cl.vec_id, list_inner_product(q.u, cent.c) AS cd
+          FROM cells cl
+          JOIN cent ON cent.cell = cl.cell
+          CROSS JOIN (SELECT u FROM un WHERE vec_id = 0) q),
+        adc AS (
+          SELECT c.vec_id,
+                 round(CAST(SUM(CAST(l.dot AS DECIMAL(38,18)))
+                            + CAST(cd.cd AS DECIMAL(38,18)) AS DOUBLE), 9) AS adc
+          FROM codes c
+          JOIN lut l ON l.m = c.m AND l.cell = c.code
+          JOIN cells cl ON cl.vec_id = c.vec_id
+          JOIN qp ON cl.cell = qp.cell
+          JOIN cdot cd ON cd.vec_id = c.vec_id
+          GROUP BY c.vec_id, cd.cd)
+        SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""
 
   /** The trained-IVF oracle: re-derives every cell assignment from the
     * materialized centroids with the same arithmetic as [[nearestCell]] —
@@ -1743,6 +1932,19 @@ object VectorQueries {
         "cosine — the constant-size refine stage that caps PQ's quantization error; " +
         "oracle re-derives the candidate set and the exact re-ranking",
       aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) }),
+
+    QueryDef(
+      "q_ann_ivfadc", Seq("A5", "O5", "J2"),
+      (s, d) => ivfadcTopK(s, d, probes = 4),
+      Some(ivfadcOracleSql(4)),
+      "Residual-encoded IVFADC (Jégou et al. 2011 §III-C — the paper's actual " +
+        "encoding): PQ codebooks trained on coarse residuals u − c_cell, scored by " +
+        "the exact IP decomposition q·c_cell + Σ q_m·cw_m(code) — same 8 code bytes " +
+        "and probed-cell pruned scan as q_ann_ivf_pq_multiprobe, finer quantization " +
+        "at equal bytes (recall vs the raw-vector encoding pinned in AnnRecallSpec); " +
+        "oracle re-derives cells, residuals, codes, LUT, per-cell constants and the " +
+        "ADC top-10 from the two materialized artifacts",
+      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writeIvfadcAux(s, d, a) }),
 
     QueryDef(
       "q_embed_quantize", Seq("F4", "A4"),

@@ -99,6 +99,80 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rRef >= rAdc, "exact re-ranking lost a neighbor the ADC ordering had")
   }
 
+  test("residual IVFADC: non-degenerate on the near-uniform table (recall readout)") {
+    val exact = top10("q_ann_bruteforce")
+    val raw = top10("q_ann_ivf_pq_multiprobe")
+    val res = top10("q_ann_ivfadc")
+    val rRaw = (exact & raw).size / 10.0
+    val rRes = (exact & res).size / 10.0
+    info(f"recall@10 raw-pq-multi=$rRaw%.1f residual-ivfadc=$rRes%.1f (probes=4, 8 bytes each)")
+    // The residual contract ("same bytes quantize finer") holds when
+    // vectors sit NEAR their coarse centroid. This table is the
+    // adversarial case — near-uniform directions give u·c ≪ 1, so the
+    // residual's energy 2 − 2·u·c EXCEEDS the unit vector's and the
+    // encoding has nothing to win (measured 0.3 vs 0.4, one-neighbor
+    // noise). The clustered-geometry fixture below is where the contract
+    // is asserted; here the gate is a non-degeneracy floor.
+    assert(res.size === 10)
+    assert(rRes >= 0.2, "residual ADC must still find true neighbors")
+  }
+
+  test("residual IVFADC: reconstruction error beats the raw encoding on clustered geometry") {
+    import s.implicits._
+    // 4 tight clusters with DENSE pseudo-random centers (the geometry
+    // real embedding corpora have and the near-uniform table lacks; the
+    // centers must not be axis-aligned, or PQ's per-subspace independence
+    // factorizes the cluster structure and raw encoding memorizes it):
+    // members add small continuous deterministic noise, so u·c ≈ 1 and
+    // residuals are a tiny shared-noise cloud — raw PQ must split its 16
+    // codewords per subspace across 4 distinct cluster patterns, while
+    // residual PQ spends all 16 on the one zero-centered noise ball.
+    val dim = 64
+    def h(a: Long): Double =
+      (java.lang.Math.floorMod(a * 2654435761L, 2048L).toDouble / 1024.0) - 1.0
+    def member(id: Int): Seq[Float] = {
+      val k = id % 4
+      Array.tabulate(dim) { i =>
+        (h(k * 7919L + i * 104729L) + 0.05 * h(id * 6700417L + i * 131L)).toFloat
+      }.toSeq
+    }
+    val df = (1 to 220).map(id => (id.toLong, member(id))).toDF("vec_id", "embedding")
+    val cs = VectorQueries.trainCentroids(df, s)
+    val rawCb = VectorQueries.trainPqCodebooks(df, s)
+    val resCb = VectorQueries.trainPqCodebooks(df, s, res = cs)
+    // independent referee arithmetic: plain-double normalize, argmax
+    // cell/codeword (dot − ½‖cw‖², lowest index ties), L2 recon error
+    def unitOf(v: Seq[Float]): Array[Double] = {
+      val d = v.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      if (n == 0) d else d.map(_ / n)
+    }
+    def argmaxCell(c: Array[Array[Double]], u: Array[Double]): Int =
+      c.zipWithIndex.map { case (cv, i) =>
+        (cv.zip(u).map { case (a, b) => a * b }.sum, i)
+      }.maxBy { case (dot, i) => (dot, -i) }._2
+    def encode(cb: Array[Array[Array[Double]]], x: Array[Double]): Array[Double] =
+      Array.tabulate(8) { m =>
+        val sub = x.slice(m * 8, m * 8 + 8)
+        cb(m).maxBy(cw =>
+          (cw.zip(sub).map { case (a, b) => a * b }.sum
+            - 0.5 * cw.map(c => c * c).sum, -cb(m).indexOf(cw))): Array[Double]
+      }.flatten
+    def err2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val (errRaw, errRes) = (1 to 220).map { id =>
+      val u = unitOf(member(id))
+      val xhatRaw = encode(rawCb, u)
+      val cell = cs(argmaxCell(cs, u))
+      val rhat = encode(resCb, u.zip(cell).map { case (a, b) => a - b })
+      val xhatRes = cell.zip(rhat).map { case (a, b) => a + b }
+      (err2(u, xhatRaw), err2(u, xhatRes))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    info(f"clustered recon error: raw=$errRaw%.4f residual=$errRes%.4f over 220 vectors")
+    assert(errRes < errRaw,
+      "residual encoding must reconstruct finer than raw at equal bytes on clustered data")
+  }
+
   test("ANN-legged hybrid fusion tracks the brute-force-fused ranking (fused recall)") {
     // q_hybrid_rrf fuses BM25 with the EXACT dense top-100 — the fused
     // ground truth; q_hybrid_rrf_ann swaps in the IVFADC+refine

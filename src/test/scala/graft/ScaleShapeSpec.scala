@@ -50,6 +50,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r17 OPQ: q_ann_pq's exact scan shape — mapPartitions ADC +
     // TakeOrdered, the rotation is per-row arithmetic, no shuffle at all
     "q_ann_opq" -> 0,
+    // r17 residual IVFADC: ivfPqAdc's exact scan shape — probed-cell
+    // pruned mapPartitions ADC + TakeOrdered, zero exchanges
+    "q_ann_ivfadc" -> 0,
     // r17 DSIR: the weight model trains in a separate B-bounded job
     // (driver collect, not in this plan); the scoring plan is the
     // broadcast weight join + ONE per-doc combine exchange + the rank
