@@ -982,6 +982,65 @@ object Cli {
             s" n_tokens=${tot.tAll} store=$store")
       }
 
+    case "vector-index" :: store :: embPath :: Nil =>
+      // build or EXTEND the persistent IVFADC vector index (the dense
+      // twin of `index`): append an embeddings parquet (vec_id BIGINT,
+      // embedding ARRAY<FLOAT>) to the cell-partitioned store — coarse
+      // quantizer + residual PQ codebooks train on the FIRST append and
+      // reload forever after (the stability contract), every appended
+      // row carries its 8 residual code bytes, so the store is
+      // immediately servable by `vector-search` with no separate build
+      val spark = session()
+      val vecs = spark.read.parquet(embPath)
+        .select(col("vec_id"), col("embedding"))
+      graft.streaming.VectorStore.append(spark, store, vecs)
+      val n = spark.read.parquet(graft.streaming.VectorStore.vecPath(store))
+        .select("vec_id").distinct().count()
+      println(s"indexed ${vecs.count()} vectors: store=$store n_vectors=$n")
+
+    case "vector-search" :: store :: embPath :: id :: rest =>
+      // serve a dense ANN query FROM THE STORE's persisted codes (the
+      // dense twin of `search --indexed`): the query vector is row
+      // `vec_id = id` of the given embeddings parquet; the probe reads
+      // the probed cells' code bytes only, never the raw vectors
+      val probes = flagValue(rest, "--probes") match {
+        case None => 4
+        case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--probes needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      val top = flagValue(rest, "--top") match {
+        case None => 10
+        case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--top needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      rejectStray("vector-search",
+        stripFlag(stripFlag(rest, "--probes"), "--top"))
+      val qid = id.toLongOption.getOrElse {
+        System.err.println(s"vector-search needs a numeric vec_id, got '$id'")
+        sys.exit(2)
+      }
+      val spark = session()
+      import spark.implicits._
+      val qv = spark.read.parquet(embPath)
+        .filter(col("vec_id") === qid).select(col("embedding"))
+        .as[Seq[Float]].collect().headOption.getOrElse {
+          System.err.println(s"no vec_id=$qid in $embPath")
+          sys.exit(2)
+        }
+      val hits = graft.streaming.VectorStore
+        .adcProbe(spark, store, qv, probes, top, exclude = Set(qid))
+        .collect()
+      if (hits.isEmpty) println("empty store or no vectors in the probed cells")
+      else hits.foreach { r =>
+        println(s"vec_id=${r.getAs[Long]("vec_id")}" +
+          " adc=" + String.format(java.util.Locale.ROOT, "%.9f",
+            Double.box(r.getAs[Double]("adc"))))
+      }
+
     case "source-mix" :: lake :: id :: Nil =>
       // temperature-resampled (sqrt) training-mix weights over a loaded
       // collection's raw documents (the q_source_mix engine)
@@ -1324,6 +1383,8 @@ object Cli {
            |  export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed] [--curriculum]
            |  index <lake> <collectionId>
            |  search <lake> <collectionId> <term...> [--top N] [--indexed]
+           |  vector-index <store> <embeddingsParquet>
+           |  vector-search <store> <embeddingsParquet> <vecId> [--probes N] [--top N]
            |  source-mix <lake> <collectionId>
            |  overlap <lake> <collectionIdA> <collectionIdB>
            |  length-stats <lake> <collectionId>

@@ -1223,6 +1223,84 @@ object VectorQueries {
 
   // ---- residual-encoded IVFADC (q_ann_ivfadc) -------------------------------
 
+  /** ONE spelling of the residual-IVFADC encode/score arithmetic, shared
+    * by the batch query ([[ivfadcTopK]]) and the streaming
+    * [[graft.streaming.VectorStore]] index (the bm25ScoreExpr discipline:
+    * one expression, two callers, so the persisted index and the declared
+    * query cannot drift). Row side: unit-normalize, Voronoi cell,
+    * residual codes. Query side ([[AdcQuery]]): probe set, the
+    * DECIMAL(38,18) LUT of raw query subvectors × residual codewords, and
+    * the per-cell constants q·c — all driver-computed and broadcastable.
+    * Serializable (arrays only; the half-norms re-derive lazily after
+    * deserialization). */
+  private[graft] final case class AdcKit(
+      cs: Array[Array[Double]], cbs: Array[Array[Array[Double]]])
+      extends Serializable {
+    @transient private lazy val hns = cbs.map(halfNormsOf)
+    def unitOf(v: Seq[Float]): Array[Double] = unit(v)
+    def cellOf(u: Array[Double]): Int = nearestCell(cs, u)
+    def codesOf(u: Array[Double], cell: Int): Array[Int] = {
+      val ctr = cs(cell)
+      val r = new Array[Double](Dim)
+      var i = 0
+      while (i < Dim) { r(i) = u(i) - ctr(i); i += 1 }
+      val codes = new Array[Int](PqM)
+      var m = 0
+      while (m < PqM) {
+        codes(m) = nearestCode(cbs(m), hns(m), r, m * PqSub)
+        m += 1
+      }
+      codes
+    }
+    /** Driver-side query compilation: probe set + decimal LUT/constants. */
+    def query(qv: Seq[Float], probes: Int): AdcQuery = {
+      val qu = unit(qv)
+      val cellDot = cs.map { c =>
+        var dot = 0.0
+        var j = 0
+        while (j < Dim) { dot += qu(j) * c(j); j += 1 }
+        dot
+      }
+      val probeSet = cellDot.zipWithIndex
+        .sortBy { case (dot, i) => (-dot, i) }.take(probes).map(_._2).toSet
+      val lut = Array.tabulate(PqM) { m =>
+        Array.tabulate(cbs(m).length) { j =>
+          var ip = 0.0
+          var i = 0
+          while (i < PqSub) { ip += qu(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
+          ip
+        }
+      }
+      def dec(d: Double) = new java.math.BigDecimal(d)
+        .setScale(18, java.math.RoundingMode.HALF_UP)
+      AdcQuery(probeSet, lut.map(_.map(dec)), cellDot.map(dec))
+    }
+  }
+
+  /** A compiled ADC query: 8 decimal lookups + one add per row. */
+  private[graft] final case class AdcQuery(
+      probeSet: Set[Int],
+      ltDec: Array[Array[java.math.BigDecimal]],
+      cdDec: Array[java.math.BigDecimal]) extends Serializable {
+    def scoreDec(cell: Int, codes: Array[Int]): java.math.BigDecimal = {
+      var adc = cdDec(cell)
+      var m = 0
+      while (m < codes.length) {
+        adc = adc.add(ltDec(m)(codes(m)))
+        m += 1
+      }
+      adc
+    }
+  }
+
+  /** The trained IVFADC kit for a dataset — coarse centroids + residual
+    * codebooks, both the deterministic trainers above. */
+  private[graft] def ivfadcKitOf(s: SparkSession, d: String): AdcKit = {
+    val emb = Tables.embeddings(s, d)
+    val centroids = trainCentroids(emb, s)
+    AdcKit(centroids, trainPqCodebooks(emb, s, res = centroids))
+  }
+
   /** The TRUE IVFADC encoding (Jégou, Douze & Schmid 2011 §III-C): the
     * product quantizer codes the coarse RESIDUAL r(x) = u − c_cell(u)
     * instead of the raw unit vector (the q_ann_ivf_pq family's
@@ -1241,60 +1319,23 @@ object VectorQueries {
   private def ivfadcTopK(s: SparkSession, d: String, probes: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val centroids = trainCentroids(emb, s)
-    val cbs = trainPqCodebooks(emb, s, res = centroids)
-    val hns = cbs.map(halfNormsOf)
-    val qu = unit(emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).as[Seq[Float]].head())
-    val cellDot: Array[Double] = centroids.map { c =>
-      var dot = 0.0
-      var j = 0
-      while (j < Dim) { dot += qu(j) * c(j); j += 1 }
-      dot
-    }
-    val probeSet: Set[Int] = cellDot.zipWithIndex
-      .sortBy { case (dot, i) => (-dot, i) }.take(probes).map(_._2).toSet
-    val lut = Array.tabulate(PqM) { m =>
-      Array.tabulate(cbs(m).length) { j =>
-        var ip = 0.0
-        var i = 0
-        while (i < PqSub) { ip += qu(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
-        ip
-      }
-    }
-    val bcCs = s.sparkContext.broadcast(centroids)
-    val bcCb = s.sparkContext.broadcast(cbs)
-    val bcHn = s.sparkContext.broadcast(hns)
-    val bcLut = s.sparkContext.broadcast(lut)
-    val bcCd = s.sparkContext.broadcast(cellDot)
+    val kit = ivfadcKitOf(s, d)
+    val q = kit.query(
+      emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).as[Seq[Float]].head(),
+      probes)
+    val bcKit = s.sparkContext.broadcast(kit)
+    val bcQ = s.sparkContext.broadcast(q)
     emb.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
-        val cs = bcCs.value; val cb = bcCb.value
-        val hn = bcHn.value; val lt = bcLut.value
-        val ltDec = lt.map(_.map(dd =>
-          new java.math.BigDecimal(dd)
-            .setScale(18, java.math.RoundingMode.HALF_UP)))
-        val cdDec = bcCd.value.map(dd =>
-          new java.math.BigDecimal(dd)
-            .setScale(18, java.math.RoundingMode.HALF_UP))
+        val k = bcKit.value
+        val qq = bcQ.value
         it.flatMap { case (id, v) =>
-          val u = unit(v)
-          val cell = nearestCell(cs, u)
-          if (!probeSet.contains(cell)) None
-          else {
-            val ctr = cs(cell)
-            val r = new Array[Double](Dim)
-            var i = 0
-            while (i < Dim) { r(i) = u(i) - ctr(i); i += 1 }
-            var adc = cdDec(cell)
-            var m = 0
-            while (m < PqM) {
-              adc = adc.add(ltDec(m)(nearestCode(cb(m), hn(m), r, m * PqSub)))
-              m += 1
-            }
-            Some((id, adc.doubleValue))
-          }
+          val u = k.unitOf(v)
+          val cell = k.cellOf(u)
+          if (!qq.probeSet.contains(cell)) None
+          else Some((id, qq.scoreDec(cell, k.codesOf(u, cell)).doubleValue))
         }
       }
       .toDF("vec_id", "adc")

@@ -38,6 +38,7 @@ object VectorStore {
 
   def vecPath(lake: String): String = s"$lake/vectors"
   def centroidPath(lake: String): String = s"$lake/vector_centroids"
+  def codebookPath(lake: String): String = s"$lake/vector_codebooks"
 
   /** Load the stored quantizer, or train it from `vecs` and persist it
     * (first call). Training delegates to the deterministic
@@ -57,29 +58,100 @@ object VectorStore {
     }
   }
 
-  private def assigned(
-      spark: SparkSession, vecs: DataFrame, cs: Array[Array[Double]]): DataFrame = {
+  /** Load the stored residual PQ codebooks, or train them from `vecs`
+    * over the stored/trained coarse quantizer and persist them (first
+    * call) — the centroid stability contract extended to the fine
+    * quantizer: codes written by later batches MUST come from the same
+    * codebooks or the persisted index silently mixes codebook epochs.
+    * Returns the full [[graft.VectorQueries.AdcKit]] (ONE spelling of
+    * encode/score, shared with the batch q_ann_ivfadc). */
+  def kitOf(spark: SparkSession, lake: String, vecs: DataFrame): graft.VectorQueries.AdcKit = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(cs)
+    val cs = centroidsOf(spark, lake, vecs)
+    val cbs = graft.ingest.Sink.readOrEmpty(spark, codebookPath(lake)) match {
+      case Some(df) =>
+        val rows = df.select(col("m"), col("cell"), col("c"))
+          .as[(Long, Long, Seq[Double])].collect()
+        rows.groupBy(_._1).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3.toArray))
+      case None =>
+        val trained = graft.VectorQueries.trainPqCodebooks(vecs, spark, res = cs)
+        (for { m <- trained.indices; j <- trained(m).indices }
+          yield (m.toLong, j.toLong, trained(m)(j).toSeq))
+          .toDF("m", "cell", "c")
+          .coalesce(1).write.mode("overwrite").parquet(codebookPath(lake))
+        trained
+    }
+    graft.VectorQueries.AdcKit(cs, cbs)
+  }
+
+  private def assigned(
+      spark: SparkSession, vecs: DataFrame,
+      kit: graft.VectorQueries.AdcKit): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(kit)
     vecs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
-        val c = bc.value
+        val k = bc.value
         it.map { case (id, v) =>
-          (id, v, graft.VectorQueries.probeCellsOf(c, v, 1).head)
+          val u = k.unitOf(v)
+          val cell = k.cellOf(u)
+          (id, v, cell.toLong, k.codesOf(u, cell).toSeq)
         }
       }
-      .toDF("vec_id", "embedding", "cell")
+      .toDF("vec_id", "embedding", "cell", "codes")
   }
 
   /** Append a batch ((vec_id, embedding)) to the store, assigning cells
-    * with the stored quantizer (trained on this batch if absent). One
-    * narrow shuffle: repartition on cell keeps files-per-batch = touched
+    * AND residual PQ codes with the stored quantizers (trained on this
+    * batch if absent) — every appended row is already indexed, so the
+    * store doubles as an incrementally-maintained IVFADC index
+    * ([[adcProbe]] serves queries from the codes alone). One narrow
+    * shuffle: repartition on cell keeps files-per-batch = touched
     * cells, not tasks × cells. */
   def append(spark: SparkSession, lake: String, vecs: DataFrame): Unit = {
-    val cs = centroidsOf(spark, lake, vecs)
-    assigned(spark, vecs, cs)
+    assigned(spark, vecs, kitOf(spark, lake, vecs))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(vecPath(lake))
+  }
+
+  /** Serve an ANN query FROM THE STORE's persisted codes — the dense
+    * twin of [[PostingsStore.probe]] (the serving composition eats its
+    * own index): compile the query against the stored kit (probe set,
+    * decimal LUT, per-cell constants), statically prune the scan to the
+    * probed `cell=` partitions, fold replay duplicates, and ADC-score
+    * the 8 stored code bytes per row — the embedding column is never
+    * read. Byte-identical to the batch q_ann_ivfadc on the same rows
+    * (same kit arithmetic by construction; VectorStoreSpec pins it).
+    * At 100 TB the probe reads probes/k of the code column only. */
+  def adcProbe(
+      spark: SparkSession, lake: String, qv: Seq[Float],
+      probes: Int, k: Int, exclude: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake))
+      .getOrElse(return Seq.empty[(Long, Double)].toDF("vec_id", "adc"))
+    val kit = kitOf(spark, lake, store)
+    val q = kit.query(qv, probes)
+    val cells = q.probeSet.map(_.toLong).toSeq
+    val bcQ = spark.sparkContext.broadcast(q)
+    store.filter(col("cell").isin(cells: _*))
+      .filter(if (exclude.isEmpty) lit(true)
+              else !col("vec_id").isin(exclude.toSeq: _*))
+      // at-least-once replay rows are byte-identical (same kit, same
+      // vector) — one survives, whichever
+      .dropDuplicates("vec_id")
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions { it =>
+        val qq = bcQ.value
+        it.map { case (id, cell, codes) =>
+          (id, qq.scoreDec(cell.toInt, codes.toArray).doubleValue)
+        }
+      }
+      .toDF("vec_id", "adc")
+      .select(col("vec_id"), round(col("adc"), 9).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Probe a batch against the store: (vec_id, dup_of, cosine) for each
@@ -93,8 +165,7 @@ object VectorStore {
     val empty = Seq.empty[(Long, Long, Double)].toDF("vec_id", "dup_of", "cosine")
     val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake))
       .getOrElse(return empty)
-    val cs = centroidsOf(spark, lake, vecs)
-    val batch = assigned(spark, vecs, cs).localCheckpoint()
+    val batch = assigned(spark, vecs, kitOf(spark, lake, vecs)).localCheckpoint()
     // bounded by the quantizer's cell domain (k values), not batch size —
     // the driver-side list is what turns the store scan into static
     // partition pruning

@@ -403,6 +403,19 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("vector-index + vector-search serve ANN from the persisted codes") {
+    val store = Files.createTempDirectory("graft-cli-vstore").toString
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val out1 = run("vector-index", store, emb)
+    assert(out1.contains("indexed") && out1.contains("n_vectors="), out1)
+    val out2 = run("vector-search", store, emb, "0", "--probes", "4", "--top", "5")
+    val hits = out2.linesIterator.filter(_.startsWith("vec_id=")).toSeq
+    assert(hits.nonEmpty && hits.size <= 5, out2)
+    // the probe excludes the query row itself
+    assert(!hits.exists(_.startsWith("vec_id=0 ")), out2)
+    assert(hits.forall(_.contains(" adc=")), out2)
+  }
+
   test("overlap estimates cross-collection shingle sharing from KMV sketches") {
     val desc = "seven silver ships sail past the quiet harbor while the " +
       "lazy dog waits for the quick brown fox under a winter moon"

@@ -89,6 +89,57 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("store-served ADC probe is byte-identical to the batch IVFADC query") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-adc").toString
+    // first append = the whole table → the store's kit trains on exactly
+    // the frame the batch query trains on, so parity is bit-for-bit
+    VectorStore.append(s, lake, embAll)
+    val qv = embAll.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    val got = VectorStore.adcProbe(s, lake, qv, probes = 4, k = 10,
+      exclude = Set(0L)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = graft.Queries.byName("q_ann_ivfadc").run(s, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want,
+      "the persisted index must serve the declared query's exact answer")
+  }
+
+  test("ADC probe reads codes only, pruned to the probed cells; codebooks train once") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-adc").toString
+    VectorStore.append(s, lake, embAll)
+    val qv = embAll.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    val df = VectorStore.adcProbe(s, lake, qv, probes = 4, k = 10, exclude = Set(0L))
+    df.collect()
+    val storeScan = PlanWalk.fileScans(df.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("/vectors")))
+      .getOrElse(fail("no store scan in the probe plan"))
+    assert(storeScan.partitionFilters.mkString.contains("cell"),
+      s"probe scan not pruned by cell:\n$storeScan")
+    assert(!storeScan.requiredSchema.fieldNames.contains("embedding"),
+      "the ADC probe must never read the raw vectors: " +
+        storeScan.requiredSchema.fieldNames.mkString(","))
+    // fine-quantizer stability: a later batch must NOT retrain codebooks
+    val cb1 = s.read.parquet(VectorStore.codebookPath(lake)).collect()
+      .map(_.toString).sorted.toSeq
+    VectorStore.append(s, lake, vecsDF(9100L -> scaled(qv, 1.5f)))
+    val cb2 = s.read.parquet(VectorStore.codebookPath(lake)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(cb1 === cb2, "codebooks must train once and reload")
+    // the replayed/late row is indexed with the STORED kit: re-appending
+    // it and compacting leaves the probe answer unchanged
+    val before = VectorStore.adcProbe(s, lake, qv, 4, 10, Set(0L, 9100L))
+      .collect().map(_.toString).toSeq
+    VectorStore.append(s, lake, vecsDF(9100L -> scaled(qv, 1.5f)))
+    VectorStore.compact(s, lake)
+    val after = VectorStore.adcProbe(s, lake, qv, 4, 10, Set(0L, 9100L))
+      .collect().map(_.toString).toSeq
+    assert(before === after, "replay + compact must not move the served answer")
+  }
+
   test("foreachBatch stream: probe-then-append flags a later near-arrival; compact folds replays") {
     import s.implicits._
     val lake = Files.createTempDirectory("graft-vstore").toString
