@@ -1635,6 +1635,113 @@ object VectorQueries {
         SELECT qid, knn_rank, vec_id, cosine
         FROM fin WHERE knn_rank <= $KnnK ORDER BY qid, knn_rank"""
 
+  /** The dense batched k-NN join engine (q_knn_join's body — see that
+    * QueryDef's scaladoc for the topk_pairs-vs-window A/B): one corpus
+    * pass, bounded per-(partition, query) partials, exact decimal
+    * re-rank. Shared with q_retrieval_eval_multi as the TRUTH leg. */
+  private def knnJoinExact(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    val emb = Tables.embeddings(s, d)
+    val q = knnQueries(emb)
+    val scored = emb
+      .filter(pmod(col("vec_id"), lit(KnnQMod)) =!= 0)
+      .filter(dotDouble(col("embedding"), col("embedding")) > 0)
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id"), col("embedding"),
+        knnScore(col("embedding"), col("qe")).as("dscore"))
+    knnTopK(scored, q)
+  }
+
+  /** The IVF-pruned k-NN join engine (q_knn_join_ivf's body — see that
+    * QueryDef's scaladoc): per-query probe sets, cell equi-join instead
+    * of the cross join, shared nominate/re-rank tail. Shared with
+    * q_retrieval_eval_multi as the SYSTEM leg. */
+  private def knnJoinIvf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids = trainCentroids(emb, s)
+    val q = knnQueries(emb)
+    val bc = s.sparkContext.broadcast(centroids)
+    // per-query probe set: same (dot DESC, cell ASC) ranking over unit
+    // vectors as cell assignment, truncated at KnnProbes — computed
+    // distributedly (no driver collect), q × KnnProbes rows out
+    val probeDf = emb.filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        probeCellsOf(bc.value, v, KnnProbes).iterator.map(c => (id, c))
+      }.toDF("qid", "cell")
+    // both sides are the bounded query set (q × KnnProbes rows vs q
+    // rows) — broadcast explicitly: the flatMap side has no stats, and
+    // the scale gate caught this join planning as SortMergeJoin
+    val probeQ = probeDf.join(broadcast(q), Seq("qid"))
+    val corpusCells = assignedCells(s, emb, centroids)
+      .filter(pmod(col("vec_id"), lit(KnnQMod)) =!= 0)
+      .filter(dotDouble(col("embedding"), col("embedding")) > 0)
+    val scored = corpusCells.join(broadcast(probeQ), Seq("cell"))
+      .select(col("qid"), col("vec_id"), col("embedding"),
+        knnScore(col("embedding"), col("qe")).as("dscore"))
+    knnTopK(scored, q)
+  }
+
+  /** q_knn_join's oracle — also embedded verbatim (nested WITH) as the
+    * truth leg of the q_retrieval_eval_multi oracle. */
+  private def knnJoinExactOracleSql: String =
+    s"""WITH dv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+        nrm AS (SELECT vec_id, d, list_inner_product(d, d) AS n2 FROM dv),
+        q AS (SELECT vec_id AS qid, d AS qd FROM nrm
+              WHERE vec_id % $KnnQMod = 0 AND n2 > 0),
+        c AS (SELECT vec_id, d FROM nrm
+              WHERE vec_id % $KnnQMod <> 0 AND n2 > 0),
+        nom AS (
+          SELECT qid, vec_id FROM (
+            SELECT q.qid, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     list_inner_product(c.d, q.qd)
+                       / (sqrt(list_inner_product(c.d, c.d))
+                          * sqrt(list_inner_product(q.qd, q.qd)))
+                     DESC, c.vec_id) AS rn
+            FROM c CROSS JOIN q) r
+          WHERE rn <= $KnnR),
+        $knnRerankSql"""
+
+  /** q_knn_join_ivf's oracle — also embedded verbatim (nested WITH) as
+    * the system leg of the q_retrieval_eval_multi oracle. */
+  private def knnJoinIvfOracleSql: String =
+    s"""$cellsCtes,
+        q AS (
+          SELECT sc.vec_id AS qid, sc.d AS qd
+          FROM sc WHERE sc.vec_id % $KnnQMod = 0 AND sc.n2 > 0),
+        probes AS (
+          SELECT qid, cell FROM (
+            SELECT un.vec_id AS qid, cent.cell,
+                   ROW_NUMBER() OVER (PARTITION BY un.vec_id
+                     ORDER BY list_inner_product(un.u, cent.c) DESC, cent.cell)
+                     AS rn
+            FROM un
+            JOIN sc ON sc.vec_id = un.vec_id
+            CROSS JOIN cent
+            WHERE un.vec_id % $KnnQMod = 0 AND sc.n2 > 0) r
+          WHERE rn <= $KnnProbes),
+        c AS (
+          SELECT sc.vec_id, sc.d, cl.cell
+          FROM sc JOIN cells cl ON cl.vec_id = sc.vec_id
+          WHERE sc.vec_id % $KnnQMod <> 0 AND sc.n2 > 0),
+        nom AS (
+          SELECT qid, vec_id FROM (
+            SELECT p.qid, c.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                     list_inner_product(c.d, q.qd)
+                       / (sqrt(list_inner_product(c.d, c.d))
+                          * sqrt(list_inner_product(q.qd, q.qd)))
+                     DESC, c.vec_id) AS rn
+            FROM c
+            JOIN probes p ON p.cell = c.cell
+            JOIN q ON q.qid = p.qid) r
+          WHERE rn <= $KnnR),
+        $knnRerankSql"""
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_bruteforce", Seq("A5", "O5", "J2"),
@@ -2358,36 +2465,11 @@ object VectorQueries {
         // scored row WITH its embedding payload (~n×q×280 B) where topk
         // ships bounded partials; at 100 TB that is the difference
         // between shuffling the cross product and shuffling q×KnnR rows
-        // per partition.
-        graft.functions.GraftExtensions.ensureRegistered(s)
-        val emb = Tables.embeddings(s, d)
-        val q = knnQueries(emb)
-        val scored = emb
-          .filter(pmod(col("vec_id"), lit(KnnQMod)) =!= 0)
-          .filter(dotDouble(col("embedding"), col("embedding")) > 0)
-          .crossJoin(broadcast(q))
-          .select(col("qid"), col("vec_id"), col("embedding"),
-            knnScore(col("embedding"), col("qe")).as("dscore"))
-        knnTopK(scored, q)
+        // per partition. Body extracted to [[knnJoinExact]] (shared with
+        // the retrieval eval's truth leg).
+        knnJoinExact(s, d)
       },
-      Some(s"""WITH dv AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
-        nrm AS (SELECT vec_id, d, list_inner_product(d, d) AS n2 FROM dv),
-        q AS (SELECT vec_id AS qid, d AS qd FROM nrm
-              WHERE vec_id % $KnnQMod = 0 AND n2 > 0),
-        c AS (SELECT vec_id, d FROM nrm
-              WHERE vec_id % $KnnQMod <> 0 AND n2 > 0),
-        nom AS (
-          SELECT qid, vec_id FROM (
-            SELECT q.qid, c.vec_id,
-                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
-                     list_inner_product(c.d, q.qd)
-                       / (sqrt(list_inner_product(c.d, c.d))
-                          * sqrt(list_inner_product(q.qd, q.qd)))
-                     DESC, c.vec_id) AS rn
-            FROM c CROSS JOIN q) r
-          WHERE rn <= $KnnR),
-        $knnRerankSql"""),
+      Some(knnJoinExactOracleSql),
       "Batched k-NN similarity join: every query of the bounded probe set gets its " +
         "exact-cosine top-5 corpus neighbors — double-cosine nomination through the " +
         "native bounded topk_pairs aggregate (map-side k-entry partials, candidate " +
@@ -2403,65 +2485,11 @@ object VectorQueries {
         // volume drops to ~KnnProbes/k of the dense join's while the
         // nominate/re-rank tail is shared verbatim with q_knn_join. At
         // scale the cell id doubles as the partition key — the FAISS IVF
-        // sharding layout re-expressed as one Spark join.
-        graft.functions.GraftExtensions.ensureRegistered(s)
-        import s.implicits._
-        val emb = Tables.embeddings(s, d)
-        val centroids = trainCentroids(emb, s)
-        val q = knnQueries(emb)
-        val bc = s.sparkContext.broadcast(centroids)
-        // per-query probe set: same (dot DESC, cell ASC) ranking over unit
-        // vectors as cell assignment, truncated at KnnProbes — computed
-        // distributedly (no driver collect), q × KnnProbes rows out
-        val probeDf = emb.filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
-          .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-          .flatMap { case (id, v) =>
-            probeCellsOf(bc.value, v, KnnProbes).iterator.map(c => (id, c))
-          }.toDF("qid", "cell")
-        // both sides are the bounded query set (q × KnnProbes rows vs q
-        // rows) — broadcast explicitly: the flatMap side has no stats, and
-        // the scale gate caught this join planning as SortMergeJoin
-        val probeQ = probeDf.join(broadcast(q), Seq("qid"))
-        val corpusCells = assignedCells(s, emb, centroids)
-          .filter(pmod(col("vec_id"), lit(KnnQMod)) =!= 0)
-          .filter(dotDouble(col("embedding"), col("embedding")) > 0)
-        val scored = corpusCells.join(broadcast(probeQ), Seq("cell"))
-          .select(col("qid"), col("vec_id"), col("embedding"),
-            knnScore(col("embedding"), col("qe")).as("dscore"))
-        knnTopK(scored, q)
+        // sharding layout re-expressed as one Spark join. Body extracted
+        // to [[knnJoinIvf]] (shared with the retrieval eval's system leg).
+        knnJoinIvf(s, d)
       },
-      Some(s"""$cellsCtes,
-        q AS (
-          SELECT sc.vec_id AS qid, sc.d AS qd
-          FROM sc WHERE sc.vec_id % $KnnQMod = 0 AND sc.n2 > 0),
-        probes AS (
-          SELECT qid, cell FROM (
-            SELECT un.vec_id AS qid, cent.cell,
-                   ROW_NUMBER() OVER (PARTITION BY un.vec_id
-                     ORDER BY list_inner_product(un.u, cent.c) DESC, cent.cell)
-                     AS rn
-            FROM un
-            JOIN sc ON sc.vec_id = un.vec_id
-            CROSS JOIN cent
-            WHERE un.vec_id % $KnnQMod = 0 AND sc.n2 > 0) r
-          WHERE rn <= $KnnProbes),
-        c AS (
-          SELECT sc.vec_id, sc.d, cl.cell
-          FROM sc JOIN cells cl ON cl.vec_id = sc.vec_id
-          WHERE sc.vec_id % $KnnQMod <> 0 AND sc.n2 > 0),
-        nom AS (
-          SELECT qid, vec_id FROM (
-            SELECT p.qid, c.vec_id,
-                   ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
-                     list_inner_product(c.d, q.qd)
-                       / (sqrt(list_inner_product(c.d, c.d))
-                          * sqrt(list_inner_product(q.qd, q.qd)))
-                     DESC, c.vec_id) AS rn
-            FROM c
-            JOIN probes p ON p.cell = c.cell
-            JOIN q ON q.qid = p.qid) r
-          WHERE rn <= $KnnR),
-        $knnRerankSql"""),
+      Some(knnJoinIvfOracleSql),
       "IVF-pruned k-NN join: queries probe their 4 nearest trained cells and corpus " +
         "rows score only against the queries probing their cell (broadcast equi-join " +
         "on cell id — the FAISS IVF sharding layout as one Spark join); shared " +
@@ -2798,6 +2826,70 @@ object VectorQueries {
         "lists serve every consumer), the lexical leg probes the postings store; " +
         "oracle re-derives all four rankings from the materialized artifacts and " +
         "scores identically",
-      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) })
+      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) }),
+
+    QueryDef(
+      "q_retrieval_eval_multi", Seq("A4", "J2", "A1"),
+      (s, d) => {
+        // the SAMPLED-PROBE retrieval eval — q_retrieval_eval generalized
+        // from the ANN family's single designated query to the bounded
+        // deterministic probe sample (the KnnQMod idiom: every vec_id %
+        // 25 == 0 vector is a query), the shape an index build's quality
+        // monitor actually runs at 100 TB. Composition is two existing
+        // engines VERBATIM: truth = the exact batched k-NN join
+        // (knnJoinExact — ONE corpus pass for ALL probes, bounded
+        // topk_pairs partials, never per-probe scans) and system = the
+        // IVF-pruned k-NN join (knnJoinIvf — the index under eval). Per
+        // probe: hits among the exact top-5 and the first relevant rank,
+        // exact integers; recall@5 and MRR are each ONE rounded double
+        // division (the TV-distance idiom). Cost contract: eval = 2
+        // corpus scans + probe-bounded joins, independent of probe count
+        // — recall grows per-probe visibility (which probes' neighborhood
+        // the cell pruning strands) that the averaged single number
+        // hides. Output is per-probe, probe-sample-bounded rows.
+        val tru = knnJoinExact(s, d)
+          .select(col("qid"), col("vec_id")).withColumn("rel", lit(1))
+        knnJoinIvf(s, d)
+          .join(broadcast(tru), Seq("qid", "vec_id"), "left")
+          .groupBy(col("qid"))
+          .agg(
+            count(col("rel")).as("n_hits"),
+            min(when(col("rel").isNotNull, col("knn_rank")))
+              .cast(LongType).as("first_rel"))
+          .select(
+            col("qid"), lit(KnnK.toLong).as("k"), col("n_hits"),
+            col("first_rel"),
+            round(col("n_hits").cast(DoubleType)
+              / lit(KnnK.toDouble).cast(DoubleType), 9).as("recall"),
+            round(coalesce(
+              lit(1.0).cast(DoubleType) / col("first_rel").cast(DoubleType),
+              lit(0.0)), 9).as("mrr"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH sys AS (SELECT * FROM ($knnJoinIvfOracleSql)),
+               tru AS (SELECT * FROM ($knnJoinExactOracleSql)),
+               j AS (
+                 SELECT s.qid, s.knn_rank,
+                        t.vec_id IS NOT NULL AS hit
+                 FROM sys s
+                 LEFT JOIN tru t ON t.qid = s.qid AND t.vec_id = s.vec_id)
+               SELECT qid, CAST($KnnK AS BIGINT) AS k,
+                      count(*) FILTER (WHERE hit) AS n_hits,
+                      CAST(min(CASE WHEN hit THEN knn_rank END) AS BIGINT)
+                        AS first_rel,
+                      round(CAST(count(*) FILTER (WHERE hit) AS DOUBLE)
+                        / CAST($KnnK AS DOUBLE), 9) AS recall,
+                      round(coalesce(
+                        CAST(1.0 AS DOUBLE)
+                          / CAST(min(CASE WHEN hit THEN knn_rank END) AS DOUBLE),
+                        0.0), 9) AS mrr
+               FROM j GROUP BY qid ORDER BY qid"""),
+      "Sampled-probe retrieval eval: recall@5 and MRR of the IVF-pruned k-NN join " +
+        "against the exact k-NN join's truth, PER PROBE of the deterministic " +
+        "vec_id%25 sample — two corpus scans total regardless of probe count (both " +
+        "legs are the existing batched engines verbatim, embedded verbatim in the " +
+        "oracle via nested WITH); the per-probe rows expose which probes' " +
+        "neighborhoods the cell pruning strands",
+      aux = Some(writeKmeansAux))
   )
 }

@@ -342,6 +342,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // TakeOrdered + the one ADC chain + the store-probe leg + two
     // K-bounded fusions + the two 10-row hit joins
     "q_retrieval_eval" -> 18,
+    // r17 sampled-probe eval: the two batched k-NN engines' own budgets
+    // (8 exact + 10 ivf-pruned) riding unchanged under the probe-bounded
+    // hit join (truth side broadcast) — the per-qid metric agg folds into
+    // the system leg's existing final exchange
+    "q_retrieval_eval_multi" -> 18,
     // r17 corpus-build manifest — the ONE-PASS cumulative-flag shape plus
     // the line-dedup side input (VERDICT r16 #3, CCNet order): the r16
     // chain (fingerprint window + decon join's shingle explode/distinct
