@@ -982,6 +982,43 @@ object Cli {
             s" n_tokens=${tot.tAll} store=$store")
       }
 
+    case "dsir-select" :: lake :: rawId :: targetId :: rest =>
+      // DSIR data selection across collections — the paper's actual
+      // workflow (Xie et al. 2023): rank the RAW collection's documents
+      // by importance weight log(p_target/p_raw) toward a separately
+      // loaded curated TARGET collection (their Wikipedia/books role);
+      // the declared q_dsir_select demonstrates the same engine with an
+      // in-table target slice. Weights train in one B-bounded
+      // aggregation over both corpora; scoring is one broadcast-weight
+      // join + one per-doc combine over the raw side only.
+      val top = flagValue(rest, "--top") match {
+        case None => 20
+        case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--top needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      rejectStray("dsir-select", stripFlag(rest, "--top"))
+      val spark = session()
+      val plane = loadPlane(lake)
+      (collectionDocs(spark, lake, plane, idArg(rawId)),
+        collectionDocs(spark, lake, plane, idArg(targetId))) match {
+        case (Some(raw), Some(target)) =>
+          TextQueries.dsirSelectOf(raw, target, spark, top, label = "source")
+            .collect().foreach { r =>
+              println(s"rank=${r.getAs[Long]("rank")}" +
+                s" doc_id=${r.getAs[Long]("doc_id")}" +
+                s" source=${r.getAs[String]("source")}" +
+                s" n_feats=${r.getAs[Long]("n_feats")}" +
+                " logw=" + String.format(java.util.Locale.ROOT, "%.9f",
+                  Double.box(r.getAs[Double]("logw"))))
+            }
+        case _ =>
+          System.err.println("both collections need documents " +
+            "(release/record rows)")
+          sys.exit(2)
+      }
+
     case "vector-index" :: store :: embPath :: Nil =>
       // build or EXTEND the persistent IVFADC vector index (the dense
       // twin of `index`): append an embeddings parquet (vec_id BIGINT,
@@ -1385,6 +1422,7 @@ object Cli {
            |  search <lake> <collectionId> <term...> [--top N] [--indexed]
            |  vector-index <store> <embeddingsParquet>
            |  vector-search <store> <embeddingsParquet> <vecId> [--probes N] [--top N]
+           |  dsir-select <lake> <rawCollectionId> <targetCollectionId> [--top N]
            |  source-mix <lake> <collectionId>
            |  overlap <lake> <collectionIdA> <collectionIdB>
            |  length-stats <lake> <collectionId>

@@ -1687,28 +1687,32 @@ object TextQueries {
 
   /** The hashed-n-gram feature stream of DSIR (Xie et al., NeurIPS 2023
     * §3: "hashed n-gram features" — word unigrams and bigrams hashed into
-    * B buckets): one row per feature OCCURRENCE, (doc_id, lang, bucket).
-    * Bigrams come from the native [[graft.functions.TokenGrams]] loop
-    * (empty below 2 tokens, so the concat degrades to unigrams-only on
+    * B buckets): one row per feature OCCURRENCE, (doc_id, label, bucket);
+    * `label` is whatever readout column the caller wants carried through
+    * scoring (lang for the declared query, source for the CLI). Bigrams
+    * come from the native [[graft.functions.TokenGrams]] loop (empty
+    * below 2 tokens, so the concat degrades to unigrams-only on
     * one-token docs — mirrored oracle-side by the `t[1:-2]` slice), the
     * bucket is the house md5-60-bit hash mod B, re-derivable by any
     * engine. One narrow pass: explode + per-row hash, no shuffle. */
-  private def dsirFeats(docsIn: DataFrame): DataFrame = {
+  private def dsirFeats(docsIn: DataFrame, label: Column): DataFrame = {
     val tk = tokens(col("text"))
     val feats = concat(tk, call_function("token_grams", tk, lit(2)))
-    docsIn.select(col("doc_id"), col("lang"), explode(feats).as("f"))
-      .select(col("doc_id"), col("lang"),
+    docsIn.select(col("doc_id"), label.as("label"), explode(feats).as("f"))
+      .select(col("doc_id"), col("label"),
         pmod(conv(substring(md5(col("f")), 1, 15), 16, 10).cast(LongType),
           lit(DsirB)).as("bucket"))
   }
 
   /** Trained DSIR importance weights — per-bucket log-likelihood ratios
     * log(p_target(b) / p_raw(b)) under Laplace-smoothed hashed-feature
-    * unigram models (Xie et al. 2023 eq. 2; target = the `lang = 'en'`
-    * slice standing in for the paper's Wikipedia/books target corpus,
-    * raw = the whole table). Returned ascending by bucket, one row per
-    * bucket with at least one raw occurrence — a feature that never
-    * occurs can never be scored, so the artifact stays ≤ B rows.
+    * unigram models (Xie et al. 2023 eq. 2) over TWO corpora: `raw` (the
+    * distribution being selected FROM) and `target` (the distribution
+    * being selected TOWARD — a separate curated corpus in the paper's
+    * workflow and the CLI's, the table's own lang='en' slice in the
+    * declared query's). Returned ascending by bucket, one row per bucket
+    * seen in either corpus — a feature that never occurs can never be
+    * scored, so the artifact stays ≤ B rows.
     *
     * Determinism contract (the trainCentroids discipline applied to a
     * log-weight model): the counts are exact integers from ONE
@@ -1723,13 +1727,14 @@ object TextQueries {
     * rules log() out of SCAN-side scoring (the q_langid_nb/q_tfidf
     * rule) never reaches a distributed plan. */
   private[graft] def dsirWeightsOf(
-      docsIn: DataFrame, s: SparkSession): Seq[(Long, Double)] = {
+      raw: DataFrame, target: DataFrame, s: SparkSession): Seq[(Long, Double)] = {
     import s.implicits._
-    val counts = dsirFeats(docsIn)
+    val counts = dsirFeats(raw, lit("")).select(col("bucket"), lit(0L).as("t"))
+      .unionAll(dsirFeats(target, lit("")).select(col("bucket"), lit(1L).as("t")))
       .groupBy("bucket")
       .agg(
-        count(lit(1)).as("cr"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+        sum(when(col("t") === 0L, 1L).otherwise(0L)).as("cr"),
+        sum(col("t")).as("ct"))
       .as[(Long, Long, Long)].collect()
     val tr = BigInt(counts.map(_._2).sum)
     val tt = BigInt(counts.map(_._3).sum)
@@ -1761,21 +1766,22 @@ object TextQueries {
     * readout: a selection that works shows the target slice's language
     * dominating the top ranks. */
   private[graft] def dsirSelectOf(
-      docsIn: DataFrame, s: SparkSession, k: Int = 50): DataFrame = {
+      raw: DataFrame, target: DataFrame, s: SparkSession,
+      k: Int = 50, label: String = "lang"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val Dec = DecimalType(38, 18)
-    val w = dsirWeightsOf(docsIn, s).toDF("bucket", "w")
-    dsirFeats(docsIn)
+    val w = dsirWeightsOf(raw, target, s).toDF("bucket", "w")
+    dsirFeats(raw, col(label))
       .join(broadcast(w), Seq("bucket"))
-      .groupBy(col("doc_id"), col("lang"))
+      .groupBy(col("doc_id"), col("label"))
       .agg(count(lit(1)).as("n_feats"), sum(col("w").cast(Dec)).as("lw_dec"))
       .orderBy(col("lw_dec").desc, col("doc_id"))
       .limit(k)
       .select(
         row_number().over(Window.orderBy(col("lw_dec").desc, col("doc_id")))
           .cast(LongType).as("rank"),
-        col("doc_id"), col("lang"), col("n_feats"),
+        col("doc_id"), col("label").as(label), col("n_feats"),
         round(col("lw_dec").cast(DoubleType), 9).as("logw"))
       .orderBy("rank")
   }
@@ -1793,7 +1799,8 @@ object TextQueries {
   private def writeDsirAux(s: SparkSession, d: String, auxDir: String): Unit = {
     if (!dsirAuxWritten.add(s"dsir::$d::$auxDir")) return
     import s.implicits._
-    dsirWeightsOf(Tables.documents(s, d), s)
+    val docs = Tables.documents(s, d)
+    dsirWeightsOf(docs, docs.filter(col("lang") === "en"), s)
       .toDF("bucket", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/dsir_weights")
   }
@@ -4449,7 +4456,10 @@ object TextQueries {
 
     QueryDef(
       "q_dsir_select", Seq("A4", "J2", "O3", "F5"),
-      (s, d) => dsirSelectOf(Tables.documents(s, d), s),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        dsirSelectOf(docs, docs.filter(col("lang") === "en"), s)
+      },
       Some(s"""WITH wt AS (
                  SELECT bucket, w
                  FROM read_parquet('${OracleAux.Token}/dsir_weights/*.parquet')),

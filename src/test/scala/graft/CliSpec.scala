@@ -403,6 +403,37 @@ class CliSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir-select ranks a raw collection toward a curated target collection") {
+    def pkg(uri: String, ocid: String, d: String) =
+      s"""{"uri": "http://x/$uri", "version": "1.1", "publisher": {"name": "P"},
+         | "publishedDate": "2020-01-01T00:00:00Z",
+         | "releases": [{"ocid": "$ocid", "id": "r1",
+         |   "date": "2020-01-01T00:00:00Z", "tag": ["tender"],
+         |   "initiationType": "tender",
+         |   "tender": {"id": "t1", "description": "$d"}}]}""".stripMargin
+    val raw = Files.createTempDirectory("graft-cli-dsir-raw")
+    val tgt = Files.createTempDirectory("graft-cli-dsir-tgt")
+    // raw doc 1 shares the target's vocabulary; raw doc 2 is disjoint —
+    // DSIR must rank 1 above 2
+    Files.writeString(raw.resolve("a.json"),
+      pkg("ds-a", "ocds-dsa", "quiet harbor winter moon quiet harbor"))
+    Files.writeString(raw.resolve("b.json"),
+      pkg("ds-b", "ocds-dsb", "jagged xylophone vortex jumble quartz"))
+    Files.writeString(tgt.resolve("t.json"),
+      pkg("ds-t", "ocds-dst", "the quiet harbor under a winter moon"))
+    val lake = Files.createTempDirectory("graft-cli-dsir-lake").toString
+    run("load", raw.toString, lake, "--source", "crawl")
+    run("load", tgt.toString, lake, "--source", "curated")
+    val out = run("dsir-select", lake, "1", "2", "--top", "2")
+    val lines = out.linesIterator.filter(_.startsWith("rank=")).toVector
+    assert(lines.size === 2, out)
+    assert(lines.forall(_.contains("source=crawl")), out)
+    val lw = lines.map(l =>
+      "logw=(-?[0-9.]+)".r.findFirstMatchIn(l).get.group(1).toDouble)
+    assert(lw(0) > lw(1),
+      s"the target-vocabulary doc must outrank the disjoint one: $out")
+  }
+
   test("vector-index + vector-search serve ANN from the persisted codes") {
     val store = Files.createTempDirectory("graft-cli-vstore").toString
     val emb = "/root/testdata/sf0.001/embeddings.parquet"

@@ -22,7 +22,8 @@ class DsirSpec extends AnyFunSuite {
     // token): ct/cr per bucket and the totals are countable on paper.
     val docs = Seq((1L, "en", "alpha"), (2L, "de", "bravo"))
       .toDF("doc_id", "lang", "text")
-    val w = TextQueries.dsirWeightsOf(docs, s).toMap
+    val w = TextQueries
+      .dsirWeightsOf(docs, docs.filter(col("lang") === "en"), s).toMap
     assert(w.size === 2, "two distinct feature buckets expected")
     // tr = 2 raw occurrences, tt = 1 target occurrence, B = 4096:
     //   alpha: ct=1, cr=1 -> log((1+1)(2+4096) / ((1+1)(1+4096)))
@@ -40,8 +41,9 @@ class DsirSpec extends AnyFunSuite {
 
   test("weights: bit-identical under repartitioning, bounded by B") {
     val docs = Tables.documents(s, dir)
-    val w1 = TextQueries.dsirWeightsOf(docs, s)
-    val w2 = TextQueries.dsirWeightsOf(docs.repartition(7), s)
+    def en(df: org.apache.spark.sql.DataFrame) = df.filter(col("lang") === "en")
+    val w1 = TextQueries.dsirWeightsOf(docs, en(docs), s)
+    val w2 = TextQueries.dsirWeightsOf(docs.repartition(7), en(docs.repartition(3)), s)
     assert(w1 === w2, "trained weights must not depend on partitioning")
     assert(w1.size <= 4096, "artifact is bucket-bounded")
     assert(w1.map(_._1).forall(b => b >= 0L && b < 4096L))
@@ -50,8 +52,10 @@ class DsirSpec extends AnyFunSuite {
 
   test("selection: deterministic rows, target slice enriched over base rate") {
     val docs = Tables.documents(s, dir)
-    val sel = TextQueries.dsirSelectOf(docs, s).collect()
-    val again = TextQueries.dsirSelectOf(docs.repartition(5), s).collect()
+    def en(df: org.apache.spark.sql.DataFrame) = df.filter(col("lang") === "en")
+    val sel = TextQueries.dsirSelectOf(docs, en(docs), s).collect()
+    val again = TextQueries
+      .dsirSelectOf(docs.repartition(5), en(docs.repartition(5)), s).collect()
     assert(sel.map(_.toString).toSeq === again.map(_.toString).toSeq)
     assert(sel.length === 50)
     assert(sel.map(_.getAs[Long]("rank")).toSeq === (1L to 50L))
