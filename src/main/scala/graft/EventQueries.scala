@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -79,6 +79,59 @@ object EventQueries {
     // no ORDER BY here: the QueryDef adds the verify-gate total order;
     // AbAsofBench measures the core computation without it (its join
     // comparator has no final sort either)
+  }
+
+  /** The funnel engine (q_funnel's body — see that QueryDef's scaladoc).
+    * Needs (user_id, ts_us, event_type). The 3-row stage readout is ONE
+    * explode over the single aggregate row — a per-stage union would
+    * re-plan the whole corpus aggregation once per stage (measured: 3×
+    * the exchange lines). */
+  private[graft] def funnelOf(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    val tot = events
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts_us"))).over(wU))
+      .withColumn("t2",
+        min(when(col("event_type") === "click"
+          && col("ts_us") > col("t1"), col("ts_us"))).over(wU))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase"
+          && col("ts_us") > col("t2"), col("ts_us"))).over(wU))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+    def ppm(n: Column): Column =
+      when(col("n1") === 0L, 0L)
+        .otherwise(floor(n * lit(1000000L) / col("n1")).cast(LongType))
+    tot.select(explode(array(
+        struct(lit(1L).as("stage"), lit("signup").as("event_type"),
+          col("n1").as("n_users"), ppm(col("n1")).as("conv_ppm")),
+        struct(lit(2L).as("stage"), lit("click").as("event_type"),
+          col("n2").as("n_users"), ppm(col("n2")).as("conv_ppm")),
+        struct(lit(3L).as("stage"), lit("purchase").as("event_type"),
+          col("n3").as("n_users"), ppm(col("n3")).as("conv_ppm")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.event_type").as("event_type"),
+        col("r.n_users").as("n_users"), col("r.conv_ppm").as("conv_ppm"))
+      .orderBy("stage")
+  }
+
+  /** The retention engine (q_retention's body — see that QueryDef's
+    * scaladoc). Needs (user_id, ts_us). */
+  private[graft] def retentionOf(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"),
+        to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .withColumn("cohort", min(col("day")).over(wU))
+      .select(col("user_id"), col("cohort"), col("day")).distinct()
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("day"), col("cohort")).cast(LongType).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -253,6 +306,85 @@ object EventQueries {
         .orderBy("hash_md5"),
       Some("""SELECT md5(props) AS hash_md5, count(*) AS n_refs, min(event_id) AS first_id
               FROM events GROUP BY 1 ORDER BY hash_md5"""),
-      "Content-addressed dedup store: md5(blob) get-or-create (reference: util.py:93-110)")
+      "Content-addressed dedup store: md5(blob) get-or-create (reference: util.py:93-110)"),
+
+    QueryDef(
+      "q_funnel", Seq("W1", "A4", "F7"),
+      (s, d) => {
+        // ORDERED-SEQUENCE FUNNEL (signup → click → purchase): how many
+        // users complete each stage IN ORDER — the sequence-matching
+        // readout sessionization doesn't give (a user with a purchase
+        // BEFORE their first signup must not count as converted). The
+        // dependent-stage recurrence t_{k+1} = min event of stage k+1
+        // with ts > t_k is spelled as CHAINED unordered per-user window
+        // minimums: all three ride ONE user_id exchange (same
+        // partitioning, no ordering needed — min over the whole
+        // partition), then a per-user collapse and a 3-row stage
+        // readout. Strictness lives at the house integer-µs resolution.
+        // At 100 TB: one shuffle of (user, µs, type), per-user cost
+        // linear in that user's events — the sessionizer's skew
+        // contract. Conversion is exact integer ppm (floor division),
+        // stage 1 = 1000000 by definition.
+        funnelOf(Tables.events(s, d))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+              w1 AS (
+                SELECT *, min(CASE WHEN event_type = 'signup' THEN tu END)
+                  OVER (PARTITION BY user_id) AS t1 FROM e),
+              w2 AS (
+                SELECT *, min(CASE WHEN event_type = 'click' AND tu > t1 THEN tu END)
+                  OVER (PARTITION BY user_id) AS t2 FROM w1),
+              w3 AS (
+                SELECT *, min(CASE WHEN event_type = 'purchase' AND tu > t2 THEN tu END)
+                  OVER (PARTITION BY user_id) AS t3 FROM w2),
+              u AS (
+                SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+                FROM w3 GROUP BY user_id),
+              tot AS (
+                SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM u)
+              SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+                       n1 AS n_users,
+                       CASE WHEN n1 = 0 THEN 0 ELSE n1 * 1000000 // n1 END AS conv_ppm
+                FROM tot
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'click', n2,
+                       CASE WHEN n1 = 0 THEN 0 ELSE n2 * 1000000 // n1 END
+                FROM tot
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), 'purchase', n3,
+                       CASE WHEN n1 = 0 THEN 0 ELSE n3 * 1000000 // n1 END
+                FROM tot)
+              ORDER BY stage"""),
+      "Ordered-sequence funnel (signup → click → purchase): per-stage user counts " +
+        "with the in-order constraint t_{k+1} > t_k at integer-µs resolution — three " +
+        "chained unordered per-user window minimums riding one user_id exchange, " +
+        "exact integer ppm conversion"),
+
+    QueryDef(
+      "q_retention", Seq("A4", "A1", "F7"),
+      (s, d) => {
+        // COHORT RETENTION: users grouped by their FIRST-ACTIVITY day
+        // (the cohort), counted again on each later day they return —
+        // day-offset triangle, the standard product-analytics readout.
+        // cohort = min event day per user via an unordered per-user
+        // window minimum (one user_id exchange), activity days dedup to
+        // (user, day), and the (cohort, offset) rollup is
+        // days²-bounded output. Day boundaries in UTC (session TZ).
+        retentionOf(Tables.events(s, d))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+                FROM events),
+              c AS (
+                SELECT *, min(day) OVER (PARTITION BY user_id) AS cohort FROM e),
+              a AS (SELECT DISTINCT user_id, cohort, day FROM c)
+              SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+                     CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+                     count(*) AS n_users
+              FROM a GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""),
+      "Cohort retention triangle: users keyed by first-activity day, counted per " +
+        "return-day offset — one user_id window exchange + a days²-bounded rollup")
   )
 }

@@ -50,6 +50,15 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r17 OPQ: q_ann_pq's exact scan shape — mapPartitions ADC +
     // TakeOrdered, the rotation is per-row arithmetic, no shuffle at all
     "q_ann_opq" -> 0,
+    // r17 funnel: the chained stage minimums ride ONE user_id window
+    // exchange; the per-user collapse re-shuffles the user frame and the
+    // global count folds to one row whose 3-row readout is an explode
+    // (the union spelling re-planned the corpus aggregate per stage —
+    // measured 12 lines)
+    "q_funnel" -> 4,
+    // r17 retention: the cohort window exchange + the (user, day)
+    // distinct + the bounded (cohort, offset) rollup
+    "q_retention" -> 6,
     // r17 residual IVFADC: ivfPqAdc's exact scan shape — probed-cell
     // pruned mapPartitions ADC + TakeOrdered, zero exchanges
     "q_ann_ivfadc" -> 0,
