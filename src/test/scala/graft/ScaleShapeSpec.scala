@@ -50,6 +50,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r17 OPQ: q_ann_pq's exact scan shape — mapPartitions ADC +
     // TakeOrdered, the rotation is per-row arithmetic, no shuffle at all
     "q_ann_opq" -> 0,
+    // r17 fuzzy join: the keyed name space localCheckpoints (both join
+    // sides read the materialization — un-checkpointed the agg+df+window
+    // chain re-planned per side, 22 lines), leaving the SHUFFLE_HASH
+    // self-join's two exchanges + the final sort
+    "q_fuzzy_join" -> 6,
     // r17 funnel: the chained stage minimums ride ONE user_id window
     // exchange; the per-user collapse re-shuffles the user frame and the
     // global count folds to one row whose 3-row readout is an explode
