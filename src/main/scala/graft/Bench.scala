@@ -229,7 +229,23 @@ object Bench {
     "payoff" -> "pay", "orphan" -> "orp", "orders" -> "ord",
     "ngrams" -> "ngs", "minmax" -> "mmx", "hourly" -> "hr",
     "gopher" -> "gph", "except" -> "exc", "counts" -> "cnt",
-    "awards" -> "awd", "topic" -> "tp", "pack" -> "pk")
+    "awards" -> "awd", "topic" -> "tp", "pack" -> "pk",
+    // r17, at the 140-query surface (capacity gate tripped when
+    // q_ann_ivf_opq landed: the integer floor itself was 8 chars over the
+    // window). Additions only — every segment below appeared RAW in v2
+    // lines, so no version bump and no retirements; buys ~87 chars of
+    // floor headroom.
+    "negatives" -> "neg", "retention" -> "rtn", "ivfadc" -> "adc",
+    "funnel" -> "fnl", "rules" -> "rul", "heavy" -> "hv",
+    "terms" -> "tm", "count" -> "ct", "field" -> "fld",
+    "limit" -> "lim", "items" -> "itm", "bloom" -> "blm",
+    "pivot" -> "pvt", "elect" -> "el", "ngram" -> "ng",
+    "tfidf" -> "tf", "image" -> "img", "lines" -> "lns",
+    "build" -> "bld", "bm25" -> "bm", "store" -> "sto",
+    "card" -> "cd", "gate" -> "gt", "meta" -> "mt",
+    "tree" -> "tr", "wipe" -> "wp", "notes" -> "nts",
+    "json" -> "js", "scan" -> "sc", "eval" -> "ev",
+    "multi" -> "mlt", "fuzzy" -> "fz", "hash" -> "hs")
 
   /** Decode-table version stamped into every summary line as `"kv"`.
     * Bump it whenever [[keyAbbrev]] RENAMES an existing output (adding

@@ -838,24 +838,34 @@ object VectorQueries {
     * MATERIALIZED rotation + codebooks and re-derives every rotated
     * vector, code assignment and the ADC top-k itself. */
   private[graft] def trainOpq(
-      emb: DataFrame, s: SparkSession, opqIters: Int = 3)
+      emb: DataFrame, s: SparkSession, opqIters: Int = 3,
+      res: Array[Array[Double]] = null)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    // `res` trains the rotation + codebooks over COARSE RESIDUALS (the
+    // IVF-OPQ composition — FAISS's "OPQ,IVF,PQ" index string): the
+    // Procrustes input vector and its accumulation both become the
+    // residual, so the alternation minimizes ‖R·r − y‖² from R = I and
+    // the residual-PQ codebooks — monotone by the same argument, so
+    // IVF-OPQ error ≤ residual-PQ error by construction.
     import s.implicits._
     val sample = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .persist()
     var r = Array.tabulate(Dim, Dim)((i, j) => if (i == j) 1.0 else 0.0)
-    var cbs = trainPqCodebooks(emb, s, rot = r)
+    var cbs = trainPqCodebooks(emb, s, rot = r, res = res)
     val Scale = 1L << 32
+    val bcRes = s.sparkContext.broadcast(res)
     for (_ <- 0 until opqIters) {
       val bcR = s.sparkContext.broadcast(r)
       val bcCb = s.sparkContext.broadcast(cbs)
       val a = sample.mapPartitions { it =>
         val rr = bcR.value; val cb = bcCb.value
+        val cs0 = bcRes.value
         val hn = cb.map(halfNormsOf)
         val acc = new Array[Long](Dim * Dim)
         it.foreach { case (_, v) =>
-          val u = unit(v)
+          val u0 = unit(v)
+          val u = if (cs0 == null) u0 else residualOf(cs0, u0)
           val x = rotate(rr, u)
           val y = new Array[Double](Dim)
           var m = 0
@@ -894,8 +904,9 @@ object VectorQueries {
         while (k < Dim) { sum += vtM(k, i) * uM(j, k); k += 1 }
         sum
       }
-      cbs = trainPqCodebooks(emb, s, rot = r, init = cbs)
+      cbs = trainPqCodebooks(emb, s, rot = r, init = cbs, res = res)
     }
+    bcRes.destroy()
     sample.unpersist()
     (r, cbs)
   }
@@ -906,19 +917,23 @@ object VectorQueries {
     * any partitioning. `rot = null` scores plain PQ (identity rotation). */
   private[graft] def pqReconError(
       emb: DataFrame, s: SparkSession,
-      rot: Array[Array[Double]], cbs: Array[Array[Array[Double]]]): Double = {
+      rot: Array[Array[Double]], cbs: Array[Array[Array[Double]]],
+      res: Array[Array[Double]] = null): Double = {
     import s.implicits._
     val Scale = 1L << 32
     val bcR = s.sparkContext.broadcast(rot)
     val bcCb = s.sparkContext.broadcast(cbs)
+    val bcRes = s.sparkContext.broadcast(res)
     val total = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val rr = bcR.value; val cb = bcCb.value
+        val cs0 = bcRes.value
         val hn = cb.map(halfNormsOf)
         var acc = 0L
         it.foreach { case (_, v) =>
-          val x = if (rr == null) unit(v) else rotate(rr, unit(v))
+          val b = if (cs0 == null) unit(v) else residualOf(cs0, unit(v))
+          val x = if (rr == null) b else rotate(rr, b)
           var err = 0.0
           var m = 0
           while (m < PqM) {
@@ -935,7 +950,7 @@ object VectorQueries {
         }
         Iterator.single(acc)
       }.reduce(_ + _)
-    bcR.destroy(); bcCb.destroy()
+    bcR.destroy(); bcCb.destroy(); bcRes.destroy()
     total.toDouble / Scale
   }
 
@@ -1405,6 +1420,173 @@ object VectorQueries {
         lut AS (
           SELECT rcb.m, rcb.cell, list_inner_product(q.qm, rcb.c) AS dot
           FROM rcb JOIN qsub q ON q.m = rcb.m),
+        cdot AS (
+          SELECT cl.vec_id, list_inner_product(q.u, cent.c) AS cd
+          FROM cells cl
+          JOIN cent ON cent.cell = cl.cell
+          CROSS JOIN (SELECT u FROM un WHERE vec_id = 0) q),
+        adc AS (
+          SELECT c.vec_id,
+                 round(CAST(SUM(CAST(l.dot AS DECIMAL(38,18)))
+                            + CAST(cd.cd AS DECIMAL(38,18)) AS DOUBLE), 9) AS adc
+          FROM codes c
+          JOIN lut l ON l.m = c.m AND l.cell = c.code
+          JOIN cells cl ON cl.vec_id = c.vec_id
+          JOIN qp ON cl.cell = qp.cell
+          JOIN cdot cd ON cd.vec_id = c.vec_id
+          GROUP BY c.vec_id, cd.cd)
+        SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""
+
+  // ---- IVF-OPQ (q_ann_ivf_opq) ----------------------------------------------
+
+  /** The full FAISS-style "OPQ,IVF,PQ" stack: coarse Voronoi cells, then
+    * OPQ's jointly-trained orthogonal rotation + codebooks over the
+    * COARSE RESIDUALS ([[trainOpq]] with `res` — alternation from R = I
+    * and the residual-PQ codebooks, so training-sample reconstruction
+    * error ≤ plain residual PQ by the same monotonicity argument, pinned
+    * in AnnRecallSpec). Scoring composes both exact decompositions:
+    *   q·x̂ = q·c_cell + q·Rᵀŷ = q·c_cell + (R·q)·ŷ
+    * — per-cell constants driver-computed, LUT from the ROTATED query
+    * subvectors against the residual-space codebooks, so the scan stays
+    * the probed-cell pruned 8-lookup ADC (the rotation touches each row
+    * once, per-row arithmetic, no shuffle). */
+  private def ivfOpqTopK(s: SparkSession, d: String, probes: Int): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids = trainCentroids(emb, s)
+    val (rot, cbs) = trainOpq(emb, s, res = centroids)
+    val hns = cbs.map(halfNormsOf)
+    val qu = unit(emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Seq[Float]].head())
+    val cellDot: Array[Double] = centroids.map { c =>
+      var dot = 0.0
+      var j = 0
+      while (j < Dim) { dot += qu(j) * c(j); j += 1 }
+      dot
+    }
+    val probeSet: Set[Int] = cellDot.zipWithIndex
+      .sortBy { case (dot, i) => (-dot, i) }.take(probes).map(_._2).toSet
+    val rq = rotate(rot, qu)
+    val lut = Array.tabulate(PqM) { m =>
+      Array.tabulate(cbs(m).length) { j =>
+        var ip = 0.0
+        var i = 0
+        while (i < PqSub) { ip += rq(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
+        ip
+      }
+    }
+    val bcCs = s.sparkContext.broadcast(centroids)
+    val bcCb = s.sparkContext.broadcast(cbs)
+    val bcRot = s.sparkContext.broadcast(rot)
+    val bcLut = s.sparkContext.broadcast(lut)
+    val bcCd = s.sparkContext.broadcast(cellDot)
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bcCs.value; val cb = bcCb.value; val rr = bcRot.value
+        val hn = cb.map(halfNormsOf)
+        val ltDec = bcLut.value.map(_.map(dd =>
+          new java.math.BigDecimal(dd)
+            .setScale(18, java.math.RoundingMode.HALF_UP)))
+        val cdDec = bcCd.value.map(dd =>
+          new java.math.BigDecimal(dd)
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+        it.flatMap { case (id, v) =>
+          val u = unit(v)
+          val cell = nearestCell(cs, u)
+          if (!probeSet.contains(cell)) None
+          else {
+            val ctr = cs(cell)
+            val r0 = new Array[Double](Dim)
+            var i = 0
+            while (i < Dim) { r0(i) = u(i) - ctr(i); i += 1 }
+            val x = rotate(rr, r0)
+            var adc = cdDec(cell)
+            var m = 0
+            while (m < PqM) {
+              adc = adc.add(ltDec(m)(nearestCode(cb(m), hn(m), x, m * PqSub)))
+              m += 1
+            }
+            Some((id, adc.doubleValue))
+          }
+        }
+      }
+      .toDF("vec_id", "adc")
+      .select(col("vec_id"), round(col("adc"), 9).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Oracle-side artifacts for q_ann_ivf_opq: the residual-space
+    * rotation (i, r) plus the rotated-residual codebooks, both from ONE
+    * [[trainOpq]] run over the trained coarse centroids. */
+  private def writeIvfOpqAux(s: SparkSession, d: String, auxDir: String): Unit = {
+    if (!auxWritten.add(s"ivfopq::$d::$auxDir")) return
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val (rot, cbs) = trainOpq(emb, s, res = trainCentroids(emb, s))
+    rot.zipWithIndex.toSeq.map { case (row, i) => (i.toLong, row.toSeq) }
+      .toDF("i", "r")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ivfopq_rotation")
+    val rows = for {
+      m <- 0 until PqM
+      j <- cbs(m).indices
+    } yield (m.toLong, j.toLong, cbs(m)(j).toSeq, halfNormsOf(cbs(m))(j))
+    rows.toDF("m", "cell", "c", "half_norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ivfopq_codebooks")
+  }
+
+  /** The IVF-OPQ oracle: [[cellsCtes]]' Voronoi assignment, the per-row
+    * residual (index lambda), the residual ROTATED through the
+    * materialized matrix (the opqOracleSql `list(list_inner_product(...)
+    * ORDER BY i)` idiom), codes from the rotated-space codebooks, the
+    * LUT from the ROTATED query, and the per-cell q·c constant — summed
+    * in DECIMAL exactly like the Scala BigDecimal fold. */
+  private def ivfOpqOracleSql(probes: Int): String =
+    s"""$cellsCtes,
+        rot AS (
+          SELECT i, r
+          FROM read_parquet('${OracleAux.Token}/ivfopq_rotation/*.parquet')),
+        ocb AS (
+          SELECT m, cell, c, half_norm
+          FROM read_parquet('${OracleAux.Token}/ivfopq_codebooks/*.parquet')),
+        qp AS (
+          SELECT cent.cell
+          FROM cent CROSS JOIN (SELECT u FROM un WHERE vec_id = 0) q
+          ORDER BY list_inner_product(q.u, cent.c) DESC, cent.cell
+          LIMIT $probes),
+        res AS (
+          SELECT un.vec_id, list_transform(un.u, (x, i) -> x - cent.c[i]) AS r
+          FROM un
+          JOIN cells cl ON cl.vec_id = un.vec_id
+          JOIN cent ON cent.cell = cl.cell
+          WHERE un.vec_id <> 0),
+        rres AS (
+          SELECT res.vec_id,
+                 list(list_inner_product(rot.r, res.r) ORDER BY rot.i) AS x
+          FROM res CROSS JOIN rot GROUP BY res.vec_id),
+        sub AS (
+          SELECT vec_id, g.m AS m,
+                 x[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS xm
+          FROM rres, generate_series(0, ${PqM - 1}) g(m)),
+        rq AS (
+          SELECT list(list_inner_product(rot.r, q.u) ORDER BY rot.i) AS x
+          FROM (SELECT u FROM un WHERE vec_id = 0) q CROSS JOIN rot),
+        qsub AS (
+          SELECT g.m AS m,
+                 x[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS xm
+          FROM rq, generate_series(0, ${PqM - 1}) g(m)),
+        codes AS (
+          SELECT vec_id, m, cell AS code FROM (
+            SELECT s.vec_id, s.m, ocb.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY list_inner_product(s.xm, ocb.c) - ocb.half_norm
+                       DESC, ocb.cell) AS rn
+            FROM sub s JOIN ocb ON ocb.m = s.m) ranked
+          WHERE rn = 1),
+        lut AS (
+          SELECT ocb.m, ocb.cell, list_inner_product(q.xm, ocb.c) AS dot
+          FROM ocb JOIN qsub q ON q.m = ocb.m),
         cdot AS (
           SELECT cl.vec_id, list_inner_product(q.u, cent.c) AS cd
           FROM cells cl
@@ -2093,6 +2275,19 @@ object VectorQueries {
         "oracle re-derives cells, residuals, codes, LUT, per-cell constants and the " +
         "ADC top-10 from the two materialized artifacts",
       aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writeIvfadcAux(s, d, a) }),
+
+    QueryDef(
+      "q_ann_ivf_opq", Seq("A5", "O5", "J2"),
+      (s, d) => ivfOpqTopK(s, d, probes = 4),
+      Some(ivfOpqOracleSql(4)),
+      "IVF-OPQ — the full FAISS-style 'OPQ,IVF,PQ' stack: coarse Voronoi cells, " +
+        "then OPQ's jointly-trained rotation + codebooks over the COARSE RESIDUALS " +
+        "(alternation from R = I and the residual-PQ codebooks, so reconstruction " +
+        "error ≤ plain residual PQ by construction — pinned in AnnRecallSpec); " +
+        "scoring is the exact composition q·c_cell + (R·q)·ŷ, same probed-cell " +
+        "pruned 8-lookup ADC scan; oracle re-derives cells, residuals, rotation, " +
+        "codes, LUT and per-cell constants from the three materialized artifacts",
+      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writeIvfOpqAux(s, d, a) }),
 
     QueryDef(
       "q_embed_quantize", Seq("F4", "A4"),

@@ -249,6 +249,27 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(top10("q_ann_opq").size === 10)
   }
 
+  test("IVF-OPQ: rotated-residual reconstruction never exceeds plain residual PQ") {
+    val emb = Tables.embeddings(s, dir)
+    val cs = VectorQueries.trainCentroids(emb, s)
+    val plainRes = VectorQueries.trainPqCodebooks(emb, s, res = cs)
+    val errIvfadc = VectorQueries.pqReconError(emb, s, null, plainRes, res = cs)
+    val (rot, cbs) = VectorQueries.trainOpq(emb, s, res = cs)
+    val errIvfOpq = VectorQueries.pqReconError(emb, s, rot, cbs, res = cs)
+    info(f"residual recon error: plain=$errIvfadc%.4f rotated(IVF-OPQ)=$errIvfOpq%.4f")
+    // the alternation starts from R = I with the plain residual
+    // codebooks and each step is an exact/monotone argmin — the same
+    // construction the OPQ test pins in the raw space
+    assert(errIvfOpq <= errIvfadc,
+      "the IVF-OPQ alternation must not regress past its residual-PQ start")
+    // and the declared query retrieves something sane
+    val exact = top10("q_ann_bruteforce")
+    val res = top10("q_ann_ivf_opq")
+    val r = (exact & res).size / 10.0
+    info(f"recall@10 ivf-opq=$r%.1f (probes=4)")
+    assert(res.size === 10)
+  }
+
   test("k-means training is bit-deterministic across runs and partitionings") {
     // the fixed-point-sum claim, pinned: two independent trainings (the
     // second over a repartitioned input, exercising different partition

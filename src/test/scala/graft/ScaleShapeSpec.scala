@@ -67,6 +67,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r17 residual IVFADC: ivfPqAdc's exact scan shape — probed-cell
     // pruned mapPartitions ADC + TakeOrdered, zero exchanges
     "q_ann_ivfadc" -> 0,
+    // r17 IVF-OPQ: same probed-cell scan — the rotation is per-row
+    // arithmetic inside the same mapPartitions, zero exchanges
+    "q_ann_ivf_opq" -> 0,
     // r17 DSIR: the weight model trains in a separate B-bounded job
     // (driver collect, not in this plan); the scoring plan is the
     // broadcast weight join + ONE per-doc combine exchange + the rank
