@@ -998,13 +998,34 @@ object Cli {
           sys.exit(2)
         }
       }
-      rejectStray("dsir-select", stripFlag(rest, "--top"))
+      // --weights DIR: the trained-model store. A dir that already holds
+      // a model is LOADED (the target collection is never re-read — the
+      // "train once, persist, score many" production contract); an empty
+      // or absent dir trains from (raw, target) and persists the model
+      // there for the next run.
+      val wdir = flagValue(rest, "--weights")
+      rejectStray("dsir-select", stripFlag(stripFlag(rest, "--top"), "--weights"))
       val spark = session()
       val plane = loadPlane(lake)
       (collectionDocs(spark, lake, plane, idArg(rawId)),
         collectionDocs(spark, lake, plane, idArg(targetId))) match {
         case (Some(raw), Some(target)) =>
-          TextQueries.dsirSelectOf(raw, target, spark, top, label = "source")
+          import spark.implicits._
+          val stored: Option[Seq[(Long, Double)]] = wdir.flatMap(dir =>
+            graft.ingest.Sink.readOrEmpty(spark, dir).map(df =>
+              df.select(col("bucket"), col("w")).as[(Long, Double)]
+                .collect().sortBy(_._1).toSeq))
+          val weights = stored.getOrElse {
+            val trained = TextQueries.dsirWeightsOf(raw, target, spark)
+            wdir.foreach { dir =>
+              trained.toDF("bucket", "w")
+                .coalesce(1).write.mode("overwrite").parquet(dir)
+              System.err.println(s"[dsir] trained + persisted " +
+                s"${trained.size}-bucket model to $dir")
+            }
+            trained
+          }
+          TextQueries.dsirSelectWith(raw, weights, spark, top, label = "source")
             .collect().foreach { r =>
               println(s"rank=${r.getAs[Long]("rank")}" +
                 s" doc_id=${r.getAs[Long]("doc_id")}" +
@@ -1422,7 +1443,7 @@ object Cli {
            |  search <lake> <collectionId> <term...> [--top N] [--indexed]
            |  vector-index <store> <embeddingsParquet>
            |  vector-search <store> <embeddingsParquet> <vecId> [--probes N] [--top N]
-           |  dsir-select <lake> <rawCollectionId> <targetCollectionId> [--top N]
+           |  dsir-select <lake> <rawCollectionId> <targetCollectionId> [--top N] [--weights DIR]
            |  source-mix <lake> <collectionId>
            |  overlap <lake> <collectionIdA> <collectionIdB>
            |  length-stats <lake> <collectionId>

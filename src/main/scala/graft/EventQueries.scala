@@ -81,38 +81,38 @@ object EventQueries {
     // comparator has no final sort either)
   }
 
-  /** The funnel engine (q_funnel's body — see that QueryDef's scaladoc).
-    * Needs (user_id, ts_us, event_type). The 3-row stage readout is ONE
+  /** The funnel engine (q_funnel's body — see that QueryDef's scaladoc),
+    * parameterized by the ORDERED stage list (any length ≥ 1). Needs
+    * (user_id, ts_us, event_type). The k-row stage readout is ONE
     * explode over the single aggregate row — a per-stage union would
     * re-plan the whole corpus aggregation once per stage (measured: 3×
-    * the exchange lines). */
-  private[graft] def funnelOf(events: DataFrame): DataFrame = {
+    * the exchange lines at 3 stages). */
+  private[graft] def funnelOf(
+      events: DataFrame,
+      stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "a funnel needs at least one stage")
     val wU = Window.partitionBy(col("user_id"))
-    val tot = events
-      .select(col("user_id"), col("ts_us"), col("event_type"))
-      .withColumn("t1",
-        min(when(col("event_type") === "signup", col("ts_us"))).over(wU))
-      .withColumn("t2",
-        min(when(col("event_type") === "click"
-          && col("ts_us") > col("t1"), col("ts_us"))).over(wU))
-      .withColumn("t3",
-        min(when(col("event_type") === "purchase"
-          && col("ts_us") > col("t2"), col("ts_us"))).over(wU))
+    val perEvent = stages.zipWithIndex.foldLeft(
+      events.select(col("user_id"), col("ts_us"), col("event_type"))) {
+      case (df, (stage, i)) =>
+        val inOrder =
+          if (i == 0) col("event_type") === stage
+          else col("event_type") === stage && col("ts_us") > col(s"t$i")
+        df.withColumn(s"t${i + 1}", min(when(inOrder, col("ts_us"))).over(wU))
+    }
+    val tot = perEvent
       .groupBy(col("user_id"))
-      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
-        max(col("t3")).as("t3"))
-      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
-        count(col("t3")).as("n3"))
+      .agg(max(col("t1")).as("t1"),
+        stages.indices.drop(1).map(i => max(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
+      .agg(count(col("t1")).as("n1"),
+        stages.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
     def ppm(n: Column): Column =
       when(col("n1") === 0L, 0L)
         .otherwise(floor(n * lit(1000000L) / col("n1")).cast(LongType))
-    tot.select(explode(array(
-        struct(lit(1L).as("stage"), lit("signup").as("event_type"),
-          col("n1").as("n_users"), ppm(col("n1")).as("conv_ppm")),
-        struct(lit(2L).as("stage"), lit("click").as("event_type"),
-          col("n2").as("n_users"), ppm(col("n2")).as("conv_ppm")),
-        struct(lit(3L).as("stage"), lit("purchase").as("event_type"),
-          col("n3").as("n_users"), ppm(col("n3")).as("conv_ppm")))).as("r"))
+    tot.select(explode(array(stages.zipWithIndex.map { case (stage, i) =>
+        struct(lit((i + 1).toLong).as("stage"), lit(stage).as("event_type"),
+          col(s"n${i + 1}").as("n_users"), ppm(col(s"n${i + 1}")).as("conv_ppm"))
+      }: _*)).as("r"))
       .select(col("r.stage").as("stage"), col("r.event_type").as("event_type"),
         col("r.n_users").as("n_users"), col("r.conv_ppm").as("conv_ppm"))
       .orderBy("stage")

@@ -1767,11 +1767,20 @@ object TextQueries {
     * dominating the top ranks. */
   private[graft] def dsirSelectOf(
       raw: DataFrame, target: DataFrame, s: SparkSession,
+      k: Int = 50, label: String = "lang"): DataFrame =
+    dsirSelectWith(raw, dsirWeightsOf(raw, target, s), s, k, label)
+
+  /** Score + select against an ALREADY-TRAINED weight model — the seam
+    * that makes the 100 TB "train once, persist, score many" contract
+    * real rather than argued: `Cli dsir-select --weights DIR` loads the
+    * persisted model here and never touches the target corpus again. */
+  private[graft] def dsirSelectWith(
+      raw: DataFrame, weights: Seq[(Long, Double)], s: SparkSession,
       k: Int = 50, label: String = "lang"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val Dec = DecimalType(38, 18)
-    val w = dsirWeightsOf(raw, target, s).toDF("bucket", "w")
+    val w = weights.toDF("bucket", "w")
     dsirFeats(raw, col(label))
       .join(broadcast(w), Seq("bucket"))
       .groupBy(col("doc_id"), col("label"))

@@ -432,6 +432,14 @@ class CliSpec extends AnyFunSuite {
       "logw=(-?[0-9.]+)".r.findFirstMatchIn(l).get.group(1).toDouble)
     assert(lw(0) > lw(1),
       s"the target-vocabulary doc must outrank the disjoint one: $out")
+    // --weights: first run trains + persists the model; second run LOADS
+    // it (train-once/score-many) and must reproduce the ranking exactly
+    val wdir = Files.createTempDirectory("graft-cli-dsir-w").toString
+    val w1 = run("dsir-select", lake, "1", "2", "--top", "2", "--weights", wdir)
+    assert(new java.io.File(wdir).list().exists(_.endsWith(".parquet")), wdir)
+    val w2 = run("dsir-select", lake, "1", "2", "--top", "2", "--weights", wdir)
+    assert(w1 === w2)
+    assert(w1.linesIterator.filter(_.startsWith("rank=")).toVector === lines, w1)
   }
 
   test("vector-index + vector-search serve ANN from the persisted codes") {

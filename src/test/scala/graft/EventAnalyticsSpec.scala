@@ -49,6 +49,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got === Seq((0L, 0L), (0L, 0L), (0L, 0L)))
   }
 
+  test("funnel: parameterized stage lists — 4 stages and a single stage") {
+    val ev = eventsDF(
+      (1L, 10L, "view"), (1L, 20L, "signup"), (1L, 30L, "click"),
+      (1L, 40L, "purchase"),
+      (2L, 10L, "view"), (2L, 20L, "signup"))
+    val four = EventQueries
+      .funnelOf(ev, Seq("view", "signup", "click", "purchase")).collect()
+      .map(r => (r.getAs[Long]("stage"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n_users"))).toSeq
+    assert(four === Seq((1L, "view", 2L), (2L, "signup", 2L),
+      (3L, "click", 1L), (4L, "purchase", 1L)))
+    val one = EventQueries.funnelOf(ev, Seq("signup")).collect()
+      .map(r => (r.getAs[Long]("n_users"), r.getAs[Long]("conv_ppm"))).toSeq
+    assert(one === Seq((2L, 1000000L)))
+  }
+
   test("retention: cohort = first day, offsets count distinct return days") {
     val us = 86400000000L // one day of µs
     val ev = eventsDF(
