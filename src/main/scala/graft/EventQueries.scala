@@ -324,7 +324,13 @@ object EventQueries {
         // At 100 TB: one shuffle of (user, µs, type), per-user cost
         // linear in that user's events — the sessionizer's skew
         // contract. Conversion is exact integer ppm (floor division),
-        // stage 1 = 1000000 by definition.
+        // stage 1 = 1000000 by definition. A/B vs the per-stage
+        // self-join spelling (AbFunnelBench, interleaved min-of-5,
+        // output-parity-checked): 0.45 vs 0.42 s at sf0.1 — a tie at
+        // toy scale — but 0.63 vs 1.11 s on the 10× replica: the join
+        // leg re-scans the event table once PER STAGE (k corpus scans
+        // + k join/agg exchange pairs vs this spelling's one scan, one
+        // exchange), so the gap grows with both data and funnel depth.
         funnelOf(Tables.events(s, d))
       },
       Some("""WITH e AS (
