@@ -1051,10 +1051,13 @@ object Cli {
       val spark = session()
       val vecs = spark.read.parquet(embPath)
         .select(col("vec_id"), col("embedding"))
+      // count once, BEFORE the append — the status line must not pay a
+      // second input scan nor a distinct over the whole store (r17
+      // review: on a large store that was two full extra scans per
+      // index invocation, purely for logging)
+      val n = vecs.count()
       graft.streaming.VectorStore.append(spark, store, vecs)
-      val n = spark.read.parquet(graft.streaming.VectorStore.vecPath(store))
-        .select("vec_id").distinct().count()
-      println(s"indexed ${vecs.count()} vectors: store=$store n_vectors=$n")
+      println(s"indexed $n vectors: store=$store")
 
     case "vector-search" :: store :: embPath :: id :: rest =>
       // serve a dense ANN query FROM THE STORE's persisted codes (the

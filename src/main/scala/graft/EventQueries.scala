@@ -106,12 +106,15 @@ object EventQueries {
         stages.indices.drop(1).map(i => max(col(s"t${i + 1}")).as(s"t${i + 1}")): _*)
       .agg(count(col("t1")).as("n1"),
         stages.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"n${i + 1}")): _*)
-    def ppm(n: Column): Column =
+    // TRUE integer floor division (SQL `div`), matching the oracle's
+    // `//` bit-for-bit at any magnitude — floor(double-divide) agrees
+    // only while n·10⁶ stays inside double precision (r17 review)
+    def ppm(i: Int): Column =
       when(col("n1") === 0L, 0L)
-        .otherwise(floor(n * lit(1000000L) / col("n1")).cast(LongType))
+        .otherwise(expr(s"(n${i + 1} * 1000000L) div n1"))
     tot.select(explode(array(stages.zipWithIndex.map { case (stage, i) =>
         struct(lit((i + 1).toLong).as("stage"), lit(stage).as("event_type"),
-          col(s"n${i + 1}").as("n_users"), ppm(col(s"n${i + 1}")).as("conv_ppm"))
+          col(s"n${i + 1}").as("n_users"), ppm(i).as("conv_ppm"))
       }: _*)).as("r"))
       .select(col("r.stage").as("stage"), col("r.event_type").as("event_type"),
         col("r.n_users").as("n_users"), col("r.conv_ppm").as("conv_ppm"))

@@ -1249,25 +1249,32 @@ object VectorQueries {
     * Serializable (arrays only; the half-norms re-derive lazily after
     * deserialization). */
   private[graft] final case class AdcKit(
-      cs: Array[Array[Double]], cbs: Array[Array[Array[Double]]])
+      cs: Array[Array[Double]], cbs: Array[Array[Array[Double]]],
+      rot: Array[Array[Double]] = null)
       extends Serializable {
     @transient private lazy val hns = cbs.map(halfNormsOf)
     def unitOf(v: Seq[Float]): Array[Double] = unit(v)
     def cellOf(u: Array[Double]): Int = nearestCell(cs, u)
+    /** Residual (optionally rotated — the IVF-OPQ composition) codes. */
     def codesOf(u: Array[Double], cell: Int): Array[Int] = {
       val ctr = cs(cell)
       val r = new Array[Double](Dim)
       var i = 0
       while (i < Dim) { r(i) = u(i) - ctr(i); i += 1 }
+      val x = if (rot == null) r else rotate(rot, r)
       val codes = new Array[Int](PqM)
       var m = 0
       while (m < PqM) {
-        codes(m) = nearestCode(cbs(m), hns(m), r, m * PqSub)
+        codes(m) = nearestCode(cbs(m), hns(m), x, m * PqSub)
         m += 1
       }
       codes
     }
-    /** Driver-side query compilation: probe set + decimal LUT/constants. */
+    /** Driver-side query compilation: probe set + decimal LUT/constants.
+      * The probe set and per-cell constants rank/score the RAW unit
+      * query (cells live in the unrotated space); the LUT pairs the
+      * ROTATED query with the rotated-space codewords when `rot` is set
+      * — q·Rᵀŷ = (R·q)·ŷ, the exact-IP identity. */
     def query(qv: Seq[Float], probes: Int): AdcQuery = {
       val qu = unit(qv)
       val cellDot = cs.map { c =>
@@ -1278,11 +1285,12 @@ object VectorQueries {
       }
       val probeSet = cellDot.zipWithIndex
         .sortBy { case (dot, i) => (-dot, i) }.take(probes).map(_._2).toSet
+      val lq = if (rot == null) qu else rotate(rot, qu)
       val lut = Array.tabulate(PqM) { m =>
         Array.tabulate(cbs(m).length) { j =>
           var ip = 0.0
           var i = 0
-          while (i < PqSub) { ip += qu(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
+          while (i < PqSub) { ip += lq(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
           ip
         }
       }
@@ -1331,10 +1339,14 @@ object VectorQueries {
     * pruning, 8-byte codes, DECIMAL-pinned sums, zero exchanges before
     * the TakeOrdered; at 100 TB the cell is the partition key and this
     * is a pruned memory-bound scan. */
-  private def ivfadcTopK(s: SparkSession, d: String, probes: Int): DataFrame = {
+  /** The ONE kit-driven ADC scan shared by q_ann_ivfadc and
+    * q_ann_ivf_opq (the r17 review's dedup: the IVF-OPQ leg had
+    * re-implemented this inline): probe-pruned mapPartitions, per-row
+    * encode through the kit, decimal score, round-9 top-10. */
+  private def adcTopK(
+      s: SparkSession, d: String, kit: AdcKit, probes: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val kit = ivfadcKitOf(s, d)
     val q = kit.query(
       emb.filter(col("vec_id") === 0)
         .select(col("embedding")).as[Seq[Float]].head(),
@@ -1358,6 +1370,9 @@ object VectorQueries {
       .orderBy(col("adc").desc, col("vec_id"))
       .limit(10)
   }
+
+  private def ivfadcTopK(s: SparkSession, d: String, probes: Int): DataFrame =
+    adcTopK(s, d, ivfadcKitOf(s, d), probes)
 
   /** Oracle-side artifact for q_ann_ivfadc: the residual-trained PQ
     * codebooks ([[trainPqCodebooks]] with `res` = the trained coarse
@@ -1451,70 +1466,10 @@ object VectorQueries {
     * the probed-cell pruned 8-lookup ADC (the rotation touches each row
     * once, per-row arithmetic, no shuffle). */
   private def ivfOpqTopK(s: SparkSession, d: String, probes: Int): DataFrame = {
-    import s.implicits._
     val emb = Tables.embeddings(s, d)
     val centroids = trainCentroids(emb, s)
     val (rot, cbs) = trainOpq(emb, s, res = centroids)
-    val hns = cbs.map(halfNormsOf)
-    val qu = unit(emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).as[Seq[Float]].head())
-    val cellDot: Array[Double] = centroids.map { c =>
-      var dot = 0.0
-      var j = 0
-      while (j < Dim) { dot += qu(j) * c(j); j += 1 }
-      dot
-    }
-    val probeSet: Set[Int] = cellDot.zipWithIndex
-      .sortBy { case (dot, i) => (-dot, i) }.take(probes).map(_._2).toSet
-    val rq = rotate(rot, qu)
-    val lut = Array.tabulate(PqM) { m =>
-      Array.tabulate(cbs(m).length) { j =>
-        var ip = 0.0
-        var i = 0
-        while (i < PqSub) { ip += rq(m * PqSub + i) * cbs(m)(j)(i); i += 1 }
-        ip
-      }
-    }
-    val bcCs = s.sparkContext.broadcast(centroids)
-    val bcCb = s.sparkContext.broadcast(cbs)
-    val bcRot = s.sparkContext.broadcast(rot)
-    val bcLut = s.sparkContext.broadcast(lut)
-    val bcCd = s.sparkContext.broadcast(cellDot)
-    emb.filter(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        val cs = bcCs.value; val cb = bcCb.value; val rr = bcRot.value
-        val hn = cb.map(halfNormsOf)
-        val ltDec = bcLut.value.map(_.map(dd =>
-          new java.math.BigDecimal(dd)
-            .setScale(18, java.math.RoundingMode.HALF_UP)))
-        val cdDec = bcCd.value.map(dd =>
-          new java.math.BigDecimal(dd)
-            .setScale(18, java.math.RoundingMode.HALF_UP))
-        it.flatMap { case (id, v) =>
-          val u = unit(v)
-          val cell = nearestCell(cs, u)
-          if (!probeSet.contains(cell)) None
-          else {
-            val ctr = cs(cell)
-            val r0 = new Array[Double](Dim)
-            var i = 0
-            while (i < Dim) { r0(i) = u(i) - ctr(i); i += 1 }
-            val x = rotate(rr, r0)
-            var adc = cdDec(cell)
-            var m = 0
-            while (m < PqM) {
-              adc = adc.add(ltDec(m)(nearestCode(cb(m), hn(m), x, m * PqSub)))
-              m += 1
-            }
-            Some((id, adc.doubleValue))
-          }
-        }
-      }
-      .toDF("vec_id", "adc")
-      .select(col("vec_id"), round(col("adc"), 9).as("adc"))
-      .orderBy(col("adc").desc, col("vec_id"))
-      .limit(10)
+    adcTopK(s, d, AdcKit(centroids, cbs, rot), probes)
   }
 
   /** Oracle-side artifacts for q_ann_ivf_opq: the residual-space

@@ -102,6 +102,26 @@ object VectorStore {
       .toDF("vec_id", "embedding", "cell", "codes")
   }
 
+  /** Cell assignment WITHOUT codes — the dedup probe's path (r17
+    * review: the probe only joins on the cell, so encoding 8 residual
+    * codes per probe-batch row was pure waste, and worse, a probe on a
+    * lake whose codebooks don't exist yet would have TRAINED them from
+    * the arbitrary probe batch and persisted that accident as the
+    * store's permanent fine quantizer). Centroids only. */
+  private def cellAssigned(
+      spark: SparkSession, vecs: DataFrame, cs: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cs)
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (id, v) =>
+          (id, v, graft.VectorQueries.probeCellsOf(c, v, 1).head)
+        }
+      }
+      .toDF("vec_id", "embedding", "cell")
+  }
+
   /** Append a batch ((vec_id, embedding)) to the store, assigning cells
     * AND residual PQ codes with the stored quantizers (trained on this
     * batch if absent) — every appended row is already indexed, so the
@@ -130,11 +150,25 @@ object VectorStore {
     import spark.implicits._
     val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake))
       .getOrElse(return Seq.empty[(Long, Double)].toDF("vec_id", "adc"))
+    // a lake written before the coded-index layout has no codes column
+    // (or null codes on its old rows after a mixed append): serving it
+    // silently would drop stored vectors from every answer, so fail
+    // LOUDLY with the rebuild instruction instead (r17 review)
+    require(store.columns.contains("codes"),
+      s"vector store at $lake predates the coded IVFADC layout — " +
+        "rebuild it (re-append the corpus to a fresh store, or Cli " +
+        "vector-index) before serving ADC probes")
     val kit = kitOf(spark, lake, store)
     val q = kit.query(qv, probes)
     val cells = q.probeSet.map(_.toLong).toSeq
     val bcQ = spark.sparkContext.broadcast(q)
-    store.filter(col("cell").isin(cells: _*))
+    val pruned = store.filter(col("cell").isin(cells: _*))
+    val nUncoded = pruned.filter(col("codes").isNull).count()
+    require(nUncoded == 0L,
+      s"$nUncoded stored vectors in the probed cells have no codes " +
+        s"(pre-layout rows mixed into $lake) — rebuild the store before " +
+        "serving ADC probes")
+    pruned
       .filter(if (exclude.isEmpty) lit(true)
               else !col("vec_id").isin(exclude.toSeq: _*))
       // at-least-once replay rows are byte-identical (same kit, same
@@ -165,7 +199,8 @@ object VectorStore {
     val empty = Seq.empty[(Long, Long, Double)].toDF("vec_id", "dup_of", "cosine")
     val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake))
       .getOrElse(return empty)
-    val batch = assigned(spark, vecs, kitOf(spark, lake, vecs)).localCheckpoint()
+    val batch =
+      cellAssigned(spark, vecs, centroidsOf(spark, lake, vecs)).localCheckpoint()
     // bounded by the quantizer's cell domain (k values), not batch size —
     // the driver-side list is what turns the store scan into static
     // partition pruning

@@ -446,7 +446,7 @@ class CliSpec extends AnyFunSuite {
     val store = Files.createTempDirectory("graft-cli-vstore").toString
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
     val out1 = run("vector-index", store, emb)
-    assert(out1.contains("indexed") && out1.contains("n_vectors="), out1)
+    assert(out1.contains("indexed") && out1.contains("vectors"), out1)
     val out2 = run("vector-search", store, emb, "0", "--probes", "4", "--top", "5")
     val hits = out2.linesIterator.filter(_.startsWith("vec_id=")).toSeq
     assert(hits.nonEmpty && hits.size <= 5, out2)

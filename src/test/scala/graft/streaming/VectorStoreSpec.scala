@@ -140,6 +140,48 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(before === after, "replay + compact must not move the served answer")
   }
 
+  test("ADC probe REFUSES a store with pre-layout (uncoded) rows, loudly") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-legacy").toString
+    VectorStore.append(s, lake, embAll.filter(col("vec_id") < 100))
+    val qv = embAll.filter(col("vec_id") === 1)
+      .select("embedding").as[Seq[Float]].head()
+    // a legacy-layout row (no codes column) appended raw into the lake:
+    // serving must fail with the rebuild instruction, never silently
+    // drop the uncoded vector from answers
+    val cs = VectorStore.centroidsOf(s, lake, embAll)
+    val cell = VectorQueries.probeCellsOf(cs, qv, 1).head
+    Seq((9999L, qv, cell)).toDF("vec_id", "embedding", "cell")
+      .write.mode("append").partitionBy("cell")
+      .parquet(VectorStore.vecPath(lake))
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.adcProbe(s, lake, qv, probes = 16, k = 10).collect()
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
+  test("probeBatch on a codebook-less lake does NOT train codebooks from the probe batch") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-nocb").toString
+    // seed ONLY centroids + vectors via a raw cell-assigned write (the
+    // pre-codes layout): probeBatch must work and must not leave a
+    // probe-batch-trained codebook file behind
+    val cs = VectorStore.centroidsOf(s, lake, embAll.filter(col("vec_id") < 100))
+    val rows = embAll.filter(col("vec_id") < 100)
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v, VectorQueries.probeCellsOf(cs, v, 1).head) }
+    rows.toSeq.toDF("vec_id", "embedding", "cell")
+      .write.mode("append").partitionBy("cell")
+      .parquet(VectorStore.vecPath(lake))
+    val v7 = embAll.filter(col("vec_id") === 7)
+      .select("embedding").as[Seq[Float]].head()
+    val flags = VectorStore.probeBatch(s, lake,
+      vecsDF(9001L -> scaled(v7, 1.01f)), 0.95).collect()
+    assert(flags.map(_.getLong(1)).contains(7L))
+    assert(!new java.io.File(VectorStore.codebookPath(lake)).exists(),
+      "the dedup probe must never train the store's permanent codebooks")
+  }
+
   test("foreachBatch stream: probe-then-append flags a later near-arrival; compact folds replays") {
     import s.implicits._
     val lake = Files.createTempDirectory("graft-vstore").toString
