@@ -982,6 +982,40 @@ object Cli {
             s" n_tokens=${tot.tAll} store=$store")
       }
 
+    case "train-bpe" :: lake :: id :: out :: rest =>
+      // train a byte-level BPE merges table on a loaded collection's
+      // documents (the engine's own trainer — Bpe.trainMerges: one
+      // vocabulary-bounded distributed count, driver-side merge loop,
+      // byte-identical to the reference python trainer on the same
+      // corpus) and write it in the merges-file format the tokenizer
+      // loads, so the trained table is directly pluggable as the
+      // bpe_merges.txt resource.
+      val nMerges = flagValue(rest, "--merges") match {
+        case None => 80
+        case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--merges needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      rejectStray("train-bpe", stripFlag(rest, "--merges"))
+      val spark = session()
+      val plane = loadPlane(lake)
+      val cid = idArg(id)
+      collectionDocs(spark, lake, plane, cid) match {
+        case None =>
+          System.err.println(
+            s"collection $cid has no documents (release/record rows)")
+          sys.exit(2)
+        case Some(docs) =>
+          val merges = graft.functions.Bpe.trainMerges(docs, nMerges)
+          val sb = new StringBuilder(
+            s"#version: 0.2 graft-bpe trained on collection $cid " +
+              s"(${merges.size} merges, deterministic; Bpe.trainMerges)\n")
+          merges.foreach { case (a, b) => sb.append(a).append(' ').append(b).append('\n') }
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+          println(s"trained ${merges.size} merges to $out")
+      }
+
     case "dsir-select" :: lake :: rawId :: targetId :: rest =>
       // DSIR data selection across collections — the paper's actual
       // workflow (Xie et al. 2023): rank the RAW collection's documents
@@ -1447,6 +1481,7 @@ object Cli {
            |  vector-index <store> <embeddingsParquet>
            |  vector-search <store> <embeddingsParquet> <vecId> [--probes N] [--top N]
            |  dsir-select <lake> <rawCollectionId> <targetCollectionId> [--top N] [--weights DIR]
+           |  train-bpe <lake> <collectionId> <outFile> [--merges N]
            |  source-mix <lake> <collectionId>
            |  overlap <lake> <collectionIdA> <collectionIdB>
            |  length-stats <lake> <collectionId>

@@ -155,6 +155,86 @@ object Bpe {
     }
     out.toArray
   }
+
+  /** The raw pre-token pieces of a text (the GPT-2 regex, no merging) —
+    * the training-side counterpart of [[tokens]]'s first stage. */
+  private[graft] def pretokenize(text: String): Seq[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val m = pretok.matcher(text)
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  /** BPE merge TRAINING as the engine's own operation — closing the
+    * "trained offline by a python tool" seam: the Sennrich et al. 2016
+    * counting loop over the GPT-2 byte-level symbol space, spelled the
+    * way every production BPE trainer is: the DISTRIBUTED part is one
+    * corpus scan collapsing to the pre-token VOCABULARY with counts (a
+    * map-side-combined aggregation — vocabulary-bounded output no matter
+    * the corpus size), and the merge loop then runs DRIVER-side over
+    * that bounded frequency table (each iteration touches words, never
+    * the corpus). Deterministic: exact integer counts, tie-break = max
+    * count then lexicographic min pair — the same tie-break as
+    * tools/train_bpe.py, and BpeSpec pins that this trainer reproduces
+    * the vendored python-trained merges file BYTE-FOR-BYTE on the same
+    * corpus (the CPython-golden discipline applied to training, not
+    * just encoding). `Cli train-bpe` writes the result in the merges
+    * file format [[ranks]] loads, so a trained table is directly
+    * pluggable. */
+  private[graft] def trainMerges(
+      docs: org.apache.spark.sql.DataFrame, nMerges: Int): Seq[(String, String)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val vocab: Array[(String, Long)] = docs
+      .select(org.apache.spark.sql.functions.col("text")).as[String]
+      .flatMap(t => pretokenize(if (t == null) "" else t))
+      .groupByKey(identity).count().collect()
+    var words: Map[Vector[String], Long] = vocab.map { case (piece, f) =>
+      val bytes = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (bytes.map(b => String.valueOf(byteToChar(b & 0xFF))).toVector, f)
+    }.toMap
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var dry = false
+    while (i < nMerges && !dry) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (w, f) =>
+        var j = 0
+        while (j < w.length - 1) {
+          val p = (w(j), w(j + 1))
+          pairs(p) = pairs.getOrElse(p, 0L) + f
+          j += 1
+        }
+      }
+      if (pairs.isEmpty) dry = true
+      else {
+        val top = pairs.values.max
+        // iterator, NOT Map.collect: collecting tuples out of a Map
+        // rebuilds a MAP, silently deduplicating tied pairs that share
+        // a first element (("o","lumn") vanished behind ("o","mer")
+        // and the lexicographic tie-break picked the wrong merge)
+        val best = pairs.iterator
+          .collect { case (p, c) if c == top => p }.min
+        merges += best
+        val mergedSym = best._1 + best._2
+        val nw = scala.collection.mutable.HashMap.empty[Vector[String], Long]
+        words.foreach { case (w, f) =>
+          val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+          var j = 0
+          while (j < w.length) {
+            if (j < w.length - 1 && w(j) == best._1 && w(j + 1) == best._2) {
+              out += mergedSym; j += 2
+            } else { out += w(j); j += 1 }
+          }
+          val v = out.toVector
+          nw(v) = nw.getOrElse(v, 0L) + f
+        }
+        words = nw.toMap
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
 }
 
 /** `bpe_tokens(text)` → `array<string>` of byte-level BPE merge units —

@@ -442,6 +442,24 @@ class CliSpec extends AnyFunSuite {
     assert(w1.linesIterator.filter(_.startsWith("rank=")).toVector === lines, w1)
   }
 
+  test("train-bpe writes a pluggable merges file, deterministic across runs") {
+    val input = inputTree().toString
+    val lake = Files.createTempDirectory("graft-cli-bpe-lake").toString
+    run("load", input, lake)
+    val out = Files.createTempDirectory("graft-cli-bpe").resolve("merges.txt")
+    val o1 = run("train-bpe", lake, "1", out.toString, "--merges", "6")
+    assert(o1.contains("trained 6 merges"), o1)
+    val lines = Files.readString(out).linesIterator.toVector
+    assert(lines.head.startsWith("#version:"), lines.head)
+    val merges = lines.tail
+    assert(merges.size === 6)
+    // the merges-file line format the tokenizer loads: "<sym> <sym>"
+    assert(merges.forall(_.split(' ').length == 2), merges)
+    val before = Files.readString(out)
+    run("train-bpe", lake, "1", out.toString, "--merges", "6")
+    assert(Files.readString(out) === before, "training must be deterministic")
+  }
+
   test("vector-index + vector-search serve ANN from the persisted codes") {
     val store = Files.createTempDirectory("graft-cli-vstore").toString
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
