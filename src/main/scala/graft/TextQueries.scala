@@ -1719,9 +1719,13 @@ object TextQueries {
     * map-side-combined B-bounded aggregation (collect is ≤ B rows,
     * never the corpus); the only transcendental — the log itself —
     * runs DRIVER-side through StrictMath.log (bit-exact by JVM spec,
-    * unlike Math.log) on one exactly-rounded quotient of BigInt
-    * products (no Long overflow at 100 TB token counts), rounded
-    * half-up to 9 decimals. The oracle never recomputes a log: it
+    * unlike Math.log) on a 50-significant-digit decimal quotient of
+    * the exact BigInt products (no Long overflow at 100 TB token
+    * counts, and no per-operand double rounding once the products
+    * exceed 2^53 — ADVICE r17: `num.doubleValue / den.doubleValue`
+    * rounds TWICE before dividing; the BigDecimal divide carries the
+    * exact rational to well past double precision before the single
+    * final rounding), rounded half-up to 9 decimals. The oracle never recomputes a log: it
     * reads the materialized weights — the aux-artifact idiom the ANN
     * family uses for trained centroids — so the libm-dependence that
     * rules log() out of SCAN-side scoring (the q_langid_nb/q_tfidf
@@ -1741,7 +1745,10 @@ object TextQueries {
     counts.sortBy(_._1).toSeq.map { case (b, cr, ct) =>
       val num = (BigInt(ct) + 1) * (tr + DsirB)
       val den = (BigInt(cr) + 1) * (tt + DsirB)
-      val lw = StrictMath.log(num.doubleValue / den.doubleValue)
+      val q = new java.math.BigDecimal(num.bigInteger)
+        .divide(new java.math.BigDecimal(den.bigInteger),
+          new java.math.MathContext(50))
+      val lw = StrictMath.log(q.doubleValue)
       (b, BigDecimal(lw).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
   }

@@ -2997,19 +2997,31 @@ object VectorQueries {
         // — recall grows per-probe visibility (which probes' neighborhood
         // the cell pruning strands) that the averaged single number
         // hides. Output is per-probe, probe-sample-bounded rows.
+        // the truth leg serves TWO consumers (the hit join and the probe
+        // DOMAIN — ADVICE r17: a probe whose probed cells hold zero
+        // corpus rows produces no system rows at all, and its
+        // recall-0/MRR-0 row is exactly the stranded-neighborhood signal
+        // this per-probe readout exists to expose, so the output domain
+        // must come from the EXACT leg, not the system leg). Spark
+        // shares no common subplan across two frame references —
+        // localCheckpoint the probes × KnnK truth rows once.
         val tru = knnJoinExact(s, d)
           .select(col("qid"), col("vec_id")).withColumn("rel", lit(1))
-        knnJoinIvf(s, d)
+          .localCheckpoint()
+        val sysEval = knnJoinIvf(s, d)
           .join(broadcast(tru), Seq("qid", "vec_id"), "left")
           .groupBy(col("qid"))
           .agg(
             count(col("rel")).as("n_hits"),
             min(when(col("rel").isNotNull, col("knn_rank")))
               .cast(LongType).as("first_rel"))
+        tru.select("qid").distinct()
+          .join(broadcast(sysEval), Seq("qid"), "left")
           .select(
-            col("qid"), lit(KnnK.toLong).as("k"), col("n_hits"),
+            col("qid"), lit(KnnK.toLong).as("k"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
             col("first_rel"),
-            round(col("n_hits").cast(DoubleType)
+            round(coalesce(col("n_hits").cast(DoubleType), lit(0.0))
               / lit(KnnK.toDouble).cast(DoubleType), 9).as("recall"),
             round(coalesce(
               lit(1.0).cast(DoubleType) / col("first_rel").cast(DoubleType),
@@ -3022,24 +3034,31 @@ object VectorQueries {
                  SELECT s.qid, s.knn_rank,
                         t.vec_id IS NOT NULL AS hit
                  FROM sys s
-                 LEFT JOIN tru t ON t.qid = s.qid AND t.vec_id = s.vec_id)
-               SELECT qid, CAST($KnnK AS BIGINT) AS k,
-                      count(*) FILTER (WHERE hit) AS n_hits,
-                      CAST(min(CASE WHEN hit THEN knn_rank END) AS BIGINT)
-                        AS first_rel,
-                      round(CAST(count(*) FILTER (WHERE hit) AS DOUBLE)
+                 LEFT JOIN tru t ON t.qid = s.qid AND t.vec_id = s.vec_id),
+               agg AS (
+                 SELECT qid,
+                        count(*) FILTER (WHERE hit) AS n_hits,
+                        min(CASE WHEN hit THEN knn_rank END) AS first_rel
+                 FROM j GROUP BY qid),
+               dom AS (SELECT DISTINCT qid FROM tru)
+               SELECT d.qid, CAST($KnnK AS BIGINT) AS k,
+                      CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+                      CAST(a.first_rel AS BIGINT) AS first_rel,
+                      round(CAST(coalesce(a.n_hits, 0) AS DOUBLE)
                         / CAST($KnnK AS DOUBLE), 9) AS recall,
                       round(coalesce(
-                        CAST(1.0 AS DOUBLE)
-                          / CAST(min(CASE WHEN hit THEN knn_rank END) AS DOUBLE),
+                        CAST(1.0 AS DOUBLE) / CAST(a.first_rel AS DOUBLE),
                         0.0), 9) AS mrr
-               FROM j GROUP BY qid ORDER BY qid"""),
+               FROM dom d LEFT JOIN agg a ON a.qid = d.qid
+               ORDER BY d.qid"""),
       "Sampled-probe retrieval eval: recall@5 and MRR of the IVF-pruned k-NN join " +
         "against the exact k-NN join's truth, PER PROBE of the deterministic " +
         "vec_id%25 sample — two corpus scans total regardless of probe count (both " +
         "legs are the existing batched engines verbatim, embedded verbatim in the " +
         "oracle via nested WITH); the per-probe rows expose which probes' " +
-        "neighborhoods the cell pruning strands",
+        "neighborhoods the cell pruning strands — the output domain is the EXACT " +
+        "leg's probe set, so a probe with zero system rows surfaces as an explicit " +
+        "recall-0/MRR-0 row instead of vanishing (ADVICE r17)",
       aux = Some(writeKmeansAux))
   )
 }

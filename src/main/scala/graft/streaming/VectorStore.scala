@@ -43,7 +43,7 @@ object VectorStore {
   /** Load the stored quantizer, or train it from `vecs` and persist it
     * (first call). Training delegates to the deterministic
     * fixed-point-exact trainer the batch ANN family uses. */
-  def centroidsOf(spark: SparkSession, lake: String, vecs: DataFrame): Array[Array[Double]] = {
+  def centroidsOf(spark: SparkSession, lake: String, vecs: => DataFrame): Array[Array[Double]] = {
     import spark.implicits._
     graft.ingest.Sink.readOrEmpty(spark, centroidPath(lake)) match {
       case Some(df) =>
@@ -65,7 +65,7 @@ object VectorStore {
     * codebooks or the persisted index silently mixes codebook epochs.
     * Returns the full [[graft.VectorQueries.AdcKit]] (ONE spelling of
     * encode/score, shared with the batch q_ann_ivfadc). */
-  def kitOf(spark: SparkSession, lake: String, vecs: DataFrame): graft.VectorQueries.AdcKit = {
+  def kitOf(spark: SparkSession, lake: String, vecs: => DataFrame): graft.VectorQueries.AdcKit = {
     import spark.implicits._
     val cs = centroidsOf(spark, lake, vecs)
     val cbs = graft.ingest.Sink.readOrEmpty(spark, codebookPath(lake)) match {
@@ -83,6 +83,30 @@ object VectorStore {
         trained
     }
     graft.VectorQueries.AdcKit(cs, cbs)
+  }
+
+  /** The stored kit for SERVING — load-only, never train (ADVICE r17):
+    * [[kitOf]]'s load-or-train fallback is correct at APPEND time (the
+    * first batch trains the store's permanent quantizers) but lethal at
+    * probe time — a store whose codebook artifact vanished (partial
+    * store copy, deleted dir) while its coded rows survived would
+    * silently retrain NEW codebooks and score the OLD persisted code
+    * bytes against them, serving mixed-epoch ADC scores with no error.
+    * Serving requires both trained artifacts to already exist and fails
+    * with the rebuild instruction otherwise. */
+  def servingKitOf(spark: SparkSession, lake: String): graft.VectorQueries.AdcKit = {
+    def missing(what: String) =
+      s"vector store at $lake has coded rows but no persisted $what — " +
+        "retraining at serve time would score the stored codes against " +
+        "a different quantizer epoch; rebuild the store (re-append the " +
+        "corpus to a fresh store, or Cli vector-index) before serving " +
+        "ADC probes"
+    require(graft.ingest.Sink.readOrEmpty(spark, centroidPath(lake)).isDefined,
+      missing("coarse quantizer (vector_centroids)"))
+    require(graft.ingest.Sink.readOrEmpty(spark, codebookPath(lake)).isDefined,
+      missing("PQ codebooks (vector_codebooks)"))
+    kitOf(spark, lake,
+      sys.error("unreachable: servingKitOf verified both artifacts exist"))
   }
 
   private def assigned(
@@ -158,7 +182,7 @@ object VectorStore {
       s"vector store at $lake predates the coded IVFADC layout — " +
         "rebuild it (re-append the corpus to a fresh store, or Cli " +
         "vector-index) before serving ADC probes")
-    val kit = kitOf(spark, lake, store)
+    val kit = servingKitOf(spark, lake)
     val q = kit.query(qv, probes)
     val cells = q.probeSet.map(_.toLong).toSeq
     val bcQ = spark.sparkContext.broadcast(q)

@@ -363,7 +363,7 @@ class ScaleShapeSpec extends AnyFunSuite {
     // (8 exact + 10 ivf-pruned) riding unchanged under the probe-bounded
     // hit join (truth side broadcast) — the per-qid metric agg folds into
     // the system leg's existing final exchange
-    "q_retrieval_eval_multi" -> 18,
+    "q_retrieval_eval_multi" -> 16,
     // r17 corpus-build manifest — the ONE-PASS cumulative-flag shape plus
     // the line-dedup side input (VERDICT r16 #3, CCNet order): the r16
     // chain (fingerprint window + decon join's shingle explode/distinct

@@ -160,6 +160,38 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
+  test("ADC probe REFUSES a coded store whose codebook artifact is missing (no silent retrain)") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-noart").toString
+    VectorStore.append(s, lake, embAll.filter(col("vec_id") < 200))
+    val qv = embAll.filter(col("vec_id") === 1)
+      .select("embedding").as[Seq[Float]].head()
+    // simulate a partial store copy: the coded rows survived but the
+    // trained codebook artifact did not. kitOf's load-or-train fallback
+    // (correct at append time) would silently RETRAIN new codebooks here
+    // and score the OLD persisted code bytes against the new epoch —
+    // serving must refuse instead (ADVICE r17)
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    deleteRec(java.nio.file.Paths.get(VectorStore.codebookPath(lake)))
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.adcProbe(s, lake, qv, probes = 4, k = 10).collect()
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    assert(!new java.io.File(VectorStore.codebookPath(lake)).exists(),
+      "the refusing serve path must not have trained replacement codebooks")
+    // same contract for the coarse quantizer: a store whose centroids
+    // vanished must not be re-sharded at serve time
+    deleteRec(java.nio.file.Paths.get(VectorStore.centroidPath(lake)))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorStore.adcProbe(s, lake, qv, probes = 4, k = 10).collect()
+    }
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
+  }
+
   test("probeBatch on a codebook-less lake does NOT train codebooks from the probe batch") {
     import s.implicits._
     val lake = Files.createTempDirectory("graft-vstore-nocb").toString
