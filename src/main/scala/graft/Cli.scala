@@ -49,7 +49,7 @@ import graft.ocds.Metadata
   *   gopher-rules <lake> <collectionId>         (fixed rule-filter rollup)
   *   c4-lines <lake> <collectionId>             (C4 line-level boilerplate rollup)
   *   line-dedup <lake> <collectionId>           (corpus-wide duplicate-line rollup)
-  *   export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed] [--curriculum]
+  *   export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed] [--merges FILE] [--curriculum]
   *                                              (training-shard export: one JSON-lines
   *                                               file per shard, rows in shuffle order)
   *   index <lake> <collectionId>              (build/rebuild the persisted
@@ -715,6 +715,20 @@ object Cli {
         System.err.println("--packed requires --epoch N")
         sys.exit(2)
       }
+      // --merges FILE: budget the packed windows with a RUNTIME-trained
+      // merges table (the train-bpe → export composition — VERDICT r17
+      // #1: the trained file is directly consumable, no jar rebuild);
+      // default = the vendored classpath table
+      val merges = flagValue(rest, "--merges").getOrElse(
+        graft.functions.Bpe.DefaultSource)
+      if (merges.nonEmpty && !packed) {
+        System.err.println("--merges is only meaningful with --packed")
+        sys.exit(2)
+      }
+      if (merges.nonEmpty && !new java.io.File(merges).isFile) {
+        System.err.println(s"--merges file not found: $merges")
+        sys.exit(2)
+      }
       // --curriculum: quality-anneal each source's in-shard emission
       // order (identical selection and mix; every shard's tail becomes
       // its highest-quality slice — see mixEpochOf)
@@ -724,7 +738,9 @@ object Cli {
         sys.exit(2)
       }
       rejectStray("export",
-        stripFlag(stripFlag(stripFlag(rest, "--shards"), "--epoch"), "--epoch-idx")
+        stripFlag(
+          stripFlag(stripFlag(stripFlag(rest, "--shards"), "--epoch"),
+            "--epoch-idx"), "--merges")
           .filterNot(a => a == "--packed" || a == "--curriculum"))
       val spark = session()
       val plane = loadPlane(lake)
@@ -746,7 +762,7 @@ object Cli {
                 if (packed) {
                   val wins = TextQueries
                     .packedEpochExportOf(docs, b, nShards, epochIdx,
-                      curriculum = curriculum).persist()
+                      curriculum = curriculum, mergesSource = merges).persist()
                   try {
                     Sink.writeShards(wins, dir, orderCols = Seq("window_id"))
                     val nWin = wins.count()
@@ -1475,7 +1491,7 @@ object Cli {
            |  gopher-rules <lake> <collectionId>
            |  c4-lines <lake> <collectionId>
            |  line-dedup <lake> <collectionId>
-           |  export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed] [--curriculum]
+           |  export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed] [--merges FILE] [--curriculum]
            |  index <lake> <collectionId>
            |  search <lake> <collectionId> <term...> [--top N] [--indexed]
            |  vector-index <store> <embeddingsParquet>

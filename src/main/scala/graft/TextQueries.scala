@@ -327,14 +327,19 @@ object TextQueries {
   private[graft] def packedEpochExportOf(
       docs: DataFrame, totalBudget: Long, nShards: Int,
       epochIdx: Long = 0L, B: Int = 2048,
-      curriculum: Boolean = false): DataFrame = {
+      curriculum: Boolean = false,
+      mergesSource: String = graft.functions.Bpe.DefaultSource): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftExtensions.ensureRegistered(docs.sparkSession)
     val wSh = Window.partitionBy(col("shard"))
       .orderBy(col("vtime"), col("source"), col("doc_id"), col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     mixEpochExportOf(docs, totalBudget, nShards, epochIdx, curriculum)
-      .withColumn("tk", call_function("bpe_tokens", col("text")))
+      // the merges source is the train-then-pack seam (VERDICT r17 #1):
+      // a table trained at runtime (Cli train-bpe) budgets this export
+      // without a jar rebuild; empty = the vendored default
+      .withColumn("tk",
+        call_function("bpe_tokens", col("text"), lit(mergesSource)))
       .withColumn("ntok", size(col("tk")).cast(LongType))
       .filter(col("ntok") > 0)
       .withColumn("cum", sum(col("ntok")).over(wSh))

@@ -78,12 +78,40 @@ object Bpe {
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
     Pattern.UNICODE_CHARACTER_CLASS)
 
+  /** The vendored default merges table — `source = ""`. A non-empty
+    * source is a FILESYSTEM path to a merges file (the format `Cli
+    * train-bpe` writes), opened through the Hadoop FileSystem API so a
+    * cluster path (HDFS/S3) resolves on executors exactly like the
+    * ingest readers' executor-opened files. This closes the r17 seam:
+    * a table trained by [[trainMerges]] at runtime is consumable by
+    * `bpe_tokens(text, path)` without rebuilding the jar — the
+    * `1__1__5.zip` vendoring pattern (vendored default, pluggable
+    * override). */
+  val DefaultSource: String = ""
+
   /** rank of each mergeable symbol pair, keyed "a b" (the merges-file
     * line format itself — zero-allocation lookups would key differently,
-    * but the pair strings here are tiny and interned by the cache). */
-  private lazy val ranks: java.util.HashMap[String, Integer] = {
-    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
-    require(in != null, "bpe_merges.txt missing from classpath")
+    * but the pair strings here are tiny and interned by the cache).
+    * One table per merges SOURCE, loaded once per executor JVM and
+    * cached by path (the Zipf-cache discipline applied to the model
+    * artifact: a stream of rows tokenizing against the same trained
+    * file parses it exactly once). */
+  private val ranksBySource =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, Integer]]()
+
+  private def ranksFor(source: String): java.util.HashMap[String, Integer] =
+    ranksBySource.computeIfAbsent(source, loadRanks(_))
+
+  private def loadRanks(source: String): java.util.HashMap[String, Integer] = {
+    val in: java.io.InputStream =
+      if (source.isEmpty) {
+        val s = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+        require(s != null, "bpe_merges.txt missing from classpath")
+        s
+      } else {
+        val p = new org.apache.hadoop.fs.Path(source)
+        p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+      }
     val m = new java.util.HashMap[String, Integer]()
     try {
       val src = scala.io.Source.fromInputStream(in, "UTF-8")
@@ -92,17 +120,24 @@ object Bpe {
         m.put(line, i); i += 1
       }
     } finally in.close()
+    require(!m.isEmpty,
+      s"merges source '$source' holds no merge lines — not a BPE merges file")
     m
   }
 
-  /** Zipf cache: pre-token string → its merged symbols. Bounded so a
-    * high-cardinality corpus (ids, numbers) can't grow it with data
-    * volume; clearing beats LRU bookkeeping at this entry cost. */
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  /** Zipf cache: pre-token string → its merged symbols, one cache per
+    * merges source (entries from different tables must never collide).
+    * Bounded so a high-cardinality corpus (ids, numbers) can't grow it
+    * with data volume; clearing beats LRU bookkeeping at this entry
+    * cost. */
+  private val cacheBySource =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
   private val CacheCap = 128 * 1024
 
-  private def bpeWord(sym0: Array[String]): Array[String] = {
+  private def bpeWord(
+      sym0: Array[String],
+      ranks: java.util.HashMap[String, Integer]): Array[String] = {
     var w = sym0
     var done = false
     while (!done && w.length > 1) {
@@ -133,8 +168,12 @@ object Bpe {
   }
 
   /** Tokenize to the merge-unit strings (unicode-mapped symbols — what a
-    * merges-file row contains; counting them IS the token budget). */
-  def tokens(text: String): Array[String] = {
+    * merges-file row contains; counting them IS the token budget),
+    * against the vendored default table or a runtime-loaded one. */
+  def tokens(text: String, source: String = DefaultSource): Array[String] = {
+    val ranks = ranksFor(source)
+    val cache = cacheBySource.computeIfAbsent(source,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
     val out = new scala.collection.mutable.ArrayBuffer[String]()
     val m = pretok.matcher(text)
     while (m.find()) {
@@ -147,7 +186,7 @@ object Bpe {
         while (i < bytes.length) {
           syms(i) = String.valueOf(byteToChar(bytes(i) & 0xFF)); i += 1
         }
-        toks = bpeWord(syms)
+        toks = bpeWord(syms, ranks)
         if (cache.size() >= CacheCap) cache.clear()
         cache.put(piece, toks)
       }
@@ -237,12 +276,17 @@ object Bpe {
   }
 }
 
-/** `bpe_tokens(text)` → `array<string>` of byte-level BPE merge units —
-  * (b)-tier custom operator (SURVEY §7.3): the generated code is one
-  * static call, so the expression stays inside the whole-stage-codegen
-  * span instead of forcing a UDF evaluation boundary. NULL in → NULL out;
-  * empty string → empty array (the pre-tokenizer finds no pieces). */
-case class BpeTokens(child: Expression)
+/** `bpe_tokens(text[, mergesPath])` → `array<string>` of byte-level BPE
+  * merge units — (b)-tier custom operator (SURVEY §7.3): the generated
+  * code is one static call, so the expression stays inside the
+  * whole-stage-codegen span instead of forcing a UDF evaluation
+  * boundary. NULL in → NULL out; empty string → empty array (the
+  * pre-tokenizer finds no pieces). `source` is a STATIC query-time
+  * parameter (a foldable string at registration), not a per-row child:
+  * the merges table is a model artifact, one per plan, carried into the
+  * generated code as a reference object so paths with any characters
+  * survive codegen. Empty source = the vendored classpath default. */
+case class BpeTokens(child: Expression, source: String = Bpe.DefaultSource)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(StringType)
@@ -250,10 +294,12 @@ case class BpeTokens(child: Expression)
   override def prettyName: String = "bpe_tokens"
 
   override def nullSafeEval(input: Any): Any =
-    BpeFns.compute(input.asInstanceOf[UTF8String])
+    BpeFns.compute(input.asInstanceOf[UTF8String], source)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.BpeFns.compute($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val srcRef = ctx.addReferenceObj("mergesSource", source, "java.lang.String")
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeFns.compute($c, $srcRef)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokens =
     copy(child = newChild)
@@ -262,8 +308,8 @@ case class BpeTokens(child: Expression)
 /** Static target for both evaluation paths (Scala object methods get
   * static forwarders, so generated Java calls this directly). */
 object BpeFns {
-  def compute(s: UTF8String): ArrayData = {
-    val toks = Bpe.tokens(s.toString)
+  def compute(s: UTF8String, source: String): ArrayData = {
+    val toks = Bpe.tokens(s.toString, source)
     val out = new Array[AnyRef](toks.length)
     var i = 0
     while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }

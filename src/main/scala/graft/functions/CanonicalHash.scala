@@ -249,9 +249,22 @@ object GraftExtensions {
       FunctionIdentifier("bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "bpe_tokens"),
       (children: Seq[Expression]) => {
-        require(children.size == 1,
-          s"bpe_tokens expects exactly 1 argument, got ${children.size}")
-        BpeTokens(children.head)
+        require(children.size == 1 || children.size == 2,
+          s"bpe_tokens expects 1 or 2 arguments (text[, mergesPath]), " +
+            s"got ${children.size}")
+        if (children.size == 1) BpeTokens(children.head)
+        else {
+          // the merges source is a MODEL PATH, one table per plan — a
+          // static foldable string, never a per-row column (a per-row
+          // path would re-parse the artifact per value and break the
+          // per-source rank cache's once-per-executor contract)
+          val src = children(1)
+          require(src.foldable && src.dataType == StringType,
+            "bpe_tokens mergesPath must be a string literal")
+          val v = src.eval()
+          require(v != null, "bpe_tokens mergesPath must not be null")
+          BpeTokens(children.head, v.toString)
+        }
       }))
 
   val install: org.apache.spark.sql.SparkSessionExtensions => Unit =

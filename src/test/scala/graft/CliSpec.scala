@@ -460,6 +460,42 @@ class CliSpec extends AnyFunSuite {
     assert(Files.readString(out) === before, "training must be deterministic")
   }
 
+  test("train-bpe → export --packed --merges: the trained table budgets the export without a rebuild") {
+    val input = inputTree().toString
+    val lake = Files.createTempDirectory("graft-cli-bpe2-lake").toString
+    run("load", input, lake)
+    val merges = Files.createTempDirectory("graft-cli-bpe2").resolve("merges.txt")
+    run("train-bpe", lake, "1", merges.toString, "--merges", "6")
+    def windows(dir: String) = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+        .flatMap(d => Option(d.listFiles()).toSeq.flatten
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+          .flatMap(p => scala.jdk.CollectionConverters
+            .ListHasAsScala(java.nio.file.Files.readAllLines(p.toPath)).asScala))
+        .map(mapper.readTree)
+    }
+    val trainedDir = Files.createTempDirectory("graft-cli-bpe2-t").toString
+    val o1 = run("export", lake, "1", trainedDir,
+      "--shards", "1", "--epoch", "4", "--packed", "--merges", merges.toString)
+    assert(o1.contains("exported packed epoch"), o1)
+    val tw = windows(trainedDir)
+    assert(tw.nonEmpty)
+    tw.foreach(w => assert(w.get("n_tokens").asLong === w.get("tokens").size.toLong))
+    // same epoch budgeted by the vendored default: the window token
+    // streams must DIFFER — proof the path-loaded trained table (six
+    // corpus-specific merges, not the 80-merge vendored resource)
+    // actually drove the packing
+    val defaultDir = Files.createTempDirectory("graft-cli-bpe2-d").toString
+    val o2 = run("export", lake, "1", defaultDir,
+      "--shards", "1", "--epoch", "4", "--packed")
+    assert(o2.contains("exported packed epoch"), o2)
+    val dw = windows(defaultDir)
+    assert(tw.map(_.get("tokens").toString) !== dw.map(_.get("tokens").toString),
+      "the trained merges table must not fall back to the vendored default")
+  }
+
   test("vector-index + vector-search serve ANN from the persisted codes") {
     val store = Files.createTempDirectory("graft-cli-vstore").toString
     val emb = "/root/testdata/sf0.001/embeddings.parquet"
