@@ -1786,10 +1786,20 @@ object TextQueries {
     * that makes the 100 TB "train once, persist, score many" contract
     * real rather than argued: `Cli dsir-select --weights DIR` loads the
     * persisted model here and never touches the target corpus again. */
-  private[graft] def dsirSelectWith(
+  /** Per-doc DSIR importance scores against a trained weight model — the
+    * SCORING stage alone (no top-k): feature stream → broadcast join
+    * against the ≤ B-row weight table → ONE map-side-combined per-doc
+    * DECIMAL combine. Output (doc_id, label, n_feats, lw_dec); a doc
+    * none of whose features the model ever saw has no score row (it
+    * carries zero evidence either way — the paper's estimator is
+    * undefined there). Shared verbatim by [[dsirSelectWith]] (batch
+    * top-k) and the streaming quality-at-ingest leg
+    * ([[graft.streaming.Streaming.releaseLoadStream]] `dsirScore`), so
+    * the stream's annotations are byte-equal to the batch's by
+    * construction. */
+  private[graft] def dsirScoreAll(
       raw: DataFrame, weights: Seq[(Long, Double)], s: SparkSession,
-      k: Int = 50, label: String = "lang"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      label: String = "lang"): DataFrame = {
     import s.implicits._
     val Dec = DecimalType(38, 18)
     val w = weights.toDF("bucket", "w")
@@ -1797,6 +1807,13 @@ object TextQueries {
       .join(broadcast(w), Seq("bucket"))
       .groupBy(col("doc_id"), col("label"))
       .agg(count(lit(1)).as("n_feats"), sum(col("w").cast(Dec)).as("lw_dec"))
+  }
+
+  private[graft] def dsirSelectWith(
+      raw: DataFrame, weights: Seq[(Long, Double)], s: SparkSession,
+      k: Int = 50, label: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dsirScoreAll(raw, weights, s, label)
       .orderBy(col("lw_dec").desc, col("doc_id"))
       .limit(k)
       .select(

@@ -164,6 +164,7 @@ final class Api(
     val compile = bool(body, "compile")
     val check = bool(body, "check")
     val lineDedup = bool(body, "line_dedup")
+    val dsirScore = bool(body, "dsir_score")
     val note = Option(body.get("note")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
 
     var plane = PlaneStore.load(lake)
@@ -173,6 +174,7 @@ final class Api(
     // streaming LineStore leg), gated the same way checks are
     val rootSteps = (if (check) Set("check") else Set.empty[String]) ++
       (if (lineDedup) Set("line_dedup") else Set.empty[String]) ++
+      (if (dsirScore) Set("dsir_score") else Set.empty[String]) ++
       (if (upgrade) Set("upgrade") else if (compile) Set("compile") else Set.empty[String])
     var created = List(Control.Collection(
       rootId, sourceId, dataVersion, steps = rootSteps, sample = sample))
@@ -318,7 +320,14 @@ final class Api(
           // gates identically (VERDICT r16 #6 — the registry accrues in
           // the production ingest path iff the tree planned the step)
           checks = plane.collection(id).steps.contains("check"),
-          lineDedup = plane.collection(id).steps.contains("line_dedup"))
+          lineDedup = plane.collection(id).steps.contains("line_dedup"),
+          // quality-at-ingest (VERDICT r17 #2): the step gate mirrors
+          // line_dedup's; the model dir is the lake-level train-once
+          // artifact (Cli dsir-select --weights writes it there)
+          dsirScore =
+            if (plane.collection(id).steps.contains("dsir_score"))
+              Some(graft.streaming.Streaming.dsirWeightsPath(lake))
+            else None)
           .awaitTermination()
         plane = ref.get()
       }

@@ -40,7 +40,7 @@ object Control {
       dataVersion: String,
       parent: Option[Long] = None,
       transformType: Option[String] = None,
-      steps: Set[String] = Set.empty, // planned: {upgrade, compile, check, line_dedup}
+      steps: Set[String] = Set.empty, // planned: {upgrade, compile, check, line_dedup, dsir_score}
       dataTypeFormat: Option[String] = None,
       storeEndAt: Option[String] = None,
       completedAt: Option[String] = None,

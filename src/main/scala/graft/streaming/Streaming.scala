@@ -44,6 +44,22 @@ object Streaming {
   def lineRegistryPath(lakeDir: String, collectionId: Long): String =
     s"$lakeDir/line_registry_c$collectionId"
 
+  /** Where a lake's trained DSIR weight model lives (bucket BIGINT,
+    * w DOUBLE — the artifact `Cli dsir-select --weights` trains and
+    * persists) — one definition so the API's planned `dsir_score` step
+    * and the CLI trainer can never disagree on the directory. */
+  def dsirWeightsPath(lakeDir: String): String = s"$lakeDir/dsir_weights"
+
+  /** THE reader for the streaming DSIR-score table (`<lake>/dsir_score`,
+    * written by `releaseLoadStream(dsirScore = ...)`). Same at-least-once
+    * raw-append contract as [[cleanDocs]]: replayed batches re-write
+    * byte-identical rows (the weight model is train-once and the combine
+    * is deterministic), so consumers fold duplicates here. */
+  def dsirScores(spark: SparkSession, lakeDir: String): DataFrame =
+    graft.ingest.Sink.readOrEmpty(spark, s"$lakeDir/dsir_score")
+      .map(_.distinct())
+      .getOrElse(spark.emptyDataFrame)
+
   /** THE reader for the streaming line-dedup leg's cleaned-document table
     * (`<lake>/clean_doc`, written by `releaseLoadStream(lineDedup =
     * true)`). The table is an at-least-once raw append: a crash-replayed
@@ -228,7 +244,21 @@ object Streaming {
     * the batch's new first occurrences register in
     * `<lake>/line_registry_c<id>`. Both writes are duplicate-tolerant
     * under replay (the store's historical-view invariance makes the
-    * replayed rows byte-identical; readers distinct). */
+    * replayed rows byte-identical; readers distinct).
+    *
+    * `dsirScore = Some(weightsDir)` annotates each batch's loaded docs
+    * with their DSIR importance weights (VERDICT r17 #2 — quality-AT-
+    * INGEST, the production shape: the model trains ONCE offline from a
+    * curated target, `Cli dsir-select --weights`, and every arriving
+    * micro-batch scores against the persisted ≤ B-row table without
+    * ever touching the target corpus again). The weights load once per
+    * stream (first scoring batch), the scoring is the batch engine
+    * verbatim ([[graft.TextQueries.dsirScoreAll]] — broadcast-weight
+    * join + one per-doc DECIMAL combine), and the rows append to
+    * `<lake>/dsir_score` duplicate-tolerantly (deterministic scores →
+    * byte-identical replays; read via [[dsirScores]]). A missing model
+    * fails the stream START loudly — scoring against an accidentally
+    * absent model must never silently annotate nothing. */
   def releaseLoadStream(
       spark: SparkSession,
       landingDir: String,
@@ -243,8 +273,18 @@ object Streaming {
       corpusStats: Boolean = false,
       checks: Boolean = false,
       bm25Index: Boolean = false,
-      lineDedup: Boolean = false): StreamingQuery = {
+      lineDedup: Boolean = false,
+      dsirScore: Option[String] = None): StreamingQuery = {
     import spark.implicits._
+    // fail at stream START, not first batch: the scoring leg is
+    // meaningless without its train-once model, and a stream that only
+    // discovers the missing artifact mid-drain has already committed
+    // batches without annotations
+    dsirScore.foreach { dir =>
+      require(graft.ingest.Sink.readOrEmpty(spark, dir).isDefined,
+        s"dsirScore leg needs a trained weight model at $dir — train one " +
+          "first (Cli dsir-select <lake> <rawId> <targetId> --weights DIR)")
+    }
     recoverPartialLoads(spark, lakeDir, collectionId, upgradedId, plane)
     // the binaryFile source's fixed schema, declared explicitly (streaming
     // sources don't infer); only `path` is ever read
@@ -276,6 +316,15 @@ object Streaming {
         // the same JVM is a NEW stream with a new closure, so the
         // lineage-reset semantics the stores rely on stay intact.
         lazy val lineage = streamLineage(checkpointDir)
+        // the weight model is train-once and immutable for the stream's
+        // lifetime: collect its ≤ B rows ONCE on the first scoring batch,
+        // not per batch (the `lineage` lazy-val discipline)
+        lazy val dsirWeights: Seq[(Long, Double)] = dsirScore.map { dir =>
+          graft.ingest.Sink.readOrEmpty(spark, dir)
+            .map(_.select($"bucket", $"w").as[(Long, Double)]
+              .collect().sortBy(_._1).toSeq)
+            .getOrElse(sys.error(s"dsir weight model vanished from $dir mid-stream"))
+        }.getOrElse(Seq.empty)
         (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         // collect(): file ARRIVALS are control-plane-sized (paths, not data)
         val arrived = batch.select("path").as[String].collect().toSeq.sorted
@@ -303,7 +352,7 @@ object Streaming {
           // losable. Batch-internal pairs are the batch engine's job at
           // compile/report time, not the per-arrival probe's.
           if (neardupSignatures || trendingTerms || corpusStats || bm25Index ||
-              lineDedup) {
+              lineDedup || dsirScore.nonEmpty) {
             graft.Pipeline
               .collectionDocsOf(spark, lakeDir, p.collection(collectionId), Some(fresh))
               .foreach { docs =>
@@ -356,6 +405,25 @@ object Streaming {
                       org.apache.spark.sql.functions.lit(collectionId))
                     .write.mode("append").parquet(s"$lakeDir/clean_doc")
                 }
+                // quality-at-ingest: annotate this batch's docs with
+                // their DSIR importance weights against the stream's
+                // train-once model (the batch scoring engine verbatim —
+                // a broadcast model join + one per-doc combine, so the
+                // leg costs O(batch), never a corpus or target re-scan)
+                if (dsirScore.nonEmpty)
+                  graft.TextQueries
+                    .dsirScoreAll(docs, dsirWeights, spark, label = "source")
+                    .select(
+                      org.apache.spark.sql.functions.lit(collectionId)
+                        .as("collection_id"),
+                      org.apache.spark.sql.functions.col("doc_id"),
+                      org.apache.spark.sql.functions.col("label").as("source"),
+                      org.apache.spark.sql.functions.col("n_feats"),
+                      org.apache.spark.sql.functions
+                        .round(org.apache.spark.sql.functions.col("lw_dec")
+                          .cast(org.apache.spark.sql.types.DoubleType), 9)
+                        .as("logw"))
+                    .write.mode("append").parquet(s"$lakeDir/dsir_score")
               }
           }
           // streaming structural-check leg (the reference's checker is a

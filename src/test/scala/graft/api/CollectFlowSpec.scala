@@ -312,6 +312,61 @@ class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally apiL.stop()
   }
 
+  test("ingest mode: the close drain DSIR-scores arrivals iff the tree planned a dsir_score step") {
+    // VERDICT r17 #2: quality-at-ingest over HTTP — the API plans a
+    // dsir_score step at create (the check/line_dedup-step pattern) and
+    // the close drain annotates each arriving doc against the lake's
+    // train-once weight model
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    val lakeD = Files.createTempDirectory("graft-dsir-lake").toString
+    val root = Files.createTempDirectory("graft-dsir-landing").toString
+    // the train-once model must exist BEFORE the scored drain (the
+    // stream refuses to start without it — StreamingSpec pins that)
+    val rawT = Seq((100L, "zz qq ww releases ocid"), (101L, "tender value x"))
+      .toDF("doc_id", "text")
+    val tgtT = Seq((200L, "releases ocid tender publisher date"))
+      .toDF("doc_id", "text")
+    graft.TextQueries.dsirWeightsOf(rawT, tgtT, s).toDF("bucket", "w")
+      .coalesce(1).write.parquet(Streaming.dsirWeightsPath(lakeD))
+    val apiD = new Api(s, lakeD, landingRoot = Some(root))
+    apiD.start()
+    try {
+      def postD(path: String, body: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${apiD.boundPort}$path"))
+            .method("POST", HttpRequest.BodyPublishers.ofString(body))
+            .header("Content-Type", "application/json").build(),
+          HttpResponse.BodyHandlers.ofString())
+      val created = Canonical.parse(postD("/api/collections/",
+        """{"source_id": "dsir_spider", "data_version": "2020-03-01 00:00:00",
+          | "dsir_score": true}""".stripMargin).body())
+      val id = created.get("collection_id").asLong
+      val landing = created.get("landing_dir").asText
+      Files.writeString(java.nio.file.Paths.get(landing, "a.json"), pkg("ocds-q1", "r1"))
+      Files.writeString(java.nio.file.Paths.get(landing, "b.json"), pkg("ocds-q2", "r2"))
+      assert(postD(s"/api/collections/$id/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 2}}""")
+        .statusCode() == 202)
+      val scores = Streaming.dsirScores(s, lakeD)
+        .filter(col("collection_id") === id)
+      assert(scores.count() === 2L,
+        "both arrivals must carry importance annotations")
+      assert(scores.filter(col("logw").isNull).count() === 0L)
+      // a tree that never planned the step accretes NO score rows
+      val created2 = Canonical.parse(postD("/api/collections/",
+        """{"source_id": "nodsir_spider", "data_version": "2020-03-01 00:00:00"}""").body())
+      val id2 = created2.get("collection_id").asLong
+      Files.writeString(java.nio.file.Paths.get(
+        created2.get("landing_dir").asText, "c.json"), pkg("ocds-q9", "r9"))
+      assert(postD(s"/api/collections/$id2/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 1}}""")
+        .statusCode() == 202)
+      assert(Streaming.dsirScores(s, lakeD)
+        .filter(col("collection_id") === id2).count() === 0L)
+    } finally apiD.stop()
+  }
+
   test("ingest mode: a file landing after close is loaded by the replayed close") {
     // ADVICE r7: announced-but-late files stranded the tree forever — the
     // first close drained 1 of 2 expected files, so compilable() gated

@@ -340,6 +340,62 @@ class StreamingSpec extends AnyFunSuite {
       .filter($"collection_id" === 12).count() === 3L)
   }
 
+  test("releaseLoadStream(dsirScore=...): arriving docs annotate against the train-once model") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    val base = Files.createTempDirectory("graft-streamdsir")
+    val landing = Files.createDirectory(base.resolve("landing"))
+    val lake = Files.createDirectory(base.resolve("lake")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val plane = new java.util.concurrent.atomic.AtomicReference(
+      graft.control.Control.Plane(Map(
+        13L -> graft.control.Control.Collection(13L, "api", "2020-01-01 00:00:00"))))
+    val wdir = Streaming.dsirWeightsPath(lake)
+    def runOnce(): Unit =
+      Streaming.releaseLoadStream(s, landing.toString, lake, 13L, None, plane, ckpt,
+        dsirScore = Some(wdir)).awaitTermination()
+    // no trained model → the stream refuses at START, before any batch
+    val e = intercept[IllegalArgumentException] { runOnce() }
+    assert(e.getMessage.contains("--weights"), e.getMessage)
+    // train the model OFFLINE (the Cli dsir-select --weights contract):
+    // target shares the landed packages' vocabulary so scores exist
+    val rawT = Seq((100L, "zz qq ww releases ocid"), (101L, "tender value x"))
+      .toDF("doc_id", "text")
+    val tgtT = Seq((200L, "releases ocid tender publisher date"))
+      .toDF("doc_id", "text")
+    val weights = graft.TextQueries.dsirWeightsOf(rawT, tgtT, s)
+    weights.toDF("bucket", "w").coalesce(1).write.parquet(wdir)
+    Files.writeString(landing.resolve("a.json"), releasePkg("ocds-d1", "r1"))
+    runOnce()
+    Files.writeString(landing.resolve("b.json"), releasePkg("ocds-d2", "r2"))
+    Files.writeString(landing.resolve("c.json"), releasePkg("ocds-d3", "r3"))
+    runOnce()
+    // the streamed annotations are BYTE-EQUAL to the batch engine run
+    // over the union of everything loaded (dsirScoreAll is the one
+    // scoring spelling, shared verbatim)
+    val docs = graft.Pipeline
+      .collectionDocsOf(s, lake, plane.get().collection(13L)).get
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("source"), col("n_feats"),
+        col("logw").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSeq
+    val want = rows(graft.TextQueries.dsirScoreAll(docs, weights, s, label = "source")
+      .select(col("doc_id"), col("label").as("source"), col("n_feats"),
+        round(col("lw_dec").cast("double"), 9).as("logw")))
+    assert(want.size === 3, s"training vocabulary must cover the landed docs: $want")
+    val got = rows(Streaming.dsirScores(s, lake)
+      .filter(col("collection_id") === 13L))
+    assert(got === want)
+    // lost checkpoint: the registered-file guard drops every replayed
+    // file before the scoring leg; the folding reader stays stable
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    runOnce()
+    assert(rows(Streaming.dsirScores(s, lake)
+      .filter(col("collection_id") === 13L)) === want)
+  }
+
   test("maxFilesPerTrigger bounds a backlog drain into several committed batches") {
     import s.implicits._
     val base = Files.createTempDirectory("graft-bounded")
