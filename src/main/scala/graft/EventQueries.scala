@@ -20,6 +20,7 @@ import org.apache.spark.sql.types._
 object EventQueries {
 
   private val SessionGapUs = 1800000000L // 30 min
+  private val FunnelGapUs = 129600000000L // 36 h — q_funnel_windowed's max gap
 
   /** AS-OF join — the time-series operator Spark lacks natively (brief
     * §custom-operators), re-expressed by COMPOSITION instead of a custom
@@ -89,15 +90,26 @@ object EventQueries {
     * the exchange lines at 3 stages). */
   private[graft] def funnelOf(
       events: DataFrame,
-      stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+      stages: Seq[String] = Seq("signup", "click", "purchase"),
+      maxGapUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "a funnel needs at least one stage")
+    require(maxGapUs.forall(_ > 0), "maxGapUs must be positive")
     val wU = Window.partitionBy(col("user_id"))
     val perEvent = stages.zipWithIndex.foldLeft(
       events.select(col("user_id"), col("ts_us"), col("event_type"))) {
       case (df, (stage, i)) =>
         val inOrder =
           if (i == 0) col("event_type") === stage
-          else col("event_type") === stage && col("ts_us") > col(s"t$i")
+          else {
+            // the windowed contract (VERDICT r17 #3): stage k+1 counts
+            // only within W µs AFTER t_k (inclusive boundary: exactly
+            // t_k + W still converts — EventAnalyticsSpec pins both
+            // sides of the fence). The bound slots into the same
+            // chained-min `when`, so the plan — one user_id exchange
+            // riding every stage — is unchanged.
+            val base = col("event_type") === stage && col("ts_us") > col(s"t$i")
+            maxGapUs.fold(base)(w => base && col("ts_us") <= col(s"t$i") + w)
+          }
         df.withColumn(s"t${i + 1}", min(when(inOrder, col("ts_us"))).over(wU))
     }
     val tot = perEvent
@@ -122,19 +134,34 @@ object EventQueries {
   }
 
   /** The retention engine (q_retention's body — see that QueryDef's
-    * scaladoc). Needs (user_id, ts_us). */
-  private[graft] def retentionOf(events: DataFrame): DataFrame = {
+    * scaladoc). Needs (user_id, ts_us). `weekly = true` is the
+    * product-analytics cohort granularity (VERDICT r17 #3): users keyed
+    * by their first-activity ISO week (Monday start — Spark's
+    * date_trunc('week') and DuckDB's agree), counted once per distinct
+    * return WEEK; offsets are whole weeks (both endpoints are Mondays,
+    * so the day difference is exactly divisible — integer `div 7`, no
+    * float). Same plan shape as daily: one user_id window exchange, a
+    * (user, week) distinct, a weeks²-bounded rollup. */
+  private[graft] def retentionOf(
+      events: DataFrame, weekly: Boolean = false): DataFrame = {
     val wU = Window.partitionBy(col("user_id"))
+    val period =
+      if (weekly) to_date(date_trunc("week", timestamp_micros(col("ts_us"))))
+      else to_date(timestamp_micros(col("ts_us")))
+    val offset =
+      if (weekly) expr("CAST(datediff(p, cohort) div 7 AS BIGINT)")
+      else datediff(col("p"), col("cohort")).cast(LongType)
+    val (cohortName, offsetName) =
+      if (weekly) ("cohort_week", "week_offset") else ("cohort_day", "day_offset")
     events
-      .select(col("user_id"),
-        to_date(timestamp_micros(col("ts_us"))).as("day"))
-      .withColumn("cohort", min(col("day")).over(wU))
-      .select(col("user_id"), col("cohort"), col("day")).distinct()
+      .select(col("user_id"), period.as("p"))
+      .withColumn("cohort", min(col("p")).over(wU))
+      .select(col("user_id"), col("cohort"), col("p")).distinct()
       .groupBy(
-        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
-        datediff(col("day"), col("cohort")).cast(LongType).as("day_offset"))
+        date_format(col("cohort"), "yyyy-MM-dd").as(cohortName),
+        offset.as(offsetName))
       .agg(count(lit(1)).as("n_users"))
-      .orderBy("cohort_day", "day_offset")
+      .orderBy(cohortName, offsetName)
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -370,6 +397,84 @@ object EventQueries {
         "with the in-order constraint t_{k+1} > t_k at integer-µs resolution — three " +
         "chained unordered per-user window minimums riding one user_id exchange, " +
         "exact integer ppm conversion"),
+
+    QueryDef(
+      "q_funnel_windowed", Seq("W1", "A4", "F7"),
+      (s, d) => {
+        // the WINDOWED funnel contract real product analytics use
+        // (VERDICT r17 #3): stage k+1 converts only within MaxGapUs of
+        // t_k — a purchase weeks after the click is organic, not funnel
+        // conversion. The bound is one more conjunct in the chained-min
+        // `when`, so the plan (one user_id exchange riding every stage)
+        // is q_funnel's exactly; the 36-hour gap is sized to the
+        // stream's per-user cadence (~1 event / 11 h) so the readout is
+        // non-degenerate — some users convert in-window, some only out.
+        funnelOf(Tables.events(s, d), maxGapUs = Some(FunnelGapUs))
+      },
+      Some(s"""WITH e AS (
+                SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+              w1 AS (
+                SELECT *, min(CASE WHEN event_type = 'signup' THEN tu END)
+                  OVER (PARTITION BY user_id) AS t1 FROM e),
+              w2 AS (
+                SELECT *, min(CASE WHEN event_type = 'click' AND tu > t1
+                                    AND tu <= t1 + $FunnelGapUs THEN tu END)
+                  OVER (PARTITION BY user_id) AS t2 FROM w1),
+              w3 AS (
+                SELECT *, min(CASE WHEN event_type = 'purchase' AND tu > t2
+                                    AND tu <= t2 + $FunnelGapUs THEN tu END)
+                  OVER (PARTITION BY user_id) AS t3 FROM w2),
+              u AS (
+                SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+                FROM w3 GROUP BY user_id),
+              tot AS (
+                SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM u)
+              SELECT * FROM (
+                SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS event_type,
+                       n1 AS n_users,
+                       CASE WHEN n1 = 0 THEN 0 ELSE n1 * 1000000 // n1 END AS conv_ppm
+                FROM tot
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'click', n2,
+                       CASE WHEN n1 = 0 THEN 0 ELSE n2 * 1000000 // n1 END
+                FROM tot
+                UNION ALL
+                SELECT CAST(3 AS BIGINT), 'purchase', n3,
+                       CASE WHEN n1 = 0 THEN 0 ELSE n3 * 1000000 // n1 END
+                FROM tot)
+              ORDER BY stage"""),
+      "Windowed ordered-sequence funnel: stage k+1 counts only within a 36-hour " +
+        "max gap of t_k (inclusive boundary) — the same one-exchange chained-min " +
+        "plan as q_funnel with the bound as one more conjunct; conversion drops " +
+        "where the unwindowed funnel still counts"),
+
+    QueryDef(
+      "q_retention_weekly", Seq("A4", "A1", "F7"),
+      (s, d) => {
+        // WEEKLY cohort retention (VERDICT r17 #3): the granularity
+        // product dashboards actually chart — users keyed by
+        // first-activity ISO week (Monday-start in both engines),
+        // counted once per distinct return week, whole-week offsets
+        // (Monday-to-Monday day differences are exactly divisible by
+        // 7 — integer div, no float). Same single-exchange shape as
+        // q_retention with a weeks²-bounded rollup.
+        retentionOf(Tables.events(s, d), weekly = true)
+      },
+      Some("""WITH e AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                FROM events),
+              c AS (
+                SELECT *, min(wk) OVER (PARTITION BY user_id) AS cohort FROM e),
+              a AS (SELECT DISTINCT user_id, cohort, wk FROM c)
+              SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+                     CAST(date_diff('day', cohort, wk) // 7 AS BIGINT)
+                       AS week_offset,
+                     count(*) AS n_users
+              FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
+      "Weekly cohort retention triangle: first-activity ISO week cohorts, distinct " +
+        "return weeks, whole-week offsets — one user_id window exchange + a " +
+        "weeks²-bounded rollup"),
 
     QueryDef(
       "q_retention", Seq("A4", "A1", "F7"),

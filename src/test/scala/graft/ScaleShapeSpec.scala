@@ -61,9 +61,14 @@ class ScaleShapeSpec extends AnyFunSuite {
     // (the union spelling re-planned the corpus aggregate per stage —
     // measured 12 lines)
     "q_funnel" -> 4,
+    // r18 windowed funnel: the max-gap bound is one more conjunct in the
+    // chained-min when — identical plan, identical budget
+    "q_funnel_windowed" -> 4,
     // r17 retention: the cohort window exchange + the (user, day)
     // distinct + the bounded (cohort, offset) rollup
     "q_retention" -> 6,
+    // r18 weekly cohorts: same engine at week granularity — same shape
+    "q_retention_weekly" -> 6,
     // r17 residual IVFADC: ivfPqAdc's exact scan shape — probed-cell
     // pruned mapPartitions ADC + TakeOrdered, zero exchanges
     "q_ann_ivfadc" -> 0,
