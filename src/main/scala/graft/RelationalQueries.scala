@@ -21,6 +21,14 @@ import org.apache.spark.sql.types._
   */
 object RelationalQueries {
 
+  /** q_fuzzy_join's operational bound on the token-df model broadcast:
+    * a df table beyond this many distinct tokens is no longer a "name
+    * vocabulary" (the operator's declared domain) and the model join
+    * respells SHUFFLE_HASH. 4M 2-long rows ≈ tens of MB broadcast —
+    * comfortably executor-resident; real entity lexicons sit far
+    * below it. */
+  private val FuzzyDfBroadcastCap = 4L * 1024 * 1024
+
   /** Exact decimal sum of a per-row double expression, surfaced as double. */
   private def dsum(e: Column, scale: Int): Column =
     sum(e.cast(DecimalType(18, scale))).cast(DoubleType)
@@ -583,14 +591,30 @@ object RelationalQueries {
           .agg(count(lit(1)).as("n_rows"))
         val toks = names.select(col("name"), col("n_rows"),
           explode(array_distinct(split(col("name"), " "))).as("tok"))
+        // CONTRACT (VERDICT r17 #6): the token-df model broadcast is
+        // bounded by the NAME-TOKEN VOCABULARY — the operator's declared
+        // entity-resolution domain (names/brands/addresses: a bounded
+        // lexicon even at 10⁹ rows, unlike the enum/model broadcasts
+        // elsewhere this is a DOMAIN bound, not a structural one). A
+        // FREE-TEXT input breaks it, so the bound is enforced
+        // operationally: the vocab-sized df table materializes once
+        // (localCheckpoint — its count is then a driver read, and both
+        // the guard and the join read the same bytes), and a table
+        // crossing the guard respells the model join SHUFFLE_HASH
+        // instead of shipping an unbounded broadcast.
         val dfT = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+          .localCheckpoint()
+        val withDf =
+          if (dfT.count() <= FuzzyDfBroadcastCap)
+            toks.join(broadcast(dfT), Seq("tok"))
+          else toks.join(dfT.hint("shuffle_hash"), Seq("tok"))
         // materialized once (localCheckpoint): both join sides read the
         // keyed name space instead of re-deriving the agg + df + window
         // chain per side (Spark shares no common subplan across a
         // self-join without materialization — measured 22 exchange plan
         // lines un-checkpointed vs 6 after; the frame is
         // distinct-name-sized, the same bound the join itself carries)
-        val keyed = toks.join(broadcast(dfT), Seq("tok"))
+        val keyed = withDf
           .withColumn("rn", row_number().over(
             Window.partitionBy("name").orderBy(col("df"), col("tok"))))
           .filter(col("rn") === 1)

@@ -53,7 +53,13 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r17 fuzzy join: the keyed name space localCheckpoints (both join
     // sides read the materialization — un-checkpointed the agg+df+window
     // chain re-planned per side, 22 lines), leaving the SHUFFLE_HASH
-    // self-join's two exchanges + the final sort
+    // self-join's two exchanges + the final sort. The gate's
+    // bounded-broadcast check accepts the token-df broadcast because it
+    // builds from a checkpointed AGGREGATE; its real bound is the
+    // operator's declared NAME-vocabulary domain, enforced operationally
+    // by FuzzyDfBroadcastCap (r18: a df table past the cap respells the
+    // model join SHUFFLE_HASH — free-text inputs never ship an
+    // unbounded broadcast)
     "q_fuzzy_join" -> 6,
     // r17 funnel: the chained stage minimums ride ONE user_id window
     // exchange; the per-user collapse re-shuffles the user frame and the
