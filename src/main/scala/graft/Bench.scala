@@ -237,7 +237,7 @@ object Bench {
     // floor headroom.
     "negatives" -> "neg", "retention" -> "rtn", "ivfadc" -> "adc",
     "funnel" -> "fnl", "rules" -> "rul", "heavy" -> "hv",
-    "windowed" -> "wnd", "weekly" -> "wkl",
+    "windowed" -> "wnd", "weekly" -> "wkl", "audio" -> "aud",
     "terms" -> "tm", "count" -> "ct", "field" -> "fld",
     "limit" -> "lim", "items" -> "itm", "bloom" -> "blm",
     "pivot" -> "pvt", "elect" -> "el", "ngram" -> "ng",

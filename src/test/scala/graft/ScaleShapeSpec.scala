@@ -141,6 +141,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_source_mix" -> 10,
     "q_split_leakage" -> 18,
     "q_image_neardup" -> 14,
+    // r18 audio twin: shares the image leg's banded candidate/verify tail
+    // verbatim (hash64Neardup) — identical shape, identical budget
+    "q_audio_neardup" -> 14,
     "q_profile_orders" -> 4,
     // heavy hitters: fanOut + the single-group sketch merge — the whole
     // point is that NO distinct-gram-cardinality exchange exists (the

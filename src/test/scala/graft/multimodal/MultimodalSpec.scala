@@ -637,6 +637,54 @@ class MultimodalSpec extends AnyFunSuite {
     assert(far >= 20, s"inversion only $far bits away")
   }
 
+  test("audioHash64: re-encode invariant, perturbation tolerant, re-level far") {
+    def pcmOf(bytes: Array[Byte]): Array[Byte] =
+      Multimodal.decodeAudio(bytes).get.frames.toArray.flatten
+    def hashOf(bytes: Array[Byte]): Long = Multimodal.audioHash64(pcmOf(bytes))
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wavOf(pcm: Array[Byte]): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, (pcm.length / 2).toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val base = Multimodal.synthWav("srcA", 0L)
+    // decode → re-encode → decode: the hash keys on SIGNAL, not container
+    // bytes (a different WAV writer producing different chunk padding
+    // must not move a single bit)
+    assert(hashOf(base) === hashOf(wavOf(pcmOf(base))))
+    // the near class: a ≤3-sample silencing moves at most a few bits
+    val near = java.lang.Long.bitCount(
+      hashOf(base) ^ hashOf(Multimodal.synthWav("srcA", 2L)))
+    assert(near <= 6, s"3-sample edit moved $near bits")
+    // the far class: re-leveling the second half moves many
+    val far = java.lang.Long.bitCount(
+      hashOf(base) ^ hashOf(Multimodal.synthWav("srcA", 1L)))
+    assert(far > 6, s"half re-level only $far bits away")
+    // different SOURCES are unrelated signals — far apart
+    val cross = java.lang.Long.bitCount(
+      hashOf(base) ^ hashOf(Multimodal.synthWav("srcB", 0L)))
+    assert(cross > 6, s"cross-source only $cross bits away")
+  }
+
+  test("audioNeardup pairs the near-copy, skips the re-level and the corrupt blob") {
+    val s = graft.SparkSuite.spark
+    import s.implicits._
+    val auds = Seq(
+      (1L, Multimodal.synthWav("srcA", 0L)),
+      (2L, Multimodal.synthWav("srcA", 2L)), // ≤3 silenced samples: near 1
+      (3L, Multimodal.synthWav("srcA", 1L)), // re-leveled half: far
+      (4L, "not audio at all".getBytes("UTF-8"))) // undecodable → drops out
+      .toDF("id", "content")
+    def run(parts: Int) = Multimodal.audioNeardup(auds.repartition(parts), s)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) === Set((1L, 2L)))
+    // partitioning must not change the pair set (bounded-engine contract)
+    assert(run(5) === Set((1L, 2L)))
+  }
+
   test("imageNeardup pairs the near-copy, skips the stranger and the corrupt blob") {
     val s = graft.SparkSuite.spark
     import s.implicits._
