@@ -1109,6 +1109,46 @@ object Cli {
       graft.streaming.VectorStore.append(spark, store, vecs)
       println(s"indexed $n vectors: store=$store")
 
+    case "vector-search" :: store :: embPath :: "--batch" :: rest =>
+      // serve the BATCHED k-NN join from the store's persisted index:
+      // the query set is the deterministic vec_id % mod sample of the
+      // given embeddings parquet (q_knn_join's probe-frame shape), the
+      // sampled ids are excluded from the candidate side as a pushed
+      // scan predicate, and nomination runs from the stored code bytes
+      // (--exact switches to the raw-vector nominate — q_knn_join_ivf's
+      // engine over the persisted cell layout)
+      def intFlag(flag: String, dflt: Int): Int = flagValue(rest, flag) match {
+        case None => dflt
+        case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"$flag needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      val mod = intFlag("--mod", 25)
+      val bProbes = intFlag("--probes", 4)
+      val bTop = intFlag("--top", 5)
+      val bRerank = intFlag("--rerank", 20)
+      val exact = rest.contains("--exact")
+      rejectStray("vector-search",
+        Seq("--mod", "--probes", "--top", "--rerank")
+          .foldLeft(rest)(stripFlag).filterNot(_ == "--exact"))
+      val spark = session()
+      val queries = spark.read.parquet(embPath)
+        .filter(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      val hits = graft.streaming.VectorStore.knnJoin(
+        spark, store, queries, probes = bProbes, r = bRerank, k = bTop,
+        excludeWhere = Some(pmod(col("vec_id"), lit(mod)) === 0),
+        adcNominate = !exact).collect()
+      if (hits.isEmpty) println("empty store or no queries in the sample")
+      else hits.foreach { r =>
+        println(s"qid=${r.getAs[Long]("qid")}" +
+          s" rank=${r.getAs[Int]("knn_rank")}" +
+          s" vec_id=${r.getAs[Long]("vec_id")}" +
+          " cosine=" + String.format(java.util.Locale.ROOT, "%.9f",
+            Double.box(r.getAs[Double]("cosine"))))
+      }
+
     case "vector-search" :: store :: embPath :: id :: rest =>
       // serve a dense ANN query FROM THE STORE's persisted codes (the
       // dense twin of `search --indexed`): the query vector is row
@@ -1496,6 +1536,7 @@ object Cli {
            |  search <lake> <collectionId> <term...> [--top N] [--indexed]
            |  vector-index <store> <embeddingsParquet>
            |  vector-search <store> <embeddingsParquet> <vecId> [--probes N] [--top N]
+           |  vector-search <store> <embeddingsParquet> --batch [--mod N] [--probes N] [--top N] [--rerank N] [--exact]
            |  dsir-select <lake> <rawCollectionId> <targetCollectionId> [--top N] [--weights DIR]
            |  train-bpe <lake> <collectionId> <outFile> [--merges N]
            |  source-mix <lake> <collectionId>

@@ -1677,10 +1677,10 @@ object VectorQueries {
     * double-vs-decimal rank flip matter only if it crosses the #KnnR
     * boundary AND the crosser belongs in the true top-KnnK (a ≥15-place
     * swap on a ~1e-16-relative perturbation — not a reachable state). */
-  private val KnnK = 5
-  private val KnnR = 20
-  private val KnnProbes = 4
-  private val KnnQMod = 25
+  private[graft] val KnnK = 5
+  private[graft] val KnnR = 20
+  private[graft] val KnnProbes = 4
+  private[graft] val KnnQMod = 25
 
   /** Top-`n` probe cells for a RAW vector: [[nearestCell]]'s
     * (dot DESC, cell ASC) ranking generalized past rank 1, over the
@@ -1703,14 +1703,25 @@ object VectorQueries {
     }.sortBy { case (dot, ci) => (-dot, ci) }.take(n).map(_._2.toLong)
   }
 
-  /** Query-side frame: (qid, qe, qnorm_dec). Zero-norm vectors are
-    * dropped on BOTH engines — their cosine is 0/0 and NaN ordering is
-    * the one cross-engine hazard in this family. */
-  private def knnQueries(emb: DataFrame): DataFrame =
-    emb.filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
-      .filter(dotDouble(col("embedding"), col("embedding")) > 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+  /** (qid, qe, qnorm_dec) from an arbitrary (qid, embedding) query
+    * batch — the seam the declared joins ([[knnQueries]]' fixed vec_id
+    * sample) and the store-served join
+    * ([[graft.streaming.VectorStore.knnJoin]], caller-supplied batch)
+    * share, so the exact-refine arithmetic cannot drift between them.
+    * Zero-norm vectors are dropped on BOTH engines — their cosine is
+    * 0/0 and NaN ordering is the one cross-engine hazard in this
+    * family. */
+  private[graft] def knnQueryFrameOf(queries: DataFrame): DataFrame =
+    queries.filter(dotDouble(col("embedding"), col("embedding")) > 0)
+      .select(col("qid"), col("embedding").as("qe"),
         dotDec(col("embedding"), col("embedding")).as("qnorm_dec"))
+
+  /** Query-side frame of the declared joins: the deterministic
+    * vec_id % [[KnnQMod]] sample. */
+  private def knnQueries(emb: DataFrame): DataFrame =
+    knnQueryFrameOf(
+      emb.filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding")))
 
   /** Nominate-stage double cosine — per-row fixed-order folds, so the
     * value is partitioning-independent and the oracle's sequential
@@ -1723,12 +1734,49 @@ object VectorQueries {
     * EXACTLY once — no second scan to re-fetch vectors by id), then the
     * exact decimal re-rank of the q × KnnR survivors. `scored` must have
     * (qid, vec_id, embedding, dscore). */
-  private def knnTopK(scored: DataFrame, q: DataFrame): DataFrame = {
+  private def knnTopK(
+      scored: DataFrame, q: DataFrame,
+      r: Int = KnnR, k: Int = KnnK): DataFrame = {
     val nominated = scored.groupBy("qid")
       .agg(call_function("topk_pairs",
-        col("dscore"), col("vec_id"), col("embedding"), lit(KnnR)).as("cand"))
+        col("dscore"), col("vec_id"), col("embedding"), lit(r)).as("cand"))
       .select(col("qid"), explode(col("cand")).as("c"))
       .select(col("qid"), col("c.id").as("vec_id"), col("c.payload").as("embedding"))
+    knnRefine(nominated, q, k)
+  }
+
+  /** The cell-pruned EXACT-nominate k-NN join engine over an explicit
+    * cell-assigned candidate frame — the one body [[knnJoinIvf]] (cells
+    * re-derived from the table each run) and the store-served
+    * [[graft.streaming.VectorStore.knnJoin]] (cells persisted in the
+    * index layout) share, so the served answer is the declared query's
+    * answer by construction, not by claim. `cand` must carry (cell,
+    * vec_id, embedding); `probeDf` the per-query probe cells (qid,
+    * cell); `queries` the bounded (qid, embedding) batch. */
+  private[graft] def knnJoinFromCells(
+      cand: DataFrame, probeDf: DataFrame, queries: DataFrame,
+      r: Int = KnnR, k: Int = KnnK): DataFrame = {
+    val q = knnQueryFrameOf(queries)
+    // both sides bounded (q × probes vs q rows) — broadcast explicitly:
+    // the probe side has no stats and planned SortMergeJoin without it
+    val probeQ = probeDf.join(broadcast(q), Seq("qid"))
+    val scored = cand
+      .filter(dotDouble(col("embedding"), col("embedding")) > 0)
+      .join(broadcast(probeQ), Seq("cell"))
+      .select(col("qid"), col("vec_id"), col("embedding"),
+        knnScore(col("embedding"), col("qe")).as("dscore"))
+    knnTopK(scored, q, r, k)
+  }
+
+  /** The exact DECIMAL re-rank tail every k-NN join shares (the batch
+    * engines above via [[knnTopK]]; the store-served
+    * [[graft.streaming.VectorStore.knnJoin]] directly): `nominated`
+    * must have (qid, vec_id, embedding) — the r-bounded candidate set —
+    * and `q` the bounded [[knnQueryFrameOf]] frame (broadcast: the
+    * probe-frame contract bounds it). Output (qid, knn_rank, vec_id,
+    * cosine), round-9, rank ties broken by vec_id — ONE spelling, so
+    * the persisted index and the declared queries cannot drift. */
+  private[graft] def knnRefine(nominated: DataFrame, q: DataFrame, k: Int): DataFrame =
     nominated.join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vec_id"),
         cosineCol(
@@ -1737,10 +1785,9 @@ object VectorQueries {
           col("qnorm_dec")).as("cosine"))
       .withColumn("knn_rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))))
-      .filter(col("knn_rank") <= KnnK)
+      .filter(col("knn_rank") <= k)
       .select(col("qid"), col("knn_rank"), col("vec_id"), col("cosine"))
       .orderBy("qid", "knn_rank")
-  }
 
   /** The exact-decimal re-rank + final top-K CTE tail both oracles share;
     * expects a `nom(qid, vec_id)` CTE upstream. */
@@ -1798,7 +1845,6 @@ object VectorQueries {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val centroids = trainCentroids(emb, s)
-    val q = knnQueries(emb)
     val bc = s.sparkContext.broadcast(centroids)
     // per-query probe set: same (dot DESC, cell ASC) ranking over unit
     // vectors as cell assignment, truncated at KnnProbes — computed
@@ -1808,17 +1854,11 @@ object VectorQueries {
       .flatMap { case (id, v) =>
         probeCellsOf(bc.value, v, KnnProbes).iterator.map(c => (id, c))
       }.toDF("qid", "cell")
-    // both sides are the bounded query set (q × KnnProbes rows vs q
-    // rows) — broadcast explicitly: the flatMap side has no stats, and
-    // the scale gate caught this join planning as SortMergeJoin
-    val probeQ = probeDf.join(broadcast(q), Seq("qid"))
     val corpusCells = assignedCells(s, emb, centroids)
       .filter(pmod(col("vec_id"), lit(KnnQMod)) =!= 0)
-      .filter(dotDouble(col("embedding"), col("embedding")) > 0)
-    val scored = corpusCells.join(broadcast(probeQ), Seq("cell"))
-      .select(col("qid"), col("vec_id"), col("embedding"),
-        knnScore(col("embedding"), col("qe")).as("dscore"))
-    knnTopK(scored, q)
+    knnJoinFromCells(corpusCells, probeDf,
+      emb.filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding")))
   }
 
   /** q_knn_join's oracle — also embedded verbatim (nested WITH) as the

@@ -212,6 +212,138 @@ object VectorStore {
       .limit(k)
   }
 
+  /** Serve the BATCHED k-NN join from the store's persisted index — the
+    * many-query composition of [[adcProbe]] (which serves one query):
+    * `queries` is a bounded (qid, embedding) probe frame (the q_knn_join
+    * probe-frame contract — it is collected once to compile each
+    * query's ADC tables driver-side, exactly [[adcProbe]]'s per-query
+    * compilation). Everything is statically pruned to the UNION of the
+    * queries' probed `cell=` partitions, and the nomination stage comes
+    * in two spellings:
+    *
+    *   - `adcNominate = true` (the 100 TB serving path): nominate from
+    *     the stored code bytes ALONE — the embedding column is never
+    *     read in this stage. A driver-built inverted map cell →
+    *     queries-probing-it keeps the per-row work at |queries probing
+    *     this row's cell|, and the r-bounded topk_pairs partials keep
+    *     the one shuffle at q × r rows. Then the EXACT refine: only the
+    *     nominated (qid, vec_id) pairs (broadcast — q × r rows) pull
+    *     their raw vectors back from the same pruned partitions, and
+    *     [[graft.VectorQueries.knnRefine]] — the DECIMAL re-rank
+    *     spelling the declared joins use — ranks them. Recall follows
+    *     the residual-PQ trade q_ann_ivfadc documents: an 8-byte code
+    *     can misrank a true neighbor out of the r nomination slots
+    *     (VectorStoreSpec pins the structural contracts — exact scores
+    *     on whatever is served, probed-cell containment, and that
+    *     nomination recall is monotone in r, reaching the exact answer
+    *     when r covers the probed cells).
+    *   - `adcNominate = false`: nominate with the exact double cosine
+    *     over the store's raw vectors —
+    *     [[graft.VectorQueries.knnJoinFromCells]], the SAME engine body
+    *     q_knn_join_ivf runs, over the persisted cell layout instead of
+    *     a re-derived assignment. Byte-identical to the declared join
+    *     by shared code, pinned in VectorStoreSpec; reads the embedding
+    *     column of the probed cells.
+    *
+    * `excludeWhere` (over vec_id/cell) drops stored rows from the
+    * candidate side — a pushable predicate, not an id list, so the
+    * q_knn_join corpus split (`vec_id % 25 <> 0`) costs a scan filter
+    * rather than a giant isin. Zero-norm stored vectors never surface
+    * (both nominate legs and the refine drop or outrank them — the
+    * declared joins' contract) but in ADC mode can each waste one
+    * nomination slot: codes alone cannot see the norm.
+    *
+    * Replay duplicates from the at-least-once window fold once per
+    * stage (byte-identical rows — same kit, same vector); the fold is
+    * idempotence insurance over the probed slice only, and a store kept
+    * [[compact]]ed makes it a no-op. */
+  def knnJoin(
+      spark: SparkSession, lake: String, queries: DataFrame,
+      probes: Int = graft.VectorQueries.KnnProbes,
+      r: Int = graft.VectorQueries.KnnR,
+      k: Int = graft.VectorQueries.KnnK,
+      excludeWhere: Option[org.apache.spark.sql.Column] = None,
+      adcNominate: Boolean = true): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftExtensions.ensureRegistered(spark)
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("qid", "knn_rank", "vec_id", "cosine")
+    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake))
+      .getOrElse(return empty)
+    require(store.columns.contains("codes"),
+      s"vector store at $lake predates the coded IVFADC layout — " +
+        "rebuild it (re-append the corpus to a fresh store, or Cli " +
+        "vector-index) before serving ADC probes")
+    val kit = servingKitOf(spark, lake)
+    // bounded probe frame, compiled driver-side; zero-norm queries are
+    // dropped here AND in knnQueryFrameOf (same predicate) so the two
+    // legs agree on the query set
+    val compiled = queries.select(col("qid"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0f) }
+      .map { case (qid, v) => (qid, kit.query(v, probes)) }
+    if (compiled.isEmpty) return empty
+    val cells = compiled.flatMap(_._2.probeSet).distinct.map(_.toLong).toSeq
+    val pruned = store.filter(col("cell").isin(cells: _*))
+    val nUncoded = pruned.filter(col("codes").isNull).count()
+    require(nUncoded == 0L,
+      s"$nUncoded stored vectors in the probed cells have no codes " +
+        s"(pre-layout rows mixed into $lake) — rebuild the store before " +
+        "serving ADC probes")
+    val candidates = excludeWhere.fold(pruned)(w => pruned.filter(!w))
+
+    if (!adcNominate) {
+      // AdcQuery.probeSet ranks cells exactly like probeCellsOf (the
+      // declared join's probe derivation) — reuse the compiled sets
+      val probeDf = compiled.toSeq
+        .flatMap { case (qid, qq) => qq.probeSet.toSeq.sorted.map(c => (qid, c.toLong)) }
+        .toDF("qid", "cell")
+      return graft.VectorQueries.knnJoinFromCells(
+        candidates.select(col("cell"), col("vec_id"), col("embedding"))
+          .dropDuplicates("vec_id"),
+        probeDf, queries, r, k)
+    }
+
+    // cell → the queries probing it: per stored row, only those
+    // queries score it (the inverted shape of adcProbe's one probeSet)
+    val byCell: Map[Int, Array[(Long, graft.VectorQueries.AdcQuery)]] =
+      compiled.toSeq
+        .flatMap { case (qid, qq) => qq.probeSet.iterator.map(c => (c, (qid, qq))) }
+        .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toArray) }
+    val bcByCell = spark.sparkContext.broadcast(byCell)
+    val nomIds = candidates
+      .select(col("vec_id"), col("cell"), col("codes"))
+      .dropDuplicates("vec_id")
+      .as[(Long, Long, Seq[Int])]
+      .mapPartitions { it =>
+        val m = bcByCell.value
+        it.flatMap { case (id, cell, codes) =>
+          m.get(cell.toInt) match {
+            case None => Iterator.empty
+            case Some(qs) =>
+              val arr = codes.toArray
+              qs.iterator.map { case (qid, qq) =>
+                (qid, id, qq.scoreDec(cell.toInt, arr).doubleValue)
+              }
+          }
+        }
+      }
+      .toDF("qid", "vec_id", "adc")
+      .groupBy("qid")
+      .agg(call_function("topk_pairs",
+        col("adc"), col("vec_id"), col("vec_id"), lit(r)).as("cand"))
+      .select(col("qid"), explode(col("cand")).as("c"))
+      .select(col("qid"), col("c.id").as("vec_id"))
+    val nominated = candidates.select(col("vec_id"), col("embedding"))
+      .join(broadcast(nomIds), Seq("vec_id"))
+      .dropDuplicates("qid", "vec_id")
+      .filter(call_function("dot_double",
+        col("embedding"), col("embedding")) > 0)
+      .select(col("qid"), col("vec_id"), col("embedding"))
+    graft.VectorQueries.knnRefine(
+      nominated, graft.VectorQueries.knnQueryFrameOf(queries), k)
+  }
+
   /** Probe a batch against the store: (vec_id, dup_of, cosine) for each
     * batch vector within cosine ≥ tau of an ALREADY-STORED vector in its
     * own cell (min dup_of on ties — one deterministic flag per batch

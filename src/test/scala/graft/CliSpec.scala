@@ -509,6 +509,31 @@ class CliSpec extends AnyFunSuite {
     assert(hits.forall(_.contains(" adc=")), out2)
   }
 
+  test("vector-search --batch serves the many-query join from the store") {
+    val store = Files.createTempDirectory("graft-cli-vstore-b").toString
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    run("vector-index", store, emb)
+    val out = run("vector-search", store, emb, "--batch",
+      "--mod", "25", "--top", "3")
+    val hits = out.linesIterator.filter(_.startsWith("qid=")).toSeq
+    assert(hits.nonEmpty, out)
+    // ≤ top rows per qid, ranks contiguous from 1, sampled qids only
+    val byQid = hits.groupBy(_.split(" ")(0))
+    byQid.values.foreach { rows =>
+      assert(rows.size <= 3, rows)
+      assert(rows.map(_.split(" ")(1)) === (1 to rows.size).map(r => s"rank=$r"), rows)
+    }
+    byQid.keys.foreach { q =>
+      assert(q.stripPrefix("qid=").toLong % 25 === 0, q)
+    }
+    // the sampled ids are excluded from the candidate side
+    assert(!hits.exists(h => h.split(" ")(2).stripPrefix("vec_id=").toLong % 25 == 0), out)
+    // --exact runs the declared join's nominate over the same store
+    val outX = run("vector-search", store, emb, "--batch",
+      "--mod", "25", "--top", "3", "--exact")
+    assert(outX.linesIterator.count(_.startsWith("qid=")) === hits.size, outX)
+  }
+
   test("overlap estimates cross-collection shingle sharing from KMV sketches") {
     val desc = "seven silver ships sail past the quiet harbor while the " +
       "lazy dog waits for the quick brown fox under a winter moon"

@@ -140,6 +140,93 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(before === after, "replay + compact must not move the served answer")
   }
 
+  test("store-served batched k-NN join is byte-identical to q_knn_join_ivf") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-knn").toString
+    // first append = the whole table → the store's quantizers train on
+    // exactly the frame the declared join trains on (the adcProbe pin's
+    // precondition), and the declared corpus split becomes a pushable
+    // excludeWhere predicate
+    VectorStore.append(s, lake, embAll)
+    val queries = embAll.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def served = VectorStore.knnJoin(s, lake, queries,
+      excludeWhere = Some(pmod(col("vec_id"), lit(25)) === 0),
+      adcNominate = false)
+    val got = served.collect().map(_.toString).toSeq
+    val want = graft.Queries.byName("q_knn_join_ivf").run(s, dir)
+      .collect().map(_.toString).toSeq
+    assert(got.nonEmpty)
+    assert(got === want,
+      "the persisted index must serve the declared join's exact answer")
+    // an at-least-once replay (same row, same stored kit) must fold away
+    // and leave the served answer unchanged
+    val v3 = embAll.filter(col("vec_id") === 3)
+      .select("embedding").as[Seq[Float]].head()
+    VectorStore.append(s, lake, vecsDF(3L -> v3))
+    assert(served.collect().map(_.toString).toSeq === want,
+      "a replayed append must not move the served batch answer")
+  }
+
+  test("ADC-nominated batched join: exact scores, recall monotone in r, exact at full r") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-knn").toString
+    VectorStore.append(s, lake, embAll)
+    val queries = embAll.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val excl = Some(pmod(col("vec_id"), lit(25)) === 0)
+    def adcAt(r: Int) = VectorStore.knnJoin(s, lake, queries, r = r,
+      excludeWhere = excl, adcNominate = true)
+      .collect().map(x => ((x.getLong(0), x.getLong(2)), (x.getInt(1), x.getDouble(3))))
+    val exact = VectorStore.knnJoin(s, lake, queries,
+      excludeWhere = excl, adcNominate = false)
+      .collect().map(x => ((x.getLong(0), x.getLong(2)), (x.getInt(1), x.getDouble(3))))
+    val truth = exact.map(_._1).toSet
+    // every served pair's cosine is the EXACT decimal value — the ADC
+    // approximation may choose nominees, never score survivors: any
+    // (qid, vec_id) both engines return must carry the same cosine
+    val exactByPair = exact.toMap
+    val r20 = adcAt(20)
+    r20.foreach { case (pair, (_, cos)) =>
+      exactByPair.get(pair).foreach { case (_, ecos) =>
+        assert(cos === ecos, s"ADC-served $pair scored $cos, exact $ecos")
+      }
+    }
+    // nomination recall is monotone in r (the nominated set only grows)…
+    def recall(rows: Array[((Long, Long), (Int, Double))]) =
+      rows.map(_._1).count(truth) .toDouble / truth.size
+    val rec = Seq(5, 20, 80).map(r => recall(adcAt(r)))
+    assert(rec == rec.sorted, s"recall not monotone in r: $rec")
+    // …and at r ≥ the probed candidate count the refine sees every
+    // candidate, so the served answer IS the exact answer
+    val n = embAll.count().toInt
+    assert(adcAt(n).toSeq === exact.toSeq,
+      "full-r ADC nomination must converge to the exact-nominate answer")
+  }
+
+  test("batched join: nomination reads codes only, refine reads embeddings; both scans cell-pruned") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-knn").toString
+    VectorStore.append(s, lake, embAll)
+    val queries = embAll.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val df = VectorStore.knnJoin(s, lake, queries,
+      excludeWhere = Some(pmod(col("vec_id"), lit(25)) === 0))
+    df.collect()
+    val storeScans = PlanWalk.fileScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/vectors")))
+    assert(storeScans.size === 2, s"expected nominate + refine store scans, got:\n$storeScans")
+    storeScans.foreach { sc =>
+      assert(sc.partitionFilters.mkString.contains("cell"),
+        s"store scan not pruned by cell:\n$sc")
+    }
+    assert(storeScans.exists(sc =>
+      !sc.requiredSchema.fieldNames.contains("embedding") &&
+        sc.requiredSchema.fieldNames.contains("codes")),
+      "the nomination stage must score the stored codes without reading raw vectors: " +
+        storeScans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+  }
+
   test("ADC probe REFUSES a store with pre-layout (uncoded) rows, loudly") {
     import s.implicits._
     val lake = Files.createTempDirectory("graft-vstore-legacy").toString
