@@ -1682,6 +1682,13 @@ object VectorQueries {
   private[graft] val KnnProbes = 4
   private[graft] val KnnQMod = 25
 
+  // the lexical eval's probe sample (q_retrieval_eval_lex): every
+  // doc_id % LexQMod == 0 document is a probe, its query = its first
+  // LexNT distinct tokens, graded at BM25 top-LexK
+  private val LexQMod = 50
+  private val LexNT = 3
+  private val LexK = 10
+
   /** Top-`n` probe cells for a RAW vector: [[nearestCell]]'s
     * (dot DESC, cell ASC) ranking generalized past rank 1, over the
     * unit-normalized vector. A zero-norm vector ranks like assignment
@@ -3099,6 +3106,179 @@ object VectorQueries {
         "neighborhoods the cell pruning strands — the output domain is the EXACT " +
         "leg's probe set, so a probe with zero system rows surfaces as an explicit " +
         "recall-0/MRR-0 row instead of vanishing (ADVICE r17)",
-      aux = Some(writeKmeansAux))
+      aux = Some(writeKmeansAux)),
+
+    QueryDef(
+      "q_retrieval_eval_lex", Seq("A4", "J2", "A1"),
+      (s, d) => {
+        // the LEXICAL twin of q_retrieval_eval_multi (eval symmetry —
+        // VERDICT r17 #8): the postings store gets the same per-probe
+        // quality readout the dense index has. Probes = the
+        // deterministic doc_id % LexQMod document sample; each probe's
+        // query = its first LexNT DISTINCT tokens in document order
+        // (array_distinct preserves first occurrence — the oracle
+        // replays it as min(ordinal) rank). SYSTEM = BM25 top-LexK
+        // served from the persisted postings store in ONE batched probe
+        // (PostingsStore.probeBatch — bucket-pruned store read shared
+        // by all probes, r-bounded topk_pairs rank partials). TRUTH =
+        // conjunctive exact term-match over one corpus scan (a doc is
+        // relevant iff it contains ALL the probe's terms) — ranked
+        // retrieval graded against boolean ground truth, the standard
+        // readout a lexical index monitor runs. The probe docs
+        // themselves are excluded from the candidate side (they contain
+        // their own terms by construction — the q_knn_join corpus-split
+        // contract); store totals and df stay corpus-wide, exclusion
+        // applies before ranking only. recall = n_hits/n_rel (NULL when
+        // the probe has no relevant docs — undefined, surfaced, never
+        // invented); mrr coalesces to 0 (the dense eval's spelling).
+        // Cost: one pruned store read + one corpus scan, independent of
+        // probe count; output is per-probe, probe-sample-bounded rows.
+        graft.functions.GraftExtensions.ensureRegistered(s)
+        import s.implicits._
+        val store = Tables.materializeDir("bm25_store", d) { p =>
+          graft.streaming.PostingsStore.appendBatch(
+            p, Tables.documents(s, d).select(col("doc_id"), col("text")),
+            batchId = 0L)
+        }
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        // the probe frame is bounded by contract (probes × LexNT rows —
+        // the VectorStore.knnJoin precedent), so it is collected ONCE
+        // and every probe-side consumer (term fan-out, n_terms, the
+        // output domain) is a LOCAL relation: no per-consumer re-planned
+        // stacks, no micro-shuffles of 30-row frames — the exchanges
+        // left in this plan all carry corpus- or slice-scale data
+        val qtRows = docs.filter(pmod(col("doc_id"), lit(LexQMod)) === 0)
+          .select(col("doc_id").as("qid"),
+            explode(slice(array_distinct(split(col("text"), " ")), 1, LexNT))
+              .as("token"))
+          .as[(Long, String)].collect()
+        val qterms = qtRows.toSeq.toDF("qid", "token")
+        val nT = qtRows.groupBy(_._1).toSeq
+          .map { case (q, xs) => (q, xs.size.toLong) }
+          .toDF("qid", "n_terms")
+        val sysRanks = graft.streaming.PostingsStore.probeBatch(s, store, qterms)
+          .filter(pmod(col("doc_id"), lit(LexQMod)) =!= 0)
+          .groupBy("qid")
+          .agg(call_function("topk_pairs",
+            col("score_dec").cast(DoubleType), col("doc_id"), col("doc_id"),
+            lit(LexK)).as("cand"))
+          .select(col("qid"), posexplode(col("cand")))
+          .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+            col("col.id").as("doc_id"))
+        val truth = docs.filter(pmod(col("doc_id"), lit(LexQMod)) =!= 0)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("token"))
+          .join(broadcast(qterms), Seq("token"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(count(lit(1)).as("n_match"))
+          .join(broadcast(nT), Seq("qid"))
+          .filter(col("n_match") === col("n_terms"))
+          .select(col("qid"), col("doc_id"))
+        // truth grows with the corpus (conjunctive matches of common
+        // terms) and serves THREE readouts (n_rel, n_hits, first_rel) —
+        // one pass computes all three riding truth's existing (qid,
+        // doc_id) grouping, with the probe × LexK bounded rank list
+        // broadcast onto it (never the truth side), so the truth stack
+        // plans exactly once
+        val truthAgg = truth
+          .join(broadcast(sysRanks), Seq("qid", "doc_id"), "left")
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_rel"),
+            count(col("rank")).as("n_hits"),
+            min(col("rank")).as("first_rel"))
+        // output domain = ALL probes (the ADVICE-r17 lesson: a probe
+        // with no relevant docs surfaces as an explicit row)
+        nT.join(broadcast(truthAgg), Seq("qid"), "left")
+          .select(
+            col("qid"), col("n_terms"),
+            coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            col("first_rel"),
+            when(coalesce(col("n_rel"), lit(0L)) > 0,
+              round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
+                / col("n_rel").cast(DoubleType), 9)).as("recall"),
+            round(coalesce(
+              lit(1.0).cast(DoubleType) / col("first_rel").cast(DoubleType),
+              lit(0.0)), 9).as("mrr"))
+          .orderBy("qid")
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                        string_split(text, ' ') AS tk
+                 FROM documents),
+               probes AS (SELECT doc_id AS qid, tk FROM docs
+                          WHERE doc_id % $LexQMod = 0),
+               pu AS (SELECT qid, unnest(tk) AS token,
+                             unnest(generate_series(1, len(tk))) AS ord
+                      FROM probes),
+               pt AS (SELECT qid, token, min(ord) AS ord
+                      FROM pu GROUP BY qid, token),
+               qt AS (SELECT qid, token FROM (
+                        SELECT qid, token, ROW_NUMBER() OVER (
+                          PARTITION BY qid ORDER BY ord) AS rn
+                        FROM pt)
+                      WHERE rn <= $LexNT),
+               nt AS (SELECT qid, count(*) AS n_terms FROM qt GROUP BY qid),
+               tf AS (
+                 SELECT doc_id, dl, token, count(*) AS tf FROM (
+                   SELECT doc_id, dl, unnest(tk) AS token FROM docs)
+                 WHERE token IN (SELECT DISTINCT token FROM qt)
+                 GROUP BY doc_id, dl, token),
+               dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+               tot AS (SELECT count(*) AS n_docs, sum(dl) AS t_all FROM docs),
+               scored AS (
+                 SELECT q.qid, tf.doc_id,
+                        CAST((CAST(tf.tf * tot.t_all * 22 AS DOUBLE)
+                              / CAST(tf.tf * tot.t_all * 10 + tot.t_all * 3
+                                     + tf.dl * tot.n_docs * 9 AS DOUBLE))
+                             * (CAST(tot.n_docs * 2 - dft.df * 2 + 1 AS DOUBLE)
+                                / CAST(dft.df * 2 + 1 AS DOUBLE))
+                             AS DECIMAL(38,18)) AS score_dec
+                 FROM tf JOIN dft ON dft.token = tf.token
+                 JOIN qt q ON q.token = tf.token CROSS JOIN tot
+                 WHERE tf.doc_id % $LexQMod <> 0),
+               sysdoc AS (SELECT qid, doc_id, CAST(sum(score_dec) AS DOUBLE) AS sd
+                          FROM scored GROUP BY qid, doc_id),
+               sysr AS (SELECT qid, doc_id, rn AS rank FROM (
+                          SELECT qid, doc_id, ROW_NUMBER() OVER (
+                            PARTITION BY qid ORDER BY sd DESC, doc_id) AS rn
+                          FROM sysdoc) r
+                        WHERE rn <= $LexK),
+               ctok AS (SELECT DISTINCT doc_id, unnest(tk) AS token
+                        FROM docs WHERE doc_id % $LexQMod <> 0),
+               truth AS (SELECT m.qid, m.doc_id FROM (
+                           SELECT q.qid, c.doc_id, count(*) AS n_match
+                           FROM qt q JOIN ctok c USING (token)
+                           GROUP BY q.qid, c.doc_id) m
+                         JOIN nt USING (qid) WHERE m.n_match = nt.n_terms),
+               hit AS (SELECT s.qid, count(t.doc_id) AS n_hits,
+                              min(CASE WHEN t.doc_id IS NOT NULL
+                                       THEN s.rank END) AS first_rel
+                       FROM sysr s
+                       LEFT JOIN truth t ON t.qid = s.qid AND t.doc_id = s.doc_id
+                       GROUP BY s.qid),
+               nrel AS (SELECT qid, count(*) AS n_rel FROM truth GROUP BY qid),
+               dom AS (SELECT DISTINCT qid FROM qt)
+               SELECT d.qid, nt.n_terms,
+                      CAST(coalesce(r.n_rel, 0) AS BIGINT) AS n_rel,
+                      CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                      CAST(h.first_rel AS BIGINT) AS first_rel,
+                      CASE WHEN coalesce(r.n_rel, 0) > 0
+                           THEN round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+                                  / CAST(r.n_rel AS DOUBLE), 9) END AS recall,
+                      round(coalesce(CAST(1.0 AS DOUBLE)
+                              / CAST(h.first_rel AS DOUBLE), 0.0), 9) AS mrr
+               FROM dom d JOIN nt USING (qid)
+               LEFT JOIN nrel r ON r.qid = d.qid
+               LEFT JOIN hit h ON h.qid = d.qid
+               ORDER BY d.qid"""),
+      "Sampled-probe LEXICAL retrieval eval (the postings-store twin of " +
+        "q_retrieval_eval_multi): per probe of the deterministic doc_id%50 " +
+        "document sample, the store-served BM25 top-10 for the probe's first 3 " +
+        "distinct tokens is graded against the conjunctive exact term-match " +
+        "truth — recall@k and MRR per probe, one bucket-pruned store read for " +
+        "ALL probes (PostingsStore.probeBatch) plus one corpus scan for the " +
+        "truth, independent of probe count")
   )
 }

@@ -183,6 +183,54 @@ object PostingsStore {
       .agg(count(lit(1)).as("n_terms"), sum(col("score_dec")).as("score_dec"))
   }
 
+  /** The BATCHED [[probe]] — one store read serving MANY queries (the
+    * lexical twin of [[VectorStore.knnJoin]]'s many-query composition):
+    * `qterms` is a bounded (qid, token) probe frame. Bucket pruning,
+    * replay folding, in-slice df and the shared exact-rational scoring
+    * are [[probe]]'s spellings verbatim; the only new step is the
+    * broadcast fan-out of each matched posting to the queries carrying
+    * its token, so the store read does not grow with the probe count —
+    * the matched slice is |union of terms| × df rows (read twice, df
+    * leg + scoring leg, both statically pruned — [[probe]]'s exact scan
+    * shape), never the corpus, never per-query scans. df stays GLOBAL
+    * per token (all of a token's postings live
+    * in its bucket), so a posting scores identically under every query
+    * probing it — byte-identical to per-query [[probe]] calls by
+    * construction (PostingsStoreSpec pins it). Output: (qid, doc_id,
+    * n_terms, score_dec), unordered — callers rank per qid. */
+  def probeBatch(spark: SparkSession, store: String, qterms: DataFrame): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long, java.math.BigDecimal)]
+      .toDF("qid", "doc_id", "n_terms", "score_dec")
+      .select(col("qid"), col("doc_id"), col("n_terms"),
+        col("score_dec").cast(org.apache.spark.sql.types.DecimalType(38, 18))
+          .as("score_dec"))
+    val tot = loadTotals(store).getOrElse(return empty)
+    if (!Files.isDirectory(Paths.get(postingsPath(store)))) return empty
+    // the probe frame is bounded (queries × terms) — collected once for
+    // the two driver-side isin pruning lists, the [[probe]] idiom
+    val toks = qterms.select("token").distinct().as[String].collect()
+    if (toks.isEmpty) return empty
+    val buckets = toks.toSeq.toDF("token")
+      .select(tokenBucket(col("token")).as("b"))
+      .distinct().as[Long].collect()
+    val posts = spark.read.parquet(postingsPath(store))
+      .filter(col("token_bucket").isin(buckets: _*))
+      .filter(col("token").isin(toks.toSeq: _*))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+      .distinct() // fold crash-window replay duplicates (exact rows)
+    val dfT = posts.groupBy("token").agg(count(lit(1)).as("df"))
+    posts
+      .join(broadcast(dfT), Seq("token"))
+      .join(broadcast(qterms.select(col("qid"), col("token"))), Seq("token"))
+      .select(col("qid"), col("doc_id"),
+        graft.TextQueries.bm25ScoreExpr(
+          col("tf"), col("dl"), col("df"), lit(tot.nDocs), lit(tot.tAll))
+          .as("score_dec"))
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_dec")).as("score_dec"))
+  }
+
   /** REBUILD the store from scratch without ever destroying the previous
     * copy before the replacement exists (code-review r16: the first cut
     * deleted then rebuilt, so a failed build job permanently lost the

@@ -378,6 +378,14 @@ class ScaleShapeSpec extends AnyFunSuite {
     // hit join (truth side broadcast) — the per-qid metric agg folds into
     // the system leg's existing final exchange
     "q_retrieval_eval_multi" -> 16,
+    // r18 lexical eval symmetry: every probe-side frame is a LOCAL
+    // relation (the bounded probe frame is collected once — the
+    // VectorStore.knnJoin contract), so the exchanges left are the
+    // pruned-slice replay-fold + df pair (probe()'s inherent two-leg
+    // read), the per-(qid,doc) score agg, the k-bounded topk rank agg,
+    // the truth leg's match agg + one-pass metric agg, the final sort,
+    // and the bounded broadcasts
+    "q_retrieval_eval_lex" -> 28,
     // r17 corpus-build manifest — the ONE-PASS cumulative-flag shape plus
     // the line-dedup side input (VERDICT r16 #3, CCNet order): the r16
     // chain (fingerprint window + decon join's shingle explode/distinct

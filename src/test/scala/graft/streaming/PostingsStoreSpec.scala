@@ -84,6 +84,47 @@ class PostingsStoreSpec extends AnyFunSuite {
       s"partition filter is not a static membership list:\n${scanLine.getOrElse("")}")
   }
 
+  test("probeBatch == a per-query probe() per qid, byte-for-byte, one pruned read") {
+    import s.implicits._
+    val store = Files.createTempDirectory("graft-postings-batch").toString
+    PostingsStore.appendBatch(store, docsDF(corpus), 0L)
+    // three probes with overlapping term sets (the df-shared case) and
+    // one term matching nothing
+    val probes: Seq[(Long, Seq[String])] = Seq(
+      10L -> Seq("spark", "merge"),
+      20L -> Seq("key", "dup", "winter"),
+      30L -> Seq("absent_token"))
+    val qterms = probes
+      .flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("qid", "token")
+    val batch = PostingsStore.probeBatch(s, store, qterms)
+      .orderBy(col("qid"), col("doc_id"))
+      .select(col("qid"), col("doc_id"), col("n_terms"),
+        col("score_dec").cast("string").as("sd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val single = probes.flatMap { case (qid, ts) =>
+      PostingsStore.probe(s, store, ts)
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), col("n_terms"),
+          col("score_dec").cast("string").as("sd"))
+        .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getString(2)))
+    }
+    assert(batch.nonEmpty)
+    assert(batch === single.sortBy(x => (x._1, x._2)),
+      "the batched probe must serve each query the single probe's exact rows")
+    // the no-match probe yields no rows, never an invented one
+    assert(!batch.exists(_._1 == 30L))
+    // probe()'s scan shape: the df leg and the scoring leg each read the
+    // store slice, BOTH statically pruned to the batch's buckets — and
+    // the probe count does not add scans
+    val plan = PostingsStore.probeBatch(s, store, qterms)
+      .queryExecution.sparkPlan.toString
+    val scanLines = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scanLines.size <= 2, s"store scans must not grow with probes:\n$plan")
+    assert(scanLines.forall(_.contains("token_bucket")),
+      s"unpruned store scan in:\n$plan")
+  }
+
   test("replayed batch id within a lineage is a full no-op; a reset lineage folds") {
     val store = Files.createTempDirectory("graft-postings-replay").toString
     val t1 = PostingsStore.appendBatch(store, docsDF(corpus), 5L, lineage = "A")
