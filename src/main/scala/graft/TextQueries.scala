@@ -878,9 +878,14 @@ object TextQueries {
       cnt(col("train_ok"), "n7"), tok(col("train_ok"), "t7"))
     val Dec = DecimalType(38, 18)
     // the mix normalizer is a global window over the SOURCES-bounded
-    // aggregate frame — never a recompute of the corpus subtree
-    val share = round(
-      col("w_dec").cast(DoubleType) / col("w_tot").cast(DoubleType), 9)
+    // aggregate frame — never a recompute of the corpus subtree. The
+    // zero-total guard is load-bearing for the INCREMENTAL manifest
+    // (Streaming.appendCorpusManifest): a collection whose docs all die
+    // before split_train has w_tot = 0, and under ANSI the unguarded
+    // divide crashes the close drain — every target is simply 0 then.
+    val share = when(col("w_tot") > 0, round(
+      col("w_dec").cast(DoubleType) / col("w_tot").cast(DoubleType), 9))
+      .otherwise(lit(0.0))
     val nullT = lit(null).cast(LongType)
     def st(idx: Long, name: String, n: Column, t: Column, tgt: Column) =
       struct(lit(idx).as("stage_idx"), lit(name).as("stage"),

@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
 import graft.control.{Control, Notes, PlaneStore, Wipe}
 import graft.ingest.Sink
 import graft.ocds.{Canonical, Metadata}
+import graft.streaming.Streaming
 
 /** The reference's REST surface (`process/urls.py:7-15`,
   * `process/views.py:67-330` `CollectionViewSet`) over this engine's
@@ -165,6 +166,7 @@ final class Api(
     val check = bool(body, "check")
     val lineDedup = bool(body, "line_dedup")
     val dsirScore = bool(body, "dsir_score")
+    val corpusManifest = bool(body, "corpus_manifest")
     val note = Option(body.get("note")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
 
     var plane = PlaneStore.load(lake)
@@ -175,6 +177,7 @@ final class Api(
     val rootSteps = (if (check) Set("check") else Set.empty[String]) ++
       (if (lineDedup) Set("line_dedup") else Set.empty[String]) ++
       (if (dsirScore) Set("dsir_score") else Set.empty[String]) ++
+      (if (corpusManifest) Set("corpus_manifest") else Set.empty[String]) ++
       (if (upgrade) Set("upgrade") else if (compile) Set("compile") else Set.empty[String])
     var created = List(Control.Collection(
       rootId, sourceId, dataVersion, steps = rootSteps, sample = sample))
@@ -252,6 +255,7 @@ final class Api(
         plane = drainLanding(plane, id)
         val p2 = runPendingCompile(plane, id)
         if (p2 ne plane) PlaneStore.save(lake, p2)
+        runManifest(p2, id)
       }
       respond(ex, 202, null)
       return
@@ -286,9 +290,22 @@ final class Api(
     landingRoot.foreach { _ =>
       val p2 = runPendingCompile(plane, id)
       if (p2 ne plane) plane = PlaneStore.save(lake, p2)
+      runManifest(plane, id)
     }
     respond(ex, 202, null)
   }
+
+  /** Per-close-drain corpus-build manifest refresh, iff the tree planned
+    * the `corpus_manifest` step (the check/line_dedup step-gating
+    * discipline) — runs on the first close AND every replayed one, so a
+    * drain that loaded late-landed files refreshes this collection's
+    * manifest slice (dynamic partition overwrite: idempotent, other
+    * collections untouched). See [[Streaming.appendCorpusManifest]]. */
+  private def runManifest(plane: Control.Plane, id: Long): Unit =
+    if (plane.collection(id).steps.contains("corpus_manifest")) {
+      Streaming.appendCorpusManifest(spark, lake, plane, id)
+      ()
+    }
 
   /** Ingest-mode landing-dir drain: run the checkpointed streaming loader
     * over everything the crawler has landed for `id` so far — the

@@ -367,6 +367,115 @@ class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally apiD.stop()
   }
 
+  test("ingest mode: the close drain refreshes the corpus-build manifest iff planned") {
+    // VERDICT r17 #7: the one-shot q_corpus_build made incremental — a
+    // corpus_manifest step planned at create (the check/line_dedup step
+    // pattern) refreshes the collection's manifest slice at every close
+    // drain, composed over the streaming line-dedup store's cleaned text
+    import org.apache.spark.sql.functions.{coalesce, col, sum}
+    val lakeM = Files.createTempDirectory("graft-mft-lake").toString
+    val root = Files.createTempDirectory("graft-mft-landing").toString
+    val apiM = new Api(s, lakeM, landingRoot = Some(root))
+    apiM.start()
+    try {
+      def postM(path: String, body: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${apiM.boundPort}$path"))
+            .method("POST", HttpRequest.BodyPublishers.ofString(body))
+            .header("Content-Type", "application/json").build(),
+          HttpResponse.BodyHandlers.ofString())
+      def close(id: Long, expected: Int) =
+        assert(postM(s"/api/collections/$id/close/",
+          s"""{"stats": {"kingfisher_process_expected_files_count": $expected}}""")
+          .statusCode() == 202)
+      def manifest = Streaming.corpusManifest(s, lakeM)
+      def rawOf(id: Long) = manifest
+        .filter(col("collection_id") === id && col("stage") === "raw")
+
+      // collection A plans BOTH the manifest and the line-dedup leg —
+      // the manifest must account docs by their CLEANED text
+      val cA = Canonical.parse(postM("/api/collections/",
+        """{"source_id": "mfa_spider", "data_version": "2020-03-01 00:00:00",
+          | "corpus_manifest": true, "line_dedup": true}""".stripMargin).body())
+      val idA = cA.get("collection_id").asLong
+      val landA = cA.get("landing_dir").asText
+      Files.writeString(java.nio.file.Paths.get(landA, "a.json"), pkg("ocds-m1", "r1"))
+      close(idA, 3)
+      assert(rawOf(idA).agg(sum(col("n_docs"))).head.getLong(0) === 1L,
+        "first drain must write the collection's manifest slice")
+      // drain 2 via the replayed close: b is a case variant of a (its own
+      // md5 → its own doc, but the SAME normalized line — the streaming
+      // election empties its cleaned text); c is fresh content
+      Files.writeString(java.nio.file.Paths.get(landA, "b.json"), pkg("OCDS-M1", "R1"))
+      Files.writeString(java.nio.file.Paths.get(landA, "c.json"), pkg("ocds-m3", "r3"))
+      close(idA, 3)
+      assert(rawOf(idA).agg(sum(col("n_docs"))).head.getLong(0) === 3L,
+        "the replayed close must refresh the slice with the newly drained docs")
+
+      // the manifest ran over the CLEANED composition: byte-identical to
+      // the batch engine over cleanDocs-folded text, and strictly fewer
+      // raw tokens than the batch engine over the raw slice (b's line
+      // was deduped away)
+      val plane = PlaneStore.load(lakeM)
+      val rawA = Pipeline.collectionDocsOf(s, lakeM, plane.collection(idA)).get
+      val composedA = rawA
+        .join(Streaming.cleanDocs(s, lakeM)
+          .filter(col("collection_id") === idA)
+          .select(col("doc_id"), col("clean_text")), Seq("doc_id"), "left")
+        .select(col("source"), col("doc_id"),
+          coalesce(col("clean_text"), col("text")).as("text"))
+      val cols = Seq("stage_idx", "stage", "source", "n_docs", "n_tokens", "n_target")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      assert(rows(manifest.filter(col("collection_id") === idA)) ===
+        rows(graft.TextQueries.corpusBuildOf(composedA)))
+      val rawTokens = graft.TextQueries.corpusBuildOf(rawA)
+        .filter(col("stage") === "raw").agg(sum(col("n_tokens"))).head.getLong(0)
+      assert(rawOf(idA).agg(sum(col("n_tokens"))).head.getLong(0) < rawTokens,
+        "the manifest must account docs by their line-deduped content")
+
+      // collection B (its own source, no line_dedup): rows ACCRETE per
+      // collection — B's partition appears, A's slice is untouched
+      val beforeB = rows(manifest.filter(col("collection_id") === idA))
+      val cB = Canonical.parse(postM("/api/collections/",
+        """{"source_id": "mfb_spider", "data_version": "2020-03-01 00:00:00",
+          | "corpus_manifest": true}""".stripMargin).body())
+      val idB = cB.get("collection_id").asLong
+      Files.writeString(java.nio.file.Paths.get(
+        cB.get("landing_dir").asText, "d.json"), pkg("ocds-m9", "r9"))
+      close(idB, 1)
+      // the partition column reads back type-inferred — compare as longs
+      assert(manifest.select(col("collection_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet === Set(idA, idB))
+      assert(rows(manifest.filter(col("collection_id") === idA)) === beforeB,
+        "closing another collection must not touch this one's slice")
+      val rawB = Pipeline.collectionDocsOf(
+        s, lakeM, PlaneStore.load(lakeM).collection(idB)).get
+      assert(rows(manifest.filter(col("collection_id") === idB)) ===
+        rows(graft.TextQueries.corpusBuildOf(rawB)),
+        "without line_dedup the slice is the batch q_corpus_build verbatim")
+
+      // totals reconcile with the batch manifest over the UNION of the
+      // collections' doc frames: stage-0 is per-doc additive and the
+      // sources are disjoint, so the union engine's raw rows must equal
+      // the per-collection manifest rows source by source
+      val unionRaw = graft.TextQueries.corpusBuildOf(composedA.union(rawB))
+        .filter(col("stage") === "raw")
+      assert(rows(unionRaw) ===
+        rows(manifest.filter(col("stage") === "raw")),
+        "per-collection raw rows must reconcile with the union manifest")
+
+      // a tree that never planned the step writes no manifest slice
+      val cN = Canonical.parse(postM("/api/collections/",
+        """{"source_id": "mfn_spider", "data_version": "2020-03-01 00:00:00"}""").body())
+      val idN = cN.get("collection_id").asLong
+      Files.writeString(java.nio.file.Paths.get(
+        cN.get("landing_dir").asText, "e.json"), pkg("ocds-m7", "r7"))
+      close(idN, 1)
+      assert(manifest.filter(col("collection_id") === idN).isEmpty)
+    } finally apiM.stop()
+  }
+
   test("ingest mode: a file landing after close is loaded by the replayed close") {
     // ADVICE r7: announced-but-late files stranded the tree forever — the
     // first close drained 1 of 2 expected files, so compilable() gated
