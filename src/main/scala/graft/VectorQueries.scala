@@ -1890,14 +1890,12 @@ object VectorQueries {
           WHERE rn <= $KnnR),
         $knnRerankSql"""
 
-  /** q_knn_join_ivf's oracle — also embedded verbatim (nested WITH) as
-    * the system leg of the q_retrieval_eval_multi oracle. */
-  private def knnJoinIvfOracleSql: String =
-    s"""$cellsCtes,
-        q AS (
-          SELECT sc.vec_id AS qid, sc.d AS qd
-          FROM sc WHERE sc.vec_id % $KnnQMod = 0 AND sc.n2 > 0),
-        probes AS (
+  /** The per-query probe-cell CTE (the sampled queries' top-KnnProbes
+    * cells by the assignment ranking) — shared verbatim by the
+    * q_knn_join_ivf and q_knn_join_ivfadc oracles. Composes after
+    * [[cellsCtes]]. */
+  private def knnProbesCteSql: String =
+    s"""probes AS (
           SELECT qid, cell FROM (
             SELECT un.vec_id AS qid, cent.cell,
                    ROW_NUMBER() OVER (PARTITION BY un.vec_id
@@ -1907,7 +1905,16 @@ object VectorQueries {
             JOIN sc ON sc.vec_id = un.vec_id
             CROSS JOIN cent
             WHERE un.vec_id % $KnnQMod = 0 AND sc.n2 > 0) r
-          WHERE rn <= $KnnProbes),
+          WHERE rn <= $KnnProbes)"""
+
+  /** q_knn_join_ivf's oracle — also embedded verbatim (nested WITH) as
+    * the system leg of the q_retrieval_eval_multi oracle. */
+  private def knnJoinIvfOracleSql: String =
+    s"""$cellsCtes,
+        q AS (
+          SELECT sc.vec_id AS qid, sc.d AS qd
+          FROM sc WHERE sc.vec_id % $KnnQMod = 0 AND sc.n2 > 0),
+        $knnProbesCteSql,
         c AS (
           SELECT sc.vec_id, sc.d, cl.cell
           FROM sc JOIN cells cl ON cl.vec_id = sc.vec_id
@@ -1923,6 +1930,136 @@ object VectorQueries {
             FROM c
             JOIN probes p ON p.cell = c.cell
             JOIN q ON q.qid = p.qid) r
+          WHERE rn <= $KnnR),
+        $knnRerankSql"""
+
+  /** The ADC-NOMINATED batched k-NN join (q_knn_join_ivfadc's body): the
+    * rung between q_knn_join_ivf (exact double nomination over the
+    * probed cells) and the pure-ADC single query (q_ann_ivfadc) — each
+    * probed corpus row is scored against every query probing its cell
+    * with the 8-lookup residual-ADC decimal (the [[AdcKit]] arithmetic,
+    * shared with the persisted [[graft.streaming.VectorStore]] index),
+    * the r-bounded topk_pairs nominate carries the embedding payload so
+    * the corpus is scanned ONCE, and the exact DECIMAL refine
+    * ([[knnRefine]]) re-ranks the q × r survivors. The driver-built
+    * inverted cell → probing-queries map keeps per-row work at |queries
+    * probing this cell|; nomination scores round to 9 (the adcProbe
+    * output contract — also what lets the DuckDB oracle replay the
+    * ordering bit-stably). Recall follows the residual-PQ trade
+    * q_ann_ivfadc documents: the 8-byte code can misrank a true
+    * neighbor out of the r slots — the exact refine fixes rank order
+    * among nominees, never nomination misses. This is the batch twin of
+    * the store-served VectorStore.knnJoin(adcNominate = true), pinned
+    * byte-identical in VectorStoreSpec (the adcProbe ↔ q_ann_ivfadc
+    * precedent). */
+  private def knnJoinAdc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    import s.implicits._
+    val kit = ivfadcKitOf(s, d)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val compiled = queries.as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0f) }
+      .map { case (qid, v) => (qid, kit.query(v, KnnProbes)) }
+    val byCell: Map[Int, Array[(Long, AdcQuery)]] = compiled.toSeq
+      .flatMap { case (qid, qq) => qq.probeSet.iterator.map(c => (c, (qid, qq))) }
+      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toArray) }
+    val bcKit = s.sparkContext.broadcast(kit)
+    val bcByCell = s.sparkContext.broadcast(byCell)
+    val scored = emb.filter(pmod(col("vec_id"), lit(KnnQMod)) =!= 0)
+      .filter(dotDouble(col("embedding"), col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val k = bcKit.value
+        val m = bcByCell.value
+        it.flatMap { case (id, v) =>
+          val u = k.unitOf(v)
+          val cell = k.cellOf(u)
+          m.get(cell) match {
+            case None => Iterator.empty
+            case Some(qs) =>
+              val codes = k.codesOf(u, cell)
+              qs.iterator.map { case (qid, qq) =>
+                (qid, id, qq.scoreDec(cell, codes).doubleValue, v)
+              }
+          }
+        }
+      }
+      .toDF("qid", "vec_id", "adc", "embedding")
+    val nominated = scored
+      .groupBy("qid")
+      .agg(call_function("topk_pairs",
+        round(col("adc"), 9), col("vec_id"), col("embedding"), lit(KnnR)).as("cand"))
+      .select(col("qid"), explode(col("cand")).as("c"))
+      .select(col("qid"), col("c.id").as("vec_id"), col("c.payload").as("embedding"))
+    knnRefine(nominated, knnQueryFrameOf(queries), KnnK)
+  }
+
+  /** q_knn_join_ivfadc's oracle: [[cellsCtes]]' assignment + the shared
+    * probe CTE, residual codes from the materialized pq_res_codebooks
+    * (the q_ann_ivfadc oracle's spellings, per-QUERY this time: the LUT
+    * and per-cell constants gain a qid dimension), round-9 ADC
+    * nomination per (qid, probed corpus row), then the shared exact
+    * decimal re-rank tail. */
+  private def knnJoinAdcOracleSql: String =
+    s"""$cellsCtes,
+        rcb AS (
+          SELECT m, cell, c, half_norm
+          FROM read_parquet('${OracleAux.Token}/pq_res_codebooks/*.parquet')),
+        q AS (
+          SELECT sc.vec_id AS qid, sc.d AS qd
+          FROM sc WHERE sc.vec_id % $KnnQMod = 0 AND sc.n2 > 0),
+        $knnProbesCteSql,
+        c AS (
+          SELECT sc.vec_id, cl.cell
+          FROM sc JOIN cells cl ON cl.vec_id = sc.vec_id
+          WHERE sc.vec_id % $KnnQMod <> 0 AND sc.n2 > 0),
+        res AS (
+          SELECT un.vec_id, c.cell,
+                 list_transform(un.u, (x, i) -> x - cent.c[i]) AS r
+          FROM un
+          JOIN c ON c.vec_id = un.vec_id
+          JOIN cent ON cent.cell = c.cell),
+        sub AS (
+          SELECT vec_id, g.m AS m,
+                 r[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS rm
+          FROM res, generate_series(0, ${PqM - 1}) g(m)),
+        codes AS (
+          SELECT vec_id, m, cell AS code FROM (
+            SELECT s.vec_id, s.m, rcb.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                     ORDER BY list_inner_product(s.rm, rcb.c) - rcb.half_norm
+                       DESC, rcb.cell) AS rn
+            FROM sub s JOIN rcb ON rcb.m = s.m) ranked
+          WHERE rn = 1),
+        qsub AS (
+          SELECT q.qid, g.m AS m,
+                 un.u[$PqSub * g.m + 1 : $PqSub * g.m + $PqSub] AS qm
+          FROM q JOIN un ON un.vec_id = q.qid,
+               generate_series(0, ${PqM - 1}) g(m)),
+        lut AS (
+          SELECT s.qid, rcb.m, rcb.cell,
+                 list_inner_product(s.qm, rcb.c) AS dot
+          FROM rcb JOIN qsub s ON s.m = rcb.m),
+        cdot AS (
+          SELECT q.qid, cent.cell, list_inner_product(qu.u, cent.c) AS cd
+          FROM q JOIN un qu ON qu.vec_id = q.qid CROSS JOIN cent),
+        adcs AS (
+          SELECT p.qid, c.vec_id,
+                 round(CAST(SUM(CAST(l.dot AS DECIMAL(38,18)))
+                            + CAST(cd.cd AS DECIMAL(38,18)) AS DOUBLE), 9) AS adc
+          FROM c
+          JOIN probes p ON p.cell = c.cell
+          JOIN codes co ON co.vec_id = c.vec_id
+          JOIN lut l ON l.qid = p.qid AND l.m = co.m AND l.cell = co.code
+          JOIN cdot cd ON cd.qid = p.qid AND cd.cell = c.cell
+          GROUP BY p.qid, c.vec_id, cd.cd),
+        nom AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY adc DESC, vec_id) AS rn
+            FROM adcs) r
           WHERE rn <= $KnnR),
         $knnRerankSql"""
 
@@ -2693,6 +2830,27 @@ object VectorQueries {
         "bounded-nominate + exact re-rank tail; oracle re-derives cells, probes and " +
         "both rankings from the materialized centroids",
       aux = Some(writeKmeansAux)),
+
+    QueryDef(
+      "q_knn_join_ivfadc", Seq("A5", "J2", "J1"),
+      (s, d) => {
+        // the ADC-NOMINATED batched k-NN join — the index-serving rung of
+        // the join ladder (see [[knnJoinAdc]]): nomination costs 8
+        // decimal lookups + one add per (probed row, query) instead of
+        // the 64-term cosine, the shape the persisted IVFADC store serves
+        // at 100 TB (VectorStore.knnJoin — byte-identical by the shared
+        // kit, pinned in VectorStoreSpec); exact decimal refine restores
+        // true ranks among the nominees.
+        knnJoinAdc(s, d)
+      },
+      Some(knnJoinAdcOracleSql),
+      "ADC-nominated batched k-NN join: each probed corpus row scores against its " +
+        "cell's probing queries with the 8-byte residual-PQ decimal (one corpus scan, " +
+        "r-bounded topk partials carrying the embedding payload), exact decimal " +
+        "re-rank of the q x r survivors — the batch twin of the vector store's " +
+        "served join; oracle re-derives cells, residual codes, per-query LUTs and " +
+        "both rankings from the materialized centroids + codebooks",
+      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writeIvfadcAux(s, d, a) }),
 
     QueryDef(
       "q_hard_negatives", Seq("A5", "J2", "W2"),

@@ -330,8 +330,11 @@ object VectorStore {
       }
       .toDF("qid", "vec_id", "adc")
       .groupBy("qid")
+      // round-9 nomination scores — the adcProbe output contract, and
+      // the spelling that makes this byte-identical to the declared
+      // q_knn_join_ivfadc (whose oracle replays the rounded ordering)
       .agg(call_function("topk_pairs",
-        col("adc"), col("vec_id"), col("vec_id"), lit(r)).as("cand"))
+        round(col("adc"), 9), col("vec_id"), col("vec_id"), lit(r)).as("cand"))
       .select(col("qid"), explode(col("cand")).as("c"))
       .select(col("qid"), col("c.id").as("vec_id"))
     val nominated = candidates.select(col("vec_id"), col("embedding"))

@@ -124,6 +124,10 @@ class ScaleShapeSpec extends AnyFunSuite {
     // the agg's hash partitioning (WindowGroupLimit, no new exchange).
     "q_knn_join" -> 8,
     "q_knn_join_ivf" -> 10,
+    // r18 ADC-nominated join: ONE corpus scan (the probe map is
+    // driver-built, so no probe-side exchanges at all) feeding the
+    // r-bounded nominate agg, the refine's rank window, the final sort
+    "q_knn_join_ivfadc" -> 6,
     // bloom decontamination: the eval-gram distinct (+ its reuse in the
     // bloom build) and the shuffle-hash verify pair account for the extra
     // exchanges over plain q_decontaminate; the train-side scan itself

@@ -182,6 +182,14 @@ class VectorStoreSpec extends AnyFunSuite {
       excludeWhere = excl, adcNominate = false)
       .collect().map(x => ((x.getLong(0), x.getLong(2)), (x.getInt(1), x.getDouble(3))))
     val truth = exact.map(_._1).toSet
+    // the store-served ADC join IS the declared q_knn_join_ivfadc (the
+    // adcProbe ↔ q_ann_ivfadc precedent): same kit, same round-9
+    // nomination, same decimal refine — byte-identical on a store whose
+    // first append was the declared query's training frame
+    val declared = graft.Queries.byName("q_knn_join_ivfadc").run(s, dir).collect()
+      .map(x => ((x.getLong(0), x.getLong(2)), (x.getInt(1), x.getDouble(3))))
+    assert(adcAt(20).toSeq === declared.toSeq,
+      "the persisted index must serve the declared ADC join's exact answer")
     // every served pair's cosine is the EXACT decimal value — the ADC
     // approximation may choose nominees, never score survivors: any
     // (qid, vec_id) both engines return must carry the same cosine
