@@ -246,7 +246,14 @@ object Bench {
     "card" -> "cd", "gate" -> "gt", "meta" -> "mt",
     "tree" -> "tr", "wipe" -> "wp", "notes" -> "nts",
     "json" -> "js", "scan" -> "sc", "eval" -> "ev",
-    "multi" -> "mlt", "fuzzy" -> "fz", "hash" -> "hs")
+    "multi" -> "mlt", "fuzzy" -> "fz", "hash" -> "hs",
+    // r18, at the 146-query surface (capacity gate tripped when
+    // q_ann_sq8 landed: the integer floor edged past the window).
+    // Additions only — every segment below appeared RAW in earlier
+    // lines, so no version bump and no retirements; the ann/ivf/knn
+    // families dominate the surface, so these seven buy ~40 chars.
+    "ann" -> "an", "ivf" -> "iv", "knn" -> "kn",
+    "mix" -> "mx", "agg" -> "ag", "sum" -> "su", "opq" -> "oq")
 
   /** Decode-table version stamped into every summary line as `"kv"`.
     * Bump it whenever [[keyAbbrev]] RENAMES an existing output (adding

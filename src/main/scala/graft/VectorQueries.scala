@@ -2292,6 +2292,114 @@ object VectorQueries {
       aux = Some(writePqAux)),
 
     QueryDef(
+      "q_ann_sq8", Seq("A5", "O5", "J2"),
+      (s, d) => {
+        // SCALAR QUANTIZATION (FAISS's SQ8 rung): each unit vector
+        // compresses to 64 uint8 codes via a per-DIMENSION affine map
+        // code_i = round((u_i − min_i)/(max_i − min_i)·255) — the
+        // simplest published compression rung, 4× smaller than float32
+        // with NO trained codebook structure (the train step is one
+        // exact per-dim min/max pass, deterministic and order-free, so
+        // unlike PQ the oracle re-derives it in plain SQL with no
+        // materialized artifact at all). Scoring reconstructs per dim
+        // and dots against the query; at 100 TB the codes are a stored
+        // column and the scan is a narrow mapPartitions + TakeOrdered —
+        // q_ann_pq's exact zero-exchange shape, one rung cheaper to
+        // train and one rung coarser than PQ's subspace codebooks.
+        // DECIMAL-pinned per-dim terms (the PQ order-insensitivity
+        // discipline) so the oracle's SUM replays the fold bit-for-bit.
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        // train: exact per-dim min/max over the corpus unit vectors —
+        // bounded partials (two 64-double arrays per partition), driver
+        // merge; min/max is order-insensitive so the artifact is
+        // deterministic under any partitioning
+        val parts = emb.filter(col("vec_id") =!= 0)
+          .select(col("embedding")).as[Seq[Float]]
+          .mapPartitions { it =>
+            val mn = Array.fill(Dim)(Double.PositiveInfinity)
+            val mx = Array.fill(Dim)(Double.NegativeInfinity)
+            var any = false
+            it.foreach { v =>
+              val u = unit(v)
+              var i = 0
+              while (i < Dim) {
+                if (u(i) < mn(i)) mn(i) = u(i)
+                if (u(i) > mx(i)) mx(i) = u(i)
+                i += 1
+              }
+              any = true
+            }
+            if (any) Iterator.single((mn.toSeq, mx.toSeq)) else Iterator.empty
+          }.collect()
+        val mn = Array.tabulate(Dim)(i => parts.map(_._1(i)).min)
+        val mx = Array.tabulate(Dim)(i => parts.map(_._2(i)).max)
+        val qu = unit(emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).as[Seq[Float]].head())
+        val bc = s.sparkContext.broadcast((mn, mx, qu))
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+          .mapPartitions { it =>
+            val (bmn, bmx, bq) = bc.value
+            it.map { case (id, v) =>
+              val u = unit(v)
+              var adc = java.math.BigDecimal.ZERO
+              var i = 0
+              while (i < Dim) {
+                val w = bmx(i) - bmn(i)
+                val recon = bmn(i) + (if (w > 0) {
+                  val code = math.max(0L,
+                    math.min(255L, math.round((u(i) - bmn(i)) / w * 255.0)))
+                  code / 255.0 * w
+                } else 0.0)
+                adc = adc.add(new java.math.BigDecimal(bq(i) * recon)
+                  .setScale(18, java.math.RoundingMode.HALF_UP))
+                i += 1
+              }
+              (id, adc.doubleValue)
+            }
+          }
+          .toDF("vec_id", "adc")
+          .select(col("vec_id"), round(col("adc"), 9).as("adc"))
+          .orderBy(col("adc").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH dv AS (
+                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS d FROM embeddings),
+               sc AS (
+                 SELECT vec_id, d, list_inner_product(d, d) AS n2,
+                        1.0 / sqrt(list_inner_product(d, d)) AS s
+                 FROM dv),
+               un AS (
+                 SELECT vec_id,
+                        CASE WHEN n2 = 0 THEN d
+                             ELSE list_transform(d, x -> x * s) END AS u
+                 FROM sc),
+               mm AS (
+                 SELECT i, min(u[i]) AS mn, max(u[i]) AS mx
+                 FROM un, generate_series(1, $Dim) t(i)
+                 WHERE vec_id <> 0 GROUP BY i),
+               qv AS (SELECT u FROM un WHERE vec_id = 0),
+               terms AS (
+                 SELECT c.vec_id,
+                        CAST(q.u[mm.i] * (mm.mn + CASE WHEN mm.mx > mm.mn
+                          THEN LEAST(255, GREATEST(0,
+                                 CAST(round((c.u[mm.i] - mm.mn)
+                                        / (mm.mx - mm.mn) * 255.0) AS BIGINT)))
+                               / 255.0 * (mm.mx - mm.mn)
+                          ELSE 0 END) AS DECIMAL(38,18)) AS term
+                 FROM (SELECT vec_id, u FROM un WHERE vec_id <> 0) c, mm, qv q),
+               adc AS (
+                 SELECT vec_id, round(CAST(SUM(term) AS DOUBLE), 9) AS adc
+                 FROM terms GROUP BY vec_id)
+               SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 10"""),
+      "Scalar-quantization ANN (FAISS SQ8): per-dimension affine uint8 codes from an " +
+        "exact one-pass min/max train, reconstruct-and-dot scoring with DECIMAL-pinned " +
+        "per-dim terms — the codebook-free compression rung below PQ, 4x smaller than " +
+        "float32, zero-exchange scan; the oracle re-derives train, codes and ranking " +
+        "entirely in SQL (no materialized artifact)"),
+
+    QueryDef(
       "q_ann_opq", Seq("A5", "O5", "J2"),
       (s, d) => {
         // OPTIMIZED product quantization (see trainOpq): q_ann_pq's exact

@@ -108,11 +108,11 @@ class BenchLineSpec extends AnyFunSuite {
     assert(SparkEntry.queries.keys.forall(_.startsWith("q_")),
       "a declared query name without the q_ prefix would collide with the strip rule")
     val line = Bench.renderSummaryLine(
-      Seq("q_agg" -> 1.0, "plain" -> 2.0), Seq("q_agg" -> "boom"), "/sf")
+      Seq("q_tree" -> 1.0, "plain" -> 2.0), Seq("q_tree" -> "boom"), "/sf")
     val j = parse(line)
-    assert(j.get("queries").has("agg") && !j.get("queries").has("q_agg"))
+    assert(j.get("queries").has("tr") && !j.get("queries").has("q_tr"))
     assert(j.get("queries").has("plain"))
-    assert(j.get("errors").has("agg"))
+    assert(j.get("errors").has("tr"))
   }
 
   test("key abbreviation stays lossless over the real declared surface") {
@@ -139,7 +139,7 @@ class BenchLineSpec extends AnyFunSuite {
       Seq("q_ann_ivf_kmeans_multiprobe" -> 1.0, "q_neardup_lsh" -> 2.0),
       Seq.empty, "/sf")
     val q = parse(line).get("queries")
-    assert(q.has("ann_ivf_km_mp") && q.has("nd_lsh"), line)
+    assert(q.has("an_iv_km_mp") && q.has("nd_lsh"), line)
   }
 
   test("the line carries the decode-table version; retired outputs stay unambiguous") {

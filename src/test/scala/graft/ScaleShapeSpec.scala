@@ -47,6 +47,10 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_ngram_jaccard" -> 20,
     "q_ann_ivf" -> 2,
     "q_ann_pq" -> 0,
+    // r18 SQ8: the min/max train is a separate bounded-partials job
+    // (driver merge, not in this plan); the scan is q_ann_pq's exact
+    // mapPartitions + TakeOrdered shape, zero exchanges
+    "q_ann_sq8" -> 0,
     // r17 OPQ: q_ann_pq's exact scan shape — mapPartitions ADC +
     // TakeOrdered, the rotation is per-row arithmetic, no shuffle at all
     "q_ann_opq" -> 0,
