@@ -467,6 +467,43 @@ object Cli {
           checked.map { case (n, f) => s" checked=$n check_failed=$f" }.getOrElse(""))
       }
 
+    case "manifest" :: lake :: rest =>
+      // read the incremental corpus-build manifest the close drain
+      // maintains (Streaming.appendCorpusManifest — rows keyed
+      // (collection_id, stage)); an optional collection id restricts to
+      // one slice. Read-only: the manifest refreshes at close time, so a
+      // stale readout means the collection has not been (re)closed.
+      val spark = session()
+      val m = graft.streaming.Streaming.corpusManifest(spark, lake)
+      if (m.isEmpty) {
+        System.err.println(s"no corpus manifest at $lake — plan the " +
+          "corpus_manifest step at create and close the collection")
+        sys.exit(2)
+      }
+      val sliced = rest match {
+        case Nil => m
+        case cid :: Nil => m.filter(col("collection_id") === idArg(cid))
+        case more =>
+          System.err.println(
+            s"manifest: unrecognized arguments: ${more.drop(1).mkString(" ")}")
+          sys.exit(2)
+      }
+      val rows = sliced
+        .orderBy(col("collection_id").cast("long"),
+          col("stage_idx"), col("source"))
+        .collect()
+      if (rows.isEmpty) println("no manifest rows for that collection")
+      else rows.foreach { r =>
+        val tgt = if (r.isNullAt(r.fieldIndex("n_target"))) "-"
+          else r.getAs[Long]("n_target").toString
+        println(s"collection=${r.get(r.fieldIndex("collection_id"))}" +
+          s" stage=${r.getAs[Long]("stage_idx")}:${r.getAs[String]("stage")}" +
+          s" source=${r.getAs[String]("source")}" +
+          s" n_docs=${r.getAs[Long]("n_docs")}" +
+          s" n_tokens=${r.getAs[Long]("n_tokens")}" +
+          s" n_target=$tgt")
+      }
+
     case "collectionstatus" :: lake :: rootId :: Nil =>
       val plane = loadPlane(lake)
       val rid = idArg(rootId)
@@ -1109,6 +1146,84 @@ object Cli {
       graft.streaming.VectorStore.append(spark, store, vecs)
       println(s"indexed $n vectors: store=$store")
 
+    case "hybrid-search" :: pstore :: vstore :: id :: rest0 if rest0.nonEmpty =>
+      // the FULL two-index serving composition (q_hybrid_rrf_ann's
+      // contract made operational): the lexical leg probes the persisted
+      // postings store's token buckets, the dense leg serves ADC from
+      // the vector store's code bytes with the query vector read FROM
+      // THE STORE by id, and the two K-bounded rank lists fuse with the
+      // bit-stable RRF — no corpus scan anywhere. The fusion joins
+      // lexical doc_id with dense vec_id: the two stores must share an
+      // id namespace (they do when both index the same corpus).
+      val hTop = flagValue(rest0, "--top") match {
+        case None => 10
+        case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--top needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      val hProbes = flagValue(rest0, "--probes") match {
+        case None => 4
+        case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--probes needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      val hTerms = stripFlag(stripFlag(rest0, "--top"), "--probes")
+      hTerms.filter(_.startsWith("--")) match {
+        case Nil => ()
+        case bad =>
+          System.err.println(
+            s"hybrid-search: unrecognized flags: ${bad.mkString(" ")}" +
+              " (query terms cannot start with --)")
+          sys.exit(2)
+      }
+      if (hTerms.isEmpty) {
+        System.err.println("hybrid-search needs at least one query term")
+        sys.exit(2)
+      }
+      val hQid = id.toLongOption.getOrElse {
+        System.err.println(s"hybrid-search needs a numeric vec_id, got '$id'")
+        sys.exit(2)
+      }
+      if (graft.streaming.PostingsStore.loadTotals(pstore).isEmpty) {
+        System.err.println(s"no postings store at $pstore — build one " +
+          "(Cli index, or PostingsStore.appendBatch)")
+        sys.exit(2)
+      }
+      val spark = session()
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val qv = graft.ingest.Sink
+        .readOrEmpty(spark, graft.streaming.VectorStore.vecPath(vstore))
+        .map(_.filter(col("vec_id") === hQid).select(col("embedding"))
+          .as[Seq[Float]].collect().headOption)
+        .flatten.getOrElse {
+          System.err.println(s"no vec_id=$hQid in the vector store at $vstore")
+          sys.exit(2)
+        }
+      val lex = graft.streaming.PostingsStore.probe(spark, pstore, hTerms)
+        .orderBy(col("score_dec").desc, col("doc_id")).limit(hTop)
+        .select(col("doc_id"), row_number()
+          .over(Window.orderBy(col("score_dec").desc, col("doc_id")))
+          .cast("long").as("rank_lex"))
+      val dns = graft.streaming.VectorStore
+        .adcProbe(spark, vstore, qv, hProbes, hTop, exclude = Set(hQid))
+        .select(col("vec_id").as("doc_id"), row_number()
+          .over(Window.orderBy(col("adc").desc, col("vec_id")))
+          .cast("long").as("rank_dense"))
+      val fused = graft.VectorQueries.rrfFuseOf(lex, dns).limit(hTop).collect()
+      if (fused.isEmpty) println("no hits from either index")
+      else fused.foreach { r =>
+        def opt(n: String) =
+          if (r.isNullAt(r.fieldIndex(n))) "-" else r.getAs[Long](n).toString
+        println(s"rank=${r.getAs[Long]("rank_fused")}" +
+          s" doc_id=${r.getAs[Long]("doc_id")}" +
+          s" lex=${opt("rank_lex")} dense=${opt("rank_dense")}" +
+          " rrf=" + String.format(java.util.Locale.ROOT, "%.9f",
+            Double.box(r.getAs[Double]("rrf_score"))))
+      }
+
     case "vector-search" :: store :: embPath :: "--batch" :: rest =>
       // serve the BATCHED k-NN join from the store's persisted index:
       // the query set is the deterministic vec_id % mod sample of the
@@ -1537,6 +1652,8 @@ object Cli {
            |  vector-index <store> <embeddingsParquet>
            |  vector-search <store> <embeddingsParquet> <vecId> [--probes N] [--top N]
            |  vector-search <store> <embeddingsParquet> --batch [--mod N] [--probes N] [--top N] [--rerank N] [--exact]
+           |  hybrid-search <postingsStore> <vectorStore> <vecId> <term> [term ...] [--top N] [--probes N]
+           |  manifest <lake> [collectionId]
            |  dsir-select <lake> <rawCollectionId> <targetCollectionId> [--top N] [--weights DIR]
            |  train-bpe <lake> <collectionId> <outFile> [--merges N]
            |  source-mix <lake> <collectionId>

@@ -534,6 +534,35 @@ class CliSpec extends AnyFunSuite {
     assert(outX.linesIterator.count(_.startsWith("qid=")) === hits.size, outX)
   }
 
+  test("hybrid-search fuses the two persisted indexes, no corpus scan") {
+    val s = graft.SparkSuite.spark
+    val dir = "/root/testdata/sf0.001"
+    // both indexes over the SAME corpus id namespace: postings from the
+    // documents table, vectors from the embeddings table
+    val pstore = Files.createTempDirectory("graft-cli-hyb-p").toString
+    graft.streaming.PostingsStore.appendBatch(
+      pstore,
+      graft.Tables.documents(s, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")),
+      batchId = 0L)
+    val vstore = Files.createTempDirectory("graft-cli-hyb-v").toString
+    run("vector-index", vstore, s"$dir/embeddings.parquet")
+    val out = run("hybrid-search", pstore, vstore, "0",
+      "dup", "spark", "merge", "key", "--top", "8")
+    val lines = out.linesIterator.filter(_.startsWith("rank=")).toSeq
+    assert(lines.nonEmpty && lines.size <= 8, out)
+    // fused ranks are contiguous from 1 and rrf is non-increasing
+    assert(lines.map(_.split(" ")(0)) === (1 to lines.size).map(r => s"rank=$r"))
+    val rrfs = lines.map(_.split("rrf=")(1).toDouble)
+    assert(rrfs === rrfs.sorted.reverse, out)
+    // both legs contribute (each index surfaces at least one hit)
+    assert(lines.exists(l => !l.contains("lex=-")), s"no lexical hits:\n$out")
+    assert(lines.exists(l => !l.contains("dense=-")), s"no dense hits:\n$out")
+    // the query row itself is excluded from the dense leg
+    assert(!lines.exists(l => l.contains(" doc_id=0 ") && !l.contains("dense=-")), out)
+  }
+
   test("overlap estimates cross-collection shingle sharing from KMV sketches") {
     val desc = "seven silver ships sail past the quiet harbor while the " +
       "lazy dog waits for the quick brown fox under a winter moon"

@@ -465,6 +465,16 @@ class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
         rows(manifest.filter(col("stage") === "raw")),
         "per-collection raw rows must reconcile with the union manifest")
 
+      // the CLI reader serves the same slice
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+        graft.Cli.main(Array("manifest", lakeM, idA.toString))
+      }
+      assert(buf.toString("UTF-8").linesIterator.contains(
+        s"collection=$idA stage=0:raw source=mfa_spider n_docs=3 " +
+          s"n_tokens=${rawOf(idA).agg(sum(col("n_tokens"))).head.getLong(0)} n_target=-"),
+        buf.toString("UTF-8"))
+
       // a tree that never planned the step writes no manifest slice
       val cN = Canonical.parse(postM("/api/collections/",
         """{"source_id": "mfn_spider", "data_version": "2020-03-01 00:00:00"}""").body())
