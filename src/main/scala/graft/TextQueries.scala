@@ -1443,6 +1443,63 @@ object TextQueries {
       .orderBy("source")
   }
 
+  /** UNIMAX source mixing (Chung et al. 2023): allocate a token budget
+    * across sources as UNIFORMLY as possible subject to a per-source
+    * epoch cap — the published alternative to [[sourceMixOf]]'s
+    * temperature interpolation, built for the regime where small
+    * sources must not be over-repeated (cap = maxEpochs × n_tokens)
+    * while the leftover budget spreads evenly over the rest. This is
+    * water-filling, spelled EXACTLY (no floats anywhere until the final
+    * epochs readout): sort sources ascending by cap, a source is capped
+    * iff the remaining budget spread evenly over the remaining sources
+    * still covers its cap AT EVERY PREFIX (the running-AND makes the
+    * capped set the maximal prefix — the greedy's invariant), and every
+    * uncapped source gets the same integer share
+    * (B − Σ capped) div (N − k). All comparisons and the share are
+    * 64-bit integer arithmetic (at 100 TB cap × n_src stays well inside
+    * Long; the oracle's BIGINT `//` replays it bit-for-bit); only the
+    * epochs column divides doubles, rounded to 9.
+    *
+    * Shape: ONE map-side-combined corpus aggregation; everything after
+    * is windows over the SOURCES-bounded frame (the mix-normalizer
+    * precedent). Output: (source, n_docs, n_tokens, cap_tokens, capped,
+    * n_target, epochs), ordered by source. */
+  private[graft] def unimaxMixOf(
+      docs: DataFrame, totalBudget: Long, maxEpochs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * lit(maxEpochs))
+    val wAsc = Window.orderBy(col("cap_tokens").asc, col("source").asc)
+    val run = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    per
+      .withColumn("i", row_number().over(wAsc).cast(LongType))
+      .withColumn("n_src", count(lit(1)).over(all))
+      .withColumn("prefix", sum(col("cap_tokens")).over(run))
+      .withColumn("ok",
+        col("cap_tokens") * (col("n_src") - col("i") + 1) <=
+          lit(totalBudget) - (col("prefix") - col("cap_tokens")))
+      .withColumn("capped",
+        min(when(col("ok"), 1L).otherwise(0L)).over(run) === 1L)
+      .withColumn("spent",
+        sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).over(all))
+      .withColumn("k", sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+      .withColumn("n_target",
+        when(col("capped"), col("cap_tokens"))
+          .otherwise(expr(s"(${totalBudget}L - spent) div (n_src - k)")))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("cap_tokens"),
+        col("capped"), col("n_target"),
+        when(col("n_tokens") > 0,
+          round(col("n_target").cast(DoubleType)
+            / col("n_tokens").cast(DoubleType), 9)).as("epochs"))
+      .orderBy("source")
+  }
+
   /** The fixed demo query-term set shared by q_bm25_topk and the hybrid
     * fusion (q_hybrid_rrf) — the "shared query set" both retrieval legs
     * rank against. */
@@ -3226,6 +3283,54 @@ object TextQueries {
         "IEEE requires it correctly rounded (cross-engine exact where pow is not), " +
         "decimal-summed normalizer, per-source weights and target draws for a " +
         "100k budget"),
+
+    QueryDef(
+      "q_mix_unimax", Seq("A4", "A1", "W1"),
+      (s, d) => unimaxMixOf(Tables.documents(s, d),
+        totalBudget = 50000L, maxEpochs = 2L),
+      Some("""WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+              capd AS (
+                SELECT source, n_docs, n_tokens,
+                       n_tokens * 2 AS cap_tokens
+                FROM per),
+              rk AS (
+                SELECT *, ROW_NUMBER() OVER w AS i,
+                       COUNT(*) OVER () AS n_src,
+                       SUM(cap_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS prefix
+                FROM capd WINDOW w AS (ORDER BY cap_tokens, source)),
+              fl AS (
+                SELECT *, CASE WHEN cap_tokens * (n_src - i + 1)
+                                    <= 50000 - (prefix - cap_tokens)
+                               THEN 1 ELSE 0 END AS ok
+                FROM rk),
+              cp AS (
+                SELECT *, MIN(ok) OVER (ORDER BY cap_tokens, source
+                            ROWS UNBOUNDED PRECEDING) = 1 AS capped
+                FROM fl),
+              gl AS (
+                SELECT *, SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                            OVER () AS spent,
+                       SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k
+                FROM cp),
+              tgt AS (
+                SELECT source, n_docs, n_tokens, cap_tokens, capped,
+                       CAST(CASE WHEN capped THEN cap_tokens
+                                 ELSE (50000 - spent) // (n_src - k)
+                            END AS BIGINT) AS n_target
+                FROM gl)
+              SELECT source, n_docs, n_tokens, cap_tokens, capped, n_target,
+                     CASE WHEN n_tokens > 0
+                          THEN round(CAST(n_target AS DOUBLE)
+                                 / CAST(n_tokens AS DOUBLE), 9) END AS epochs
+              FROM tgt ORDER BY source"""),
+      "UniMax source mixing (Chung et al. 2023): budget spread as uniformly as " +
+        "possible under a per-source epoch cap — exact integer water-filling " +
+        "(ascending-cap prefix election, integer-div even share), the published " +
+        "alternative to the sqrt-temperature mix for small-source protection; " +
+        "one corpus aggregation, sources-bounded windows after"),
 
     QueryDef(
       "q_corpus_split", Seq("A4", "F5", "P1"),

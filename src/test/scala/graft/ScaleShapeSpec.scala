@@ -147,6 +147,10 @@ class ScaleShapeSpec extends AnyFunSuite {
     // unpivot (profile_orders)
     "q_quality_gate" -> 4,
     "q_source_mix" -> 10,
+    // r18 UniMax: one corpus agg, then the water-filling runs entirely in
+    // windows over the sources-bounded frame (single-partition sort +
+    // the global spent/k windows) + the final source sort
+    "q_mix_unimax" -> 4,
     "q_split_leakage" -> 18,
     "q_image_neardup" -> 14,
     // r18 audio twin: shares the image leg's banded candidate/verify tail
