@@ -709,6 +709,83 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** A funnel-stage event arrival (streaming funnel input). */
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+
+  /** A user's current funnel progress (the streaming state row):
+    * `stage_reached` stages converted so far, `stage_ts` their chained
+    * conversion times t1..t_k, `n_seen` funnel-stage events folded. */
+  final case class FunnelProgress(
+      user_id: Long, stage_reached: Long, stage_ts: Seq[Long], n_seen: Long)
+
+  /** Internal funnel state: per stage, the user's DISTINCT sorted event
+    * times. Distinctness folds at-least-once replays for free (a
+    * replayed event changes nothing); keeping the full per-stage time
+    * lists — not just the current chain — is what makes LATE data exact:
+    * a late stage-1 event with an earlier timestamp lowers t1, which can
+    * re-open earlier stage-2 candidates that already streamed past, so
+    * the chain must recompute against history, not against its own last
+    * value. */
+  final case class FunnelState(byStage: Seq[Seq[Long]], nSeen: Long)
+
+  /** The ordered funnel as live per-user state — the streaming twin of
+    * [[graft.EventQueries.funnelOf]] (same chained-min semantics, same
+    * optional max-gap window; StreamingSpec referees the two over the
+    * union of batches, out-of-order arrivals included). Emits the user's
+    * new [[FunnelProgress]] whenever a batch touches them (outputMode
+    * "update" — the [[lastWriteWins]] shape).
+    *
+    * State per user = their distinct funnel-stage timestamps. That is
+    * the exact-late-data price (see [[FunnelState]]); it is bounded by
+    * the user's own funnel activity — the per-user boundedness the batch
+    * engine's WindowExec already assumes — and a production deployment
+    * caps it with a state TTL (GroupStateTimeout) at the cost of
+    * dropping later-than-TTL conversions, the standard trade. */
+  def funnelProgress(
+      events: Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("signup", "click", "purchase"),
+      maxGapUs: Option[Long] = None): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "a funnel needs at least one stage")
+    require(maxGapUs.forall(_ > 0), "maxGapUs must be positive")
+    import events.sparkSession.implicits._
+    val stageIdx: Map[String, Int] = stages.zipWithIndex.toMap
+    val nStages = stages.size
+    events
+      .filter(e => stageIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val prev = state.getOption
+            .getOrElse(FunnelState(Seq.fill(nStages)(Seq.empty), 0L))
+          val merged = Array.tabulate(nStages)(i =>
+            collection.mutable.SortedSet(prev.byStage(i): _*))
+          var seen = prev.nSeen
+          rows.foreach { e =>
+            seen += 1
+            merged(stageIdx(e.event_type)) += e.ts_us
+          }
+          // recompute the chained minimum against full history — the
+          // batch engine's t_{k+1} = min{ts of stage k+1 : ts > t_k
+          // (and ≤ t_k + W)} recurrence, over sorted distinct times
+          val chain = collection.mutable.ArrayBuffer.empty[Long]
+          var prevT: Option[Long] = Some(Long.MinValue)
+          for (k <- 0 until nStages if prevT.isDefined) {
+            val tk =
+              if (k == 0) merged(0).headOption
+              else {
+                val later = merged(k).iteratorFrom(prevT.get + 1)
+                (if (later.hasNext) Some(later.next()) else None)
+                  .filter(t => maxGapUs.forall(w => t <= prevT.get + w))
+              }
+            tk.foreach(chain += _)
+            prevT = tk
+          }
+          val next = FunnelState(merged.map(_.toSeq).toSeq, seen)
+          state.update(next)
+          FunnelProgress(uid, chain.size.toLong, chain.toSeq, seen)
+      }
+  }
+
   /** An event for the stateful compaction. */
   final case class KeyedEvent(key: String, seq: Long, value: String)
 

@@ -678,6 +678,79 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("funnelProgress == the batch funnel over the union, out-of-order batches included") {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import Streaming.FunnelEvent
+    val stages = Seq("signup", "click", "purchase")
+    // three users; u2's signup arrives LATE (batch 2) with an EARLIER
+    // timestamp than their already-seen click — t1 must lower and the
+    // chain must re-open the click that had streamed past; u3 converts
+    // fully; an off-funnel event type must fold into nothing
+    val batch1 = Seq(
+      FunnelEvent(2L, "click", 5000L),
+      FunnelEvent(3L, "signup", 100L),
+      FunnelEvent(3L, "click", 200L),
+      FunnelEvent(1L, "signup", 1000L),
+      FunnelEvent(1L, "view", 1500L))
+    val batch2 = Seq(
+      FunnelEvent(2L, "signup", 4000L), // late, earlier than the click
+      FunnelEvent(3L, "purchase", 300L),
+      FunnelEvent(2L, "click", 5000L)) // exact replay of batch 1's event
+    val input = MemoryStream[FunnelEvent]
+    val q = Streaming.funnelProgress(input.toDS(), stages)
+      .writeStream.outputMode("update").format("memory").queryName("fnl").start()
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest state per user
+    val latest = s.table("fnl")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct("stage_reached", "stage_ts", "n_seen"),
+        org.apache.spark.sql.functions.col("n_seen")).as("st"))
+      .select("user_id", "st.stage_reached", "st.stage_ts")
+      .as[(Long, Long, Seq[Long])].collect().sortBy(_._1)
+    // u2: the late signup re-opened the click — 2 stages, chain (4000, 5000)
+    assert(latest.toSeq === Seq(
+      (1L, 1L, Seq(1000L)),
+      (2L, 2L, Seq(4000L, 5000L)),
+      (3L, 3L, Seq(100L, 200L, 300L))))
+    // referee: per-stage user counts == the BATCH engine over the union
+    val union = (batch1 ++ batch2)
+      .toDF("user_id", "event_type", "ts_us")
+    val want = graft.EventQueries.funnelOf(union, stages)
+      .select("stage", "n_users").as[(Long, Long)].collect().toMap
+    val got = (1 to stages.size).map(k =>
+      (k.toLong, latest.count(_._2 >= k).toLong)).toMap
+    assert(got === want, "streamed progress must referee against funnelOf")
+    // the max-gap contract streams identically: a 500 µs window cuts
+    // u2's 1000 µs signup→click hop but keeps u3's tight chain
+    val input2 = MemoryStream[FunnelEvent]
+    val q2 = Streaming.funnelProgress(input2.toDS(), stages, maxGapUs = Some(500L))
+      .writeStream.outputMode("update").format("memory").queryName("fnlw").start()
+    try {
+      input2.addData(batch1: _*)
+      q2.processAllAvailable()
+      input2.addData(batch2: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val latestW = s.table("fnlw")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max_by(
+        org.apache.spark.sql.functions.struct("stage_reached", "n_seen"),
+        org.apache.spark.sql.functions.col("n_seen")).as("st"))
+      .select("user_id", "st.stage_reached")
+      .as[(Long, Long)].collect().toMap
+    val wantW = graft.EventQueries.funnelOf(union, stages, maxGapUs = Some(500L))
+      .select("stage", "n_users").as[(Long, Long)].collect().toMap
+    val gotW = (1 to stages.size).map(k =>
+      (k.toLong, latestW.values.count(_ >= k).toLong)).toMap
+    assert(gotW === wantW)
+    assert(latestW(2L) === 1L, "the gap bound must cut u2's wide hop")
+  }
+
   test("lastWriteWins keeps latest per key across batches; late data never regresses (T9)") {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
