@@ -249,6 +249,48 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(top10("q_ann_opq").size === 10)
   }
 
+  test("SQ8: reconstructs far finer than PQ (8× the bytes) and retrieves the exact top-10 here") {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(s, dir)
+    val vecs = emb.filter(col("vec_id") =!= 0)
+      .select("embedding").as[Seq[Float]].collect()
+    def unitOf(v: Seq[Float]): Array[Double] = {
+      val d = v.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      if (n == 0) d else d.map(_ / n)
+    }
+    val us = vecs.map(unitOf)
+    val dim = us.head.length
+    val mn = Array.tabulate(dim)(i => us.map(_(i)).min)
+    val mx = Array.tabulate(dim)(i => us.map(_(i)).max)
+    // the query's affine roundtrip (q_ann_sq8's encode/decode spelling)
+    def recon(u: Array[Double]): Array[Double] = Array.tabulate(dim) { i =>
+      val w = mx(i) - mn(i)
+      if (w > 0) {
+        val code = math.max(0L, math.min(255L, math.round((u(i) - mn(i)) / w * 255.0)))
+        mn(i) + code / 255.0 * w
+      } else mn(i)
+    }
+    def err2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sqErr = us.map(u => err2(u, recon(u))).sum / us.length
+    val pqErr = VectorQueries.pqReconError(
+      emb, s, null, VectorQueries.trainPqCodebooks(emb, s))
+    info(f"mean recon error sq8(64B)=$sqErr%.6f pq(8B)=$pqErr%.6f")
+    // 8 bits per DIMENSION vs 8 bits per 8-dim SUBSPACE: the 8× byte
+    // budget must buy at least an order of magnitude of reconstruction
+    // accuracy — the rate-distortion gap the SQ rung exists to expose
+    assert(sqErr * 10 < pqErr,
+      f"SQ8 error $sqErr%.6f not an order under PQ's $pqErr%.6f")
+    // and at this fidelity the ADC ranking IS the exact ranking on this
+    // table (measured 1.0; the floor gates a quantizer regression)
+    val exact = top10("q_ann_bruteforce")
+    val rSq = (exact & top10("q_ann_sq8")).size / 10.0
+    info(f"recall@10 sq8=$rSq%.1f")
+    assert(rSq >= 0.8, "64-byte codes should rank this table near-exactly")
+  }
+
   test("IVF-OPQ: rotated-residual reconstruction never exceeds plain residual PQ") {
     val emb = Tables.embeddings(s, dir)
     val cs = VectorQueries.trainCentroids(emb, s)
