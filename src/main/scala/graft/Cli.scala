@@ -1127,7 +1127,7 @@ object Cli {
           sys.exit(2)
       }
 
-    case "vector-index" :: store :: embPath :: Nil =>
+    case "vector-index" :: store :: embPath :: rest if rest.forall(_ == "--opq") =>
       // build or EXTEND the persistent IVFADC vector index (the dense
       // twin of `index`): append an embeddings parquet (vec_id BIGINT,
       // embedding ARRAY<FLOAT>) to the cell-partitioned store — coarse
@@ -1143,8 +1143,12 @@ object Cli {
       // review: on a large store that was two full extra scans per
       // index invocation, purely for logging)
       val n = vecs.count()
-      graft.streaming.VectorStore.append(spark, store, vecs)
-      println(s"indexed $n vectors: store=$store")
+      // --opq trains the FAISS-style 'OPQ,IVF,PQ' layout on the FIRST
+      // append (train-once; later appends follow the stored artifacts)
+      graft.streaming.VectorStore.append(spark, store, vecs,
+        opq = rest.contains("--opq"))
+      println(s"indexed $n vectors: store=$store" +
+        (if (rest.contains("--opq")) " layout=opq" else ""))
 
     case "hybrid-search" :: pstore :: vstore :: id :: rest0 if rest0.nonEmpty =>
       // the FULL two-index serving composition (q_hybrid_rrf_ann's
@@ -1649,7 +1653,7 @@ object Cli {
            |  export <lake> <collectionId> <dir> [--shards N] [--epoch N] [--epoch-idx I] [--packed] [--merges FILE] [--curriculum]
            |  index <lake> <collectionId>
            |  search <lake> <collectionId> <term...> [--top N] [--indexed]
-           |  vector-index <store> <embeddingsParquet>
+           |  vector-index <store> <embeddingsParquet> [--opq]
            |  vector-search <store> <embeddingsParquet> <vecId> [--probes N] [--top N]
            |  vector-search <store> <embeddingsParquet> --batch [--mod N] [--probes N] [--top N] [--rerank N] [--exact]
            |  hybrid-search <postingsStore> <vectorStore> <vecId> <term> [term ...] [--top N] [--probes N]

@@ -39,6 +39,7 @@ object VectorStore {
   def vecPath(lake: String): String = s"$lake/vectors"
   def centroidPath(lake: String): String = s"$lake/vector_centroids"
   def codebookPath(lake: String): String = s"$lake/vector_codebooks"
+  def rotationPath(lake: String): String = s"$lake/vector_rotation"
 
   /** Load the stored quantizer, or train it from `vecs` and persist it
     * (first call). Training delegates to the deterministic
@@ -58,31 +59,69 @@ object VectorStore {
     }
   }
 
-  /** Load the stored residual PQ codebooks, or train them from `vecs`
-    * over the stored/trained coarse quantizer and persist them (first
-    * call) — the centroid stability contract extended to the fine
-    * quantizer: codes written by later batches MUST come from the same
-    * codebooks or the persisted index silently mixes codebook epochs.
-    * Returns the full [[graft.VectorQueries.AdcKit]] (ONE spelling of
-    * encode/score, shared with the batch q_ann_ivfadc). */
-  def kitOf(spark: SparkSession, lake: String, vecs: => DataFrame): graft.VectorQueries.AdcKit = {
+  /** Load the stored residual PQ codebooks (+ the OPQ rotation when the
+    * store was trained with one), or train them from `vecs` over the
+    * stored/trained coarse quantizer and persist them (first call) —
+    * the centroid stability contract extended to the fine quantizer:
+    * codes written by later batches MUST come from the same codebooks
+    * (and rotation) or the persisted index silently mixes codebook
+    * epochs. Returns the full [[graft.VectorQueries.AdcKit]] (ONE
+    * spelling of encode/score, shared with the batch q_ann_ivfadc /
+    * q_ann_ivf_opq).
+    *
+    * `opq` applies to the FIRST append only (train-once): it selects
+    * the FAISS-style 'OPQ,IVF,PQ' layout — trainOpq's jointly-trained
+    * rotation + rotated-residual codebooks — instead of plain residual
+    * PQ. Later appends and every probe always follow the STORED
+    * artifacts regardless of the flag. The codebook rows carry a
+    * `rotated` marker and loading a rotated store REQUIRES the rotation
+    * artifact (a partial copy that lost it would otherwise silently
+    * score the stored rotated codes unrotated — the mixed-epoch failure
+    * the serving contract forbids); the rotation is also written BEFORE
+    * the codebooks so the one crash window retrains both
+    * deterministically instead of stranding marked codebooks. */
+  def kitOf(
+      spark: SparkSession, lake: String, vecs: => DataFrame,
+      opq: Boolean = false): graft.VectorQueries.AdcKit = {
     import spark.implicits._
     val cs = centroidsOf(spark, lake, vecs)
-    val cbs = graft.ingest.Sink.readOrEmpty(spark, codebookPath(lake)) match {
+    val (cbs, rot) = graft.ingest.Sink.readOrEmpty(spark, codebookPath(lake)) match {
       case Some(df) =>
         val rows = df.select(col("m"), col("cell"), col("c"))
           .as[(Long, Long, Seq[Double])].collect()
-        rows.groupBy(_._1).toArray.sortBy(_._1)
+        val loaded = rows.groupBy(_._1).toArray.sortBy(_._1)
           .map(_._2.sortBy(_._2).map(_._3.toArray))
+        val rotated = df.columns.contains("rotated") &&
+          df.filter(col("rotated")).limit(1).count() > 0
+        val storedRot = graft.ingest.Sink.readOrEmpty(spark, rotationPath(lake))
+          .map(_.select(col("i"), col("r")).as[(Long, Seq[Double])].collect()
+            .sortBy(_._1).map(_._2.toArray))
+        require(!rotated || storedRot.isDefined,
+          s"vector store at $lake has OPQ-rotated codebooks but no " +
+            "persisted rotation (vector_rotation) — scoring the stored " +
+            "codes unrotated would mix quantizer epochs; rebuild the " +
+            "store (re-append the corpus to a fresh store, or Cli " +
+            "vector-index --opq) before using it")
+        (loaded, if (rotated) storedRot.orNull else null)
       case None =>
-        val trained = graft.VectorQueries.trainPqCodebooks(vecs, spark, res = cs)
+        val (trainedRot, trained) =
+          if (opq) {
+            val (r, c) = graft.VectorQueries.trainOpq(vecs, spark, res = cs)
+            (r, c)
+          } else
+            (null, graft.VectorQueries.trainPqCodebooks(vecs, spark, res = cs))
+        if (trainedRot != null)
+          trainedRot.zipWithIndex.toSeq
+            .map { case (row, i) => (i.toLong, row.toSeq) }
+            .toDF("i", "r")
+            .coalesce(1).write.mode("overwrite").parquet(rotationPath(lake))
         (for { m <- trained.indices; j <- trained(m).indices }
-          yield (m.toLong, j.toLong, trained(m)(j).toSeq))
-          .toDF("m", "cell", "c")
+          yield (m.toLong, j.toLong, trained(m)(j).toSeq, trainedRot != null))
+          .toDF("m", "cell", "c", "rotated")
           .coalesce(1).write.mode("overwrite").parquet(codebookPath(lake))
-        trained
+        (trained, trainedRot)
     }
-    graft.VectorQueries.AdcKit(cs, cbs)
+    graft.VectorQueries.AdcKit(cs, cbs, rot)
   }
 
   /** The stored kit for SERVING — load-only, never train (ADVICE r17):
@@ -153,8 +192,10 @@ object VectorStore {
     * ([[adcProbe]] serves queries from the codes alone). One narrow
     * shuffle: repartition on cell keeps files-per-batch = touched
     * cells, not tasks × cells. */
-  def append(spark: SparkSession, lake: String, vecs: DataFrame): Unit = {
-    assigned(spark, vecs, kitOf(spark, lake, vecs))
+  def append(
+      spark: SparkSession, lake: String, vecs: DataFrame,
+      opq: Boolean = false): Unit = {
+    assigned(spark, vecs, kitOf(spark, lake, vecs, opq))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(vecPath(lake))
   }

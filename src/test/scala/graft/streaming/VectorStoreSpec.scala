@@ -140,6 +140,41 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(before === after, "replay + compact must not move the served answer")
   }
 
+  test("OPQ-layout store serves q_ann_ivf_opq's exact answer; rotation is train-once and guarded") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-opq").toString
+    // first append = the whole table with --opq: the store trains the
+    // FAISS-style rotation + rotated-residual codebooks on exactly the
+    // declared query's frame, so serving parity is bit-for-bit
+    VectorStore.append(s, lake, embAll, opq = true)
+    val qv = embAll.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    def probe = VectorStore.adcProbe(s, lake, qv, probes = 4, k = 10,
+      exclude = Set(0L, 9200L)).collect().map(_.toString).toSeq
+    val got = probe
+    val want = graft.Queries.byName("q_ann_ivf_opq").run(s, dir)
+      .collect().map(_.toString).toSeq
+    assert(got === want,
+      "the OPQ store must serve the declared IVF-OPQ query's exact answer")
+    // train-once: a later append (a near-copy of the query, excluded
+    // from the readout) reuses the stored rotation + codebooks and the
+    // served answer is unchanged
+    VectorStore.append(s, lake, vecsDF(9200L -> scaled(qv, 1.4f)))
+    assert(probe === want, "a later append must not retrain the OPQ layout")
+    // a partial store copy that lost the rotation must refuse loudly —
+    // scoring rotated codes unrotated would mix quantizer epochs
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    deleteRec(java.nio.file.Paths.get(VectorStore.rotationPath(lake)))
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.adcProbe(s, lake, qv, probes = 4, k = 10).collect()
+    }
+    assert(e.getMessage.contains("rotation"), e.getMessage)
+  }
+
   test("store-served batched k-NN join is byte-identical to q_knn_join_ivf") {
     import s.implicits._
     val lake = Files.createTempDirectory("graft-vstore-knn").toString
