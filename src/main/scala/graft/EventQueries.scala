@@ -87,7 +87,12 @@ object EventQueries {
     * (user_id, ts_us, event_type). The k-row stage readout is ONE
     * explode over the single aggregate row — a per-stage union would
     * re-plan the whole corpus aggregation once per stage (measured: 3×
-    * the exchange lines at 3 stages). */
+    * the exchange lines at 3 stages). The per-user window buffers a
+    * user's events in one partition (human-scale per-user counts — the
+    * sessionize precedent); a degenerate 10⁸-event bot user wants either
+    * an upstream per-user cap or the incremental
+    * [[graft.streaming.Streaming.funnelProgress]] state engine, whose
+    * per-user state is the distinct funnel-stage timestamps only. */
   private[graft] def funnelOf(
       events: DataFrame,
       stages: Seq[String] = Seq("signup", "click", "purchase"),
