@@ -325,6 +325,69 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("property: unimaxMixOf is exact water-filling on random corpora") {
+    import s.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 6) {
+      val nSources = 1 + rnd.nextInt(6)
+      val sizes = Seq.fill(nSources)(1 + rnd.nextInt(60))
+      var id = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (n, si) =>
+        Seq.fill(n) {
+          id += 1
+          (id, s"src$si", Seq.fill(1 + rnd.nextInt(25))("w").mkString(" "))
+        }
+      }
+      val budget = 1L + rnd.nextInt(3000)
+      val epochs = 1L + rnd.nextInt(3)
+      val out = TextQueries.unimaxMixOf(
+          rows.toDF("doc_id", "source", "text"), budget, epochs)
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("cap_tokens"), r.getAs[Boolean]("capped"),
+          r.getAs[Long]("n_target")))
+      val label = s"trial $trial (B=$budget E=$epochs sizes=$sizes)"
+      // cap respected everywhere; capped sources sit exactly AT cap
+      out.foreach { case (src, cap, capped, tgt) =>
+        assert(tgt <= cap, s"$label: $src target $tgt > cap $cap")
+        if (capped) assert(tgt === cap, s"$label: capped $src below its cap")
+      }
+      // budget conservation: never overspent, and underspend is only the
+      // integer-division remainder (< number of uncapped sources) unless
+      // EVERYTHING capped (budget exceeds the whole corpus × epochs)
+      val total = out.map(_._4).sum
+      assert(total <= budget || out.forall(_._3) && total == out.map(_._2).sum,
+        s"$label: overspent $total > $budget")
+      val nUncapped = out.count(!_._3)
+      if (nUncapped > 0)
+        assert(budget - total < nUncapped,
+          s"$label: left ${budget - total} unspent with $nUncapped uncapped sources")
+      // uniformity: every uncapped source gets the SAME share, and that
+      // share is >= every capped source's cap (the water level)
+      val shares = out.filter(!_._3).map(_._4).distinct
+      assert(shares.size <= 1, s"$label: uneven uncapped shares $shares")
+      shares.headOption.foreach { tau =>
+        out.filter(_._3).foreach { case (src, cap, _, _) =>
+          assert(cap <= tau, s"$label: capped $src's cap $cap above the water level $tau")
+        }
+      }
+      // the batch engine agrees with a plain-Scala greedy reference
+      val caps = out.map(x => (x._1, x._2)).sortBy(x => (x._2, x._1))
+      var remaining = budget
+      var left = caps.size
+      val want = scala.collection.mutable.Map.empty[String, Long]
+      var stillFilling = true
+      caps.foreach { case (src, cap) =>
+        val even = remaining / left
+        if (stillFilling && cap <= even) { want(src) = cap; remaining -= cap }
+        else { stillFilling = false; want(src) = remaining / left }
+        if (stillFilling) left -= 1
+      }
+      out.foreach { case (src, _, _, tgt) =>
+        assert(tgt === want(src), s"$label: $src got $tgt, greedy reference ${want(src)}")
+      }
+    }
+  }
+
   test("q_corpus_build population-consistency: stages agree with the standalone rung queries") {
     val rows = Queries.byName("q_corpus_build").run(s, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
