@@ -751,6 +751,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(latestW(2L) === 1L, "the gap bound must cut u2's wide hop")
   }
 
+  test("funnelProgress final state is batching-invariant (1 batch == 3 batches, any order)") {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import Streaming.FunnelEvent
+    val rnd = new scala.util.Random(7)
+    val stages = Seq("signup", "click", "purchase")
+    val events = (1 to 40).map { i =>
+      FunnelEvent(1L + rnd.nextInt(5),
+        Seq("signup", "click", "purchase", "view")(rnd.nextInt(4)),
+        (1 + rnd.nextInt(50)).toLong * 100L)
+    }
+    def finalState(batches: Seq[Seq[FunnelEvent]], name: String): Map[Long, (Long, Seq[Long])] = {
+      val input = MemoryStream[FunnelEvent]
+      val q = Streaming.funnelProgress(input.toDS(), stages, maxGapUs = Some(2000L))
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      s.table(name)
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct("stage_reached", "stage_ts", "n_seen"),
+          org.apache.spark.sql.functions.col("n_seen")).as("st"))
+        .select("user_id", "st.stage_reached", "st.stage_ts")
+        .as[(Long, Long, Seq[Long])].collect()
+        .map(x => x._1 -> (x._2, x._3)).toMap
+    }
+    val one = finalState(Seq(events), "fnl_one")
+    // a shuffled 3-way split — events arrive out of order ACROSS batches
+    val shuffled = rnd.shuffle(events)
+    val three = finalState(
+      Seq(shuffled.take(13), shuffled.slice(13, 26), shuffled.drop(26)), "fnl_three")
+    assert(three === one,
+      "the chained-min over full per-user history must not depend on batching")
+  }
+
   test("lastWriteWins keeps latest per key across batches; late data never regresses (T9)") {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
