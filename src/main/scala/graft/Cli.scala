@@ -1198,11 +1198,19 @@ object Cli {
       val spark = session()
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window
-      val qv = graft.ingest.Sink
+      // a missing store and a missing id are different mistakes with
+      // different fixes — mirror the postings-side loadTotals guard
+      // instead of folding both into one message (ADVICE r18)
+      val vtab = graft.ingest.Sink
         .readOrEmpty(spark, graft.streaming.VectorStore.vecPath(vstore))
-        .map(_.filter(col("vec_id") === hQid).select(col("embedding"))
-          .as[Seq[Float]].collect().headOption)
-        .flatten.getOrElse {
+        .getOrElse {
+          System.err.println(s"no vector store at $vstore — build one " +
+            "(Cli vector-index, or VectorStore.append)")
+          sys.exit(2)
+        }
+      val qv = vtab.filter(col("vec_id") === hQid).select(col("embedding"))
+        .as[Seq[Float]].collect().headOption
+        .getOrElse {
           System.err.println(s"no vec_id=$hQid in the vector store at $vstore")
           sys.exit(2)
         }

@@ -196,7 +196,13 @@ object PostingsStore {
     * per token (all of a token's postings live
     * in its bucket), so a posting scores identically under every query
     * probing it — byte-identical to per-query [[probe]] calls by
-    * construction (PostingsStoreSpec pins it). Output: (qid, doc_id,
+    * construction (PostingsStoreSpec pins it). The probe frame is
+    * deduplicated driver-side (it is collected once anyway, bounded by
+    * contract): a caller passing duplicate (qid, token) rows would
+    * otherwise fan each matched posting out once per duplicate and
+    * silently inflate n_terms and score_dec (ADVICE r18) — exactly as
+    * [[probe]] is insensitive to a repeated term in `qterms` via the
+    * postings-side distinct. Output: (qid, doc_id,
     * n_terms, score_dec), unordered — callers rank per qid. */
   def probeBatch(spark: SparkSession, store: String, qterms: DataFrame): DataFrame = {
     import spark.implicits._
@@ -207,9 +213,14 @@ object PostingsStore {
           .as("score_dec"))
     val tot = loadTotals(store).getOrElse(return empty)
     if (!Files.isDirectory(Paths.get(postingsPath(store)))) return empty
-    // the probe frame is bounded (queries × terms) — collected once for
-    // the two driver-side isin pruning lists, the [[probe]] idiom
-    val toks = qterms.select("token").distinct().as[String].collect()
+    // the probe frame is bounded (queries × terms) — collected ONCE,
+    // deduplicated here (distinctness made structural, not a caller
+    // precondition), and re-broadcast as a local relation; the token
+    // list drives the two driver-side isin pruning lists, the
+    // [[probe]] idiom
+    val pairs = qterms.select(col("qid"), col("token"))
+      .as[(Long, String)].collect().distinct.toSeq
+    val toks = pairs.map(_._2).distinct
     if (toks.isEmpty) return empty
     val buckets = toks.toSeq.toDF("token")
       .select(tokenBucket(col("token")).as("b"))
@@ -222,7 +233,7 @@ object PostingsStore {
     val dfT = posts.groupBy("token").agg(count(lit(1)).as("df"))
     posts
       .join(broadcast(dfT), Seq("token"))
-      .join(broadcast(qterms.select(col("qid"), col("token"))), Seq("token"))
+      .join(broadcast(pairs.toDF("qid", "token")), Seq("token"))
       .select(col("qid"), col("doc_id"),
         graft.TextQueries.bm25ScoreExpr(
           col("tf"), col("dl"), col("df"), lit(tot.nDocs), lit(tot.tAll))

@@ -148,6 +148,14 @@ object VectorStore {
       sys.error("unreachable: servingKitOf verified both artifacts exist"))
   }
 
+  /** Cell + code assignment for append. `znorm` is the codes-side
+    * zero-norm marker (ADVICE r18): a zero-norm vector has no cosine,
+    * so every serving path that ranks by cosine must exclude it — but
+    * the batched join's ADC nomination reads ONLY the code bytes, which
+    * cannot see the norm. Marking the row at append (when the raw
+    * vector is in hand anyway) lets the codes-only nomination drop it
+    * without touching the embedding column, so the served candidate set
+    * matches the declared q_knn_join_ivfadc exactly. */
   private def assigned(
       spark: SparkSession, vecs: DataFrame,
       kit: graft.VectorQueries.AdcKit): DataFrame = {
@@ -159,10 +167,10 @@ object VectorStore {
         it.map { case (id, v) =>
           val u = k.unitOf(v)
           val cell = k.cellOf(u)
-          (id, v, cell.toLong, k.codesOf(u, cell).toSeq)
+          (id, v, cell.toLong, k.codesOf(u, cell).toSeq, v.forall(_ == 0f))
         }
       }
-      .toDF("vec_id", "embedding", "cell", "codes")
+      .toDF("vec_id", "embedding", "cell", "codes", "znorm")
   }
 
   /** Cell assignment WITHOUT codes — the dedup probe's path (r17
@@ -289,10 +297,15 @@ object VectorStore {
     * `excludeWhere` (over vec_id/cell) drops stored rows from the
     * candidate side — a pushable predicate, not an id list, so the
     * q_knn_join corpus split (`vec_id % 25 <> 0`) costs a scan filter
-    * rather than a giant isin. Zero-norm stored vectors never surface
-    * (both nominate legs and the refine drop or outrank them — the
-    * declared joins' contract) but in ADC mode can each waste one
-    * nomination slot: codes alone cannot see the norm.
+    * rather than a giant isin. Zero-norm stored vectors never surface,
+    * and on a store with the `znorm` marker column (appends since the
+    * marker landed) the ADC nomination drops them BEFORE scoring via
+    * the codes-side marker — the declared q_knn_join_ivfadc's exact
+    * candidate set, without reading the embedding column. On a
+    * pre-marker store the codes alone cannot see the norm, so a
+    * zero-norm row can each waste one nomination slot there (the one
+    * documented deviation from the declared query, post-nomination
+    * filtering only — ADVICE r18); rebuild or re-append to remove it.
     *
     * Replay duplicates from the at-least-once window fold once per
     * stage (byte-identical rows — same kit, same vector); the fold is
@@ -352,7 +365,15 @@ object VectorStore {
         .flatMap { case (qid, qq) => qq.probeSet.iterator.map(c => (c, (qid, qq))) }
         .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toArray) }
     val bcByCell = spark.sparkContext.broadcast(byCell)
-    val nomIds = candidates
+    // drop zero-norm rows from the nomination input via the codes-side
+    // marker (null on pre-marker files → not zero-norm as far as the
+    // marker knows; the post-refine filter below still excludes them
+    // from answers) so nomination stays embedding-free
+    val nomInput =
+      if (candidates.columns.contains("znorm"))
+        candidates.filter(!coalesce(col("znorm"), lit(false)))
+      else candidates
+    val nomIds = nomInput
       .select(col("vec_id"), col("cell"), col("codes"))
       .dropDuplicates("vec_id")
       .as[(Long, Long, Seq[Int])]

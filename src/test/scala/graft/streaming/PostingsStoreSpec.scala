@@ -125,6 +125,28 @@ class PostingsStoreSpec extends AnyFunSuite {
       s"unpruned store scan in:\n$plan")
   }
 
+  test("probeBatch is insensitive to duplicate (qid, token) probe rows") {
+    import s.implicits._
+    val store = Files.createTempDirectory("graft-postings-dupprobe").toString
+    PostingsStore.appendBatch(store, docsDF(corpus), 0L)
+    val distinctF = Seq((10L, "spark"), (10L, "merge"), (20L, "key"))
+      .toDF("qid", "token")
+    // the same frame with every row repeated (a sloppy caller) — without
+    // the driver-side dedup each matched posting would fan out twice,
+    // doubling n_terms and score_dec (ADVICE r18)
+    val dupF = distinctF.union(distinctF).union(distinctF.limit(1))
+    def rows(f: org.apache.spark.sql.DataFrame) =
+      PostingsStore.probeBatch(s, store, f)
+        .orderBy(col("qid"), col("doc_id"))
+        .select(col("qid"), col("doc_id"), col("n_terms"),
+          col("score_dec").cast("string"))
+        .collect().map(_.toString).toSeq
+    val want = rows(distinctF)
+    assert(want.nonEmpty)
+    assert(rows(dupF) === want,
+      "duplicate probe rows must not inflate n_terms/score_dec")
+  }
+
   test("replayed batch id within a lineage is a full no-op; a reset lineage folds") {
     val store = Files.createTempDirectory("graft-postings-replay").toString
     val t1 = PostingsStore.appendBatch(store, docsDF(corpus), 5L, lineage = "A")

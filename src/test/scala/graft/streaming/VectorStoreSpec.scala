@@ -247,6 +247,30 @@ class VectorStoreSpec extends AnyFunSuite {
       "full-r ADC nomination must converge to the exact-nominate answer")
   }
 
+  test("a stored zero-norm vector never costs an ADC nomination slot (codes-side marker)") {
+    import s.implicits._
+    // two stores whose quantizers train on the SAME first append; one
+    // then receives a zero-norm vector. Pre-marker, that row could
+    // displace a real nominee from the r-bounded top list (codes alone
+    // cannot see the norm — ADVICE r18); with the znorm marker both
+    // stores must serve byte-identical ADC joins even at tiny r
+    val clean = Files.createTempDirectory("graft-vstore-znorm-a").toString
+    val dirty = Files.createTempDirectory("graft-vstore-znorm-b").toString
+    VectorStore.append(s, clean, embAll)
+    VectorStore.append(s, dirty, embAll)
+    VectorStore.append(s, dirty, vecsDF(999999L -> Seq.fill(64)(0f)))
+    val queries = embAll.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val excl = Some(pmod(col("vec_id"), lit(25)) === 0)
+    def served(lake: String) = VectorStore.knnJoin(s, lake, queries,
+      r = 1, k = 1, excludeWhere = excl, adcNominate = true)
+      .collect().map(_.toString).toSeq
+    val want = served(clean)
+    assert(want.nonEmpty)
+    assert(served(dirty) === want,
+      "a zero-norm stored row must not perturb the ADC-nominated join")
+  }
+
   test("batched join: nomination reads codes only, refine reads embeddings; both scans cell-pruned") {
     import s.implicits._
     val lake = Files.createTempDirectory("graft-vstore-knn").toString
