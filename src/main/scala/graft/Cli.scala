@@ -744,12 +744,32 @@ object Cli {
         System.err.println("--epoch-idx requires --epoch N")
         sys.exit(2)
       }
+      // --unimax E: allocate the --epoch budget with UniMax integer
+      // water-filling under a per-source cap of E epochs (budget and
+      // targets in TOKENS — unimaxMixOf's contract) instead of the
+      // sqrt-temperature example draw; the epoch is then materialized
+      // by the shared wraparound/interleave engine (mixEpochUnimaxOf)
+      val unimaxEpochs = flagValue(rest, "--unimax").map { v =>
+        v.toLongOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--unimax needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
+      if (unimaxEpochs.isDefined && epochBudget.isEmpty) {
+        System.err.println("--unimax requires --epoch B (the token budget)")
+        sys.exit(2)
+      }
       // --packed: emit fixed-2048-token BPE training windows instead of
       // raw per-document text rows (the packedEpochExportOf composition);
       // only meaningful over a mixture epoch
       val packed = rest.contains("--packed")
       if (packed && epochBudget.isEmpty) {
         System.err.println("--packed requires --epoch N")
+        sys.exit(2)
+      }
+      if (packed && unimaxEpochs.isDefined) {
+        System.err.println("--packed and --unimax cannot combine yet — " +
+          "pack the sqrt-temperature epoch, or export the UniMax epoch raw")
         sys.exit(2)
       }
       // --merges FILE: budget the packed windows with a RUNTIME-trained
@@ -776,8 +796,8 @@ object Cli {
       }
       rejectStray("export",
         stripFlag(
-          stripFlag(stripFlag(stripFlag(rest, "--shards"), "--epoch"),
-            "--epoch-idx"), "--merges")
+          stripFlag(stripFlag(stripFlag(stripFlag(rest, "--shards"),
+            "--epoch"), "--epoch-idx"), "--merges"), "--unimax")
           .filterNot(a => a == "--packed" || a == "--curriculum"))
       val spark = session()
       val plane = loadPlane(lake)
@@ -815,6 +835,32 @@ object Cli {
                     println(s"exported packed epoch (budget=$b, windows=$nWin," +
                       s" tokens=$nTok) of collection $cid to $dir shards=$nShards")
                   } finally { wins.unpersist(); () }
+                } else if (unimaxEpochs.isDefined) {
+                val laid = TextQueries.mixEpochUnimaxExportOf(docs, b,
+                    unimaxEpochs.get, nShards, epochIdx,
+                    curriculum = curriculum).persist()
+                try {
+                  Sink.writeShards(laid, dir,
+                    orderCols = Seq("vtime", "source", "doc_id", "k"))
+                  // UniMax budgets are TOKENS and selection is whole-doc
+                  // undershoot, so the realized epoch legitimately lands
+                  // under the budget (never over — the cap contract);
+                  // report the realized token count, not just rows
+                  val n = laid.count()
+                  val nTok = laid
+                    .agg(coalesce(
+                      sum(size(split(coalesce(col("text"), lit("")), " "))
+                        .cast("long")), lit(0L)))
+                    .head().getLong(0)
+                  if (nTok > b)
+                    // structurally impossible (the undershoot rule) —
+                    // if it ever prints, the engine broke its contract
+                    System.err.println(s"WARNING: UniMax epoch realized" +
+                      s" $nTok tokens OVER the $b budget")
+                  println(s"exported unimax epoch (budget=$b tokens," +
+                    s" rows=$n, tokens=$nTok, maxEpochs=${unimaxEpochs.get})" +
+                    s" of collection $cid to $dir shards=$nShards")
+                } finally { laid.unpersist(); () }
                 } else {
                 val laid =
                   TextQueries.mixEpochExportOf(docs, b, nShards, epochIdx,

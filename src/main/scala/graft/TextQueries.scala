@@ -301,6 +301,127 @@ object TextQueries {
       .select(col("shard"), col("vtime"), col("source"), col("doc_id"),
         col("k"), col("text"))
 
+  /** The epoch materializer GENERALIZED to an explicit per-source
+    * TOKEN-budget target frame (VERDICT r18 Next #1 — the seam that
+    * lets [[unimaxMixOf]]'s allocation actually produce an epoch):
+    * `targets` must carry (source, n_docs, n_tokens, n_target), n_target
+    * a TOKEN budget over a source totalling n_tokens tokens in n_docs
+    * docs — exactly [[unimaxMixOf]]'s output shape. Selection is
+    * [[mixEpochOf]]'s hash-ordered wraparound, re-derived in token
+    * units:
+    *
+    *  - full cycles c = n_target div n_tokens — every doc of the source
+    *    emits c times (a capped UniMax source has n_target = maxEpochs ×
+    *    n_tokens exactly, so it emits each doc exactly maxEpochs times
+    *    and never one more — the cap is structural, not approximate);
+    *  - the remainder R = n_target mod n_tokens fills one more partial
+    *    cycle in the SAME content-stable (bucket, hash, doc_id) order:
+    *    a doc joins iff its running token prefix p (through itself) is
+    *    ≤ R — whole docs only, so per-source emitted tokens NEVER
+    *    exceed n_target (the undershoot rule: overshoot could silently
+    *    break a UniMax cap by up to one doc), and maximally so (the
+    *    next doc in order would cross the budget). p is monotone in
+    *    rank, so the partial cycle is a rank prefix and k stays a
+    *    contiguous 0..n_emit-1 permutation per source
+    *    (CorpusPipelineSpec pins all of it).
+    *
+    * The rank AND the token prefix ride the one (source, bucket) window
+    * of the distributed-rank idiom (same exchange, one more running
+    * sum); per-source emission counts for the WFQ vtime denominator are
+    * a count window over the EMISSIONS frame, which is budget-bounded
+    * (every doc counts ≥ 1 token, so |emissions| ≤ total budget) — the
+    * mix-normalizer bounded-frame precedent, no second pass over the
+    * corpus. Output: (shard, vtime, source, doc_id, k), unordered —
+    * [[mixEpochOf]]'s contract. */
+  private[graft] def mixEpochFromTargets(
+      docs: DataFrame, targets: DataFrame, nShards: Int,
+      epochIdx: Long = 0L, curriculum: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksB = tokens(coalesce(col("text"), lit("")))
+    val based = docs.select(col("source"), col("doc_id"),
+        exportHash(col("doc_id"), s":epoch:$epochIdx").as("h"),
+        size(filter(toksB, t => t.isin(enStop: _*))).cast(LongType).as("st"),
+        size(toksB).cast(LongType).as("wt"))
+      .withColumn("q",
+        if (curriculum) expr("(st * 1000000) div wt") else lit(0L))
+      .drop("st")
+      .withColumn("bucket", pmod(col("h"), lit(nShards.toLong)))
+    val wLoc = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("h"), col("doc_id"))
+    val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // sources × buckets rows — driver-bounded at any corpus size
+    val offsets = based.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("cnt"), sum(col("wt")).as("wsum"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .withColumn("offw", coalesce(sum(col("wsum")).over(wOff), lit(0L)))
+      .select(col("source"), col("bucket"), col("off"), col("offw"))
+    val selected = based
+      .withColumn("rl", row_number().over(wLoc).cast(LongType))
+      .withColumn("pl", sum(col("wt")).over(wRun))
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("r", col("rl") + col("off"))
+      .withColumn("p", col("pl") + col("offw"))
+      .join(broadcast(
+        targets.select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_target"))), Seq("source"))
+      // n_tokens >= n_docs >= 1 by construction (tokens('') has size 1),
+      // so the integer division cannot hit zero
+      .withColumn("reps",
+        expr("n_target div n_tokens") +
+          when(col("p") <= expr("n_target % n_tokens"), 1L).otherwise(0L))
+      .filter(col("reps") > 0)
+      .select(col("source"), col("doc_id"), col("q"), col("n_docs"),
+        col("r"),
+        explode(expr("sequence(CAST(0 AS BIGINT), reps - 1)")).as("j"))
+      .withColumn("k", col("r") - 1 + col("j") * col("n_docs"))
+    val emitted = selected.withColumn("n_emit",
+      count(lit(1)).over(Window.partitionBy(col("source"))))
+    val sharded = emitted.withColumn("h2",
+        exportHash(concat_ws(":", col("doc_id"), col("k")),
+          s":epoch-shard:$epochIdx"))
+      .withColumn("shard", pmod(col("h2"), lit(nShards.toLong)))
+    val w2 = Window.partitionBy(col("shard"), col("source"))
+      .orderBy(col("q"), col("h2"), col("doc_id"), col("k"))
+    sharded
+      .withColumn("rn2", row_number().over(w2).cast(LongType))
+      .select(col("shard"),
+        ((col("rn2") * 2 - 1).cast(DoubleType)
+          / (col("n_emit") * 2).cast(DoubleType)).as("vtime"),
+        col("source"), col("doc_id"), col("k"))
+  }
+
+  /** [[unimaxMixOf]]'s allocation realized as a concrete epoch — the
+    * composition q_mix_epoch_unimax declares: the UniMax integer
+    * water-filling computes per-source token budgets, and
+    * [[mixEpochFromTargets]] fills each one with hash-ordered
+    * wraparound selection. `totalBudget` and `maxEpochs` are token
+    * units, [[unimaxMixOf]]'s contract. */
+  private[graft] def mixEpochUnimaxOf(
+      docs: DataFrame, totalBudget: Long, maxEpochs: Long, nShards: Int,
+      epochIdx: Long = 0L, curriculum: Boolean = false): DataFrame =
+    mixEpochFromTargets(
+      docs,
+      unimaxMixOf(docs, totalBudget, maxEpochs)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_target")),
+      nShards, epochIdx, curriculum)
+
+  /** [[mixEpochUnimaxOf]] with the text payload joined back — the
+    * UniMax twin of [[mixEpochExportOf]] (same SHUFFLE_HASH join-once
+    * rationale and doc_id-uniqueness precondition), the frame
+    * `Cli export --epoch B --unimax E` writes as epoch shards. */
+  private[graft] def mixEpochUnimaxExportOf(
+      docs: DataFrame, totalBudget: Long, maxEpochs: Long, nShards: Int,
+      epochIdx: Long = 0L, curriculum: Boolean = false): DataFrame =
+    mixEpochUnimaxOf(docs, totalBudget, maxEpochs, nShards, epochIdx,
+        curriculum)
+      .join(docs.select(col("doc_id"), col("text")).hint("SHUFFLE_HASH"),
+        Seq("doc_id"))
+      .select(col("shard"), col("vtime"), col("source"), col("doc_id"),
+        col("k"), col("text"))
+
   /** Fixed-budget TRAINING WINDOWS over a materialized mixture epoch —
     * the artifact a training loader consumes directly (VERDICT r15 Next
     * #4: the epoch export shipped raw text; the packed-sequence rung
@@ -3532,6 +3653,94 @@ object TextQueries {
         "in-shard emissions quality-ANNEALED, lowest stopword-density score first, " +
         "so every shard's tail is its highest-quality slice (the decay-phase " +
         "upweighting practice); integer score, hash tie-breaks, fully re-derivable"),
+
+    QueryDef(
+      "q_mix_epoch_unimax", Seq("A4", "W1", "J2", "F5"),
+      (s, d) => mixEpochUnimaxOf(Tables.documents(s, d),
+          totalBudget = 50000L, maxEpochs = 2L, nShards = 4)
+        .orderBy(col("shard"), col("vtime"), col("source"), col("doc_id"),
+          col("k"))
+        .select(col("shard"), round(col("vtime"), 9).as("vtime"),
+          col("source"), col("doc_id"), col("k")),
+      Some("""WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+              capd AS (
+                SELECT source, n_docs, n_tokens, n_tokens * 2 AS cap_tokens
+                FROM per),
+              rk AS (
+                SELECT *, ROW_NUMBER() OVER w AS i,
+                       COUNT(*) OVER () AS n_src,
+                       SUM(cap_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS prefix
+                FROM capd WINDOW w AS (ORDER BY cap_tokens, source)),
+              fl AS (
+                SELECT *, CASE WHEN cap_tokens * (n_src - i + 1)
+                                    <= 50000 - (prefix - cap_tokens)
+                               THEN 1 ELSE 0 END AS ok
+                FROM rk),
+              cp AS (
+                SELECT *, MIN(ok) OVER (ORDER BY cap_tokens, source
+                            ROWS UNBOUNDED PRECEDING) = 1 AS capped
+                FROM fl),
+              gl AS (
+                SELECT *, SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                            OVER () AS spent,
+                       SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k
+                FROM cp),
+              tg AS (
+                SELECT source, n_docs, n_tokens,
+                       CAST(CASE WHEN capped THEN cap_tokens
+                                 ELSE (50000 - spent) // (n_src - k)
+                            END AS BIGINT) AS n_target
+                FROM gl),
+              hd AS (
+                SELECT source, doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch:0'), 1, 15))::BIGINT AS h,
+                       CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS wt
+                FROM documents),
+              rkd AS (
+                SELECT source, doc_id,
+                       CAST(row_number() OVER w2 AS BIGINT) AS r,
+                       CAST(sum(wt) OVER (w2 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+                FROM hd WINDOW w2 AS (PARTITION BY source
+                                      ORDER BY h % 4, h, doc_id)),
+              sel AS (
+                SELECT rkd.source, rkd.doc_id, tg.n_docs, rkd.r,
+                       (tg.n_target // tg.n_tokens)
+                         + (CASE WHEN rkd.p <= tg.n_target % tg.n_tokens
+                                 THEN 1 ELSE 0 END) AS reps
+                FROM rkd JOIN tg ON tg.source = rkd.source),
+              sel2 AS (
+                SELECT *, CAST(SUM(reps) OVER (PARTITION BY source) AS BIGINT) AS n_emit
+                FROM sel WHERE reps > 0),
+              em AS (
+                SELECT source, doc_id, n_emit,
+                       r - 1 + unnest(range(reps)) * n_docs AS k
+                FROM sel2),
+              sh AS (
+                SELECT source, doc_id, n_emit, k,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                           CAST(k AS VARCHAR) || ':epoch-shard:0'), 1, 15))::BIGINT AS h2
+                FROM em),
+              r2 AS (
+                SELECT source, doc_id, n_emit, k, h2 % 4 AS shard,
+                       CAST(row_number() OVER (PARTITION BY h2 % 4, source
+                                               ORDER BY h2, doc_id, k) AS BIGINT) AS rn2
+                FROM sh)
+              SELECT shard,
+                     round(CAST(rn2*2 - 1 AS DOUBLE) / CAST(n_emit*2 AS DOUBLE), 9) AS vtime,
+                     source, doc_id, CAST(k AS BIGINT) AS k
+              FROM r2
+              ORDER BY shard, CAST(rn2*2 - 1 AS DOUBLE) / CAST(n_emit*2 AS DOUBLE),
+                       source, doc_id, k"""),
+      "UniMax-driven mixture epoch: the integer water-filled per-source TOKEN " +
+        "budgets (q_mix_unimax) realized as a concrete epoch — full wraparound " +
+        "cycles per token quotient, the remainder filled whole-doc in the " +
+        "content-stable hash order (token prefix <= remainder, so a source " +
+        "NEVER exceeds its cap), then the WFQ finish-time interleave; rank and " +
+        "token prefix share one distributed window, emission counts a window " +
+        "over the budget-bounded emissions frame — no second corpus pass"),
 
     QueryDef(
       "q_snapshot_diff", Seq("J1", "A1", "F5"),

@@ -389,6 +389,22 @@ class CliSpec extends AnyFunSuite {
     assert(crows.map(n => (n.get("doc_id").asLong, n.get("k").asLong)).sorted
       === erows.map(n => (n.get("doc_id").asLong, n.get("k").asLong)).sorted)
 
+    // --unimax: the token-budgeted UniMax epoch — realized tokens never
+    // exceed the budget (whole-doc undershoot), and with a budget past
+    // the one source's cap every doc lands exactly maxEpochs times
+    val uniDir = Files.createTempDirectory("graft-cli-unimax").toString
+    val uout = run("export", lake, "1", uniDir,
+      "--shards", "2", "--epoch", "500", "--unimax", "2")
+    assert(uout.contains("exported unimax epoch (budget=500 tokens,"), uout)
+    val urows = epochLines(uniDir).map(mapper.readTree)
+    assert(urows.nonEmpty)
+    val utok = urows.map(_.get("text").asText.split(" ").length.toLong).sum
+    assert(utok <= 500L, s"realized $utok tokens over the 500 budget")
+    // 500 tokens >> 2 x the 3 tiny docs' tokens -> the source is capped:
+    // exactly 2 emissions per doc
+    val uPerDoc = urows.groupBy(_.get("doc_id").asLong).map(_._2.size)
+    assert(uPerDoc.toSet === Set(2), s"capped source must emit each doc twice: $uPerDoc")
+
     // --packed: the same epoch as fixed-2048-token BPE training windows;
     // 9 short docs fit one tail window per populated shard
     val packedDir = Files.createTempDirectory("graft-cli-packed").toString

@@ -388,6 +388,108 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("property: mixEpochUnimaxOf conserves token budgets and respects caps on random corpora") {
+    import s.implicits._
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 4) {
+      val nSources = 1 + rnd.nextInt(5)
+      val sizes = Seq.fill(nSources)(1 + rnd.nextInt(40))
+      var id = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (n, si) =>
+        Seq.fill(n) {
+          id += 1
+          (id, s"src$si", Seq.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+        }
+      }
+      val budget = 50L + rnd.nextInt(4000)
+      val epochs = 1L + rnd.nextInt(3)
+      val docs = rows.toDF("doc_id", "source", "text")
+      val out = TextQueries
+        .mixEpochUnimaxOf(docs, budget, epochs, nShards = 3)
+        .collect().map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("k")))
+      val label = s"trial $trial (B=$budget E=$epochs sizes=$sizes)"
+      // independent referee: per-source token totals + the plain-Scala
+      // greedy water-filler (the unimaxMixOf property test's spelling)
+      val docTok = rows.map(r => r._1 -> r._3.split(" ").length.toLong).toMap
+      val perTok = rows.groupBy(_._2).view
+        .mapValues(_.map(r => docTok(r._1)).sum).toMap
+      val nDocs = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val caps = perTok.toSeq.map { case (src, t) => (src, t * epochs) }
+        .sortBy(x => (x._2, x._1))
+      var remaining = budget
+      var left = caps.size
+      val target = scala.collection.mutable.Map.empty[String, Long]
+      var stillFilling = true
+      caps.foreach { case (src, cap) =>
+        val even = remaining / left
+        if (stillFilling && cap <= even) { target(src) = cap; remaining -= cap }
+        else { stillFilling = false; target(src) = remaining / left }
+        if (stillFilling) left -= 1
+      }
+      perTok.keys.foreach { src =>
+        val rs = out.filter(_._1 == src)
+        val spent = rs.map(r => docTok(r._2)).sum
+        val tgt = target(src)
+        val cap = perTok(src) * epochs
+        // conservation: never past the target (so never past the cap),
+        // and maximal — the shortfall is smaller than the source's
+        // biggest doc (the next whole doc in order would have crossed)
+        assert(spent <= tgt, s"$label: $src spent $spent > target $tgt")
+        assert(spent <= cap, s"$label: $src spent $spent > cap $cap")
+        val maxDoc = rows.filter(_._2 == src).map(r => docTok(r._1)).max
+        assert(tgt - spent < maxDoc,
+          s"$label: $src left ${tgt - spent} unfilled with docs <= $maxDoc")
+        // a capped source emits EVERY doc exactly `epochs` times
+        if (tgt == cap) {
+          val perDoc = rs.groupBy(_._2).map(_._2.length.toLong)
+          assert(perDoc.toSet === Set(epochs) || (epochs == 0L && rs.isEmpty),
+            s"$label: capped $src per-doc reps ${perDoc.toSet}")
+          assert(rs.groupBy(_._2).size.toLong === nDocs(src))
+        }
+        // wraparound shape: per-doc reps differ by <= 1, k a contiguous
+        // 0..n_emit-1 permutation (the partial cycle is a rank prefix)
+        if (rs.nonEmpty) {
+          val perDoc = rs.groupBy(_._2).map(_._2.length)
+          assert(perDoc.max - perDoc.min <= 1, s"$label: $src balance")
+          assert(rs.map(_._3).sorted.toSeq === (0L until rs.length.toLong),
+            s"$label: $src k permutation")
+        }
+      }
+      // total epoch tokens never exceed the budget
+      val spentAll = out.map(r => docTok(r._2)).sum
+      assert(spentAll <= budget, s"$label: epoch spent $spentAll > $budget")
+    }
+  }
+
+  test("mixEpochUnimaxOf epochs are distinct per index but identically conserved") {
+    import s.implicits._
+    val docs = (1L to 30L)
+      .map(i => (i, s"src${i % 3}", Seq.fill((i % 7 + 1).toInt)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    def epoch(idx: Long) = TextQueries
+      .mixEpochUnimaxOf(docs, 60L, 2L, nShards = 3, epochIdx = idx)
+      .collect().map(r => (r.getAs[Long]("shard"), r.getAs[String]("source"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("k")))
+    val e0 = epoch(0L)
+    val e1 = epoch(1L)
+    // token conservation holds at EVERY index (emission counts may
+    // legitimately differ: the partial cycle fills whole docs in the
+    // index's own hash order, so a different order can fit a different
+    // number of docs under the same token remainder)
+    val docTok = (1L to 30L).map(i => i -> (i % 7 + 1)).toMap
+    Seq(e0, e1).foreach { e =>
+      e.groupBy(_._2).foreach { case (src, rs) =>
+        assert(rs.map(r => docTok(r._3)).sum <= 20L,
+          s"$src spent past its 60/3 water-filled share at some index")
+      }
+    }
+    assert(e0.toSeq.sorted !== e1.toSeq.sorted,
+      "epoch index 1 must not replay epoch 0's selection/interleave")
+    assert(epoch(0L).toSeq.sorted === e0.toSeq.sorted,
+      "the same index must replay byte-identically")
+  }
+
   test("q_corpus_build population-consistency: stages agree with the standalone rung queries") {
     val rows = Queries.byName("q_corpus_build").run(s, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -442,7 +442,16 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_mix_epoch_curriculum" -> 22,
     // r16 hard negatives: q_knn_join's chain exactly — the label
     // predicate rides the scored scan, no new shuffle
-    "q_hard_negatives" -> 8)
+    "q_hard_negatives" -> 8,
+    // r19 UniMax epoch: q_mix_epoch's selection/interleave chain with
+    // the sqrt-targets agg pair swapped for the UniMax chain (the `per`
+    // agg pair + the sources-bounded water-filling windows re-shuffle,
+    // the q_mix_unimax shape) and ONE extra exchange for the per-source
+    // emission-count window over the budget-bounded emissions frame
+    // (the vtime denominator — token targets have no closed-form
+    // emission count, unlike the example-budget epoch where it IS the
+    // target); rank + token prefix share the (source, bucket) window
+    "q_mix_epoch_unimax" -> 18)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
