@@ -786,6 +786,84 @@ object Streaming {
       }
   }
 
+  /** A user-activity arrival (streaming retention input). */
+  final case class RetentionEvent(user_id: Long, ts_us: Long)
+
+  /** Internal retention state: the user's DISTINCT activity periods as
+    * epoch days (daily mode: the UTC day; weekly mode: the Monday of the
+    * UTC ISO week). Distinctness folds at-least-once replays for free,
+    * and keeping the full period set — not (cohort, max offset) — is
+    * what makes LATE data exact: a late event with an EARLIER period
+    * re-cohorts the user, which re-derives EVERY (cohort, offset) pair
+    * they contribute — unrecoverable from last-value state (the
+    * [[FunnelState]] argument verbatim). Bounded by the user's distinct
+    * active days/weeks, not their event count. */
+  final case class RetentionState(periods: Seq[Long])
+
+  /** One signed contribution to the (cohort, offset) → n_users rollup:
+    * `delta` = +1 (this user now counts there) or -1 (a late earlier
+    * event re-cohorted them away). Summing deltas over all emitted rows
+    * reproduces [[graft.EventQueries.retentionOf]] over the union of
+    * batches exactly (StreamingSpec referees it). */
+  final case class RetentionDelta(
+      user_id: Long, cohort: String, offset: Long, delta: Long)
+
+  /** Cohort retention as live per-user state — the streaming twin of
+    * [[graft.EventQueries.retentionOf]] (VERDICT r18 Next #2, the
+    * [[funnelProgress]] pattern): per user, state is the distinct
+    * activity-period set; each batch emits DELTAS against the user's
+    * previous (cohort, offset) contribution set, so a downstream
+    * aggregation (or a keyed sink) maintains the exact retention matrix
+    * incrementally. In-order arrivals only ever ADD pairs; a late
+    * EARLIER arrival re-cohorts the user and the emission retracts
+    * every moved pair (-1) while asserting the re-derived ones (+1) —
+    * exactness under late data, never an approximation.
+    *
+    * Period arithmetic matches the batch engine bit-for-bit in the UTC
+    * session the engine runs in: daily periods are floor(ts_us / 86.4e9)
+    * epoch days; weekly periods truncate to Monday (epoch day 4 was a
+    * Monday — `d - floorMod(d - 4, 7)`), so week offsets are whole
+    * integer weeks by construction, the retentionOf `div 7` contract. */
+  def retentionProgress(
+      events: Dataset[RetentionEvent],
+      weekly: Boolean = false): Dataset[RetentionDelta] = {
+    import events.sparkSession.implicits._
+    val UsPerDay = 86_400_000_000L
+    def periodOf(tsUs: Long): Long = {
+      val d = Math.floorDiv(tsUs, UsPerDay)
+      if (weekly) d - Math.floorMod(d - 4L, 7L) else d
+    }
+    def pairsOf(periods: collection.SortedSet[Long]): Set[(Long, Long)] =
+      periods.headOption.fold(Set.empty[(Long, Long)]) { cohort =>
+        periods.iterator
+          .map(p => (cohort, if (weekly) (p - cohort) / 7L else p - cohort))
+          .toSet
+      }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[RetentionEvent],
+         state: GroupState[RetentionState]) =>
+          val prev = collection.immutable.SortedSet(
+            state.getOption.map(_.periods).getOrElse(Seq.empty): _*)
+          val merged = prev ++ rows.map(e => periodOf(e.ts_us))
+          if (merged == prev) Iterator.empty
+          else {
+            state.update(RetentionState(merged.toSeq))
+            val before = pairsOf(prev)
+            val after = pairsOf(merged)
+            ((after -- before).iterator.map(p => (p, 1L)) ++
+              (before -- after).iterator.map(p => (p, -1L)))
+              .map { case ((cohort, off), d) =>
+                RetentionDelta(uid,
+                  java.time.LocalDate.ofEpochDay(cohort).toString, off, d)
+              }
+          }
+      }
+  }
+
   /** An event for the stateful compaction. */
   final case class KeyedEvent(key: String, seq: Long, value: String)
 

@@ -785,6 +785,98 @@ class StreamingSpec extends AnyFunSuite {
       "the chained-min over full per-user history must not depend on batching")
   }
 
+  test("retentionProgress deltas == retentionOf over the union, late re-cohort included") {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import Streaming.RetentionEvent
+    val day = 86_400_000_000L
+    // u1 active on days 10, 12; u2 on day 11 — then u2's LATE day-9
+    // event arrives: their cohort moves 11 → 9 and the old (day 11,
+    // offset 0) contribution must retract while (day 9, 0) and
+    // (day 9, 2) assert; a same-day replay folds to nothing
+    val batch1 = Seq(
+      RetentionEvent(1L, 10L * day + 5L),
+      RetentionEvent(1L, 12L * day + 9L),
+      RetentionEvent(2L, 11L * day + 1L))
+    val batch2 = Seq(
+      RetentionEvent(2L, 9L * day + 3L), // late, earlier: re-cohort
+      RetentionEvent(1L, 10L * day + 7L)) // same day again: no delta
+    def run(name: String, weekly: Boolean): Unit = {
+      val input = MemoryStream[RetentionEvent]
+      val q = Streaming.retentionProgress(input.toDS(), weekly)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        input.addData(batch1: _*)
+        q.processAllAvailable()
+        input.addData(batch2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    run("rtn_d", weekly = false)
+    val got = s.table("rtn_d")
+      .groupBy("cohort", "offset")
+      .agg(org.apache.spark.sql.functions.sum("delta").as("n_users"))
+      .filter($"n_users" =!= 0L)
+      .as[(String, Long, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    val union = (batch1 ++ batch2).toDF("user_id", "ts_us")
+    val want = graft.EventQueries.retentionOf(union)
+      .as[(String, Long, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(got === want, "summed deltas must reproduce the batch retention")
+    // the retraction really happened: u2's old cohort row was emitted
+    // then withdrawn
+    val u2 = s.table("rtn_d").filter($"user_id" === 2L)
+      .select("cohort", "offset", "delta")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(u2.contains(("1970-01-12", 0L, 1L)) && u2.contains(("1970-01-12", 0L, -1L)),
+      s"late re-cohort must retract the old pair, got $u2")
+    // weekly mode referees the same way (days 9-12 of 1970 span the
+    // Mon-Jan-05 and Mon-Jan-12 weeks, so there IS a 1-week offset)
+    run("rtn_w", weekly = true)
+    val gotW = s.table("rtn_w")
+      .groupBy("cohort", "offset")
+      .agg(org.apache.spark.sql.functions.sum("delta").as("n_users"))
+      .filter($"n_users" =!= 0L)
+      .as[(String, Long, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    val wantW = graft.EventQueries.retentionOf(union, weekly = true)
+      .as[(String, Long, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(gotW === wantW, "weekly deltas must reproduce the batch retention")
+  }
+
+  test("retentionProgress summed deltas are batching-invariant (1 batch == 3 batches, any order)") {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import Streaming.RetentionEvent
+    val rnd = new scala.util.Random(13)
+    val day = 86_400_000_000L
+    val events = (1 to 60).map { _ =>
+      RetentionEvent(1L + rnd.nextInt(6),
+        (5L + rnd.nextInt(20)) * day + rnd.nextInt(1000))
+    }
+    def summed(batches: Seq[Seq[RetentionEvent]], name: String): Seq[(String, Long, Long)] = {
+      val input = MemoryStream[RetentionEvent]
+      val q = Streaming.retentionProgress(input.toDS(), weekly = true)
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      s.table(name)
+        .groupBy("cohort", "offset")
+        .agg(org.apache.spark.sql.functions.sum("delta").as("n_users"))
+        .filter($"n_users" =!= 0L)
+        .as[(String, Long, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    }
+    val one = summed(Seq(events), "rtn_one")
+    val shuffled = rnd.shuffle(events)
+    val three = summed(
+      Seq(shuffled.take(20), shuffled.slice(20, 40), shuffled.drop(40)), "rtn_three")
+    assert(three === one,
+      "delta accounting over full per-user history must not depend on batching")
+    // and both agree with the batch engine
+    val want = graft.EventQueries
+      .retentionOf(events.toDF("user_id", "ts_us"), weekly = true)
+      .as[(String, Long, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    assert(one === want)
+  }
+
   test("lastWriteWins keeps latest per key across batches; late data never regresses (T9)") {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
