@@ -898,12 +898,22 @@ object Cli {
           }
       }
 
-    case "corpus-build" :: lake :: id :: Nil =>
+    case "corpus-build" :: lake :: id :: rest
+        if stripFlag(rest, "--unimax").isEmpty =>
       // the end-to-end corpus BUILD manifest over a loaded collection's
       // documents (the q_corpus_build engine): per-stage, per-source
       // attrition through Gopher → C4 lines → corpus-wide line dedup →
       // exact dedup → decontamination → quality gate → train split →
-      // mix targets
+      // mix targets. --unimax E swaps the final mix stage's allocation
+      // from the sqrt-temperature draw to UniMax water-filling under a
+      // cap of E epochs per source (same funnel, same aggregate — the
+      // manifest rows carry the policy in the stage name)
+      val cbUnimax = flagValue(rest, "--unimax").map { v =>
+        v.toLongOption.filter(_ >= 1).getOrElse {
+          System.err.println(s"--unimax needs a number >= 1, got '$v'")
+          sys.exit(2)
+        }
+      }
       val spark = session()
       val plane = loadPlane(lake)
       val cid = idArg(id)
@@ -913,7 +923,9 @@ object Cli {
             s"collection $cid has no documents (release/record rows)")
           sys.exit(2)
         case Some(docs) =>
-          TextQueries.corpusBuildOf(docs).collect().foreach { r =>
+          TextQueries.corpusBuildOf(docs,
+            mixPolicy = if (cbUnimax.isDefined) "unimax" else "sqrt",
+            unimaxMaxEpochs = cbUnimax.getOrElse(2L)).collect().foreach { r =>
             val tgt = if (r.isNullAt(5)) "" else s" n_target=${r.getAs[Long]("n_target")}"
             println(s"stage=${r.getAs[Long]("stage_idx")}:${r.getAs[String]("stage")}" +
               s" source=${r.getAs[String]("source")}" +
@@ -1173,7 +1185,8 @@ object Cli {
           sys.exit(2)
       }
 
-    case "vector-index" :: store :: embPath :: rest if rest.forall(_ == "--opq") =>
+    case "vector-index" :: store :: embPath :: rest
+        if rest.forall(f => f == "--opq" || f == "--sq8") =>
       // build or EXTEND the persistent IVFADC vector index (the dense
       // twin of `index`): append an embeddings parquet (vec_id BIGINT,
       // embedding ARRAY<FLOAT>) to the cell-partitioned store — coarse
@@ -1190,11 +1203,15 @@ object Cli {
       // index invocation, purely for logging)
       val n = vecs.count()
       // --opq trains the FAISS-style 'OPQ,IVF,PQ' layout on the FIRST
-      // append (train-once; later appends follow the stored artifacts)
+      // append (train-once; later appends follow the stored artifacts);
+      // --sq8 additionally persists the per-dim affine kit and codes
+      // every row's 64 uint8 scalar codes (the q_ann_sq8 serving rung —
+      // finer-than-PQ recall without reading raw embeddings)
       graft.streaming.VectorStore.append(spark, store, vecs,
-        opq = rest.contains("--opq"))
+        opq = rest.contains("--opq"), sq8 = rest.contains("--sq8"))
       println(s"indexed $n vectors: store=$store" +
-        (if (rest.contains("--opq")) " layout=opq" else ""))
+        (if (rest.contains("--opq")) " layout=opq" else "") +
+        (if (rest.contains("--sq8")) " layout=sq8" else ""))
 
     case "hybrid-search" :: pstore :: vstore :: id :: rest0 if rest0.nonEmpty =>
       // the FULL two-index serving composition (q_hybrid_rrf_ann's

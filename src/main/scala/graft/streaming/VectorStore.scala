@@ -40,6 +40,7 @@ object VectorStore {
   def centroidPath(lake: String): String = s"$lake/vector_centroids"
   def codebookPath(lake: String): String = s"$lake/vector_codebooks"
   def rotationPath(lake: String): String = s"$lake/vector_rotation"
+  def sq8Path(lake: String): String = s"$lake/vector_sq8"
 
   /** Load the stored quantizer, or train it from `vecs` and persist it
     * (first call). Training delegates to the deterministic
@@ -148,6 +149,42 @@ object VectorStore {
       sys.error("unreachable: servingKitOf verified both artifacts exist"))
   }
 
+  /** Load the stored SQ8 affine kit, or train it from `vecs` and
+    * persist it when `enable` (FIRST sq8-enabled append — train-once,
+    * the codebook/rotation discipline: the per-dim min/max written here
+    * is the store's permanent scalar quantizer, and every later batch
+    * encodes with the STORED copy regardless of the flag; a re-trained
+    * kit would silently mix quantizer epochs in the sq8 column). Returns
+    * None on a store that was never sq8-enabled. */
+  private def sq8KitOf(
+      spark: SparkSession, lake: String, vecs: => DataFrame,
+      enable: Boolean): Option[graft.VectorQueries.Sq8Kit] = {
+    import spark.implicits._
+    graft.ingest.Sink.readOrEmpty(spark, sq8Path(lake)) match {
+      case Some(df) =>
+        val rows = df.select(col("i"), col("mn"), col("mx"))
+          .as[(Long, Double, Double)].collect().sortBy(_._1)
+        Some(graft.VectorQueries.Sq8Kit(rows.map(_._2), rows.map(_._3)))
+      case None if !enable => None
+      case None =>
+        val kit = graft.VectorQueries.trainSq8(vecs, spark)
+        kit.mn.indices.map(i => (i.toLong, kit.mn(i), kit.mx(i))).toDF("i", "mn", "mx")
+          .coalesce(1).write.mode("overwrite").parquet(sq8Path(lake))
+        Some(kit)
+    }
+  }
+
+  /** The stored SQ8 kit for SERVING — load-only, never train (the
+    * servingKitOf discipline): fails with the rebuild instruction when
+    * the artifact is missing. */
+  private def servingSq8KitOf(spark: SparkSession, lake: String): graft.VectorQueries.Sq8Kit =
+    sq8KitOf(spark, lake,
+      sys.error("unreachable: serving never trains"), enable = false)
+      .getOrElse(throw new IllegalArgumentException(
+        s"vector store at $lake has no persisted SQ8 kit (vector_sq8) — " +
+          "build the layout (Cli vector-index --sq8, or append with " +
+          "sq8 = true from the first batch) before serving SQ8 probes"))
+
   /** Cell + code assignment for append. `znorm` is the codes-side
     * zero-norm marker (ADVICE r18): a zero-norm vector has no cosine,
     * so every serving path that ranks by cosine must exclude it — but
@@ -158,19 +195,34 @@ object VectorStore {
     * matches the declared q_knn_join_ivfadc exactly. */
   private def assigned(
       spark: SparkSession, vecs: DataFrame,
-      kit: graft.VectorQueries.AdcKit): DataFrame = {
+      kit: graft.VectorQueries.AdcKit,
+      sq8: Option[graft.VectorQueries.Sq8Kit] = None): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(kit)
-    vecs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        val k = bc.value
-        it.map { case (id, v) =>
-          val u = k.unitOf(v)
-          val cell = k.cellOf(u)
-          (id, v, cell.toLong, k.codesOf(u, cell).toSeq, v.forall(_ == 0f))
-        }
-      }
-      .toDF("vec_id", "embedding", "cell", "codes", "znorm")
+    val base = vecs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    sq8 match {
+      case None =>
+        base.mapPartitions { it =>
+          val k = bc.value
+          it.map { case (id, v) =>
+            val u = k.unitOf(v)
+            val cell = k.cellOf(u)
+            (id, v, cell.toLong, k.codesOf(u, cell).toSeq, v.forall(_ == 0f))
+          }
+        }.toDF("vec_id", "embedding", "cell", "codes", "znorm")
+      case Some(sk) =>
+        val bcS = spark.sparkContext.broadcast(sk)
+        base.mapPartitions { it =>
+          val k = bc.value
+          val s8 = bcS.value
+          it.map { case (id, v) =>
+            val u = k.unitOf(v)
+            val cell = k.cellOf(u)
+            (id, v, cell.toLong, k.codesOf(u, cell).toSeq, v.forall(_ == 0f),
+              s8.codesOf(u).toSeq)
+          }
+        }.toDF("vec_id", "embedding", "cell", "codes", "znorm", "sq8")
+    }
   }
 
   /** Cell assignment WITHOUT codes — the dedup probe's path (r17
@@ -202,8 +254,12 @@ object VectorStore {
     * cells, not tasks × cells. */
   def append(
       spark: SparkSession, lake: String, vecs: DataFrame,
-      opq: Boolean = false): Unit = {
-    assigned(spark, vecs, kitOf(spark, lake, vecs, opq))
+      opq: Boolean = false, sq8: Boolean = false): Unit = {
+    // the stored SQ8 artifact wins over the flag (train-once): a store
+    // whose first append enabled sq8 keeps encoding the column on every
+    // later batch, and a store that never enabled it never grows one
+    val sk = sq8KitOf(spark, lake, vecs, enable = sq8)
+    assigned(spark, vecs, kitOf(spark, lake, vecs, opq), sk)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(vecPath(lake))
   }
@@ -253,6 +309,59 @@ object VectorStore {
         val qq = bcQ.value
         it.map { case (id, cell, codes) =>
           (id, qq.scoreDec(cell.toInt, codes.toArray).doubleValue)
+        }
+      }
+      .toDF("vec_id", "adc")
+      .select(col("vec_id"), round(col("adc"), 9).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Serve an SQ8 top-k FROM THE STORE's persisted affine codes
+    * (VERDICT r18 Next #3 — the codebook-free serving rung below the
+    * PQ-family [[adcProbe]]): reconstruct-and-dot over the stored
+    * uint8 column through the ONE [[graft.VectorQueries.Sq8Kit]]
+    * spelling, so the served answer is byte-identical to the declared
+    * q_ann_sq8 on the same rows (VectorStoreSpec pins it — same train
+    * frame, same codes, same DECIMAL terms, same round-9 ranking).
+    * The scan reads (vec_id, sq8) ONLY — neither the raw embeddings
+    * nor the PQ codes; plain SQ8 has no coarse quantizer so there is no
+    * cell pruning (q_ann_sq8's full-scan shape, an order of magnitude
+    * finer reconstruction than PQ at 8× the bytes — the rate-distortion
+    * position AnnRecallSpec pins). Zero-norm stored rows score like the
+    * declared query scores them (unit() passes them through raw) —
+    * SQ8 ranks by reconstructed inner product, not cosine, so they need
+    * no special casing. Replay duplicates fold once (byte-identical
+    * rows — same stored kit). Fails LOUDLY on a store without the sq8
+    * layout or with pre-layout uncoded rows (the adcProbe contract). */
+  def sq8Probe(
+      spark: SparkSession, lake: String, qv: Seq[Float], k: Int,
+      exclude: Set[Long] = Set.empty): DataFrame = {
+    import spark.implicits._
+    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake))
+      .getOrElse(return Seq.empty[(Long, Double)].toDF("vec_id", "adc"))
+    require(store.columns.contains("sq8"),
+      s"vector store at $lake has no sq8 column — build the layout " +
+        "(Cli vector-index --sq8, or append with sq8 = true from the " +
+        "first batch) before serving SQ8 probes")
+    val kit = servingSq8KitOf(spark, lake)
+    val qu = kit.unitOf(qv)
+    val nUncoded = store.filter(col("sq8").isNull).count()
+    require(nUncoded == 0L,
+      s"$nUncoded stored vectors have no sq8 codes (rows appended " +
+        s"before the sq8 layout mixed into $lake) — rebuild the store " +
+        "before serving SQ8 probes")
+    val bc = spark.sparkContext.broadcast((kit, qu))
+    store
+      .filter(if (exclude.isEmpty) lit(true)
+              else !col("vec_id").isin(exclude.toSeq: _*))
+      .select(col("vec_id"), col("sq8"))
+      .dropDuplicates("vec_id")
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val (k8, q8) = bc.value
+        it.map { case (id, codes) =>
+          (id, k8.scoreDec(q8, codes.toArray).doubleValue)
         }
       }
       .toDF("vec_id", "adc")

@@ -156,6 +156,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r18 audio twin: shares the image leg's banded candidate/verify tail
     // verbatim (hash64Neardup) — identical shape, identical budget
     "q_audio_neardup" -> 14,
+    // r19 video twin (first-frame aHash over real MJPEG decodes): the
+    // same hash64Neardup tail, the same shape and budget
+    "q_video_neardup" -> 14,
     "q_profile_orders" -> 4,
     // heavy hitters: fanOut + the single-group sketch merge — the whole
     // point is that NO distinct-gram-cardinality exchange exists (the
@@ -388,16 +391,32 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r17 sampled-probe eval: the two batched k-NN engines' own budgets
     // (8 exact + 10 ivf-pruned) riding unchanged under the probe-bounded
     // hit join (truth side broadcast) — the per-qid metric agg folds into
-    // the system leg's existing final exchange
-    "q_retrieval_eval_multi" -> 16,
+    // the system leg's existing final exchange. r19 +4: the ndcg@k
+    // discount literal broadcasts twice (disc onto the rank rows, cum
+    // onto the n_rel domain), the domain's distinct became the n_rel
+    // count agg pair — all k-row or probe-bounded frames, the heavy legs
+    // unchanged
+    "q_retrieval_eval_multi" -> 20,
     // r18 lexical eval symmetry: every probe-side frame is a LOCAL
     // relation (the bounded probe frame is collected once — the
     // VectorStore.knnJoin contract), so the exchanges left are the
     // pruned-slice replay-fold + df pair (probe()'s inherent two-leg
     // read), the per-(qid,doc) score agg, the k-bounded topk rank agg,
     // the truth leg's match agg + one-pass metric agg, the final sort,
-    // and the bounded broadcasts
-    "q_retrieval_eval_lex" -> 28,
+    // and the bounded broadcasts. r19 +4: the ndcg@k discount literal
+    // broadcasts twice (disc onto the hit rows, cum as the IDCG lookup)
+    // and the left-join spelling re-plans the bounded domain pair — every
+    // new frame is k-row or probe-bounded, the store read and corpus
+    // scan unchanged
+    "q_retrieval_eval_lex" -> 32,
+    // r19 hybrid eval over the served paths: the lexical store leg's
+    // pruned two-leg read + rank agg (the lex eval's system chain), the
+    // ADC join's nominate agg + refine window + sort, the exact join's
+    // nominate agg + refine window + sort, two probe-bounded
+    // SHUFFLE_HASH fusions with their per-qid rank windows (the fused
+    // frames are probes x 2K rows), the metric agg pair and final sort;
+    // every broadcast is a k-row literal or probe-bounded checkpoint
+    "q_retrieval_eval_hybrid" -> 30,
     // r17 corpus-build manifest — the ONE-PASS cumulative-flag shape plus
     // the line-dedup side input (VERDICT r16 #3, CCNet order): the r16
     // chain (fingerprint window + decon join's shingle explode/distinct

@@ -247,6 +247,59 @@ class VectorStoreSpec extends AnyFunSuite {
       "full-r ADC nomination must converge to the exact-nominate answer")
   }
 
+  test("store-served SQ8 probe is byte-identical to the declared q_ann_sq8") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-sq8").toString
+    // first append = the declared query's training frame (it trains on
+    // vec_id <> 0 — row 0 is its query), so the persisted affine kit is
+    // bit-for-bit the declared one
+    VectorStore.append(s, lake, embAll.filter(col("vec_id") =!= 0), sq8 = true)
+    val qv = embAll.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    def served = VectorStore.sq8Probe(s, lake, qv, k = 10)
+    val got = served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = graft.Queries.byName("q_ann_sq8").run(s, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === want,
+      "the persisted sq8 codes must serve the declared query's exact answer")
+    // the stored kit wins on later appends (train-once): a replayed row
+    // re-encodes identically and folds, leaving the answer unchanged
+    val kit1 = s.read.parquet(VectorStore.sq8Path(lake)).collect()
+      .map(_.toString).sorted.toSeq
+    val v5 = embAll.filter(col("vec_id") === 5)
+      .select("embedding").as[Seq[Float]].head()
+    VectorStore.append(s, lake, vecsDF(5L -> v5)) // no sq8 flag: artifact wins
+    val kit2 = s.read.parquet(VectorStore.sq8Path(lake)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(kit1 === kit2, "the sq8 kit must train once and reload")
+    assert(served.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq === want,
+      "a replayed append must not move the served sq8 answer")
+  }
+
+  test("SQ8 probe reads the sq8 codes only; refuses a store without the layout") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-sq8p").toString
+    VectorStore.append(s, lake, embAll.filter(col("vec_id") =!= 0), sq8 = true)
+    val qv = embAll.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    val df = VectorStore.sq8Probe(s, lake, qv, k = 10)
+    df.collect()
+    val storeScan = PlanWalk.fileScans(df.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("/vectors")))
+      .getOrElse(fail("no store scan in the sq8 probe plan"))
+    val read = storeScan.requiredSchema.fieldNames.toSet
+    assert(read.contains("sq8") && !read.contains("embedding") &&
+        !read.contains("codes"),
+      s"the sq8 probe must read the scalar codes alone, got ${read.mkString(",")}")
+    // a store never sq8-enabled refuses loudly with the build instruction
+    val plain = Files.createTempDirectory("graft-vstore-sq8n").toString
+    VectorStore.append(s, plain, embAll.filter(col("vec_id") < 100))
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.sq8Probe(s, plain, qv, k = 10).collect()
+    }
+    assert(e.getMessage.contains("--sq8"), e.getMessage)
+  }
+
   test("a stored zero-norm vector never costs an ADC nomination slot (codes-side marker)") {
     import s.implicits._
     // two stores whose quantizers train on the SAME first append; one
