@@ -253,7 +253,17 @@ object Bench {
     // lines, so no version bump and no retirements; the ann/ivf/knn
     // families dominate the surface, so these seven buy ~40 chars.
     "ann" -> "an", "ivf" -> "iv", "knn" -> "kn",
-    "mix" -> "mx", "agg" -> "ag", "sum" -> "su", "opq" -> "oq")
+    "mix" -> "mx", "agg" -> "ag", "sum" -> "su", "opq" -> "oq",
+    // r19, at the 149-query surface (capacity gate tripped when the
+    // unimax-epoch and hybrid-eval queries landed). Additions only —
+    // every segment below appeared RAW in earlier lines, so no version
+    // bump and no retirements.
+    "unimax" -> "um", "pairs" -> "pr", "exact" -> "ex", "cell" -> "ce",
+    // …and again when q_video_neardup landed ("dif", not "df": a live
+    // query-name segment must never equal an abbreviation output)
+    "video" -> "vd", "line" -> "ln", "load" -> "ld", "hard" -> "hd",
+    "cube" -> "cu", "dims" -> "dm", "ocds" -> "oc", "asof" -> "af",
+    "diff" -> "dif", "sort" -> "srt", "dsir" -> "dsr")
 
   /** Decode-table version stamped into every summary line as `"kv"`.
     * Bump it whenever [[keyAbbrev]] RENAMES an existing output (adding

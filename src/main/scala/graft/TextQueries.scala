@@ -913,8 +913,24 @@ object TextQueries {
     * doc_id totalizes the order); the stage rows then EXPLODE from the
     * single sources-bounded aggregate row, and the mix normalizer is a
     * global window over that same bounded frame (never a recompute). */
-  private[graft] def corpusBuildOf(docsIn: DataFrame): DataFrame = {
+  /** `mixPolicy` selects the FINAL mix stage's allocation (VERDICT r18
+    * Next #8 — a parameter, not a new pass: both policies derive from
+    * the same per-source train aggregate the funnel already computes):
+    *  - `"sqrt"` (default, q_corpus_build's declared shape) —
+    *    [[sourceMixOf]]'s sqrt-temperature draw of 100000 examples;
+    *  - `"unimax"` — [[unimaxMixOf]]'s integer water-filling of a
+    *    100000-TOKEN budget under a cap of `unimaxMaxEpochs` epochs per
+    *    source, run over the sources-bounded aggregate frame (the same
+    *    window chain as the declared q_mix_unimax). The stage-8 rows
+    *    carry the policy in their stage name (`mix_targets_unimax`), so
+    *    a manifest is self-describing; stages 0–7 are policy-independent
+    *    (CorpusPipelineSpec pins the shared-funnel equivalence). */
+  private[graft] def corpusBuildOf(
+      docsIn: DataFrame, mixPolicy: String = "sqrt",
+      unimaxMaxEpochs: Long = 2L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(mixPolicy == "sqrt" || mixPolicy == "unimax",
+      s"mixPolicy must be 'sqrt' or 'unimax', got '$mixPolicy'")
     graft.functions.GraftExtensions.ensureRegistered(docsIn.sparkSession)
     val toks = tokens(col("text"))
     val nw = size(toks).cast(LongType)
@@ -1011,12 +1027,42 @@ object TextQueries {
     def st(idx: Long, name: String, n: Column, t: Column, tgt: Column) =
       struct(lit(idx).as("stage_idx"), lit(name).as("stage"),
         n.as("n_docs"), t.as("n_tokens"), tgt.as("n_target"))
-    per
-      .withColumn("w_dec", sqrt(col("t7").cast(DoubleType)).cast(Dec))
-      .withColumn("w_tot",
-        sum(col("w_dec")).over(Window.partitionBy()).cast(Dec))
-      .withColumn("n_target",
-        floor(lit(100000.0) * share).cast(LongType))
+    val MixBudget = 100000L
+    val targeted = mixPolicy match {
+      case "unimax" =>
+        // the q_mix_unimax window chain over the SOURCES-bounded `per`
+        // frame with n_tokens := the train-stage tokens (t7) — no new
+        // pass, the water-filling reads the aggregate the funnel already
+        // computed; the all-capped edge never reaches the div branch
+        // (CaseWhen short-circuits per row — the unimaxMixOf audit)
+        val wAsc = Window.orderBy(col("cap_tokens").asc, col("source").asc)
+        val run = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy()
+        per.withColumn("cap_tokens", col("t7") * lit(unimaxMaxEpochs))
+          .withColumn("i", row_number().over(wAsc).cast(LongType))
+          .withColumn("n_src", count(lit(1)).over(all))
+          .withColumn("prefix", sum(col("cap_tokens")).over(run))
+          .withColumn("ok",
+            col("cap_tokens") * (col("n_src") - col("i") + 1) <=
+              lit(MixBudget) - (col("prefix") - col("cap_tokens")))
+          .withColumn("capped",
+            min(when(col("ok"), 1L).otherwise(0L)).over(run) === 1L)
+          .withColumn("spent",
+            sum(when(col("capped"), col("cap_tokens")).otherwise(0L)).over(all))
+          .withColumn("k", sum(when(col("capped"), 1L).otherwise(0L)).over(all))
+          .withColumn("n_target",
+            when(col("capped"), col("cap_tokens"))
+              .otherwise(expr(s"(${MixBudget}L - spent) div (n_src - k)")))
+      case _ =>
+        per
+          .withColumn("w_dec", sqrt(col("t7").cast(DoubleType)).cast(Dec))
+          .withColumn("w_tot",
+            sum(col("w_dec")).over(Window.partitionBy()).cast(Dec))
+          .withColumn("n_target",
+            floor(lit(MixBudget.toDouble) * share).cast(LongType))
+    }
+    val mixStage = if (mixPolicy == "unimax") "mix_targets_unimax" else "mix_targets"
+    targeted
       .select(col("source"), explode(array(
         st(0L, "raw", col("n0"), col("t0"), nullT),
         st(1L, "gopher", col("n1"), col("t1"), nullT),
@@ -1026,7 +1072,7 @@ object TextQueries {
         st(5L, "decontaminate", col("n5"), col("t5"), nullT),
         st(6L, "quality_gate", col("n6"), col("t6"), nullT),
         st(7L, "split_train", col("n7"), col("t7"), nullT),
-        st(8L, "mix_targets", col("n7"), col("t7"), col("n_target")))).as("s"))
+        st(8L, mixStage, col("n7"), col("t7"), col("n_target")))).as("s"))
       .filter(col("s.n_docs") > 0)
       .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
         col("source"), col("s.n_docs").as("n_docs"),
@@ -3001,6 +3047,52 @@ object TextQueries {
         "(block-energy hash re-encode invariance, perturbation tolerance, " +
         "re-level distance, pair election, partitioning independence) over real " +
         "javax.sound decodes (the q_image_neardup adjudication pattern)")),
+
+    QueryDef(
+      "q_video_neardup", Seq("S2", "F5", "A1"),
+      (s, d) => {
+        // perceptual VIDEO dedup (VERDICT r18 Next #6) — the
+        // moving-picture member of the near-dup family, WITHIN the
+        // signed-off codec boundary: the one video format the JVM can
+        // pixel-decode without a codec (MJPEG-in-AVI — every movi chunk
+        // a standalone baseline JPEG). Real end-to-end: deterministic
+        // two-frame MJPEG AVIs are SYNTHESIZED (no video column in the
+        // corpus: same-source EVEN docs perturb ≤ 3 pixels of frame 0 —
+        // the near-dup class — while odd docs repaint half; frame 1 is
+        // per-doc noise, so detection cannot lean on later frames),
+        // frames REALLY encode through the lossy JDK JPEG writer and the
+        // operator really container-walks + ImageIO-decodes them, then
+        // aHashes the FIRST decoded frame and runs q_image_neardup's
+        // banded candidate/verify tail verbatim. No DuckDB oracle (SQL
+        // cannot parse AVI or decode JPEG — the image/audio-leg
+        // adjudication); MultimodalSpec pins the contracts.
+        import s.implicits._
+        val docs = Tables.documents(s, d).select(col("source"), col("doc_id"))
+        val vids = docs.as[(String, Long)].mapPartitions { it =>
+          it.map { case (src, id) =>
+            (id, src, graft.multimodal.Multimodal.synthMjpegAvi(src, id))
+          }
+        }.toDF("id", "source", "content")
+        val pairs = graft.multimodal.Multimodal
+          .videoNeardup(vids.select("id", "content"), s)
+        pairs
+          .join(vids.select(col("id").as("id_a"), col("source")).hint("shuffle_hash"),
+            Seq("id_a"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_pairs"), max("hamming").as("max_hamming"))
+          .orderBy("source")
+      },
+      None,
+      "Perceptual video near-dup (first-frame aHash over REALLY decoded " +
+        "MJPEG-in-AVI rasters): deterministic synthesized two-frame MJPEG AVIs → " +
+        "container walk + ImageIO JPEG decode → 64-bit block-mean hash of frame " +
+        "0 → banded BucketPairs candidates → hamming verify; per-source rollup",
+      pinnedBy = Some("SQL cannot parse AVI or decode JPEG; pinned by " +
+        "MultimodalSpec (first-frame fingerprint invariance across container " +
+        "rewrites and re-encodes, perturbation tolerance, tail-frame " +
+        "independence, pair election, partitioning independence) over real " +
+        "MJPEG decodes (the q_image_neardup adjudication pattern; H.264+ stays " +
+        "the signed-off codec-bitstream stub)")),
 
     QueryDef(
       "q_cdc_chunk_dedup", Seq("F2", "W1", "A4", "A2"),

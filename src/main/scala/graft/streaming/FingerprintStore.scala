@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Persistent perceptual-fingerprint store for MEDIA payloads — the
+  * production shape behind the q_image/audio/video_neardup batch queries
+  * (VERDICT r18 Next #7): those queries recompute every decode on every
+  * run, which is exactly linear per-row CPU (the stamped q_audio_neardup
+  * 10.68× tail), while a real pipeline decodes each payload ONCE at
+  * ingest, persists the 64-bit fingerprint, and answers near-dup checks
+  * O(batch) against the store forever after — the [[NeardupStore]]
+  * pattern in the perceptual domain.
+  *
+  * One lake table, `media_fps`: one row per (id, kind, ahash, band_id,
+  * band_val) — the 4×16-bit banding of the 64-bit hash materialized as
+  * rows (the hash itself rides along, so the verify needs no second
+  * table, unlike MinHash whose verify needs token sets) — partitioned by
+  * `band_bucket = pmod(band_val, 64)` so a batch probe statically prunes
+  * to the partitions its own band values land in (the driver-side isin
+  * is bounded by the 64-value partition DOMAIN, never by data volume).
+  *
+  * Fingerprints come from the REAL decode engines, once per payload
+  * ([[fingerprintsOf]]): image → [[Multimodal.aHash64]] over the decoded
+  * raster (animated GIFs land here too — first composed frame, the
+  * videoNeardup scope); audio → [[Multimodal.audioHash64]] over decoded
+  * PCM; MJPEG-in-AVI video → first-frame aHash. Undecodable payloads
+  * yield no fingerprint (nothing to perceptually match — the batch
+  * queries' contract). Matching is WITHIN kind only (an audio hash
+  * band-colliding with an image hash is noise, not a near-dup).
+  *
+  * Per-batch flow (probe BEFORE append, so a payload never matches
+  * itself): batch fingerprints → bucket-pruned candidate join on
+  * (kind, band_id, band_val) → hamming ≤ τ verify on the carried full
+  * hashes → one deterministic flag per batch id (min dup_of on ties,
+  * the [[VectorStore.probeBatch]] contract) → then the batch appends
+  * partition-wise. Replay duplicates are byte-identical rows: harmless
+  * to the probe (candidates are DISTINCT per pair, self-pairs dropped)
+  * and folded by [[compact]] — the at-least-once posture every store
+  * here shares. Join strategy is shuffle_hash (the store side grows with
+  * the corpus; never an estimate-dependent broadcast). */
+object FingerprintStore {
+
+  /** Partition-pruning bucket domain — [[NeardupStore.Buckets]]' rationale. */
+  val Buckets = 64
+
+  def fpPath(lake: String): String = s"$lake/media_fps"
+
+  /** Decode an (id BIGINT, content BINARY) media frame ONCE and emit
+    * (id, kind, ahash) — image/audio/video routed to their real decode
+    * engines; payloads that decode no signal drop out. */
+  def fingerprintsOf(media: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    media.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          fpOf(bytes).map { case (kind, h) => (id, kind, h) }
+        }
+      }.toDF("id", "kind", "ahash")
+  }
+
+  private def fpOf(bytes: Array[Byte]): Option[(String, Long)] =
+    Multimodal.decodeImage(bytes).flatMap(d =>
+        d.pixels.map(px =>
+          ("image", Multimodal.aHash64(px, d.width.toInt, d.height.toInt))))
+      .orElse(Multimodal.decodeAudio(bytes).map(d =>
+        ("audio", Multimodal.audioHash64(d.frames.toArray.flatten))))
+      .orElse(Multimodal.decodeVideo(bytes).flatMap(d =>
+        d.pixels.map(px =>
+          ("video", Multimodal.aHash64(px, d.width.toInt, d.height.toInt)))))
+
+  private def bandsOf(fps: DataFrame): DataFrame = {
+    val bandVals = (0 until 4).map(b =>
+      shiftright(col("ahash"), 16 * b).bitwiseAND(lit(0xFFFFL)))
+    fps.select(col("id"), col("kind"), col("ahash"),
+        posexplode(array(bandVals: _*)).as(Seq("band_id", "band_val")))
+      .withColumn("band_bucket", pmod(col("band_val"), lit(Buckets.toLong)))
+  }
+
+  /** Probe a batch's fingerprints ((id, kind, ahash) —
+    * [[fingerprintsOf]]'s output) against ALREADY-STORED fingerprints:
+    * (id, dup_of, hamming) for each batch row within hamming ≤
+    * `maxHamming` of a stored row of the SAME kind (min dup_of on ties).
+    * The store scan is statically pruned to the batch's band buckets.
+    * Empty frame when the store does not exist yet. */
+  def probe(
+      spark: SparkSession, lake: String, fps: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Long)].toDF("id", "dup_of", "hamming")
+    val store = graft.ingest.Sink.readOrEmpty(spark, fpPath(lake))
+      .getOrElse(return empty)
+    val batch = bandsOf(fps)
+    // bounded by the 64-value partition domain, never by batch size —
+    // the driver-side list is what turns the store scan into static
+    // partition pruning (the NeardupStore idiom)
+    val touched = batch.select("band_bucket").distinct().as[Long].collect()
+    if (touched.isEmpty) return empty
+    store.filter(col("band_bucket").isin(touched: _*))
+      .select(col("kind"), col("band_id"), col("band_val"),
+        col("id").as("dup_of"), col("ahash").as("sh"))
+      .join(batch.hint("shuffle_hash"), Seq("kind", "band_id", "band_val"))
+      .filter(col("id") =!= col("dup_of"))
+      .select(col("id"), col("dup_of"), col("ahash"), col("sh"))
+      .distinct() // one candidate per pair (bands collide repeatedly);
+                  // also folds byte-identical replay rows in the store
+      .withColumn("hamming", expr("cast(bit_count(ahash ^ sh) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("dup_of"), col("hamming")), col("dup_of")).as("m"))
+      .select(col("id"), col("m.dup_of").as("dup_of"), col("m.hamming").as("hamming"))
+  }
+
+  /** Append a batch's fingerprints to the store. One narrow shuffle:
+    * repartition on the partition key keeps files-per-batch = touched
+    * buckets, not tasks × buckets. */
+  def append(lake: String, fps: DataFrame): Unit =
+    bandsOf(fps)
+      .repartition(col("band_bucket"))
+      .write.mode("append").partitionBy("band_bucket").parquet(fpPath(lake))
+
+  /** The per-batch composition — decode ONCE, probe BEFORE append
+    * (nothing matches itself), then persist: returns the batch's dup
+    * flags. The fingerprint frame is checkpointed so the decode cost is
+    * paid exactly once across the probe and the append. */
+  def probeAppend(
+      spark: SparkSession, lake: String, media: DataFrame,
+      maxHamming: Int = 6): DataFrame = {
+    val fps = fingerprintsOf(media, spark).localCheckpoint()
+    val flags = probe(spark, lake, fps, maxHamming)
+      .localCheckpoint() // materialize BEFORE the append mutates the store
+    append(lake, fps)
+    flags
+  }
+
+  /** Small-file + duplicate-row maintenance; same commit protocol and
+    * terminated-stream contract as [[NeardupStore.compact]]. */
+  def compact(spark: SparkSession, lake: String): Long =
+    NeardupStore.compactTable(spark, fpPath(lake), "band_bucket")
+}

@@ -490,6 +490,37 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "the same index must replay byte-identically")
   }
 
+  test("corpus-build mix policies share the funnel prefix; unimax stage respects caps") {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    def rows(policy: String) = TextQueries.corpusBuildOf(docs, policy)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    val sqrtRows = rows("sqrt")
+    val uniRows = rows("unimax")
+    // the manifest is the DECLARED query on the default policy
+    assert(sqrtRows.toSeq === Queries.byName("q_corpus_build").run(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSeq)
+    // stages 0-7 are policy-independent (the shared funnel prefix)
+    assert(uniRows.filter(_._1 <= 7L).toSeq === sqrtRows.filter(_._1 <= 7L).toSeq)
+    // stage 8 carries the policy and respects the per-source cap of
+    // maxEpochs x train tokens; the budget is never overspent
+    val mix = uniRows.filter(_._1 == 8L)
+    assert(mix.nonEmpty && mix.forall(_._2 == "mix_targets_unimax"))
+    mix.foreach { case (_, _, src, _, t7, tgt) =>
+      assert(tgt >= 0L && tgt <= 2L * t7, s"$src target $tgt past cap ${2L * t7}")
+    }
+    val total = mix.map(_._6).sum
+    assert(total <= 100000L || mix.forall(m => m._6 == 2L * m._5),
+      s"unimax manifest overspent: $total")
+    // uncapped sources share one integer water level
+    val shares = mix.filter(m => m._6 != 2L * m._5).map(_._6).distinct
+    assert(shares.size <= 1, s"uneven uncapped shares: ${shares.toSeq}")
+  }
+
   test("q_corpus_build population-consistency: stages agree with the standalone rung queries") {
     val rows = Queries.byName("q_corpus_build").run(s, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -702,4 +702,94 @@ class MultimodalSpec extends AnyFunSuite {
     // partitioning must not change the pair set (bounded-engine contract)
     assert(run(5) === Set((1L, 2L)))
   }
+
+  test("video fingerprint: container-rewrite/tail-frame invariant, perturbation tolerant") {
+    // the fingerprint is frame 0's aHash over the REALLY decoded raster
+    def hashOf(avi: Array[Byte]): Long = {
+      val d = Multimodal.decode(avi)
+      assert(d.kind === "video", "fixture must route through the MJPEG leg")
+      Multimodal.aHash64(d.pixels.get, d.width.toInt, d.height.toInt)
+    }
+    val base = Multimodal.synthMjpegAvi("srcA", 0L)
+    val d0 = Multimodal.decode(base)
+    val frame0 = d0.frames.head
+    def jpegOfRaster(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8)
+          | (rgb(i + 2) & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // container REWRITE: the decoded frame 0 re-encoded (a second lossy
+    // JPEG generation) into a fresh AVI with a different frame count —
+    // the fingerprint must stay within the near tolerance
+    val rewrapped = Multimodal.mjpegAviOf(
+      Seq(jpegOfRaster(frame0, d0.width.toInt, d0.height.toInt)),
+      d0.width.toInt, d0.height.toInt)
+    val reenc = java.lang.Long.bitCount(hashOf(base) ^ hashOf(rewrapped))
+    assert(reenc <= 6, s"re-encode + container rewrite moved $reenc bits")
+    // TAIL-frame independence: same doc class (even → same frame 0
+    // perturbation size ≤ 3 px) with a different per-doc tail frame
+    val near = java.lang.Long.bitCount(
+      hashOf(base) ^ hashOf(Multimodal.synthMjpegAvi("srcA", 2L)))
+    assert(near <= 6, s"3-pixel frame-0 edit moved $near bits")
+    // the far class: odd docs repaint half of frame 0
+    val far = java.lang.Long.bitCount(
+      hashOf(base) ^ hashOf(Multimodal.synthMjpegAvi("srcA", 1L)))
+    assert(far > 6, s"half repaint only $far bits away")
+    // different sources are unrelated rasters
+    val cross = java.lang.Long.bitCount(
+      hashOf(base) ^ hashOf(Multimodal.synthMjpegAvi("srcB", 0L)))
+    assert(cross > 6, s"cross-source only $cross bits away")
+  }
+
+  test("videoNeardup pairs the near clip (MJPEG + animated GIF), skips far/still/corrupt") {
+    val s = graft.SparkSuite.spark
+    import s.implicits._
+    // an animated near-copy pair through the GIF leg: the composed first
+    // frame matches the MJPEG fixtures' base raster class is not needed —
+    // author a 2-frame GIF whose frame 0 equals another 2-frame GIF's
+    val gifA = animatedGif(Seq(0x808080, 0x202020))
+    val gifB = animatedGif(Seq(0x808080, 0xe0e0e0)) // same frame 0, new tail
+    val vids = Seq(
+      (1L, Multimodal.synthMjpegAvi("srcA", 0L)),
+      (2L, Multimodal.synthMjpegAvi("srcA", 2L)), // ≤3 px frame-0 edit: near 1
+      (3L, Multimodal.synthMjpegAvi("srcA", 1L)), // half repaint: far
+      (4L, gifA),
+      (5L, gifB), // identical first frame: near 4 at hamming 0
+      (6L, encode(gradientImage(), "png")), // STILL image: out of scope
+      (7L, "not a video at all".getBytes("UTF-8"))) // undecodable → drops out
+      .toDF("id", "content")
+    def run(parts: Int) = Multimodal.videoNeardup(vids.repartition(parts), s)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) === Set((1L, 2L), (4L, 5L)))
+    // partitioning must not change the pair set (bounded-engine contract)
+    assert(run(5) === Set((1L, 2L), (4L, 5L)))
+  }
+
+  /** A real multi-frame GIF (ImageIO gif writer, one image per frame)
+    * with solid-color full-canvas frames. */
+  private def animatedGif(colors: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, 16, 16); g.dispose()
+        w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    bos.toByteArray
+  }
 }
