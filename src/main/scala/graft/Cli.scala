@@ -767,11 +767,6 @@ object Cli {
         System.err.println("--packed requires --epoch N")
         sys.exit(2)
       }
-      if (packed && unimaxEpochs.isDefined) {
-        System.err.println("--packed and --unimax cannot combine yet — " +
-          "pack the sqrt-temperature epoch, or export the UniMax epoch raw")
-        sys.exit(2)
-      }
       // --merges FILE: budget the packed windows with a RUNTIME-trained
       // merges table (the train-bpe → export composition — VERDICT r17
       // #1: the trained file is directly consumable, no jar rebuild);
@@ -817,9 +812,14 @@ object Cli {
               val docs = docs0.persist()
               try {
                 if (packed) {
-                  val wins = TextQueries
-                    .packedEpochExportOf(docs, b, nShards, epochIdx,
-                      curriculum = curriculum, mergesSource = merges).persist()
+                  val wins = (unimaxEpochs match {
+                    case Some(e) => TextQueries
+                      .packedEpochUnimaxExportOf(docs, b, e, nShards, epochIdx,
+                        curriculum = curriculum, mergesSource = merges)
+                    case None => TextQueries
+                      .packedEpochExportOf(docs, b, nShards, epochIdx,
+                        curriculum = curriculum, mergesSource = merges)
+                  }).persist()
                   try {
                     Sink.writeShards(wins, dir, orderCols = Seq("window_id"))
                     val nWin = wins.count()
@@ -833,7 +833,9 @@ object Cli {
                         " windows (per-source targets are floored; small" +
                         " budgets can floor every source to zero)")
                     println(s"exported packed epoch (budget=$b, windows=$nWin," +
-                      s" tokens=$nTok) of collection $cid to $dir shards=$nShards")
+                      s" tokens=$nTok" +
+                      unimaxEpochs.fold("")(e => s", unimax maxEpochs=$e") +
+                      s") of collection $cid to $dir shards=$nShards")
                   } finally { wins.unpersist(); () }
                 } else if (unimaxEpochs.isDefined) {
                 val laid = TextQueries.mixEpochUnimaxExportOf(docs, b,
@@ -1236,7 +1238,12 @@ object Cli {
           sys.exit(2)
         }
       }
+      // --sq8: serve the dense leg from the store's scalar codes
+      // (sq8Probe — the finer-than-PQ rung) instead of the ADC probe;
+      // requires the store to carry the --sq8 layout
+      val hSq8 = rest0.contains("--sq8")
       val hTerms = stripFlag(stripFlag(rest0, "--top"), "--probes")
+        .filterNot(_ == "--sq8")
       hTerms.filter(_.startsWith("--")) match {
         case Nil => ()
         case bad =>
@@ -1282,8 +1289,12 @@ object Cli {
         .select(col("doc_id"), row_number()
           .over(Window.orderBy(col("score_dec").desc, col("doc_id")))
           .cast("long").as("rank_lex"))
-      val dns = graft.streaming.VectorStore
-        .adcProbe(spark, vstore, qv, hProbes, hTop, exclude = Set(hQid))
+      val dns = (if (hSq8)
+          graft.streaming.VectorStore
+            .sq8Probe(spark, vstore, qv, hTop, exclude = Set(hQid))
+        else
+          graft.streaming.VectorStore
+            .adcProbe(spark, vstore, qv, hProbes, hTop, exclude = Set(hQid)))
         .select(col("vec_id").as("doc_id"), row_number()
           .over(Window.orderBy(col("adc").desc, col("vec_id")))
           .cast("long").as("rank_dense"))

@@ -449,13 +449,39 @@ object TextQueries {
       docs: DataFrame, totalBudget: Long, nShards: Int,
       epochIdx: Long = 0L, B: Int = 2048,
       curriculum: Boolean = false,
-      mergesSource: String = graft.functions.Bpe.DefaultSource): DataFrame = {
+      mergesSource: String = graft.functions.Bpe.DefaultSource): DataFrame =
+    packLaidEpoch(
+      mixEpochExportOf(docs, totalBudget, nShards, epochIdx, curriculum),
+      B, mergesSource)
+
+  /** [[packedEpochExportOf]] over the UNIMAX epoch (r19 — the pack tail
+    * is target-policy-agnostic, so the composition is one seam call):
+    * the water-filled token-budget epoch ([[mixEpochUnimaxExportOf]])
+    * chunked into fixed-`B` training windows. `Cli export --epoch B
+    * --unimax E --packed`. */
+  private[graft] def packedEpochUnimaxExportOf(
+      docs: DataFrame, totalBudget: Long, maxEpochs: Long, nShards: Int,
+      epochIdx: Long = 0L, B: Int = 2048,
+      curriculum: Boolean = false,
+      mergesSource: String = graft.functions.Bpe.DefaultSource): DataFrame =
+    packLaidEpoch(
+      mixEpochUnimaxExportOf(docs, totalBudget, maxEpochs, nShards,
+        epochIdx, curriculum),
+      B, mergesSource)
+
+  /** The packing TAIL shared by every epoch flavor — takes any laid
+    * epoch frame ((shard, vtime, source, doc_id, k, text) in schedule
+    * order) and emits the fixed-budget windows; extracted r19 so the
+    * UniMax epoch packs through the identical spelling instead of a
+    * policy-keyed copy. */
+  private def packLaidEpoch(
+      laid: DataFrame, B: Int, mergesSource: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.GraftExtensions.ensureRegistered(docs.sparkSession)
+    graft.functions.GraftExtensions.ensureRegistered(laid.sparkSession)
     val wSh = Window.partitionBy(col("shard"))
       .orderBy(col("vtime"), col("source"), col("doc_id"), col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    mixEpochExportOf(docs, totalBudget, nShards, epochIdx, curriculum)
+    laid
       // the merges source is the train-then-pack seam (VERDICT r17 #1):
       // a table trained at runtime (Cli train-bpe) budgets this export
       // without a jar rebuild; empty = the vendored default

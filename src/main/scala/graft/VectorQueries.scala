@@ -3386,6 +3386,7 @@ object VectorQueries {
         // the shared term set — the whole ANN family's convention), so
         // eval cost grows with |probe sample|, never corpus × corpus.
         import org.apache.spark.sql.expressions.Window
+        import s.implicits._
         val K = 100
         def rankBy(df: DataFrame, score: Column, id: Column, n: Int): DataFrame =
           df.orderBy(score.desc, id).limit(n)
@@ -3407,11 +3408,19 @@ object VectorQueries {
         val sysH = rrfFuseOf(lex, dnsA)
           .orderBy("rank_fused").limit(10)
           .select(col("doc_id"), col("rank_fused").as("rank"))
+        // ndcg@10 (r19, the eval-symmetry sweep): both truths are exact
+        // top-10 lists, so IDCG is the discount table's cum at rank 10 —
+        // one driver-side constant; DCG joins the k-row literal
+        val discDf = ndcgDiscounts(LexK).toDF("rank", "disc", "cum")
+        val idcg10 = ndcgDiscounts(LexK).last._3.doubleValue
         def evalOf(name: String, sys: DataFrame, truth: DataFrame): DataFrame =
           sys.join(broadcast(truth.withColumn("rel", lit(1))), Seq("doc_id"), "left")
+            .join(broadcast(discDf.select(col("rank"), col("disc"))),
+              Seq("rank"), "left")
             .agg(
               count(col("rel")).as("n_hits"),
-              min(when(col("rel").isNotNull, col("rank"))).as("first_rel"))
+              min(when(col("rel").isNotNull, col("rank"))).as("first_rel"),
+              sum(when(col("rel").isNotNull, col("disc"))).as("dcg_dec"))
             .select(
               lit(name).as("system"), lit(10L).as("k"),
               col("n_hits"), col("first_rel"),
@@ -3419,7 +3428,9 @@ object VectorQueries {
                 .as("recall"),
               round(coalesce(
                 lit(1.0).cast(DoubleType) / col("first_rel").cast(DoubleType),
-                lit(0.0)), 9).as("mrr"))
+                lit(0.0)), 9).as("mrr"),
+              round(coalesce(col("dcg_dec").cast(DoubleType), lit(0.0))
+                / lit(idcg10), 9).as("ndcg"))
         evalOf("ann_refine", annSys, truthD)
           .unionAll(evalOf("hybrid_ann", sysH, truthH))
           .orderBy("system")
@@ -3461,23 +3472,32 @@ object VectorQueries {
                         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
                           AS rank
                  FROM afused QUALIFY rank <= 10),
+               disc AS (SELECT rank, disc, cum
+                        FROM read_parquet('${OracleAux.Token}/ndcg_discounts/*.parquet')),
                aev AS (
                  SELECT CAST(count(t.doc_id) AS BIGINT) AS n_hits,
-                        MIN(CASE WHEN t.doc_id IS NOT NULL THEN a.rank END) AS first_rel
-                 FROM annsys a LEFT JOIN truthd t ON t.doc_id = a.doc_id),
+                        MIN(CASE WHEN t.doc_id IS NOT NULL THEN a.rank END) AS first_rel,
+                        SUM(CASE WHEN t.doc_id IS NOT NULL THEN dc.disc END) AS dcg
+                 FROM annsys a LEFT JOIN truthd t ON t.doc_id = a.doc_id
+                 LEFT JOIN disc dc ON dc.rank = a.rank),
                hev AS (
                  SELECT CAST(count(t.doc_id) AS BIGINT) AS n_hits,
-                        MIN(CASE WHEN t.doc_id IS NOT NULL THEN h.rank END) AS first_rel
-                 FROM sysh h LEFT JOIN truthh t ON t.doc_id = h.doc_id)
+                        MIN(CASE WHEN t.doc_id IS NOT NULL THEN h.rank END) AS first_rel,
+                        SUM(CASE WHEN t.doc_id IS NOT NULL THEN dc.disc END) AS dcg
+                 FROM sysh h LEFT JOIN truthh t ON t.doc_id = h.doc_id
+                 LEFT JOIN disc dc ON dc.rank = h.rank),
+               idcg AS (SELECT CAST(cum AS DOUBLE) AS v FROM disc WHERE rank = 10)
                SELECT * FROM (
                  SELECT 'ann_refine' AS system, CAST(10 AS BIGINT) AS k, n_hits, first_rel,
                         round(CAST(n_hits AS DOUBLE) / CAST(10 AS DOUBLE), 9) AS recall,
-                        round(coalesce(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE), 0), 9) AS mrr
+                        round(coalesce(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE), 0), 9) AS mrr,
+                        round(CAST(coalesce(dcg, 0) AS DOUBLE) / (SELECT v FROM idcg), 9) AS ndcg
                  FROM aev
                  UNION ALL
                  SELECT 'hybrid_ann' AS system, CAST(10 AS BIGINT) AS k, n_hits, first_rel,
                         round(CAST(n_hits AS DOUBLE) / CAST(10 AS DOUBLE), 9) AS recall,
-                        round(coalesce(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE), 0), 9) AS mrr
+                        round(coalesce(CAST(1 AS DOUBLE) / CAST(first_rel AS DOUBLE), 0), 9) AS mrr,
+                        round(CAST(coalesce(dcg, 0) AS DOUBLE) / (SELECT v FROM idcg), 9) AS ndcg
                  FROM hev)
                ORDER BY system"""),
       "Retrieval-quality eval as a declared readout: recall@10 + MRR of the " +
@@ -3487,8 +3507,11 @@ object VectorQueries {
         "nomination and the exact truth scan each run ONCE (checkpointed 50/100-row " +
         "lists serve every consumer), the lexical leg probes the postings store; " +
         "oracle re-derives all four rankings from the materialized artifacts and " +
-        "scores identically",
-      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writePqAux(s, d, a) }),
+        "scores identically; ndcg@10 via the driver-materialized discount table " +
+        "(both truths are exact top-10 lists, so IDCG is the cum at rank 10)",
+      aux = Some { (s, d, a) =>
+        writeKmeansAux(s, d, a); writePqAux(s, d, a); writeNdcgAux(s, d, a)
+      }),
 
     QueryDef(
       "q_retrieval_eval_multi", Seq("A4", "J2", "A1"),

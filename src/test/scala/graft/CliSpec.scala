@@ -417,6 +417,24 @@ class CliSpec extends AnyFunSuite {
       assert(w.get("tokens").isArray && w.get("tokens").size >= 1)
       assert(w.get("n_tokens").asLong === w.get("tokens").size.toLong)
     }
+
+    // --packed --unimax: the UniMax token-budget epoch chunked through
+    // the same packing tail (the policy-agnostic seam)
+    val upDir = Files.createTempDirectory("graft-cli-unipack").toString
+    val upout = run("export", lake, "1", upDir,
+      "--shards", "2", "--epoch", "500", "--unimax", "2", "--packed")
+    assert(upout.contains("unimax maxEpochs=2"), upout)
+    val upwins = epochLines(upDir).map(mapper.readTree)
+    assert(upwins.nonEmpty)
+    upwins.foreach { w =>
+      assert(w.get("tokens").isArray && w.get("tokens").size >= 1)
+      assert(w.get("n_tokens").asLong === w.get("tokens").size.toLong)
+    }
+    // the packed BPE token total equals the RAW unimax epoch's total
+    // over the same parameters (packing reorders, never drops)
+    val rawTok = urows.map(r => graft.functions.Bpe
+      .tokens(r.get("text").asText).length.toLong).sum
+    assert(upwins.map(_.get("n_tokens").asLong).sum === rawTok)
   }
 
   test("dsir-select ranks a raw collection toward a curated target collection") {
@@ -577,6 +595,16 @@ class CliSpec extends AnyFunSuite {
     assert(lines.exists(l => !l.contains("dense=-")), s"no dense hits:\n$out")
     // the query row itself is excluded from the dense leg
     assert(!lines.exists(l => l.contains(" doc_id=0 ") && !l.contains("dense=-")), out)
+
+    // --sq8 serves the dense leg from the scalar codes (the finer rung);
+    // the store must carry the sq8 layout
+    val vstore8 = Files.createTempDirectory("graft-cli-hyb-v8").toString
+    run("vector-index", vstore8, s"$dir/embeddings.parquet", "--sq8")
+    val out8 = run("hybrid-search", pstore, vstore8, "0",
+      "dup", "spark", "merge", "key", "--top", "8", "--sq8")
+    val lines8 = out8.linesIterator.filter(_.startsWith("rank=")).toSeq
+    assert(lines8.nonEmpty && lines8.size <= 8, out8)
+    assert(lines8.exists(l => !l.contains("dense=-")), s"no sq8 dense hits:\n$out8")
   }
 
   test("overlap estimates cross-collection shingle sharing from KMV sketches") {

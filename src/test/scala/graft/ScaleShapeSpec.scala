@@ -387,7 +387,10 @@ class ScaleShapeSpec extends AnyFunSuite {
     // stacks per consumer; 52 -> 18 plan lines): the one brute
     // TakeOrdered + the one ADC chain + the store-probe leg + two
     // K-bounded fusions + the two 10-row hit joins
-    "q_retrieval_eval" -> 18,
+    // r19 +4: the ndcg@10 discount literal broadcasts into each of the
+    // two hit joins (disc per rank) — all 10-row frames, the probe and
+    // truth legs unchanged
+    "q_retrieval_eval" -> 22,
     // r17 sampled-probe eval: the two batched k-NN engines' own budgets
     // (8 exact + 10 ivf-pruned) riding unchanged under the probe-bounded
     // hit join (truth side broadcast) — the per-qid metric agg folds into
