@@ -1330,9 +1330,18 @@ object Cli {
       val bTop = intFlag("--top", 5)
       val bRerank = intFlag("--rerank", 20)
       val exact = rest.contains("--exact")
+      // --sq8: nominate from the store's scalar codes (the finer rung;
+      // requires the --sq8 layout) instead of the 8-byte ADC
+      val bSq8 = rest.contains("--sq8")
+      if (exact && bSq8) {
+        System.err.println("--exact and --sq8 are different nomination " +
+          "modes — pick one")
+        sys.exit(2)
+      }
       rejectStray("vector-search",
         Seq("--mod", "--probes", "--top", "--rerank")
-          .foldLeft(rest)(stripFlag).filterNot(_ == "--exact"))
+          .foldLeft(rest)(stripFlag)
+          .filterNot(a => a == "--exact" || a == "--sq8"))
       val spark = session()
       val queries = spark.read.parquet(embPath)
         .filter(pmod(col("vec_id"), lit(mod)) === 0)
@@ -1340,7 +1349,7 @@ object Cli {
       val hits = graft.streaming.VectorStore.knnJoin(
         spark, store, queries, probes = bProbes, r = bRerank, k = bTop,
         excludeWhere = Some(pmod(col("vec_id"), lit(mod)) === 0),
-        adcNominate = !exact).collect()
+        adcNominate = !exact, sq8Nominate = bSq8).collect()
       if (hits.isEmpty) println("empty store or no queries in the sample")
       else hits.foreach { r =>
         println(s"qid=${r.getAs[Long]("qid")}" +

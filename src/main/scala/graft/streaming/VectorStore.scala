@@ -402,6 +402,15 @@ object VectorStore {
     *     a re-derived assignment. Byte-identical to the declared join
     *     by shared code, pinned in VectorStoreSpec; reads the embedding
     *     column of the probed cells.
+    *   - `sq8Nominate = true` (r19; requires the `--sq8` layout): the
+    *     middle rung — nominate from the stored SCALAR codes
+    *     (reconstruct-and-dot through the shared
+    *     [[graft.VectorQueries.Sq8Kit]]), an order of magnitude finer
+    *     reconstruction than the 8-byte ADC at 8× the code bytes, still
+    *     without touching raw embeddings until the exact refine;
+    *     VectorStoreSpec pins exact scores on every served pair,
+    *     monotone recall in r, and convergence to the exact-nominate
+    *     answer at full r.
     *
     * `excludeWhere` (over vec_id/cell) drops stored rows from the
     * candidate side — a pushable predicate, not an id list, so the
@@ -426,7 +435,8 @@ object VectorStore {
       r: Int = graft.VectorQueries.KnnR,
       k: Int = graft.VectorQueries.KnnK,
       excludeWhere: Option[org.apache.spark.sql.Column] = None,
-      adcNominate: Boolean = true): DataFrame = {
+      adcNominate: Boolean = true,
+      sq8Nominate: Boolean = false): DataFrame = {
     import spark.implicits._
     graft.functions.GraftExtensions.ensureRegistered(spark)
     val empty = Seq.empty[(Long, Int, Long, Double)]
@@ -441,10 +451,10 @@ object VectorStore {
     // bounded probe frame, compiled driver-side; zero-norm queries are
     // dropped here AND in knnQueryFrameOf (same predicate) so the two
     // legs agree on the query set
-    val compiled = queries.select(col("qid"), col("embedding"))
+    val raw = queries.select(col("qid"), col("embedding"))
       .as[(Long, Seq[Float])].collect()
       .filter { case (_, v) => v.exists(_ != 0f) }
-      .map { case (qid, v) => (qid, kit.query(v, probes)) }
+    val compiled = raw.map { case (qid, v) => (qid, kit.query(v, probes)) }
     if (compiled.isEmpty) return empty
     val cells = compiled.flatMap(_._2.probeSet).distinct.map(_.toLong).toSeq
     val pruned = store.filter(col("cell").isin(cells: _*))
@@ -454,6 +464,71 @@ object VectorStore {
         s"(pre-layout rows mixed into $lake) — rebuild the store before " +
         "serving ADC probes")
     val candidates = excludeWhere.fold(pruned)(w => pruned.filter(!w))
+
+    if (sq8Nominate) {
+      // nominate from the SQ8 scalar codes (r19 — the finer-than-PQ
+      // rung serving the batched join too): reconstruct-and-dot per
+      // (probed row, probing query) through the ONE Sq8Kit spelling,
+      // round-9 scores into the same r-bounded partials, then the
+      // shared exact refine. The scan reads (vec_id, cell, sq8) — no
+      // raw embeddings, no PQ codes; cell pruning and the zero-norm
+      // marker behave exactly as the ADC leg.
+      require(store.columns.contains("sq8"),
+        s"vector store at $lake has no sq8 column — build the layout " +
+          "(Cli vector-index --sq8, or append with sq8 = true from the " +
+          "first batch) before sq8-nominated serving")
+      val kit8 = servingSq8KitOf(spark, lake)
+      val qUnits: Map[Long, Array[Double]] =
+        raw.map { case (qid, v) => qid -> kit8.unitOf(v) }.toMap
+      val byCell8: Map[Int, Array[Long]] = compiled.toSeq
+        .flatMap { case (qid, qq) => qq.probeSet.iterator.map(c => (c, qid)) }
+        .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toArray) }
+      val bcKit8 = spark.sparkContext.broadcast(kit8)
+      val bcQU = spark.sparkContext.broadcast(qUnits)
+      val bcByCell8 = spark.sparkContext.broadcast(byCell8)
+      val nomBase =
+        if (candidates.columns.contains("znorm"))
+          candidates.filter(!coalesce(col("znorm"), lit(false)))
+        else candidates
+      val nUncoded8 = nomBase.filter(col("sq8").isNull).count()
+      require(nUncoded8 == 0L,
+        s"$nUncoded8 stored vectors in the probed cells have no sq8 " +
+          s"codes (rows appended before the sq8 layout mixed into $lake)" +
+          " — rebuild the store before sq8-nominated serving")
+      val nomIds8 = nomBase
+        .select(col("vec_id"), col("cell"), col("sq8"))
+        .dropDuplicates("vec_id")
+        .as[(Long, Long, Seq[Int])]
+        .mapPartitions { it =>
+          val k8 = bcKit8.value
+          val qs = bcQU.value
+          val m = bcByCell8.value
+          it.flatMap { case (id, cell, codes) =>
+            m.get(cell.toInt) match {
+              case None => Iterator.empty
+              case Some(qids) =>
+                val arr = codes.toArray
+                qids.iterator.map { qid =>
+                  (qid, id, k8.scoreDec(qs(qid), arr).doubleValue)
+                }
+            }
+          }
+        }
+        .toDF("qid", "vec_id", "s8")
+        .groupBy("qid")
+        .agg(call_function("topk_pairs",
+          round(col("s8"), 9), col("vec_id"), col("vec_id"), lit(r)).as("cand"))
+        .select(col("qid"), explode(col("cand")).as("c"))
+        .select(col("qid"), col("c.id").as("vec_id"))
+      val nominated8 = candidates.select(col("vec_id"), col("embedding"))
+        .join(broadcast(nomIds8), Seq("vec_id"))
+        .dropDuplicates("qid", "vec_id")
+        .filter(call_function("dot_double",
+          col("embedding"), col("embedding")) > 0)
+        .select(col("qid"), col("vec_id"), col("embedding"))
+      return graft.VectorQueries.knnRefine(
+        nominated8, graft.VectorQueries.knnQueryFrameOf(queries), k)
+    }
 
     if (!adcNominate) {
       // AdcQuery.probeSet ranks cells exactly like probeCellsOf (the

@@ -300,6 +300,58 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("--sq8"), e.getMessage)
   }
 
+  test("SQ8-nominated batched join: exact scores, monotone in r, exact at full r, codes-only scan") {
+    import s.implicits._
+    val lake = Files.createTempDirectory("graft-vstore-knn8").toString
+    VectorStore.append(s, lake, embAll, sq8 = true)
+    val queries = embAll.filter(pmod(col("vec_id"), lit(25)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val excl = Some(pmod(col("vec_id"), lit(25)) === 0)
+    def sq8At(r: Int) = VectorStore.knnJoin(s, lake, queries, r = r,
+      excludeWhere = excl, sq8Nominate = true)
+      .collect().map(x => ((x.getLong(0), x.getLong(2)), (x.getInt(1), x.getDouble(3))))
+    val exact = VectorStore.knnJoin(s, lake, queries,
+      excludeWhere = excl, adcNominate = false)
+      .collect().map(x => ((x.getLong(0), x.getLong(2)), (x.getInt(1), x.getDouble(3))))
+    val truth = exact.map(_._1).toSet
+    // every served pair's cosine is the EXACT decimal value — the SQ8
+    // approximation chooses nominees, never scores survivors
+    val exactByPair = exact.toMap
+    val r20 = sq8At(20)
+    assert(r20.nonEmpty)
+    r20.foreach { case (pair, (_, cos)) =>
+      exactByPair.get(pair).foreach { case (_, ecos) =>
+        assert(cos === ecos, s"sq8-served $pair scored $cos, exact $ecos")
+      }
+    }
+    def recall(rows: Array[((Long, Long), (Int, Double))]) =
+      rows.map(_._1).count(truth).toDouble / truth.size
+    val rec = Seq(5, 20, 80).map(r => recall(sq8At(r)))
+    assert(rec == rec.sorted, s"recall not monotone in r: $rec")
+    val n = embAll.count().toInt
+    assert(sq8At(n).toSeq === exact.toSeq,
+      "full-r sq8 nomination must converge to the exact-nominate answer")
+    // the nomination scan reads the scalar codes, never raw embeddings
+    // or the PQ codes
+    val df = VectorStore.knnJoin(s, lake, queries,
+      excludeWhere = excl, sq8Nominate = true)
+    df.collect()
+    val storeScans = PlanWalk.fileScans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("/vectors")))
+    assert(storeScans.exists { sc =>
+      val f = sc.requiredSchema.fieldNames.toSet
+      f.contains("sq8") && !f.contains("embedding") && !f.contains("codes")
+    }, "sq8 nomination must read the scalar codes alone: " +
+      storeScans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(" | "))
+    // a store without the layout refuses loudly
+    val plain = Files.createTempDirectory("graft-vstore-knn8n").toString
+    VectorStore.append(s, plain, embAll.filter(col("vec_id") < 100))
+    val e = intercept[IllegalArgumentException] {
+      VectorStore.knnJoin(s, plain, queries, sq8Nominate = true).collect()
+    }
+    assert(e.getMessage.contains("--sq8"), e.getMessage)
+  }
+
   test("a stored zero-norm vector never costs an ADC nomination slot (codes-side marker)") {
     import s.implicits._
     // two stores whose quantizers train on the SAME first append; one
