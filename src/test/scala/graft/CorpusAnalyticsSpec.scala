@@ -628,6 +628,41 @@ class CorpusAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: rrfFuseByQidOf == an independent rrfFuseOf per qid (r19 batched fusion)") {
+    import s.implicits._
+    val rnd = new scala.util.Random(61)
+    // three probes with different overlap shapes, fused in ONE batched
+    // call — each qid's slice must equal the single-query engine run on
+    // that qid's lists alone (the per-qid window cannot leak across
+    // probes, and a doc ranked for one probe must not surface for
+    // another)
+    val perQid: Map[Long, (Seq[Long], Seq[Long])] = (1L to 3L).map { qid =>
+      val ids = rnd.shuffle((1L to 40L).toList)
+      qid -> (ids.take(1 + rnd.nextInt(10)),
+        rnd.shuffle(ids).take(1 + rnd.nextInt(10)))
+    }.toMap
+    val lexB = perQid.toSeq.flatMap { case (qid, (l, _)) =>
+      l.zipWithIndex.map { case (id, i) => (qid, id, i + 1L) }
+    }.toDF("qid", "doc_id", "rank_lex")
+    val dnsB = perQid.toSeq.flatMap { case (qid, (_, d)) =>
+      d.zipWithIndex.map { case (id, i) => (qid, id, i + 1L) }
+    }.toDF("qid", "doc_id", "rank_dense")
+    val got = VectorQueries.rrfFuseByQidOf(lexB, dnsB).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank_fused"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("rrf_score")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(x => (x._2, x._3, x._4)).toSeq).toMap
+    perQid.foreach { case (qid, (l, d)) =>
+      val lex = l.zipWithIndex.map { case (id, i) => (id, i + 1L) }
+        .toDF("doc_id", "rank_lex")
+      val dns = d.zipWithIndex.map { case (id, i) => (id, i + 1L) }
+        .toDF("doc_id", "rank_dense")
+      val want = VectorQueries.rrfFuseOf(lex, dns).collect()
+        .map(r => (r.getAs[Long]("rank_fused"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("rrf_score"))).toSeq
+      assert(got(qid) === want, s"qid $qid diverges from the single-query fusion")
+    }
+  }
+
   test("q_topic_mix: shares sum to 1 per source and doc counts reconcile") {
     val rows = Queries.byName("q_topic_mix").run(s, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -462,6 +462,24 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mixEpochUnimaxOf: a budget smaller than the source count realizes an EMPTY epoch, loudly nothing") {
+    import s.implicits._
+    // 4 sources, budget 3 tokens: the integer water level is 0, every
+    // target is 0, and the materializer must emit zero rows — not
+    // divide by zero (the corpusBuildOf ANSI precedent) and not invent
+    // a partial emission (reps = c + (p <= 0) with p >= 1 is 0)
+    val docs = (1L to 12L)
+      .map(i => (i, s"src${i % 4}", "w w w"))
+      .toDF("doc_id", "source", "text")
+    val out = TextQueries.mixEpochUnimaxOf(docs, totalBudget = 3L,
+      maxEpochs = 2L, nShards = 2)
+    assert(out.count() === 0L)
+    // the targets themselves say why: all-zero, none capped
+    val tg = TextQueries.unimaxMixOf(docs, 3L, 2L)
+      .select("n_target").as[Long].collect()
+    assert(tg.forall(_ === 0L))
+  }
+
   test("mixEpochUnimaxOf epochs are distinct per index but identically conserved") {
     import s.implicits._
     val docs = (1L to 30L)
