@@ -1240,8 +1240,18 @@ object Cli {
       }
       // --sq8: serve the dense leg from the store's scalar codes
       // (sq8Probe — the finer-than-PQ rung) instead of the ADC probe;
-      // requires the store to carry the --sq8 layout
+      // requires the store to carry the --sq8 layout. sq8Probe is a
+      // full codes scan with no probe-set parameter, so --probes would
+      // be silently ignored — reject the combination instead (ADVICE
+      // r19, the vector-search --exact/--sq8 conflict pattern)
       val hSq8 = rest0.contains("--sq8")
+      if (hSq8 && flagValue(rest0, "--probes").isDefined) {
+        System.err.println(
+          "hybrid-search: --probes has no effect with --sq8 (the SQ8 " +
+            "dense leg scans the scalar codes, it probes no cells) — " +
+            "drop one of the two flags")
+        sys.exit(2)
+      }
       val hTerms = stripFlag(stripFlag(rest0, "--top"), "--probes")
         .filterNot(_ == "--sq8")
       hTerms.filter(_.startsWith("--")) match {

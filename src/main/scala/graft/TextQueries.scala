@@ -958,7 +958,10 @@ object TextQueries {
     require(mixPolicy == "sqrt" || mixPolicy == "unimax",
       s"mixPolicy must be 'sqrt' or 'unimax', got '$mixPolicy'")
     graft.functions.GraftExtensions.ensureRegistered(docsIn.sparkSession)
-    val toks = tokens(col("text"))
+    // coalesce(text, '') — the unimax targets seam counts tokens the way
+    // mixEpochFromTargets does (every doc >= 1 token; ADVICE r19), and
+    // the c4 line machinery already coalesces
+    val toks = tokens(coalesce(col("text"), lit("")))
     val nw = size(toks).cast(LongType)
     val stops = size(filter(toks, t => t.isin(enStop: _*))).cast(LongType)
     // the SHARED rule spellings (GopherRules / c4DerivedPage + c4LineKeep)
@@ -1660,11 +1663,16 @@ object TextQueries {
   private[graft] def unimaxMixOf(
       docs: DataFrame, totalBudget: Long, maxEpochs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // coalesce(text, '') — the SAME token count mixEpochFromTargets uses
+    // for its per-doc wt (wt >= 1), so sum(wt) == n_tokens holds even on
+    // a null-text doc; size(split(null)) would break the cap/undershoot
+    // proof at the targets seam (ADVICE r19)
     val per = docs
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text"))).cast(LongType)).as("n_tokens"))
+        sum(size(tokens(coalesce(col("text"), lit("")))).cast(LongType))
+          .as("n_tokens"))
       .withColumn("cap_tokens", col("n_tokens") * lit(maxEpochs))
     val wAsc = Window.orderBy(col("cap_tokens").asc, col("source").asc)
     val run = wAsc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3529,7 +3537,7 @@ object TextQueries {
         totalBudget = 50000L, maxEpochs = 2L),
       Some("""WITH per AS (
                 SELECT source, count(*) AS n_docs,
-                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                       CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
                 FROM documents GROUP BY source),
               capd AS (
                 SELECT source, n_docs, n_tokens,
@@ -3782,7 +3790,7 @@ object TextQueries {
           col("source"), col("doc_id"), col("k")),
       Some("""WITH per AS (
                 SELECT source, count(*) AS n_docs,
-                       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                       CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
                 FROM documents GROUP BY source),
               capd AS (
                 SELECT source, n_docs, n_tokens, n_tokens * 2 AS cap_tokens
@@ -4199,8 +4207,8 @@ object TextQueries {
       (s, d) => corpusBuildOf(Tables.documents(s, d)),
       Some(s"""WITH base AS (
                  SELECT source, doc_id, text,
-                        string_split(text, ' ') AS toks,
-                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                        string_split(coalesce(text, ''), ' ') AS toks,
+                        CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
                  FROM documents),
                m AS (
                  SELECT source, doc_id, text, toks, n_tok,

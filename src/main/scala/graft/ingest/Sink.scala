@@ -271,10 +271,21 @@ object Sink {
 
   /** None for a missing OR fully-wiped table (a directory whose partitions
     * were all dropped has no parquet footers to infer a schema from) —
-    * the read guard every optional lake table goes through. */
-  def readOrEmpty(spark: SparkSession, path: String): Option[DataFrame] =
+    * the read guard every optional lake table goes through.
+    *
+    * `merge = true` unions the schema across ALL footers instead of
+    * sampling one — required for stores whose layout gained columns
+    * across appends (the vector store's znorm/sq8 markers): without it,
+    * which columns are visible depends on which footer Spark samples, so
+    * a mixed-era store would nondeterministically toggle the marker
+    * filters (ADVICE r19). Footer-only cost, paid per read, only on the
+    * stores that evolve. */
+  def readOrEmpty(
+      spark: SparkSession, path: String, merge: Boolean = false): Option[DataFrame] =
     if (!new java.io.File(path).exists()) None
-    else scala.util.Try(spark.read.parquet(path)).toOption
+    else scala.util.Try(
+      if (merge) spark.read.option("mergeSchema", "true").parquet(path)
+      else spark.read.parquet(path)).toOption
 
   /** S8 store: one row per content hash, partitioned by hash prefix. */
   def writeDedupStore(data: DataFrame, path: String, mode: String = "append"): Unit =

@@ -57,6 +57,49 @@ object FingerprintStore {
 
   def fpPath(lake: String): String = s"$lake/media_fps"
 
+  /** The replay watermark (last appended batch id + its lineage) — the
+    * [[PostingsStore.Totals]] discipline without the additive totals:
+    * a replayed batch id within the same lineage skips the append
+    * entirely, and the probe excludes the batch's OWN stored rows, so
+    * the dup-flag output of [[probeAppend]] is REPLAY-STABLE (ADVICE
+    * r19: without the exclusion, a batch replayed after a
+    * crash-after-append would flag its within-batch near-dups against
+    * the first attempt's stored copies — flags the first run never
+    * emitted). */
+  private final case class Meta(lastBatchId: Long, lineage: String)
+
+  private def metaPath(lake: String): java.nio.file.Path =
+    java.nio.file.Paths.get(lake, "_fp_meta.json")
+
+  private def loadMeta(lake: String): Option[Meta] = {
+    val p = metaPath(lake)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(p))
+      Some(Meta(root.get("last_batch_id").asLong(),
+        root.get("lineage").asText()))
+    }
+  }
+
+  private def saveMeta(lake: String, m: Meta): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("last_batch_id", m.lastBatchId)
+    root.put("lineage", m.lineage)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(lake))
+    val target = metaPath(lake)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, mapper.writeValueAsString(root))
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** Decode an (id BIGINT, content BINARY) media frame ONCE and emit
     * (id, kind, ahash) — image/audio/video routed to their real decode
     * engines; payloads that decode no signal drop out. */
@@ -93,14 +136,30 @@ object FingerprintStore {
     * (id, dup_of, hamming) for each batch row within hamming ≤
     * `maxHamming` of a stored row of the SAME kind (min dup_of on ties).
     * The store scan is statically pruned to the batch's band buckets.
-    * Empty frame when the store does not exist yet. */
+    * Empty frame when the store does not exist yet.
+    *
+    * `excludeBatch = Some((lineage, batchId))` drops stored rows THIS
+    * batch appended on a previous (crashed or replayed) attempt — the
+    * replay-stability half of the keyed [[probeAppend]] contract: on the
+    * first attempt the filter matches nothing, on a replay it removes
+    * exactly the batch's own copies, so the flags are identical either
+    * way. Rows from pre-watermark store files (no batch_id column, read
+    * with schema merge) carry nulls and are always kept. */
   def probe(
       spark: SparkSession, lake: String, fps: DataFrame,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      excludeBatch: Option[(String, Long)] = None): DataFrame = {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Long)].toDF("id", "dup_of", "hamming")
-    val store = graft.ingest.Sink.readOrEmpty(spark, fpPath(lake))
+    val stored = graft.ingest.Sink.readOrEmpty(spark, fpPath(lake), merge = true)
       .getOrElse(return empty)
+    val store = excludeBatch match {
+      case Some((lin, bid)) if stored.columns.contains("batch_id") =>
+        stored.filter(!coalesce(
+          col("lineage") === lit(lin) && col("batch_id") === lit(bid),
+          lit(false)))
+      case _ => stored
+    }
     val batch = bandsOf(fps)
     // bounded by the 64-value partition domain, never by batch size —
     // the driver-side list is what turns the store scan into static
@@ -122,25 +181,53 @@ object FingerprintStore {
       .select(col("id"), col("m.dup_of").as("dup_of"), col("m.hamming").as("hamming"))
   }
 
-  /** Append a batch's fingerprints to the store. One narrow shuffle:
+  /** Append a batch's fingerprints to the store, stamped with the
+    * batch's (lineage, batch_id) key so a replayed [[probeAppend]] can
+    * skip it and exclude it from its probe. One narrow shuffle:
     * repartition on the partition key keeps files-per-batch = touched
     * buckets, not tasks × buckets. */
-  def append(lake: String, fps: DataFrame): Unit =
+  def append(
+      lake: String, fps: DataFrame,
+      batchId: Long = -1L, lineage: String = "adhoc"): Unit =
     bandsOf(fps)
+      .withColumn("batch_id", lit(batchId))
+      .withColumn("lineage", lit(lineage))
       .repartition(col("band_bucket"))
       .write.mode("append").partitionBy("band_bucket").parquet(fpPath(lake))
 
   /** The per-batch composition — decode ONCE, probe BEFORE append
     * (nothing matches itself), then persist: returns the batch's dup
     * flags. The fingerprint frame is checkpointed so the decode cost is
-    * paid exactly once across the probe and the append. */
+    * paid exactly once across the probe and the append.
+    *
+    * `batchId >= 0` keys the batch under the lineage-scoped replay
+    * watermark (the [[PostingsStore.appendBatch]] discipline, ADVICE
+    * r19): a replayed batch id skips the append (no duplicate rows
+    * even across a crash-after-append, whose only residue is the
+    * pre-watermark double-append the probe's distinct and [[compact]]
+    * already fold), and the probe excludes the batch's own stored rows,
+    * so the returned flags are identical on every attempt. The default
+    * `batchId = -1` keeps the unkeyed ad-hoc shape: always append, no
+    * exclusion — callers replaying unkeyed batches may see within-batch
+    * near-dups flagged on the replay (the documented weaker contract).
+    * The meta save runs AFTER the append commits (the house ordering:
+    * the one crash window between them replays into the duplicate-
+    * tolerant store, never into a lost batch). */
   def probeAppend(
       spark: SparkSession, lake: String, media: DataFrame,
-      maxHamming: Int = 6): DataFrame = {
+      maxHamming: Int = 6,
+      batchId: Long = -1L, lineage: String = "adhoc"): DataFrame = {
+    val keyed = batchId >= 0L
+    val replayed = keyed && loadMeta(lake).exists(m =>
+      m.lineage == lineage && batchId <= m.lastBatchId)
     val fps = fingerprintsOf(media, spark).localCheckpoint()
-    val flags = probe(spark, lake, fps, maxHamming)
+    val flags = probe(spark, lake, fps, maxHamming,
+      excludeBatch = if (keyed) Some((lineage, batchId)) else None)
       .localCheckpoint() // materialize BEFORE the append mutates the store
-    append(lake, fps)
+    if (!replayed) {
+      append(lake, fps, batchId, lineage)
+      if (keyed) saveMeta(lake, Meta(batchId, lineage))
+    }
     flags
   }
 

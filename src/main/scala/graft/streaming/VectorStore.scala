@@ -277,7 +277,7 @@ object VectorStore {
       spark: SparkSession, lake: String, qv: Seq[Float],
       probes: Int, k: Int, exclude: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
-    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake))
+    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake), merge = true)
       .getOrElse(return Seq.empty[(Long, Double)].toDF("vec_id", "adc"))
     // a lake written before the coded-index layout has no codes column
     // (or null codes on its old rows after a mixed append): serving it
@@ -338,7 +338,7 @@ object VectorStore {
       spark: SparkSession, lake: String, qv: Seq[Float], k: Int,
       exclude: Set[Long] = Set.empty): DataFrame = {
     import spark.implicits._
-    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake))
+    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake), merge = true)
       .getOrElse(return Seq.empty[(Long, Double)].toDF("vec_id", "adc"))
     require(store.columns.contains("sq8"),
       s"vector store at $lake has no sq8 column — build the layout " +
@@ -441,7 +441,7 @@ object VectorStore {
     graft.functions.GraftExtensions.ensureRegistered(spark)
     val empty = Seq.empty[(Long, Int, Long, Double)]
       .toDF("qid", "knn_rank", "vec_id", "cosine")
-    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake))
+    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake), merge = true)
       .getOrElse(return empty)
     require(store.columns.contains("codes"),
       s"vector store at $lake predates the coded IVFADC layout — " +
@@ -602,7 +602,7 @@ object VectorStore {
     import spark.implicits._
     graft.functions.GraftExtensions.ensureRegistered(spark)
     val empty = Seq.empty[(Long, Long, Double)].toDF("vec_id", "dup_of", "cosine")
-    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake))
+    val store = graft.ingest.Sink.readOrEmpty(spark, vecPath(lake), merge = true)
       .getOrElse(return empty)
     val batch =
       cellAssigned(spark, vecs, centroidsOf(spark, lake, vecs)).localCheckpoint()

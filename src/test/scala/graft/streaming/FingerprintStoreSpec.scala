@@ -59,6 +59,43 @@ class FingerprintStoreSpec extends AnyFunSuite {
       s"store scan not pruned by band_bucket:\n$storeScan")
   }
 
+  test("keyed probeAppend is replay-stable: same flags, no duplicate rows") {
+    val lake = Files.createTempDirectory("graft-fpstore-keyed").toString
+    val lin = "streamA"
+    // batch 0 seeds the store
+    FingerprintStore.probeAppend(s, lake,
+      mediaDF(1L -> Multimodal.synthPng("srcK", 0L)),
+      batchId = 0L, lineage = lin)
+    // batch 1 carries a WITHIN-batch near-dup pair (ids 20/22 are tiny
+    // perturbations of the same base raster): on the first run neither
+    // flags against the other (probe-before-append sees only batch 0),
+    // but an unkeyed replay would see the first attempt's stored copies
+    // and flag them — the ADVICE r19 instability the key must prevent
+    val batch1 = mediaDF(
+      20L -> Multimodal.synthPng("srcK", 2L),
+      22L -> Multimodal.synthPng("srcK", 4L))
+    def flagsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val first = flagsOf(FingerprintStore.probeAppend(s, lake, batch1,
+      batchId = 1L, lineage = lin))
+    val rowsAfterFirst = s.read.parquet(FingerprintStore.fpPath(lake)).count()
+    val replay = flagsOf(FingerprintStore.probeAppend(s, lake, batch1,
+      batchId = 1L, lineage = lin))
+    assert(replay === first, "replayed keyed batch must emit identical flags")
+    assert(s.read.parquet(FingerprintStore.fpPath(lake)).count()
+      === rowsAfterFirst, "replayed keyed batch must not append rows")
+    // and the first run DID flag against batch 0 (sanity: both near the
+    // shared base) without flagging the within-batch pair against itself
+    assert(first.map(f => (f._1, f._2)) === Set((20L, 1L), (22L, 1L)),
+      s"got $first")
+    // a LATER batch still sees batch 1's rows (the exclusion is
+    // batch-scoped, not a blanket filter)
+    val later = flagsOf(FingerprintStore.probeAppend(s, lake,
+      mediaDF(30L -> Multimodal.synthPng("srcK", 6L)),
+      batchId = 2L, lineage = lin))
+    assert(later.map(f => (f._1, f._2)) === Set((30L, 1L)), s"got $later")
+  }
+
   test("replayed appends are probe-invisible and compaction folds them") {
     val lake = Files.createTempDirectory("graft-fpstore-replay").toString
     val seed = mediaDF(1L -> Multimodal.synthWav("srcB", 0L))
