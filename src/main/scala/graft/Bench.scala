@@ -182,34 +182,34 @@ object Bench {
     * decodes any committed artifact in-band. */
   private[graft] val keyAbbrev: Map[String, String] = Map(
     "multiprobe" -> "mp", "kmeans" -> "km", "neardup" -> "nd",
-    "embedding" -> "emb", "sequences" -> "sq", "quantiles" -> "qtl",
+    "embedding" -> "eb", "sequences" -> "sq", "quantiles" -> "qt",
     "decontaminate" -> "dc", "multimodal" -> "mm",
-    "bruteforce" -> "bf", "prototypes" -> "proto", "keepfirst" -> "kf",
-    "substr" -> "sub", "collection" -> "coll", "clusters" -> "cl",
-    "semantic" -> "sem", "features" -> "feat",
+    "bruteforce" -> "bf", "prototypes" -> "po", "keepfirst" -> "kf",
+    "substr" -> "sb", "collection" -> "coll", "clusters" -> "cl",
+    "semantic" -> "se", "features" -> "fe",
     // r13, at 108 queries (the capacity gate tripped at the r13 adds):
-    "compile" -> "cmp", "distinct" -> "dst", "dedup" -> "dd",
-    "source" -> "src", "records" -> "rec", "quality" -> "ql",
-    "incremental" -> "inc", "fingerprint" -> "fp", "stratified" -> "strat",
-    "sessionize" -> "sess", "extensions" -> "ext", "divergence" -> "div",
-    "join" -> "jn", "versioned" -> "ver", "survivors" -> "sur",
-    "broadcast" -> "bc", "window" -> "win", "token" -> "tok",
-    "langid" -> "lid", "check" -> "chk", "ingest" -> "ing",
+    "compile" -> "cm", "distinct" -> "dt", "dedup" -> "dd",
+    "source" -> "sr", "records" -> "rc", "quality" -> "ql",
+    "incremental" -> "ic", "fingerprint" -> "fp", "stratified" -> "sf",
+    "sessionize" -> "ss", "extensions" -> "xs", "divergence" -> "dv",
+    "join" -> "jn", "versioned" -> "vr", "survivors" -> "sur",
+    "broadcast" -> "bc", "window" -> "wn", "token" -> "tn",
+    "langid" -> "li", "check" -> "ck", "ingest" -> "ig",
     // r14, at the 120-query surface (capacity gate tripped at 119 when
     // the first two r14 queries landed):
-    "overlap" -> "ovl", "sketch" -> "sk", "status" -> "sts",
-    "sample" -> "smp", "rollup" -> "rl", "record" -> "rcd",
-    "length" -> "len", "layout" -> "lay", "filter" -> "flt",
-    "corpus" -> "cps", "union" -> "un", "typed" -> "typ",
-    "split" -> "spl", "scrub" -> "scb", "score" -> "scr",
-    "range" -> "rng", "embed" -> "ebd", "canonical" -> "canon",
-    "warnings" -> "warn", "topterms" -> "tt", "semijoin" -> "sjn",
-    "antijoin" -> "ajn", "schedule" -> "sched", "shuffle" -> "shf",
+    "overlap" -> "ov", "sketch" -> "sk", "status" -> "sz",
+    "sample" -> "sa", "rollup" -> "rl", "record" -> "rcd",
+    "length" -> "lg", "layout" -> "la", "filter" -> "fl",
+    "corpus" -> "co", "union" -> "un", "typed" -> "ty",
+    "split" -> "sp", "scrub" -> "sg", "score" -> "so",
+    "range" -> "rng", "embed" -> "ebd", "canonical" -> "cn",
+    "warnings" -> "wg", "topterms" -> "tt", "semijoin" -> "sjn",
+    "antijoin" -> "ajn", "schedule" -> "sd", "shuffle" -> "shf",
     "export" -> "exp", "lastwins" -> "lw", "quantize" -> "qz",
     "releases" -> "rls", "revenue" -> "rev", "groupby" -> "gb",
     "bottomk" -> "bk", "simhash" -> "sh", "profile" -> "prf",
     "upgrade" -> "upg", "parties" -> "pts", "variant" -> "var",
-    "jaccard" -> "jac", "explode" -> "xpl", "extract" -> "xtr",
+    "jaccard" -> "jc", "explode" -> "xp", "extract" -> "xt",
     // r16, at the 131-query surface (capacity gate tripped when the
     // curriculum/cluster-election/length-bucket queries landed); this
     // sweep also tightened four earlier entries (sequences/quality/
@@ -217,14 +217,14 @@ object Bench {
     // "clu", not "cl": clusters→cl already exists and two inputs sharing
     // one output would make the documented per-segment decode ambiguous
     "cluster" -> "clu", "keep" -> "kp", "best" -> "bst",
-    "buckets" -> "bkt", "curriculum" -> "cur", "epoch" -> "ep",
-    "retrieval" -> "rtv", "hybrid" -> "hy", "snapshot" -> "snp",
-    "metadata" -> "md", "compiled" -> "cpd", "classify" -> "cls",
-    "windows" -> "wns", "stats" -> "st", "samples" -> "sm",
-    "running" -> "run", "project" -> "prj", "leakage" -> "lk",
-    "indexed" -> "idx", "dataset" -> "ds", "chunk" -> "chu",
+    "buckets" -> "bkt", "curriculum" -> "cr", "epoch" -> "ep",
+    "retrieval" -> "rv", "hybrid" -> "hy", "snapshot" -> "snp",
+    "metadata" -> "md", "compiled" -> "cpd", "classify" -> "cy",
+    "windows" -> "ws", "stats" -> "st", "samples" -> "sm",
+    "running" -> "ry", "project" -> "pj", "leakage" -> "lk",
+    "indexed" -> "ix", "dataset" -> "ds", "chunk" -> "chu",
     "zorder" -> "zo", "topk" -> "tk", "tokens" -> "tks",
-    "tender" -> "tnd", "select" -> "sel", "salted" -> "slt",
+    "tender" -> "tnd", "select" -> "sl", "salted" -> "slt",
     "rownum" -> "rn", "refine" -> "rfn", "redact" -> "red",
     "payoff" -> "pay", "orphan" -> "orp", "orders" -> "ord",
     "ngrams" -> "ngs", "minmax" -> "mmx", "hourly" -> "hr",
@@ -235,7 +235,7 @@ object Bench {
     // window). Additions only — every segment below appeared RAW in v2
     // lines, so no version bump and no retirements; buys ~87 chars of
     // floor headroom.
-    "negatives" -> "neg", "retention" -> "rtn", "ivfadc" -> "adc",
+    "negatives" -> "neg", "retention" -> "rt", "ivfadc" -> "adc",
     "funnel" -> "fnl", "rules" -> "rul", "heavy" -> "hv",
     "windowed" -> "wnd", "weekly" -> "wkl", "audio" -> "aud",
     "terms" -> "tm", "count" -> "ct", "field" -> "fld",
@@ -263,23 +263,90 @@ object Bench {
     // query-name segment must never equal an abbreviation output)
     "video" -> "vd", "line" -> "ln", "load" -> "ld", "hard" -> "hd",
     "cube" -> "cu", "dims" -> "dm", "ocds" -> "oc", "asof" -> "af",
-    "diff" -> "dif", "sort" -> "srt", "dsir" -> "dsr")
+    "diff" -> "dif", "sort" -> "srt", "dsir" -> "dsr",
+    // r20, at the 151-query surface (capacity gate tripped when
+    // q_knn_join_sq8 landed: the all-integer floor edged past the
+    // window with no addition-only headroom left — the remaining raw
+    // segments are 2-3 chars). This sweep RENAMES 47 three-to-five
+    // char outputs to two chars (keyAbbrevVersion 2 -> 3; the old
+    // spellings decode via retiredAbbrev) and abbreviates the last
+    // raw 3-char segments; buys ~110 chars of floor headroom at 154
+    // queries. "sg", not "su": sum->su is live; "sn" was free (snapshot
+    // is snp); "s8" never collides (no query segment equals it).
+    "sq8" -> "s8", "rrf" -> "rf", "bpe" -> "be", "lex" -> "lx",
+    "scenes" -> "sn", "pkg" -> "pg", "lsh" -> "lh")
 
   /** Decode-table version stamped into every summary line as `"kv"`.
     * Bump it whenever [[keyAbbrev]] RENAMES an existing output (adding
     * new entries is backward-safe — the segment was previously raw), and
     * record the renamed outputs' old spellings in [[retiredAbbrev]]. An
     * artifact line without a `kv` field is version 1. */
-  private[graft] val keyAbbrevVersion = 2
+  private[graft] val keyAbbrevVersion = 3
 
   /** Decode-only overrides for RETIRED table versions: for version `v`,
     * the outputs that decode differently from the current inverse.
     * BenchLineSpec gates each retired output against ever colliding with
     * a current output, so the two-step decode (retired override first,
     * then the current table) stays unambiguous. */
+  /** The 47 outputs the r20 sweep renamed (old spelling -> segment) —
+    * shared by BOTH retired versions: v2 lines used exactly these, and
+    * v1 lines used every one of them whose entry predates the r16 bump
+    * (the rest never appear in v1 lines, so the extra overrides are
+    * decode-dead there, not ambiguous — BenchLineSpec gates all of them
+    * against current outputs and live name segments). */
+  private val r20Retired: Map[String, String] = Map(
+    "canon" -> "canonical",
+    "chk" -> "check",
+    "cls" -> "classify",
+    "cmp" -> "compile",
+    "cps" -> "corpus",
+    "cur" -> "curriculum",
+    "div" -> "divergence",
+    "dst" -> "distinct",
+    "emb" -> "embedding",
+    "ext" -> "extensions",
+    "feat" -> "features",
+    "flt" -> "filter",
+    "idx" -> "indexed",
+    "inc" -> "incremental",
+    "ing" -> "ingest",
+    "jac" -> "jaccard",
+    "lay" -> "layout",
+    "len" -> "length",
+    "lid" -> "langid",
+    "ovl" -> "overlap",
+    "prj" -> "project",
+    "proto" -> "prototypes",
+    "qtl" -> "quantiles",
+    "rec" -> "records",
+    "rtn" -> "retention",
+    "rtv" -> "retrieval",
+    "run" -> "running",
+    "scb" -> "scrub",
+    "sched" -> "schedule",
+    "scr" -> "score",
+    "sel" -> "select",
+    "sem" -> "semantic",
+    "sess" -> "sessionize",
+    "smp" -> "sample",
+    "spl" -> "split",
+    "src" -> "source",
+    "strat" -> "stratified",
+    "sts" -> "status",
+    "sub" -> "substr",
+    "tok" -> "token",
+    "typ" -> "typed",
+    "ver" -> "versioned",
+    "warn" -> "warnings",
+    "win" -> "window",
+    "wns" -> "windows",
+    "xpl" -> "explode",
+    "xtr" -> "extract")
+
   private[graft] val retiredAbbrev: Map[Int, Map[String, String]] = Map(
-    1 -> Map("seqs" -> "sequences", "qual" -> "quality",
-      "stat" -> "status", "decon" -> "decontaminate"))
+    1 -> (Map("seqs" -> "sequences", "qual" -> "quality",
+      "stat" -> "status", "decon" -> "decontaminate") ++ r20Retired),
+    2 -> r20Retired)
 
   /** The summary line's key for a query name: q_ strip + per-segment
     * [[keyAbbrev]]. THE one definition — the renderer and BenchLineSpec's

@@ -2295,6 +2295,117 @@ object VectorQueries {
           WHERE rn <= $KnnR),
         $knnRerankSql"""
 
+  /** The SQ8-NOMINATED batched k-NN join (q_knn_join_sq8's body —
+    * VERDICT r19 Next #2): the middle rung between the 8-byte ADC
+    * nomination ([[knnJoinAdc]]) and the exact-double one
+    * ([[knnJoinIvf]]) — each probed corpus row scores against every
+    * query probing its cell by reconstruct-and-dot over its 64 uint8
+    * scalar codes (the ONE [[Sq8Kit]] spelling q_ann_sq8 and the
+    * persisted store share), an order of magnitude finer reconstruction
+    * than PQ at 8× the code bytes, then the shared exact DECIMAL refine.
+    * The Sq8 kit trains on the FULL table (the store's first-append
+    * frame — [[graft.streaming.VectorStore]] appends the whole corpus,
+    * so the served `knnJoin(sq8Nominate = true)` is byte-identical to
+    * this declaration; VectorStoreSpec pins it). One corpus scan: the
+    * r-bounded topk_pairs partials carry the embedding payload
+    * ([[knnJoinAdc]]'s shape). Round-9 nomination scores — the spelling
+    * that lets the oracle replay the ordering bit-stably. */
+  private def knnJoinSq8(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftExtensions.ensureRegistered(s)
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val centroids = trainCentroids(emb, s)
+    val kit8 = trainSq8(emb, s)
+    val queries = emb.filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    // bounded probe frame, compiled driver-side (the knnJoinAdc shape)
+    val raw = queries.as[(Long, Seq[Float])].collect()
+      .filter { case (_, v) => v.exists(_ != 0f) }
+    val byCell: Map[Long, Array[Long]] = raw.toSeq
+      .flatMap { case (qid, v) =>
+        probeCellsOf(centroids, v, KnnProbes).map(c => (c, qid))
+      }
+      .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toArray) }
+    val qUnits: Map[Long, Array[Double]] =
+      raw.map { case (qid, v) => qid -> kit8.unitOf(v) }.toMap
+    val bcC = s.sparkContext.broadcast(centroids)
+    val bcK8 = s.sparkContext.broadcast(kit8)
+    val bcByCell = s.sparkContext.broadcast(byCell)
+    val bcQU = s.sparkContext.broadcast(qUnits)
+    val scored = emb.filter(pmod(col("vec_id"), lit(KnnQMod)) =!= 0)
+      .filter(dotDouble(col("embedding"), col("embedding")) > 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        val k8 = bcK8.value
+        val m = bcByCell.value
+        val qs = bcQU.value
+        it.flatMap { case (id, v) =>
+          val cell = probeCellsOf(cs, v, 1).head
+          m.get(cell) match {
+            case None => Iterator.empty
+            case Some(qids) =>
+              val codes = k8.codesOf(k8.unitOf(v))
+              qids.iterator.map { qid =>
+                (qid, id, k8.scoreDec(qs(qid), codes).doubleValue, v)
+              }
+          }
+        }
+      }
+      .toDF("qid", "vec_id", "s8", "embedding")
+    val nominated = scored
+      .groupBy("qid")
+      .agg(call_function("topk_pairs",
+        round(col("s8"), 9), col("vec_id"), col("embedding"), lit(KnnR)).as("cand"))
+      .select(col("qid"), explode(col("cand")).as("c"))
+      .select(col("qid"), col("c.id").as("vec_id"), col("c.payload").as("embedding"))
+    knnRefine(nominated, knnQueryFrameOf(queries), KnnK)
+  }
+
+  /** q_knn_join_sq8's oracle: [[cellsCtes]]' assignment + the shared
+    * probe CTE, the q_ann_sq8 min/max + affine-code spellings with a
+    * qid dimension (trained over the FULL table — the store's
+    * first-append frame), round-9 SQ8 nomination per (qid, probed
+    * corpus row), then the shared exact decimal re-rank tail. Entirely
+    * SQL downstream of the materialized centroids — the scalar kit
+    * itself re-derives in the mm CTE, no second artifact. */
+  private def knnJoinSq8OracleSql: String =
+    s"""$cellsCtes,
+        mm AS (
+          SELECT i, min(u[i]) AS mn, max(u[i]) AS mx
+          FROM un, generate_series(1, $Dim) t(i)
+          GROUP BY i),
+        q AS (
+          SELECT sc.vec_id AS qid, sc.d AS qd
+          FROM sc WHERE sc.vec_id % $KnnQMod = 0 AND sc.n2 > 0),
+        $knnProbesCteSql,
+        c AS (
+          SELECT sc.vec_id, cl.cell
+          FROM sc JOIN cells cl ON cl.vec_id = sc.vec_id
+          WHERE sc.vec_id % $KnnQMod <> 0 AND sc.n2 > 0),
+        terms AS (
+          SELECT p.qid, c.vec_id,
+                 CAST(qu.u[mm.i] * (mm.mn + CASE WHEN mm.mx > mm.mn
+                   THEN LEAST(255, GREATEST(0,
+                          CAST(round((cu.u[mm.i] - mm.mn)
+                                 / (mm.mx - mm.mn) * 255.0) AS BIGINT)))
+                        / 255.0 * (mm.mx - mm.mn)
+                   ELSE 0 END) AS DECIMAL(38,18)) AS term
+          FROM c
+          JOIN probes p ON p.cell = c.cell
+          JOIN un cu ON cu.vec_id = c.vec_id
+          JOIN un qu ON qu.vec_id = p.qid, mm),
+        s8 AS (
+          SELECT qid, vec_id, round(CAST(SUM(term) AS DOUBLE), 9) AS s8
+          FROM terms GROUP BY qid, vec_id),
+        nom AS (
+          SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY s8 DESC, vec_id) AS rn
+            FROM s8) r
+          WHERE rn <= $KnnR),
+        $knnRerankSql"""
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_bruteforce", Seq("A5", "O5", "J2"),
@@ -3158,6 +3269,29 @@ object VectorQueries {
         "served join; oracle re-derives cells, residual codes, per-query LUTs and " +
         "both rankings from the materialized centroids + codebooks",
       aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writeIvfadcAux(s, d, a) }),
+
+    QueryDef(
+      "q_knn_join_sq8", Seq("A5", "J2", "J1"),
+      (s, d) => {
+        // the SQ8-NOMINATED batched k-NN join (VERDICT r19 Next #2) —
+        // the middle rung of the nomination ladder (see [[knnJoinSq8]]):
+        // 64 uint8 scalar codes reconstruct-and-dot per (probed row,
+        // probing query) instead of the 8-LUT ADC or the exact cosine,
+        // the shape the persisted store serves as
+        // VectorStore.knnJoin(sq8Nominate = true) — byte-identical by
+        // the shared Sq8Kit, pinned in VectorStoreSpec; exact decimal
+        // refine restores true ranks among the nominees.
+        knnJoinSq8(s, d)
+      },
+      Some(knnJoinSq8OracleSql),
+      "SQ8-nominated batched k-NN join: each probed corpus row scores against its " +
+        "cell's probing queries by reconstruct-and-dot over its 64 scalar codes " +
+        "(one corpus scan, r-bounded topk partials carrying the embedding payload), " +
+        "exact decimal re-rank of the q x r survivors — the batch twin of the vector " +
+        "store's sq8-nominated served join; oracle re-derives cells, the per-dim " +
+        "affine kit, per-(qid,row) scores and both rankings from the materialized " +
+        "centroids alone",
+      aux = Some(writeKmeansAux)),
 
     QueryDef(
       "q_hard_negatives", Seq("A5", "J2", "W2"),

@@ -139,7 +139,7 @@ class BenchLineSpec extends AnyFunSuite {
       Seq("q_ann_ivf_kmeans_multiprobe" -> 1.0, "q_neardup_lsh" -> 2.0),
       Seq.empty, "/sf")
     val q = parse(line).get("queries")
-    assert(q.has("an_iv_km_mp") && q.has("nd_lsh"), line)
+    assert(q.has("an_iv_km_mp") && q.has("nd_lh"), line)
   }
 
   test("the line carries the decode-table version; retired outputs stay unambiguous") {

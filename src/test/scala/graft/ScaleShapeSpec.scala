@@ -132,6 +132,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // driver-built, so no probe-side exchanges at all) feeding the
     // r-bounded nominate agg, the refine's rank window, the final sort
     "q_knn_join_ivfadc" -> 6,
+    // r20 SQ8-nominated join: the ivfadc shape exactly — ONE corpus scan
+    // (driver-built probe map) into the r-bounded nominate agg, the
+    // refine's rank window, the final sort; the scalar scoring is
+    // per-row arithmetic inside the same mapPartitions
+    "q_knn_join_sq8" -> 6,
     // bloom decontamination: the eval-gram distinct (+ its reuse in the
     // bloom build) and the shuffle-hash verify pair account for the extra
     // exchanges over plain q_decontaminate; the train-side scan itself

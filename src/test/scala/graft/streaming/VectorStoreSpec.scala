@@ -314,6 +314,14 @@ class VectorStoreSpec extends AnyFunSuite {
       excludeWhere = excl, adcNominate = false)
       .collect().map(x => ((x.getLong(0), x.getLong(2)), (x.getInt(1), x.getDouble(3))))
     val truth = exact.map(_._1).toSet
+    // the store-served SQ8 join IS the declared q_knn_join_sq8 (r20 —
+    // the adcAt(20) ↔ q_knn_join_ivfadc precedent): same shared Sq8Kit
+    // trained on the same first-append frame, same round-9 nomination,
+    // same decimal refine — byte-identical
+    val declared = graft.Queries.byName("q_knn_join_sq8").run(s, dir).collect()
+      .map(x => ((x.getLong(0), x.getLong(2)), (x.getInt(1), x.getDouble(3))))
+    assert(sq8At(20).toSeq === declared.toSeq,
+      "the persisted index must serve the declared SQ8 join's exact answer")
     // every served pair's cosine is the EXACT decimal value — the SQ8
     // approximation chooses nominees, never scores survivors
     val exactByPair = exact.toMap
