@@ -810,17 +810,25 @@ object Multimodal {
     * undecodable payloads drop out (they have no raster to hash).
     * Returns (id_a, id_b, hamming), id_a < id_b. */
   def imageNeardup(
-      images: DataFrame, s: SparkSession, maxHamming: Int = 6): DataFrame = {
+      images: DataFrame, s: SparkSession, maxHamming: Int = 6): DataFrame =
+    hash64Neardup(imageHashesOf(images, s), maxHamming)
+
+  /** The fingerprint stage of [[imageNeardup]] alone — (id, ahash) per
+    * decodable payload. Public (r20) so the declared query's oracle aux
+    * artifact materializes EXACTLY the hash frame the operator banded
+    * (the ndcg_discounts idiom: the only SQL-inexpressible step is the
+    * decode, so the oracle reads this table and replays banding, hamming
+    * verify and pair election downstream of it in SQL). */
+  def imageHashesOf(images: DataFrame, s: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
-    val hashes = images.select(col("id"), col("content")).as[(Long, Array[Byte])]
+    images.select(col("id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           decodeImage(bytes).flatMap(d =>
             d.pixels.map(px => (id, aHash64(px, d.width.toInt, d.height.toInt))))
         }
       }.toDF("id", "ahash")
-    hash64Neardup(hashes, maxHamming)
   }
 
   /** The shared candidate/verify tail of both perceptual near-dup legs:
@@ -941,17 +949,22 @@ object Multimodal {
     * payloads drop out (no signal to hash). Returns
     * (id_a, id_b, hamming), id_a < id_b. */
   def audioNeardup(
-      audio: DataFrame, s: SparkSession, maxHamming: Int = 6): DataFrame = {
+      audio: DataFrame, s: SparkSession, maxHamming: Int = 6): DataFrame =
+    hash64Neardup(audioHashesOf(audio, s), maxHamming)
+
+  /** The fingerprint stage of [[audioNeardup]] alone — (id, ahash) per
+    * decodable payload; public for the oracle aux artifact (see
+    * [[imageHashesOf]]). */
+  def audioHashesOf(audio: DataFrame, s: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
-    val hashes = audio.select(col("id"), col("content")).as[(Long, Array[Byte])]
+    audio.select(col("id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           decodeAudio(bytes).map(d =>
             (id, audioHash64(d.frames.toArray.flatten)))
         }
       }.toDF("id", "ahash")
-    hash64Neardup(hashes, maxHamming)
   }
 
   // ---- perceptual video near-dup (first-frame aHash) ------------------------
@@ -1065,10 +1078,16 @@ object Multimodal {
     * drop out; candidates band through the shared bounded engine and
     * verify by hamming — [[imageNeardup]]'s tail verbatim. */
   def videoNeardup(
-      videos: DataFrame, s: SparkSession, maxHamming: Int = 6): DataFrame = {
+      videos: DataFrame, s: SparkSession, maxHamming: Int = 6): DataFrame =
+    hash64Neardup(videoHashesOf(videos, s), maxHamming)
+
+  /** The fingerprint stage of [[videoNeardup]] alone — (id, ahash) of
+    * the first decoded frame per true video payload; public for the
+    * oracle aux artifact (see [[imageHashesOf]]). */
+  def videoHashesOf(videos: DataFrame, s: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions._
     import s.implicits._
-    val hashes = videos.select(col("id"), col("content")).as[(Long, Array[Byte])]
+    videos.select(col("id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           decodeImage(bytes).orElse(decodeVideo(bytes))
@@ -1077,6 +1096,5 @@ object Multimodal {
               (id, aHash64(px, d.width.toInt, d.height.toInt))))
         }
       }.toDF("id", "ahash")
-    hash64Neardup(hashes, maxHamming)
   }
 }
