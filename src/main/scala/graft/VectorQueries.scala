@@ -2406,6 +2406,150 @@ object VectorQueries {
           WHERE rn <= $KnnR),
         $knnRerankSql"""
 
+
+  /** The persisted vector store both hybrid evals serve their dense leg
+    * from — built ONCE per dataset with the SQ8 layout enabled, so the
+    * same store serves the ADC-nominated leg (codes column; the sq8
+    * column is inert there) and the SQ8-nominated leg (r20). */
+  private def hybridEvalStoreOf(s: SparkSession, d: String): String =
+    Tables.materializeDir("vector_store", d) { p =>
+      graft.streaming.VectorStore.append(s, p,
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        sq8 = true)
+    }
+
+  /** The served-path hybrid eval engine (q_retrieval_eval_hybrid's body,
+    * extracted r20 so the SQ8 variant shares every seam): `sq8Dense`
+    * selects the dense SYSTEM leg — the store-served ADC-nominated join
+    * (byte-identical to q_knn_join_ivfadc) or the store-served
+    * SQ8-nominated one (byte-identical to q_knn_join_sq8). TRUTH is the
+    * same lexical list fused with the EXACT dense join either way, so
+    * the two declared readouts isolate what EACH nomination rung does to
+    * the fused ranking. */
+  private def hybridEvalOf(s: SparkSession, d: String, sq8Dense: Boolean): DataFrame = {
+        // the HYBRID eval over the SERVED paths (VERDICT r18 Next #5 —
+        // the `Cli hybrid-search` composition finally grades itself):
+        // SYSTEM = per-probe RRF fusion of the store-served BM25 rank
+        // list (PostingsStore.probeBatch, ONE bucket-pruned read for all
+        // probes — byte-identical to the full-scan BM25 by the postings
+        // pins, which is what lets the oracle replay it in SQL) with the
+        // store-served ADC-nominated k-NN join (VectorStore.knnJoin,
+        // cell-pruned code-bytes nomination — byte-identical to
+        // q_knn_join_ivfadc by the VectorStore pins). TRUTH = the same
+        // lexical list fused with the EXACT dense join (knnJoinExact),
+        // so the readout isolates exactly what the index approximation
+        // does to the FUSED ranking. Probes = the dense sample
+        // (vec_id % KnnQMod — the id namespace both tables share);
+        // metrics are the q_retrieval_eval_multi shape (n_hits,
+        // first_rel, recall, MRR, ndcg@k via the driver-materialized
+        // discount artifact) over the fused top-LexK lists. Both fused
+        // frames are probe-bounded (probes × 2 lists); the heavy legs
+        // stay ONE pruned store read + two corpus scans (ADC nominate +
+        // exact truth), independent of probe count.
+        import s.implicits._
+        val (_, _, lexRanks0) = lexStoreRanksOf(s, d, KnnQMod)
+        // the lexical list feeds BOTH fusions — checkpoint the bounded
+        // probes × LexK frame once (the multi eval's tru discipline)
+        val lexRanks = lexRanks0
+          .select(col("qid"), col("doc_id"), col("rank").as("rank_lex"))
+          .localCheckpoint()
+        val vstore = hybridEvalStoreOf(s, d)
+        val queries = Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        val denseSys = graft.streaming.VectorStore.knnJoin(s, vstore, queries,
+            excludeWhere = Some(pmod(col("vec_id"), lit(KnnQMod)) === 0),
+            adcNominate = !sq8Dense, sq8Nominate = sq8Dense)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("knn_rank").cast(LongType).as("rank_dense"))
+        val denseTru = knnJoinExact(s, d)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("knn_rank").cast(LongType).as("rank_dense"))
+        val discDf = ndcgDiscounts(LexK).toDF("rank_fused", "disc", "cum")
+        val sysF = rrfFuseByQidOf(lexRanks, denseSys)
+          .filter(col("rank_fused") <= LexK)
+          .select(col("qid"), col("rank_fused"), col("doc_id"))
+        val truF = rrfFuseByQidOf(lexRanks, denseTru)
+          .filter(col("rank_fused") <= LexK)
+          .select(col("qid"), col("doc_id")).withColumn("rel", lit(1))
+          .localCheckpoint()
+        val sysEval = sysF
+          .join(broadcast(truF), Seq("qid", "doc_id"), "left")
+          .join(broadcast(discDf.select(col("rank_fused"), col("disc"))),
+            Seq("rank_fused"), "left")
+          .groupBy(col("qid"))
+          .agg(count(col("rel")).as("n_hits"),
+            min(when(col("rel").isNotNull, col("rank_fused")))
+              .cast(LongType).as("first_rel"),
+            sum(when(col("rel").isNotNull, col("disc"))).as("dcg_dec"))
+        truF.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+          .join(broadcast(
+            discDf.select(col("rank_fused").as("n_rel"), col("cum"))),
+            Seq("n_rel"))
+          .join(broadcast(sysEval), Seq("qid"), "left")
+          .select(col("qid"), col("n_rel"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            col("first_rel"),
+            round(coalesce(col("n_hits").cast(DoubleType), lit(0.0))
+              / col("n_rel").cast(DoubleType), 9).as("recall"),
+            round(coalesce(
+              lit(1.0).cast(DoubleType) / col("first_rel").cast(DoubleType),
+              lit(0.0)), 9).as("mrr"),
+            round(coalesce(col("dcg_dec").cast(DoubleType), lit(0.0))
+              / col("cum").cast(DoubleType), 9).as("ndcg"))
+          .orderBy("qid")
+      
+  }
+
+  /** The hybrid eval's oracle downstream of a dense-system-leg oracle
+    * (`denseSysSql` = the ADC or the SQ8 join oracle) — the fusion,
+    * top-k, relevance and metric CTEs are ONE spelling for both
+    * declared variants. */
+  private def hybridEvalOracleSql(denseSysSql: String): String =
+    s"""WITH ${lexBm25SysCtesSql(KnnQMod)},
+               lexr AS (SELECT qid, doc_id, rank AS rank_lex FROM sysr),
+               dsys AS (SELECT qid, vec_id AS doc_id, knn_rank AS rank_dense
+                        FROM ($denseSysSql)),
+               dtru AS (SELECT qid, vec_id AS doc_id, knn_rank AS rank_dense
+                        FROM ($knnJoinExactOracleSql)),
+               ${rrfFusedByQidCteSql("fsys", "lexr", "dsys")},
+               ${rrfFusedByQidCteSql("ftru", "lexr", "dtru")},
+               sysk AS (SELECT qid, doc_id, rank_fused FROM (
+                          SELECT qid, doc_id, ROW_NUMBER() OVER (
+                            PARTITION BY qid ORDER BY rrf DESC, doc_id)
+                            AS rank_fused
+                          FROM fsys) f WHERE rank_fused <= $LexK),
+               truk AS (SELECT qid, doc_id FROM (
+                          SELECT qid, doc_id, ROW_NUMBER() OVER (
+                            PARTITION BY qid ORDER BY rrf DESC, doc_id)
+                            AS rank_fused
+                          FROM ftru) f WHERE rank_fused <= $LexK),
+               disc AS (SELECT rank, disc, cum
+                        FROM read_parquet('${OracleAux.Token}/ndcg_discounts/*.parquet')),
+               agg AS (SELECT s.qid, count(t.doc_id) AS n_hits,
+                              min(CASE WHEN t.doc_id IS NOT NULL
+                                       THEN s.rank_fused END) AS first_rel,
+                              SUM(CASE WHEN t.doc_id IS NOT NULL
+                                       THEN dc.disc END) AS dcg
+                       FROM sysk s
+                       LEFT JOIN truk t ON t.qid = s.qid AND t.doc_id = s.doc_id
+                       LEFT JOIN disc dc ON dc.rank = s.rank_fused
+                       GROUP BY s.qid),
+               nrel AS (SELECT qid, count(*) AS n_rel FROM truk GROUP BY qid)
+               SELECT d.qid, CAST(d.n_rel AS BIGINT) AS n_rel,
+                      CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+                      CAST(a.first_rel AS BIGINT) AS first_rel,
+                      round(CAST(coalesce(a.n_hits, 0) AS DOUBLE)
+                        / CAST(d.n_rel AS DOUBLE), 9) AS recall,
+                      round(coalesce(CAST(1.0 AS DOUBLE)
+                              / CAST(a.first_rel AS DOUBLE), 0.0), 9) AS mrr,
+                      round(CAST(coalesce(a.dcg, 0) AS DOUBLE)
+                        / CAST(dc2.cum AS DOUBLE), 9) AS ndcg
+               FROM nrel d
+               JOIN disc dc2 ON dc2.rank = d.n_rel
+               LEFT JOIN agg a ON a.qid = d.qid
+               ORDER BY d.qid"""
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q_ann_bruteforce", Seq("A5", "O5", "J2"),
@@ -3883,122 +4027,14 @@ object VectorQueries {
       "q_retrieval_eval_hybrid", Seq("A4", "J2", "A1", "O3"),
       (s, d) => {
         // the HYBRID eval over the SERVED paths (VERDICT r18 Next #5 —
-        // the `Cli hybrid-search` composition finally grades itself):
-        // SYSTEM = per-probe RRF fusion of the store-served BM25 rank
-        // list (PostingsStore.probeBatch, ONE bucket-pruned read for all
-        // probes — byte-identical to the full-scan BM25 by the postings
-        // pins, which is what lets the oracle replay it in SQL) with the
-        // store-served ADC-nominated k-NN join (VectorStore.knnJoin,
-        // cell-pruned code-bytes nomination — byte-identical to
-        // q_knn_join_ivfadc by the VectorStore pins). TRUTH = the same
-        // lexical list fused with the EXACT dense join (knnJoinExact),
-        // so the readout isolates exactly what the index approximation
-        // does to the FUSED ranking. Probes = the dense sample
-        // (vec_id % KnnQMod — the id namespace both tables share);
-        // metrics are the q_retrieval_eval_multi shape (n_hits,
-        // first_rel, recall, MRR, ndcg@k via the driver-materialized
-        // discount artifact) over the fused top-LexK lists. Both fused
-        // frames are probe-bounded (probes × 2 lists); the heavy legs
-        // stay ONE pruned store read + two corpus scans (ADC nominate +
-        // exact truth), independent of probe count.
-        import s.implicits._
-        val (_, _, lexRanks0) = lexStoreRanksOf(s, d, KnnQMod)
-        // the lexical list feeds BOTH fusions — checkpoint the bounded
-        // probes × LexK frame once (the multi eval's tru discipline)
-        val lexRanks = lexRanks0
-          .select(col("qid"), col("doc_id"), col("rank").as("rank_lex"))
-          .localCheckpoint()
-        val vstore = Tables.materializeDir("vector_store", d) { p =>
-          graft.streaming.VectorStore.append(s, p,
-            Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
-        }
-        val queries = Tables.embeddings(s, d)
-          .filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
-          .select(col("vec_id").as("qid"), col("embedding"))
-        val denseSys = graft.streaming.VectorStore.knnJoin(s, vstore, queries,
-            excludeWhere = Some(pmod(col("vec_id"), lit(KnnQMod)) === 0))
-          .select(col("qid"), col("vec_id").as("doc_id"),
-            col("knn_rank").cast(LongType).as("rank_dense"))
-        val denseTru = knnJoinExact(s, d)
-          .select(col("qid"), col("vec_id").as("doc_id"),
-            col("knn_rank").cast(LongType).as("rank_dense"))
-        val discDf = ndcgDiscounts(LexK).toDF("rank_fused", "disc", "cum")
-        val sysF = rrfFuseByQidOf(lexRanks, denseSys)
-          .filter(col("rank_fused") <= LexK)
-          .select(col("qid"), col("rank_fused"), col("doc_id"))
-        val truF = rrfFuseByQidOf(lexRanks, denseTru)
-          .filter(col("rank_fused") <= LexK)
-          .select(col("qid"), col("doc_id")).withColumn("rel", lit(1))
-          .localCheckpoint()
-        val sysEval = sysF
-          .join(broadcast(truF), Seq("qid", "doc_id"), "left")
-          .join(broadcast(discDf.select(col("rank_fused"), col("disc"))),
-            Seq("rank_fused"), "left")
-          .groupBy(col("qid"))
-          .agg(count(col("rel")).as("n_hits"),
-            min(when(col("rel").isNotNull, col("rank_fused")))
-              .cast(LongType).as("first_rel"),
-            sum(when(col("rel").isNotNull, col("disc"))).as("dcg_dec"))
-        truF.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
-          .join(broadcast(
-            discDf.select(col("rank_fused").as("n_rel"), col("cum"))),
-            Seq("n_rel"))
-          .join(broadcast(sysEval), Seq("qid"), "left")
-          .select(col("qid"), col("n_rel"),
-            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-            col("first_rel"),
-            round(coalesce(col("n_hits").cast(DoubleType), lit(0.0))
-              / col("n_rel").cast(DoubleType), 9).as("recall"),
-            round(coalesce(
-              lit(1.0).cast(DoubleType) / col("first_rel").cast(DoubleType),
-              lit(0.0)), 9).as("mrr"),
-            round(coalesce(col("dcg_dec").cast(DoubleType), lit(0.0))
-              / col("cum").cast(DoubleType), 9).as("ndcg"))
-          .orderBy("qid")
+        // the `Cli hybrid-search` composition finally grades itself);
+        // body extracted to [[hybridEvalOf]] (shared with the r20 SQ8
+        // variant): SYSTEM = store-served BM25 ⊕ store-served
+        // ADC-nominated join, TRUTH = the same lexical list ⊕ the EXACT
+        // dense join, per-probe RRF, metrics over the fused top-LexK.
+        hybridEvalOf(s, d, sq8Dense = false)
       },
-      Some(s"""WITH ${lexBm25SysCtesSql(KnnQMod)},
-               lexr AS (SELECT qid, doc_id, rank AS rank_lex FROM sysr),
-               dsys AS (SELECT qid, vec_id AS doc_id, knn_rank AS rank_dense
-                        FROM ($knnJoinAdcOracleSql)),
-               dtru AS (SELECT qid, vec_id AS doc_id, knn_rank AS rank_dense
-                        FROM ($knnJoinExactOracleSql)),
-               ${rrfFusedByQidCteSql("fsys", "lexr", "dsys")},
-               ${rrfFusedByQidCteSql("ftru", "lexr", "dtru")},
-               sysk AS (SELECT qid, doc_id, rank_fused FROM (
-                          SELECT qid, doc_id, ROW_NUMBER() OVER (
-                            PARTITION BY qid ORDER BY rrf DESC, doc_id)
-                            AS rank_fused
-                          FROM fsys) f WHERE rank_fused <= $LexK),
-               truk AS (SELECT qid, doc_id FROM (
-                          SELECT qid, doc_id, ROW_NUMBER() OVER (
-                            PARTITION BY qid ORDER BY rrf DESC, doc_id)
-                            AS rank_fused
-                          FROM ftru) f WHERE rank_fused <= $LexK),
-               disc AS (SELECT rank, disc, cum
-                        FROM read_parquet('${OracleAux.Token}/ndcg_discounts/*.parquet')),
-               agg AS (SELECT s.qid, count(t.doc_id) AS n_hits,
-                              min(CASE WHEN t.doc_id IS NOT NULL
-                                       THEN s.rank_fused END) AS first_rel,
-                              SUM(CASE WHEN t.doc_id IS NOT NULL
-                                       THEN dc.disc END) AS dcg
-                       FROM sysk s
-                       LEFT JOIN truk t ON t.qid = s.qid AND t.doc_id = s.doc_id
-                       LEFT JOIN disc dc ON dc.rank = s.rank_fused
-                       GROUP BY s.qid),
-               nrel AS (SELECT qid, count(*) AS n_rel FROM truk GROUP BY qid)
-               SELECT d.qid, CAST(d.n_rel AS BIGINT) AS n_rel,
-                      CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
-                      CAST(a.first_rel AS BIGINT) AS first_rel,
-                      round(CAST(coalesce(a.n_hits, 0) AS DOUBLE)
-                        / CAST(d.n_rel AS DOUBLE), 9) AS recall,
-                      round(coalesce(CAST(1.0 AS DOUBLE)
-                              / CAST(a.first_rel AS DOUBLE), 0.0), 9) AS mrr,
-                      round(CAST(coalesce(a.dcg, 0) AS DOUBLE)
-                        / CAST(dc2.cum AS DOUBLE), 9) AS ndcg
-               FROM nrel d
-               JOIN disc dc2 ON dc2.rank = d.n_rel
-               LEFT JOIN agg a ON a.qid = d.qid
-               ORDER BY d.qid"""),
+      Some(hybridEvalOracleSql(knnJoinAdcOracleSql)),
       "Hybrid retrieval eval over the SERVED paths: per probe of the dense " +
         "vec_id%25 sample, the store-served BM25 list (one bucket-pruned " +
         "postings read for all probes) RRF-fuses with the store-served " +
@@ -4009,6 +4045,30 @@ object VectorQueries {
         "reads pruned, cost independent of probe count",
       aux = Some { (s, d, a) =>
         writeKmeansAux(s, d, a); writeIvfadcAux(s, d, a); writeNdcgAux(s, d, a)
-      })
+      }),
+
+    QueryDef(
+      "q_retrieval_eval_hybrid_sq8", Seq("A4", "J2", "A1", "O3"),
+      (s, d) => {
+        // the hybrid eval with the SQ8-nominated dense leg (VERDICT r19
+        // Next #4): `Cli hybrid-search --sq8`'s finer-recall serving
+        // path graded through the identical fusion/metric engine —
+        // SYSTEM = store-served BM25 ⊕ store-served SQ8-nominated join
+        // (byte-identical to q_knn_join_sq8 by the VectorStore pins),
+        // TRUTH unchanged, so the two declared hybrid readouts differ
+        // ONLY in the nomination rung and their per-probe deltas
+        // measure exactly what the finer scalar codes buy the fused
+        // ranking. Shares the one materialized store with the ADC
+        // variant (built sq8-enabled; each leg reads its own codes).
+        hybridEvalOf(s, d, sq8Dense = true)
+      },
+      Some(hybridEvalOracleSql(knnJoinSq8OracleSql)),
+      "Hybrid retrieval eval over the SQ8-nominated served path: the store-served " +
+        "BM25 list RRF-fuses with the store-served SQ8-nominated k-NN join " +
+        "(reconstruct-and-dot over the stored scalar codes), graded against the " +
+        "same lexical list fused with the EXACT dense join — isolates what the " +
+        "finer-than-PQ nomination buys the fused ranking vs the ADC variant; " +
+        "same per-probe metric surface, both store reads pruned",
+      aux = Some { (s, d, a) => writeKmeansAux(s, d, a); writeNdcgAux(s, d, a) })
   )
 }

@@ -425,6 +425,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     // frames are probes x 2K rows), the metric agg pair and final sort;
     // every broadcast is a k-row literal or probe-bounded checkpoint
     "q_retrieval_eval_hybrid" -> 30,
+    // r20 SQ8 dense leg: the identical fusion/metric plan — only the
+    // nomination's mapPartitions input column changes (sq8 vs codes)
+    "q_retrieval_eval_hybrid_sq8" -> 30,
     // r17 corpus-build manifest — the ONE-PASS cumulative-flag shape plus
     // the line-dedup side input (VERDICT r16 #3, CCNet order): the r16
     // chain (fingerprint window + decon join's shingle explode/distinct
