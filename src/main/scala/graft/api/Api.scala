@@ -167,6 +167,7 @@ final class Api(
     val lineDedup = bool(body, "line_dedup")
     val dsirScore = bool(body, "dsir_score")
     val corpusManifest = bool(body, "corpus_manifest")
+    val mediaFingerprint = bool(body, "media_fingerprint")
     val note = Option(body.get("note")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
 
     var plane = PlaneStore.load(lake)
@@ -178,6 +179,7 @@ final class Api(
       (if (lineDedup) Set("line_dedup") else Set.empty[String]) ++
       (if (dsirScore) Set("dsir_score") else Set.empty[String]) ++
       (if (corpusManifest) Set("corpus_manifest") else Set.empty[String]) ++
+      (if (mediaFingerprint) Set("media_fingerprint") else Set.empty[String]) ++
       (if (upgrade) Set("upgrade") else if (compile) Set("compile") else Set.empty[String])
     var created = List(Control.Collection(
       rootId, sourceId, dataVersion, steps = rootSteps, sample = sample))
@@ -347,6 +349,16 @@ final class Api(
             else None)
           .awaitTermination()
         plane = ref.get()
+        // fingerprint-at-ingest (VERDICT r19 Next #3): media arrivals in
+        // the same landing dir decode ONCE into the lake-level
+        // fingerprint store, near-dups of already-stored media flag —
+        // gated by the planned step like check/line_dedup; its own
+        // checkpoint (a different source glob is a different stream)
+        if (plane.collection(id).steps.contains("media_fingerprint"))
+          graft.streaming.Streaming.mediaFingerprintStream(
+            spark, dir.toString, lake, id,
+            java.nio.file.Paths.get(root, s"collection_$id", "ckpt_media").toString)
+            .awaitTermination()
       }
     }
     plane

@@ -332,6 +332,16 @@ object Streaming {
     * byte-identical replays; read via [[dsirScores]]). A missing model
     * fails the stream START loudly — scoring against an accidentally
     * absent model must never silently annotate nothing. */
+  /** The binaryFile source's fixed schema, declared explicitly (streaming
+    * sources don't infer) — shared by the release loader (which reads
+    * only `path`) and the media-fingerprint leg (which reads `content`
+    * too). */
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+
   def releaseLoadStream(
       spark: SparkSession,
       landingDir: String,
@@ -359,13 +369,6 @@ object Streaming {
           "first (Cli dsir-select <lake> <rawId> <targetId> --weights DIR)")
     }
     recoverPartialLoads(spark, lakeDir, collectionId, upgradedId, plane)
-    // the binaryFile source's fixed schema, declared explicitly (streaming
-    // sources don't infer); only `path` is ever read
-    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
     spark.readStream
       .format("binaryFile")
       .schema(binaryFileSchema)
@@ -524,6 +527,87 @@ object Streaming {
         if (p ne plane.get())
           plane.set(graft.control.PlaneStore.save(lakeDir, p))
         ()
+      }
+      .start()
+  }
+
+  /** Where a lake's media-fingerprint dup flags land (written by
+    * [[mediaFingerprintStream]]; one row per flagged arrival, keyed ids —
+    * join [[mediaFilesPath]] for names). */
+  def mediaDupFlagPath(lakeDir: String): String = s"$lakeDir/media_dup_flag"
+
+  /** The lake-wide (id, name) registry of fingerprinted media files —
+    * `id = xxhash64(path)`, the join key the flag and store tables use.
+    * At-least-once raw append of byte-identical rows; readers distinct. */
+  def mediaFilesPath(lakeDir: String): String = s"$lakeDir/media_files"
+
+  /** Fingerprint-at-ingest for MEDIA arrivals (VERDICT r19 Next #3 —
+    * [[FingerprintStore]] wired into the production ingest path): a
+    * binaryFile stream over the same landing directory the release
+    * loader drains, glob-restricted to media payloads, decoding each
+    * arrival ONCE ([[FingerprintStore.probeAppend]]) — near-dups of
+    * ALREADY-STORED media flag into `<lake>/media_dup_flag` and the
+    * batch's fingerprints persist banded for pruning. The store is
+    * LAKE-level (cross-collection near-dup detection is the point — the
+    * NeardupStore posture); flags and the id→name registry carry the
+    * collection id.
+    *
+    * Exactly-once shape: the probe/append pair is keyed by (stream
+    * lineage, batch id) — a crash-replayed batch skips the store append
+    * and its probe excludes its own first-attempt rows, so the flags
+    * recompute byte-identically (the r20 FingerprintStore watermark) —
+    * and the flag/name tables partition by (collection_id, batch_id)
+    * with dynamic overwrite, so the replay REWRITES its own partition
+    * instead of appending duplicates (the recordCompileStream idiom).
+    * Probe-before-append means within-batch near-dups are the batch
+    * engines' job (q_image_neardup and siblings), not this leg's — the
+    * store flags re-arrivals against HISTORY. */
+  def mediaFingerprintStream(
+      spark: SparkSession,
+      landingDir: String,
+      lakeDir: String,
+      collectionId: Long,
+      checkpointDir: String,
+      maxHamming: Int = 6,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    spark.readStream
+      .format("binaryFile")
+      .schema(binaryFileSchema)
+      // the decodable-media surface: the JDK decode engines behind
+      // FingerprintStore.fingerprintsOf (ImageIO rasters, javax.sound
+      // PCM, MJPEG-in-AVI); undecodable payloads drop inside the store
+      // anyway — the glob just keeps the stream from re-reading the
+      // loader's *.json arrivals as media
+      .option("pathGlobFilter", "*.{png,gif,jpg,jpeg,bmp,wav,au,aiff,avi}")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(landingDir)
+      .select(col("path"), col("content"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        lazy val lineage = streamLineage(checkpointDir)
+        (batch: DataFrame, batchId: Long) =>
+          val media = batch.select(
+            xxhash64(col("path")).as("id"), col("path").as("name"),
+            col("content")).localCheckpoint()
+          val flags = FingerprintStore.probeAppend(
+            spark, lakeDir, media.select("id", "content"), maxHamming,
+            batchId = batchId, lineage = lineage)
+          flags
+            .withColumn("collection_id", lit(collectionId))
+            .withColumn("batch_id", lit(batchId))
+            .write.partitionBy("collection_id", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(mediaDupFlagPath(lakeDir))
+          media.select(col("id"), col("name"))
+            .withColumn("collection_id", lit(collectionId))
+            .withColumn("batch_id", lit(batchId))
+            .write.partitionBy("collection_id", "batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(mediaFilesPath(lakeDir))
+          ()
       }
       .start()
   }

@@ -783,4 +783,28 @@ class CliSpec extends AnyFunSuite {
     val status = run("collectionstatus", lake, "1")
     assert(status.contains("collection_files:     2"))
   }
+
+  test("media-index fingerprints payload files one-shot, flags near-dups by name") {
+    import graft.multimodal.Multimodal
+    val lake = Files.createTempDirectory("graft-cli-media-lake").toString
+    val dir1 = Files.createTempDirectory("graft-cli-media1")
+    Files.write(dir1.resolve("base.png"), Multimodal.synthPng("srcC", 0L))
+    Files.write(dir1.resolve("base.wav"), Multimodal.synthWav("srcC", 0L))
+    // first run seeds the store — nothing stored yet, nothing flags
+    val out1 = run("media-index", lake, dir1.toString)
+    assert(out1.contains("indexed 2 media payloads"), out1)
+    assert(out1.contains("no near-dups"), out1)
+    // second run: a near image flags against the STORED base BY NAME
+    // (the registry the first run appended resolves dup_of); the far
+    // image stays silent
+    val dir2 = Files.createTempDirectory("graft-cli-media2")
+    Files.write(dir2.resolve("near.png"), Multimodal.synthPng("srcC", 2L))
+    Files.write(dir2.resolve("far.png"), Multimodal.synthPng("srcC", 1L))
+    val out2 = run("media-index", lake, dir2.toString)
+    assert(out2.contains("indexed 2 media payloads"), out2)
+    val flagLines = out2.linesIterator.filter(_.startsWith("near-dup:")).toSeq
+    assert(flagLines.size === 1, out2)
+    assert(flagLines.head.contains("near.png")
+      && flagLines.head.contains("base.png"), out2)
+  }
 }

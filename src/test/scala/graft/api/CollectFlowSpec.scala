@@ -367,6 +367,99 @@ class CollectFlowSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally apiD.stop()
   }
 
+  test("ingest mode: the close drain fingerprints media arrivals iff planned") {
+    // VERDICT r19 Next #3: FingerprintStore wired into the production
+    // ingest path — a media_fingerprint step planned at create (the
+    // check/line_dedup step pattern) runs a binaryFile stream over the
+    // SAME landing dir's media payloads at every close drain: each
+    // decodes ONCE into the lake-level store, and near-dups of
+    // already-stored media flag into <lake>/media_dup_flag with names
+    // resolvable through the <lake>/media_files registry.
+    import org.apache.spark.sql.functions.col
+    import graft.multimodal.Multimodal
+    val lakeM = Files.createTempDirectory("graft-mfp-lake").toString
+    val root = Files.createTempDirectory("graft-mfp-landing").toString
+    val apiM = new Api(s, lakeM, landingRoot = Some(root))
+    apiM.start()
+    try {
+      def postM(path: String, body: String): HttpResponse[String] =
+        client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${apiM.boundPort}$path"))
+            .method("POST", HttpRequest.BodyPublishers.ofString(body))
+            .header("Content-Type", "application/json").build(),
+          HttpResponse.BodyHandlers.ofString())
+      val created = Canonical.parse(postM("/api/collections/",
+        """{"source_id": "mfp_spider", "data_version": "2020-03-01 00:00:00",
+          | "media_fingerprint": true}""".stripMargin).body())
+      val id = created.get("collection_id").asLong
+      val landing = created.get("landing_dir").asText
+      // drain 1: a release plus the BASE image and audio land together —
+      // the store seeds, nothing flags (probe-before-append)
+      Files.writeString(java.nio.file.Paths.get(landing, "a.json"), pkg("ocds-m1", "r1"))
+      Files.write(java.nio.file.Paths.get(landing, "base.png"),
+        Multimodal.synthPng("srcM", 0L))
+      Files.write(java.nio.file.Paths.get(landing, "base.wav"),
+        Multimodal.synthWav("srcM", 0L))
+      assert(postM(s"/api/collections/$id/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 1}}""")
+        .statusCode() == 202)
+      def flagNames(): Seq[(String, String, Long)] = {
+        val names = s.read.parquet(Streaming.mediaFilesPath(lakeM))
+          .select(col("id"), col("name")).distinct()
+        graft.ingest.Sink.readOrEmpty(s, Streaming.mediaDupFlagPath(lakeM))
+          .map(_.join(names, Seq("id"))
+            .join(names.select(col("id").as("dup_of"), col("name").as("dup_name")),
+              Seq("dup_of"))
+            .select(col("name"), col("dup_name"), col("hamming"))
+            .collect().toSeq
+            .map(r => (
+              r.getString(0).split('/').last, r.getString(1).split('/').last,
+              r.getLong(2))))
+          .getOrElse(Seq.empty)
+      }
+      assert(flagNames().isEmpty, "the seeding batch must not flag anything")
+      // drain 2 (the replayed close): a NEAR image (≤3-px edit of the
+      // base raster), a FAR image (half repaint), a NEAR wav — each
+      // near arrival must flag against ITS stored twin only, per kind
+      Files.write(java.nio.file.Paths.get(landing, "near.png"),
+        Multimodal.synthPng("srcM", 2L))
+      Files.write(java.nio.file.Paths.get(landing, "far.png"),
+        Multimodal.synthPng("srcM", 1L))
+      Files.write(java.nio.file.Paths.get(landing, "near.wav"),
+        Multimodal.synthWav("srcM", 2L))
+      assert(postM(s"/api/collections/$id/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 1}}""")
+        .statusCode() == 202)
+      val got = flagNames()
+      assert(got.map(f => (f._1, f._2)).toSet
+        === Set(("near.png", "base.png"), ("near.wav", "base.wav")), s"got $got")
+      assert(got.forall(_._3 <= 6L))
+      // drain 3 (nothing new): the flag table must not change — the
+      // checkpoint skips drained arrivals, and a keyed replay would
+      // rewrite its own partition byte-identically anyway
+      assert(postM(s"/api/collections/$id/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 1}}""")
+        .statusCode() == 202)
+      assert(flagNames().toSet === got.toSet)
+      // a tree that never planned the step fingerprints nothing: the
+      // store's row count is unchanged by its media arrivals
+      val storeRows = s.read.parquet(
+        graft.streaming.FingerprintStore.fpPath(lakeM)).count()
+      val created2 = Canonical.parse(postM("/api/collections/",
+        """{"source_id": "nomfp_spider", "data_version": "2020-03-01 00:00:00"}""").body())
+      val id2 = created2.get("collection_id").asLong
+      val landing2 = created2.get("landing_dir").asText
+      Files.writeString(java.nio.file.Paths.get(landing2, "b.json"), pkg("ocds-m9", "r9"))
+      Files.write(java.nio.file.Paths.get(landing2, "other.png"),
+        Multimodal.synthPng("srcN", 0L))
+      assert(postM(s"/api/collections/$id2/close/",
+        """{"stats": {"kingfisher_process_expected_files_count": 1}}""")
+        .statusCode() == 202)
+      assert(s.read.parquet(
+        graft.streaming.FingerprintStore.fpPath(lakeM)).count() === storeRows)
+    } finally apiM.stop()
+  }
+
   test("ingest mode: the close drain refreshes the corpus-build manifest iff planned") {
     // VERDICT r17 #7: the one-shot q_corpus_build made incremental — a
     // corpus_manifest step planned at create (the check/line_dedup step
