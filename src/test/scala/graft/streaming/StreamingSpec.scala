@@ -842,6 +842,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotW === wantW, "weekly deltas must reproduce the batch retention")
   }
 
+  test("retention matrix sink: folded table == retentionOf over the union; replayed fold no-ops") {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import Streaming.RetentionEvent
+    val day = 86_400_000_000L
+    val store = java.nio.file.Files.createTempDirectory("graft-rtn-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rtn-ckpt").toString
+    // the referee test's batches verbatim — batch 2 carries the late
+    // EARLIER event that re-cohorts u2, so the fold must APPLY a
+    // retraction, not just additions
+    val batch1 = Seq(
+      RetentionEvent(1L, 10L * day + 5L),
+      RetentionEvent(1L, 12L * day + 9L),
+      RetentionEvent(2L, 11L * day + 1L))
+    val batch2 = Seq(
+      RetentionEvent(2L, 9L * day + 3L),
+      RetentionEvent(1L, 10L * day + 7L))
+    val input = MemoryStream[RetentionEvent]
+    val q = Streaming.retentionMatrixStream(input.toDS(), store, ckpt)
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.as[(String, Long, Long)].collect().sortBy(x => (x._1, x._2)).toSeq
+    val got = sorted(RetentionStore.matrix(s, store)
+      .select("cohort", "offset", "n_users"))
+    val want = sorted(graft.EventQueries.retentionOf(
+      (batch1 ++ batch2).toDF("user_id", "ts_us")))
+    assert(got === want,
+      "the persisted matrix must equal the batch retention over the union")
+    // u2's stale (1970-01-12, 0) row really left the TABLE (the
+    // retraction folded, not merely emitted)
+    assert(!got.exists(r => r._1 == "1970-01-12" && r._2 == 0L))
+    // replay-tolerance at the store seam: re-folding an already-folded
+    // batch id (same lineage) is a no-op — matrix unchanged, fold
+    // reports the skip
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(store, "_retention_meta.json")))
+    val lastBatch = meta.get("last_batch_id").asLong()
+    val lineage = meta.get("lineage").asText()
+    val replayDeltas = Seq(("1970-01-10", 0L, 5L))
+      .toDF("cohort", "offset", "delta")
+    assert(!RetentionStore.foldBatch(s, store, replayDeltas, lastBatch, lineage),
+      "an already-folded batch id must be a no-op")
+    assert(sorted(RetentionStore.matrix(s, store)
+      .select("cohort", "offset", "n_users")) === want)
+    // …while a NEW batch id folds (and a +/-0 net change drops the row)
+    val zeroNet = Seq(("1970-01-09", 2L, 1L), ("1970-01-09", 2L, -1L))
+      .toDF("cohort", "offset", "delta")
+    assert(RetentionStore.foldBatch(s, store, zeroNet, lastBatch + 1, lineage))
+    assert(sorted(RetentionStore.matrix(s, store)
+      .select("cohort", "offset", "n_users")) === want)
+  }
+
   test("retentionProgress summed deltas are batching-invariant (1 batch == 3 batches, any order)") {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
