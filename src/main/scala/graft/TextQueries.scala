@@ -3952,6 +3952,105 @@ object TextQueries {
         "over the budget-bounded emissions frame — no second corpus pass"),
 
     QueryDef(
+      "q_mix_epoch_unimax_curriculum", Seq("A4", "W1", "J2", "F5"),
+      (s, d) =>
+        // the annealed UniMax epoch (VERDICT r19 Next #6 stretch):
+        // IDENTICAL selection, wraparound repetition and per-shard mix
+        // as q_mix_epoch_unimax — only each source's in-shard emission
+        // ORDER changes, lowest integer stopword-density score first
+        // (the q_mix_epoch_curriculum knob applied to the water-filled
+        // budgets; shared-spelling: one mixEpochFromTargets engine)
+        mixEpochUnimaxOf(Tables.documents(s, d),
+          totalBudget = 50000L, maxEpochs = 2L, nShards = 4,
+          curriculum = true)
+        .orderBy(col("shard"), col("vtime"), col("source"), col("doc_id"),
+          col("k"))
+        .select(col("shard"), round(col("vtime"), 9).as("vtime"),
+          col("source"), col("doc_id"), col("k")),
+      Some(s"""WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source),
+              capd AS (
+                SELECT source, n_docs, n_tokens, n_tokens * 2 AS cap_tokens
+                FROM per),
+              rk AS (
+                SELECT *, ROW_NUMBER() OVER w AS i,
+                       COUNT(*) OVER () AS n_src,
+                       SUM(cap_tokens) OVER (w ROWS UNBOUNDED PRECEDING) AS prefix
+                FROM capd WINDOW w AS (ORDER BY cap_tokens, source)),
+              fl AS (
+                SELECT *, CASE WHEN cap_tokens * (n_src - i + 1)
+                                    <= 50000 - (prefix - cap_tokens)
+                               THEN 1 ELSE 0 END AS ok
+                FROM rk),
+              cp AS (
+                SELECT *, MIN(ok) OVER (ORDER BY cap_tokens, source
+                            ROWS UNBOUNDED PRECEDING) = 1 AS capped
+                FROM fl),
+              gl AS (
+                SELECT *, SUM(CASE WHEN capped THEN cap_tokens ELSE 0 END)
+                            OVER () AS spent,
+                       SUM(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k
+                FROM cp),
+              tg AS (
+                SELECT source, n_docs, n_tokens,
+                       CAST(CASE WHEN capped THEN cap_tokens
+                                 ELSE (50000 - spent) // (n_src - k)
+                            END AS BIGINT) AS n_target
+                FROM gl),
+              hd AS (
+                SELECT source, doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch:0'), 1, 15))::BIGINT AS h,
+                       CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS wt,
+                       (CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+                          tk -> tk IN (${enStop.map("'" + _ + "'").mkString(",")})))
+                          AS BIGINT) * 1000000)
+                         // CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                         AS q
+                FROM documents),
+              rkd AS (
+                SELECT source, doc_id, q,
+                       CAST(row_number() OVER w2 AS BIGINT) AS r,
+                       CAST(sum(wt) OVER (w2 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+                FROM hd WINDOW w2 AS (PARTITION BY source
+                                      ORDER BY h % 4, h, doc_id)),
+              sel AS (
+                SELECT rkd.source, rkd.doc_id, rkd.q, tg.n_docs, rkd.r,
+                       (tg.n_target // tg.n_tokens)
+                         + (CASE WHEN rkd.p <= tg.n_target % tg.n_tokens
+                                 THEN 1 ELSE 0 END) AS reps
+                FROM rkd JOIN tg ON tg.source = rkd.source),
+              sel2 AS (
+                SELECT *, CAST(SUM(reps) OVER (PARTITION BY source) AS BIGINT) AS n_emit
+                FROM sel WHERE reps > 0),
+              em AS (
+                SELECT source, doc_id, q, n_emit,
+                       r - 1 + unnest(range(reps)) * n_docs AS k
+                FROM sel2),
+              sh AS (
+                SELECT source, doc_id, q, n_emit, k,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                           CAST(k AS VARCHAR) || ':epoch-shard:0'), 1, 15))::BIGINT AS h2
+                FROM em),
+              r2 AS (
+                SELECT source, doc_id, n_emit, k, h2 % 4 AS shard,
+                       CAST(row_number() OVER (PARTITION BY h2 % 4, source
+                                               ORDER BY q ASC, h2, doc_id, k) AS BIGINT) AS rn2
+                FROM sh)
+              SELECT shard,
+                     round(CAST(rn2*2 - 1 AS DOUBLE) / CAST(n_emit*2 AS DOUBLE), 9) AS vtime,
+                     source, doc_id, CAST(k AS BIGINT) AS k
+              FROM r2
+              ORDER BY shard, CAST(rn2*2 - 1 AS DOUBLE) / CAST(n_emit*2 AS DOUBLE),
+                       source, doc_id, k"""),
+      "CURRICULUM UniMax epoch: the water-filled token-budget epoch with each " +
+        "source's in-shard emissions quality-ANNEALED (lowest stopword-density " +
+        "integer score first, hash tie-breaks) — identical selection, wraparound " +
+        "repetition and per-shard mix as q_mix_epoch_unimax, only the emission " +
+        "order changes; fully re-derivable, no RNG"),
+
+    QueryDef(
       "q_snapshot_diff", Seq("J1", "A1", "F5"),
       (s, d) => {
         // demo snapshots, derived deterministically from the documents

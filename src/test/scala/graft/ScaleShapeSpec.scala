@@ -481,7 +481,10 @@ class ScaleShapeSpec extends AnyFunSuite {
     // (the vtime denominator — token targets have no closed-form
     // emission count, unlike the example-budget epoch where it IS the
     // target); rank + token prefix share the (source, bucket) window
-    "q_mix_epoch_unimax" -> 18)
+    "q_mix_epoch_unimax" -> 18,
+    // r20 annealed UniMax epoch: the identical plan — the curriculum
+    // knob only changes the in-shard window's ORDER BY
+    "q_mix_epoch_unimax_curriculum" -> 18)
 
   private lazy val replica: String = {
     val dest = Files.createTempDirectory("graft_scale_ci").toString
