@@ -1081,6 +1081,107 @@ object Multimodal {
       videos: DataFrame, s: SparkSession, maxHamming: Int = 6): DataFrame =
     hash64Neardup(videoHashesOf(videos, s), maxHamming)
 
+  /** SCENE-level perceptual near-dup over an (id BIGINT, content BINARY)
+    * VIDEO frame (VERDICT r19 Next #8, within the signed-off codec
+    * boundary): where [[videoNeardup]] fingerprints frame 0 only — and
+    * so misses a clip whose FIRST frame was edited — this rung aHashes
+    * EVERY decoded frame of the MJPEG/GIF prefix (the per-frame
+    * multi-hash shape; [[aviMjpgDecoded]]'s byte-budgeted stride keeps
+    * the retained prefix bounded), bands every (video, frame) hash
+    * through the same bounded engine, and elects a pair when ANY frame
+    * of one clip verifies within hamming of ANY frame of the other —
+    * min hamming per pair, self-scene matches dropped. Returns
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def videoSceneNeardup(
+      videos: DataFrame, s: SparkSession, maxHamming: Int = 6): DataFrame = {
+    import org.apache.spark.sql.functions._
+    hash64Neardup(videoSceneHashesOf(videos, s), maxHamming)
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
+  /** The fingerprint stage of [[videoSceneNeardup]] alone — one
+    * (id, ahash) row per DECODED frame of each true multi-frame payload
+    * (frames whose raster does not match the declared dimensions are
+    * skipped rather than mis-strided); public for the oracle aux
+    * artifact (see [[imageHashesOf]]). */
+  def videoSceneHashesOf(videos: DataFrame, s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    videos.select(col("id"), col("content")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodeImage(bytes).orElse(decodeVideo(bytes))
+            .filter(d => d.kind == "video" || d.nFrames.exists(_ > 1))
+            .filter(_.pixels.isDefined) // real rasters, not sampled bytes
+            .toSeq.flatMap { d =>
+              d.frames.iterator
+                .filter(_.length == 3 * d.width.toInt * d.height.toInt)
+                .map(f => (id, aHash64(f, d.width.toInt, d.height.toInt)))
+            }
+        }
+      }.toDF("id", "ahash")
+  }
+
+  /** Deterministic THREE-CLASS scene corpus for [[videoSceneNeardup]]
+    * (the test tables carry no video column): every clip's FIRST frame
+    * is doc-unique noise — the "first-frame edit" the frame-0 rung is
+    * blind to by construction — while frame 1 carries the classes:
+    * same-source EVEN docs share a source-keyed scene raster perturbed
+    * ≤ 3 pixels per doc (the near-dup class), ODD docs get doc-unique
+    * noise (no shared scene). Real JDK JPEG encodes in the true RIFF
+    * container ([[mjpegAviOf]]). */
+  def synthMjpegAviScened(source: String, docId: Long): Array[Byte] = {
+    val md = MessageDigest.getInstance("MD5")
+    def noise(tag: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val pd = md.digest(s"$tag:$docId".getBytes("UTF-8"))
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          val v = pd((x * 3 + y * 7) % 16) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def scene(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        val row = md.digest(s"$source:scene:$y".getBytes("UTF-8"))
+        var x = 0
+        while (x < 16) {
+          val v = row(x) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val k = (docId % 4).toInt
+      val pd = md.digest(docId.toString.getBytes("UTF-8"))
+      var i = 0
+      while (i < k) {
+        val pos = (((pd(i % 16) & 0xff) * 31 + i * 7) & 0xff)
+        img.setRGB(pos % 16, pos / 16, 0xffffff)
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val f1 = if (docId % 2 == 0) scene() else noise("lone")
+    mjpegAviOf(Seq(noise("edit"), f1), 16, 16)
+  }
+
   /** The fingerprint stage of [[videoNeardup]] alone — (id, ahash) of
     * the first decoded frame per true video payload; public for the
     * oracle aux artifact (see [[imageHashesOf]]). */

@@ -164,6 +164,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     // r19 video twin (first-frame aHash over real MJPEG decodes): the
     // same hash64Neardup tail, the same shape and budget
     "q_video_neardup" -> 14,
+    // r20 scene-level: the same banded plan over per-frame hash rows +
+    // the pair min-fold riding the verify's partitioning
+    "q_video_neardup_scenes" -> 14,
     "q_profile_orders" -> 4,
     // heavy hitters: fanOut + the single-group sketch merge — the whole
     // point is that NO distinct-gram-cardinality exchange exists (the

@@ -772,6 +772,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(run(5) === Set((1L, 2L), (4L, 5L)))
   }
 
+  test("videoSceneNeardup: edit-tolerance BOTH ways vs the frame-0 rung") {
+    val s = graft.SparkSuite.spark
+    import s.implicits._
+    // scened clips: frame 0 is a doc-unique "edit", frame 1 carries the
+    // classes — docs 0/2 share srcS's scene (≤3-px perturbations), doc 1
+    // has no shared scene
+    val vids = Seq(
+      (1L, Multimodal.synthMjpegAviScened("srcS", 0L)),
+      (2L, Multimodal.synthMjpegAviScened("srcS", 2L)),
+      (3L, Multimodal.synthMjpegAviScened("srcS", 1L)))
+      .toDF("id", "content")
+    val scenePairs = Multimodal.videoSceneNeardup(vids, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scenePairs === Set((1L, 2L)),
+      s"the shared later scene must pair the first-frame-edited clips, got $scenePairs")
+    // …which the declared frame-0 rung is structurally blind to
+    assert(Multimodal.videoNeardup(vids, s).collect().isEmpty,
+      "frame-0 hashing must see nothing on a corpus whose first frames are edits")
+    // the other direction: LAST-frame-edited clips (synthMjpegAvi —
+    // shared frame 0, doc-unique frame 1) pair under BOTH rungs
+    val tails = Seq(
+      (4L, Multimodal.synthMjpegAvi("srcT", 0L)),
+      (5L, Multimodal.synthMjpegAvi("srcT", 2L)))
+      .toDF("id", "content")
+    assert(Multimodal.videoNeardup(tails, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
+    assert(Multimodal.videoSceneNeardup(tails, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((4L, 5L)))
+    // a clip never scene-matches ITSELF (same-clip frame bands drop)
+    assert(!scenePairs.exists(p => p._1 == p._2))
+  }
+
   /** A real multi-frame GIF (ImageIO gif writer, one image per frame)
     * with solid-color full-canvas frames. */
   private def animatedGif(colors: Seq[Int]): Array[Byte] = {
