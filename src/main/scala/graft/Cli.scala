@@ -1412,7 +1412,9 @@ object Cli {
             Double.box(r.getAs[Double]("adc"))))
       }
 
-    case "media-index" :: lake :: paths if paths.nonEmpty =>
+    case "media-index" :: lake :: rest0 if rest0.filterNot(_ == "--scenes").nonEmpty =>
+      val mScenes = rest0.contains("--scenes")
+      val paths = rest0.filterNot(_ == "--scenes")
       // fingerprint-at-ingest, one-shot (the streaming leg's batch twin —
       // VERDICT r19 Next #3): decode each payload ONCE, probe the
       // lake-level fingerprint store BEFORE appending (near-dups of
@@ -1435,7 +1437,8 @@ object Cli {
         .localCheckpoint()
       val nPayloads = media0.count()
       val mFlags = graft.streaming.FingerprintStore
-        .probeAppend(spark, lake, media0.select("id", "content"))
+        .probeAppend(spark, lake, media0.select("id", "content"),
+          scenes = mScenes)
       val mapPath = graft.streaming.Streaming.mediaFilesPath(lake)
       val known = graft.ingest.Sink.readOrEmpty(spark, mapPath)
         .map(_.select(col("id"), col("name")))
@@ -1812,7 +1815,7 @@ object Cli {
            |  vector-search <store> <embeddingsParquet> <vecId> [--probes N] [--top N]
            |  vector-search <store> <embeddingsParquet> --batch [--mod N] [--probes N] [--top N] [--rerank N] [--exact|--sq8]
            |  hybrid-search <postingsStore> <vectorStore> <vecId> <term> [term ...] [--top N] [--probes N] [--sq8]
-           |  media-index <lake> <fileOrDir...>
+           |  media-index <lake> <fileOrDir...> [--scenes]
            |  manifest <lake> [collectionId]
            |  dsir-select <lake> <rawCollectionId> <targetCollectionId> [--top N] [--weights DIR]
            |  train-bpe <lake> <collectionId> <outFile> [--merges N]

@@ -168,6 +168,9 @@ final class Api(
     val dsirScore = bool(body, "dsir_score")
     val corpusManifest = bool(body, "corpus_manifest")
     val mediaFingerprint = bool(body, "media_fingerprint")
+    // scene-level variant (r20): per-frame fingerprints at ingest, the
+    // at-ingest twin of q_video_neardup_scenes — implies the base step
+    val mediaFingerprintScenes = bool(body, "media_fingerprint_scenes")
     val note = Option(body.get("note")).filter(_.isTextual).map(_.asText).filter(_.nonEmpty)
 
     var plane = PlaneStore.load(lake)
@@ -179,7 +182,10 @@ final class Api(
       (if (lineDedup) Set("line_dedup") else Set.empty[String]) ++
       (if (dsirScore) Set("dsir_score") else Set.empty[String]) ++
       (if (corpusManifest) Set("corpus_manifest") else Set.empty[String]) ++
-      (if (mediaFingerprint) Set("media_fingerprint") else Set.empty[String]) ++
+      (if (mediaFingerprint || mediaFingerprintScenes)
+        Set("media_fingerprint") else Set.empty[String]) ++
+      (if (mediaFingerprintScenes)
+        Set("media_fingerprint_scenes") else Set.empty[String]) ++
       (if (upgrade) Set("upgrade") else if (compile) Set("compile") else Set.empty[String])
     var created = List(Control.Collection(
       rootId, sourceId, dataVersion, steps = rootSteps, sample = sample))
@@ -357,7 +363,8 @@ final class Api(
         if (plane.collection(id).steps.contains("media_fingerprint"))
           graft.streaming.Streaming.mediaFingerprintStream(
             spark, dir.toString, lake, id,
-            java.nio.file.Paths.get(root, s"collection_$id", "ckpt_media").toString)
+            java.nio.file.Paths.get(root, s"collection_$id", "ckpt_media").toString,
+            scenes = plane.collection(id).steps.contains("media_fingerprint_scenes"))
             .awaitTermination()
       }
     }

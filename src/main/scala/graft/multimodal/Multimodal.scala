@@ -1112,17 +1112,27 @@ object Multimodal {
     videos.select(col("id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          decodeImage(bytes).orElse(decodeVideo(bytes))
-            .filter(d => d.kind == "video" || d.nFrames.exists(_ > 1))
-            .filter(_.pixels.isDefined) // real rasters, not sampled bytes
-            .toSeq.flatMap { d =>
-              d.frames.iterator
-                .filter(_.length == 3 * d.width.toInt * d.height.toInt)
-                .map(f => (id, aHash64(f, d.width.toInt, d.height.toInt)))
-            }
+          sceneHashesOf(bytes).map(h => (id, h))
         }
       }.toDF("id", "ahash")
   }
+
+  /** One payload's per-frame scene hashes — the per-row core of
+    * [[videoSceneHashesOf]], shared with the fingerprint store's scene
+    * rows ([[graft.streaming.FingerprintStore]]) so batch and at-ingest
+    * scene fingerprints cannot drift. Empty for non-multi-frame or
+    * undecodable payloads; frames whose raster does not match the
+    * declared dimensions are skipped rather than mis-strided. */
+  def sceneHashesOf(bytes: Array[Byte]): Seq[Long] =
+    decodeImage(bytes).orElse(decodeVideo(bytes))
+      .filter(d => d.kind == "video" || d.nFrames.exists(_ > 1))
+      .filter(_.pixels.isDefined) // real rasters, not sampled bytes
+      .toSeq.flatMap { d =>
+        d.frames.iterator
+          .filter(_.length == 3 * d.width.toInt * d.height.toInt)
+          .map(f => aHash64(f, d.width.toInt, d.height.toInt))
+          .toSeq
+      }
 
   /** Deterministic THREE-CLASS scene corpus for [[videoSceneNeardup]]
     * (the test tables carry no video column): every clip's FIRST frame

@@ -102,13 +102,27 @@ object FingerprintStore {
 
   /** Decode an (id BIGINT, content BINARY) media frame ONCE and emit
     * (id, kind, ahash) — image/audio/video routed to their real decode
-    * engines; payloads that decode no signal drop out. */
-  def fingerprintsOf(media: DataFrame, s: SparkSession): DataFrame = {
+    * engines; payloads that decode no signal drop out.
+    *
+    * `scenes = true` (r20 — the at-ingest twin of the batch
+    * q_video_neardup_scenes rung) additionally emits one `kind =
+    * "scene"` row PER DECODED FRAME of each multi-frame payload
+    * ([[Multimodal.sceneHashesOf]], the ONE per-frame spelling), still
+    * within the same single decode pass. Scene rows match scene rows
+    * only (the within-kind probe contract), so the first-frame flag
+    * semantics are unchanged and scene matches — clips whose FIRST
+    * frame was edited but that share a later scene — are strictly
+    * additive. */
+  def fingerprintsOf(
+      media: DataFrame, s: SparkSession, scenes: Boolean = false): DataFrame = {
     import s.implicits._
     media.select(col("id"), col("content")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          fpOf(bytes).map { case (kind, h) => (id, kind, h) }
+          val base = fpOf(bytes).map { case (kind, h) => (id, kind, h) }
+          if (!scenes) base.iterator
+          else base.iterator ++
+            Multimodal.sceneHashesOf(bytes).iterator.map(h => (id, "scene", h))
         }
       }.toDF("id", "kind", "ahash")
   }
@@ -216,11 +230,12 @@ object FingerprintStore {
   def probeAppend(
       spark: SparkSession, lake: String, media: DataFrame,
       maxHamming: Int = 6,
-      batchId: Long = -1L, lineage: String = "adhoc"): DataFrame = {
+      batchId: Long = -1L, lineage: String = "adhoc",
+      scenes: Boolean = false): DataFrame = {
     val keyed = batchId >= 0L
     val replayed = keyed && loadMeta(lake).exists(m =>
       m.lineage == lineage && batchId <= m.lastBatchId)
-    val fps = fingerprintsOf(media, spark).localCheckpoint()
+    val fps = fingerprintsOf(media, spark, scenes).localCheckpoint()
     val flags = probe(spark, lake, fps, maxHamming,
       excludeBatch = if (keyed) Some((lineage, batchId)) else None)
       .localCheckpoint() // materialize BEFORE the append mutates the store

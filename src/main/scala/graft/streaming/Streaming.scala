@@ -569,7 +569,8 @@ object Streaming {
       collectionId: Long,
       checkpointDir: String,
       maxHamming: Int = 6,
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1000,
+      scenes: Boolean = false): StreamingQuery = {
     import org.apache.spark.sql.functions._
     spark.readStream
       .format("binaryFile")
@@ -594,7 +595,7 @@ object Streaming {
             col("content")).localCheckpoint()
           val flags = FingerprintStore.probeAppend(
             spark, lakeDir, media.select("id", "content"), maxHamming,
-            batchId = batchId, lineage = lineage)
+            batchId = batchId, lineage = lineage, scenes = scenes)
           flags
             .withColumn("collection_id", lit(collectionId))
             .withColumn("batch_id", lit(batchId))

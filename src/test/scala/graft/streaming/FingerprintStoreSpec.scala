@@ -96,6 +96,33 @@ class FingerprintStoreSpec extends AnyFunSuite {
     assert(later.map(f => (f._1, f._2)) === Set((30L, 1L)), s"got $later")
   }
 
+  test("scene rows at ingest: first-frame-edited clips flag iff scenes enabled") {
+    // the at-ingest twin of q_video_neardup_scenes: the scened synth's
+    // frame 0 is doc-unique noise (the edit), docs 0/2 share a perturbed
+    // scene on frame 1 — first-frame fingerprints alone are blind
+    val near = mediaDF(21L -> Multimodal.synthMjpegAviScened("srcZ", 2L))
+    // scenes OFF: no flag (and no scene rows in the store)
+    val plain = Files.createTempDirectory("graft-fpstore-noscene").toString
+    FingerprintStore.probeAppend(s, plain,
+      mediaDF(20L -> Multimodal.synthMjpegAviScened("srcZ", 0L)))
+    assert(FingerprintStore.probeAppend(s, plain, near).isEmpty,
+      "frame-0 fingerprints must be blind to a first-frame-edited clip")
+    assert(s.read.parquet(FingerprintStore.fpPath(plain))
+      .filter(col("kind") === "scene").count() === 0L)
+    // scenes ON: the shared later scene flags the pair; the base
+    // first-frame rows are still present (scene rows are additive)
+    val lake = Files.createTempDirectory("graft-fpstore-scene").toString
+    FingerprintStore.probeAppend(s, lake,
+      mediaDF(20L -> Multimodal.synthMjpegAviScened("srcZ", 0L)),
+      scenes = true)
+    val store = s.read.parquet(FingerprintStore.fpPath(lake))
+    assert(store.filter(col("kind") === "scene").count() > 0L)
+    assert(store.filter(col("kind") === "video").count() > 0L)
+    val flags = FingerprintStore.probeAppend(s, lake, near, scenes = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flags === Map(21L -> 20L), s"got $flags")
+  }
+
   test("replayed appends are probe-invisible and compaction folds them") {
     val lake = Files.createTempDirectory("graft-fpstore-replay").toString
     val seed = mediaDF(1L -> Multimodal.synthWav("srcB", 0L))
