@@ -1420,6 +1420,40 @@ object VectorQueries {
       }
       adc
     }
+
+    /** The per-QUERY decimal LUT (r20, the PQ-LUT idiom applied to the
+      * scalar rung): lut(i)(c) = the EXACT per-term value [[scoreDec]]
+      * constructs for dimension i at code c — new BigDecimal(qu(i) *
+      * recon).setScale(18, HALF_UP) — precomputed once per query
+      * (64 × 256 entries, ~0.8 MB), so scoring a row becomes 64 lookups
+      * + adds instead of 64 exact double→decimal conversions. The
+      * conversion is the dominant cost of the batched sq8-nominated
+      * join's hot loop; [[scoreLut]] adds the identical values in the
+      * identical order, so results are bit-for-bit [[scoreDec]]'s
+      * (VectorStoreSpec's byte-identity pins gate it). */
+    def lutOf(qu: Array[Double]): Array[Array[java.math.BigDecimal]] =
+      Array.tabulate(Dim) { i =>
+        val w = mx(i) - mn(i)
+        Array.tabulate(256) { c =>
+          val recon = mn(i) + (if (w > 0) c / 255.0 * w else 0.0)
+          new java.math.BigDecimal(qu(i) * recon)
+            .setScale(18, java.math.RoundingMode.HALF_UP)
+        }
+      }
+
+    /** [[scoreDec]] through a precomputed [[lutOf]] table — bit-identical
+      * by construction (same terms, same fold order). */
+    def scoreLut(
+        lut: Array[Array[java.math.BigDecimal]],
+        codes: Array[Int]): java.math.BigDecimal = {
+      var adc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < Dim) {
+        adc = adc.add(lut(i)(codes(i)))
+        i += 1
+      }
+      adc
+    }
   }
 
   /** Train the [[Sq8Kit]]: exact per-dim min/max over the training
@@ -2340,6 +2374,11 @@ object VectorQueries {
         val k8 = bcK8.value
         val m = bcByCell.value
         val qs = bcQU.value
+        // scoreDec, not the store leg's per-partition LUT cache: this
+        // scan is NOT cell-partitioned, so a partition's rows span
+        // arbitrary cells and the LUT working set would be the WHOLE
+        // query frame (q × ~0.8 MB per task) — the cache pays off only
+        // where the layout gives locality (VectorStore.knnJoin)
         it.flatMap { case (id, v) =>
           val cell = probeCellsOf(cs, v, 1).head
           m.get(cell) match {
@@ -2804,13 +2843,16 @@ object VectorQueries {
         val kit = trainSq8(emb.filter(col("vec_id") =!= 0), s)
         val qu = unit(emb.filter(col("vec_id") === 0)
           .select(col("embedding")).as[Seq[Float]].head())
-        val bc = s.sparkContext.broadcast((kit, qu))
+        // one query -> one decimal LUT (r20): 64 lookups + adds per row,
+        // bit-identical to scoreDec (scoreLut adds the same terms in the
+        // same order); the per-row cost left is the encode itself
+        val bc = s.sparkContext.broadcast((kit, kit.lutOf(qu)))
         emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
           .mapPartitions { it =>
-            val (k, bq) = bc.value
+            val (k, lut) = bc.value
             it.map { case (id, v) =>
-              (id, k.scoreDec(bq, k.codesOf(k.unitOf(v))).doubleValue)
+              (id, k.scoreLut(lut, k.codesOf(k.unitOf(v))).doubleValue)
             }
           }
           .toDF("vec_id", "adc")

@@ -345,13 +345,15 @@ object VectorStore {
         "(Cli vector-index --sq8, or append with sq8 = true from the " +
         "first batch) before serving SQ8 probes")
     val kit = servingSq8KitOf(spark, lake)
-    val qu = kit.unitOf(qv)
     val nUncoded = store.filter(col("sq8").isNull).count()
     require(nUncoded == 0L,
       s"$nUncoded stored vectors have no sq8 codes (rows appended " +
         s"before the sq8 layout mixed into $lake) — rebuild the store " +
         "before serving SQ8 probes")
-    val bc = spark.sparkContext.broadcast((kit, qu))
+    // one query → one decimal LUT, compiled driver-side (r20): scoring a
+    // stored row is 64 lookups + adds, bit-identical to scoreDec (the
+    // q_ann_sq8 byte-identity pin gates it)
+    val bc = spark.sparkContext.broadcast((kit, kit.lutOf(kit.unitOf(qv))))
     store
       .filter(if (exclude.isEmpty) lit(true)
               else !col("vec_id").isin(exclude.toSeq: _*))
@@ -359,9 +361,9 @@ object VectorStore {
       .dropDuplicates("vec_id")
       .as[(Long, Seq[Int])]
       .mapPartitions { it =>
-        val (k8, q8) = bc.value
+        val (k8, lut) = bc.value
         it.map { case (id, codes) =>
-          (id, k8.scoreDec(q8, codes.toArray).doubleValue)
+          (id, k8.scoreLut(lut, codes.toArray).doubleValue)
         }
       }
       .toDF("vec_id", "adc")
@@ -503,13 +505,27 @@ object VectorStore {
           val k8 = bcKit8.value
           val qs = bcQU.value
           val m = bcByCell8.value
+          // per-partition qid → decimal-LUT cache (r20): the scan is
+          // `cell=`-partitioned, so a partition's rows cycle through ONE
+          // cell's probing queries — the working set is |queries probing
+          // this cell| LUTs (~0.8 MB each), and scoring a row drops from
+          // 64 exact double→decimal conversions per query to 64 lookups.
+          // scoreLut is bit-identical to scoreDec by construction (the
+          // VectorStoreSpec byte-identity pins gate it).
+          val luts =
+            new java.util.HashMap[Long, Array[Array[java.math.BigDecimal]]]()
           it.flatMap { case (id, cell, codes) =>
             m.get(cell.toInt) match {
               case None => Iterator.empty
               case Some(qids) =>
                 val arr = codes.toArray
                 qids.iterator.map { qid =>
-                  (qid, id, k8.scoreDec(qs(qid), arr).doubleValue)
+                  var lut = luts.get(qid)
+                  if (lut == null) {
+                    lut = k8.lutOf(qs(qid))
+                    luts.put(qid, lut)
+                  }
+                  (qid, id, k8.scoreLut(lut, arr).doubleValue)
                 }
             }
           }
