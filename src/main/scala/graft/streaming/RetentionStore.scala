@@ -105,19 +105,23 @@ object RetentionStore {
     folded.coalesce(1).write.mode("overwrite").parquet(s"$store/$dirName")
     saveMeta(store, Meta(batchId, lineage, dirName))
     // GC superseded versions AFTER the pointer swap (best-effort)
-    val keep = dirName
     val base = Paths.get(store)
     if (Files.isDirectory(base)) {
-      val it = Files.list(base).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val n = p.getFileName.toString
-        if (n.startsWith("matrix_b") && n != keep)
-          scala.util.Try {
-            import scala.jdk.CollectionConverters._
-            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-          }
-      }
+      val listing = Files.list(base)
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val n = p.getFileName.toString
+          if (n.startsWith("matrix_b") && n != dirName)
+            scala.util.Try {
+              import scala.jdk.CollectionConverters._
+              val w = Files.walk(p)
+              try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+              finally w.close()
+            }
+        }
+      } finally listing.close()
     }
     true
   }
