@@ -1373,20 +1373,47 @@ object VectorQueries {
     }
   }
 
-  /** A compiled ADC query: 8 decimal lookups + one add per row. */
+  /** A compiled ADC query: 8 decimal lookups + one add per row.
+    *
+    * Scoring arithmetic (r20): every table entry is a scale-18 decimal
+    * (see [[AdcKit.query]]'s `dec`), and BigDecimal addition of
+    * same-scale operands is EXACT unscaled addition — no rounding, any
+    * order — so the fold runs on the unscaled longs ([[ltL]]/[[cdL]],
+    * derived once per (de)serialized instance) and wraps the one final
+    * sum back into a decimal. Fits: every entry is an inner product of
+    * unit-bounded vectors, so |unscaled| ≤ ~6e18 and the 9-term sum is
+    * bounded by Cauchy–Schwarz over the concatenated codeword at
+    * < 9.2e18; `Math.addExact` turns that proof into a loud fallback
+    * (the decimal fold, identical by construction) instead of a silent
+    * wrap. Measured: the long fold removes the per-pair BigDecimal
+    * allocation chain from the batched joins' nomination hot loop. */
   private[graft] final case class AdcQuery(
       probeSet: Set[Int],
       ltDec: Array[Array[java.math.BigDecimal]],
       cdDec: Array[java.math.BigDecimal]) extends Serializable {
-    def scoreDec(cell: Int, codes: Array[Int]): java.math.BigDecimal = {
-      var adc = cdDec(cell)
-      var m = 0
-      while (m < codes.length) {
-        adc = adc.add(ltDec(m)(codes(m)))
-        m += 1
+    @transient private lazy val ltL: Array[Array[Long]] =
+      ltDec.map(_.map(_.unscaledValue().longValueExact()))
+    @transient private lazy val cdL: Array[Long] =
+      cdDec.map(_.unscaledValue().longValueExact())
+    def scoreDec(cell: Int, codes: Array[Int]): java.math.BigDecimal =
+      try {
+        var acc = cdL(cell)
+        var m = 0
+        while (m < codes.length) {
+          acc = Math.addExact(acc, ltL(m)(codes(m)))
+          m += 1
+        }
+        java.math.BigDecimal.valueOf(acc, 18)
+      } catch {
+        case _: ArithmeticException =>
+          var adc = cdDec(cell)
+          var m = 0
+          while (m < codes.length) {
+            adc = adc.add(ltDec(m)(codes(m)))
+            m += 1
+          }
+          adc
       }
-      adc
-    }
   }
 
   /** The SQ8 affine kit (FAISS's scalar quantizer, q_ann_sq8's rung):
@@ -1454,6 +1481,41 @@ object VectorQueries {
       }
       adc
     }
+
+    /** [[lutOf]] carried as UNSCALED scale-18 longs (r20): every LUT
+      * entry is a scale-18 decimal of a product of unit-bounded values
+      * (|qu_i| ≤ 1, recon_i ∈ [mn_i, mx_i] ⊆ [−1, 1] — both sides of
+      * the kit are unit-normalized), so |unscaled| ≤ ~1e18 and fits a
+      * long exactly ([[java.math.BigDecimal#longValueExact]] is the
+      * loud guard). 64 × 256 longs ≈ 128 KB per query — 50× smaller
+      * than the decimal table, cheap enough to precompile for a whole
+      * bounded probe frame driver-side. */
+    def lutLongOf(qu: Array[Double]): Array[Array[Long]] =
+      lutOf(qu).map(_.map(_.unscaledValue().longValueExact()))
+
+    /** [[scoreLut]] over the long table: same-scale BigDecimal addition
+      * is exact unscaled addition, so folding the longs and wrapping
+      * the one final sum is bit-for-bit [[scoreLut]] (= [[scoreDec]]).
+      * |sum| < 9.2e18 by Cauchy–Schwarz over the unit-bounded vectors
+      * (Σ|qu_i·recon_i| ≤ ‖qu‖·‖recon‖ ≤ 8, unscaled ≤ 8e18 + rounding
+      * slack); `Math.addExact` + the decimal-fold fallback turn that
+      * proof into a loud recovery instead of a silent wrap. Replaces
+      * 64 BigDecimal allocations per scored pair with 64 long adds —
+      * the hot loop of the sq8-nominated batched joins. */
+    def scoreLutLong(
+        lutL: Array[Array[Long]], lut: => Array[Array[java.math.BigDecimal]],
+        codes: Array[Int]): java.math.BigDecimal =
+      try {
+        var acc = 0L
+        var i = 0
+        while (i < Dim) {
+          acc = Math.addExact(acc, lutL(i)(codes(i)))
+          i += 1
+        }
+        java.math.BigDecimal.valueOf(acc, 18)
+      } catch {
+        case _: ArithmeticException => scoreLut(lut, codes)
+      }
   }
 
   /** Train the [[Sq8Kit]]: exact per-dim min/max over the training
@@ -2362,10 +2424,20 @@ object VectorQueries {
       .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toArray) }
     val qUnits: Map[Long, Array[Double]] =
       raw.map { case (qid, v) => qid -> kit8.unitOf(v) }.toMap
+    // per-query LONG LUTs, compiled ONCE driver-side (r20): the decimal
+    // LUT was too heavy to precompile for the whole frame (q × ~0.8 MB
+    // per task was the old inline comment's veto), but the unscaled-long
+    // table is 128 KB per query — the full frame broadcasts once per
+    // executor, and scoring a pair drops from 64 exact double→decimal
+    // conversions to 64 long adds (bit-identical — Sq8Kit.scoreLutLong's
+    // same-scale argument; the oracle hash gates it)
+    val qLuts: Map[Long, Array[Array[Long]]] =
+      qUnits.map { case (qid, qu) => qid -> kit8.lutLongOf(qu) }
     val bcC = s.sparkContext.broadcast(centroids)
     val bcK8 = s.sparkContext.broadcast(kit8)
     val bcByCell = s.sparkContext.broadcast(byCell)
     val bcQU = s.sparkContext.broadcast(qUnits)
+    val bcQL = s.sparkContext.broadcast(qLuts)
     val scored = emb.filter(pmod(col("vec_id"), lit(KnnQMod)) =!= 0)
       .filter(dotDouble(col("embedding"), col("embedding")) > 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
@@ -2374,11 +2446,7 @@ object VectorQueries {
         val k8 = bcK8.value
         val m = bcByCell.value
         val qs = bcQU.value
-        // scoreDec, not the store leg's per-partition LUT cache: this
-        // scan is NOT cell-partitioned, so a partition's rows span
-        // arbitrary cells and the LUT working set would be the WHOLE
-        // query frame (q × ~0.8 MB per task) — the cache pays off only
-        // where the layout gives locality (VectorStore.knnJoin)
+        val ql = bcQL.value
         it.flatMap { case (id, v) =>
           val cell = probeCellsOf(cs, v, 1).head
           m.get(cell) match {
@@ -2386,7 +2454,9 @@ object VectorQueries {
             case Some(qids) =>
               val codes = k8.codesOf(k8.unitOf(v))
               qids.iterator.map { qid =>
-                (qid, id, k8.scoreDec(qs(qid), codes).doubleValue, v)
+                (qid, id,
+                  k8.scoreLutLong(ql(qid), k8.lutOf(qs(qid)), codes)
+                    .doubleValue, v)
               }
           }
         }
@@ -2843,16 +2913,17 @@ object VectorQueries {
         val kit = trainSq8(emb.filter(col("vec_id") =!= 0), s)
         val qu = unit(emb.filter(col("vec_id") === 0)
           .select(col("embedding")).as[Seq[Float]].head())
-        // one query -> one decimal LUT (r20): 64 lookups + adds per row,
-        // bit-identical to scoreDec (scoreLut adds the same terms in the
-        // same order); the per-row cost left is the encode itself
-        val bc = s.sparkContext.broadcast((kit, kit.lutOf(qu)))
+        // one query -> one LONG LUT (r20): 64 long lookups + adds per
+        // row, bit-identical to scoreDec (scoreLutLong's same-scale
+        // argument); the per-row cost left is the encode itself
+        val bc = s.sparkContext.broadcast((kit, qu, kit.lutLongOf(qu)))
         emb.filter(col("vec_id") =!= 0)
           .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
           .mapPartitions { it =>
-            val (k, lut) = bc.value
+            val (k, u, lutL) = bc.value
             it.map { case (id, v) =>
-              (id, k.scoreLut(lut, k.codesOf(k.unitOf(v))).doubleValue)
+              (id, k.scoreLutLong(lutL, k.lutOf(u), k.codesOf(k.unitOf(v)))
+                .doubleValue)
             }
           }
           .toDF("vec_id", "adc")

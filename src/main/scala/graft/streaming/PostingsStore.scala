@@ -187,23 +187,41 @@ object PostingsStore {
     * lexical twin of [[VectorStore.knnJoin]]'s many-query composition):
     * `qterms` is a bounded (qid, token) probe frame. Bucket pruning,
     * replay folding, in-slice df and the shared exact-rational scoring
-    * are [[probe]]'s spellings verbatim; the only new step is the
-    * broadcast fan-out of each matched posting to the queries carrying
-    * its token, so the store read does not grow with the probe count —
-    * the matched slice is |union of terms| × df rows (read twice, df
-    * leg + scoring leg, both statically pruned — [[probe]]'s exact scan
-    * shape), never the corpus, never per-query scans. df stays GLOBAL
-    * per token (all of a token's postings live
-    * in its bucket), so a posting scores identically under every query
-    * probing it — byte-identical to per-query [[probe]] calls by
-    * construction (PostingsStoreSpec pins it). The probe frame is
-    * deduplicated driver-side (it is collected once anyway, bounded by
-    * contract): a caller passing duplicate (qid, token) rows would
-    * otherwise fan each matched posting out once per duplicate and
-    * silently inflate n_terms and score_dec (ADVICE r18) — exactly as
-    * [[probe]] is insensitive to a repeated term in `qterms` via the
-    * postings-side distinct. Output: (qid, doc_id,
-    * n_terms, score_dec), unordered — callers rank per qid. */
+    * are [[probe]]'s spellings verbatim, so the store read does not
+    * grow with the probe count — the matched slice is |union of terms|
+    * × df rows (read twice, df leg + scoring leg, both statically
+    * pruned — [[probe]]'s exact scan shape), never the corpus, never
+    * per-query scans. df stays GLOBAL per token (all of a token's
+    * postings live in its bucket), so a posting scores identically
+    * under every query probing it — byte-identical to per-query
+    * [[probe]] calls by construction (PostingsStoreSpec pins it). The
+    * probe frame is deduplicated driver-side (it is collected once
+    * anyway, bounded by contract): a caller passing duplicate
+    * (qid, token) rows would otherwise fold a matched posting into a
+    * query's sum once per duplicate and silently inflate n_terms and
+    * score_dec (ADVICE r18) — exactly as [[probe]] is insensitive to a
+    * repeated term in `qterms` via the postings-side distinct.
+    *
+    * Fan-out shape (r20, guide §8 "decide with small rows"): the BM25
+    * term value depends only on (token, doc), never on which query
+    * probes it, so each matched posting is DECIMAL-scored exactly once
+    * and the per-(qid, doc) sums fold in ONE in-memory pass over the
+    * doc-partitioned slice (token → probing-qids is a broadcast map —
+    * the [[VectorStore.knnJoin]] inverted-probe idiom). The previous
+    * spelling materialized the (postings × probing-queries) lattice
+    * through a join and re-aggregated it with a decimal hash-agg —
+    * at sf0.1's 200-probe eval frame that is 17.5M fanned rows and
+    * 17.5M UnsafeRow decimal-sum updates for 116k matched postings
+    * (measured 6.3 s of the lex leg's 8 s; the whole leg dropped ~7×
+    * under this spelling, parity-checked row-identical). Exactness is
+    * unchanged: DECIMAL(38,18) addition is exact, so any fold order
+    * and grouping of the same per-posting terms yields the identical
+    * sum. Per-task state is its doc slice's (qid, doc) partial rows —
+    * exactly the rows this operator must emit anyway, never the
+    * lattice; it shrinks with the shuffle partition count, and the
+    * shuffle itself carries the matched POSTINGS (narrow rows), not
+    * the fan-out. Output: (qid, doc_id, n_terms, score_dec),
+    * unordered — callers rank per qid. */
   def probeBatch(spark: SparkSession, store: String, qterms: DataFrame): DataFrame = {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long, Long, java.math.BigDecimal)]
@@ -215,9 +233,8 @@ object PostingsStore {
     if (!Files.isDirectory(Paths.get(postingsPath(store)))) return empty
     // the probe frame is bounded (queries × terms) — collected ONCE,
     // deduplicated here (distinctness made structural, not a caller
-    // precondition), and re-broadcast as a local relation; the token
-    // list drives the two driver-side isin pruning lists, the
-    // [[probe]] idiom
+    // precondition); the token list drives the two driver-side isin
+    // pruning lists, the [[probe]] idiom
     val pairs = qterms.select(col("qid"), col("token"))
       .as[(Long, String)].collect().distinct.toSeq
     val toks = pairs.map(_._2).distinct
@@ -231,15 +248,56 @@ object PostingsStore {
       .select(col("token"), col("doc_id"), col("tf"), col("dl"))
       .distinct() // fold crash-window replay duplicates (exact rows)
     val dfT = posts.groupBy("token").agg(count(lit(1)).as("df"))
-    posts
+    // each matched posting scored ONCE (the value is qid-independent)
+    val scored = posts
       .join(broadcast(dfT), Seq("token"))
-      .join(broadcast(pairs.toDF("qid", "token")), Seq("token"))
-      .select(col("qid"), col("doc_id"),
+      .select(col("token"), col("doc_id"),
         graft.TextQueries.bm25ScoreExpr(
           col("tf"), col("dl"), col("df"), lit(tot.nDocs), lit(tot.tAll))
           .as("score_dec"))
-      .groupBy("qid", "doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(col("score_dec")).as("score_dec"))
+    val byTok: Map[String, Array[Long]] =
+      pairs.groupBy(_._2).map { case (t, xs) => (t, xs.map(_._1).toArray) }
+    val bcByTok = spark.sparkContext.broadcast(byTok)
+    scored
+      // co-locate each doc's postings so every (qid, doc) sum completes
+      // inside one task — the shuffle moves the narrow matched slice
+      .repartition(col("doc_id"))
+      .as[(String, Long, java.math.BigDecimal)]
+      .mapPartitions { it =>
+        val m = bcByTok.value
+        // doc → (qid → [n_terms, exact decimal sum]); same-scale
+        // BigDecimal adds, so the fold is exact in any arrival order
+        final class St { var n = 0L; var sum = java.math.BigDecimal.ZERO }
+        val acc = new java.util.HashMap[Long, java.util.HashMap[Long, St]]()
+        it.foreach { case (tok, doc, sd) =>
+          m.get(tok).foreach { qs =>
+            var dm = acc.get(doc)
+            if (dm == null) {
+              dm = new java.util.HashMap[Long, St]()
+              acc.put(doc, dm)
+            }
+            var i = 0
+            while (i < qs.length) {
+              var st = dm.get(qs(i))
+              if (st == null) { st = new St; dm.put(qs(i), st) }
+              st.n += 1L
+              st.sum = st.sum.add(sd)
+              i += 1
+            }
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        acc.entrySet.iterator.asScala.flatMap { e =>
+          val doc = e.getKey.longValue
+          e.getValue.entrySet.iterator.asScala.map { q =>
+            (q.getKey.longValue, doc, q.getValue.n, q.getValue.sum)
+          }
+        }
+      }
+      .toDF("qid", "doc_id", "n_terms", "score_dec")
+      .select(col("qid"), col("doc_id"), col("n_terms"),
+        col("score_dec").cast(org.apache.spark.sql.types.DecimalType(38, 18))
+          .as("score_dec"))
   }
 
   /** REBUILD the store from scratch without ever destroying the previous

@@ -350,10 +350,12 @@ object VectorStore {
       s"$nUncoded stored vectors have no sq8 codes (rows appended " +
         s"before the sq8 layout mixed into $lake) — rebuild the store " +
         "before serving SQ8 probes")
-    // one query → one decimal LUT, compiled driver-side (r20): scoring a
-    // stored row is 64 lookups + adds, bit-identical to scoreDec (the
-    // q_ann_sq8 byte-identity pin gates it)
-    val bc = spark.sparkContext.broadcast((kit, kit.lutOf(kit.unitOf(qv))))
+    // one query → one LONG LUT, compiled driver-side (r20): scoring a
+    // stored row is 64 long lookups + adds, bit-identical to scoreDec
+    // (Sq8Kit.scoreLutLong's same-scale argument; the q_ann_sq8
+    // byte-identity pin gates it)
+    val qu = kit.unitOf(qv)
+    val bc = spark.sparkContext.broadcast((kit, qu, kit.lutLongOf(qu)))
     store
       .filter(if (exclude.isEmpty) lit(true)
               else !col("vec_id").isin(exclude.toSeq: _*))
@@ -361,9 +363,9 @@ object VectorStore {
       .dropDuplicates("vec_id")
       .as[(Long, Seq[Int])]
       .mapPartitions { it =>
-        val (k8, lut) = bc.value
+        val (k8, u, lutL) = bc.value
         it.map { case (id, codes) =>
-          (id, k8.scoreLut(lut, codes.toArray).doubleValue)
+          (id, k8.scoreLutLong(lutL, k8.lutOf(u), codes.toArray).doubleValue)
         }
       }
       .toDF("vec_id", "adc")
@@ -482,11 +484,21 @@ object VectorStore {
       val kit8 = servingSq8KitOf(spark, lake)
       val qUnits: Map[Long, Array[Double]] =
         raw.map { case (qid, v) => qid -> kit8.unitOf(v) }.toMap
+      // per-query LONG LUTs compiled once driver-side (r20, the
+      // declared knnJoinSq8's spelling): 128 KB of unscaled longs per
+      // query — one broadcast copy per executor replaces the previous
+      // per-partition decimal-LUT cache (which re-built ~0.8 MB of
+      // BigDecimals per (partition, qid)); scoring stays bit-identical
+      // (Sq8Kit.scoreLutLong's same-scale argument, gated by the
+      // q_knn_join_sq8 byte-identity pins)
+      val qLuts: Map[Long, Array[Array[Long]]] =
+        qUnits.map { case (qid, qu) => qid -> kit8.lutLongOf(qu) }
       val byCell8: Map[Int, Array[Long]] = compiled.toSeq
         .flatMap { case (qid, qq) => qq.probeSet.iterator.map(c => (c, qid)) }
         .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toArray) }
       val bcKit8 = spark.sparkContext.broadcast(kit8)
       val bcQU = spark.sparkContext.broadcast(qUnits)
+      val bcQL = spark.sparkContext.broadcast(qLuts)
       val bcByCell8 = spark.sparkContext.broadcast(byCell8)
       val nomBase =
         if (candidates.columns.contains("znorm"))
@@ -504,28 +516,17 @@ object VectorStore {
         .mapPartitions { it =>
           val k8 = bcKit8.value
           val qs = bcQU.value
+          val ql = bcQL.value
           val m = bcByCell8.value
-          // per-partition qid → decimal-LUT cache (r20): the scan is
-          // `cell=`-partitioned, so a partition's rows cycle through ONE
-          // cell's probing queries — the working set is |queries probing
-          // this cell| LUTs (~0.8 MB each), and scoring a row drops from
-          // 64 exact double→decimal conversions per query to 64 lookups.
-          // scoreLut is bit-identical to scoreDec by construction (the
-          // VectorStoreSpec byte-identity pins gate it).
-          val luts =
-            new java.util.HashMap[Long, Array[Array[java.math.BigDecimal]]]()
           it.flatMap { case (id, cell, codes) =>
             m.get(cell.toInt) match {
               case None => Iterator.empty
               case Some(qids) =>
                 val arr = codes.toArray
                 qids.iterator.map { qid =>
-                  var lut = luts.get(qid)
-                  if (lut == null) {
-                    lut = k8.lutOf(qs(qid))
-                    luts.put(qid, lut)
-                  }
-                  (qid, id, k8.scoreLut(lut, arr).doubleValue)
+                  (qid, id,
+                    k8.scoreLutLong(ql(qid), k8.lutOf(qs(qid)), arr)
+                      .doubleValue)
                 }
             }
           }
