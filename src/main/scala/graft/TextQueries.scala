@@ -2115,11 +2115,25 @@ object TextQueries {
       s: SparkSession, d: String,
       synth: (String, Long) => Array[Byte]): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d).select(col("source"), col("doc_id"))
+    // fanOut BEFORE the synth map (r20): the codec encode is ~ms-per-row
+    // CPU sitting directly above a single-row-group scan, so without the
+    // round-robin repartition the whole corpus encodes on ONE task (the
+    // Tables.fanOut contract — the shuffle moves only the narrow
+    // (source, id) pairs, the win is per-row CPU × rows across all cores)
+    Tables.fanOut(Tables.documents(s, d).select(col("source"), col("doc_id")))
       .as[(String, Long)].mapPartitions { it =>
         it.map { case (src, id) => (id, src, synth(src, id)) }
       }.toDF("id", "source", "content")
   }
+
+  /** The (id_a, source) frame a media near-dup's final rollup joins —
+    * read straight off the documents table (r20): synthMediaOf passes
+    * id/source through untouched, so joining its output re-ran the
+    * whole codec ENCODE a second time just to drop the content column
+    * (the typed map is opaque to column pruning). Same rows by
+    * construction. */
+  private def mediaSourcesOf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id").as("id_a"), col("source"))
 
   private val mediaAuxWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -3162,8 +3176,7 @@ object TextQueries {
         val pairs = graft.multimodal.Multimodal
           .imageNeardup(imgs.select("id", "content"), s)
         pairs
-          .join(imgs.select(col("id").as("id_a"), col("source")).hint("shuffle_hash"),
-            Seq("id_a"))
+          .join(mediaSourcesOf(s, d).hint("shuffle_hash"), Seq("id_a"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_pairs"), max("hamming").as("max_hamming"))
           .orderBy("source")
@@ -3205,8 +3218,7 @@ object TextQueries {
         val pairs = graft.multimodal.Multimodal
           .audioNeardup(wavs.select("id", "content"), s)
         pairs
-          .join(wavs.select(col("id").as("id_a"), col("source")).hint("shuffle_hash"),
-            Seq("id_a"))
+          .join(mediaSourcesOf(s, d).hint("shuffle_hash"), Seq("id_a"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_pairs"), max("hamming").as("max_hamming"))
           .orderBy("source")
@@ -3249,8 +3261,7 @@ object TextQueries {
         val pairs = graft.multimodal.Multimodal
           .videoNeardup(vids.select("id", "content"), s)
         pairs
-          .join(vids.select(col("id").as("id_a"), col("source")).hint("shuffle_hash"),
-            Seq("id_a"))
+          .join(mediaSourcesOf(s, d).hint("shuffle_hash"), Seq("id_a"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_pairs"), max("hamming").as("max_hamming"))
           .orderBy("source")
@@ -3287,8 +3298,7 @@ object TextQueries {
         val pairs = graft.multimodal.Multimodal
           .videoSceneNeardup(vids.select("id", "content"), s)
         pairs
-          .join(vids.select(col("id").as("id_a"), col("source")).hint("shuffle_hash"),
-            Seq("id_a"))
+          .join(mediaSourcesOf(s, d).hint("shuffle_hash"), Seq("id_a"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_pairs"), max("hamming").as("max_hamming"))
           .orderBy("source")

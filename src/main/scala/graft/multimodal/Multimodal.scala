@@ -41,6 +41,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   */
 object Multimodal {
 
+  // Memory-backed ImageIO streams (r20): by default createImageInputStream
+  // over an InputStream and ImageIO.write to an OutputStream each spool
+  // through a FileCache temp FILE — one create+write+delete per encoded or
+  // decoded frame. Every payload here is an in-memory byte array, so the
+  // disk round-trip is pure overhead (and a tail-latency lottery under
+  // concurrent tasks); the flag flips both paths to the MemoryCache
+  // streams. Decode/encode BYTES are identical — this is an I/O plumbing
+  // knob, not a codec parameter (MultimodalSpec's golden rasters gate it).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val FrameBytes = 256
   val ThumbMax = 32L
 
