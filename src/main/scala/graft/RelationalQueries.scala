@@ -336,7 +336,15 @@ object RelationalQueries {
         // query runs with approx_count_distinct and loses the oracle,
         // a documented swap, not a different plan shape), then a stack()
         // unpivot of the single stats row — no shuffle beyond the agg.
-        val o = Tables.orders(s, d)
+        // fanOut BELOW the projection (r20): the 6-way countDistinct
+        // expand multiplies the scan's per-row work ~6× (measured
+        // 3.7 s pinned on ONE task above the single-row-group file —
+        // ~25 µs per input row, far past the ~50 ns plain-agg bar the
+        // fanOut contract sets), so the narrow 6-column frame round-
+        // robins once and the expand+partial agg runs on every core.
+        val o = Tables.fanOut(Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderstatus"), col("o_orderpriority")))
         def numProfile(c: String, v: Column) = Seq(
           count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
           countDistinct(col(c)).as(s"${c}_dist"),

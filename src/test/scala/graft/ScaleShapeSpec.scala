@@ -157,17 +157,27 @@ class ScaleShapeSpec extends AnyFunSuite {
     // the global spent/k windows) + the final source sort
     "q_mix_unimax" -> 4,
     "q_split_leakage" -> 18,
-    "q_image_neardup" -> 14,
+    // +4 over the r19 pin (14): the r20 fanOut under synthMediaOf adds
+    // one round-robin exchange per synth subtree (two subtrees feed the
+    // banding and verify legs) so the ~ms-per-row codec encode runs on
+    // every core instead of the single-row-group scan's one task —
+    // measured q_video_neardup 10.7 -> 1.9 s with the ImageIO
+    // memory-cache flip; the narrow (source, id) shuffle is the cost
+    "q_image_neardup" -> 18,
     // r18 audio twin: shares the image leg's banded candidate/verify tail
     // verbatim (hash64Neardup) — identical shape, identical budget
-    "q_audio_neardup" -> 14,
+    "q_audio_neardup" -> 18,
     // r19 video twin (first-frame aHash over real MJPEG decodes): the
     // same hash64Neardup tail, the same shape and budget
-    "q_video_neardup" -> 14,
+    "q_video_neardup" -> 18,
     // r20 scene-level: the same banded plan over per-frame hash rows +
     // the pair min-fold riding the verify's partitioning
-    "q_video_neardup_scenes" -> 14,
-    "q_profile_orders" -> 4,
+    "q_video_neardup_scenes" -> 18,
+    // +2 over the r12 pin (4): the r20 fanOut below the 6-column
+    // projection — the 6-way countDistinct expand is ~25 µs of CPU per
+    // input row pinned on the single-row-group scan's one task without
+    // it (measured 3.7 -> 2.6 s)
+    "q_profile_orders" -> 6,
     // heavy hitters: fanOut + the single-group sketch merge — the whole
     // point is that NO distinct-gram-cardinality exchange exists (the
     // sketch shuffles partitions × capacity counters)
@@ -418,8 +428,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // broadcasts twice (disc onto the hit rows, cum as the IDCG lookup)
     // and the left-join spelling re-plans the bounded domain pair — every
     // new frame is k-row or probe-bounded, the store read and corpus
-    // scan unchanged
-    "q_retrieval_eval_lex" -> 32,
+    // scan unchanged. r20 −2: probeBatch's (qid, doc) decimal hash-agg
+    // exchange folded into the one doc-keyed repartition+mapPartitions
+    // pass (score-once + in-memory fold — the fan-out lattice no longer
+    // exists as a plan node)
+    "q_retrieval_eval_lex" -> 30,
     // r19 hybrid eval over the served paths: the lexical store leg's
     // pruned two-leg read + rank agg (the lex eval's system chain), the
     // ADC join's nominate agg + refine window + sort, the exact join's
