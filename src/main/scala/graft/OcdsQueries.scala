@@ -45,8 +45,14 @@ object OcdsQueries {
     * the reference's release table is persistent storage, and bench cost
     * should attribute to the engines, not to re-running the generator. */
   private def releasesFromEvents(s: SparkSession, d: String, dupIds: Boolean): DataFrame =
+    // BOTH variants materialized once per JVM (r20 — the dup variant's
+    // rationale verbatim): the reference's release table is persistent
+    // storage, and the to_json generator is ~8 µs/row pinned on the
+    // single-row-group events scan's one task, re-executed per consumer
+    // subtree otherwise; the multi-file parquet read also gives the
+    // downstream merge a parallel scan
     if (dupIds) Tables.materialize("releases_dup", d, buildReleasesFromEvents(s, d, dupIds = true))
-    else buildReleasesFromEvents(s, d, dupIds = false)
+    else Tables.materialize("releases_plain", d, buildReleasesFromEvents(s, d, dupIds = false))
 
   private def buildReleasesFromEvents(s: SparkSession, d: String, dupIds: Boolean): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast(LongType)
@@ -283,7 +289,9 @@ object OcdsQueries {
         // engine emits per-field change HISTORY (Merge.versioned — the
         // public ocdsmerge spec's other half, beyond reference parity)
         releasesFromEvents(s, d, dupIds = false)
-          .repartition(col("ocid"))
+          // explicit N: opt out of AQE's byte-based coalescing for the
+          // CPU-dense versioned merge (Compile.mergeParallelism's note)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("ocid"))
           .sortWithinPartitions("ocid", "date", "tiebreak")
           .select("ocid", "release")
           .as[(String, String)]
@@ -531,8 +539,18 @@ object OcdsQueries {
           Seq(("ocds-zz", "0", -1L, "[1,2,3]")).toDF("ocid", "date", "tiebreak", "release"))
         val compNotes = graft.control.Notes.fromCompileWarnings(
           Compile.warnings(poisoned, s).toDF(), 3L)
-        // the notes read endpoint (views.py:261-281), summarized per code
-        graft.control.Notes.forTree(upNotes.unionByName(compNotes), Seq(1L, 2L, 3L))
+        // the notes read endpoint (views.py:261-281), summarized per code.
+        // localCheckpoint the note rows ONCE (r20): forTree reads its
+        // input twice (the n_total aside and the windowed top-k chain
+        // partition differently, so no exchange is reusable between
+        // them), and each subtree otherwise re-runs the WHOLE upgrade +
+        // merge-warning engines (~60 s of CPU at sf0.1, the two heaviest
+        // stages of this query). In production notes are a persisted
+        // fact table and forTree reads the lake; here the one-row-per-
+        // warning frame is the engines' side output, materialized at the
+        // same round boundary the CC engines use.
+        graft.control.Notes.forTree(
+          upNotes.unionByName(compNotes).localCheckpoint(), Seq(1L, 2L, 3L))
           .select(col("code"), col("n_total").as("n_notes"),
             col("notes").getItem(0).getField("note").as("first_note"))
           .orderBy("code")

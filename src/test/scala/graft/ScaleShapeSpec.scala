@@ -101,7 +101,14 @@ class ScaleShapeSpec extends AnyFunSuite {
     // control/Notes.scala) — plus the payoff/neardup family — now sit
     // inside the gate, so the SMJ/bounded-broadcast assertions guard the
     // exact class of regression that has actually happened.
-    "q_collection_notes" -> 18,
+    // r20 18 -> 10: the query body localCheckpoints the note rows before
+    // forTree (both forTree branches re-ran the WHOLE upgrade + warning
+    // engines otherwise — no exchange is shareable between the n_total
+    // aside and the windowed top-k), so the upstream engines' exchanges
+    // now sit behind the checkpoint boundary, exactly like the CC
+    // engines' per-round exchanges; the visible plan is forTree's tail,
+    // whose SMJ/broadcast assertions still gate the r11 regression class
+    "q_collection_notes" -> 10,
     "q_dedup_payoff" -> 10,
     "q_neardup_lsh" -> 16,
     "q_neardup_embedding" -> 16,
