@@ -470,7 +470,14 @@ object VectorQueries {
     val Scale = 1L << 32
     for (_ <- 0 until iters) {
       val bc = s.sparkContext.broadcast(centroids)
-      // one narrow pass: per-partition fixed-point sums per cell, k rows out
+      // one narrow pass: per-partition fixed-point sums per cell, k rows
+      // out per partition. The partials are (#partitions × k) rows of
+      // Dim+1 longs — contract-bounded at any data scale — so they
+      // collect and fold DRIVER-side (r20): the previous groupByKey +
+      // reduceGroups spelling paid a shuffle and an extra stage per
+      // Lloyd iteration to merge ~hundreds of KB; long addition is
+      // exact and commutative, so the driver fold is bit-identical in
+      // any arrival order and the centroids are unchanged.
       val partials = sample.mapPartitions { it =>
         val cs = bc.value
         val acc = Array.fill(cs.length)(new Array[Long](Dim + 1))
@@ -485,20 +492,15 @@ object VectorQueries {
           acc(c)(Dim) += 1L
         }
         acc.iterator.zipWithIndex.map { case (a, ci) => (ci, a) }
+      }.collect()
+      val totals = Array.fill(centroids.length)(new Array[Long](Dim + 1))
+      partials.foreach { case (ci, a) =>
+        val t = totals(ci)
+        var i = 0
+        while (i <= Dim) { t(i) += a(i); i += 1 }
       }
-      val totals = partials
-        .groupByKey(_._1)
-        .reduceGroups { (x, y) =>
-          val a = x._2; val b = y._2
-          val out = new Array[Long](Dim + 1)
-          var i = 0
-          while (i <= Dim) { out(i) = a(i) + b(i); i += 1 }
-          (x._1, out)
-        }
-        .map { case (ci, (_, a)) => (ci, a) }
-        .collect()
       val next = centroids.map(_.clone())
-      totals.foreach { case (ci, a) =>
+      totals.zipWithIndex.foreach { case (a, ci) =>
         val n = a(Dim)
         if (n > 0) // an empty cell keeps its old centroid
           next(ci) = renorm(Array.tabulate(Dim)(i => a(i).toDouble / Scale / n))
@@ -733,18 +735,19 @@ object VectorQueries {
         }
         (for { m <- 0 until PqM; j <- 0 until PqK }
           yield (m * PqK + j, acc(m)(j))).iterator
-      }
-        .groupByKey(_._1)
-        .reduceGroups { (x, y) =>
-          val out = new Array[Long](PqSub + 1)
-          var i = 0
-          while (i <= PqSub) { out(i) = x._2(i) + y._2(i); i += 1 }
-          (x._1, out)
-        }
-        .map { case (key, (_, a)) => (key, a) }
-        .collect()
-      val next = cbs.map(_.map(_.clone()))
+      }.collect()
+      // partials are (#partitions × PqM × PqK) rows of PqSub+1 longs —
+      // contract-bounded — folded DRIVER-side for the same reason as
+      // trainCentroids (r20): exact commutative long adds, one stage per
+      // Lloyd iteration instead of a shuffle + two
+      val merged = Array.fill(PqM * PqK)(new Array[Long](PqSub + 1))
       totals.foreach { case (key, a) =>
+        val t = merged(key)
+        var i = 0
+        while (i <= PqSub) { t(i) += a(i); i += 1 }
+      }
+      val next = cbs.map(_.map(_.clone()))
+      merged.zipWithIndex.foreach { case (a, key) =>
         val n = a(PqSub)
         if (n > 0) // an empty codeword keeps its old center
           next(key / PqK)(key % PqK) =
