@@ -462,11 +462,21 @@ object VectorStore {
     if (compiled.isEmpty) return empty
     val cells = compiled.flatMap(_._2.probeSet).distinct.map(_.toLong).toSeq
     val pruned = store.filter(col("cell").isin(cells: _*))
-    val nUncoded = pruned.filter(col("codes").isNull).count()
+    // ONE validation job for both layout columns (r20): the codes check
+    // and (when sq8-nominating) the sq8 check each cost a full pruned-
+    // store scan as separate jobs; a single two-column aggregate keeps
+    // the identical loud-refusal contract at half the scan count
+    val needSq8 = sq8Nominate && store.columns.contains("sq8")
+    val chk = pruned.agg(
+      sum(when(col("codes").isNull, 1L).otherwise(0L)).as("nc"),
+      (if (needSq8) sum(when(col("sq8").isNull, 1L).otherwise(0L))
+       else lit(0L)).as("ns")).head()
+    val nUncoded = chk.getLong(0)
     require(nUncoded == 0L,
       s"$nUncoded stored vectors in the probed cells have no codes " +
         s"(pre-layout rows mixed into $lake) — rebuild the store before " +
         "serving ADC probes")
+    val nUncodedSq8 = chk.getLong(1)
     val candidates = excludeWhere.fold(pruned)(w => pruned.filter(!w))
 
     if (sq8Nominate) {
@@ -504,9 +514,10 @@ object VectorStore {
         if (candidates.columns.contains("znorm"))
           candidates.filter(!coalesce(col("znorm"), lit(false)))
         else candidates
-      val nUncoded8 = nomBase.filter(col("sq8").isNull).count()
-      require(nUncoded8 == 0L,
-        s"$nUncoded8 stored vectors in the probed cells have no sq8 " +
+      // counted in the shared validation aggregate above (over the
+      // probed cells — the adcProbe/sq8Probe whole-layout discipline)
+      require(nUncodedSq8 == 0L,
+        s"$nUncodedSq8 stored vectors in the probed cells have no sq8 " +
           s"codes (rows appended before the sq8 layout mixed into $lake)" +
           " — rebuild the store before sq8-nominated serving")
       val nomIds8 = nomBase
