@@ -51,6 +51,47 @@ object Multimodal {
   // knob, not a codec parameter (MultimodalSpec's golden rasters gate it).
   javax.imageio.ImageIO.setUseCache(false)
 
+  /** javax.sound providers resolved ONCE per JVM (r20):
+    * `AudioSystem.getAudioInputStream` and `AudioSystem.write` route every
+    * call through the JDK's synchronized provider registry
+    * (`JDK13Services.getProviders` — one global lock), which convoys
+    * concurrent decode tasks: measured ~0.2 ms/doc single-threaded vs
+    * ~23 ms/doc inside a 32-task stage (a ~50× lock-contention slowdown —
+    * 117 s of task time where ~4 s of work exists). The provider lists
+    * are immutable per JVM, so they are enumerated once through the
+    * public ServiceLoader and dispatched directly with the SAME
+    * first-reader-that-accepts semantics AudioSystem documents; the
+    * decoded/encoded bytes are identical (MultimodalSpec gates it). */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+  }
+
+  /** [[javax.sound.sampled.AudioSystem#getAudioInputStream(java.io.InputStream)]]
+    * semantics over the cached reader list: the first reader that accepts
+    * the stream wins; each attempt gets a fresh in-memory stream. */
+  private def audioInputStreamOf(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      try return it.next()
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => ()
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   val FrameBytes = 256
   val ThumbMax = 32L
 
@@ -356,8 +397,8 @@ object Multimodal {
     else
       try {
         import javax.sound.sampled.{AudioFormat, AudioSystem}
-        val raw = AudioSystem
-          .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        // cached-provider dispatch, not AudioSystem (see audioReaders)
+        val raw = audioInputStreamOf(bytes)
         try {
           // non-PCM containers (µ-law .au, A-law WAV) decode through the
           // JDK's converter so the frames really ARE PCM signal bytes,
@@ -943,12 +984,16 @@ object Multimodal {
         i += 1
       }
     }
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     val fmt = new AudioFormat(8000f, 16, 1, true, false)
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    // cached-provider dispatch, not AudioSystem.write (see audioReaders)
+    audioWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+      .getOrElse(throw new IllegalArgumentException(
+        "type WAVE is not supported"))
+      .write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 
