@@ -2001,8 +2001,15 @@ object TextQueries {
   private[graft] def dsirWeightsOf(
       raw: DataFrame, target: DataFrame, s: SparkSession): Seq[(Long, Double)] = {
     import s.implicits._
-    val counts = dsirFeats(raw, lit("")).select(col("bucket"), lit(0L).as("t"))
-      .unionAll(dsirFeats(target, lit("")).select(col("bucket"), lit(1L).as("t")))
+    // fanOut below: the feature stream (tokenize + 2-grams + one md5 per
+    // feature, ~200 features/doc) partial-aggregates directly above the
+    // single-row-group scan — measured 2.2 s of CPU on ONE task of 32
+    // (r20; the q_profile_orders pattern). The round-robin moves the raw
+    // doc rows once and buys full-core feature hashing; the streaming
+    // dsirScore leg keeps its unfanned spelling (micro-batches are small
+    // and already parallel from the load shuffle).
+    val counts = dsirFeats(Tables.fanOut(raw), lit("")).select(col("bucket"), lit(0L).as("t"))
+      .unionAll(dsirFeats(Tables.fanOut(target), lit("")).select(col("bucket"), lit(1L).as("t")))
       .groupBy("bucket")
       .agg(
         sum(when(col("t") === 0L, 1L).otherwise(0L)).as("cr"),
@@ -2076,7 +2083,7 @@ object TextQueries {
       raw: DataFrame, weights: Seq[(Long, Double)], s: SparkSession,
       k: Int = 50, label: String = "lang"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    dsirScoreAll(raw, weights, s, label)
+    dsirScoreAll(Tables.fanOut(raw), weights, s, label)
       .orderBy(col("lw_dec").desc, col("doc_id"))
       .limit(k)
       .select(
