@@ -958,6 +958,15 @@ object TextQueries {
     require(mixPolicy == "sqrt" || mixPolicy == "unimax",
       s"mixPolicy must be 'sqrt' or 'unimax', got '$mixPolicy'")
     graft.functions.GraftExtensions.ensureRegistered(docsIn.sparkSession)
+    // fanOut ONCE at the seam (r20): every funnel stage re-derives its
+    // per-doc rules (tokenize, Gopher, the C4 page machinery, 4-gram
+    // shingles) from docsIn, and each subtree otherwise partial-
+    // aggregates directly above the single-row-group scan — the sweep
+    // measured 2.0 s + 0.8 s of CPU on ONE task of 32. The round-robin
+    // moves the doc rows once per subtree and buys full-core rule
+    // evaluation; for the CLI/streaming callers (already-partitioned
+    // frames) it is one narrow shuffle against ~µs-per-row rule CPU.
+    val docsRR = Tables.fanOut(docsIn)
     // coalesce(text, '') — the unimax targets seam counts tokens the way
     // mixEpochFromTargets does (every doc >= 1 token; ADVICE r19), and
     // the c4 line machinery already coalesces
@@ -971,7 +980,7 @@ object TextQueries {
     val mtext = c4DerivedPage
     val c4Pass = !contains(lower(mtext), lit("lorem ipsum")) &&
       size(filter(split(mtext, "\n"), l => c4LineKeep(l))) >= 1
-    val base = docsIn.select(
+    val base = docsRR.select(
       col("source"), col("doc_id"), nw.as("n_tok"),
       gopherPass.as("g_ok"), c4Pass.as("c4_ok"),
       md5(concat_ws(" ", tokenSet(col("text")))).as("fp"),
@@ -981,7 +990,7 @@ object TextQueries {
     // decontamination side input: q_decontaminate's shape — eval grams
     // stay benchmark-sized (broadcast at any train scale)
     val grams = call_function("token_grams", toks, lit(4))
-    val shingled = docsIn.filter(size(toks) >= 4)
+    val shingled = docsRR.filter(size(toks) >= 4)
       .select(col("doc_id"), explode_outer(grams).as("gram"))
     val evalGrams = shingled.filter(pmod(col("doc_id"), lit(97)) === 0)
       .select("gram").distinct()
@@ -996,7 +1005,7 @@ object TextQueries {
     // still owns content; everything downstream stays in the one-pass
     // flag pipeline
     val ldDocs = lineWinnersOf(
-      keyedLinesOf(docsIn.filter(gopherPass && c4Pass)
+      keyedLinesOf(docsRR.filter(gopherPass && c4Pass)
           .select(col("source"), col("doc_id"), mtext.as("text")))
         .filter(col("norm") =!= ""))
       .select("doc_id").distinct()
@@ -4937,12 +4946,16 @@ object TextQueries {
         // the SAME plan estimates past the bounds at 100 TB.
         graft.functions.GraftExtensions.ensureRegistered(s)
         val toks = tokens(col("text"))
-        Tables.documents(s, d)
+        // fanOut below the tokenize+posexplode projection (r20): the
+        // whole card otherwise partial-aggregates ~1.5 s of CPU on the
+        // single-row-group scan's ONE task; both sketches are mergeable
+        // and partition-order-insensitive, so the card is unchanged
+        Tables.fanOut(Tables.documents(s, d)
           // null text explodes to a (null, null) row whose pos = 0 gate
           // is null → the doc silently vanishes from n_docs while a
           // COUNT(*) oracle keeps it; pin the shared contract (null-text
           // docs are outside the card) explicitly on both sides
-          .filter(col("text").isNotNull)
+          .filter(col("text").isNotNull))
           .select(col("source"), size(toks).cast(LongType).as("len"),
             posexplode_outer(toks).as(Seq("pos", "token")))
           .groupBy("source")
@@ -5036,9 +5049,14 @@ object TextQueries {
         // bounded); rank-3 per doc via one window over (doc, term) rows.
         val docs = Tables.documents(s, d)
         val total = docs.agg(count(lit(1)).as("n_docs"))
-        val df = docs.select(explode(tokenSet(col("text"))).as("token"))
+        // fanOut below the tokenize+explode projections (r20): the tf
+        // and df partial aggregations otherwise run ~1.6 s of CPU on
+        // the single-row-group scan's ONE task; `total` stays on the
+        // raw scan (a plain count — the fanOut contract's non-case)
+        val docsRR = Tables.fanOut(docs)
+        val df = docsRR.select(explode(tokenSet(col("text"))).as("token"))
           .groupBy("token").agg(count(lit(1)).as("df"))
-        val tf = docs
+        val tf = docsRR
           .select(col("doc_id"), size(split(col("text"), " ")).as("len"),
             explode(tokens(col("text"))).as("token"))
           .groupBy(col("doc_id"), col("len"), col("token"))

@@ -2165,9 +2165,14 @@ object VectorQueries {
     graft.functions.GraftExtensions.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
     val q = knnQueries(emb)
-    val scored = emb
+    // fanOut below the filters (r20): the corpus side's per-row work is
+    // |queries| exact dots + the topk_pairs partials — ~1.1 s of CPU on
+    // the single-row-group scan's ONE task (sweep-measured); the
+    // round-robin moves the narrow (vec_id, embedding) rows once. Also
+    // the truth leg of q_retrieval_eval_multi and both hybrid evals.
+    val scored = Tables.fanOut(emb
       .filter(pmod(col("vec_id"), lit(KnnQMod)) =!= 0)
-      .filter(dotDouble(col("embedding"), col("embedding")) > 0)
+      .filter(dotDouble(col("embedding"), col("embedding")) > 0))
       .crossJoin(broadcast(q))
       .select(col("qid"), col("vec_id"), col("embedding"),
         knnScore(col("embedding"), col("qe")).as("dscore"))

@@ -136,7 +136,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     // final ordered output; broadcasts are the explicit query-set/probe
     // frames (bounded by the probe-set contract). The window stage rides
     // the agg's hash partitioning (WindowGroupLimit, no new exchange).
-    "q_knn_join" -> 8,
+    // r20 +2: the exact join fans the corpus side out below the filters
+    // (|queries| dots + topk partials ran on ONE scan task; 2.1 -> 1.3 s)
+    "q_knn_join" -> 10,
     "q_knn_join_ivf" -> 10,
     // r18 ADC-nominated join: ONE corpus scan (the probe map is
     // driver-built, so no probe-side exchanges at all) feeding the
@@ -272,7 +274,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     "q_pivot_status" -> 6,
     "q_zorder_layout" -> 2,
     "q_bottomk_sample" -> 4,
-    "q_dataset_card" -> 4,
+    // r20 +2: the card fans the doc rows out below the tokenize+explode
+    // projection (~1.5 s of single-task CPU otherwise; 1.73 -> 0.50 s)
+    "q_dataset_card" -> 6,
     // kmv_overlap: the bottomk agg pair (the only corpus-scaling
     // exchange) + the broadcast of the b-side sketch frame (aggregate
     // output, key-domain-bounded) + the final pair sort — a breach
@@ -378,7 +382,9 @@ class ScaleShapeSpec extends AnyFunSuite {
     // decontamination / tf-idf / token-df: gram-keyed agg + shuffle-hash
     // verify joins (the bloom variant's budget is pinned above)
     "q_decontaminate" -> 14,
-    "q_tfidf_topterms" -> 14,
+    // r20 +4: tf and df each fan the doc rows out below their explode
+    // (~1.6 s of single-task CPU otherwise; 2.52 -> 1.03 s)
+    "q_tfidf_topterms" -> 18,
     "q_token_df" -> 8,
     // r14 training-export pair: ONE window exchange (hash by shard /
     // shard x source — shard count is the parallelism knob) + the final
@@ -463,7 +469,11 @@ class ScaleShapeSpec extends AnyFunSuite {
     // winners join rides the decon join's doc_id exchange. The naive
     // stage-chain union measured 76; this stays "one pass + the line
     // election", 20 plan lines = 10 exchanges.
-    "q_corpus_build" -> 20,
+    // r20 +8: corpusBuildOf fans the doc rows out once per rule subtree
+    // (base flags, shingles, line-dedup leg) — the per-doc Gopher/C4/
+    // 4-gram rule CPU otherwise partial-aggregates on the single-row-
+    // group scan's ONE task (sweep-measured 2.0 s + 0.8 s single-task)
+    "q_corpus_build" -> 28,
     // mix epoch: the targets agg pair (the `per` subtree plans twice —
     // tot derives from it, the q_langid_nb AQE-reuse precedent) + the
     // sources×buckets offsets agg pair (the corpus-keyed `based` subtree
