@@ -465,40 +465,38 @@ object VectorQueries {
     val sample = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .persist()
+    val srdd = sample.rdd
     var centroids: Array[Array[Double]] = sample.orderBy("vec_id").limit(k)
       .collect().map(r => renorm(r._2.map(_.toDouble).toArray))
     val Scale = 1L << 32
     for (_ <- 0 until iters) {
       val bc = s.sparkContext.broadcast(centroids)
-      // one narrow pass: per-partition fixed-point sums per cell, k rows
-      // out per partition. The partials are (#partitions × k) rows of
-      // Dim+1 longs — contract-bounded at any data scale — so they
-      // collect and fold DRIVER-side (r20): the previous groupByKey +
-      // reduceGroups spelling paid a shuffle and an extra stage per
-      // Lloyd iteration to merge ~hundreds of KB; long addition is
-      // exact and commutative, so the driver fold is bit-identical in
-      // any arrival order and the centroids are unchanged.
-      val partials = sample.mapPartitions { it =>
-        val cs = bc.value
-        val acc = Array.fill(cs.length)(new Array[Long](Dim + 1))
-        it.foreach { case (_, v) =>
-          val u = unit(v)
-          val c = nearestCell(cs, u)
-          var i = 0
-          while (i < Dim) {
-            acc(c)(i) += math.rint(u(i) * Scale).toLong
-            i += 1
+      // one narrow pass: per-partition fixed-point sums per cell, ONE
+      // k × (Dim+1) long partial out per partition, tree-folded (r21 —
+      // the r20 spelling collect()ed every partition's partial
+      // SIMULTANEOUSLY, so driver memory grew with the sample's
+      // partition count, not the contract bound; treeFoldPartials keeps
+      // the incremental single-job fold below 64 partitions and adds
+      // combine levels beyond, guide §5). Long addition is exact and
+      // commutative, so any fold shape/arrival order is bit-identical
+      // and the centroids are unchanged.
+      val totals = treeFoldPartials(
+        srdd.mapPartitions { it =>
+          val cs = bc.value
+          val acc = Array.fill(cs.length)(new Array[Long](Dim + 1))
+          it.foreach { case (_, v) =>
+            val u = unit(v)
+            val c = nearestCell(cs, u)
+            var i = 0
+            while (i < Dim) {
+              acc(c)(i) += math.rint(u(i) * Scale).toLong
+              i += 1
+            }
+            acc(c)(Dim) += 1L
           }
-          acc(c)(Dim) += 1L
-        }
-        acc.iterator.zipWithIndex.map { case (a, ci) => (ci, a) }
-      }.collect()
-      val totals = Array.fill(centroids.length)(new Array[Long](Dim + 1))
-      partials.foreach { case (ci, a) =>
-        val t = totals(ci)
-        var i = 0
-        while (i <= Dim) { t(i) += a(i); i += 1 }
-      }
+          Iterator.single(acc)
+        },
+        Array.fill(centroids.length)(new Array[Long](Dim + 1)))
       val next = centroids.map(_.clone())
       totals.zipWithIndex.foreach { case (a, ci) =>
         val n = a(Dim)
@@ -511,6 +509,46 @@ object VectorQueries {
     sample.unpersist()
     centroids
   }
+
+  /** Merge per-partition trainer partials (one rectangular long array
+    * per partition, all same shape) into one total with driver memory
+    * bounded at O(one partial), never O(partitions × partial):
+    *  - ≤ 64 partitions: `reduce` via treeReduce(depth 1) — ONE job, no
+    *    extra stage (the r20 driver-fold shape), but partials merge
+    *    INCREMENTALLY as task results arrive instead of being held all
+    *    at once by collect();
+    *  - beyond 64: one tree combine level per 64× partitions (guide §5
+    *    — at 100 TB the 1/11 training sample is 10⁵-10⁶ partitions, so
+    *    the r20 collect() would have pulled GBs of partials per Lloyd
+    *    iteration to the driver).
+    * Element-wise long addition is exact and commutative, so every fold
+    * shape gives bit-identical totals (AnnRecallSpec's partitioning
+    * pins). In-place merge into the left argument is safe: each partial
+    * is consumed exactly once (mapPartitions emits fresh arrays; tree
+    * levels deserialize fresh copies; RDD.fold clones the zero). */
+  private[graft] def treeFoldPartials(
+      partials: org.apache.spark.rdd.RDD[Array[Array[Long]]],
+      zero: Array[Array[Long]]): Array[Array[Long]] = {
+    val p = partials.getNumPartitions
+    if (p == 0) return zero
+    partials.treeReduce({ (a, b) =>
+      var r = 0
+      while (r < a.length) {
+        val ta = a(r); val tb = b(r)
+        var i = 0
+        while (i < ta.length) { ta(i) += tb(i); i += 1 }
+        r += 1
+      }
+      a
+    }, treeFoldDepth(p))
+  }
+
+  /** treeReduce depth for a partial-merge over `p` partitions: 1 (plain
+    * incremental reduce, no extra stage) through 64 partitions, +1 level
+    * per 64× beyond. */
+  private def treeFoldDepth(p: Int): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(p, 2).toDouble) / math.log(64.0)).toInt)
 
   /** The vector L2-normalized (fixed summation order → deterministic);
     * returned unscaled when the norm is 0. */
@@ -696,6 +734,7 @@ object VectorQueries {
     val sample = emb.filter(pmod(col("vec_id"), lit(11)) === 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .persist()
+    val srdd = sample.rdd
     var cbs: Array[Array[Array[Double]]] = if (init != null) init else {
       val rows = sample.orderBy("vec_id").limit(PqK).collect().map(r => xf(r._2))
       require(rows.nonEmpty, "PQ training needs a non-empty embedding sample")
@@ -711,41 +750,39 @@ object VectorQueries {
     val bcRes = s.sparkContext.broadcast(res)
     for (_ <- 0 until iters) {
       val bc = s.sparkContext.broadcast(cbs)
-      val totals = sample.mapPartitions { it =>
-        val cb = bc.value
-        val rr = bcRot.value
-        val cs = bcRes.value
-        val hn = cb.map(halfNormsOf)
-        val acc = Array.fill(PqM, PqK)(new Array[Long](PqSub + 1))
-        it.foreach { case (_, v) =>
-          val u0 = unit(v)
-          val b = if (cs == null) u0 else residualOf(cs, u0)
-          val u = if (rr == null) b else rotate(rr, b)
-          var m = 0
-          while (m < PqM) {
-            val a = acc(m)(nearestCode(cb(m), hn(m), u, m * PqSub))
-            var i = 0
-            while (i < PqSub) {
-              a(i) += math.rint(u(m * PqSub + i) * Scale).toLong
-              i += 1
+      // one (PqM × PqK) × (PqSub+1) long partial per partition,
+      // tree-folded like trainCentroids (r21 — see [[treeFoldPartials]]:
+      // the r20 collect() held every partition's partial simultaneously,
+      // O(partitions) driver memory; exact commutative long adds keep
+      // every fold shape bit-identical, one stage per Lloyd iteration
+      // below the tree threshold exactly as before)
+      val merged = treeFoldPartials(
+        srdd.mapPartitions { it =>
+          val cb = bc.value
+          val rr = bcRot.value
+          val cs = bcRes.value
+          val hn = cb.map(halfNormsOf)
+          val acc = Array.fill(PqM, PqK)(new Array[Long](PqSub + 1))
+          it.foreach { case (_, v) =>
+            val u0 = unit(v)
+            val b = if (cs == null) u0 else residualOf(cs, u0)
+            val u = if (rr == null) b else rotate(rr, b)
+            var m = 0
+            while (m < PqM) {
+              val a = acc(m)(nearestCode(cb(m), hn(m), u, m * PqSub))
+              var i = 0
+              while (i < PqSub) {
+                a(i) += math.rint(u(m * PqSub + i) * Scale).toLong
+                i += 1
+              }
+              a(PqSub) += 1L
+              m += 1
             }
-            a(PqSub) += 1L
-            m += 1
           }
-        }
-        (for { m <- 0 until PqM; j <- 0 until PqK }
-          yield (m * PqK + j, acc(m)(j))).iterator
-      }.collect()
-      // partials are (#partitions × PqM × PqK) rows of PqSub+1 longs —
-      // contract-bounded — folded DRIVER-side for the same reason as
-      // trainCentroids (r20): exact commutative long adds, one stage per
-      // Lloyd iteration instead of a shuffle + two
-      val merged = Array.fill(PqM * PqK)(new Array[Long](PqSub + 1))
-      totals.foreach { case (key, a) =>
-        val t = merged(key)
-        var i = 0
-        while (i <= PqSub) { t(i) += a(i); i += 1 }
-      }
+          Iterator.single(Array.tabulate(PqM * PqK)(key =>
+            acc(key / PqK)(key % PqK)))
+        },
+        Array.fill(PqM * PqK)(new Array[Long](PqSub + 1)))
       val next = cbs.map(_.map(_.clone()))
       merged.zipWithIndex.foreach { case (a, key) =>
         val n = a(PqSub)
@@ -1496,6 +1533,23 @@ object VectorQueries {
     def lutLongOf(qu: Array[Double]): Array[Array[Long]] =
       lutOf(qu).map(_.map(_.unscaledValue().longValueExact()))
 
+    /** [[lutLongOf]] over a whole probe frame, compiled in PARALLEL on
+      * the driver (r21 — the r20 sf1 stamp diagnosed the serial loop at
+      * ~2.6 s for 800 queries: 800 × 16,384 exact double→decimal
+      * conversions on one core while 32 sit idle). Each query's table is
+      * an independent pure function of (kit, qu), so a parallel index
+      * loop is deterministic and bit-identical to the sequential map —
+      * the outputs land by position, never by completion order. */
+    def lutLongsOf(
+        qUnits: Map[Long, Array[Double]]): Map[Long, Array[Array[Long]]] = {
+      val entries = qUnits.toArray
+      val out = new Array[Array[Array[Long]]](entries.length)
+      java.util.stream.IntStream.range(0, entries.length).parallel()
+        .forEach(i => out(i) = lutLongOf(entries(i)._2))
+      entries.iterator.zipWithIndex
+        .map { case ((qid, _), i) => qid -> out(i) }.toMap
+    }
+
     /** [[scoreLut]] over the long table: same-scale BigDecimal addition
       * is exact unscaled addition, so folding the longs and wrapping
       * the one final sum is bit-for-bit [[scoreLut]] (= [[scoreDec]]).
@@ -1527,9 +1581,13 @@ object VectorQueries {
     * artifact is deterministic under any partitioning. */
   private[graft] def trainSq8(vecs: DataFrame, s: SparkSession): Sq8Kit = {
     import s.implicits._
+    // per-partition (mn, mx) partials, tree-folded like the Lloyd
+    // trainers (r21 — the collect() held one partial per partition;
+    // min/max is exact and order-insensitive, so any fold shape gives
+    // the identical kit)
     val parts = vecs
       .select(col("embedding")).as[Seq[Float]]
-      .mapPartitions { it =>
+      .rdd.mapPartitions { it =>
         val mn = Array.fill(Dim)(Double.PositiveInfinity)
         val mx = Array.fill(Dim)(Double.NegativeInfinity)
         var any = false
@@ -1543,12 +1601,24 @@ object VectorQueries {
           }
           any = true
         }
-        if (any) Iterator.single((mn.toSeq, mx.toSeq)) else Iterator.empty
-      }.collect()
-    require(parts.nonEmpty, "SQ8 training frame is empty")
-    Sq8Kit(
-      Array.tabulate(Dim)(i => parts.map(_._1(i)).min),
-      Array.tabulate(Dim)(i => parts.map(_._2(i)).max))
+        if (any) Iterator.single(Array(mn, mx)) else Iterator.empty
+      }
+    val p = parts.getNumPartitions
+    require(p > 0, "SQ8 training frame is empty")
+    val mm = try parts.treeReduce({ (a, b) =>
+        var i = 0
+        while (i < Dim) {
+          if (b(0)(i) < a(0)(i)) a(0)(i) = b(0)(i)
+          if (b(1)(i) > a(1)(i)) a(1)(i) = b(1)(i)
+          i += 1
+        }
+        a
+      }, treeFoldDepth(p))
+      catch {
+        case _: UnsupportedOperationException =>
+          throw new IllegalArgumentException("SQ8 training frame is empty")
+      }
+    Sq8Kit(mm(0), mm(1))
   }
 
   /** The trained IVFADC kit for a dataset — coarse centroids + residual
@@ -2432,15 +2502,16 @@ object VectorQueries {
       .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toArray) }
     val qUnits: Map[Long, Array[Double]] =
       raw.map { case (qid, v) => qid -> kit8.unitOf(v) }.toMap
-    // per-query LONG LUTs, compiled ONCE driver-side (r20): the decimal
-    // LUT was too heavy to precompile for the whole frame (q × ~0.8 MB
-    // per task was the old inline comment's veto), but the unscaled-long
-    // table is 128 KB per query — the full frame broadcasts once per
-    // executor, and scoring a pair drops from 64 exact double→decimal
-    // conversions to 64 long adds (bit-identical — Sq8Kit.scoreLutLong's
-    // same-scale argument; the oracle hash gates it)
-    val qLuts: Map[Long, Array[Array[Long]]] =
-      qUnits.map { case (qid, qu) => qid -> kit8.lutLongOf(qu) }
+    // per-query LONG LUTs, compiled ONCE driver-side (r20; r21 compiles
+    // them in PARALLEL — the serial loop measured ~2.6 s for the sf1
+    // 800-query frame, see Sq8Kit.lutLongsOf): the decimal LUT was too
+    // heavy to precompile for the whole frame (q × ~0.8 MB per task was
+    // the old inline comment's veto), but the unscaled-long table is
+    // 128 KB per query — the full frame broadcasts once per executor,
+    // and scoring a pair drops from 64 exact double→decimal conversions
+    // to 64 long adds (bit-identical — Sq8Kit.scoreLutLong's same-scale
+    // argument; the oracle hash gates it)
+    val qLuts: Map[Long, Array[Array[Long]]] = kit8.lutLongsOf(qUnits)
     val bcC = s.sparkContext.broadcast(centroids)
     val bcK8 = s.sparkContext.broadcast(kit8)
     val bcByCell = s.sparkContext.broadcast(byCell)

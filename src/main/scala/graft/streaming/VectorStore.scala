@@ -467,9 +467,14 @@ object VectorStore {
     // store scan as separate jobs; a single two-column aggregate keeps
     // the identical loud-refusal contract at half the scan count
     val needSq8 = sq8Nominate && store.columns.contains("sq8")
+    // coalesce(…, 0): sum() over an EMPTY pruned slice (probed cells with
+    // zero stored rows) is SQL NULL, and getLong on a null row field
+    // throws — the pre-r20 per-check count() returned 0 and proceeded to
+    // an empty result, which is the contract this preserves (ADVICE r20)
     val chk = pruned.agg(
-      sum(when(col("codes").isNull, 1L).otherwise(0L)).as("nc"),
-      (if (needSq8) sum(when(col("sq8").isNull, 1L).otherwise(0L))
+      coalesce(sum(when(col("codes").isNull, 1L).otherwise(0L)), lit(0L)).as("nc"),
+      (if (needSq8)
+         coalesce(sum(when(col("sq8").isNull, 1L).otherwise(0L)), lit(0L))
        else lit(0L)).as("ns")).head()
     val nUncoded = chk.getLong(0)
     require(nUncoded == 0L,
@@ -495,14 +500,13 @@ object VectorStore {
       val qUnits: Map[Long, Array[Double]] =
         raw.map { case (qid, v) => qid -> kit8.unitOf(v) }.toMap
       // per-query LONG LUTs compiled once driver-side (r20, the
-      // declared knnJoinSq8's spelling): 128 KB of unscaled longs per
-      // query — one broadcast copy per executor replaces the previous
-      // per-partition decimal-LUT cache (which re-built ~0.8 MB of
-      // BigDecimals per (partition, qid)); scoring stays bit-identical
-      // (Sq8Kit.scoreLutLong's same-scale argument, gated by the
-      // q_knn_join_sq8 byte-identity pins)
-      val qLuts: Map[Long, Array[Array[Long]]] =
-        qUnits.map { case (qid, qu) => qid -> kit8.lutLongOf(qu) }
+      // declared knnJoinSq8's spelling; r21 parallel — Sq8Kit.lutLongsOf):
+      // 128 KB of unscaled longs per query — one broadcast copy per
+      // executor replaces the previous per-partition decimal-LUT cache
+      // (which re-built ~0.8 MB of BigDecimals per (partition, qid));
+      // scoring stays bit-identical (Sq8Kit.scoreLutLong's same-scale
+      // argument, gated by the q_knn_join_sq8 byte-identity pins)
+      val qLuts: Map[Long, Array[Array[Long]]] = kit8.lutLongsOf(qUnits)
       val byCell8: Map[Int, Array[Long]] = compiled.toSeq
         .flatMap { case (qid, qq) => qq.probeSet.iterator.map(c => (c, qid)) }
         .groupBy(_._1).map { case (c, xs) => (c, xs.map(_._2).toArray) }
