@@ -673,27 +673,43 @@ object TextQueries {
 
   private[graft] def connectedComponents(
       edges: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
-    var labels = ckpt(edges
-      .select(col("doc_a").as("doc_id"), col("doc_b").as("lbl"))
-      .unionByName(edges.select(col("doc_b").as("doc_id"), col("doc_a").as("lbl")))
-      .unionByName(edges
-        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .withColumn("lbl", col("doc_id")))
-      .groupBy("doc_id").agg(min("lbl").as("lbl")), checkpointDir)
+    val s = edges.sparkSession
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // r21 (guide §2.4 — two operations keyed the same way share one
+    // exchange): the loop used to re-shuffle the EDGE set twice per round
+    // (a fwd and a bwd shuffle-hash join) plus a third exchange for the
+    // union aggregation — ~5 exchanges per round of mostly-identical
+    // bytes. Instead, the BIDIRECTIONAL adjacency is hash-partitioned by
+    // doc_id ONCE (explicit N so AQE byte-coalescing cannot re-key it —
+    // the r20 merge-parallelism argument) and checkpointed; Dataset
+    // checkpoints preserve outputPartitioning, so every round's join
+    // AND the init aggregation consume it exchange-free, and each round
+    // pays exactly ONE exchange (the propagated labels re-keyed by their
+    // new vertex). Round results are bit-identical: the (doc_id, lbl)
+    // multiset entering each min() is the same as the fwd/bwd spelling's.
+    val adj = ckpt(edges
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+      .unionByName(edges.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+      .repartition(n, col("doc_id")), checkpointDir)
+    // free init round: min(self, direct neighbors), in place on adj's
+    // partitioning (no exchange); ckpt'd so the loop reads one bounded
+    // frame per round, with the SAME partitioning as adj for the join
+    var labels = ckpt(adj
+      .groupBy("doc_id")
+      .agg(min(least(col("nbr"), col("doc_id"))).as("lbl")), checkpointDir)
     var changed = 1L
     while (changed > 0) {
-      // SHUFFLE_HASH pinned: these per-round joins run behind the
-      // checkpoint boundary (PlanAuditSpec can't see them), and at scale
+      // SHUFFLE_HASH pinned: this per-round join runs behind the
+      // checkpoint boundary (PlanAuditSpec can't see it), and at scale
       // both sides are big — the default SMJ would pay a per-round sort
-      // of the edge set that a hash join skips; labels (one narrow row
-      // per vertex) is the build side
-      val fwd = edges.join(labels.hint("shuffle_hash"), col("doc_a") === col("doc_id"))
-        .select(col("doc_b").as("doc_id"), col("lbl"))
-      val bwd = edges.join(labels.hint("shuffle_hash"), col("doc_b") === col("doc_id"))
-        .select(col("doc_a").as("doc_id"), col("lbl"))
+      // that a hash join skips; labels (one narrow row per vertex) is
+      // the build side. Both sides arrive hash-partitioned by doc_id
+      // with the same explicit N, so the join itself adds no exchange.
+      val prop = adj.join(labels.hint("shuffle_hash"), "doc_id")
+        .select(col("nbr").as("doc_id"), col("lbl"))
       val next = ckpt(labels.withColumn("old_lbl", col("lbl"))
-        .unionByName(fwd.withColumn("old_lbl", lit(Long.MaxValue)))
-        .unionByName(bwd.withColumn("old_lbl", lit(Long.MaxValue)))
+        .unionByName(prop.withColumn("old_lbl", lit(Long.MaxValue)))
+        .repartition(n, col("doc_id"))
         .groupBy("doc_id").agg(min("lbl").as("lbl"), min("old_lbl").as("old_lbl")),
         checkpointDir)
       changed = next.filter(col("lbl") < col("old_lbl")).count()
