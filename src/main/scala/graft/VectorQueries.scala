@@ -1991,8 +1991,8 @@ object VectorQueries {
   // doc_id % LexQMod == 0 document is a probe, its query = its first
   // LexNT distinct tokens, graded at BM25 top-LexK
   private val LexQMod = 50
-  private val LexNT = 3
-  private val LexK = 10
+  private[graft] val LexNT = 3
+  private[graft] val LexK = 10
 
   /** The store-served lexical rank lists for a probe sample — the
     * q_retrieval_eval_lex SYSTEM leg, factored so the hybrid eval (r19)
@@ -2008,7 +2008,7 @@ object VectorQueries {
     * domain) plans as a local relation: no per-consumer re-planned
     * stacks, no micro-shuffles of 30-row frames — the exchanges left
     * in the plan all carry corpus- or slice-scale data. */
-  private def lexStoreRanksOf(
+  private[graft] def lexStoreRanksOf(
       s: SparkSession, d: String, qmod: Int): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftExtensions.ensureRegistered(s)
     import s.implicits._
@@ -2231,7 +2231,7 @@ object VectorQueries {
     * QueryDef's scaladoc for the topk_pairs-vs-window A/B): one corpus
     * pass, bounded per-(partition, query) partials, exact decimal
     * re-rank. Shared with q_retrieval_eval_multi as the TRUTH leg. */
-  private def knnJoinExact(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnJoinExact(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(s)
     val emb = Tables.embeddings(s, d)
     val q = knnQueries(emb)
@@ -2599,7 +2599,7 @@ object VectorQueries {
     * from — built ONCE per dataset with the SQ8 layout enabled, so the
     * same store serves the ADC-nominated leg (codes column; the sq8
     * column is inert there) and the SQ8-nominated leg (r20). */
-  private def hybridEvalStoreOf(s: SparkSession, d: String): String =
+  private[graft] def hybridEvalStoreOf(s: SparkSession, d: String): String =
     Tables.materializeDir("vector_store", d) { p =>
       graft.streaming.VectorStore.append(s, p,
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
@@ -2614,7 +2614,7 @@ object VectorQueries {
     * same lexical list fused with the EXACT dense join either way, so
     * the two declared readouts isolate what EACH nomination rung does to
     * the fused ranking. */
-  private def hybridEvalOf(s: SparkSession, d: String, sq8Dense: Boolean): DataFrame = {
+  private[graft] def hybridEvalOf(s: SparkSession, d: String, sq8Dense: Boolean): DataFrame = {
         // the HYBRID eval over the SERVED paths (VERDICT r18 Next #5 —
         // the `Cli hybrid-search` composition finally grades itself):
         // SYSTEM = per-probe RRF fusion of the store-served BM25 rank
@@ -2635,24 +2635,56 @@ object VectorQueries {
         // stay ONE pruned store read + two corpus scans (ADC nominate +
         // exact truth), independent of probe count.
         import s.implicits._
-        val (_, _, lexRanks0) = lexStoreRanksOf(s, d, KnnQMod)
-        // the lexical list feeds BOTH fusions — checkpoint the bounded
-        // probes × LexK frame once (the multi eval's tru discipline)
-        val lexRanks = lexRanks0
-          .select(col("qid"), col("doc_id"), col("rank").as("rank_lex"))
-          .localCheckpoint()
-        val vstore = hybridEvalStoreOf(s, d)
-        val queries = Tables.embeddings(s, d)
-          .filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
-          .select(col("vec_id").as("qid"), col("embedding"))
-        val denseSys = graft.streaming.VectorStore.knnJoin(s, vstore, queries,
-            excludeWhere = Some(pmod(col("vec_id"), lit(KnnQMod)) === 0),
-            adcNominate = !sq8Dense, sq8Nominate = sq8Dense)
-          .select(col("qid"), col("vec_id").as("doc_id"),
-            col("knn_rank").cast(LongType).as("rank_dense"))
-        val denseTru = knnJoinExact(s, d)
-          .select(col("qid"), col("vec_id").as("doc_id"),
-            col("knn_rank").cast(LongType).as("rank_dense"))
+        // r21 (guide §2.6 — overlap independent jobs): the three rank
+        // legs are data-independent until fusion, but each one
+        // materializes eagerly (the lexical probe collect + checkpoint,
+        // the store join's validation scans, the exact truth join), so
+        // the engine used to pay them SEQUENTIALLY — phase-probed at
+        // sf0.1: lex ~2.9 s, served-dense ~2.8 s, exact truth ~1.5 s of
+        // a 7.6-8.0 s query. Each leg now materializes its bounded
+        // probes × K rank frame on its own driver thread (Spark actions
+        // are thread-safe; job descriptions are thread-local) and the
+        // fusion/readout consume the checkpointed frames. Results are
+        // unchanged — every leg is deterministic and Await rethrows a
+        // leg's failure loudly.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val (lexRanks, denseSys, denseTru) =
+          try {
+            val fLex = Future {
+              val (_, _, lexRanks0) = lexStoreRanksOf(s, d, KnnQMod)
+              // the lexical list feeds BOTH fusions — checkpoint the
+              // bounded probes × LexK frame once (the multi eval's tru
+              // discipline)
+              lexRanks0
+                .select(col("qid"), col("doc_id"), col("rank").as("rank_lex"))
+                .localCheckpoint()
+            }
+            val fSys = Future {
+              val vstore = hybridEvalStoreOf(s, d)
+              val queries = Tables.embeddings(s, d)
+                .filter(pmod(col("vec_id"), lit(KnnQMod)) === 0)
+                .select(col("vec_id").as("qid"), col("embedding"))
+              graft.streaming.VectorStore.knnJoin(s, vstore, queries,
+                  excludeWhere = Some(pmod(col("vec_id"), lit(KnnQMod)) === 0),
+                  adcNominate = !sq8Dense, sq8Nominate = sq8Dense)
+                .select(col("qid"), col("vec_id").as("doc_id"),
+                  col("knn_rank").cast(LongType).as("rank_dense"))
+                .localCheckpoint()
+            }
+            val fTru = Future {
+              knnJoinExact(s, d)
+                .select(col("qid"), col("vec_id").as("doc_id"),
+                  col("knn_rank").cast(LongType).as("rank_dense"))
+                .localCheckpoint()
+            }
+            (Await.result(fLex, Duration.Inf),
+              Await.result(fSys, Duration.Inf),
+              Await.result(fTru, Duration.Inf))
+          } finally pool.shutdown()
         val discDf = ndcgDiscounts(LexK).toDF("rank_fused", "disc", "cum")
         val sysF = rrfFuseByQidOf(lexRanks, denseSys)
           .filter(col("rank_fused") <= LexK)
@@ -3862,12 +3894,28 @@ object VectorQueries {
           df.orderBy(score.desc, id).limit(n)
             .select(id.as("doc_id"), row_number()
               .over(Window.orderBy(score.desc, id)).cast(LongType).as("rank"))
-        val bruteTop = rankBy(bruteCosineOf(s, d), col("cosine"), col("vec_id"), K)
-          .localCheckpoint()
-        val ann = ivfPqRefinedCosine(s, d, probes = 4).localCheckpoint()
+        // r21 (guide §2.6): the three leg materializations are
+        // data-independent — overlap them on driver threads exactly like
+        // hybridEvalOf (each is deterministic; Await rethrows loudly)
+        val (bruteTop, ann, lex) = {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          try {
+            val fBrute = Future(
+              rankBy(bruteCosineOf(s, d), col("cosine"), col("vec_id"), K)
+                .localCheckpoint())
+            val fAnn = Future(ivfPqRefinedCosine(s, d, probes = 4).localCheckpoint())
+            val fLex = Future(bm25TopKRanks(s, d, K).localCheckpoint())
+            (Await.result(fBrute, Duration.Inf),
+              Await.result(fAnn, Duration.Inf),
+              Await.result(fLex, Duration.Inf))
+          } finally pool.shutdown()
+        }
         val truthD = bruteTop.filter(col("rank") <= 10).select("doc_id")
         val annSys = rankBy(ann, col("cosine"), col("vec_id"), 10)
-        val lex = bm25TopKRanks(s, d, K).localCheckpoint()
         val dnsB = bruteTop.withColumnRenamed("rank", "rank_dense")
         val truthH = rrfFuseOf(lex, dnsB)
           .orderBy("rank_fused").limit(10).select("doc_id")
@@ -4011,13 +4059,27 @@ object VectorQueries {
         // shares no common subplan across two frame references —
         // localCheckpoint the probes × KnnK truth rows once.
         import s.implicits._
-        val tru = knnJoinExact(s, d)
-          .select(col("qid"), col("vec_id")).withColumn("rel", lit(1))
-          .localCheckpoint()
+        // r21 (guide §2.6): the truth checkpoint and the system leg's
+        // eager setup (knnJoinIvf trains the coarse centroids on the
+        // driver) are independent — overlap them on driver threads
+        val (tru, sysJoin) = {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          try {
+            val fTru = Future(knnJoinExact(s, d)
+              .select(col("qid"), col("vec_id")).withColumn("rel", lit(1))
+              .localCheckpoint())
+            val fSys = Future(knnJoinIvf(s, d))
+            (Await.result(fTru, Duration.Inf), Await.result(fSys, Duration.Inf))
+          } finally pool.shutdown()
+        }
         // the driver-materialized discount table (r19: ndcg@k joins as a
         // k-row literal — the distributed plan never computes a log)
         val discDf = ndcgDiscounts(LexK).toDF("knn_rank", "disc", "cum")
-        val sysEval = knnJoinIvf(s, d)
+        val sysEval = sysJoin
           .join(broadcast(tru), Seq("qid", "vec_id"), "left")
           .join(broadcast(discDf.select(col("knn_rank"), col("disc"))),
             Seq("knn_rank"), "left")

@@ -455,11 +455,19 @@ class ScaleShapeSpec extends AnyFunSuite {
     // nominate agg + refine window + sort, two probe-bounded
     // SHUFFLE_HASH fusions with their per-qid rank windows (the fused
     // frames are probes x 2K rows), the metric agg pair and final sort;
-    // every broadcast is a k-row literal or probe-bounded checkpoint
-    "q_retrieval_eval_hybrid" -> 30,
+    // every broadcast is a k-row literal or probe-bounded checkpoint.
+    // r21 re-pin 30 -> 18: the served-dense leg now materializes its
+    // probes x K rank frame behind a leg checkpoint (the §2.6
+    // parallel-legs restructure — lex/served/exact rank legs overlap on
+    // driver threads), so its nominate agg + refine window + sort
+    // exchanges moved out of the FINAL plan into the leg's own
+    // execution, exactly like the lexical and exact legs' checkpoints
+    // before it; same work, measured 6.28 -> 5.07 s (sf0.1) / 8.56 ->
+    // 5.05 s (sq8) from the overlap
+    "q_retrieval_eval_hybrid" -> 18,
     // r20 SQ8 dense leg: the identical fusion/metric plan — only the
     // nomination's mapPartitions input column changes (sq8 vs codes)
-    "q_retrieval_eval_hybrid_sq8" -> 30,
+    "q_retrieval_eval_hybrid_sq8" -> 18,
     // r17 corpus-build manifest — the ONE-PASS cumulative-flag shape plus
     // the line-dedup side input (VERDICT r16 #3, CCNet order): the r16
     // chain (fingerprint window + decon join's shingle explode/distinct
