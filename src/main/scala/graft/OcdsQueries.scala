@@ -44,7 +44,7 @@ object OcdsQueries {
     * materialized once per JVM as real parquet ([[Tables.materialize]]) —
     * the reference's release table is persistent storage, and bench cost
     * should attribute to the engines, not to re-running the generator. */
-  private def releasesFromEvents(s: SparkSession, d: String, dupIds: Boolean): DataFrame =
+  private[graft] def releasesFromEvents(s: SparkSession, d: String, dupIds: Boolean): DataFrame =
     // BOTH variants materialized once per JVM (r20 — the dup variant's
     // rationale verbatim): the reference's release table is persistent
     // storage, and the to_json generator is ~8 µs/row pinned on the
@@ -101,7 +101,7 @@ object OcdsQueries {
     * one tenderer, one supplier that matches the tenderer but (for k%3==0)
     * carries an extra `details` field — the exact shape of the reference's
     * upgrade golden (`tests/test_util.py:17-20`). */
-  private def releases10FromEvents(s: SparkSession, d: String): DataFrame =
+  private[graft] def releases10FromEvents(s: SparkSession, d: String): DataFrame =
     // materialized once per JVM; fanOut on the READ side — the parquet
     // scan coalesces small files by bytes, but the consumer (the upgrade
     // engine) is CPU-bound per row

@@ -738,8 +738,22 @@ object Multimodal {
   def md5hex(bytes: Array[Byte]): String =
     hex(MessageDigest.getInstance("MD5").digest(bytes))
 
-  private def hex(digest: Array[Byte]): String =
-    digest.map(b => f"${b & 0xff}%02x").mkString
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(digest: Array[Byte]): String = {
+    // zero-padded lowercase hex, identical to the previous
+    // `digest.map(b => f"${b & 0xff}%02x").mkString` without the per-byte
+    // format-string interpreter
+    val out = new Array[Char](digest.length * 2)
+    var i = 0
+    while (i < digest.length) {
+      val b = digest(i) & 0xff
+      out(2 * i) = hexChars(b >>> 4)
+      out(2 * i + 1) = hexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
 
   /** The feature-extraction job: (doc_id, content: binary) → features.
     * Executor-side batch loop; decoder state (here: the MessageDigest) is

