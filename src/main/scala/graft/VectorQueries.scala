@@ -320,7 +320,7 @@ object VectorQueries {
     * beat both the exploded aggregation — which pays a groupBy shuffle —
     * and the flat-expression form, which JIT-bails; see [[dotDouble]].)
     * Norms are NOT computed here — [[verifyPairs]] folds them in-row. */
-  private def signatures(emb: DataFrame, blockCols: Seq[String]): DataFrame = {
+  private[graft] def signatures(emb: DataFrame, blockCols: Seq[String]): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(emb.sparkSession)
     val keys = col("vec_id") +: blockCols.map(col)
     val withProj = emb.select(
@@ -345,7 +345,7 @@ object VectorQueries {
     * a pair colliding in several bands dedups on the small id-pair BEFORE
     * any vector is carried through a shuffle — candidate volume scales with
     * similar-pair density, not n²/|blocking key|. */
-  private def bucketPairs(sig: DataFrame, blockCols: Seq[String]): DataFrame =
+  private[graft] def bucketPairs(sig: DataFrame, blockCols: Seq[String]): DataFrame =
     // shared bounded bucket-local engine (graft.BucketPairs): all-pairs
     // within normal buckets (sorted ids, vec_a < vec_b — the r5 chained-
     // generator shape), star pairs in oversized ones so candidate volume
@@ -361,34 +361,42 @@ object VectorQueries {
     * pairs to their raw vectors, drop pairs clearly below threshold with a
     * cheap all-double cosine (norms included — double norm error is ~1e-13
     * relative, far inside the 1e-6 prune margin), then score ONLY the
-    * survivors exactly. r5 change: norms used to be exact-decimal folds
-    * over the WHOLE table before the join; now no decimal arithmetic
-    * touches a row that the double prune can reject, so the decimal cost
-    * is proportional to the output, not the table. */
-  private def verifyPairs(
+    * survivors' pair DOT exactly. The exact-decimal NORMS are per-VECTOR
+    * work, computed once in `n` and carried through the joins (16 bytes a
+    * side) — r21 change: they used to be recomputed per surviving PAIR,
+    * and the sf1 phase probe (AbEmbProbe) put 4.9 s of q_neardup_embedding's
+    * 9.7 s in the survivor decimal scoring, two-thirds of it these norm
+    * folds (129k pairs × 2 recomputed norms vs 20k vectors × 1). Same
+    * expression over the same rows, exact arithmetic ⇒ bit-identical
+    * cosines; the r5 "decimal proportional to output" property degrades
+    * only by the vector count, which the join touches anyway. */
+  private[graft] def verifyPairs(
       cand: DataFrame, emb: DataFrame, threshold: Double): DataFrame = {
     graft.functions.GraftExtensions.ensureRegistered(emb.sparkSession)
-    // the double norm is per-VECTOR work (native codegen'd self-dot, no
-    // decimal), hoisted out of the per-pair filter: candidates outnumber
-    // vectors ~200:1 here, so the pair path pays 64 multiply-adds, not 192
+    // the double norm is per-VECTOR work (native codegen'd self-dot),
+    // hoisted out of the per-pair filter: candidates outnumber vectors
+    // ~200:1 here, so the pair path pays 64 multiply-adds, not 192
     val n = emb.select(col("vec_id"), col("embedding"),
-      sqrt(dotDouble(col("embedding"), col("embedding"))).as("len_d"))
+      sqrt(dotDouble(col("embedding"), col("embedding"))).as("len_d"),
+      dotDec(col("embedding"), col("embedding")).as("norm_dec"))
     // candidates and vectors both grow with the corpus: SHUFFLE_HASH pins
     // the verify join's strategy independent of size estimates (the same
     // contract as the text-side verify joins — see neardupPairsOf and
     // ScaleShapeSpec's robust-join gate)
     cand
       .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-        col("len_d").as("len_a")).hint("shuffle_hash"), Seq("vec_a"))
+        col("len_d").as("len_a"), col("norm_dec").as("norm_a"))
+        .hint("shuffle_hash"), Seq("vec_a"))
       .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-        col("len_d").as("len_b")).hint("shuffle_hash"), Seq("vec_b"))
+        col("len_d").as("len_b"), col("norm_dec").as("norm_b"))
+        .hint("shuffle_hash"), Seq("vec_b"))
       .filter(
         dotDouble(col("emb_a"), col("emb_b")) / (col("len_a") * col("len_b"))
           >= threshold - 1e-6)
       .withColumn("cosine", cosineCol(
         dotDec(col("emb_a"), col("emb_b")),
-        dotDec(col("emb_a"), col("emb_a")),
-        dotDec(col("emb_b"), col("emb_b"))))
+        col("norm_a"),
+        col("norm_b")))
       .filter(col("cosine") >= threshold)
   }
 
